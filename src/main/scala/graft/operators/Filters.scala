@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The six dimension-filter forms of the reference as a small ADT compiled
+  * to `Column` predicates or semi-joins
+  * (ref: dsgrid/dimension/dimension_filters.py:91-308). All predicate forms
+  * stay declarative so Catalyst pushes them into the parquet scan.
+  */
+sealed trait DimensionFilter {
+  /** Apply to a DataFrame. Predicate filters compile to `.filter`; record
+    * filters compile to semi-joins. */
+  def apply(df: DataFrame): DataFrame
+}
+
+object DimensionFilter {
+
+  /** `(col op value)` with auto-typing (ref :91-114). */
+  final case class ExpressionFilter(column: String, operator: String, value: Any) extends DimensionFilter {
+    def predicate: Column = {
+      val c = col(column)
+      val v = lit(value)
+      operator match {
+        case "==" | "=" => c === v
+        case "!=" | "<>" => c =!= v
+        case ">" => c > v
+        case ">=" => c >= v
+        case "<" => c < v
+        case "<=" => c <= v
+        case other => throw new IllegalArgumentException(s"unsupported operator: $other")
+      }
+    }
+    def apply(df: DataFrame): DataFrame = df.filter(predicate)
+  }
+
+  /** Raw user-supplied predicate text (ref :117-141). */
+  final case class RawFilter(expression: String) extends DimensionFilter {
+    def apply(df: DataFrame): DataFrame = df.filter(expr(expression))
+  }
+
+  /** Column-method filters: isin/like/rlike/contains/startswith/endswith/
+    * isNull/isNotNull, with negation (ref :144-198). */
+  final case class ColumnOperatorFilter(
+      column: String,
+      operator: String,
+      values: Seq[Any] = Nil,
+      negate: Boolean = false)
+      extends DimensionFilter {
+    def predicate: Column = {
+      val c = col(column)
+      val p = operator match {
+        case "isin" => c.isin(values: _*)
+        case "like" => c.like(values.head.toString)
+        case "rlike" => c.rlike(values.head.toString)
+        case "contains" => c.contains(values.head)
+        case "startswith" => c.startsWith(values.head.toString)
+        case "endswith" => c.endsWith(values.head.toString)
+        case "isNull" => c.isNull
+        case "isNotNull" => c.isNotNull
+        case other => throw new IllegalArgumentException(s"unsupported operator: $other")
+      }
+      if (negate) !p else p
+    }
+    def apply(df: DataFrame): DataFrame = df.filter(predicate)
+  }
+
+  /** Inclusive range, optionally negated (ref :201-229). */
+  final case class BetweenFilter(column: String, lower: Any, upper: Any, negate: Boolean = false)
+      extends DimensionFilter {
+    def predicate: Column = {
+      val p = col(column).between(lit(lower), lit(upper))
+      if (negate) !p else p
+    }
+    def apply(df: DataFrame): DataFrame = df.filter(predicate)
+  }
+
+  /** Keep rows whose dimension value is in the union of the given record-id
+    * sets — a semi-join, the scalable form of a giant IN list
+    * (ref subset filter :232-276, applied at query_submitter.py:595-603). */
+  final case class SubsetFilter(column: String, recordSets: Seq[DataFrame]) extends DimensionFilter {
+    def apply(df: DataFrame): DataFrame = {
+      val ids = recordSets.map(_.select(col("id"))).reduce(_ union _).distinct()
+      df.join(broadcast(ids), df(column) === ids("id"), "left_semi")
+    }
+  }
+
+  /** Keep base records that map to a supplemental dimension: semi-join the
+    * data against the from-side of the base-to-supplemental mapping
+    * (ref :279-308). */
+  final case class SupplementalFilter(column: String, mapping: DataFrame) extends DimensionFilter {
+    def apply(df: DataFrame): DataFrame = {
+      val fromIds = mapping.filter(col("to_id").isNotNull).select(col("from_id")).distinct()
+      df.join(broadcast(fromIds), df(column) === fromIds("from_id"), "left_semi")
+    }
+  }
+
+  def applyAll(df: DataFrame, filters: Seq[DimensionFilter]): DataFrame =
+    filters.foldLeft(df)((d, f) => f(d))
+}
+
+/** Pre-filtering: push record-id semi-joins below the mapping joins by
+  * translating target ids back through the mapping (to_id -> from_id), so a
+  * dataset is pruned *before* the expensive work — a semantic pushdown
+  * Catalyst cannot do on its own (ref: dataset_schema_handler_base.py:592-646).
+  */
+object PreFilter {
+  def prefilterThroughMapping(df: DataFrame, dimColumn: String, mapping: DataFrame, targetIds: DataFrame): DataFrame = {
+    val fromIds = mapping
+      .join(broadcast(targetIds.select(col("id"))), mapping("to_id") === col("id"), "left_semi")
+      .select(col("from_id"))
+      .distinct()
+    df.join(broadcast(fromIds), df(dimColumn) === fromIds("from_id"), "left_semi")
+  }
+}

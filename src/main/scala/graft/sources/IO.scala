@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Constants, FileSchema}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Readers: suffix-dispatched scan with optional declared schema and
+  * FileSchema renames/ignores
+  * (ref behaviors: dsgrid/spark/functions.py:402-494, dsgrid/utils/spark.py:173-277,
+  * dsgrid/config/file_schema.py:80-190). */
+object Readers {
+
+  /** Parquet scan — Catalyst handles pushdown/pruning; nothing manual. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Header CSV with optional declared schema (infer when absent). */
+  def csv(spark: SparkSession, path: String, schema: Option[FileSchema] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.flatMap(_.toStructType) match {
+      case Some(st) => base.schema(st).csv(path)
+      case None => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** Line-delimited JSON, strict (ref FAILFAST: dsgrid/spark/functions.py:469-484). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mode", "FAILFAST").json(path)
+
+  /** Suffix dispatch (ref: dsgrid/utils/spark.py:173-277). */
+  def read(spark: SparkSession, path: String, schema: Option[FileSchema] = None): DataFrame = {
+    val p = path.toLowerCase
+    val df =
+      if (p.endsWith(".csv")) csv(spark, path, schema)
+      else if (p.endsWith(".json")) json(spark, path)
+      else parquet(spark, path)
+    schema.map(applyFileSchema(df, _)).getOrElse(df)
+  }
+
+  /** Apply FileSchema ignore-columns and rename-to-dimension mappings. */
+  def applyFileSchema(df: DataFrame, fs: FileSchema): DataFrame = {
+    val dropped = if (fs.ignoreColumns.nonEmpty) df.drop(fs.ignoreColumns: _*) else df
+    fs.renames.foldLeft(dropped) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  /** Read a dir of per-table parquet files as named temp views, so callers
+    * can run SQL against the TESTDATA layout. */
+  def registerDir(spark: SparkSession, dir: String): Unit = {
+    val d = Paths.get(dir)
+    Files.list(d).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach { f =>
+        val name = f.getFileName.toString.stripSuffix(".parquet")
+        spark.read.parquet(f.toString).createOrReplaceTempView(name)
+      }
+  }
+}
+
+/** Writers: plain + auto-partitioned parquet, header CSV, in-place
+  * overwrite, persist-intermediate
+  * (ref: dsgrid/utils/spark.py:474-671, dsgrid/spark/functions.py:578-589). */
+object Writers {
+
+  def parquet(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists).parquet(path)
+
+  /** Write parquet, then if the produced files are badly sized, rewrite with
+    * a partition count targeting ~128 MB files (min 36 partitions at scale —
+    * ref algorithm: dsgrid/utils/spark.py:530-630). Two-pass by design: file
+    * sizes are only knowable after the first write. */
+  def parquetAutoPartition(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      targetMb: Int = Constants.MaxPartitionSizeMb): Unit = {
+    parquet(df, path)
+    val files = listFiles(Paths.get(path), ".parquet")
+    if (files.isEmpty) return
+    val totalBytes = files.map(f => Files.size(f)).sum
+    val targetBytes = targetMb.toLong * 1024 * 1024
+    val desired = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tolerated = files.length >= desired / 2 && files.length <= desired * 2
+    if (!tolerated) {
+      val rewritten =
+        if (desired < files.length) spark.read.parquet(path).coalesce(desired)
+        else spark.read.parquet(path).repartition(desired)
+      val tmp = path + ".graft-tmp"
+      parquet(rewritten, tmp)
+      deleteRecursively(Paths.get(path))
+      Files.move(Paths.get(tmp), Paths.get(path))
+    }
+  }
+
+  /** Header CSV; single file via coalesce(1) when asked. */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** Spark can't overwrite an input path in place: write tmp, swap, re-read
+    * (ref: dsgrid/utils/spark.py:474-499). */
+  def overwriteInPlace(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val tmp = path + ".graft-tmp"
+    parquet(df, tmp)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    spark.read.parquet(path)
+  }
+
+  /** Materialize an intermediate to scratch parquet and read it back — cuts
+    * the lineage when a plan grows too complex for Catalyst to handle well
+    * (ref: dsgrid/utils/spark.py:502-527). */
+  def persistIntermediate(spark: SparkSession, df: DataFrame, scratchDir: String, name: String): DataFrame = {
+    val path = s"$scratchDir/$name.parquet"
+    parquet(df, path)
+    spark.read.parquet(path)
+  }
+
+  private def listFiles(dir: Path, suffix: String): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.walk(dir).iterator().asScala.filter(p => p.toString.endsWith(suffix)).toSeq
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(Files.delete)
+    }
+}

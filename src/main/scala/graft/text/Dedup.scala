@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. All are built from
+  * shuffle-minimal primitives:
+  *   - exact:       one hash-groupBy (partial-aggregate friendly);
+  *   - MinHash+LSH: map-side signature computation (pure column exprs), one
+  *     explode-to-bands, one groupBy per band bucket — candidate pairs never
+  *     materialize the O(n²) cross product;
+  *   - SimHash:     map-side 64-bit signature, bucket on rotated prefixes;
+  *   - n-gram Jaccard: exact verification on LSH candidates only.
+  */
+object Dedup {
+
+  import TextFunctions._
+
+  // ---------------------------------------------------------------- exact
+
+  /** Keep the first (min id) document per exact normalized-content
+    * fingerprint. A single groupBy on a 64-bit key: at 100 TB this shuffles
+    * only (hash, id) pairs, not documents. */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Deduplicated view: one row per distinct content. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDuplicateGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash signature of the word-shingle set: k independent hash
+    * functions simulated as xxhash64(seed_i ++ shingle); each signature
+    * component is the min over shingles. Pure column expressions — computed
+    * map-side during the scan. */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val shingles = array_distinct(wordShingles(text, shingleSize))
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(concat(lit(s"graft$i:"), s))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band to a bucket key, explode → (band, bucket, id). Documents
+    * sharing any (band, bucket) are candidate near-duplicates. */
+  def lshBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(
+      col(idCol),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(to_json(struct(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))).as("bucket"))
+    }
+    withSig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-duplicate pairs (id1 < id2) from LSH buckets — a
+    * self-join restricted to bucket groups, deduplicated across bands. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of word-shingle sets for given id pairs —
+    * the verification step after LSH candidate generation. */
+  def verifyJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol), array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val j = pairs
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+    j.filter(col("jaccard") >= threshold).select("id1", "id2", "jaccard")
+  }
+
+  /** End-to-end MinHash near-dedup: LSH candidates → exact-Jaccard verify. */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    val pairs = candidatePairs(buckets, idCol)
+    verifyJaccard(df, pairs, idCol, textCol, shingleSize, threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset: per bit position, sum +1/-1 over
+    * token hashes, set the bit if the sum is positive. Built by exploding
+    * tokens and aggregating 64 conditional sums — one shuffle keyed by doc
+    * id with map-side partial aggregation. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(normalize(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDistance, using the
+    * standard rotate-and-block trick: split the 64 bits into
+    * (maxDistance+1) blocks; any pair within distance d must share at least
+    * one block exactly — bucket on each block, verify distance in-bucket. */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String, maxDistance: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val blocks = maxDistance + 1
+    val width = 64 / blocks
+    val blockCols = (0 until blocks).map { b =>
+      struct(lit(b).as("blk"), shiftright(col("simhash"), b * width).bitwiseAND((1L << width) - 1).as("key"))
+    }
+    val buckets = sig.select(col(idCol), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+    val a = buckets.select(col("blk"), col("key"), col(idCol).as("id1"), col("simhash").as("s1"))
+    val b = buckets.select(col("blk"), col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hammingDistance(col("s1"), col("s2")).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * as pure column expressions (whole-stage codegen, no UDFs) so they run at
+  * parquet-scan speed on 100 TB of documents. */
+object TextFunctions {
+
+  /** Whitespace tokens. Empty string → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: count word-piece-like chunks — runs of
+    * letters/digits plus standalone punctuation — roughly matching how a BPE
+    * tokenizer segments ASCII text; good enough for budget estimation. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+
+  /** Character-level n-gram shingles of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalize(text)
+    // slide a window: sequence(0, len-n) -> substr
+    val len = length(norm)
+    when(len < n, array(norm)).otherwise(
+      transform(sequence(lit(0), len - lit(n)), i => norm.substr(i + 1, lit(n))))
+  }
+
+  /** Word-level n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalize(text))
+    val cnt = size(toks)
+    when(cnt <= n, array(array_join(toks, " "))).otherwise(
+      transform(sequence(lit(0), cnt - lit(n)), i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Lowercase, collapse whitespace, strip non-alphanumerics — the usual
+    * dedup normalization. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Quality-score features (length / punctuation / stopword / word-length
+    * heuristics, Gopher/C4-style). Returns a struct; `qualityScore` collapses
+    * to a single [0,1] score. */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "a", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this", "are", "or")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(lower(text))
+    val hits = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) === 0, lit(0.0)).otherwise(size(hits).cast("double") / size(toks))
+  }
+
+  def punctuationRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise((n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n)
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-range length, low
+    * punctuation density, presence of stopwords, sane mean word length. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok >= 50 && nTok <= 100000, 1.0).otherwise(nTok / 50.0)
+    val punct = punctuationRatio(text)
+    val punctOk = when(punct <= 0.2, 1.0).otherwise(greatest(lit(0.0), lit(1.0) - (punct - 0.2) * 5))
+    val stop = stopwordRatio(text)
+    val stopOk = least(lit(1.0), stop * 10)
+    val mwl = meanWordLength(text)
+    val mwlOk = when(mwl >= 3 && mwl <= 10, 1.0).otherwise(0.5)
+    least(lit(1.0), (lengthOk + punctOk + stopOk + mwlOk) / 4)
+  }
+
+  /** Document fingerprint: 64-bit content hash of normalized text (xxhash64,
+    * codegen'd) — the exact-dedup key. */
+  def fingerprint(text: Column): Column = xxhash64(normalize(text))
+
+  /** Rolling (polynomial) hash of the token sequence — order-sensitive, so
+    * reordered near-identical docs fingerprint differently where
+    * `fingerprint` would collide. h = sum(hash(tok_i) * 31^i) mod p with
+    * p = 2^31-1: all intermediates stay < 2^62, so the fold is safe under
+    * ANSI overflow checking (Spark 4 default). */
+  def rollingHash(text: Column): Column = {
+    val m = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      tokens(normalize(text)),
+      struct(lit(0L).as("h"), lit(1L).as("p")),
+      (acc, t) => struct(
+        pmod(acc("h") + pmod(xxhash64(t), m) * acc("p"), m).as("h"),
+        pmod(acc("p") * 31L, m).as("p")),
+      acc => acc("h"))
+  }
+
+  /** Language ID by stopword-profile scoring: count distinct profile words
+    * present per language, pick the argmax (n-gram-free heuristic — for
+    * real pipelines swap in a fastText-style model via mapInPandas). */
+  val languageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "was", "with", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est", "dans", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por", "con", "una"),
+    "it" -> Seq("il", "di", "che", "la", "e", "per", "un", "non", "sono", "con"))
+
+  def languageId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    }
+    // argmax with deterministic tie-break on language name order
+    scored.foldLeft((lit("und"), lit(0))) { case ((bestLang, bestScore), (lang, score)) =>
+      (when(score > bestScore, lit(lang)).otherwise(bestLang),
+        when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+}

@@ -1,0 +1,257 @@
+package graft.time
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Constants.{TimeZoneColumn, ValueColumn}
+
+/** Time-spine generation: distributed, via `sequence` + `explode` — no
+  * driver-side loops, so a century of hourly timestamps is still one row
+  * exploded on an executor (ref semantics: chronify spine building used at
+  * dsgrid/utils/dataset.py:326-356). */
+object TimeSpine {
+
+  /** Hourly (or any interval) timestamp spine [start, end] inclusive. */
+  def spine(spark: SparkSession, start: String, end: String, intervalSeconds: Long): DataFrame =
+    spark
+      .range(1)
+      .select(
+        explode(
+          sequence(
+            to_timestamp(lit(start)),
+            to_timestamp(lit(end)),
+            expr(s"INTERVAL $intervalSeconds SECONDS"))).as("timestamp"))
+
+  /** Full-year hourly spine for a given year (period-beginning convention:
+    * first stamp Jan 1 00:00, last Dec 31 23:00). */
+  def yearHourlySpine(spark: SparkSession, year: Int): DataFrame =
+    spine(spark, s"$year-01-01 00:00:00", s"$year-12-31 23:00:00", 3600L)
+
+  /** Number of interval steps in a year (for ANNUAL total→rate division). */
+  def stepsInYear(year: Int, intervalSeconds: Long): Long = {
+    val leap = java.time.Year.of(year).isLeap
+    (if (leap) 366L else 365L) * 24 * 3600 / intervalSeconds
+  }
+}
+
+/** Annual time → datetime: cross-join each annual row with the year's
+  * timestamp spine; for TOTAL measurements divide the value by the number of
+  * steps so the sum over the year is preserved
+  * (ref: dsgrid/config/annual_time_dimension_config.py:152-194). */
+object AnnualTime {
+
+  /** `df` has a string/int year column; returns df × hourly spine of each
+    * year present. The spine is built per distinct year then joined on year —
+    * a broadcast join against at most a few hundred year rows, not a
+    * crossJoin of the whole fact table. */
+  def annualToDatetime(
+      df: DataFrame,
+      yearColumn: String,
+      intervalSeconds: Long = 3600L,
+      valueIsTotal: Boolean = true,
+      valueColumn: String = ValueColumn,
+      timestampColumn: String = "timestamp"): DataFrame = {
+    val spark = df.sparkSession
+    val years = df.select(col(yearColumn).cast("int").as("__graft_year")).distinct()
+    val spine = years
+      .select(
+        col("__graft_year"),
+        explode(
+          sequence(
+            to_timestamp(format_string("%d-01-01 00:00:00", col("__graft_year"))),
+            to_timestamp(format_string("%d-12-31 23:59:59", col("__graft_year"))),
+            expr(s"INTERVAL $intervalSeconds SECONDS"))).as(timestampColumn))
+    val joined = df.join(
+      broadcast(spine),
+      df(yearColumn).cast("int") === spine("__graft_year"),
+      "inner")
+    val out =
+      if (valueIsTotal) {
+        val steps =
+          (when(
+            (col("__graft_year") % 4 === 0 && col("__graft_year") % 100 =!= 0) || col("__graft_year") % 400 === 0,
+            lit(366L)).otherwise(lit(365L)) * 24L * 3600L) / lit(intervalSeconds)
+        joined.withColumn(valueColumn, col(valueColumn) / steps)
+      } else joined
+    out.drop("__graft_year")
+  }
+}
+
+/** Index time → datetime: integer index + per-geography time zone →
+  * timestamps (ref: dsgrid/config/index_time_dimension_config.py:17-81).
+  * The index counts interval steps from a local-clock start in the row's
+  * time zone; `to_utc_timestamp` interprets the local stamp per-row. */
+object IndexTime {
+  def indexToDatetime(
+      df: DataFrame,
+      indexColumn: String,
+      startTimestamp: String, // local wall-clock start, e.g. "2018-01-01 00:00:00"
+      intervalSeconds: Long,
+      timeZoneColumn: String = TimeZoneColumn,
+      timestampColumn: String = "timestamp"): DataFrame = {
+    val localTs = timestamp_seconds(
+      unix_timestamp(to_timestamp(lit(startTimestamp))) +
+        col(indexColumn).cast("long") * lit(intervalSeconds))
+    df.withColumn(timestampColumn, to_utc_timestamp(localTs, col(timeZoneColumn)))
+      .drop(indexColumn)
+  }
+}
+
+/** Representative-period → datetime: a (month, day_of_week, hour) or
+  * (month, is_weekday, hour) template joined onto a full-year spine whose
+  * keys are computed in each geography's local time zone
+  * (ref: dsgrid/config/representative_period_time_dimension_config.py:20-190). */
+object RepresentativePeriodTime {
+
+  /** Expand ONE_WEEK_PER_MONTH_BY_HOUR data: join template rows to the spine
+    * on (month, day_of_week, hour) computed from the spine timestamp in the
+    * row's local tz. `spine` must have a `timestamp` column (UTC);
+    * `geoTimeZones` maps geography id → tz name (columns: id, time_zone). */
+  def oneWeekPerMonthByHour(
+      df: DataFrame,
+      spine: DataFrame,
+      geographyColumn: String,
+      geoTimeZones: DataFrame,
+      monthColumn: String = "month",
+      dowColumn: String = "day_of_week",
+      hourColumn: String = "hour",
+      timestampColumn: String = "timestamp"): DataFrame = {
+    val tz = broadcast(geoTimeZones.select(col("id").as("__graft_geo_id"), col("time_zone").as("__graft_tz")))
+    val withTz = df.join(tz, df(geographyColumn) === col("__graft_geo_id"), "inner").drop("__graft_geo_id")
+    // spine × tz-distinct: compute local (month, dow 0=Mon..6=Sun, hour) once per tz
+    val tzs = withTz.select(col("__graft_tz")).distinct()
+    val localSpine = spine
+      .crossJoin(broadcast(tzs))
+      .withColumn("__graft_local", from_utc_timestamp(col(timestampColumn), col("__graft_tz")))
+      .select(
+        col(timestampColumn),
+        col("__graft_tz"),
+        month(col("__graft_local")).as("__graft_month"),
+        ((dayofweek(col("__graft_local")) + 5) % 7).as("__graft_dow"), // Spark: 1=Sun..7=Sat → 0=Mon..6=Sun
+        hour(col("__graft_local")).as("__graft_hour"))
+    withTz
+      .join(
+        localSpine,
+        withTz("__graft_tz") === localSpine("__graft_tz") &&
+          withTz(monthColumn) === localSpine("__graft_month") &&
+          withTz(dowColumn) === localSpine("__graft_dow") &&
+          withTz(hourColumn) === localSpine("__graft_hour"),
+        "inner")
+      .drop("__graft_tz", "__graft_month", "__graft_dow", "__graft_hour", monthColumn, dowColumn, hourColumn)
+  }
+
+  /** Variant B: (month, is_weekday, hour) template
+    * (ONE_WEEKDAY_DAY_AND_ONE_WEEKEND_DAY_PER_MONTH_BY_HOUR). */
+  def weekdayWeekendPerMonthByHour(
+      df: DataFrame,
+      spine: DataFrame,
+      geographyColumn: String,
+      geoTimeZones: DataFrame,
+      monthColumn: String = "month",
+      isWeekdayColumn: String = "is_weekday",
+      hourColumn: String = "hour",
+      timestampColumn: String = "timestamp"): DataFrame = {
+    val tz = broadcast(geoTimeZones.select(col("id").as("__graft_geo_id"), col("time_zone").as("__graft_tz")))
+    val withTz = df.join(tz, df(geographyColumn) === col("__graft_geo_id"), "inner").drop("__graft_geo_id")
+    val tzs = withTz.select(col("__graft_tz")).distinct()
+    val localSpine = spine
+      .crossJoin(broadcast(tzs))
+      .withColumn("__graft_local", from_utc_timestamp(col(timestampColumn), col("__graft_tz")))
+      .select(
+        col(timestampColumn),
+        col("__graft_tz"),
+        month(col("__graft_local")).as("__graft_month"),
+        (dayofweek(col("__graft_local")).isin(2, 3, 4, 5, 6)).as("__graft_weekday"),
+        hour(col("__graft_local")).as("__graft_hour"))
+    withTz
+      .join(
+        localSpine,
+        withTz("__graft_tz") === localSpine("__graft_tz") &&
+          withTz(monthColumn) === localSpine("__graft_month") &&
+          withTz(isWeekdayColumn) === localSpine("__graft_weekday") &&
+          withTz(hourColumn) === localSpine("__graft_hour"),
+        "inner")
+      .drop("__graft_tz", "__graft_month", "__graft_weekday", "__graft_hour", monthColumn, isWeekdayColumn, hourColumn)
+  }
+}
+
+/** Time-zone conversion (ref: query_submitter.py:335-457 single-tz;
+  * utils/dataset.py:83-120,382-405 per-geography). */
+object TimeZones {
+
+  /** Convert a UTC timestamp column to a single named zone's local clock
+    * time (naive local stamp + a literal tz column, matching the reference's
+    * "naive time + tz column" output form, query/models.py:530-535). */
+  def toSingleZone(df: DataFrame, timestampColumn: String, tz: String): DataFrame =
+    df.withColumn(timestampColumn, from_utc_timestamp(col(timestampColumn), tz))
+      .withColumn(TimeZoneColumn, lit(tz))
+
+  /** Per-geography: join geography records for time_zone, convert each row
+    * to its local clock time. */
+  def toGeographyLocal(
+      df: DataFrame,
+      timestampColumn: String,
+      geographyColumn: String,
+      geoRecords: DataFrame): DataFrame = {
+    val rec = broadcast(geoRecords.select(col("id").as("__graft_geo_id"), col("time_zone").as(TimeZoneColumn)))
+    df.join(rec, df(geographyColumn) === col("__graft_geo_id"), "inner")
+      .drop("__graft_geo_id")
+      .withColumn(timestampColumn, from_utc_timestamp(col(timestampColumn), col(TimeZoneColumn)))
+  }
+}
+
+/** Leap-day and daylight-saving adjustments
+  * (ref: dsgrid/dimension/time.py:53-92,143-267). */
+object TimeAdjustments {
+
+  sealed trait LeapDayAdjustment
+  case object DropFeb29 extends LeapDayAdjustment
+  case object DropDec31 extends LeapDayAdjustment
+  case object DropJan1 extends LeapDayAdjustment
+
+  def adjustLeapDay(df: DataFrame, timestampColumn: String, adjustment: LeapDayAdjustment): DataFrame = {
+    val ts = col(timestampColumn)
+    adjustment match {
+      case DropFeb29 => df.filter(!(month(ts) === 2 && dayofmonth(ts) === 29))
+      case DropDec31 => df.filter(!(month(ts) === 12 && dayofmonth(ts) === 31))
+      case DropJan1 => df.filter(!(month(ts) === 1 && dayofmonth(ts) === 1))
+    }
+  }
+
+  /** Spring-forward: in a local-clock series the 02:00 hour doesn't exist on
+    * the DST-start date; drop those stamps. Fall-back: the 01:00 hour occurs
+    * twice; `duplicateFallBack` re-adds rows for the repeated hour
+    * (ref INDEX-time handling: dimension/time.py:71-92,143-187). Operates on
+    * a local (NTZ-interpreted) timestamp + tz column. */
+  def dropSpringForwardHour(df: DataFrame, timestampColumn: String, tzColumn: String): DataFrame = {
+    // A local stamp is nonexistent iff converting local→UTC→local doesn't round-trip.
+    val roundTrip = from_utc_timestamp(to_utc_timestamp(col(timestampColumn), col(tzColumn)), col(tzColumn))
+    df.filter(roundTrip === col(timestampColumn))
+  }
+
+  def duplicateFallBackHour(df: DataFrame, timestampColumn: String, tzColumn: String): DataFrame = {
+    // A local stamp is ambiguous iff adding 1h of real time to its (earlier-
+    // offset) UTC instant lands back on the SAME local clock reading. This
+    // does not fire for nonexistent spring-forward stamps, which resolve
+    // shifted and so never round-trip onto themselves.
+    val utc = to_utc_timestamp(col(timestampColumn), col(tzColumn))
+    val backLocal = from_utc_timestamp(utc + expr("INTERVAL 1 HOUR"), col(tzColumn))
+    val ambiguous = backLocal === col(timestampColumn)
+    df.unionByName(df.filter(ambiguous))
+  }
+}
+
+/** Registration-time time-consistency checks
+  * (ref: dataset_schema_handler_base.py:323-452). */
+object TimeChecks {
+
+  /** Distinct timestamps in the data must exactly equal the expected spine. */
+  def timestampsMatchSpine(df: DataFrame, timestampColumn: String, spine: DataFrame): Boolean = {
+    val actual = df.select(col(timestampColumn).as("timestamp")).distinct()
+    val expected = spine.select(col("timestamp")).distinct()
+    expected.exceptAll(actual).isEmpty && actual.exceptAll(expected).isEmpty
+  }
+
+  /** Every dimension combination carries the same number of timestamps. */
+  def equalTimeArrayLengths(df: DataFrame, dimColumns: Seq[String]): Boolean =
+    graft.operators.Aggregation.groupsHaveEqualCounts(df, dimColumns)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Constants._
+import graft.operators._
+
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df =
+    Seq(("a", 1.0, "US"), ("b", 5.0, "DE"), ("c", 9.0, "US"), ("d", 3.0, "FR"))
+      .toDF("id", "v", "geo")
+
+  test("expression / between / column-operator / raw filters compose") {
+    val out = DimensionFilter.applyAll(
+      df,
+      Seq(
+        DimensionFilter.ExpressionFilter("v", ">", 1.0),
+        DimensionFilter.BetweenFilter("v", 2.0, 9.0),
+        DimensionFilter.ColumnOperatorFilter("geo", "isin", Seq("US", "FR")),
+        DimensionFilter.RawFilter("id != 'x'")))
+    assert(out.select("id").as[String].collect().toSet == Set("c", "d"))
+  }
+
+  test("negated operators") {
+    val out = DimensionFilter.ColumnOperatorFilter("geo", "isin", Seq("US"), negate = true)(df)
+    assert(out.select("id").as[String].collect().toSet == Set("b", "d"))
+    val out2 = DimensionFilter.BetweenFilter("v", 2.0, 6.0, negate = true)(df)
+    assert(out2.select("id").as[String].collect().toSet == Set("a", "c"))
+  }
+
+  test("subset filter semi-joins against union of record sets") {
+    val r1 = Seq("US").toDF("id")
+    val r2 = Seq("DE").toDF("id")
+    val out = DimensionFilter.SubsetFilter("geo", Seq(r1, r2))(df)
+    assert(out.select("id").as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
+  test("prefilter translates target ids back through the mapping") {
+    val mapping = Seq(("US", "north_america"), ("FR", "europe"), ("DE", "europe"))
+      .toDF("from_id", "to_id")
+    val target = Seq("europe").toDF("id")
+    val out = PreFilter.prefilterThroughMapping(df, "geo", mapping, target)
+    assert(out.select("id").as[String].collect().toSet == Set("b", "d"))
+  }
+}
+
+class AggregationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df =
+    Seq(("x", 1.0), ("x", 3.0), ("y", 5.0), ("y", 5.0)).toDF("g", ValueColumn)
+
+  test("whitelisted aggregation by name") {
+    val out = Aggregation.aggregate(df, Seq("g"), "sum")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out == Map("x" -> 4.0, "y" -> 10.0))
+    intercept[IllegalArgumentException](Aggregation.resolve("system"))
+  }
+
+  test("peakRowsPerGroup keeps one deterministic peak row") {
+    val e = Seq(("x", 1L, 9.0), ("x", 2L, 9.0), ("y", 3L, 1.0)).toDF("g", "t", ValueColumn)
+    val out = Aggregation.peakRowsPerGroup(e, Seq("g"), ValueColumn, tieBreak = Seq("t"))
+    assert(out.count() == 2)
+    assert(out.filter($"g" === "x").select("t").as[Long].head() == 1L)
+  }
+
+  test("peakRowsPerGroupAllTies keeps every tied row") {
+    val e = Seq(("x", 1L, 9.0), ("x", 2L, 9.0), ("x", 3L, 1.0)).toDF("g", "t", ValueColumn)
+    assert(Aggregation.peakRowsPerGroupAllTies(e, Seq("g"), ValueColumn).count() == 2)
+  }
+
+  test("groupsHaveEqualCounts validation") {
+    assert(Aggregation.groupsHaveEqualCounts(df, Seq("g")))
+    val uneven = Seq(("x", 1.0), ("y", 1.0), ("y", 2.0)).toDF("g", ValueColumn)
+    assert(!Aggregation.groupsHaveEqualCounts(uneven, Seq("g")))
+  }
+}
+
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pivot then unpivot round-trips stacked data") {
+    val stacked = Seq(("a", "m1", 1.0), ("a", "m2", 2.0), ("b", "m1", 3.0), ("b", "m2", 4.0))
+      .toDF("geo", "metric", ValueColumn)
+    val wide = Reshape.pivot(stacked, "metric", values = Seq("m1", "m2"))
+    assert(wide.columns.toSet == Set("geo", "m1", "m2"))
+    val back = Reshape.unpivot(wide, Seq("geo"), Seq("m1", "m2"), "metric")
+    assert(sortedRows(back.select("geo", "metric", ValueColumn)) ==
+      sortedRows(stacked))
+  }
+
+  test("unpivotPreservingNulls re-attaches all-null rows with null value") {
+    val wide = Seq(("a", Some(1.0), Some(2.0)), ("b", None, None))
+      .toDF("geo", "m1", "m2")
+    val out = Reshape.unpivotPreservingNulls(wide, Seq("geo"), Seq("m1", "m2"), "metric")
+    assert(out.count() == 4)
+    assert(out.filter($"geo" === "b" && col(ValueColumn).isNull).count() == 2)
+  }
+}
+
+class DatasetExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ds(vs: (String, Double)*) = vs.toSeq.toDF("k", ValueColumn)
+
+  test("parser handles precedence and parens") {
+    import DatasetExpr._
+    assert(parse("a + b * c") == BinOp('+', Ref("a"), BinOp('*', Ref("b"), Ref("c"))))
+    assert(parse("(a | b) - c") == BinOp('-', BinOp('|', Ref("a"), Ref("b")), Ref("c")))
+    intercept[IllegalArgumentException](parse("a +"))
+  }
+
+  test("arithmetic joins on dimension columns") {
+    val out = DatasetExpr.evaluate(
+      "(a - b) * c",
+      Map("a" -> ds("x" -> 10.0), "b" -> ds("x" -> 4.0), "c" -> ds("x" -> 2.0)))
+    assert(out.select(ValueColumn).as[Double].head() == 12.0)
+  }
+
+  test("union with | and strict misalignment failure") {
+    val out = DatasetExpr.evaluate("a | b", Map("a" -> ds("x" -> 1.0), "b" -> ds("y" -> 2.0)))
+    assert(out.count() == 2)
+    intercept[IllegalArgumentException](
+      DatasetExpr.arithmetic(ds("x" -> 1.0), ds("y" -> 2.0), '+'))
+  }
+}

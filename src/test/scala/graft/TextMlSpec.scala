@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextFunctions}
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting and normalization") {
+    val df = Seq("  Hello,  World! ", "", "one two three").toDF("text")
+    val counts = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(counts == Seq(2, 0, 3))
+    val norm = df.select(TextFunctions.normalize(col("text"))).as[String].collect().head
+    assert(norm == "hello world")
+  }
+
+  test("shingles") {
+    val df = Seq("a b c d").toDF("text")
+    val ws = df.select(TextFunctions.wordShingles(col("text"), 2)).as[Seq[String]].head()
+    assert(ws == Seq("a b", "b c", "c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("stopword / punctuation ratios and quality score bounds") {
+    val df = Seq("the cat and the dog", "??? !!! ...").toDF("text")
+    val sr = df.select(TextFunctions.stopwordRatio(col("text"))).as[Double].collect()
+    assert(math.abs(sr(0) - 0.6) < 1e-9)
+    assert(sr(1) == 0.0)
+    val q = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("language id picks dominant stopword profile") {
+    val df = Seq(
+      "the cat and the dog is that it was with for",
+      "der hund und die katze ist nicht ein mit von",
+      "zzz qqq xxx").toDF("text")
+    val langs = df.select(TextFunctions.languageId(col("text"))).as[String].collect().toSeq
+    assert(langs == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is order-insensitive after normalize; rollingHash is order-sensitive") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "c b a")).toDF("t1", "t2")
+    val fp = df.select(
+      (TextFunctions.fingerprint(col("t1")) === TextFunctions.fingerprint(col("t2"))).as("same_fp"),
+      (TextFunctions.rollingHash(col("t1")) === TextFunctions.rollingHash(col("t2"))).as("same_rh"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(fp(0) == (true, true))
+    assert(fp(1) == (false, false))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // near-dup of 1
+    (4L, "completely different content about solar energy forecasting and wind turbines"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content") {
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+    assert(groups.count() == 3)
+    assert(groups.filter($"n_dups" === 2).select("keep_id").as[Long].head() == 1L)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds near-duplicate pair and verifies exact jaccard") {
+    val out = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(out.contains((1L, 3L)) || out.contains((2L, 3L))) // near dup
+    assert(!out.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash hamming distance and near-dup buckets") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    assert(sig.count() == 4)
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine math via higher-order functions") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head() == 0.0)
+    val same = Seq((Seq(2.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    assert(math.abs(same.select(Similarity.cosine(col("a"), col("b"))).as[Double].head() - 1.0) < 1e-6)
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0L), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 1L) // most similar to [1,0,0]
+    assert(out.length == 2)
+  }
+
+  test("IVF probes nearest cells and finds the same top neighbor") {
+    val centroids = Similarity.sampleCentroids(vecs, 2)
+    val cells = Similarity.assignToCentroids(vecs, centroids)
+    assert(cells.columns.contains("centroid_id"))
+    val out = Similarity.ivfTopK(vecs.filter($"vec_id" === 0L), cells, centroids, k = 1, probes = 2)
+      .collect()
+    assert(out.nonEmpty && out(0).getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("cosine near-duplicates finds scaled copies") {
+    val dim64 = (id: Long, seed: Int) =>
+      (id, (0 until 64).map(i => (math.sin(seed * 31 + i) * 10).toFloat))
+    val base = Seq(dim64(1L, 1), dim64(2L, 2))
+    val scaled = base.map { case (id, v) => (id + 100L, v.map(_ * 2.0f)) }
+    val df = (base ++ scaled).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDuplicates(df, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 101L), (2L, 102L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic media → stub decode → features pipeline") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    assert(media.count() == 30)
+    val dims = Multimodal.decodeImageDims(media)
+    assert(dims.columns.contains("width") && dims.columns.contains("height"))
+    assert(dims.filter($"width" < 256 || $"height" < 256).count() == 0)
+    val feats = Multimodal.extractFeatures(dims)
+    val f = feats.select("features").as[Seq[Float]].head()
+    assert(f.length == 16)
+    // determinism: same payload → same features
+    val again = Multimodal.extractFeatures(Multimodal.decodeImageDims(Multimodal.syntheticMedia(spark, 30)))
+    assert(sortedRows(feats.select("media_id", "features")) ==
+      sortedRows(again.select("media_id", "features")))
+  }
+
+  test("frame sampling explodes every nth frame index") {
+    val df = Seq((1L, 10)).toDF("media_id", "total_frames")
+    val out = Multimodal.sampleFrames(df, 3, "total_frames")
+    assert(out.select("frame_index").as[Int].collect().toSeq == Seq(0, 3, 6, 9))
+  }
+}

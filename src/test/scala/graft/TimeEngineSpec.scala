@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.core.Constants._
+import graft.time._
+
+class TimeEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spine generates inclusive range at interval") {
+    val s = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-01 03:00:00", 3600L)
+    assert(s.count() == 4)
+    assert(TimeSpine.yearHourlySpine(spark, 2024).count() == 8784) // leap year
+    assert(TimeSpine.stepsInYear(2023, 3600L) == 8760)
+  }
+
+  test("annualToDatetime preserves yearly totals for TOTAL measurements") {
+    val annual = Seq(("g1", "2023", 8760.0), ("g2", "2024", 8784.0))
+      .toDF("geography", "model_year", ValueColumn)
+    val out = AnnualTime.annualToDatetime(annual, "model_year")
+    val perRow = out.groupBy("model_year")
+      .agg(count(lit(1)).as("n"), sum(ValueColumn).as("total"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(perRow("2023")._1 == 8760 && math.abs(perRow("2023")._2 - 8760.0) < 1e-6)
+    assert(perRow("2024")._1 == 8784 && math.abs(perRow("2024")._2 - 8784.0) < 1e-6)
+  }
+
+  test("indexToDatetime computes per-tz UTC timestamps") {
+    val df = Seq((0L, "America/New_York"), (1L, "UTC")).toDF("time_index", TimeZoneColumn)
+    val out = IndexTime.indexToDatetime(df, "time_index", "2024-01-01 00:00:00", 3600L)
+    val got = out.select(col(TimeZoneColumn), col("timestamp").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // NY local midnight = 05:00 UTC (EST); UTC index 1 = 01:00
+    assert(got("America/New_York") == "2024-01-01 05:00:00")
+    assert(got("UTC") == "2024-01-01 01:00:00")
+  }
+
+  test("representative-period expansion fills matching local hours") {
+    // template: month=1, every day-of-week, hour=0..23 would be 7×24 rows;
+    // use one cell: Jan, Monday (dow=0), hour 5
+    val template = Seq(("g1", 1, 0, 5, 42.0))
+      .toDF("geography", "month", "day_of_week", "hour", ValueColumn)
+    val spine = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-31 23:00:00", 3600L)
+    val tzs = Seq(("g1", "UTC")).toDF("id", "time_zone")
+    val out = RepresentativePeriodTime.oneWeekPerMonthByHour(template, spine, "geography", tzs)
+    // Jan 2024 has five Mondays (1,8,15,22,29) → 5 rows at hour 5
+    assert(out.count() == 5)
+    assert(out.select(hour(col("timestamp"))).distinct().as[Int].head() == 5)
+  }
+
+  test("weekday/weekend representative expansion") {
+    val template = Seq(("g1", 1, true, 12, 1.0), ("g1", 1, false, 12, 2.0))
+      .toDF("geography", "month", "is_weekday", "hour", ValueColumn)
+    val spine = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-07 23:00:00", 3600L)
+    val tzs = Seq(("g1", "UTC")).toDF("id", "time_zone")
+    val out = RepresentativePeriodTime.weekdayWeekendPerMonthByHour(template, spine, "geography", tzs)
+    // Jan 1-7 2024: Mon-Fri ×1 at hour 12 (5 rows of 1.0), Sat+Sun (2 rows of 2.0)
+    val sums = out.groupBy(ValueColumn).count().collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(sums == Map(1.0 -> 5L, 2.0 -> 2L))
+  }
+
+  test("single-zone and per-geography tz conversion") {
+    val df = Seq(("g1", Timestamp.valueOf("2024-06-01 12:00:00")))
+      .toDF("geography", "timestamp")
+    val single = TimeZones.toSingleZone(df, "timestamp", "America/Denver")
+    assert(single.select(col("timestamp").cast("string")).as[String].head() == "2024-06-01 06:00:00")
+    val recs = Seq(("g1", "America/New_York")).toDF("id", "time_zone")
+    val per = TimeZones.toGeographyLocal(df, "timestamp", "geography", recs)
+    assert(per.select(col("timestamp").cast("string")).as[String].head() == "2024-06-01 08:00:00")
+  }
+
+  test("leap-day adjustments drop the right days") {
+    val df = Seq("2024-02-28 10:00:00", "2024-02-29 10:00:00", "2024-12-31 10:00:00", "2024-01-01 10:00:00")
+      .map(Timestamp.valueOf).toDF("ts")
+    assert(TimeAdjustments.adjustLeapDay(df, "ts", TimeAdjustments.DropFeb29).count() == 3)
+    assert(TimeAdjustments.adjustLeapDay(df, "ts", TimeAdjustments.DropDec31).count() == 3)
+    assert(TimeAdjustments.adjustLeapDay(df, "ts", TimeAdjustments.DropJan1).count() == 3)
+  }
+
+  test("DST: spring-forward hour dropped, fall-back hour duplicated") {
+    // US 2024: spring forward Mar 10 02:00 (NY), fall back Nov 3 01:00
+    val df = Seq(
+      ("2024-03-10 02:30:00", "America/New_York"), // nonexistent
+      ("2024-03-10 03:30:00", "America/New_York"), // fine
+      ("2024-11-03 01:30:00", "America/New_York"), // ambiguous
+      ("2024-11-03 03:30:00", "America/New_York"))
+      .map { case (t, z) => (Timestamp.valueOf(t), z) }.toDF("ts", "tz")
+    assert(TimeAdjustments.dropSpringForwardHour(df, "ts", "tz").count() == 3)
+    assert(TimeAdjustments.duplicateFallBackHour(df, "ts", "tz").count() == 5)
+  }
+
+  test("time consistency checks") {
+    val spine = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-01 02:00:00", 3600L)
+    val good = spine.withColumn("g", lit("a")).withColumnRenamed("timestamp", "ts")
+    assert(TimeChecks.timestampsMatchSpine(good, "ts", spine))
+    assert(TimeChecks.equalTimeArrayLengths(good, Seq("g")))
+    val bad = good.limit(2)
+    assert(!TimeChecks.timestampsMatchSpine(bad, "ts", spine))
+  }
+}
