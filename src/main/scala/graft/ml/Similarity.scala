@@ -152,6 +152,7 @@ object Similarity {
     val buckets = df
       .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("bb"))
       .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache() // self-joined below: compute the 32 hyperplane projections once per vector
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, Seq("band", "bucket"))

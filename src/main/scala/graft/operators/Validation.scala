@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Registration-time dataset validation — the reference replaces DB
+  * constraints with load-time checks (ref: dsgrid/utils/spark.py:436-470
+  * null checks; dsgrid/dataset/dataset_schema_handler_base.py:171-222
+  * completeness; anti-join dsgrid/utils/dataset.py:797-817).
+  *
+  * All checks are expressed as Spark plans over the data — distributed, no
+  * driver-side loops; each returns a small "violations" DataFrame so callers
+  * can surface samples without collecting the world.
+  */
+object Validation {
+
+  /** Rows containing NULL in any of the given columns (ref NULL checks). */
+  def nullViolations(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val anyNull = columns.map(col(_).isNull).reduce(_ || _)
+    df.filter(anyNull)
+  }
+
+  /** Dimension values present in the data but absent from the dimension's
+    * record table — a semi-join complement (ref record matching). */
+  def unknownDimensionValues(df: DataFrame, dimColumn: String, records: DataFrame): DataFrame =
+    df.select(col(dimColumn)).distinct()
+      .join(broadcast(records.select(col("id"))), col(dimColumn) === col("id"), "left_anti")
+
+  /** The completeness check: the stacked dimension columns must cover the
+    * full cross product of their record sets, minus explicitly registered
+    * expected-missing associations. Returns the missing combinations.
+    *
+    * Scale design: the expected side is built by cross-joining the (tiny)
+    * record id sets — never the fact table; the comparison is one left-anti
+    * join against the distinct dimension combos of the data
+    * (ref: dataset_schema_handler_base.py:171-222, utils/dataset.py:797-817).
+    */
+  def missingAssociations(
+      df: DataFrame,
+      dimColumns: Seq[String],
+      recordSets: Map[String, DataFrame],
+      expectedMissing: Option[DataFrame] = None): DataFrame = {
+    val expected = dimColumns
+      .map(c => recordSets(c).select(col("id").as(c)))
+      .reduce(_.crossJoin(_))
+    val expectedMinus = expectedMissing match {
+      case Some(em) => expected.join(em, dimColumns, "left_anti")
+      case None => expected
+    }
+    val actual = df.select(dimColumns.map(col): _*).distinct()
+    expectedMinus.join(actual, dimColumns, "left_anti")
+  }
+
+  /** Simple per-column diagnostic when the completeness check fails: for
+    * each dimension column, the distinct values that appear in missing
+    * combinations (the reference's Python fallback to its Rust pattern
+    * miner — dsgrid/utils/dataset.py:302-311). */
+  def missingValueCounts(missing: DataFrame, dimColumns: Seq[String]): Map[String, Long] =
+    dimColumns.map(c => c -> missing.select(c).distinct().count()).toMap
+
+  /** Values in `df1[c1]` with no counterpart in `df2[c2]` and vice versa
+    * (ref intersect/except reconciliation in the two-table handler). */
+  def idMismatches(df1: DataFrame, c1: String, df2: DataFrame, c2: String): (DataFrame, DataFrame) = {
+    val a = df1.select(col(c1)).distinct()
+    val b = df2.select(col(c2)).distinct()
+    (a.join(b, a(c1) === b(c2), "left_anti"), b.join(a, b(c2) === a(c1), "left_anti"))
+  }
+}

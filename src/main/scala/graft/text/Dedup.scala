@@ -34,16 +34,44 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** MinHash signature of the word-shingle set: k independent hash
-    * functions simulated as xxhash64(seed_i ++ shingle); each signature
-    * component is the min over shingles. Pure column expressions — computed
-    * map-side during the scan. */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val shingles = array_distinct(wordShingles(text, shingleSize))
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(concat(lit(s"graft$i:"), s))))
+  /** The modulus for multiply-shift minhash: 2^31-1 (Mersenne prime). All
+    * products stay < 2^62, so the arithmetic is safe under Spark 4's default
+    * ANSI overflow checking. */
+  private val MinhashModulus = 2147483647L
+
+  /** Deterministic universal-hash coefficients (a_i, b_i), a_i != 0 mod p. */
+  private def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(numHashes)((1L + rng.nextLong().abs % (MinhashModulus - 1), rng.nextLong().abs % MinhashModulus))
+  }
+
+  /** MinHash signatures as one column per hash function (`h0..h{k-1}`),
+    * computed by exploding the shingle set and running k codegen'd `min`
+    * aggregates over universal hashes `(a_i * xxhash64(shingle) + b_i) mod p`.
+    *
+    * Scale design: one real hash per shingle, k multiply-adds derived from
+    * it; the explode→groupBy pipeline stays in whole-stage codegen with
+    * map-side partial mins, so the shuffle carries only (id, k longs) per
+    * document. (A fold with `aggregate`/`zip_with` higher-order functions is
+    * interpreted, not codegen'd, and allocates two boxed k-arrays per
+    * shingle — measured 8× slower at sf0.1.) */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      shingleSize: Int = 3): DataFrame = {
+    val m = lit(MinhashModulus)
+    val exploded = df
+      .withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
+      .select(
+        col(idCol),
+        explode(array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize))).as("__graft_sh"))
+      .withColumn("__graft_h", pmod(xxhash64(col("__graft_sh")), m))
+    val aggs = minhashCoefs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("__graft_h") + lit(b), m)).as(s"h$i")
     }
-    array(sigs: _*)
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
@@ -56,14 +84,12 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       shingleSize: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val withSig = df.select(
-      col(idCol),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, bands * rowsPerBand, shingleSize)
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(to_json(struct(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))).as("bucket"))
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), hash(hs: _*).cast("long").as("bucket"))
     }
-    withSig
+    sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
@@ -88,7 +114,10 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol), array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val sh = docs
+      .withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
+      .select(col(idCol), array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize)).as("sh"))
+      .cache()
     val j = pairs
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -107,7 +136,12 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    // Both the band self-join and the two-sided verify join would recompute
+    // their expensive upstream expressions (signatures / shingle arrays) once
+    // per join side; persist the small intermediates so signatures are
+    // computed exactly once per document. At cluster scale swap cache() for a
+    // scratch-parquet checkpoint (Writers.persistIntermediate).
+    val buckets = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize).cache()
     val pairs = candidatePairs(buckets, idCol)
     verifyJaccard(df, pairs, idCol, textCol, shingleSize, threshold)
   }
@@ -139,7 +173,7 @@ object Dedup {
     * (maxDistance+1) blocks; any pair within distance d must share at least
     * one block exactly — bucket on each block, verify distance in-bucket. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String, maxDistance: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+    val sig = simhash(df, idCol, textCol).cache() // self-joined below: compute once
     val blocks = maxDistance + 1
     val width = 64 / blocks
     val blockCols = (0 until blocks).map { b =>

@@ -21,22 +21,36 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
 
-  /** Character-level n-gram shingles of the normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normalize(text)
+  /** Character-level n-gram shingles from an ALREADY-MATERIALIZED normalized
+    * text column (same HOF-lambda CSE caveat as `wordShinglesFromTokens`). */
+  def charShinglesFromNormalized(norm: Column, n: Int): Column = {
     // slide a window: sequence(0, len-n) -> substr
     val len = length(norm)
     when(len < n, array(norm)).otherwise(
       transform(sequence(lit(0), len - lit(n)), i => norm.substr(i + 1, lit(n))))
   }
 
-  /** Word-level n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalize(text))
+  /** Character-level n-gram shingles of the normalized text (convenience;
+    * materialize `normalize(text)` first in hot paths). */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesFromNormalized(normalize(text), n)
+
+  /** Word-level n-gram shingles from an ALREADY-MATERIALIZED token-array
+    * column. Catalyst does not common-subexpression-eliminate inside
+    * higher-order-function lambdas: if `toks` were the full
+    * tokens(normalize(text)) expression it would re-run both regexes once
+    * per shingle position (measured 10× the whole minhash pipeline cost at
+    * sf0.1). Callers in hot paths must `withColumn` the tokens first. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks)
     when(cnt <= n, array(array_join(toks, " "))).otherwise(
       transform(sequence(lit(0), cnt - lit(n)), i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+
+  /** Word-level n-gram shingles straight from text — convenience for small
+    * data / tests; see `wordShinglesFromTokens` for the hot-path form. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(normalize(text)), n)
 
   /** Lowercase, collapse whitespace, strip non-alphanumerics — the usual
     * dedup normalization. */

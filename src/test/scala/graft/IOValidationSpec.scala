@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.FileSchema
+import graft.operators.Validation
+import graft.sources.{Readers, Writers}
+
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-io-spec").toString
+
+  test("csv round-trip with declared schema, renames and ignores") {
+    val dir = tmpDir() + "/t.csv"
+    val df = Seq(("a", 1.0, "junk"), ("b", 2.0, "junk")).toDF("geo", "value", "extra")
+    Writers.csv(df, dir, singleFile = true)
+    val fs = FileSchema(
+      columns = Seq("geo" -> "STRING", "value" -> "DOUBLE", "extra" -> "STRING"),
+      renames = Map("geo" -> "geography"),
+      ignoreColumns = Seq("extra"))
+    val back = Readers.read(spark, dir, Some(fs))
+    assert(back.columns.toSeq == Seq("geography", "value"))
+    assert(back.count() == 2)
+  }
+
+  test("json reader FAILFAST") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(dir, "a.json"), """{"k":1}
+{"k":2}
+""")
+    assert(Readers.read(spark, dir + "/a.json").count() == 2)
+  }
+
+  test("parquet auto-partition write keeps data intact") {
+    val dir = tmpDir() + "/p.parquet"
+    val df = spark.range(1000).toDF("id")
+    Writers.parquetAutoPartition(spark, df, dir)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("overwriteInPlace swaps via tmp and re-reads") {
+    val dir = tmpDir() + "/o.parquet"
+    spark.range(10).toDF("id").write.parquet(dir)
+    val doubled = spark.read.parquet(dir).withColumn("id", col("id") * 2)
+    val back = Writers.overwriteInPlace(spark, doubled, dir)
+    assert(back.agg(sum("id")).first().getLong(0) == 90)
+  }
+
+  test("registerDir exposes parquet tables as temp views") {
+    Readers.registerDir(spark, "/root/testdata/sf0.001")
+    assert(spark.table("region").count() == 5)
+    assert(spark.sql("SELECT COUNT(*) FROM nation").first().getLong(0) == 25)
+  }
+}
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null violations") {
+    val df = Seq(("a", Some(1.0)), ("b", None)).toDF("k", "v")
+    assert(Validation.nullViolations(df, Seq("v")).count() == 1)
+  }
+
+  test("unknown dimension values surface as anti-join") {
+    val df = Seq("c1", "c2", "cX").toDF("geography")
+    val records = Seq("c1", "c2").toDF("id")
+    val bad = Validation.unknownDimensionValues(df, "geography", records)
+    assert(bad.as[String].collect().toSeq == Seq("cX"))
+  }
+
+  test("completeness: missing associations minus expected-missing") {
+    val df = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1")).toDF("geography", "sector")
+    val recs = Map(
+      "geography" -> Seq("c1", "c2").toDF("id"),
+      "sector" -> Seq("s1", "s2").toDF("id"))
+    val missing = Validation.missingAssociations(df, Seq("geography", "sector"), recs)
+    assert(rows(missing) == Seq(Seq("c2", "s2")))
+    // now declare (c2, s2) expected-missing → complete
+    val em = Seq(("c2", "s2")).toDF("geography", "sector")
+    assert(Validation.missingAssociations(df, Seq("geography", "sector"), recs, Some(em)).isEmpty)
+    assert(Validation.missingValueCounts(missing, Seq("geography", "sector")) ==
+      Map("geography" -> 1L, "sector" -> 1L))
+  }
+
+  test("id mismatches both directions") {
+    val a = Seq(1, 2, 3).toDF("id")
+    val b = Seq(2, 3, 4).toDF("key")
+    val (onlyA, onlyB) = Validation.idMismatches(a, "id", b, "key")
+    assert(onlyA.as[Int].collect().toSeq == Seq(1))
+    assert(onlyB.as[Int].collect().toSeq == Seq(4))
+  }
+}
