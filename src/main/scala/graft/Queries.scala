@@ -986,6 +986,54 @@ object Queries {
     Some("""SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Full declarative pipeline (SURVEY §3): register a project (dataset +
+    * mapping + dimension records) into a filesystem registry, then run a
+    * ProjectQuery through the Submitter — mapping join, fraction collapse,
+    * filter, aggregation, ids→names, sort. */
+  val q44_project_query = Q(
+    "q44_project_query",
+    (s, dir) => {
+      import graft.query.Models._
+      import graft.registry.Registry
+      val root = java.nio.file.Files.createTempDirectory("graft-q44-registry").toString
+      val reg = Registry(s, root)
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      Registry.registerDataset(reg, "accounts",
+        c.select(
+          col("c_nationkey").cast("string").as("geography"),
+          col("c_mktsegment").as("sector"),
+          col("c_acctbal").as(ValueColumn)))
+      Registry.registerMapping(reg, "nation_to_region",
+        n.join(r, n("n_regionkey") === r("r_regionkey")).select(
+          col("n_nationkey").cast("string").as(FromIdColumn),
+          col("r_name").as(ToIdColumn),
+          lit(1.0).as(FromFractionColumn)))
+      Registry.registerDimension(reg, "sector",
+        c.select(col("c_mktsegment").as("id"), lower(col("c_mktsegment")).as("name")).distinct())
+      val q = ProjectQuery(
+        name = "regional_balances",
+        datasets = DatasetSection(Seq(
+          DatasetRef("accounts", Seq(DimensionMappingRef("geography", "nation_to_region"))))),
+        result = ResultSection(
+          filters = Seq(graft.operators.DimensionFilter.ColumnOperatorFilter(
+            "sector", "isin", Seq("BUILDING", "MACHINERY", "AUTOMOBILE"))),
+          aggregations = Seq(graft.query.Models.Aggregation(groupBy = Seq("geography", "sector"))),
+          idsToNames = Seq("sector"),
+          sortBy = Seq("geography", "sector")))
+      new graft.query.Submitter(reg)
+        .submit(q)
+        .select(col("geography"), col("sector"), round(col(ValueColumn), 2).as(ValueColumn))
+    },
+    Some("""SELECT r_name AS geography, LOWER(c_mktsegment) AS sector,
+            ROUND(SUM(c_acctbal), 2) AS value
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -995,5 +1043,5 @@ object Queries {
     q29_dedup_minhash, q30_lang, q31_dedup_simhash, q32_ann_ivf,
     q33_multimodal, q34_fingerprint, q35_index_time, q36_rep_period,
     q37_unpivot_nulls, q38_names, q39_count_distinct, q40_quality_features,
-    q41_spine, q42_annual_multiplier, q43_csv_roundtrip)
+    q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query)
 }

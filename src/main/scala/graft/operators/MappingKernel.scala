@@ -131,5 +131,6 @@ object MappingKernel {
     df.join(rec, df(dimColumn) === col("__graft_rec_id"), "inner")
       .drop(dimColumn, "__graft_rec_id")
       .withColumnRenamed("__graft_rec_name", dimColumn)
+      .select(df.columns.map(col): _*) // keep the caller's column order
   }
 }

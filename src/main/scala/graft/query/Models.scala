@@ -1,0 +1,79 @@
+package graft.query
+
+import graft.operators.DimensionFilter
+
+/** Declarative query models — the Scala case-class ADT mirroring the
+  * reference's pydantic models (ref: dsgrid/query/models.py:579-728
+  * ProjectQueryModel / DatasetQueryModel and nested sections). Discriminated
+  * unions become sealed traits; everything is data, the Submitter interprets.
+  */
+object Models {
+
+  /** How a dataset's dimension column maps onto the project dimension space:
+    * apply the named mapping tables in order (ref mapping plan,
+    * dsgrid/query/dataset_mapping_plan.py). */
+  final case class DimensionMappingRef(
+      dimension: String, // column name, e.g. "geography"
+      mappingName: String) // registry key of the mapping table
+
+  /** One source dataset inside a project query (ref
+    * StandaloneDatasetModel / projection datasets at models.py). */
+  final case class DatasetRef(
+      datasetId: String,
+      mappings: Seq[DimensionMappingRef] = Nil,
+      /** optional persist point after mapping (plan-cut — ref
+        * DatasetMappingPlan persist flags) */
+      persist: Boolean = false)
+
+  /** The dataset-combination section: dataset refs + an expression over
+    * their ids (`"a | b"`, `"(a - b) * c"`); default union of all. */
+  final case class DatasetSection(
+      datasets: Seq[DatasetRef],
+      expression: Option[String] = None)
+
+  /** A named aggregation: groupBy these dimension columns, apply `fn` (a
+    * whitelisted name) to the value column (ref AggregationModel,
+    * models.py:64-158). */
+  final case class Aggregation(
+      groupBy: Seq[String],
+      fn: String = "sum")
+
+  /** Result-shaping section (ref query_submitter postprocess). */
+  final case class ResultSection(
+      filters: Seq[DimensionFilter] = Nil,
+      aggregations: Seq[Aggregation] = Nil,
+      /** replace ids with record names for these dimensions */
+      idsToNames: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil,
+      /** pivot this dimension's records into columns on output */
+      pivotDimension: Option[String] = None,
+      /** convert the time column to this zone on output */
+      timeZone: Option[String] = None,
+      /** convert metric values to this unit on output */
+      toUnit: Option[String] = None)
+
+  /** A project query: map each dataset to the project dimension space,
+    * combine, post-process (ref ProjectQueryModel). */
+  final case class ProjectQuery(
+      name: String,
+      datasets: DatasetSection,
+      result: ResultSection = ResultSection())
+
+  /** A dataset query: one dataset mapped to target dimensions, no project
+    * combine semantics (ref DatasetQueryModel, §3.2). */
+  final case class DatasetQuery(
+      name: String,
+      dataset: DatasetRef,
+      result: ResultSection = ResultSection())
+
+  /** Deterministic canonical serialization for content-hash caching
+    * (ref: query_submitter.py:133-160 hashes canonical JSON; any stable
+    * serialization works — case-class toString is stable for this ADT). */
+  def canonical(q: ProjectQuery): String = q.toString
+  def canonical(q: DatasetQuery): String = q.toString
+
+  def contentHash(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+}

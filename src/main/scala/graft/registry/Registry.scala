@@ -1,0 +1,80 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Filesystem-convention registry — the minimal versioned store the engine
+  * needs to resolve dimensions, mappings and datasets (the reference keeps
+  * config in SQLite + data in parquet trees, dsgrid/registry; our layout
+  * is parquet-only, resolvable on any Hadoop-compatible filesystem so the
+  * same tree works on HDFS/S3 at cluster scale):
+  *
+  * {{{
+  * <root>/dimensions/<name>/records.parquet          (id, name[, time_zone, unit])
+  * <root>/mappings/<name>/table.parquet              (from_id, to_id, from_fraction)
+  * <root>/datasets/<id>/load_data.parquet            fact table
+  * <root>/datasets/<id>/load_data_lookup.parquet     optional two-table lookup
+  * }}}
+  *
+  * Versioning is by convention: a version is a subtree (e.g.
+  * `<root>/v1.0.0/...`); the registry object is cheap and stateless, so
+  * callers point one at the version root they want.
+  */
+final case class Registry(spark: SparkSession, root: String) {
+
+  private def path(parts: String*): String = (root +: parts).mkString("/")
+
+  def dimensionRecords(name: String): DataFrame =
+    spark.read.parquet(path("dimensions", name, "records.parquet"))
+
+  def mapping(name: String): DataFrame =
+    spark.read.parquet(path("mappings", name, "table.parquet"))
+
+  def loadData(datasetId: String): DataFrame =
+    spark.read.parquet(path("datasets", datasetId, "load_data.parquet"))
+
+  def lookup(datasetId: String): Option[DataFrame] = {
+    val p = path("datasets", datasetId, "load_data_lookup.parquet")
+    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+  }
+
+  /** The dataset's fact table with the two-table lookup join applied when a
+    * lookup exists (ref: dataset_schema_handler_two_table.py:110). */
+  def dataset(datasetId: String): DataFrame =
+    lookup(datasetId) match {
+      case Some(lk) => graft.operators.MappingKernel.joinLookup(loadData(datasetId), lk)
+      case None => loadData(datasetId)
+    }
+
+  def listDatasets(): Seq[String] = list("datasets")
+  def listDimensions(): Seq[String] = list("dimensions")
+  def listMappings(): Seq[String] = list("mappings")
+
+  private def list(kind: String): Seq[String] = {
+    val p = Paths.get(path(kind))
+    if (!Files.isDirectory(p)) Nil
+    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+  }
+}
+
+/** Writer side — registration. The reference validates before acceptance
+  * (registry/dataset_registry_manager.py); callers run
+  * graft.operators.Validation checks first, then persist. */
+object Registry {
+
+  def registerDimension(reg: Registry, name: String, records: DataFrame): Unit =
+    records.write.mode("overwrite").parquet(s"${reg.root}/dimensions/$name/records.parquet")
+
+  def registerMapping(reg: Registry, name: String, table: DataFrame): Unit =
+    table.write.mode("overwrite").parquet(s"${reg.root}/mappings/$name/table.parquet")
+
+  def registerDataset(
+      reg: Registry,
+      datasetId: String,
+      loadData: DataFrame,
+      lookup: Option[DataFrame] = None): Unit = {
+    loadData.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data.parquet")
+    lookup.foreach(_.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data_lookup.parquet"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.Constants._
+import graft.operators.DimensionFilter
+import graft.query.Models._
+import graft.query.Submitter
+import graft.registry.Registry
+
+class QuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A tiny project registry: 2 counties per state, 2 sectors, energy in
+    * MWh; a county→state aggregation mapping. */
+  private def buildRegistry(): Registry = {
+    val root = Files.createTempDirectory("graft-registry").toString
+    val reg = Registry(spark, root)
+    Registry.registerDimension(reg, "geography",
+      Seq(("c1", "County 1", "s1"), ("c2", "County 2", "s1"), ("c3", "County 3", "s2"), ("c4", "County 4", "s2"))
+        .toDF("id", "name", "state"))
+    Registry.registerDimension(reg, "metric",
+      Seq(("elec", "Electricity", "MWh"), ("gas", "Gas", "kWh")).toDF("id", "name", "unit"))
+    Registry.registerMapping(reg, "county_to_state",
+      Seq(("c1", "s1", 1.0), ("c2", "s1", 1.0), ("c3", "s2", 1.0), ("c4", "s2", 1.0))
+        .toDF(FromIdColumn, ToIdColumn, FromFractionColumn))
+    // dataset A: one-table, values per (county, sector, metric)
+    Registry.registerDataset(reg, "dsA",
+      Seq(
+        ("c1", "com", "elec", 1.0), ("c2", "com", "elec", 2.0),
+        ("c3", "com", "elec", 3.0), ("c4", "com", "elec", 4.0),
+        ("c1", "res", "elec", 10.0), ("c2", "res", "elec", 20.0),
+        ("c3", "res", "elec", 30.0), ("c4", "res", "elec", 40.0))
+        .toDF("geography", "sector", "metric", ValueColumn))
+    // dataset B: two-table layout; covers every (state, sector) combo after
+    // mapping so aligned arithmetic with dsA is well-defined
+    Registry.registerDataset(reg, "dsB",
+      Seq((1, 100.0), (2, 200.0), (3, 300.0), (4, 400.0)).toDF("id", ValueColumn),
+      lookup = Some(Seq(
+        (1, "c1", "com", "elec"), (2, "c2", "res", "elec"),
+        (3, "c3", "com", "elec"), (4, "c4", "res", "elec"))
+        .toDF("id", "geography", "sector", "metric")))
+    reg
+  }
+
+  test("project query end-to-end: map, combine, filter, aggregate, names, sort") {
+    val reg = buildRegistry()
+    val q = ProjectQuery(
+      name = "state_elec",
+      datasets = DatasetSection(
+        datasets = Seq(
+          DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))),
+          DatasetRef("dsB", Seq(DimensionMappingRef("geography", "county_to_state"))))),
+      result = ResultSection(
+        filters = Seq(DimensionFilter.ExpressionFilter("metric", "==", "elec")),
+        aggregations = Seq(Aggregation(groupBy = Seq("geography", "sector"))),
+        sortBy = Seq("geography", "sector")))
+    val out = new Submitter(reg).submit(q)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    // dsA: s1com=3, s1res=30, s2com=7, s2res=70
+    // dsB: s1com=100, s1res=200, s2com=300, s2res=400
+    assert(got == Seq(("s1", "com", 103.0), ("s1", "res", 230.0), ("s2", "com", 307.0), ("s2", "res", 470.0)))
+  }
+
+  test("dataset expression combine (a - b) and pivot output") {
+    val reg = buildRegistry()
+    val q = ProjectQuery(
+      name = "diff",
+      datasets = DatasetSection(
+        datasets = Seq(
+          DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))),
+          DatasetRef("dsB", Seq(DimensionMappingRef("geography", "county_to_state")))),
+        expression = Some("dsA - dsB")),
+      result = ResultSection(
+        aggregations = Seq(Aggregation(groupBy = Seq("geography"))),
+        sortBy = Seq("geography")))
+    // per-state: s1 = (3-100)+(30-200) = -267 ; s2 = (7-300)+(70-400) = -623
+    val out = new Submitter(reg).submit(q)
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("s1", -267.0), ("s2", -623.0)))
+  }
+
+  test("dataset query with unit conversion to kWh and ids->names") {
+    val reg = buildRegistry()
+    val q = DatasetQuery(
+      name = "dsA_kwh",
+      dataset = DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))),
+      result = ResultSection(
+        aggregations = Seq(Aggregation(groupBy = Seq("metric"))),
+        toUnit = Some("kWh"),
+        idsToNames = Seq("metric")))
+    val out = new Submitter(reg).submit(q)
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("Electricity", 110000.0))) // 110 MWh -> kWh
+  }
+
+  test("content-hash cache: second submit reads the cached parquet") {
+    val reg = buildRegistry()
+    val cacheDir = Files.createTempDirectory("graft-qcache").toString
+    val q = ProjectQuery(
+      name = "cached",
+      datasets = DatasetSection(Seq(DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))))),
+      result = ResultSection(aggregations = Seq(Aggregation(Seq("geography"))), sortBy = Seq("geography")))
+    val sub = new Submitter(reg, Some(cacheDir))
+    val first = rows(sub.submit(q))
+    val key = contentHash(canonical(q))
+    assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$key/table.parquet")))
+    assert(rows(sub.submit(q)) == first)
+  }
+}
