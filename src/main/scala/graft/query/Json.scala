@@ -1,0 +1,97 @@
+package graft.query
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+import graft.operators.DimensionFilter
+import Models._
+
+/** JSON codec for the query-model ADT — the reference's queries are JSON
+  * documents validated into pydantic models (ref: dsgrid/query/models.py
+  * discriminated unions; `filter_type` discriminator at models.py:35-45).
+  * Jackson ships on Spark's classpath; the tree API keeps this dependency-
+  * free and explicit about the accepted shape. */
+object Json {
+
+  private val mapper = new ObjectMapper()
+
+  def parseProjectQuery(json: String): ProjectQuery = {
+    val n = mapper.readTree(json)
+    ProjectQuery(
+      name = str(n, "name"),
+      datasets = datasetSection(n.get("datasets")),
+      result = Option(n.get("result")).map(resultSection).getOrElse(ResultSection()))
+  }
+
+  def parseDatasetQuery(json: String): DatasetQuery = {
+    val n = mapper.readTree(json)
+    DatasetQuery(
+      name = str(n, "name"),
+      dataset = datasetRef(n.get("dataset")),
+      result = Option(n.get("result")).map(resultSection).getOrElse(ResultSection()))
+  }
+
+  private def datasetSection(n: JsonNode): DatasetSection =
+    DatasetSection(
+      datasets = arr(n, "datasets").map(datasetRef),
+      expression = optStr(n, "expression"))
+
+  private def datasetRef(n: JsonNode): DatasetRef =
+    DatasetRef(
+      datasetId = str(n, "dataset_id"),
+      mappings = arr(n, "mappings").map(m =>
+        DimensionMappingRef(str(m, "dimension"), str(m, "mapping_name"))),
+      persist = Option(n.get("persist")).exists(_.asBoolean(false)))
+
+  private def resultSection(n: JsonNode): ResultSection =
+    ResultSection(
+      filters = arr(n, "filters").map(filter),
+      supplementalColumns = arr(n, "supplemental_columns").map(s =>
+        SupplementalColumn(str(s, "dimension"), str(s, "mapping_name"), str(s, "column_name"))),
+      aggregations = arr(n, "aggregations").map(a =>
+        Aggregation(
+          groupBy = arr(a, "group_by").map(_.asText()),
+          fn = optStr(a, "fn").getOrElse("sum"))),
+      idsToNames = arr(n, "ids_to_names").map(_.asText()),
+      sortBy = arr(n, "sort_by").map(_.asText()),
+      pivotDimension = optStr(n, "pivot_dimension"),
+      timeZone = optStr(n, "time_zone"),
+      toUnit = optStr(n, "to_unit"))
+
+  /** Discriminated on `filter_type`, mirroring the reference's union. */
+  private def filter(n: JsonNode): DimensionFilter = str(n, "filter_type") match {
+    case "expression" =>
+      DimensionFilter.ExpressionFilter(str(n, "column"), str(n, "operator"), value(n.get("value")))
+    case "raw" =>
+      DimensionFilter.RawFilter(str(n, "expression"))
+    case "column_operator" =>
+      DimensionFilter.ColumnOperatorFilter(
+        str(n, "column"),
+        str(n, "operator"),
+        arr(n, "values").map(value),
+        Option(n.get("negate")).exists(_.asBoolean(false)))
+    case "between" =>
+      DimensionFilter.BetweenFilter(
+        str(n, "column"), value(n.get("lower")), value(n.get("upper")),
+        Option(n.get("negate")).exists(_.asBoolean(false)))
+    case other => throw new IllegalArgumentException(s"unknown filter_type: $other")
+  }
+
+  private def value(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+
+  private def str(n: JsonNode, field: String): String = {
+    val v = n.get(field)
+    require(v != null && !v.isNull, s"missing required field: $field")
+    v.asText()
+  }
+
+  private def optStr(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.elements().asScala.toSeq).getOrElse(Nil)
+}

@@ -38,9 +38,21 @@ object Models {
       groupBy: Seq[String],
       fn: String = "sum")
 
+  /** Attach a supplemental-dimension column: map the base dimension's ids
+    * through a base-to-supplemental mapping and carry the supplemental id in
+    * a new column (ref supplemental-column add,
+    * dsgrid/dataset/table_format_handler_base.py:31-113). */
+  final case class SupplementalColumn(
+      dimension: String,
+      mappingName: String,
+      columnName: String)
+
   /** Result-shaping section (ref query_submitter postprocess). */
   final case class ResultSection(
       filters: Seq[DimensionFilter] = Nil,
+      /** supplemental columns are attached before aggregation so they can be
+        * grouped on */
+      supplementalColumns: Seq[SupplementalColumn] = Nil,
       aggregations: Seq[Aggregation] = Nil,
       /** replace ids with record names for these dimensions */
       idsToNames: Seq[String] = Nil,

@@ -55,6 +55,13 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
   /** Stage 6: result shaping. */
   def postProcess(df0: DataFrame, r: ResultSection): DataFrame = {
     var df = DimensionFilter.applyAll(df0, r.filters)
+    for (sc <- r.supplementalColumns) {
+      val m = broadcast(
+        registry.mapping(sc.mappingName)
+          .filter(col(ToIdColumn).isNotNull)
+          .select(col(FromIdColumn).as("__graft_supp_from"), col(ToIdColumn).as(sc.columnName)))
+      df = df.join(m, df(sc.dimension) === col("__graft_supp_from"), "left").drop("__graft_supp_from")
+    }
     for (agg <- r.aggregations)
       df = AggOps.aggregate(df, agg.groupBy, agg.fn)
     // unit conversion must run BEFORE ids→names: metric records are keyed
@@ -83,6 +90,18 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     cached(Models.contentHash(Models.canonical(q))) {
       postProcess(mapDataset(q.dataset), q.result)
     }
+
+  /** §3.3: run stages 4-5 of a project query and save the combined table as
+    * a composite dataset under the registry; later queries re-read it and
+    * apply only post-processing (ref: query_submitter.py:730-834). */
+  def createCompositeDataset(id: String, datasets: DatasetSection): Unit =
+    combine(datasets).write.mode("overwrite")
+      .parquet(s"${registry.root}/composite_datasets/$id/table.parquet")
+
+  def submitComposite(id: String, result: ResultSection): DataFrame =
+    postProcess(
+      spark.read.parquet(s"${registry.root}/composite_datasets/$id/table.parquet"),
+      result)
 
   private def cached(key: String)(build: => DataFrame): DataFrame = cacheDir match {
     case None => build

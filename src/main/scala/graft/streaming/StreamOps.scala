@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analogues of the batch operators, for the
+  * continuous-ingest side of a training-data pipeline (the reference is
+  * batch-only — SURVEY §2.12; this module is a beyond-parity extension
+  * built on `readStream → transform → writeStream`).
+  *
+  * Scale notes: every op here is incremental — watermarks bound state;
+  * windowed aggregation uses Spark's streaming state store (RocksDB-backed
+  * on clusters); dedup state is pruned at the watermark.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling/sliding-window aggregation of a value column. */
+  def windowedAggregate(
+      events: DataFrame,
+      timestampColumn: String,
+      windowDuration: String,
+      slideDuration: Option[String] = None,
+      watermark: String = "10 minutes",
+      groupColumns: Seq[String] = Nil,
+      aggName: String = "sum",
+      valueColumn: String = graft.core.Constants.ValueColumn): DataFrame = {
+    val fn = graft.operators.Aggregation.resolve(aggName)
+    val win = slideDuration match {
+      case Some(s) => window(col(timestampColumn), windowDuration, s)
+      case None => window(col(timestampColumn), windowDuration)
+    }
+    events
+      .withWatermark(timestampColumn, watermark)
+      .groupBy(win +: groupColumns.map(col): _*)
+      .agg(fn(col(valueColumn)).as(valueColumn))
+  }
+
+  /** Streaming exact dedup on key columns; state pruned at the watermark
+    * (late duplicates beyond it may pass — the standard trade). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyColumns: Seq[String],
+      timestampColumn: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(timestampColumn, watermark)
+      .dropDuplicatesWithinWatermark(keyColumns)
+
+  /** Streaming content-hash dedup of documents: fingerprint then dedup on
+    * the fingerprint — the streaming face of Dedup.exactDuplicateGroups. */
+  def dedupStreamByContent(
+      docs: DataFrame,
+      textColumn: String,
+      timestampColumn: String,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupWithinWatermark(
+      docs.withColumn("__graft_fp", graft.text.TextFunctions.fingerprint(col(textColumn))),
+      Seq("__graft_fp"),
+      timestampColumn,
+      watermark)
+      .drop("__graft_fp")
+
+  /** Per-key running peak via mapGroupsWithState — the streaming face of the
+    * peak-load report: emits the running max per key each trigger. */
+  def runningPeak[K: Encoder](
+      events: Dataset[(K, Double)]): Dataset[(K, Double)] = {
+    implicit val doubleEnc: Encoder[Double] = Encoders.scalaDouble
+    implicit val tupleEnc: Encoder[(K, Double)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaDouble)
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[Double, (K, Double)](GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Double)], state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(Double.NegativeInfinity)
+          val peak = rows.foldLeft(prev)((m, r) => math.max(m, r._2))
+          state.update(peak)
+          (key, peak)
+      }
+  }
+
+  /** Convenience writer: append stream to parquet with a checkpoint — the
+    * standard durable sink layout. */
+  def toParquet(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -94,6 +94,68 @@ class QuerySpec extends SparkSpec {
     assert(got == Seq(("Electricity", 110000.0))) // 110 MWh -> kWh
   }
 
+  test("supplemental column attaches without replacing the base dimension") {
+    val reg = buildRegistry()
+    val q = DatasetQuery(
+      name = "supp",
+      dataset = DatasetRef("dsA"),
+      result = ResultSection(
+        supplementalColumns = Seq(SupplementalColumn("geography", "county_to_state", "state")),
+        aggregations = Seq(Aggregation(groupBy = Seq("state", "sector"))),
+        sortBy = Seq("state", "sector")))
+    val out = new Submitter(reg).submit(q)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("s1", "com", 3.0), ("s1", "res", 30.0), ("s2", "com", 7.0), ("s2", "res", 70.0)))
+  }
+
+  test("composite dataset: create once, post-process many times") {
+    val reg = buildRegistry()
+    val sub = new Submitter(reg)
+    sub.createCompositeDataset("combo", DatasetSection(Seq(
+      DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))),
+      DatasetRef("dsB", Seq(DimensionMappingRef("geography", "county_to_state"))))))
+    val bySector = sub.submitComposite("combo",
+      ResultSection(aggregations = Seq(Aggregation(Seq("sector"))), sortBy = Seq("sector")))
+    val got = bySector.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("com", 410.0), ("res", 700.0)))
+    val byState = sub.submitComposite("combo",
+      ResultSection(aggregations = Seq(Aggregation(Seq("geography"))), sortBy = Seq("geography")))
+    assert(byState.collect().map(_.getDouble(1)).toSeq == Seq(333.0, 777.0))
+  }
+
+  test("peak-load report") {
+    val reg = buildRegistry()
+    val df = reg.dataset("dsA")
+    val peaks = graft.query.Reports.peakLoad(df, Seq("sector"), tieBreak = Seq("geography"))
+    val got = peaks.collect().map(r => (r.getAs[String]("sector"), r.getAs[Double](graft.core.Constants.ValueColumn))).toMap
+    assert(got == Map("com" -> 4.0, "res" -> 40.0))
+  }
+
+  test("JSON query document parses and runs") {
+    val reg = buildRegistry()
+    val json = """{
+      "name": "state_elec_json",
+      "datasets": {
+        "datasets": [
+          {"dataset_id": "dsA",
+           "mappings": [{"dimension": "geography", "mapping_name": "county_to_state"}]}
+        ]
+      },
+      "result": {
+        "filters": [
+          {"filter_type": "expression", "column": "metric", "operator": "==", "value": "elec"},
+          {"filter_type": "column_operator", "column": "sector", "operator": "isin", "values": ["com"]}
+        ],
+        "aggregations": [{"group_by": ["geography"], "fn": "sum"}],
+        "sort_by": ["geography"]
+      }
+    }"""
+    val q = graft.query.Json.parseProjectQuery(json)
+    val out = new Submitter(reg).submit(q)
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("s1", 3.0), ("s2", 7.0)))
+  }
+
   test("content-hash cache: second submit reads the cached parquet") {
     val reg = buildRegistry()
     val cacheDir = Files.createTempDirectory("graft-qcache").toString

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "user", "value")
+    val agg = StreamOps.windowedAggregate(
+      events, "ts", "1 hour", groupColumns = Seq("user"))
+    val q = agg.writeStream.format("memory").queryName("win_agg").outputMode("update").start()
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "a", 1.0),
+      (ts("2024-01-01 10:45:00"), "a", 2.0),
+      (ts("2024-01-01 11:05:00"), "a", 4.0),
+      (ts("2024-01-01 10:10:00"), "b", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("win_agg")
+      .select(col("user"), hour(col("window.start")).as("h"), col("value"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == Set(("a", 10, 3.0), ("a", 11, 4.0), ("b", 10, 8.0)))
+  }
+
+  test("streaming content dedup within watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamOps.dedupStreamByContent(docs, "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "Hello World"),
+      (ts("2024-01-01 10:01:00"), 2L, "hello,  world!"), // same normalized content
+      (ts("2024-01-01 10:02:00"), 3L, "different text"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 3L))
+  }
+
+  test("running peak per key with mapGroupsWithState") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val peaks = StreamOps.runningPeak(input.toDS())
+    val q = peaks.writeStream.format("memory").queryName("peaks").outputMode("update").start()
+    input.addData(("a", 1.0), ("a", 5.0), ("b", 2.0))
+    q.processAllAvailable()
+    input.addData(("a", 3.0), ("b", 7.0))
+    q.processAllAvailable()
+    val got = spark.table("peaks").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(got == Map("a" -> 5.0, "b" -> 7.0))
+  }
+}
