@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-reader init otherwise lands on
+    // whichever query runs first and distorts its number
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink forces full evaluation of every operator (a bare count()
     // lets Catalyst prune projection-only work and under-measures).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -40,10 +40,52 @@ object Readers {
     schema.map(applyFileSchema(df, _)).getOrElse(df)
   }
 
+  /** Read with invalid-file recovery: a corrupt/truncated part file fails
+    * the whole scan (lazily, mid-job); sweep the directory for files whose
+    * trailing magic isn't PAR1 and delete them before reading — 4 bytes of
+    * IO per file, local-FS scratch/cache dirs only, where files are
+    * reproducible (ref: dsgrid/utils/spark.py:173-277 deletes corrupt
+    * parquet and retries). */
+  def readWithRecovery(spark: SparkSession, path: String): DataFrame = {
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      Files.walk(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet") && isCorruptParquet(p))
+        .foreach(Files.delete)
+    }
+    parquet(spark, path)
+  }
+
+  private def isCorruptParquet(p: Path): Boolean = {
+    // valid parquet ends with the 4-byte magic "PAR1"
+    val size = Files.size(p)
+    if (size < 8) return true
+    val ch = Files.newByteChannel(p)
+    try {
+      ch.position(size - 4)
+      val buf = java.nio.ByteBuffer.allocate(4)
+      ch.read(buf)
+      !java.util.Arrays.equals(buf.array(), "PAR1".getBytes("US-ASCII"))
+    } finally ch.close()
+  }
+
   /** Apply FileSchema ignore-columns and rename-to-dimension mappings. */
   def applyFileSchema(df: DataFrame, fs: FileSchema): DataFrame = {
     val dropped = if (fs.ignoreColumns.nonEmpty) df.drop(fs.ignoreColumns: _*) else df
     fs.renames.foldLeft(dropped) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  /** Cross-product generator: map of column → id list to the DataFrame of
+    * their cartesian product. The reference stages this through partitioned
+    * CSV to dodge a Python-RPC bottleneck (dsgrid/utils/spark.py:736-819,
+    * comment :752-770); in-JVM a fold of broadcast crossJoins is exact and
+    * distributed — each list is tiny, the product is built on executors. */
+  def crossProduct(spark: SparkSession, ids: Seq[(String, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    require(ids.nonEmpty, "crossProduct needs at least one column")
+    ids.map { case (name, values) =>
+      spark.createDataFrame(values.map(Tuple1(_))).toDF(name)
+    }.reduce((a, b) => a.crossJoin(bc(b)))
   }
 
   /** Read a dir of per-table parquet files as named temp views, so callers
@@ -98,6 +140,13 @@ object Writers {
   def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val d = if (singleFile) df.coalesce(1) else df
     d.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** Warehouse sink: saveAsTable + read back (ref: dsgrid/utils/
+    * spark.py:675-733). On a cluster this is the metastore-backed handoff. */
+  def toTable(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    spark.table(table)
   }
 
   /** Spark can't overwrite an input path in place: write tmp, swap, re-read

@@ -228,6 +228,43 @@ object TimeAdjustments {
     df.filter(roundTrip === col(timestampColumn))
   }
 
+  /** Interval arithmetic: ts ± n units, unit a calendar word
+    * (ref: dsgrid/spark/functions.py:326-350). */
+  def addInterval(ts: Column, n: Long, unit: String): Column = {
+    require(Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH", "YEAR").contains(unit.toUpperCase),
+      s"unsupported interval unit: $unit")
+    ts + expr(s"INTERVAL $n ${unit.toUpperCase}")
+  }
+
+  /** Fall-back alternative to duplication: fill the repeated hour by linear
+    * interpolation between the surrounding values — used for INDEX time where
+    * the duplicated local hour would double-count energy
+    * (ref interpolate option: dsgrid/dimension/time.py:143-187). The
+    * duplicated row's value becomes mean(prev, next) via a window over the
+    * per-key series. */
+  def interpolateFallBackHour(
+      df: DataFrame,
+      timestampColumn: String,
+      tzColumn: String,
+      valueColumn: String,
+      keyColumns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val utc = to_utc_timestamp(col(timestampColumn), col(tzColumn))
+    val backLocal = from_utc_timestamp(utc + expr("INTERVAL 1 HOUR"), col(tzColumn))
+    val ambiguous = backLocal === col(timestampColumn)
+    val w = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(timestampColumn))
+    val interpolated = df
+      .withColumn(
+        valueColumn,
+        when(
+          ambiguous,
+          coalesce(
+            (lag(col(valueColumn), 1).over(w) + lead(col(valueColumn), 1).over(w)) / 2.0,
+            col(valueColumn)))
+          .otherwise(col(valueColumn)))
+    interpolated.unionByName(interpolated.filter(ambiguous))
+  }
+
   def duplicateFallBackHour(df: DataFrame, timestampColumn: String, tzColumn: String): DataFrame = {
     // A local stamp is ambiguous iff adding 1h of real time to its (earlier-
     // offset) UTC instant lands back on the SAME local clock reading. This

@@ -48,6 +48,33 @@ class IOSpec extends SparkSpec {
     assert(back.agg(sum("id")).first().getLong(0) == 90)
   }
 
+  test("crossProduct builds the cartesian product of id lists") {
+    val out = Readers.crossProduct(spark, Seq(
+      "geography" -> Seq("c1", "c2"),
+      "sector" -> Seq("com", "res"),
+      "scenario" -> Seq("base")))
+    assert(out.count() == 4)
+    assert(out.columns.toSeq == Seq("geography", "sector", "scenario"))
+  }
+
+  test("readWithRecovery deletes corrupt parquet files and retries") {
+    val dir = tmpDir() + "/r.parquet"
+    spark.range(100).toDF("id").write.parquet(dir)
+    // plant a corrupt file
+    val bad = java.nio.file.Paths.get(dir, "part-corrupt.parquet")
+    Files.write(bad, Array.fill[Byte](64)(7))
+    val out = Readers.readWithRecovery(spark, dir)
+    assert(out.count() == 100)
+    assert(!Files.exists(bad))
+  }
+
+  test("warehouse sink saveAsTable round-trip") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val back = Writers.toTable(spark, df, "graft_test_table")
+    assert(back.count() == 2)
+    spark.sql("DROP TABLE graft_test_table")
+  }
+
   test("registerDir exposes parquet tables as temp views") {
     Readers.registerDir(spark, "/root/testdata/sf0.001")
     assert(spark.table("region").count() == 5)

@@ -91,6 +91,27 @@ class TimeEngineSpec extends SparkSpec {
     assert(TimeAdjustments.duplicateFallBackHour(df, "ts", "tz").count() == 5)
   }
 
+  test("interval arithmetic and fall-back interpolation") {
+    val df = Seq("2024-01-01 00:00:00").map(Timestamp.valueOf).toDF("ts")
+    val shifted = df.select(TimeAdjustments.addInterval(col("ts"), 90, "MINUTE").cast("string"))
+      .as[String].head()
+    assert(shifted == "2024-01-01 01:30:00")
+    intercept[IllegalArgumentException](TimeAdjustments.addInterval(col("ts"), 1, "FORTNIGHT"))
+
+    // fall-back 2024-11-03 01:30 NY is ambiguous; interpolation replaces its
+    // value with mean(prev, next) and emits it twice
+    val series = Seq(
+      ("g", "2024-11-03 00:30:00", 10.0),
+      ("g", "2024-11-03 01:30:00", 99.0),
+      ("g", "2024-11-03 02:30:00", 30.0))
+      .map { case (g, t, v) => (g, Timestamp.valueOf(t), v, "America/New_York") }
+      .toDF("g", "ts", "value", "tz")
+    val out = TimeAdjustments.interpolateFallBackHour(series, "ts", "tz", "value", Seq("g"))
+    assert(out.count() == 4)
+    val dupVals = out.filter(hour(col("ts")) === 1).select("value").as[Double].collect().toSeq
+    assert(dupVals == Seq(20.0, 20.0))
+  }
+
   test("time consistency checks") {
     val spine = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-01 02:00:00", 3600L)
     val good = spine.withColumn("g", lit("a")).withColumnRenamed("timestamp", "ts")
