@@ -133,24 +133,30 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val dim = 64 // testdata embedding dim; parameterize when schema varies
-    // deterministic pseudo-random hyperplanes: component = hash(seed,b,p,i) mapped to [-1,1]
+    // deterministic pseudo-random hyperplanes: component = hash(b,p,i) mapped
+    // to [-1,1]. Projections run as posexplode + codegen'd sum aggregates
+    // over literal weight arrays (HOF dot products per plane are interpreted
+    // and box per element — same lesson as Dedup.minhashSignatures).
     def plane(b: Int, p: Int): Seq[Double] =
       (0 until dim).map { i =>
         val h = scala.util.hashing.MurmurHash3.productHash((b, p, i))
         (h.toDouble / Int.MaxValue)
       }
+    val exploded = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("__graft_i", "__graft_x")))
+    val projAggs = for (b <- 0 until bands; p <- 0 until planesPerBand) yield {
+      val w = typedLit(plane(b, p))
+      sum(col("__graft_x") * element_at(w, col("__graft_i") + 1)).as(s"proj_${b}_$p")
+    }
+    val projections = exploded.groupBy(col(idCol)).agg(projAggs.head, projAggs.tail: _*)
     val sigCols = (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { p =>
-        val pl = plane(b, p)
-        val d = aggregate(
-          zip_with(col(vecCol), array(pl.map(lit): _*), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        when(col(s"proj_${b}_$p") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }
       struct(lit(b).as("band"), bits.reduce((a, c) => a.bitwiseOR(c)).as("bucket"))
     }
-    val buckets = df
-      .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("bb"))
+    val buckets = projections
+      .select(col(idCol), explode(array(sigCols: _*)).as("bb"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .cache() // self-joined below: compute the 32 hyperplane projections once per vector
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))

@@ -98,6 +98,11 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     combine(datasets).write.mode("overwrite")
       .parquet(s"${registry.root}/composite_datasets/$id/table.parquet")
 
+  /** Promote a query result to a registered derived dataset other queries
+    * can consume (ref: dsgrid/query/derived_dataset.py:35-180). */
+  def registerDerivedDataset(id: String, q: ProjectQuery): Unit =
+    graft.registry.Registry.registerDataset(registry, id, submit(q))
+
   def submitComposite(id: String, result: ResultSection): DataFrame =
     postProcess(
       spark.read.parquet(s"${registry.root}/composite_datasets/$id/table.parquet"),

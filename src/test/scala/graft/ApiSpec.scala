@@ -1,0 +1,56 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import graft.api.Api
+import graft.core.Constants._
+import graft.registry.Registry
+
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def buildRegistry(): Registry = {
+    val reg = Registry(spark, Files.createTempDirectory("graft-api-reg").toString)
+    Registry.registerDimension(reg, "geography", Seq(("c1", "C1"), ("c2", "C2")).toDF("id", "name"))
+    Registry.registerMapping(reg, "identity",
+      Seq(("c1", "c1", 1.0), ("c2", "c2", 1.0)).toDF(FromIdColumn, ToIdColumn, FromFractionColumn))
+    Registry.registerDataset(reg, "ds",
+      Seq(("c1", 1.0), ("c2", 2.0), ("c1", 3.0)).toDF("geography", ValueColumn))
+    reg
+  }
+
+  test("registry listing and project query over HTTP") {
+    val api = new Api(buildRegistry())
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): String =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+
+      assert(get("/registry/datasets") == """["ds"]""")
+      assert(get("/registry/dimensions") == """["geography"]""")
+
+      val queryDoc = """{
+        "name": "api_q",
+        "datasets": {"datasets": [{"dataset_id": "ds"}]},
+        "result": {"aggregations": [{"group_by": ["geography"]}], "sort_by": ["geography"]}
+      }"""
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project"))
+          .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body() == """[{"geography":"c1","value":4.0},{"geography":"c2","value":2.0}]""")
+
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"nope": 1}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("error"))
+    } finally api.stop()
+  }
+}

@@ -68,6 +68,18 @@ class MappingKernelSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("skew repartition hook preserves rows and spreads partitions") {
+    val skewed = spark.range(1000).toDF("id")
+      .withColumn("geography", lit("hot_key")) // everything on one key
+      .withColumn(ValueColumn, col("id").cast("double"))
+    val out = MappingKernel.repartitionAfterDisaggregation(skewed, 8, Seq("geography"))
+    assert(out.count() == 1000)
+    assert(out.rdd.getNumPartitions == 8)
+    // the salt must actually spread the hot key across partitions
+    val sizes = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.count(_ > 0) > 1)
+  }
+
   test("idsToNames replaces ids with record names") {
     val recs = Seq(("c1", "County 1"), ("c2", "County 2"), ("c3", "County 3")).toDF("id", "name")
     val out = MappingKernel.idsToNames(fact, "geography", recs)
