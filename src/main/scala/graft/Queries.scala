@@ -556,9 +556,10 @@ object Queries {
     "q25_quality",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(
+      d.withColumn("toks", TextFunctions.tokens(lower(col("text"))))
+        .select(
           col("doc_id").cast("long").as("doc_id"),
-          round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+          round(TextFunctions.stopwordRatioFromTokens(col("toks")), 4).as("stopword_ratio"))
         .orderBy("doc_id")
     },
     Some {
@@ -693,7 +694,8 @@ object Queries {
     "q30_lang",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(TextFunctions.languageId(col("text")).as("lang_pred"))
+      d.withColumn("toks", array_distinct(TextFunctions.tokens(lower(col("text")))))
+        .select(TextFunctions.languageIdFromTokens(col("toks")).as("lang_pred"))
         .groupBy("lang_pred")
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy("lang_pred")
@@ -917,10 +919,11 @@ object Queries {
     "q40_quality_features",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(
+      d.withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(
           col("doc_id").cast("long").as("doc_id"),
           round(TextFunctions.punctuationRatio(col("text")), 4).as("punct_ratio"),
-          round(TextFunctions.meanWordLength(col("text")), 4).as("mean_word_len"))
+          round(TextFunctions.meanWordLengthFromTokens(col("toks")), 4).as("mean_word_len"))
         .orderBy("doc_id")
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,

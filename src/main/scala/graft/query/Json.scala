@@ -41,7 +41,16 @@ object Json {
       datasetId = str(n, "dataset_id"),
       mappings = arr(n, "mappings").map(m =>
         DimensionMappingRef(str(m, "dimension"), str(m, "mapping_name"))),
-      persist = Option(n.get("persist")).exists(_.asBoolean(false)))
+      persist = Option(n.get("persist")).exists(_.asBoolean(false)),
+      growth = Option(n.get("growth")).filterNot(_.isNull).map(g =>
+        GrowthSpec(
+          datasetId = str(g, "dataset_id"),
+          mappings = arr(g, "mappings").map(m =>
+            DimensionMappingRef(str(m, "dimension"), str(m, "mapping_name"))),
+          joinColumns = arr(g, "join_columns").map(_.asText()),
+          modelYearColumn = optStr(g, "model_year_column").getOrElse("model_year"),
+          baseYear = Option(g.get("base_year")).map(_.asInt()).getOrElse(0),
+          kind = optStr(g, "kind").getOrElse("exponential"))))
 
   private def resultSection(n: JsonNode): ResultSection =
     ResultSection(

@@ -16,6 +16,19 @@ object Models {
       dimension: String, // column name, e.g. "geography"
       mappingName: String) // registry key of the mapping table
 
+  /** Growth-rate composition for a projection dataset: the growth dataset is
+    * mapped to project space like any other, then applied to the initial
+    * values — exponential `(1+r)^(year-base)` or plain multiplier
+    * (ref projection datasets: dsgrid/project.py:302-416,
+    * dsgrid/dataset/growth_rates.py). */
+  final case class GrowthSpec(
+      datasetId: String,
+      mappings: Seq[DimensionMappingRef] = Nil,
+      joinColumns: Seq[String],
+      modelYearColumn: String = "model_year",
+      baseYear: Int = 0,
+      kind: String = "exponential") // "exponential" | "multiplier"
+
   /** One source dataset inside a project query (ref
     * StandaloneDatasetModel / projection datasets at models.py). */
   final case class DatasetRef(
@@ -23,7 +36,10 @@ object Models {
       mappings: Seq[DimensionMappingRef] = Nil,
       /** optional persist point after mapping (plan-cut — ref
         * DatasetMappingPlan persist flags) */
-      persist: Boolean = false)
+      persist: Boolean = false,
+      /** present → this is a projection dataset: initial values grown by the
+        * referenced growth-rate dataset */
+      growth: Option[GrowthSpec] = None)
 
   /** The dataset-combination section: dataset refs + an expression over
     * their ids (`"a | b"`, `"(a - b) * c"`); default union of all. */

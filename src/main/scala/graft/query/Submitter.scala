@@ -32,11 +32,27 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
 
   private def spark: SparkSession = registry.spark
 
-  /** Stage 4: one dataset mapped onto the project dimension space. */
+  /** Stage 4: one dataset mapped onto the project dimension space;
+    * projection datasets then apply their growth-rate dataset. */
   def mapDataset(ref: DatasetRef): DataFrame = {
     val base = registry.dataset(ref.datasetId)
     val mappings = ref.mappings.map(m => m.dimension -> registry.mapping(m.mappingName))
-    val mapped = MappingKernel.applyScalingFactor(MappingKernel.mapAndApply(base, mappings))
+    val mappedBase = MappingKernel.applyScalingFactor(MappingKernel.mapAndApply(base, mappings))
+    val mapped = ref.growth match {
+      case None => mappedBase
+      case Some(g) =>
+        val growthRates = MappingKernel.mapAndApply(
+          registry.dataset(g.datasetId),
+          g.mappings.map(m => m.dimension -> registry.mapping(m.mappingName)))
+        g.kind match {
+          case "exponential" =>
+            graft.functions.Growth.applyExponentialGrowthRate(
+              mappedBase, growthRates, g.joinColumns, g.modelYearColumn, g.baseYear)
+          case "multiplier" =>
+            graft.functions.Growth.applyAnnualMultiplier(mappedBase, growthRates, g.joinColumns)
+          case other => throw new IllegalArgumentException(s"unknown growth kind: $other")
+        }
+    }
     if (ref.persist) {
       val dir = cacheDir.getOrElse(sys.props("java.io.tmpdir") + "/graft-cache")
       graft.sources.Writers.persistIntermediate(spark, mapped, dir, s"mapped_${ref.datasetId}")

@@ -64,11 +64,15 @@ object TextFunctions {
     "the", "and", "of", "to", "in", "a", "is", "that", "it", "for",
     "on", "with", "as", "was", "at", "by", "be", "this", "are", "or")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
-    val toks = tokens(lower(text))
+  /** From a materialized lowercase token array (hot-path form — the text
+    * variant inlines the tokenize pipeline into three subexpressions). */
+  def stopwordRatioFromTokens(toks: Column, stopwords: Seq[String] = englishStopwords): Column = {
     val hits = filter(toks, t => t.isin(stopwords: _*))
     when(size(toks) === 0, lit(0.0)).otherwise(size(hits).cast("double") / size(toks))
   }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    stopwordRatioFromTokens(tokens(lower(text)), stopwords)
 
   def punctuationRatio(text: Column): Column = {
     val n = length(text)
@@ -76,12 +80,12 @@ object TextFunctions {
       .otherwise((n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n)
   }
 
-  def meanWordLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanWordLengthFromTokens(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+
+  def meanWordLength(text: Column): Column = meanWordLengthFromTokens(tokens(text))
 
   /** Composite quality score in [0,1]: rewards mid-range length, low
     * punctuation density, presence of stopwords, sane mean word length. */
@@ -127,8 +131,9 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por", "con", "una"),
     "it" -> Seq("il", "di", "che", "la", "e", "per", "un", "non", "sono", "con"))
 
-  def languageId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column = {
-    val toks = array_distinct(tokens(lower(text)))
+  /** From a materialized distinct lowercase token array (hot-path form: the
+    * text variant inlines tokenization into every profile's intersect). */
+  def languageIdFromTokens(toks: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column = {
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       (lang, size(array_intersect(toks, array(words.map(lit): _*))))
     }
@@ -138,4 +143,7 @@ object TextFunctions {
         when(score > bestScore, score).otherwise(bestScore))
     }._1
   }
+
+  def languageId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column =
+    languageIdFromTokens(array_distinct(tokens(lower(text))), profiles)
 }

@@ -131,6 +131,31 @@ class QuerySpec extends SparkSpec {
     assert(got == Map("com" -> 4.0, "res" -> 40.0))
   }
 
+  test("projection dataset: initial values grown by a growth-rate dataset") {
+    val reg = buildRegistry()
+    // growth rates per (geography, model_year): 100%/yr in s1, 0%/yr in s2
+    Registry.registerDataset(reg, "rates",
+      Seq(("s1", "2022", 1.0), ("s2", "2022", 0.0)).toDF("geography", "model_year", ValueColumn))
+    Registry.registerDataset(reg, "initial",
+      Seq(("c1", "2022", 5.0), ("c3", "2022", 7.0)).toDF("geography", "model_year", ValueColumn))
+    val q = ProjectQuery(
+      name = "projected",
+      datasets = DatasetSection(Seq(
+        DatasetRef(
+          "initial",
+          Seq(DimensionMappingRef("geography", "county_to_state")),
+          growth = Some(GrowthSpec(
+            datasetId = "rates",
+            joinColumns = Seq("geography", "model_year"),
+            baseYear = 2020))))),
+      result = ResultSection(sortBy = Seq("geography")))
+    val out = new Submitter(reg).submit(q)
+    val got = out.select("geography", ValueColumn).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // s1: 5 * (1+1)^(2022-2020) = 20 ; s2: 7 * 1^2 = 7
+    assert(got == Seq(("s1", 20.0), ("s2", 7.0)))
+  }
+
   test("JSON query document parses and runs") {
     val reg = buildRegistry()
     val json = """{
