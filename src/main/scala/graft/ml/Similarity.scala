@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns — `zip_with` + `aggregate`
-    * higher-order functions, fully codegen'd, no UDF. */
+  /** Dot product of two float-array columns. Uses the native codegen
+    * expression (graft.plans.FloatVectorDot) when GraftExtensions is active
+    * in the session — the HOF spelling is interpreted and boxes per element,
+    * ~an order of magnitude slower in ANN scoring loops. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    if (nativeDotAvailable) call_function("fvec_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  private def nativeDotAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.get("spark.sql.extensions", "").contains("graft.plans.GraftExtensions"))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
