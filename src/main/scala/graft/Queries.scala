@@ -1037,6 +1037,27 @@ object Queries {
             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Two-table dataset layout (SURVEY §1.1/§2.3): load_data carries
+    * (id, value); the broadcast lookup join attaches the dimensions. */
+  val q45_two_table = Q(
+    "q45_two_table",
+    (s, dir) => {
+      val loadData = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("id"), col("l_extendedprice").as(ValueColumn))
+      val lookup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_nationkey").cast("string").as("geography"))
+      MappingKernel
+        .joinLookup(loadData, lookup)
+        .groupBy(col("geography"))
+        .agg(round(sum(col(ValueColumn)), 2).as("total"), count(lit(1)).cast("long").as("n"))
+        .select(col("geography").cast("long").as("geography"), col("total"), col("n"))
+        .orderBy("geography")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS geography,
+            ROUND(SUM(l_extendedprice), 2) AS total, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1046,5 +1067,6 @@ object Queries {
     q29_dedup_minhash, q30_lang, q31_dedup_simhash, q32_ann_ivf,
     q33_multimodal, q34_fingerprint, q35_index_time, q36_rep_period,
     q37_unpivot_nulls, q38_names, q39_count_distinct, q40_quality_features,
-    q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query)
+    q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query,
+    q45_two_table)
 }

@@ -43,6 +43,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(langs == Seq("en", "de", "und"))
   }
 
+  test("char shingles and bpe-ish token estimate") {
+    val df = Seq("abcd").toDF("text")
+    val cs = df.select(TextFunctions.charShingles(col("text"), 2)).as[Seq[String]].head()
+    assert(cs == Seq("ab", "bc", "cd"))
+    val short = Seq("ab").toDF("text")
+      .select(TextFunctions.charShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short == Seq("ab"))
+    val bpe = Seq("hello, world! it's 42").toDF("text")
+      .select(TextFunctions.bpeishTokenCount(col("text"))).as[Int].head()
+    // hello , world ! it ' s 42 → 8 word-piece-ish chunks
+    assert(bpe == 8)
+  }
+
   test("fingerprint is order-insensitive after normalize; rollingHash is order-sensitive") {
     val df = Seq(("a b c", "a b c"), ("a b c", "c b a")).toDF("t1", "t2")
     val fp = df.select(
