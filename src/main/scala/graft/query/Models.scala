@@ -81,11 +81,14 @@ object Models {
       toUnit: Option[String] = None)
 
   /** A project query: map each dataset to the project dimension space,
-    * combine, post-process (ref ProjectQueryModel). */
+    * combine, post-process (ref ProjectQueryModel). `sessionTimeZone` pins
+    * the session tz for the query's whole execution (the reference restarts
+    * the session with the project tz, query_submitter.py:697-714). */
   final case class ProjectQuery(
       name: String,
       datasets: DatasetSection,
-      result: ResultSection = ResultSection())
+      result: ResultSection = ResultSection(),
+      sessionTimeZone: Option[String] = None)
 
   /** A dataset query: one dataset mapped to target dimensions, no project
     * combine semantics (ref DatasetQueryModel, §3.2). */

@@ -33,8 +33,17 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
   private def spark: SparkSession = registry.spark
 
   /** Stage 4: one dataset mapped onto the project dimension space;
-    * projection datasets then apply their growth-rate dataset. */
-  def mapDataset(ref: DatasetRef): DataFrame = {
+    * projection datasets then apply their growth-rate dataset. With a
+    * `cacheDir`, the mapped result is content-hash cached per dataset —
+    * the reference's first cache level (cached_project_mapped_datasets,
+    * dsgrid/project.py:418-449); the combined query result is the second. */
+  def mapDataset(ref: DatasetRef): DataFrame = cacheDir match {
+    case Some(_) =>
+      cached("mapped_" + Models.contentHash(ref.toString))(mapDatasetUncached(ref))
+    case None => mapDatasetUncached(ref)
+  }
+
+  private def mapDatasetUncached(ref: DatasetRef): DataFrame = {
     val base = registry.dataset(ref.datasetId)
     val mappings = ref.mappings.map(m => m.dimension -> registry.mapping(m.mappingName))
     val mappedBase = MappingKernel.applyScalingFactor(MappingKernel.mapAndApply(base, mappings))
@@ -95,11 +104,23 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     df
   }
 
-  /** Full project query; content-hash cached when `cacheDir` is set. */
-  def submit(q: ProjectQuery): DataFrame =
-    cached(Models.contentHash(Models.canonical(q))) {
+  /** Full project query; content-hash cached when `cacheDir` is set; the
+    * session tz is pinned for the duration when the query requests one. */
+  def submit(q: ProjectQuery): DataFrame = {
+    def run() = cached(Models.contentHash(Models.canonical(q))) {
       postProcess(combine(q.datasets), q.result)
     }
+    q.sessionTimeZone match {
+      case Some(tz) =>
+        graft.core.GraftSession.withSessionTimeZone(spark, tz) {
+          val df = run()
+          // plans are lazy — materialize inside the pinned-tz scope (the
+          // cached path already wrote parquet; otherwise cut the plan here)
+          if (cacheDir.isDefined) df else df.localCheckpoint()
+        }
+      case None => run()
+    }
+  }
 
   /** Dataset query (§3.2): one dataset, mapping + shaping, no combine. */
   def submit(q: DatasetQuery): DataFrame =
@@ -128,7 +149,7 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     case None => build
     case Some(dir) =>
       val path = s"$dir/cached_tables/$key/table.parquet"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      if (registry.hadoopExists(path)) // Hadoop FS API: works on HDFS/S3 too
         spark.read.parquet(path)
       else {
         val df = build

@@ -36,7 +36,14 @@ final case class Registry(spark: SparkSession, root: String) {
 
   def lookup(datasetId: String): Option[DataFrame] = {
     val p = path("datasets", datasetId, "load_data_lookup.parquet")
-    if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    if (hadoopExists(p)) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Existence via the Hadoop FS API so the registry tree works on
+    * HDFS/S3/local alike. */
+  def hadoopExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
   /** The dataset's fact table with the two-table lookup join applied when a

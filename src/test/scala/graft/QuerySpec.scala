@@ -193,5 +193,21 @@ class QuerySpec extends SparkSpec {
     val key = contentHash(canonical(q))
     assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$key/table.parquet")))
     assert(rows(sub.submit(q)) == first)
+    // first cache level: the per-dataset mapped table is cached too
+    val dsKey = "mapped_" + contentHash(q.datasets.datasets.head.toString)
+    assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$dsKey/table.parquet")))
+  }
+
+  test("sessionTimeZone pins the session tz during execution") {
+    val reg = buildRegistry()
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    val q = ProjectQuery(
+      name = "tz_pinned",
+      datasets = DatasetSection(Seq(DatasetRef("dsA"))),
+      result = ResultSection(aggregations = Seq(Aggregation(Seq("geography")))),
+      sessionTimeZone = Some("America/Denver"))
+    val out = new Submitter(reg).submit(q)
+    assert(out.count() == 4)
+    assert(spark.conf.get("spark.sql.session.timeZone") == before) // restored
   }
 }
