@@ -21,9 +21,10 @@ object DatasetExpr {
   final case class Ref(id: String) extends Expr
   final case class BinOp(op: Char, left: Expr, right: Expr) extends Expr
 
-  /** Grammar: expr := term (('+'|'-'|'|') term)* ; term := factor ('*' factor)* ;
-    * factor := ident | '(' expr ')'. `*` binds tighter, matching the vendored
-    * parser's precedence. */
+  /** Grammar (Python operator precedence, matching the reference's vendored
+    * infix evaluator where `|` binds loosest):
+    * expr := sum ('|' sum)* ; sum := term (('+'|'-') term)* ;
+    * term := factor ('*' factor)* ; factor := ident | '(' expr ')'. */
   def parse(input: String): Expr = {
     val tokens = tokenize(input)
     val (e, rest) = parseExpr(tokens)
@@ -49,8 +50,18 @@ object DatasetExpr {
   }
 
   private def parseExpr(tokens: List[String]): (Expr, List[String]) = {
+    var (left, rest) = parseSum(tokens)
+    while (rest.headOption.contains("|")) {
+      val (right, r2) = parseSum(rest.tail)
+      left = BinOp('|', left, right)
+      rest = r2
+    }
+    (left, rest)
+  }
+
+  private def parseSum(tokens: List[String]): (Expr, List[String]) = {
     var (left, rest) = parseTerm(tokens)
-    while (rest.headOption.exists(t => t == "+" || t == "-" || t == "|")) {
+    while (rest.headOption.exists(t => t == "+" || t == "-")) {
       val op = rest.head.head
       val (right, r2) = parseTerm(rest.tail)
       left = BinOp(op, left, right)

@@ -110,25 +110,34 @@ object Writers {
     df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists).parquet(path)
 
   /** Write parquet, then if the produced files are badly sized, rewrite with
-    * a partition count targeting ~128 MB files (min 36 partitions at scale —
-    * ref algorithm: dsgrid/utils/spark.py:530-630). Two-pass by design: file
-    * sizes are only knowable after the first write. */
+    * a partition count targeting ~`targetMb` files. Mirrors the reference's
+    * algorithm (dsgrid/utils/spark.py:530-630): skip entirely when the file
+    * count is already below `minNumPartitions` (coalescing further would
+    * reduce parallelism for downstream reads), skip when actual is within
+    * `rtolPct`% of desired, coalesce down / repartition up (optionally on
+    * columns) otherwise. Two-pass by design: sizes are only knowable after
+    * the first write. */
   def parquetAutoPartition(
       spark: SparkSession,
       df: DataFrame,
       path: String,
-      targetMb: Int = Constants.MaxPartitionSizeMb): Unit = {
+      targetMb: Int = Constants.MaxPartitionSizeMb,
+      rtolPct: Double = 50.0,
+      minNumPartitions: Int = Constants.MinWritePartitions,
+      columns: Seq[String] = Nil): Unit = {
     parquet(df, path)
     val files = listFiles(Paths.get(path), ".parquet")
-    if (files.isEmpty) return
+    if (files.isEmpty || files.length < minNumPartitions) return
     val totalBytes = files.map(f => Files.size(f)).sum
     val targetBytes = targetMb.toLong * 1024 * 1024
     val desired = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tolerated = files.length >= desired / 2 && files.length <= desired * 2
-    if (!tolerated) {
+    val actual = files.length
+    if (math.abs(actual - desired).toDouble / desired * 100 >= rtolPct) {
+      val base = spark.read.parquet(path)
       val rewritten =
-        if (desired < files.length) spark.read.parquet(path).coalesce(desired)
-        else spark.read.parquet(path).repartition(desired)
+        if (actual > desired) base.coalesce(desired)
+        else if (columns.nonEmpty) base.repartition(desired, columns.map(org.apache.spark.sql.functions.col): _*)
+        else base.repartition(desired)
       val tmp = path + ".graft-tmp"
       parquet(rewritten, tmp)
       deleteRecursively(Paths.get(path))

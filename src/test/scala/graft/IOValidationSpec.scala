@@ -40,6 +40,22 @@ class IOSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("auto-partition coalesces many tiny files, skips below the min-partition floor") {
+    // 40 tiny files ≥ the 36-partition floor → coalesced toward ~128MB files
+    val dir = tmpDir() + "/many.parquet"
+    Writers.parquetAutoPartition(spark, spark.range(10000).toDF("id").repartition(40), dir)
+    val n = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val parts = Iterator.continually(n).takeWhile(_.hasNext).map(_.next()).count(_.toString.endsWith(".parquet"))
+    assert(parts == 1) // desired = ceil(tiny/128MB) = 1
+    assert(spark.read.parquet(dir).count() == 10000)
+    // 8 files < 36 floor → left alone (coalescing would cut parallelism)
+    val dir2 = tmpDir() + "/few.parquet"
+    Writers.parquetAutoPartition(spark, spark.range(10000).toDF("id").repartition(8), dir2)
+    val m = java.nio.file.Files.list(java.nio.file.Paths.get(dir2)).iterator()
+    val parts2 = Iterator.continually(m).takeWhile(_.hasNext).map(_.next()).count(_.toString.endsWith(".parquet"))
+    assert(parts2 == 8)
+  }
+
   test("overwriteInPlace swaps via tmp and re-reads") {
     val dir = tmpDir() + "/o.parquet"
     spark.range(10).toDF("id").write.parquet(dir)

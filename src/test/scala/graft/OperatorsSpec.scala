@@ -108,6 +108,8 @@ class DatasetExprSpec extends SparkSpec {
     import DatasetExpr._
     assert(parse("a + b * c") == BinOp('+', Ref("a"), BinOp('*', Ref("b"), Ref("c"))))
     assert(parse("(a | b) - c") == BinOp('-', BinOp('|', Ref("a"), Ref("b")), Ref("c")))
+    // `|` binds loosest (Python precedence, like the reference's evaluator)
+    assert(parse("a | b + c") == BinOp('|', Ref("a"), BinOp('+', Ref("b"), Ref("c"))))
     intercept[IllegalArgumentException](parse("a +"))
   }
 
