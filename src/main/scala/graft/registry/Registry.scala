@@ -46,13 +46,40 @@ final case class Registry(spark: SparkSession, root: String) {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
-  /** The dataset's fact table with the two-table lookup join applied when a
-    * lookup exists (ref: dataset_schema_handler_two_table.py:110). */
-  def dataset(datasetId: String): DataFrame =
-    lookup(datasetId) match {
+  /** The dataset's fact table, normalized to the engine's stacked internal
+    * format: the two-table lookup join is applied when a lookup exists
+    * (ref: dataset_schema_handler_two_table.py:110), and PIVOTED-format
+    * datasets are unpivoted on load (internal processing is always stacked —
+    * ref: dsgrid/dataset/models.py ValueFormat; query_submitter.py:992-994). */
+  def dataset(datasetId: String): DataFrame = {
+    val joined = lookup(datasetId) match {
       case Some(lk) => graft.operators.MappingKernel.joinLookup(loadData(datasetId), lk)
       case None => loadData(datasetId)
     }
+    datasetFormat(datasetId) match {
+      case Some(f) if f.valueFormat == "pivoted" =>
+        graft.operators.Reshape.unpivot(
+          joined,
+          joined.columns.filterNot(f.pivotedColumns.contains).toSeq,
+          f.pivotedColumns,
+          f.variableColumn)
+      case _ => joined
+    }
+  }
+
+  /** Value-format metadata (a small JSON sidecar; absent → stacked). */
+  def datasetFormat(datasetId: String): Option[DatasetFormat] = {
+    val p = Paths.get(path("datasets", datasetId, "format.json"))
+    if (!Files.exists(p)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(Files.readString(p))
+      Some(DatasetFormat(
+        valueFormat = n.get("value_format").asText(),
+        pivotedColumns = Option(n.get("pivoted_columns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        variableColumn = Option(n.get("variable_column")).map(_.asText()).getOrElse("metric")))
+    }
+  }
 
   def listDatasets(): Seq[String] = list("datasets")
   def listDimensions(): Seq[String] = list("dimensions")
@@ -64,6 +91,13 @@ final case class Registry(spark: SparkSession, root: String) {
     else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
   }
 }
+
+/** PIVOTED-format declaration: one column per record of `variableColumn`'s
+  * dimension, unpivoted to stacked form on load. */
+final case class DatasetFormat(
+    valueFormat: String, // "stacked" | "pivoted"
+    pivotedColumns: Seq[String] = Nil,
+    variableColumn: String = "metric")
 
 /** Writer side — registration. The reference validates before acceptance
   * (registry/dataset_registry_manager.py); callers run
@@ -80,8 +114,17 @@ object Registry {
       reg: Registry,
       datasetId: String,
       loadData: DataFrame,
-      lookup: Option[DataFrame] = None): Unit = {
+      lookup: Option[DataFrame] = None,
+      format: Option[DatasetFormat] = None): Unit = {
     loadData.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data.parquet")
     lookup.foreach(_.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data_lookup.parquet"))
+    format.foreach { f =>
+      val cols = f.pivotedColumns.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+      val json =
+        s"""{"value_format": "${f.valueFormat}", "pivoted_columns": $cols, "variable_column": "${f.variableColumn}"}"""
+      val dir = Paths.get(s"${reg.root}/datasets/$datasetId")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("format.json"), json)
+    }
   }
 }

@@ -198,6 +198,20 @@ class QuerySpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$dsKey/table.parquet")))
   }
 
+  test("pivoted-format dataset is unpivoted to stacked form on load") {
+    val reg = buildRegistry()
+    // wide table: one column per metric record
+    Registry.registerDataset(reg, "wide",
+      Seq(("c1", 1.0, 10.0), ("c2", 2.0, 20.0)).toDF("geography", "elec", "gas"),
+      format = Some(graft.registry.DatasetFormat("pivoted", Seq("elec", "gas"), "metric")))
+    val stacked = reg.dataset("wide")
+    assert(stacked.columns.toSet == Set("geography", "metric", ValueColumn))
+    assert(stacked.count() == 4)
+    val got = stacked.filter($"metric" === "gas").orderBy("geography")
+      .select(ValueColumn).as[Double].collect().toSeq
+    assert(got == Seq(10.0, 20.0))
+  }
+
   test("sessionTimeZone pins the session tz during execution") {
     val reg = buildRegistry()
     val before = spark.conf.get("spark.sql.session.timeZone")
