@@ -1058,6 +1058,24 @@ object Queries {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Interval resampling with measurement-type semantics (SURVEY §2.9 /
+    * chronify): events downsampled to daily buckets, TOTAL measurement. */
+  val q46_resample = Q(
+    "q46_resample",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.time.Resample
+        .downsample(e, "ts", 86400L, "total", Seq("event_type"))
+        .select(
+          unix_timestamp(col("ts")).as("epoch"),
+          col("event_type"),
+          round(col(ValueColumn), 2).as(ValueColumn))
+        .orderBy("epoch", "event_type")
+    },
+    Some("""SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS epoch, event_type,
+            ROUND(SUM(value), 2) AS value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1068,5 +1086,5 @@ object Queries {
     q33_multimodal, q34_fingerprint, q35_index_time, q36_rep_period,
     q37_unpivot_nulls, q38_names, q39_count_distinct, q40_quality_features,
     q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query,
-    q45_two_table)
+    q45_two_table, q46_resample)
 }

@@ -174,6 +174,83 @@ object RepresentativePeriodTime {
   }
 }
 
+/** Time-series resampling between interval resolutions, honoring the
+  * measurement type (ref: chronify semantics used by the reference's
+  * time-dimension mapping, dsgrid/dimension/time.py:95-140 MeasurementType —
+  * MEAN for rates like power, TOTAL for quantities like energy, MIN/MAX for
+  * extremes). */
+object Resample {
+
+  /** Downsample to a coarser interval: floor each timestamp to its target
+    * bucket and aggregate by measurement type (TOTAL sums; MEAN averages;
+    * MIN/MAX take extremes). One partial-agg-friendly groupBy. */
+  def downsample(
+      df: DataFrame,
+      timestampColumn: String,
+      targetIntervalSeconds: Long,
+      measurement: String,
+      keyColumns: Seq[String],
+      valueColumn: String = ValueColumn): DataFrame = {
+    val bucket = timestamp_seconds(
+      (unix_timestamp(col(timestampColumn)) / targetIntervalSeconds).cast("long") * targetIntervalSeconds)
+    val agg = measurement.toLowerCase match {
+      case "total" => sum(col(valueColumn))
+      case "mean" => avg(col(valueColumn))
+      case "min" => min(col(valueColumn))
+      case "max" => max(col(valueColumn))
+      case other => throw new IllegalArgumentException(s"unsupported measurement type: $other")
+    }
+    df.withColumn(timestampColumn, bucket)
+      .groupBy((timestampColumn +: keyColumns).map(col): _*)
+      .agg(agg.as(valueColumn))
+  }
+
+  /** Upsample to a finer interval: explode each row into its sub-steps.
+    * MEAN/MIN/MAX values carry over unchanged (a rate holds over the whole
+    * period); TOTAL divides by the step count so the sum is preserved. */
+  def upsample(
+      df: DataFrame,
+      timestampColumn: String,
+      sourceIntervalSeconds: Long,
+      targetIntervalSeconds: Long,
+      measurement: String,
+      valueColumn: String = ValueColumn): DataFrame = {
+    require(
+      sourceIntervalSeconds % targetIntervalSeconds == 0,
+      s"source interval $sourceIntervalSeconds not divisible by target $targetIntervalSeconds")
+    val steps = (sourceIntervalSeconds / targetIntervalSeconds).toInt
+    val offsets = sequence(lit(0L), lit((steps - 1).toLong))
+    val expanded = df
+      .withColumn("__graft_off", explode(offsets))
+      .withColumn(
+        timestampColumn,
+        timestamp_seconds(unix_timestamp(col(timestampColumn)) + col("__graft_off") * targetIntervalSeconds))
+      .drop("__graft_off")
+    measurement.toLowerCase match {
+      case "total" => expanded.withColumn(valueColumn, col(valueColumn) / steps)
+      case "mean" | "min" | "max" => expanded
+      case other => throw new IllegalArgumentException(s"unsupported measurement type: $other")
+    }
+  }
+
+  /** Wrap timestamps outside [rangeStart, rangeEnd) back into range by
+    * whole-range shifts — the reference's wrap_time_allowed semantics for
+    * weather-year alignment (ref: dsgrid time mapping wrap_time;
+    * chronify wrap-around). */
+  def wrapTime(
+      df: DataFrame,
+      timestampColumn: String,
+      rangeStart: String,
+      rangeEnd: String): DataFrame = {
+    val startS = unix_timestamp(to_timestamp(lit(rangeStart)))
+    val endS = unix_timestamp(to_timestamp(lit(rangeEnd)))
+    val span = endS - startS
+    val ts = unix_timestamp(col(timestampColumn))
+    val wrapped = startS + pmod(ts - startS, span)
+    df.withColumn(timestampColumn, timestamp_seconds(wrapped))
+  }
+}
+
 /** Time-zone conversion (ref: query_submitter.py:335-457 single-tz;
   * utils/dataset.py:83-120,382-405 per-geography). */
 object TimeZones {

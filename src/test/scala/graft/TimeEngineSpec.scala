@@ -112,6 +112,33 @@ class TimeEngineSpec extends SparkSpec {
     assert(dupVals == Seq(20.0, 20.0))
   }
 
+  test("resample: downsample by measurement type, upsample preserves totals, wrap-around") {
+    val hourly = Seq(
+      ("g", "2024-01-01 00:00:00", 1.0),
+      ("g", "2024-01-01 01:00:00", 3.0),
+      ("g", "2024-01-02 00:00:00", 10.0))
+      .map { case (g, t, v) => (g, Timestamp.valueOf(t), v) }.toDF("g", "ts", "value")
+    val dailyTotal = Resample.downsample(hourly, "ts", 86400L, "total", Seq("g"))
+      .orderBy("ts").select("value").as[Double].collect().toSeq
+    assert(dailyTotal == Seq(4.0, 10.0))
+    val dailyMax = Resample.downsample(hourly, "ts", 86400L, "max", Seq("g"))
+      .orderBy("ts").select("value").as[Double].collect().toSeq
+    assert(dailyMax == Seq(3.0, 10.0))
+
+    val daily = Seq(("g", Timestamp.valueOf("2024-01-01 00:00:00"), 24.0)).toDF("g", "ts", "value")
+    val up = Resample.upsample(daily, "ts", 86400L, 3600L, "total")
+    assert(up.count() == 24)
+    assert(up.agg(sum("value")).first().getDouble(0) == 24.0)
+    val upMean = Resample.upsample(daily, "ts", 86400L, 3600L, "mean")
+    assert(upMean.select("value").distinct().as[Double].head() == 24.0)
+
+    // wrap: a stamp one hour past the range end wraps to the range start hour
+    val over = Seq(Timestamp.valueOf("2025-01-01 01:00:00")).toDF("ts")
+    val wrapped = Resample.wrapTime(over, "ts", "2024-01-01 00:00:00", "2025-01-01 00:00:00")
+      .select(col("ts").cast("string")).as[String].head()
+    assert(wrapped == "2024-01-01 01:00:00")
+  }
+
   test("time consistency checks") {
     val spine = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-01 02:00:00", 3600L)
     val good = spine.withColumn("g", lit("a")).withColumnRenamed("timestamp", "ts")
