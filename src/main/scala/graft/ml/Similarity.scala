@@ -73,24 +73,22 @@ object Similarity {
       .drop("__graft_rn", "__graft_sim", centroidVecCol)
   }
 
-  /** Pick `numCentroids` deterministic "centroids" from the corpus itself
-    * (ids sorted, evenly strided) — a cheap stand-in for k-means that keeps
-    * the pipeline deterministic and testable; swap in MLlib KMeans offline
-    * for production cells. */
+  /** Pick `numCentroids` deterministic pseudo-random "centroids" from the
+    * corpus itself — a cheap stand-in for k-means that keeps the pipeline
+    * deterministic and testable; swap in MLlib KMeans offline for
+    * production cells. Selection = top-k by id-hash: `orderBy(hash).limit`
+    * compiles to TakeOrderedAndProject (per-partition top-k merged on the
+    * driver), so no single-partition global sort at corpus scale. */
   def sampleCentroids(
       corpus: DataFrame,
       numCentroids: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val w = Window.orderBy(col(idCol))
-    val n = corpus.count()
-    val stride = math.max(1L, n / numCentroids)
+      vecCol: String = "embedding"): DataFrame =
     corpus
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter((col("__graft_rn") - 1) % stride === 0)
+      .withColumn("__graft_h", xxhash64(col(idCol).cast("string")))
+      .orderBy(col("__graft_h"), col(idCol))
       .limit(numCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
-  }
 
   /** IVF ANN: corpus pre-assigned to cells; each query probes its
     * `probes` nearest cells and scans only those corpus partitions. Returns

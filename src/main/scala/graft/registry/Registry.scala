@@ -69,10 +69,16 @@ final case class Registry(spark: SparkSession, root: String) {
 
   /** Value-format metadata (a small JSON sidecar; absent → stacked). */
   def datasetFormat(datasetId: String): Option[DatasetFormat] = {
-    val p = Paths.get(path("datasets", datasetId, "format.json"))
-    if (!Files.exists(p)) None
+    val p = path("datasets", datasetId, "format.json")
+    if (!hadoopExists(p)) None
     else {
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(Files.readString(p))
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(hp)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
       Some(DatasetFormat(
         valueFormat = n.get("value_format").asText(),
         pivotedColumns = Option(n.get("pivoted_columns"))
@@ -86,9 +92,10 @@ final case class Registry(spark: SparkSession, root: String) {
   def listMappings(): Seq[String] = list("mappings")
 
   private def list(kind: String): Seq[String] = {
-    val p = Paths.get(path(kind))
-    if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    val hp = new org.apache.hadoop.fs.Path(path(kind))
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 }
 
@@ -122,9 +129,11 @@ object Registry {
       val cols = f.pivotedColumns.map(c => "\"" + c + "\"").mkString("[", ",", "]")
       val json =
         s"""{"value_format": "${f.valueFormat}", "pivoted_columns": $cols, "variable_column": "${f.variableColumn}"}"""
-      val dir = Paths.get(s"${reg.root}/datasets/$datasetId")
-      Files.createDirectories(dir)
-      Files.writeString(dir.resolve("format.json"), json)
+      val hp = new org.apache.hadoop.fs.Path(s"${reg.root}/datasets/$datasetId/format.json")
+      val fs = hp.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(hp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 }
