@@ -13,7 +13,15 @@ import Models._
   * free and explicit about the accepted shape. */
 object Json {
 
-  private val mapper = new ObjectMapper()
+  // Accept the JSON5 conveniences the reference's query files actually use
+  // (ref: .json5 query documents): // and /* */ comments, trailing commas.
+  // Full JSON5 (unquoted keys, single quotes) is not needed by the corpus.
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_COMMENTS)
+    m.enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_TRAILING_COMMA.mappedFeature())
+    m
+  }
 
   def parseProjectQuery(json: String): ProjectQuery = {
     val n = mapper.readTree(json)

@@ -179,6 +179,14 @@ class QuerySpec extends SparkSpec {
     val out = new Submitter(reg).submit(q)
     val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(got == Seq(("s1", 3.0), ("s2", 7.0)))
+
+    // JSON5-style comments and trailing commas are tolerated
+    val json5 = """{
+      // the query name
+      "name": "q5", /* block comment */
+      "datasets": {"datasets": [{"dataset_id": "dsA"},]},
+    }"""
+    assert(graft.query.Json.parseProjectQuery(json5).name == "q5")
   }
 
   test("content-hash cache: second submit reads the cached parquet") {
