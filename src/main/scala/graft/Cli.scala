@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.GraftSession
+import graft.query.{Json, Submitter}
+import graft.registry.Registry
+
+/** Command-line entry point mirroring the reference's CLI surface
+  * (ref: dsgrid/cli/query.py — `dsgrid query project run`, registry
+  * listing):
+  *
+  * {{{
+  * graft.Cli query project <registryRoot> <query.json> <outDir> [--csv] [--cache <dir>]
+  * graft.Cli registry list <registryRoot>
+  * }}}
+  *
+  * Query documents are the JSON(5-tolerant) form `query.Json` accepts; the
+  * result lands as parquet (auto-partitioned) or single-file CSV with the
+  * query document copied beside it, like the reference's sidecar. */
+object Cli {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "query" :: "project" :: registryRoot :: queryFile :: outDir :: rest =>
+      val spark = GraftSession.get()
+      val reg = Registry(spark, registryRoot)
+      val cacheDir = rest.dropWhile(_ != "--cache").drop(1).headOption
+      val queryText = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(queryFile)), "UTF-8")
+      val q = Json.parseProjectQuery(queryText)
+      val result = new Submitter(reg, cacheDir).submit(q)
+      if (rest.contains("--csv"))
+        graft.sources.Writers.csv(result, s"$outDir/${q.name}.csv", singleFile = true)
+      else
+        graft.sources.Writers.parquetAutoPartition(spark, result, s"$outDir/${q.name}.parquet")
+      // query sidecar, as the reference writes beside results
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/query.json"), queryText)
+      println(s"wrote $outDir/${q.name}")
+
+    case "registry" :: "list" :: registryRoot :: Nil =>
+      val reg = Registry(GraftSession.get(), registryRoot)
+      println("datasets:   " + reg.listDatasets().mkString(", "))
+      println("dimensions: " + reg.listDimensions().mkString(", "))
+      println("mappings:   " + reg.listMappings().mkString(", "))
+
+    case _ =>
+      System.err.println(
+        """usage:
+          |  graft.Cli query project <registryRoot> <query.json> <outDir> [--csv] [--cache <dir>]
+          |  graft.Cli registry list <registryRoot>""".stripMargin)
+      sys.exit(2)
+  }
+}
