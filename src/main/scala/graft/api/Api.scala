@@ -20,18 +20,32 @@ import graft.registry.Registry
   *   GET  /registry/mappings              → JSON list
   *   POST /query/project                  → run a ProjectQuery JSON document,
   *                                          respond rows as JSON (limit-capped)
+  *   POST /query/project/async            → submit, respond {"job_id": …}
+  *   GET  /jobs/<id>                      → {"status": …} or the result rows
+  *                                          (the reference submits queries
+  *                                          asynchronously via spark-submit,
+  *                                          app.py:104-422; here a JVM thread)
   */
 final class Api(registry: Registry, maxRows: Int = 10000) {
 
   private var server: HttpServer = _
   private lazy val submitter = new Submitter(registry)
 
+  private sealed trait JobState
+  private case object Running extends JobState
+  private final case class Done(resultJson: String) extends JobState
+  private final case class Failed(error: String) extends JobState
+  private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobState]()
+  private val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/registry/datasets", listHandler(() => registry.listDatasets()))
     server.createContext("/registry/dimensions", listHandler(() => registry.listDimensions()))
     server.createContext("/registry/mappings", listHandler(() => registry.listMappings()))
+    server.createContext("/query/project/async", asyncSubmitHandler())
     server.createContext("/query/project", queryHandler())
+    server.createContext("/jobs/", jobStatusHandler())
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -54,6 +68,32 @@ final class Api(registry: Registry, maxRows: Int = 10000) {
         case e: Exception =>
           respond(ex, 400, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
       }
+  }
+
+  private def asyncSubmitHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val id = s"job-${jobSeq.incrementAndGet()}"
+      jobs.put(id, Running)
+      val t = new Thread(() =>
+        try jobs.put(id, Done(toJsonRows(submitter.submit(Json.parseProjectQuery(body)))))
+        catch { case e: Exception => jobs.put(id, Failed(String.valueOf(e.getMessage))) })
+      t.setDaemon(true)
+      t.start()
+      respond(ex, 202, s"""{"job_id": ${quote(id)}}""")
+    }
+  }
+
+  private def jobStatusHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val id = ex.getRequestURI.getPath.stripPrefix("/jobs/")
+      jobs.get(id) match {
+        case null => respond(ex, 404, s"""{"error": "unknown job"}""")
+        case Running => respond(ex, 200, """{"status": "running"}""")
+        case Done(rows) => respond(ex, 200, rows)
+        case Failed(err) => respond(ex, 500, s"""{"error": ${quote(err)}}""")
+      }
+    }
   }
 
   /** Rows via Spark's own JSON encoder (handles types/escaping), capped. */

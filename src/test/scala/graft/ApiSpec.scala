@@ -45,6 +45,22 @@ class ApiSpec extends SparkSpec {
       assert(resp.statusCode() == 200)
       assert(resp.body() == """[{"geography":"c1","value":4.0},{"geography":"c2","value":2.0}]""")
 
+      // async submit → poll until done
+      val submitted = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project/async"))
+          .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(submitted.statusCode() == 202)
+      val jobId = submitted.body().split("\"")(3)
+      var polls = 0
+      var result = ""
+      while (result.isEmpty && polls < 100) {
+        val st = get(s"/jobs/$jobId")
+        if (!st.contains("running")) result = st else { Thread.sleep(200); polls += 1 }
+      }
+      assert(result == """[{"geography":"c1","value":4.0},{"geography":"c2","value":2.0}]""")
+      assert(get("/jobs/nope").contains("unknown job"))
+
       val bad = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project"))
           .POST(HttpRequest.BodyPublishers.ofString("""{"nope": 1}""")).build(),
