@@ -747,7 +747,7 @@ object Queries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val centroids = Similarity.sampleCentroids(emb, numCentroids = 8)
+      val centroids = Similarity.kmeansCentroids(emb, numCentroids = 8, iterations = 3)
       val cells = Similarity.assignToCentroids(emb, centroids)
       val queries = emb.filter(col("vec_id") < 5)
       Similarity
@@ -787,10 +787,14 @@ object Queries {
     "q34_fingerprint",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(
-          col("doc_id").cast("long").as("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("content_fp"),
-          TextFunctions.rollingHash(col("text")).as("rolling_fp"))
+      // fingerprint rides along as a group key so one explode+groupBy pass
+      // computes both hashes (rollingHashByDoc = the codegen'd form)
+      val base = d.select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("text"),
+        TextFunctions.fingerprint(col("text")).as("content_fp"))
+      TextFunctions
+        .rollingHashByDoc(base, Seq("doc_id", "content_fp"), "text", "rolling_fp")
         .orderBy("doc_id")
     },
     None)
@@ -1076,6 +1080,324 @@ object Queries {
             ROUND(SUM(value), 2) AS value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Per-dataset dimension filter, pushed below the mapping joins (SURVEY
+    * §2.2 pre-filter; ref ProjectQueryDatasetParamsModel.dimension_filters):
+    * the filter is expressed in project space (region names), translated
+    * back through the mapping to nation keys, and pruned before mapping. */
+  val q47_prefilter = Q(
+    "q47_prefilter",
+    (s, dir) => {
+      import graft.query.Models._
+      import graft.registry.Registry
+      val root = java.nio.file.Files.createTempDirectory("graft-q47-registry").toString
+      val reg = Registry(s, root)
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      Registry.registerDataset(reg, "accounts",
+        c.select(
+          col("c_nationkey").cast("string").as("geography"),
+          col("c_acctbal").as(ValueColumn)))
+      Registry.registerMapping(reg, "nation_to_region",
+        n.join(r, n("n_regionkey") === r("r_regionkey")).select(
+          col("n_nationkey").cast("string").as(FromIdColumn),
+          col("r_name").as(ToIdColumn),
+          lit(1.0).as(FromFractionColumn)))
+      Registry.registerDimension(reg, "geography",
+        r.select(col("r_name").as("id"), lower(col("r_name")).as("name")))
+      val q = ProjectQuery(
+        name = "filtered_regional",
+        datasets = DatasetSection(Seq(DatasetRef(
+          "accounts",
+          mappings = Seq(DimensionMappingRef("geography", "nation_to_region")),
+          filters = Seq(DimensionFilter.ColumnOperatorFilter(
+            "geography", "isin", Seq("EUROPE", "ASIA")))))),
+        result = ResultSection(
+          aggregations = Seq(graft.query.Models.Aggregation(groupBy = Seq("geography"))),
+          sortBy = Seq("geography")))
+      new graft.query.Submitter(reg)
+        .submit(q)
+        .select(col("geography"), round(col(ValueColumn), 2).as(ValueColumn))
+    },
+    Some("""SELECT r_name AS geography, ROUND(SUM(c_acctbal), 2) AS value
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('EUROPE', 'ASIA')
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** `time_zone: "geography"` + a peak-load report through the declarative
+    * result model (SURVEY §2.9/§2.11; ref models.py:530-535 +
+    * report_peak_load.py): per-geography local-time conversion driven by the
+    * geography dimension records, then the report picks each geography's
+    * peak row. January data → fixed offsets, so DuckDB can replay. */
+  val q48_geo_tz_report = Q(
+    "q48_geo_tz_report",
+    (s, dir) => {
+      import graft.query.Models._
+      import graft.registry.Registry
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-q48-registry").toString
+      val reg = Registry(s, root)
+      val e = t(s, dir, "events")
+      Registry.registerDataset(reg, "meter",
+        e.select(
+          concat(lit("g"), (col("user_id") % 3).cast("string")).as("geography"),
+          col("ts").as("timestamp"),
+          col("value").as(ValueColumn)))
+      Registry.registerDimension(reg, "geography",
+        Seq(
+          ("g0", "geo zero", "America/New_York"),
+          ("g1", "geo one", "America/Denver"),
+          ("g2", "geo two", "UTC")).toDF("id", "name", "time_zone"))
+      val q = ProjectQuery(
+        name = "geo_local_peaks",
+        datasets = DatasetSection(Seq(DatasetRef("meter"))),
+        result = ResultSection(
+          aggregations = Seq(graft.query.Models.Aggregation(groupBy = Seq("geography", "timestamp"))),
+          timeZone = Some("geography"),
+          reports = Seq(PeakLoadReport(groupBy = Seq("geography"), tieBreak = Seq("timestamp")))))
+      val (_, reports) = new graft.query.Submitter(reg).submitWithReports(q)
+      reports.head._2.select(
+          col("geography"),
+          unix_timestamp(col("timestamp")).as("local_epoch"),
+          round(col(ValueColumn), 2).as(ValueColumn))
+        .orderBy("geography")
+    },
+    Some("""WITH sums AS (
+              SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS geography, ts,
+                     SUM(value) AS value
+              FROM events GROUP BY 1, 2
+            ), conv AS (
+              -- FLOOR before the cast: Spark's unix_timestamp truncates
+              -- fractional seconds, DuckDB's CAST(double) rounds
+              SELECT geography,
+                     CAST(FLOOR(EPOCH(ts)) AS BIGINT) +
+                       CASE geography WHEN 'g0' THEN -5*3600
+                                      WHEN 'g1' THEN -7*3600 ELSE 0 END AS local_epoch,
+                     value
+              FROM sums
+            )
+            SELECT geography, local_epoch, ROUND(value, 2) AS value FROM conv
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY geography
+                                       ORDER BY value DESC, local_epoch) = 1
+            ORDER BY geography"""))
+
+  /** QueryContext-style column naming (SURVEY §2.2/§3; ref
+    * dataset_schema_handler_base.py:497-518): two datasets whose files
+    * disagree on the geography column name are renamed per-dataset into one
+    * project space and combined. */
+  val q49_column_renames = Q(
+    "q49_column_renames",
+    (s, dir) => {
+      import graft.query.Models._
+      import graft.registry.Registry
+      val root = java.nio.file.Files.createTempDirectory("graft-q49-registry").toString
+      val reg = Registry(s, root)
+      Registry.registerDataset(reg, "cust_bal",
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("string").as("nation_code"),
+          col("c_acctbal").as(ValueColumn)))
+      Registry.registerDataset(reg, "supp_bal",
+        t(s, dir, "supplier").select(
+          col("s_nationkey").cast("string").as("geo_id"),
+          col("s_acctbal").as(ValueColumn)))
+      val q = ProjectQuery(
+        name = "renamed_union",
+        datasets = DatasetSection(Seq(
+          DatasetRef("cust_bal", columnRenames = Seq("nation_code" -> "geography")),
+          DatasetRef("supp_bal", columnRenames = Seq("geo_id" -> "geography")))),
+        result = ResultSection(
+          aggregations = Seq(graft.query.Models.Aggregation(groupBy = Seq("geography")))))
+      new graft.query.Submitter(reg)
+        .submit(q)
+        .select(
+          col("geography").cast("long").as("geography"),
+          round(col(ValueColumn), 2).as(ValueColumn))
+        .orderBy("geography")
+    },
+    Some("""SELECT CAST(geography AS BIGINT) AS geography, ROUND(SUM(value), 2) AS value
+            FROM (
+              SELECT CAST(c_nationkey AS VARCHAR) AS geography, c_acctbal AS value FROM customer
+              UNION ALL
+              SELECT CAST(s_nationkey AS VARCHAR), s_acctbal FROM supplier
+            ) GROUP BY 1 ORDER BY 1"""))
+
+  /** Subset-dimension filter (SURVEY §2.2; ref dimension_filters.py:232-276):
+    * keep rows whose dimension value is in the union of record-id sets — a
+    * broadcast semi-join, the scalable form of a giant IN list. */
+  val q50_subset_filter = Q(
+    "q50_subset_filter",
+    (s, dir) => {
+      import graft.query.Models._
+      import graft.registry.Registry
+      val root = java.nio.file.Files.createTempDirectory("graft-q50-registry").toString
+      val reg = Registry(s, root)
+      Registry.registerDataset(reg, "accounts",
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("string").as("geography"),
+          col("c_acctbal").as(ValueColumn)))
+      val ids = t(s, dir, "nation")
+        .filter(col("n_nationkey") % 5 === 0)
+        .select(col("n_nationkey").cast("string").as("id"))
+      val q = DatasetQuery(
+        name = "subset_geo",
+        dataset = DatasetRef("accounts"),
+        result = ResultSection(
+          filters = Seq(DimensionFilter.SubsetFilter("geography", Seq(ids))),
+          aggregations = Seq(graft.query.Models.Aggregation(groupBy = Seq("geography")))))
+      new graft.query.Submitter(reg)
+        .submit(q)
+        .select(
+          col("geography").cast("long").as("geography"),
+          round(col(ValueColumn), 2).as(ValueColumn))
+        .orderBy("geography")
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS geography, ROUND(SUM(c_acctbal), 2) AS value
+            FROM customer WHERE c_nationkey % 5 = 0
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Supplemental-dimension filter (SURVEY §2.2; ref
+    * dimension_filters.py:279-308): keep base records that map to a
+    * supplemental dimension — semi-join against the mapping's from-side. */
+  val q51_supplemental_filter = Q(
+    "q51_supplemental_filter",
+    (s, dir) => {
+      import graft.query.Models._
+      import graft.registry.Registry
+      val root = java.nio.file.Files.createTempDirectory("graft-q51-registry").toString
+      val reg = Registry(s, root)
+      Registry.registerDataset(reg, "accounts",
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("string").as("geography"),
+          col("c_acctbal").as(ValueColumn)))
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      // base-to-supplemental mapping: nations in AMERICA map, others don't
+      val mapping = n.join(r, n("n_regionkey") === r("r_regionkey")).select(
+        col("n_nationkey").cast("string").as(FromIdColumn),
+        when(col("r_name") === "AMERICA", col("r_name")).as(ToIdColumn))
+      val q = DatasetQuery(
+        name = "supplemental_geo",
+        dataset = DatasetRef("accounts"),
+        result = ResultSection(
+          filters = Seq(DimensionFilter.SupplementalFilter("geography", mapping)),
+          aggregations = Seq(graft.query.Models.Aggregation(groupBy = Seq("geography")))))
+      new graft.query.Submitter(reg)
+        .submit(q)
+        .select(
+          col("geography").cast("long").as("geography"),
+          round(col(ValueColumn), 2).as(ValueColumn))
+        .orderBy("geography")
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS geography, ROUND(SUM(c_acctbal), 2) AS value
+            FROM customer
+            WHERE c_nationkey IN (
+              SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'AMERICA')
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** DST adjustments, all three modes (SURVEY §2.9; ref
+    * dimension/time.py:143-187): fall-back duplicate (original value kept on
+    * both? no — duplicate repeats the measured value), fall-back interpolate
+    * (the ADDED row carries mean(prev, next)), spring-forward drop (the
+    * nonexistent 02:30 local stamp is removed). Series built from the region
+    * table: hour rk of the DST date, value rk²·10. */
+  val q52_dst = Q(
+    "q52_dst",
+    (s, dir) => {
+      val base = t(s, dir, "region").select(col("r_regionkey").cast("int").as("rk"))
+      def series(start: String) = base.select(
+        lit("g").as("g"),
+        expr(s"timestampadd(HOUR, rk, TIMESTAMP'$start')").as("ts"),
+        (col("rk") * col("rk") * lit(10.0)).as("value"),
+        lit("America/New_York").as("tz"))
+      val fall = series("2024-11-03 00:30:00")
+      val spring = series("2024-03-10 00:30:00")
+      val dup = TimeAdjustments.duplicateFallBackHour(fall, "ts", "tz")
+        .withColumn("mode", lit("dup"))
+      val interp = TimeAdjustments
+        .interpolateFallBackHour(fall, "ts", "tz", "value", Seq("g"))
+        .withColumn("mode", lit("interp"))
+      val drop = TimeAdjustments.dropSpringForwardHour(spring, "ts", "tz")
+        .withColumn("mode", lit("spring"))
+      dup.unionByName(interp).unionByName(drop)
+        .select(
+          col("mode"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"))
+        .orderBy("mode", "ts", "value")
+    },
+    Some("""WITH base AS (
+              SELECT CAST(r_regionkey AS INT) AS rk,
+                     TIMESTAMP '2024-11-03 00:30:00' + to_hours(CAST(r_regionkey AS BIGINT)) AS fts,
+                     TIMESTAMP '2024-03-10 00:30:00' + to_hours(CAST(r_regionkey AS BIGINT)) AS sts,
+                     CAST(r_regionkey * r_regionkey * 10 AS DOUBLE) AS value
+              FROM region)
+            SELECT 'dup' AS mode, strftime(fts, '%Y-%m-%d %H:%M:%S') AS ts, value FROM base
+            UNION ALL SELECT 'dup', '2024-11-03 01:30:00', 10.0
+            UNION ALL SELECT 'interp', strftime(fts, '%Y-%m-%d %H:%M:%S'), value FROM base
+            UNION ALL SELECT 'interp', '2024-11-03 01:30:00', 20.0
+            UNION ALL SELECT 'spring', strftime(sts, '%Y-%m-%d %H:%M:%S'), value FROM base WHERE rk <> 2
+            ORDER BY mode, ts, value"""))
+
+  /** Single-zone time conversion (SURVEY §2.9; ref models.py:530-535):
+    * convert to one named zone's local clock, carry the tz column. January
+    * data → fixed -7 offset for DuckDB. */
+  val q53_single_tz = Q(
+    "q53_single_tz",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.time.TimeZones.toSingleZone(e, "ts", "America/Denver")
+        .groupBy(col(TimeZoneColumn), hour(col("ts")).cast("long").as("local_hour"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("local_hour")
+    },
+    Some("""SELECT 'America/Denver' AS time_zone,
+            CAST((EXTRACT(hour FROM ts) + 24 - 7) % 24 AS BIGINT) AS local_hour,
+            CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 2"""))
+
+  /** Auto-partitioned parquet sink round-trip (SURVEY §2.1; ref
+    * dsgrid/utils/spark.py:530-630): write with the 128MB-target resize
+    * algorithm (forced to engage via a 1MB target), re-read, aggregate. */
+  val q54_autopartition = Q(
+    "q54_autopartition",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val out = java.nio.file.Files.createTempDirectory("graft-q54").toString + "/li.parquet"
+      graft.sources.Writers.parquetAutoPartition(
+        s, li, out, targetMb = 1, minNumPartitions = 1)
+      s.read.parquet(out)
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem"""))
+
+  /** Warehouse/table sink round-trip (SURVEY §2.1; ref
+    * dsgrid/utils/spark.py:675-733): saveAsTable + read back via the
+    * catalog, then aggregate from the table. */
+  val q55_warehouse = Q(
+    "q55_warehouse",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val table = graft.sources.Writers.toTable(s, o, "graft_q55_orders")
+      table.groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1086,5 +1408,7 @@ object Queries {
     q33_multimodal, q34_fingerprint, q35_index_time, q36_rep_period,
     q37_unpivot_nulls, q38_names, q39_count_distinct, q40_quality_features,
     q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query,
-    q45_two_table, q46_resample)
+    q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
+    q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
+    q53_single_tz, q54_autopartition, q55_warehouse)
 }

@@ -26,17 +26,46 @@ import graft.registry.Registry
   *                                          asynchronously via spark-submit,
   *                                          app.py:104-422; here a JVM thread)
   */
-final class Api(registry: Registry, maxRows: Int = 10000) {
+final class Api(
+    registry: Registry,
+    maxRows: Int = 10000,
+    /** concurrent async query cap — further submissions queue (the
+      * reference's spark-submit-per-query model has the same bound via the
+      * cluster scheduler) */
+    maxConcurrentQueries: Int = 2,
+    /** completed/failed jobs are evicted this long after finishing, so a
+      * long-running server's job map cannot grow without bound */
+    completedJobTtlMillis: Long = 10 * 60 * 1000L,
+    maxCompletedJobs: Int = 256) {
 
   private var server: HttpServer = _
   private lazy val submitter = new Submitter(registry)
 
   private sealed trait JobState
   private case object Running extends JobState
-  private final case class Done(resultJson: String) extends JobState
-  private final case class Failed(error: String) extends JobState
+  private final case class Done(resultJson: String, finishedAt: Long) extends JobState
+  private final case class Failed(error: String, finishedAt: Long) extends JobState
   private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobState]()
   private val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    maxConcurrentQueries,
+    (r: Runnable) => { val t = new Thread(r, "graft-api-query"); t.setDaemon(true); t })
+
+  /** Drop finished jobs past their TTL; if still over the cap, drop the
+    * oldest finished ones. Running jobs are never evicted. */
+  private def evictFinished(): Unit = {
+    val now = System.currentTimeMillis()
+    val finished = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    jobs.forEach { (id, st) =>
+      st match {
+        case Done(_, at) => if (now - at > completedJobTtlMillis) jobs.remove(id) else finished += (id -> at)
+        case Failed(_, at) => if (now - at > completedJobTtlMillis) jobs.remove(id) else finished += (id -> at)
+        case Running =>
+      }
+    }
+    if (finished.size > maxCompletedJobs)
+      finished.sortBy(_._2).dropRight(maxCompletedJobs).foreach { case (id, _) => jobs.remove(id) }
+  }
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -51,7 +80,10 @@ final class Api(registry: Registry, maxRows: Int = 10000) {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    pool.shutdownNow()
+  }
 
   private def listHandler(items: () => Seq[String]): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit =
@@ -74,12 +106,13 @@ final class Api(registry: Registry, maxRows: Int = 10000) {
     def handle(ex: HttpExchange): Unit = {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val id = s"job-${jobSeq.incrementAndGet()}"
+      evictFinished()
       jobs.put(id, Running)
-      val t = new Thread(() =>
-        try jobs.put(id, Done(toJsonRows(submitter.submit(Json.parseProjectQuery(body)))))
-        catch { case e: Exception => jobs.put(id, Failed(String.valueOf(e.getMessage))) })
-      t.setDaemon(true)
-      t.start()
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try jobs.put(id, Done(toJsonRows(submitter.submit(Json.parseProjectQuery(body))), System.currentTimeMillis()))
+          catch { case e: Exception => jobs.put(id, Failed(String.valueOf(e.getMessage), System.currentTimeMillis())) }
+      })
       respond(ex, 202, s"""{"job_id": ${quote(id)}}""")
     }
   }
@@ -90,8 +123,8 @@ final class Api(registry: Registry, maxRows: Int = 10000) {
       jobs.get(id) match {
         case null => respond(ex, 404, s"""{"error": "unknown job"}""")
         case Running => respond(ex, 200, """{"status": "running"}""")
-        case Done(rows) => respond(ex, 200, rows)
-        case Failed(err) => respond(ex, 500, s"""{"error": ${quote(err)}}""")
+        case Done(rows, _) => respond(ex, 200, rows)
+        case Failed(err, _) => respond(ex, 500, s"""{"error": ${quote(err)}}""")
       }
     }
   }

@@ -53,24 +53,81 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__graft_rn").as("rank"))
   }
 
-  /** Assign each vector to its nearest centroid (IVF cell). Centroids are a
-    * small DataFrame (centroid_id, centroid vector) — broadcast; assignment
-    * is a map-side argmin, no shuffle. */
+  /** Assign each vector to its nearest centroid (IVF cell) — a TRUE
+    * map-side argmax with zero shuffle: the centroid table is tiny by
+    * definition, so it is collected to the driver and unrolled into one
+    * `array_max(array(struct(sim_i, id_i)…))` projection (each sim_i is a
+    * codegen'd fvec_dot against a literal centroid, scaled by the centroid's
+    * precomputed norm — the vector's own norm is a common positive factor
+    * and cancels out of the argmax). N input rows → N output rows, no
+    * exchange; the earlier crossJoin+window spelling shuffled N×C rows,
+    * which is the scale-killer at 100 TB. Above `maxUnrolledCentroids` the
+    * generated code would outgrow codegen limits, so it falls back to a
+    * broadcast join + per-id `max_by` — one shuffle of N rows, never N×C.
+    * Exact similarity ties break toward the larger centroid id. */
   def assignToCentroids(
       df: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id",
-      centroidVecCol: String = "centroid"): DataFrame = {
-    val cents = broadcast(centroids.select(col(centroidIdCol), col(centroidVecCol)))
-    val scored = df.crossJoin(cents)
-      .withColumn("__graft_sim", cosine(col(vecCol), col(centroidVecCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("__graft_sim"), asc(centroidIdCol))
-    scored
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn", "__graft_sim", centroidVecCol)
+      centroidVecCol: String = "centroid",
+      maxUnrolledCentroids: Int = 256): DataFrame = {
+    val cents = centroids.select(col(centroidIdCol), col(centroidVecCol)).collect().map { r =>
+      val v = r.getSeq[Any](1).map { case n: Number => n.doubleValue }.toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (r.get(0), v, if (n == 0) 1.0 else n)
+    }
+    require(cents.nonEmpty, "assignToCentroids: empty centroid table")
+    if (cents.length <= maxUnrolledCentroids) {
+      val entries = cents.map { case (cid, v, n) =>
+        struct((dot(col(vecCol), typedLit(v)) / lit(n)).as("sim"), lit(cid).as("cid"))
+      }
+      df.withColumn(centroidIdCol, array_max(array(entries.toIndexedSeq: _*)).getField("cid"))
+    } else {
+      val bc = broadcast(centroids.select(
+        col(centroidIdCol).as("__graft_cid"),
+        col(centroidVecCol).as("__graft_cv"),
+        (lit(1.0) / sqrt(dot(col(centroidVecCol), col(centroidVecCol)))).as("__graft_cinv")))
+      val others = df.columns.filterNot(_ == idCol).toSeq
+      val scored = df.crossJoin(bc)
+        .withColumn("__graft_sim", dot(col(vecCol), col("__graft_cv")) * col("__graft_cinv"))
+      scored
+        .groupBy(col(idCol))
+        .agg(max_by(
+          struct(others.map(col) :+ col("__graft_cid").as(centroidIdCol): _*),
+          struct(col("__graft_sim"), col("__graft_cid"))).as("__graft_best"))
+        .select(col(idCol) +: (others :+ centroidIdCol).map(c => col(s"__graft_best.$c")): _*)
+    }
+  }
+
+  /** Lloyd-iteration k-means over the embedding column, expressed entirely
+    * as DataFrame ops: deterministic hash-sample init, then per iteration a
+    * zero-shuffle assignment (`assignToCentroids`) and an element-wise mean
+    * via posexplode + (cell, position) average — k×dim rows per iteration,
+    * never a driver-side vector loop. Cells that lose all members drop out
+    * (standard Lloyd behavior; rerun with larger k if cell count matters).
+    * Replaces the hash-sample stand-in as the IVF centroid source. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      numCentroids: Int,
+      iterations: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    var cents = sampleCentroids(corpus, numCentroids, idCol, vecCol)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    for (_ <- 0 until iterations) {
+      cents = assignToCentroids(vecs, cents, idCol, vecCol)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__graft_pos", "__graft_x")))
+        .groupBy(col("centroid_id"), col("__graft_pos"))
+        .agg(avg(col("__graft_x")).as("__graft_m"))
+        .groupBy(col("centroid_id"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("__graft_pos"), col("__graft_m")))),
+            s => s.getField("__graft_m").cast("float")).as("centroid"))
+    }
+    cents
   }
 
   /** Pick `numCentroids` deterministic pseudo-random "centroids" from the
@@ -136,8 +193,11 @@ object Similarity {
       planesPerBand: Int = 8,
       bands: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val dim = 64 // testdata embedding dim; parameterize when schema varies
+      vecCol: String = "embedding",
+      dimension: Option[Int] = None): DataFrame = {
+    // embedding dimensionality: pass it when known; otherwise inferred from
+    // the first row (one tiny driver action)
+    val dim = dimension.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
     // deterministic pseudo-random hyperplanes: component = hash(b,p,i) mapped
     // to [-1,1]. Projections run as posexplode + codegen'd sum aggregates
     // over literal weight arrays (HOF dot products per plane are interpreted

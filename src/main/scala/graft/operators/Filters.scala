@@ -97,6 +97,51 @@ object DimensionFilter {
 
   def applyAll(df: DataFrame, filters: Seq[DimensionFilter]): DataFrame =
     filters.foldLeft(df)((d, f) => f(d))
+
+  /** The dimension column a filter targets, when it names one (RawFilter is
+    * free-form text — no single column). Used by the semantic prefilter to
+    * decide which mapping chain to translate through. */
+  def targetColumn(f: DimensionFilter): Option[String] = f match {
+    case ExpressionFilter(c, _, _) => Some(c)
+    case ColumnOperatorFilter(c, _, _, _) => Some(c)
+    case BetweenFilter(c, _, _, _) => Some(c)
+    case SubsetFilter(c, _) => Some(c)
+    case SupplementalFilter(c, _) => Some(c)
+    case _ => None
+  }
+
+  /** Content-determined cache token. The data-free predicate forms are fully
+    * described by their case-class fields; the DataFrame-bearing forms
+    * (SubsetFilter/SupplementalFilter) must hash the *records*, not the
+    * frame's schema-only toString — two filters differing only in record
+    * contents would otherwise collide (ref hashes canonical JSON,
+    * query_submitter.py:133-160). Record sets are broadcast-small by design,
+    * so collecting ids at canonicalization time is bounded. */
+  def canonicalToken(f: DimensionFilter): String = f match {
+    case SubsetFilter(c, sets) =>
+      val ids = sets.flatMap(_.select(col("id")).collect().map(_.get(0).toString)).sorted
+      s"SubsetFilter($c,ids=${ids.mkString(",")})"
+    case SupplementalFilter(c, mapping) =>
+      val pairs = mapping
+        .select(col("from_id"), col("to_id"))
+        .collect()
+        .map(r => s"${r.get(0)}->${r.get(1)}")
+        .sorted
+      s"SupplementalFilter($c,map=${pairs.mkString(",")})"
+    case dataFree => dataFree.toString
+  }
+
+  /** A data-free stand-in carrying a canonical token — used only inside
+    * `Models.canonical` so the whole-query toString is content-determined. */
+  final case class CanonicalStandIn(token: String) extends DimensionFilter {
+    def apply(df: DataFrame): DataFrame = df
+  }
+
+  /** Replace DataFrame-bearing filters with content-hashed stand-ins. */
+  def canonicalize(f: DimensionFilter): DimensionFilter = f match {
+    case _: SubsetFilter | _: SupplementalFilter => CanonicalStandIn(canonicalToken(f))
+    case dataFree => dataFree
+  }
 }
 
 /** Pre-filtering: push record-id semi-joins below the mapping joins by
@@ -105,11 +150,28 @@ object DimensionFilter {
   * Catalyst cannot do on its own (ref: dataset_schema_handler_base.py:592-646).
   */
 object PreFilter {
-  def prefilterThroughMapping(df: DataFrame, dimColumn: String, mapping: DataFrame, targetIds: DataFrame): DataFrame = {
-    val fromIds = mapping
-      .join(broadcast(targetIds.select(col("id"))), mapping("to_id") === col("id"), "left_semi")
-      .select(col("from_id"))
-      .distinct()
-    df.join(broadcast(fromIds), df(dimColumn) === fromIds("from_id"), "left_semi")
+  def prefilterThroughMapping(df: DataFrame, dimColumn: String, mapping: DataFrame, targetIds: DataFrame): DataFrame =
+    prefilterThroughChain(df, dimColumn, Seq(mapping), targetIds)
+
+  /** Translate project-space record ids back to dataset-space ids through a
+    * mapping chain (dataset →m1→ … →mN→ project): walk the chain in reverse,
+    * semi-joining each mapping's to_id against the surviving id set
+    * (ref: dataset_schema_handler_base.py:592-625 _iter_dataset_record_ids).
+    * Every step is a broadcast semi-join over a tiny id set — no shuffle. */
+  def translateIdsThroughChain(targetIds: DataFrame, chain: Seq[DataFrame]): DataFrame =
+    chain.reverse.foldLeft(targetIds.select(col("id")).distinct()) { (ids, m) =>
+      m.join(broadcast(ids), m("to_id") === ids("id"), "left_semi")
+        .select(col("from_id").as("id"))
+        .distinct()
+    }
+
+  /** Prune a dataset by project-space ids before any mapping join runs. */
+  def prefilterThroughChain(
+      df: DataFrame,
+      dimColumn: String,
+      chain: Seq[DataFrame],
+      targetIds: DataFrame): DataFrame = {
+    val fromIds = translateIdsThroughChain(targetIds, chain)
+    df.join(broadcast(fromIds), df(dimColumn) === fromIds("id"), "left_semi")
   }
 }

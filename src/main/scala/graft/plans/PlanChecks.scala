@@ -51,4 +51,10 @@ object PlanChecks {
   /** True when at least one scan pushes a filter mentioning `column`. */
   def filterPushedFor(df: DataFrame, column: String): Boolean =
     pushedFilters(df).exists(_.contains(column))
+
+  /** Each parquet scan's "number of output rows" metric — call AFTER an
+    * action has run the plan. The semantic-prefilter contract asserts these
+    * shrink when a per-dataset filter prunes the fact scan. */
+  def scanOutputRowCounts(df: DataFrame): Seq[Long] =
+    flatten(df).collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
 }

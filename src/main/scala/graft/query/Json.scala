@@ -48,8 +48,18 @@ object Json {
     DatasetRef(
       datasetId = str(n, "dataset_id"),
       mappings = arr(n, "mappings").map(m =>
-        DimensionMappingRef(str(m, "dimension"), str(m, "mapping_name"))),
+        DimensionMappingRef(
+          str(m, "dimension"),
+          str(m, "mapping_name"),
+          persist = Option(m.get("persist")).exists(_.asBoolean(false)),
+          saltPartitions = Option(m.get("salt_partitions")).filterNot(_.isNull).map(_.asInt()))),
       persist = Option(n.get("persist")).exists(_.asBoolean(false)),
+      // pre-mapping dimension filters, expressed in project space (the
+      // JSON surface accepts the data-free forms; DataFrame-bearing
+      // subset/supplemental filters are programmatic-only)
+      filters = arr(n, "filters").map(filter),
+      columnRenames = Option(n.get("column_renames")).filterNot(_.isNull).toSeq
+        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue.asText())),
       growth = Option(n.get("growth")).filterNot(_.isNull).map(g =>
         GrowthSpec(
           datasetId = str(g, "dataset_id"),
@@ -72,8 +82,19 @@ object Json {
       idsToNames = arr(n, "ids_to_names").map(_.asText()),
       sortBy = arr(n, "sort_by").map(_.asText()),
       pivotDimension = optStr(n, "pivot_dimension"),
-      timeZone = optStr(n, "time_zone"),
-      toUnit = optStr(n, "to_unit"))
+      timeZone = optStr(n, "time_zone"), // a zone name, or the literal "geography"
+      toUnit = optStr(n, "to_unit"),
+      reports = arr(n, "reports").map(report))
+
+  /** Discriminated on `report_type` (ref ReportType, models.py:186-196). */
+  private def report(n: JsonNode): ReportSpec = str(n, "report_type") match {
+    case "peak_load" =>
+      PeakLoadReport(
+        groupBy = arr(n, "group_by").map(_.asText()),
+        keepTies = Option(n.get("keep_ties")).exists(_.asBoolean(false)),
+        tieBreak = arr(n, "tie_break").map(_.asText()))
+    case other => throw new IllegalArgumentException(s"unknown report_type: $other")
+  }
 
   /** Discriminated on `filter_type`, mirroring the reference's union. */
   private def filter(n: JsonNode): DimensionFilter = str(n, "filter_type") match {

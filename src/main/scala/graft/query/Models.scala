@@ -14,7 +14,14 @@ object Models {
     * dsgrid/query/dataset_mapping_plan.py). */
   final case class DimensionMappingRef(
       dimension: String, // column name, e.g. "geography"
-      mappingName: String) // registry key of the mapping table
+      mappingName: String, // registry key of the mapping table
+      /** persist the frame right after this mapping step (plan-cut — ref
+        * per-op persist flags, dsgrid/query/dataset_mapping_plan.py:64-143) */
+      persist: Boolean = false,
+      /** salted repartition after an explosive one-to-many disaggregation
+        * (ref per-op repartition, dataset_mapping_plan.py + the documented
+        * IEF skew incident) */
+      saltPartitions: Option[Int] = None)
 
   /** Growth-rate composition for a projection dataset: the growth dataset is
     * mapped to project space like any other, then applied to the initial
@@ -39,7 +46,19 @@ object Models {
       persist: Boolean = false,
       /** present → this is a projection dataset: initial values grown by the
         * referenced growth-rate dataset */
-      growth: Option[GrowthSpec] = None)
+      growth: Option[GrowthSpec] = None,
+      /** per-dataset dimension filters, expressed in PROJECT dimension space
+        * and applied BEFORE the mapping joins by translating record ids back
+        * through this dataset's mapping chain — the semantic scan-pruning
+        * pushdown Catalyst cannot do on its own (ref:
+        * ProjectQueryDatasetParamsModel.dimension_filters, models.py:291-298;
+        * prefilter at dataset_schema_handler_base.py:592-646) */
+      filters: Seq[DimensionFilter] = Nil,
+      /** raw-column → dimension-column renames applied at load, so datasets
+        * whose files disagree on column names combine in one project space
+        * (ref QueryContext column naming,
+        * dataset_schema_handler_base.py:497-518) */
+      columnRenames: Seq[(String, String)] = Nil)
 
   /** The dataset-combination section: dataset refs + an expression over
     * their ids (`"a | b"`, `"(a - b) * c"`); default union of all. */
@@ -75,10 +94,26 @@ object Models {
       sortBy: Seq[String] = Nil,
       /** pivot this dimension's records into columns on output */
       pivotDimension: Option[String] = None,
-      /** convert the time column to this zone on output */
+      /** convert the time column to this zone on output; the literal
+        * `"geography"` converts each row to its geography's local zone via
+        * the geography dimension records (ref: models.py:530-535 accepts the
+        * same literal; conversion at query_submitter.py:335-457) */
       timeZone: Option[String] = None,
       /** convert metric values to this unit on output */
-      toUnit: Option[String] = None)
+      toUnit: Option[String] = None,
+      /** reports computed from the result and written beside it
+        * (ref ReportInputModel, models.py:193-196) */
+      reports: Seq[ReportSpec] = Nil)
+
+  /** Report attachments (ref: dsgrid/query/models.py:186-196 + the peak-load
+    * report, report_peak_load.py). */
+  sealed trait ReportSpec { def name: String }
+  final case class PeakLoadReport(
+      groupBy: Seq[String],
+      keepTies: Boolean = false,
+      tieBreak: Seq[String] = Nil) extends ReportSpec {
+    def name: String = "peak_load"
+  }
 
   /** A project query: map each dataset to the project dimension space,
     * combine, post-process (ref ProjectQueryModel). `sessionTimeZone` pins
@@ -98,10 +133,28 @@ object Models {
       result: ResultSection = ResultSection())
 
   /** Deterministic canonical serialization for content-hash caching
-    * (ref: query_submitter.py:133-160 hashes canonical JSON; any stable
-    * serialization works — case-class toString is stable for this ADT). */
-  def canonical(q: ProjectQuery): String = q.toString
-  def canonical(q: DatasetQuery): String = q.toString
+    * (ref: query_submitter.py:133-160 hashes canonical JSON). Case-class
+    * toString is stable for the data-free ADT, but DataFrame-bearing filters
+    * stringify as schema only — they are first replaced by content-hashed
+    * stand-ins (two queries differing only in subset-record contents must
+    * hash differently). Callers fold a registry content token into the key
+    * so registry mutations invalidate (the reference hashes project version
+    * + dataset configs, query_submitter.py:133-171). */
+  def canonical(ref: DatasetRef): String =
+    ref.copy(filters = ref.filters.map(DimensionFilter.canonicalize)).toString
+
+  def canonical(q: ProjectQuery): String =
+    q.copy(
+      datasets = q.datasets.copy(datasets = q.datasets.datasets.map(d =>
+        d.copy(filters = d.filters.map(DimensionFilter.canonicalize)))),
+      result = q.result.copy(filters = q.result.filters.map(DimensionFilter.canonicalize)))
+      .toString
+
+  def canonical(q: DatasetQuery): String =
+    q.copy(
+      dataset = q.dataset.copy(filters = q.dataset.filters.map(DimensionFilter.canonicalize)),
+      result = q.result.copy(filters = q.result.filters.map(DimensionFilter.canonicalize)))
+      .toString
 
   def contentHash(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

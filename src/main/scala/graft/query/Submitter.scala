@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Constants._
-import graft.operators.{Aggregation => AggOps, DatasetExpr, DimensionFilter, MappingKernel, Reshape}
+import graft.operators.{Aggregation => AggOps, DatasetExpr, DimensionFilter, MappingKernel, PreFilter, Reshape}
 import graft.functions.Units
 import graft.registry.Registry
 import graft.time.TimeZones
@@ -14,23 +14,32 @@ import Models._
   * declarative models (ref: dsgrid/query/query_submitter.py:659-989 +
   * dsgrid/project.py:181-300, re-expressed Spark-first):
   *
-  *   per dataset:  read → mapping joins (broadcast) → fraction collapse →
-  *                 scaling factor  [stage 4]
+  *   per dataset:  read → rename → semantic prefilter → mapping joins
+  *                 (broadcast, with per-op persist/salt knobs) → fraction
+  *                 collapse → scaling factor  [stage 4]
   *   combine:      dataset expression over aligned frames  [stage 5]
   *   post-process: filters → aggregations → ids→names → unit convert →
-  *                 tz convert → sort → pivot  [stage 6]
+  *                 tz convert → sort → pivot → reports  [stage 6]
   *
   * Differences from the reference, by design:
   *   - no SparkSession restarts between datasets (runtime conf suffices in
   *     one JVM; per-dataset tuning is a repartition, not a new cluster app);
   *   - caching is optional and file-based (`cacheDir`), keyed by the
-  *     query's content hash exactly like the reference's two-level cache
-  *     (query_submitter.py:133-171) — a cluster points this at shared
-  *     scratch storage so repeated queries skip stages 1-5.
+  *     query's content hash + a registry content token exactly like the
+  *     reference's two-level cache (query_submitter.py:133-171) — a cluster
+  *     points this at shared scratch storage so repeated queries skip
+  *     stages 1-5. Cache writes go to a temp dir then publish by atomic
+  *     rename, so concurrent submitters never read half-written results.
   */
 final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
 
   private def spark: SparkSession = registry.spark
+
+  /** Registry content token, folded into every cache key so registry
+    * mutations invalidate (computed once per Submitter — build a fresh
+    * Submitter to observe later mutations). */
+  private lazy val registryToken: String =
+    if (cacheDir.isDefined) registry.contentToken else ""
 
   /** Stage 4: one dataset mapped onto the project dimension space;
     * projection datasets then apply their growth-rate dataset. With a
@@ -39,14 +48,29 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     * dsgrid/project.py:418-449); the combined query result is the second. */
   def mapDataset(ref: DatasetRef): DataFrame = cacheDir match {
     case Some(_) =>
-      cached("mapped_" + Models.contentHash(ref.toString))(mapDatasetUncached(ref))
+      cached("mapped_" + Models.contentHash(registryToken + Models.canonical(ref)))(
+        mapDatasetUncached(ref))
     case None => mapDatasetUncached(ref)
   }
 
   private def mapDatasetUncached(ref: DatasetRef): DataFrame = {
-    val base = registry.dataset(ref.datasetId)
-    val mappings = ref.mappings.map(m => m.dimension -> registry.mapping(m.mappingName))
-    val mappedBase = MappingKernel.applyScalingFactor(MappingKernel.mapAndApply(base, mappings))
+    val raw = registry.dataset(ref.datasetId)
+    val renamed = ref.columnRenames.foldLeft(raw) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    val base = prefilterDataset(renamed, ref)
+    val afterMappings = ref.mappings.foldLeft(base) { (df, m) =>
+      val table = registry.mapping(m.mappingName)
+      val stepMapped =
+        if (isNoopMappingMemo(m.mappingName, table)) df
+        else MappingKernel.mapStackedDimension(df, m.dimension, table)
+      val stepSalted = m.saltPartitions.fold(stepMapped)(n =>
+        MappingKernel.repartitionAfterDisaggregation(stepMapped, n, Seq(m.dimension)))
+      if (m.persist) persistStep(stepSalted, s"mapstep_${ref.datasetId}_${m.dimension}_${m.mappingName}")
+      else stepSalted
+    }
+    val mappedBase =
+      MappingKernel.applyScalingFactor(MappingKernel.applyFraction(afterMappings))
     val mapped = ref.growth match {
       case None => mappedBase
       case Some(g) =>
@@ -62,10 +86,50 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
           case other => throw new IllegalArgumentException(s"unknown growth kind: $other")
         }
     }
-    if (ref.persist) {
-      val dir = cacheDir.getOrElse(sys.props("java.io.tmpdir") + "/graft-cache")
-      graft.sources.Writers.persistIntermediate(spark, mapped, dir, s"mapped_${ref.datasetId}")
-    } else mapped
+    if (ref.persist)
+      persistStep(mapped, "mapped_" + Models.contentHash(registryToken + Models.canonical(ref)))
+    else mapped
+  }
+
+  /** The semantic prefilter: per-dataset filters expressed in PROJECT
+    * dimension space, pushed below the mapping joins by translating record
+    * ids back through the dataset's mapping chain — so a query for one
+    * region prunes the fact scan instead of mapping the whole table first
+    * (ref: dataset_schema_handler_base.py:592-646). Filters on unmapped
+    * dimensions (dataset ids == project ids) and raw predicates apply
+    * directly — those Catalyst pushes into the scan itself. */
+  private def prefilterDataset(df: DataFrame, ref: DatasetRef): DataFrame =
+    ref.filters.foldLeft(df) { (d, f) =>
+      DimensionFilter.targetColumn(f) match {
+        case Some(dim) =>
+          val chain = ref.mappings.filter(_.dimension == dim).map(m => registry.mapping(m.mappingName))
+          if (chain.isEmpty) f(d)
+          else {
+            // evaluate the filter over the project-space id universe (the
+            // final mapping's to_id side) to get the surviving ids, then
+            // translate them back through the chain
+            val universe = chain.last
+              .filter(col(ToIdColumn).isNotNull)
+              .select(col(ToIdColumn).as(dim))
+              .distinct()
+            val targetIds = f(universe).select(col(dim).as("id"))
+            PreFilter.prefilterThroughChain(d, dim, chain, targetIds)
+          }
+        case None => f(d)
+      }
+    }
+
+  /** Noop-mapping detection runs an (inexpensive but eager) isEmpty action;
+    * memoized per mapping name so a query touching the same mapping N times
+    * pays the driver round-trip once (the reference precomputes this at
+    * registration — mapping tables are immutable once registered). */
+  private val noopMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def isNoopMappingMemo(name: String, table: DataFrame): Boolean =
+    noopMemo.getOrElseUpdate(name, MappingKernel.isNoopMapping(table))
+
+  private def persistStep(df: DataFrame, name: String): DataFrame = {
+    val dir = cacheDir.getOrElse(sys.props("java.io.tmpdir") + "/graft-cache")
+    graft.sources.Writers.persistIntermediate(spark, df, dir, name)
   }
 
   /** Stages 4-5: map every dataset, evaluate the combination expression. */
@@ -97,18 +161,87 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     for (dim <- r.idsToNames)
       df = MappingKernel.idsToNames(df, dim, registry.dimensionRecords(dim))
     for (tz <- r.timeZone if df.columns.contains("timestamp"))
-      df = TimeZones.toSingleZone(df, "timestamp", tz)
+      df =
+        if (tz == "geography")
+          TimeZones.toGeographyLocal(df, "timestamp", "geography", registry.dimensionRecords("geography"))
+        else TimeZones.toSingleZone(df, "timestamp", tz)
     for (p <- r.pivotDimension)
       df = Reshape.pivot(df, p)
     if (r.sortBy.nonEmpty) df = df.sort(r.sortBy.map(col): _*)
     df
   }
 
+  /** Reports computed from the shaped result (ref: query_submitter.py:328-332
+    * runs each ReportInputModel against the final table). */
+  def reportFrames(df: DataFrame, r: ResultSection): Seq[(String, DataFrame)] =
+    r.reports.zipWithIndex.map {
+      case (rep: PeakLoadReport, i) =>
+        val name = if (r.reports.count(_.name == rep.name) > 1) s"${rep.name}_$i" else rep.name
+        name -> graft.query.Reports.peakLoad(df, rep.groupBy, ValueColumn, rep.keepTies, rep.tieBreak)
+    }
+
+  /** Fail-fast semantic validation, run before any Spark job: unknown
+    * dataset/mapping names, datasets whose post-mapping schemas cannot
+    * combine, aggregation/report columns that won't exist. The reference
+    * validates at submission (query_submitter.py:173-249,
+    * dataset_schema_handler_base.py:669-745); without this, errors surface
+    * mid-combine as opaque analysis exceptions — or hours into a 100 TB
+    * run. Schema derivation is plan analysis only, no action. */
+  def validate(q: ProjectQuery): Unit = {
+    val known = registry.listDatasets().toSet
+    val knownMappings = registry.listMappings().toSet
+    for (d <- q.datasets.datasets) {
+      require(known.contains(d.datasetId), s"query '${q.name}': unknown dataset '${d.datasetId}'")
+      for (m <- d.mappings)
+        require(knownMappings.contains(m.mappingName),
+          s"query '${q.name}': unknown mapping '${m.mappingName}' on dataset '${d.datasetId}'")
+      for (g <- d.growth) {
+        require(known.contains(g.datasetId),
+          s"query '${q.name}': unknown growth dataset '${g.datasetId}'")
+        require(Set("exponential", "multiplier").contains(g.kind),
+          s"query '${q.name}': unknown growth kind '${g.kind}'")
+      }
+    }
+    // post-mapping schemas must agree for the implicit union / expression
+    val schemas = q.datasets.datasets.map(d => d.datasetId -> mapDatasetSchema(d))
+    val base = schemas.head
+    for ((id, cols) <- schemas.tail)
+      require(cols == base._2,
+        s"query '${q.name}': dataset '$id' maps to columns ${cols.toSeq.sorted.mkString(",")} " +
+          s"but '${base._1}' maps to ${base._2.toSeq.sorted.mkString(",")} — combine would fail. " +
+          "Align them with columnRenames on the DatasetRef.")
+    val combined = base._2
+    for (agg <- q.result.aggregations; c <- agg.groupBy)
+      require(combined.contains(c) || q.result.supplementalColumns.exists(_.columnName == c),
+        s"query '${q.name}': aggregation groups by '$c' which no dataset provides")
+    for (rep <- q.result.reports) rep match {
+      case PeakLoadReport(groupBy, _, _) =>
+        for (c <- groupBy)
+          require(combined.contains(c) || q.result.supplementalColumns.exists(_.columnName == c),
+            s"query '${q.name}': report groups by '$c' which no dataset provides")
+    }
+  }
+
+  /** The columns a dataset will have after rename + mapping + fraction
+    * collapse — derived from the schema alone, no job runs. */
+  private def mapDatasetSchema(ref: DatasetRef): Set[String] = {
+    val raw = registry.dataset(ref.datasetId).columns.toSet
+    val renamed = ref.columnRenames.foldLeft(raw)((cs, r) => cs - r._1 + r._2)
+    renamed - FractionColumn - ScalingFactorColumn
+  }
+
   /** Full project query; content-hash cached when `cacheDir` is set; the
-    * session tz is pinned for the duration when the query requests one. */
+    * session tz is pinned for the duration when the query requests one.
+    * With a `cacheDir`, `query.json` + `metadata.json` sidecars and any
+    * report tables are written beside the result
+    * (ref: query_submitter.py:614-653). */
   def submit(q: ProjectQuery): DataFrame = {
-    def run() = cached(Models.contentHash(Models.canonical(q))) {
-      postProcess(combine(q.datasets), q.result)
+    validate(q)
+    def run() = {
+      val key = Models.contentHash(registryToken + Models.canonical(q))
+      val df = cached(key)(postProcess(combine(q.datasets), q.result))
+      writeSidecars(key, q.name, Models.canonical(q), df, reportFrames(df, q.result))
+      df
     }
     q.sessionTimeZone match {
       case Some(tz) =>
@@ -122,18 +255,45 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     }
   }
 
+  /** Project query + its report tables (also written beside the cached
+    * result when `cacheDir` is set). */
+  def submitWithReports(q: ProjectQuery): (DataFrame, Seq[(String, DataFrame)]) = {
+    val df = submit(q)
+    (df, reportFrames(df, q.result))
+  }
+
   /** Dataset query (§3.2): one dataset, mapping + shaping, no combine. */
-  def submit(q: DatasetQuery): DataFrame =
-    cached(Models.contentHash(Models.canonical(q))) {
-      postProcess(mapDataset(q.dataset), q.result)
-    }
+  def submit(q: DatasetQuery): DataFrame = {
+    val key = Models.contentHash(registryToken + Models.canonical(q))
+    val df = cached(key)(postProcess(mapDataset(q.dataset), q.result))
+    writeSidecars(key, q.name, Models.canonical(q), df, reportFrames(df, q.result))
+    df
+  }
 
   /** §3.3: run stages 4-5 of a project query and save the combined table as
     * a composite dataset under the registry; later queries re-read it and
-    * apply only post-processing (ref: query_submitter.py:730-834). */
-  def createCompositeDataset(id: String, datasets: DatasetSection): Unit =
-    combine(datasets).write.mode("overwrite")
-      .parquet(s"${registry.root}/composite_datasets/$id/table.parquet")
+    * apply only post-processing (ref: query_submitter.py:730-834). A
+    * `metadata.json` sidecar records the table's column roles so consumers
+    * can reconstruct dimension info (ref metadata.json,
+    * query_submitter.py:614-653). */
+  def createCompositeDataset(id: String, datasets: DatasetSection): Unit = {
+    val dir = s"${registry.root}/composite_datasets/$id"
+    val df = combine(datasets)
+    df.write.mode("overwrite").parquet(s"$dir/table.parquet")
+    writeText(s"$dir/metadata.json", metadataJson(id, spark.read.parquet(s"$dir/table.parquet")))
+  }
+
+  /** The metadata sidecar of a composite dataset, parsed. */
+  def compositeMetadata(id: String): Map[String, Any] = {
+    val text = readText(s"${registry.root}/composite_datasets/$id/metadata.json")
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    import scala.jdk.CollectionConverters._
+    Map(
+      "name" -> n.get("name").asText(),
+      "value_column" -> n.get("value_column").asText(),
+      "dimension_columns" -> n.get("dimension_columns").elements().asScala.map(_.asText()).toSeq,
+      "columns" -> n.get("columns").elements().asScala.map(_.asText()).toSeq)
+  }
 
   /** Promote a query result to a registered derived dataset other queries
     * can consume (ref: dsgrid/query/derived_dataset.py:35-180). */
@@ -145,16 +305,82 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
       spark.read.parquet(s"${registry.root}/composite_datasets/$id/table.parquet"),
       result)
 
+  // ------------------------------------------------------------------
+  // cache plumbing
+  // ------------------------------------------------------------------
+
   private def cached(key: String)(build: => DataFrame): DataFrame = cacheDir match {
     case None => build
     case Some(dir) =>
-      val path = s"$dir/cached_tables/$key/table.parquet"
+      val keyDir = s"$dir/cached_tables/$key"
+      val path = s"$keyDir/table.parquet"
       if (registry.hadoopExists(path)) // Hadoop FS API: works on HDFS/S3 too
         spark.read.parquet(path)
       else {
-        val df = build
-        df.write.mode("overwrite").parquet(path)
+        // write to a temp dir, publish with one atomic rename; losing the
+        // rename race to a concurrent submitter is fine — read theirs
+        val tmp = s"$dir/cached_tables/.tmp_${key}_${java.util.UUID.randomUUID().toString.take(8)}"
+        build.write.mode("overwrite").parquet(s"$tmp/table.parquet")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val finalPath = new org.apache.hadoop.fs.Path(keyDir)
+        val fs = finalPath.getFileSystem(conf)
+        fs.mkdirs(finalPath.getParent)
+        if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, true)
         spark.read.parquet(path)
       }
+  }
+
+  /** query.json + metadata.json + report tables beside a cached result
+    * (idempotent — derived deterministically from the query). No-op without
+    * a cacheDir. */
+  private def writeSidecars(
+      key: String,
+      name: String,
+      canonicalQuery: String,
+      df: DataFrame,
+      reports: Seq[(String, DataFrame)]): Unit =
+    for (dir <- cacheDir) {
+      val keyDir = s"$dir/cached_tables/$key"
+      if (!registry.hadoopExists(s"$keyDir/query.json")) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val qn = m.createObjectNode()
+        qn.put("name", name)
+        qn.put("canonical", canonicalQuery)
+        qn.put("registry_token", registryToken)
+        writeText(s"$keyDir/query.json", m.writerWithDefaultPrettyPrinter().writeValueAsString(qn))
+        writeText(s"$keyDir/metadata.json", metadataJson(name, df))
+      }
+      for ((rname, rdf) <- reports)
+        if (!registry.hadoopExists(s"$keyDir/reports/$rname.parquet"))
+          rdf.write.mode("overwrite").parquet(s"$keyDir/reports/$rname.parquet")
+    }
+
+  private def metadataJson(name: String, df: DataFrame): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("name", name)
+    n.put("value_column", ValueColumn)
+    val dims = n.putArray("dimension_columns")
+    df.columns.filter(c => c != ValueColumn && c != "timestamp").foreach(dims.add)
+    val cols = n.putArray("columns")
+    df.columns.foreach(cols.add)
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def writeText(path: String, text: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 }

@@ -87,6 +87,26 @@ final case class Registry(spark: SparkSession, root: String) {
     }
   }
 
+  /** Content token: hash over the recursive (path, length, mtime) listing of
+    * the registry tree, folded into query cache keys so any registry
+    * mutation invalidates cached results (the reference hashes project
+    * version + dataset configs into its key, query_submitter.py:133-171).
+    * Driver-side metadata listing only — no data is read. */
+  def contentToken: String = {
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) "empty"
+    else {
+      val it = fs.listFiles(hp, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+      graft.query.Models.contentHash(entries.sorted.mkString("\n"))
+    }
+  }
+
   def listDatasets(): Seq[String] = list("datasets")
   def listDimensions(): Seq[String] = list("dimensions")
   def listMappings(): Seq[String] = list("mappings")
@@ -106,9 +126,11 @@ final case class DatasetFormat(
     pivotedColumns: Seq[String] = Nil,
     variableColumn: String = "metric")
 
-/** Writer side — registration. The reference validates before acceptance
-  * (registry/dataset_registry_manager.py); callers run
-  * graft.operators.Validation checks first, then persist. */
+/** Writer side — registration. The reference runs its validation suite on
+  * submission (registry/dataset_registry_manager.py;
+  * dataset_schema_handler_base.py:171-222,323-452); `registerDataset` runs
+  * the same checks against whatever context the caller supplies
+  * (dimension records, a time spine), with an opt-out for raw writes. */
 object Registry {
 
   def registerDimension(reg: Registry, name: String, records: DataFrame): Unit =
@@ -122,18 +144,66 @@ object Registry {
       datasetId: String,
       loadData: DataFrame,
       lookup: Option[DataFrame] = None,
-      format: Option[DatasetFormat] = None): Unit = {
+      format: Option[DatasetFormat] = None,
+      /** dimension column → records; when provided, null / unknown-value
+        * checks run on the columns present in the data */
+      dimensionRecords: Map[String, DataFrame] = Map.empty,
+      /** expected time spine; when provided the data's distinct timestamps
+        * must equal it exactly */
+      expectedTimestamps: Option[DataFrame] = None,
+      validate: Boolean = true): Unit = {
+    if (validate) validateDataset(datasetId, loadData, lookup, dimensionRecords, expectedTimestamps)
     loadData.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data.parquet")
     lookup.foreach(_.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data_lookup.parquet"))
     format.foreach { f =>
-      val cols = f.pivotedColumns.map(c => "\"" + c + "\"").mkString("[", ",", "]")
-      val json =
-        s"""{"value_format": "${f.valueFormat}", "pivoted_columns": $cols, "variable_column": "${f.variableColumn}"}"""
+      // Jackson handles escaping — pivoted column names may contain quotes.
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("value_format", f.valueFormat)
+      val cols = node.putArray("pivoted_columns")
+      f.pivotedColumns.foreach(cols.add)
+      node.put("variable_column", f.variableColumn)
+      val json = m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
       val hp = new org.apache.hadoop.fs.Path(s"${reg.root}/datasets/$datasetId/format.json")
       val fs = hp.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
       val out = fs.create(hp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+  }
+
+  /** Registration validation: nulls, unknown dimension values, time-spine
+    * match. Each check is a distributed plan; only a 5-row violation sample
+    * is ever collected. Throws with the sample on the first failure. */
+  private def validateDataset(
+      datasetId: String,
+      loadData: DataFrame,
+      lookup: Option[DataFrame],
+      dimensionRecords: Map[String, DataFrame],
+      expectedTimestamps: Option[DataFrame]): Unit = {
+    val frames = Seq(Some(loadData), lookup).flatten
+    for (frame <- frames) {
+      val dims = dimensionRecords.keys.toSeq.sorted.filter(frame.columns.contains)
+      if (dims.nonEmpty) {
+        val nulls = graft.operators.Validation.nullViolations(frame, dims).limit(5).collect()
+        require(
+          nulls.isEmpty,
+          s"registerDataset($datasetId): NULL dimension values, e.g. ${nulls.mkString("; ")}")
+        for (d <- dims) {
+          val unknown = graft.operators.Validation
+            .unknownDimensionValues(frame, d, dimensionRecords(d))
+            .limit(5)
+            .collect()
+          require(
+            unknown.isEmpty,
+            s"registerDataset($datasetId): '$d' values missing from dimension records: " +
+              unknown.map(_.get(0)).mkString(", "))
+        }
+      }
+    }
+    for (spine <- expectedTimestamps; frame <- frames.find(_.columns.contains("timestamp")))
+      require(
+        graft.time.TimeChecks.timestampsMatchSpine(frame, "timestamp", spine),
+        s"registerDataset($datasetId): distinct timestamps do not match the expected spine")
   }
 }

@@ -152,8 +152,17 @@ object Writers {
   }
 
   /** Warehouse sink: saveAsTable + read back (ref: dsgrid/utils/
-    * spark.py:675-733). On a cluster this is the metastore-backed handoff. */
+    * spark.py:675-733). On a cluster this is the metastore-backed handoff.
+    * With the in-memory catalog, a previous session's managed-table
+    * location survives on disk while the table itself is forgotten —
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS; drop both the
+    * table and any stale location first. */
   def toTable(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
     spark.table(table)
   }

@@ -60,13 +60,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(shingleSets(df, idCol, textCol, shingleSize), idCol, numHashes)
+
+  /** The distinct word-shingle sets, one row per document (`sh` column).
+    * Tokenize+shingle is the most expensive map stage of the dedup pipeline;
+    * computing it ONCE and sharing the frame between the signature and the
+    * exact-Jaccard verify stages halves the text passes
+    * (minhashNearDuplicates caches it for exactly that reason). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
+      .select(col(idCol), array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize)).as("sh"))
+
+  /** Signatures from precomputed shingle sets (see `shingleSets`). */
+  def minhashSignaturesFromShingles(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val m = lit(MinhashModulus)
-    val exploded = df
-      .withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
-      .select(
-        col(idCol),
-        explode(array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize))).as("__graft_sh"))
+    val exploded = shingles
+      .select(col(idCol), explode(col("sh")).as("__graft_sh"))
       .withColumn("__graft_h", pmod(xxhash64(col("__graft_sh")), m))
     val aggs = minhashCoefs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("__graft_h") + lit(b), m)).as(s"h$i")
@@ -83,8 +93,17 @@ object Dedup {
       textCol: String,
       bands: Int,
       rowsPerBand: Int,
-      shingleSize: Int = 3): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, bands * rowsPerBand, shingleSize)
+      shingleSize: Int = 3): DataFrame =
+    lshBucketsFromSignatures(
+      minhashSignatures(df, idCol, textCol, bands * rowsPerBand, shingleSize),
+      idCol, bands, rowsPerBand)
+
+  /** Banding over a precomputed signature frame (see `minhashSignatures`). */
+  def lshBucketsFromSignatures(
+      sig: DataFrame,
+      idCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), hash(hs: _*).cast("long").as("bucket"))
@@ -113,11 +132,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = docs
-      .withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
-      .select(col(idCol), array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize)).as("sh"))
-      .cache()
+      threshold: Double = 0.8): DataFrame =
+    verifyJaccardOnShingles(
+      shingleSets(docs, idCol, textCol, shingleSize).cache(), pairs, idCol, threshold)
+
+  /** Verification against precomputed (ideally cached) shingle sets — the
+    * two-sided join otherwise recomputes the shingle pipeline per side. */
+  def verifyJaccardOnShingles(
+      sh: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     val j = pairs
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -136,14 +161,16 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // Both the band self-join and the two-sided verify join would recompute
-    // their expensive upstream expressions (signatures / shingle arrays) once
-    // per join side; persist the small intermediates so signatures are
-    // computed exactly once per document. At cluster scale swap cache() for a
-    // scratch-parquet checkpoint (Writers.persistIntermediate).
-    val buckets = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize).cache()
+    // The tokenize+shingle pass is the expensive map stage: compute it ONCE,
+    // cache it, and feed BOTH the signature pipeline and the exact-Jaccard
+    // verify join from the cached frame. The bucket frame is also cached
+    // because the candidate generation self-joins it. At cluster scale swap
+    // cache() for a scratch-parquet checkpoint (Writers.persistIntermediate).
+    val shingles = shingleSets(df, idCol, textCol, shingleSize).cache()
+    val sig = minhashSignaturesFromShingles(shingles, idCol, bands * rowsPerBand)
+    val buckets = lshBucketsFromSignatures(sig, idCol, bands, rowsPerBand).cache()
     val pairs = candidatePairs(buckets, idCol)
-    verifyJaccard(df, pairs, idCol, textCol, shingleSize, threshold)
+    verifyJaccardOnShingles(shingles, pairs, idCol, threshold)
   }
 
   // -------------------------------------------------------------- simhash

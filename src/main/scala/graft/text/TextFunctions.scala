@@ -108,10 +108,15 @@ object TextFunctions {
   /** Rolling (polynomial) hash of the token sequence — order-sensitive, so
     * reordered near-identical docs fingerprint differently where
     * `fingerprint` would collide. h = sum(hash(tok_i) * 31^i) mod p with
-    * p = 2^31-1: all intermediates stay < 2^62, so the fold is safe under
-    * ANSI overflow checking (Spark 4 default). */
+    * p = 2^31-1: all intermediates stay < 2^62, so the arithmetic is safe
+    * under ANSI overflow checking (Spark 4 default).
+    *
+    * This Column form is an interpreted HOF fold — convenience for tiny
+    * frames and property tests only. Hot paths use `rollingHashByDoc`,
+    * which computes the identical value with posexplode + codegen'd
+    * aggregates (measured ~5 s → sub-second at sf0.1 for q34). */
   def rollingHash(text: Column): Column = {
-    val m = lit(2147483647L) // 2^31 - 1
+    val m = lit(RollingHashP)
     aggregate(
       tokens(normalize(text)),
       struct(lit(0L).as("h"), lit(1L).as("p")),
@@ -119,6 +124,49 @@ object TextFunctions {
         pmod(acc("h") + pmod(xxhash64(t), m) * acc("p"), m).as("h"),
         pmod(acc("p") * 31L, m).as("p")),
       acc => acc("h"))
+  }
+
+  private val RollingHashP = 2147483647L // 2^31 - 1
+  private val PowBlock = 4096
+  // 31^i mod p for i < 4096, and 31^(4096·j) mod p for j < 4096 — together
+  // they cover positions up to 16M tokens: 31^pos = low[pos%4096]·high[pos/4096]
+  private lazy val pow31Low: Array[Long] = {
+    val a = new Array[Long](PowBlock)
+    a(0) = 1L
+    for (i <- 1 until PowBlock) a(i) = a(i - 1) * 31L % RollingHashP
+    a
+  }
+  private lazy val pow31High: Array[Long] = {
+    val step = pow31Low(PowBlock - 1) * 31L % RollingHashP // 31^4096 mod p
+    val a = new Array[Long](PowBlock)
+    a(0) = 1L
+    for (j <- 1 until PowBlock) a(j) = a(j - 1) * step % RollingHashP
+    a
+  }
+
+  /** Codegen'd rolling hash per document: posexplode the token array, weight
+    * each token hash by 31^pos mod p via two broadcast-literal power tables
+    * (pos = lo + 4096·hi, so each product stays < 2^62 under ANSI), and sum
+    * per document. Stays inside whole-stage codegen with map-side partial
+    * aggregation — the scalable form of `rollingHash` (identical values:
+    * modular sums commute). Empty documents hash to 0. */
+  def rollingHashByDoc(
+      df: DataFrame,
+      idColumns: Seq[String],
+      textColumn: String,
+      out: String): DataFrame = {
+    val m = lit(RollingHashP)
+    val exploded = df
+      .withColumn("__graft_toks", tokens(normalize(col(textColumn))))
+      .select(idColumns.map(col) :+
+        posexplode_outer(col("__graft_toks")).as(Seq("__graft_pos", "__graft_tok")): _*)
+    val powLo = element_at(typedLit(pow31Low), (col("__graft_pos") % PowBlock).cast("int") + 1)
+    val powHi = element_at(typedLit(pow31High), (col("__graft_pos") / PowBlock).cast("int") + 1)
+    val term = pmod(pmod(pmod(xxhash64(col("__graft_tok")), m) * powLo, m) * powHi, m)
+    exploded
+      .withColumn("__graft_term", when(col("__graft_tok").isNull, lit(0L)).otherwise(term))
+      .groupBy(idColumns.map(col): _*)
+      .agg(pmod(sum(col("__graft_term")), m).as(out))
   }
 
   /** Language ID by stopword-profile scoring: count distinct profile words

@@ -317,8 +317,10 @@ object TimeAdjustments {
     * interpolation between the surrounding values — used for INDEX time where
     * the duplicated local hour would double-count energy
     * (ref interpolate option: dsgrid/dimension/time.py:143-187). The
-    * duplicated row's value becomes mean(prev, next) via a window over the
-    * per-key series. */
+    * The measured value stays on the existing row; only the ADDED duplicate
+    * carries mean(prev, next) (via a window over the per-key series) — the
+    * reference's INTERPOLATE fills the inserted hour, it does not overwrite
+    * the measurement. */
   def interpolateFallBackHour(
       df: DataFrame,
       timestampColumn: String,
@@ -330,16 +332,16 @@ object TimeAdjustments {
     val backLocal = from_utc_timestamp(utc + expr("INTERVAL 1 HOUR"), col(tzColumn))
     val ambiguous = backLocal === col(timestampColumn)
     val w = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(timestampColumn))
-    val interpolated = df
+    val duplicates = df
       .withColumn(
-        valueColumn,
-        when(
-          ambiguous,
-          coalesce(
-            (lag(col(valueColumn), 1).over(w) + lead(col(valueColumn), 1).over(w)) / 2.0,
-            col(valueColumn)))
-          .otherwise(col(valueColumn)))
-    interpolated.unionByName(interpolated.filter(ambiguous))
+        "__graft_interp",
+        coalesce(
+          (lag(col(valueColumn), 1).over(w) + lead(col(valueColumn), 1).over(w)) / 2.0,
+          col(valueColumn)))
+      .filter(ambiguous)
+      .withColumn(valueColumn, col("__graft_interp"))
+      .drop("__graft_interp")
+    df.unionByName(duplicates)
   }
 
   def duplicateFallBackHour(df: DataFrame, timestampColumn: String, tzColumn: String): DataFrame = {

@@ -198,12 +198,185 @@ class QuerySpec extends SparkSpec {
       result = ResultSection(aggregations = Seq(Aggregation(Seq("geography"))), sortBy = Seq("geography")))
     val sub = new Submitter(reg, Some(cacheDir))
     val first = rows(sub.submit(q))
-    val key = contentHash(canonical(q))
+    val key = contentHash(reg.contentToken + canonical(q))
     assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$key/table.parquet")))
     assert(rows(sub.submit(q)) == first)
     // first cache level: the per-dataset mapped table is cached too
-    val dsKey = "mapped_" + contentHash(q.datasets.datasets.head.toString)
+    val dsKey = "mapped_" + contentHash(reg.contentToken + canonical(q.datasets.datasets.head))
     assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$dsKey/table.parquet")))
+    // sidecars written beside the result
+    assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$key/query.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/cached_tables/$key/metadata.json")))
+  }
+
+  test("cache key: queries differing only in subset-record CONTENTS hash differently") {
+    val setA = Seq("c1").toDF("id")
+    val setB = Seq("c2").toDF("id") // same schema, different records
+    def q(ids: org.apache.spark.sql.DataFrame) = DatasetQuery(
+      name = "subset",
+      dataset = DatasetRef("dsA"),
+      result = ResultSection(filters = Seq(DimensionFilter.SubsetFilter("geography", Seq(ids)))))
+    assert(canonical(q(setA)) != canonical(q(setB)))
+    // and identical contents hash identically (stand-in is content-derived)
+    assert(canonical(q(setA)) == canonical(q(Seq("c1").toDF("id"))))
+  }
+
+  test("cache key: registry mutation invalidates cached results") {
+    val reg = buildRegistry()
+    val cacheDir = Files.createTempDirectory("graft-qcache-mut").toString
+    val q = ProjectQuery(
+      name = "mutated",
+      datasets = DatasetSection(Seq(DatasetRef("dsA"))),
+      result = ResultSection(aggregations = Seq(Aggregation(Seq("sector"))), sortBy = Seq("sector")))
+    val first = rows(new Submitter(reg, Some(cacheDir)).submit(q))
+    assert(first.map(_(1).asInstanceOf[Double]).sum == 110.0)
+    // re-register dsA with doubled values; a fresh Submitter must MISS
+    Registry.registerDataset(reg, "dsA",
+      Seq(("c1", "com", "elec", 2.0), ("c1", "res", "elec", 20.0))
+        .toDF("geography", "sector", "metric", ValueColumn))
+    val second = rows(new Submitter(reg, Some(cacheDir)).submit(q))
+    assert(second.map(_(1).asInstanceOf[Double]).sum == 22.0)
+  }
+
+  test("per-dataset filter prunes the fact scan below the mapping join") {
+    val reg = buildRegistry()
+    // filter expressed in PROJECT space (state ids) on a county-level dataset
+    val ref = DatasetRef(
+      "dsA",
+      mappings = Seq(DimensionMappingRef("geography", "county_to_state")),
+      filters = Seq(DimensionFilter.ColumnOperatorFilter("geography", "isin", Seq("s1"))))
+    val out = new Submitter(reg).mapDataset(ref)
+    val got = out.orderBy("sector").collect().map(r => (r.getAs[String]("sector"), r.getAs[Double](ValueColumn))).toSeq
+    assert(got == Seq(("com", 3.0), ("res", 30.0)))
+    // plan contract: after execution no scan emitted the full 8-row fact
+    // table — the semi-join pruned it to the 4 s1-county rows
+    val counts = graft.plans.PlanChecks.scanOutputRowCounts(out)
+    assert(counts.nonEmpty && !counts.contains(8L), s"scan counts: $counts")
+  }
+
+  test("per-mapping knobs: saltPartitions adds a repartition, persist cuts the plan") {
+    val reg = buildRegistry()
+    val plain = DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state")))
+    val salted = DatasetRef("dsA", Seq(
+      DimensionMappingRef("geography", "county_to_state", saltPartitions = Some(4))))
+    val sub = new Submitter(reg)
+    val plainOut = sub.mapDataset(plain)
+    val saltedOut = sub.mapDataset(salted)
+    assert(sortedRows(saltedOut) == sortedRows(plainOut)) // semantics unchanged
+    assert(
+      graft.plans.PlanChecks.shuffleCount(saltedOut) > graft.plans.PlanChecks.shuffleCount(plainOut),
+      "salted mapping must add a repartition exchange")
+    // persist knob: the map-step parquet lands in the cache dir
+    val cacheDir = Files.createTempDirectory("graft-persist").toString
+    val persisted = DatasetRef("dsA", Seq(
+      DimensionMappingRef("geography", "county_to_state", persist = true)))
+    val out = new Submitter(reg, Some(cacheDir)).mapDataset(persisted)
+    assert(out.count() == 4)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$cacheDir/mapstep_dsA_geography_county_to_state.parquet")))
+  }
+
+  test("registration-time validation rejects bad datasets") {
+    val reg = buildRegistry()
+    val geoRecords = reg.dimensionRecords("geography")
+    // unknown dimension value
+    val badGeo = Seq(("nope", "com", "elec", 1.0)).toDF("geography", "sector", "metric", ValueColumn)
+    val e1 = intercept[IllegalArgumentException] {
+      Registry.registerDataset(reg, "bad1", badGeo, dimensionRecords = Map("geography" -> geoRecords))
+    }
+    assert(e1.getMessage.contains("nope"))
+    // NULL dimension value
+    val badNull = Seq((null.asInstanceOf[String], "com", "elec", 1.0)).toDF("geography", "sector", "metric", ValueColumn)
+    intercept[IllegalArgumentException] {
+      Registry.registerDataset(reg, "bad2", badNull, dimensionRecords = Map("geography" -> geoRecords))
+    }
+    // time spine mismatch
+    val ts = Seq(("c1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("geography", "timestamp", ValueColumn)
+    val spine = Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 01:00:00")).toDF("timestamp")
+    intercept[IllegalArgumentException] {
+      Registry.registerDataset(reg, "bad3", ts, expectedTimestamps = Some(spine))
+    }
+    // a good dataset still registers (and opt-out skips the checks)
+    Registry.registerDataset(reg, "good",
+      Seq(("c1", 1.0)).toDF("geography", ValueColumn),
+      dimensionRecords = Map("geography" -> geoRecords))
+    Registry.registerDataset(reg, "rawwrite", badGeo, validate = false)
+    assert(reg.dataset("good").count() == 1)
+  }
+
+  test("geography time zone + peak-load report through the result model") {
+    val reg = buildRegistry()
+    // geography records need a time_zone attribute for "geography" output tz
+    Registry.registerDimension(reg, "geography",
+      Seq(("c1", "County 1", "America/Denver"), ("c2", "County 2", "UTC"))
+        .toDF("id", "name", "time_zone"))
+    Registry.registerDataset(reg, "metered",
+      Seq(
+        ("c1", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 5.0),
+        ("c1", java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 9.0),
+        ("c2", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2.0))
+        .toDF("geography", "timestamp", ValueColumn))
+    val q = ProjectQuery(
+      name = "geo_tz",
+      datasets = DatasetSection(Seq(DatasetRef("metered"))),
+      result = ResultSection(
+        timeZone = Some("geography"),
+        reports = Seq(PeakLoadReport(groupBy = Seq("geography"), tieBreak = Seq("timestamp")))))
+    val sub = new Submitter(reg)
+    val (out, reports) = sub.submitWithReports(q)
+    // Denver is UTC-7 in January: 12:00 UTC -> 05:00 local
+    val c1Hours = out.filter($"geography" === "c1")
+      .select(hour($"timestamp")).as[Int].collect().toSeq.sorted
+    assert(c1Hours == Seq(5, 6))
+    assert(out.columns.contains(TimeZoneColumn))
+    val peak = reports.head._2
+    val peakVals = peak.orderBy("geography").select(ValueColumn).as[Double].collect().toSeq
+    assert(peakVals == Seq(9.0, 2.0))
+  }
+
+  test("semantic validation fails fast with a usable message") {
+    val reg = buildRegistry()
+    val sub = new Submitter(reg)
+    def pq(ds: Seq[DatasetRef], r: ResultSection = ResultSection()) =
+      ProjectQuery(name = "v", datasets = DatasetSection(ds), result = r)
+    // unknown dataset / mapping
+    val e1 = intercept[IllegalArgumentException](sub.submit(pq(Seq(DatasetRef("nope")))))
+    assert(e1.getMessage.contains("unknown dataset"))
+    val e2 = intercept[IllegalArgumentException](
+      sub.submit(pq(Seq(DatasetRef("dsA", Seq(DimensionMappingRef("geography", "nope_map")))))))
+    assert(e2.getMessage.contains("unknown mapping"))
+    // incompatible post-mapping schemas across datasets
+    Registry.registerDataset(reg, "odd",
+      Seq(("c1", 1.0)).toDF("region_code", ValueColumn))
+    val e3 = intercept[IllegalArgumentException](
+      sub.submit(pq(Seq(DatasetRef("dsA"), DatasetRef("odd")))))
+    assert(e3.getMessage.contains("columnRenames"))
+    // aggregation on a column no dataset provides
+    val e4 = intercept[IllegalArgumentException](
+      sub.submit(pq(Seq(DatasetRef("dsA")),
+        ResultSection(aggregations = Seq(Aggregation(Seq("no_such_dim")))))))
+    assert(e4.getMessage.contains("no_such_dim"))
+    // the columnRenames fix suggested by e3 actually works
+    val fixed = pq(
+      Seq(DatasetRef("dsA"), DatasetRef("odd", columnRenames = Seq("region_code" -> "geography"))),
+      ResultSection(aggregations = Seq(Aggregation(Seq("geography")))))
+    // odd lacks sector/metric columns — still a mismatch; assert message names the dataset
+    val e5 = intercept[IllegalArgumentException](sub.submit(fixed))
+    assert(e5.getMessage.contains("odd"))
+  }
+
+  test("composite dataset metadata sidecar round-trips") {
+    val reg = buildRegistry()
+    val sub = new Submitter(reg)
+    sub.createCompositeDataset("combo",
+      DatasetSection(Seq(DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))))))
+    val meta = sub.compositeMetadata("combo")
+    assert(meta("value_column") == ValueColumn)
+    assert(meta("dimension_columns").asInstanceOf[Seq[String]].toSet == Set("geography", "sector", "metric"))
+    assert(sub.submitComposite("combo", ResultSection(aggregations = Seq(Aggregation(Seq("geography"))))).count() == 2)
   }
 
   test("pivoted-format dataset is unpivoted to stacked form on load") {

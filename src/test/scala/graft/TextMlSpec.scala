@@ -65,6 +65,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp(0) == (true, true))
     assert(fp(1) == (false, false))
   }
+
+  test("rollingHashByDoc (codegen form) matches the HOF-fold rollingHash exactly") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"),
+      (3L, ""),
+      (4L, "one")).toDF("doc_id", "text")
+    val folded = df.select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val byDoc = TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(byDoc == folded)
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -133,6 +146,45 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.ivfTopK(vecs.filter($"vec_id" === 0L), cells, centroids, k = 1, probes = 2)
       .collect()
     assert(out.nonEmpty && out(0).getAs[Long]("neighbor_id") == 1L)
+  }
+
+  /** Deterministic 3-cluster corpus: 20 vectors per cluster around
+    * orthogonal centers, small sin-based jitter. */
+  private def clusteredVecs = {
+    val centers = Seq(Seq(10f, 0f, 0f), Seq(0f, 10f, 0f), Seq(0f, 0f, 10f))
+    (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => x + (math.sin(i * 7 + d) * 0.5).toFloat })
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("assignToCentroids is a zero-shuffle map-side argmax; fallback path agrees") {
+    val corpus = clusteredVecs
+    val centroids = Similarity.sampleCentroids(corpus, 3)
+    val cells = Similarity.assignToCentroids(corpus, centroids)
+    // plan contract: the unrolled argmax projection adds NO exchange — the
+    // old crossJoin+window form shuffled N×C rows
+    assert(graft.plans.PlanChecks.shuffleCount(cells) == 0, "assignment must not shuffle")
+    // the >maxUnrolledCentroids fallback (broadcast join + max_by) must
+    // produce identical assignments
+    val viaFallback = Similarity.assignToCentroids(corpus, centroids, maxUnrolledCentroids = 1)
+    val a = cells.select("vec_id", "centroid_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = viaFallback.select("vec_id", "centroid_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("kmeans centroids: IVF recall@3 >= 0.9 vs the exact baseline") {
+    val corpus = clusteredVecs
+    val centroids = Similarity.kmeansCentroids(corpus, 3, iterations = 3)
+    assert(centroids.count() == 3)
+    val cells = Similarity.assignToCentroids(corpus, centroids)
+    val queries = corpus.filter($"vec_id" < 6)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, cells, centroids, k = 3, probes = 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("cosine near-duplicates finds scaled copies") {

@@ -98,8 +98,8 @@ class TimeEngineSpec extends SparkSpec {
     assert(shifted == "2024-01-01 01:30:00")
     intercept[IllegalArgumentException](TimeAdjustments.addInterval(col("ts"), 1, "FORTNIGHT"))
 
-    // fall-back 2024-11-03 01:30 NY is ambiguous; interpolation replaces its
-    // value with mean(prev, next) and emits it twice
+    // fall-back 2024-11-03 01:30 NY is ambiguous; the measured value stays on
+    // the existing row and only the ADDED duplicate carries mean(prev, next)
     val series = Seq(
       ("g", "2024-11-03 00:30:00", 10.0),
       ("g", "2024-11-03 01:30:00", 99.0),
@@ -108,8 +108,8 @@ class TimeEngineSpec extends SparkSpec {
       .toDF("g", "ts", "value", "tz")
     val out = TimeAdjustments.interpolateFallBackHour(series, "ts", "tz", "value", Seq("g"))
     assert(out.count() == 4)
-    val dupVals = out.filter(hour(col("ts")) === 1).select("value").as[Double].collect().toSeq
-    assert(dupVals == Seq(20.0, 20.0))
+    val dupVals = out.filter(hour(col("ts")) === 1).select("value").as[Double].collect().toSeq.sorted
+    assert(dupVals == Seq(20.0, 99.0))
   }
 
   test("resample: downsample by measurement type, upsample preserves totals, wrap-around") {

@@ -34,6 +34,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = n_noracle = 0
     results = sorted(
         d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that errored inside Verify dumps nothing — that's a failure,
+    # not a skip (caught here so a missing dir can't slip through the gate)
+    for name in sorted(set(oracles) - set(results)):
+        n_fail += 1
+        print(f"  [FAIL-MISSING] {name}: no Verify output (query errored?)")
     for name in results:
         spark_df = pd.read_parquet(os.path.join(out_dir, name))
         if name not in oracles:
