@@ -95,6 +95,27 @@ object DimensionFilter {
     }
   }
 
+  /** Registry-resolved subset filter: names the record-set DIMENSIONS instead
+    * of carrying their frames — the JSON-expressible form the reference's
+    * query documents use (ref SubsetDimensionFilterModel, :232-276). The
+    * Submitter resolves it against its registry; it cannot apply standalone.
+    * Data-free, so it canonicalizes for cache keys as-is (the registry
+    * content token covers record mutations). */
+  final case class SubsetDimensionFilter(column: String, recordDimensions: Seq[String])
+      extends DimensionFilter {
+    def apply(df: DataFrame): DataFrame =
+      throw new IllegalStateException(
+        "SubsetDimensionFilter needs registry resolution — submit the query through a Submitter")
+  }
+
+  /** Registry-resolved supplemental filter: names the mapping. */
+  final case class SupplementalMappingFilter(column: String, mappingName: String)
+      extends DimensionFilter {
+    def apply(df: DataFrame): DataFrame =
+      throw new IllegalStateException(
+        "SupplementalMappingFilter needs registry resolution — submit the query through a Submitter")
+  }
+
   def applyAll(df: DataFrame, filters: Seq[DimensionFilter]): DataFrame =
     filters.foldLeft(df)((d, f) => f(d))
 
@@ -107,6 +128,8 @@ object DimensionFilter {
     case BetweenFilter(c, _, _, _) => Some(c)
     case SubsetFilter(c, _) => Some(c)
     case SupplementalFilter(c, _) => Some(c)
+    case SubsetDimensionFilter(c, _) => Some(c)
+    case SupplementalMappingFilter(c, _) => Some(c)
     case _ => None
   }
 

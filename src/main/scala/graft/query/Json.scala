@@ -112,6 +112,13 @@ object Json {
       DimensionFilter.BetweenFilter(
         str(n, "column"), value(n.get("lower")), value(n.get("upper")),
         Option(n.get("negate")).exists(_.asBoolean(false)))
+    // registry-resolved forms (the reference's subset/supplemental filter
+    // documents name dimensions/mappings; the Submitter resolves them)
+    case "subset" =>
+      DimensionFilter.SubsetDimensionFilter(
+        str(n, "column"), arr(n, "record_dimensions").map(_.asText()))
+    case "supplemental" =>
+      DimensionFilter.SupplementalMappingFilter(str(n, "column"), str(n, "mapping_name"))
     case other => throw new IllegalArgumentException(s"unknown filter_type: $other")
   }
 

@@ -99,7 +99,7 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     * dimensions (dataset ids == project ids) and raw predicates apply
     * directly — those Catalyst pushes into the scan itself. */
   private def prefilterDataset(df: DataFrame, ref: DatasetRef): DataFrame =
-    ref.filters.foldLeft(df) { (d, f) =>
+    ref.filters.map(resolveFilter).foldLeft(df) { (d, f) =>
       DimensionFilter.targetColumn(f) match {
         case Some(dim) =>
           val chain = ref.mappings.filter(_.dimension == dim).map(m => registry.mapping(m.mappingName))
@@ -141,9 +141,20 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     }
   }
 
+  /** Resolve registry-referencing filter forms (the JSON-expressible ones)
+    * into their data-carrying equivalents. Data-free in the query document
+    * and in cache keys; the registry content token covers record changes. */
+  private def resolveFilter(f: DimensionFilter): DimensionFilter = f match {
+    case DimensionFilter.SubsetDimensionFilter(c, dims) =>
+      DimensionFilter.SubsetFilter(c, dims.map(registry.dimensionRecords))
+    case DimensionFilter.SupplementalMappingFilter(c, name) =>
+      DimensionFilter.SupplementalFilter(c, registry.mapping(name))
+    case other => other
+  }
+
   /** Stage 6: result shaping. */
   def postProcess(df0: DataFrame, r: ResultSection): DataFrame = {
-    var df = DimensionFilter.applyAll(df0, r.filters)
+    var df = DimensionFilter.applyAll(df0, r.filters.map(resolveFilter))
     for (sc <- r.supplementalColumns) {
       val m = broadcast(
         registry.mapping(sc.mappingName)
@@ -262,8 +273,23 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     (df, reportFrames(df, q.result))
   }
 
+  /** DatasetQuery validation: same fail-fast checks, single dataset. */
+  def validate(q: DatasetQuery): Unit = {
+    require(registry.listDatasets().contains(q.dataset.datasetId),
+      s"query '${q.name}': unknown dataset '${q.dataset.datasetId}'")
+    val knownMappings = registry.listMappings().toSet
+    for (m <- q.dataset.mappings)
+      require(knownMappings.contains(m.mappingName),
+        s"query '${q.name}': unknown mapping '${m.mappingName}'")
+    val cols = mapDatasetSchema(q.dataset)
+    for (agg <- q.result.aggregations; c <- agg.groupBy)
+      require(cols.contains(c) || q.result.supplementalColumns.exists(_.columnName == c),
+        s"query '${q.name}': aggregation groups by '$c' which the dataset does not provide")
+  }
+
   /** Dataset query (§3.2): one dataset, mapping + shaping, no combine. */
   def submit(q: DatasetQuery): DataFrame = {
+    validate(q)
     val key = Models.contentHash(registryToken + Models.canonical(q))
     val df = cached(key)(postProcess(mapDataset(q.dataset), q.result))
     writeSidecars(key, q.name, Models.canonical(q), df, reportFrames(df, q.result))

@@ -133,6 +133,38 @@ final case class DatasetFormat(
   * (dimension records, a time spine), with an opt-out for raw writes. */
 object Registry {
 
+  /** The "version = subtree" convention, made navigable: versions live as
+    * `<root>/v<major>.<minor>.<patch>` directories (the reference stores
+    * semver-versioned configs in its registry database and bumps on update;
+    * here a version is an immutable subtree). */
+  private val VersionDir = """v(\d+)\.(\d+)\.(\d+)""".r
+
+  /** Version directories under a root, semver-ordered ascending. */
+  def versions(spark: SparkSession, root: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else
+      fs.listStatus(hp)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n @ VersionDir(a, b, c) => (a.toInt, b.toInt, c.toInt, n) }
+        .sortBy(t => (t._1, t._2, t._3))
+        .map(_._4)
+        .toSeq
+  }
+
+  /** A registry pinned to one version subtree. */
+  def atVersion(spark: SparkSession, root: String, version: String): Registry =
+    Registry(spark, s"$root/$version")
+
+  /** The highest-versioned registry under a root. */
+  def latest(spark: SparkSession, root: String): Registry = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no v<semver> subtrees under $root")
+    atVersion(spark, root, vs.last)
+  }
+
   def registerDimension(reg: Registry, name: String, records: DataFrame): Unit =
     records.write.mode("overwrite").parquet(s"${reg.root}/dimensions/$name/records.parquet")
 

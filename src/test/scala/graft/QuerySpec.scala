@@ -368,6 +368,42 @@ class QuerySpec extends SparkSpec {
     assert(e5.getMessage.contains("odd"))
   }
 
+  test("registry-resolved subset/supplemental filters work from a JSON document") {
+    val reg = buildRegistry()
+    // a record-set dimension naming the s1 counties, and a base-to-supp
+    // mapping where only c1/c3 map to anything
+    Registry.registerDimension(reg, "s1_counties", Seq(("c1", "c1"), ("c2", "c2")).toDF("id", "name"))
+    Registry.registerMapping(reg, "county_to_coastal",
+      Seq(("c1", "coastal", 1.0), ("c3", "coastal", 1.0)).toDF(FromIdColumn, ToIdColumn, FromFractionColumn))
+    val json =
+      """{"name": "subset_doc",
+          "dataset": {"dataset_id": "dsA"},
+          "result": {
+            "filters": [
+              {"filter_type": "subset", "column": "geography", "record_dimensions": ["s1_counties"]},
+              {"filter_type": "supplemental", "column": "geography", "mapping_name": "county_to_coastal"}],
+            "aggregations": [{"group_by": ["geography"]}],
+            "sort_by": ["geography"]}}"""
+    val out = new Submitter(reg).submit(graft.query.Json.parseDatasetQuery(json))
+    // subset keeps c1,c2; supplemental keeps c1,c3 → intersection c1
+    val got = rows(out).map(r => (r(0), r(1)))
+    assert(got == Seq(("c1", 11.0)))
+    // data-free forms canonicalize without touching DataFrames
+    val q = graft.query.Json.parseDatasetQuery(json)
+    assert(canonical(q).contains("SubsetDimensionFilter"))
+  }
+
+  test("registry version subtrees: versions/latest resolution") {
+    val root = Files.createTempDirectory("graft-versions").toString
+    for (v <- Seq("v1.0.0", "v1.2.0", "v1.10.0")) {
+      val reg = Registry(spark, s"$root/$v")
+      Registry.registerDimension(reg, "marker", Seq((v, v)).toDF("id", "name"))
+    }
+    assert(Registry.versions(spark, root) == Seq("v1.0.0", "v1.2.0", "v1.10.0")) // numeric, not lexicographic
+    val latest = Registry.latest(spark, root)
+    assert(latest.dimensionRecords("marker").select("id").as[String].head() == "v1.10.0")
+  }
+
   test("composite dataset metadata sidecar round-trips") {
     val reg = buildRegistry()
     val sub = new Submitter(reg)
