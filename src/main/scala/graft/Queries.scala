@@ -1394,6 +1394,33 @@ object Queries {
             ROUND(SUM(o_totalprice), 2) AS total
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Bucketed-table co-located join (beyond-parity; SURVEY §2.1/§2.3): both
+    * sides bucketed on the join key at write time, so the join itself runs
+    * with zero exchanges — the write-once shuffle that makes repeated joins
+    * cheap at 100 TB (IOSpec carries the shuffle-free plan contract). */
+  val q56_bucketed_join = Q(
+    "q56_bucketed_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val bli = graft.sources.Writers.toBucketedTable(
+        s, li, "graft_q56_lineitem", Seq("l_suppkey"), 8)
+      val bsup = graft.sources.Writers.toBucketedTable(
+        s, sup, "graft_q56_supplier", Seq("s_suppkey"), 8)
+      bli.join(bsup, bli("l_suppkey") === bsup("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+        .select(col("s_nationkey").cast("long").as("s_nationkey"), col("n"), col("total_qty"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1406,5 +1433,5 @@ object Queries {
     q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query,
     q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
-    q53_single_tz, q54_autopartition, q55_warehouse)
+    q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join)
 }

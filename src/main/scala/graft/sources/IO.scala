@@ -158,13 +158,44 @@ object Writers {
     * saveAsTable then fails with LOCATION_ALREADY_EXISTS; drop both the
     * table and any stale location first. */
   def toTable(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
+    dropTableAndStaleLocation(spark, table)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Bucketed warehouse sink — the write-once co-location lever at 100 TB:
+    * the shuffle happens ONCE at write time, and every later equi-join or
+    * aggregation keyed on the bucket columns between same-bucketed tables
+    * runs shuffle-free (Spark reads bucket files as pre-hashed partitions).
+    * The reference approximates this with repartitioned-parquet conventions;
+    * bucketing is the catalog-backed Spark-native form. `sortColumns` adds
+    * per-bucket sort so sort-merge joins skip the sort too. */
+  def toBucketedTable(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      bucketColumns: Seq[String],
+      numBuckets: Int,
+      sortColumns: Seq[String] = Nil): DataFrame = {
+    require(bucketColumns.nonEmpty, "toBucketedTable needs at least one bucket column")
+    dropTableAndStaleLocation(spark, table)
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketColumns.head, bucketColumns.tail: _*)
+    val sorted =
+      if (sortColumns.nonEmpty) w.sortBy(sortColumns.head, sortColumns.tail: _*) else w
+    sorted.saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Drop a table AND any stale on-disk location a previous in-memory
+    * catalog session left behind (saveAsTable refuses to reuse it). */
+  private def dropTableAndStaleLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
-    spark.table(table)
   }
 
   /** Spark can't overwrite an input path in place: write tmp, swap, re-read

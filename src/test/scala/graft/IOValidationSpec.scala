@@ -91,6 +91,32 @@ class IOSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_test_table")
   }
 
+  test("bucketed tables join shuffle-free on the bucket key") {
+    val facts = (1 to 200).map(i => (i % 40, s"f$i", i.toDouble)).toDF("key", "tag", "v")
+    val dims = (0 until 40).map(i => (i, s"dim$i")).toDF("key", "name")
+    val bf = Writers.toBucketedTable(spark, facts, "graft_bucketed_facts", Seq("key"), 4, Seq("key"))
+    val bd = Writers.toBucketedTable(spark, dims, "graft_bucketed_dims", Seq("key"), 4, Seq("key"))
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1") // force SMJ so the check is about bucketing, not broadcast
+      val joined = bf.join(bd, Seq("key"))
+      assert(joined.count() == 200)
+      // both sides pre-hashed into the same 4 buckets → zero exchanges
+      assert(graft.plans.PlanChecks.shuffleCount(joined) == 0,
+        "bucketed-bucketed equi-join must not shuffle")
+      // a plain (unbucketed) join of the same data DOES shuffle — the
+      // contrast proves the bucketing is what removed the exchanges
+      val plain = facts.join(dims, Seq("key"))
+      plain.count()
+      assert(graft.plans.PlanChecks.shuffleCount(plain) > 0)
+    } finally {
+      spark.conf.set(thresholdKey, old)
+      spark.sql("DROP TABLE graft_bucketed_facts")
+      spark.sql("DROP TABLE graft_bucketed_dims")
+    }
+  }
+
   test("registerDir exposes parquet tables as temp views") {
     Readers.registerDir(spark, "/root/testdata/sf0.001")
     assert(spark.table("region").count() == 5)
