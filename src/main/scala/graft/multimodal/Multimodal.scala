@@ -42,6 +42,17 @@ object Multimodal {
     }
     def audioSeconds(payload: Array[Byte]): Double =
       1.0 + math.abs(java.util.Arrays.hashCode(payload) % 600) / 10.0
+    /** Deterministic byte resample to `n` bytes (production: real image
+      * scaling). */
+    def resample(payload: Array[Byte], n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var j = 0
+      while (j < n) {
+        out(j) = payload(((j.toLong * payload.length) / n).toInt % payload.length)
+        j += 1
+      }
+      out
+    }
     /** Fixed-length feature vector (production: CNN embedding). */
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
       val out = new Array[Float](dim)
@@ -87,6 +98,32 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val f = if (payload == null) new Array[Float](dim) else FakeCodec.features(payload, dim)
         Row.fromSeq(r.toSeq :+ f.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Resize plumbing: payload → resized payload + target dims. The stub
+    * "resample" is a deterministic byte fold down/up to a size proportional
+    * to the target area — the production contract (bytes in, bytes out,
+    * fixed target dims) is what downstream code depends on. */
+  def resizeImages(
+      df: DataFrame,
+      targetWidth: Int,
+      targetHeight: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_payload", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val resized =
+          if (payload == null) null
+          else FakeCodec.resample(payload, math.max(1, targetWidth * targetHeight / 65536))
+        Row.fromSeq(r.toSeq ++ Seq(resized, targetWidth, targetHeight))
       }
     }(enc)
   }

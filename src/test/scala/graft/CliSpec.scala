@@ -26,4 +26,20 @@ class CliSpec extends SparkSpec {
     assert(back == Seq(("a", 3.0), ("b", 4.0)))
     assert(Files.exists(java.nio.file.Paths.get(s"$outDir/query.json")))
   }
+
+  test("query dataset command runs a DatasetQuery document") {
+    val root = Files.createTempDirectory("graft-cli-reg2").toString
+    val reg = Registry(spark, root)
+    Registry.registerDataset(reg, "ds",
+      Seq(("a", 1.0), ("b", 4.0), ("b", 5.0)).toDF("geography", ValueColumn))
+    val queryFile = Files.createTempFile("graft-cli2", ".json")
+    Files.writeString(queryFile, """{
+      "name": "cli_dq",
+      "dataset": {"dataset_id": "ds"},
+      "result": {"aggregations": [{"group_by": ["geography"]}], "sort_by": ["geography"]}
+    }""")
+    val outDir = Files.createTempDirectory("graft-cli-out2").toString
+    Cli.main(Array("query", "dataset", root, queryFile.toString, outDir, "--csv"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$outDir/cli_dq.csv")))
+  }
 }

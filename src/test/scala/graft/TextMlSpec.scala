@@ -222,4 +222,18 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.sampleFrames(df, 3, "total_frames")
     assert(out.select("frame_index").as[Int].collect().toSeq == Seq(0, 3, 6, 9))
   }
+
+  test("resize plumbing emits target dims and a deterministic payload") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val out = Multimodal.resizeImages(media, 512, 256)
+    assert(out.columns.toSeq.takeRight(3) == Seq("resized_payload", "resized_width", "resized_height"))
+    val row = out.select("resized_width", "resized_height").head()
+    assert((row.getInt(0), row.getInt(1)) == (512, 256))
+    val a = sortedRows(out.select("media_id", "resized_payload")
+      .withColumn("resized_payload", hex($"resized_payload")))
+    val b = sortedRows(Multimodal.resizeImages(Multimodal.syntheticMedia(spark, 10), 512, 256)
+      .select("media_id", "resized_payload")
+      .withColumn("resized_payload", hex($"resized_payload")))
+    assert(a == b)
+  }
 }
