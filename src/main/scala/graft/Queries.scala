@@ -1421,6 +1421,42 @@ object Queries {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1 ORDER BY 1"""))
 
+  /** IVF with probes = cells is EXACT: probing every cell must reproduce the
+    * brute-force top-k bit-for-bit — which gives the IVF join/rank path a
+    * real DuckDB oracle (q32's default-probe variant stays rows-only because
+    * centroid assignment isn't SQL-replicable, but this query checks the
+    * same code path end-to-end). */
+  val q57_ann_ivf_exhaustive = Q(
+    "q57_ann_ivf_exhaustive",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val k = 8
+      val centroids = Similarity.kmeansCentroids(emb, numCentroids = k, iterations = 2)
+      val cells = Similarity.assignToCentroids(emb, centroids)
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity
+        .ivfTopK(queries, cells, centroids, k = 5, probes = k)
+        .select(
+          col("query_id").cast("long").as("query_id"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM e q CROSS JOIN e c
+              WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+              CAST(neighbor_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1433,5 +1469,6 @@ object Queries {
     q41_spine, q42_annual_multiplier, q43_csv_roundtrip, q44_project_query,
     q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
-    q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join)
+    q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
+    q57_ann_ivf_exhaustive)
 }
