@@ -84,7 +84,9 @@ object Json {
       pivotDimension = optStr(n, "pivot_dimension"),
       timeZone = optStr(n, "time_zone"), // a zone name, or the literal "geography"
       toUnit = optStr(n, "to_unit"),
-      reports = arr(n, "reports").map(report))
+      reports = arr(n, "reports").map(report),
+      outputRenames = Option(n.get("output_renames")).filterNot(_.isNull).toSeq
+        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue.asText())))
 
   /** Discriminated on `report_type` (ref ReportType, models.py:186-196). */
   private def report(n: JsonNode): ReportSpec = str(n, "report_type") match {

@@ -103,7 +103,12 @@ object Models {
       toUnit: Option[String] = None,
       /** reports computed from the result and written beside it
         * (ref ReportInputModel, models.py:193-196) */
-      reports: Seq[ReportSpec] = Nil)
+      reports: Seq[ReportSpec] = Nil,
+      /** final output column renames — the minimal form of the reference's
+        * column_type / query-name output naming (models.py:513-519,568-576):
+        * internal columns are dimension-type names; this maps them to the
+        * caller's presentation names at the very end */
+      outputRenames: Seq[(String, String)] = Nil)
 
   /** Report attachments (ref: dsgrid/query/models.py:186-196 + the peak-load
     * report, report_peak_load.py). */

@@ -179,6 +179,10 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     for (p <- r.pivotDimension)
       df = Reshape.pivot(df, p)
     if (r.sortBy.nonEmpty) df = df.sort(r.sortBy.map(col): _*)
+    // presentation renames run last so every earlier section (filters,
+    // aggregations, sort) addresses the internal dimension-type names
+    for ((from, to) <- r.outputRenames)
+      df = df.withColumnRenamed(from, to)
     df
   }
 

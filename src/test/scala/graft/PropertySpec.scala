@@ -114,4 +114,27 @@ class PropertySpec extends AnyFunSuite {
         assert(graft.query.Models.contentHash(a) != graft.query.Models.contentHash(b))
     }
   }
+
+  test("canonical form of data-free queries is total and injective on structure") {
+    import graft.query.Models._
+    import graft.operators.DimensionFilter._
+    val genFilter: Gen[graft.operators.DimensionFilter] = Gen.oneOf(
+      Gen.zip(Gen.identifier, Gen.oneOf("==", "!=", ">", "<"), Gen.alphaNumStr)
+        .map { case (c, o, v) => ExpressionFilter(c, o, v) },
+      Gen.zip(Gen.identifier, Gen.listOfN(3, Gen.alphaNumStr))
+        .map { case (c, vs) => ColumnOperatorFilter(c, "isin", vs) },
+      Gen.zip(Gen.identifier, Gen.listOfN(2, Gen.identifier))
+        .map { case (c, ds) => SubsetDimensionFilter(c, ds) })
+    val genRef: Gen[DatasetRef] = Gen.zip(Gen.identifier, Gen.listOf(genFilter), Gen.listOf(
+      Gen.zip(Gen.identifier, Gen.identifier).map { case (d, m) => DimensionMappingRef(d, m) }))
+      .map { case (id, fs, ms) => DatasetRef(id, mappings = ms, filters = fs) }
+    forAll(Gen.zip(genRef, genRef)) { case (a, b) =>
+      // deterministic: same structure → same canonical
+      assert(canonical(a) == canonical(a.copy()))
+      // distinct structure → distinct canonical (case-class toString over
+      // data-free fields is injective up to field separators here)
+      if (a != b) assert(canonical(a) != canonical(b))
+    }
+  }
+
 }

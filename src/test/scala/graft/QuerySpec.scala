@@ -393,6 +393,20 @@ class QuerySpec extends SparkSpec {
     assert(canonical(q).contains("SubsetDimensionFilter"))
   }
 
+  test("output renames map internal dimension names to presentation names last") {
+    val reg = buildRegistry()
+    val q = ProjectQuery(
+      name = "renamed_out",
+      datasets = DatasetSection(Seq(DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))))),
+      result = ResultSection(
+        aggregations = Seq(Aggregation(Seq("geography"))),
+        sortBy = Seq("geography"), // refers to the INTERNAL name
+        outputRenames = Seq("geography" -> "state", ValueColumn -> "mwh")))
+    val out = new Submitter(reg).submit(q)
+    assert(out.columns.toSeq == Seq("state", "mwh"))
+    assert(rows(out).map(_(0)) == Seq("s1", "s2"))
+  }
+
   test("registry version subtrees: versions/latest resolution") {
     val root = Files.createTempDirectory("graft-versions").toString
     for (v <- Seq("v1.0.0", "v1.2.0", "v1.10.0")) {
