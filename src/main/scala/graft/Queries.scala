@@ -1457,6 +1457,33 @@ object Queries {
               CAST(neighbor_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Gap-based sessionization of the events stream table (beyond-parity;
+    * training pipelines sessionize before per-session quality filters):
+    * 30-minute gap per user, then a histogram of sessions per user. Exact
+    * integer-microsecond gap comparison on both sides. */
+  val q58_sessions = Q(
+    "q58_sessions",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.time.Sessionize
+        .assignSessions(e, "ts", 1800L, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"))
+        .groupBy(col("n_sessions").cast("long").as("n_sessions"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy("n_sessions")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                     THEN 1 ELSE 0 END AS is_start
+              FROM events),
+            per_user AS (
+              SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions FROM marked GROUP BY user_id)
+            SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1470,5 +1497,5 @@ object Queries {
     q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
-    q57_ann_ivf_exhaustive)
+    q57_ann_ivf_exhaustive, q58_sessions)
 }

@@ -36,6 +36,27 @@ object StreamOps {
       .agg(fn(col(valueColumn)).as(valueColumn))
   }
 
+  /** Streaming gap-based sessionization via Spark's native session_window:
+    * per key, events within `gap` of each other merge into one growing
+    * session window; the watermark closes sessions and prunes state. The
+    * batch analogue is graft.time.Sessionize (lag/sum window — streaming
+    * can't use unbounded windows, session_window IS the incremental form). */
+  def sessionize(
+      events: DataFrame,
+      timestampColumn: String,
+      gap: String,
+      keyColumns: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(timestampColumn, watermark)
+      .groupBy(session_window(col(timestampColumn), gap) +: keyColumns.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        keyColumns.map(col) ++ Seq(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events")): _*)
+
   /** Streaming exact dedup on key columns; state pruned at the watermark
     * (late duplicates beyond it may pass — the standard trade). */
   def dedupWithinWatermark(

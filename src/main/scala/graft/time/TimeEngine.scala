@@ -251,6 +251,46 @@ object Resample {
   }
 }
 
+/** Gap-based sessionization of event streams (beyond-parity — the events
+  * table is the stream-shaped input a training pipeline sessionizes before
+  * per-session quality filtering). One window pass assigns ids, one groupBy
+  * aggregates — two shuffles total, both keyed by the entity. */
+object Sessionize {
+
+  /** Assign `session_id` per key: a new session starts when the gap since
+    * the previous event exceeds `gapSeconds`. Comparison runs in integer
+    * microseconds (exact — no double rounding at second boundaries).
+    * session_id is the running count of session starts, so ids are dense
+    * per key starting at 1. */
+  def assignSessions(
+      df: DataFrame,
+      timestampColumn: String,
+      gapSeconds: Long,
+      keyColumns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(timestampColumn))
+    val micros = unix_micros(col(timestampColumn))
+    val prev = lag(micros, 1).over(w)
+    val isStart = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn(
+      "session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-key-and-session summary: event count + duration in seconds. */
+  def sessionStats(
+      df: DataFrame,
+      timestampColumn: String,
+      gapSeconds: Long,
+      keyColumns: Seq[String]): DataFrame =
+    assignSessions(df, timestampColumn, gapSeconds, keyColumns)
+      .groupBy((keyColumns :+ "session_id").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((max(unix_micros(col(timestampColumn))) - min(unix_micros(col(timestampColumn)))) / 1e6)
+          .as("duration_sec"))
+}
+
 /** Time-zone conversion (ref: query_submitter.py:335-457 single-tz;
   * utils/dataset.py:83-120,382-405 per-geography). */
 object TimeZones {

@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("streaming sessionization with session_window merges gap-close events") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "user")
+    val sessions = StreamOps.sessionize(events, "ts", "30 minutes", Seq("user"), watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "a"),
+      (ts("2024-01-01 10:10:00"), "a"), // same session (gap 10m)
+      (ts("2024-01-01 12:00:00"), "a"), // new session (gap 110m)
+      (ts("2024-01-01 10:00:00"), "b"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close and emit all sessions
+    input.addData((ts("2024-01-02 00:00:00"), "z"))
+    q.processAllAvailable()
+    val got = spark.table("sessions")
+      .select(col("user"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .filterNot(_._1 == "z").sorted
+    q.stop()
+    assert(got == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
   test("running peak per key with mapGroupsWithState") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(String, Double)]

@@ -112,6 +112,23 @@ class TimeEngineSpec extends SparkSpec {
     assert(dupVals == Seq(20.0, 99.0))
   }
 
+  test("batch sessionization: dense per-key session ids and session stats") {
+    val events = Seq(
+      ("u1", "2024-01-01 10:00:00"),
+      ("u1", "2024-01-01 10:20:00"), // same session
+      ("u1", "2024-01-01 11:30:00"), // new session (70 min gap)
+      ("u2", "2024-01-01 09:00:00"))
+      .map { case (u, t) => (u, Timestamp.valueOf(t)) }.toDF("user_id", "ts")
+    val assigned = Sessionize.assignSessions(events, "ts", 1800L, Seq("user_id"))
+    val ids = assigned.orderBy("user_id", "ts")
+      .select("user_id", "session_id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ids == Seq(("u1", 1L), ("u1", 1L), ("u1", 2L), ("u2", 1L)))
+    val stats = Sessionize.sessionStats(events, "ts", 1800L, Seq("user_id"))
+      .orderBy("user_id", "session_id")
+      .select("n_events", "duration_sec").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stats == Seq((2L, 1200.0), (1L, 0.0), (1L, 0.0)))
+  }
+
   test("resample: downsample by measurement type, upsample preserves totals, wrap-around") {
     val hourly = Seq(
       ("g", "2024-01-01 00:00:00", 1.0),
