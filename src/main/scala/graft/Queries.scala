@@ -1484,6 +1484,32 @@ object Queries {
             SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM per_user GROUP BY 1 ORDER BY 1"""))
 
+  /** Hive-partitioned time-series layout (SURVEY §2.1 sink family): events
+    * written partitioned by day, re-read with a one-day predicate that
+    * prunes directories (PartitionFilters, zero IO on other days), then
+    * aggregated. The first-line data-skipping pattern for 100 TB
+    * time-series. */
+  val q59_partitioned_write = Q(
+    "q59_partitioned_write",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      val out = java.nio.file.Files.createTempDirectory("graft-q59").toString + "/events"
+      graft.sources.Writers.parquetPartitionedBy(e, out, Seq("event_date"), sortWithin = Seq("ts"))
+      s.read.parquet(out)
+        .filter(col("event_date") === "2024-01-15")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("value")), 2).as("total"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            ROUND(SUM(value), 2) AS total
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1497,5 +1523,5 @@ object Queries {
     q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
-    q57_ann_ivf_exhaustive, q58_sessions)
+    q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write)
 }

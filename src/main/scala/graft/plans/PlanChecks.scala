@@ -57,4 +57,12 @@ object PlanChecks {
     * shrink when a per-dataset filter prunes the fact scan. */
   def scanOutputRowCounts(df: DataFrame): Seq[Long] =
     flatten(df).collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
+
+  /** Partition filters on each scan — directory-level pruning for
+    * Hive-partitioned layouts (distinct from data filters: these cut IO
+    * before any file is opened). */
+  def partitionFilters(df: DataFrame): Seq[String] =
+    flatten(df).collect { case s: FileSourceScanExec =>
+      s.partitionFilters.map(_.sql)
+    }.flatten
 }

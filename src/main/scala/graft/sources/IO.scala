@@ -145,6 +145,30 @@ object Writers {
     }
   }
 
+  /** Hive-style partitioned parquet: one directory level per partition
+    * column, so reads filtered on those columns prune whole directories
+    * before any IO (PartitionFilters in the scan, not data filters) — the
+    * first-line data-skipping lever for time-series at 100 TB (partition by
+    * date/year, never by a high-cardinality key). `sortWithin` additionally
+    * sorts rows inside each file so parquet row-group min/max stats skip
+    * within files for range predicates on those columns. */
+  def parquetPartitionedBy(
+      df: DataFrame,
+      path: String,
+      partitionColumns: Seq[String],
+      sortWithin: Seq[String] = Nil): Unit = {
+    require(partitionColumns.nonEmpty, "parquetPartitionedBy needs at least one partition column")
+    val sorted =
+      if (sortWithin.nonEmpty)
+        df.sortWithinPartitions((partitionColumns ++ sortWithin)
+          .map(org.apache.spark.sql.functions.col): _*)
+      else df
+    sorted.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumns: _*)
+      .parquet(path)
+  }
+
   /** Header CSV; single file via coalesce(1) when asked. */
   def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val d = if (singleFile) df.coalesce(1) else df

@@ -117,6 +117,24 @@ class IOSpec extends SparkSpec {
     }
   }
 
+  test("partitioned parquet prunes directories via partition filters") {
+    val out = java.nio.file.Files.createTempDirectory("graft-partwrite").toString + "/events"
+    val df = (1 to 300).map(i => (f"2024-01-${1 + i % 3}%02d", i.toLong, i * 1.5))
+      .toDF("event_date", "event_id", "v")
+    Writers.parquetPartitionedBy(df, out, Seq("event_date"), sortWithin = Seq("event_id"))
+    // one directory per date
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out)).iterator()
+    val dateDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("event_date=")).toSeq
+    assert(dateDirs.size == 3)
+    val read = spark.read.parquet(out).filter($"event_date" === "2024-01-02")
+    assert(read.count() == 100)
+    // the date predicate must be a PARTITION filter (directory pruning),
+    // not a data filter evaluated per row after IO
+    assert(graft.plans.PlanChecks.partitionFilters(read).exists(_.contains("event_date")))
+    assert(!graft.plans.PlanChecks.pushedFilters(read).exists(_.contains("event_date")))
+  }
+
   test("registerDir exposes parquet tables as temp views") {
     Readers.registerDir(spark, "/root/testdata/sf0.001")
     assert(spark.table("region").count() == 5)
