@@ -1070,12 +1070,17 @@ object Queries {
     * TPC-H-derived project and the events-derived metering project define
     * different `geography` dimension records. */
   private val registryMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), graft.registry.Registry]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), graft.registry.Registry]
+
+  /** Memo key includes the Spark application id: a memoized Registry holds
+    * its SparkSession, so a fresh session in the same JVM must rebuild. */
+  private def memoKey(s: SparkSession, dir: String, kind: String) =
+    (dir, kind, s.sparkContext.applicationId)
 
   /** Core project: accounts/cust_bal/supp_bal datasets, nation→region
     * mapping, region-level geography records, sector records. */
   private def coreRegistry(s: SparkSession, dir: String): graft.registry.Registry =
-    registryMemo.getOrElseUpdate((dir, "core"), {
+    registryMemo.getOrElseUpdate(memoKey(s, dir, "core"), {
       import graft.registry.Registry
       val root = java.nio.file.Files.createTempDirectory("graft-registry-core").toString
       val reg = Registry(s, root)
@@ -1109,7 +1114,7 @@ object Queries {
 
   /** Metering project: per-user-bucket events with tz-carrying geography. */
   private def meterRegistry(s: SparkSession, dir: String): graft.registry.Registry =
-    registryMemo.getOrElseUpdate((dir, "meter"), {
+    registryMemo.getOrElseUpdate(memoKey(s, dir, "meter"), {
       import graft.registry.Registry
       import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft-registry-meter").toString

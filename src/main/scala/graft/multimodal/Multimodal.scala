@@ -43,8 +43,9 @@ object Multimodal {
     def audioSeconds(payload: Array[Byte]): Double =
       1.0 + math.abs(java.util.Arrays.hashCode(payload) % 600) / 10.0
     /** Deterministic byte resample to `n` bytes (production: real image
-      * scaling). */
+      * scaling). Zero-length payloads resample to zero-length. */
     def resample(payload: Array[Byte], n: Int): Array[Byte] = {
+      if (payload.isEmpty) return Array.emptyByteArray
       val out = new Array[Byte](n)
       var j = 0
       while (j < n) {

@@ -58,7 +58,8 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     val renamed = ref.columnRenames.foldLeft(raw) { case (d, (from, to)) =>
       d.withColumnRenamed(from, to)
     }
-    val base = prefilterDataset(renamed, ref)
+    val resolvedFilters = ref.filters.map(resolveFilter)
+    val base = prefilterDataset(renamed, resolvedFilters, ref)
     val afterMappings = ref.mappings.foldLeft(base) { (df, m) =>
       val table = registry.mapping(m.mappingName)
       val stepMapped =
@@ -69,8 +70,19 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
       if (m.persist) persistStep(stepSalted, s"mapstep_${ref.datasetId}_${m.dimension}_${m.mappingName}")
       else stepSalted
     }
+    // Exact filter semantics for MAPPED dimensions are enforced HERE, after
+    // the joins: the prefilter above is only the scan-pruning optimization,
+    // and a one-to-many mapping can reintroduce project-space values the
+    // filter excludes (dataset record X maps to both EUROPE and AFRICA —
+    // the prefilter keeps X for EUROPE's sake, so AFRICA rows appear after
+    // the join and must be filtered out again). Runs before the fraction
+    // collapse, so excluded rows never enter the aggregation.
+    val mappedDims = ref.mappings.map(_.dimension).toSet
+    val exactFiltered = resolvedFilters
+      .filter(f => DimensionFilter.targetColumn(f).exists(mappedDims.contains))
+      .foldLeft(afterMappings)((d, f) => f(d))
     val mappedBase =
-      MappingKernel.applyScalingFactor(MappingKernel.applyFraction(afterMappings))
+      MappingKernel.applyScalingFactor(MappingKernel.applyFraction(exactFiltered))
     val mapped = ref.growth match {
       case None => mappedBase
       case Some(g) =>
@@ -98,8 +110,11 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     * (ref: dataset_schema_handler_base.py:592-646). Filters on unmapped
     * dimensions (dataset ids == project ids) and raw predicates apply
     * directly — those Catalyst pushes into the scan itself. */
-  private def prefilterDataset(df: DataFrame, ref: DatasetRef): DataFrame =
-    ref.filters.map(resolveFilter).foldLeft(df) { (d, f) =>
+  private def prefilterDataset(
+      df: DataFrame,
+      resolvedFilters: Seq[DimensionFilter],
+      ref: DatasetRef): DataFrame =
+    resolvedFilters.foldLeft(df) { (d, f) =>
       DimensionFilter.targetColumn(f) match {
         case Some(dim) =>
           val chain = ref.mappings.filter(_.dimension == dim).map(m => registry.mapping(m.mappingName))
@@ -203,6 +218,7 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     * mid-combine as opaque analysis exceptions — or hours into a 100 TB
     * run. Schema derivation is plan analysis only, no action. */
   def validate(q: ProjectQuery): Unit = {
+    require(q.datasets.datasets.nonEmpty, s"query '${q.name}': no datasets")
     val known = registry.listDatasets().toSet
     val knownMappings = registry.listMappings().toSet
     for (d <- q.datasets.datasets) {
@@ -252,11 +268,16 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     * (ref: query_submitter.py:614-653). */
   def submit(q: ProjectQuery): DataFrame = {
     validate(q)
-    def run() = {
-      val key = Models.contentHash(registryToken + Models.canonical(q))
-      val df = cached(key)(postProcess(combine(q.datasets), q.result))
-      writeSidecars(key, q.name, Models.canonical(q), df, reportFrames(df, q.result))
-      df
+    // canonicalization may collect DataFrame-bearing filter records to
+    // content-hash them — only pay that when a cache actually uses the key
+    def run() = cacheDir match {
+      case None => postProcess(combine(q.datasets), q.result)
+      case Some(_) =>
+        val canon = Models.canonical(q)
+        val key = Models.contentHash(registryToken + canon)
+        val df = cached(key)(postProcess(combine(q.datasets), q.result))
+        writeSidecars(key, q.name, canon, df, reportFrames(df, q.result))
+        df
     }
     q.sessionTimeZone match {
       case Some(tz) =>
@@ -294,10 +315,15 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
   /** Dataset query (§3.2): one dataset, mapping + shaping, no combine. */
   def submit(q: DatasetQuery): DataFrame = {
     validate(q)
-    val key = Models.contentHash(registryToken + Models.canonical(q))
-    val df = cached(key)(postProcess(mapDataset(q.dataset), q.result))
-    writeSidecars(key, q.name, Models.canonical(q), df, reportFrames(df, q.result))
-    df
+    cacheDir match {
+      case None => postProcess(mapDataset(q.dataset), q.result)
+      case Some(_) =>
+        val canon = Models.canonical(q)
+        val key = Models.contentHash(registryToken + canon)
+        val df = cached(key)(postProcess(mapDataset(q.dataset), q.result))
+        writeSidecars(key, q.name, canon, df, reportFrames(df, q.result))
+        df
+    }
   }
 
   /** §3.3: run stages 4-5 of a project query and save the combined table as
@@ -398,19 +424,9 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
-  private def writeText(path: String, text: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(hp, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeText(path: String, text: String): Unit =
+    graft.sources.HadoopText.write(spark, path, text)
 
-  private def readText(path: String): String = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(hp)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
+  private def readText(path: String): String =
+    graft.sources.HadoopText.read(spark, path)
 }

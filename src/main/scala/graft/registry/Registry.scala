@@ -72,12 +72,7 @@ final case class Registry(spark: SparkSession, root: String) {
     val p = path("datasets", datasetId, "format.json")
     if (!hadoopExists(p)) None
     else {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(hp)
-      val text =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
+      val text = graft.sources.HadoopText.read(spark, p)
       val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
       Some(DatasetFormat(
         valueFormat = n.get("value_format").asText(),
@@ -196,11 +191,8 @@ object Registry {
       f.pivotedColumns.foreach(cols.add)
       node.put("variable_column", f.variableColumn)
       val json = m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
-      val hp = new org.apache.hadoop.fs.Path(s"${reg.root}/datasets/$datasetId/format.json")
-      val fs = hp.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(hp, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      graft.sources.HadoopText.write(
+        reg.spark, s"${reg.root}/datasets/$datasetId/format.json", json)
     }
   }
 

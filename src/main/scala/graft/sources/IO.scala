@@ -101,6 +101,28 @@ object Readers {
   }
 }
 
+/** Small text files via the Hadoop FS API (sidecars, format metadata) —
+  * one implementation shared by the registry and the Submitter so the
+  * tree works on HDFS/S3/local alike. */
+object HadoopText {
+
+  def write(spark: SparkSession, path: String, text: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}
+
 /** Writers: plain + auto-partitioned parquet, header CSV, in-place
   * overwrite, persist-intermediate
   * (ref: dsgrid/utils/spark.py:474-671, dsgrid/spark/functions.py:578-589). */

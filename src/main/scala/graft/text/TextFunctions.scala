@@ -128,21 +128,21 @@ object TextFunctions {
 
   private val RollingHashP = 2147483647L // 2^31 - 1
   private val PowBlock = 4096
-  // 31^i mod p for i < 4096, and 31^(4096·j) mod p for j < 4096 — together
-  // they cover positions up to 16M tokens: 31^pos = low[pos%4096]·high[pos/4096]
-  private lazy val pow31Low: Array[Long] = {
+  // Three 4096-entry power tables decompose any position as
+  // pos = lo + 4096·mid + 4096²·hi: 31^pos = low[lo]·mid[mid]·high2[hi].
+  // 4096³ = 2^36 exceeds the maximum representable Spark array length, so
+  // the decomposition is total — no document can index out of range.
+  private def powTable(step: Long): Array[Long] = {
     val a = new Array[Long](PowBlock)
     a(0) = 1L
-    for (i <- 1 until PowBlock) a(i) = a(i - 1) * 31L % RollingHashP
+    for (i <- 1 until PowBlock) a(i) = a(i - 1) * step % RollingHashP
     a
   }
-  private lazy val pow31High: Array[Long] = {
-    val step = pow31Low(PowBlock - 1) * 31L % RollingHashP // 31^4096 mod p
-    val a = new Array[Long](PowBlock)
-    a(0) = 1L
-    for (j <- 1 until PowBlock) a(j) = a(j - 1) * step % RollingHashP
-    a
-  }
+  private lazy val pow31Low: Array[Long] = powTable(31L)
+  private lazy val pow31Mid: Array[Long] =
+    powTable(pow31Low(PowBlock - 1) * 31L % RollingHashP) // step = 31^4096
+  private lazy val pow31High2: Array[Long] =
+    powTable(pow31Mid(PowBlock - 1) * (pow31Low(PowBlock - 1) * 31L % RollingHashP) % RollingHashP) // step = 31^(4096²)
 
   /** Codegen'd rolling hash per document: posexplode the token array, weight
     * each token hash by 31^pos mod p via two broadcast-literal power tables
@@ -160,9 +160,12 @@ object TextFunctions {
       .withColumn("__graft_toks", tokens(normalize(col(textColumn))))
       .select(idColumns.map(col) :+
         posexplode_outer(col("__graft_toks")).as(Seq("__graft_pos", "__graft_tok")): _*)
-    val powLo = element_at(typedLit(pow31Low), (col("__graft_pos") % PowBlock).cast("int") + 1)
-    val powHi = element_at(typedLit(pow31High), (col("__graft_pos") / PowBlock).cast("int") + 1)
-    val term = pmod(pmod(pmod(xxhash64(col("__graft_tok")), m) * powLo, m) * powHi, m)
+    val pos = col("__graft_pos")
+    val powLo = element_at(typedLit(pow31Low), (pos % PowBlock).cast("int") + 1)
+    val powMid = element_at(typedLit(pow31Mid), ((pos / PowBlock) % PowBlock).cast("int") + 1)
+    val powHi = element_at(typedLit(pow31High2), (pos / (PowBlock.toLong * PowBlock)).cast("int") + 1)
+    val term = pmod(
+      pmod(pmod(pmod(xxhash64(col("__graft_tok")), m) * powLo, m) * powMid, m) * powHi, m)
     exploded
       .withColumn("__graft_term", when(col("__graft_tok").isNull, lit(0L)).otherwise(term))
       .groupBy(idColumns.map(col): _*)

@@ -254,6 +254,24 @@ class QuerySpec extends SparkSpec {
     assert(counts.nonEmpty && !counts.contains(8L), s"scan counts: $counts")
   }
 
+  test("per-dataset filter keeps exact semantics through a one-to-many mapping") {
+    val reg = buildRegistry()
+    // disaggregating mapping: c1 splits into BOTH states — the prefilter must
+    // keep c1 (it contributes to s1) but the excluded s2 half must not leak
+    Registry.registerMapping(reg, "county_split",
+      Seq(("c1", "s1", 0.5), ("c1", "s2", 0.5), ("c2", "s1", 1.0), ("c3", "s2", 1.0), ("c4", "s2", 1.0))
+        .toDF(FromIdColumn, ToIdColumn, FromFractionColumn))
+    val ref = DatasetRef(
+      "dsA",
+      mappings = Seq(DimensionMappingRef("geography", "county_split")),
+      filters = Seq(DimensionFilter.ColumnOperatorFilter("geography", "isin", Seq("s1"))))
+    val out = new Submitter(reg).mapDataset(ref)
+    val got = out.orderBy("sector").collect()
+      .map(r => (r.getAs[String]("geography"), r.getAs[String]("sector"), r.getAs[Double](ValueColumn))).toSeq
+    // s1 only; c1 contributes half its value, c2 all of it
+    assert(got == Seq(("s1", "com", 2.5), ("s1", "res", 25.0)))
+  }
+
   test("per-mapping knobs: saltPartitions adds a repartition, persist cuts the plan") {
     val reg = buildRegistry()
     val plain = DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state")))

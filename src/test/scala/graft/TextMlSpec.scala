@@ -67,11 +67,15 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("rollingHashByDoc (codegen form) matches the HOF-fold rollingHash exactly") {
+    // doc 5 exceeds 4096 tokens so the mid power table (positions ≥ 4096)
+    // is exercised, not just the low one
+    val long = (0 until 5000).map(i => s"w$i").mkString(" ")
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "dog lazy the over jumps fox brown quick the"),
       (3L, ""),
-      (4L, "one")).toDF("doc_id", "text")
+      (4L, "one"),
+      (5L, long)).toDF("doc_id", "text")
     val folded = df.select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val byDoc = TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")
