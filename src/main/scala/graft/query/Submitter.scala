@@ -31,7 +31,15 @@ import Models._
   *     stages 1-5. Cache writes go to a temp dir then publish by atomic
   *     rename, so concurrent submitters never read half-written results.
   */
-final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
+final class Submitter(
+    registry: Registry,
+    cacheDir: Option[String] = None,
+    /** reuse persisted map-step intermediates already on disk instead of
+      * recomputing them — the resume path for interrupted mapping plans
+      * (ref: dataset_mapping_manager.py:51-103). Off by default: resumed
+      * steps are only valid while the registry data they derive from is
+      * unchanged. */
+    resumeMapping: Boolean = false) {
 
   private def spark: SparkSession = registry.spark
 
@@ -144,7 +152,7 @@ final class Submitter(registry: Registry, cacheDir: Option[String] = None) {
 
   private def persistStep(df: DataFrame, name: String): DataFrame = {
     val dir = cacheDir.getOrElse(sys.props("java.io.tmpdir") + "/graft-cache")
-    graft.sources.Writers.persistIntermediate(spark, df, dir, name)
+    graft.sources.Writers.persistIntermediate(spark, df, dir, name, reuseExisting = resumeMapping)
   }
 
   /** Stages 4-5: map every dataset, evaluate the combination expression. */

@@ -256,9 +256,22 @@ object Writers {
 
   /** Materialize an intermediate to scratch parquet and read it back — cuts
     * the lineage when a plan grows too complex for Catalyst to handle well
-    * (ref: dsgrid/utils/spark.py:502-527). */
-  def persistIntermediate(spark: SparkSession, df: DataFrame, scratchDir: String, name: String): DataFrame = {
+    * (ref: dsgrid/utils/spark.py:502-527). With `reuseExisting`, an
+    * already-written intermediate is read back instead of recomputed — the
+    * resume path for interrupted mapping plans
+    * (ref: dsgrid/query/dataset_mapping_manager.py:51-103). */
+  def persistIntermediate(
+      spark: SparkSession,
+      df: DataFrame,
+      scratchDir: String,
+      name: String,
+      reuseExisting: Boolean = false): DataFrame = {
     val path = s"$scratchDir/$name.parquet"
+    if (reuseExisting) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) return spark.read.parquet(path)
+    }
     parquet(df, path)
     spark.read.parquet(path)
   }

@@ -294,6 +294,26 @@ class QuerySpec extends SparkSpec {
       s"$cacheDir/mapstep_dsA_geography_county_to_state.parquet")))
   }
 
+  test("resumeMapping reuses persisted map-step intermediates") {
+    val reg = buildRegistry()
+    val cacheDir = Files.createTempDirectory("graft-resume").toString
+    val ref = DatasetRef("dsA", Seq(
+      DimensionMappingRef("geography", "county_to_state", persist = true)))
+    val first = new Submitter(reg, Some(cacheDir)).mapDataset(ref)
+    assert(first.count() == 4)
+    // mutate the underlying dataset; a resuming submitter must NOT recompute
+    Registry.registerDataset(reg, "dsA",
+      Seq(("c1", "com", "elec", 999.0)).toDF("geography", "sector", "metric", ValueColumn))
+    // (the top-level cache misses — the registry token changed — but the
+    // persisted map-step is reused, so the STALE intermediate drives the
+    // result: resume trades freshness for not recomputing, by design)
+    val resumed = new Submitter(reg, Some(cacheDir), resumeMapping = true).mapDataset(ref)
+    assert(resumed.count() == 4)
+    // a non-resuming submitter recomputes from the mutated data
+    val recomputed = new Submitter(reg, None).mapDataset(ref)
+    assert(recomputed.count() == 1)
+  }
+
   test("registration-time validation rejects bad datasets") {
     val reg = buildRegistry()
     val geoRecords = reg.dimensionRecords("geography")
