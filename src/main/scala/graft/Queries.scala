@@ -1073,9 +1073,13 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(String, String, String), graft.registry.Registry]
 
   /** Memo key includes the Spark application id: a memoized Registry holds
-    * its SparkSession, so a fresh session in the same JVM must rebuild. */
-  private def memoKey(s: SparkSession, dir: String, kind: String) =
+    * its SparkSession, so a fresh session in the same JVM must rebuild.
+    * Entries whose session has stopped are dropped so a long-lived JVM that
+    * cycles sessions doesn't accumulate dead object graphs. */
+  private def memoKey(s: SparkSession, dir: String, kind: String) = {
+    registryMemo.filterInPlace((_, reg) => !reg.spark.sparkContext.isStopped)
     (dir, kind, s.sparkContext.applicationId)
+  }
 
   /** Core project: accounts/cust_bal/supp_bal datasets, nation→region
     * mapping, region-level geography records, sector records. */

@@ -43,11 +43,10 @@ final class Submitter(
 
   private def spark: SparkSession = registry.spark
 
-  /** Registry content token, folded into every cache key so registry
-    * mutations invalidate (computed once per Submitter — build a fresh
-    * Submitter to observe later mutations). */
-  private lazy val registryToken: String =
-    if (cacheDir.isDefined) registry.contentToken else ""
+  /** Registry content token, folded into every cache and persist key so
+    * registry mutations invalidate (computed once per Submitter — build a
+    * fresh Submitter to observe later mutations). */
+  private lazy val registryToken: String = registry.contentToken
 
   /** Stage 4: one dataset mapped onto the project dimension space;
     * projection datasets then apply their growth-rate dataset. With a
@@ -75,7 +74,15 @@ final class Submitter(
         else MappingKernel.mapStackedDimension(df, m.dimension, table)
       val stepSalted = m.saltPartitions.fold(stepMapped)(n =>
         MappingKernel.repartitionAfterDisaggregation(stepMapped, n, Seq(m.dimension)))
-      if (m.persist) persistStep(stepSalted, s"mapstep_${ref.datasetId}_${m.dimension}_${m.mappingName}")
+      // the persist name hashes the full dataset-ref context + registry
+      // state, so a resumed step can only ever be reused by the SAME query
+      // over UNCHANGED data (the reference hashes the mapping plan the same
+      // way, dataset_mapping_plan.py) — a different query's prefilters or a
+      // registry mutation produce a different key and force recompute
+      if (m.persist)
+        persistStep(
+          stepSalted,
+          s"mapstep_${Models.contentHash(registryToken + Models.canonical(ref))}_${m.dimension}_${m.mappingName}")
       else stepSalted
     }
     // Exact filter semantics for MAPPED dimensions are enforced HERE, after

@@ -268,9 +268,12 @@ object Writers {
       reuseExisting: Boolean = false): DataFrame = {
     val path = s"$scratchDir/$name.parquet"
     if (reuseExisting) {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(hp)) return spark.read.parquet(path)
+      // _SUCCESS, not mere existence: an interrupted previous write — the
+      // exact scenario resume exists for — leaves a dir without the marker
+      // and must be recomputed, not read half-finished
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker)) return spark.read.parquet(path)
     }
     parquet(df, path)
     spark.read.parquet(path)

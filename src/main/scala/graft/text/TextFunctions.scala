@@ -145,8 +145,9 @@ object TextFunctions {
     powTable(pow31Mid(PowBlock - 1) * (pow31Low(PowBlock - 1) * 31L % RollingHashP) % RollingHashP) // step = 31^(4096²)
 
   /** Codegen'd rolling hash per document: posexplode the token array, weight
-    * each token hash by 31^pos mod p via two broadcast-literal power tables
-    * (pos = lo + 4096·hi, so each product stays < 2^62 under ANSI), and sum
+    * each token hash by 31^pos mod p via three broadcast-literal power
+    * tables (pos = lo + 4096·mid + 4096²·hi — total for any representable
+    * array length; each modular product stays < 2^62 under ANSI), and sum
     * per document. Stays inside whole-stage codegen with map-side partial
     * aggregation — the scalable form of `rollingHash` (identical values:
     * modular sums commute). Empty documents hash to 0. */

@@ -284,34 +284,44 @@ class QuerySpec extends SparkSpec {
     assert(
       graft.plans.PlanChecks.shuffleCount(saltedOut) > graft.plans.PlanChecks.shuffleCount(plainOut),
       "salted mapping must add a repartition exchange")
-    // persist knob: the map-step parquet lands in the cache dir
+    // persist knob: the map-step parquet lands in the cache dir, keyed by
+    // the canonical ref + registry state
     val cacheDir = Files.createTempDirectory("graft-persist").toString
     val persisted = DatasetRef("dsA", Seq(
       DimensionMappingRef("geography", "county_to_state", persist = true)))
     val out = new Submitter(reg, Some(cacheDir)).mapDataset(persisted)
     assert(out.count() == 4)
-    assert(Files.exists(java.nio.file.Paths.get(
-      s"$cacheDir/mapstep_dsA_geography_county_to_state.parquet")))
+    val expected = s"mapstep_${contentHash(reg.contentToken + canonical(persisted))}" +
+      "_geography_county_to_state.parquet"
+    assert(Files.exists(java.nio.file.Paths.get(s"$cacheDir/$expected")))
   }
 
-  test("resumeMapping reuses persisted map-step intermediates") {
+  test("resumeMapping reuses completed map-steps only for the same query over unchanged data") {
     val reg = buildRegistry()
     val cacheDir = Files.createTempDirectory("graft-resume").toString
+    def stepFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(cacheDir)
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(p => p.toString.contains("mapstep_") && p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(_.toString).toSet
+    }
     val ref = DatasetRef("dsA", Seq(
       DimensionMappingRef("geography", "county_to_state", persist = true)))
-    val first = new Submitter(reg, Some(cacheDir)).mapDataset(ref)
-    assert(first.count() == 4)
-    // mutate the underlying dataset; a resuming submitter must NOT recompute
+    assert(new Submitter(reg, Some(cacheDir)).mapDataset(ref).count() == 4)
+    val firstFiles = stepFiles()
+    assert(firstFiles.nonEmpty)
+    // drop the top-level cache so the mapping pipeline genuinely re-runs
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$cacheDir/cached_tables"))
+    // same query, same data → the persisted step is reused (identical files)
+    assert(new Submitter(reg, Some(cacheDir), resumeMapping = true).mapDataset(ref).count() == 4)
+    assert(stepFiles() == firstFiles, "map-step must be reused, not rewritten")
+    // mutated data → different registry token → different step key → recompute
     Registry.registerDataset(reg, "dsA",
       Seq(("c1", "com", "elec", 999.0)).toDF("geography", "sector", "metric", ValueColumn))
-    // (the top-level cache misses — the registry token changed — but the
-    // persisted map-step is reused, so the STALE intermediate drives the
-    // result: resume trades freshness for not recomputing, by design)
-    val resumed = new Submitter(reg, Some(cacheDir), resumeMapping = true).mapDataset(ref)
-    assert(resumed.count() == 4)
-    // a non-resuming submitter recomputes from the mutated data
-    val recomputed = new Submitter(reg, None).mapDataset(ref)
-    assert(recomputed.count() == 1)
+    val out = new Submitter(reg, Some(cacheDir), resumeMapping = true).mapDataset(ref)
+    assert(out.count() == 1) // fresh result — stale reuse is impossible by key
+    assert(stepFiles().size > firstFiles.size)
   }
 
   test("registration-time validation rejects bad datasets") {
