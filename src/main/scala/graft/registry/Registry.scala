@@ -160,6 +160,22 @@ object Registry {
     atVersion(spark, root, vs.last)
   }
 
+  /** Start a new version as a copy of an existing one — the "bump" of the
+    * reference's semver update semantics under the immutable-subtree
+    * convention: mutate the copy, never the published version. Uses the
+    * Hadoop FS copy so the tree works on HDFS/S3/local alike. */
+  def newVersion(spark: SparkSession, root: String, fromVersion: String, toVersion: String): Registry = {
+    require(VersionDir.matches(toVersion), s"not a v<major>.<minor>.<patch> version: $toVersion")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$root/$fromVersion")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$toVersion")
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"no such version: $root/$fromVersion")
+    require(!fs.exists(dst), s"version already exists: $root/$toVersion")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    atVersion(spark, root, toVersion)
+  }
+
   def registerDimension(reg: Registry, name: String, records: DataFrame): Unit =
     records.write.mode("overwrite").parquet(s"${reg.root}/dimensions/$name/records.parquet")
 

@@ -464,6 +464,30 @@ class QuerySpec extends SparkSpec {
     assert(Registry.versions(spark, root) == Seq("v1.0.0", "v1.2.0", "v1.10.0")) // numeric, not lexicographic
     val latest = Registry.latest(spark, root)
     assert(latest.dimensionRecords("marker").select("id").as[String].head() == "v1.10.0")
+    // bump: copy the latest subtree, mutate the COPY, published stays intact
+    val v2 = Registry.newVersion(spark, root, "v1.10.0", "v2.0.0")
+    Registry.registerDimension(v2, "marker", Seq(("v2", "v2")).toDF("id", "name"))
+    assert(Registry.latest(spark, root).dimensionRecords("marker")
+      .select("id").as[String].head() == "v2")
+    assert(Registry.atVersion(spark, root, "v1.10.0").dimensionRecords("marker")
+      .select("id").as[String].head() == "v1.10.0")
+    intercept[IllegalArgumentException](Registry.newVersion(spark, root, "v2.0.0", "not-a-version"))
+  }
+
+  test("derived dataset: a query result becomes a queryable dataset") {
+    val reg = buildRegistry()
+    val sub = new Submitter(reg)
+    val src = ProjectQuery(
+      name = "derived_src",
+      datasets = DatasetSection(Seq(DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))))),
+      result = ResultSection(aggregations = Seq(Aggregation(Seq("geography", "sector", "metric")))))
+    sub.registerDerivedDataset("dsA_by_state", src)
+    val out = sub.submit(DatasetQuery(
+      name = "reuse_derived",
+      dataset = DatasetRef("dsA_by_state"),
+      result = ResultSection(aggregations = Seq(Aggregation(Seq("geography"))), sortBy = Seq("geography"))))
+    val got = rows(out).map(r => (r(0), r(1)))
+    assert(got == Seq(("s1", 33.0), ("s2", 77.0)))
   }
 
   test("composite dataset metadata sidecar round-trips") {
