@@ -1519,6 +1519,73 @@ object Queries {
             WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
             GROUP BY 1 ORDER BY 1"""))
 
+  /** End-to-end training-data pipeline (flagship composition): quality
+    * filter (stopword ratio) → language filter (en) → exact dedup (keep
+    * min-id per normalized content) → per-language corpus stats. Every
+    * stage is an operator with its own green oracle (q25/q30/q26/q24);
+    * this query checks their COMPOSITION against one SQL replay. */
+  val q60_pipeline = Q(
+    "q60_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      // tokens materialized ONCE (HOF-lambda CSE rule), every feature reads
+      // the column
+      val base = d
+        .withColumn("__toks", TextFunctions.tokens(lower(col("text"))))
+        .withColumn("lang", TextFunctions.languageIdFromTokens(array_distinct(col("__toks"))))
+        .withColumn("swr", TextFunctions.stopwordRatioFromTokens(col("__toks")))
+        .withColumn("n_tokens", size(col("__toks")))
+      val filtered = base.filter(col("lang") === "en" && col("swr") >= 0.05)
+      // exact dedup WITHIN the filtered set: keep the min doc_id per
+      // normalized content (same keep rule as Dedup.dropExactDuplicates,
+      // md5 spelled out so the oracle can replay it)
+      val w = Window.partitionBy(md5(TextFunctions.normalize(col("text"))))
+      val deduped = filtered
+        .withColumn("__keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__keep"))
+      deduped
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(avg(col("swr")), 4).as("avg_swr"))
+    },
+    Some {
+      val stop = TextFunctions.englishStopwords.map(w => s"'$w'").mkString(", ")
+      val profiles = TextFunctions.languageProfiles.toSeq.sortBy(_._1)
+      val scoreDefs = profiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_intersect(dtoks, [$list])) AS s_$lang"
+      }.mkString(", ")
+      val fold = profiles.foldLeft(("'und'", "0")) { case ((bl, bs), (lang, _)) =>
+        (s"(CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END)",
+          s"(CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END)")
+      }._1
+      s"""WITH toks AS (
+            SELECT doc_id, text,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS toks
+            FROM documents),
+          feat AS (
+            SELECT doc_id, text, len(toks) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, t -> list_contains([$stop], t))) AS DOUBLE) / len(toks)
+              END AS swr,
+              list_distinct(toks) AS dtoks
+            FROM toks),
+          scored AS (SELECT *, $scoreDefs FROM feat),
+          langed AS (SELECT doc_id, text, n_tokens, swr, $fold AS lang FROM scored),
+          filtered AS (SELECT * FROM langed WHERE lang = 'en' AND swr >= 0.05),
+          deduped AS (
+            SELECT * FROM (
+              SELECT *, MIN(doc_id) OVER (PARTITION BY
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))) AS keep
+              FROM filtered) WHERE doc_id = keep)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 ROUND(AVG(swr), 4) AS avg_swr
+          FROM deduped"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1532,5 +1599,5 @@ object Queries {
     q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
-    q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write)
+    q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline)
 }
