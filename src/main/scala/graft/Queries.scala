@@ -1586,6 +1586,68 @@ object Queries {
           FROM deduped"""
     })
 
+  /** Moving-average analytics over the time series (SURVEY §2.5 windows):
+    * daily totals per event type, then a 3-day trailing mean — the frame
+    * syntax both engines define identically. */
+  val q61_moving_avg = Q(
+    "q61_moving_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val daily = e
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value")).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d")).rowsBetween(-2, 0)
+      daily
+        .select(
+          col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("d"),
+          round(col("total"), 2).as("total"),
+          round(avg(col("total")).over(w), 2).as("ma3"))
+        .orderBy("event_type", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS total
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS d,
+                   ROUND(total, 2) AS total,
+                   ROUND(AVG(total) OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+            FROM daily ORDER BY event_type, d"""))
+
+  /** Statistical aggregates (SURVEY §2.4 registry depth): median +
+    * interpolated percentile + stddev + correlation, matched against
+    * DuckDB's definitions of the same functions. */
+  val q62_stats = Q(
+    "q62_stats",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Aggregation
+        .aggregateMany(
+          li,
+          Seq("l_returnflag"),
+          Seq(("median", "l_quantity", "med_qty"), ("stddev", "l_extendedprice", "sd_price")))
+        .join(
+          li.groupBy(col("l_returnflag"))
+            .agg(
+              percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+              corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr")),
+          Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"),
+          round(col("med_qty"), 2).as("med_qty"),
+          round(col("p90_qty"), 2).as("p90_qty"),
+          round(col("sd_price"), 2).as("sd_price"),
+          round(col("qty_price_corr"), 4).as("qty_price_corr"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+            ROUND(MEDIAN(l_quantity), 2) AS med_qty,
+            ROUND(QUANTILE_CONT(l_quantity, 0.9), 2) AS p90_qty,
+            ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+            ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1599,5 +1661,6 @@ object Queries {
     q45_two_table, q46_resample, q47_prefilter, q48_geo_tz_report,
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
-    q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline)
+    q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline,
+    q61_moving_avg, q62_stats)
 }

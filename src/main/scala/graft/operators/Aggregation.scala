@@ -25,6 +25,7 @@ object Aggregation {
     "approx_count_distinct" -> (c => approx_count_distinct(c)),
     "stddev" -> stddev,
     "variance" -> variance,
+    "median" -> median,
     "first" -> (c => first(c, ignoreNulls = true)),
     "collect_list" -> collect_list,
     "collect_set" -> collect_set)
