@@ -1648,6 +1648,43 @@ object Queries {
             ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** As-of join (custom operator Spark lacks — prompt §custom-operators):
+    * every event picks up its user's most recent tier change at or before
+    * the event time; events before the first change keep tier -1. The
+    * oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    * implementation of the same semantics. */
+  val q63_asof_join = Q(
+    "q63_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val changes = e.select(col("user_id")).distinct()
+        .select(
+          col("user_id"),
+          explode(array(lit("2024-01-05"), lit("2024-01-15"), lit("2024-01-25"))).as("cd"))
+        .select(
+          col("user_id"),
+          to_timestamp(col("cd")).as("cts"),
+          ((col("user_id") + dayofmonth(to_timestamp(col("cd")))) % 5).cast("long").as("tier"))
+      graft.operators.AsOfJoin
+        .asOfJoin(e.select(col("user_id"), col("ts"), col("value")), changes, Seq("user_id"), "ts", "cts")
+        .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("tier")
+    },
+    Some("""WITH changes AS (
+              SELECT user_id, cts,
+                     CAST((user_id + EXTRACT(day FROM cts)) % 5 AS BIGINT) AS tier
+              FROM (SELECT DISTINCT user_id FROM events)
+              CROSS JOIN (SELECT UNNEST([TIMESTAMP '2024-01-05',
+                                         TIMESTAMP '2024-01-15',
+                                         TIMESTAMP '2024-01-25']) AS cts))
+            SELECT CAST(COALESCE(c.tier, -1) AS BIGINT) AS tier,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(e.value), 2) AS total
+            FROM events e ASOF LEFT JOIN changes c
+              ON e.user_id = c.user_id AND e.ts >= c.cts
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1662,5 +1699,5 @@ object Queries {
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
     q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline,
-    q61_moving_avg, q62_stats)
+    q61_moving_avg, q62_stats, q63_asof_join)
 }
