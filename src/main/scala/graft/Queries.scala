@@ -1685,6 +1685,40 @@ object Queries {
               ON e.user_id = c.user_id AND e.ts >= c.cts
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Range join (custom operator Spark lacks): events matched to the
+    * half-open maintenance windows containing them, per event type —
+    * bucketized equi-join + exact predicate. Oracle = DuckDB's plain range
+    * join (natively optimized there), an independent implementation. */
+  val q64_range_join = Q(
+    "q64_range_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val windows = e.select(col("event_type")).distinct()
+        .select(
+          col("event_type"),
+          explode(array(lit("2024-01-08"), lit("2024-01-18"))).as("ws"))
+        .select(
+          col("event_type"),
+          to_timestamp(col("ws")).as("w_start"),
+          (to_timestamp(col("ws")) + expr("INTERVAL 3 DAY")).as("w_end"))
+      graft.operators.RangeJoin
+        .intervalJoin(
+          e.select(col("event_type"), col("ts"), col("value")),
+          windows, Seq("event_type"), "ts", "w_start", "w_end")
+        .groupBy(col("event_type"), date_format(col("w_start"), "yyyy-MM-dd").as("window_start"))
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("event_type", "window_start")
+    },
+    Some("""WITH windows AS (
+              SELECT event_type, ws AS w_start, ws + INTERVAL 3 DAY AS w_end
+              FROM (SELECT DISTINCT event_type FROM events)
+              CROSS JOIN (SELECT UNNEST([TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-18']) AS ws))
+            SELECT e.event_type, strftime(w.w_start, '%Y-%m-%d') AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(e.value), 2) AS total
+            FROM events e JOIN windows w
+              ON e.event_type = w.event_type AND e.ts >= w.w_start AND e.ts < w.w_end
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1699,5 +1733,5 @@ object Queries {
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
     q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline,
-    q61_moving_avg, q62_stats, q63_asof_join)
+    q61_moving_avg, q62_stats, q63_asof_join, q64_range_join)
 }

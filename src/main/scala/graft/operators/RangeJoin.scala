@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: each left row matches the right intervals
+  * containing its timestamp — `key equal AND start <= ts < end` — the other
+  * classic time-series join Spark has no native operator for (a naive join
+  * on the range predicate degenerates to a per-key nested loop).
+  *
+  * Spark-first formulation: bucketize time into fixed-width buckets, explode
+  * each interval to the buckets it covers, tag each left row with its
+  * bucket, equi-join on (key, bucket) — a plain shuffled hash join — and
+  * apply the exact range predicate to the bounded candidate set. Candidate
+  * fan-out per interval is ceil(length/width): pick `bucketWidthSeconds`
+  * near the typical interval length. At 100 TB this keeps the join an
+  * equi-join the planner can hash-partition, never a cartesian per key.
+  * Intervals are half-open: ts == start matches, ts == end does not.
+  */
+object RangeJoin {
+
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyColumns: Seq[String],
+      leftTimeColumn: String,
+      startColumn: String,
+      endColumn: String,
+      bucketWidthSeconds: Long = 86400L): DataFrame = {
+    require(bucketWidthSeconds > 0, "bucketWidthSeconds must be positive")
+    val w = bucketWidthSeconds * 1000000L // microseconds
+    val bucket = "__graft_range_bucket"
+    val lb = left.withColumn(bucket, (unix_micros(col(leftTimeColumn)) / w).cast("long"))
+    // half-open interval: the last covered bucket is the one holding end-1µs
+    val rb = right.withColumn(
+      bucket,
+      explode(sequence(
+        (unix_micros(col(startColumn)) / w).cast("long"),
+        ((unix_micros(col(endColumn)) - 1) / w).cast("long"))))
+    lb.join(rb, keyColumns :+ bucket)
+      .filter(
+        col(leftTimeColumn) >= col(startColumn) && col(leftTimeColumn) < col(endColumn))
+      .drop(bucket)
+  }
+}

@@ -152,4 +152,26 @@ class DatasetExprSpec extends SparkSpec {
     val plan = graft.operators.AsOfJoin.asOfJoin(events, changes, Seq("user"), "ts", "cts")
     assert(graft.plans.PlanChecks.shuffleCount(plan) == 1)
   }
+
+  test("range join: half-open interval containment via bucketized equi-join") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      ("k", ts("2024-01-10 00:00:00"), 1.0), // == start → in
+      ("k", ts("2024-01-11 23:59:59"), 2.0), // inside
+      ("k", ts("2024-01-12 00:00:00"), 3.0), // == end → out
+      ("k", ts("2024-01-15 00:00:00"), 4.0), // in the long interval only
+      ("z", ts("2024-01-10 12:00:00"), 5.0)) // other key, no interval
+      .toDF("key", "ts", "v")
+    val intervals = Seq(
+      ("k", ts("2024-01-10 00:00:00"), ts("2024-01-12 00:00:00"), "short"),
+      ("k", ts("2024-01-09 00:00:00"), ts("2024-01-20 00:00:00"), "long")) // spans many buckets
+      .toDF("key", "start", "end", "name")
+    val out = graft.operators.RangeJoin
+      .intervalJoin(events, intervals, Seq("key"), "ts", "start", "end", bucketWidthSeconds = 86400L)
+      .select("v", "name").collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(out == Set(
+      (1.0, "short"), (2.0, "short"), // half-open: v=3.0 at end excluded
+      (1.0, "long"), (2.0, "long"), (3.0, "long"), (4.0, "long")))
+  }
 }
