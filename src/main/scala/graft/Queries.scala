@@ -1485,7 +1485,8 @@ object Queries {
     Some("""WITH marked AS (
               SELECT user_id, ts,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                     -- half-open gap (>=), matching session_window semantics
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
                      THEN 1 ELSE 0 END AS is_start
               FROM events),
             per_user AS (

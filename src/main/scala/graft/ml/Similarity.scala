@@ -196,8 +196,13 @@ object Similarity {
       vecCol: String = "embedding",
       dimension: Option[Int] = None): DataFrame = {
     // embedding dimensionality: pass it when known; otherwise inferred from
-    // the first row (one tiny driver action)
-    val dim = dimension.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+    // the first row (one tiny driver action). An empty corpus has no pairs.
+    val dim = dimension.getOrElse {
+      val first = df.select(size(col(vecCol))).limit(1).collect()
+      if (first.isEmpty)
+        return df.select(col(idCol).as("id1"), col(idCol).as("id2"), lit(0.0).as("cosine")).limit(0)
+      first(0).getInt(0)
+    }
     // deterministic pseudo-random hyperplanes: component = hash(b,p,i) mapped
     // to [-1,1]. Projections run as posexplode + codegen'd sum aggregates
     // over literal weight arrays (HOF dot products per plane are interpreted

@@ -36,25 +36,31 @@ object AsOfJoin {
 
     val ts = "__graft_asof_ts"
     val side = "__graft_asof_side" // right=0 sorts before left=1 at equal ts
+    val pack = "__graft_asof_payload"
+    // the payload travels as ONE struct: a right row whose payload values
+    // are null still contributes a non-null struct, so the window carries
+    // the latest ROW's attributes — per-column last() would skip nulls and
+    // stitch together values from different right rows
     val l = left
       .withColumn(ts, col(leftTimeColumn))
       .withColumn(side, lit(1))
-      .select((leftCols.map(col) ++ payload.map(c => lit(null).as(c)) ++ Seq(col(ts), col(side))): _*)
+      .select((leftCols.map(col) ++
+        Seq(lit(null).as(pack), col(ts), col(side))): _*)
     val r = right
       .withColumn(ts, col(rightTimeColumn))
       .withColumn(side, lit(0))
       .select((leftCols.map(c => if (keyColumns.contains(c)) col(c) else lit(null).as(c)) ++
-        payload.map(col) ++ Seq(col(ts), col(side))): _*)
+        Seq(struct(payload.map(col): _*).as(pack), col(ts), col(side))): _*)
 
     val w = Window
       .partitionBy(keyColumns.map(col): _*)
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload
-      .foldLeft(l.unionByName(r)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carried = l.unionByName(r)
+      .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
-      .drop(ts, side)
+    payload
+      .foldLeft(carried)((df, c) => df.withColumn(c, col(pack).getField(c)))
+      .drop(pack, ts, side)
   }
 }

@@ -140,18 +140,24 @@ object DimensionFilter {
     * contents would otherwise collide (ref hashes canonical JSON,
     * query_submitter.py:133-160). Record sets are broadcast-small by design,
     * so collecting ids at canonicalization time is bounded. */
-  def canonicalToken(f: DimensionFilter): String = f match {
-    case SubsetFilter(c, sets) =>
-      val ids = sets.flatMap(_.select(col("id")).collect().map(_.get(0).toString)).sorted
-      s"SubsetFilter($c,ids=${ids.mkString(",")})"
-    case SupplementalFilter(c, mapping) =>
-      val pairs = mapping
-        .select(col("from_id"), col("to_id"))
-        .collect()
-        .map(r => s"${r.get(0)}->${r.get(1)}")
-        .sorted
-      s"SupplementalFilter($c,map=${pairs.mkString(",")})"
-    case dataFree => dataFree.toString
+  def canonicalToken(f: DimensionFilter): String = {
+    // length-prefix every value so separator characters inside ids can't
+    // make two different record sets serialize identically
+    // (e.g. {"a,b"} vs {"a","b"})
+    def esc(v: Any): String = { val s = String.valueOf(v); s"${s.length}:$s" }
+    f match {
+      case SubsetFilter(c, sets) =>
+        val ids = sets.flatMap(_.select(col("id")).collect().map(r => esc(r.get(0)))).sorted
+        s"SubsetFilter($c,ids=${ids.mkString(",")})"
+      case SupplementalFilter(c, mapping) =>
+        val pairs = mapping
+          .select(col("from_id"), col("to_id"))
+          .collect()
+          .map(r => s"${esc(r.get(0))}->${esc(r.get(1))}")
+          .sorted
+        s"SupplementalFilter($c,map=${pairs.mkString(",")})"
+      case dataFree => dataFree.toString
+    }
   }
 
   /** A data-free stand-in carrying a canonical token — used only inside

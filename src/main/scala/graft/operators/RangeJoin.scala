@@ -31,12 +31,17 @@ object RangeJoin {
     val w = bucketWidthSeconds * 1000000L // microseconds
     val bucket = "__graft_range_bucket"
     val lb = left.withColumn(bucket, (unix_micros(col(leftTimeColumn)) / w).cast("long"))
-    // half-open interval: the last covered bucket is the one holding end-1µs
-    val rb = right.withColumn(
-      bucket,
-      explode(sequence(
-        (unix_micros(col(startColumn)) / w).cast("long"),
-        ((unix_micros(col(endColumn)) - 1) / w).cast("long"))))
+    // half-open interval: the last covered bucket is the one holding end-1µs.
+    // Degenerate intervals (end <= start) match nothing — dropping them here
+    // matters because sequence(hi, lo) would otherwise generate a DESCENDING
+    // bucket list, a per-row candidate explosion for corrupt rows
+    val rb = right
+      .filter(col(endColumn) > col(startColumn))
+      .withColumn(
+        bucket,
+        explode(sequence(
+          (unix_micros(col(startColumn)) / w).cast("long"),
+          ((unix_micros(col(endColumn)) - 1) / w).cast("long"))))
     lb.join(rb, keyColumns :+ bucket)
       .filter(
         col(leftTimeColumn) >= col(startColumn) && col(leftTimeColumn) < col(endColumn))

@@ -67,6 +67,9 @@ final class Submitter(
     }
     val resolvedFilters = ref.filters.map(resolveFilter)
     val base = prefilterDataset(renamed, resolvedFilters, ref)
+    // loop-invariant (and canonicalization may collect filter record sets):
+    // computed at most once, only if some mapping actually persists
+    lazy val refKey = Models.contentHash(registryToken + Models.canonical(ref))
     val afterMappings = ref.mappings.foldLeft(base) { (df, m) =>
       val table = registry.mapping(m.mappingName)
       val stepMapped =
@@ -80,9 +83,7 @@ final class Submitter(
       // way, dataset_mapping_plan.py) — a different query's prefilters or a
       // registry mutation produce a different key and force recompute
       if (m.persist)
-        persistStep(
-          stepSalted,
-          s"mapstep_${Models.contentHash(registryToken + Models.canonical(ref))}_${m.dimension}_${m.mappingName}")
+        persistStep(stepSalted, s"mapstep_${refKey}_${m.dimension}_${m.mappingName}")
       else stepSalted
     }
     // Exact filter semantics for MAPPED dimensions are enforced HERE, after
@@ -90,11 +91,17 @@ final class Submitter(
     // and a one-to-many mapping can reintroduce project-space values the
     // filter excludes (dataset record X maps to both EUROPE and AFRICA —
     // the prefilter keeps X for EUROPE's sake, so AFRICA rows appear after
-    // the join and must be filtered out again). Runs before the fraction
-    // collapse, so excluded rows never enter the aggregation.
+    // the join and must be filtered out again). Raw filters (no single
+    // target column) are project-space text and run here too when any
+    // mapping exists — applying them to pre-mapping values would silently
+    // match nothing. Runs before the fraction collapse, so excluded rows
+    // never enter the aggregation.
     val mappedDims = ref.mappings.map(_.dimension).toSet
     val exactFiltered = resolvedFilters
-      .filter(f => DimensionFilter.targetColumn(f).exists(mappedDims.contains))
+      .filter(f => DimensionFilter.targetColumn(f) match {
+        case Some(dim) => mappedDims.contains(dim)
+        case None => ref.mappings.nonEmpty
+      })
       .foldLeft(afterMappings)((d, f) => f(d))
     val mappedBase =
       MappingKernel.applyScalingFactor(MappingKernel.applyFraction(exactFiltered))
@@ -145,7 +152,10 @@ final class Submitter(
             val targetIds = f(universe).select(col(dim).as("id"))
             PreFilter.prefilterThroughChain(d, dim, chain, targetIds)
           }
-        case None => f(d)
+        // raw filters are project-space text: only safe to apply before
+        // mapping when there IS no mapping (dataset space == project space);
+        // otherwise the post-mapping exact pass handles them
+        case None => if (ref.mappings.isEmpty) f(d) else d
       }
     }
 
@@ -389,8 +399,13 @@ final class Submitter(
         spark.read.parquet(path)
       else {
         // write to a temp dir, publish with one atomic rename; losing the
-        // rename race to a concurrent submitter is fine — read theirs
-        val tmp = s"$dir/cached_tables/.tmp_${key}_${java.util.UUID.randomUUID().toString.take(8)}"
+        // rename race to a concurrent submitter is fine — read theirs.
+        // Careful: Hadoop rename into an EXISTING directory nests the
+        // source inside it and returns true, so a lost race must also be
+        // detected by looking for our tmp dir under the published entry
+        // (otherwise every race leaks a full duplicate table in scratch).
+        val tmpName = s".tmp_${key}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val tmp = s"$dir/cached_tables/$tmpName"
         build.write.mode("overwrite").parquet(s"$tmp/table.parquet")
         val conf = spark.sparkContext.hadoopConfiguration
         val tmpPath = new org.apache.hadoop.fs.Path(tmp)
@@ -398,6 +413,8 @@ final class Submitter(
         val fs = finalPath.getFileSystem(conf)
         fs.mkdirs(finalPath.getParent)
         if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, true)
+        val nested = new org.apache.hadoop.fs.Path(finalPath, tmpName)
+        if (fs.exists(nested)) fs.delete(nested, true)
         spark.read.parquet(path)
       }
   }

@@ -235,11 +235,20 @@ object Writers {
   }
 
   /** Drop a table AND any stale on-disk location a previous in-memory
-    * catalog session left behind (saveAsTable refuses to reuse it). */
+    * catalog session left behind (saveAsTable refuses to reuse it).
+    * Database-qualified names quote each part separately (backticking the
+    * whole of `db.table` would target a table literally named "db.table"
+    * in the current database) and resolve the managed location under the
+    * warehouse's `<db>.db/<table>` layout. */
   private def dropTableAndStaleLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val (db, tbl) = table.split('.') match {
+      case Array(d, t) => (Some(d), t)
+      case _ => (None, table)
+    }
+    val quoted = db.map(d => s"`$d`.`$tbl`").getOrElse(s"`$tbl`")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
+    val relative = db.map(d => s"${d.toLowerCase}.db/${tbl.toLowerCase}").getOrElse(tbl.toLowerCase)
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), relative)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

@@ -258,10 +258,12 @@ object Resample {
 object Sessionize {
 
   /** Assign `session_id` per key: a new session starts when the gap since
-    * the previous event exceeds `gapSeconds`. Comparison runs in integer
-    * microseconds (exact — no double rounding at second boundaries).
-    * session_id is the running count of session starts, so ids are dense
-    * per key starting at 1. */
+    * the previous event reaches `gapSeconds` — half-open, matching Spark's
+    * streaming session_window (an event exactly `gap` after the previous
+    * one opens a NEW session), so batch and streaming sessionization agree
+    * on boundary events. Comparison runs in integer microseconds (exact —
+    * no double rounding at second boundaries). session_id is the running
+    * count of session starts, so ids are dense per key starting at 1. */
   def assignSessions(
       df: DataFrame,
       timestampColumn: String,
@@ -271,7 +273,7 @@ object Sessionize {
     val w = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(timestampColumn))
     val micros = unix_micros(col(timestampColumn))
     val prev = lag(micros, 1).over(w)
-    val isStart = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    val isStart = when(prev.isNull || micros - prev >= gapSeconds * 1000000L, 1L).otherwise(0L)
     df.withColumn(
       "session_id",
       sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -135,11 +135,15 @@ class DatasetExprSpec extends SparkSpec {
       ("u1", ts("2024-01-02 00:00:00"), 2.0), // exactly at change → inclusive
       ("u1", ts("2024-01-03 12:00:00"), 3.0), // after first, before second
       ("u1", ts("2024-01-05 00:00:01"), 4.0), // after second
+      ("u1", ts("2024-01-07 00:00:00"), 5.5), // after the null-tier change
       ("u2", ts("2024-01-04 00:00:00"), 5.0)) // u2 has its own history
       .toDF("user", "ts", "v")
     val changes = Seq(
       ("u1", ts("2024-01-02 00:00:00"), "bronze"),
       ("u1", ts("2024-01-05 00:00:00"), "gold"),
+      // the LATEST row wins even when its value is null — per-column
+      // last(ignoreNulls) would wrongly carry "gold" forward
+      ("u1", ts("2024-01-06 00:00:00"), null.asInstanceOf[String]),
       ("u2", ts("2024-01-01 00:00:00"), "silver"))
       .toDF("user", "cts", "tier")
     val out = graft.operators.AsOfJoin
@@ -147,7 +151,7 @@ class DatasetExprSpec extends SparkSpec {
       .orderBy("user", "ts")
       .select("v", "tier").collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
     assert(out == Seq(
-      (1.0, null), (2.0, "bronze"), (3.0, "bronze"), (4.0, "gold"), (5.0, "silver")))
+      (1.0, null), (2.0, "bronze"), (3.0, "bronze"), (4.0, "gold"), (5.5, null), (5.0, "silver")))
     // single shuffle: the one keyed window exchange
     val plan = graft.operators.AsOfJoin.asOfJoin(events, changes, Seq("user"), "ts", "cts")
     assert(graft.plans.PlanChecks.shuffleCount(plan) == 1)
