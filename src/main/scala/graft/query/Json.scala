@@ -28,7 +28,8 @@ object Json {
     ProjectQuery(
       name = str(n, "name"),
       datasets = datasetSection(n.get("datasets")),
-      result = Option(n.get("result")).map(resultSection).getOrElse(ResultSection()))
+      result = Option(n.get("result")).map(resultSection).getOrElse(ResultSection()),
+      sessionTimeZone = optStr(n, "session_time_zone"))
   }
 
   def parseDatasetQuery(json: String): DatasetQuery = {
@@ -122,6 +123,164 @@ object Json {
     case "supplemental" =>
       DimensionFilter.SupplementalMappingFilter(str(n, "column"), str(n, "mapping_name"))
     case other => throw new IllegalArgumentException(s"unknown filter_type: $other")
+  }
+
+  // ------------------------------------------------------------------
+  // writer — renders a query back to the same JSON dialect parse* accepts,
+  // so `query.json` sidecars are re-runnable documents (the reference
+  // stores the query JSON beside results, query_submitter.py:614-653).
+  // DataFrame-bearing filters have no JSON form and render as an opaque
+  // content token (parse rejects them; use the registry-resolved forms).
+  // ------------------------------------------------------------------
+
+  def render(q: ProjectQuery): String = {
+    val n = mapper.createObjectNode()
+    n.put("name", q.name)
+    val ds = n.putObject("datasets")
+    val arr = ds.putArray("datasets")
+    q.datasets.datasets.foreach(d => arr.add(datasetRefNode(d)))
+    q.datasets.expression.foreach(ds.put("expression", _))
+    n.set[JsonNode]("result", resultNode(q.result))
+    q.sessionTimeZone.foreach(n.put("session_time_zone", _))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  def render(q: DatasetQuery): String = {
+    val n = mapper.createObjectNode()
+    n.put("name", q.name)
+    n.set[JsonNode]("dataset", datasetRefNode(q.dataset))
+    n.set[JsonNode]("result", resultNode(q.result))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def datasetRefNode(d: DatasetRef): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("dataset_id", d.datasetId)
+    if (d.mappings.nonEmpty) {
+      val ms = n.putArray("mappings")
+      d.mappings.foreach { m =>
+        val mn = ms.addObject()
+        mn.put("dimension", m.dimension)
+        mn.put("mapping_name", m.mappingName)
+        if (m.persist) mn.put("persist", true)
+        m.saltPartitions.foreach(mn.put("salt_partitions", _))
+      }
+    }
+    if (d.persist) n.put("persist", true)
+    if (d.filters.nonEmpty) {
+      val fs = n.putArray("filters")
+      d.filters.foreach(f => fs.add(filterNode(f)))
+    }
+    if (d.columnRenames.nonEmpty) {
+      val r = n.putObject("column_renames")
+      d.columnRenames.foreach { case (from, to) => r.put(from, to) }
+    }
+    d.growth.foreach { g =>
+      val gn = n.putObject("growth")
+      gn.put("dataset_id", g.datasetId)
+      if (g.mappings.nonEmpty) {
+        val ms = gn.putArray("mappings")
+        g.mappings.foreach { m =>
+          val mn = ms.addObject()
+          mn.put("dimension", m.dimension)
+          mn.put("mapping_name", m.mappingName)
+        }
+      }
+      val jc = gn.putArray("join_columns")
+      g.joinColumns.foreach(jc.add)
+      gn.put("model_year_column", g.modelYearColumn)
+      gn.put("base_year", g.baseYear)
+      gn.put("kind", g.kind)
+    }
+    n
+  }
+
+  private def resultNode(r: ResultSection): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = mapper.createObjectNode()
+    if (r.filters.nonEmpty) {
+      val fs = n.putArray("filters")
+      r.filters.foreach(f => fs.add(filterNode(f)))
+    }
+    if (r.supplementalColumns.nonEmpty) {
+      val sc = n.putArray("supplemental_columns")
+      r.supplementalColumns.foreach { s =>
+        val sn = sc.addObject()
+        sn.put("dimension", s.dimension)
+        sn.put("mapping_name", s.mappingName)
+        sn.put("column_name", s.columnName)
+      }
+    }
+    if (r.aggregations.nonEmpty) {
+      val as = n.putArray("aggregations")
+      r.aggregations.foreach { a =>
+        val an = as.addObject()
+        val gb = an.putArray("group_by")
+        a.groupBy.foreach(gb.add)
+        an.put("fn", a.fn)
+      }
+    }
+    if (r.idsToNames.nonEmpty) { val x = n.putArray("ids_to_names"); r.idsToNames.foreach(x.add) }
+    if (r.sortBy.nonEmpty) { val x = n.putArray("sort_by"); r.sortBy.foreach(x.add) }
+    r.pivotDimension.foreach(n.put("pivot_dimension", _))
+    r.timeZone.foreach(n.put("time_zone", _))
+    r.toUnit.foreach(n.put("to_unit", _))
+    if (r.reports.nonEmpty) {
+      val rs = n.putArray("reports")
+      r.reports.foreach { case PeakLoadReport(gb, ties, tie) =>
+        val rn = rs.addObject()
+        rn.put("report_type", "peak_load")
+        val g = rn.putArray("group_by"); gb.foreach(g.add)
+        if (ties) rn.put("keep_ties", true)
+        if (tie.nonEmpty) { val t = rn.putArray("tie_break"); tie.foreach(t.add) }
+      }
+    }
+    if (r.outputRenames.nonEmpty) {
+      val o = n.putObject("output_renames")
+      r.outputRenames.foreach { case (from, to) => o.put(from, to) }
+    }
+    n
+  }
+
+  private def filterNode(f: DimensionFilter): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = mapper.createObjectNode()
+    def anyVal(node: com.fasterxml.jackson.databind.node.ObjectNode, field: String, v: Any): Unit = v match {
+      case l: Long => node.put(field, l): Unit
+      case i: Int => node.put(field, i.toLong): Unit
+      case d: Double => node.put(field, d): Unit
+      case b: Boolean => node.put(field, b): Unit
+      case other => node.put(field, String.valueOf(other)): Unit
+    }
+    f match {
+      case DimensionFilter.ExpressionFilter(c, op, v) =>
+        n.put("filter_type", "expression"); n.put("column", c); n.put("operator", op)
+        anyVal(n, "value", v)
+      case DimensionFilter.RawFilter(e) =>
+        n.put("filter_type", "raw"); n.put("expression", e)
+      case DimensionFilter.ColumnOperatorFilter(c, op, vs, neg) =>
+        n.put("filter_type", "column_operator"); n.put("column", c); n.put("operator", op)
+        val va = n.putArray("values")
+        vs.foreach {
+          case l: Long => va.add(l): Unit
+          case i: Int => va.add(i.toLong): Unit
+          case d: Double => va.add(d): Unit
+          case b: Boolean => va.add(b): Unit
+          case other => va.add(String.valueOf(other)): Unit
+        }
+        if (neg) n.put("negate", true)
+      case DimensionFilter.BetweenFilter(c, lo, hi, neg) =>
+        n.put("filter_type", "between"); n.put("column", c)
+        anyVal(n, "lower", lo); anyVal(n, "upper", hi)
+        if (neg) n.put("negate", true)
+      case DimensionFilter.SubsetDimensionFilter(c, dims) =>
+        n.put("filter_type", "subset"); n.put("column", c)
+        val da = n.putArray("record_dimensions"); dims.foreach(da.add)
+      case DimensionFilter.SupplementalMappingFilter(c, m) =>
+        n.put("filter_type", "supplemental"); n.put("column", c); n.put("mapping_name", m)
+      case opaque => // DataFrame-bearing: no JSON form, content token only
+        n.put("filter_type", "opaque")
+        n.put("token", graft.query.Models.contentHash(DimensionFilter.canonicalToken(opaque)))
+    }
+    n
   }
 
   private def value(n: JsonNode): Any =

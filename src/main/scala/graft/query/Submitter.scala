@@ -301,7 +301,7 @@ final class Submitter(
         val canon = Models.canonical(q)
         val key = Models.contentHash(registryToken + canon)
         val df = cached(key)(postProcess(combine(q.datasets), q.result))
-        writeSidecars(key, q.name, canon, df, reportFrames(df, q.result))
+        writeSidecars(key, q.name, Json.render(q), df, reportFrames(df, q.result))
         df
     }
     q.sessionTimeZone match {
@@ -346,7 +346,7 @@ final class Submitter(
         val canon = Models.canonical(q)
         val key = Models.contentHash(registryToken + canon)
         val df = cached(key)(postProcess(mapDataset(q.dataset), q.result))
-        writeSidecars(key, q.name, canon, df, reportFrames(df, q.result))
+        writeSidecars(key, q.name, Json.render(q), df, reportFrames(df, q.result))
         df
     }
   }
@@ -419,24 +419,20 @@ final class Submitter(
       }
   }
 
-  /** query.json + metadata.json + report tables beside a cached result
-    * (idempotent — derived deterministically from the query). No-op without
-    * a cacheDir. */
+  /** query.json (a RE-RUNNABLE rendered query document, as the reference
+    * stores beside results — query_submitter.py:614-653) + metadata.json +
+    * report tables beside a cached result (idempotent — derived
+    * deterministically from the query). No-op without a cacheDir. */
   private def writeSidecars(
       key: String,
       name: String,
-      canonicalQuery: String,
+      renderedQuery: String,
       df: DataFrame,
       reports: Seq[(String, DataFrame)]): Unit =
     for (dir <- cacheDir) {
       val keyDir = s"$dir/cached_tables/$key"
       if (!registry.hadoopExists(s"$keyDir/query.json")) {
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val qn = m.createObjectNode()
-        qn.put("name", name)
-        qn.put("canonical", canonicalQuery)
-        qn.put("registry_token", registryToken)
-        writeText(s"$keyDir/query.json", m.writerWithDefaultPrettyPrinter().writeValueAsString(qn))
+        writeText(s"$keyDir/query.json", renderedQuery)
         writeText(s"$keyDir/metadata.json", metadataJson(name, df))
       }
       for ((rname, rdf) <- reports)

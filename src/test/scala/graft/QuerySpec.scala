@@ -490,6 +490,42 @@ class QuerySpec extends SparkSpec {
     assert(got == Seq(("s1", 33.0), ("s2", 77.0)))
   }
 
+  test("Json.render round-trips a full query document; query.json sidecar is re-runnable") {
+    val q = ProjectQuery(
+      name = "roundtrip",
+      datasets = DatasetSection(
+        datasets = Seq(DatasetRef(
+          "dsA",
+          mappings = Seq(DimensionMappingRef("geography", "county_to_state", persist = true, saltPartitions = Some(4))),
+          filters = Seq(
+            DimensionFilter.ColumnOperatorFilter("geography", "isin", Seq("s1", "s2")),
+            DimensionFilter.SubsetDimensionFilter("sector", Seq("subsets"))),
+          columnRenames = Seq("geo" -> "geography"))),
+        expression = Some("dsA")),
+      result = ResultSection(
+        filters = Seq(DimensionFilter.BetweenFilter("value", 0L, 100L)),
+        aggregations = Seq(Aggregation(Seq("geography"), "sum")),
+        sortBy = Seq("geography"),
+        timeZone = Some("geography"),
+        reports = Seq(PeakLoadReport(Seq("geography"), tieBreak = Seq("timestamp"))),
+        outputRenames = Seq("geography" -> "state")),
+      sessionTimeZone = Some("America/Denver"))
+    val parsed = graft.query.Json.parseProjectQuery(graft.query.Json.render(q))
+    assert(parsed == q)
+    // and the sidecar written by a caching Submitter parses back to the query
+    val reg = buildRegistry()
+    val cacheDir = Files.createTempDirectory("graft-sidecar").toString
+    val simple = ProjectQuery(
+      name = "sidecar",
+      datasets = DatasetSection(Seq(DatasetRef("dsA"))),
+      result = ResultSection(aggregations = Seq(Aggregation(Seq("geography")))))
+    new Submitter(reg, Some(cacheDir)).submit(simple)
+    val key = contentHash(reg.contentToken + canonical(simple))
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cacheDir/cached_tables/$key/query.json")), "UTF-8")
+    assert(graft.query.Json.parseProjectQuery(doc) == simple)
+  }
+
   test("composite dataset metadata sidecar round-trips") {
     val reg = buildRegistry()
     val sub = new Submitter(reg)
