@@ -59,8 +59,7 @@ object Json {
       // JSON surface accepts the data-free forms; DataFrame-bearing
       // subset/supplemental filters are programmatic-only)
       filters = arr(n, "filters").map(filter),
-      columnRenames = Option(n.get("column_renames")).filterNot(_.isNull).toSeq
-        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue.asText())),
+      columnRenames = renamePairs(n, "column_renames"),
       growth = Option(n.get("growth")).filterNot(_.isNull).map(g =>
         GrowthSpec(
           datasetId = str(g, "dataset_id"),
@@ -86,8 +85,17 @@ object Json {
       timeZone = optStr(n, "time_zone"), // a zone name, or the literal "geography"
       toUnit = optStr(n, "to_unit"),
       reports = arr(n, "reports").map(report),
-      outputRenames = Option(n.get("output_renames")).filterNot(_.isNull).toSeq
-        .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue.asText())))
+      outputRenames = renamePairs(n, "output_renames"))
+
+  /** Renames are ORDERED fold steps: the canonical document form is an
+    * array of {from,to} pairs (a JSON object would collapse duplicate
+    * sources and make order an implementation detail); the object form is
+    * still accepted for hand-written documents. */
+  private def renamePairs(n: JsonNode, field: String): Seq[(String, String)] =
+    Option(n.get(field)).filterNot(_.isNull).toSeq.flatMap { node =>
+      if (node.isArray) node.elements().asScala.map(e => str(e, "from") -> str(e, "to")).toSeq
+      else node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+    }
 
   /** Discriminated on `report_type` (ref ReportType, models.py:186-196). */
   private def report(n: JsonNode): ReportSpec = str(n, "report_type") match {
@@ -172,8 +180,10 @@ object Json {
       d.filters.foreach(f => fs.add(filterNode(f)))
     }
     if (d.columnRenames.nonEmpty) {
-      val r = n.putObject("column_renames")
-      d.columnRenames.foreach { case (from, to) => r.put(from, to) }
+      val r = n.putArray("column_renames")
+      d.columnRenames.foreach { case (from, to) =>
+        val o = r.addObject(); o.put("from", from); o.put("to", to)
+      }
     }
     d.growth.foreach { g =>
       val gn = n.putObject("growth")
@@ -235,41 +245,47 @@ object Json {
       }
     }
     if (r.outputRenames.nonEmpty) {
-      val o = n.putObject("output_renames")
-      r.outputRenames.foreach { case (from, to) => o.put(from, to) }
+      val o = n.putArray("output_renames")
+      r.outputRenames.foreach { case (from, to) =>
+        val p = o.addObject(); p.put("from", from); p.put("to", to)
+      }
     }
     n
   }
 
+  /** One JSON node per filter value — integral types widen to Long and
+    * Float to Double, matching what `value(JsonNode)` parses back (the
+    * round-trip normalizes numeric width, it never stringifies a number). */
+  private def valueNode(v: Any): JsonNode = {
+    val f = mapper.getNodeFactory
+    v match {
+      case l: Long => f.numberNode(l)
+      case i: Int => f.numberNode(i.toLong)
+      case s: Short => f.numberNode(s.toLong)
+      case b: Byte => f.numberNode(b.toLong)
+      case d: Double => f.numberNode(d)
+      case fl: Float => f.numberNode(fl.toDouble)
+      case b: Boolean => f.booleanNode(b)
+      case other => f.textNode(String.valueOf(other))
+    }
+  }
+
   private def filterNode(f: DimensionFilter): com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = mapper.createObjectNode()
-    def anyVal(node: com.fasterxml.jackson.databind.node.ObjectNode, field: String, v: Any): Unit = v match {
-      case l: Long => node.put(field, l): Unit
-      case i: Int => node.put(field, i.toLong): Unit
-      case d: Double => node.put(field, d): Unit
-      case b: Boolean => node.put(field, b): Unit
-      case other => node.put(field, String.valueOf(other)): Unit
-    }
     f match {
       case DimensionFilter.ExpressionFilter(c, op, v) =>
         n.put("filter_type", "expression"); n.put("column", c); n.put("operator", op)
-        anyVal(n, "value", v)
+        n.set[JsonNode]("value", valueNode(v))
       case DimensionFilter.RawFilter(e) =>
         n.put("filter_type", "raw"); n.put("expression", e)
       case DimensionFilter.ColumnOperatorFilter(c, op, vs, neg) =>
         n.put("filter_type", "column_operator"); n.put("column", c); n.put("operator", op)
         val va = n.putArray("values")
-        vs.foreach {
-          case l: Long => va.add(l): Unit
-          case i: Int => va.add(i.toLong): Unit
-          case d: Double => va.add(d): Unit
-          case b: Boolean => va.add(b): Unit
-          case other => va.add(String.valueOf(other)): Unit
-        }
+        vs.foreach(v => va.add(valueNode(v)))
         if (neg) n.put("negate", true)
       case DimensionFilter.BetweenFilter(c, lo, hi, neg) =>
         n.put("filter_type", "between"); n.put("column", c)
-        anyVal(n, "lower", lo); anyVal(n, "upper", hi)
+        n.set[JsonNode]("lower", valueNode(lo)); n.set[JsonNode]("upper", valueNode(hi))
         if (neg) n.put("negate", true)
       case DimensionFilter.SubsetDimensionFilter(c, dims) =>
         n.put("filter_type", "subset"); n.put("column", c)

@@ -419,14 +419,18 @@ final class Submitter(
       }
   }
 
-  /** query.json (a RE-RUNNABLE rendered query document, as the reference
-    * stores beside results — query_submitter.py:614-653) + metadata.json +
-    * report tables beside a cached result (idempotent — derived
-    * deterministically from the query). No-op without a cacheDir. */
+  /** query.json (a rendered query document, re-runnable for every
+    * JSON-expressible query — DataFrame-bearing filters render as opaque
+    * tokens that the parser rejects by design; use the registry-resolved
+    * forms for re-runnable documents) + metadata.json (which records the
+    * registry content token the result was built from) + report tables
+    * beside a cached result. `renderedQuery` is by-name: rendering may
+    * collect filter record sets, so it only runs when a sidecar is
+    * actually written. No-op without a cacheDir. */
   private def writeSidecars(
       key: String,
       name: String,
-      renderedQuery: String,
+      renderedQuery: => String,
       df: DataFrame,
       reports: Seq[(String, DataFrame)]): Unit =
     for (dir <- cacheDir) {
@@ -444,6 +448,10 @@ final class Submitter(
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = m.createObjectNode()
     n.put("name", name)
+    // provenance: which registry state produced this result (the cache key
+    // is a one-way hash, so without this the entry is unattributable after
+    // a registry mutation)
+    n.put("registry_token", registryToken)
     n.put("value_column", ValueColumn)
     val dims = n.putArray("dimension_columns")
     df.columns.filter(c => c != ValueColumn && c != "timestamp").foreach(dims.add)
