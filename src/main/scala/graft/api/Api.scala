@@ -36,7 +36,11 @@ final class Api(
     /** completed/failed jobs are evicted this long after finishing, so a
       * long-running server's job map cannot grow without bound */
     completedJobTtlMillis: Long = 10 * 60 * 1000L,
-    maxCompletedJobs: Int = 256) {
+    maxCompletedJobs: Int = 256,
+    /** cap on submitted-but-unfinished jobs (executing + queued). Past it,
+      * async submissions are rejected with 429 instead of growing the fixed
+      * pool's work queue without bound under a submission burst */
+    maxPendingQueries: Int = 32) {
 
   private var server: HttpServer = _
   private lazy val submitter = new Submitter(registry)
@@ -105,8 +109,14 @@ final class Api(
   private def asyncSubmitHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val id = s"job-${jobSeq.incrementAndGet()}"
       evictFinished()
+      var pending = 0
+      jobs.forEach((_, st) => if (st == Running) pending += 1)
+      if (pending >= maxPendingQueries) {
+        respond(ex, 429, s"""{"error": "too many pending queries ($pending), retry later"}""")
+        return
+      }
+      val id = s"job-${jobSeq.incrementAndGet()}"
       jobs.put(id, Running)
       pool.submit(new Runnable {
         def run(): Unit =
@@ -121,7 +131,13 @@ final class Api(
     def handle(ex: HttpExchange): Unit = {
       val id = ex.getRequestURI.getPath.stripPrefix("/jobs/")
       jobs.get(id) match {
-        case null => respond(ex, 404, s"""{"error": "unknown job"}""")
+        case null =>
+          // ids are monotonic `job-N`: a missing id at or below the current
+          // sequence WAS issued and has been evicted (TTL/cap) — tell the
+          // client "expired" (410), distinct from a never-existing id (404)
+          val issued = id.stripPrefix("job-").toLongOption.exists(n => n > 0 && n <= jobSeq.get())
+          if (issued) respond(ex, 410, s"""{"error": "job expired and was evicted"}""")
+          else respond(ex, 404, s"""{"error": "unknown job"}""")
         case Running => respond(ex, 200, """{"status": "running"}""")
         case Done(rows, _) => respond(ex, 200, rows)
         case Failed(err, _) => respond(ex, 500, s"""{"error": ${quote(err)}}""")

@@ -166,9 +166,26 @@ object DimensionFilter {
     def apply(df: DataFrame): DataFrame = df
   }
 
-  /** Replace DataFrame-bearing filters with content-hashed stand-ins. */
+  /** Numeric width normalization: the JSON codec renders Int/Short/Byte as
+    * Long and Float as Double (JSON has one integral and one floating width),
+    * so a parsed-back query carries wide values. Widening here too means a
+    * programmatically built query and its rendered-and-reparsed twin share
+    * one canonical form — one cache entry, not two. */
+  private def widen(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case other => other
+  }
+
+  /** Replace DataFrame-bearing filters with content-hashed stand-ins and
+    * normalize numeric widths in value-bearing forms. */
   def canonicalize(f: DimensionFilter): DimensionFilter = f match {
     case _: SubsetFilter | _: SupplementalFilter => CanonicalStandIn(canonicalToken(f))
+    case ExpressionFilter(c, op, v) => ExpressionFilter(c, op, widen(v))
+    case ColumnOperatorFilter(c, op, vs, neg) => ColumnOperatorFilter(c, op, vs.map(widen), neg)
+    case BetweenFilter(c, lo, hi, neg) => BetweenFilter(c, widen(lo), widen(hi), neg)
     case dataFree => dataFree
   }
 }

@@ -28,6 +28,20 @@ object RangeJoin {
       endColumn: String,
       bucketWidthSeconds: Long = 86400L): DataFrame = {
     require(bucketWidthSeconds > 0, "bucketWidthSeconds must be positive")
+    // same contract as AsOfJoin: right payload columns (everything but the
+    // join keys and the interval bounds) must not collide with left, or the
+    // using-columns join emits duplicate names and downstream references
+    // fail with AMBIGUOUS_REFERENCE (or silently bind to one side)
+    val payload = right.columns
+      .filterNot(c => keyColumns.contains(c) || c == startColumn || c == endColumn)
+      .toSeq
+    val collisions = payload.intersect(left.columns.toSeq)
+    require(
+      collisions.isEmpty,
+      s"intervalJoin: right payload columns collide with left: ${collisions.mkString(",")}")
+    require(
+      !left.columns.contains(startColumn) && !left.columns.contains(endColumn),
+      s"intervalJoin: left must not carry the interval bound columns ($startColumn, $endColumn)")
     val w = bucketWidthSeconds * 1000000L // microseconds
     val bucket = "__graft_range_bucket"
     val lb = left.withColumn(bucket, (unix_micros(col(leftTimeColumn)) / w).cast("long"))

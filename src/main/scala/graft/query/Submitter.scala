@@ -454,7 +454,13 @@ final class Submitter(
     n.put("registry_token", registryToken)
     n.put("value_column", ValueColumn)
     val dims = n.putArray("dimension_columns")
-    df.columns.filter(c => c != ValueColumn && c != "timestamp").foreach(dims.add)
+    // synthesized columns are not dimensions: the tz-conversion marker
+    // (time_zone) is appended by toSingleZone/toGeographyLocal, not mapped
+    // from a dimension — listing it would make a re-loaded composite treat
+    // it as groupable dimension data
+    df.columns
+      .filter(c => c != ValueColumn && c != "timestamp" && c != TimeZoneColumn)
+      .foreach(dims.add)
     val cols = n.putArray("columns")
     df.columns.foreach(cols.add)
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)

@@ -305,15 +305,27 @@ object TimeZones {
       .withColumn(TimeZoneColumn, lit(tz))
 
   /** Per-geography: join geography records for time_zone, convert each row
-    * to its local clock time. */
+    * to its local clock time. Left join + raise_error, not inner: a row
+    * whose geography id has no record (or whose record has a null
+    * time_zone) must fail fast with a message naming the id, never be
+    * silently dropped from the result. The guard costs no extra Spark job. */
   def toGeographyLocal(
       df: DataFrame,
       timestampColumn: String,
       geographyColumn: String,
       geoRecords: DataFrame): DataFrame = {
     val rec = broadcast(geoRecords.select(col("id").as("__graft_geo_id"), col("time_zone").as(TimeZoneColumn)))
-    df.join(rec, df(geographyColumn) === col("__graft_geo_id"), "inner")
+    df.join(rec, df(geographyColumn) === col("__graft_geo_id"), "left")
       .drop("__graft_geo_id")
+      .withColumn(
+        TimeZoneColumn,
+        when(
+          col(TimeZoneColumn).isNull,
+          raise_error(concat(
+            lit("toGeographyLocal: geography id '"),
+            col(geographyColumn).cast("string"),
+            lit("' has no dimension record with a non-null time_zone"))))
+          .otherwise(col(TimeZoneColumn)))
       .withColumn(timestampColumn, from_utc_timestamp(col(timestampColumn), col(TimeZoneColumn)))
   }
 }

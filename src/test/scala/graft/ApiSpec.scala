@@ -69,4 +69,44 @@ class ApiSpec extends SparkSpec {
       assert(bad.body().contains("error"))
     } finally api.stop()
   }
+
+  test("async submission burst is bounded and evicted jobs answer 410, not 404") {
+    // pending cap of 1: the first submission occupies it, the second gets 429
+    val api = new Api(buildRegistry(), maxPendingQueries = 1, completedJobTtlMillis = 0L)
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val queryDoc = """{
+        "name": "api_q2",
+        "datasets": {"datasets": [{"dataset_id": "ds"}]},
+        "result": {"aggregations": [{"group_by": ["geography"]}]}
+      }"""
+      def post(): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project/async"))
+          .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val first = post()
+      assert(first.statusCode() == 202)
+      val jobId = first.body().split("\"")(3)
+      // burst: while job-1 is pending the next submission must be rejected
+      val burst = (1 to 5).map(_ => post().statusCode())
+      assert(burst.contains(429), s"expected at least one 429 in $burst")
+
+      // wait for the first job to finish, then trigger eviction (ttl=0)
+      var polls = 0
+      while (get(s"/jobs/$jobId").body().contains("running") && polls < 100) {
+        Thread.sleep(200); polls += 1
+      }
+      post() // any new submission runs evictFinished() with ttl 0
+      val expired = get(s"/jobs/$jobId")
+      assert(expired.statusCode() == 410, s"got ${expired.statusCode()}: ${expired.body()}")
+      assert(expired.body().contains("expired"))
+      assert(get("/jobs/job-999999").statusCode() == 404)
+      assert(get("/jobs/not-a-job").statusCode() == 404)
+    } finally api.stop()
+  }
 }

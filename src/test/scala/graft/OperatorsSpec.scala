@@ -178,4 +178,23 @@ class DatasetExprSpec extends SparkSpec {
       (1.0, "short"), (2.0, "short"), // half-open: v=3.0 at end excluded
       (1.0, "long"), (2.0, "long"), (3.0, "long"), (4.0, "long")))
   }
+
+  test("range join rejects payload column collisions up front") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(("k", ts("2024-01-10 00:00:00"), 1.0)).toDF("key", "ts", "v")
+    val intervals = Seq(("k", ts("2024-01-09 00:00:00"), ts("2024-01-12 00:00:00"), 9.0))
+      .toDF("key", "start", "end", "v") // 'v' collides with left
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalJoin(events, intervals, Seq("key"), "ts", "start", "end")
+    }
+    assert(e.getMessage.contains("collide"))
+    val boundClash = Seq(("k", ts("2024-01-09 00:00:00"), ts("2024-01-12 00:00:00"), "n"))
+      .toDF("key", "start", "end", "name")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalJoin(
+        events.withColumn("start", events("ts")), boundClash, Seq("key"), "ts", "start", "end")
+    }
+    assert(e2.getMessage.contains("interval bound"))
+  }
 }

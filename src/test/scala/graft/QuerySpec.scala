@@ -526,6 +526,25 @@ class QuerySpec extends SparkSpec {
     assert(graft.query.Json.parseProjectQuery(doc) == simple)
   }
 
+  test("narrow-numeric filter values share one canonical form with their JSON round-trip") {
+    // JSON carries one integral and one floating width, so a query built with
+    // Int/Float values parses back wide; the cache key must not split in two
+    def q(filters: Seq[DimensionFilter]) = ProjectQuery(
+      name = "widths",
+      datasets = DatasetSection(Seq(DatasetRef("dsA", filters = filters))))
+    val narrow = q(Seq(
+      DimensionFilter.ExpressionFilter("a", "=", 5),
+      DimensionFilter.ColumnOperatorFilter("b", "isin", Seq(1, 2.toShort, 3.toByte)),
+      DimensionFilter.BetweenFilter("c", 0.1f, 10)))
+    val reparsed = graft.query.Json.parseProjectQuery(graft.query.Json.render(narrow))
+    assert(canonical(reparsed) == canonical(narrow))
+    // and the float round-trip preserves the VALUE (widened, not re-read as 0.1d)
+    val hi = reparsed.datasets.datasets.head.filters.collect {
+      case DimensionFilter.BetweenFilter(_, lo, _, _) => lo
+    }.head
+    assert(hi == 0.1f.toDouble)
+  }
+
   test("composite dataset metadata sidecar round-trips") {
     val reg = buildRegistry()
     val sub = new Submitter(reg)

@@ -71,6 +71,25 @@ class TimeEngineSpec extends SparkSpec {
     assert(per.select(col("timestamp").cast("string")).as[String].head() == "2024-06-01 08:00:00")
   }
 
+  test("per-geography tz conversion fails fast on an uncovered geography id") {
+    val df = Seq(
+      ("g1", Timestamp.valueOf("2024-06-01 12:00:00")),
+      ("g2", Timestamp.valueOf("2024-06-01 12:00:00"))) // no record
+      .toDF("geography", "timestamp")
+    val recs = Seq(("g1", "America/New_York")).toDF("id", "time_zone")
+    val e = intercept[Exception] {
+      TimeZones.toGeographyLocal(df, "timestamp", "geography", recs).collect()
+    }
+    assert(e.getMessage.contains("g2"))
+    // a present record with a NULL time_zone must also fail, not convert to UTC
+    val nullTz = Seq(("g1", "America/New_York"), ("g2", null.asInstanceOf[String]))
+      .toDF("id", "time_zone")
+    val e2 = intercept[Exception] {
+      TimeZones.toGeographyLocal(df, "timestamp", "geography", nullTz).collect()
+    }
+    assert(e2.getMessage.contains("g2"))
+  }
+
   test("leap-day adjustments drop the right days") {
     val df = Seq("2024-02-28 10:00:00", "2024-02-29 10:00:00", "2024-12-31 10:00:00", "2024-01-01 10:00:00")
       .map(Timestamp.valueOf).toDF("ts")
