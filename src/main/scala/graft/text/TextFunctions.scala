@@ -43,8 +43,13 @@ object TextFunctions {
     * sf0.1). Callers in hot paths must `withColumn` the tokens first. */
   def wordShinglesFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks)
+    // per-position n fixed element_at lookups + one concat_ws, instead of
+    // slice (array copy) + array_join — HOF lambdas run interpreted, so the
+    // per-element allocation count is what the stage cost scales with
     when(cnt <= n, array(array_join(toks, " "))).otherwise(
-      transform(sequence(lit(0), cnt - lit(n)), i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      transform(
+        sequence(lit(0), cnt - lit(n)),
+        i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + lit(k))): _*)))
   }
 
   /** Word-level n-gram shingles straight from text — convenience for small

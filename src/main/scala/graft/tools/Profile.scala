@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.text.Dedup
 
 /** Scratch profiler for slow catalog queries — times each stage of a
-  * pipeline separately (dev tool, not part of the library surface). */
+  * pipeline separately (dev tool, not part of the library surface).
+  * Mirrors q29's actual shared-shingle pipeline stage by stage. */
 object Profile {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -16,9 +17,10 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -29,19 +31,28 @@ object Profile {
       (col("doc_id") + 1000000L).as("doc_id"),
       array_join(slice(split(trim(col("text")), "\\s+"), lit(1), size(split(trim(col("text")), "\\s+")) - 1), " ")
         .as("text"))
-    val corpus = d.unionByName(clipped).cache()
-    time("corpus materialize")(corpus.count())
+    val corpus = d.unionByName(clipped)
 
-    val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", 64)
-    time("signatures")(sig.write.format("noop").mode("overwrite").save())
+    // untimed warmup pass: JIT/codegen init otherwise lands on stage 1
+    Dedup.minhashNearDuplicates(corpus, "doc_id", "text", 16, 4, 3, 0.8)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
-    val buckets = Dedup.lshBuckets(corpus, "doc_id", "text", 16, 4).cache()
+    // q29's pipeline, stage by stage (minhashNearDuplicates shares the
+    // cached shingle frame between signatures and verify)
+    val shingles = Dedup.shingleSets(corpus, "doc_id", "text", 3).cache()
+    time("shingles materialize")(println("  docs=" + shingles.count()))
+
+    val sig = Dedup.minhashSignaturesFromShingles(shingles, "doc_id", 64)
+    time("signatures (from cached shingles)")(sig.write.format("noop").mode("overwrite").save())
+
+    val buckets = Dedup.lshBucketsFromSignatures(sig, "doc_id", 16, 4).cache()
     time("buckets materialize")(buckets.count())
 
-    val pairs = Dedup.candidatePairs(buckets, "doc_id").cache()
+    val pairs = Dedup.candidatePairs(buckets, "doc_id")
     time("candidate pairs")(println("  pairs=" + pairs.count()))
 
-    val out = Dedup.verifyJaccard(corpus, pairs, "doc_id", "text", 3, 0.8)
+    val out = Dedup.verifyJaccardOnShingles(shingles, pairs, "doc_id", 0.8)
     time("verify jaccard")(println("  verified=" + out.count()))
 
     spark.stop()
