@@ -1728,6 +1728,121 @@ object Queries {
               ON e.event_type = w.event_type AND e.ts >= w.w_start AND e.ts < w.w_end
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Cross-engine-replayable uniform for the sampling catalog queries:
+    * a Knuth multiplicative mix of the id plus a seed offset, in long
+    * space (products stay < 2^62 for test-data ids, safe under ANSI) —
+    * the same arithmetic is spelled in the DuckDB oracles. Production
+    * callers keep the xxhash64 default; the INJECTION POINT is what these
+    * queries exercise. */
+  private val KnuthA = 2654435761L
+  private val UniformM = 1000000000L
+  private def seedOffset(seed: String): Long =
+    seed.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+  private def knuthUniform(key: Column, seed: String): Column =
+    pmod(key.cast("long") * lit(KnuthA) + lit(seedOffset(seed)), lit(UniformM))
+      .cast("double") / lit(UniformM.toDouble)
+  private def knuthUniformSql(keyExpr: String, seed: String): String =
+    s"(($keyExpr * $KnuthA + ${seedOffset(seed)}) % $UniformM) / $UniformM.0"
+
+  /** Deterministic stratified sampling (training-data pipeline op): keep
+    * 40% of English docs, 15% of everything else, reproducibly — the
+    * content-keyed Bernoulli sample a corpus refresh needs (DataFrame
+    * .sample is partition-keyed and unstable). Map-side, zero shuffle. */
+  val q65_stratified_sample = Q(
+    "q65_stratified_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling
+        .stratifiedSample(d, "doc_id", "lang", Map("en" -> 0.4), defaultFraction = 0.15,
+          seed = "r3", uniform = knuthUniform)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             FROM documents
+             WHERE ${knuthUniformSql("doc_id", "r3")} < CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** Token-budget shard packing (training-data pipeline op): exact
+    * sequential packing per source along doc_id order, then the shard
+    * manifest a trainer schedules from. The window partitions by source —
+    * the real partitioning column that keeps the 100 TB case from a
+    * global sort. */
+  val q66_shard_pack = Q(
+    "q66_shard_pack",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val sharded = graft.text.Sharding
+        .packBySequence(d, "doc_id", "n_chars", budgetTokens = 50000L, partitionCols = Seq("source"))
+      graft.text.Sharding.shardManifest(sharded, "n_chars", extraKeys = Seq("source"))
+        .select(col("source"), col("shard"), col("n_docs"), col("total_tokens"))
+        .orderBy("source", "shard")
+    },
+    Some("""WITH cum AS (
+              SELECT source, n_chars,
+                     SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS c
+              FROM documents)
+            SELECT source, CAST(FLOOR((c - n_chars) / 50000) AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_tokens
+            FROM cum GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Quantile filtering (training-data pipeline op): keep docs at or above
+    * the per-language p75 of length — exact percent_rank form (the
+    * approx-threshold scale path is spec-covered). */
+  val q67_quantile_filter = Q(
+    "q67_quantile_filter",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling.filterByQuantile(d, "n_chars", 0.75, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH pr AS (
+              SELECT lang, n_chars,
+                     PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS p
+              FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM pr WHERE p >= 0.75 GROUP BY 1 ORDER BY 1"""))
+
+  /** Weighted corpus mixing (training-data pipeline op): a two-source
+    * training mix — every doc of the rarer source, 30% of the dominant
+    * one — with per-source independent keep decisions and provenance. */
+  val q68_weighted_mix = Q(
+    "q68_weighted_mix",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      // "web" = the even-numbered src buckets (half the corpus, downsampled
+      // to 30%); "curated" = the odd ones, kept whole
+      val isWeb = regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 2 === 0
+      val web = d.filter(isWeb)
+      val rest = d.filter(!isWeb)
+      graft.text.Sampling
+        .weightedMix(
+          Seq(("web", web, 0.3), ("curated", rest, 1.0)),
+          "doc_id", seed = "mix", uniform = knuthUniform)
+        .groupBy(col("mix_source"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("mix_source")
+    },
+    Some(s"""SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             FROM (
+               SELECT 'web' AS mix_source, n_chars FROM documents
+               WHERE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
+                 AND ${knuthUniformSql("doc_id", "mix|web")} < 0.3
+               UNION ALL
+               SELECT 'curated' AS mix_source, n_chars FROM documents
+               WHERE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 1
+                 AND ${knuthUniformSql("doc_id", "mix|curated")} < 1.0)
+             GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1742,5 +1857,7 @@ object Queries {
     q49_column_renames, q50_subset_filter, q51_supplemental_filter, q52_dst,
     q53_single_tz, q54_autopartition, q55_warehouse, q56_bucketed_join,
     q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline,
-    q61_moving_avg, q62_stats, q63_asof_join, q64_range_join)
+    q61_moving_avg, q62_stats, q63_asof_join, q64_range_join,
+    q65_stratified_sample, q66_shard_pack, q67_quantile_filter,
+    q68_weighted_mix)
 }

@@ -113,8 +113,12 @@ object Similarity {
       numCentroids: Int,
       iterations: Int = 3,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    var cents = sampleCentroids(corpus, numCentroids, idCol, vecCol)
+      vecCol: String = "embedding",
+      /** seed with k-means|| (default) or the cheap hash sample */
+      parallelInit: Boolean = true): DataFrame = {
+    var cents =
+      if (parallelInit) kmeansParallelInit(corpus, numCentroids, idCol = idCol, vecCol = vecCol)
+      else sampleCentroids(corpus, numCentroids, idCol, vecCol)
     val vecs = corpus.select(col(idCol), col(vecCol))
     for (_ <- 0 until iterations) {
       cents = assignToCentroids(vecs, cents, idCol, vecCol)
@@ -130,9 +134,117 @@ object Similarity {
     cents
   }
 
+  /** k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB 2012)
+    * expressed as DataFrame ops with DETERMINISTIC hash-based sampling:
+    *
+    *   1. seed with the min-id-hash vector;
+    *   2. per round, compute each point's squared distance to its nearest
+    *      chosen candidate (map-side: candidates are driver-collected
+    *      literals, `array_min` over unrolled codegen'd distances — no
+    *      join, no shuffle), total cost φ in one agg, then keep each point
+    *      independently with probability `l·d²/φ` — "randomness" is a
+    *      per-(id, round) xxhash64 mapped to [0,1), so reruns pick the
+    *      same candidates;
+    *   3. weight every candidate by the corpus points nearest to it (one
+    *      zero-shuffle assignment + a count), and reduce the ~l·rounds
+    *      candidates to k on the driver with the weighted farthest-point
+    *      heuristic (candidates are tiny by construction).
+    *
+    * Two passes over the corpus per round, never an N×C shuffle — the
+    * cluster-scale seeding the sample init can't provide when a corpus has
+    * far-apart modes that one hash sample misses. */
+  def kmeansParallelInit(
+      corpus: DataFrame,
+      k: Int,
+      rounds: Int = 2,
+      oversampling: Int = 0, // l; 0 → 2k
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "kmeansParallelInit: k must be positive")
+    val l = if (oversampling > 0) oversampling else 2 * k
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    def asVec(r: org.apache.spark.sql.Row): (Any, Array[Double]) =
+      (r.get(0), r.getSeq[Any](1).map { case n: Number => n.doubleValue }.toArray)
+
+    var candidates = sampleCentroids(corpus, 1, idCol, vecCol).collect().map(asVec).toVector
+    require(candidates.nonEmpty, "kmeansParallelInit: empty corpus")
+
+    def sqDistToNearest: Column = {
+      val xx = dot(col(vecCol), col(vecCol))
+      array_min(array(candidates.map { case (_, c) =>
+        val cc = c.map(x => x * x).sum
+        xx - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)) + lit(cc)
+      }: _*))
+    }
+
+    for (r <- 0 until rounds) {
+      val withCost = vecs.withColumn("__graft_d2", greatest(sqDistToNearest, lit(0.0)))
+      val phi = withCost.agg(sum(col("__graft_d2"))).collect()(0).getDouble(0)
+      if (phi > 0) {
+        // deterministic uniform in [0,1) from (id, round)
+        val u = pmod(xxhash64(concat(col(idCol).cast("string"), lit(s"|kmpp$r"))), lit(1000000000L))
+          .cast("double") / lit(1e9)
+        val sampled = withCost
+          .filter(u < least(lit(l) * col("__graft_d2") / lit(phi), lit(1.0)))
+          .select(col(idCol), col(vecCol))
+          .orderBy(col(idCol)) // stable order; expected size ≈ l, hard-capped
+          .limit(4 * l)
+          .collect().map(asVec)
+        val known = candidates.map(_._1).toSet
+        candidates = candidates ++ sampled.filterNot(c => known.contains(c._1))
+      }
+    }
+
+    // weight candidates by population, then reduce to k driver-side
+    val candFrame = {
+      val s = corpus.sparkSession
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        candidates.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    }
+    val weights = assignToCentroids(vecs, candFrame, idCol, vecCol)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val byId = candidates.toMap
+
+    // weighted farthest-point: start at the heaviest candidate, then
+    // repeatedly add the candidate maximizing weight × d² to the chosen set
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val ordered = candidates.sortBy { case (id, _) => (-weights.getOrElse(id, 0L), String.valueOf(id)) }
+    var chosen = Vector(ordered.head)
+    while (chosen.size < math.min(k, candidates.size)) {
+      val chosenIds = chosen.map(_._1).toSet
+      val next = ordered
+        .filterNot(c => chosenIds.contains(c._1))
+        .maxBy { case (id, v) =>
+          (weights.getOrElse(id, 0L).toDouble * chosen.map(c => d2(v, c._2)).min, String.valueOf(id))
+        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+      chosen = chosen :+ next
+    }
+    val s = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      chosen.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.map(_.toFloat).toSeq)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id", corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+  }
+
   /** Pick `numCentroids` deterministic pseudo-random "centroids" from the
-    * corpus itself — a cheap stand-in for k-means that keeps the pipeline
-    * deterministic and testable; swap in MLlib KMeans offline for
+    * corpus itself — the cheap seeding (see `kmeansParallelInit` for the
+    * quality-first one); swap in MLlib KMeans offline for
     * production cells. Selection = top-k by id-hash: `orderBy(hash).limit`
     * compiles to TakeOrderedAndProject (per-partition top-k merged on the
     * driver), so no single-partition global sort at corpus scale. */

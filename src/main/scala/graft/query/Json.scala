@@ -85,7 +85,8 @@ object Json {
       timeZone = optStr(n, "time_zone"), // a zone name, or the literal "geography"
       toUnit = optStr(n, "to_unit"),
       reports = arr(n, "reports").map(report),
-      outputRenames = renamePairs(n, "output_renames"))
+      outputRenames = renamePairs(n, "output_renames"),
+      columnType = optStr(n, "column_type").getOrElse(Models.ColumnTypeDimensionTypes))
 
   /** Renames are ORDERED fold steps: the canonical document form is an
     * array of {from,to} pairs (a JSON object would collapse duplicate
@@ -250,6 +251,7 @@ object Json {
         val p = o.addObject(); p.put("from", from); p.put("to", to)
       }
     }
+    if (r.columnType != Models.ColumnTypeDimensionTypes) n.put("column_type", r.columnType)
     n
   }
 

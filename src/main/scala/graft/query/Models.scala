@@ -104,11 +104,18 @@ object Models {
       /** reports computed from the result and written beside it
         * (ref ReportInputModel, models.py:193-196) */
       reports: Seq[ReportSpec] = Nil,
-      /** final output column renames — the minimal form of the reference's
-        * column_type / query-name output naming (models.py:513-519,568-576):
-        * internal columns are dimension-type names; this maps them to the
-        * caller's presentation names at the very end */
-      outputRenames: Seq[(String, String)] = Nil)
+      /** final output column renames — the reference's query-name output
+        * naming: internal columns are dimension-type names; this maps them
+        * to the caller's presentation names at the very end */
+      outputRenames: Seq[(String, String)] = Nil,
+      /** what the result's dimension columns are named (ref ColumnType,
+        * models.py:104-109,513-519,568-576): `"dimension_types"` keeps the
+        * engine's internal type names (geography, sector, …) — required to
+        * register the result as a derived dataset, which must stay
+        * re-queryable by type name; `"dimension_names"` presents the
+        * caller's names via outputRenames/idsToNames. Validation enforces
+        * that dimension_types queries carry no outputRenames. */
+      columnType: String = Models.ColumnTypeDimensionTypes)
 
   /** Report attachments (ref: dsgrid/query/models.py:186-196 + the peak-load
     * report, report_peak_load.py). */
@@ -160,6 +167,10 @@ object Models {
       dataset = q.dataset.copy(filters = q.dataset.filters.map(DimensionFilter.canonicalize)),
       result = q.result.copy(filters = q.result.filters.map(DimensionFilter.canonicalize)))
       .toString
+
+  /** ColumnType values (ref models.py:104-109). */
+  val ColumnTypeDimensionTypes = "dimension_types"
+  val ColumnTypeDimensionNames = "dimension_names"
 
   def contentHash(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -242,8 +242,25 @@ final class Submitter(
     * dataset_schema_handler_base.py:669-745); without this, errors surface
     * mid-combine as opaque analysis exceptions — or hours into a 100 TB
     * run. Schema derivation is plan analysis only, no action. */
+  /** ColumnType checks shared by both query kinds (ref ColumnType,
+    * models.py:104-109,513-519,568-576): the value must be known, and a
+    * `dimension_types` result keeps the internal type names — presentation
+    * renames would contradict the declared column type. */
+  private def validateResult(queryName: String, r: ResultSection): Unit = {
+    require(
+      r.columnType == Models.ColumnTypeDimensionTypes || r.columnType == Models.ColumnTypeDimensionNames,
+      s"query '$queryName': unknown column_type '${r.columnType}' " +
+        s"(expected '${Models.ColumnTypeDimensionTypes}' or '${Models.ColumnTypeDimensionNames}')")
+    if (r.columnType == Models.ColumnTypeDimensionTypes)
+      require(r.outputRenames.isEmpty,
+        s"query '$queryName': column_type '${Models.ColumnTypeDimensionTypes}' keeps internal " +
+          "dimension-type column names, but output_renames was given — set " +
+          s"column_type to '${Models.ColumnTypeDimensionNames}' or drop the renames")
+  }
+
   def validate(q: ProjectQuery): Unit = {
     require(q.datasets.datasets.nonEmpty, s"query '${q.name}': no datasets")
+    validateResult(q.name, q.result)
     val known = registry.listDatasets().toSet
     val knownMappings = registry.listMappings().toSet
     for (d <- q.datasets.datasets) {
@@ -325,6 +342,7 @@ final class Submitter(
 
   /** DatasetQuery validation: same fail-fast checks, single dataset. */
   def validate(q: DatasetQuery): Unit = {
+    validateResult(q.name, q.result)
     require(registry.listDatasets().contains(q.dataset.datasetId),
       s"query '${q.name}': unknown dataset '${q.dataset.datasetId}'")
     val knownMappings = registry.listMappings().toSet
@@ -377,9 +395,17 @@ final class Submitter(
   }
 
   /** Promote a query result to a registered derived dataset other queries
-    * can consume (ref: dsgrid/query/derived_dataset.py:35-180). */
-  def registerDerivedDataset(id: String, q: ProjectQuery): Unit =
+    * can consume (ref: dsgrid/query/derived_dataset.py:35-180). The query
+    * must declare `column_type = dimension_types`: a derived dataset is
+    * re-queryable only if its columns carry the internal dimension-type
+    * names (ref models.py:513-519 states the same requirement). */
+  def registerDerivedDataset(id: String, q: ProjectQuery): Unit = {
+    require(q.result.columnType == Models.ColumnTypeDimensionTypes,
+      s"registerDerivedDataset('$id'): query '${q.name}' has column_type " +
+        s"'${q.result.columnType}' — a derived dataset must be registered from a " +
+        s"'${Models.ColumnTypeDimensionTypes}' result so its columns stay re-queryable by type name")
     graft.registry.Registry.registerDataset(registry, id, submit(q))
+  }
 
   def submitComposite(id: String, result: ResultSection): DataFrame =
     postProcess(

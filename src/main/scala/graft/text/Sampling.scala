@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus-mixing operators for training-data
+  * pipelines.
+  *
+  * All sampling here is CONTENT-keyed (a hash of the row's id), never
+  * partition-keyed like `DataFrame.sample`: the kept set is reproducible
+  * across runs, cluster sizes, partition layouts, and even engine versions —
+  * the property a 100 TB corpus refresh needs so yesterday's sample and
+  * today's differ only by the new rows. Every operator is a map-side
+  * filter/projection (zero shuffle) unless stated otherwise.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) column derived deterministically from `key` (and a
+    * seed), via xxhash64 — the default randomness source. */
+  def uniformHash(key: Column, seed: String = ""): Column =
+    pmod(xxhash64(concat(key.cast("string"), lit("|" + seed))), lit(1000000000L))
+      .cast("double") / lit(1e9)
+
+  /** Deterministic Bernoulli sample: keep each row iff its id-derived
+    * uniform < fraction. Map-side, no shuffle, stable under repartitioning
+    * (unlike `df.sample`, whose kept set changes with partition layout). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double, seed: String = ""): DataFrame =
+    sampleWith(df, uniformHash(col(idCol), seed), fraction)
+
+  /** Bernoulli sample with a caller-supplied uniform column — for pipelines
+    * that need a specific (e.g. cross-engine reproducible) mixing function
+    * instead of xxhash64. */
+  def sampleWith(df: DataFrame, uniform: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.filter(uniform < lit(fraction))
+  }
+
+  /** Stratified Bernoulli sample: per-stratum keep fractions (strata the
+    * map doesn't name fall back to `defaultFraction`). Still one map-side
+    * filter — the fraction lookup is a when-ladder over the (small by
+    * definition) strata map, so nothing is joined or shuffled. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: String = "",
+      uniform: (Column, String) => Column = uniformHash(_, _)): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "all fractions must be in [0,1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(uniform(col(idCol), seed) < frac)
+  }
+
+  /** EXACTLY `n` rows per stratum (or all rows of a smaller stratum),
+    * chosen deterministically by id-hash order — the reproducible
+    * equivalent of per-group reservoir sampling. One shuffle keyed by the
+    * strata columns; the window's per-group state is a counter, so skewed
+    * strata stream through without materializing the group. */
+  def exactSamplePerStratum(
+      df: DataFrame,
+      idCol: String,
+      strataCols: Seq[String],
+      n: Int,
+      seed: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(uniformHash(col(idCol), seed), col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n)
+      .drop("__graft_rn")
+  }
+
+  /** Weighted corpus mix: sample each source at its weight and union the
+    * survivors, tagging provenance. Weights are KEEP fractions in [0,1]
+    * (a training-mix recipe like "10% of CC, all of books"); sources must
+    * share a schema (unionByName). Map-side per source. */
+  def weightedMix(
+      sources: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      sourceColumn: String = "mix_source",
+      seed: String = "",
+      /** randomness source as (key, seedString) => uniform-in-[0,1) —
+        * override when the keep decision must be replayable outside this
+        * engine (xxhash64 is Spark-internal) */
+      uniform: (Column, String) => Column = uniformHash(_, _)): DataFrame = {
+    require(sources.nonEmpty, "weightedMix: no sources")
+    sources.map { case (name, df, weight) =>
+      // fold the source name into the seed so identical ids in different
+      // sources make independent keep decisions
+      sampleWith(df, uniform(col(idCol), s"$seed|$name"), weight)
+        .withColumn(sourceColumn, lit(name))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Keep rows at or above the `q`-quantile of `valueCol` within each
+    * stratum — "top quartile quality per language". Exact percent_rank
+    * (one shuffle keyed by the strata); at corpus scale prefer
+    * `filterAboveApproxQuantile`, which turns the window into a pre-computed
+    * threshold + map-side filter. */
+  def filterByQuantile(
+      df: DataFrame,
+      valueCol: String,
+      minQuantile: Double,
+      strataCols: Seq[String]): DataFrame = {
+    require(minQuantile >= 0 && minQuantile <= 1, s"quantile must be in [0,1]: $minQuantile")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(col(valueCol))
+    df.withColumn("__graft_pr", percent_rank().over(w))
+      .filter(col("__graft_pr") >= lit(minQuantile))
+      .drop("__graft_pr")
+  }
+
+  /** Scale path of `filterByQuantile`: one approx_percentile aggregation
+    * computes a per-stratum threshold (broadcast back), then a map-side
+    * filter — no global window, so the 100 TB corpus never sorts. The
+    * approximation is on the THRESHOLD, not the kept rows' values. */
+  def filterAboveApproxQuantile(
+      df: DataFrame,
+      valueCol: String,
+      minQuantile: Double,
+      strataCols: Seq[String],
+      accuracy: Int = 10000): DataFrame = {
+    require(minQuantile >= 0 && minQuantile <= 1, s"quantile must be in [0,1]: $minQuantile")
+    val thresholds = df
+      .groupBy(strataCols.map(col): _*)
+      .agg(approx_percentile(col(valueCol), lit(minQuantile), lit(accuracy)).as("__graft_thr"))
+    df.join(broadcast(thresholds), strataCols)
+      .filter(col(valueCol) >= col("__graft_thr"))
+      .drop("__graft_thr")
+  }
+}

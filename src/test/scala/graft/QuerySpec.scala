@@ -449,7 +449,8 @@ class QuerySpec extends SparkSpec {
       result = ResultSection(
         aggregations = Seq(Aggregation(Seq("geography"))),
         sortBy = Seq("geography"), // refers to the INTERNAL name
-        outputRenames = Seq("geography" -> "state", ValueColumn -> "mwh")))
+        outputRenames = Seq("geography" -> "state", ValueColumn -> "mwh"),
+        columnType = ColumnTypeDimensionNames))
     val out = new Submitter(reg).submit(q)
     assert(out.columns.toSeq == Seq("state", "mwh"))
     assert(rows(out).map(_(0)) == Seq("s1", "s2"))
@@ -490,6 +491,36 @@ class QuerySpec extends SparkSpec {
     assert(got == Seq(("s1", 33.0), ("s2", 77.0)))
   }
 
+  test("column_type: dimension_names enables renames, dimension_types gates derived datasets") {
+    val reg = buildRegistry()
+    val sub = new Submitter(reg)
+    def q(ct: String, renames: Seq[(String, String)]) = ProjectQuery(
+      name = "ct",
+      datasets = DatasetSection(Seq(DatasetRef("dsA", Seq(DimensionMappingRef("geography", "county_to_state"))))),
+      result = ResultSection(
+        aggregations = Seq(Aggregation(Seq("geography"))),
+        outputRenames = renames,
+        columnType = ct))
+    // dimension_types (the default) + presentation renames contradict each other
+    val e = intercept[IllegalArgumentException] {
+      sub.validate(q(ColumnTypeDimensionTypes, Seq("geography" -> "state")))
+    }
+    assert(e.getMessage.contains("column_type"))
+    intercept[IllegalArgumentException] { sub.validate(q("nope", Nil)) }
+    // a dimension_names result cannot become a derived dataset (ref models.py:513-519)
+    val e2 = intercept[IllegalArgumentException] {
+      sub.registerDerivedDataset("bad_derived", q(ColumnTypeDimensionNames, Seq("geography" -> "state")))
+    }
+    assert(e2.getMessage.contains("derived"))
+    // and the happy path still renames
+    val out = sub.submit(q(ColumnTypeDimensionNames, Seq("geography" -> "state")))
+    assert(out.columns.toSeq.contains("state"))
+    // column_type survives the JSON round-trip
+    val rt = graft.query.Json.parseProjectQuery(
+      graft.query.Json.render(q(ColumnTypeDimensionNames, Seq("geography" -> "state"))))
+    assert(rt.result.columnType == ColumnTypeDimensionNames)
+  }
+
   test("Json.render round-trips a full query document; query.json sidecar is re-runnable") {
     val q = ProjectQuery(
       name = "roundtrip",
@@ -508,7 +539,8 @@ class QuerySpec extends SparkSpec {
         sortBy = Seq("geography"),
         timeZone = Some("geography"),
         reports = Seq(PeakLoadReport(Seq("geography"), tieBreak = Seq("timestamp"))),
-        outputRenames = Seq("geography" -> "state")),
+        outputRenames = Seq("geography" -> "state"),
+        columnType = ColumnTypeDimensionNames),
       sessionTimeZone = Some("America/Denver"))
     val parsed = graft.query.Json.parseProjectQuery(graft.query.Json.render(q))
     assert(parsed == q)

@@ -191,6 +191,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("kmeans|| init is deterministic and seeds one centroid per far-apart mode") {
+    val corpus = clusteredVecs
+    val a = Similarity.kmeansParallelInit(corpus, 3)
+    val b = Similarity.kmeansParallelInit(corpus, 3)
+    val idsA = a.select("centroid_id").collect().map(_.getLong(0)).toSet
+    assert(idsA == b.select("centroid_id").collect().map(_.getLong(0)).toSet, "must be deterministic")
+    assert(a.count() == 3)
+    // the 3 seeds must land in 3 DIFFERENT modes (ids mod 3 partition the
+    // clusters) — the failure mode of one hash sample is 2 seeds in one mode
+    assert(idsA.map(_ % 3).size == 3, s"seeds $idsA collapse onto a shared mode")
+    // and Lloyd started from it keeps the recall bar
+    val centroids = Similarity.kmeansCentroids(corpus, 3, iterations = 2)
+    val cells = Similarity.assignToCentroids(corpus, centroids)
+    val queries = corpus.filter($"vec_id" < 6)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, cells, centroids, k = 3, probes = 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect approx).size.toDouble / exact.size >= 0.9)
+  }
+
   test("cosine near-duplicates finds scaled copies") {
     val dim64 = (id: Long, seed: Int) =>
       (id, (0 until 64).map(i => (math.sin(seed * 31 + i) * 10).toFloat))
@@ -239,5 +260,86 @@ class MultimodalSpec extends SparkSpec {
       .select("media_id", "resized_payload")
       .withColumn("resized_payload", hex($"resized_payload")))
     assert(a == b)
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.{Sampling, Sharding}
+
+  private def docs = (0 until 1000)
+    .map(i => (i.toLong, if (i % 4 == 0) "en" else "de", if (i % 3 == 0) "web" else "book", 100 + i % 50))
+    .toDF("doc_id", "lang", "source", "n_chars")
+
+  test("hash sample is deterministic, partition-layout independent, near the fraction") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "kept set must not depend on partitioning")
+    assert(math.abs(a.size - 300) < 60, s"got ${a.size}, expected ≈300")
+    // different seeds make independent decisions
+    val c = Sampling.hashSample(docs, "doc_id", 0.3, seed = "other").select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("stratified sample applies per-stratum fractions") {
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.0), defaultFraction = 0.0)
+    assert(kept.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    assert(kept.count() == 250)
+  }
+
+  test("exact per-stratum sample returns exactly n rows per group, deterministically") {
+    val s1 = Sampling.exactSamplePerStratum(docs, "doc_id", Seq("lang"), 10)
+    val counts = s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 10L, "de" -> 10L))
+    val s2 = Sampling.exactSamplePerStratum(docs, "doc_id", Seq("lang"), 10)
+    assert(s1.select("doc_id").as[Long].collect().toSet == s2.select("doc_id").as[Long].collect().toSet)
+    // a stratum smaller than n survives whole
+    val tiny = Sampling.exactSamplePerStratum(docs.filter($"doc_id" < 3), "doc_id", Seq("lang"), 10)
+    assert(tiny.count() == 3)
+  }
+
+  test("weighted mix keeps everything at weight 1 and tags provenance") {
+    val web = docs.filter($"source" === "web")
+    val book = docs.filter($"source" =!= "web")
+    val mix = Sampling.weightedMix(Seq(("web", web, 1.0), ("book", book, 0.5)), "doc_id")
+    val bys = mix.groupBy("mix_source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys("web") == web.count())
+    assert(math.abs(bys("book") - book.count() / 2.0) < 60)
+  }
+
+  test("quantile filter keeps the top quarter per stratum; approx path agrees on the threshold") {
+    val kept = Sampling.filterByQuantile(docs, "n_chars", 0.75, Seq("lang"))
+    // per lang: 50 distinct n_chars values uniformly — p75 keeps ≈ a quarter
+    val frac = kept.count().toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.32, s"kept fraction $frac")
+    assert(Sampling.filterByQuantile(docs, "n_chars", 0.0, Seq("lang")).count() == 1000)
+    val approx = Sampling.filterAboveApproxQuantile(docs, "n_chars", 0.75, Seq("lang"))
+    // the two define the p75 boundary slightly differently (percent_rank of
+    // the max kept vs interpolated percentile) — thresholds agree within a
+    // few grid steps on this 50-value grid
+    val exactMin = kept.agg(min($"n_chars")).head().getInt(0)
+    val approxMin = approx.agg(min($"n_chars")).head().getInt(0)
+    assert(math.abs(approxMin - exactMin) <= 3, s"approx $approxMin vs exact $exactMin")
+  }
+
+  test("hash sharding balances token totals; sequence packing respects the budget") {
+    val byHash = Sharding.shardByHash(docs, "doc_id", "n_chars", budgetTokens = 20000L)
+    val manifest = Sharding.shardManifest(byHash, "n_chars").collect()
+    val total = docs.agg(sum($"n_chars")).head().getLong(0)
+    assert(manifest.map(_.getAs[Long]("total_tokens")).sum == total, "sharding must partition the corpus")
+    assert(manifest.length == ((total + 19999) / 20000).toInt)
+    // expected balance: no shard more than 2x the budget on this uniform corpus
+    assert(manifest.map(_.getAs[Long]("total_tokens")).max < 40000L)
+
+    val packed = Sharding.packBySequence(docs, "doc_id", "n_chars", budgetTokens = 20000L)
+    val m2 = Sharding.shardManifest(packed, "n_chars").collect()
+    assert(m2.map(_.getAs[Long]("total_tokens")).sum == total)
+    // exact packing: every shard's DOCS START below the boundary, so a shard
+    // never exceeds budget + one document
+    assert(m2.map(_.getAs[Long]("total_tokens")).max <= 20000L + 149)
+    // shard ids are contiguous from 0 in sequence order
+    val ids = m2.map(_.getAs[Long]("shard")).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1)
   }
 }
