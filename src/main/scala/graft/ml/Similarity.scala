@@ -141,7 +141,9 @@ object Similarity {
     *   2. per round, compute each point's squared distance to its nearest
     *      chosen candidate (map-side: candidates are driver-collected
     *      literals, `array_min` over unrolled codegen'd distances — no
-    *      join, no shuffle), total cost φ in one agg, then keep each point
+    *      join, no shuffle; past 256 candidates a broadcast-join +
+    *      per-id min takes over, shuffling N rows, never N×C),
+    *      total cost φ in one agg, then keep each point
     *      independently with probability `l·d²/φ` — "randomness" is a
     *      per-(id, round) xxhash64 mapped to [0,1), so reruns pick the
     *      same candidates;
@@ -169,21 +171,40 @@ object Similarity {
     var candidates = sampleCentroids(corpus, 1, idCol, vecCol).collect().map(asVec).toVector
     require(candidates.nonEmpty, "kmeansParallelInit: empty corpus")
 
-    def sqDistToNearest: Column = {
-      val xx = dot(col(vecCol), col(vecCol))
-      array_min(array(candidates.map { case (_, c) =>
-        val cc = c.map(x => x * x).sum
-        xx - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)) + lit(cc)
-      }: _*))
-    }
+    // same unroll discipline as assignToCentroids: a literal subtree per
+    // candidate is codegen-friendly only up to a point — past the cap the
+    // generated method outgrows whole-stage-codegen limits, so switch to a
+    // broadcast join + per-id min (shuffles N rows, still never N×C)
+    val maxUnrolled = 256
+    def withSqDistToNearest(df: DataFrame): DataFrame =
+      if (candidates.size <= maxUnrolled) {
+        val xx = dot(col(vecCol), col(vecCol))
+        val d2 = array_min(array(candidates.map { case (_, c) =>
+          val cc = c.map(x => x * x).sum
+          xx - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)) + lit(cc)
+        }: _*))
+        df.withColumn("__graft_d2", greatest(d2, lit(0.0)))
+      } else {
+        val cand = broadcast(
+          doubleVecFrame(corpus, candidates, idCol).select(col("centroid")))
+        val d2 = dot(col(vecCol), col(vecCol)) -
+          lit(2.0) * dot(col(vecCol), col("centroid")) +
+          dot(col("centroid"), col("centroid"))
+        df.crossJoin(cand)
+          .withColumn("__graft_cd2", greatest(d2, lit(0.0)))
+          .groupBy(col(idCol))
+          .agg(
+            first(col(vecCol)).as(vecCol),
+            min(col("__graft_cd2")).as("__graft_d2"))
+      }
 
     for (r <- 0 until rounds) {
-      val withCost = vecs.withColumn("__graft_d2", greatest(sqDistToNearest, lit(0.0)))
+      val withCost = withSqDistToNearest(vecs)
       val phi = withCost.agg(sum(col("__graft_d2"))).collect()(0).getDouble(0)
       if (phi > 0) {
-        // deterministic uniform in [0,1) from (id, round)
-        val u = pmod(xxhash64(concat(col(idCol).cast("string"), lit(s"|kmpp$r"))), lit(1000000000L))
-          .cast("double") / lit(1e9)
+        // deterministic uniform in [0,1) from (id, round) — the same
+        // hash-to-uniform recipe every sampling operator shares
+        val u = graft.text.Sampling.uniformHash(col(idCol), s"kmpp$r")
         val sampled = withCost
           .filter(u < least(lit(l) * col("__graft_d2") / lit(phi), lit(1.0)))
           .select(col(idCol), col(vecCol))
@@ -196,21 +217,9 @@ object Similarity {
     }
 
     // weight candidates by population, then reduce to k driver-side
-    val candFrame = {
-      val s = corpus.sparkSession
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(
-        candidates.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("centroid_id",
-            corpus.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("centroid",
-            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
-    }
-    val weights = assignToCentroids(vecs, candFrame, idCol, vecCol)
+    val weights = assignToCentroids(vecs, doubleVecFrame(corpus, candidates, idCol), idCol, vecCol)
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("w"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    val byId = candidates.toMap
 
     // weighted farthest-point: start at the heaviest candidate, then
     // repeatedly add the candidate maximizing weight × d² to the chosen set
@@ -240,6 +249,21 @@ object Similarity {
         org.apache.spark.sql.types.StructField("centroid_id", corpus.schema(idCol).dataType),
         org.apache.spark.sql.types.StructField("centroid",
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+  }
+
+  /** (centroid_id, centroid: array<double>) frame from driver-side vectors;
+    * the id column keeps the corpus id type so downstream joins line up. */
+  private def doubleVecFrame(
+      corpus: DataFrame,
+      entries: Seq[(Any, Array[Double])],
+      idCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    corpus.sparkSession.createDataFrame(
+      entries.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id", corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** Pick `numCentroids` deterministic pseudo-random "centroids" from the

@@ -86,7 +86,13 @@ object Json {
       toUnit = optStr(n, "to_unit"),
       reports = arr(n, "reports").map(report),
       outputRenames = renamePairs(n, "output_renames"),
-      columnType = optStr(n, "column_type").getOrElse(Models.ColumnTypeDimensionTypes))
+      // documents written before column_type existed never carry the field;
+      // when absent, infer it from the renames so every pre-existing
+      // rename-bearing query.json sidecar stays re-runnable (an explicit
+      // contradictory pair still fails validation)
+      columnType = optStr(n, "column_type").getOrElse(
+        if (renamePairs(n, "output_renames").nonEmpty) Models.ColumnTypeDimensionNames
+        else Models.ColumnTypeDimensionTypes))
 
   /** Renames are ORDERED fold steps: the canonical document form is an
     * array of {from,to} pairs (a JSON object would collapse duplicate

@@ -407,10 +407,12 @@ final class Submitter(
     graft.registry.Registry.registerDataset(registry, id, submit(q))
   }
 
-  def submitComposite(id: String, result: ResultSection): DataFrame =
+  def submitComposite(id: String, result: ResultSection): DataFrame = {
+    validateResult(s"composite:$id", result)
     postProcess(
       spark.read.parquet(s"${registry.root}/composite_datasets/$id/table.parquet"),
       result)
+  }
 
   // ------------------------------------------------------------------
   // cache plumbing

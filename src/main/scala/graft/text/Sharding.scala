@@ -32,7 +32,10 @@ object Sharding {
       tokenCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val total = df.agg(sum(col(tokenCol).cast("long"))).collect()(0).getLong(0)
+    // sum over zero rows is NULL — an empty corpus (upstream filter kept
+    // nothing) gets one empty shard, not an opaque NPE
+    val totalRow = df.agg(sum(col(tokenCol).cast("long"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val numShards = math.max(1L, (total + budgetTokens - 1) / budgetTokens)
     df.withColumn("shard", pmod(col(idCol).cast("long") * lit(2654435761L), lit(numShards)))
   }

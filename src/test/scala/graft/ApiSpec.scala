@@ -71,42 +71,48 @@ class ApiSpec extends SparkSpec {
   }
 
   test("async submission burst is bounded and evicted jobs answer 410, not 404") {
-    // pending cap of 1: the first submission occupies it, the second gets 429
-    val api = new Api(buildRegistry(), maxPendingQueries = 1, completedJobTtlMillis = 0L)
+    val queryDoc = """{
+      "name": "api_q2",
+      "datasets": {"datasets": [{"dataset_id": "ds"}]},
+      "result": {"aggregations": [{"group_by": ["geography"]}]}
+    }"""
+    val client = HttpClient.newHttpClient()
+    def post(port: Int): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project/async"))
+        .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    def get(port: Int, path: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+    // zero capacity: every submission is rejected, deterministically —
+    // no race against job completion
+    val full = new Api(buildRegistry(), maxPendingQueries = 0)
+    val fullPort = full.start()
+    try {
+      val r = post(fullPort)
+      assert(r.statusCode() == 429, s"got ${r.statusCode()}: ${r.body()}")
+      assert(r.body().contains("pending"))
+    } finally full.stop()
+
+    // ttl 0: a finished job is evicted by the next submission's sweep and
+    // answers 410 (was issued), unlike never-issued ids (404)
+    val api = new Api(buildRegistry(), completedJobTtlMillis = 0L)
     val port = api.start()
     try {
-      val client = HttpClient.newHttpClient()
-      val queryDoc = """{
-        "name": "api_q2",
-        "datasets": {"datasets": [{"dataset_id": "ds"}]},
-        "result": {"aggregations": [{"group_by": ["geography"]}]}
-      }"""
-      def post(): HttpResponse[String] = client.send(
-        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project/async"))
-          .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
-        HttpResponse.BodyHandlers.ofString())
-      def get(path: String): HttpResponse[String] = client.send(
-        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
-        HttpResponse.BodyHandlers.ofString())
-
-      val first = post()
+      val first = post(port)
       assert(first.statusCode() == 202)
       val jobId = first.body().split("\"")(3)
-      // burst: while job-1 is pending the next submission must be rejected
-      val burst = (1 to 5).map(_ => post().statusCode())
-      assert(burst.contains(429), s"expected at least one 429 in $burst")
-
-      // wait for the first job to finish, then trigger eviction (ttl=0)
       var polls = 0
-      while (get(s"/jobs/$jobId").body().contains("running") && polls < 100) {
+      while (get(port, s"/jobs/$jobId").body().contains("running") && polls < 100) {
         Thread.sleep(200); polls += 1
       }
-      post() // any new submission runs evictFinished() with ttl 0
-      val expired = get(s"/jobs/$jobId")
+      post(port) // any new submission runs evictFinished() with ttl 0
+      val expired = get(port, s"/jobs/$jobId")
       assert(expired.statusCode() == 410, s"got ${expired.statusCode()}: ${expired.body()}")
       assert(expired.body().contains("expired"))
-      assert(get("/jobs/job-999999").statusCode() == 404)
-      assert(get("/jobs/not-a-job").statusCode() == 404)
+      assert(get(port, "/jobs/job-999999").statusCode() == 404)
+      assert(get(port, "/jobs/not-a-job").statusCode() == 404)
     } finally api.stop()
   }
 }

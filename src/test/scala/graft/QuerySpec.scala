@@ -519,6 +519,19 @@ class QuerySpec extends SparkSpec {
     val rt = graft.query.Json.parseProjectQuery(
       graft.query.Json.render(q(ColumnTypeDimensionNames, Seq("geography" -> "state"))))
     assert(rt.result.columnType == ColumnTypeDimensionNames)
+    // legacy documents (written before column_type existed) with renames
+    // must stay re-runnable: the parser infers dimension_names
+    val legacy = graft.query.Json.parseProjectQuery("""{
+      "name": "legacy",
+      "datasets": {"datasets": [{"dataset_id": "dsA"}]},
+      "result": {"output_renames": [{"from": "geography", "to": "state"}]}
+    }""")
+    assert(legacy.result.columnType == ColumnTypeDimensionNames)
+    sub.validate(legacy) // must not throw
+    // composite post-processing goes through the same column_type checks
+    intercept[IllegalArgumentException] {
+      sub.submitComposite("whatever", ResultSection(columnType = "nope"))
+    }
   }
 
   test("Json.render round-trips a full query document; query.json sidecar is re-runnable") {

@@ -332,6 +332,9 @@ class SamplingSpec extends SparkSpec {
     // expected balance: no shard more than 2x the budget on this uniform corpus
     assert(manifest.map(_.getAs[Long]("total_tokens")).max < 40000L)
 
+    // empty corpus: one empty shard column, not an NPE on the null sum
+    assert(Sharding.shardByHash(docs.filter($"doc_id" < 0), "doc_id", "n_chars", 1000L).count() == 0)
+
     val packed = Sharding.packBySequence(docs, "doc_id", "n_chars", budgetTokens = 20000L)
     val m2 = Sharding.shardManifest(packed, "n_chars").collect()
     assert(m2.map(_.getAs[Long]("total_tokens")).sum == total)
