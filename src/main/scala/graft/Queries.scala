@@ -1449,7 +1449,10 @@ object Queries {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val k = 8
-      val centroids = Similarity.kmeansCentroids(emb, numCentroids = k, iterations = 2)
+      // cheap seeding on purpose: this query's oracle is INIT-INVARIANT
+      // (probes = cells ≡ brute force for any centroid set), so it pins the
+      // ivfTopK join/rank path itself; q32 exercises the k-means|| default
+      val centroids = Similarity.kmeansCentroids(emb, numCentroids = k, iterations = 2, parallelInit = false)
       val cells = Similarity.assignToCentroids(emb, centroids)
       val queries = emb.filter(col("vec_id") < 5)
       Similarity
@@ -1843,6 +1846,65 @@ object Queries {
                  AND ${knuthUniformSql("doc_id", "mix|curated")} < 1.0)
              GROUP BY 1 ORDER BY 1"""))
 
+  /** Near-dup CLUSTERING (training-data pipeline op): LSH pairs are not a
+    * dedup decision — near-duplication is transitive in practice, so the
+    * pipeline needs connected components over the verified pairs and one
+    * representative per component. Corpus: each doc plus two clipped
+    * variants (chains full≈minus1≈minus2). Output: cluster-size histogram.
+    * Oracle: exhaustive-pair Jaccard (as q29) + a recursive CTE computing
+    * min-reachable-id components — fully independent of the LSH path. */
+  val q69_dedup_clusters = Q(
+    "q69_dedup_clusters",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
+      def clip(n: Int, offset: Long) = d.select(
+        (col("doc_id") + offset).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), lit(1), size(split(trim(col("text")), "\\s+")) - n), " ")
+          .as("text"))
+      val corpus = d.unionByName(clip(1, 1000000L)).unionByName(clip(2, 2000000L))
+      val pairs = Dedup
+        .minhashNearDuplicates(corpus, "doc_id", "text", bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+      Dedup.duplicateClusters(pairs)
+        .groupBy(col("root")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize").cast("long").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+    Some("""WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000
+              UNION ALL
+              SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-1], ' ')
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 2000)
+              UNION ALL
+              SELECT doc_id + 2000000, array_to_string(toks[1:len(toks)-2], ' ')
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 2000)),
+            sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM corpus)),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+            walk(id, reach) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+            roots AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
+            sizes AS (SELECT root, COUNT(*) AS csize FROM roots GROUP BY root)
+            SELECT CAST(csize AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1859,5 +1921,5 @@ object Queries {
     q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline,
     q61_moving_avg, q62_stats, q63_asof_join, q64_range_join,
     q65_stratified_sample, q66_shard_pack, q67_quantile_filter,
-    q68_weighted_mix)
+    q68_weighted_mix, q69_dedup_clusters)
 }

@@ -173,6 +173,81 @@ object Dedup {
     verifyJaccardOnShingles(shingles, pairs, idCol, threshold)
   }
 
+  // ------------------------------------------------- duplicate clusters
+
+  /** Connected components over a near-duplicate pair list: the step a real
+    * dedup pipeline needs AFTER LSH+verify, because near-duplication is
+    * transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}) and pairs
+    * alone over-keep. Returns (id, root) with root = the component's min
+    * id.
+    *
+    * Algorithm: min-label propagation to a fixpoint — per iteration each
+    * node takes the min of its own label and its neighbors' labels (one
+    * shuffle keyed by node). Iterations = O(component diameter), and
+    * near-dup components are shallow (stars/short chains around a source
+    * document), so the loop converges in a handful of rounds; `maxIterations`
+    * bounds pathological chains. Each round caches its label frame and
+    * unpersists the previous — the lineage would otherwise grow per round.
+    * The driver-side loop-with-convergence-check is the standard Spark
+    * shape for iterative graph passes (GraphX's Pregel does the same). */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .cache()
+    // unpersist must target the EXACT cached frame (it is keyed by plan),
+    // not a projection of it
+    var cachedLabels = labels
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a"))
+        .agg(min(col("root")).as("__graft_nroot"))
+      // neighbor-min step, carrying the previous root for the convergence
+      // check (no extra join)
+      val stepped = labels
+        .withColumnRenamed("root", "__graft_prev")
+        .join(neighborMin, col("id") === neighborMin("a"), "left")
+        .select(
+          col("id"),
+          least(col("__graft_prev"), coalesce(col("__graft_nroot"), col("__graft_prev"))).as("root"),
+          col("__graft_prev"))
+      // pointer jumping: root := root's root — halves the remaining path
+      // per iteration, so chains converge in O(log diameter) rounds, not
+      // O(diameter) (every root IS a node id, so the self-join hits)
+      val ptr = stepped.select(col("id").as("__graft_rid"), col("root").as("__graft_rroot"))
+      val updated = stepped
+        .join(ptr, col("root") === col("__graft_rid"), "left")
+        .select(
+          col("id"),
+          least(col("root"), coalesce(col("__graft_rroot"), col("root"))).as("root"),
+          col("__graft_prev"))
+        .cache()
+      converged = updated.filter(col("root") =!= col("__graft_prev")).isEmpty
+      cachedLabels.unpersist()
+      cachedLabels = updated
+      labels = updated.select(col("id"), col("root"))
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Deduplicated view via clustering: drop every document that is in a
+    * near-dup component but is not its min-id representative. */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("root"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token multiset: per bit position, sum +1/-1 over

@@ -16,6 +16,7 @@ object Profile {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--q69")) { q69(args.head); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,6 +56,32 @@ object Profile {
     val out = Dedup.verifyJaccardOnShingles(shingles, pairs, "doc_id", 0.8)
     time("verify jaccard")(println("  verified=" + out.count()))
 
+    spark.stop()
+  }
+
+  /** Stage timing for the q69 clustering pipeline. */
+  def q69(dir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
+    def clip(n: Int, offset: Long) = d.select(
+      (col("doc_id") + offset).as("doc_id"),
+      array_join(slice(split(trim(col("text")), "\\s+"), lit(1), size(split(trim(col("text")), "\\s+")) - n), " ")
+        .as("text"))
+    val corpus = d.unionByName(clip(1, 1000000L)).unionByName(clip(2, 2000000L))
+    val pairs = Dedup
+      .minhashNearDuplicates(corpus, "doc_id", "text", 16, 4, 3, 0.8).cache()
+    time("pairs")(println("  pairs=" + pairs.count()))
+    val clusters = Dedup.duplicateClusters(pairs)
+    time("clusters")(println("  nodes=" + clusters.count()))
+    time("histogram")(
+      clusters.groupBy(col("root")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1))).collect().foreach(println))
     spark.stop()
   }
 }

@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("duplicate clusters: components over pairs, representatives kept") {
+    // components: {1,2,3} (chain 1-2, 2-3), {5,6}, singleton 9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val roots = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val df = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(df, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 9L))
+    // a longer chain exercises multiple propagation rounds
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainRoots = Dedup.duplicateClusters(chain)
+      .select("root").distinct().as[Long].collect().toSeq
+    assert(chainRoots == Seq(1L))
+  }
+
   test("simhash hamming distance and near-dup buckets") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
     assert(sig.count() == 4)
