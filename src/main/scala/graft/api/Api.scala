@@ -106,18 +106,33 @@ final class Api(
       }
   }
 
+  /** Admission gate: the pending-count check, id allocation, and the
+    * Running insert happen under one lock, so concurrent submissions can
+    * never exceed `maxPendingQueries`, and a job id is present in `jobs`
+    * before it is ever observable by a client (no spurious 410 for a
+    * just-admitted job). */
+  private val admission = new Object
+
   private def asyncSubmitHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      evictFinished()
-      var pending = 0
-      jobs.forEach((_, st) => if (st == Running) pending += 1)
-      if (pending >= maxPendingQueries) {
-        respond(ex, 429, s"""{"error": "too many pending queries ($pending), retry later"}""")
-        return
+      val admitted = admission.synchronized {
+        evictFinished()
+        var pending = 0
+        jobs.forEach((_, st) => if (st == Running) pending += 1)
+        if (pending >= maxPendingQueries) Left(pending)
+        else {
+          val id = s"job-${jobSeq.incrementAndGet()}"
+          jobs.put(id, Running)
+          Right(id)
+        }
       }
-      val id = s"job-${jobSeq.incrementAndGet()}"
-      jobs.put(id, Running)
+      val id = admitted match {
+        case Left(pending) =>
+          respond(ex, 429, s"""{"error": "too many pending queries ($pending), retry later"}""")
+          return
+        case Right(id) => id
+      }
       pool.submit(new Runnable {
         def run(): Unit =
           try jobs.put(id, Done(toJsonRows(submitter.submit(Json.parseProjectQuery(body))), System.currentTimeMillis()))

@@ -257,7 +257,12 @@ object Json {
         val p = o.addObject(); p.put("from", from); p.put("to", to)
       }
     }
-    if (r.columnType != Models.ColumnTypeDimensionTypes) n.put("column_type", r.columnType)
+    // ALWAYS emitted: graft's Scala-side default (dimension_types) is the
+    // opposite of the reference's document default (dimension_names,
+    // models.py:513-519), so an absent field would mean different things to
+    // the two toolchains — explicit emission keeps graft-written sidecars
+    // unambiguous to reference tooling
+    n.put("column_type", r.columnType)
     n
   }
 

@@ -114,7 +114,15 @@ object Models {
         * register the result as a derived dataset, which must stay
         * re-queryable by type name; `"dimension_names"` presents the
         * caller's names via outputRenames/idsToNames. Validation enforces
-        * that dimension_types queries carry no outputRenames. */
+        * that dimension_types queries carry no outputRenames.
+        *
+        * DIVERGENCE from the reference: the reference's document default is
+        * `dimension_names` (models.py:513-519); graft's Scala default is
+        * `dimension_types` because the programmatic API's common case is
+        * derived-dataset registration. The JSON renderer therefore ALWAYS
+        * emits `column_type` explicitly (Json.render), and the parser infers
+        * `dimension_names` for legacy rename-bearing documents missing the
+        * field, so no sidecar is ever read with the opposite meaning. */
       columnType: String = Models.ColumnTypeDimensionTypes)
 
   /** Report attachments (ref: dsgrid/query/models.py:186-196 + the peak-load

@@ -186,22 +186,35 @@ object Dedup {
     * shuffle keyed by node). Iterations = O(component diameter), and
     * near-dup components are shallow (stars/short chains around a source
     * document), so the loop converges in a handful of rounds; `maxIterations`
-    * bounds pathological chains. Each round caches its label frame and
-    * unpersists the previous — the lineage would otherwise grow per round.
-    * The driver-side loop-with-convergence-check is the standard Spark
-    * shape for iterative graph passes (GraphX's Pregel does the same). */
+    * bounds pathological chains.
+    *
+    * Execution: every round is `localCheckpoint()`ed EAGERLY — fully
+    * materialized to executor storage with its lineage truncated. cache()
+    * is the wrong tool here: the convergence probe (`isEmpty`) short-
+    * circuits on the first matching row, leaving the cache partially
+    * populated, and any unpersist of a predecessor re-exposes the whole
+    * multi-round join cascade to every later action. Checkpointing makes
+    * each round's job read only the previous round's blocks, keeps the
+    * returned frame anchored for the caller (a scan over checkpointed
+    * blocks, not a recompute), and bounds the logical plan size — the thing
+    * that actually kills iterative jobs at 100 TB. Old rounds' blocks are
+    * reclaimed by the ContextCleaner once unreferenced, so there is no
+    * unpersist choreography for callers. The driver-side
+    * loop-with-convergence-check is the standard Spark shape for iterative
+    * graph passes (GraphX's Pregel does the same). */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs
+    // Materialize the pairs input once: it is consumed twice to build the
+    // symmetric edge set, and upstream it is typically an expensive LSH
+    // pipeline that must not run per consumer.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p
       .select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("root", col("id"))
-      .cache()
-    // unpersist must target the EXACT cached frame (it is keyed by plan),
-    // not a projection of it
-    var cachedLabels = labels
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -228,14 +241,15 @@ object Dedup {
           col("id"),
           least(col("root"), coalesce(col("__graft_rroot"), col("root"))).as("root"),
           col("__graft_prev"))
-        .cache()
+        .localCheckpoint()
       converged = updated.filter(col("root") =!= col("__graft_prev")).isEmpty
-      cachedLabels.unpersist()
-      cachedLabels = updated
       labels = updated.select(col("id"), col("root"))
       it += 1
     }
-    edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"duplicateClusters stopped at maxIterations=$maxIterations without converging; " +
+          "components may carry non-minimal roots — raise maxIterations for deep chains")
     labels
   }
 

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
 object Sharding {
 
   /** Expected-balance sharding: numShards = ceil(total_tokens / budget),
-    * shard = pmod(mix(id), numShards). The id mix is a Knuth multiplicative
-    * hash in long space (values stay < 2^62 for 32-bit ids, safe under ANSI
-    * overflow checks) so consecutive ids don't land in consecutive shards. */
+    * shard = pmod(mix(id), numShards). The id mix is xxhash64 (the same
+    * randomness source as Sampling.uniformHash): total over the full long
+    * id range — a raw Knuth multiply would overflow (and, under ANSI mode,
+    * throw) once ids pass ~2^31, and 64-bit ids are normal at 100 TB. */
   def shardByHash(
       df: DataFrame,
       idCol: String,
@@ -37,7 +38,7 @@ object Sharding {
     val totalRow = df.agg(sum(col(tokenCol).cast("long"))).collect()(0)
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val numShards = math.max(1L, (total + budgetTokens - 1) / budgetTokens)
-    df.withColumn("shard", pmod(col(idCol).cast("long") * lit(2654435761L), lit(numShards)))
+    df.withColumn("shard", pmod(xxhash64(col(idCol).cast("long")), lit(numShards)))
   }
 
   /** Exact sequential packing: order rows by `orderCol` within each

@@ -112,7 +112,14 @@ class DedupSpec extends SparkSpec {
   test("duplicate clusters: components over pairs, representatives kept") {
     // components: {1,2,3} (chain 1-2, 2-3), {5,6}, singleton 9 untouched
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
-    val roots = Dedup.duplicateClusters(pairs)
+    val clusters = Dedup.duplicateClusters(pairs)
+    // the returned frame must be ANCHORED: every leaf is a checkpoint scan
+    // (LogicalRDD), so downstream actions never re-run the iterative cascade
+    val leaves = clusters.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty &&
+      leaves.forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"expected checkpoint-scan leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
+    val roots = clusters
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
     val df = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
@@ -351,6 +358,13 @@ class SamplingSpec extends SparkSpec {
 
     // empty corpus: one empty shard column, not an NPE on the null sum
     assert(Sharding.shardByHash(docs.filter($"doc_id" < 0), "doc_id", "n_chars", 1000L).count() == 0)
+
+    // 64-bit ids (normal at 100 TB): the xxhash64 mix is total over longs —
+    // a raw Knuth multiply would throw an ANSI overflow error here
+    val bigIds = Seq(Long.MaxValue - 1, Long.MaxValue / 2, 1L << 40).toDF("doc_id")
+      .withColumn("n_chars", lit(100))
+    assert(Sharding.shardByHash(bigIds, "doc_id", "n_chars", 100L)
+      .select("shard").as[Long].collect().forall(s => s >= 0 && s < 3))
 
     val packed = Sharding.packBySequence(docs, "doc_id", "n_chars", budgetTokens = 20000L)
     val m2 = Sharding.shardManifest(packed, "n_chars").collect()
