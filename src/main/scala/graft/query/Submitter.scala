@@ -256,6 +256,20 @@ final class Submitter(
         s"query '$queryName': column_type '${Models.ColumnTypeDimensionTypes}' keeps internal " +
           "dimension-type column names, but output_renames was given — set " +
           s"column_type to '${Models.ColumnTypeDimensionNames}' or drop the renames")
+    // subset dimensions FILTER, they never aggregate: grouping by one would
+    // silently drop every out-of-subset row from the totals (the reference
+    // rejects this at submission, query_submitter.py:173-193)
+    val subsetDims = registry.listDimensions()
+      .filter(d => registry.dimensionCategory(d) == "subset").toSet
+    if (subsetDims.nonEmpty) {
+      val aggCols = r.aggregations.flatMap(_.groupBy) ++
+        r.reports.flatMap { case Models.PeakLoadReport(g, _, _) => g }
+      for (c <- aggCols if subsetDims.contains(c))
+        throw new IllegalArgumentException(
+          s"query '$queryName': subset dimensions cannot be used in aggregations: dimension_name='$c'. " +
+            "Only base and supplemental dimensions are allowed — filter on the subset " +
+            "(subset_dimension filter) and aggregate on a base or supplemental dimension instead.")
+    }
   }
 
   def validate(q: ProjectQuery): Unit = {

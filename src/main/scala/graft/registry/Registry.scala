@@ -28,6 +28,18 @@ final case class Registry(spark: SparkSession, root: String) {
   def dimensionRecords(name: String): DataFrame =
     spark.read.parquet(path("dimensions", name, "records.parquet"))
 
+  /** The dimension's category (base/subset/supplemental); absent metadata
+    * means base (see Registry.registerDimension). */
+  def dimensionCategory(name: String): String = {
+    val p = path("dimensions", name, "meta.json")
+    if (!hadoopExists(p)) "base"
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.sources.HadoopText.read(spark, p))
+      Option(n.get("category")).map(_.asText()).getOrElse("base")
+    }
+  }
+
   def mapping(name: String): DataFrame =
     spark.read.parquet(path("mappings", name, "table.parquet"))
 
@@ -176,11 +188,41 @@ object Registry {
     atVersion(spark, root, toVersion)
   }
 
-  def registerDimension(reg: Registry, name: String, records: DataFrame): Unit =
-    records.write.mode("overwrite").parquet(s"${reg.root}/dimensions/$name/records.parquet")
+  val DimensionCategories = Set("base", "subset", "supplemental")
 
-  def registerMapping(reg: Registry, name: String, table: DataFrame): Unit =
+  /** Register dimension records with a category (ref DimensionCategory,
+    * dsgrid/dimension/base_models.py — base/subset/supplemental). The
+    * category gates what queries may do with the dimension: subset
+    * dimensions filter, they never aggregate (query_submitter.py:173-249).
+    * Non-base categories are recorded in a `meta.json` sidecar; absent
+    * sidecar = base, so pre-existing registry trees read unchanged. */
+  def registerDimension(reg: Registry, name: String, records: DataFrame, category: String = "base"): Unit = {
+    require(DimensionCategories.contains(category),
+      s"registerDimension($name): unknown category '$category'; one of ${DimensionCategories.toSeq.sorted.mkString(", ")}")
+    records.write.mode("overwrite").parquet(s"${reg.root}/dimensions/$name/records.parquet")
+    if (category != "base")
+      graft.sources.HadoopText.write(
+        reg.spark, s"${reg.root}/dimensions/$name/meta.json", s"""{"category": "$category"}""")
+  }
+
+  /** Register a mapping table, validated against its declared type's
+    * archetype (duplicate-id rules + fraction-sum checks, MappingTypes) —
+    * the reference runs the same suite at mapping registration
+    * (dimension_mapping_registry_manager.py:151-206). The default type is
+    * the reference's (many_to_one_aggregation, dimension_mapping_base
+    * .py:152); pass `validate = false` only for raw writes. */
+  def registerMapping(
+      reg: Registry,
+      name: String,
+      table: DataFrame,
+      mappingType: String = MappingTypes.ManyToOneAggregation,
+      fromFractionTolerance: Double = 1e-6,
+      toFractionTolerance: Double = 1e-6,
+      validate: Boolean = true): Unit = {
+    if (validate)
+      MappingTypes.validate(name, mappingType, table, fromFractionTolerance, toFractionTolerance)
     table.write.mode("overwrite").parquet(s"${reg.root}/mappings/$name/table.parquet")
+  }
 
   def registerDataset(
       reg: Registry,
@@ -194,8 +236,18 @@ object Registry {
       /** expected time spine; when provided the data's distinct timestamps
         * must equal it exactly */
       expectedTimestamps: Option[DataFrame] = None,
+      /** when true, the data must cover the FULL cross product of the
+        * supplied dimension record sets, minus `expectedMissing` — the
+        * reference's completeness check at dataset submission
+        * (dataset_schema_handler_base.py:171-222) */
+      requireCompleteAssociations: Boolean = false,
+      /** declared-missing dimension combinations (columns = a subset of
+        * `dimensionRecords` keys), exempt from the completeness check */
+      expectedMissing: Option[DataFrame] = None,
       validate: Boolean = true): Unit = {
-    if (validate) validateDataset(datasetId, loadData, lookup, dimensionRecords, expectedTimestamps)
+    if (validate)
+      validateDataset(datasetId, loadData, lookup, dimensionRecords, expectedTimestamps,
+        requireCompleteAssociations, expectedMissing)
     loadData.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data.parquet")
     lookup.foreach(_.write.mode("overwrite").parquet(s"${reg.root}/datasets/$datasetId/load_data_lookup.parquet"))
     format.foreach { f =>
@@ -213,14 +265,17 @@ object Registry {
   }
 
   /** Registration validation: nulls, unknown dimension values, time-spine
-    * match. Each check is a distributed plan; only a 5-row violation sample
-    * is ever collected. Throws with the sample on the first failure. */
+    * match, and (opt-in) cross-product completeness. Each check is a
+    * distributed plan; only a 5-row violation sample is ever collected.
+    * Throws with the sample on the first failure. */
   private def validateDataset(
       datasetId: String,
       loadData: DataFrame,
       lookup: Option[DataFrame],
       dimensionRecords: Map[String, DataFrame],
-      expectedTimestamps: Option[DataFrame]): Unit = {
+      expectedTimestamps: Option[DataFrame],
+      requireCompleteAssociations: Boolean = false,
+      expectedMissing: Option[DataFrame] = None): Unit = {
     val frames = Seq(Some(loadData), lookup).flatten
     for (frame <- frames) {
       val dims = dimensionRecords.keys.toSeq.sorted.filter(frame.columns.contains)
@@ -245,5 +300,23 @@ object Registry {
       require(
         graft.time.TimeChecks.timestampsMatchSpine(frame, "timestamp", spine),
         s"registerDataset($datasetId): distinct timestamps do not match the expected spine")
+    if (requireCompleteAssociations) {
+      // the dimension combos live in the lookup for two-table layouts, in
+      // the load data otherwise — check the frame that carries the most
+      // supplied dimension columns (ref: completeness runs on the dimension
+      // association table, dataset_schema_handler_base.py:171-222)
+      val frame = frames.maxBy(f => dimensionRecords.keys.count(f.columns.contains))
+      val dims = dimensionRecords.keys.toSeq.sorted.filter(frame.columns.contains)
+      require(dims.nonEmpty,
+        s"registerDataset($datasetId): requireCompleteAssociations needs dimensionRecords matching data columns")
+      val missing = graft.operators.Validation
+        .missingAssociations(frame, dims, dimensionRecords, expectedMissing)
+        .limit(5)
+        .collect()
+      require(
+        missing.isEmpty,
+        s"registerDataset($datasetId): incomplete dimension associations — combinations with no data, " +
+          s"e.g. ${missing.map(r => dims.zip(r.toSeq).map { case (d, v) => s"$d=$v" }.mkString("(", ", ", ")")).mkString("; ")}")
+    }
   }
 }

@@ -6,7 +6,7 @@ import graft.core.Constants._
 import graft.operators.DimensionFilter
 import graft.query.Models._
 import graft.query.Submitter
-import graft.registry.Registry
+import graft.registry.{MappingTypes, Registry}
 
 class QuerySpec extends SparkSpec {
   import spark.implicits._
@@ -260,7 +260,8 @@ class QuerySpec extends SparkSpec {
     // keep c1 (it contributes to s1) but the excluded s2 half must not leak
     Registry.registerMapping(reg, "county_split",
       Seq(("c1", "s1", 0.5), ("c1", "s2", 0.5), ("c2", "s1", 1.0), ("c3", "s2", 1.0), ("c4", "s2", 1.0))
-        .toDF(FromIdColumn, ToIdColumn, FromFractionColumn))
+        .toDF(FromIdColumn, ToIdColumn, FromFractionColumn),
+      mappingType = MappingTypes.ManyToManyDisaggregation)
     val ref = DatasetRef(
       "dsA",
       mappings = Seq(DimensionMappingRef("geography", "county_split")),
@@ -353,6 +354,112 @@ class QuerySpec extends SparkSpec {
       dimensionRecords = Map("geography" -> geoRecords))
     Registry.registerDataset(reg, "rawwrite", badGeo, validate = false)
     assert(reg.dataset("good").count() == 1)
+  }
+
+  test("mapping-type taxonomy: per-type fraction-sum and duplicate-id validation at registration") {
+    val reg = buildRegistry()
+    // an "aggregation" mapping whose fractions sum to 1.7 for c1 must NOT
+    // register silently — it would inflate every downstream applyFraction
+    val inflated = Seq(("c1", "s1", 1.0), ("c1", "s2", 0.7), ("c2", "s3", 1.0))
+      .toDF(FromIdColumn, ToIdColumn, FromFractionColumn)
+    val e1 = intercept[IllegalArgumentException] {
+      Registry.registerMapping(reg, "inflated", inflated,
+        mappingType = MappingTypes.OneToManyDisaggregation)
+    }
+    assert(e1.getMessage.contains("sum") && e1.getMessage.contains("c1") && e1.getMessage.contains("1.7"))
+    // the same table IS a valid explicit-multipliers mapping (no sum check)
+    Registry.registerMapping(reg, "multipliers", inflated,
+      mappingType = MappingTypes.OneToManyExplicitMultipliers)
+    assert(reg.mapping("multipliers").count() == 3)
+    // one_to_one forbids duplicated from_ids
+    val e2 = intercept[IllegalArgumentException] {
+      Registry.registerMapping(reg, "dup",
+        Seq(("c1", "x1", 0.5), ("c1", "x2", 0.5)).toDF(FromIdColumn, ToIdColumn, FromFractionColumn),
+        mappingType = MappingTypes.OneToOne)
+    }
+    assert(e2.getMessage.contains("duplicated") && e2.getMessage.contains(FromIdColumn))
+    // disaggregation REQUIRES an explicit fraction column
+    val e3 = intercept[IllegalArgumentException] {
+      Registry.registerMapping(reg, "nofrac",
+        Seq(("c1", "s1"), ("c1", "s2")).toDF(FromIdColumn, ToIdColumn),
+        mappingType = MappingTypes.OneToManyDisaggregation)
+    }
+    assert(e3.getMessage.contains("requires an explicit"))
+    // duplication copies verbatim: non-one fractions are rejected with a hint
+    val e4 = intercept[IllegalArgumentException] {
+      Registry.registerMapping(reg, "dupl",
+        Seq(("c1", "s1", 0.5), ("c1", "s2", 1.0)).toDF(FromIdColumn, ToIdColumn, FromFractionColumn),
+        mappingType = MappingTypes.Duplication)
+    }
+    assert(e4.getMessage.contains("explicit_multipliers"))
+    // a fraction-less many-to-one aggregation is valid (fraction defaults 1)
+    Registry.registerMapping(reg, "rollup",
+      Seq(("c1", "s1"), ("c2", "s1")).toDF(FromIdColumn, ToIdColumn))
+    // unknown type names fail fast with the catalog
+    val e5 = intercept[IllegalArgumentException] {
+      Registry.registerMapping(reg, "bad", inflated, mappingType = "sideways")
+    }
+    assert(e5.getMessage.contains("unknown mapping_type"))
+    // assignment types check the sum per TO id: each s gets exactly 1 total
+    Registry.registerMapping(reg, "assign",
+      Seq(("c1", "s1", 0.4), ("c2", "s1", 0.6), ("c1", "s2", 1.0))
+        .toDF(FromIdColumn, ToIdColumn, FromFractionColumn),
+      mappingType = MappingTypes.ManyToManyAssignment)
+    val e6 = intercept[IllegalArgumentException] {
+      Registry.registerMapping(reg, "assignbad",
+        Seq(("c1", "s1", 0.4), ("c2", "s1", 0.4)).toDF(FromIdColumn, ToIdColumn, FromFractionColumn),
+        mappingType = MappingTypes.ManyToManyAssignment)
+    }
+    assert(e6.getMessage.contains(ToIdColumn))
+  }
+
+  test("registration completeness: full cross-product coverage, minus declared expected-missing") {
+    val reg = buildRegistry()
+    val geo = reg.dimensionRecords("geography")
+    val sector = Seq(("com", "Commercial"), ("res", "Residential")).toDF("id", "name")
+    val recs = Map("geography" -> geo, "sector" -> sector)
+    // (c3, res) and (c4, res) carry no data → registration must fail with samples
+    val partial = Seq(
+      ("c1", "com", 1.0), ("c2", "com", 2.0), ("c3", "com", 3.0), ("c4", "com", 4.0),
+      ("c1", "res", 1.0), ("c2", "res", 2.0))
+      .toDF("geography", "sector", ValueColumn)
+    val e = intercept[IllegalArgumentException] {
+      Registry.registerDataset(reg, "incomplete", partial,
+        dimensionRecords = recs, requireCompleteAssociations = true)
+    }
+    assert(e.getMessage.contains("incomplete dimension associations"))
+    assert(e.getMessage.contains("c3") || e.getMessage.contains("c4"))
+    // declaring the gaps expected-missing makes the same data register
+    val em = Seq(("c3", "res"), ("c4", "res")).toDF("geography", "sector")
+    Registry.registerDataset(reg, "declared", partial,
+      dimensionRecords = recs, requireCompleteAssociations = true, expectedMissing = Some(em))
+    assert(reg.dataset("declared").count() == 6)
+    // two-table layout: completeness runs over the LOOKUP's dimension combos
+    val e2 = intercept[IllegalArgumentException] {
+      Registry.registerDataset(reg, "incomplete2",
+        Seq((1, 1.0), (2, 2.0)).toDF("id", ValueColumn),
+        lookup = Some(Seq((1, "c1", "com"), (2, "c2", "com")).toDF("id", "geography", "sector")),
+        dimensionRecords = recs, requireCompleteAssociations = true)
+    }
+    assert(e2.getMessage.contains("incomplete dimension associations"))
+  }
+
+  test("subset dimensions cannot be aggregated on; base/supplemental can") {
+    val reg = buildRegistry()
+    Registry.registerDimension(reg, "s1_counties",
+      Seq(("c1", "County 1"), ("c2", "County 2")).toDF("id", "name"), category = "subset")
+    assert(reg.dimensionCategory("s1_counties") == "subset")
+    assert(reg.dimensionCategory("geography") == "base")
+    val sub = new Submitter(reg)
+    def query(groupBy: String) = ProjectQuery(
+      name = "subset_agg",
+      datasets = DatasetSection(Seq(DatasetRef("dsA"))),
+      result = ResultSection(aggregations = Seq(Aggregation(groupBy = Seq(groupBy, "metric")))))
+    val e = intercept[IllegalArgumentException] { sub.submit(query("s1_counties")) }
+    assert(e.getMessage.contains("subset dimensions cannot be used in aggregations"))
+    assert(e.getMessage.contains("s1_counties"))
+    // the same aggregation over a base dimension column still submits
+    assert(sub.submit(query("geography")).count() > 0)
   }
 
   test("geography time zone + peak-load report through the result model") {
