@@ -1905,6 +1905,156 @@ object Queries {
                    CAST(COUNT(*) AS BIGINT) AS n_clusters
             FROM sizes GROUP BY 1 ORDER BY 1"""))
 
+  /** JSON round-trip (SURVEY §2.1 JSON scan, FAILFAST): aggregate, write
+    * line-delimited JSON, read it back through the strict reader. The
+    * oracle recomputes the aggregate straight from parquet, so a lossy or
+    * lenient round-trip would hash-mismatch. */
+  val q70_json_roundtrip = Q(
+    "q70_json_roundtrip",
+    (s, dir) => {
+      val agg = t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      val out = s.conf.get("spark.local.dir", "/tmp") + "/graft_json_roundtrip"
+      graft.sources.Writers.json(agg, out, singleFile = true)
+      graft.sources.Readers.json(s, out)
+        .select(col("o_orderstatus"), col("n"), col("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** In-place overwrite (SURVEY §2.1): a parquet dataset is rewritten at
+    * its own path (tmp-write + swap + re-read) with a filtered view of
+    * itself — Spark cannot read and overwrite one path in a single job. */
+  val q71_overwrite_inplace = Q(
+    "q71_overwrite_inplace",
+    (s, dir) => {
+      val scratch = s.conf.get("spark.local.dir", "/tmp") + "/graft_overwrite_inplace"
+      graft.sources.Writers.parquet(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"), scratch)
+      val pruned = graft.sources.Writers
+        .overwriteInPlace(s, s.read.parquet(scratch).filter(col("o_totalprice") > 150000.0), scratch)
+      pruned
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1 ORDER BY 1"""))
+
+  /** Persist-intermediate (SURVEY §2.1): a mid-pipeline frame is cut to
+    * scratch parquet and read back (lineage truncation), and the second
+    * call hits the reuseExisting resume path — both must yield the same
+    * bytes the oracle computes directly. */
+  val q72_persist_intermediate = Q(
+    "q72_persist_intermediate",
+    (s, dir) => {
+      // scratch keyed by sf dir: reuseExisting must never see another
+      // scale factor's intermediate
+      val scratch = s.conf.get("spark.local.dir", "/tmp") +
+        "/graft_persist_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val perSupp = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+      val first = graft.sources.Writers.persistIntermediate(s, perSupp, scratch, "per_supp")
+      val resumed = graft.sources.Writers.persistIntermediate(s, perSupp, scratch, "per_supp", reuseExisting = true)
+      resumed
+        .select(floor(col("qty") / 100.0).cast("long").as("qty_bucket"))
+        .groupBy("qty_bucket")
+        .agg(count(lit(1)).cast("long").as("n_suppliers"))
+        .orderBy("qty_bucket")
+    },
+    Some("""SELECT CAST(FLOOR(qty / 100.0) AS BIGINT) AS qty_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM (SELECT l_suppkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY 1)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Calendar-interval arithmetic (SURVEY §2.9 interval op): shift
+    * timestamps by calendar units (month-end clamping and all) and
+    * aggregate on the shifted calendar — both engines must agree on
+    * Jan 31 + 1 MONTH. */
+  val q73_interval_op = Q(
+    "q73_interval_op",
+    (s, dir) => {
+      val shifted = graft.time.TimeAdjustments.addInterval(
+        graft.time.TimeAdjustments.addInterval(col("l_shipdate"), 1, "MONTH"), 2, "WEEK")
+      t(s, dir, "lineitem")
+        .select(year(shifted).cast("long").as("y"), month(shifted).cast("long").as("m"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("y", "m")
+    },
+    Some("""SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS y,
+                   CAST(EXTRACT(month FROM d) AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT l_shipdate + INTERVAL 1 MONTH + INTERVAL 2 WEEK AS d FROM lineitem)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Registration-time time-consistency checks (SURVEY §2.9): spine
+    * equality (ship dates cover every day of their span) and
+    * equal-time-array-lengths per dimension combo — one true case, one
+    * false case, so a check that always answers the same way fails. */
+  val q74_time_consistency = Q(
+    "q74_time_consistency",
+    (s, dir) => {
+      import graft.time.{TimeChecks, TimeSpine}
+      val days = t(s, dir, "lineitem").select(col("l_shipdate").as("timestamp"), col("l_returnflag"))
+      val mm = days
+        .agg(
+          date_format(min("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+          date_format(max("timestamp"), "yyyy-MM-dd HH:mm:ss"))
+        .head()
+      val spine = TimeSpine.spine(s, mm.getString(0), mm.getString(1), 86400L)
+      val spineOk = TimeChecks.timestampsMatchSpine(days, "timestamp", spine)
+      val monthsOk = TimeChecks.equalTimeArrayLengths(
+        days.select(col("l_returnflag"), trunc(col("timestamp"), "month").as("m")).distinct(),
+        Seq("l_returnflag"))
+      val priorityOk = TimeChecks.equalTimeArrayLengths(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), trunc(col("o_orderdate"), "month").as("m")).distinct(),
+        Seq("o_orderpriority"))
+      s.range(1).select(
+        lit(if (spineOk) 1L else 0L).as("spine_ok"),
+        lit(if (monthsOk) 1L else 0L).as("equal_months"),
+        lit(if (priorityOk) 1L else 0L).as("equal_priority_months"))
+    },
+    Some("""SELECT
+              CAST(CASE WHEN (SELECT COUNT(DISTINCT l_shipdate) FROM lineitem) =
+                             (SELECT date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) + 1 FROM lineitem)
+                   THEN 1 ELSE 0 END AS BIGINT) AS spine_ok,
+              CAST(CASE WHEN (SELECT COUNT(DISTINCT c) FROM (
+                       SELECT l_returnflag, COUNT(DISTINCT date_trunc('month', l_shipdate)) AS c
+                       FROM lineitem GROUP BY 1)) = 1
+                   THEN 1 ELSE 0 END AS BIGINT) AS equal_months,
+              CAST(CASE WHEN (SELECT COUNT(DISTINCT c) FROM (
+                       SELECT o_orderpriority, COUNT(DISTINCT date_trunc('month', o_orderdate)) AS c
+                       FROM orders GROUP BY 1)) = 1
+                   THEN 1 ELSE 0 END AS BIGINT) AS equal_priority_months"""))
+
+  /** Wrap-time (SURVEY §2.9 wrap_time_allowed): fold a month of events
+    * into one representative week by whole-range shifts, then histogram by
+    * wrapped day — weather-year alignment semantics. */
+  val q75_wrap_time = Q(
+    "q75_wrap_time",
+    (s, dir) => {
+      graft.time.Resample
+        .wrapTime(t(s, dir, "events"), "ts", "2024-01-01 00:00:00", "2024-01-08 00:00:00")
+        .select(dayofmonth(col("ts")).cast("long").as("wrapped_day"))
+        .groupBy("wrapped_day")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("wrapped_day")
+    },
+    // floor() mirrors Spark's unix_timestamp second truncation; a CAST
+    // would round half-up and shift boundary events across midnight
+    Some("""SELECT CAST(1 + ((CAST(FLOOR(epoch(ts)) AS BIGINT) -
+                              CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)) % 604800) // 86400
+                        AS BIGINT) AS wrapped_day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -1921,5 +2071,7 @@ object Queries {
     q57_ann_ivf_exhaustive, q58_sessions, q59_partitioned_write, q60_pipeline,
     q61_moving_avg, q62_stats, q63_asof_join, q64_range_join,
     q65_stratified_sample, q66_shard_pack, q67_quantile_filter,
-    q68_weighted_mix, q69_dedup_clusters)
+    q68_weighted_mix, q69_dedup_clusters, q70_json_roundtrip,
+    q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
+    q74_time_consistency, q75_wrap_time)
 }

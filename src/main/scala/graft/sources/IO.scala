@@ -197,6 +197,13 @@ object Writers {
     d.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
 
+  /** Line-delimited JSON sink — the counterpart of Readers.json's strict
+    * FAILFAST scan. */
+  def json(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(SaveMode.Overwrite).json(path)
+  }
+
   /** Warehouse sink: saveAsTable + read back (ref: dsgrid/utils/
     * spark.py:675-733). On a cluster this is the metastore-backed handoff.
     * With the in-memory catalog, a previous session's managed-table
