@@ -2055,6 +2055,39 @@ object Queries {
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** DATETIME_EXTERNAL_TZ (SURVEY §2.9, the reference's sixth time
+    * representation): tz-NAIVE timestamps localized to absolute UTC through
+    * a time zone resolved from the geography dimension records — the
+    * inverse direction of q21/q48's UTC→local conversion. Wall-clock
+    * readings in three zones shift by different whole-hour offsets, so UTC
+    * day counts differ per geography; January data keeps the oracle clear
+    * of DST ambiguity. */
+  val q76_external_tz = Q(
+    "q76_external_tz",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("geography", concat(lit("g"), pmod(col("user_id"), lit(3)).cast("string")))
+      val geoRecords = Seq(
+        ("g0", "America/New_York"),
+        ("g1", "America/Denver"),
+        ("g2", "Asia/Tokyo")).toDF("id", "time_zone")
+      graft.time.TimeZones.geographyLocalToUtc(ev, "ts", "geography", geoRecords)
+        .select(col("geography"), dayofmonth(col("ts")).cast("long").as("utc_day"))
+        .groupBy("geography", "utc_day")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("geography", "utc_day")
+    },
+    Some("""SELECT geography, CAST(EXTRACT(day FROM utc_ts) AS BIGINT) AS utc_day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS geography,
+                         timezone('UTC', timezone(
+                           CASE user_id % 3 WHEN 0 THEN 'America/New_York'
+                                            WHEN 1 THEN 'America/Denver'
+                                            ELSE 'Asia/Tokyo' END, ts)) AS utc_ts
+                  FROM events)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2073,5 +2106,5 @@ object Queries {
     q65_stratified_sample, q66_shard_pack, q67_quantile_filter,
     q68_weighted_mix, q69_dedup_clusters, q70_json_roundtrip,
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
-    q74_time_consistency, q75_wrap_time)
+    q74_time_consistency, q75_wrap_time, q76_external_tz)
 }

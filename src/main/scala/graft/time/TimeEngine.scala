@@ -328,6 +328,53 @@ object TimeZones {
           .otherwise(col(TimeZoneColumn)))
       .withColumn(timestampColumn, from_utc_timestamp(col(timestampColumn), col(TimeZoneColumn)))
   }
+
+  // ---------------------------------------------- DATETIME_EXTERNAL_TZ
+  // The reference's sixth time representation (dimension/time.py:15-23,
+  // DatetimeExternalTimeZoneDimensionModel, config/dimensions.py:747-790):
+  // tz-NAIVE timestamps that require localizing through an external time
+  // zone — either a per-row tz column resolved from the geography records
+  // (local_as_strings / aligned-in-clock-time) or one declared zone for the
+  // whole dataset (aligned_in_absolute_time). These are the inverses of
+  // toGeographyLocal / toSingleZone: they take naive local clock readings
+  // INTO absolute UTC instants, which is what every downstream time op
+  // (resample, DST adjust, session spine) expects to operate on.
+
+  /** Localize naive local-clock timestamps to UTC through a tz column
+    * already present on the data. Pure column expression — zero shuffle. */
+  def localToUtc(df: DataFrame, timestampColumn: String, tzColumn: String): DataFrame =
+    df.withColumn(timestampColumn, to_utc_timestamp(col(timestampColumn), col(tzColumn)))
+
+  /** Localize naive timestamps aligned to ONE declared zone to UTC
+    * (aligned_in_absolute_time). */
+  def alignedToUtc(df: DataFrame, timestampColumn: String, tz: String): DataFrame =
+    df.withColumn(timestampColumn, to_utc_timestamp(col(timestampColumn), tz))
+
+  /** Localize naive local-clock timestamps to UTC with the tz resolved from
+    * the geography dimension records (`id`, `time_zone`) — broadcast left
+    * join + fail-fast on geographies with no usable record, same contract
+    * as toGeographyLocal. The tz column is dropped on output: the result is
+    * absolute time, the zone is no longer part of the data's meaning. */
+  def geographyLocalToUtc(
+      df: DataFrame,
+      timestampColumn: String,
+      geographyColumn: String,
+      geoRecords: DataFrame): DataFrame = {
+    val rec = broadcast(geoRecords.select(col("id").as("__graft_geo_id"), col("time_zone").as("__graft_ext_tz")))
+    df.join(rec, df(geographyColumn) === col("__graft_geo_id"), "left")
+      .drop("__graft_geo_id")
+      .withColumn(
+        "__graft_ext_tz",
+        when(
+          col("__graft_ext_tz").isNull,
+          raise_error(concat(
+            lit("geographyLocalToUtc: geography id '"),
+            col(geographyColumn).cast("string"),
+            lit("' has no dimension record with a non-null time_zone"))))
+          .otherwise(col("__graft_ext_tz")))
+      .withColumn(timestampColumn, to_utc_timestamp(col(timestampColumn), col("__graft_ext_tz")))
+      .drop("__graft_ext_tz")
+  }
 }
 
 /** Leap-day and daylight-saving adjustments

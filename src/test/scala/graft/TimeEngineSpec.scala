@@ -90,6 +90,34 @@ class TimeEngineSpec extends SparkSpec {
     assert(e2.getMessage.contains("g2"))
   }
 
+  test("external-tz localization (naive→UTC) inverts the UTC→local conversions") {
+    val df = Seq(
+      ("g1", Timestamp.valueOf("2024-06-01 12:00:00")),
+      ("g2", Timestamp.valueOf("2024-06-01 12:00:00")))
+      .toDF("geography", "timestamp")
+    val recs = Seq(("g1", "America/New_York"), ("g2", "Asia/Tokyo")).toDF("id", "time_zone")
+    // per-geography: local → UTC → local must round-trip exactly
+    val utc = TimeZones.geographyLocalToUtc(df, "timestamp", "geography", recs)
+    assert(utc.orderBy("geography").select(col("timestamp").cast("string")).as[String].collect().toSeq ==
+      Seq("2024-06-01 16:00:00", "2024-06-01 03:00:00"))
+    assert(!utc.columns.contains("time_zone"), "external tz is consumed, not carried")
+    val roundTrip = TimeZones.toGeographyLocal(utc, "timestamp", "geography", recs)
+    assert(roundTrip.orderBy("geography").select(col("timestamp").cast("string")).as[String].collect().toSeq ==
+      Seq("2024-06-01 12:00:00", "2024-06-01 12:00:00"))
+    // tz-column and single-zone forms
+    val withTz = df.withColumn("tz", lit("America/Denver"))
+    assert(TimeZones.localToUtc(withTz, "timestamp", "tz")
+      .select(col("timestamp").cast("string")).as[String].head() == "2024-06-01 18:00:00")
+    assert(TimeZones.alignedToUtc(df, "timestamp", "America/Denver")
+      .select(col("timestamp").cast("string")).as[String].head() == "2024-06-01 18:00:00")
+    // uncovered geography fails fast, same contract as toGeographyLocal
+    val e = intercept[Exception] {
+      TimeZones.geographyLocalToUtc(df, "timestamp", "geography",
+        Seq(("g1", "America/New_York")).toDF("id", "time_zone")).collect()
+    }
+    assert(e.getMessage.contains("g2"))
+  }
+
   test("leap-day adjustments drop the right days") {
     val df = Seq("2024-02-28 10:00:00", "2024-02-29 10:00:00", "2024-12-31 10:00:00", "2024-01-01 10:00:00")
       .map(Timestamp.valueOf).toDF("ts")
