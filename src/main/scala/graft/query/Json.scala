@@ -60,6 +60,12 @@ object Json {
       // subset/supplemental filters are programmatic-only)
       filters = arr(n, "filters").map(filter),
       columnRenames = renamePairs(n, "column_renames"),
+      // execution-tuning conf applied while this dataset is mapped (ref
+      // SparkConfByDataset: {"conf": {key: value}}); values stringified —
+      // spark.conf takes strings
+      sparkConf = Option(n.get("spark_conf")).filterNot(_.isNull).toSeq.flatMap { c =>
+        c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+      },
       growth = Option(n.get("growth")).filterNot(_.isNull).map(g =>
         GrowthSpec(
           datasetId = str(g, "dataset_id"),
@@ -191,6 +197,10 @@ object Json {
       d.columnRenames.foreach { case (from, to) =>
         val o = r.addObject(); o.put("from", from); o.put("to", to)
       }
+    }
+    if (d.sparkConf.nonEmpty) {
+      val c = n.putObject("spark_conf")
+      d.sparkConf.foreach { case (k, v) => c.put(k, v) }
     }
     d.growth.foreach { g =>
       val gn = n.putObject("growth")

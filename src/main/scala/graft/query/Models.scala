@@ -58,7 +58,18 @@ object Models {
         * whose files disagree on column names combine in one project space
         * (ref QueryContext column naming,
         * dataset_schema_handler_base.py:497-518) */
-      columnRenames: Seq[(String, String)] = Nil)
+      columnRenames: Seq[(String, String)] = Nil,
+      /** Spark conf overrides applied ONLY while this dataset is mapped —
+        * the skew/size levers (shuffle partitions, broadcast threshold, AQE
+        * knobs) one giant dataset needs without re-tuning the whole query
+        * (ref SparkConfByDataset + custom_spark_conf, models.py:284-289,
+        * utils/spark.py:823-850). Non-empty conf forces eager
+        * materialization of the mapped frame inside the conf window — the
+        * reference does the same by restarting the session and writing the
+        * mapped dataset to parquet before restoring (project.py:255-285).
+        * Excluded from cache keys, like the reference's exclusion of
+        * spark_conf_per_dataset from its query hash (models.py:608). */
+      sparkConf: Seq[(String, String)] = Nil)
 
   /** The dataset-combination section: dataset refs + an expression over
     * their ids (`"a | b"`, `"(a - b) * c"`); default union of all. */
@@ -160,19 +171,25 @@ object Models {
     * hash differently). Callers fold a registry content token into the key
     * so registry mutations invalidate (the reference hashes project version
     * + dataset configs, query_submitter.py:133-171). */
+  /** sparkConf is execution tuning, not semantics: two runs differing only
+    * in conf produce identical results and must share a cache entry (the
+    * reference excludes spark_conf_per_dataset from its query hash for the
+    * same reason, models.py:608). */
+  private def canonicalRef(ref: DatasetRef): DatasetRef =
+    ref.copy(filters = ref.filters.map(DimensionFilter.canonicalize), sparkConf = Nil)
+
   def canonical(ref: DatasetRef): String =
-    ref.copy(filters = ref.filters.map(DimensionFilter.canonicalize)).toString
+    canonicalRef(ref).toString
 
   def canonical(q: ProjectQuery): String =
     q.copy(
-      datasets = q.datasets.copy(datasets = q.datasets.datasets.map(d =>
-        d.copy(filters = d.filters.map(DimensionFilter.canonicalize)))),
+      datasets = q.datasets.copy(datasets = q.datasets.datasets.map(canonicalRef)),
       result = q.result.copy(filters = q.result.filters.map(DimensionFilter.canonicalize)))
       .toString
 
   def canonical(q: DatasetQuery): String =
     q.copy(
-      dataset = q.dataset.copy(filters = q.dataset.filters.map(DimensionFilter.canonicalize)),
+      dataset = canonicalRef(q.dataset),
       result = q.result.copy(filters = q.result.filters.map(DimensionFilter.canonicalize)))
       .toString
 

@@ -60,7 +60,34 @@ final class Submitter(
     case None => mapDatasetUncached(ref)
   }
 
-  private def mapDatasetUncached(ref: DatasetRef): DataFrame = {
+  private def mapDatasetUncached(ref: DatasetRef): DataFrame =
+    if (ref.sparkConf.isEmpty) buildMappedDataset(ref)
+    else withSparkConf(ref.sparkConf) {
+      // materialize INSIDE the conf window: Spark reads most conf at
+      // physical-planning/execution time, so a lazily returned plan would
+      // execute after restore and never see the overrides. The reference
+      // does the same — restart with custom conf, WRITE the mapped
+      // dataset, restore (project.py:255-285). localCheckpoint doubles as
+      // the plan cut the reference's parquet round-trip provides.
+      buildMappedDataset(ref).localCheckpoint()
+    }
+
+  /** Set conf overrides, run `body`, restore the previous values (unset
+    * keys are restored by unsetting). Mirrors custom_spark_conf
+    * (utils/spark.py:823-850). */
+  private def withSparkConf[T](conf: Seq[(String, String)])(body: => T): T = {
+    val sc = registry.spark.conf
+    val previous = conf.map { case (k, _) => k -> sc.getOption(k) }
+    try {
+      conf.foreach { case (k, v) => sc.set(k, v) }
+      body
+    } finally previous.foreach {
+      case (k, Some(v)) => sc.set(k, v)
+      case (k, None) => sc.unset(k)
+    }
+  }
+
+  private def buildMappedDataset(ref: DatasetRef): DataFrame = {
     val raw = registry.dataset(ref.datasetId)
     val renamed = ref.columnRenames.foldLeft(raw) { case (d, (from, to)) =>
       d.withColumnRenamed(from, to)

@@ -444,6 +444,37 @@ class QuerySpec extends SparkSpec {
     assert(e2.getMessage.contains("incomplete dimension associations"))
   }
 
+  test("per-dataset spark conf applies during mapping and is restored after") {
+    val reg = buildRegistry()
+    val sub = new Submitter(reg)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(before != "7")
+    val ref = DatasetRef(
+      "dsA",
+      mappings = Seq(DimensionMappingRef("geography", "county_to_state")),
+      sparkConf = Seq(
+        "spark.sql.shuffle.partitions" -> "7",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.graft.test.sentinel" -> "on"))
+    val mapped = sub.mapDataset(ref)
+    // executed INSIDE the conf window: the fraction-collapse shuffle ran
+    // with 7 partitions (AQE off so nothing re-coalesces them)
+    assert(mapped.rdd.getNumPartitions == 7)
+    // ...and the session conf is back exactly as it was
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(spark.conf.getOption("spark.graft.test.sentinel").isEmpty)
+    // tuning must not change results
+    val plain = sub.mapDataset(ref.copy(sparkConf = Nil))
+    assert(mapped.orderBy("geography", "sector").collect().toSeq ==
+      plain.orderBy("geography", "sector").collect().toSeq)
+    // conf is execution tuning, not semantics: cache keys ignore it
+    assert(graft.query.Models.canonical(ref) == graft.query.Models.canonical(ref.copy(sparkConf = Nil)))
+    // and the JSON document surface round-trips it
+    val q = ProjectQuery("conf_doc", DatasetSection(Seq(ref)))
+    val parsed = graft.query.Json.parseProjectQuery(graft.query.Json.render(q))
+    assert(parsed.datasets.datasets.head.sparkConf.toMap == ref.sparkConf.toMap)
+  }
+
   test("subset dimensions cannot be aggregated on; base/supplemental can") {
     val reg = buildRegistry()
     Registry.registerDimension(reg, "s1_counties",
