@@ -201,20 +201,33 @@ object Dedup {
     * reclaimed by the ContextCleaner once unreferenced, so there is no
     * unpersist choreography for callers. The driver-side
     * loop-with-convergence-check is the standard Spark shape for iterative
-    * graph passes (GraphX's Pregel does the same). */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    * graph passes (GraphX's Pregel does the same).
+    *
+    * `checkpoint` is the materialization strategy: the default
+    * `localCheckpoint()` stores blocks in executor storage — right for a
+    * single-job run. On a shared 100 TB cluster where executors can be
+    * lost (dynamic allocation, spot nodes), pass a DURABLE checkpointer
+    * instead — scratch parquet survives executor loss with the same
+    * lineage-truncation contract. Each call MUST get a fresh path (earlier
+    * rounds' frames still reference theirs lazily):
+    * `val n = new java.util.concurrent.atomic.AtomicInteger
+    *  Dedup.duplicateClusters(pairs, checkpoint =
+    *    df => Writers.persistIntermediate(spark, df, scratch, s"cc_${n.incrementAndGet()}"))` */
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIterations: Int = 20,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     // Materialize the pairs input once: it is consumed twice to build the
     // symmetric edge set, and upstream it is typically an expensive LSH
     // pipeline that must not run per consumer.
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
-    val edges = p
-      .select(col("id1").as("a"), col("id2").as("b"))
-      .union(p.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("root", col("id"))
-      .localCheckpoint()
+    val p = checkpoint(pairs.select(col("id1"), col("id2")))
+    val edges = checkpoint(
+      p.select(col("id1").as("a"), col("id2").as("b"))
+        .union(p.select(col("id2").as("a"), col("id1").as("b")))
+        .distinct())
+    var labels = checkpoint(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("root", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -235,13 +248,13 @@ object Dedup {
       // per iteration, so chains converge in O(log diameter) rounds, not
       // O(diameter) (every root IS a node id, so the self-join hits)
       val ptr = stepped.select(col("id").as("__graft_rid"), col("root").as("__graft_rroot"))
-      val updated = stepped
-        .join(ptr, col("root") === col("__graft_rid"), "left")
-        .select(
-          col("id"),
-          least(col("root"), coalesce(col("__graft_rroot"), col("root"))).as("root"),
-          col("__graft_prev"))
-        .localCheckpoint()
+      val updated = checkpoint(
+        stepped
+          .join(ptr, col("root") === col("__graft_rid"), "left")
+          .select(
+            col("id"),
+            least(col("root"), coalesce(col("__graft_rroot"), col("root"))).as("root"),
+            col("__graft_prev")))
       converged = updated.filter(col("root") =!= col("__graft_prev")).isEmpty
       labels = updated.select(col("id"), col("root"))
       it += 1

@@ -17,6 +17,10 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("--q69")) { q69(args.head); return }
+    args.sliding(2).collectFirst { case Array("--query", name) => name } match {
+      case Some(name) => timeQuery(args.head, name); return
+      case None =>
+    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -56,6 +60,25 @@ object Profile {
     val out = Dedup.verifyJaccardOnShingles(shingles, pairs, "doc_id", 0.8)
     time("verify jaccard")(println("  verified=" + out.count()))
 
+    spark.stop()
+  }
+
+  /** Repeated wall-clock timing of one catalog query (noop sink), for
+    * checking whether a bench delta is real or run-to-run noise. */
+  def timeQuery(dir: String, name: String, runs: Int = 4): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = graft.Queries.all.find(_.name == name)
+      .getOrElse(sys.error(s"no such query: $name"))
+    for (i <- 1 to runs)
+      time(s"$name run $i")(q.run(spark, dir).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 

@@ -131,6 +131,14 @@ class DedupSpec extends SparkSpec {
     val chainRoots = Dedup.duplicateClusters(chain)
       .select("root").distinct().as[Long].collect().toSeq
     assert(chainRoots == Seq(1L))
+    // a durable scratch-parquet checkpointer (the shared-cluster strategy)
+    // yields identical components — fresh path per call, counted
+    val scratch = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val durable = Dedup.duplicateClusters(chain, checkpoint =
+      df => graft.sources.Writers.persistIntermediate(spark, df, scratch, s"cc_${n.incrementAndGet()}"))
+    assert(durable.select("root").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(n.get() >= 4, "every round must have checkpointed")
   }
 
   test("simhash hamming distance and near-dup buckets") {
