@@ -189,16 +189,28 @@ object TextFunctions {
     "it" -> Seq("il", "di", "che", "la", "e", "per", "un", "non", "sono", "con"))
 
   /** From a materialized distinct lowercase token array (hot-path form: the
-    * text variant inlines tokenization into every profile's intersect). */
+    * text variant inlines tokenization into every profile's intersect).
+    *
+    * Argmax with strictly-greater replacement, earliest language (sorted
+    * order) winning ties, "und" when no profile word matches — expressed as
+    * one `greatest` over (score, -index) structs so each profile's
+    * `array_intersect` appears EXACTLY ONCE in the plan. (The obvious
+    * when-fold nests each partial best inside the next comparison, doubling
+    * the expression tree per language — 2^|langs| copies of the intersect
+    * subtrees, which explodes codegen size and Janino compile time.) */
   def languageIdFromTokens(toks: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column = {
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    val ordered = profiles.toSeq.sortBy(_._1)
+    val entries = ordered.zipWithIndex.map { case ((_, words), i) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(-i).as("neg_idx"))
     }
-    // argmax with deterministic tie-break on language name order
-    scored.foldLeft((lit("und"), lit(0))) { case ((bestLang, bestScore), (lang, score)) =>
-      (when(score > bestScore, lit(lang)).otherwise(bestLang),
-        when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    // struct ordering is lexicographic: max score first, then max neg_idx
+    // (= smallest index = earliest language) on ties
+    val best = if (entries.size == 1) entries.head else greatest(entries: _*)
+    val langByIdx = array(ordered.map { case (lang, _) => lit(lang) }: _*)
+    when(best.getField("score") > 0,
+      element_at(langByIdx, -best.getField("neg_idx") + 1)).otherwise(lit("und"))
   }
 
   def languageId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column =
