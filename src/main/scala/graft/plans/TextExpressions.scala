@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Map-side MinHash signature: the k-way min over universal hashes
+  * `(a_i * (xxhash64(shingle) mod p) + b_i) mod p` of every element of a
+  * shingle array, computed as ONE scalar codegen expression returning
+  * `array<long>` of length k.
+  *
+  * Why an expression and not an aggregate: the aggregate spelling
+  * (explode shingles → groupBy(doc) → k codegen'd `min`s) computes identical
+  * values but costs a shuffle of (id, k longs) per document, k-wide
+  * aggregation buffers, and a k-agg generated function whose Janino compile
+  * time grows with k. Per document the signature is a pure function of its
+  * own shingle array — so it belongs in the map stage: a tight
+  * (shingles × k) primitive loop per row, zero shuffle, and the whole LSH
+  * pipeline up to the bucket self-join becomes shuffle-free. At 100 TB that
+  * removes the single biggest exchange of the near-dup pipeline.
+  *
+  * Value-compatibility contract (spec-enforced): bit-identical to the
+  * aggregate spelling with the same coefficients — `h = pmod(xxhash64(s), p)`
+  * (seed 42, Spark's own XXH64 over the UTF8 bytes), null shingle elements
+  * hash like `xxhash64(NULL)` (= the seed), empty arrays yield NULL (the
+  * aggregate form drops empty docs at explode).
+  *
+  * Reference semantics: MinHash/LSH as in Broder '97; the reference repo has
+  * no equivalent operator (dedup family is a graft extension).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private val P = 2147483647L // 2^31 - 1; keeps a*h+b < 2^62, overflow-free
+  private val Seed = 42L      // Spark's xxhash64 default seed
+
+  // The same deterministic universal-hash coefficients as the aggregate
+  // spelling (single source of truth in Dedup) — derived, not stored, so
+  // case-class equality stays structural (array fields would compare by
+  // reference and defeat Catalyst subexpression elimination).
+  @transient private lazy val coefs = graft.text.Dedup.minhashCoefs(numHashes)
+  @transient private lazy val a: Array[Long] = coefs.map(_._1).toArray
+  @transient private lazy val b: Array[Long] = coefs.map(_._2).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig: numHashes must be positive, got $numHashes")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle array → NULL
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val raw = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      var h = raw % P
+      if (h < 0) h += P
+      var i = 0
+      while (i < numHashes) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val mins = ctx.freshName("mins")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $h = ($arr.isNullAt($j)
+         |        ? ${Seed}L
+         |        : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L))
+         |      % ${P}L;
+         |    if ($h < 0) $h += ${P}L;
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      final long $v = ($aRef[$i] * $h + $bRef[$i]) % ${P}L;
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

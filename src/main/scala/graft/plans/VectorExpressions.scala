@@ -91,5 +91,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "fvec_dot takes exactly 2 arguments")
         FloatVectorDot(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "minhash_sig takes (array<string> shingles, int numHashes)")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numHashes must be an integer literal, got $other")
+        }
+        MinHashSignature(exprs.head, k)
+      }))
   }
 }

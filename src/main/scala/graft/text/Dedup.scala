@@ -39,8 +39,11 @@ object Dedup {
     * ANSI overflow checking. */
   private val MinhashModulus = 2147483647L
 
-  /** Deterministic universal-hash coefficients (a_i, b_i), a_i != 0 mod p. */
-  private def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
+  /** Deterministic universal-hash coefficients (a_i, b_i), a_i != 0 mod p.
+    * Shared by the aggregate spelling below and the map-side
+    * `plans.MinHashSignature` codegen expression — the two MUST stay
+    * bit-identical (spec-enforced). */
+  private[graft] def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(42)
     Seq.fill(numHashes)((1L + rng.nextLong().abs % (MinhashModulus - 1), rng.nextLong().abs % MinhashModulus))
   }
@@ -72,8 +75,37 @@ object Dedup {
     df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
       .select(col(idCol), array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize)).as("sh"))
 
-  /** Signatures from precomputed shingle sets (see `shingleSets`). */
+  /** Signatures from precomputed shingle sets (see `shingleSets`): one row
+    * per input document, columns `h0..h{k-1}`.
+    *
+    * Computed MAP-SIDE by the `minhash_sig` codegen expression
+    * (`plans.MinHashSignature`): the signature is a pure function of the
+    * document's own shingle array, so no explode, no groupBy, no shuffle —
+    * the whole LSH pipeline up to the bucket self-join runs in the scan
+    * stage. Documents with NULL or empty shingle arrays are dropped, exactly
+    * as the aggregate spelling drops them at explode. */
   def minhashSignaturesFromShingles(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val sig = ExprColumn(graft.plans.MinHashSignature(ExprColumn.expr(col("sh")), numHashes))
+    // NULL signatures (null/empty shingle arrays) are dropped through the
+    // generator, NOT a Filter: a `.filter(sigCol.isNotNull)` gets
+    // predicate-pushed below the projection and re-evaluates the entire
+    // shingle+signature expression a second time per row (verified in the
+    // physical plan). explode(array_compact(array(sig))) evaluates it once,
+    // and the h_i projections reference the generated attribute.
+    shingles
+      .select(col(idCol),
+        explode(array_compact(array(sig))).as("__graft_sig"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("__graft_sig").getItem(i).as(s"h$i")): _*)
+  }
+
+  /** The aggregate spelling of `minhashSignaturesFromShingles` — identical
+    * values (explode shingles → k codegen'd `min`s per document), kept as
+    * the equivalence oracle for the map-side expression and as a reference
+    * for engines without expression injection. Costs one shuffle of
+    * (id, k longs) per document that the expression form avoids. */
+  def minhashSignaturesFromShinglesAgg(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val m = lit(MinhashModulus)
     val exploded = shingles
       .select(col(idCol), explode(col("sh")).as("__graft_sh"))

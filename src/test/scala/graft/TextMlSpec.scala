@@ -101,6 +101,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 3)
   }
 
+  test("map-side minhash_sig expression is bit-identical to the aggregate spelling") {
+    // mixed content incl. empty text (singleton "" shingle), punctuation,
+    // repeated tokens — plus interpreted-eval coverage below
+    val df = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (10L, ""), (11L, "one"), (12L, "a b"), (13L, "x y z w x y z w")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(df, "doc_id", "text", 3)
+    val fast = Dedup.minhashSignaturesFromShingles(sh, "doc_id", 16)
+    val slow = Dedup.minhashSignaturesFromShinglesAgg(sh, "doc_id", 16)
+    assert(sortedRows(fast) == sortedRows(slow))
+    // plan contract: map-side — zero shuffles, and the expensive expression
+    // appears exactly once (a pushed-down null Filter would duplicate it)
+    assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
+    assert("minhash_sig".r.findAllIn(fast.queryExecution.executedPlan.toString).length == 1)
+    // empty/NULL shingle arrays are dropped by both forms
+    val edge = Seq((1L, Seq("a b c")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "sh").union(
+        Seq((3L, null.asInstanceOf[Seq[String]])).toDF("doc_id", "sh"))
+    assert(Dedup.minhashSignaturesFromShingles(edge, "doc_id", 4)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // interpreted path (direct eval, no codegen) agrees with codegen
+    val lit = graft.plans.MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a b c"), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), 4)
+    val interp = lit.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    val viaDf = Seq((1L, Seq("a b c"))).toDF("doc_id", "sh")
+    val codegenVals = Dedup.minhashSignaturesFromShingles(viaDf, "doc_id", 4)
+      .drop("doc_id").collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(interp == codegenVals)
+  }
+
   test("minhash LSH finds near-duplicate pair and verifies exact jaccard") {
     val out = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
