@@ -2088,6 +2088,126 @@ object Queries {
                   FROM events)
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Corpus vocabulary (training-data pipeline: tokenizer/vocab building):
+    * top-50 lowercase whitespace tokens by total frequency with document
+    * frequencies. One explode + one token-keyed groupBy with map-side
+    * partials; the top-k sorts only the aggregated vocabulary. */
+  val q77_vocab = Q(
+    "q77_vocab",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      TextFunctions.termFrequencies(d, "doc_id", "text")
+        .select(col("token"), col("tf").cast("long").as("tf"),
+          col("doc_freq").cast("long").as("doc_freq"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(50)
+    },
+    Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                       x -> len(x) > 0)) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY tf DESC, token LIMIT 50"""))
+
+  /** Benchmark decontamination (training-data pipeline): flag corpus
+    * documents sharing word 8-grams with a benchmark set — here the
+    * benchmark is the 12-token prefix of every 97th document, so the
+    * contaminated set is known and the overlap counts are exact. The
+    * benchmark n-gram set broadcasts; the corpus never shuffles raw
+    * n-grams. */
+  val q78_decontaminate = Q(
+    "q78_decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text"))
+      Dedup.ngramOverlap(d, benchmark, "doc_id", "text", n = 8, minHits = 1L)
+        .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bench AS (
+              SELECT array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') AS text
+              FROM documents WHERE doc_id % 97 = 0),
+            norm_c AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+              FROM documents),
+            norm_b AS (
+              SELECT list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+              FROM bench),
+            cg AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END)) AS ng
+              FROM norm_c),
+            bg AS (
+              SELECT DISTINCT unnest(list_distinct(
+                CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END)) AS ng
+              FROM norm_b)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM cg JOIN bg USING (ng)
+            GROUP BY doc_id HAVING COUNT(*) >= 1
+            ORDER BY doc_id"""))
+
+  /** PII redaction audit (training-data pipeline): deterministic synthetic
+    * emails/phone strings are appended per doc_id (the synthetic corpus has
+    * none), redacted map-side with shared regex patterns, and audited per
+    * source. Pure regexp_replace/extract_all column work — no shuffle
+    * before the final small per-source aggregate. */
+  val q79_redact = Q(
+    "q79_redact",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val withPii = d.withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad(col("doc_id").cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      val emailP = TextFunctions.piiPatterns(0)._1
+      val phoneP = TextFunctions.piiPatterns(1)._1
+      withPii
+        .withColumn("redacted", TextFunctions.redact(col("text2")))
+        .withColumn("email_hits", TextFunctions.patternHits(col("text2"), emailP))
+        .withColumn("phone_hits", TextFunctions.patternHits(col("text2"), phoneP))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(when(col("redacted") =!= col("text2"), 1L).otherwise(0L)).cast("long").as("docs_redacted"),
+          sum(col("email_hits")).cast("long").as("emails"),
+          sum(col("phone_hits")).cast("long").as("phones"),
+          sum(length(col("text2")) - length(col("redacted"))).cast("long").as("chars_removed"))
+        .orderBy("source")
+    },
+    Some {
+      // DuckDB regular strings don't process backslash escapes, so the
+      // Scala pattern (single backslash before '.') interpolates verbatim
+      val emailP = TextFunctions.piiPatterns(0)._1
+      val phoneP = TextFunctions.piiPatterns(1)._1
+      s"""WITH withpii AS (
+            SELECT source, text
+              || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+              || (CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END) AS text2
+            FROM documents),
+          red AS (
+            SELECT source, text2,
+              regexp_replace(regexp_replace(text2, '$emailP', '<EMAIL>', 'g'), '$phoneP', '<PHONE>', 'g') AS redacted,
+              len(regexp_extract_all(text2, '$emailP')) AS email_hits,
+              len(regexp_extract_all(text2, '$phoneP')) AS phone_hits
+            FROM withpii)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+            CAST(SUM(CASE WHEN redacted <> text2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+            CAST(SUM(email_hits) AS BIGINT) AS emails,
+            CAST(SUM(phone_hits) AS BIGINT) AS phones,
+            CAST(SUM(len(text2) - len(redacted)) AS BIGINT) AS chars_removed
+          FROM red GROUP BY source ORDER BY source"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2106,5 +2226,6 @@ object Queries {
     q65_stratified_sample, q66_shard_pack, q67_quantile_filter,
     q68_weighted_mix, q69_dedup_clusters, q70_json_roundtrip,
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
-    q74_time_consistency, q75_wrap_time, q76_external_tz)
+    q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
+    q78_decontaminate, q79_redact)
 }

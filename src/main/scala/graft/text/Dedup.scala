@@ -307,6 +307,39 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: for every corpus document, the number of
+    * DISTINCT word n-grams it shares with a benchmark/eval set — the
+    * standard "n-gram overlap" contamination check run before training.
+    * Returns (idCol, n_hits) for documents with >= minHits overlapping
+    * n-grams; drop or audit those before training.
+    *
+    * Scale design: benchmark sets are eval suites — thousands of documents
+    * against a 100 TB corpus — so the distinct benchmark n-gram set is
+    * BROADCAST and the corpus side never shuffles raw n-grams: explode →
+    * broadcast-hash semi-side join → one groupBy keyed by doc id with
+    * map-side partials. Both sides n-gram via the same
+    * normalize+tokenize+shingle pipeline as the dedup family. */
+  def ngramOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minHits: Long = 1L): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: HOF-lambda CSE
+      .select(col(idCol),
+        explode(array_distinct(wordShinglesFromTokens(col("__graft_toks"), n))).as("__graft_ng"))
+    val benchGrams = grams(benchmark).select(col("__graft_ng")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("__graft_ng"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // corpus grams are per-doc distinct
+      .filter(col("n_hits") >= minHits)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token multiset: per bit position, sum +1/-1 over

@@ -215,4 +215,39 @@ object TextFunctions {
 
   def languageId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column =
     languageIdFromTokens(array_distinct(tokens(lower(text))), profiles)
+
+  // ------------------------------------------------- corpus vocabulary
+
+  /** Corpus term statistics: one row per lowercase whitespace token with its
+    * total frequency and document frequency — the vocabulary-building pass
+    * of a tokenizer/data pipeline.
+    *
+    * Scale design: explode → one hash-groupBy keyed by token with map-side
+    * partial aggregation; hot stopwords are absorbed by the partials, so
+    * skew never concentrates raw rows. The distinct-document count is the
+    * standard two-phase count-distinct — no per-group set materialization. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("doc_freq"))
+
+  // ----------------------------------------------------- PII redaction
+
+  /** Default redaction patterns: emails and 555-prefixed phone-style
+    * numbers. Pattern syntax is the RE2-compatible common subset (no
+    * backtracking constructs), so the same strings run on Spark (Java
+    * regex) and external engines. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("555-[0-9]{4}", "<PHONE>"))
+
+  /** Apply redaction patterns in order (each a full-text regexp_replace —
+    * codegen'd, map-side, no shuffle). */
+  def redact(text: Column, patterns: Seq[(String, String)] = piiPatterns): Column =
+    patterns.foldLeft(text) { case (t, (p, r)) => regexp_replace(t, p, r) }
+
+  /** Number of matches of `pattern` in `text` (regexp_extract_all length —
+    * the redaction-audit counter). */
+  def patternHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

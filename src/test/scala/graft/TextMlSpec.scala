@@ -94,6 +94,30 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different content about solar energy forecasting and wind turbines"))
     .toDF("doc_id", "text")
 
+  test("term frequencies: totals and document frequencies per lowercase token") {
+    val df = Seq((1L, "The the cat"), (2L, "the dog"), (3L, "")).toDF("doc_id", "text")
+    val m = TextFunctions.termFrequencies(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("the") == ((3L, 2L))) // 2 in doc1 + 1 in doc2; 2 docs
+    assert(m("cat") == ((1L, 1L)))
+    assert(m("dog") == ((1L, 1L)))
+    assert(m.size == 3) // empty doc contributes nothing
+  }
+
+  test("redaction replaces PII patterns and counts hits") {
+    val df = Seq(
+      (1L, "mail me at a.b@test.org or call 555-1234"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextFunctions.redact(col("text")).as("red"),
+      TextFunctions.patternHits(col("text"), TextFunctions.piiPatterns(0)._1).as("e"),
+      TextFunctions.patternHits(col("text"), TextFunctions.piiPatterns(1)._1).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(out.contains((1L, "mail me at <EMAIL> or call <PHONE>", 1, 1)))
+    assert(out.contains((2L, "nothing here", 0, 0)))
+  }
+
   test("exact dedup groups identical normalized content") {
     val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
     assert(groups.count() == 3)
@@ -170,6 +194,21 @@ class DedupSpec extends SparkSpec {
       df => graft.sources.Writers.persistIntermediate(spark, df, scratch, s"cc_${n.incrementAndGet()}"))
     assert(durable.select("root").distinct().as[Long].collect().toSeq == Seq(1L))
     assert(n.get() >= 4, "every round must have checkpointed")
+  }
+
+  test("ngram overlap flags only documents sharing benchmark n-grams") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains the benchmark trigram
+      (2L, "one two three four five six"),         // disjoint
+      (3L, "alpha beta gamma nine ten eleven"))    // shares the same trigram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val hits = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 1L))
+    // benchmark side broadcasts (plan contract for the 100 TB shape)
+    val df = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+    assert(graft.plans.PlanChecks.broadcastJoinCount(df) >= 1)
   }
 
   test("simhash hamming distance and near-dup buckets") {
