@@ -65,6 +65,16 @@ object Similarity {
     * generated code would outgrow codegen limits, so it falls back to a
     * broadcast join + per-id `max_by` — one shuffle of N rows, never N×C.
     * Exact similarity ties break toward the larger centroid id. */
+  /** Order centroids by id for deterministic tie-breaking (numbers by
+    * value, strings lexicographically; any other id type keeps input
+    * order). */
+  private def sortById(cents: Array[(Any, Array[Double], Double)]): Array[(Any, Array[Double], Double)] =
+    if (cents.forall(_._1.isInstanceOf[Number]))
+      cents.sortBy(_._1.asInstanceOf[Number].doubleValue)
+    else if (cents.forall(_._1.isInstanceOf[String]))
+      cents.sortBy(_._1.asInstanceOf[String])
+    else cents
+
   def assignToCentroids(
       df: DataFrame,
       centroids: DataFrame,
@@ -80,10 +90,18 @@ object Similarity {
     }
     require(cents.nonEmpty, "assignToCentroids: empty centroid table")
     if (cents.length <= maxUnrolledCentroids) {
-      val entries = cents.map { case (cid, v, n) =>
-        struct((dot(col(vecCol), typedLit(v)) / lit(n)).as("sim"), lit(cid).as("cid"))
-      }
-      df.withColumn(centroidIdCol, array_max(array(entries.toIndexedSeq: _*)).getField("cid"))
+      // Reference-object argmax (plans.NearestCentroidIndex): constant
+      // codegen source regardless of the centroid set, so Lloyd iterations
+      // and repeat assignments hit the codegen cache instead of recompiling
+      // a C-term unrolled method (was ~10 s of cold q32). Ties break toward
+      // the larger index; centroids are sorted by id ascending so that
+      // matches the previous array_max(struct(sim, cid)) "larger id wins".
+      val sorted = sortById(cents)
+      import org.apache.spark.sql.graft.ExprColumn
+      val idx = ExprColumn(graft.plans.NearestCentroidIndex(
+        ExprColumn.expr(col(vecCol)), sorted.map(_._2.toSeq).toSeq))
+      val ids = array(sorted.map { case (cid, _, _) => lit(cid) }.toIndexedSeq: _*)
+      df.withColumn(centroidIdCol, element_at(ids, idx + 1))
     } else {
       val bc = broadcast(centroids.select(
         col(centroidIdCol).as("__graft_cid"),
@@ -178,12 +196,13 @@ object Similarity {
     val maxUnrolled = 256
     def withSqDistToNearest(df: DataFrame): DataFrame =
       if (candidates.size <= maxUnrolled) {
-        val xx = dot(col(vecCol), col(vecCol))
-        val d2 = array_min(array(candidates.map { case (_, c) =>
-          val cc = c.map(x => x * x).sum
-          xx - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)) + lit(cc)
-        }: _*))
-        df.withColumn("__graft_d2", greatest(d2, lit(0.0)))
+        // Reference-object min-d² (plans.MinSquaredDistance): the candidate
+        // set grows every round, so the unrolled array_min recompiled its
+        // codegen each round — this form has constant source and compiles
+        // once per JVM. Values bit-identical ((xx − 2·dot) + cc, min, clamp).
+        import org.apache.spark.sql.graft.ExprColumn
+        df.withColumn("__graft_d2", ExprColumn(graft.plans.MinSquaredDistance(
+          ExprColumn.expr(col(vecCol)), candidates.map(_._2.toSeq))))
       } else {
         val cand = broadcast(
           doubleVecFrame(corpus, candidates, idCol).select(col("centroid")))

@@ -1,0 +1,206 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Shared shape checks for the centroid-loop expressions. */
+private[plans] trait VectorInput { self: UnaryExpression =>
+  protected def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  protected def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Index of the cosine-nearest centroid (argmax of `x·c / ||c||` — the
+  * row's own norm is a common positive factor and cancels out of the
+  * argmax). Exact-similarity ties break toward the LARGER index, so callers
+  * wanting the reference "larger centroid id wins" semantics must pass
+  * centroids sorted by id ascending.
+  *
+  * Why a custom expression: the unrolled spelling (`array_max` over one
+  * `struct(fvec_dot(x, lit(c)) / ||c||, id)` per centroid) generates source
+  * whose size — and, for k-means, whose TEXT — changes with the centroid
+  * set, so every Lloyd iteration and every k-means|| round forces a fresh
+  * Janino compile of a large method (~10 s of the cold q32 run). Here the
+  * matrix is a codegen REFERENCE object: the generated source is a small
+  * constant double loop, identical for every centroid set, so Spark's
+  * codegen cache compiles it exactly once per JVM. Same story at 100 TB:
+  * assignment stays a zero-shuffle map-side argmax with O(1) plan size.
+  *
+  * Value contract (spec-enforced): bit-identical to the unrolled spelling —
+  * same accumulation order as `fvec_dot`, same `dot / norm` division (not a
+  * multiply by the inverse), zero-norm centroids score with norm 1.
+  * Divergence: rows containing NaN never update the running best (the
+  * unrolled `array_max` ranks NaN above everything); embedding pipelines
+  * must not feed NaNs either way. */
+case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with VectorInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!elemOk(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_idx requires array<float>/array<double>, got ${child.dataType.sql}")
+    else if (centroids.isEmpty)
+      TypeCheckResult.TypeCheckFailure("nearest_centroid_idx: empty centroid set")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_idx"
+
+  @transient private lazy val matrix: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] = matrix.map { v =>
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) 1.0 else n
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = childIsFloat
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cv = matrix(c)
+      val n = math.min(v.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (if (isF) v.getFloat(i).toDouble else v.getDouble(i)) * cv(i)
+        i += 1
+      }
+      val sim = acc / norms(c)
+      if (sim >= bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    val nm = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    val getV = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best"); val bestSim = ctx.freshName("bestSim")
+      val cv = ctx.freshName("cv")
+      s"""
+         |int $best = -1;
+         |double $bestSim = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  final double[] $cv = $m[$c];
+         |  final int $n = java.lang.Math.min($v.numElements(), $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $v.$getV($i) * $cv[$i];
+         |  }
+         |  final double $sim = $acc / $nm[$c];
+         |  if ($sim >= $bestSim) { $bestSim = $sim; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Squared euclidean distance to the nearest of a centroid/candidate set,
+  * clamped at 0 — the k-means|| cost term `d²(x, C)`. Same
+  * reference-object/codegen-cache rationale as [[NearestCentroidIndex]]:
+  * the k-means|| candidate set grows every round, and the unrolled
+  * `array_min` spelling recompiled per round.
+  *
+  * Value contract: bit-identical to
+  * `greatest(array_min(array(xx - 2.0*dot(x,c) + cc, ...)), 0.0)` —
+  * per-term `(xx - 2·acc) + cc` association, min over terms, single final
+  * clamp. */
+case class MinSquaredDistance(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with VectorInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!elemOk(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"min_sqdist requires array<float>/array<double>, got ${child.dataType.sql}")
+    else if (centroids.isEmpty)
+      TypeCheckResult.TypeCheckFailure("min_sqdist: empty centroid set")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "min_sqdist"
+
+  @transient private lazy val matrix: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val sqNorms: Array[Double] = matrix.map(_.map(x => x * x).sum)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = childIsFloat
+    val nv = v.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < nv) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      xx += x * x
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cv = matrix(c)
+      val n = math.min(nv, cv.length)
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        acc += (if (isF) v.getFloat(i).toDouble else v.getDouble(i)) * cv(i)
+        i += 1
+      }
+      val d2 = (xx - 2.0 * acc) + sqNorms(c)
+      if (d2 < best) best = d2
+      c += 1
+    }
+    if (best < 0.0) 0.0 else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    val cc = ctx.addReferenceObj("centroidSqNorms", sqNorms, "double[]")
+    val getV = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d2 = ctx.freshName("d2")
+      val best = ctx.freshName("best"); val xx = ctx.freshName("xx")
+      val nv = ctx.freshName("nv"); val x = ctx.freshName("x"); val cv = ctx.freshName("cv")
+      s"""
+         |final int $nv = $v.numElements();
+         |double $xx = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  final double $x = (double) $v.$getV($i);
+         |  $xx += $x * $x;
+         |}
+         |double $best = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  final double[] $cv = $m[$c];
+         |  final int $n = java.lang.Math.min($nv, $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $v.$getV($i) * $cv[$i];
+         |  }
+         |  final double $d2 = ($xx - 2.0 * $acc) + $cc[$c];
+         |  if ($d2 < $best) $best = $d2;
+         |}
+         |${ev.value} = $best < 0.0 ? 0.0 : $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
