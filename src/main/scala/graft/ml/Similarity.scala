@@ -134,22 +134,35 @@ object Similarity {
       vecCol: String = "embedding",
       /** seed with k-means|| (default) or the cheap hash sample */
       parallelInit: Boolean = true): DataFrame = {
-    var cents =
-      if (parallelInit) kmeansParallelInit(corpus, numCentroids, idCol = idCol, vecCol = vecCol)
-      else sampleCentroids(corpus, numCentroids, idCol, vecCol)
-    val vecs = corpus.select(col(idCol), col(vecCol))
-    for (_ <- 0 until iterations) {
-      cents = assignToCentroids(vecs, cents, idCol, vecCol)
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__graft_pos", "__graft_x")))
-        .groupBy(col("centroid_id"), col("__graft_pos"))
-        .agg(avg(col("__graft_x")).as("__graft_m"))
-        .groupBy(col("centroid_id"))
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("__graft_pos"), col("__graft_m")))),
-            s => s.getField("__graft_m").cast("float")).as("centroid"))
-    }
-    cents
+    // The corpus is scanned by every k-means|| round, the weight pass, and
+    // every Lloyd iteration's assignment collect — cache the projected
+    // vectors ONCE for the whole run (at 100 TB this is the difference
+    // between iterations reading cached blocks and re-reading the table
+    // per driver action), and hand the cached frame to the seeding step.
+    val vecs = corpus.select(col(idCol), col(vecCol)).cache()
+    try {
+      var cents =
+        if (parallelInit) kmeansParallelInit(vecs, numCentroids, idCol = idCol, vecCol = vecCol)
+        else sampleCentroids(vecs, numCentroids, idCol, vecCol)
+      for (_ <- 0 until iterations) {
+        cents = assignToCentroids(vecs, cents, idCol, vecCol)
+          .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__graft_pos", "__graft_x")))
+          .groupBy(col("centroid_id"), col("__graft_pos"))
+          .agg(avg(col("__graft_x")).as("__graft_m"))
+          .groupBy(col("centroid_id"))
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("__graft_pos"), col("__graft_m")))),
+              s => s.getField("__graft_m").cast("float")).as("centroid"))
+      }
+      // Localize the k-row result: downstream consumers (cell assignment,
+      // probe selection) each collect the centroid table, and without this
+      // every collect would re-run the whole Lloyd cascade — the same
+      // lineage-leak class as the duplicateClusters round-3 finding.
+      val rows = cents.collect()
+      vecs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), cents.schema)
+    } finally vecs.unpersist()
   }
 
   /** k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB 2012)
@@ -172,7 +185,10 @@ object Similarity {
     *
     * Two passes over the corpus per round, never an N×C shuffle — the
     * cluster-scale seeding the sample init can't provide when a corpus has
-    * far-apart modes that one hash sample misses. */
+    * far-apart modes that one hash sample misses.
+    *
+    * Callers should pass a CACHED corpus frame: every round and the weight
+    * pass launch driver actions over it (`kmeansCentroids` does this). */
   def kmeansParallelInit(
       corpus: DataFrame,
       k: Int,
