@@ -115,3 +115,86 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Map-side 64-bit SimHash of a token array (multiset): per bit position,
+  * sum +1/−1 over `xxhash64(token)` bits, set the bit if the sum is
+  * positive. Same rationale as [[MinHashSignature]]: the aggregate spelling
+  * (explode tokens → 64 conditional sums per document) is a pure per-row
+  * function spelled as a shuffle — this is one (tokens × 64) primitive loop
+  * in the scan stage.
+  *
+  * Value contract (spec-enforced): bit-identical to the aggregate form —
+  * arithmetic shift over the raw xxhash64 (seed 42), strict `sum > 0` bit
+  * rule, null tokens hash like `xxhash64(NULL)`, empty arrays yield NULL
+  * (the aggregate form drops empty docs at explode). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  private val Seed = 42L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // empty token array → NULL
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      var i = 0
+      while (i < 64) {
+        if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int[] $counts = new int[64];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final long $h = $arr.isNullAt($j)
+         |      ? ${Seed}L
+         |      : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      if ((($h >> $i) & 1L) == 1L) $counts[$i]++; else $counts[$i]--;
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ($counts[$i] > 0) $sig |= 1L << $i;
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -343,10 +343,26 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token multiset: per bit position, sum +1/-1 over
-    * token hashes, set the bit if the sum is positive. Built by exploding
-    * tokens and aggregating 64 conditional sums — one shuffle keyed by doc
-    * id with map-side partial aggregation. */
+    * token hashes, set the bit if the sum is positive.
+    *
+    * Computed MAP-SIDE by the `simhash64` codegen expression
+    * (`plans.SimHash64`) — the signature is a pure function of the
+    * document's own token array, so no explode, no groupBy, no shuffle
+    * (the aggregate spelling shuffled (id, token-hash) rows into 64
+    * conditional sums). Empty documents are dropped through the generator,
+    * exactly as the aggregate form drops them at explode — and for the same
+    * reason as minhash: a Filter on the signature would be predicate-pushed
+    * below the projection and re-evaluate the expression per row. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val sig = ExprColumn(graft.plans.SimHash64(
+      ExprColumn.expr(tokens(normalize(col(textCol))))))
+    df.select(col(idCol), explode(array_compact(array(sig))).as("simhash"))
+  }
+
+  /** The aggregate spelling of `simhash` — identical values, kept as the
+    * equivalence oracle for the map-side expression. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(normalize(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { j =>

@@ -211,6 +211,19 @@ class DedupSpec extends SparkSpec {
     assert(graft.plans.PlanChecks.broadcastJoinCount(df) >= 1)
   }
 
+  test("map-side simhash64 expression is bit-identical to the aggregate spelling") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, ""),              // empty → dropped by both forms
+      (4L, "one one one"),   // multiset: duplicates count
+      (5L, "Punct, MIXED case! 42")).toDF("doc_id", "text")
+    val fast = Dedup.simhash(df, "doc_id", "text")
+    val slow = Dedup.simhashAgg(df, "doc_id", "text")
+    assert(sortedRows(fast) == sortedRows(slow))
+    assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
+  }
+
   test("simhash hamming distance and near-dup buckets") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
     assert(sig.count() == 4)
