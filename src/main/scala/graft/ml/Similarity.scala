@@ -374,32 +374,26 @@ object Similarity {
         return df.select(col(idCol).as("id1"), col(idCol).as("id2"), lit(0.0).as("cosine")).limit(0)
       first(0).getInt(0)
     }
-    // deterministic pseudo-random hyperplanes: component = hash(b,p,i) mapped
-    // to [-1,1]. Projections run as posexplode + codegen'd sum aggregates
-    // over literal weight arrays (HOF dot products per plane are interpreted
-    // and box per element — same lesson as Dedup.minhashSignatures).
+    // deterministic pseudo-random hyperplanes: component = hash(b,p,i)
+    // mapped to [-1,1]. Band buckets are computed MAP-SIDE by the
+    // hyperplane_buckets codegen expression (plans.HyperplaneBuckets): the
+    // previous posexplode → 32 sum-aggregates → join-back-to-vectors
+    // spelling paid a shuffle for the projections and a second join to
+    // reattach the vector; this keeps the vector on the row and emits
+    // (band, bucket) pairs straight from the scan stage — zero shuffle
+    // before the bucket self-join. Bit-identical buckets (spec-enforced).
     def plane(b: Int, p: Int): Seq[Double] =
       (0 until dim).map { i =>
         val h = scala.util.hashing.MurmurHash3.productHash((b, p, i))
         (h.toDouble / Int.MaxValue)
       }
-    val exploded = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("__graft_i", "__graft_x")))
-    val projAggs = for (b <- 0 until bands; p <- 0 until planesPerBand) yield {
-      val w = typedLit(plane(b, p))
-      sum(col("__graft_x") * element_at(w, col("__graft_i") + 1)).as(s"proj_${b}_$p")
-    }
-    val projections = exploded.groupBy(col(idCol)).agg(projAggs.head, projAggs.tail: _*)
-    val sigCols = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { p =>
-        when(col(s"proj_${b}_$p") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }
-      struct(lit(b).as("band"), bits.reduce((a, c) => a.bitwiseOR(c)).as("bucket"))
-    }
-    val buckets = projections
-      .select(col(idCol), explode(array(sigCols: _*)).as("bb"))
-      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache() // self-joined below: compute the 32 hyperplane projections once per vector
+    val planes = for (b <- 0 until bands; p <- 0 until planesPerBand) yield plane(b, p)
+    import org.apache.spark.sql.graft.ExprColumn
+    val bucketArr = ExprColumn(graft.plans.HyperplaneBuckets(
+      ExprColumn.expr(col(vecCol)), planes, planesPerBand))
+    val buckets = df
+      .select(col(idCol), col(vecCol), posexplode(bucketArr).as(Seq("band", "bucket")))
+      .cache() // self-joined below: compute the band buckets once per vector
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, Seq("band", "bucket"))

@@ -113,6 +113,94 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH band buckets: one packed sign-bit bucket value per
+  * band, computed map-side from the row's own vector — `array<long>` of
+  * length `planes.length / planesPerBand`, where bucket_b bit p is set iff
+  * `dot(x, plane_{b,p}) >= 0`.
+  *
+  * Replaces the posexplode → 32 sum-aggregates → join-back-to-vectors
+  * spelling (two shuffles) with a zero-shuffle scan-stage loop; the plane
+  * matrix is a codegen reference object (constant source, compiled once).
+  *
+  * Value contract (spec-enforced): accumulation in index order, strict
+  * `>= 0` sign rule — bit-identical to the aggregate spelling (posexplode
+  * emits a document's components contiguously, so its partial sums also
+  * accumulated in index order). NULL or EMPTY vectors yield NULL: the
+  * aggregate form never emitted projection rows for them, so they must not
+  * acquire buckets here either. */
+case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]], planesPerBand: Int)
+    extends UnaryExpression with VectorInput {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!elemOk(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets requires array<float>/array<double>, got ${child.dataType.sql}")
+    else if (planes.isEmpty || planesPerBand <= 0 || planes.length % planesPerBand != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets: ${planes.length} planes not divisible into bands of $planesPerBand")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true // empty vector → NULL
+  override def prettyName: String = "hyperplane_buckets"
+
+  @transient private lazy val matrix: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    if (nv == 0) return null
+    val isF = childIsFloat
+    val bands = matrix.length / planesPerBand
+    val out = new Array[Long](bands)
+    var p = 0
+    while (p < matrix.length) {
+      val w = matrix(p)
+      val n = math.min(nv, w.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (if (isF) v.getFloat(i).toDouble else v.getDouble(i)) * w(i)
+        i += 1
+      }
+      if (acc >= 0) out(p / planesPerBand) |= 1L << (p % planesPerBand)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeMatrix", matrix, "double[][]")
+    val getV = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val nv = ctx.freshName("nv"); val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc"); val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $nv = $v.numElements();
+         |if ($nv == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $out = new long[${matrix.length / planesPerBand}];
+         |  for (int $p = 0; $p < $m.length; $p++) {
+         |    final double[] $w = $m[$p];
+         |    final int $n = java.lang.Math.min($nv, $w.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $v.$getV($i) * $w[$i];
+         |    }
+         |    if ($acc >= 0) $out[$p / $planesPerBand] |= 1L << ($p % $planesPerBand);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Squared euclidean distance to the nearest of a centroid/candidate set,
   * clamped at 0 — the k-means|| cost term `d²(x, C)`. Same
   * reference-object/codegen-cache rationale as [[NearestCentroidIndex]]:

@@ -327,6 +327,39 @@ class SimilaritySpec extends SparkSpec {
     assert((exact intersect approx).size.toDouble / exact.size >= 0.9)
   }
 
+  test("hyperplane_buckets expression matches the aggregate projection spelling") {
+    import org.apache.spark.sql.graft.ExprColumn
+    val bands = 2; val ppb = 3; val dim = 4
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 2.0f, 0.0f)),
+      (2L, Seq(-0.25f, 0.75f, -0.5f, 1.0f)),
+      (3L, Seq.empty[Float])) // empty vector: no buckets in either spelling
+      .toDF("vec_id", "embedding")
+    // the same deterministic plane derivation cosineNearDuplicates uses
+    def plane(b: Int, p: Int): Seq[Double] = (0 until dim).map { i =>
+      scala.util.hashing.MurmurHash3.productHash((b, p, i)).toDouble / Int.MaxValue
+    }
+    val planes = for (b <- 0 until bands; p <- 0 until ppb) yield plane(b, p)
+    val fast = df.select(col("vec_id"),
+      posexplode(ExprColumn(graft.plans.HyperplaneBuckets(
+        ExprColumn.expr(col("embedding")), planes, ppb))).as(Seq("band", "bucket")))
+    // the former aggregate spelling, inline
+    val exploded = df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val projAggs = for (b <- 0 until bands; p <- 0 until ppb)
+      yield sum(col("x") * element_at(typedLit(plane(b, p)), col("i") + 1)).as(s"proj_${b}_$p")
+    val projections = exploded.groupBy(col("vec_id")).agg(projAggs.head, projAggs.tail: _*)
+    val sigCols = (0 until bands).map { b =>
+      val bits = (0 until ppb).map { p =>
+        when(col(s"proj_${b}_$p") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), bits.reduce((a, c) => a.bitwiseOR(c)).as("bucket"))
+    }
+    val slow = projections.select(col("vec_id"), explode(array(sigCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    assert(sortedRows(fast) == sortedRows(slow))
+    assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
+  }
+
   test("cosine near-duplicates finds scaled copies") {
     val dim64 = (id: Long, seed: Int) =>
       (id, (0 until 64).map(i => (math.sin(seed * 31 + i) * 10).toFloat))
