@@ -30,10 +30,14 @@ object Bench {
       spark.catalog.clearCache() // queries that cache intermediates don't skew later ones
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact (the harness keeps only
+    // the tail of the output), and the total/sf summary keys go LAST so
+    // they survive even if a long queries map gets front-truncated.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
