@@ -2208,6 +2208,35 @@ object Queries {
           FROM red GROUP BY source ORDER BY source"""
     })
 
+  /** Session-time-zone management (SURVEY §2.9, the last spec-only time
+    * row): the SAME column expression (`date_format`) renders different
+    * wall-clock fields under a scoped session-zone override
+    * (`Core.withSessionTimeZone` — the reference restarts its session for
+    * this, query_submitter.py:697-714). The aggregate is materialized
+    * INSIDE the scope: session-zone-dependent expressions resolve the conf
+    * at execution, so a lazily-returned frame would silently run under the
+    * restored zone — exactly the trap the scoped helper exists to prevent. */
+  val q80_session_tz = Q(
+    "q80_session_tz",
+    (s, dir) => {
+      // BOTH the frame definition and the collect live inside the scope:
+      // time-zone-aware expressions (date_format) capture the session zone
+      // at ANALYSIS time, so a frame defined outside would bake in the old
+      // zone no matter when it executes.
+      val (rows, schema) = graft.core.GraftSession.withSessionTimeZone(s, "America/Denver") {
+        val agg = t(s, dir, "events")
+          .select(date_format(col("ts"), "HH").cast("long").as("local_hour"))
+          .groupBy("local_hour")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("local_hour")
+        (agg.collect(), agg.schema)
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    },
+    Some("""SELECT CAST(EXTRACT(hour FROM timezone('America/Denver', timezone('UTC', ts))) AS BIGINT) AS local_hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2227,5 +2256,5 @@ object Queries {
     q68_weighted_mix, q69_dedup_clusters, q70_json_roundtrip,
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
-    q78_decontaminate, q79_redact)
+    q78_decontaminate, q79_redact, q80_session_tz)
 }
