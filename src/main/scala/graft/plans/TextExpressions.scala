@@ -44,13 +44,21 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   @transient private lazy val a: Array[Long] = coefs.map(_._1).toArray
   @transient private lazy val b: Array[Long] = coefs.map(_._2).toArray
 
+  /** `array<long>` children carry PRE-HASHED shingles (raw `xxhash64`
+    * values, e.g. from [[XxHash64Array]]) — signatures are then identical
+    * to hashing the strings here. */
+  private def preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 =>
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numHashes > 0 =>
       TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StringType, _) =>
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
       TypeCheckResult.TypeCheckFailure(s"minhash_sig: numHashes must be positive, got $numHashes")
     case t =>
-      TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got ${t.sql}")
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string> or array<long>, got ${t.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -61,10 +69,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
+    val hashed = preHashed
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val raw = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      val raw =
+        if (arr.isNullAt(j)) Seed
+        else if (hashed) arr.getLong(j)
+        else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
       var h = raw % P
       if (h < 0) h += P
       var i = 0
@@ -81,6 +93,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    val rawOf =
+      if (preHashed) (arr: String, j: String) => s"$arr.getLong($j)"
+      else (arr: String, j: String) =>
+        s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L)"
     nullSafeCodeGen(ctx, ev, arr => {
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
@@ -96,10 +112,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  final long[] $mins = new long[$numHashes];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $j = 0; $j < $n; $j++) {
-         |    long $h = ($arr.isNullAt($j)
-         |        ? ${Seed}L
-         |        : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L))
-         |      % ${P}L;
+         |    long $h = ($arr.isNullAt($j) ? ${Seed}L : ${rawOf(arr, j)}) % ${P}L;
          |    if ($h < 0) $h += ${P}L;
          |    for (int $i = 0; $i < $numHashes; $i++) {
          |      final long $v = ($aRef[$i] * $h + $bRef[$i]) % ${P}L;
@@ -111,6 +124,58 @@ case class MinHashSignature(child: Expression, numHashes: Int)
        """.stripMargin
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Element-wise `xxhash64` of a string array (seed 42 — Spark's own), as one
+  * codegen loop. The `transform(arr, s -> xxhash64(s))` spelling runs the
+  * lambda interpreted per element; this stays in the scan stage's generated
+  * code. NULL elements hash to the seed, exactly like `xxhash64(NULL)`.
+  * Used to shrink shingle sets to 8-byte keys before caching/joining —
+  * downstream set ops (distinct/intersect/union) and `minhash_sig` then
+  * work on longs. */
+case class XxHash64Array(child: Expression) extends UnaryExpression {
+
+  private val Seed = 42L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"xxhash64_array requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xxhash64_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      out(j) = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $arr.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $out[$j] = $arr.isNullAt($j)
+         |    ? ${Seed}L
+         |    : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -75,7 +75,26 @@ object Dedup {
     df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: see wordShinglesFromTokens
       .select(col(idCol), array_distinct(wordShinglesFromTokens(col("__graft_toks"), shingleSize)).as("sh"))
 
-  /** Signatures from precomputed shingle sets (see `shingleSets`): one row
+  /** Hashed distinct word-shingle sets: `sh` is `array<long>` of raw
+    * xxhash64 shingle values instead of the strings. 8-byte keys shrink the
+    * cached frame and the verify join ~4× (shingles are ~20–40 byte
+    * strings) and make the set ops (`array_distinct`/intersect/union)
+    * primitive comparisons — at 100 TB this is the difference between
+    * caching shingle TEXT and caching fixed-width keys. Hashing is one
+    * codegen loop (`plans.XxHash64Array`); `minhash_sig` accepts the
+    * pre-hashed array and produces identical signatures. Jaccard over
+    * hashed sets equals Jaccard over the strings absent 64-bit collisions
+    * (P[any collision] ≈ n²/2⁶⁵ — negligible at any real corpus size). */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val hashed = ExprColumn(graft.plans.XxHash64Array(
+      ExprColumn.expr(wordShinglesFromTokens(col("__graft_toks"), shingleSize))))
+    df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: HOF-lambda CSE
+      .select(col(idCol), array_distinct(hashed).as("sh"))
+  }
+
+  /** Signatures from precomputed shingle sets (see `shingleSets` /
+    * `hashedShingleSets` — the expression accepts both): one row
     * per input document, columns `h0..h{k-1}`.
     *
     * Computed MAP-SIDE by the `minhash_sig` codegen expression
@@ -193,12 +212,13 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // The tokenize+shingle pass is the expensive map stage: compute it ONCE,
-    // cache it, and feed BOTH the signature pipeline and the exact-Jaccard
-    // verify join from the cached frame. The bucket frame is also cached
-    // because the candidate generation self-joins it. At cluster scale swap
-    // cache() for a scratch-parquet checkpoint (Writers.persistIntermediate).
-    val shingles = shingleSets(df, idCol, textCol, shingleSize).cache()
+    // The tokenize+shingle pass is the expensive map stage: compute it ONCE
+    // (in HASHED form — fixed-width keys, see hashedShingleSets), cache it,
+    // and feed BOTH the signature pipeline and the exact-Jaccard verify
+    // join from the cached frame. The bucket frame is also cached because
+    // the candidate generation self-joins it. At cluster scale swap cache()
+    // for a scratch-parquet checkpoint (Writers.persistIntermediate).
+    val shingles = hashedShingleSets(df, idCol, textCol, shingleSize).cache()
     val sig = minhashSignaturesFromShingles(shingles, idCol, bands * rowsPerBand)
     val buckets = lshBucketsFromSignatures(sig, idCol, bands, rowsPerBand).cache()
     val pairs = candidatePairs(buckets, idCol)

@@ -135,6 +135,15 @@ class DedupSpec extends SparkSpec {
     val fast = Dedup.minhashSignaturesFromShingles(sh, "doc_id", 16)
     val slow = Dedup.minhashSignaturesFromShinglesAgg(sh, "doc_id", 16)
     assert(sortedRows(fast) == sortedRows(slow))
+    // pre-hashed shingles (array<long>) produce the SAME signatures, and
+    // jaccard over hashed sets equals jaccard over the strings
+    val hsh = Dedup.hashedShingleSets(df, "doc_id", "text", 3)
+    val hashed = Dedup.minhashSignaturesFromShingles(hsh, "doc_id", 16)
+    assert(sortedRows(hashed) == sortedRows(slow))
+    val somePairs = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("id1", "id2")
+    assert(
+      sortedRows(Dedup.verifyJaccardOnShingles(hsh, somePairs, "doc_id", 0.0)) ==
+      sortedRows(Dedup.verifyJaccardOnShingles(sh, somePairs, "doc_id", 0.0)))
     // plan contract: map-side — zero shuffles, and the expensive expression
     // appears exactly once (a pushed-down null Filter would duplicate it)
     assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
