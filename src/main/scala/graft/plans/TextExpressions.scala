@@ -129,6 +129,73 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Rolling (polynomial) hash of a token array:
+  * `h = Σ_i pmod(xxhash64(tok_i), p) · 31^i  mod p`, p = 2^31−1 — the
+  * order-sensitive document fingerprint. One scan-stage loop with an
+  * incrementally maintained power (`pw = pw·31 mod p`, every product
+  * < 2^62), replacing the posexplode + three 4096-entry power tables +
+  * groupBy spelling: modular integer sums are order-exact, so the values
+  * are identical by construction, and the per-document shuffle disappears.
+  * Empty arrays hash to 0 (callers `coalesce(…, 0)` the NULL-array case to
+  * match the aggregate form's posexplode_outer behavior). */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+
+  private val P = 2147483647L
+  private val Seed = 42L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rolling_hash64 requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var h = 0L
+    var pw = 1L
+    var j = 0
+    while (j < n) {
+      val raw = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      var t = raw % P
+      if (t < 0) t += P
+      h = (h + t * pw) % P
+      pw = pw * 31L % P
+      j += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val pw = ctx.freshName("pw")
+      val t = ctx.freshName("t")
+      s"""
+         |final int $n = $arr.numElements();
+         |long $h = 0L;
+         |long $pw = 1L;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $t = ($arr.isNullAt($j)
+         |      ? ${Seed}L
+         |      : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L))
+         |    % ${P}L;
+         |  if ($t < 0) $t += ${P}L;
+         |  $h = ($h + $t * $pw) % ${P}L;
+         |  $pw = $pw * 31L % ${P}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Element-wise `xxhash64` of a string array (seed 42 — Spark's own), as one
   * codegen loop. The `transform(arr, s -> xxhash64(s))` spelling runs the
   * lambda interpreted per element; this stays in the scan stage's generated

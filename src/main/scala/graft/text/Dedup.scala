@@ -348,10 +348,16 @@ object Dedup {
       textCol: String,
       n: Int,
       minHits: Long = 1L): DataFrame = {
-    def grams(df: DataFrame) = df
-      .withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: HOF-lambda CSE
-      .select(col(idCol),
-        explode(array_distinct(wordShinglesFromTokens(col("__graft_toks"), n))).as("__graft_ng"))
+    // n-grams travel as 8-byte xxhash64 keys (plans.XxHash64Array): the
+    // broadcast benchmark set and the corpus explode shrink ~4× vs n-gram
+    // strings; overlap counts are exact absent 64-bit collisions.
+    def grams(df: DataFrame) = {
+      import org.apache.spark.sql.graft.ExprColumn
+      val hashed = ExprColumn(graft.plans.XxHash64Array(
+        ExprColumn.expr(wordShinglesFromTokens(col("__graft_toks"), n))))
+      df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: HOF-lambda CSE
+        .select(col(idCol), explode(array_distinct(hashed)).as("__graft_ng"))
+    }
     val benchGrams = grams(benchmark).select(col("__graft_ng")).distinct()
     grams(corpus)
       .join(broadcast(benchGrams), Seq("__graft_ng"))

@@ -149,14 +149,29 @@ object TextFunctions {
   private lazy val pow31High2: Array[Long] =
     powTable(pow31Mid(PowBlock - 1) * (pow31Low(PowBlock - 1) * 31L % RollingHashP) % RollingHashP) // step = 31^(4096²)
 
-  /** Codegen'd rolling hash per document: posexplode the token array, weight
-    * each token hash by 31^pos mod p via three broadcast-literal power
-    * tables (pos = lo + 4096·mid + 4096²·hi — total for any representable
-    * array length; each modular product stays < 2^62 under ANSI), and sum
-    * per document. Stays inside whole-stage codegen with map-side partial
-    * aggregation — the scalable form of `rollingHash` (identical values:
-    * modular sums commute). Empty documents hash to 0. */
+  /** Rolling hash per document, MAP-SIDE: one `rolling_hash64` codegen loop
+    * over the token array (`plans.RollingHash64`) — no explode, no groupBy,
+    * no shuffle; identical values (modular integer sums are order-exact).
+    * Empty and null documents hash to 0, matching the aggregate form's
+    * posexplode_outer behavior. One row per input row (the aggregate form
+    * collapses duplicate ids — with per-document unique ids, identical). */
   def rollingHashByDoc(
+      df: DataFrame,
+      idColumns: Seq[String],
+      textColumn: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val h = ExprColumn(graft.plans.RollingHash64(
+      ExprColumn.expr(tokens(normalize(col(textColumn))))))
+    df.select(idColumns.map(col) :+ coalesce(h, lit(0L)).as(out): _*)
+  }
+
+  /** The aggregate spelling of `rollingHashByDoc` — posexplode the token
+    * array, weight each token hash by 31^pos mod p via three
+    * broadcast-literal power tables (pos = lo + 4096·mid + 4096²·hi),
+    * sum per document. Kept as the equivalence oracle for the map-side
+    * expression. */
+  def rollingHashByDocAgg(
       df: DataFrame,
       idColumns: Seq[String],
       textColumn: String,

@@ -81,6 +81,13 @@ class TextFunctionsSpec extends SparkSpec {
     val byDoc = TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(byDoc == folded)
+    // ... and the posexplode+power-table aggregate spelling agrees too
+    val agg = TextFunctions.rollingHashByDocAgg(df, Seq("doc_id"), "text", "rh")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(agg == folded)
+    // map-side: no shuffle in the expression form
+    assert(graft.plans.PlanChecks.shuffleCount(
+      TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")) == 0)
   }
 }
 
