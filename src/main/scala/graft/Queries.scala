@@ -2237,6 +2237,53 @@ object Queries {
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Cross-corpus line dedup (training-data pipeline, C4-style "remove
+    * repeated lines"): documents are split into three 8-token lines; a
+    * second copy of the corpus shares its first two lines with the
+    * original, so those lines must be kept only at their first (min id)
+    * occurrence and the copies reassemble to just their distinct tail.
+    * Intra-document repeats (empty lines in short docs) dedup too. */
+  val q81_line_dedup = Q(
+    "q81_line_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      def ln(from: Int, len: Int) = array_join(slice(col("toks"), from, len), " ")
+      val orig = d.select(col("doc_id"),
+        concat_ws("\n", ln(1, 8), ln(9, 8), ln(17, 8)).as("text"))
+      val copy = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws("\n", ln(1, 8), ln(9, 8), ln(17, 7)).as("text"))
+      Dedup.dropRepeatedLines(orig.unionByName(copy), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+            corpus AS (
+              -- coalesce: DuckDB yields NULL (not []) for fully out-of-range
+              -- list slices, where Spark's slice gives an empty array
+              SELECT doc_id,
+                     coalesce(array_to_string(toks[1:8], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[9:16], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[17:24], ' '), '') AS text
+              FROM src
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     coalesce(array_to_string(toks[1:8], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[9:16], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[17:23], ' '), '') AS text
+              FROM src),
+            ex AS (
+              SELECT doc_id, i - 1 AS pos, parts[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+                   UNNEST(range(1, len(parts) + 1)) AS r(i)),
+            keep AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM ex)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM keep WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2256,5 +2303,5 @@ object Queries {
     q68_weighted_mix, q69_dedup_clusters, q70_json_roundtrip,
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
-    q78_decontaminate, q79_redact, q80_session_tz)
+    q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup)
 }

@@ -327,6 +327,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---------------------------------------------------- line dedup
+
+  /** Cross-corpus line deduplication (C4-style "remove repeated lines"):
+    * split every document on `sep`, keep each distinct line only at its
+    * globally FIRST occurrence (min (id, position) lexicographically),
+    * drop it everywhere else, and reassemble documents in original line
+    * order. Documents whose every line was seen earlier come back empty.
+    *
+    * Scale design: explode → one groupBy keyed by the line to find the
+    * first owner (map-side partials; hot boilerplate lines are absorbed by
+    * the partials), an equi-join back on the line key, and one groupBy per
+    * document to reassemble — the same three-exchange shape C4 runs at web
+    * scale. The join carries (line, first-owner) pairs only. */
+  def dropRepeatedLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__graft_pos", "__graft_line")))
+    val firstOwner = lines
+      .groupBy(col("__graft_line"))
+      .agg(min(struct(col(idCol).as("id"), col("__graft_pos").as("pos"))).as("__graft_first"))
+    lines
+      .join(firstOwner, Seq("__graft_line"))
+      .filter(col(idCol) === col("__graft_first.id") && col("__graft_pos") === col("__graft_first.pos"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__graft_pos"), col("__graft_line")))),
+          s => s.getField("__graft_line")), sep).as(textCol))
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Benchmark decontamination: for every corpus document, the number of

@@ -212,6 +212,21 @@ class DedupSpec extends SparkSpec {
     assert(n.get() >= 4, "every round must have checkpointed")
   }
 
+  test("cross-corpus line dedup keeps only the globally first occurrence") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),        // beta first seen in doc 1 → dropped here
+      (3L, "alpha\nbeta"),        // both lines seen → doc comes back empty (no row)
+      (4L, "epsilon\nepsilon"))   // intra-doc repeat: second occurrence dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedLines(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(
+      1L -> "alpha\nbeta\ngamma",
+      2L -> "delta",
+      4L -> "epsilon"))
+  }
+
   test("ngram overlap flags only documents sharing benchmark n-grams") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains the benchmark trigram
