@@ -33,11 +33,14 @@ object Bench {
     // Millisecond precision keeps the line compact (the harness keeps only
     // the tail of the output), and the total/sf summary keys go LAST so
     // they survive even if a long queries map gets front-truncated.
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would make the line unparseable JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

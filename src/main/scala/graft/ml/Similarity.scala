@@ -65,11 +65,17 @@ object Similarity {
     * generated code would outgrow codegen limits, so it falls back to a
     * broadcast join + per-id `max_by` — one shuffle of N rows, never N×C.
     * Exact similarity ties break toward the larger centroid id. */
-  /** Order centroids by id for deterministic tie-breaking (numbers by
-    * value, strings lexicographically; any other id type keeps input
-    * order). */
+  /** Order centroids by id for deterministic tie-breaking. Integral ids
+    * sort by longValue (doubleValue would collapse longs past 2^53 and
+    * could invert the documented "larger id wins" tie-break), fractional
+    * numbers by doubleValue, strings lexicographically; any other id type
+    * keeps input order (tie-break then follows input order — documented
+    * divergence from the exact struct comparison of the join fallback). */
   private def sortById(cents: Array[(Any, Array[Double], Double)]): Array[(Any, Array[Double], Double)] =
-    if (cents.forall(_._1.isInstanceOf[Number]))
+    if (cents.forall(c => c._1.isInstanceOf[java.lang.Long] || c._1.isInstanceOf[java.lang.Integer] ||
+        c._1.isInstanceOf[java.lang.Short] || c._1.isInstanceOf[java.lang.Byte]))
+      cents.sortBy(_._1.asInstanceOf[Number].longValue)
+    else if (cents.forall(_._1.isInstanceOf[Number]))
       cents.sortBy(_._1.asInstanceOf[Number].doubleValue)
     else if (cents.forall(_._1.isInstanceOf[String]))
       cents.sortBy(_._1.asInstanceOf[String])

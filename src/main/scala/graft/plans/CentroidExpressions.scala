@@ -138,6 +138,9 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]], planes
     else if (planes.isEmpty || planesPerBand <= 0 || planes.length % planesPerBand != 0)
       TypeCheckResult.TypeCheckFailure(
         s"hyperplane_buckets: ${planes.length} planes not divisible into bands of $planesPerBand")
+    else if (planesPerBand > 64)
+      TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets: planesPerBand=$planesPerBand exceeds the 64 sign bits a long bucket holds")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)

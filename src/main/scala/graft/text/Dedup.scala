@@ -333,7 +333,10 @@ object Dedup {
     * split every document on `sep`, keep each distinct line only at its
     * globally FIRST occurrence (min (id, position) lexicographically),
     * drop it everywhere else, and reassemble documents in original line
-    * order. Documents whose every line was seen earlier come back empty.
+    * order. Documents whose EVERY line was seen earlier are dropped from
+    * the output (no empty-text row; spec-pinned), and only (idCol,
+    * textCol) survive — left-join the result onto the corpus to retain
+    * other columns or represent fully-deduplicated docs explicitly.
     *
     * Scale design: explode → one groupBy keyed by the line to find the
     * first owner (map-side partials; hot boilerplate lines are absorbed by
@@ -383,16 +386,14 @@ object Dedup {
       textCol: String,
       n: Int,
       minHits: Long = 1L): DataFrame = {
-    // n-grams travel as 8-byte xxhash64 keys (plans.XxHash64Array): the
+    // n-grams travel as 8-byte xxhash64 keys (the same hashedShingleSets
+    // construction the minhash pipeline uses — one shared implementation,
+    // so the hashing/normalization can never drift between the two): the
     // broadcast benchmark set and the corpus explode shrink ~4× vs n-gram
     // strings; overlap counts are exact absent 64-bit collisions.
-    def grams(df: DataFrame) = {
-      import org.apache.spark.sql.graft.ExprColumn
-      val hashed = ExprColumn(graft.plans.XxHash64Array(
-        ExprColumn.expr(wordShinglesFromTokens(col("__graft_toks"), n))))
-      df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: HOF-lambda CSE
-        .select(col(idCol), explode(array_distinct(hashed)).as("__graft_ng"))
-    }
+    def grams(df: DataFrame) =
+      hashedShingleSets(df, idCol, textCol, n)
+        .select(col(idCol), explode(col("sh")).as("__graft_ng"))
     val benchGrams = grams(benchmark).select(col("__graft_ng")).distinct()
     grams(corpus)
       .join(broadcast(benchGrams), Seq("__graft_ng"))

@@ -215,6 +215,7 @@ object TextFunctions {
     * subtrees, which explodes codegen size and Janino compile time.) */
   def languageIdFromTokens(toks: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column = {
     val ordered = profiles.toSeq.sortBy(_._1)
+    if (ordered.isEmpty) return lit("und") // the fold's seed, pre-rewrite
     val entries = ordered.zipWithIndex.map { case ((_, words), i) =>
       struct(
         size(array_intersect(toks, array(words.map(lit): _*))).as("score"),

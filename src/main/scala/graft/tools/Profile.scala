@@ -44,8 +44,9 @@ object Profile {
     spark.catalog.clearCache()
 
     // q29's pipeline, stage by stage (minhashNearDuplicates shares the
-    // cached shingle frame between signatures and verify)
-    val shingles = Dedup.shingleSets(corpus, "doc_id", "text", 3).cache()
+    // cached HASHED shingle frame between signatures and verify — keep
+    // this in lockstep with the production pipeline)
+    val shingles = Dedup.hashedShingleSets(corpus, "doc_id", "text", 3).cache()
     time("shingles materialize")(println("  docs=" + shingles.count()))
 
     val sig = Dedup.minhashSignaturesFromShingles(shingles, "doc_id", 64)
