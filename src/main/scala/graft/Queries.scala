@@ -2284,6 +2284,69 @@ object Queries {
             FROM keep WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Quality-aware near-dup resolution (training-data pipeline): like q69's
+    * cluster construction, but each component keeps its highest-scoring
+    * member (score = token count, so the untruncated original beats its
+    * clipped copies; ties → min id) instead of the min-id one. The oracle
+    * recomputes components with a recursive CTE — independent of the LSH
+    * path — and replays the argmax. */
+  val q82_dedup_keep_best = Q(
+    "q82_dedup_keep_best",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
+      def clip(n: Int, offset: Long) = d.select(
+        (col("doc_id") + offset).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), lit(1), size(split(trim(col("text")), "\\s+")) - n), " ")
+          .as("text"))
+      val corpus = d.unionByName(clip(1, 1000000L)).unionByName(clip(2, 2000000L))
+        .withColumn("score", size(split(trim(col("text")), "\\s+")).cast("long"))
+      val pairs = Dedup
+        .minhashNearDuplicates(corpus, "doc_id", "text", bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+      Dedup.dropNearDuplicatesKeepBest(corpus, pairs, "doc_id", "score")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000
+              UNION ALL
+              SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-1], ' ')
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 2000)
+              UNION ALL
+              SELECT doc_id + 2000000, array_to_string(toks[1:len(toks)-2], ' ')
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 2000)),
+            sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM corpus)),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+            walk(id, reach) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+            roots AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
+            scored AS (
+              SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS score FROM corpus),
+            ranked AS (
+              SELECT r.id, ROW_NUMBER() OVER (
+                PARTITION BY r.root ORDER BY s.score DESC, r.id ASC) AS rn
+              FROM roots r JOIN scored s ON r.id = s.doc_id),
+            losers AS (SELECT id FROM ranked WHERE rn > 1)
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2303,5 +2366,6 @@ object Queries {
     q68_weighted_mix, q69_dedup_clusters, q70_json_roundtrip,
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
-    q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup)
+    q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
+    q82_dedup_keep_best)
 }

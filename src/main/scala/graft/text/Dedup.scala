@@ -327,6 +327,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup resolution: within each component keep the
+    * HIGHEST-`scoreCol` document (ties → smallest id), not the arbitrary
+    * min-id one — what a real pipeline wants when duplicates differ in
+    * quality (truncation, boilerplate, decoding damage). One join of the
+    * component labels onto the scores and one `max_by` per root; documents
+    * outside every component pass through untouched. */
+  def dropNearDuplicatesKeepBest(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val scored = duplicateClusters(pairs)
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__graft_score")), Seq("id"))
+    val best = scored
+      .groupBy(col("root"))
+      // lexicographic max of (score, -id): max score, ties → smallest id
+      .agg(max_by(col("id"), struct(col("__graft_score"), -col("id"))).as("__graft_keep"))
+    val losers = scored
+      .join(best, Seq("root"))
+      .filter(col("id") =!= col("__graft_keep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------- line dedup
 
   /** Cross-corpus line deduplication (C4-style "remove repeated lines"):

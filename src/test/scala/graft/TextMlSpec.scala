@@ -172,6 +172,35 @@ class DedupSpec extends SparkSpec {
     assert(interp == codegenVals)
   }
 
+  test("randomized equivalence: expressions match aggregate spellings on 150 fuzzed docs") {
+    // seeded generator: unicode, punctuation runs, empty/whitespace docs,
+    // single chars, long repeats — the corners fixed examples miss
+    val rng = new scala.util.Random(20260812)
+    val alphabet = Vector("the", "a", "Σπ", "naïve", "x", "!!", "42", "word", "λ", "…", "tab\there")
+    val docs = (1 to 150).map { i =>
+      val n = rng.nextInt(40)
+      val body = (0 until n).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString(" ")
+      val decorated = rng.nextInt(4) match {
+        case 0 => s"  $body  "
+        case 1 => body.toUpperCase
+        case 2 => body.replace(" ", "   ")
+        case _ => body
+      }
+      (i.toLong, decorated)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(df, "doc_id", "text", 3)
+    assert(sortedRows(Dedup.minhashSignaturesFromShingles(sh, "doc_id", 8)) ==
+      sortedRows(Dedup.minhashSignaturesFromShinglesAgg(sh, "doc_id", 8)))
+    assert(sortedRows(Dedup.minhashSignaturesFromShingles(
+      Dedup.hashedShingleSets(df, "doc_id", "text", 3), "doc_id", 8)) ==
+      sortedRows(Dedup.minhashSignaturesFromShinglesAgg(sh, "doc_id", 8)))
+    assert(sortedRows(Dedup.simhash(df, "doc_id", "text")) ==
+      sortedRows(Dedup.simhashAgg(df, "doc_id", "text")))
+    assert(sortedRows(TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")) ==
+      sortedRows(TextFunctions.rollingHashByDocAgg(df, Seq("doc_id"), "text", "rh")))
+  }
+
   test("minhash LSH finds near-duplicate pair and verifies exact jaccard") {
     val out = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -210,6 +239,18 @@ class DedupSpec extends SparkSpec {
       df => graft.sources.Writers.persistIntermediate(spark, df, scratch, s"cc_${n.incrementAndGet()}"))
     assert(durable.select("root").distinct().as[Long].collect().toSeq == Seq(1L))
     assert(n.get() >= 4, "every round must have checkpointed")
+  }
+
+  test("keep-best dedup keeps the highest-score member per component, min id on ties") {
+    val df = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // component {1,2,3}: best score 9 → tie → id 2
+      (5L, 1.0), (6L, 2.0),            // component {5,6}: 6 wins
+      (9L, 0.0))                        // singleton: untouched
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val kept = Dedup.dropNearDuplicatesKeepBest(df, pairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 6L, 9L))
   }
 
   test("cross-corpus line dedup keeps only the globally first occurrence") {
