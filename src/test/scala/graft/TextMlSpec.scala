@@ -201,6 +201,40 @@ class DedupSpec extends SparkSpec {
       sortedRows(TextFunctions.rollingHashByDocAgg(df, Seq("doc_id"), "text", "rh")))
   }
 
+  test("interpreted (no-codegen) paths of the custom expressions match codegen") {
+    // Spark silently falls back to interpreted eval when codegen fails, so
+    // nullSafeEval must agree with doGenCode for every expression.
+    val df = docs
+    def snapshot() = Seq(
+      sortedRows(Dedup.minhashSignaturesFromShingles(
+        Dedup.shingleSets(df, "doc_id", "text", 3), "doc_id", 8)),
+      sortedRows(Dedup.minhashSignaturesFromShingles(
+        Dedup.hashedShingleSets(df, "doc_id", "text", 3), "doc_id", 8)),
+      sortedRows(Dedup.simhash(df, "doc_id", "text")),
+      sortedRows(graft.text.TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")),
+      sortedRows(Dedup.ngramOverlap(df, df.limit(2), "doc_id", "text", 3)), {
+        val vecs = Seq(
+          (1L, Seq(1.0f, 0.0f, 2.0f)), (2L, Seq(-1.0f, 0.5f, 0.25f)),
+          (3L, Seq(2.0f, 0.0f, 4.0f))).toDF("vec_id", "embedding")
+        val cents = Seq((0, Seq(1.0f, 0.0f, 2.0f)), (1, Seq(-1.0f, 1.0f, 0.0f)))
+          .toDF("centroid_id", "centroid")
+        sortedRows(Similarity.assignToCentroids(vecs, cents)) ++
+          sortedRows(Similarity.cosineNearDuplicates(vecs, threshold = 0.9, dimension = Some(3)))
+      })
+    val codegen = snapshot()
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldWhole = conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(snapshot() == codegen)
+    } finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(conf.set("spark.sql.codegen.factoryMode", _))
+      oldWhole.fold(conf.unset("spark.sql.codegen.wholeStage"))(conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
+
   test("minhash LSH finds near-duplicate pair and verifies exact jaccard") {
     val out = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
