@@ -415,9 +415,16 @@ object Dedup {
     // so the hashing/normalization can never drift between the two): the
     // broadcast benchmark set and the corpus explode shrink ~4× vs n-gram
     // strings; overlap counts are exact absent 64-bit collisions.
+    // explode over array_compact(sh), NOT the bare sh attribute:
+    // InferFiltersFromGenerate adds a `size(sh) > 0` filter below an
+    // explode of an ATTRIBUTE, and predicate pushdown then inlines sh's
+    // full shingle-pipeline definition into that filter — with the HOF
+    // lambda re-evaluating the tokenizer per element (measured 60× slower
+    // at sf0.1). The rule skips non-attribute children (SPARK-36715), and
+    // array_compact over the attribute is free (sh has no null elements).
     def grams(df: DataFrame) =
       hashedShingleSets(df, idCol, textCol, n)
-        .select(col(idCol), explode(col("sh")).as("__graft_ng"))
+        .select(col(idCol), explode(array_compact(col("sh"))).as("__graft_ng"))
     val benchGrams = grams(benchmark).select(col("__graft_ng")).distinct()
     grams(corpus)
       .join(broadcast(benchGrams), Seq("__graft_ng"))
