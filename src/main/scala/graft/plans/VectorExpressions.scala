@@ -95,13 +95,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "minhash_sig takes (array<string> shingles, int numHashes)")
+        require(exprs.length == 2, "minhash_sig takes (array<string>|array<long> shingles, int numHashes)")
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
             s"minhash_sig: numHashes must be an integer literal, got $other")
         }
         MinHashSignature(exprs.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64 takes (array<string> tokens)")
+        SimHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "rolling_hash64 takes (array<string> tokens)")
+        RollingHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("xxhash64_array"),
+      new ExpressionInfo(classOf[XxHash64Array].getName, "xxhash64_array"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "xxhash64_array takes (array<string>)")
+        XxHash64Array(exprs.head)
       }))
   }
 }

@@ -111,6 +111,16 @@ class DedupSpec extends SparkSpec {
     assert(m.size == 3) // empty doc contributes nothing
   }
 
+  test("text expressions are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT simhash64(array('a','b')) AS s,
+               rolling_hash64(array('a','b')) AS rh,
+               size(minhash_sig(array('a b c'), 4)) AS mk,
+               size(xxhash64_array(array('x','y'))) AS xk""").head()
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+    assert(r.getInt(2) == 4 && r.getInt(3) == 2)
+  }
+
   test("redaction replaces PII patterns and counts hits") {
     val df = Seq(
       (1L, "mail me at a.b@test.org or call 555-1234"),
