@@ -58,6 +58,14 @@ object PlanChecks {
   def scanOutputRowCounts(df: DataFrame): Seq[Long] =
     flatten(df).collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
 
+  /** Occurrences of a substring in the executed-plan text — the
+    * expression-duplication guard. A projected expensive expression should
+    * appear EXACTLY ONCE; predicate pushdown or InferFiltersFromGenerate
+    * silently inlining it into a Filter multiplies the count (and the
+    * runtime — q78 went 60× slower that way). */
+  def exprOccurrences(df: DataFrame, needle: String): Int =
+    needle.r.findAllIn(df.queryExecution.executedPlan.toString).length
+
   /** Partition filters on each scan — directory-level pruning for
     * Hive-partitioned layouts (distinct from data filters: these cut IO
     * before any file is opened). */

@@ -325,6 +325,10 @@ class DedupSpec extends SparkSpec {
     // benchmark side broadcasts (plan contract for the 100 TB shape)
     val df = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
     assert(graft.plans.PlanChecks.broadcastJoinCount(df) >= 1)
+    // duplication guard: the tokenizer appears once per side (corpus +
+    // bench) — InferFiltersFromGenerate + pushdown once inlined the whole
+    // shingle pipeline into an inferred size() filter (60× slower)
+    assert(graft.plans.PlanChecks.exprOccurrences(df, "xxhash64_array") <= 2)
   }
 
   test("map-side simhash64 expression is bit-identical to the aggregate spelling") {
