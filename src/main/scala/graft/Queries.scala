@@ -1853,31 +1853,36 @@ object Queries {
     * variants (chains full≈minus1≈minus2). Output: cluster-size histogram.
     * Oracle: exhaustive-pair Jaccard (as q29) + a recursive CTE computing
     * min-reachable-id components — fully independent of the LSH path. */
-  val q69_dedup_clusters = Q(
-    "q69_dedup_clusters",
-    (s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
-      def clip(n: Int, offset: Long) = d.select(
+  /** Shared q69/q82 fixture: the first 2000 documents plus two clipped
+    * copies (1 and 2 trailing tokens removed, ids offset by 1M/2M), so
+    * near-dup components of known shape exist. The clip length is clamped
+    * at 0: Spark's `slice` throws on a negative length while DuckDB's
+    * list slicing would wrap negative indices — the clamp keeps both
+    * engines total and identical on degenerate short documents. */
+  private def clippedNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
+    def clip(n: Int, offset: Long) = {
+      val toks = split(trim(col("text")), "\\s+")
+      d.select(
         (col("doc_id") + offset).as("doc_id"),
-        array_join(slice(split(trim(col("text")), "\\s+"), lit(1), size(split(trim(col("text")), "\\s+")) - n), " ")
-          .as("text"))
-      val corpus = d.unionByName(clip(1, 1000000L)).unionByName(clip(2, 2000000L))
-      val pairs = Dedup
-        .minhashNearDuplicates(corpus, "doc_id", "text", bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
-      Dedup.duplicateClusters(pairs)
-        .groupBy(col("root")).agg(count(lit(1)).as("csize"))
-        .groupBy(col("csize").cast("long").as("cluster_size"))
-        .agg(count(lit(1)).cast("long").as("n_clusters"))
-        .orderBy("cluster_size")
-    },
-    Some("""WITH RECURSIVE corpus AS (
+        array_join(slice(toks, lit(1), greatest(size(toks) - n, lit(0))), " ").as("text"))
+    }
+    d.unionByName(clip(1, 1000000L)).unionByName(clip(2, 2000000L))
+  }
+
+  /** The matching DuckDB CTE chain: corpus construction, shingle sets,
+    * exhaustive-Jaccard pairs, and connected components via recursive walk
+    * (ends with `roots(id, root)`). Shared verbatim by q69 and q82 so the
+    * two oracles can never drift apart. */
+  private val nearDupComponentsCte: String =
+    """corpus AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 2000
               UNION ALL
-              SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-1], ' ')
+              SELECT doc_id + 1000000, array_to_string(toks[1:greatest(len(toks)-1, 0)], ' ')
               FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                     FROM documents WHERE doc_id < 2000)
               UNION ALL
-              SELECT doc_id + 2000000, array_to_string(toks[1:len(toks)-2], ' ')
+              SELECT doc_id + 2000000, array_to_string(toks[1:greatest(len(toks)-2, 0)], ' ')
               FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                     FROM documents WHERE doc_id < 2000)),
             sh AS (
@@ -1899,7 +1904,21 @@ object Queries {
               SELECT a, a FROM (SELECT DISTINCT a FROM edges)
               UNION
               SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-            roots AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
+            roots AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id)"""
+
+  val q69_dedup_clusters = Q(
+    "q69_dedup_clusters",
+    (s, dir) => {
+      val corpus = clippedNearDupCorpus(s, dir)
+      val pairs = Dedup
+        .minhashNearDuplicates(corpus, "doc_id", "text", bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+      Dedup.duplicateClusters(pairs)
+        .groupBy(col("root")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize").cast("long").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE $nearDupComponentsCte,
             sizes AS (SELECT root, COUNT(*) AS csize FROM roots GROUP BY root)
             SELECT CAST(csize AS BIGINT) AS cluster_size,
                    CAST(COUNT(*) AS BIGINT) AS n_clusters
@@ -2293,12 +2312,7 @@ object Queries {
   val q82_dedup_keep_best = Q(
     "q82_dedup_keep_best",
     (s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
-      def clip(n: Int, offset: Long) = d.select(
-        (col("doc_id") + offset).as("doc_id"),
-        array_join(slice(split(trim(col("text")), "\\s+"), lit(1), size(split(trim(col("text")), "\\s+")) - n), " ")
-          .as("text"))
-      val corpus = d.unionByName(clip(1, 1000000L)).unionByName(clip(2, 2000000L))
+      val corpus = clippedNearDupCorpus(s, dir)
         .withColumn("score", size(split(trim(col("text")), "\\s+")).cast("long"))
       val pairs = Dedup
         .minhashNearDuplicates(corpus, "doc_id", "text", bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
@@ -2306,38 +2320,9 @@ object Queries {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE corpus AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 2000
-              UNION ALL
-              SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-1], ' ')
-              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-                    FROM documents WHERE doc_id < 2000)
-              UNION ALL
-              SELECT doc_id + 2000000, array_to_string(toks[1:len(toks)-2], ' ')
-              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-                    FROM documents WHERE doc_id < 2000)),
-            sh AS (
-              SELECT doc_id,
-                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
-              FROM (SELECT doc_id,
-                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
-                FROM corpus)),
-            pairs AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
-            edges AS (
-              SELECT id1 AS a, id2 AS b FROM pairs
-              UNION SELECT id2, id1 FROM pairs),
-            walk(id, reach) AS (
-              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-              UNION
-              SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-            roots AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
+    Some(s"""WITH RECURSIVE $nearDupComponentsCte,
             scored AS (
-              SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS score FROM corpus),
+              SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS score FROM corpus),
             ranked AS (
               SELECT r.id, ROW_NUMBER() OVER (
                 PARTITION BY r.root ORDER BY s.score DESC, r.id ASC) AS rn

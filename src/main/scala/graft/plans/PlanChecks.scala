@@ -64,7 +64,8 @@ object PlanChecks {
     * silently inlining it into a Filter multiplies the count (and the
     * runtime — q78 went 60× slower that way). */
   def exprOccurrences(df: DataFrame, needle: String): Int =
-    needle.r.findAllIn(df.queryExecution.executedPlan.toString).length
+    java.util.regex.Pattern.quote(needle).r // literal: plan text and needles are full of regex metachars
+      .findAllIn(df.queryExecution.executedPlan.toString).length
 
   /** Partition filters on each scan — directory-level pruning for
     * Hive-partitioned layouts (distinct from data filters: these cut IO

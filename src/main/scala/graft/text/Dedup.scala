@@ -338,14 +338,25 @@ object Dedup {
       pairs: DataFrame,
       idCol: String,
       scoreCol: String): DataFrame = {
+    // cached: self-joined below (max per root, then losers), and df's
+    // score projection must not re-run per consumer
     val scored = duplicateClusters(pairs)
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__graft_score")), Seq("id"))
+      .cache()
+    // max score per root, then min id among the max-score members — two
+    // small aggregates instead of max_by(struct(score, -id)), which would
+    // restrict ids to numeric types (negation) where every sibling dedup
+    // API accepts any orderable id
     val best = scored
       .groupBy(col("root"))
-      // lexicographic max of (score, -id): max score, ties → smallest id
-      .agg(max_by(col("id"), struct(col("__graft_score"), -col("id"))).as("__graft_keep"))
-    val losers = scored
+      .agg(max(col("__graft_score")).as("__graft_best"))
+    val keep = scored
       .join(best, Seq("root"))
+      .filter(col("__graft_score") === col("__graft_best"))
+      .groupBy(col("root"))
+      .agg(min(col("id")).as("__graft_keep"))
+    val losers = scored
+      .join(keep, Seq("root"))
       .filter(col("id") =!= col("__graft_keep"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
