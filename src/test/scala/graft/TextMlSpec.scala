@@ -328,7 +328,8 @@ class DedupSpec extends SparkSpec {
     // duplication guard: the tokenizer appears once per side (corpus +
     // bench) — InferFiltersFromGenerate + pushdown once inlined the whole
     // shingle pipeline into an inferred size() filter (60× slower)
-    assert(graft.plans.PlanChecks.exprOccurrences(df, "xxhash64_array") <= 2)
+    // exactly 2: <= would pass vacuously at 0 if the rendering changed
+    assert(graft.plans.PlanChecks.exprOccurrences(df, "xxhash64_array") == 2)
   }
 
   test("map-side simhash64 expression is bit-identical to the aggregate spelling") {
