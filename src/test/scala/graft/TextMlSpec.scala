@@ -325,11 +325,19 @@ class DedupSpec extends SparkSpec {
     // benchmark side broadcasts (plan contract for the 100 TB shape)
     val df = Dedup.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
     assert(graft.plans.PlanChecks.broadcastJoinCount(df) >= 1)
-    // duplication guard: the tokenizer appears once per side (corpus +
-    // bench) — InferFiltersFromGenerate + pushdown once inlined the whole
-    // shingle pipeline into an inferred size() filter (60× slower)
+    // duplication guard: the hashing expression appears once per side
+    // (corpus + bench) — InferFiltersFromGenerate + pushdown once inlined
+    // the whole shingle pipeline into an inferred size() filter (60×
+    // slower). MUST run over file scans: ConvertToLocalRelation constant-
+    // folds projections over local relations and the count reads 0.
+    val dir = java.nio.file.Files.createTempDirectory("ngram_guard").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    bench.write.mode("overwrite").parquet(s"$dir/bench")
+    val fileDf = Dedup.ngramOverlap(
+      spark.read.parquet(s"$dir/corpus"), spark.read.parquet(s"$dir/bench"),
+      "doc_id", "text", n = 3)
     // exactly 2: <= would pass vacuously at 0 if the rendering changed
-    assert(graft.plans.PlanChecks.exprOccurrences(df, "xxhash64_array") == 2)
+    assert(graft.plans.PlanChecks.exprOccurrences(fileDf, "xxhash64_array") == 2)
   }
 
   test("map-side simhash64 expression is bit-identical to the aggregate spelling") {
