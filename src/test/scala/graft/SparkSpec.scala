@@ -30,6 +30,15 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  /** Round-trip a frame through parquet so plan contracts see real scan
+    * stages — ConvertToLocalRelation constant-folds projections over local
+    * relations, making shuffle/expression-count assertions vacuous. */
+  def viaParquet(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("spec_pq").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   def sortedRows(df: DataFrame): Seq[Seq[Any]] =
     rows(df).sortBy(_.mkString("|"))
 }

@@ -85,9 +85,10 @@ class TextFunctionsSpec extends SparkSpec {
     val agg = TextFunctions.rollingHashByDocAgg(df, Seq("doc_id"), "text", "rh")
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(agg == folded)
-    // map-side: no shuffle in the expression form
+    // map-side: no shuffle in the expression form (parquet-backed: local
+    // relations constant-fold and make plan contracts vacuous)
     assert(graft.plans.PlanChecks.shuffleCount(
-      TextFunctions.rollingHashByDoc(df, Seq("doc_id"), "text", "rh")) == 0)
+      TextFunctions.rollingHashByDoc(viaParquet(df), Seq("doc_id"), "text", "rh")) == 0)
   }
 }
 
@@ -162,9 +163,11 @@ class DedupSpec extends SparkSpec {
       sortedRows(Dedup.verifyJaccardOnShingles(hsh, somePairs, "doc_id", 0.0)) ==
       sortedRows(Dedup.verifyJaccardOnShingles(sh, somePairs, "doc_id", 0.0)))
     // plan contract: map-side — zero shuffles, and the expensive expression
-    // appears exactly once (a pushed-down null Filter would duplicate it)
-    assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
-    assert("minhash_sig".r.findAllIn(fast.queryExecution.executedPlan.toString).length == 1)
+    // appears exactly once (a pushed-down null Filter would duplicate it).
+    // Parquet-backed: local relations constant-fold to vacuous plans.
+    val fastPq = Dedup.minhashSignaturesFromShingles(viaParquet(sh), "doc_id", 16)
+    assert(graft.plans.PlanChecks.shuffleCount(fastPq) == 0)
+    assert(graft.plans.PlanChecks.exprOccurrences(fastPq, "minhash_sig") == 1)
     // empty/NULL shingle arrays are dropped by both forms
     val edge = Seq((1L, Seq("a b c")), (2L, Seq.empty[String]))
       .toDF("doc_id", "sh").union(
@@ -350,7 +353,8 @@ class DedupSpec extends SparkSpec {
     val fast = Dedup.simhash(df, "doc_id", "text")
     val slow = Dedup.simhashAgg(df, "doc_id", "text")
     assert(sortedRows(fast) == sortedRows(slow))
-    assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
+    assert(graft.plans.PlanChecks.shuffleCount(
+      Dedup.simhash(viaParquet(df), "doc_id", "text")) == 0)
   }
 
   test("simhash hamming distance and near-dup buckets") {
@@ -410,9 +414,11 @@ class SimilaritySpec extends SparkSpec {
     val corpus = clusteredVecs
     val centroids = Similarity.sampleCentroids(corpus, 3)
     val cells = Similarity.assignToCentroids(corpus, centroids)
-    // plan contract: the unrolled argmax projection adds NO exchange — the
-    // old crossJoin+window form shuffled N×C rows
-    assert(graft.plans.PlanChecks.shuffleCount(cells) == 0, "assignment must not shuffle")
+    // plan contract: the argmax projection adds NO exchange — the old
+    // crossJoin+window form shuffled N×C rows (parquet-backed source)
+    assert(graft.plans.PlanChecks.shuffleCount(
+      Similarity.assignToCentroids(viaParquet(corpus), centroids)) == 0,
+      "assignment must not shuffle")
     // the >maxUnrolledCentroids fallback (broadcast join + max_by) must
     // produce identical assignments
     val viaFallback = Similarity.assignToCentroids(corpus, centroids, maxUnrolledCentroids = 1)
@@ -486,7 +492,12 @@ class SimilaritySpec extends SparkSpec {
     val slow = projections.select(col("vec_id"), explode(array(sigCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     assert(sortedRows(fast) == sortedRows(slow))
-    assert(graft.plans.PlanChecks.shuffleCount(fast) == 0)
+    // zero-shuffle contract over a real scan (local relations fold away)
+    assert(graft.plans.PlanChecks.shuffleCount(
+      viaParquet(df).select(col("vec_id"),
+        posexplode(ExprColumn(graft.plans.HyperplaneBuckets(
+          ExprColumn.expr(col("embedding")), planes, ppb)))
+          .as(Seq("band", "bucket")))) == 0)
   }
 
   test("cosine near-duplicates finds scaled copies") {
