@@ -37,9 +37,11 @@ private[plans] trait VectorInput { self: UnaryExpression =>
   * Value contract (spec-enforced): bit-identical to the unrolled spelling —
   * same accumulation order as `fvec_dot`, same `dot / norm` division (not a
   * multiply by the inverse), zero-norm centroids score with norm 1.
-  * Divergence: rows containing NaN never update the running best (the
-  * unrolled `array_max` ranks NaN above everything); embedding pipelines
-  * must not feed NaNs either way. */
+  * Divergence: an all-NaN similarity row (NaN-containing vector) never
+  * updates the running best, so the result is clamped to index 0 — a
+  * defined, deterministic assignment — where the unrolled `array_max`
+  * ranked NaN above everything (an arbitrary assignment) and an unclamped
+  * -1 would crash the caller's `element_at(ids, idx + 1)` projection. */
 case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with VectorInput {
 
@@ -79,7 +81,7 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Double]])
       if (sim >= bestSim) { bestSim = sim; best = c }
       c += 1
     }
-    best
+    if (best < 0) 0 else best // all-NaN sims: defined assignment, not -1
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -104,7 +106,7 @@ case class NearestCentroidIndex(child: Expression, centroids: Seq[Seq[Double]])
          |  final double $sim = $acc / $nm[$c];
          |  if ($sim >= $bestSim) { $bestSim = $sim; $best = $c; }
          |}
-         |${ev.value} = $best;
+         |${ev.value} = $best < 0 ? 0 : $best;
        """.stripMargin
     })
   }

@@ -42,10 +42,20 @@ object Dedup {
   /** Deterministic universal-hash coefficients (a_i, b_i), a_i != 0 mod p.
     * Shared by the aggregate spelling below and the map-side
     * `plans.MinHashSignature` codegen expression — the two MUST stay
-    * bit-identical (spec-enforced). */
+    * bit-identical (spec-enforced).
+    *
+    * `Long.MinValue.abs` is negative, which would break the
+    * `a*h+b < 2^62` overflow-free contract for an unlucky seed; it maps
+    * to 0 here instead, keeping the draw total for ANY seed while leaving
+    * every non-MinValue draw (the entire seed-42 stream, so all persisted
+    * signatures) bit-identical. */
   private[graft] def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(numHashes)((1L + rng.nextLong().abs % (MinhashModulus - 1), rng.nextLong().abs % MinhashModulus))
+    def nonNegative(): Long = rng.nextLong() match {
+      case Long.MinValue => 0L
+      case x => x.abs
+    }
+    Seq.fill(numHashes)((1L + nonNegative() % (MinhashModulus - 1), nonNegative() % MinhashModulus))
   }
 
   /** MinHash signatures as one column per hash function (`h0..h{k-1}`),
@@ -355,10 +365,15 @@ object Dedup {
       .filter(col("__graft_score") === col("__graft_best"))
       .groupBy(col("root"))
       .agg(min(col("id")).as("__graft_keep"))
+    // eager checkpoint materializes the whole keep-best DAG (the only
+    // consumer of `scored`) so the cache can be dropped before returning —
+    // a long-lived session must not accumulate one pinned frame per call
     val losers = scored
       .join(keep, Seq("root"))
       .filter(col("id") =!= col("__graft_keep"))
       .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    scored.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -295,9 +295,27 @@ class DedupSpec extends SparkSpec {
       (9L, 0.0))                        // singleton: untouched
       .toDF("doc_id", "score")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    spark.catalog.clearCache()
     val kept = Dedup.dropNearDuplicatesKeepBest(df, pairs, "doc_id", "score")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 6L, 9L))
+    // leak guard: the internal `scored` cache must be released once the
+    // keep-best result is computed — long-lived sessions must not pin one
+    // frame per call (round-5 advice)
+    assert(org.apache.spark.sql.graft.CacheProbe.cacheIsEmpty(spark),
+      "dropNearDuplicatesKeepBest must unpersist its internal cache")
+  }
+
+  test("assignToCentroids gives NaN embeddings a defined assignment instead of crashing") {
+    val centroids = Seq((10L, Seq(1f, 0f)), (20L, Seq(0f, 1f))).toDF("centroid_id", "centroid")
+    val vecs = Seq(
+      (1L, Seq(Float.NaN, Float.NaN)), // all sims NaN → clamped to index 0 → smallest centroid id
+      (2L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.assignToCentroids(vecs, centroids)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L))
   }
 
   test("cross-corpus line dedup keeps only the globally first occurrence") {
