@@ -718,8 +718,10 @@ object Queries {
           GROUP BY 1 ORDER BY 1"""
     })
 
-  /** SimHash near-dup pairs (rows-only: signature uses Spark's xxhash64,
-    * not reproducible in the oracle engine). */
+  /** SimHash near-dup pairs. The oracle replicates the engine-internal
+    * xxhash64 bit-for-bit in pure DuckDB SQL (`tools.OracleSql`) and
+    * replays the whole pipeline independently: per-token hash → 64 bit
+    * votes → signature → rotate-and-block buckets → Hamming verify. */
   val q31_dedup_simhash = Q(
     "q31_dedup_simhash",
     (s, dir) => {
@@ -737,11 +739,46 @@ object Queries {
           col("distance").cast("long").as("distance"))
         .orderBy("id1", "id2")
     },
-    None)
+    Some {
+      import graft.tools.OracleSql._
+      val corpus =
+        s"""SELECT doc_id::BIGINT AS doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id::BIGINT + 1000000 AS doc_id,
+                   array_to_string(rt[1:len(rt)-1], ' ') AS text
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rt FROM documents)"""
+      val toks =
+        s"""SELECT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(${normalizeSql("text")}, ' ')) AS tok
+              FROM ($corpus)) WHERE len(tok) > 0"""
+      val hashed = xxhash64Stages(toks, "tok", "th", pfx = "__t")
+      val bitsums = (0 until 64)
+        .map(j => s"SUM(CASE WHEN (hu >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val sigexpr = (0 until 64)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT ELSE 0::HUGEINT END")
+        .mkString(" + ")
+      s"""WITH hashed AS (
+            SELECT doc_id, CASE WHEN th < 0 THEN CAST(th::HUGEINT + 18446744073709551616::HUGEINT AS UBIGINT)
+                                ELSE CAST(th AS UBIGINT) END AS hu
+            FROM ($hashed)),
+          bits AS (SELECT doc_id, $bitsums FROM hashed GROUP BY doc_id),
+          sig AS (SELECT doc_id, CAST(($sigexpr) AS UBIGINT) AS sigu FROM bits),
+          buckets AS (
+            SELECT doc_id, sigu, bb.b AS blk, (sigu >> (16 * bb.b)) & 65535 AS key
+            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bb(b))
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(bit_count(xor(a.sigu, b.sigu)) AS BIGINT) AS distance
+          FROM buckets a JOIN buckets b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sigu, b.sigu)) <= 3
+          ORDER BY id1, id2"""
+    })
 
-  /** IVF approximate nearest neighbors (rows-only: cell assignment is
-    * engine-internal; correctness of the exact baseline is covered by
-    * q27). */
+  /** IVF nearest neighbors through the k-means|| default seeding path.
+    * Probes = cells makes the result EXACT for any centroid set (the
+    * q57 trick), so the full kmeans|| → Lloyd → assign → probe pipeline
+    * gets a real brute-force DuckDB oracle; the approximate low-probe
+    * behavior stays covered by the recall spec (TextMlSpec). */
   val q32_ann_ivf = Q(
     "q32_ann_ivf",
     (s, dir) => {
@@ -751,7 +788,7 @@ object Queries {
       val cells = Similarity.assignToCentroids(emb, centroids)
       val queries = emb.filter(col("vec_id") < 5)
       Similarity
-        .ivfTopK(queries, cells, centroids, k = 5, probes = 2)
+        .ivfTopK(queries, cells, centroids, k = 5, probes = 8)
         .select(
           col("query_id").cast("long").as("query_id"),
           col("rank").cast("long").as("rank"),
@@ -759,7 +796,18 @@ object Queries {
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM e q CROSS JOIN e c
+              WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+              CAST(neighbor_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** Multimodal plumbing: synthetic binary payloads → stub decode →
     * feature extraction → aggregate (rows-only: stub codec is
@@ -780,9 +828,12 @@ object Queries {
     },
     None)
 
-  /** Document fingerprinting with an order-sensitive rolling hash
-    * (rows-only: xxhash64-based). Shows reordered text fingerprints
-    * differently while exact-normalized fingerprint would not. */
+  /** Document fingerprinting with an order-sensitive rolling hash: shows
+    * reordered text fingerprints differently while the exact-normalized
+    * fingerprint would not. Both hashes are oracle-checked: the DuckDB SQL
+    * replays xxhash64 bit-for-bit (`tools.OracleSql`) for the content
+    * fingerprint and per-token hashes, and rebuilds the positional
+    * 31^i-weighted modular sum with a recursive power table. */
   val q34_fingerprint = Q(
     "q34_fingerprint",
     (s, dir) => {
@@ -797,7 +848,32 @@ object Queries {
         .rollingHashByDoc(base, Seq("doc_id", "content_fp"), "text", "rolling_fp")
         .orderBy("doc_id")
     },
-    None)
+    Some {
+      import graft.tools.OracleSql._
+      val base = s"SELECT doc_id::BIGINT AS doc_id, ${normalizeSql("text")} AS norm FROM documents"
+      val fp = xxhash64Stages(base, "norm", "content_fp", pfx = "__f")
+      val toks =
+        s"""SELECT doc_id, content_fp, tok, p FROM (
+              SELECT doc_id, content_fp, unnest(string_split(norm, ' ')) AS tok,
+                     generate_subscripts(string_split(norm, ' '), 1) AS p
+              FROM fpc) WHERE len(tok) > 0"""
+      val hashed = xxhash64Stages(toks, "tok", "th", pfx = "__t")
+      s"""WITH RECURSIVE fpc AS ($fp),
+          hashed AS ($hashed),
+          pw(i, v) AS (
+            SELECT 1, 1::BIGINT
+            UNION ALL
+            SELECT i + 1, (v * 31) % 2147483647 FROM pw
+            WHERE i < (SELECT coalesce(max(p), 1) FROM hashed)),
+          rolled AS (
+            SELECT h.doc_id,
+                   CAST(SUM((((h.th % 2147483647) + 2147483647) % 2147483647) * pw.v % 2147483647) % 2147483647 AS BIGINT) AS rolling_fp
+            FROM hashed h JOIN pw ON pw.i = h.p
+            GROUP BY h.doc_id)
+          SELECT f.doc_id, f.content_fp, coalesce(r.rolling_fp, 0) AS rolling_fp
+          FROM fpc f LEFT JOIN rolled r ON r.doc_id = f.doc_id
+          ORDER BY f.doc_id"""
+    })
 
   /** Index time → datetime (SURVEY §2.9): integer step index + per-row tz
     * → UTC instants. January only, so fixed offsets mirror cleanly in SQL. */
