@@ -809,24 +809,44 @@ object Queries {
               CAST(neighbor_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** Multimodal plumbing: synthetic binary payloads → stub decode →
-    * feature extraction → aggregate (rows-only: stub codec is
-    * engine-internal). */
+  /** Multimodal pipeline over REAL codecs: deterministic solid-gray
+    * PNG/BMP/GIF images and silent WAVs (JDK ImageIO + javax.sound)
+    * round-trip through header-dims decode, audio-duration decode and
+    * block-luminance features. The oracle recomputes every aggregate
+    * ANALYTICALLY from the generator's closed-form parameters — if any
+    * codec mis-decodes dims, duration or pixel values, the hashes
+    * diverge. Fixture values are dyadic (gray/256, frames/8192) so float
+    * and double arithmetic agree exactly on both sides. */
   val q33_multimodal = Q(
     "q33_multimodal",
     (s, dir) => {
       val media = Multimodal.syntheticMedia(s, 300)
       val withDims = Multimodal.decodeImageDims(media)
-      val withFeatures = Multimodal.extractFeatures(withDims)
+      val withAudio = Multimodal.decodeAudioSeconds(withDims)
+      val withFeatures = Multimodal.extractFeatures(withAudio)
       withFeatures
         .groupBy(col("media_type"))
         .agg(
           count(lit(1)).cast("long").as("n"),
           round(avg(col("width")), 2).as("avg_width"),
-          round(avg(aggregate(col("features"), lit(0.0), (acc, x) => acc + x)), 4).as("avg_feature_sum"))
+          round(avg(aggregate(col("features"), lit(0.0), (acc, x) => acc + x)), 4).as("avg_feature_sum"),
+          round(avg(col("audio_seconds")), 4).as("avg_audio_secs"))
         .orderBy("media_type")
     },
-    None)
+    Some("""WITH per AS (
+              SELECT CASE WHEN range % 3 = 0 THEN 'image'
+                          WHEN range % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+                     -- image dims/gray and wav frames replay syntheticMedia's formulas
+                     CASE WHEN range % 3 = 0 THEN 8 + ((range // 3) % 5) * 4 ELSE 0 END AS width,
+                     -- 16 block features of a solid-gray image each equal gray/256
+                     CASE WHEN range % 3 = 0 THEN 16 * (((range * 7) % 256) / 256.0) ELSE 0.0 END AS fsum,
+                     CASE WHEN range % 3 = 1 THEN (1 + (range % 5)) / 8.0 ELSE 0.0 END AS secs
+              FROM range(300))
+            SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(width), 2) AS avg_width,
+                   ROUND(AVG(fsum), 4) AS avg_feature_sum,
+                   ROUND(AVG(secs), 4) AS avg_audio_secs
+            FROM per GROUP BY 1 ORDER BY 1"""))
 
   /** Document fingerprinting with an order-sensitive rolling hash: shows
     * reordered text fingerprints differently while the exact-normalized

@@ -533,18 +533,41 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("synthetic media → stub decode → features pipeline") {
+  test("synthetic media → real ImageIO/javax.sound decode → features pipeline") {
     val media = Multimodal.syntheticMedia(spark, 30)
     assert(media.count() == 30)
     val dims = Multimodal.decodeImageDims(media)
-    assert(dims.columns.contains("width") && dims.columns.contains("height"))
-    assert(dims.filter($"width" < 256 || $"height" < 256).count() == 0)
-    val feats = Multimodal.extractFeatures(dims)
-    val f = feats.select("features").as[Seq[Float]].head()
-    assert(f.length == 16)
-    // determinism: same payload → same features
-    val again = Multimodal.extractFeatures(Multimodal.decodeImageDims(Multimodal.syntheticMedia(spark, 30)))
-    assert(sortedRows(feats.select("media_id", "features")) ==
+    // real header decode must reproduce the generator's closed-form dims
+    // for every image format (png/bmp/gif) and (0,0) for audio/video
+    val byId = dims.select("media_id", "media_type", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    byId.foreach { case (i, (mt, w, h)) =>
+      if (i % 3 == 0) {
+        val sub = (i / 3).toInt
+        assert((mt, w, h) == (("image", 8 + (sub % 5) * 4, 6 + (sub % 3) * 2)), s"media $i")
+      } else assert((w, h) == ((0, 0)), s"media $i decoded image dims from non-image")
+    }
+    // real WAV header decode: duration (1 + i%5)/8 s; non-audio 0.0
+    val secs = Multimodal.decodeAudioSeconds(media)
+      .select("media_id", "audio_seconds")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    secs.foreach { case (i, d) =>
+      val expect = if (i % 3 == 1) (1 + (i % 5)) / 8.0 else 0.0
+      assert(d == expect, s"media $i seconds $d != $expect")
+    }
+    // real pixel decode: every block feature of a solid-gray image is
+    // exactly gray/256 in all three formats; non-images are all-zero
+    val feats = Multimodal.extractFeatures(media)
+      .select("media_id", "features")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    feats.foreach { case (i, f) =>
+      assert(f.length == 16)
+      val expect = if (i % 3 == 0) ((i * 7) % 256) / 256.0f else 0.0f
+      assert(f.forall(_ == expect), s"media $i features $f != $expect")
+    }
+    // determinism: regenerating gives identical features
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30))
+    assert(sortedRows(Multimodal.extractFeatures(media).select("media_id", "features")) ==
       sortedRows(again.select("media_id", "features")))
   }
 
@@ -554,15 +577,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("frame_index").as[Int].collect().toSeq == Seq(0, 3, 6, 9))
   }
 
-  test("resize plumbing emits target dims and a deterministic payload") {
-    val media = Multimodal.syntheticMedia(spark, 10)
-    val out = Multimodal.resizeImages(media, 512, 256)
+  test("resize re-encodes a real PNG at target dims; solid gray survives bilinear") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val out = Multimodal.resizeImages(media, 32, 16)
     assert(out.columns.toSeq.takeRight(3) == Seq("resized_payload", "resized_width", "resized_height"))
-    val row = out.select("resized_width", "resized_height").head()
-    assert((row.getInt(0), row.getInt(1)) == (512, 256))
+    val rows = out.select("media_id", "resized_payload", "resized_width", "resized_height").collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      val p = r.getAs[Array[Byte]](1)
+      assert((r.getInt(2), r.getInt(3)) == ((32, 16)))
+      if (i % 3 == 0) {
+        // round-trip: the resized payload is a real PNG of the target size
+        // and bilinear resampling of a constant image stays constant
+        assert(Multimodal.Codec.imageDims(p) == ((32, 16)), s"media $i")
+        val img = Multimodal.Codec.decodeImage(p).get
+        val gray = ((i * 7) % 256).toInt
+        val expect = (gray << 16) | (gray << 8) | gray
+        assert((img.getRGB(0, 0) & 0xffffff) == expect && (img.getRGB(31, 15) & 0xffffff) == expect)
+      } else assert(p == null, s"non-image $i must resize to null")
+    }
+    // determinism: regenerate → byte-identical resized payloads
     val a = sortedRows(out.select("media_id", "resized_payload")
       .withColumn("resized_payload", hex($"resized_payload")))
-    val b = sortedRows(Multimodal.resizeImages(Multimodal.syntheticMedia(spark, 10), 512, 256)
+    val b = sortedRows(Multimodal.resizeImages(Multimodal.syntheticMedia(spark, 12), 32, 16)
       .select("media_id", "resized_payload")
       .withColumn("resized_payload", hex($"resized_payload")))
     assert(a == b)
