@@ -102,6 +102,29 @@ object IndexTime {
   * (ref: dsgrid/config/representative_period_time_dimension_config.py:20-190). */
 object RepresentativePeriodTime {
 
+  /** Distinct time zones of the geography→tz mapping. When the mapping has
+    * optimized down to a LocalRelation (the common case: a small
+    * createDataFrame frame), the distinct runs DRIVER-SIDE and the result
+    * stays a local relation — zero Spark jobs, and every downstream
+    * broadcast of it builds job-free on the driver. That removes the
+    * whole distinct-shuffle + broadcast-build stage pair that dominated
+    * this operator's wall clock (it is scheduler floor, not data). Scan-
+    * backed mappings keep the distributed distinct: the tz set is bounded
+    * (~600 IANA zones) but the input may be billions of rows. */
+  private def distinctTimeZones(geoTimeZones: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val sel = geoTimeZones.select(col("time_zone").as("__graft_tz"))
+    sel.queryExecution.optimizedPlan match {
+      case lr: LocalRelation if lr.data.length <= 100000 =>
+        val spark = geoTimeZones.sparkSession
+        import spark.implicits._
+        lr.data
+          .map(r => if (r.isNullAt(0)) null else r.getUTF8String(0).toString)
+          .distinct.toSeq.toDF("__graft_tz")
+      case _ => sel.distinct()
+    }
+  }
+
   /** Expand ONE_WEEK_PER_MONTH_BY_HOUR data: join template rows to the spine
     * on (month, day_of_week, hour) computed from the spine timestamp in the
     * row's local tz. `spine` must have a `timestamp` column (UTC);
@@ -117,8 +140,11 @@ object RepresentativePeriodTime {
       timestampColumn: String = "timestamp"): DataFrame = {
     val tz = broadcast(geoTimeZones.select(col("id").as("__graft_geo_id"), col("time_zone").as("__graft_tz")))
     val withTz = df.join(tz, df(geographyColumn) === col("__graft_geo_id"), "inner").drop("__graft_geo_id")
-    // spine × tz-distinct: compute local (month, dow 0=Mon..6=Sun, hour) once per tz
-    val tzs = withTz.select(col("__graft_tz")).distinct()
+    // spine × tz-distinct: compute local (month, dow 0=Mon..6=Sun, hour) once
+    // per tz. The tz set comes from the mapping (a superset of the joined
+    // frame's zones is harmless — the final inner join filters it) so that
+    // local mappings keep the whole build exchange-free.
+    val tzs = distinctTimeZones(geoTimeZones)
     val localSpine = spine
       .crossJoin(broadcast(tzs))
       .withColumn("__graft_local", from_utc_timestamp(col(timestampColumn), col("__graft_tz")))
@@ -152,7 +178,7 @@ object RepresentativePeriodTime {
       timestampColumn: String = "timestamp"): DataFrame = {
     val tz = broadcast(geoTimeZones.select(col("id").as("__graft_geo_id"), col("time_zone").as("__graft_tz")))
     val withTz = df.join(tz, df(geographyColumn) === col("__graft_geo_id"), "inner").drop("__graft_geo_id")
-    val tzs = withTz.select(col("__graft_tz")).distinct()
+    val tzs = distinctTimeZones(geoTimeZones)
     val localSpine = spine
       .crossJoin(broadcast(tzs))
       .withColumn("__graft_local", from_utc_timestamp(col(timestampColumn), col("__graft_tz")))
