@@ -43,6 +43,21 @@ final case class Registry(spark: SparkSession, root: String) {
   def mapping(name: String): DataFrame =
     spark.read.parquet(path("mappings", name, "table.parquet"))
 
+  /** Declared (from_dimension, to_dimension) endpoints of a mapping — the
+    * link the compatibility checkers walk (the reference declares these on
+    * every mapping config, dimension_mapping_base.py). Absent sidecar (or
+    * side) = undeclared: the mapping is then exempt from reference checks. */
+  def mappingEndpoints(name: String): (Option[String], Option[String]) = {
+    val p = path("mappings", name, "meta.json")
+    if (!hadoopExists(p)) (None, None)
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.sources.HadoopText.read(spark, p))
+      (Option(n.get("from_dimension")).map(_.asText()),
+        Option(n.get("to_dimension")).map(_.asText()))
+    }
+  }
+
   def loadData(datasetId: String): DataFrame =
     spark.read.parquet(path("datasets", datasetId, "load_data.parquet"))
 
@@ -188,6 +203,39 @@ object Registry {
     atVersion(spark, root, toVersion)
   }
 
+  /** Filtered-registry export (ref: registry/filter_registry_manager.py —
+    * the pruned registries the reference's own test suite runs against, and
+    * the natural tool for shipping dataset subsets): copy only the selected
+    * datasets / dimensions / mappings into a fresh root. Selections must
+    * exist; the exported tree is integrity-checked so a retained mapping
+    * cannot silently reference a dropped dimension. Hadoop FS copies, so
+    * src/dest may live on any mix of local/HDFS/object-store paths. */
+  def filterTo(
+      reg: Registry,
+      destRoot: String,
+      datasets: Seq[String] = Nil,
+      dimensions: Seq[String] = Nil,
+      mappings: Seq[String] = Nil): Registry = {
+    val conf = reg.spark.sparkContext.hadoopConfiguration
+    def copyAll(kind: String, names: Seq[String], existing: Seq[String]): Unit = {
+      val unknown = names.filterNot(existing.contains)
+      require(unknown.isEmpty, s"filterTo: no such $kind: ${unknown.mkString(", ")}")
+      names.foreach { n =>
+        val src = new org.apache.hadoop.fs.Path(s"${reg.root}/$kind/$n")
+        val dst = new org.apache.hadoop.fs.Path(s"$destRoot/$kind/$n")
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
+      }
+    }
+    copyAll("datasets", datasets, reg.listDatasets())
+    copyAll("dimensions", dimensions, reg.listDimensions())
+    copyAll("mappings", mappings, reg.listMappings())
+    val out = Registry(reg.spark, destRoot)
+    val broken = checkIntegrity(out)
+    require(broken.isEmpty, s"filterTo: exported registry is inconsistent — ${broken.mkString("; ")}")
+    out
+  }
+
   val DimensionCategories = Set("base", "subset", "supplemental")
 
   /** Register dimension records with a category (ref DimensionCategory,
@@ -199,10 +247,67 @@ object Registry {
   def registerDimension(reg: Registry, name: String, records: DataFrame, category: String = "base"): Unit = {
     require(DimensionCategories.contains(category),
       s"registerDimension($name): unknown category '$category'; one of ${DimensionCategories.toSeq.sorted.mkString(", ")}")
+    // update-compatibility check (ref: dimension_update_checker.py): a
+    // re-registration must keep every id referenced by a declared mapping
+    // endpoint resolvable — checked BEFORE the overwrite so a bad update
+    // never lands. Runs only when the dimension already exists (fresh
+    // registration has no dependents yet).
+    if (reg.hadoopExists(s"${reg.root}/dimensions/$name/records.parquet")) {
+      val broken = dimensionUpdateViolations(reg, name, records)
+      require(broken.isEmpty,
+        s"registerDimension($name): incompatible update — ${broken.mkString("; ")}")
+    }
     records.write.mode("overwrite").parquet(s"${reg.root}/dimensions/$name/records.parquet")
     if (category != "base")
       graft.sources.HadoopText.write(
         reg.spark, s"${reg.root}/dimensions/$name/meta.json", s"""{"category": "$category"}""")
+  }
+
+  /** Mapping references the new `records` of dimension `name` would break:
+    * one message per offending mapping, naming it and a sample of the ids
+    * that stop resolving. Anti-join per dependent mapping; only a 5-id
+    * sample is ever collected. */
+  private def dimensionUpdateViolations(reg: Registry, name: String, records: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val ids = records.select(col("id")).distinct()
+    reg.listMappings().flatMap { m =>
+      val (from, to) = reg.mappingEndpoints(m)
+      val sides = Seq(
+        from.filter(_ == name).map(_ => graft.core.Constants.FromIdColumn),
+        to.filter(_ == name).map(_ => graft.core.Constants.ToIdColumn)).flatten
+      sides.flatMap { side =>
+        val missing = reg.mapping(m).select(col(side).as("id")).distinct()
+          .join(ids, Seq("id"), "left_anti")
+          .limit(5).collect().map(_.get(0))
+        if (missing.isEmpty) None
+        else Some(s"mapping '$m' $side values would no longer resolve: ${missing.mkString(", ")}")
+      }
+    }
+  }
+
+  /** Referential-integrity sweep over every declared mapping endpoint:
+    * returns one message per broken reference (empty = consistent). The
+    * standing version of the per-update check, for CLI `registry check`
+    * and post-export validation. */
+  def checkIntegrity(reg: Registry): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    reg.listMappings().flatMap { m =>
+      val (from, to) = reg.mappingEndpoints(m)
+      Seq(
+        from.map(d => (d, graft.core.Constants.FromIdColumn)),
+        to.map(d => (d, graft.core.Constants.ToIdColumn))).flatten.flatMap { case (dim, side) =>
+        if (!reg.hadoopExists(s"${reg.root}/dimensions/$dim/records.parquet"))
+          Some(s"mapping '$m' declares ${side.stripSuffix("_id")}_dimension '$dim' which is not registered")
+        else {
+          val ids = reg.dimensionRecords(dim).select(col("id")).distinct()
+          val missing = reg.mapping(m).select(col(side).as("id")).distinct()
+            .join(ids, Seq("id"), "left_anti")
+            .limit(5).collect().map(_.get(0))
+          if (missing.isEmpty) None
+          else Some(s"mapping '$m' $side values missing from dimension '$dim': ${missing.mkString(", ")}")
+        }
+      }
+    }
   }
 
   /** Register a mapping table, validated against its declared type's
@@ -218,10 +323,37 @@ object Registry {
       mappingType: String = MappingTypes.ManyToOneAggregation,
       fromFractionTolerance: Double = 1e-6,
       toFractionTolerance: Double = 1e-6,
-      validate: Boolean = true): Unit = {
-    if (validate)
+      validate: Boolean = true,
+      /** declared endpoint dimensions (ref dimension_mapping_base.py
+        * from/to dimension references). Declared endpoints that exist in
+        * the registry are resolution-checked at registration, and later
+        * dimension updates are checked against them (update checkers). */
+      fromDimension: Option[String] = None,
+      toDimension: Option[String] = None): Unit = {
+    if (validate) {
       MappingTypes.validate(name, mappingType, table, fromFractionTolerance, toFractionTolerance)
+      import org.apache.spark.sql.functions.col
+      for ((dim, side) <- Seq(
+          fromDimension.map((_, graft.core.Constants.FromIdColumn)),
+          toDimension.map((_, graft.core.Constants.ToIdColumn))).flatten
+          if reg.hadoopExists(s"${reg.root}/dimensions/$dim/records.parquet")) {
+        val ids = reg.dimensionRecords(dim).select(col("id")).distinct()
+        val missing = table.select(col(side).as("id")).distinct()
+          .join(ids, Seq("id"), "left_anti")
+          .limit(5).collect().map(_.get(0))
+        require(missing.isEmpty,
+          s"registerMapping($name): $side values missing from dimension '$dim': ${missing.mkString(", ")}")
+      }
+    }
     table.write.mode("overwrite").parquet(s"${reg.root}/mappings/$name/table.parquet")
+    if (fromDimension.nonEmpty || toDimension.nonEmpty) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      fromDimension.foreach(node.put("from_dimension", _))
+      toDimension.foreach(node.put("to_dimension", _))
+      graft.sources.HadoopText.write(
+        reg.spark, s"${reg.root}/mappings/$name/meta.json", m.writeValueAsString(node))
+    }
   }
 
   def registerDataset(

@@ -42,4 +42,164 @@ class CliSpec extends SparkSpec {
     Cli.main(Array("query", "dataset", root, queryFile.toString, outDir, "--csv"))
     assert(Files.exists(java.nio.file.Paths.get(s"$outDir/cli_dq.csv")))
   }
+
+  test("registration verbs stand up a registry from files end-to-end; bad data exits nonzero") {
+    val root = Files.createTempDirectory("graft-cli-reg3").toString
+    val files = Files.createTempDirectory("graft-cli-files").toString
+    Seq(("c1", "County 1"), ("c2", "County 2")).toDF("id", "name")
+      .write.parquet(s"$files/counties.parquet")
+    Seq(("s1", "State 1")).toDF("id", "name")
+      .write.parquet(s"$files/states.parquet")
+    Seq(("c1", "s1", 1.0), ("c2", "s1", 1.0)).toDF("from_id", "to_id", "from_fraction")
+      .write.parquet(s"$files/c2s.parquet")
+    Seq(("c1", 1.0), ("c2", 2.0)).toDF("geography", ValueColumn)
+      .write.parquet(s"$files/load.parquet")
+
+    assert(Cli.run(Array("registry", "register-dimension", root, "county", s"$files/counties.parquet")) == 0)
+    assert(Cli.run(Array("registry", "register-dimension", root, "state", s"$files/states.parquet")) == 0)
+    assert(Cli.run(Array(
+      "registry", "register-mapping", root, "county_to_state", s"$files/c2s.parquet",
+      "--from-dimension", "county", "--to-dimension", "state")) == 0)
+    assert(Cli.run(Array(
+      "registry", "register-dataset", root, "ds", s"$files/load.parquet",
+      "--dim", s"geography=$files/counties.parquet")) == 0)
+    assert(Cli.run(Array("registry", "check", root)) == 0)
+
+    // the registered registry answers queries
+    val reg = Registry(spark, root)
+    assert(reg.listDatasets() == Seq("ds") && reg.listMappings() == Seq("county_to_state"))
+    assert(reg.mappingEndpoints("county_to_state") == ((Some("county"), Some("state"))))
+
+    // a dataset with a dimension value missing from the records must FAIL
+    Seq(("c1", 1.0), ("cX", 2.0)).toDF("geography", ValueColumn)
+      .write.parquet(s"$files/bad_load.parquet")
+    assert(Cli.run(Array(
+      "registry", "register-dataset", root, "bad", s"$files/bad_load.parquet",
+      "--dim", s"geography=$files/counties.parquet")) != 0)
+    assert(!reg.listDatasets().contains("bad"))
+
+    // a mapping whose from_ids don't resolve against its declared dimension must FAIL
+    Seq(("zZ", "s1", 1.0)).toDF("from_id", "to_id", "from_fraction")
+      .write.parquet(s"$files/badmap.parquet")
+    assert(Cli.run(Array(
+      "registry", "register-mapping", root, "badmap", s"$files/badmap.parquet",
+      "--from-dimension", "county", "--to-dimension", "state")) != 0)
+  }
+
+  test("filter verb exports a pruned registry; dangling references are refused") {
+    val root = Files.createTempDirectory("graft-cli-reg4").toString
+    val reg = Registry(spark, root)
+    Registry.registerDimension(reg, "geo", Seq(("a", "A"), ("b", "B")).toDF("id", "name"))
+    Registry.registerMapping(reg, "geo_up",
+      Seq(("a", "all", 1.0), ("b", "all", 1.0)).toDF("from_id", "to_id", "from_fraction"),
+      fromDimension = Some("geo"))
+    Registry.registerDataset(reg, "d1", Seq(("a", 1.0)).toDF("geography", ValueColumn))
+    Registry.registerDataset(reg, "d2", Seq(("b", 2.0)).toDF("geography", ValueColumn))
+
+    val dest = Files.createTempDirectory("graft-cli-reg4f").toString + "/filtered"
+    assert(Cli.run(Array(
+      "registry", "filter", root, dest,
+      "--datasets", "d1", "--dimensions", "geo", "--mappings", "geo_up")) == 0)
+    val out = Registry(spark, dest)
+    assert(out.listDatasets() == Seq("d1") && out.listDimensions() == Seq("geo"))
+    assert(out.dataset("d1").count() == 1)
+
+    // keeping the mapping but dropping its declared dimension must refuse
+    val dest2 = Files.createTempDirectory("graft-cli-reg4g").toString + "/broken"
+    assert(Cli.run(Array("registry", "filter", root, dest2, "--mappings", "geo_up")) != 0)
+    // unknown selections refuse too
+    assert(Cli.run(Array("registry", "filter", root, dest2 + "x", "--datasets", "nope")) != 0)
+  }
+}
+
+class RegistryOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.query.Models._
+  import org.apache.spark.sql.functions._
+
+  test("version bump: an update that drops a mapped-to record fails naming the mapping") {
+    val root = Files.createTempDirectory("graft-verreg").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/v1.0.0"))
+    val v1 = Registry.atVersion(spark, root, "v1.0.0")
+    Registry.registerDimension(v1, "geo", Seq(("a", "A"), ("b", "B")).toDF("id", "name"))
+    Registry.registerMapping(v1, "geo_up",
+      Seq(("a", "all", 1.0), ("b", "all", 1.0)).toDF("from_id", "to_id", "from_fraction"),
+      fromDimension = Some("geo"))
+    val v2 = Registry.newVersion(spark, root, "v1.0.0", "v1.1.0")
+    // compatible update: superset of referenced ids
+    Registry.registerDimension(v2, "geo",
+      Seq(("a", "A"), ("b", "B"), ("c", "C")).toDF("id", "name"))
+    // incompatible update: drops 'b', which geo_up still maps from
+    val e = intercept[IllegalArgumentException] {
+      Registry.registerDimension(v2, "geo", Seq(("a", "A"), ("c", "C")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("geo_up") && e.getMessage.contains("b"),
+      s"must name the broken mapping and id: ${e.getMessage}")
+    // the bad update must not have landed; v1.0.0 untouched throughout
+    assert(Registry.checkIntegrity(v2).isEmpty && Registry.checkIntegrity(v1).isEmpty)
+    assert(v2.dimensionRecords("geo").count() == 3 && v1.dimensionRecords("geo").count() == 2)
+  }
+
+  test("filtered registry answers a project query identically on the retained subset") {
+    val root = Files.createTempDirectory("graft-filtreg").toString
+    val reg = Registry(spark, root)
+    Registry.registerDataset(reg, "accounts",
+      Seq(("c1", "com", 1.5), ("c2", "com", 2.5), ("c1", "res", 4.0))
+        .toDF("geography", "sector", ValueColumn))
+    Registry.registerDataset(reg, "unrelated",
+      Seq(("x", 9.0)).toDF("geography", ValueColumn))
+    Registry.registerMapping(reg, "c_to_s",
+      Seq(("c1", "s1", 1.0), ("c2", "s1", 1.0)).toDF("from_id", "to_id", "from_fraction"))
+    Registry.registerDimension(reg, "sector",
+      Seq(("com", "Commercial"), ("res", "Residential")).toDF("id", "name"))
+    val q = ProjectQuery(
+      name = "filtered_equiv",
+      datasets = DatasetSection(Seq(
+        DatasetRef("accounts", Seq(DimensionMappingRef("geography", "c_to_s"))))),
+      result = ResultSection(
+        aggregations = Seq(Aggregation(groupBy = Seq("geography", "sector"))),
+        sortBy = Seq("geography", "sector")))
+    val full = new graft.query.Submitter(reg).submit(q).collect().toSeq
+    val dest = Files.createTempDirectory("graft-filtreg-out").toString + "/sub"
+    val sub = Registry.filterTo(reg, dest,
+      datasets = Seq("accounts"), dimensions = Seq("sector"), mappings = Seq("c_to_s"))
+    val filtered = new graft.query.Submitter(sub).submit(q).collect().toSeq
+    assert(filtered == full && full.nonEmpty)
+    assert(sub.listDatasets() == Seq("accounts"))
+  }
+
+  test("object-store sync: push/pull round-trip; concurrent pushes serialize on the lock") {
+    val local = Files.createTempDirectory("graft-sync-local").toString
+    val remote = Files.createTempDirectory("graft-sync").toString + "/remote"
+    val reg = Registry(spark, local)
+    Registry.registerDimension(reg, "geo", Seq(("a", "A")).toDF("id", "name"))
+    val storage = new graft.registry.HadoopStorage(spark, timeoutMs = 5000, pollMs = 20)
+    storage.push(local, remote)
+    val pulled = Files.createTempDirectory("graft-sync-pull").toString + "/copy"
+    storage.pull(remote, pulled)
+    assert(Registry(spark, pulled).dimensionRecords("geo").count() == 1)
+    // the lock file is gone after a successful push
+    assert(!reg.hadoopExists(s"$remote.lock"))
+
+    // serialization: only one holder may be inside the critical section
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 3).map { _ =>
+      new Thread(() => storage.withLock(s"$remote.lock") {
+        val now = inside.incrementAndGet()
+        maxSeen.getAndUpdate(m => math.max(m, now))
+        Thread.sleep(150)
+        inside.decrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(maxSeen.get() == 1, s"lock admitted ${maxSeen.get()} holders concurrently")
+
+    // a held lock times out a second acquirer with the holder named
+    storage.withLock(s"$remote.lock") {
+      val fast = new graft.registry.HadoopStorage(spark, timeoutMs = 200, pollMs = 20)
+      val e = intercept[IllegalStateException](fast.withLock(s"$remote.lock")(()))
+      assert(e.getMessage.contains("could not acquire"))
+    }
+  }
 }
