@@ -16,6 +16,7 @@ import graft.registry.Registry
   * graft.Cli registry register-dimension <registryRoot> <name> <records-path> [--category base|subset|supplemental]
   * graft.Cli registry register-mapping <registryRoot> <name> <table-path> [--type <mappingType>] [--from-dimension <d>] [--to-dimension <d>] [--no-validate]
   * graft.Cli registry register-dataset <registryRoot> <datasetId> <load-data-path> [--lookup <path>] [--dim <name>=<records-path>]... [--no-validate]
+  * graft.Cli registry register-bulk <registryRoot> <manifest.json> [--journal <path>] [--data-base-dir <dir>]
   * graft.Cli registry new-version <registryRoot> <fromVersion> <toVersion>
   * graft.Cli registry check <registryRoot>
   * graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]
@@ -143,6 +144,22 @@ object Cli {
       if (rc == 0) println(s"registered dataset $datasetId")
       rc
 
+    case "registry" :: "register-bulk" :: registryRoot :: manifestPath :: rest =>
+      val spark = GraftSession.get()
+      val manifest = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifestPath)), "UTF-8")
+      val journal = flagValue(rest, "--journal")
+        .getOrElse(manifestPath + ".journal.json")
+      val base = java.nio.file.Paths.get(manifestPath).toAbsolutePath.getParent.toString
+      val rc = validated {
+        val r = graft.registry.BulkRegister(
+          Registry(spark, registryRoot), manifest,
+          baseDir = Some(flagValue(rest, "--data-base-dir").getOrElse(base)),
+          journalPath = Some(journal))
+        println(s"registered ${r.registered.size} (skipped ${r.skipped.size} journaled)")
+      }
+      rc
+
     case "registry" :: "new-version" :: registryRoot :: fromV :: toV :: Nil =>
       val rc = validated(Registry.newVersion(GraftSession.get(), registryRoot, fromV, toV))
       if (rc == 0) println(s"created $registryRoot/$toV from $fromV")
@@ -177,6 +194,7 @@ object Cli {
           |  graft.Cli registry register-dimension <registryRoot> <name> <records-path> [--category base|subset|supplemental]
           |  graft.Cli registry register-mapping <registryRoot> <name> <table-path> [--type <mappingType>] [--from-dimension <d>] [--to-dimension <d>] [--no-validate]
           |  graft.Cli registry register-dataset <registryRoot> <datasetId> <load-data-path> [--lookup <path>] [--dim <name>=<records-path>]... [--no-validate]
+          |  graft.Cli registry register-bulk <registryRoot> <manifest.json> [--journal <path>] [--data-base-dir <dir>]
           |  graft.Cli registry new-version <registryRoot> <fromVersion> <toVersion>
           |  graft.Cli registry check <registryRoot>
           |  graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]""".stripMargin)

@@ -112,6 +112,69 @@ class CliSpec extends SparkSpec {
   }
 }
 
+class BulkRegisterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bulk manifest registers dimensions, mappings and datasets in one shot; failures journal and resume") {
+    val root = Files.createTempDirectory("graft-bulk-reg").toString
+    val files = Files.createTempDirectory("graft-bulk-files").toString
+    Seq(("c1", "C1"), ("c2", "C2")).toDF("id", "name").write.parquet(s"$files/geo.parquet")
+    Seq(("com", "Commercial")).toDF("id", "name").write.parquet(s"$files/sector.parquet")
+    Seq(("c1", "s1", 1.0), ("c2", "s1", 1.0)).toDF("from_id", "to_id", "from_fraction")
+      .write.parquet(s"$files/c2s.parquet")
+    Seq(("c1", "com", 1.0), ("c2", "com", 2.0)).toDF("geography", "sector", ValueColumn)
+      .write.parquet(s"$files/load.parquet")
+    // bad dataset: geography value not in the geo dimension records
+    Seq(("cX", "com", 3.0)).toDF("geography", "sector", ValueColumn)
+      .write.parquet(s"$files/bad.parquet")
+
+    val manifest =
+      s"""{
+         |  // bulk manifest, json5-tolerant
+         |  "dimensions": [
+         |    {"name": "geo", "records": "geo.parquet"},
+         |    {"name": "sector", "records": "sector.parquet", "category": "supplemental"},
+         |  ],
+         |  "mappings": [{"name": "c2s", "table": "c2s.parquet", "from_dimension": "geo"}],
+         |  "datasets": [
+         |    {"id": "good", "load_data": "load.parquet", "dimensions": {"geography": "geo"}},
+         |    {"id": "bad", "load_data": "bad.parquet", "dimensions": {"geography": "geo"}},
+         |  ],
+         |}""".stripMargin
+    val reg = Registry(spark, root)
+    val journal = s"$files/journal.json"
+
+    // first run: everything up to the bad dataset lands, then the journal persists
+    val e = intercept[IllegalArgumentException] {
+      graft.registry.BulkRegister(reg, manifest, Some(files), Some(journal))
+    }
+    assert(e.getMessage.contains("dataset/bad") && Files.exists(java.nio.file.Paths.get(journal)))
+    assert(reg.listDimensions() == Seq("geo", "sector") && reg.listDatasets() == Seq("good"))
+    assert(reg.dimensionCategory("sector") == "supplemental")
+    assert(reg.mappingEndpoints("c2s") == ((Some("geo"), None)))
+
+    // fix the data, resume: completed steps are skipped, only `bad` registers
+    Seq(("c1", "com", 3.0)).toDF("geography", "sector", ValueColumn)
+      .write.mode("overwrite").parquet(s"$files/bad.parquet")
+    val r = graft.registry.BulkRegister(reg, manifest, Some(files), Some(journal))
+    assert(r.registered == Seq("dataset/bad"))
+    assert(r.skipped == Seq("dimension/geo", "dimension/sector", "mapping/c2s", "dataset/good"))
+    // a clean finish clears the resume state
+    assert(!Files.exists(java.nio.file.Paths.get(journal)))
+    assert(Registry.checkIntegrity(reg).isEmpty)
+  }
+
+  test("register-bulk CLI verb drives the same path") {
+    val root = Files.createTempDirectory("graft-bulk-cli").toString
+    val files = Files.createTempDirectory("graft-bulk-cli-files").toString
+    Seq(("a", "A")).toDF("id", "name").write.parquet(s"$files/d.parquet")
+    Files.writeString(java.nio.file.Paths.get(s"$files/m.json"),
+      """{"dimensions": [{"name": "geo", "records": "d.parquet"}]}""")
+    assert(Cli.run(Array("registry", "register-bulk", root, s"$files/m.json")) == 0)
+    assert(Registry(spark, root).listDimensions() == Seq("geo"))
+  }
+}
+
 class RegistryOpsSpec extends SparkSpec {
   import spark.implicits._
   import graft.query.Models._
