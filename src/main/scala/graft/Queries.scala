@@ -2115,26 +2115,22 @@ object Queries {
   val q74_time_consistency = Q(
     "q74_time_consistency",
     (s, dir) => {
-      import graft.time.{TimeChecks, TimeSpine}
+      import graft.time.TimeChecks
+      // the whole report is ONE composed plan (spine bounds derived
+      // inside it) — the boolean check forms cost one driver action per
+      // check; at scale those are sequential full scans of the spine
       val days = t(s, dir, "lineitem").select(col("l_shipdate").as("timestamp"), col("l_returnflag"))
-      val mm = days
-        .agg(
-          date_format(min("timestamp"), "yyyy-MM-dd HH:mm:ss"),
-          date_format(max("timestamp"), "yyyy-MM-dd HH:mm:ss"))
-        .head()
-      val spine = TimeSpine.spine(s, mm.getString(0), mm.getString(1), 86400L)
-      val spineOk = TimeChecks.timestampsMatchSpine(days, "timestamp", spine)
-      val monthsOk = TimeChecks.equalTimeArrayLengths(
-        days.select(col("l_returnflag"), trunc(col("timestamp"), "month").as("m")).distinct(),
-        Seq("l_returnflag"))
-      val priorityOk = TimeChecks.equalTimeArrayLengths(
-        t(s, dir, "orders")
-          .select(col("o_orderpriority"), trunc(col("o_orderdate"), "month").as("m")).distinct(),
-        Seq("o_orderpriority"))
-      s.range(1).select(
-        lit(if (spineOk) 1L else 0L).as("spine_ok"),
-        lit(if (monthsOk) 1L else 0L).as("equal_months"),
-        lit(if (priorityOk) 1L else 0L).as("equal_priority_months"))
+      TimeChecks.report(
+        TimeChecks.timestampsMatchSpineCheck(
+          days, "timestamp",
+          TimeChecks.spineFromBounds(days, "timestamp", 86400L), "spine_ok"),
+        TimeChecks.equalTimeArrayLengthsCheck(
+          days.select(col("l_returnflag"), trunc(col("timestamp"), "month").as("m")).distinct(),
+          Seq("l_returnflag"), "equal_months"),
+        TimeChecks.equalTimeArrayLengthsCheck(
+          t(s, dir, "orders")
+            .select(col("o_orderpriority"), trunc(col("o_orderdate"), "month").as("m")).distinct(),
+          Seq("o_orderpriority"), "equal_priority_months"))
     },
     Some("""SELECT
               CAST(CASE WHEN (SELECT COUNT(DISTINCT l_shipdate) FROM lineitem) =
@@ -2428,6 +2424,87 @@ object Queries {
             WHERE doc_id NOT IN (SELECT id FROM losers)
             ORDER BY doc_id"""))
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021): duplicate
+    * line fraction, duplicate-line char fraction, top word-2-gram char
+    * fraction. Corpus: 4 six-token lines per doc, with line 1 REPEATED on
+    * even doc_ids — so the dup fractions split the corpus in two and the
+    * oracle replays the whole computation (line counts + gram counts with
+    * the max-(count, gram) tie-break) relationally. Fractions are integer
+    * ratios divided in double on both engines — bit-equal, no rounding. */
+  val q83_repetition = Q(
+    "q83_repetition",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      def ln(from: Int, len: Int) = array_join(slice(col("toks"), from, len), " ")
+      val corpus = d.select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws("\n", ln(1, 6), ln(7, 6), ln(1, 6), ln(13, 6)))
+          .otherwise(concat_ws("\n", ln(1, 6), ln(7, 6), ln(13, 6), ln(19, 6)))
+          .as("text"))
+      TextFunctions.repetitionStats(corpus, "doc_id", "text", ngram = 2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                CASE WHEN doc_id % 2 = 0
+                     THEN array_to_string([l1, l2, l1, l4], chr(10))
+                     ELSE array_to_string([l1, l2, l4, l5], chr(10)) END AS text
+              FROM (
+                SELECT doc_id,
+                  array_to_string(toks[1:6], ' ') AS l1,
+                  array_to_string(toks[7:12], ' ') AS l2,
+                  array_to_string(toks[13:18], ' ') AS l4,
+                  array_to_string(toks[19:24], ' ') AS l5
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))),
+            lines AS (
+              SELECT doc_id, line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus)
+              WHERE len(line) > 0),
+            per_line AS (
+              SELECT doc_id, line, COUNT(*) AS cnt, len(line)::BIGINT AS chars
+              FROM lines GROUP BY doc_id, line),
+            line_stats AS (
+              SELECT doc_id,
+                CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_line_frac,
+                CAST(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS DOUBLE)
+                  / SUM(cnt * chars) AS dup_line_char_frac
+              FROM per_line GROUP BY doc_id),
+            normed AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+              FROM corpus),
+            toked AS (
+              SELECT doc_id, len(norm)::BIGINT AS nlen,
+                list_filter(string_split(norm, ' '), t -> len(t) > 0) AS toks
+              FROM normed),
+            grams AS (
+              SELECT doc_id, nlen, unnest(
+                CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2]) END
+              ) AS gram
+              FROM toked WHERE len(toks) > 0),
+            gram_counts AS (
+              SELECT doc_id, gram, nlen, COUNT(*) AS cnt
+              FROM grams GROUP BY doc_id, gram, nlen),
+            top_gram AS (
+              SELECT doc_id,
+                CAST(cnt * len(gram) AS DOUBLE) / GREATEST(nlen, 1) AS top_ngram_char_frac
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+                FROM gram_counts)
+              WHERE rn = 1)
+            SELECT c.doc_id,
+              COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+              COALESCE(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+              COALESCE(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac
+            FROM corpus c
+            LEFT JOIN line_stats l ON l.doc_id = c.doc_id
+            LEFT JOIN top_gram t ON t.doc_id = c.doc_id
+            ORDER BY c.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2448,5 +2525,5 @@ object Queries {
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
-    q82_dedup_keep_best)
+    q82_dedup_keep_best, q83_repetition)
 }

@@ -23,16 +23,20 @@ trait StorageInterface {
   def withLock[T](lockPath: String)(f: => T): T
 }
 
-/** Hadoop-FS implementation. Locking is create-if-absent plus a
-  * WRITE-TOKEN VERIFY: the acquirer writes a unique token into the lock
-  * file, waits a settle delay, and reads it back — only the writer whose
-  * token survived holds the lock, which closes the exists-then-create
-  * race that plain `create(overwrite = false)` leaves open on local
-  * filesystems and S3-style stores alike (the reference's lock files
-  * offer the same best-effort exclusion). The token records
-  * host/pid/uuid for post-mortem of stale locks, and acquisition polls
-  * until `timeoutMs` before failing — a crashed holder's lock must be
-  * removed by an operator, exactly as in the reference. */
+/** Hadoop-FS implementation. Lock acquisition by filesystem:
+  *  - `file://` — NIO `Files.createFile` (O_EXCL): truly atomic; Hadoop's
+  *    LocalFileSystem `create(overwrite = false)` is exists-then-create
+  *    and admits two holders under scheduling delay (caught by the
+  *    concurrency spec);
+  *  - HDFS-like stores — `create(overwrite = false)` is atomic at the
+  *    namenode;
+  *  - S3-style stores — create-if-absent plus a WRITE-TOKEN VERIFY (the
+  *    acquirer writes a unique token, waits a settle delay, reads it
+  *    back; only the surviving writer holds) — the same best-effort
+  *    exclusion the reference's lock files provide.
+  * The token records host/pid/uuid for post-mortem of stale locks, and
+  * acquisition polls until `timeoutMs` before failing — a crashed
+  * holder's lock must be removed by an operator, as in the reference. */
 final class HadoopStorage(
     spark: SparkSession,
     timeoutMs: Long = 60000L,
@@ -48,17 +52,25 @@ final class HadoopStorage(
     val token =
       s"${java.net.InetAddress.getLocalHost.getHostName}|${ProcessHandle.current().pid()}|${java.util.UUID.randomUUID()}"
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    def tryAcquire(): Boolean = {
-      val out =
-        try filesystem.create(lp, false)
-        catch { case _: java.io.IOException => return false }
-      try out.write(token.getBytes("UTF-8"))
-      finally out.close()
-      // let a racing writer's create+write land before verifying ownership
-      Thread.sleep(verifyDelayMs)
-      try readLockInfo(lp) == token
-      catch { case _: java.io.IOException => false }
-    }
+    def tryAcquire(): Boolean =
+      if (filesystem.getScheme == "file") {
+        val nio = java.nio.file.Paths.get(lp.toUri.getPath)
+        Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        try java.nio.file.Files.createFile(nio)
+        catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+        java.nio.file.Files.writeString(nio, token)
+        true
+      } else {
+        val out =
+          try filesystem.create(lp, false)
+          catch { case _: java.io.IOException => return false }
+        try out.write(token.getBytes("UTF-8"))
+        finally out.close()
+        // let a racing writer's create+write land before verifying ownership
+        Thread.sleep(verifyDelayMs)
+        try readLockInfo(lp) == token
+        catch { case _: java.io.IOException => false }
+      }
     while (!tryAcquire()) {
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(

@@ -106,6 +106,70 @@ object TextFunctions {
     least(lit(1.0), (lengthOk + punctOk + stopOk + mwlOk) / 4)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 "Scaling Language
+    * Models", table A1 — the public repetition filters every web-scale
+    * pipeline applies): per document,
+    *  - `dup_line_frac`      — fraction of lines that are repeats of an
+    *                           already-seen line,
+    *  - `dup_line_char_frac` — fraction of line characters inside lines
+    *                           occurring more than once,
+    *  - `top_ngram_char_frac`— characters covered by the most frequent
+    *                           word n-gram (count × gram length) over the
+    *                           normalized text length; ties break toward
+    *                           the lexicographically LARGEST gram
+    *                           (`max(struct(cnt, gram))` — deterministic
+    *                           and cheap on both engines).
+    * Shape at scale: two explode → groupBy pipelines keyed by (doc, unit)
+    * then (doc) — whole-stage codegen with map-side partial aggregation,
+    * the same shuffle profile as the line-dedup operator. Documents with
+    * no lines/tokens report zero fractions. */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineSep: String = "\n",
+      ngram: Int = 2): DataFrame = {
+    val ids = df.select(col(idCol))
+    val lines = df.select(
+      col(idCol),
+      explode(filter(split(col(textCol), java.util.regex.Pattern.quote(lineSep)),
+        l => length(l) > 0)).as("__graft_line"))
+    val perLine = lines
+      .groupBy(col(idCol), col("__graft_line"))
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .withColumn("__graft_chars", length(col("__graft_line")).cast("long"))
+    val lineStats = perLine.groupBy(col(idCol)).agg(
+      ((sum(col("__graft_cnt")) - count(lit(1))).cast("double") / sum(col("__graft_cnt")))
+        .as("dup_line_frac"),
+      (sum(when(col("__graft_cnt") > 1, col("__graft_cnt") * col("__graft_chars")).otherwise(0L))
+        .cast("double") / sum(col("__graft_cnt") * col("__graft_chars")))
+        .as("dup_line_char_frac"))
+    val withToks = df.select(col(idCol), normalize(col(textCol)).as("__graft_norm"))
+      .withColumn("__graft_toks", tokens(col("__graft_norm")))
+      .withColumn("__graft_nlen", length(col("__graft_norm")).cast("long"))
+    val grams = withToks
+      .filter(size(col("__graft_toks")) > 0)
+      .select(
+        col(idCol), col("__graft_nlen"),
+        explode(wordShinglesFromTokens(col("__graft_toks"), ngram)).as("__graft_gram"))
+    val gramStats = grams
+      .groupBy(col(idCol), col("__graft_gram"))
+      .agg(count(lit(1)).as("__graft_cnt"), max(col("__graft_nlen")).as("__graft_nlen"))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("__graft_cnt"), col("__graft_gram"))).as("__graft_top"),
+        max(col("__graft_nlen")).as("__graft_nlen"))
+      .select(
+        col(idCol),
+        ((col("__graft_top.__graft_cnt") * length(col("__graft_top.__graft_gram")).cast("long"))
+          .cast("double") / greatest(col("__graft_nlen"), lit(1L)))
+          .as("top_ngram_char_frac"))
+    ids
+      .join(lineStats, Seq(idCol), "left")
+      .join(gramStats, Seq(idCol), "left")
+      .na.fill(0.0, Seq("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac"))
+  }
+
   /** Document fingerprint: 64-bit content hash of normalized text (xxhash64,
     * codegen'd) — the exact-dedup key. */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))

@@ -497,4 +497,41 @@ object TimeChecks {
   /** Every dimension combination carries the same number of timestamps. */
   def equalTimeArrayLengths(df: DataFrame, dimColumns: Seq[String]): Boolean =
     graft.operators.Aggregation.groupsHaveEqualCounts(df, dimColumns)
+
+  // ---- lazily-composable forms: each check is a ONE-ROW FRAME, so a
+  // whole consistency report runs as a single Spark job instead of one
+  // sequential driver action per check (at scale the boolean forms above
+  // cost one full scan each; a fused report shares the scheduler trip)
+
+  /** The data's own hourly/daily/... spine, derived INSIDE the plan from
+    * its min/max — no driver action to fetch the bounds first. */
+  def spineFromBounds(df: DataFrame, timestampColumn: String, intervalSeconds: Long): DataFrame =
+    df.agg(min(col(timestampColumn)).as("__graft_min"), max(col(timestampColumn)).as("__graft_max"))
+      .select(explode(sequence(
+        col("__graft_min"), col("__graft_max"),
+        expr(s"INTERVAL $intervalSeconds SECONDS"))).as("timestamp"))
+
+  /** 1-row frame: `outCol` = 1 iff the data's distinct timestamps equal
+    * the spine exactly (full-outer anti-coverage count, one aggregate). */
+  def timestampsMatchSpineCheck(
+      df: DataFrame, timestampColumn: String, spine: DataFrame, outCol: String): DataFrame = {
+    val actual = df.select(col(timestampColumn).as("timestamp")).distinct()
+      .withColumn("__graft_a", lit(1))
+    val expected = spine.select(col("timestamp")).distinct()
+      .withColumn("__graft_e", lit(1))
+    actual.join(expected, Seq("timestamp"), "full_outer")
+      .agg((count(when(col("__graft_a").isNull || col("__graft_e").isNull, 1)) === 0)
+        .cast("long").as(outCol))
+  }
+
+  /** 1-row frame: `outCol` = 1 iff every dimension combination carries
+    * the same number of rows (count-distinct of the group counts). */
+  def equalTimeArrayLengthsCheck(df: DataFrame, dimColumns: Seq[String], outCol: String): DataFrame =
+    df.groupBy(dimColumns.map(col): _*).count()
+      .agg((count_distinct(col("count")) <= 1).cast("long").as(outCol))
+
+  /** Fuse 1-row check frames into one 1-row report (cross joins of
+    * scalar aggregates — Catalyst plans them as one job). */
+  def report(first: DataFrame, rest: DataFrame*): DataFrame =
+    rest.foldLeft(first)(_ crossJoin _)
 }

@@ -56,6 +56,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(bpe == 8)
   }
 
+  test("repetition stats: dup line fractions and top-ngram char fraction, hand-checked") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"), // "a b" repeats: dup_line 1/3, dup chars 6/9, top gram "a b" 2*3/11
+      (2L, "x y"),           // single line, 2 tokens <= n: one gram covering the text -> frac 1.0
+      (3L, ""))              // empty: zeros, row preserved
+      .toDF("doc_id", "text")
+    val out = TextFunctions.repetitionStats(df, "doc_id", "text", ngram = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1.0 / 3, 6.0 / 9, 6.0 / 11)))
+    assert(out(2L) == ((0.0, 0.0, 1.0)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    // tie-break is deterministic: equal counts resolve to the LARGEST gram
+    val tie = Seq((1L, "a b c")).toDF("doc_id", "text") // grams "a b","b c" both cnt 1
+    val frac = TextFunctions.repetitionStats(tie, "doc_id", "text", ngram = 2)
+      .select("top_ngram_char_frac").head().getDouble(0)
+    assert(frac == 3.0 / 5) // "b c" wins over "a b" lexicographically
+  }
+
   test("fingerprint is order-insensitive after normalize; rollingHash is order-sensitive") {
     val df = Seq(("a b c", "a b c"), ("a b c", "c b a")).toDF("t1", "t2")
     val fp = df.select(

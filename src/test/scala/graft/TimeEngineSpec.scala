@@ -211,4 +211,30 @@ class TimeEngineSpec extends SparkSpec {
     val bad = good.limit(2)
     assert(!TimeChecks.timestampsMatchSpine(bad, "ts", spine))
   }
+
+  test("fused consistency report agrees with the boolean checks in true and false cases") {
+    val spine = TimeSpine.spine(spark, "2024-01-01 00:00:00", "2024-01-01 03:00:00", 3600L)
+    val good = spine.withColumn("g", lit("a")).withColumnRenamed("timestamp", "ts")
+      .unionByName(spine.withColumn("g", lit("b")).withColumnRenamed("timestamp", "ts"))
+    // spineFromBounds rebuilds the spine from the data's own min/max lazily
+    val goodRow = TimeChecks.report(
+      TimeChecks.timestampsMatchSpineCheck(
+        good, "ts", TimeChecks.spineFromBounds(good, "ts", 3600L), "spine_ok"),
+      TimeChecks.equalTimeArrayLengthsCheck(good, Seq("g"), "equal_counts")).head()
+    assert((goodRow.getLong(0), goodRow.getLong(1)) == ((1L, 1L)))
+    // drop one row of group b: a spine hole AND unequal group counts
+    val bad = good.filter(!(col("g") === "b" && hour(col("ts")) === 2))
+    val badRow = TimeChecks.report(
+      TimeChecks.timestampsMatchSpineCheck(bad, "ts", spine, "spine_ok"),
+      TimeChecks.equalTimeArrayLengthsCheck(bad, Seq("g"), "equal_counts")).head()
+    // the hole is per-group, so DISTINCT timestamps still cover the spine —
+    // but the group counts diverge; a truncated frame misses the spine too
+    assert((badRow.getLong(0), badRow.getLong(1)) == ((1L, 0L)))
+    val truncated = TimeChecks.timestampsMatchSpineCheck(
+      good.filter(hour(col("ts")) < 2), "ts", spine, "spine_ok").head().getLong(0)
+    assert(truncated == 0L)
+    // agreement with the boolean forms on the same inputs
+    assert(TimeChecks.timestampsMatchSpine(bad, "ts", spine))
+    assert(!TimeChecks.equalTimeArrayLengths(bad, Seq("g")))
+  }
 }
