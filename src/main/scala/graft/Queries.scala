@@ -2505,6 +2505,90 @@ object Queries {
             LEFT JOIN top_gram t ON t.doc_id = c.doc_id
             ORDER BY c.doc_id"""))
 
+  /** Gopher rule-based quality filter over a structured corpus: three lines
+    * per doc built from the document's tokens, with a `###` symbol token
+    * injected on doc_id%7, a bullet prefix on %3, and a trailing ellipsis
+    * token on %5 — so every rule (word count, mean word length, symbol
+    * ratio, bullet/ellipsis line fractions, alpha fraction, stopword hits)
+    * splits the corpus and the oracle replays the whole rule set
+    * relationally. All fractions are single int/int divisions in double —
+    * bit-equal across engines, no rounding. */
+  val q84_gopher_filter = Q(
+    "q84_gopher_filter",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      def ln(from: Int, len: Int) = array_join(slice(col("toks"), from, len), " ")
+      val corpus = d.select(
+        col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 7 === 0, concat(ln(1, 6), lit(" ###"))).otherwise(ln(1, 6)),
+          when(col("doc_id") % 3 === 0, concat(lit("- "), ln(7, 6))).otherwise(ln(7, 6)),
+          when(col("doc_id") % 5 === 0, concat(ln(13, 6), lit(" ..."))).otherwise(ln(13, 6)))
+          .as("text"))
+      TextFunctions.gopherQualityFlags(
+        corpus, "doc_id", "text",
+        minWords = 12L, maxWords = 100000L,
+        minMeanWordLen = 3.6, maxMeanWordLen = 10.0,
+        maxSymbolWordRatio = 0.15,
+        maxBulletLineFrac = 0.4, maxEllipsisLineFrac = 0.4,
+        minAlphaWordFrac = 0.9, minStopwordHits = 1L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                array_to_string([
+                  CASE WHEN doc_id % 7 = 0 THEN l1 || ' ###' ELSE l1 END,
+                  CASE WHEN doc_id % 3 = 0 THEN '- ' || l2 ELSE l2 END,
+                  CASE WHEN doc_id % 5 = 0 THEN l3 || ' ...' ELSE l3 END], chr(10)) AS text
+              FROM (
+                SELECT doc_id,
+                  array_to_string(toks[1:6], ' ') AS l1,
+                  array_to_string(toks[7:12], ' ') AS l2,
+                  -- DuckDB: array_to_string of an out-of-bounds slice is NULL
+                  -- (Spark's array_join of an empty slice is '') — coalesce so
+                  -- the ellipsis append matches Spark on short documents
+                  COALESCE(array_to_string(toks[13:18], ' '), '') AS l3
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))),
+            arrays AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS toks,
+                list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lns
+              FROM corpus),
+            counts AS (
+              SELECT doc_id,
+                len(toks)::BIGINT AS wc,
+                len(lns)::BIGINT AS nl,
+                length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS sum_len,
+                (length(text) - length(regexp_replace(text, '#', '', 'g')))::BIGINT AS hash_cnt,
+                len(regexp_extract_all(text, '\.\.\.'))::BIGINT AS ell_cnt,
+                len(list_filter(lns, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                                          OR starts_with(l, '•')))::BIGINT AS bullet_lines,
+                len(list_filter(lns, l -> ends_with(l, '...')))::BIGINT AS ell_lines,
+                len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS alpha_words,
+                len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(toks, t -> lower(t)), s)))::BIGINT AS stop_hits
+              FROM arrays),
+            metrics AS (
+              SELECT doc_id,
+                wc AS word_count,
+                CASE WHEN wc = 0 THEN 0.0 ELSE sum_len::DOUBLE / wc END AS mean_word_len,
+                CASE WHEN wc = 0 THEN 0.0 ELSE (hash_cnt + ell_cnt)::DOUBLE / wc END AS symbol_word_ratio,
+                CASE WHEN nl = 0 THEN 0.0 ELSE bullet_lines::DOUBLE / nl END AS bullet_line_frac,
+                CASE WHEN nl = 0 THEN 0.0 ELSE ell_lines::DOUBLE / nl END AS ellipsis_line_frac,
+                CASE WHEN wc = 0 THEN 0.0 ELSE alpha_words::DOUBLE / wc END AS alpha_word_frac,
+                stop_hits AS stopword_hits
+              FROM counts)
+            SELECT doc_id, word_count, mean_word_len, symbol_word_ratio,
+              bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,
+              CAST(word_count >= 12 AND word_count <= 100000
+                AND mean_word_len >= 3.6 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.15
+                AND bullet_line_frac <= 0.4 AND ellipsis_line_frac <= 0.4
+                AND alpha_word_frac >= 0.9 AND stopword_hits >= 1 AS BIGINT) AS keep
+            FROM metrics
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2525,5 +2609,5 @@ object Queries {
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
-    q82_dedup_keep_best, q83_repetition)
+    q82_dedup_keep_best, q83_repetition, q84_gopher_filter)
 }

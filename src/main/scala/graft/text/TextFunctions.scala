@@ -170,6 +170,87 @@ object TextFunctions {
       .na.fill(0.0, Seq("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac"))
   }
 
+  /** Gopher rule-based quality filter (Rae et al. 2021, table A1): the
+    * published web-scale keep/drop rules, each surfaced as its own metric
+    * column so pipelines can audit WHY a document dropped:
+    *  - word count within [minWords, maxWords],
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen],
+    *  - symbol-to-word ratio (`#` chars + `...` occurrences) ≤ max,
+    *  - fraction of lines starting with a bullet (`- `, `* `, `•`) ≤ max,
+    *  - fraction of lines ending with an ellipsis ≤ max,
+    *  - fraction of words containing ≥1 alphabetic char ≥ min,
+    *  - ≥ minStopwordHits distinct words from the required-stopword set.
+    * `keep` = conjunction. Empty documents fail the word-count rule and
+    * report zero fractions.
+    *
+    * Shape at scale: pure per-row column expressions over two materialized
+    * arrays (tokens, lines) — map-side, zero shuffle, runs at parquet-scan
+    * speed. Mean word length avoids the interpreted HOF fold: the token
+    * length sum is `length(text)` minus its whitespace, a codegen'd regex. */
+  def gopherQualityFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineSep: String = "\n",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2L,
+      requiredStopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame = {
+    val txt = col(textCol)
+    val base = df.select(
+      col(idCol),
+      txt.as("__graft_text"),
+      tokens(txt).as("__graft_toks"),
+      filter(split(txt, java.util.regex.Pattern.quote(lineSep)), l => length(l) > 0)
+        .as("__graft_lines"))
+    val t = col("__graft_text")
+    val toks = col("__graft_toks")
+    val lines = col("__graft_lines")
+    val wc = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    // sum of token lengths == total non-whitespace chars (codegen'd)
+    val sumLen = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val meanWordLen = when(wc === 0, 0.0).otherwise(sumLen.cast("double") / wc)
+    val hashCount = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipsisCount = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))).cast("long")
+    val symbolRatio = when(wc === 0, 0.0).otherwise((hashCount + ellipsisCount).cast("double") / wc)
+    val bulletFrac = when(nLines === 0, 0.0).otherwise(
+      size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, 0.0).otherwise(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines)
+    val alphaFrac = when(wc === 0, 0.0).otherwise(
+      size(filter(toks, tok => tok.rlike("[A-Za-z]"))).cast("double") / wc)
+    // distinct required stopwords present: filter the SMALL literal list by
+    // membership in the doc's tokens — identical spelling oracle-side
+    val toksLower = transform(toks, tok => lower(tok))
+    val stopHits = size(filter(typedLit(requiredStopwords),
+      s => array_contains(toksLower, s))).cast("long")
+    base.select(
+      col(idCol),
+      wc.as("word_count"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"),
+      (wc >= minWords && wc <= maxWords &&
+        meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolWordRatio &&
+        bulletFrac <= maxBulletLineFrac &&
+        ellipsisFrac <= maxEllipsisLineFrac &&
+        alphaFrac >= minAlphaWordFrac &&
+        stopHits >= minStopwordHits).cast("long").as("keep"))
+  }
+
   /** Document fingerprint: 64-bit content hash of normalized text (xxhash64,
     * codegen'd) — the exact-dedup key. */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))

@@ -74,6 +74,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(frac == 3.0 / 5) // "b c" wins over "a b" lexicographically
   }
 
+  test("gopher quality flags: hand-checked metrics and keep conjunction") {
+    val df = Seq(
+      (1L, "the cat sat\n- bullet line\nwalking on mats..."),
+      (2L, "# # #"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.gopherQualityFlags(
+      df, "doc_id", "text",
+      minWords = 5L, maxWords = 100L,
+      minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+      maxSymbolWordRatio = 0.2,
+      maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.5,
+      minAlphaWordFrac = 0.8, minStopwordHits = 1L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 9 words, 36 non-ws chars -> mean 4.0; 1 "..." -> ratio 1/9;
+    // 3 lines, 1 bullet, 1 ellipsis; 8/9 alpha ("-" has no letter); "the" -> 1 hit
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 9L)
+    assert(r1.getDouble(2) == 4.0)
+    assert(r1.getDouble(3) == 1.0 / 9)
+    assert(r1.getDouble(4) == 1.0 / 3)
+    assert(r1.getDouble(5) == 1.0 / 3)
+    assert(r1.getDouble(6) == 8.0 / 9)
+    assert(r1.getLong(7) == 1L)
+    assert(r1.getLong(8) == 1L)
+    // doc 2: 3 hash words -> symbol ratio 1.0, alpha 0, no stopwords -> drop
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 3L)
+    assert(r2.getDouble(2) == 1.0)
+    assert(r2.getDouble(3) == 1.0)
+    assert(r2.getDouble(6) == 0.0)
+    assert(r2.getLong(8) == 0L)
+    // doc 3: empty -> zero everything, word-count rule fails
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0L)
+    assert(r3.getDouble(2) == 0.0)
+    assert(r3.getLong(8) == 0L)
+  }
+
   test("fingerprint is order-insensitive after normalize; rollingHash is order-sensitive") {
     val df = Seq(("a b c", "a b c"), ("a b c", "c b a")).toDF("t1", "t2")
     val fp = df.select(
