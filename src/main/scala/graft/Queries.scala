@@ -2589,6 +2589,67 @@ object Queries {
             FROM metrics
             ORDER BY doc_id"""))
 
+  /** SemDeDup semantic deduplication over the embeddings table augmented
+    * with ×2-scaled copies (cosine exactly 1, centroid similarities exactly
+    * equal — power-of-2 scaling is IEEE-exact — so every copy resolves by
+    * the id tie-break). Centroids are the four lowest-id embeddings, so the
+    * oracle replays the whole pipeline: the dot/||c|| argmax assignment
+    * with its larger-id tie-break, centroid cosine, and the per-item
+    * EXISTS drop rule. All similarity arithmetic is double with identical
+    * accumulation order on both engines. */
+  val q85_semantic_dedup = Q(
+    "q85_semantic_dedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val copies = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0).as("embedding"))
+      val corpus = emb.unionByName(copies)
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.semanticDeduplicate(corpus, cents, threshold = 0.99)
+        .select(
+          col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          round(col("centroid_sim"), 4).as("centroid_sim"),
+          col("keep"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            corpus AS (
+              SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0) FROM e),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+            assigned AS (
+              SELECT c.vec_id, c.v, cid, cv,
+                ROW_NUMBER() OVER (
+                  PARTITION BY c.vec_id
+                  ORDER BY list_dot_product(c.v, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                           cid DESC) AS rn
+              FROM corpus c CROSS JOIN cents),
+            withsim AS (
+              SELECT vec_id, v, cid AS cluster,
+                list_dot_product(v, cv) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS centroid_sim
+              FROM assigned WHERE rn = 1),
+            dropped AS (
+              SELECT DISTINCT a.vec_id
+              FROM withsim a JOIN withsim b
+                ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+               AND list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.99
+               AND (b.centroid_sim < a.centroid_sim OR
+                    (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+            SELECT CAST(w.vec_id AS BIGINT) AS vec_id,
+              CAST(w.cluster AS BIGINT) AS cluster,
+              ROUND(w.centroid_sim, 4) AS centroid_sim,
+              CAST(d.vec_id IS NULL AS BIGINT) AS keep
+            FROM withsim w LEFT JOIN dropped d ON d.vec_id = w.vec_id
+            ORDER BY w.vec_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2609,5 +2670,5 @@ object Queries {
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
-    q82_dedup_keep_best, q83_repetition, q84_gopher_filter)
+    q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup)
 }

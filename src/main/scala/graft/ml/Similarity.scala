@@ -360,6 +360,68 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__graft_rn").as("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into centroid cells, treat same-cell
+    * pairs with cosine above `threshold` as semantic duplicates, and keep,
+    * per duplicate neighborhood, the item ranked LOWEST by
+    * (centroid similarity, id) — the paper's keep-the-point-farthest-from-
+    * the-centroid rule plus a deterministic id tie-break for exact copies.
+    *
+    * The drop decision is a pure per-item EXISTS — x drops iff some
+    * same-cell y has cos(x, y) > threshold and (cent_sim_y, id_y) <
+    * (cent_sim_x, id_x) — so no iterative connected components run and the
+    * result is evaluation-order independent (a similarity chain keeps
+    * exactly its minimal element).
+    *
+    * Scale shape: one zero-shuffle centroid assignment + a broadcast join
+    * to reattach centroid vectors, then a per-cell self-join — the
+    * quadratic term is bounded by the largest cell, which is exactly what
+    * the centroid count controls (the paper runs k ≈ corpus/10k). The
+    * assigned frame is cached for the self-join and unpersisted after the
+    * result is checkpointed (no retained frames after return).
+    *
+    * Returns one row per input row: (idCol, cluster, centroid_sim, keep)
+    * with keep = 1/0. Compose with a filter on keep to materialize the
+    * deduplicated corpus. Centroids come from `kmeansCentroids` /
+    * `sampleCentroids`, or any (centroid_id, centroid) frame. */
+  def semanticDeduplicate(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroids(corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+    val cents = broadcast(centroids.select(
+      col("centroid_id"), col("centroid").as("__graft_centv")))
+    val withSim = assigned.join(cents, Seq("centroid_id"))
+      .select(
+        col(idCol), col(vecCol),
+        col("centroid_id").as("cluster"),
+        cosine(col(vecCol), col("__graft_centv")).as("centroid_sim"))
+      .cache()
+    val a = withSim.select(
+      col("cluster"), col(idCol).as("__graft_id1"), col(vecCol).as("__graft_v1"),
+      col("centroid_sim").as("__graft_cs1"))
+    val b = withSim.select(
+      col("cluster"), col(idCol).as("__graft_id2"), col(vecCol).as("__graft_v2"),
+      col("centroid_sim").as("__graft_cs2"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__graft_id1") =!= col("__graft_id2"))
+      .filter(cosine(col("__graft_v1"), col("__graft_v2")) > lit(threshold))
+      .filter(col("__graft_cs2") < col("__graft_cs1") ||
+        (col("__graft_cs2") === col("__graft_cs1") && col("__graft_id2") < col("__graft_id1")))
+      .select(col("__graft_id1").as(idCol)).distinct()
+      .withColumn("__graft_drop", lit(1L))
+    val out = withSim.join(dropped, Seq(idCol), "left")
+      .select(
+        col(idCol), col("cluster"), col("centroid_sim"),
+        col("__graft_drop").isNull.cast("long").as("keep"))
+      .localCheckpoint(true) // anchor before releasing the cached input
+    withSim.unpersist()
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH buckets from random-hyperplane signatures so the
     * cross product never materializes. Deterministic hyperplanes derived

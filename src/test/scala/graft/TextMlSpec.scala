@@ -585,6 +585,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 101L), (2L, 102L)))
   }
+
+  test("semantic dedup keeps the farthest-from-centroid member of each duplicate chain") {
+    val theta = math.toRadians(5.5) // cos 5.5° ≈ 0.9954 > 0.99 > cos 11° ≈ 0.9816
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(math.cos(theta), math.sin(theta))),
+      (3L, Seq(math.cos(2 * theta), math.sin(2 * theta))),
+      (20L, Seq(0.0, 1.0)),
+      (30L, Seq(0.0, 2.0)),
+      (31L, Seq(0.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("centroid_id", "centroid")
+    val out = Similarity.semanticDeduplicate(corpus, cents, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.size == 6)
+    // chain 1–2–3 (edges 1–2 and 2–3 only): exactly the lowest-centroid-sim
+    // member survives, even though 1 and 3 are NOT direct duplicates
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 0L))
+    assert((out(1L)._3, out(2L)._3, out(3L)._3) == ((0L, 0L, 1L)))
+    // exact copies 20/30/31 all tie on centroid_sim = 1.0: lowest id keeps
+    assert(Seq(20L, 30L, 31L).forall(id => out(id)._1 == 1L && out(id)._2 == 1.0))
+    assert((out(20L)._3, out(30L)._3, out(31L)._3) == ((1L, 0L, 0L)))
+    assert(math.abs(out(3L)._2 - math.cos(2 * theta)) < 1e-12)
+    // nothing stays cached after the call returns
+    assert(spark.sharedState.cacheManager.isEmpty, "semanticDeduplicate leaked a cached frame")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
