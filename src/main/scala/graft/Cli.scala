@@ -17,6 +17,10 @@ import graft.registry.Registry
   * graft.Cli registry register-mapping <registryRoot> <name> <table-path> [--type <mappingType>] [--from-dimension <d>] [--to-dimension <d>] [--no-validate]
   * graft.Cli registry register-dataset <registryRoot> <datasetId> <load-data-path> [--lookup <path>] [--dim <name>=<records-path>]... [--no-validate]
   * graft.Cli registry register-bulk <registryRoot> <manifest.json> [--journal <path>] [--data-base-dir <dir>]
+  * graft.Cli registry remove-dimension <registryRoot> <name>
+  * graft.Cli registry remove-mapping <registryRoot> <name>
+  * graft.Cli registry remove-dataset <registryRoot> <datasetId>
+  * graft.Cli registry dump-dimension <registryRoot> <name> <out-path[.csv]>
   * graft.Cli registry new-version <registryRoot> <fromVersion> <toVersion>
   * graft.Cli registry check <registryRoot>
   * graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]
@@ -160,6 +164,26 @@ object Cli {
       }
       rc
 
+    case "registry" :: "remove-dimension" :: registryRoot :: name :: Nil =>
+      val rc = validated(Registry.removeDimension(Registry(GraftSession.get(), registryRoot), name))
+      if (rc == 0) println(s"removed dimension $name")
+      rc
+
+    case "registry" :: "remove-mapping" :: registryRoot :: name :: Nil =>
+      val rc = validated(Registry.removeMapping(Registry(GraftSession.get(), registryRoot), name))
+      if (rc == 0) println(s"removed mapping $name")
+      rc
+
+    case "registry" :: "remove-dataset" :: registryRoot :: datasetId :: Nil =>
+      val rc = validated(Registry.removeDataset(Registry(GraftSession.get(), registryRoot), datasetId))
+      if (rc == 0) println(s"removed dataset $datasetId")
+      rc
+
+    case "registry" :: "dump-dimension" :: registryRoot :: name :: outPath :: Nil =>
+      val rc = validated(Registry.dumpDimension(Registry(GraftSession.get(), registryRoot), name, outPath))
+      if (rc == 0) println(s"dumped dimension $name to $outPath")
+      rc
+
     case "registry" :: "new-version" :: registryRoot :: fromV :: toV :: Nil =>
       val rc = validated(Registry.newVersion(GraftSession.get(), registryRoot, fromV, toV))
       if (rc == 0) println(s"created $registryRoot/$toV from $fromV")
@@ -195,6 +219,10 @@ object Cli {
           |  graft.Cli registry register-mapping <registryRoot> <name> <table-path> [--type <mappingType>] [--from-dimension <d>] [--to-dimension <d>] [--no-validate]
           |  graft.Cli registry register-dataset <registryRoot> <datasetId> <load-data-path> [--lookup <path>] [--dim <name>=<records-path>]... [--no-validate]
           |  graft.Cli registry register-bulk <registryRoot> <manifest.json> [--journal <path>] [--data-base-dir <dir>]
+          |  graft.Cli registry remove-dimension <registryRoot> <name>
+          |  graft.Cli registry remove-mapping <registryRoot> <name>
+          |  graft.Cli registry remove-dataset <registryRoot> <datasetId>
+          |  graft.Cli registry dump-dimension <registryRoot> <name> <out-path[.csv]>
           |  graft.Cli registry new-version <registryRoot> <fromVersion> <toVersion>
           |  graft.Cli registry check <registryRoot>
           |  graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]""".stripMargin)

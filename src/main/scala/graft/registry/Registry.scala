@@ -236,6 +236,49 @@ object Registry {
     out
   }
 
+  /** Remove a registered dimension (ref: cli/registry.py:344 remove
+    * verbs; dsgrid_admin delete commands) — dependency-checked: a mapping
+    * declaring the dimension as an endpoint blocks the removal and is
+    * named, so the registry can never transition into a state
+    * `checkIntegrity` would reject. */
+  def removeDimension(reg: Registry, name: String): Unit = {
+    require(reg.listDimensions().contains(name), s"removeDimension: no such dimension '$name'")
+    val dependents = reg.listMappings().filter { m =>
+      val (from, to) = reg.mappingEndpoints(m)
+      from.contains(name) || to.contains(name)
+    }
+    require(dependents.isEmpty,
+      s"removeDimension($name): declared endpoint of mapping(s) ${dependents.mkString(", ")} — remove those first")
+    deleteTree(reg, s"${reg.root}/dimensions/$name")
+  }
+
+  /** Remove a registered mapping. Nothing in the registry depends on a
+    * mapping, so no dependency check applies. */
+  def removeMapping(reg: Registry, name: String): Unit = {
+    require(reg.listMappings().contains(name), s"removeMapping: no such mapping '$name'")
+    deleteTree(reg, s"${reg.root}/mappings/$name")
+  }
+
+  /** Remove a registered dataset (fact table + lookup + format sidecar). */
+  def removeDataset(reg: Registry, datasetId: String): Unit = {
+    require(reg.listDatasets().contains(datasetId), s"removeDataset: no such dataset '$datasetId'")
+    deleteTree(reg, s"${reg.root}/datasets/$datasetId")
+  }
+
+  private def deleteTree(reg: Registry, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(reg.spark.sparkContext.hadoopConfiguration).delete(hp, true)
+  }
+
+  /** Export a dimension's records (ref: cli/registry.py:223
+    * dump_dimension): parquet, or single-file CSV for `.csv` paths. */
+  def dumpDimension(reg: Registry, name: String, outPath: String): Unit = {
+    require(reg.listDimensions().contains(name), s"dumpDimension: no such dimension '$name'")
+    val records = reg.dimensionRecords(name)
+    if (outPath.endsWith(".csv")) graft.sources.Writers.csv(records, outPath, singleFile = true)
+    else records.write.mode("overwrite").parquet(outPath)
+  }
+
   val DimensionCategories = Set("base", "subset", "supplemental")
 
   /** Register dimension records with a category (ref DimensionCategory,

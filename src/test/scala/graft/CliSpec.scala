@@ -110,6 +110,35 @@ class CliSpec extends SparkSpec {
     // unknown selections refuse too
     assert(Cli.run(Array("registry", "filter", root, dest2 + "x", "--datasets", "nope")) != 0)
   }
+
+  test("remove verbs are dependency-checked; dump exports records") {
+    val root = Files.createTempDirectory("graft-cli-reg5").toString
+    val reg = Registry(spark, root)
+    Registry.registerDimension(reg, "geo", Seq(("a", "A"), ("b", "B")).toDF("id", "name"))
+    Registry.registerMapping(reg, "geo_up",
+      Seq(("a", "all", 1.0), ("b", "all", 1.0)).toDF("from_id", "to_id", "from_fraction"),
+      fromDimension = Some("geo"))
+    Registry.registerDataset(reg, "d1", Seq(("a", 1.0)).toDF("geography", ValueColumn))
+
+    // dump: parquet and single-file CSV
+    val dump = Files.createTempDirectory("graft-cli-dump").toString
+    assert(Cli.run(Array("registry", "dump-dimension", root, "geo", s"$dump/geo.parquet")) == 0)
+    assert(spark.read.parquet(s"$dump/geo.parquet").count() == 2)
+    assert(Cli.run(Array("registry", "dump-dimension", root, "geo", s"$dump/geo.csv")) == 0)
+    assert(spark.read.option("header", "true").csv(s"$dump/geo.csv").count() == 2)
+    assert(Cli.run(Array("registry", "dump-dimension", root, "nope", s"$dump/x.parquet")) != 0)
+
+    // removing a dimension a mapping declares must refuse, naming the mapping
+    assert(Cli.run(Array("registry", "remove-dimension", root, "geo")) != 0)
+    assert(reg.listDimensions() == Seq("geo"))
+    // drop the mapping first, then the dimension removes cleanly
+    assert(Cli.run(Array("registry", "remove-mapping", root, "geo_up")) == 0)
+    assert(Cli.run(Array("registry", "remove-dimension", root, "geo")) == 0)
+    assert(Cli.run(Array("registry", "remove-dataset", root, "d1")) == 0)
+    assert(reg.listDimensions().isEmpty && reg.listMappings().isEmpty && reg.listDatasets().isEmpty)
+    // removing something absent exits nonzero
+    assert(Cli.run(Array("registry", "remove-dataset", root, "d1")) != 0)
+  }
 }
 
 class BulkRegisterSpec extends SparkSpec {
