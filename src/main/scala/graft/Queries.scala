@@ -2650,6 +2650,52 @@ object Queries {
             FROM withsim w LEFT JOIN dropped d ON d.vec_id = w.vec_id
             ORDER BY w.vec_id"""))
 
+  /** BM25 ranked scoring of the documents corpus against a 3-term query.
+    * Exact-integer tf/dl/df, avgdl = exact long sum divided once, and the
+    * score is a fixed-order expression sum over terms — both engines
+    * evaluate the same floating-point tree, so ROUND(,4) is cosmetic, not
+    * a tolerance. */
+  val q86_bm25 = Q(
+    "q86_bm25",
+    (s, dir) => {
+      TextFunctions.bm25Scores(
+        t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", terms = Seq("spark", "table", "the"))
+        .select(
+          col("doc_id"), col("tf1"), col("tf2"), col("tf3"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id, len(toks)::BIGINT AS dl,
+                len(list_filter(toks, t -> t = 'spark'))::BIGINT AS tf1,
+                len(list_filter(toks, t -> t = 'table'))::BIGINT AS tf2,
+                len(list_filter(toks, t -> t = 'the'))::BIGINT AS tf3
+              FROM d),
+            stats AS (
+              SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS suml,
+                SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+                SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+                SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3
+              FROM m)
+            SELECT doc_id, tf1, tf2, tf3,
+              ROUND(
+                ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+                  * (CAST(tf1 AS DOUBLE) * 2.2)
+                  / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(suml AS DOUBLE) / n)))
+                + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+                  * (CAST(tf2 AS DOUBLE) * 2.2)
+                  / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(suml AS DOUBLE) / n)))
+                + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+                  * (CAST(tf3 AS DOUBLE) * 2.2)
+                  / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(suml AS DOUBLE) / n)))
+              , 4) AS bm25
+            FROM m, stats ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2670,5 +2716,6 @@ object Queries {
     q71_overwrite_inplace, q72_persist_intermediate, q73_interval_op,
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
-    q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup)
+    q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
+    q86_bm25)
 }

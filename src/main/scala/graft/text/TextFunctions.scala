@@ -392,6 +392,57 @@ object TextFunctions {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("doc_freq"))
 
+  /** BM25 relevance scores of every document against a fixed query-term
+    * set (Robertson/Spärck Jones; the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    * idf form, always positive) — the ranked-retrieval primitive for
+    * corpus search, decontamination attribution, and relevance-weighted
+    * sampling.
+    *
+    * Determinism contract (oracle-friendly): term frequencies and document
+    * lengths are exact integers; `avgdl` is an exact long sum divided once
+    * in double; the score is a FIXED-ORDER expression sum over the query
+    * terms (never a row-order-dependent aggregate of doubles), so both
+    * engines evaluate the identical floating-point expression tree.
+    *
+    * Shape at scale: one pass computes per-doc (length, tf…) map-side; a
+    * single 1-row corpus-stats aggregate (N, Σlen, df per term) broadcasts
+    * back via cross join; the score is then a pure projection. Two scans
+    * total, no wide shuffle. */
+  def bm25Scores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: empty query-term set")
+    val tfCols = terms.indices.map(i => s"tf${i + 1}")
+    val perDoc = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("__graft_toks"))
+      .select(
+        col(idCol) +:
+          size(col("__graft_toks")).cast("long").as("__graft_dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            size(filter(col("__graft_toks"), t => t === lit(term))).cast("long").as(tfCols(i))
+          }: _*)
+    val statCols =
+      count(lit(1)).as("__graft_n") +:
+        sum(col("__graft_dl")).as("__graft_suml") +:
+        terms.indices.map(i =>
+          sum((col(tfCols(i)) > 0).cast("long")).as(s"__graft_df${i + 1}"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("__graft_suml").cast("double") / col("__graft_n")
+    val score = terms.indices.map { i =>
+      val tf = col(tfCols(i)).cast("double")
+      val dfT = col(s"__graft_df${i + 1}").cast("double")
+      val idf = log(lit(1.0) + (col("__graft_n").cast("double") - dfT + 0.5) / (dfT + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__graft_dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol) +: tfCols.map(col) :+ score.as("bm25"): _*)
+  }
+
   // ----------------------------------------------------- PII redaction
 
   /** Default redaction patterns: emails and 555-prefixed phone-style

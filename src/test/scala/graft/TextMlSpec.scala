@@ -113,6 +113,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r3.getLong(8) == 0L)
   }
 
+  test("bm25 scores: hand-computed on a 3-doc corpus; zero-tf docs score exactly 0") {
+    val df = Seq((1L, "data table data"), (2L, "table fast"), (3L, "slow code"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bm25Scores(df, "doc_id", "text", Seq("data", "table"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val avgdl = 7.0 / 3 // Σdl=7 over N=3, exact long sum divided once
+    def part(tf: Double, dl: Double, dfT: Double) =
+      math.log(1 + (3 - dfT + 0.5) / (dfT + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L)
+    assert(math.abs(out(1L)._3 - (part(2, 3, 1) + part(1, 3, 2))) < 1e-12)
+    assert(math.abs(out(2L)._3 - part(1, 2, 2)) < 1e-12)
+    assert(out(3L) == ((0L, 0L, 0.0))) // no query term -> exactly zero
+  }
+
   test("fingerprint is order-insensitive after normalize; rollingHash is order-sensitive") {
     val df = Seq(("a b c", "a b c"), ("a b c", "c b a")).toDF("t1", "t2")
     val fp = df.select(
