@@ -2696,6 +2696,63 @@ object Queries {
               , 4) AS bm25
             FROM m, stats ORDER BY doc_id"""))
 
+  /** Exact-substring duplicate-span removal over a corpus where every
+    * fourth document is prefixed with the SAME 10-token boilerplate
+    * sentence — those documents share the prefix's three 8-token windows
+    * (boundary windows mix in natural tokens and stay unique), plus
+    * whatever window repeats the small-vocabulary corpus produces
+    * naturally. The oracle replays the whole pipeline with raw window
+    * STRINGS as keys (Spark groups their xxhash64 — identical flagging
+    * absent a 64-bit collision). */
+  val q87_span_dedup = Q(
+    "q87_span_dedup",
+    (s, dir) => {
+      val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val corpus = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeDuplicateSpans(corpus, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                CASE WHEN doc_id % 4 = 0
+                     THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa ' || text
+                     ELSE text END AS text
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS toks
+              FROM corpus),
+            wins AS (
+              SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+              FROM d, unnest(range(GREATEST(len(toks) - 7, 0))) AS u(i)),
+            dups AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+            flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (gram)),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + j AS cpos
+              FROM flagged, unnest(range(8)) AS v(j)),
+            toksp AS (
+              SELECT doc_id, j AS pos, toks[j+1] AS tok
+              FROM d, unnest(range(len(toks))) AS w(j)),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM toksp t
+              LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+              WHERE c.doc_id IS NULL),
+            rebuilt AS (
+              SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS cleaned_text
+              FROM kept GROUP BY doc_id),
+            counts AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows FROM flagged GROUP BY doc_id)
+            SELECT d.doc_id,
+              COALESCE(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+              COALESCE(r.cleaned_text, '') AS cleaned_text
+            FROM d
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            LEFT JOIN counts c ON c.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2717,5 +2774,5 @@ object Queries {
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
-    q86_bm25)
+    q86_bm25, q87_span_dedup)
 }

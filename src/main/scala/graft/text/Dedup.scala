@@ -472,6 +472,77 @@ object Dedup {
     * exactly as the aggregate form drops them at explode — and for the same
     * reason as minhash: a Filter on the signature would be predicate-pushed
     * below the projection and re-evaluate the expression per row. */
+  /** Exact-substring duplicate-span removal (the distributed approximation
+    * of Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", which uses a suffix array single-node): every n-token window
+    * whose content occurs MORE THAN ONCE in the corpus — across documents
+    * or repeated within one — is a duplicate span; all tokens covered by
+    * any flagged window are removed and the remaining tokens rejoined.
+    * Documents with fewer than n tokens contribute no windows and are
+    * never touched.
+    *
+    * Scale shape (the q81 line-dedup profile, linear in corpus size):
+    * posexplode the n-token windows, groupBy their xxhash64 — the raw
+    * n-gram STRINGS are dropped before any shuffle, only (id, pos, hash)
+    * rows move — join back the >1-count hashes, expand flagged windows to
+    * covered token positions, anti-join the token stream, and one groupBy
+    * rebuilds each document. Window identity is the 64-bit content hash:
+    * a collision could over-remove a span (probability ~#windows²/2⁶⁵;
+    * negligible at any corpus size a 64-bit key serves).
+    *
+    * Returns one row per input document:
+    * (idCol, n_dup_windows, cleaned_text). */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"removeDuplicateSpans: window size $n must be >= 1")
+    val toked = df.select(col(idCol), tokens(col(textCol)).as("__graft_toks"))
+    // strict n-windows (cnt-n+1 of them; none when cnt < n) — unlike the
+    // shingle form, a short document must NOT collapse to one short window
+    val strictWindows = transform(
+      sequence(lit(0), size(col("__graft_toks")) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(col("__graft_toks"), i + lit(k))): _*))
+    val wins = toked
+      .select(
+        col(idCol),
+        posexplode(when(size(col("__graft_toks")) >= n, strictWindows)
+          .otherwise(array().cast("array<string>"))).as(Seq("__graft_pos", "__graft_gram")))
+      .select(col(idCol), col("__graft_pos"), xxhash64(col("__graft_gram")).as("__graft_h"))
+    val dupHashes = wins
+      .groupBy(col("__graft_h"))
+      .agg(count(lit(1)).as("__graft_c"))
+      .filter(col("__graft_c") > 1)
+      .select(col("__graft_h"))
+    val flagged = wins.join(dupHashes, Seq("__graft_h"))
+      .select(col(idCol), col("__graft_pos"))
+    val covered = flagged
+      .select(col(idCol),
+        explode(sequence(col("__graft_pos"), col("__graft_pos") + (n - 1))).as("__graft_cpos"))
+      .distinct()
+    val tokenStream = toked.select(
+      col(idCol), posexplode(col("__graft_toks")).as(Seq("__graft_tpos", "__graft_tok")))
+    val kept = tokenStream.join(
+      covered,
+      tokenStream(idCol) === covered(idCol) &&
+        col("__graft_tpos") === col("__graft_cpos"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__graft_tpos"), col("__graft_tok")))),
+          s => s.getField("__graft_tok")), " ").as("cleaned_text"))
+    val counts = flagged.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(counts, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_windows"))
+      .na.fill("", Seq("cleaned_text"))
+      .select(col(idCol), col("n_dup_windows"), col("cleaned_text"))
+  }
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ExprColumn
     val sig = ExprColumn(graft.plans.SimHash64(

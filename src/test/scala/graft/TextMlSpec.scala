@@ -405,6 +405,23 @@ class DedupSpec extends SparkSpec {
       4L -> "epsilon"))
   }
 
+  test("duplicate-span removal: cross-doc and within-doc windows, hand-checked") {
+    val df = Seq(
+      (1L, "a b c d e f"),         // shares "a b c","b c d" with doc 2
+      (2L, "x y a b c d z"),       // flagged at pos 2,3 → covered 2..5
+      (3L, "p q r p q r p q"),     // every window repeats within the doc
+      (4L, "m n"),                 // < n tokens: untouched
+      (5L, "solo tokens only here")) // unique windows: untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((2L, "e f")))       // covered 0..3, keep pos 4,5
+    assert(out(2L) == ((2L, "x y z")))     // covered 2..5, keep 0,1,6
+    assert(out(3L) == ((6L, "")))          // all 6 windows repeat → everything covered
+    assert(out(4L) == ((0L, "m n")))
+    assert(out(5L) == ((0L, "solo tokens only here")))
+  }
+
   test("ngram overlap flags only documents sharing benchmark n-grams") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains the benchmark trigram
