@@ -113,6 +113,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r3.getLong(8) == 0L)
   }
 
+  test("gopher flags are a zero-shuffle map-side projection over a parquet scan") {
+    val df = viaParquet(Seq((1L, "the cat\n- sat")).toDF("doc_id", "text"))
+    assert(graft.plans.PlanChecks.shuffleCount(
+      TextFunctions.gopherQualityFlags(df, "doc_id", "text")) == 0,
+      "gopherQualityFlags must not shuffle")
+  }
+
   test("bm25 scores: hand-computed on a 3-doc corpus; zero-tf docs score exactly 0") {
     val df = Seq((1L, "data table data"), (2L, "table fast"), (3L, "slow code"))
       .toDF("doc_id", "text")
@@ -629,6 +636,8 @@ class SimilaritySpec extends SparkSpec {
       (31L, Seq(0.0, 4.0)))
       .toDF("vec_id", "embedding")
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("centroid_id", "centroid")
+    // isolate the no-leak assertion below from caches earlier tests left
+    spark.sharedState.cacheManager.clearCache()
     val out = Similarity.semanticDeduplicate(corpus, cents, threshold = 0.99)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(out.size == 6)
