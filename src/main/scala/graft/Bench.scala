@@ -29,21 +29,25 @@ object Bench {
     // lets Catalyst prune projection-only work and under-measures).
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            // a failed query must FAIL the bench (nonzero rc + errors key),
-            // not silently record its time-to-throw as a timing
-            errors += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              // a failed query must FAIL the bench (nonzero rc + errors key),
+              // not silently record its time-to-throw as a timing
+              errors += name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // queries that cache intermediates don't skew later ones
-        dt
+        // a failed run contributes NO timing: its time-to-throw would win
+        // the min and report a fast failure as the steady-state time
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else 0.0)
     }.toMap
     // Millisecond precision keeps the line compact (the harness keeps only
     // the tail of the output), and the errors/total/sf summary keys go LAST

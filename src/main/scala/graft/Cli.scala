@@ -42,11 +42,10 @@ import graft.registry.Registry
   * query document copied beside it, like the reference's sidecar. */
 object Cli {
 
-  /** Registration inputs: parquet by default, CSV by extension. */
+  /** Registration inputs: parquet by default, CSV by extension (the shared
+    * reader — bulk manifests read through the same code path). */
   private def readTable(spark: org.apache.spark.sql.SparkSession, path: String) =
-    if (path.endsWith(".csv"))
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else spark.read.parquet(path)
+    Registry.readRegistrationTable(spark, path)
 
   private def flagValue(rest: List[String], flag: String): Option[String] =
     rest.dropWhile(_ != flag).drop(1).headOption

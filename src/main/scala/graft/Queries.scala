@@ -2543,11 +2543,12 @@ object Queries {
                   CASE WHEN doc_id % 5 = 0 THEN l3 || ' ...' ELSE l3 END], chr(10)) AS text
               FROM (
                 SELECT doc_id,
-                  array_to_string(toks[1:6], ' ') AS l1,
-                  array_to_string(toks[7:12], ' ') AS l2,
                   -- DuckDB: array_to_string of an out-of-bounds slice is NULL
-                  -- (Spark's array_join of an empty slice is '') — coalesce so
-                  -- the ellipsis append matches Spark on short documents
+                  -- (Spark's array_join of an empty slice is '') — coalesce
+                  -- EVERY line so the bullet/ellipsis decoration matches
+                  -- Spark on documents of any length
+                  COALESCE(array_to_string(toks[1:6], ' '), '') AS l1,
+                  COALESCE(array_to_string(toks[7:12], ' '), '') AS l2,
                   COALESCE(array_to_string(toks[13:18], ' '), '') AS l3
                 FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))),
             arrays AS (

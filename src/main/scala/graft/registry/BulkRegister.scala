@@ -40,9 +40,7 @@ object BulkRegister {
   }
 
   private def readTable(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".csv"))
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else spark.read.parquet(path)
+    Registry.readRegistrationTable(spark, path)
 
   def apply(
       reg: Registry,
@@ -73,6 +71,16 @@ object BulkRegister {
 
     val registered = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a malformed entry must fail like any other step: journal persisted,
+    // IllegalArgumentException (so the CLI reports it, not a stack trace) —
+    // a bare NPE while building the step key would skip both
+    def reqStr(e: JsonNode, key: String, ctx: String): String =
+      Option(e.get(key)).map(_.asText()).getOrElse {
+        persistJournal()
+        throw new IllegalArgumentException(
+          s"bulk registration: $ctx entry missing required key '$key'" +
+            journalPath.map(p => s" (journal of completed steps: $p)").getOrElse(""))
+      }
     def step(key: String)(f: => Unit): Unit =
       if (preCompleted.contains(key)) skipped += key
       else {
@@ -89,33 +97,39 @@ object BulkRegister {
         registered += key
       }
 
-    for (d <- arr("dimensions"))
-      step(s"dimension/${d.get("name").asText()}") {
+    for (d <- arr("dimensions")) {
+      val name = reqStr(d, "name", "dimension")
+      step(s"dimension/$name") {
         Registry.registerDimension(
-          reg, d.get("name").asText(),
-          readTable(reg.spark, resolve(d.get("records").asText())),
+          reg, name,
+          readTable(reg.spark, resolve(reqStr(d, "records", "dimension"))),
           category = optStr(d, "category").getOrElse("base"))
       }
-    for (m <- arr("mappings"))
-      step(s"mapping/${m.get("name").asText()}") {
+    }
+    for (m <- arr("mappings")) {
+      val name = reqStr(m, "name", "mapping")
+      step(s"mapping/$name") {
         Registry.registerMapping(
-          reg, m.get("name").asText(),
-          readTable(reg.spark, resolve(m.get("table").asText())),
+          reg, name,
+          readTable(reg.spark, resolve(reqStr(m, "table", "mapping"))),
           mappingType = optStr(m, "type").getOrElse(MappingTypes.ManyToOneAggregation),
           fromDimension = optStr(m, "from_dimension"),
           toDimension = optStr(m, "to_dimension"))
       }
-    for (ds <- arr("datasets"))
-      step(s"dataset/${ds.get("id").asText()}") {
+    }
+    for (ds <- arr("datasets")) {
+      val id = reqStr(ds, "id", "dataset")
+      step(s"dataset/$id") {
         val dims = Option(ds.get("dimensions"))
           .map(_.fields().asScala.map(e => e.getKey -> reg.dimensionRecords(e.getValue.asText())).toMap)
           .getOrElse(Map.empty[String, DataFrame])
         Registry.registerDataset(
-          reg, ds.get("id").asText(),
-          readTable(reg.spark, resolve(ds.get("load_data").asText())),
+          reg, id,
+          readTable(reg.spark, resolve(reqStr(ds, "load_data", "dataset"))),
           lookup = optStr(ds, "lookup").map(p => readTable(reg.spark, resolve(p))),
           dimensionRecords = dims)
       }
+    }
     // a fully successful run needs no resume state
     journalPath.foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     Result(registered.toSeq, skipped.toSeq)

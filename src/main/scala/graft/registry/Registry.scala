@@ -155,6 +155,14 @@ final case class DatasetFormat(
   * (dimension records, a time spine), with an opt-out for raw writes. */
 object Registry {
 
+  /** Registration inputs: parquet by default, header+inferSchema CSV for
+    * `.csv` paths — the ONE reader every registration surface (Scala API,
+    * CLI verbs, bulk manifests) shares, so they can never drift. */
+  def readRegistrationTable(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else spark.read.parquet(path)
+
   /** The "version = subtree" convention, made navigable: versions live as
     * `<root>/v<major>.<minor>.<patch>` directories (the reference stores
     * semver-versioned configs in its registry database and bumps on update;
@@ -217,22 +225,34 @@ object Registry {
       dimensions: Seq[String] = Nil,
       mappings: Seq[String] = Nil): Registry = {
     val conf = reg.spark.sparkContext.hadoopConfiguration
-    def copyAll(kind: String, names: Seq[String], existing: Seq[String]): Unit = {
+    // validate EVERY selection before the first copy — a refused export
+    // must not leave a partially-copied tree at destRoot
+    def checkKnown(kind: String, names: Seq[String], existing: Seq[String]): Unit = {
       val unknown = names.filterNot(existing.contains)
       require(unknown.isEmpty, s"filterTo: no such $kind: ${unknown.mkString(", ")}")
+    }
+    checkKnown("datasets", datasets, reg.listDatasets())
+    checkKnown("dimensions", dimensions, reg.listDimensions())
+    checkKnown("mappings", mappings, reg.listMappings())
+    def copyAll(kind: String, names: Seq[String]): Unit =
       names.foreach { n =>
         val src = new org.apache.hadoop.fs.Path(s"${reg.root}/$kind/$n")
         val dst = new org.apache.hadoop.fs.Path(s"$destRoot/$kind/$n")
         org.apache.hadoop.fs.FileUtil.copy(
           src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
       }
-    }
-    copyAll("datasets", datasets, reg.listDatasets())
-    copyAll("dimensions", dimensions, reg.listDimensions())
-    copyAll("mappings", mappings, reg.listMappings())
+    copyAll("datasets", datasets)
+    copyAll("dimensions", dimensions)
+    copyAll("mappings", mappings)
     val out = Registry(reg.spark, destRoot)
     val broken = checkIntegrity(out)
-    require(broken.isEmpty, s"filterTo: exported registry is inconsistent — ${broken.mkString("; ")}")
+    if (broken.nonEmpty) {
+      // an integrity-refused export removes its own debris
+      val dst = new org.apache.hadoop.fs.Path(destRoot)
+      dst.getFileSystem(conf).delete(dst, true)
+      throw new IllegalArgumentException(
+        s"filterTo: exported registry is inconsistent — ${broken.mkString("; ")}")
+    }
     out
   }
 
@@ -389,13 +409,19 @@ object Registry {
       }
     }
     table.write.mode("overwrite").parquet(s"${reg.root}/mappings/$name/table.parquet")
+    val metaPath = s"${reg.root}/mappings/$name/meta.json"
     if (fromDimension.nonEmpty || toDimension.nonEmpty) {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = m.createObjectNode()
       fromDimension.foreach(node.put("from_dimension", _))
       toDimension.foreach(node.put("to_dimension", _))
-      graft.sources.HadoopText.write(
-        reg.spark, s"${reg.root}/mappings/$name/meta.json", m.writeValueAsString(node))
+      graft.sources.HadoopText.write(reg.spark, metaPath, m.writeValueAsString(node))
+    } else if (reg.hadoopExists(metaPath)) {
+      // re-registration without endpoints DETACHES the mapping: a stale
+      // sidecar would otherwise keep blocking dimension removals/updates
+      // against a declaration the caller no longer makes
+      val hp = new org.apache.hadoop.fs.Path(metaPath)
+      hp.getFileSystem(reg.spark.sparkContext.hadoopConfiguration).delete(hp, false)
     }
   }
 

@@ -147,11 +147,16 @@ object TextFunctions {
     val withToks = df.select(col(idCol), normalize(col(textCol)).as("__graft_norm"))
       .withColumn("__graft_toks", tokens(col("__graft_norm")))
       .withColumn("__graft_nlen", length(col("__graft_norm")).cast("long"))
+    // no .filter on the expensive projected token column — pushdown would
+    // inline the tokenize pipeline below the Project and run it twice
+    // (CLAUDE.md rule / the q78 incident); an empty-guard inside the
+    // generator child drops tokenless docs with toks evaluated once
     val grams = withToks
-      .filter(size(col("__graft_toks")) > 0)
       .select(
         col(idCol), col("__graft_nlen"),
-        explode(wordShinglesFromTokens(col("__graft_toks"), ngram)).as("__graft_gram"))
+        explode(when(size(col("__graft_toks")) > 0,
+          wordShinglesFromTokens(col("__graft_toks"), ngram))
+          .otherwise(array().cast("array<string>"))).as("__graft_gram"))
     val gramStats = grams
       .groupBy(col(idCol), col("__graft_gram"))
       .agg(count(lit(1)).as("__graft_cnt"), max(col("__graft_nlen")).as("__graft_nlen"))
@@ -208,6 +213,10 @@ object TextFunctions {
       col(idCol),
       txt.as("__graft_text"),
       tokens(txt).as("__graft_toks"),
+      // lowered tokens as their OWN materialized column (referenced once
+      // per required stopword below — never a computed subtree inside a
+      // HOF lambda, which Catalyst re-evaluates per element)
+      tokens(lower(txt)).as("__graft_toks_lower"),
       filter(split(txt, java.util.regex.Pattern.quote(lineSep)), l => length(l) > 0)
         .as("__graft_lines"))
     val t = col("__graft_text")
@@ -228,11 +237,12 @@ object TextFunctions {
       size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines)
     val alphaFrac = when(wc === 0, 0.0).otherwise(
       size(filter(toks, tok => tok.rlike("[A-Za-z]"))).cast("double") / wc)
-    // distinct required stopwords present: filter the SMALL literal list by
-    // membership in the doc's tokens — identical spelling oracle-side
-    val toksLower = transform(toks, tok => lower(tok))
-    val stopHits = size(filter(typedLit(requiredStopwords),
-      s => array_contains(toksLower, s))).cast("long")
+    // distinct required stopwords present: one array_contains membership
+    // probe per (small, literal) stopword over the materialized lowered
+    // tokens — plain codegen'd expressions, no HOF lambda at all
+    val stopHits = requiredStopwords
+      .map(s => array_contains(col("__graft_toks_lower"), s).cast("long"))
+      .reduce(_ + _)
     base.select(
       col(idCol),
       wc.as("word_count"),

@@ -111,6 +111,31 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Array("registry", "filter", root, dest2 + "x", "--datasets", "nope")) != 0)
   }
 
+  test("re-registering a mapping without endpoints detaches it; refused filter leaves no debris") {
+    val root = Files.createTempDirectory("graft-cli-reg6").toString
+    val reg = Registry(spark, root)
+    Registry.registerDimension(reg, "geo", Seq(("a", "A")).toDF("id", "name"))
+    val table = Seq(("a", "all", 1.0)).toDF("from_id", "to_id", "from_fraction")
+    Registry.registerMapping(reg, "m", table, fromDimension = Some("geo"))
+    assert(reg.mappingEndpoints("m") == ((Some("geo"), None)))
+    // a dependent mapping blocks removal…
+    assertThrows[IllegalArgumentException](Registry.removeDimension(reg, "geo"))
+    // …until a re-registration WITHOUT endpoints detaches it (stale
+    // meta.json must not survive the overwrite)
+    Registry.registerMapping(reg, "m", table)
+    assert(reg.mappingEndpoints("m") == ((None, None)))
+    Registry.removeDimension(reg, "geo")
+    assert(reg.listDimensions().isEmpty)
+
+    // a refused export must not leave a partially-copied tree behind
+    Registry.registerDataset(reg, "d1", Seq(("a", 1.0)).toDF("geography", ValueColumn))
+    val dest = Files.createTempDirectory("graft-cli-reg6f").toString + "/partial"
+    assertThrows[IllegalArgumentException](
+      Registry.filterTo(reg, dest, datasets = Seq("d1"), dimensions = Seq("nope")))
+    assert(!reg.hadoopExists(s"$dest/datasets/d1"),
+      "refused filterTo must not copy anything before validating selections")
+  }
+
   test("remove verbs are dependency-checked; dump exports records") {
     val root = Files.createTempDirectory("graft-cli-reg5").toString
     val reg = Registry(spark, root)
@@ -190,6 +215,20 @@ class BulkRegisterSpec extends SparkSpec {
     assert(r.skipped == Seq("dimension/geo", "dimension/sector", "mapping/c2s", "dataset/good"))
     // a clean finish clears the resume state
     assert(!Files.exists(java.nio.file.Paths.get(journal)))
+
+    // a manifest entry missing its key fails as a named validation error
+    // (journal persisted for completed steps), never a raw NPE
+    val j2 = s"$files/journal2.json"
+    val bad = intercept[IllegalArgumentException] {
+      graft.registry.BulkRegister(
+        reg,
+        """{"dimensions": [{"name": "geo2", "records": "geo.parquet"}, {"records": "geo.parquet"}]}""",
+        Some(files), Some(j2))
+    }
+    assert(bad.getMessage.contains("missing required key 'name'"))
+    assert(Files.exists(java.nio.file.Paths.get(j2)),
+      "the journal must persist the steps completed before the malformed entry")
+    assert(reg.listDimensions().contains("geo2"))
     assert(Registry.checkIntegrity(reg).isEmpty)
   }
 

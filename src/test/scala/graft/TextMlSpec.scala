@@ -381,7 +381,7 @@ class DedupSpec extends SparkSpec {
     // leak guard: the internal `scored` cache must be released once the
     // keep-best result is computed — long-lived sessions must not pin one
     // frame per call (round-5 advice)
-    assert(org.apache.spark.sql.graft.CacheProbe.cacheIsEmpty(spark),
+    assert(spark.sharedState.cacheManager.isEmpty,
       "dropNearDuplicatesKeepBest must unpersist its internal cache")
   }
 
