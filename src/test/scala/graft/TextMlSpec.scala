@@ -113,6 +113,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r3.getLong(8) == 0L)
   }
 
+  test("repetitionStats evaluates the tokenize pipeline exactly once (no pushdown duplication)") {
+    val df = viaParquet(Seq((1L, "a b\nc d")).toDF("doc_id", "text"))
+    val out = TextFunctions.repetitionStats(df, "doc_id", "text")
+    // normalize() is the only lower() in the operator; a filter on the
+    // projected token column would let pushdown inline it a second time
+    assert(graft.plans.PlanChecks.exprOccurrences(out, "lower(") == 1,
+      "the normalize pipeline must appear exactly once in the plan")
+  }
+
   test("gopher flags are a zero-shuffle map-side projection over a parquet scan") {
     val df = viaParquet(Seq((1L, "the cat\n- sat")).toDF("doc_id", "text"))
     assert(graft.plans.PlanChecks.shuffleCount(
