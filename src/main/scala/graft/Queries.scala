@@ -2754,6 +2754,58 @@ object Queries {
             LEFT JOIN counts c ON c.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Incremental ingest dedup: a batch of last-word-clipped copies of every
+    * fifth document (jaccard ≈ (m−1)/m ≥ 0.8) screened against the full
+    * corpus. The oracle is the exhaustive CROSS-SIDE pair set — new×new and
+    * existing×existing pairs must not appear, which is exactly the
+    * operator's contract. */
+  val q88_dedup_incremental = Q(
+    "q88_dedup_incremental",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val incoming = d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        array_join(
+          slice(split(trim(col("text")), "\\s+"), lit(1),
+            size(split(trim(col("text")), "\\s+")) - 1), " ").as("text"))
+      Dedup.minhashNearDuplicatesAgainst(
+        incoming, d, "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+        .select(
+          col("new_id").cast("long").as("new_id"),
+          col("existing_id").cast("long").as("existing_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("new_id", "existing_id")
+    },
+    Some("""WITH newdocs AS (
+              SELECT doc_id + 2000000 AS doc_id,
+                array_to_string(toks[1:len(toks)-1], ' ') AS text
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+              WHERE doc_id % 5 = 0),
+            sh_of AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM newdocs)),
+            sh_ex AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM documents)),
+            pairs AS (
+              SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+                CAST(len(list_intersect(n.shingles, e.shingles)) AS DOUBLE) /
+                len(list_distinct(list_concat(n.shingles, e.shingles))) AS jaccard
+              FROM sh_of n CROSS JOIN sh_ex e)
+            SELECT CAST(new_id AS BIGINT) AS new_id,
+              CAST(existing_id AS BIGINT) AS existing_id,
+              ROUND(jaccard, 4) AS jaccard
+            FROM pairs WHERE jaccard >= 0.8 ORDER BY new_id, existing_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2775,5 +2827,5 @@ object Queries {
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
-    q86_bm25, q87_span_dedup)
+    q86_bm25, q87_span_dedup, q88_dedup_incremental)
 }

@@ -235,6 +235,70 @@ object Dedup {
     verifyJaccardOnShingles(shingles, pairs, idCol, threshold)
   }
 
+  /** Incremental MinHash near-dedup: candidate pairs between a NEW batch
+    * and an EXISTING corpus only — never existing×existing (that corpus is
+    * already deduplicated) and never new×new (run the standard pass for
+    * intra-batch dups separately when needed). Returns
+    * (new_id, existing_id, jaccard) rows at or above the threshold — what a
+    * daily-ingest pipeline uses to drop incoming documents the corpus
+    * already represents.
+    *
+    * Scale shape: the existing side contributes its hashed shingle sets and
+    * LSH buckets — pure per-row map-side products a production pipeline
+    * PERSISTS once (scratch parquet / the registry) and reuses every batch;
+    * this form accepts those frames directly, so each ingest pays the map
+    * stage only for the batch, and the bucket join touches only groups the
+    * batch occupies. Ingest cost scales with the batch, not the corpus. */
+  def minhashNearDuplicatesIncremental(
+      newShingles: DataFrame, // (idCol, sh) — hashedShingleSets of the batch
+      newBuckets: DataFrame, // (idCol, band, bucket)
+      existingShingles: DataFrame,
+      existingBuckets: DataFrame,
+      idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val a = newBuckets.select(col("band"), col("bucket"), col(idCol).as("new_id"))
+    val b = existingBuckets.select(col("band"), col("bucket"), col(idCol).as("existing_id"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("existing_id"))
+      .select("new_id", "existing_id")
+      .distinct()
+    pairs
+      .join(newShingles.select(col(idCol).as("new_id"), col("sh").as("__graft_sh1")), Seq("new_id"))
+      .join(existingShingles.select(col(idCol).as("existing_id"), col("sh").as("__graft_sh2")),
+        Seq("existing_id"))
+      .withColumn("__graft_inter",
+        size(array_intersect(col("__graft_sh1"), col("__graft_sh2"))).cast("double"))
+      .withColumn("__graft_uni",
+        size(array_union(col("__graft_sh1"), col("__graft_sh2"))).cast("double"))
+      .withColumn("jaccard",
+        when(col("__graft_uni") === 0, 0.0).otherwise(col("__graft_inter") / col("__graft_uni")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "existing_id", "jaccard")
+  }
+
+  /** Convenience text-to-text form: computes both sides' shingles/buckets
+    * (a production ingest persists the existing side's once — see the
+    * frame-level overload). Caches the two shingle frames (each feeds both
+    * its signature pipeline and the verify join); callers clear the cache
+    * when done, as with `minhashNearDuplicates`. */
+  def minhashNearDuplicatesAgainst(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val newSh = hashedShingleSets(newDocs, idCol, textCol, shingleSize).cache()
+    val exSh = hashedShingleSets(existing, idCol, textCol, shingleSize).cache()
+    val newB = lshBucketsFromSignatures(
+      minhashSignaturesFromShingles(newSh, idCol, bands * rowsPerBand), idCol, bands, rowsPerBand)
+    val exB = lshBucketsFromSignatures(
+      minhashSignaturesFromShingles(exSh, idCol, bands * rowsPerBand), idCol, bands, rowsPerBand)
+    minhashNearDuplicatesIncremental(newSh, newB, exSh, exB, idCol, threshold)
+  }
+
   // ------------------------------------------------- duplicate clusters
 
   /** Connected components over a near-duplicate pair list: the step a real

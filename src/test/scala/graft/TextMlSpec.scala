@@ -421,6 +421,25 @@ class DedupSpec extends SparkSpec {
       4L -> "epsilon"))
   }
 
+  test("incremental dedup reports only new-vs-existing pairs") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of 1 (last word dropped)
+      (102L, "totally different content with novel words here"),
+      (103L, "totally different content with novel words also")) // near-dup of 102: new×new, must NOT appear
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDuplicatesAgainst(
+      incoming, existing, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((101L, 1L)))
+    // doc 1: 6 trigram shingles, clipped: 5, all shared -> jaccard 5/6
+    assert(math.abs(out.head._3 - 5.0 / 6) < 1e-12)
+    spark.sharedState.cacheManager.clearCache() // documented caller contract
+  }
+
   test("duplicate-span removal: cross-doc and within-doc windows, hand-checked") {
     val df = Seq(
       (1L, "a b c d e f"),         // shares "a b c","b c d" with doc 2
