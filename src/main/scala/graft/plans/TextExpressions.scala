@@ -330,3 +330,106 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Rolling 64-bit hashes of every n-token window of a token array —
+  * `array<long>` of length L−n+1 (NULL when the document has fewer than n
+  * tokens, so a generator caller drops short documents for free). Window i
+  * hashes `h_i = Σ_{k<n} x_{i+k} · B^{n−1−k}` over WRAPPING 2⁶⁴ arithmetic
+  * (plain JVM longs — no ANSI overflow applies to hand-written loops),
+  * where `x_j = xxhash64(tok_j, seed 42)` and B is an odd 64-bit mixing
+  * constant (odd ⇒ invertible mod 2⁶⁴, so the leading term never decays);
+  * maintained with the Rabin–Karp rolling update
+  * `h_{i+1} = (h_i − x_i·B^{n−1})·B + x_{i+n}` — O(L) per document.
+  *
+  * Why an expression: the window-STRING spelling (transform + n
+  * element_ats + concat_ws per position, then xxhash64) is O(L·n)
+  * interpreted work per document and materializes every n-gram string
+  * just to hash it. Window identity only needs an injective-enough key:
+  * any two equal windows collide by construction, and distinct windows
+  * collide with probability ~2⁻⁶⁴ — the same contract hashed shingle sets
+  * document. Used by the duplicate-span detector, where the flagging is
+  * IDENTICAL to grouping raw window strings absent a 64-bit collision
+  * (spec-enforced on random corpora). NULL tokens hash like
+  * `xxhash64(NULL)` (= the seed). */
+case class WindowHash64(child: Expression, windowSize: Int) extends UnaryExpression {
+
+  private val Seed = 42L
+  private val B = 0x9E3779B97F4A7C15L // odd golden-ratio constant
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (windowSize < 1)
+      TypeCheckResult.TypeCheckFailure(s"window_hash64: window size $windowSize must be >= 1")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"window_hash64 requires array<string>, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short documents yield NULL
+  override def prettyName: String = "window_hash64"
+
+  // B^(n-1) with wrapping multiplication
+  @transient private lazy val bPow: Long = {
+    var p = 1L; var i = 0
+    while (i < windowSize - 1) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < windowSize) return null
+    val xs = new Array[Long](len)
+    var j = 0
+    while (j < len) {
+      xs(j) = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      j += 1
+    }
+    val out = new Array[Long](len - windowSize + 1)
+    var h = 0L
+    j = 0
+    while (j < windowSize) { h = h * B + xs(j); j += 1 }
+    out(0) = h
+    j = 0
+    while (j < len - windowSize) {
+      h = (h - xs(j) * bPow) * B + xs(j + windowSize)
+      out(j + 1) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val len = ctx.freshName("len")
+      val xs = ctx.freshName("xs")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      s"""
+         |final int $len = $arr.numElements();
+         |if ($len < $windowSize) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $xs = new long[$len];
+         |  for (int $j = 0; $j < $len; $j++) {
+         |    $xs[$j] = $arr.isNullAt($j)
+         |      ? ${Seed}L
+         |      : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L);
+         |  }
+         |  final long[] $out = new long[$len - $windowSize + 1];
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $windowSize; $j++) { $h = $h * ${B}L + $xs[$j]; }
+         |  $out[0] = $h;
+         |  for (int $j = 0; $j < $len - $windowSize; $j++) {
+         |    $h = ($h - $xs[$j] * ${bPow}L) * ${B}L + $xs[$j + $windowSize];
+         |    $out[$j + 1] = $h;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

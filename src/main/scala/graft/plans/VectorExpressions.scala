@@ -124,5 +124,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "xxhash64_array takes (array<string>)")
         XxHash64Array(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("window_hash64"),
+      new ExpressionInfo(classOf[WindowHash64].getName, "window_hash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "window_hash64 takes (array<string> tokens, int windowSize)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"window_hash64: windowSize must be an integer literal, got $other")
+        }
+        WindowHash64(exprs.head, n)
+      }))
   }
 }

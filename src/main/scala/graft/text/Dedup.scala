@@ -563,17 +563,19 @@ object Dedup {
       n: Int = 8): DataFrame = {
     require(n >= 1, s"removeDuplicateSpans: window size $n must be >= 1")
     val toked = df.select(col(idCol), tokens(col(textCol)).as("__graft_toks"))
-    // strict n-windows (cnt-n+1 of them; none when cnt < n) — unlike the
-    // shingle form, a short document must NOT collapse to one short window
-    val strictWindows = transform(
-      sequence(lit(0), size(col("__graft_toks")) - n),
-      i => concat_ws(" ", (1 to n).map(k => element_at(col("__graft_toks"), i + lit(k))): _*))
+    // window identity is a rolling 64-bit hash computed MAP-SIDE by the
+    // window_hash64 codegen expression (plans.WindowHash64): O(L) per
+    // document, no window strings ever materialize — the string spelling
+    // (n element_ats + concat per position, interpreted) was O(L·n) and
+    // dominated the operator's runtime. Short documents (< n tokens) yield
+    // NULL and drop through the generator; flagging is identical to
+    // grouping raw window strings absent a 2⁻⁶⁴ collision (spec-enforced).
+    val winHashes = {
+      import org.apache.spark.sql.graft.ExprColumn
+      ExprColumn(graft.plans.WindowHash64(ExprColumn.expr(col("__graft_toks")), n))
+    }
     val wins = toked
-      .select(
-        col(idCol),
-        posexplode(when(size(col("__graft_toks")) >= n, strictWindows)
-          .otherwise(array().cast("array<string>"))).as(Seq("__graft_pos", "__graft_gram")))
-      .select(col(idCol), col("__graft_pos"), xxhash64(col("__graft_gram")).as("__graft_h"))
+      .select(col(idCol), posexplode(winHashes).as(Seq("__graft_pos", "__graft_h")))
     val dupHashes = wins
       .groupBy(col("__graft_h"))
       .agg(count(lit(1)).as("__graft_c"))

@@ -440,6 +440,51 @@ class DedupSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // documented caller contract
   }
 
+  test("window_hash64 span flagging matches a raw-string replay (fuzzed); interpreted = codegen") {
+    val n = 3
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab forces real window repeats
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // driver-side replay with raw window STRINGS as identity
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length >= n) (0 to t.length - n).map(p => (id, p, t.slice(p, p + n).mkString(" ")))
+      else Nil
+    }
+    val dupGrams = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+    val flagged = wins.filter(w => dupGrams(w._3))
+    val expected = docs.map { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      val covered = flagged.filter(_._1 == id).flatMap(w => w._2 until w._2 + n).toSet
+      val cleaned = t.zipWithIndex.collect { case (tok, p) if !covered(p) => tok }.mkString(" ")
+      id -> ((flagged.count(_._1 == id).toLong, cleaned))
+    }.toMap
+    val out = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == expected)
+    assert(expected.values.exists(_._1 > 0), "fuzz corpus must actually contain duplicate windows")
+
+    // interpreted eval agrees with the codegen'd DataFrame path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = Seq("a", "b", "c", "d", "a", "b", "c")
+    val interpreted = graft.plans.WindowHash64(Literal.create(toks, ArrayType(StringType)), n)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    val viaDf = {
+      import org.apache.spark.sql.graft.ExprColumn
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(ExprColumn(graft.plans.WindowHash64(ExprColumn.expr(col("toks")), n)).as("h"))
+        .head().getSeq[Long](0)
+    }
+    assert(interpreted == viaDf)
+    assert(interpreted(0) == interpreted(4), "equal windows must hash equal (a b c at 0 and 4)")
+    // short documents yield NULL (dropped by generators)
+    assert(graft.plans.WindowHash64(
+      Literal.create(Seq("a", "b"), ArrayType(StringType)), n).eval(null) == null)
+  }
+
   test("duplicate-span removal: cross-doc and within-doc windows, hand-checked") {
     val df = Seq(
       (1L, "a b c d e f"),         // shares "a b c","b c d" with doc 2
