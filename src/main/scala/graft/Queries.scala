@@ -2806,6 +2806,105 @@ object Queries {
               ROUND(jaccard, 4) AS jaccard
             FROM pairs WHERE jaccard >= 0.8 ORDER BY new_id, existing_id"""))
 
+  /** Bloom-filter ingest screen (training-data pipeline op): the existing
+    * corpus is summarized once into a fixed-size bit array (zero-shuffle
+    * typed-imperative aggregate), the batch is filtered map-side by the
+    * codegen probe, and only the surviving candidates drive the exact
+    * verification joins (both broadcast). Output semantics are EXACT — the
+    * Bloom filter is a prefilter, never the answer — so the oracle is a
+    * plain normalized-text anti-membership replay. */
+  val q89_bloom_screen = Q(
+    "q89_bloom_screen",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+      // batch: %3==0 rows re-ingest the EXACT text (duplicates — must drop);
+      // %3==1 rows carry a unique suffix (novel — must survive)
+      val batch = d.filter(col("doc_id") % 3 <= 1).select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel "), col("doc_id").cast("string"))).as("text"),
+        col("n_chars"))
+      Dedup.bloomScreen(batch, d, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH batch AS (
+              SELECT doc_id + 3000000 AS doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text
+                          ELSE text || ' novel ' || CAST(doc_id AS VARCHAR) END AS text,
+                     n_chars
+              FROM documents WHERE doc_id % 3 <= 1),
+            ex AS (
+              SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+              FROM documents)
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(b.n_chars AS BIGINT) AS n_chars
+            FROM batch b
+            WHERE trim(regexp_replace(regexp_replace(lower(b.text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+                  NOT IN (SELECT nt FROM ex)
+            ORDER BY doc_id"""))
+
+  /** Character-trigram LM surprisal scoring (training-data pipeline op,
+    * CCNet-style): train add-one-smoothed trigram counts on a trusted
+    * slice (even doc_ids), score every document by integer
+    * floor-log₂ surprisal. The per-gram surprisal is pure 64-bit integer
+    * arithmetic (`length(bin(q)) − 1`) — bit-exact across engines, unlike
+    * a float ln(p) — so the oracle replays it hash-exactly. */
+  val q90_lm_score = Q(
+    "q90_lm_score",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val lm = TextFunctions.trainCharLm(d.filter(col("doc_id") % 2 === 0), "text")
+      TextFunctions.lmSurprisalScores(d, "doc_id", "text", lm)
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            doc_grams AS (
+              SELECT n.doc_id, substr(n.nt, CAST(u.i AS INTEGER), 3) AS gram
+              FROM norm n, UNNEST(range(1, len(n.nt) - 1)) AS u(i)),
+            model AS (
+              SELECT gram, COUNT(*) AS cnt FROM doc_grams WHERE doc_id % 2 = 0 GROUP BY 1),
+            stats AS (
+              SELECT CAST(COALESCE(SUM(cnt), 0) + COUNT(*) AS BIGINT) AS numer FROM model),
+            scored AS (
+              SELECT dg.doc_id,
+                     COUNT(*) AS n_grams,
+                     SUM(length(bin((SELECT numer FROM stats) // (COALESCE(m.cnt, 0) + 1))) - 1) AS surprisal
+              FROM doc_grams dg LEFT JOIN model m USING (gram)
+              GROUP BY 1)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(s.surprisal, 0) AS BIGINT) AS surprisal,
+                   CASE WHEN COALESCE(s.n_grams, 0) > 0
+                        THEN CAST(s.surprisal AS DOUBLE) / s.n_grams END AS avg_surprisal
+            FROM norm n LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** Deterministic train/val/test split (training-data pipeline op): the
+    * content-keyed split column with cumulative thresholds 0.7/0.1/0.1 —
+    * the remaining 10% stays NULL ("held out entirely"), exercising the
+    * under-allocated path. Weights-by-id means assignments survive corpus
+    * refreshes with no train/test migration; zero shuffle. */
+  val q91_split = Q(
+    "q91_split",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling
+        .splitByHash(d, "doc_id", Seq("train" -> 0.7, "val" -> 0.1, "test" -> 0.1),
+          seed = "r6", uniform = knuthUniform)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""WITH u AS (SELECT *, ${knuthUniformSql("doc_id", "r6")} AS uu FROM documents)
+             SELECT CASE WHEN uu < 0.7 THEN 'train' WHEN uu < 0.8 THEN 'val'
+                         WHEN uu < 0.9 THEN 'test' END AS split,
+                    lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2827,5 +2926,6 @@ object Queries {
     q74_time_consistency, q75_wrap_time, q76_external_tz, q77_vocab,
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
-    q86_bm25, q87_span_dedup, q88_dedup_incremental)
+    q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
+    q90_lm_score, q91_split)
 }

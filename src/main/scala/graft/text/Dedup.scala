@@ -655,4 +655,86 @@ object Dedup {
       .distinct()
       .filter(col("distance") <= maxDistance)
   }
+
+  // ---------------------------------------------------- bloom-filter screen
+
+  /** Build a Bloom filter over the exact-content fingerprints
+    * (`xxhash64(normalize(text))`) of a corpus — the persistable "seen set"
+    * artifact for incremental exact dedup. One zero-shuffle aggregation
+    * pass: each task folds its partition into a local bit array, partials
+    * OR-merge, numBits/8 bytes per partition cross the wire (a `distinct`
+    * would shuffle every key). Size numBits ≈ 10–15 bits per expected key
+    * for ~1% false positives with k=5. Past the 2^33-bit single-buffer cap
+    * (`BloomHash.requireShape` — 1 GiB, ~8·10⁸ keys at 10 bits each) shard
+    * the corpus and keep one filter per shard; a batch probes the shard
+    * filters in sequence, still map-side. */
+  def buildTextBloom(
+      df: DataFrame,
+      textCol: String,
+      numBits: Long = 1L << 22,
+      numHashFuncs: Int = 5): Array[Long] = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val agg = graft.plans.BloomBuildAgg(
+      ExprColumn.expr(fingerprint(col(textCol))), numBits, numHashFuncs)
+    val row = df.agg(ExprColumn(agg.toAggregateExpression()).as("bits")).head()
+    row.getSeq[Long](0).toArray
+  }
+
+  /** Exact-dedup screen of a new batch against an existing corpus: returns
+    * the batch rows whose normalized text does NOT already occur in
+    * `existing`. EXACT semantics — the Bloom filter is only a prefilter;
+    * every Bloom-positive is verified against the real key set, so false
+    * positives cost a lookup, never a wrongly-dropped row (and false
+    * negatives cannot happen: the probe and build derive identical bit
+    * positions, spec-enforced).
+    *
+    * Scale shape (the C4/CCNet ingest pattern): the existing corpus is
+    * summarized ONCE into a fixed-size bit array (`buildTextBloom`, or a
+    * persisted filter passed via `prebuilt`) — the 100 TB side is never
+    * shuffled. The batch is filtered map-side by the Bloom probe; only the
+    * surviving candidates (≈ true duplicates + fpp·|batch|) drive the
+    * verification joins, and both joins broadcast the candidate side, so
+    * the only full scans are one pass of `existing` per ingest and two of
+    * the (small) batch.
+    *
+    * Same hash-identity contract as `dropExactDuplicates`: "duplicate"
+    * means equal `xxhash64(normalize(text))`, identical to equal normalized
+    * text absent a 2⁻⁶⁴ collision. */
+  def bloomScreen(
+      newBatch: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBits: Long = 1L << 22,
+      numHashFuncs: Int = 5,
+      prebuilt: Option[Array[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val bits = prebuilt.getOrElse(buildTextBloom(existing, textCol, numBits, numHashFuncs))
+    val k = numHashFuncs
+    // Bloom-positive batch keys. The when/array_compact/explode spelling
+    // (instead of .filter on the projected key) keeps the fingerprint
+    // pipeline evaluated ONCE: a filter on a projected column is pushed
+    // below the projection with the column's definition inlined — the
+    // CLAUDE.md double-eval trap; a generator is not a filter-pushdown
+    // target, and array_compact's non-attribute child suppresses
+    // InferFiltersFromGenerate (SPARK-36715).
+    val candidates = newBatch
+      .select(fingerprint(col(textCol)).as("__graft_k"))
+      .select(explode(array_compact(array(when(
+        ExprColumn(graft.plans.BloomContains(
+          ExprColumn.expr(col("__graft_k")), bits, k)),
+        col("__graft_k"))))).as("__graft_k"))
+      .distinct()
+    // confirm which candidates really occur in `existing`: one scan of the
+    // corpus with the candidate set broadcast — output is at most the
+    // candidate set, so the second broadcast (into the anti join) is safe
+    val confirmed = existing
+      .select(fingerprint(col(textCol)).as("__graft_k"))
+      .join(broadcast(candidates), Seq("__graft_k"), "left_semi")
+      .distinct()
+    newBatch
+      .withColumn("__graft_k", fingerprint(col(textCol)))
+      .join(broadcast(confirmed), Seq("__graft_k"), "left_anti")
+      .drop("__graft_k")
+  }
 }

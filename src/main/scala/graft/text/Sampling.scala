@@ -76,6 +76,42 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Deterministic train/validation/test split: adds `splitColumn` naming
+    * the slice each row falls in, by cumulative-threshold lookup of the
+    * row's content-keyed uniform. Map-side, zero shuffle, and stable the
+    * way a 100 TB corpus refresh needs: a document's split assignment
+    * depends only on its id (never on partition layout, cluster size, or
+    * the other rows), so yesterday's train set and today's differ only by
+    * new/removed documents, and a document can never migrate between
+    * train and test across refreshes (the leakage failure mode of
+    * `randomSplit`, which is seed+layout dependent).
+    *
+    * `splits` are (name, weight) with positive weights summing to ≤ 1;
+    * rows whose uniform lands past the last cumulative threshold (when
+    * weights sum < 1) get NULL — "held out entirely". */
+  def splitByHash(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      splitColumn: String = "split",
+      seed: String = "",
+      uniform: (Column, String) => Column = uniformHash(_, _)): DataFrame = {
+    require(splits.nonEmpty, "splitByHash: no splits")
+    require(splits.forall(_._2 > 0), "splitByHash: weights must be positive")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"splitByHash: weights sum to ${splits.map(_._2).sum} > 1")
+    val u = uniform(col(idCol), seed)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // when-ladder in order: first threshold the uniform clears wins —
+    // evaluated on one materialized uniform, not once per branch
+    val ladder = splits.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), acc) => when(col("__graft_u") < lit(hi), lit(name)).otherwise(acc)
+    }
+    df.withColumn("__graft_u", u)
+      .withColumn(splitColumn, ladder)
+      .drop("__graft_u")
+  }
+
   /** Weighted corpus mix: sample each source at its weight and union the
     * survivors, tagging provenance. Weights are KEEP fractions in [0,1]
     * (a training-mix recipe like "10% of CC, all of books"); sources must

@@ -472,4 +472,95 @@ object TextFunctions {
     * the redaction-audit counter). */
   def patternHits(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  // ------------------------------------- character n-gram language model
+
+  /** Strict character n-gram windows of an ALREADY-MATERIALIZED normalized
+    * text attribute: len−n+1 windows, EMPTY array (not a short gram) when
+    * the text is shorter than n — a language model must not learn
+    * truncated grams. Same lambda-CSE caveat as the other *FromNormalized
+    * helpers: `norm` must be a projected attribute, or the whole normalize
+    * pipeline re-runs per window position. */
+  def charNgramsStrict(norm: Column, n: Int): Column =
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), length(norm) - lit(n)),
+        i => norm.substr(i + lit(1), lit(n))))
+
+  /** A trained character n-gram model: add-one-smoothed counts plus the
+    * totals the surprisal formula needs. The gram table is BOUNDED by
+    * construction — normalized text draws from [a-z0-9 ], so n=3 has at
+    * most 37³ ≈ 50k entries whatever the corpus size — which is what makes
+    * collecting it to the driver (and broadcasting it back) a fixed cost
+    * at 100 TB, like an IVF centroid table. */
+  case class CharLm(grams: Seq[(String, Long)], total: Long, vocab: Long) {
+    /** Numerator of every smoothed probability: total + |V|. */
+    def numer: Long = total + vocab
+  }
+
+  /** Train a character n-gram LM on a reference corpus (the CCNet recipe:
+    * train on a trusted slice, score everything). One explode → hash-
+    * groupBy with map-side partials; the result is collected because it is
+    * vocabulary-bounded (see [[CharLm]]), not corpus-sized. */
+  def trainCharLm(df: DataFrame, textCol: String, n: Int = 3): CharLm = {
+    val counts = df
+      .select(normalize(col(textCol)).as("__graft_norm"))
+      .select(explode(charNgramsStrict(col("__graft_norm"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+    CharLm(counts, counts.map(_._2).sum, counts.length.toLong)
+  }
+
+  /** Per-document LM surprisal under a trained [[CharLm]] — the quality /
+    * perplexity-filter primitive (CCNet-style: low average surprisal ≈
+    * in-domain text).
+    *
+    * Determinism contract (oracle-friendly): per-gram surprisal is the
+    * INTEGER `floor(log₂((total+|V|) div (cnt+1)))`, computed as
+    * `length(bin(q)) − 1` — pure 64-bit integer arithmetic that any engine
+    * reproduces bit-exactly, unlike a float `ln(p)` whose libm rounding
+    * differs across engines. The integer quotient is ≥ 1 by construction
+    * (cnt ≤ total < total+|V|), so `bin` is always defined. The double
+    * `avg_surprisal` is one exact-int ÷ exact-int division — IEEE-exact
+    * rounding, deterministic.
+    *
+    * Shape at scale: normalize+gram is map-side; the model joins back as a
+    * broadcast local relation (vocabulary-bounded); one hash-groupBy on the
+    * document id with map-side partial sums. `explode_outer` keeps
+    * zero-gram documents (shorter than n) in the output with
+    * n_grams = 0 / surprisal = 0 / NULL average. */
+  def lmSurprisalScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: CharLm,
+      n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = broadcast(
+      lm.grams.toDF("__graft_gram", "__graft_cnt"))
+    val grams = df
+      .select(col(idCol), normalize(col(textCol)).as("__graft_norm"))
+      .select(col(idCol),
+        explode_outer(charNgramsStrict(col("__graft_norm"), n)).as("__graft_gram"))
+    val surprise =
+      length(bin(expr(s"${lm.numer}L div (coalesce(__graft_cnt, 0L) + 1L)"))) - lit(1)
+    grams
+      .join(model, Seq("__graft_gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__graft_gram")).as("n_grams"),
+        sum(when(col("__graft_gram").isNull, lit(0L))
+          .otherwise(surprise.cast("long"))).as("surprisal"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("surprisal"),
+        when(col("n_grams") > 0,
+          col("surprisal").cast("double") / col("n_grams").cast("double"))
+          .as("avg_surprisal"))
+  }
 }

@@ -178,6 +178,52 @@ class TextFunctionsSpec extends SparkSpec {
     assert(graft.plans.PlanChecks.shuffleCount(
       TextFunctions.rollingHashByDoc(viaParquet(df), Seq("doc_id"), "text", "rh")) == 0)
   }
+  test("char-trigram LM surprisal matches a driver-side integer replay; OOV maxes; short docs survive") {
+    import graft.text.TextFunctions
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "cats and dogs together"),
+      (4L, "xy"), // shorter than n=3: zero grams
+      (5L, "Zebra!! Quartz?")) // grams unseen in training
+    val df = corpus.toDF("doc_id", "text")
+    val lm = TextFunctions.trainCharLm(df.filter($"doc_id" <= 2), "text")
+    val out = TextFunctions.lmSurprisalScores(df, "doc_id", "text", lm)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))))
+      .toMap
+
+    // driver replay with plain JVM integer arithmetic
+    def norm(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    def grams(s: String) = { val t = norm(s); if (t.length < 3) Nil else (0 to t.length - 3).map(i => t.substring(i, i + 3)) }
+    val counts = corpus.filter(_._1 <= 2).flatMap(c => grams(c._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val numer = counts.values.sum + counts.size
+    assert(lm.numer == numer && lm.vocab == counts.size)
+    corpus.foreach { case (id, text) =>
+      val gs = grams(text)
+      val surp = gs.map { g =>
+        val q = numer / (counts.getOrElse(g, 0L) + 1)
+        (63 - java.lang.Long.numberOfLeadingZeros(q)).toLong
+      }.sum
+      val (nG, s, avg) = out(id)
+      assert(nG == gs.size && s == surp, s"doc $id: got ($nG,$s) want (${gs.size},$surp)")
+      if (gs.isEmpty) assert(avg == null, s"doc $id: zero grams must yield NULL average")
+      else assert(avg == surp.toDouble / gs.size)
+    }
+    // the all-OOV doc must be strictly more surprising per gram than in-domain text
+    assert(out(5L)._3.asInstanceOf[Double] > out(1L)._3.asInstanceOf[Double])
+    // model is vocabulary-bounded
+    assert(lm.grams.size <= lm.total)
+
+    // scale shape: broadcast model join, single agg shuffle
+    val plan = TextFunctions.lmSurprisalScores(viaParquet(df), "doc_id", "text", lm)
+    assert(graft.plans.PlanChecks.broadcastJoinCount(plan) == 1)
+    assert(graft.plans.PlanChecks.shuffleCount(plan) == 1,
+      "one hash-groupBy on the doc id; everything else map-side")
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -837,6 +883,34 @@ class SamplingSpec extends SparkSpec {
     // a stratum smaller than n survives whole
     val tiny = Sampling.exactSamplePerStratum(docs.filter($"doc_id" < 3), "doc_id", Seq("lang"), 10)
     assert(tiny.count() == 3)
+  }
+
+  test("splitByHash: total coverage, layout independence, no cross-refresh migration") {
+    val splits = Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15)
+    val a = Sampling.splitByHash(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a.size == 1000 && a.values.forall(_ != null), "weights sum to 1 ⇒ every row assigned")
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(sizes("train") - 700) < 70, s"train ${sizes("train")}")
+    // partition layout must not matter
+    val b = Sampling.splitByHash(docs.repartition(13), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // a corpus refresh (rows removed) must not move any surviving row's
+    // assignment — the randomSplit leakage failure mode
+    val c = Sampling.splitByHash(docs.filter($"doc_id" % 7 =!= 0), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    c.foreach { case (id, s) => assert(a(id) == s, s"doc $id migrated $s vs ${a(id)}") }
+    // under-allocated weights leave a NULL holdout
+    val d = Sampling.splitByHash(docs, "doc_id", Seq("train" -> 0.5))
+      .select("split").collect()
+    assert(d.exists(_.isNullAt(0)) && d.exists(r => !r.isNullAt(0) && r.getString(0) == "train"))
+    // zero shuffle (parquet-backed so the contract is non-vacuous)
+    assert(graft.plans.PlanChecks.shuffleCount(
+      Sampling.splitByHash(viaParquet(docs), "doc_id", splits)) == 0)
+    intercept[IllegalArgumentException](Sampling.splitByHash(docs, "doc_id", Nil))
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(docs, "doc_id", Seq("a" -> 0.7, "b" -> 0.5)))
   }
 
   test("weighted mix keeps everything at weight 1 and tags provenance") {
