@@ -125,6 +125,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         XxHash64Array(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("char_window_hashes"),
+      new ExpressionInfo(classOf[CharWindowHashes].getName, "char_window_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "char_window_hashes takes (string text, int windowSize)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"char_window_hashes: windowSize must be an integer literal, got $other")
+        }
+        CharWindowHashes(exprs.head, n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("window_hash64"),
       new ExpressionInfo(classOf[WindowHash64].getName, "window_hash64"),
       (exprs: Seq[Expression]) => {

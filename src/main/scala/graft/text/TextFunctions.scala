@@ -487,31 +487,45 @@ object TextFunctions {
         sequence(lit(0), length(norm) - lit(n)),
         i => norm.substr(i + lit(1), lit(n))))
 
-  /** A trained character n-gram model: add-one-smoothed counts plus the
-    * totals the surprisal formula needs. The gram table is BOUNDED by
-    * construction — normalized text draws from [a-z0-9 ], so n=3 has at
-    * most 37³ ≈ 50k entries whatever the corpus size — which is what makes
-    * collecting it to the driver (and broadcasting it back) a fixed cost
-    * at 100 TB, like an IVF centroid table. */
-  case class CharLm(grams: Seq[(String, Long)], total: Long, vocab: Long) {
+  /** A trained character n-gram model: add-one-smoothed window counts
+    * keyed by `plans.LmKernel` window hashes (sorted ascending, aligned
+    * with `counts` — the binary-search layout `plans.LmSurprisal` scores
+    * against; for n ≤ 3 the hash is injective, so hash keys ARE window
+    * identities). The table is BOUNDED by construction — normalized text
+    * draws from [a-z0-9 ], so n=3 has at most 37³ ≈ 50k entries whatever
+    * the corpus size — which is what makes collecting it to the driver
+    * (and shipping it back as a codegen reference object) a fixed cost at
+    * 100 TB, like an IVF centroid table. */
+  case class CharLm(hashes: Array[Long], counts: Array[Long], total: Long, vocab: Long) {
+    require(hashes.length == counts.length, "CharLm: hashes/counts misaligned")
     /** Numerator of every smoothed probability: total + |V|. */
     def numer: Long = total + vocab
   }
 
   /** Train a character n-gram LM on a reference corpus (the CCNet recipe:
     * train on a trusted slice, score everything). One explode → hash-
-    * groupBy with map-side partials; the result is collected because it is
-    * vocabulary-bounded (see [[CharLm]]), not corpus-sized. */
+    * groupBy with map-side partials over codegen'd window hashes
+    * (`plans.CharWindowHashes` — the interpreted transform+substr spelling
+    * this replaces was the q90 profile's dominant cost); the result is
+    * collected because it is vocabulary-bounded (see [[CharLm]]), not
+    * corpus-sized. */
   def trainCharLm(df: DataFrame, textCol: String, n: Int = 3): CharLm = {
-    val counts = df
+    import org.apache.spark.sql.graft.ExprColumn
+    val wins = ExprColumn(graft.plans.CharWindowHashes(
+      ExprColumn.expr(col("__graft_norm")), n))
+    val collected = df
       .select(normalize(col(textCol)).as("__graft_norm"))
-      .select(explode(charNgramsStrict(col("__graft_norm"), n)).as("gram"))
-      .groupBy(col("gram"))
+      .select(explode(wins).as("h"))
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toSeq
-    CharLm(counts, counts.map(_._2).sum, counts.length.toLong)
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    CharLm(
+      collected.map(_._1),
+      collected.map(_._2),
+      collected.map(_._2).sum,
+      collected.length.toLong)
   }
 
   /** Per-document LM surprisal under a trained [[CharLm]] — the quality /
@@ -519,48 +533,35 @@ object TextFunctions {
     * in-domain text).
     *
     * Determinism contract (oracle-friendly): per-gram surprisal is the
-    * INTEGER `floor(log₂((total+|V|) div (cnt+1)))`, computed as
-    * `length(bin(q)) − 1` — pure 64-bit integer arithmetic that any engine
-    * reproduces bit-exactly, unlike a float `ln(p)` whose libm rounding
+    * INTEGER `floor(log₂((total+|V|) div (cnt+1)))` — pure 64-bit integer
+    * arithmetic that any engine reproduces bit-exactly (DuckDB spells it
+    * `length(bin(q)) − 1`), unlike a float `ln(p)` whose libm rounding
     * differs across engines. The integer quotient is ≥ 1 by construction
-    * (cnt ≤ total < total+|V|), so `bin` is always defined. The double
-    * `avg_surprisal` is one exact-int ÷ exact-int division — IEEE-exact
-    * rounding, deterministic.
+    * (cnt ≤ total < total+|V|). The double `avg_surprisal` is one
+    * exact-int ÷ exact-int division — IEEE-exact rounding, deterministic.
     *
-    * Shape at scale: normalize+gram is map-side; the model joins back as a
-    * broadcast local relation (vocabulary-bounded); one hash-groupBy on the
-    * document id with map-side partial sums. `explode_outer` keeps
-    * zero-gram documents (shorter than n) in the output with
-    * n_grams = 0 / surprisal = 0 / NULL average. */
+    * Shape at scale: the ENTIRE score is one map-side expression
+    * (`plans.LmSurprisal`) with the model as a codegen reference object —
+    * no explode (L rows per document), no model join, no doc-id groupBy;
+    * the plan is scan → project, zero shuffles (spec-enforced). Documents
+    * shorter than n score n_grams = 0 / surprisal = 0 / NULL average. */
   def lmSurprisalScores(
       df: DataFrame,
       idCol: String,
       textCol: String,
       lm: CharLm,
       n: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val model = broadcast(
-      lm.grams.toDF("__graft_gram", "__graft_cnt"))
-    val grams = df
-      .select(col(idCol), normalize(col(textCol)).as("__graft_norm"))
-      .select(col(idCol),
-        explode_outer(charNgramsStrict(col("__graft_norm"), n)).as("__graft_gram"))
-    val surprise =
-      length(bin(expr(s"${lm.numer}L div (coalesce(__graft_cnt, 0L) + 1L)"))) - lit(1)
-    grams
-      .join(model, Seq("__graft_gram"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(col("__graft_gram")).as("n_grams"),
-        sum(when(col("__graft_gram").isNull, lit(0L))
-          .otherwise(surprise.cast("long"))).as("surprisal"))
+    import org.apache.spark.sql.graft.ExprColumn
+    val scored = ExprColumn(graft.plans.LmSurprisal(
+      ExprColumn.expr(col("__graft_norm")), lm.hashes, lm.counts, lm.numer, n))
+    df.select(col(idCol), normalize(col(textCol)).as("__graft_norm"))
+      .select(col(idCol), scored.as("__graft_sc"))
       .select(
         col(idCol),
-        col("n_grams"),
-        col("surprisal"),
+        element_at(col("__graft_sc"), 1).as("n_grams"),
+        element_at(col("__graft_sc"), 2).as("surprisal"))
+      .withColumn("avg_surprisal",
         when(col("n_grams") > 0,
-          col("surprisal").cast("double") / col("n_grams").cast("double"))
-          .as("avg_surprisal"))
+          col("surprisal").cast("double") / col("n_grams").cast("double")))
   }
 }

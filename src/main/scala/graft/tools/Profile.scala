@@ -17,6 +17,7 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("--q69")) { q69(args.head); return }
+    if (args.contains("--q90")) { q90(args.head); return }
     args.sliding(2).collectFirst { case Array("--query", name) => name } match {
       case Some(name) => timeQuery(args.head, name); return
       case None =>
@@ -80,6 +81,34 @@ object Profile {
       .getOrElse(sys.error(s"no such query: $name"))
     for (i <- 1 to runs)
       time(s"$name run $i")(q.run(spark, dir).write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** Stage timing for the q90 LM-surprisal pipeline. */
+  def q90(dir: String): Unit = {
+    import graft.text.TextFunctions
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    for (i <- 1 to 2) {
+      val lm = time(s"run $i: trainCharLm (half corpus)")(
+        TextFunctions.trainCharLm(d.filter(col("doc_id") % 2 === 0), "text"))
+      time(s"run $i: gram explode+count only") {
+        d.select(col("doc_id"), TextFunctions.normalize(col("text")).as("__graft_norm"))
+          .select(col("doc_id"), explode_outer(TextFunctions.charNgramsStrict(col("__graft_norm"), 3)).as("g"))
+          .groupBy("doc_id").agg(count(col("g")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"run $i: full lmSurprisalScores")(
+        TextFunctions.lmSurprisalScores(d, "doc_id", "text", lm)
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 

@@ -202,6 +202,9 @@ class TextFunctionsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val numer = counts.values.sum + counts.size
     assert(lm.numer == numer && lm.vocab == counts.size)
+    // n=3 window hashes are INJECTIVE: the string-keyed and hash-keyed
+    // models must be the same model
+    assert(lm.hashes.length == counts.size)
     corpus.foreach { case (id, text) =>
       val gs = grams(text)
       val surp = gs.map { g =>
@@ -216,13 +219,57 @@ class TextFunctionsSpec extends SparkSpec {
     // the all-OOV doc must be strictly more surprising per gram than in-domain text
     assert(out(5L)._3.asInstanceOf[Double] > out(1L)._3.asInstanceOf[Double])
     // model is vocabulary-bounded
-    assert(lm.grams.size <= lm.total)
+    assert(lm.vocab <= lm.total)
 
-    // scale shape: broadcast model join, single agg shuffle
+    // the kernel expression agrees with the explode + broadcast-join +
+    // groupBy spelling it replaced (kept here as the equivalence oracle)
+    val replay = {
+      import org.apache.spark.sql.graft.ExprColumn
+      val model = broadcast(lm.hashes.zip(lm.counts).toSeq.toDF("__graft_h", "__graft_cnt"))
+      df.select($"doc_id", TextFunctions.normalize($"text").as("__graft_norm"))
+        .select($"doc_id", explode_outer(ExprColumn(graft.plans.CharWindowHashes(
+          ExprColumn.expr($"__graft_norm"), 3))).as("__graft_h"))
+        .join(model, Seq("__graft_h"), "left")
+        .groupBy($"doc_id")
+        .agg(
+          count($"__graft_h").as("n_grams"),
+          sum(when($"__graft_h".isNull, 0L).otherwise(
+            length(bin(expr(s"${lm.numer}L div (coalesce(__graft_cnt, 0L) + 1L)"))).cast("long") - 1L))
+            .as("surprisal"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    corpus.foreach { case (id, _) =>
+      assert(replay(id) == ((out(id)._1, out(id)._2)), s"kernel != replay for doc $id")
+    }
+
+    // scale shape: the whole score is map-side — scan → project, zero
+    // shuffles, and the model expression appears exactly once (no
+    // CollapseProject duplication of the reference-object loop)
     val plan = TextFunctions.lmSurprisalScores(viaParquet(df), "doc_id", "text", lm)
-    assert(graft.plans.PlanChecks.broadcastJoinCount(plan) == 1)
-    assert(graft.plans.PlanChecks.shuffleCount(plan) == 1,
-      "one hash-groupBy on the doc id; everything else map-side")
+    assert(graft.plans.PlanChecks.shuffleCount(plan) == 0, "score must be entirely map-side")
+    assert(graft.plans.PlanChecks.broadcastJoinCount(plan) == 0)
+    assert(graft.plans.PlanChecks.exprOccurrences(plan, "lm_surprisal") == 1)
+  }
+
+  test("LmKernel: n>3 polynomial path interpreted == codegen; short/empty strings") {
+    import org.apache.spark.sql.graft.ExprColumn
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val texts = Seq("abcdefgh", "abc", "", "aaaaaa", "ab")
+    for (n <- Seq(2, 3, 4, 5)) {
+      val viaDf = texts.toDF("t")
+        .select(ExprColumn(graft.plans.CharWindowHashes(ExprColumn.expr($"t"), n)).as("h"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      val interp = texts.map(t => graft.plans.CharWindowHashes(Literal(t), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq)
+      assert(viaDf.toSeq == interp, s"n=$n")
+      texts.zip(interp).foreach { case (t, hs) =>
+        assert(hs.length == math.max(0, t.length - n + 1), s"n=$n '$t'")
+      }
+      // equal windows hash equal; for n<=3 distinct windows hash distinct
+      val all = texts.flatMap(t => (0 to t.length - n).map(i => t.substring(i, i + n))).zip(interp.flatten)
+      all.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._2).distinct.size == 1) }
+      if (n <= 3) assert(all.toMap.values.toSeq.distinct.size == all.map(_._1).distinct.size)
+    }
   }
 }
 
@@ -251,9 +298,12 @@ class DedupSpec extends SparkSpec {
       """SELECT simhash64(array('a','b')) AS s,
                rolling_hash64(array('a','b')) AS rh,
                size(minhash_sig(array('a b c'), 4)) AS mk,
-               size(xxhash64_array(array('x','y'))) AS xk""").head()
+               size(xxhash64_array(array('x','y'))) AS xk,
+               size(window_hash64(array('a','b','c'), 2)) AS wk,
+               size(char_window_hashes('abcd', 3)) AS ck""").head()
     assert(!r.isNullAt(0) && !r.isNullAt(1))
     assert(r.getInt(2) == 4 && r.getInt(3) == 2)
+    assert(r.getInt(4) == 2 && r.getInt(5) == 2)
   }
 
   test("redaction replaces PII patterns and counts hits") {
