@@ -196,7 +196,7 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Double]], planes
          |    }
          |    if ($acc >= 0) $out[$p / $planesPerBand] |= 1L << ($p % $planesPerBand);
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
        """.stripMargin
     })

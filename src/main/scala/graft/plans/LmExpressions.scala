@@ -64,7 +64,10 @@ object LmKernel {
       val idx = java.util.Arrays.binarySearch(hashes, h)
       val cnt = if (idx >= 0) counts(idx) else 0L
       val q = numer / (cnt + 1)
-      surp += 63 - java.lang.Long.numberOfLeadingZeros(q)
+      // q >= 1 whenever the model is non-empty (cnt+1 <= total+vocab);
+      // an EMPTY model (numer = 0) scores every window 0 — same as the
+      // integer replay `length(bin(0)) - 1`
+      if (q > 0) surp += 63 - java.lang.Long.numberOfLeadingZeros(q)
       i += 1
     }
     Array(wins.toLong, surp)
@@ -99,7 +102,7 @@ case class CharWindowHashes(child: Expression, windowSize: Int) extends UnaryExp
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       s"""
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
          |  graft.plans.LmKernel.windowHashes($s, $windowSize));
        """.stripMargin
     })
@@ -127,7 +130,7 @@ case class LmSurprisal(
 
   require(hashes.length == counts.length,
     s"lm_surprisal: ${hashes.length} hashes vs ${counts.length} counts")
-  require(numer >= 1, s"lm_surprisal: numer must be >= 1, got $numer")
+  require(numer >= 0, s"lm_surprisal: numer must be >= 0, got $numer")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (windowSize < 1)
@@ -149,7 +152,7 @@ case class LmSurprisal(
     val c = ctx.addReferenceObj("lmCounts", counts, "long[]")
     nullSafeCodeGen(ctx, ev, s => {
       s"""
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
          |  graft.plans.LmKernel.score($s, $h, $c, ${numer}L, $windowSize));
        """.stripMargin
     })

@@ -119,7 +119,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |      if ($v < $mins[$i]) $mins[$i] = $v;
          |    }
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($mins);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
          |}
        """.stripMargin
     })
@@ -240,7 +240,7 @@ case class XxHash64Array(child: Expression) extends UnaryExpression {
          |    ? ${Seed}L
          |    : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -425,7 +425,7 @@ case class WindowHash64(child: Expression, windowSize: Int) extends UnaryExpress
          |    $h = ($h - $xs[$j] * ${bPow}L) * ${B}L + $xs[$j + $windowSize];
          |    $out[$j + 1] = $h;
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
        """.stripMargin
     })

@@ -668,16 +668,25 @@ object Dedup {
     * (`BloomHash.requireShape` — 1 GiB, ~8·10⁸ keys at 10 bits each) shard
     * the corpus and keep one filter per shard; a batch probes the shard
     * filters in sequence, still map-side. */
+  /** A built Bloom filter plus the probe parameter it was built with.
+    * `numHashFuncs` travels WITH the bits: probing with a different k than
+    * the build silently manufactures false negatives (bits for probe
+    * positions the build never set), which would break `bloomScreen`'s
+    * exactness contract — so the artifact is the unit of persistence, never
+    * a bare bit array. (numBits needs no carrying: the probe mask derives
+    * from `bits.length`.) */
+  case class BloomArtifact(bits: Array[Long], numHashFuncs: Int)
+
   def buildTextBloom(
       df: DataFrame,
       textCol: String,
       numBits: Long = 1L << 22,
-      numHashFuncs: Int = 5): Array[Long] = {
+      numHashFuncs: Int = 5): BloomArtifact = {
     import org.apache.spark.sql.graft.ExprColumn
     val agg = graft.plans.BloomBuildAgg(
       ExprColumn.expr(fingerprint(col(textCol))), numBits, numHashFuncs)
     val row = df.agg(ExprColumn(agg.toAggregateExpression()).as("bits")).head()
-    row.getSeq[Long](0).toArray
+    BloomArtifact(row.getSeq[Long](0).toArray, numHashFuncs)
   }
 
   /** Exact-dedup screen of a new batch against an existing corpus: returns
@@ -707,10 +716,13 @@ object Dedup {
       textCol: String,
       numBits: Long = 1L << 22,
       numHashFuncs: Int = 5,
-      prebuilt: Option[Array[Long]] = None): DataFrame = {
+      prebuilt: Option[BloomArtifact] = None): DataFrame = {
     import org.apache.spark.sql.graft.ExprColumn
-    val bits = prebuilt.getOrElse(buildTextBloom(existing, textCol, numBits, numHashFuncs))
-    val k = numHashFuncs
+    // a prebuilt artifact brings its OWN k — numBits/numHashFuncs are
+    // build parameters, ignored when the filter already exists
+    val art = prebuilt.getOrElse(buildTextBloom(existing, textCol, numBits, numHashFuncs))
+    val bits = art.bits
+    val k = art.numHashFuncs
     // Bloom-positive batch keys. The when/array_compact/explode spelling
     // (instead of .filter on the projected key) keeps the fingerprint
     // pipeline evaluated ONCE: a filter on a projected column is pushed

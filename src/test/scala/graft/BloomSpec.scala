@@ -84,11 +84,23 @@ class BloomSpec extends SparkSpec {
       (1L, "Hello,   World!"),
       (2L, "hello world"), // normalizes identically to doc 1
       (3L, "something else")).toDF("doc_id", "text")
-    val bits = Dedup.buildTextBloom(df, "text", numBits = 1 << 10, numHashFuncs = 3)
+    val art = Dedup.buildTextBloom(df, "text", numBits = 1 << 10, numHashFuncs = 3)
+    assert(art.numHashFuncs == 3, "the artifact must carry its probe parameter")
     val keys = df.select(xxhash64(
       trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))))
       .as[Long].collect()
     assert(keys(0) == keys(1), "normalization must collapse the two spellings")
-    keys.foreach(k => assert(BloomHash.contains(bits, k, 3)))
+    keys.foreach(k => assert(BloomHash.contains(art.bits, k, 3)))
+  }
+
+  test("a prebuilt artifact screens with ITS k, not the call-site default (no false negatives)") {
+    val existing = (0L until 100L).map(i => (i, s"existing text $i")).toDF("doc_id", "text")
+    val batch = (0L until 100L).map(i => (i + 900, s"existing text $i")).toDF("doc_id", "text")
+    // build with k=2; the bloomScreen call site leaves numHashFuncs at its
+    // default 5 — probing with 5 would false-negative every key and leak
+    // all 100 duplicates through as "novel"
+    val art = Dedup.buildTextBloom(existing, "text", numBits = 1 << 14, numHashFuncs = 2)
+    val out = Dedup.bloomScreen(batch, existing, "doc_id", "text", prebuilt = Some(art))
+    assert(out.count() == 0, "every batch row duplicates an existing doc and must drop")
   }
 }

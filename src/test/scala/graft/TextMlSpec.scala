@@ -251,6 +251,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(graft.plans.PlanChecks.exprOccurrences(plan, "lm_surprisal") == 1)
   }
 
+  test("empty LM model (no trainable document) scores every doc 0 instead of crashing") {
+    import graft.text.TextFunctions
+    val df = Seq((1L, "some text here"), (2L, "ab")).toDF("doc_id", "text")
+    // training slice where no document reaches n chars → empty model
+    val lm = TextFunctions.trainCharLm(df.filter($"doc_id" === 2L), "text")
+    assert(lm.vocab == 0 && lm.numer == 0)
+    val out = TextFunctions.lmSurprisalScores(df, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 12 && out(0).getLong(2) == 0) // grams counted, all surprisal 0
+    assert(out(0).getDouble(3) == 0.0)
+    assert(out(1).getLong(1) == 0 && out(1).isNullAt(3))
+  }
+
   test("LmKernel: n>3 polynomial path interpreted == codegen; short/empty strings") {
     import org.apache.spark.sql.graft.ExprColumn
     import org.apache.spark.sql.catalyst.expressions.Literal
