@@ -2905,6 +2905,82 @@ object Queries {
                     lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
              FROM u GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** GPT-style sequence packing (training-data pipeline op): per-source
+    * document streams cut into fixed 256-token training sequences, documents
+    * spanning boundaries — the pretraining data layout. Output is the
+    * per-sequence manifest (docs contributing, slots filled); all integer
+    * arithmetic, hash-exact. */
+  val q92_seq_pack = Q(
+    "q92_seq_pack",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+      val packed = graft.text.Sharding
+        .packTrainingSequences(d, "doc_id", "n_tok", seqLen = 256L, partitionCols = Seq("source"))
+      graft.text.Sharding.sequenceManifest(packed, "n_tok", 256L, Seq("source"))
+        .select(
+          col("source"), col("seq").cast("long").as("seq"),
+          col("n_docs").cast("long").as("n_docs"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("source", "seq")
+    },
+    Some("""WITH toks AS (
+              SELECT source, doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
+              FROM documents),
+            cum AS (
+              SELECT source, tok,
+                     SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+              FROM toks),
+            spans AS (
+              SELECT source, tok, c - tok AS s,
+                     CAST((c - tok) // 256 AS BIGINT) AS first_seq,
+                     CAST(CASE WHEN tok > 0 THEN (c - 1) // 256 ELSE (c - tok) // 256 END AS BIGINT) AS last_seq
+              FROM cum),
+            fanout AS (
+              SELECT source, tok, s, u.seq AS seq
+              FROM spans, UNNEST(range(first_seq, last_seq + 1)) AS u(seq))
+            SELECT source, CAST(seq AS BIGINT) AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEAST(s + tok, (seq + 1) * 256) - GREATEST(s, seq * 256)) AS BIGINT) AS n_tokens
+            FROM fanout GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Unicode NFC normalization (training-data pipeline op): the corpus is
+    * ASCII, so decomposed accents (e + U+0301) are injected deterministically
+    * into every 5th document by BOTH engines, then each normalizes its own
+    * injection — Spark via the native codegen expression, DuckDB via
+    * `nfc_normalize` — and reports codepoint counts. Composition shrinks
+    * exactly one codepoint per injected mark, so `len_raw − len_nfc =
+    * n_comp` row-by-row; any normalizer divergence breaks the hash. */
+  val q93_unicode_norm = Q(
+    "q93_unicode_norm",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val raw = when(col("doc_id") % 5 === 0, regexp_replace(col("text"), "e", "é"))
+        .otherwise(col("text"))
+      val norm = TextFunctions.unicodeNormalize(col("raw"))
+      d.select(col("doc_id").cast("long").as("doc_id"), raw.as("raw"))
+        .withColumn("norm", norm)
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(col("norm")).cast("long").as("len_nfc"),
+          (length(col("norm")) - length(regexp_replace(col("norm"), "\u00e9", "")))
+            .cast("long").as("n_comp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'e' || chr(769))
+                          ELSE text END AS r
+              FROM documents),
+            norm AS (SELECT doc_id, r, nfc_normalize(r) AS n FROM raw)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(r) AS BIGINT) AS len_raw,
+                   CAST(length(n) AS BIGINT) AS len_nfc,
+                   CAST(length(n) - length(replace(n, chr(233), '')) AS BIGINT) AS n_comp
+            FROM norm ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -2927,5 +3003,5 @@ object Queries {
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
-    q90_lm_score, q91_split)
+    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm)
 }

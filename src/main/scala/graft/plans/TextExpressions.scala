@@ -433,3 +433,61 @@ case class WindowHash64(child: Expression, windowSize: Int) extends UnaryExpress
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) as a native codegen
+  * expression. Spark SQL ships no normalizer, and the alternative — a Scala
+  * UDF — would break whole-stage codegen exactly where this runs: the
+  * scan-stage text-cleaning pipeline in front of tokenization and hashing
+  * (mixed-form inputs make "identical" documents hash differently, so
+  * normalization belongs BEFORE every dedup signature).
+  *
+  * ASCII fast path: a pure-ASCII string (the overwhelming case in web
+  * corpora) is already normalized under every form and is returned as-is —
+  * no String round-trip, no allocation, just `UTF8String.isFullAscii`'s
+  * word-at-a-time scan. Non-ASCII strings round-trip once through the JDK's
+  * `java.text.Normalizer`.
+  *
+  * Null contract: null in → null out ([[UnaryExpression]] default).
+  * DuckDB-oracle parity: `nfc_normalize` (NFC only) — spec + q93.
+  */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+
+  @transient private lazy val normForm = java.text.Normalizer.Form.valueOf(form)
+
+  private val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if Forms(form) => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize: form must be one of ${Forms.mkString("/")}, got '$form'")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"unicode_normalize requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    if (s.isFullAscii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, normForm))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      // the Form enum rides along as a codegen reference object — stable
+      // generated source for every form (one Janino compile per plan shape)
+      val formRef = ctx.addReferenceObj("normForm", normForm, "java.text.Normalizer.Form")
+      s"""
+         |${ev.value} = $in.isFullAscii()
+         |  ? $in
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($in.toString(), $formRef));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -148,5 +148,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WindowHash64(exprs.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "unicode_normalize takes (string text, string form)")
+        val form = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize: form must be a string literal, got $other")
+        }
+        UnicodeNormalize(exprs.head, form)
+      }))
   }
 }

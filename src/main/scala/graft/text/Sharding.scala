@@ -61,6 +61,72 @@ object Sharding {
       .drop("__graft_cum")
   }
 
+  /** GPT-style training-sequence packing: within each `partitionCols` group
+    * (shard / date / source — the unit a trainer streams), documents are laid
+    * end to end in `orderCol` order and the concatenated token stream is cut
+    * into fixed-length sequences of `seqLen`. Unlike `packBySequence` (whole-
+    * document budget bins, no splitting), documents HERE span sequence
+    * boundaries — the standard pretraining layout: zero padding waste except
+    * the final partial sequence of each group.
+    *
+    * Adds `start_offset` (token offset of the document inside its group's
+    * stream) and `first_seq` / `last_seq` (the sequence indices the document
+    * touches; equal unless it crosses a boundary). Zero-token documents keep
+    * `last_seq = first_seq` — a defined position, no phantom sequence.
+    *
+    * Scale: ONE shuffle (hash-partition by group for the window sort); the
+    * running sum then streams over each sorted group. `partitionCols` is
+    * required — an empty partition list would funnel 100 TB through a single
+    * global sort partition. */
+  def packTrainingSequences(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      seqLen: Long,
+      partitionCols: Seq[String]): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(
+      partitionCols.nonEmpty,
+      "packTrainingSequences needs a real partitioning column — a global single-partition sort does not scale")
+    val w = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__graft_tok", col(tokenCol).cast("long"))
+      .withColumn("__graft_cum", sum(col("__graft_tok")).over(w))
+      .withColumn("start_offset", col("__graft_cum") - col("__graft_tok"))
+      // `div` (integral division) keeps the arithmetic exact in 64 bits —
+      // token offsets at 100 TB exceed double's 2^53 integer grid
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn(
+        "last_seq",
+        when(col("__graft_tok") > 0, expr(s"(__graft_cum - 1) div $seqLen"))
+          .otherwise(col("first_seq")))
+      .drop("__graft_tok", "__graft_cum")
+  }
+
+  /** Per-sequence manifest of a `packTrainingSequences` result: for each
+    * (group, sequence index), how many documents contribute and how many of
+    * its `seqLen` slots they fill — only the last sequence of a group may be
+    * partial. Each document fans out to just the sequences it touches
+    * (usually 1–2), so the explode is linear, and the groupBy aggregates
+    * with map-side partials. */
+  def sequenceManifest(
+      packed: DataFrame,
+      tokenCol: String,
+      seqLen: Long,
+      partitionCols: Seq[String]): DataFrame = {
+    val seqStart = col("seq") * lit(seqLen)
+    val docEnd = col("start_offset") + col(tokenCol).cast("long")
+    packed
+      .withColumn("seq", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn(
+        "seq_tokens",
+        least(docEnd, seqStart + lit(seqLen)) - greatest(col("start_offset"), seqStart))
+      .groupBy((partitionCols :+ "seq").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("seq_tokens")).as("n_tokens"))
+  }
+
   /** Per-shard manifest: document count and token total, the thing a
     * training job reads to schedule shard consumption. */
   def shardManifest(sharded: DataFrame, tokenCol: String, extraKeys: Seq[String] = Nil): DataFrame =

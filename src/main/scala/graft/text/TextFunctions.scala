@@ -62,6 +62,17 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode normalization (NFC by default; NFD / NFKC / NFKD). Mixed-form
+    * inputs make byte-identical-looking documents hash differently, so this
+    * belongs in front of every dedup signature over non-ASCII corpora. A
+    * native codegen expression ([[graft.plans.UnicodeNormalize]]) with an
+    * ASCII fast path — NOT a UDF — so it stays inside whole-stage codegen
+    * in the scan-stage cleaning pipeline. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graft.ExprColumn
+    ExprColumn(graft.plans.UnicodeNormalize(ExprColumn.expr(text), form))
+  }
+
   /** Quality-score features (length / punctuation / stopword / word-length
     * heuristics, Gopher/C4-style). Returns a struct; `qualityScore` collapses
     * to a single [0,1] score. */

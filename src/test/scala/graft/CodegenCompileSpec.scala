@@ -69,8 +69,14 @@ class CodegenCompileSpec extends AnyFunSuite {
     compileAndCompare(
       HyperplaneBuckets(dArr, Seq(Seq(1.0, -1.0, 0.5), Seq(-0.5, 2.0, 1.0)), planesPerBand = 1), vec)
     compileAndCompare(BloomContains(lng, Array.fill(16)(-1L), 5), key)
+    // decomposed e + combining acute (NFC composes), ligature ﬁ (NFKC expands)
+    val messy = InternalRow(UTF8String.fromString("cafe\u0301 \uFB01sh"))
+    compileAndCompare(UnicodeNormalize(str, "NFC"), messy)
+    compileAndCompare(UnicodeNormalize(str, "NFKC"), messy)
+    compileAndCompare(UnicodeNormalize(str, "NFC"), text) // ASCII fast path
     // NULL inputs through the compiled path
     compileAndCompare(WindowHash64(sArr, 3), InternalRow(null))
+    compileAndCompare(UnicodeNormalize(str, "NFC"), InternalRow(null))
     compileAndCompare(LmSurprisal(str, Array(1L), Array(1L), 2L, 3), InternalRow(null))
   }
 }

@@ -16,6 +16,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(norm == "hello world")
   }
 
+  test("unicode normalization: NFC composes, NFKC expands compatibility forms, ASCII untouched") {
+    // "cafe" + combining acute; ligature fi; pure ASCII; null
+    val df = Seq(Some("café"), Some("ﬁsh"), Some("plain"), None).toDF("text")
+    val nfc = df.select(TextFunctions.unicodeNormalize(col("text")).as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(nfc == Seq(Some("caf\u00e9"), Some("\uFB01sh"), Some("plain"), None))
+    val nfkc = df.select(TextFunctions.unicodeNormalize(col("text"), "NFKC").as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(nfkc == Seq(Some("caf\u00e9"), Some("fish"), Some("plain"), None))
+    // idempotent: normalizing twice is the identity on the first pass's output
+    val twice = df.select(
+      TextFunctions.unicodeNormalize(TextFunctions.unicodeNormalize(col("text"))).as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(twice == nfc)
+    // an unknown form fails at analysis, not mid-job
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TextFunctions.unicodeNormalize(col("text"), "NFX")).collect()
+    }
+    // SQL registration path
+    val viaSql = spark.sql("SELECT unicode_normalize('café', 'NFC')").as[String].head()
+    assert(viaSql == "café")
+  }
+
   test("shingles") {
     val df = Seq("a b c d").toDF("text")
     val ws = df.select(TextFunctions.wordShingles(col("text"), 2)).as[Seq[String]].head()
@@ -1028,5 +1051,39 @@ class SamplingSpec extends SparkSpec {
     // shard ids are contiguous from 0 in sequence order
     val ids = m2.map(_.getAs[Long]("shard")).sorted
     assert(ids.head == 0L && ids.last == ids.length - 1)
+  }
+
+  test("sequence packing cuts the stream at fixed boundaries; manifest accounts every slot") {
+    // group g: 100 + 200 + 50 tokens over seqLen 128 → doc 1 fills [0,100),
+    // doc 2 spans [100,300) crossing seqs 0→2, doc 3 sits inside seq 2;
+    // plus a zero-token doc and a singleton group exactly one seqLen long
+    val d = Seq(
+      ("g", 1L, 100L), ("g", 2L, 200L), ("g", 3L, 50L), ("g", 4L, 0L),
+      ("h", 9L, 128L)).toDF("source", "doc_id", "n_tok")
+    val packed = Sharding.packTrainingSequences(d, "doc_id", "n_tok", 128L, Seq("source"))
+    val byId = packed.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("start_offset"),
+        r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq")))).toMap
+    assert(byId(1L) == ((0L, 0L, 0L)))
+    assert(byId(2L) == ((100L, 0L, 2L)), "a 200-token doc at offset 100 touches seqs 0..2")
+    assert(byId(3L) == ((300L, 2L, 2L)))
+    assert(byId(4L) == ((350L, 2L, 2L)), "zero-token doc: defined position, no phantom seq")
+    assert(byId(9L) == ((0L, 0L, 0L)), "a doc of exactly seqLen stays in seq 0 (offsets 0..127)")
+
+    val m = Sharding.sequenceManifest(packed, "n_tok", 128L, Seq("source")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    // every non-final sequence is full; the final one holds the remainder
+    assert(m(("g", 0L)) == ((2L, 128L)))
+    assert(m(("g", 1L)) == ((1L, 128L)), "seq 1 is filled entirely by doc 2's middle slice")
+    assert(m(("g", 2L)) == ((3L, 94L))) // 44 (doc2 tail) + 50 (doc3) + 0 (doc4)
+    assert(m(("h", 0L)) == ((1L, 128L)))
+    // slot conservation: manifest token totals equal the corpus token total
+    assert(m.values.map(_._2).sum == 478L)
+
+    // an empty partition list must be refused (global sort does not scale)
+    intercept[IllegalArgumentException] {
+      Sharding.packTrainingSequences(d, "doc_id", "n_tok", 128L, Nil)
+    }
   }
 }
