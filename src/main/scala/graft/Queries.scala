@@ -2981,6 +2981,60 @@ object Queries {
                    CAST(length(n) - length(replace(n, chr(233), '')) AS BIGINT) AS n_comp
             FROM norm ORDER BY doc_id"""))
 
+  /** DuckDB replay of `Bpe.trainMerges` for `k` rounds: per round, weighted
+    * adjacent-pair counts over the word table, argmax with the same
+    * (count desc, lexicographic) tie-break, then the greedy merge applied
+    * via a `list_reduce` accumulator (bit-equivalent to the single-pass
+    * scan: a freshly merged symbol never re-matches as the left side in the
+    * same pass). Generated, not hand-written, so the round count is free.
+    * Interpolated fragments carry no backslashes (the s-interpolator
+    * processes escapes even in triple quotes); raw regex lives in `normSql`
+    * / `wsSql`. */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+  private val wsSql = """'\s+'"""
+  private def bpeOracleSql(k: Int): String = {
+    val base = s"""w0 AS (
+        SELECT regexp_extract_all(word, '.') AS syms, COUNT(*) AS cnt
+        FROM (SELECT u.word AS word
+              FROM (SELECT list_filter(regexp_split_to_array($normSql, $wsSql), x -> x <> '') AS toks
+                    FROM documents) t, UNNEST(t.toks) AS u(word))
+        GROUP BY word)"""
+    val rounds = (1 to k).map { r =>
+      s""",
+      p$r AS (SELECT syms[i] AS l, syms[i + 1] AS r2, SUM(cnt) AS c
+              FROM w${r - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+      b$r AS (SELECT l, r2, c FROM p$r WHERE c >= 2 ORDER BY c DESC, l, r2 LIMIT 1),
+      w$r AS (SELECT list_reduce(list_transform(w.syms, s -> [s]),
+                      (acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r2
+                                       THEN list_append(acc[1:len(acc) - 1], b.l || b.r2)
+                                       ELSE list_concat(acc, x) END) AS syms, w.cnt AS cnt
+              FROM w${r - 1} w, b$r b)"""
+    }.mkString
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS rank, l, r2 AS r, c AS cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $base$rounds
+        SELECT CAST(rank AS BIGINT) AS rank, l, r, CAST(cnt AS BIGINT) AS cnt
+        FROM ($union) ORDER BY rank"""
+  }
+
+  /** Distributed BPE tokenizer training (training-data pipeline op): 8 merge
+    * rules learned from the corpus via the vocabulary-table formulation —
+    * one corpus shuffle, then cheap per-round aggregations with the merge
+    * rule applied map-side as a codegen reference object. */
+  val q94_bpe_train = Q(
+    "q94_bpe_train",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Bpe.trainMerges(d, "text", numMerges = 8)
+        .select(
+          col("rank").cast("long").as("rank"), col("l"), col("r"),
+          col("cnt").cast("long").as("cnt"))
+        .orderBy("rank")
+    },
+    Some(bpeOracleSql(8)))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3003,5 +3057,5 @@ object Queries {
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
-    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm)
+    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train)
 }

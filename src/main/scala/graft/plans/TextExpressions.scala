@@ -491,3 +491,88 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Greedy single-pass adjacent-pair merge — the BPE "apply one merge rule"
+  * step: scan the symbol array left to right, replacing each non-overlapping
+  * occurrence of (left, right) with the concatenation, exactly as in
+  * Sennrich et al. 2016's reference implementation (so `[a,a,a]` with rule
+  * (a,a) → `[aa,a]`, and the freshly merged symbol never re-matches in the
+  * same pass).
+  *
+  * Why an expression: the rule changes every training round — spelled as a
+  * literal in the plan it would generate fresh Janino source per round (the
+  * k-means lesson); here the pair rides along as codegen REFERENCE OBJECTS,
+  * so every round reuses one compiled shape. Null elements never match and
+  * pass through; null array → null (UnaryExpression default).
+  */
+case class MergeAdjacentPair(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+
+  @transient private lazy val leftU =
+    org.apache.spark.unsafe.types.UTF8String.fromString(left)
+  @transient private lazy val rightU =
+    org.apache.spark.unsafe.types.UTF8String.fromString(right)
+  @transient private lazy val mergedU =
+    org.apache.spark.unsafe.types.UTF8String.fromString(left + right)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"merge_adjacent_pair requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "merge_adjacent_pair"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && i < n - 1 && !arr.isNullAt(i + 1) &&
+          cur.equals(leftU) && arr.getUTF8String(i + 1).equals(rightU)) {
+        out(k) = mergedU; i += 2
+      } else {
+        out(k) = cur; i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      val lRef = ctx.addReferenceObj("bpeLeft", leftU, u)
+      val rRef = ctx.addReferenceObj("bpeRight", rightU, u)
+      val mRef = ctx.addReferenceObj("bpeMerged", mergedU, u)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val cur = ctx.freshName("cur")
+      s"""
+         |final int $n = $arr.numElements();
+         |final Object[] $out = new Object[$n];
+         |int $i = 0, $k = 0;
+         |while ($i < $n) {
+         |  final $u $cur = $arr.isNullAt($i) ? null : $arr.getUTF8String($i);
+         |  if ($cur != null && $i < $n - 1 && !$arr.isNullAt($i + 1)
+         |      && $cur.equals($lRef) && $arr.getUTF8String($i + 1).equals($rRef)) {
+         |    $out[$k] = $mRef; $i += 2;
+         |  } else {
+         |    $out[$k] = $cur; $i += 1;
+         |  }
+         |  $k += 1;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprColumn
+
+import graft.plans.MergeAdjacentPair
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+  * vocabulary-table formulation that makes byte-pair encoding tractable at
+  * corpus scale:
+  *
+  *   1. ONE corpus-wide shuffle collapses 100 TB of text into a word
+  *      frequency table (bounded by the distinct-word vocabulary, not the
+  *      corpus) whose symbol arrays start as single characters;
+  *   2. each merge round is then a cheap aggregation OVER THE WORD TABLE:
+  *      count weighted adjacent symbol pairs (map-side partials), pick the
+  *      global argmax (count desc, then lexicographic pair — deterministic),
+  *      and apply the rule map-side via [[MergeAdjacentPair]] — the pair
+  *      travels as a codegen reference object, so k rounds reuse one
+  *      compiled plan shape instead of recompiling Janino source per round.
+  *
+  * Each round's table is eagerly `localCheckpoint`ed: the next round reads a
+  * materialized table instead of replaying the whole merge chain (the same
+  * lineage-truncation discipline as k-means and connected components; swap
+  * in a durable checkpoint on preemptible clusters).
+  *
+  * Merges never cross word boundaries and no end-of-word marker is appended
+  * (callers wanting GPT-style markers can suffix one before training —
+  * symbols are opaque strings here).
+  *
+  * Reference scope: the reference repo has no tokenizer-training operator;
+  * this is part of graft's training-data-pipeline extension family.
+  */
+object Bpe {
+
+  /** The word-frequency table: normalized whitespace words → (syms, cnt)
+    * with `syms` the word split into single-character symbols. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("__toks"))
+      // explode over array_compact(attribute), NOT the raw projected
+      // expression: suppresses InferFiltersFromGenerate's size()>0 filter,
+      // which pushdown would otherwise inline as a second evaluation of the
+      // whole tokenize pipeline (the q78 lesson)
+      .select(explode(array_compact(col("__toks"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .select(expr("regexp_extract_all(word, '(.)', 1)").as("syms"), col("cnt"))
+
+  /** Train `numMerges` BPE merge rules. Returns one row per rule:
+    * (rank 1-based, l, r, cnt) in learning order. Stops early if no pair
+    * occurs at least twice (merging singletons is noise). */
+  def trainMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    var words = wordTable(df, textCol).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = pairCounts(words)
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()
+      best.headOption.filter(_.getLong(2) >= 2L) match {
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          learned += ((rank, l, r, c))
+          val merged = ExprColumn(MergeAdjacentPair(ExprColumn.expr(col("syms")), l, r))
+          val next = words.select(merged.as("syms"), col("cnt")).localCheckpoint()
+          words = next
+          rank += 1
+        case None => exhausted = true
+      }
+    }
+    learned.toSeq.toDF("rank", "l", "r", "cnt")
+  }
+
+  /** Weighted adjacent-pair counts of a word table — the per-round
+    * aggregation. Single-symbol words drop out before the fanout. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+          .as("p"),
+        col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+}

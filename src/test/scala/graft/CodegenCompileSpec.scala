@@ -69,6 +69,10 @@ class CodegenCompileSpec extends AnyFunSuite {
     compileAndCompare(
       HyperplaneBuckets(dArr, Seq(Seq(1.0, -1.0, 0.5), Seq(-0.5, 2.0, 1.0)), planesPerBand = 1), vec)
     compileAndCompare(BloomContains(lng, Array.fill(16)(-1L), 5), key)
+    compileAndCompare(MergeAdjacentPair(sArr, "the", "cat"), toks)
+    compileAndCompare(MergeAdjacentPair(sArr, "x", "y"), toks) // no-match pass-through
+    compileAndCompare(MergeAdjacentPair(sArr, "a", "a"),
+      InternalRow(strArr("a", "a", "a"))) // greedy overlap: [aa, a]
     // decomposed e + combining acute (NFC composes), ligature ﬁ (NFKC expands)
     val messy = InternalRow(UTF8String.fromString("cafe\u0301 \uFB01sh"))
     compileAndCompare(UnicodeNormalize(str, "NFC"), messy)

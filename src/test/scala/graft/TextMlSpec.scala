@@ -39,6 +39,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(viaSql == "café")
   }
 
+  test("BPE training: hand-checked merges on the classic low/lower/lowest corpus") {
+    import graft.text.Bpe
+    val corpus = Seq("low low low", "lower lowest").toDF("text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // (l,o) and (o,w) tie at 5 → lexicographic picks (l,o); then (lo,w)=5;
+    // then (low,e)=2; every remaining pair is a singleton → early stop
+    assert(merges == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+
+    // greedy overlap through the DataFrame path: aaaa + rule (a,a) → [aa, aa]
+    import org.apache.spark.sql.graft.ExprColumn
+    val syms = Seq(Seq("a", "a", "a", "a")).toDF("syms")
+    val out = syms.select(ExprColumn(
+      graft.plans.MergeAdjacentPair(ExprColumn.expr(col("syms")), "a", "a")).as("m"))
+      .as[Seq[String]].head()
+    assert(out == Seq("aa", "aa"))
+
+    // empty corpus degrades to zero rules, not a crash
+    assert(Bpe.trainMerges(corpus.filter(lit(false)), "text", 3).count() == 0)
+  }
+
   test("shingles") {
     val df = Seq("a b c d").toDF("text")
     val ws = df.select(TextFunctions.wordShingles(col("text"), 2)).as[Seq[String]].head()
