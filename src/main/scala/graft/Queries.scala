@@ -3035,6 +3035,57 @@ object Queries {
     },
     Some(bpeOracleSql(8)))
 
+  /** Real video demux (multimodal pipeline op): the pure-JVM AVI/RIFF
+    * demuxer over synthetic uncompressed-DIB payloads — stream metadata +
+    * every-2nd-frame sampling with mean luminance. Pseudo-mp4 payloads
+    * (no JDK codec) decode as zero frames — data, not errors. All frame
+    * means are dyadic (k/256), so the double sums are exact and
+    * order-independent: no rounding needed on either side. */
+  val q95_video = Q(
+    "q95_video",
+    (s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300).filter(col("media_type") === "video")
+      val info = Multimodal.decodeVideoInfo(media)
+      val frames = Multimodal.sampleVideoFrames(media, 2)
+      val infoAgg = info.groupBy(col("format")).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("video_frames")).cast("long").as("total_frames"),
+        sum(col("video_width")).cast("long").as("sum_width"))
+      val frameAgg = frames.groupBy(col("format")).agg(
+        count(lit(1)).cast("long").as("n_sampled"),
+        sum(col("frame_mean")).as("mean_sum"))
+      infoAgg.join(frameAgg, Seq("format"), "left")
+        .select(
+          col("format"), col("n"), col("total_frames"), col("sum_width"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("mean_sum"), lit(0.0)).as("mean_sum"))
+        .orderBy("format")
+    },
+    Some("""WITH vid AS (
+              SELECT range AS i, (range // 3) AS sub FROM range(300) WHERE range % 3 = 2),
+            info AS (
+              SELECT i, sub,
+                     CASE WHEN i % 6 = 2 THEN 'avi' ELSE 'mp4' END AS format,
+                     CASE WHEN i % 6 = 2 THEN 16 + (sub % 3) * 8 ELSE 0 END AS w,
+                     CASE WHEN i % 6 = 2 THEN 2 + (sub % 4) ELSE 0 END AS nf
+              FROM vid),
+            frames AS (
+              SELECT 'avi' AS format, ((i * 11 + u.j * 31) % 256) / 256.0 AS fm
+              FROM info, UNNEST(range(0, CAST(nf AS BIGINT), 2)) AS u(j)
+              WHERE i % 6 = 2),
+            ia AS (
+              SELECT format, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(nf) AS BIGINT) AS total_frames,
+                     CAST(SUM(w) AS BIGINT) AS sum_width
+              FROM info GROUP BY 1),
+            fa AS (
+              SELECT format, CAST(COUNT(*) AS BIGINT) AS n_sampled, SUM(fm) AS mean_sum
+              FROM frames GROUP BY 1)
+            SELECT i.format, i.n, i.total_frames, i.sum_width,
+                   COALESCE(f.n_sampled, 0) AS n_sampled,
+                   COALESCE(f.mean_sum, 0.0) AS mean_sum
+            FROM ia i LEFT JOIN fa f USING (format) ORDER BY format"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3057,5 +3108,5 @@ object Queries {
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
-    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train)
+    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video)
 }

@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * per-row function, so at 100 TB this runs at scan speed with the codec
   * as the only cost.
   *
-  * The image and audio kernels are REAL, JDK-only codecs: `javax.imageio`
-  * decodes/encodes PNG, BMP, GIF and JPEG, and `javax.sound.sampled`
-  * parses WAV/AIFF/AU headers — no external libraries. Only video remains
-  * plumbing-only (`sampleFrames` emits the frame-index explode shape a
-  * real demuxer would fill): the JDK ships no video codec, so video
-  * payloads stay opaque and decode as (0, 0) / zero features.
+  * The image, audio AND video kernels are REAL, JDK-only codecs:
+  * `javax.imageio` decodes/encodes PNG, BMP, GIF and JPEG;
+  * `javax.sound.sampled` parses WAV/AIFF/AU headers; and the AVI container
+  * with uncompressed BI_RGB frames is demuxed natively (RIFF chunk
+  * framing — `Codec.videoInfo` / `videoFrameMeans`). Compressed video
+  * streams (mp4/h264 — no JDK codec exists) stay opaque and decode as
+  * zero frames: undecodable rows are data, not errors.
   */
 object Multimodal {
 
@@ -170,6 +171,142 @@ object Multimodal {
       AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+
+    // ---- AVI container (RIFF) — pure-JVM video path ------------------
+    //
+    // The JDK ships no compressed video codec, but the AVI *container* with
+    // uncompressed BI_RGB ("DIB ") frames is just RIFF chunk framing — a
+    // format every ffmpeg-era tool reads and writes (`-c:v rawvideo`). That
+    // makes real, oracle-checkable video plumbing possible with zero
+    // dependencies: parse the header for stream metadata, walk the `movi`
+    // list for frames, and read raw bottom-up BGR pixel rows. Compressed
+    // streams (anything with a non-zero biCompression) still decode as
+    // "no frames" — opaque payloads remain data, not errors.
+
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Video stream metadata: (width, height, fps, nFrames) from the AVI
+      * main header + a `movi` frame-chunk walk; None for anything that is
+      * not an uncompressed-DIB AVI. */
+    def videoInfo(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (payload == null || payload.length < 24) return None
+      try {
+        if (tag(payload, 0) != "RIFF" || tag(payload, 8) != "AVI ") return None
+        var w = 0; var h = 0; var usec = 0; var compression = -1
+        var frames = 0
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = tag(payload, off)
+            val sz = le32(payload, off + 4)
+            if (sz < 0 || off + 8 + sz > end) return
+            id match {
+              case "LIST" =>
+                walk(off + 12, off + 8 + sz) // skip the 4-byte list type
+              case "avih" if sz >= 40 =>
+                usec = le32(payload, off + 8)
+                w = le32(payload, off + 8 + 32)
+                h = le32(payload, off + 8 + 36)
+              case "strf" if sz >= 40 =>
+                compression = le32(payload, off + 8 + 16)
+              case c if c.endsWith("db") || c.endsWith("dc") =>
+                frames += 1
+              case _ => ()
+            }
+            off += 8 + sz + (sz & 1) // chunks pad to even
+          }
+        }
+        walk(12, payload.length)
+        if (w <= 0 || h <= 0 || usec <= 0 || compression != 0) None
+        else Some((w, h, (1000000 + usec / 2) / usec, frames))
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
+    /** Demux every `everyNth`-th frame and return (frameIndex,
+      * meanLuminance/256) — the mean over the frame's pixel channel bytes,
+      * row padding excluded. Non-AVI payloads → empty. */
+    def videoFrameMeans(payload: Array[Byte], everyNth: Int): Seq[(Int, Double)] = {
+      require(everyNth > 0, "everyNth must be positive")
+      videoInfo(payload) match {
+        case None => Seq.empty
+        case Some((w, h, _, _)) =>
+          val stride = ((w * 3 + 3) / 4) * 4
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+          var frame = 0
+          def walk(start: Int, end: Int): Unit = {
+            var off = start
+            while (off + 8 <= end) {
+              val id = tag(payload, off)
+              val sz = le32(payload, off + 4)
+              if (sz < 0 || off + 8 + sz > end) return
+              if (id == "LIST") walk(off + 12, off + 8 + sz)
+              else if (id.endsWith("db") || id.endsWith("dc")) {
+                if (frame % everyNth == 0 && sz >= stride * h) {
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    val row = off + 8 + y * stride
+                    var x = 0
+                    while (x < w * 3) { sum += payload(row + x) & 0xff; x += 1 }
+                    y += 1
+                  }
+                  out += ((frame, sum.toDouble / (w.toLong * h * 3) / 256.0))
+                }
+                frame += 1
+              }
+              off += 8 + sz + (sz & 1)
+            }
+          }
+          walk(12, payload.length)
+          out.toSeq
+      }
+    }
+
+    /** Minimal uncompressed-DIB AVI writer: one video stream, `fps`
+      * frames/s, each frame solid gray `frameGrays(j)` — closed-form
+      * frames keep every decoded property analytic for the oracle while
+      * exercising the full container round-trip. */
+    def solidGrayAvi(width: Int, height: Int, fps: Int, frameGrays: Seq[Int]): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0)
+      val stride = ((width * 3 + 3) / 4) * 4
+      val frameSize = stride * height
+      val bos = new java.io.ByteArrayOutputStream()
+      def s4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      def i4(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff); bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      def i2(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      val n = frameGrays.length
+      val strlSize = 4 + 8 + 56 + 8 + 40
+      val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+      val moviSize = 4 + n * (8 + frameSize)
+      val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+      s4("RIFF"); i4(riffSize); s4("AVI ")
+      s4("LIST"); i4(hdrlSize); s4("hdrl")
+      s4("avih"); i4(56)
+      i4(1000000 / fps); i4(frameSize * fps); i4(0); i4(0x10) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10 = AVIF_ISINTERLEAVED
+      i4(n); i4(0); i4(1); i4(frameSize); i4(width); i4(height)
+      i4(0); i4(0); i4(0); i4(0)
+      s4("LIST"); i4(strlSize); s4("strl")
+      s4("strh"); i4(56)
+      s4("vids"); s4("DIB "); i4(0); i2(0); i2(0); i4(0)
+      i4(1); i4(fps); i4(0); i4(n); i4(frameSize); i4(-1); i4(0)
+      i2(0); i2(0); i2(width); i2(height)
+      s4("strf"); i4(40)
+      i4(40); i4(width); i4(height); i2(1); i2(24); i4(0) // BI_RGB
+      i4(frameSize); i4(0); i4(0); i4(0); i4(0)
+      s4("LIST"); i4(moviSize); s4("movi")
+      frameGrays.foreach { gray =>
+        s4("00db"); i4(frameSize)
+        val row = new Array[Byte](stride)
+        java.util.Arrays.fill(row, 0, width * 3, (gray & 0xff).toByte)
+        var y = 0
+        while (y < height) { bos.write(row); y += 1 }
+      }
+      bos.toByteArray
+    }
   }
 
   /** Decode image metadata: binary payload → (width, height) columns.
@@ -235,21 +372,65 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling plumbing for video: emit one row per sampled frame
-    * index — the explode shape a real demuxer would fill with frame bytes
-    * (the JDK ships no video codec; this is the one remaining stub). */
+  /** Frame-index sampling over an already-known frame count: emit one row
+    * per sampled index. The metadata-only path — use [[sampleVideoFrames]]
+    * when the payload itself must be demuxed. */
   def sampleFrames(df: DataFrame, everyNthFrame: Int, totalFramesCol: String): DataFrame =
     df.withColumn(
       "frame_index",
       explode(sequence(lit(0), greatest(col(totalFramesCol) - 1, lit(0)), lit(everyNthFrame))))
+
+  /** Decode video stream metadata: payload → (video_width, video_height,
+    * video_fps, video_frames); zeros for anything that is not an
+    * uncompressed-DIB AVI. Header walk only — no pixel reads. */
+  def decodeVideoInfo(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("video_width", IntegerType), StructField("video_height", IntegerType),
+      StructField("video_fps", IntegerType), StructField("video_frames", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, fps, n) = Codec.videoInfo(r.getAs[Array[Byte]](idx)).getOrElse((0, 0, 0, 0))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, fps, n))
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling: demux every nth frame from the AVI payload and
+    * emit one row per sampled frame with its mean luminance (pixel channel
+    * bytes / 256 — dyadic-exact for integer grays). Undecodable payloads
+    * emit zero rows; partition-local flatMap, no shuffle. */
+  def sampleVideoFrames(
+      df: DataFrame,
+      everyNthFrame: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_index", IntegerType),
+      StructField("frame_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Codec.videoFrameMeans(r.getAs[Array[Byte]](idx), everyNthFrame).map {
+          // Seq[Any], not Seq(fi, mean): weak conformance would unify the
+          // mixed Int/Double to Seq[Double] and silently box fi as a Double
+          case (fi, mean) => Row.fromSeq(r.toSeq ++ Seq[Any](fi, mean))
+        }
+      }
+    }(enc)
+  }
 
   /** Deterministic REAL-payload media table: for id i,
     *  - i % 3 == 0 → a solid-gray image, format png/bmp/gif by (i/3) % 3,
     *    width 8 + (i/3 % 5)·4, height 6 + (i/3 % 3)·2, gray (i·7) % 256;
     *  - i % 3 == 1 → a silent WAV of 1024·(1 + i % 5) frames at 8192 Hz
     *    (duration (1 + i % 5)/8 s — dyadic, so double math is exact);
-    *  - i % 3 == 2 → an opaque pseudo-video payload (md5 bytes; no JDK
-    *    video codec exists, and undecodable rows are part of the contract).
+    *  - i % 3 == 2 and i even → a REAL uncompressed-DIB AVI, width
+    *    16 + (i/3 % 3)·8, height 12, 8 fps, 2 + (i/3 % 4) frames, frame j
+    *    solid gray (i·11 + j·31) % 256;
+    *  - i % 3 == 2 and i odd → an opaque pseudo-mp4 payload (md5 bytes;
+    *    undecodable rows are part of the contract).
     * Every decoded property is a closed-form function of i, which is what
     * lets q33's oracle recompute the expected aggregates analytically in
     * SQL, independent of the codec. Payload generation runs on executors
@@ -268,7 +449,17 @@ object Multimodal {
             (Codec.solidGrayImage(w, h, ((i * 7) % 256).toInt, fmt), "image", fmt)
           case 1 =>
             (Codec.silentWav(1024 * (1 + (i % 5).toInt)), "audio", "wav")
+          case _ if i % 6 == 2 =>
+            // real uncompressed-DIB AVI: frame j is solid gray
+            // (i·11 + j·31) % 256 — every demuxed property stays analytic
+            val sub = (i / 3).toInt
+            val w = 16 + (sub % 3) * 8
+            val n = 2 + (sub % 4)
+            val grays = (0 until n).map(j => ((i * 11 + j * 31) % 256).toInt)
+            (Codec.solidGrayAvi(w, 12, 8, grays), "video", "avi")
           case _ =>
+            // opaque compressed-codec stand-in: undecodable payloads are
+            // routine at corpus scale and must flow through as data
             val md = java.security.MessageDigest.getInstance("MD5")
             (md.digest(i.toString.getBytes("UTF-8")), "video", "mp4")
         }

@@ -927,6 +927,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("frame_index").as[Int].collect().toSeq == Seq(0, 3, 6, 9))
   }
 
+  test("AVI round-trip: write solid-gray DIB frames, demux header + frame means exactly") {
+    import Multimodal.Codec
+    // width 10 forces row padding (30 → 32-byte stride): the mean must
+    // exclude pad bytes or this value breaks
+    val avi = Codec.solidGrayAvi(10, 4, 8, Seq(64, 128, 255))
+    assert(Codec.videoInfo(avi).contains((10, 4, 8, 3)))
+    assert(Codec.videoFrameMeans(avi, 1) ==
+      Seq((0, 64 / 256.0), (1, 128 / 256.0), (2, 255 / 256.0)))
+    assert(Codec.videoFrameMeans(avi, 2) == Seq((0, 64 / 256.0), (2, 255 / 256.0)))
+    // non-AVI payloads: no frames, no info, no crash
+    assert(Codec.videoInfo("not a riff".getBytes) == None)
+    assert(Codec.videoInfo(null) == None)
+    assert(Codec.videoFrameMeans(Array[Byte](1, 2, 3), 1) == Seq.empty)
+    // ImageIO must NOT claim the AVI (keeps q33's image column zeros honest)
+    assert(Codec.imageDims(avi) == ((0, 0)))
+
+    // DataFrame path over synthetic media: every decoded property matches
+    // the generator's closed form; pseudo-mp4 payloads emit zero frames
+    val media = Multimodal.syntheticMedia(spark, 36).filter($"media_type" === "video")
+    val info = Multimodal.decodeVideoInfo(media)
+      .select("media_id", "video_width", "video_height", "video_fps", "video_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    info.foreach { case (i, t) =>
+      val sub = (i / 3).toInt
+      val expect =
+        if (i % 6 == 2) (16 + (sub % 3) * 8, 12, 8, 2 + (sub % 4)) else (0, 0, 0, 0)
+      assert(t == expect, s"media $i")
+    }
+    val frames = Multimodal.sampleVideoFrames(media, 2)
+      .select("media_id", "frame_index", "frame_mean")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { case ((i, j), mean) =>
+      assert(i % 6 == 2, s"undecodable media $i must emit no frames")
+      assert(j % 2 == 0)
+      assert(mean == ((i * 11 + j * 31) % 256) / 256.0, s"media $i frame $j")
+    }
+  }
+
   test("resize re-encodes a real PNG at target dims; solid gray survives bilinear") {
     val media = Multimodal.syntheticMedia(spark, 12)
     val out = Multimodal.resizeImages(media, 32, 16)
