@@ -3086,6 +3086,48 @@ object Queries {
                    COALESCE(f.mean_sum, 0.0) AS mean_sum
             FROM ia i LEFT JOIN fa f USING (format) ORDER BY format"""))
 
+  /** Structured Streaming end-to-end with a BATCH ORACLE (SURVEY §2.12
+    * extension, first oracle-green streaming row): the events table is
+    * re-read as a file STREAM, runs through the watermarked 6-hour tumbling
+    * window aggregation, drains under `Trigger.AvailableNow` into a memory
+    * sink, and the final table must equal DuckDB's batch group-by of the
+    * same bucketing — streaming and batch semantics coincide on bounded
+    * input, and any watermark/window bug diverges the hash. Complete output
+    * mode deliberately: append would withhold every window not yet past the
+    * watermark at end-of-stream (the classic silent-empty-tail trap); at
+    * production scale the same pipeline runs append + RocksDB state. */
+  val q96_stream_agg = Q(
+    "q96_stream_agg",
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source monitors a DIRECTORY; expose the single
+      // events file through a temp dir via symlink (no copy)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q96")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamOps.windowedAggregate(
+        stream, "ts", "6 hours", None, watermark = "1 hour",
+        groupColumns = Seq("event_type"), aggName = "count", valueColumn = "value")
+      val qname = s"graft_q96_${streamRuns.incrementAndGet()}" // bench runs twice
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname).select(
+        col("window.start").cast("long").as("win_start"),
+        col("event_type"),
+        col("value").cast("long").as("n"))
+        .orderBy("win_start", "event_type")
+    },
+    Some("""SELECT CAST((epoch_us(ts) // 21600000000) * 21600 AS BIGINT) AS win_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3108,5 +3150,5 @@ object Queries {
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
-    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video)
+    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg)
 }
