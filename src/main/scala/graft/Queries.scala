@@ -2993,7 +2993,7 @@ object Queries {
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
   private val wsSql = """'\s+'"""
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeRoundsSql(k: Int): String = {
     val base = s"""w0 AS (
         SELECT regexp_extract_all(word, '.') AS syms, COUNT(*) AS cnt
         FROM (SELECT u.word AS word
@@ -3011,10 +3011,13 @@ object Queries {
                                        ELSE list_concat(acc, x) END) AS syms, w.cnt AS cnt
               FROM w${r - 1} w, b$r b)"""
     }.mkString
+    base + rounds
+  }
+  private def bpeOracleSql(k: Int): String = {
     val union = (1 to k)
       .map(r => s"SELECT $r AS rank, l, r2 AS r, c AS cnt FROM b$r")
       .mkString(" UNION ALL ")
-    s"""WITH $base$rounds
+    s"""WITH ${bpeRoundsSql(k)}
         SELECT CAST(rank AS BIGINT) AS rank, l, r, CAST(cnt AS BIGINT) AS cnt
         FROM ($union) ORDER BY rank"""
   }
@@ -3128,6 +3131,58 @@ object Queries {
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** BPE encoding with the learned merges (training-data pipeline op): the
+    * 8 rules from q94 applied corpus-wide as a pure map-side projection
+    * (chained codegen merge nodes inside a per-word lambda), then the token
+    * histogram. The oracle re-derives the same merges AND the final symbol
+    * table in SQL and takes the histogram from the word table — identical
+    * numbers through a completely different factoring (per-doc encode vs
+    * weighted word-table fanout). */
+  val q97_bpe_encode = Q(
+    "q97_bpe_encode",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(d, "text", numMerges = 8)
+        .orderBy("rank")
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq
+      graft.text.Bpe.encode(d, "text", merges)
+        // house rule: explode(array_compact(attribute)), never the bare
+        // expensive projected attribute (q78 pushdown-duplication trap)
+        .select(explode(array_compact(col("bpe_tokens"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy("token")
+    },
+    Some(s"""WITH ${bpeRoundsSql(8)}
+             SELECT u.tok AS token, CAST(SUM(cnt) AS BIGINT) AS cnt
+             FROM w8, UNNEST(w8.syms) AS u(tok) GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-domain document caps (training-data pipeline op): keep at most 20
+    * docs per source, chosen by deterministic content-keyed hash order (the
+    * CommonCrawl "domain quota" step — prevents any single domain from
+    * dominating the mix; hash order makes the quota stable across corpus
+    * refreshes instead of keeping whichever rows arrive first). */
+  val q98_domain_cap = Q(
+    "q98_domain_cap",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling
+        .capPerGroup(d, Seq("source"), 20, orderBy = Seq(
+          knuthUniform(col("doc_id"), "cap"), col("doc_id")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ranked AS (
+               SELECT source, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY ${knuthUniformSql("doc_id", "cap")}, doc_id) AS rn
+               FROM documents)
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3150,5 +3205,5 @@ object Queries {
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
-    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg)
+    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap)
 }

@@ -78,6 +78,24 @@ object Bpe {
     learned.toSeq.toDF("rank", "l", "r", "cnt")
   }
 
+  /** Encode text with an already-learned merge list: per word, start from
+    * single characters and apply every rule in rank order — k chained
+    * [[MergeAdjacentPair]] nodes inside a `transform` lambda (per-word work
+    * belongs in the lambda; the rules are plan constants riding as codegen
+    * reference objects). Pure map-side projection: encoding 100 TB is a
+    * scan, the merge table being driver-small by construction. Adds
+    * `bpe_tokens` (array<string>). */
+  def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val words = TextFunctions.tokens(TextFunctions.normalize(col(textCol)))
+    val encodedWords = transform(words, w => {
+      val chars = regexp_extract_all(w, lit("(.)"), lit(1))
+      merges.foldLeft(chars) { case (acc, (l, r)) =>
+        ExprColumn(MergeAdjacentPair(ExprColumn.expr(acc), l, r))
+      }
+    })
+    df.withColumn("bpe_tokens", flatten(encodedWords))
+  }
+
   /** Weighted adjacent-pair counts of a word table — the per-round
     * aggregation. Single-symbol words drop out before the fanout. */
   def pairCounts(words: DataFrame): DataFrame =

@@ -151,6 +151,27 @@ object Sampling {
       .drop("__graft_pr")
   }
 
+  /** Per-group document cap: keep at most `maxPerGroup` rows per group, in
+    * the caller's deterministic order (pass a content-keyed hash column to
+    * make the quota stable across corpus refreshes — the CommonCrawl
+    * "domain quota" step). One window shuffle on the group columns; rank
+    * computation streams over each sorted group, so a hot domain costs its
+    * own sort, never a global one. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      maxPerGroup: Int,
+      orderBy: Seq[Column]): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    require(groupCols.nonEmpty, "capPerGroup needs group columns")
+    require(orderBy.nonEmpty, "capPerGroup needs a deterministic order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= maxPerGroup)
+      .drop("__graft_rn")
+  }
+
   /** Scale path of `filterByQuantile`: one approx_percentile aggregation
     * computes a per-stratum threshold (broadcast back), then a map-side
     * filter — no global window, so the 100 TB corpus never sorts. The

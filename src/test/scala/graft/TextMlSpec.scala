@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.{Dedup, TextFunctions}
+import graft.text.{Dedup, Sampling, TextFunctions}
 import graft.ml.Similarity
 import graft.multimodal.Multimodal
 
@@ -58,6 +58,30 @@ class TextFunctionsSpec extends SparkSpec {
 
     // empty corpus degrades to zero rules, not a crash
     assert(Bpe.trainMerges(corpus.filter(lit(false)), "text", 3).count() == 0)
+
+    // encoding applies the learned rules in rank order, per word
+    val enc = Bpe.encode(corpus, "text", Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+      .select(col("text"), col("bpe_tokens"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("low low low") == Seq("low", "low", "low"))
+    assert(enc("lower lowest") == Seq("lowe", "r", "lowe", "s", "t"))
+    // no rules → plain character split
+    assert(Bpe.encode(corpus, "text", Nil)
+      .select(col("bpe_tokens")).as[Seq[String]].head().take(3) == Seq("l", "o", "w"))
+  }
+
+  test("capPerGroup keeps a deterministic quota per group") {
+    val d = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val capped = Sampling.capPerGroup(d, Seq("grp"), 5, Seq(col("id").desc))
+    val byGrp = capped.collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).sorted.toSeq)
+    assert(byGrp.values.forall(_.size == 5))
+    // desc order: group g0 holds the 5 largest multiples of 3
+    assert(byGrp("g0") == Seq(87L, 90L, 93L, 96L, 99L))
+    // groups smaller than the cap survive whole
+    assert(Sampling.capPerGroup(d.filter($"id" <= 4), Seq("grp"), 5, Seq(col("id"))).count() == 4)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(d, Seq("grp"), 5, Nil)
+    }
   }
 
   test("shingles") {
