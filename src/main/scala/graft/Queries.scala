@@ -3183,6 +3183,63 @@ object Queries {
              SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
              FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1"""))
 
+  /** Robust MAD outlier tagging (telemetry-cleaning op): per event type,
+    * |value − median| > 3·MAD. Both engines compute median/MAD from
+    * identical doubles with the same interpolation rule, so the boundary
+    * comparison is deterministic; outputs are exact counts + rounded
+    * robust statistics. */
+  val q99_mad_outliers = Q(
+    "q99_mad_outliers",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Outliers.madOutliers(e, "value", Seq("event_type"), k = 3.0)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("is_outlier").cast("long")).cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (
+              SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY 1),
+            mad AS (
+              SELECT e.event_type, MEDIAN(ABS(e.value - med.m)) AS d
+              FROM events e JOIN med USING (event_type) GROUP BY 1)
+            SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ABS(e.value - med.m) > mad.d * 3.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM events e JOIN med USING (event_type) JOIN mad ON mad.event_type = e.event_type
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** Time-series gap filling (imputation op): hourly per-type event counts
+    * on the full observed grid, empty hours LOCF-imputed (~40 gap hours per
+    * type at sf0.01); leading gaps stay NULL — imputing them would invent
+    * data. The metric is an exact count, so imputed values are
+    * engine-deterministic. */
+  val q100_gap_fill = Q(
+    "q100_gap_fill",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.time.GapFill.locfCounts(e, "ts", Seq("event_type"), bucketSeconds = 3600L)
+        .orderBy("event_type", "bucket_start")
+    },
+    Some("""WITH c AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+            spine AS (
+              SELECT et.event_type, u.b
+              FROM (SELECT DISTINCT event_type FROM events) et,
+                   bounds, UNNEST(range(bounds.lo, bounds.hi + 1)) AS u(b)),
+            j AS (SELECT s.event_type, s.b, c.n
+                  FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.b = s.b)
+            SELECT event_type, CAST(b * 3600 AS BIGINT) AS bucket_start,
+                   CAST(last_value(n IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_filled,
+                   CAST(n IS NULL AS BIGINT) AS was_filled
+            FROM j ORDER BY event_type, bucket_start"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3205,5 +3262,6 @@ object Queries {
     q78_decontaminate, q79_redact, q80_session_tz, q81_line_dedup,
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
-    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap)
+    q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
+    q99_mad_outliers, q100_gap_fill)
 }

@@ -66,3 +66,41 @@ object Validation {
     (a.join(b, a(c1) === b(c2), "left_anti"), b.join(a, b(c2) === a(c1), "left_anti"))
   }
 }
+
+/** Robust outlier detection for telemetry/metric columns — median/MAD
+  * tagging (|x − median| > k·MAD), the standard robust alternative to
+  * z-scores (mean/stddev are themselves dragged by the outliers they are
+  * supposed to find).
+  *
+  * Exact path: two percentile aggregations per group (the median, then the
+  * median of absolute deviations), each broadcast back — a 100 TB corpus
+  * never globally sorts; each group's percentile is computed by the
+  * aggregate. `approx = true` swaps in approx_percentile for both (the
+  * approximation moves the THRESHOLD, never corrupts kept rows).
+  */
+object Outliers {
+
+  /** Adds `is_outlier` (boolean). NULL values are never outliers. */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double,
+      approx: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    def pct(c: Column): Column =
+      if (approx) approx_percentile(c, lit(0.5), lit(10000)) else percentile(c, lit(0.5))
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*).agg(pct(col(valueCol)).as("__graft_med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed
+      .groupBy(gcols: _*)
+      .agg(pct(abs(col(valueCol) - col("__graft_med"))).as("__graft_mad"))
+    withMed
+      .join(broadcast(mad), groupCols)
+      .withColumn(
+        "is_outlier",
+        coalesce(abs(col(valueCol) - col("__graft_med")) > col("__graft_mad") * k, lit(false)))
+      .drop("__graft_med", "__graft_mad")
+  }
+}

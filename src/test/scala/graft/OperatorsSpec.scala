@@ -198,3 +198,41 @@ class DatasetExprSpec extends SparkSpec {
     assert(e2.getMessage.contains("interval bound"))
   }
 }
+
+class OutliersGapFillSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("MAD outliers: hand-checked median/MAD tagging; nulls never flagged") {
+    // group g: values 1,2,3,100 → median 2.5, deviations .5,.5,1.5,97.5
+    // → MAD 1.0 → only 100 exceeds 3·MAD
+    val d = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Some(100.0)), ("g", None)).toDF("k", "v")
+    val out = graft.operators.Outliers.madOutliers(d, "v", Seq("k"), k = 3.0)
+      .collect().map(r => r.isNullAt(1) -> (if (r.isNullAt(1)) false else r.getDouble(1) == 100.0,
+        r.getBoolean(2))).toSeq
+    val flagged = out.collect { case (_, (is100, o)) if o => is100 }
+    assert(flagged == Seq(true), "exactly the 100.0 row is an outlier")
+    // approx path agrees on this tiny frame
+    val approx = graft.operators.Outliers.madOutliers(d, "v", Seq("k"), 3.0, approx = true)
+    assert(approx.filter(col("is_outlier")).select("v").as[Double].collect().toSeq == Seq(100.0))
+  }
+
+  test("LOCF gap fill: imputes interior gaps, leaves leading gaps NULL") {
+    val ts = (b: Long, n: Int) => (0 until n).map(i => b * 3600 + i * 60)
+    // key a: buckets 0 (2 events) and 2 (1) — bucket 1 imputes to 2;
+    // key b: only bucket 2 — buckets 0/1 stay NULL (leading gap)
+    val rows = (ts(0, 2) ++ ts(2, 1)).map(s => ("a", s)) ++ ts(2, 3).map(s => ("b", s))
+    val d = rows.toDF("k", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.time.GapFill.locfCounts(d, "ts", Seq("k"), 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1) / 3600,
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("a", 0L, 2L, 0L), ("a", 1L, 2L, 1L), ("a", 2L, 1L, 0L),
+      ("b", 0L, -1L, 1L), ("b", 1L, -1L, 1L), ("b", 2L, 3L, 0L)))
+    // empty input → empty grid with the right schema, not a crash
+    val empty = graft.time.GapFill.locfCounts(d.filter(lit(false)), "ts", Seq("k"), 3600L)
+    assert(empty.columns.toSeq == Seq("k", "bucket_start", "n_filled", "was_filled"))
+    assert(empty.count() == 0)
+  }
+}
