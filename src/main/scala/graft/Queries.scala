@@ -3240,6 +3240,55 @@ object Queries {
                    CAST(n IS NULL AS BIGINT) AS was_filled
             FROM j ORDER BY event_type, bucket_start"""))
 
+  /** Inverted index with capped posting lists (retrieval-infrastructure
+    * op): token → doc_freq + first-10 postings in id order. The cap is
+    * enforced by a window BEFORE any list materializes — stopword tokens
+    * never build corpus-sized arrays. */
+  val q101_inverted_index = Q(
+    "q101_inverted_index",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      TextFunctions.invertedIndex(d, "doc_id", "text", maxPostings = 10)
+        .select(col("token"), col("doc_freq").cast("long").as("doc_freq"), col("postings"))
+        .orderBy("token")
+    },
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id, u.token AS token
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+                    FROM documents) t, UNNEST(t.tk) AS u(token)),
+            ranked AS (
+              SELECT doc_id, token,
+                     ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY token) AS doc_freq
+              FROM toks)
+            SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM ranked WHERE rn <= 10 GROUP BY token, doc_freq ORDER BY token"""))
+
+  /** Temperature-based language rebalancing (mT5/XLM-R τ=2): high-resource
+    * languages downsample to sqrt-proportional sizes, the rarest keeps
+    * 100%. τ=2 on purpose — sqrt is IEEE-correctly-rounded on both engines,
+    * unlike a libm pow (the q90 floor-log2 lesson, applied to exponents). */
+  val q102_temperature_mix = Q(
+    "q102_temperature_mix",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling
+        .temperatureSample(d, "doc_id", "lang", seed = "temp", uniform = knuthUniform)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_kept"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             mn AS (SELECT MIN(n) AS nmin FROM cnt),
+             rates AS (SELECT lang, SQRT(CAST(nmin AS DOUBLE) / n) AS r FROM cnt, mn)
+             SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    CAST(SUM(n_chars) AS BIGINT) AS chars
+             FROM documents d JOIN rates ON rates.lang = d.lang
+             WHERE ${knuthUniformSql("d.doc_id", "temp")} < rates.r
+             GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3263,5 +3312,5 @@ object Queries {
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
     q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
-    q99_mad_outliers, q100_gap_fill)
+    q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix)
 }

@@ -151,6 +151,35 @@ object Sampling {
       .drop("__graft_pr")
   }
 
+  /** Temperature-based corpus rebalancing (mT5/XLM-R style): downsample
+    * high-resource strata so sizes follow p^(1/τ) proportions without
+    * duplicating rare-stratum rows — keep rate r_g = (n_min / n_g)^(1/τ)
+    * with the rarest stratum kept whole.
+    *
+    * τ is fixed at 2, deliberately: the exponent becomes sqrt, which IEEE
+    * requires to be correctly rounded — bit-identical across engines —
+    * whereas a general pow() is libm-dependent and breaks oracle hashing
+    * (the CLAUDE.md libm rule). One count aggregation broadcast back, then
+    * a map-side content-keyed Bernoulli keep — no data shuffle. */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      seed: String = "",
+      uniform: (Column, String) => Column = (c, s) => uniformHash(c, s)): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__graft_n"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("__graft_n")).as("__graft_nmin"))))
+    val rates = withMin
+      .select(
+        col(strataCol),
+        sqrt(col("__graft_nmin").cast("double") / col("__graft_n").cast("double"))
+          .as("__graft_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(uniform(col(idCol), seed) < col("__graft_rate"))
+      .drop("__graft_rate")
+  }
+
   /** Per-group document cap: keep at most `maxPerGroup` rows per group, in
     * the caller's deterministic order (pass a content-keyed hash column to
     * make the quota stable across corpus refreshes — the CommonCrawl

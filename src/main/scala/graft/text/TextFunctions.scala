@@ -413,6 +413,39 @@ object TextFunctions {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("doc_freq"))
 
+  /** Inverted index with capped posting lists: token → (doc_freq, first
+    * `maxPostings` doc ids in id order, comma-joined) — the searchable-
+    * corpus artifact behind retrieval and contamination attribution.
+    *
+    * Scale shape: the cap is enforced BEFORE any list materializes — a
+    * row_number window ranks postings per token and `doc_freq` comes from a
+    * count over the same window partition, so a stopword with 10^9 postings
+    * never builds a 10^9-element array anywhere. Two exchanges total: the
+    * per-doc distinct, then the token window; the groupBy reuses the
+    * window's hash(token) partitioning. */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val perToken = Window.partitionBy(col("token"))
+    val ranked = df
+      .select(col(idCol).as("__graft_doc"), explode(tokens(lower(col(textCol)))).as("token"))
+      .distinct()
+      .withColumn("doc_freq", count(lit(1)).over(perToken))
+      .withColumn("rn", row_number().over(perToken.orderBy(col("__graft_doc"))))
+      .filter(col("rn") <= maxPostings)
+    ranked
+      .groupBy(col("token"))
+      .agg(
+        max(col("doc_freq")).as("doc_freq"),
+        array_join(
+          transform(array_sort(collect_list(col("__graft_doc"))), d => d.cast("string")),
+          ",").as("postings"))
+  }
+
   /** BM25 relevance scores of every document against a fixed query-term
     * set (Robertson/Spärck Jones; the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
     * idf form, always positive) — the ranked-retrieval primitive for

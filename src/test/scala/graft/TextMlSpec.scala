@@ -70,6 +70,29 @@ class TextFunctionsSpec extends SparkSpec {
       .select(col("bpe_tokens")).as[Seq[String]].head().take(3) == Seq("l", "o", "w"))
   }
 
+  test("inverted index: capped postings, uncapped doc_freq, id order") {
+    val d = Seq(
+      (1L, "apple banana"), (2L, "apple"), (3L, "apple banana"),
+      (4L, "apple"), (5L, "apple apple")).toDF("doc_id", "text")
+    val idx = TextFunctions.invertedIndex(d, "doc_id", "text", maxPostings = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(idx("apple") == ((5L, "1,2,3")), "doc_freq stays uncapped; postings cap at 3 in id order")
+    assert(idx("banana") == ((2L, "1,3")))
+    // repeated token in one doc counts once (distinct per doc)
+    assert(idx.size == 2)
+  }
+
+  test("temperature sampling keeps the rarest stratum whole and sqrt-downsamples the rest") {
+    val d = ((1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "sw")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureSample(d, "doc_id", "lang", seed = "t")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("sw") == 100L, "rarest stratum rate is exactly 1.0")
+    // en rate = sqrt(100/900) = 1/3 → ~300 kept (hash Bernoulli, loose bounds)
+    assert(kept("en") > 240 && kept("en") < 360, s"en kept ${kept("en")}")
+    assert(Sampling.temperatureSample(d.filter(lit(false)), "doc_id", "lang").count() == 0)
+  }
+
   test("capPerGroup keeps a deterministic quota per group") {
     val d = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val capped = Sampling.capPerGroup(d, Seq("grp"), 5, Seq(col("id").desc))
