@@ -137,4 +137,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE greedy merge: concatenation invariant, length accounting, no surviving pair") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val ref = BoundReference(0, ArrayType(StringType), nullable = true)
+    // tiny alphabet so pairs actually occur
+    val genSym = Gen.oneOf("a", "b", "ab", "c")
+    val genArr = Gen.listOf(genSym).map(_.take(12))
+    forAll(Gen.zip(genArr, genSym, genSym)) { case (syms, l, r) =>
+      val expr = graft.plans.MergeAdjacentPair(ref, l, r)
+      val in = new GenericArrayData(syms.map(UTF8String.fromString).toArray[Any])
+      val out = expr.eval(InternalRow(in)).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+      // merging never changes the concatenated text
+      assert(out.mkString == syms.mkString, s"$syms / ($l,$r)")
+      // merges only ever shrink the array, at most halving it
+      assert(out.length <= syms.length && out.length >= (syms.length + 1) / 2)
+      // the single greedy pass leaves no adjacent (l, r) — with one rule,
+      // the merged token l+r can never equal l or r (both non-empty)
+      out.sliding(2).foreach {
+        case Seq(x, y) => assert(!(x == l && y == r), s"surviving pair in $out from $syms ($l,$r)")
+        case _ => ()
+      }
+    }
+  }
+
+  test("unicode normalization: idempotent per form, identity on ASCII") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val ref = BoundReference(0, StringType, nullable = true)
+    val genPiece = Gen.oneOf("a", "\u00e9", "e\u0301", "\uFB01", "Z", " ", "\u0301", "x\u0308y")
+    val genStr = Gen.listOf(genPiece).map(_.take(10).mkString)
+    val forms = Seq("NFC", "NFD", "NFKC", "NFKD")
+    forAll(Gen.zip(genStr, Gen.oneOf(forms))) { case (s, form) =>
+      val expr = graft.plans.UnicodeNormalize(ref, form)
+      def run(x: String): String =
+        expr.eval(InternalRow(UTF8String.fromString(x))).asInstanceOf[UTF8String].toString
+      val once = run(s)
+      assert(run(once) == once, s"not idempotent: '$s' under $form")
+      assert(once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+    }
+    forAll(Gen.alphaNumStr) { s =>
+      assert(graft.plans.UnicodeNormalize(ref, "NFKD")
+        .eval(InternalRow(UTF8String.fromString(s))).asInstanceOf[UTF8String].toString == s)
+    }
+  }
 }
