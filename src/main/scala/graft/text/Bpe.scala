@@ -49,33 +49,97 @@ object Bpe {
 
   /** Train `numMerges` BPE merge rules. Returns one row per rule:
     * (rank 1-based, l, r, cnt) in learning order. Stops early if no pair
-    * occurs at least twice (merging singletons is noise). */
-  def trainMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    * occurs at least twice (merging singletons is noise).
+    *
+    * Two execution paths with IDENTICAL semantics (spec-enforced equal):
+    * when the word table fits under `localVocabThreshold` rows, the merge
+    * rounds run driver-side over the collected table (one Spark aggregation
+    * total — the k-means-centroid pattern: driver math over a bounded
+    * aggregate, not a scheduler round-trip per rule); above it, each round
+    * is a distributed pair-count aggregation with the rule applied map-side
+    * and the table `localCheckpoint`ed per round. Tie-breaks coincide
+    * because symbols are ASCII post-`normalize` (Spark binary ordering ==
+    * Scala string ordering there). */
+  def trainMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      localVocabThreshold: Long = 1L << 17): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = df.sparkSession
     import spark.implicits._
 
     var words = wordTable(df, textCol).localCheckpoint()
+    val learned =
+      if (words.count() <= localVocabThreshold) {
+        val local = words.collect().map(r =>
+          (r.getSeq[String](0).toArray, r.getLong(1)))
+        trainMergesLocal(local, numMerges)
+      } else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        var rank = 1
+        var exhausted = false
+        while (rank <= numMerges && !exhausted) {
+          val best = pairCounts(words)
+            .orderBy(desc("c"), asc("l"), asc("r"))
+            .limit(1)
+            .collect()
+          best.headOption.filter(_.getLong(2) >= 2L) match {
+            case Some(row) =>
+              val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+              buf += ((rank, l, r, c))
+              val merged = ExprColumn(MergeAdjacentPair(ExprColumn.expr(col("syms")), l, r))
+              val next = words.select(merged.as("syms"), col("cnt")).localCheckpoint()
+              words = next
+              rank += 1
+            case None => exhausted = true
+          }
+        }
+        buf.toSeq
+      }
+    learned.toDF("rank", "l", "r", "cnt")
+  }
+
+  /** The driver-side merge loop — the same greedy algorithm, same
+    * (count desc, lexicographic) tie-break, same ≥2 stop rule. */
+  private def trainMergesLocal(
+      table: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = table
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
-    var exhausted = false
-    while (rank <= numMerges && !exhausted) {
-      val best = pairCounts(words)
-        .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(1)
-        .collect()
-      best.headOption.filter(_.getLong(2) >= 2L) match {
-        case Some(row) =>
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .headOption.filter(_._2 >= 2L)
+      best match {
+        case Some(((l, r), c)) =>
           learned += ((rank, l, r, c))
-          val merged = ExprColumn(MergeAdjacentPair(ExprColumn.expr(col("syms")), l, r))
-          val next = words.select(merged.as("syms"), col("cnt")).localCheckpoint()
-          words = next
+          words = words.map { case (syms, cnt) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, cnt)
+          }
           rank += 1
-        case None => exhausted = true
+        case None => done = true
       }
     }
-    learned.toSeq.toDF("rank", "l", "r", "cnt")
+    learned.toSeq
   }
 
   /** Encode text with an already-learned merge list: per word, start from

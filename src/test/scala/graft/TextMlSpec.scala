@@ -59,6 +59,11 @@ class TextFunctionsSpec extends SparkSpec {
     // empty corpus degrades to zero rules, not a crash
     assert(Bpe.trainMerges(corpus.filter(lit(false)), "text", 3).count() == 0)
 
+    // the distributed path (threshold 0 forces it) learns identical rules
+    val distributed = Bpe.trainMerges(corpus, "text", 10, localVocabThreshold = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(distributed == merges, "local and distributed training must coincide")
+
     // encoding applies the learned rules in rank order, per word
     val enc = Bpe.encode(corpus, "text", Seq(("l", "o"), ("lo", "w"), ("low", "e")))
       .select(col("text"), col("bpe_tokens"))
