@@ -3289,6 +3289,73 @@ object Queries {
              WHERE ${knuthUniformSql("d.doc_id", "temp")} < rates.r
              GROUP BY 1 ORDER BY 1"""))
 
+  /** In-row semi-structured extraction (SURVEY §2.10 family): the events
+    * `props` JSON column parsed with a declared schema (`from_json` —
+    * codegen'd, unlike a per-field get_json_object re-parse) and aggregated.
+    * Exact integer outputs. */
+  val q103_json_props = Q(
+    "q103_json_props",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(
+        col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("k")).cast("long").as("n_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+                   CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Corpus snapshot diff (pipeline-ops op): what changed between two
+    * corpus versions — added / removed / changed / unchanged by content
+    * comparison under a full outer join. The refresh-audit primitive behind
+    * incremental re-processing (only `changed`+`added` re-enter the
+    * pipeline). Both engines build the same synthetic "next" snapshot. */
+  val q104_snapshot_diff = Q(
+    "q104_snapshot_diff",
+    (s, dir) => {
+      val old = t(s, dir, "documents")
+      val next = old
+        .filter(col("doc_id") % 5 =!= 0) // every 5th doc removed
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2"))) // every 7th edited
+            .otherwise(col("text")))
+        .unionByName(old.limit(0)) // keep schema
+        .unionByName( // 100 new docs
+          old.filter(col("doc_id") < 100).select(
+            (col("doc_id") + 1000000L).as("doc_id"), concat(lit("new "), col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.text.Dedup.corpusDiff(old, next, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("status")
+    },
+    Some("""WITH next AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id < 100),
+            d AS (
+              SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text = n.text THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM documents o FULL OUTER JOIN next n ON o.doc_id = n.doc_id)
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3312,5 +3379,6 @@ object Queries {
     q82_dedup_keep_best, q83_repetition, q84_gopher_filter, q85_semantic_dedup,
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
     q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
-    q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix)
+    q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
+    q103_json_props, q104_snapshot_diff)
 }

@@ -749,4 +749,30 @@ object Dedup {
       .join(broadcast(confirmed), Seq("__graft_k"), "left_anti")
       .drop("__graft_k")
   }
+
+  /** Corpus snapshot diff: per id, `added` / `removed` / `changed` /
+    * `unchanged` between two corpus versions — the refresh-audit primitive
+    * behind incremental re-processing (only added+changed re-enter the
+    * pipeline). Contents are compared as `xxhash64(content)` so the full
+    * outer join shuffles 8-byte hashes, never document bodies (a hash
+    * collision mislabels a changed doc `unchanged` with probability
+    * ~2⁻⁶⁴ — the standard content-hash trade). */
+  def corpusDiff(
+      oldCorpus: DataFrame,
+      newCorpus: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldCorpus.select(
+      col(idCol).as("__graft_id"), xxhash64(col(contentCol)).as("__graft_old"))
+    val n = newCorpus.select(
+      col(idCol).as("__graft_id"), xxhash64(col(contentCol)).as("__graft_new"))
+    o.join(n, Seq("__graft_id"), "full_outer")
+      .select(
+        col("__graft_id").as(idCol),
+        when(col("__graft_old").isNull, "added")
+          .when(col("__graft_new").isNull, "removed")
+          .when(col("__graft_old") === col("__graft_new"), "unchanged")
+          .otherwise("changed")
+          .as("status"))
+  }
 }
