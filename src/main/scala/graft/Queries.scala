@@ -3356,6 +3356,31 @@ object Queries {
             SELECT status, CAST(COUNT(*) AS BIGINT) AS n
             FROM d GROUP BY 1 ORDER BY 1"""))
 
+  /** Salted skew join (SURVEY §2.3 scale family): lineitem ⋈ part through
+    * the hot-key salting path — big side salted by its own order key, small
+    * side replicated ×8 — and the result must equal the PLAIN equi-join
+    * (the oracle). Correctness of the rewrite is the point; the win shows
+    * up when one key owns a shuffle partition. */
+  val q105_salted_join = Q(
+    "q105_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      graft.operators.SkewJoin
+        .saltedEquiJoin(
+          li.withColumnRenamed("l_partkey", "p_partkey"), p,
+          Seq("p_partkey"), salts = 8, saltSource = col("l_orderkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(l.l_quantity), 2) AS sum_qty
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3380,5 +3405,5 @@ object Queries {
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
     q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
     q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
-    q103_json_props, q104_snapshot_diff)
+    q103_json_props, q104_snapshot_diff, q105_salted_join)
 }

@@ -236,3 +236,39 @@ class OutliersGapFillSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 }
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.SkewJoin
+
+  test("salted join equals the plain join; hot key spreads across salts") {
+    // one hot key (90% of rows) plus a key missing from the small side
+    val big = ((1L to 900L).map(i => (1L, i)) ++ (901L to 1000L).map(i => (i % 7 + 2, i)))
+      .toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "v")
+
+    val salted = SkewJoin.saltedEquiJoin(big, small, Seq("k"), salts = 8, saltSource = $"row_id")
+    val plain = big.join(small, Seq("k"))
+    assert(sortedRows(salted.select("k", "row_id", "v")) ==
+      sortedRows(plain.select("k", "row_id", "v")))
+
+    // left join keeps unmatched big rows exactly once
+    val saltedLeft = SkewJoin.saltedEquiJoin(
+      big, small, Seq("k"), 8, $"row_id", joinType = "left")
+    val plainLeft = big.join(small, Seq("k"), "left")
+    assert(sortedRows(saltedLeft.select("k", "row_id", "v")) ==
+      sortedRows(plainLeft.select("k", "row_id", "v")))
+
+    // the hot key's rows really do land on many salts (the whole point)
+    val spread = big.filter($"k" === 1L)
+      .withColumn("salt", pmod(xxhash64($"row_id"), lit(8L)))
+      .select("salt").distinct().count()
+    assert(spread >= 6, s"hot key spread over only $spread salts")
+
+    // right/full would duplicate unmatched small rows — refused up front
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(big, small, Seq("k"), 8, $"row_id", joinType = "right")
+    }
+  }
+}
