@@ -3381,6 +3381,72 @@ object Queries {
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Ordered conversion funnel (product-analytics op): per user, the first
+    * view, the first click strictly after it, the first purchase strictly
+    * after that — three user-keyed aggregations, each stage filtering on
+    * the previous stage's timestamp. Exact timestamp comparisons in
+    * microseconds; counts per stage. */
+  val q106_funnel = Q(
+    "q106_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val stages = Seq(("1_view", v), ("2_click_after_view", c), ("3_purchase_after_click", p))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).cast("long").as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    },
+    Some("""WITH v AS (
+              SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS c_ts
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS p_ts
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+            SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+            UNION ALL SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+            ORDER BY stage"""))
+
+  /** Cohort retention (product-analytics op): users grouped by first-seen
+    * day, retention = distinct active users at each day offset. Two
+    * aggregations (first-seen, distinct user-day activity) joined on the
+    * user key. Integer day arithmetic on epoch seconds — exact. */
+  val q107_cohort_retention = Q(
+    "q107_cohort_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("week", expr("CAST(ts AS LONG) div 86400"))
+      val firstSeen = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      val active = e.select(col("user_id"), col("week")).distinct()
+      active.join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        .select(col("cohort").cast("long").as("cohort"), col("offset").cast("long").as("offset"), col("n_users"))
+        .orderBy("cohort", "offset")
+    },
+    Some("""WITH w AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS week FROM events),
+            f AS (SELECT user_id, MIN(week) AS cohort FROM w GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, week FROM w)
+            SELECT CAST(f.cohort AS BIGINT) AS cohort,
+                   CAST(a.week - f.cohort AS BIGINT) AS "offset",
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM a JOIN f ON f.user_id = a.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3405,5 +3471,6 @@ object Queries {
     q86_bm25, q87_span_dedup, q88_dedup_incremental, q89_bloom_screen,
     q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
     q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
-    q103_json_props, q104_snapshot_diff, q105_salted_join)
+    q103_json_props, q104_snapshot_diff, q105_salted_join,
+    q106_funnel, q107_cohort_retention)
 }
