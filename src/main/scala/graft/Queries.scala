@@ -3447,6 +3447,42 @@ object Queries {
             FROM a JOIN f ON f.user_id = a.user_id
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Int8 embedding quantization (vector-compression op): per-label counts,
+    * the exact integer sum of the first quantized component, and the max
+    * per-vector reconstruction error — deterministic via floor-rounding and
+    * a fixed-order fold (no row-order double sums). */
+  val q108_quantize = Q(
+    "q108_quantize",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Quantize.int8(emb, "embedding")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(element_at(col("q8"), 1)).cast("long").as("sum_q0"),
+          max(col("recon_err")).as("max_err"))
+        .select(col("label").cast("long").as("label"), col("n"), col("sum_q0"), col("max_err"))
+        .orderBy("label")
+    },
+    Some("""WITH s AS (
+              SELECT label, embedding,
+                     CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+              FROM (SELECT label, embedding,
+                           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                    FROM embeddings)),
+            r AS (
+              SELECT label,
+                     CAST(LEAST(127, GREATEST(-127, FLOOR(CAST(embedding[1] AS DOUBLE) / scale + 0.5))) AS BIGINT) AS q0,
+                     list_reduce(
+                       list_prepend(0.0, list_transform(embedding, x ->
+                         abs(CAST(x AS DOUBLE)
+                             - LEAST(127, GREATEST(-127, FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) * scale))),
+                       (acc, x) -> acc + x) AS err
+              FROM s)
+            SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q0) AS BIGINT) AS sum_q0, MAX(err) AS max_err
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3472,5 +3508,5 @@ object Queries {
     q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
     q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
     q103_json_props, q104_snapshot_diff, q105_salted_join,
-    q106_funnel, q107_cohort_retention)
+    q106_funnel, q107_cohort_retention, q108_quantize)
 }

@@ -1199,3 +1199,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 }
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 quantization: bounded reconstruction error, exact round-trip cases, zero vectors") {
+    val d = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector
+      (3L, Seq(127.0f, -127.0f, 1.0f, 64.0f)) // scale exactly 1.0
+    ).toDF("vec_id", "embedding")
+    val out = graft.ml.Quantize.int8(d, "embedding")
+      .select("vec_id", "q8", "scale", "recon_err")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getDouble(2), r.getDouble(3)))).toMap
+
+    // maxabs element always quantizes to ±127
+    assert(out(1L)._1(1) == -127)
+    // per-element error is ≤ scale/2, so the fold is bounded by dim·scale/2
+    out.values.foreach { case (_, scale, err) => assert(err <= 4 * scale / 2 + 1e-12) }
+    // zero vector: all-zero codes, scale 1, zero error
+    assert(out(2L) == ((Seq(0, 0, 0, 0), 1.0, 0.0)))
+    // scale 1.0: integers round-trip exactly
+    assert(out(3L)._1 == Seq(127, -127, 1, 64) && out(3L)._3 == 0.0)
+  }
+}
