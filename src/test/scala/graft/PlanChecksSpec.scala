@@ -52,4 +52,52 @@ class PlanChecksSpec extends SparkSpec {
     assert(PlanChecks.broadcastJoinCount(out) == 2)
     assert(PlanChecks.shuffleCount(out) == 1) // the groupBy only
   }
+  test("sequence packing: exactly one shuffle up to the window (the group sort)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("n_tok", graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+    val packed = graft.text.Sharding
+      .packTrainingSequences(d, "doc_id", "n_tok", 256L, Seq("source"))
+    packed.collect()
+    // one exchange for the per-group window sort — nothing else
+    assert(graft.plans.PlanChecks.shuffleCount(packed) == 1)
+  }
+
+  test("BPE encode is a pure map-side projection: zero shuffles to the token explode") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val enc = graft.text.Bpe.encode(d, "text", Seq(("e", "r"), ("o", "w")))
+      .select("bpe_tokens")
+    enc.collect()
+    assert(graft.plans.PlanChecks.shuffleCount(enc) == 0, "encoding a corpus must be a scan")
+  }
+
+  test("quantization is a pure map-side projection over the parquet scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.ml.Quantize.int8(emb, "embedding")
+    q.collect()
+    assert(graft.plans.PlanChecks.shuffleCount(q) == 0)
+  }
+
+  test("salted join does not broadcast the salted small side (the regime salting is for)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").withColumnRenamed("l_partkey", "p_partkey")
+    val p = spark.read.parquet(s"$sf/part.parquet")
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = graft.operators.SkewJoin
+        .saltedEquiJoin(li, p, Seq("p_partkey"), 8, col("l_orderkey"))
+      j.collect()
+      assert(graft.plans.PlanChecks.broadcastJoinCount(j) == 0)
+      // both sides shuffle on (key, salt); the explode adds no extra exchange
+      assert(graft.plans.PlanChecks.shuffleCount(j) == 2)
+    }
+  }
+
+  private def withSqlConf[A](kvs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
