@@ -3331,7 +3331,6 @@ object Queries {
         .withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2"))) // every 7th edited
             .otherwise(col("text")))
-        .unionByName(old.limit(0)) // keep schema
         .unionByName( // 100 new docs
           old.filter(col("doc_id") < 100).select(
             (col("doc_id") + 1000000L).as("doc_id"), concat(lit("new "), col("text")).as("text"),

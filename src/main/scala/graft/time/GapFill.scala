@@ -30,10 +30,14 @@ object GapFill {
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(keyCols.nonEmpty, "locfCounts needs key columns")
+    // localCheckpoint: the bounds collect below materializes the
+    // aggregation once; without it the spine join would re-run the whole
+    // groupBy a second time (two full passes at scale)
     val bucketed = df
       .withColumn("__graft_b", expr(s"CAST($tsCol AS LONG) div $bucketSeconds"))
       .groupBy((keyCols :+ "__graft_b").map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
+      .localCheckpoint()
     val bounds = bucketed.agg(min(col("__graft_b")), max(col("__graft_b"))).collect()(0)
     if (bounds.isNullAt(0)) { // empty input → empty grid
       return df.sparkSession.createDataFrame(
@@ -45,7 +49,10 @@ object GapFill {
             org.apache.spark.sql.types.StructField("was_filled", org.apache.spark.sql.types.LongType))))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val spine = df.select(keyCols.map(col): _*).distinct()
+    // key set from the (tiny, already-materialized) aggregate — never a
+    // second scan of the raw events; a key with zero rows anywhere would
+    // not appear in the raw scan either, so the sets coincide
+    val spine = bucketed.select(keyCols.map(col): _*).distinct()
       .withColumn("__graft_b", explode(sequence(lit(lo), lit(hi))))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__graft_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
