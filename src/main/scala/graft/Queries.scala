@@ -3006,10 +3006,10 @@ object Queries {
               FROM w${r - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
       b$r AS (SELECT l, r2, c FROM p$r WHERE c >= 2 ORDER BY c DESC, l, r2 LIMIT 1),
       w$r AS (SELECT list_reduce(list_transform(w.syms, s -> [s]),
-                      (acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r2
+                      (acc, x) -> CASE WHEN b.l IS NOT NULL AND acc[len(acc)] = b.l AND x[1] = b.r2
                                        THEN list_append(acc[1:len(acc) - 1], b.l || b.r2)
                                        ELSE list_concat(acc, x) END) AS syms, w.cnt AS cnt
-              FROM w${r - 1} w, b$r b)"""
+              FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)"""
     }.mkString
     base + rounds
   }
@@ -3106,9 +3106,11 @@ object Queries {
       // the file stream source monitors a DIRECTORY; expose the single
       // events file through a temp dir via symlink (no copy)
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q96")
+      // absolute target: a relative symlink would resolve against the temp
+      // dir, not the JVM cwd, and dangle for relative data dirs
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.StreamOps.windowedAggregate(
@@ -3120,6 +3122,11 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      // the stream is fully drained into the memory sink — the temp dir
+      // and symlink are no longer referenced (each bench run would
+      // otherwise leak one)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
       s.table(qname).select(
         col("window.start").cast("long").as("win_start"),
         col("event_type"),
@@ -3389,12 +3396,15 @@ object Queries {
     "q106_funnel",
     (s, dir) => {
       val e = t(s, dir, "events")
+      // each stage frame feeds BOTH its own count and the next stage —
+      // localCheckpoint so the events scan + aggregation runs once per
+      // stage instead of once per consumer
       val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts")).localCheckpoint()
       val c = e.filter(col("event_type") === "click")
         .join(v, Seq("user_id"))
         .filter(col("ts") > col("v_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts")).localCheckpoint()
       val p = e.filter(col("event_type") === "purchase")
         .join(c, Seq("user_id"))
         .filter(col("ts") > col("c_ts"))

@@ -234,7 +234,11 @@ object Multimodal {
       videoInfo(payload) match {
         case None => Seq.empty
         case Some((w, h, _, _)) =>
-          val stride = ((w * 3 + 3) / 4) * 4
+          // long arithmetic: a hostile header can declare dwWidth ~2^31/3,
+          // overflowing an int stride into a negative that defeats the size
+          // guard below — the 'undecodable rows are data' contract must
+          // survive adversarial headers, not just well-formed ones
+          val stride = ((w.toLong * 3 + 3) / 4) * 4
           val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
           var frame = 0
           def walk(start: Int, end: Int): Unit = {
@@ -245,11 +249,11 @@ object Multimodal {
               if (sz < 0 || off + 8 + sz > end) return
               if (id == "LIST") walk(off + 12, off + 8 + sz)
               else if (id.endsWith("db") || id.endsWith("dc")) {
-                if (frame % everyNth == 0 && sz >= stride * h) {
+                if (frame % everyNth == 0 && sz.toLong >= stride * h) {
                   var sum = 0L
                   var y = 0
                   while (y < h) {
-                    val row = off + 8 + y * stride
+                    val row = off + 8 + y * stride.toInt
                     var x = 0
                     while (x < w * 3) { sum += payload(row + x) & 0xff; x += 1 }
                     y += 1
@@ -261,7 +265,8 @@ object Multimodal {
               off += 8 + sz + (sz & 1)
             }
           }
-          walk(12, payload.length)
+          try walk(12, payload.length)
+          catch { case _: IndexOutOfBoundsException => () } // truncated frame data → keep what parsed
           out.toSeq
       }
     }

@@ -80,7 +80,15 @@ object Validation {
   */
 object Outliers {
 
-  /** Adds `is_outlier` (boolean). NULL values are never outliers. */
+  /** Adds `is_outlier` (boolean). NULL values — and rows whose group key is
+    * NULL (no group statistics exist for them) — are never outliers; every
+    * input row is preserved (left joins, not inner). The two group-stat
+    * frames are `localCheckpoint`ed: they are group-cardinality tiny and
+    * each is joined against the data twice — without it the median
+    * aggregation would re-run inside the MAD pass and again in the output
+    * join. The three passes over `df` itself are inherent to exact
+    * two-pass median/MAD (cache `df` upstream if it is re-scannable only
+    * at cost). */
   def madOutliers(
       df: DataFrame,
       valueCol: String,
@@ -91,13 +99,14 @@ object Outliers {
     def pct(c: Column): Column =
       if (approx) approx_percentile(c, lit(0.5), lit(10000)) else percentile(c, lit(0.5))
     val gcols = groupCols.map(col)
-    val med = df.groupBy(gcols: _*).agg(pct(col(valueCol)).as("__graft_med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val med = df.groupBy(gcols: _*).agg(pct(col(valueCol)).as("__graft_med")).localCheckpoint()
+    val withMed = df.join(broadcast(med), groupCols, "left")
     val mad = withMed
       .groupBy(gcols: _*)
       .agg(pct(abs(col(valueCol) - col("__graft_med"))).as("__graft_mad"))
+      .localCheckpoint()
     withMed
-      .join(broadcast(mad), groupCols)
+      .join(broadcast(mad), groupCols, "left")
       .withColumn(
         "is_outlier",
         coalesce(abs(col(valueCol) - col("__graft_med")) > col("__graft_mad") * k, lit(false)))

@@ -167,7 +167,10 @@ object Sampling {
       strataCol: String,
       seed: String = "",
       uniform: (Column, String) => Column = (c, s) => uniformHash(c, s)): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__graft_n"))
+    // localCheckpoint: counts is self-joined (its own min on the other
+    // side of the crossJoin) — without it the full-corpus aggregation
+    // would execute twice (the CLAUDE.md self-join caching rule)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__graft_n")).localCheckpoint()
     val withMin = counts.crossJoin(
       broadcast(counts.agg(min(col("__graft_n")).as("__graft_nmin"))))
     val rates = withMin

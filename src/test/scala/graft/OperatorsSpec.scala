@@ -216,6 +216,14 @@ class OutliersGapFillSpec extends SparkSpec {
     // approx path agrees on this tiny frame
     val approx = graft.operators.Outliers.madOutliers(d, "v", Seq("k"), 3.0, approx = true)
     assert(approx.filter(col("is_outlier")).select("v").as[Double].collect().toSeq == Seq(100.0))
+
+    // rows with a NULL group key are preserved (not dropped by the stat
+    // joins) and never flagged
+    val withNullKey = Seq((Option("g"), Some(1.0)), (Option.empty[String], Some(9.0)))
+      .toDF("k", "v")
+    val out2 = graft.operators.Outliers.madOutliers(withNullKey, "v", Seq("k"), 3.0)
+    assert(out2.count() == 2, "every input row must survive")
+    assert(out2.filter(col("k").isNull).select("is_outlier").as[Boolean].head() == false)
   }
 
   test("LOCF gap fill: imputes interior gaps, leaves leading gaps NULL") {

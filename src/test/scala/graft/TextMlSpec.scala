@@ -992,6 +992,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Codec.videoInfo("not a riff".getBytes) == None)
     assert(Codec.videoInfo(null) == None)
     assert(Codec.videoFrameMeans(Array[Byte](1, 2, 3), 1) == Seq.empty)
+    // adversarial header: dwWidth near 2^31/3 overflows an int stride —
+    // must degrade to no frames, not an executor-killing AIOOBE
+    val hostile = {
+      val good = Codec.solidGrayAvi(4, 2, 8, Seq(0))
+      val b = good.clone()
+      val w = 715827882 // w*3 = 2147483646; int stride would wrap negative
+      val avihOff = good.indexOfSlice("avih".getBytes) + 8
+      for (i <- 0 until 4) b(avihOff + 32 + i) = ((w >> (8 * i)) & 0xff).toByte
+      b
+    }
+    assert(Codec.videoFrameMeans(hostile, 1) == Seq.empty, "hostile width must not crash")
+    // truncated movi data: parse what exists, never throw
+    val truncated = Codec.solidGrayAvi(10, 4, 8, Seq(64, 128)).dropRight(20)
+    Codec.videoFrameMeans(truncated, 1) // must not throw
     // ImageIO must NOT claim the AVI (keeps q33's image column zeros honest)
     assert(Codec.imageDims(avi) == ((0, 0)))
 
