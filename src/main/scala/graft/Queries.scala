@@ -3492,6 +3492,49 @@ object Queries {
                    CAST(SUM(q0) AS BIGINT) AS sum_q0, MAX(err) AS max_err
             FROM r GROUP BY 1 ORDER BY 1"""))
 
+  /** collect_list through the whitelist aggregation registry (SURVEY §2.4
+    * row, previously spec-only): per-region nation names, sorted then
+    * joined so the unordered collection is hash-deterministic. */
+  val q109_collect_list = Q(
+    "q109_collect_list",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      Aggregation.aggregate(n, Seq("n_regionkey"), "collect_list", "n_name", Some("names"))
+        .select(
+          col("n_regionkey").cast("long").as("n_regionkey"),
+          array_join(array_sort(col("names")), ",").as("names"))
+        .orderBy("n_regionkey")
+    },
+    Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS names
+            FROM nation GROUP BY 1 ORDER BY 1"""))
+
+  /** Invalid-file recovery (SURVEY §2.1 row, previously spec-only): a
+    * corrupt .parquet planted next to real part files must be skipped by
+    * the recovering reader, and the surviving rows must equal the clean
+    * subset — the oracle reads the ORIGINAL table, so any lost or phantom
+    * row diverges the hash. */
+  val q110_read_recovery = Q(
+    "q110_read_recovery",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val out = java.nio.file.Files.createTempDirectory("graft-q110").toString + "/data"
+      li.coalesce(2).write.mode("overwrite").parquet(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/zz_corrupt.parquet"),
+        "not a parquet file".getBytes("UTF-8"))
+      graft.sources.Readers.readWithRecovery(s, out)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3517,5 +3560,6 @@ object Queries {
     q90_lm_score, q91_split, q92_seq_pack, q93_unicode_norm, q94_bpe_train, q95_video, q96_stream_agg, q97_bpe_encode, q98_domain_cap,
     q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
     q103_json_props, q104_snapshot_diff, q105_salted_join,
-    q106_funnel, q107_cohort_retention, q108_quantize)
+    q106_funnel, q107_cohort_retention, q108_quantize,
+    q109_collect_list, q110_read_recovery)
 }
