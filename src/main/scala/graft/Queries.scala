@@ -3535,6 +3535,50 @@ object Queries {
             FROM lineitem WHERE l_orderkey % 10 = 0
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Content hashing (SURVEY §2.10 cache-key row, previously spec-only):
+    * the same SHA-256/16-hex fingerprint `query.Models.contentHash` uses
+    * for cache keys, applied as a codegen column (`sha2`) — DuckDB's
+    * `sha256` replays it byte-for-byte. */
+  val q111_content_hash = Q(
+    "q111_content_hash",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+      d.select(
+        col("doc_id").cast("long").as("doc_id"),
+        substring(sha2(col("text"), 256), 1, 16).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, substr(sha256(text), 1, 16) AS fp
+            FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+
+  /** Schema'd reader with renames/ignores (SURVEY §2.1 row, previously
+    * spec-only): customer exported to CSV, re-read through a typed
+    * `FileSchema` that renames two columns and drops one; the aggregate
+    * must equal the original table under the same aliases. */
+  val q112_file_schema = Q(
+    "q112_file_schema",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val out = java.nio.file.Files.createTempDirectory("graft-q112").toString + "/c.csv"
+      c.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      val fs = graft.core.FileSchema(
+        columns = Seq(
+          ("c_custkey", "bigint"), ("c_name", "string"), ("c_nationkey", "bigint"),
+          ("c_acctbal", "double"), ("c_mktsegment", "string")),
+        renames = Map("c_mktsegment" -> "segment", "c_acctbal" -> "balance"),
+        ignoreColumns = Seq("c_name"))
+      graft.sources.Readers
+        .applyFileSchema(graft.sources.Readers.csv(s, out, Some(fs)), fs)
+        .groupBy(col("segment"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum(col("balance")), 2).as("total_balance"))
+        .orderBy("segment")
+    },
+    Some("""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(c_acctbal), 2) AS total_balance
+            FROM customer GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3561,5 +3605,5 @@ object Queries {
     q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
     q103_json_props, q104_snapshot_diff, q105_salted_join,
     q106_funnel, q107_cohort_retention, q108_quantize,
-    q109_collect_list, q110_read_recovery)
+    q109_collect_list, q110_read_recovery, q111_content_hash, q112_file_schema)
 }
