@@ -3579,6 +3579,199 @@ object Queries {
                    ROUND(SUM(c_acctbal), 2) AS total_balance
             FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** Count-Min heavy hitters (sketch family): one-pass 4×512 counter
+    * matrix over lineitem part keys — a fixed 16 KiB artifact instead of
+    * the per-key shuffle an exact count needs — probed for the top-10
+    * exact keys so the `estimate >= exact` guarantee is visible in the
+    * output. The sketch's merge is commutative integer addition, so the
+    * matrix is DETERMINISTIC under any partitioning and the oracle replays
+    * every cell exactly: per-key xxhash64 (via `tools.OracleSql`), the
+    * Kirsch–Mitzenmacher buckets, the four bucket sums, and the min. */
+  val q113_heavy_hitters = Q(
+    "q113_heavy_hitters",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val keys = t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("k"))
+      val art = Sketches.buildCountMin(keys, array(col("k")), depth = 4, width = 512)
+      keys
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("exact"))
+        .orderBy(col("exact").desc, col("k"))
+        .limit(10)
+        .withColumn("est", Sketches.countMinEstimate(art, xxhash64(col("k"))))
+        .select(col("k").cast("long").as("partkey"), col("exact"), col("est"))
+        .orderBy("partkey")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val keys = "SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem"
+      val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__c")
+      val buckets = (0 until 4)
+        .map(i => s"CAST(((h1 + $i * h2) % 4294967296) % 512 AS BIGINT) AS g$i")
+        .mkString(", ")
+      val sums = (0 until 4)
+        .map(i => s"s$i AS (SELECT g$i, SUM(exact) AS c FROM b GROUP BY 1)")
+        .mkString(",\n            ")
+      val joins = (0 until 4).map(i => s"JOIN s$i ON top.g$i = s$i.g$i").mkString(" ")
+      s"""WITH wc AS (
+            SELECT k, kh, COUNT(*) AS exact FROM ($hashed) GROUP BY 1, 2),
+          hu AS (
+            SELECT k, exact,
+                   CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
+                        ELSE kh::HUGEINT END AS u
+            FROM wc),
+          b AS (
+            SELECT k, exact, $buckets
+            FROM (SELECT k, exact, u % 4294967296 AS h1, u // 4294967296 AS h2 FROM hu)),
+          $sums,
+          top AS (SELECT * FROM b ORDER BY exact DESC, k LIMIT 10)
+          SELECT CAST(top.k AS BIGINT) AS partkey, CAST(top.exact AS BIGINT) AS exact,
+                 CAST(LEAST(s0.c, s1.c, s2.c, s3.c) AS BIGINT) AS est
+          FROM top $joins
+          ORDER BY partkey"""
+    })
+
+  /** HyperLogLog distinct-order-keys per return flag (sketch family,
+    * p=8 → 256 registers): register table + RAW harmonic estimate beside
+    * the exact distinct count. The registers are max-merged — order
+    * independent — and the estimate folds exact dyadic 2^-M terms in
+    * register order from a fixed start, so even the double is bit-stable
+    * and the oracle replays it to the last ulp (the libm-dependent
+    * small-range correction is deliberately omitted — see
+    * `Sketches.hllEstimate`). */
+  val q114_hll_distinct = Q(
+    "q114_hll_distinct",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey").cast("string").as("k"))
+      val regs = Sketches.hllRegisters(li, Seq("flag"), xxhash64(col("k")), p = 8)
+      val est = Sketches.hllEstimate(regs, Seq("flag"), p = 8)
+      li.groupBy("flag")
+        .agg(countDistinct(col("k")).cast("long").as("exact"))
+        .join(est, Seq("flag"))
+        .select(col("flag"), col("exact"), col("registers_used"), col("hll_est"))
+        .orderBy("flag")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val scale = alpha * m.toDouble * m.toDouble
+      val keys = "SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem"
+      val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__h")
+      s"""WITH hu AS (
+            SELECT flag,
+                   CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
+                        ELSE kh::HUGEINT END AS u
+            FROM ($hashed)),
+          jr AS (
+            SELECT flag, CAST(u % $m AS BIGINT) AS j,
+                   CASE WHEN u // $m = 0 THEN 57
+                        ELSE 57 - length(bin(CAST(u // $m AS BIGINT))) END AS rho
+            FROM hu),
+          regs AS (SELECT flag, j, MAX(rho) AS mm FROM jr GROUP BY 1, 2),
+          folded AS (
+            SELECT flag, CAST(COUNT(*) AS BIGINT) AS registers_used,
+                   list_reduce(
+                     [$m.0 - COUNT(*)] || list(1.0 / (1::BIGINT << mm) ORDER BY j),
+                     (a, b) -> a + b) AS sh
+            FROM regs GROUP BY 1),
+          exact AS (
+            SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact
+            FROM lineitem GROUP BY 1)
+          SELECT e.flag, e.exact, f.registers_used, $scale / f.sh AS hll_est
+          FROM exact e JOIN folded f USING (flag)
+          ORDER BY flag"""
+    })
+
+  /** Blocked edit-distance near-duplicate pairs (record-linkage classic):
+    * candidates only from equal (brand, name-length) blocks, each verified
+    * with codegen'd levenshtein <= 1. The oracle is DuckDB's NATIVE
+    * levenshtein — an independent implementation of the same metric. */
+  val q115_edit_pairs = Q(
+    "q115_edit_pairs",
+    (s, dir) => {
+      val p = t(s, dir, "part").withColumn("len", length(col("p_name")))
+      Dedup
+        .editDistanceNearDuplicates(p, "p_partkey", "p_name", Seq("p_brand", "len"), maxDistance = 1)
+        .select(
+          col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"),
+          col("distance").cast("long").as("distance"))
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT CAST(a.p_partkey AS BIGINT) AS id1, CAST(b.p_partkey AS BIGINT) AS id2,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND length(a.p_name) = length(b.p_name)
+                 AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+            ORDER BY id1, id2"""))
+
+  /** Two-stage salted aggregation over a 3-key hot-group column (skew
+    * family, the aggregation twin of q105's salted join): stage 1 spreads
+    * each hot key across 8 salt sub-groups, stage 2 folds the partials.
+    * All aggregates are exact-typed (BIGINT sums/counts/min/max), so the
+    * result is row-identical to the plain spelling — which is exactly what
+    * the oracle runs. */
+  val q116_salted_agg = Q(
+    "q116_salted_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("qty", col("l_quantity").cast("long"))
+      Aggregation
+        .saltedAggregate(
+          li,
+          Seq("l_returnflag"),
+          Seq(
+            ("sum", "qty", "sum_qty"), ("count", "qty", "n"),
+            ("min", "qty", "min_qty"), ("max", "qty", "max_qty")),
+          salts = 8,
+          saltSource = col("l_orderkey"))
+        .select(
+          col("l_returnflag"), col("sum_qty").cast("long").as("sum_qty"),
+          col("n").cast("long").as("n"), col("min_qty").cast("long").as("min_qty"),
+          col("max_qty").cast("long").as("max_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(l_quantity) AS BIGINT) AS n,
+                   CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+                   CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** Window-function breadth (SURVEY §2.5): lag/lead/ntile/cume_dist/rank
+    * in one pass over a single per-customer window spec — one shuffle on
+    * the partition key serves all five. Raw price pass-throughs and exact
+    * rational cume_dist keep every output bit-stable. */
+  val q117_window_breadth = Q(
+    "q117_window_breadth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("ckey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cd"),
+        rank().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate")))
+          .cast("long").as("date_rank"))
+        .orderBy("okey")
+    },
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS okey, CAST(o_custkey AS BIGINT) AS ckey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   cume_dist() OVER w AS cd,
+                   CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS date_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY okey"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3605,5 +3798,7 @@ object Queries {
     q99_mad_outliers, q100_gap_fill, q101_inverted_index, q102_temperature_mix,
     q103_json_props, q104_snapshot_diff, q105_salted_join,
     q106_funnel, q107_cohort_retention, q108_quantize,
-    q109_collect_list, q110_read_recovery, q111_content_hash, q112_file_schema)
+    q109_collect_list, q110_read_recovery, q111_content_hash, q112_file_schema,
+    q113_heavy_hitters, q114_hll_distinct, q115_edit_pairs, q116_salted_agg,
+    q117_window_breadth)
 }

@@ -77,6 +77,53 @@ object Aggregation {
     df.join(peaks, groupColumns :+ valueColumn, "left_semi")
   }
 
+  /** Two-stage salted aggregation for skewed group keys — the aggregation
+    * twin of [[SkewJoin.saltedEquiJoin]]. When one hot group key would
+    * concentrate a shuffle partition, stage 1 groups by (keys, salt) so the
+    * hot key's rows land on `salts` different reducers, and stage 2 folds
+    * the per-salt partials into the final value.
+    *
+    * Supports the algebraic aggregations whose partials compose exactly —
+    * sum/count/min/max (count folds as a SUM of partial counts). The
+    * result is row-identical to the plain `groupBy(keys)` spelling: sums
+    * here are over exact types (integers/decimals) or accepted under the
+    * same reordering caveat as any Spark shuffle.
+    *
+    * `saltSource` must vary WITHIN a hot key (a row id column); the salt is
+    * deterministic (`pmod(xxhash64(saltSource), salts)`) so reruns place
+    * rows identically.
+    *
+    * Note: Spark's own partial aggregation already combines map-side, so
+    * salting only pays when the DISTINCT-KEY×salt cardinality is small and
+    * the reduce-side per-key combine (e.g. huge collect buffers, or
+    * extreme single-key row counts beyond what map-side combine absorbs)
+    * is the bottleneck. */
+  def saltedAggregate(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      aggs: Seq[(String, String, String)],
+      salts: Int,
+      saltSource: Column): DataFrame = {
+    require(salts > 1, "salts must exceed 1 (1 would be a plain aggregation)")
+    val allowed = Set("sum", "count", "min", "max")
+    aggs.foreach { case (fn, _, _) =>
+      require(allowed.contains(fn), s"saltedAggregate supports ${allowed.mkString("/")}, got $fn")
+    }
+    val salted = df.withColumn(
+      "__graft_salt", pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
+    val partials = aggs.map { case (fn, in, out) => resolve(fn)(col(in)).as(out) }
+    val stage1 = salted
+      .groupBy((groupColumns :+ "__graft_salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val finals = aggs.map {
+      case ("count", _, out) => sum(col(out)).as(out)
+      case (fn, _, out) => resolve(fn)(col(out)).as(out)
+    }
+    stage1
+      .groupBy(groupColumns.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
   /** Validation: every group has the same count (used for identical-length
     * time arrays, ref: dataset_schema_handler_base.py:430-452). */
   def groupsHaveEqualCounts(df: DataFrame, groupColumns: Seq[String]): Boolean = {

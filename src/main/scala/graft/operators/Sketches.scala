@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprColumn
+
+import graft.plans.{CountMinAgg, CountMinLookup}
+
+/** Sketch summaries for corpus-scale frequency and cardinality questions —
+  * the operators that answer "how often / how many distinct" over 100 TB
+  * without shuffling the raw keys.
+  *
+  * Both sketches here are DETERMINISTIC under any partitioning (their
+  * merges are commutative integer/max operations), which is what makes
+  * them oracle-checkable: DuckDB replays the identical arithmetic from the
+  * same xxhash64 values and must land on the same cells, registers, and
+  * estimates bit-for-bit. That distinguishes them from sampling-based
+  * summaries whose output depends on row order.
+  *
+  * Reference scope: the reference engine has no sketch family
+  * (`/root/reference` exposes exact aggregation only) — this is part of the
+  * training-data-pipeline extension surface, where per-key exact counting
+  * at corpus scale is the canonical "accidentally quadratic shuffle".
+  */
+object Sketches {
+
+  /** A built Count-Min sketch: row-major depth×width counter matrix.
+    * Persist the one `array<long>` row to reuse across batches; the probe
+    * derives everything else from (depth, width). */
+  case class CountMinArtifact(counts: Array[Long], depth: Int, width: Int) {
+    require(counts.length == depth * width, "count-min artifact shape mismatch")
+
+    /** Total increments folded into the sketch (row 0 sees every key once). */
+    def totalCount: Long = {
+      var s = 0L
+      var i = 0
+      while (i < width) { s += counts(i); i += 1 }
+      s
+    }
+  }
+
+  /** One-pass Count-Min build over a tokens column (`array<string>`, or
+    * `array<long>` pre-hashed). The collect is the single 16-KiB-ish
+    * artifact row — bounded by (depth, width), never by data size. */
+  def buildCountMin(
+      df: DataFrame,
+      tokens: Column,
+      depth: Int = 4,
+      width: Int = 512): CountMinArtifact = {
+    val agg = CountMinAgg(ExprColumn.expr(tokens), depth, width)
+    val row = df.agg(ExprColumn(agg.toAggregateExpression()).as("counts")).head()
+    CountMinArtifact(row.getSeq[Long](0).toArray, depth, width)
+  }
+
+  /** Map-side frequency estimate for a pre-hashed key column
+    * (`xxhash64(token)` — the hash [[graft.plans.CountMinAgg]] applied).
+    * Guarantee: estimate >= true count, always. */
+  def countMinEstimate(art: CountMinArtifact, keyHash: Column): Column =
+    ExprColumn(CountMinLookup(ExprColumn.expr(keyHash), art.counts, art.depth, art.width))
+
+  /** HyperLogLog register table: per group, the observed register index
+    * `j` (low p bits of the key hash) with its max rank `m` (leading-zero
+    * count of the remaining 64-p bits, plus one — the classic rho).
+    *
+    * Spelled as plain DataFrame ops on purpose: `groupBy(group, j).max`
+    * partial-aggregates map-side, so at most groups × 2^p tiny rows ever
+    * shuffle — the sketch property — while staying inside whole-stage
+    * codegen. The rank uses the integer floor-log2 spelling
+    * (`length(bin(w)) - 1`) that is bit-stable across engines, unlike a
+    * float log2.
+    *
+    * `keyHash` must be an xxhash64-style 64-bit hash column. */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyHash: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4,16], got $p")
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    // unsigned split of the signed hash: low p bits index the register,
+    // the remaining 64-p bits (via unsigned shift) carry the rank
+    val w = shiftrightunsigned(keyHash, p)
+    val rho = when(w === 0L, lit(maxRho)).otherwise(lit(maxRho) - length(bin(w)))
+    df.select((groupCols.map(col) :+ keyHash.bitwiseAND(lit((m - 1).toLong)).as("j")) :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("j"): _*)
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Raw HLL cardinality estimate per group from a register table:
+    * `alpha_m * m^2 / sum_j 2^-M_j` (Flajolet et al. 2007), with absent
+    * registers contributing 2^0 = 1.
+    *
+    * Determinism contract: the harmonic sum folds the registers in
+    * register-index order over EXACT dyadic terms (2^-M via element_at of
+    * a precomputed table, never libm pow), so the resulting double is
+    * bit-identical on any engine that replays the same fold — the oracle
+    * does. Deliberately the RAW estimate: the small-range linear-counting
+    * correction needs ln(), which is not bit-stable across engines. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4,16], got $p")
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val scale = alpha * m.toDouble * m.toDouble
+    // 2^-M for M in [0, maxRho]: exact dyadic doubles (M <= 61)
+    val pow2neg = typedlit((0 to maxRho).map(i => 1.0 / (1L << i)))
+    val sorted = sort_array(collect_list(struct(col("j"), col("m"))))
+    val harmonic = aggregate(
+      sorted,
+      lit(m).cast("double") - size(sorted).cast("double"),
+      (acc, x) => acc + element_at(pow2neg, x.getField("m").cast("int") + 1))
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("registers_used"),
+        (lit(scale) / harmonic).as("hll_est"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Aggregation, Sketches}
+import graft.plans.{CountMinHash, PlanChecks}
+import graft.text.Dedup
+
+/** Count-Min / HyperLogLog sketches, salted aggregation, and blocked
+  * edit-distance dedup (q113–q116). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1 to 400).map { i =>
+    // zipf-ish: key k appears ~400/k times
+    val k = (1 to 20).find(k => i <= (1 to k).map(400 / _).sum).getOrElse(20)
+    (i.toLong, s"key$k")
+  }.toDF("id", "k")
+
+  test("count-min estimate is never below the exact count, for every key") {
+    val df = corpus
+    val art = Sketches.buildCountMin(df, array(col("k")), depth = 4, width = 32)
+    val out = df
+      .groupBy("k")
+      .agg(count(lit(1)).as("exact"))
+      .withColumn("est", Sketches.countMinEstimate(art, xxhash64(col("k"))))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"), r.toString))
+  }
+
+  test("count-min matrix is deterministic under partitioning, and total mass is exact") {
+    val df = corpus
+    val a = Sketches.buildCountMin(df.repartition(1), array(col("k")), depth = 3, width = 64)
+    val b = Sketches.buildCountMin(df.repartition(7, col("id")), array(col("k")), depth = 3, width = 64)
+    assert(a.counts.sameElements(b.counts))
+    assert(a.totalCount == 400L)
+  }
+
+  test("count-min pre-hashed array<long> path builds the identical matrix") {
+    val df = corpus.groupBy("id").agg(collect_list(col("k")).as("toks"))
+    val viaStrings = Sketches.buildCountMin(df, col("toks"), depth = 4, width = 32)
+    val viaHashes = Sketches.buildCountMin(
+      df, transform(col("toks"), t => xxhash64(t)), depth = 4, width = 32)
+    assert(viaStrings.counts.sameElements(viaHashes.counts))
+  }
+
+  test("count-min lookup interpreted eval agrees with the codegen path") {
+    val art = Sketches.buildCountMin(corpus, array(col("k")), depth = 4, width = 32)
+    val keys = (1 to 20).map(k => s"key$k")
+    val viaColumn = corpus
+      .filter(col("id") <= 20)
+      .withColumn("est", Sketches.countMinEstimate(art, xxhash64(col("k"))))
+      .select("k", "est").distinct().as[(String, Long)].collect().toMap
+    keys.foreach { k =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(k), CountMinHash.Seed)
+      val interpreted = CountMinHash.estimate(art.counts, h, 4, 32)
+      viaColumn.get(k).foreach(est => assert(est == interpreted, s"key $k"))
+    }
+  }
+
+  test("hll registers are deterministic under partitioning and estimate tracks exact") {
+    val df = (1 to 5000).map(i => ("g", s"k$i")).toDF("g", "k")
+    val regs1 = Sketches.hllRegisters(df.repartition(1), Seq("g"), xxhash64(col("k")), p = 8)
+    val regs7 = Sketches.hllRegisters(df.repartition(7, col("k")), Seq("g"), xxhash64(col("k")), p = 8)
+    assert(sortedRows(regs1) == sortedRows(regs7))
+    val est = Sketches.hllEstimate(regs1, Seq("g"), p = 8).collect().head
+    val e = est.getAs[Double]("hll_est")
+    assert(est.getAs[Long]("registers_used") <= 256L)
+    // raw HLL at m=256 has ~6.5% standard error; 25% is a safe determinism-
+    // friendly bound for one draw
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.25, s"estimate $e too far from 5000")
+  }
+
+  test("hll register table never exceeds groups x m rows (the sketch property)") {
+    val df = (1 to 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
+    val regs = Sketches.hllRegisters(df, Seq("g"), xxhash64(col("k")), p = 4)
+    assert(regs.count() <= 3L * 16)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    val df = viaParquet((1 to 300).map(i => (s"k${i % 3}", i.toLong, i.toLong * 2)).toDF("k", "id", "v"))
+    val salted = Aggregation.saltedAggregate(
+      df, Seq("k"),
+      Seq(("sum", "v", "sv"), ("count", "v", "n"), ("min", "v", "mn"), ("max", "v", "mx")),
+      salts = 5, saltSource = col("id"))
+    val plain = df.groupBy("k")
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("salted aggregation spreads a hot key across two shuffles and refuses non-algebraic aggs") {
+    val df = viaParquet((1 to 300).map(i => ("hot", i.toLong, i.toLong)).toDF("k", "id", "v"))
+    val salted = Aggregation.saltedAggregate(
+      df, Seq("k"), Seq(("sum", "v", "sv")), salts = 4, saltSource = col("id"))
+    assert(PlanChecks.shuffleCount(salted) == 2)
+    intercept[IllegalArgumentException] {
+      Aggregation.saltedAggregate(df, Seq("k"), Seq(("median", "v", "m")), 4, col("id"))
+    }
+  }
+
+  test("blocked edit-distance pairs match brute force within blocks, and unblocked is refused") {
+    val df = Seq(
+      (1L, "b1", "alpha"), (2L, "b1", "alphb"), (3L, "b1", "gamma"),
+      (4L, "b2", "alpha"), (5L, "b1", "alpha"), (6L, "b1", "delta")).toDF("id", "blk", "s")
+    val got = Dedup.editDistanceNearDuplicates(df, "id", "s", Seq("blk"), maxDistance = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force: within b1 only — (1,2) dist1, (1,5) dist0, (2,5) dist1
+    assert(got == Set((1L, 2L, 1), (1L, 5L, 0), (2L, 5L, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceNearDuplicates(df, "id", "s", Nil, 1)
+    }
+  }
+}
