@@ -3772,6 +3772,166 @@ object Queries {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY okey"""))
 
+  /** Z-order (Morton) layout pruning: part/supplier keys masked to a
+    * 1024×1024 grid, interleaved to a 20-bit curve position, bucketed into
+    * 256 "files" of 4096 curve points (64×64 tiles). The box predicate then
+    * touches only the buckets its tiles intersect — 6 of 256 here, the
+    * pruning a z-ordered layout buys on BOTH dimensions where a plain sort
+    * prunes one. Pure integer bit arithmetic; the oracle replays the
+    * interleave as the same 20-term shift/mask sum. */
+  val q118_zorder = Q(
+    "q118_zorder",
+    (s, dir) => {
+      import graft.operators.Zorder
+      val li = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 1024).cast("long").as("x"),
+        (col("l_orderkey") % 1024).cast("long").as("y"))
+      li.withColumn("z", Zorder.interleave(col("x"), col("y"), 10))
+        .withColumn("bucket", expr("z div 4096"))
+        .filter(col("x").between(90, 180) && col("y").between(200, 280))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy("bucket")
+    },
+    Some {
+      val zterms = (0 until 10)
+        .map(b => s"((x >> $b) & 1) * ${1L << (2 * b)} + ((y >> $b) & 1) * ${1L << (2 * b + 1)}")
+        .mkString(" + ")
+      s"""WITH g AS (
+            SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+                   CAST(l_orderkey % 1024 AS BIGINT) AS y
+            FROM lineitem),
+          z AS (SELECT x, y, CAST($zterms AS BIGINT) AS z FROM g)
+          SELECT CAST(z // 4096 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+                 MIN(z) AS min_z, MAX(z) AS max_z
+          FROM z
+          WHERE x BETWEEN 90 AND 180 AND y BETWEEN 200 AND 280
+          GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Fixed-point integer PageRank, 5 iterations over the order-derived
+    * customer graph (~15k edges / 1500 nodes, avg out-degree 10 — a real
+    * expander, so the iterations genuinely move mass). Integer arithmetic
+    * end-to-end makes the result bit-stable under any partitioning; the
+    * oracle replays all 5 rounds as a generated CTE chain. Iterations are
+    * eagerly checkpointed ([[graft.operators.Graph]]) — the same
+    * lineage-truncation discipline as the q69 connected components. */
+  val q119_pagerank = Q(
+    "q119_pagerank",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val edges = o.select(
+        col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey") % 1500).cast("long").as("dst")).distinct()
+      graft.operators.Graph.pageRankFixedPoint(edges, iterations = 5)
+        .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
+        .orderBy("node")
+    },
+    Some {
+      val iters = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (
+              SELECT nodes.node,
+                     (SELECT (1000000000::BIGINT * 15) // (100 * n) FROM consts)
+                     + (85 * COALESCE(s.s, 0)) // 100 AS rank
+              FROM nodes LEFT JOIN (
+                SELECT ed.dst AS node, SUM($prev.rank // ed.outdeg) AS s
+                FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY 1) s USING (node))"""
+      }.mkString(",\n          ")
+      s"""WITH e AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(o_orderkey % 1500 AS BIGINT) AS dst
+            FROM orders),
+          nodes AS (
+            SELECT DISTINCT node
+            FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+          deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+          ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d USING (src)),
+          r0 AS (SELECT node, (SELECT 1000000000::BIGINT // n FROM consts) AS rank FROM nodes),
+          $iters
+          SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+          FROM r5 ORDER BY node"""
+    })
+
+  /** Leakage-safe train/test split (training-data pipeline op): near-dup
+    * CLUSTERS place wholly in one split — membership (the component root)
+    * decides placement, so a doc and its near-copy can never straddle the
+    * eval boundary (Lee et al. 2022's contamination guard). The oracle
+    * replays components via the shared recursive CTE and the same
+    * root-keyed hash split; per-split doc/group counts pin both the
+    * clustering and the assignment. */
+  val q120_leakage_split = Q(
+    "q120_leakage_split",
+    (s, dir) => {
+      val corpus = clippedNearDupCorpus(s, dir)
+      val pairs = Dedup
+        .minhashNearDuplicates(corpus, "doc_id", "text", bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+      graft.text.Sampling
+        .leakageSafeSplit(
+          corpus, "doc_id", pairs, Seq("train" -> 0.8, "test" -> 0.2),
+          seed = "lk", uniform = knuthUniform, repColumn = Some("rep"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("rep")).cast("long").as("n_groups"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE $nearDupComponentsCte,
+            reps AS (
+              SELECT c.doc_id, COALESCE(r.root, c.doc_id) AS rep
+              FROM corpus c LEFT JOIN roots r ON c.doc_id = r.id),
+            sp AS (
+              SELECT doc_id, rep,
+                     CASE WHEN ${knuthUniformSql("rep", "lk")} < 0.8 THEN 'train'
+                          WHEN ${knuthUniformSql("rep", "lk")} < 1.0 THEN 'test' END AS split
+              FROM reps)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups
+            FROM sp GROUP BY 1 ORDER BY 1"""))
+
+  /** Streaming exact dedup with a BATCH ORACLE (the q96 pattern for the
+    * dedup family): the events file re-read as a stream through
+    * `dropDuplicatesWithinWatermark` on (user_id, event_type), drained
+    * under AvailableNow into a memory sink. Exactly one row per distinct
+    * key survives, so per-user first-occurrence counts equal DuckDB's
+    * batch COUNT(DISTINCT event_type) — only key columns are compared
+    * because WHICH duplicate survives is processing-order-dependent; the
+    * key set is not. */
+  val q121_stream_dedup = Q(
+    "q121_stream_dedup",
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q121")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dd = graft.streaming.StreamOps.dedupWithinWatermark(
+        stream, Seq("user_id", "event_type"), "ts", watermark = "1 hour")
+      val qname = s"graft_q121_${streamRuns.incrementAndGet()}"
+      val query = dd.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      s.table(qname)
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_types"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3800,5 +3960,6 @@ object Queries {
     q106_funnel, q107_cohort_retention, q108_quantize,
     q109_collect_list, q110_read_recovery, q111_content_hash, q112_file_schema,
     q113_heavy_hitters, q114_hll_distinct, q115_edit_pairs, q116_salted_agg,
-    q117_window_breadth)
+    q117_window_breadth, q118_zorder, q119_pagerank, q120_leakage_split,
+    q121_stream_dedup)
 }

@@ -222,4 +222,38 @@ object Sampling {
       .filter(col(valueCol) >= col("__graft_thr"))
       .drop("__graft_thr")
   }
+
+  /** Leakage-safe train/val/test split: every near-duplicate CLUSTER lands
+    * wholly in one split — the guard against train/test contamination that
+    * a per-document split cannot give (a doc and its near-copy must never
+    * straddle the eval boundary; Lee et al. 2022 measure the damage).
+    *
+    * Mechanics: connected components over `pairs` (checkpointed iterative
+    * CC, see [[Dedup.duplicateClusters]]) give each clustered doc its
+    * component root; singletons are their own root. The split key is the
+    * ROOT's hash, so membership decides placement and the assignment
+    * stays stable when new members join an existing cluster. One extra
+    * broadcast-friendly left join over the per-doc split; everything else
+    * is [[splitByHash]].
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      splitColumn: String = "split",
+      seed: String = "",
+      uniform: (Column, String) => Column = uniformHash(_, _),
+      repColumn: Option[String] = None): DataFrame = {
+    val roots = Dedup.duplicateClusters(pairs).select(col("id").as(idCol), col("root"))
+    val keyed = df
+      .join(roots, Seq(idCol), "left")
+      .withColumn("__graft_rep", coalesce(col("root"), col(idCol)))
+      .drop("root")
+    val split = splitByHash(keyed, "__graft_rep", splits, splitColumn, seed, uniform)
+    repColumn match {
+      case Some(name) => split.withColumnRenamed("__graft_rep", name)
+      case None => split.drop("__graft_rep")
+    }
+  }
 }

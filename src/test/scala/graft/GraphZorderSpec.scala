@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Zorder}
+import graft.text.Sampling
+
+/** Z-order interleave, fixed-point PageRank, and the leakage-safe split
+  * (q118–q120). */
+class GraphZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorder column expression matches the reference bit interleave") {
+    val pts = for (x <- 0L until 64L by 7L; y <- 0L until 64L by 5L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Zorder.interleave(col("x"), col("y"), 6))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == Zorder.interleaveRef(x, y, 6), s"($x,$y)")
+    }
+  }
+
+  test("zorder keeps an aligned tile in exactly one bucket") {
+    // a 8x8-aligned tile under 6-bit interleave = one contiguous 64-point
+    // z-range = exactly one bucket of 64 curve points
+    val pts = for (x <- 16L until 24L; y <- 40L until 48L) yield (x, y)
+    val buckets = pts.toDF("x", "y")
+      .select((Zorder.interleave(col("x"), col("y"), 6) / 64).cast("long").as("b"))
+      .distinct().count()
+    assert(buckets == 1L)
+  }
+
+  test("pagerank concentrates rank on the star center and conserves bounded mass") {
+    // star: every leaf points at node 0
+    val edges = (1L to 20L).map(i => (i, 0L)).toDF("src", "dst")
+    val ranks = Graph.pageRankFixedPoint(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks(0L) > ranks(1L) * 10, s"center ${ranks(0L)} vs leaf ${ranks(1L)}")
+    assert((1L to 20L).map(ranks).distinct.size == 1, "leaves must tie exactly")
+    val total = ranks.values.sum
+    assert(total <= 1000000000L, "floor divisions and dangling drop can only lose mass")
+    // every node keeps at least the teleport base each round (the center is
+    // DANGLING here — its mass drops by contract, so no higher bound holds)
+    val base = (1000000000L * 15L) / (100L * 21L)
+    assert(total >= 21L * base, "teleport base is the floor")
+  }
+
+  test("pagerank is deterministic under partitioning and matches a driver replay") {
+    val base = (1L to 200L).map(i => (i % 17L, (i * 7L) % 17L)).distinct.toDF("src", "dst")
+    val a = Graph.pageRankFixedPoint(viaParquet(base).repartition(1), iterations = 4)
+    val b = Graph.pageRankFixedPoint(viaParquet(base).repartition(7, col("dst")), iterations = 4)
+    assert(sortedRows(a) == sortedRows(b))
+    // driver-side replay of the same fixed-point recurrence
+    val edges = base.as[(Long, Long)].collect()
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => (k, v.length.toLong) }
+    val baseRank = (1000000000L * 15L) / (100L * n)
+    var ranks = nodes.map(_ -> 1000000000L / n).toMap
+    (1 to 4).foreach { _ =>
+      val sums = edges
+        .groupBy(_._2)
+        .map { case (dst, es) => (dst, es.map(e => ranks(e._1) / outdeg(e._1)).sum) }
+      ranks = nodes.map(v => v -> (baseRank + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = a.as[(Long, Long)].collect().toMap
+    assert(got == ranks)
+  }
+
+  test("pagerank refuses empty graphs and bad parameters") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(Seq.empty[(Long, Long)].toDF("src", "dst"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(Seq((1L, 2L)).toDF("src", "dst"), 0)
+    }
+  }
+
+  test("leakage-safe split never lets a cluster straddle splits") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1..5}, {10..12}, {20,21}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("id1", "id2")
+    val split = Sampling.leakageSafeSplit(
+      docs, "doc_id", pairs, Seq("train" -> 0.5, "test" -> 0.5),
+      seed = "s", repColumn = Some("rep"))
+    val spanning = split.groupBy("rep")
+      .agg(countDistinct(col("split")).as("nsp"))
+      .filter(col("nsp") > 1)
+      .count()
+    assert(spanning == 0L)
+    // cluster members carry their component's min-id rep
+    val reps = split.select("doc_id", "rep").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(reps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(reps(_) == 10L))
+    assert(reps(33L) == 33L, "singletons are their own rep")
+    assert(split.filter(col("split").isNull).count() == 0L)
+  }
+}
