@@ -3932,6 +3932,61 @@ object Queries {
                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** ROLLUP grouping-sets breadth (§2.4 extension — SURVEY marks grouping
+    * sets "not needed" for reference parity; this closes the engine-breadth
+    * row anyway): per-(flag, status) totals plus per-flag and grand-total
+    * super-aggregate rows in ONE pass (Spark expands the sets before the
+    * exchange — one shuffle, not three scans), with `grouping_id` labeling
+    * each stratum. Exact BIGINT sums; the 'ALL' coalesce keeps NULL
+    * grouping markers distinguishable from real NULL data on both engines. */
+  val q122_rollup = Q(
+    "q122_rollup",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).cast("long").as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy("gid", "flag", "status")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                   COALESCE(l_linestatus, 'ALL') AS status,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY gid, flag, status"""))
+
+  /** Generator/UDTF surface breadth (§2.11): `posexplode` over the token
+    * arrays — the ordinal-preserving fan-out every positional text pipeline
+    * starts from — cross-checked against DuckDB's UNNEST WITH ORDINALITY.
+    * Output is the per-position token table for a doc slice (ordinals are
+    * the payload here; q101's inverted index consumes this shape). */
+  val q123_posexplode = Q(
+    "q123_posexplode",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      d.select(
+        col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")))
+        .select(
+          col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .filter(col("pos") < 12)
+        .orderBy("doc_id", "pos")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                   toks[CAST(u.i AS INTEGER)] AS tok
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents WHERE doc_id < 40),
+                 UNNEST(range(1, len(toks) + 1)) AS u(i)
+            WHERE u.i <= 12
+            ORDER BY doc_id, pos"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -3961,5 +4016,5 @@ object Queries {
     q109_collect_list, q110_read_recovery, q111_content_hash, q112_file_schema,
     q113_heavy_hitters, q114_hll_distinct, q115_edit_pairs, q116_salted_agg,
     q117_window_breadth, q118_zorder, q119_pagerank, q120_leakage_split,
-    q121_stream_dedup)
+    q121_stream_dedup, q122_rollup, q123_posexplode)
 }
