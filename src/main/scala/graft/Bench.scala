@@ -28,7 +28,12 @@ object Bench {
     // noop sink forces full evaluation of every operator (a bare count()
     // lets Catalyst prune projection-only work and under-measures).
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev iteration: SPARK_GRAFT_BENCH_ONLY=q115_edit_pairs,q29_dedup_minhash
+    // times just those queries (the driver never sets it → full catalog)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -803,14 +803,33 @@ object Dedup {
     require(blockCols.nonEmpty,
       "editDistanceNearDuplicates requires blocking columns (unblocked is corpus-quadratic)")
     require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
-    val a = df.select(
-      (blockCols.map(col) :+ col(idCol).as("id1")) :+ col(strCol).as("__graft_s1"): _*)
+    // Spread the PROBE side by block key before the pair expansion: the
+    // output is quadratic in block size while the input is linear, so a
+    // scan with few partitions (one small file, here) would otherwise run
+    // the whole expansion + DP verification on one core — the input
+    // shuffle is noise next to the pairs it parallelizes. The partition
+    // count is EXPLICIT: AQE sizes coalescing by the shuffle's input
+    // bytes, blind to the expansion, and would fold a small input back
+    // into one partition (explicit-N repartitions are exempt).
+    val a = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, blockCols.map(col): _*)
+      .select(
+        (blockCols.map(col) :+ col(idCol).as("id1")) :+ col(strCol).as("__graft_s1"): _*)
     val b = df.select(
       (blockCols.map(col) :+ col(idCol).as("id2")) :+ col(strCol).as("__graft_s2"): _*)
+    // explode-then-filter instead of project-then-filter: a filter on a
+    // projected distance column is pushed below the projection with the
+    // levenshtein inlined — the CLAUDE.md double-eval trap (each candidate
+    // pair would pay the O(len²) DP twice). The filter here references the
+    // GENERATOR's output attribute, which no pushdown rule crosses, so the
+    // distance is computed exactly once per pair (plan-guarded in
+    // SketchSpec).
+    val d = levenshtein(col("__graft_s1"), col("__graft_s2"))
     a.join(b, blockCols)
       .filter(col("id1") < col("id2"))
-      .withColumn("distance", levenshtein(col("__graft_s1"), col("__graft_s2")))
+      .select(
+        explode(array(struct(col("id1"), col("id2"), d.as("distance")))).as("__graft_r"))
+      .select(col("__graft_r.id1"), col("__graft_r.id2"), col("__graft_r.distance"))
       .filter(col("distance") <= maxDistance)
-      .select(col("id1"), col("id2"), col("distance"))
   }
 }

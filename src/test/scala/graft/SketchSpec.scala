@@ -112,4 +112,13 @@ class SketchSpec extends SparkSpec {
       Dedup.editDistanceNearDuplicates(df, "id", "s", Nil, 1)
     }
   }
+
+  test("edit-distance plan evaluates levenshtein exactly once per candidate pair") {
+    val df = viaParquet(Seq(
+      (1L, "b1", "alpha"), (2L, "b1", "alphb"), (3L, "b1", "gamma")).toDF("id", "blk", "s"))
+    val plan = Dedup.editDistanceNearDuplicates(df, "id", "s", Seq("blk"), 1)
+    // the project-then-filter spelling inlines the levenshtein into a
+    // pushed-down filter and pays the O(len²) DP twice per pair
+    assert(PlanChecks.exprOccurrences(plan, "levenshtein") == 1)
+  }
 }
