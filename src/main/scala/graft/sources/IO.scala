@@ -178,13 +178,25 @@ object Writers {
       df: DataFrame,
       path: String,
       partitionColumns: Seq[String],
-      sortWithin: Seq[String] = Nil): Unit = {
+      sortWithin: Seq[String] = Nil,
+      repartitionFirst: Boolean = true): Unit = {
     require(partitionColumns.nonEmpty, "parquetPartitionedBy needs at least one partition column")
+    // Without the repartition every input task opens a writer in EVERY
+    // partition directory — tasks × partitions small files and as many
+    // commit-time renames (the classic partitioned-write explosion; at
+    // q59's 30-day layout it was the single slowest query in the bench).
+    // One shuffle on the partition key gives each task whole directories.
+    // Opt out for inputs already clustered by the partition columns, or
+    // when one giant partition value would serialize into one task.
+    val placed =
+      if (repartitionFirst)
+        df.repartition(partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+      else df
     val sorted =
       if (sortWithin.nonEmpty)
-        df.sortWithinPartitions((partitionColumns ++ sortWithin)
+        placed.sortWithinPartitions((partitionColumns ++ sortWithin)
           .map(org.apache.spark.sql.functions.col): _*)
-      else df
+      else placed
     sorted.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionColumns: _*)
