@@ -3987,6 +3987,119 @@ object Queries {
             WHERE u.i <= 12
             ORDER BY doc_id, pos"""))
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 Rademacher):
+    * 64-dim embeddings down to 8 dims via hash-DERIVED sign rows — no
+    * matrix to store or shuffle, one codegen'd fvec_dot per output dim,
+    * map-side. ±1/√k times a float-widened input is an exact double
+    * product folded in index order, so all 8 projection doubles are
+    * bit-stable and the oracle replays them to the last ulp with the same
+    * embedded coefficients. */
+  val q124_jl_projection = Q(
+    "q124_jl_projection",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Projection.project(emb, "embedding", inDims = 64, outDims = 8, seed = 7L)
+        .select(col("vec_id").cast("long").as("vec_id") +: (0 until 8).map(j => col(s"p$j")): _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val cols = (0 until 8).map { j =>
+        val coefs = graft.ml.Projection.signRow(64, j, 8, seed = 7L).mkString("[", ", ", "]")
+        s"""list_reduce(list_transform(range(1, 65),
+            i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * ($coefs)[CAST(i AS INTEGER)]),
+            (a, b) -> a + b) AS p$j"""
+      }.mkString(",\n                 ")
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 $cols
+          FROM embeddings ORDER BY vec_id"""
+    })
+
+  /** Incremental-ingest cardinality via HLL artifact merge: two lineitem
+    * batches (order-key parity) build INDEPENDENT register tables, merged
+    * by register max — the persistable-artifact property (per-batch
+    * sketches, query-time union; old batches never rescan). The oracle
+    * builds registers over the union directly: max-merge means the two
+    * must agree bit-for-bit, estimate included. */
+  val q125_hll_union = Q(
+    "q125_hll_union",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val li = t(s, dir, "lineitem").select(
+        col("l_linestatus").as("status"),
+        col("l_orderkey").as("okey"),
+        concat(col("l_partkey").cast("string"), lit("|"), col("l_orderkey").cast("string")).as("k"))
+      def regs(parity: Int) = Sketches.hllRegisters(
+        li.filter(col("okey") % 2 === parity), Seq("status"), xxhash64(col("k")), p = 8)
+      val merged = Sketches.hllMergeRegisters(regs(0), regs(1), Seq("status"))
+      li.groupBy("status")
+        .agg(countDistinct(col("k")).cast("long").as("exact"))
+        .join(Sketches.hllEstimate(merged, Seq("status"), p = 8), Seq("status"))
+        .select(col("status"), col("exact"), col("registers_used"), col("hll_est"))
+        .orderBy("status")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val scale = alpha * m.toDouble * m.toDouble
+      val keys =
+        """SELECT l_linestatus AS status,
+                  CAST(l_partkey AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR) AS k
+           FROM lineitem"""
+      val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__h")
+      s"""WITH hu AS (
+            SELECT status,
+                   CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
+                        ELSE kh::HUGEINT END AS u
+            FROM ($hashed)),
+          jr AS (
+            SELECT status, CAST(u % $m AS BIGINT) AS j,
+                   CASE WHEN u // $m = 0 THEN 57
+                        ELSE 57 - length(bin(CAST(u // $m AS BIGINT))) END AS rho
+            FROM hu),
+          regs AS (SELECT status, j, MAX(rho) AS mm FROM jr GROUP BY 1, 2),
+          folded AS (
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS registers_used,
+                   list_reduce(
+                     [$m.0 - COUNT(*)] || list(1.0 / (1::BIGINT << mm) ORDER BY j),
+                     (a, b) -> a + b) AS sh
+            FROM regs GROUP BY 1),
+          exact AS (
+            SELECT l_linestatus AS status,
+                   CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)) AS BIGINT) AS exact
+            FROM lineitem GROUP BY 1)
+          SELECT e.status, e.exact, f.registers_used, $scale / f.sh AS hll_est
+          FROM exact e JOIN folded f USING (status)
+          ORDER BY status"""
+    })
+
+  /** ANALYZE-style table profile (engine-ops breadth): per-column rowcount
+    * / nulls / exact ndv / integral min-max in ONE aggregation pass — the
+    * stats that drive broadcast and skew decisions. The unpivot to rows
+    * happens on the one-row aggregate, not the data. */
+  val q126_profile = Q(
+    "q126_profile",
+    (s, dir) => {
+      graft.operators.TableStats
+        .profile(
+          t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy("col_name")
+    },
+    Some {
+      val integral = Set("c_custkey", "c_nationkey")
+      val parts = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment").map { c =>
+        val mm =
+          if (integral(c)) s"CAST(MIN($c) AS BIGINT) AS min_long, CAST(MAX($c) AS BIGINT) AS max_long"
+          else "CAST(NULL AS BIGINT) AS min_long, CAST(NULL AS BIGINT) AS max_long"
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT($c) AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv, $mm
+            FROM customer"""
+      }
+      parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -4016,5 +4129,6 @@ object Queries {
     q109_collect_list, q110_read_recovery, q111_content_hash, q112_file_schema,
     q113_heavy_hitters, q114_hll_distinct, q115_edit_pairs, q116_salted_agg,
     q117_window_breadth, q118_zorder, q119_pagerank, q120_leakage_split,
-    q121_stream_dedup, q122_rollup, q123_posexplode)
+    q121_stream_dedup, q122_rollup, q123_posexplode, q124_jl_projection,
+    q125_hll_union, q126_profile)
 }

@@ -37,6 +37,19 @@ object Sketches {
       while (i < width) { s += counts(i); i += 1 }
       s
     }
+
+    /** Merge with another sketch of the SAME shape: elementwise add, so the
+      * merged sketch equals the sketch of the concatenated corpora — the
+      * persistable-artifact property (build per ingest batch, add at query
+      * time; the `estimate >= exact` guarantee survives merging). */
+    def merge(other: CountMinArtifact): CountMinArtifact = {
+      require(other.depth == depth && other.width == width,
+        s"count-min merge: shape ${other.depth}x${other.width} != ${depth}x$width")
+      val out = new Array[Long](counts.length)
+      var i = 0
+      while (i < counts.length) { out(i) = counts(i) + other.counts(i); i += 1 }
+      CountMinArtifact(out, depth, width)
+    }
   }
 
   /** One-pass Count-Min build over a tokens column (`array<string>`, or
@@ -86,6 +99,17 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("j"): _*)
       .agg(max(col("rho")).as("m"))
   }
+
+  /** Merge two HLL register tables (same groups/p): registers max-combine,
+    * so the merged sketch equals the sketch of the UNION — the property
+    * that makes per-batch register tables PERSISTABLE artifacts for
+    * incremental cardinality (build per ingest, merge at query time;
+    * nothing rescans old batches). Bit-exact: max is idempotent,
+    * commutative, associative. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("j"): _*)
+      .agg(max(col("m")).as("m"))
 
   /** Raw HLL cardinality estimate per group from a register table:
     * `alpha_m * m^2 / sum_j 2^-M_j` (Flajolet et al. 2007), with absent

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** ANALYZE-style table profiling: one row per column with rowcount, null
+  * count, exact distinct count, and (for integer-typed columns) min/max —
+  * the statistics that drive size estimation, skew detection, and
+  * broadcast decisions.
+  *
+  * Shape: ONE aggregation job computes every column's stats in a single
+  * pass (count/count-distinct/min/max all partial-aggregate map-side);
+  * the per-column unpivot to rows happens on the one-row result, not the
+  * data. An exact ndv per column is a real (if partial-aggregated)
+  * shuffle per distinct-count — at 100 TB swap in
+  * [[Sketches.hllRegisters]] per column instead; exact is the point here
+  * because the profile doubles as an oracle-checkable operator.
+  *
+  * Min/max are reported only for integer families (BIGINT-safe): float
+  * and timestamp renderings differ across engines, and a profile exists
+  * to be compared.
+  */
+object TableStats {
+
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    val isIntegral = columns.map { c =>
+      c -> (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }.toMap
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c")) ++
+        (if (isIntegral(c))
+           Seq(min(col(c)).cast("long").as(s"__min_$c"), max(col(c)).cast("long").as(s"__max_$c"))
+         else Nil)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").cast("long").as("n"),
+        col(s"__nulls_$c").cast("long").as("nulls"),
+        col(s"__ndv_$c").cast("long").as("ndv"),
+        (if (isIntegral(c)) col(s"__min_$c") else lit(null).cast("long")).as("min_long"),
+        (if (isIntegral(c)) col(s"__max_$c") else lit(null).cast("long")).as("max_long"))
+    }
+    one
+      .select(explode(array(rows: _*)).as("__graft_r"))
+      .select(
+        col("__graft_r.col_name").as("col_name"), col("__graft_r.n").as("n"),
+        col("__graft_r.nulls").as("nulls"), col("__graft_r.ndv").as("ndv"),
+        col("__graft_r.min_long").as("min_long"), col("__graft_r.max_long").as("max_long"))
+  }
+}

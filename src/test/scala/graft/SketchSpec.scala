@@ -113,6 +113,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll merged registers equal the registers of the union, bit-exact") {
+    val a = (1 to 800).map(i => ("g", s"k$i")).toDF("g", "k")
+    val b = (500 to 1200).map(i => ("g", s"k$i")).toDF("g", "k")
+    val ra = Sketches.hllRegisters(a, Seq("g"), xxhash64(col("k")), p = 8)
+    val rb = Sketches.hllRegisters(b, Seq("g"), xxhash64(col("k")), p = 8)
+    val merged = Sketches.hllMergeRegisters(ra, rb, Seq("g"))
+    val direct = Sketches.hllRegisters(a.unionByName(b), Seq("g"), xxhash64(col("k")), p = 8)
+    assert(sortedRows(merged) == sortedRows(direct))
+    val eMerged = Sketches.hllEstimate(merged, Seq("g"), p = 8).collect().head.getAs[Double]("hll_est")
+    val eDirect = Sketches.hllEstimate(direct, Seq("g"), p = 8).collect().head.getAs[Double]("hll_est")
+    assert(eMerged == eDirect, "estimates must agree to the last bit")
+  }
+
+  test("count-min artifact merge equals the concatenated build, and refuses shape mismatch") {
+    val a = corpus.filter(col("id") <= 200)
+    val b = corpus.filter(col("id") > 200)
+    val sa = Sketches.buildCountMin(a, array(col("k")), depth = 4, width = 32)
+    val sb = Sketches.buildCountMin(b, array(col("k")), depth = 4, width = 32)
+    val whole = Sketches.buildCountMin(corpus, array(col("k")), depth = 4, width = 32)
+    assert(sa.merge(sb).counts.sameElements(whole.counts))
+    intercept[IllegalArgumentException] {
+      sa.merge(Sketches.buildCountMin(b, array(col("k")), depth = 2, width = 32))
+    }
+  }
+
   test("edit-distance plan evaluates levenshtein exactly once per candidate pair") {
     val df = viaParquet(Seq(
       (1L, "b1", "alpha"), (2L, "b1", "alphb"), (3L, "b1", "gamma")).toDF("id", "blk", "s"))
