@@ -4100,6 +4100,260 @@ object Queries {
       parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     })
 
+  /** ORC round-trip (source/sink breadth): the other native columnar
+    * format — write an aggregate as ORC, read it back through the
+    * vectorized ORC reader. Warehouse interop at scale is format
+    * plurality; the sink/scan pair must be lossless. */
+  val q127_orc_roundtrip = Q(
+    "q127_orc_roundtrip",
+    (s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).cast("long").as("n"))
+      val out = s.conf.get("spark.local.dir", "/tmp") + "/graft_orc_roundtrip"
+      graft.sources.Writers.orc(agg, out)
+      graft.sources.Readers.orc(s, out).orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus, ROUND(SUM(l_extendedprice), 2) AS total,
+            CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** All-pairs lexical cosine similarity (training-data pipeline op): the
+    * inverted-index APSS join over integer 3-gram TF vectors — pure
+    * integer arithmetic end to end (dot, norms, and the cos >= 4/5
+    * threshold by cross-multiplication), so the operator is bit-exact and
+    * the oracle replays it with raw gram strings as keys (Spark shuffles
+    * 8-byte xxhash64 keys — the q87 trade). */
+  val q128_cosine_pairs = Q(
+    "q128_cosine_pairs",
+    (s, dir) => {
+      graft.text.ApssJoin
+        .cosinePairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minCosNum = 4L, minCosDen = 5L, dfCap = 1000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> len(x) > 0) AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                          ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                FOR i IN range(1, len(tk) - 1)] END AS gl
+              FROM toks),
+            g AS (SELECT doc_id, u.gram FROM grams, UNNEST(grams.gl) AS u(gram)),
+            tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+            dfc AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM tf GROUP BY 1)
+                    WHERE c <= 1000),
+            v AS (SELECT tf.* FROM tf JOIN dfc USING (gram)),
+            norms AS (SELECT doc_id, SUM(tf * tf) AS norm2 FROM v GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+              FROM v a JOIN v b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+                   CAST(na.norm2 AS BIGINT) AS norm2_a,
+                   CAST(nb.norm2 AS BIGINT) AS norm2_b
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE 25 * dot * dot >= 16 * na.norm2 * nb.norm2
+            ORDER BY id_a, id_b"""))
+
+  /** Exact triangle count by degree orientation (graph breadth): the
+    * co-supplier graph (suppliers sharing >= 5 orders), counted by the
+    * O(m^1.5) oriented-wedge scheme — the oracle counts the same
+    * triangles with the naive 3-way join, which only survives because the
+    * oracle's graph is small. */
+  val q129_triangles = Q(
+    "q129_triangles",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+      val a = os.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = os.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val edges = a
+        .join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("sa").as("src"), col("sb").as("dst"))
+        .localCheckpoint(true) // consumed by the count and the wedge pipeline
+      edges
+        .agg(count(lit(1)).cast("long").as("n_edges"))
+        .crossJoin(graft.operators.Graph.triangleCount(edges))
+    },
+    Some("""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            e0 AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
+                   FROM os a JOIN os b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                   GROUP BY 1, 2),
+            e AS (SELECT sa, sb FROM e0 WHERE w >= 5)
+            SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*)
+                         FROM e e1 JOIN e e2 ON e1.sb = e2.sa
+                         JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS BIGINT) AS triangles"""))
+
+  /** Stream-static join (streaming breadth): the file-stream events table
+    * enriched against a STATIC broadcast dimension (customer segment)
+    * inside the streaming query, then watermark-windowed counts — the
+    * canonical streaming-enrichment shape (the static side is re-plannable
+    * per micro-batch; no state grows from it). Complete mode + AvailableNow
+    * drain, batch-replayed by the oracle (q96 convention). */
+  val q130_stream_static = Q(
+    "q130_stream_static",
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q130")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val static = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val enriched = stream.join(broadcast(static), Seq("user_id"))
+      val agg = graft.streaming.StreamOps.windowedAggregate(
+        enriched, "ts", "6 hours", None, watermark = "1 hour",
+        groupColumns = Seq("segment"), aggName = "count", valueColumn = "value")
+      val qname = s"graft_q130_${streamRuns.incrementAndGet()}"
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      s.table(qname).select(
+        col("window.start").cast("long").as("win_start"),
+        col("segment"),
+        col("value").cast("long").as("n"))
+        .orderBy("win_start", "segment")
+    },
+    Some("""SELECT CAST((epoch_us(ts) // 21600000000) * 21600 AS BIGINT) AS win_start,
+                   c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SCD2 history build (analytics-engineering breadth): per-user
+    * event_type observation stream compressed to validity intervals by
+    * gaps-and-islands — one window sort carries the lag, the island sum,
+    * and the closing lead. Epoch-microsecond integers end to end. */
+  val q131_scd2 = Q(
+    "q131_scd2",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts")).as("tsu"),
+          col("event_id"))
+      graft.operators.History
+        .scd2(ev, Seq("user_id"), "tsu", "event_type", tieBreak = Seq("event_id"))
+        .select(
+          col("user_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_observations"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+            f AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+                                      LAG(event_type) OVER w THEN 0 ELSE 1 END AS chg
+                  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS island FROM f),
+            g AS (SELECT user_id, island, MIN(event_type) AS event_type,
+                         MIN(tsu) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_observations
+                  FROM i GROUP BY 1, 2)
+            SELECT user_id, event_type, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                   n_observations
+            FROM g ORDER BY user_id, valid_from"""))
+
+  /** Additive schema evolution (source breadth): two parquet roots written
+    * at different schema versions, reconciled by mergeSchema — the old
+    * files' missing column surfaces as NULL, no rewrite of old data. */
+  val q132_schema_evolution = Q(
+    "q132_schema_evolution",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = s.conf.get("spark.local.dir", "/tmp") + "/graft_schema_evo"
+      val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      val v2 = orders.filter(col("o_orderkey") % 2 === 1)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).cast("long").as("n"))
+      graft.sources.Writers.parquet(v1, s"$base/v1")
+      graft.sources.Writers.parquet(v2, s"$base/v2")
+      graft.sources.Readers.parquetMerged(s, s"$base/v1", s"$base/v2")
+        .select(col("pri"), col("total"), col("n"))
+        .orderBy(col("pri"), col("n").asc_nulls_first)
+    },
+    Some("""WITH v1 AS (SELECT o_orderpriority AS pri, ROUND(SUM(o_totalprice), 2) AS total,
+                               CAST(NULL AS BIGINT) AS n
+                        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+            v2 AS (SELECT o_orderpriority AS pri, ROUND(SUM(o_totalprice), 2) AS total,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+            SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            ORDER BY pri, n NULLS FIRST"""))
+
+  /** Declarative data-quality expectations (dbt-test / Deequ shape): six
+    * rules over lineitem — all row-level rules fused into ONE aggregation
+    * pass; uniqueness is its own groupBy; referential integrity is a
+    * broadcast anti-join count. */
+  val q133_expectations = Q(
+    "q133_expectations",
+    (s, dir) => {
+      import graft.operators.Validation._
+      val li = t(s, dir, "lineitem")
+      expectationsReport(li, Seq(
+        ExpectNotNull("keys_not_null", Seq("l_orderkey", "l_linenumber")),
+        ExpectAcceptedValues("returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+        ExpectRange("discount_range", "l_discount", 0.0, 0.05),
+        ExpectRange("quantity_range", "l_quantity", 1.0, 30.0),
+        ExpectUnique("order_line_unique", Seq("l_orderkey", "l_linenumber")),
+        ExpectReferential("orderkey_in_orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+        .orderBy("rule")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'keys_not_null' AS rule,
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+              UNION ALL
+              SELECT 'returnflag_domain',
+                     CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                                    AND l_returnflag NOT IN ('A', 'N', 'R')
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'discount_range',
+                     CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                                    AND (l_discount < 0.0 OR l_discount > 0.05)
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'quantity_range',
+                     CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                                    AND (l_quantity < 1.0 OR l_quantity > 30.0)
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'order_line_unique',
+                     CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'orderkey_in_orders',
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                      WHERE l_orderkey IS NOT NULL
+                        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            ) ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -4130,5 +4384,7 @@ object Queries {
     q113_heavy_hitters, q114_hll_distinct, q115_edit_pairs, q116_salted_agg,
     q117_window_breadth, q118_zorder, q119_pagerank, q120_leakage_split,
     q121_stream_dedup, q122_rollup, q123_posexplode, q124_jl_projection,
-    q125_hll_union, q126_profile)
+    q125_hll_union, q126_profile, q127_orc_roundtrip, q128_cosine_pairs,
+    q129_triangles, q130_stream_static, q131_scd2, q132_schema_evolution,
+    q133_expectations)
 }

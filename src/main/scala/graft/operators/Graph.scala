@@ -78,4 +78,66 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count by DEGREE ORIENTATION (the MapReduce-classic
+    * Suri–Vassilvitskii / Cohen scheme): orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * u→v, u→w only from each node's ORIENTED out-neighborhood, and count
+    * the wedges closed by an oriented edge v→w. Every triangle is counted
+    * exactly once (its minimum-(degree, id) vertex owns it).
+    *
+    * Why this survives 100 TB graphs while the naive 3-way self-join does
+    * not: orientation bounds every out-degree by O(√m) — a celebrity node
+    * with 10⁸ followers has huge IN-degree but only low-(degree,id)
+    * neighbors in its OUT-list — so the wedge expansion is O(m^1.5) total
+    * with NO quadratic hot key, the precise skew that kills the
+    * unoriented join. The wedge→edge probe is an equi-join on (v, w), and
+    * the oriented edge list is materialized once and reused for both
+    * sides.
+    *
+    * `edges` needs columns (src, dst); direction and duplicates are
+    * normalized away (self-loops dropped). Returns one row, `triangles`
+    * BIGINT.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val undirected = edges
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val degrees = undirected
+      .select(col("u").as("node")).union(undirected.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): struct comparison gives the lexicographic order
+    val withDeg = undirected
+      .join(degrees.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+      .join(degrees.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+    // the wedge self-join EXPANDS (outdeg² per node) — explicit-N
+    // repartition on the join key so the expansion runs wide (AQE
+    // coalesces by INPUT bytes, blind to the expansion — the q115 lesson),
+    // and the checkpoint pins that layout for all three consumers
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val oriented = withDeg
+      .select(
+        when(struct(col("deg_u"), col("u")) < struct(col("deg_v"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("deg_u"), col("u")) < struct(col("deg_v"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .repartition(par, col("src"))
+      .localCheckpoint(true) // consumed 3× (two wedge sides + the probe)
+    val wedges = oriented.select(col("src").as("w_u"), col("dst").as("w_v"))
+      .join(oriented.select(col("src").as("w_u"), col("dst").as("w_w")), Seq("w_u"))
+      .filter(col("w_v") < col("w_w"))
+    // a wedge closes iff (v,w) or (w,v) is an oriented edge; v<w picked one
+    // ordering of each unordered out-pair, but the closing edge's
+    // orientation depends on degrees — probe both directions via the
+    // canonical (least, greatest) form, which here is exactly (w_v, w_w)
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("w_v"),
+      greatest(col("src"), col("dst")).as("w_w"))
+    wedges
+      .join(closing, Seq("w_v", "w_w"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("triangles"))
+  }
 }

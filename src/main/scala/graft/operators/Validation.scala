@@ -65,6 +65,84 @@ object Validation {
     val b = df2.select(col(c2)).distinct()
     (a.join(b, a(c1) === b(c2), "left_anti"), b.join(a, b(c2) === a(c1), "left_anti"))
   }
+
+  // ------------------------------------------------- expectation reports
+
+  /** Declarative data-quality expectations (the dbt-test / Deequ shape):
+    * each rule names a check; the report is one row per rule with its
+    * violation count. The reference's registration-time checks are
+    * hard-wired calls — this is the same machinery as a reusable,
+    * user-composable surface. */
+  sealed trait Expectation { def name: String }
+  /** Any of `columns` NULL ⇒ the row violates. */
+  final case class ExpectNotNull(name: String, columns: Seq[String]) extends Expectation
+  /** Non-NULL value outside `values` ⇒ violation. */
+  final case class ExpectAcceptedValues(name: String, column: String, values: Seq[String]) extends Expectation
+  /** Non-NULL value outside [lo, hi] ⇒ violation. */
+  final case class ExpectRange(name: String, column: String, lo: Double, hi: Double) extends Expectation
+  /** Each extra row sharing a key beyond the first ⇒ one violation
+    * (`violations = rows − distinct keys`; NULL key components count as a
+    * key value, matching groupBy semantics). */
+  final case class ExpectUnique(name: String, columns: Seq[String]) extends Expectation
+  /** Non-NULL value with no match in `ref[refColumn]` ⇒ violation. */
+  final case class ExpectReferential(name: String, column: String, ref: DataFrame, refColumn: String) extends Expectation
+
+  /** Evaluate all expectations against `df` → (rule, violations BIGINT).
+    *
+    * Scale shape: every ROW-LEVEL rule (not-null / accepted-values /
+    * range) is a `sum(when(violated, 1))` term fused into ONE aggregation
+    * pass over the table — a 50-rule suite still scans 100 TB exactly
+    * once. Uniqueness rules are each a groupBy on their key (their own
+    * shuffle, unavoidable); referential rules are anti-join counts with
+    * the reference side broadcast (dimension tables are small by
+    * definition — for fact-to-fact RI pass a pre-distinct'd ref). Output
+    * preserves rule order. */
+  def expectationsReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectationsReport: no rules")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectationsReport: rule names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowTerms: Seq[(String, Column)] = rules.collect {
+      case ExpectNotNull(n, cols) =>
+        n -> cols.map(col(_).isNull).reduce(_ || _)
+      case ExpectAcceptedValues(n, c, vs) =>
+        n -> (col(c).isNotNull && !col(c).isInCollection(vs))
+      case ExpectRange(n, c, lo, hi) =>
+        n -> (col(c).isNotNull && !col(c).between(lo, hi))
+    }
+    val rowReport: Option[DataFrame] =
+      if (rowTerms.isEmpty) None
+      else {
+        val sums = rowTerms.map { case (n, p) =>
+          // sum over an empty table is NULL — an empty table has 0 violations
+          coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"__graft_$n")
+        }
+        Some(df.agg(sums.head, sums.tail: _*)
+          .select(explode(array(rowTerms.map { case (n, _) =>
+            struct(lit(n).as("rule"), col(s"__graft_$n").as("violations"))
+          }: _*)).as("r"))
+          .select(col("r.rule").as("rule"), col("r.violations").as("violations")))
+      }
+    val otherReports: Seq[DataFrame] = rules.collect {
+      case ExpectUnique(n, cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_c"))
+          .agg(coalesce(sum(col("__graft_c") - 1L), lit(0L)).as("violations"))
+          .select(lit(n).as("rule"), col("violations").cast("long").as("violations"))
+      case ExpectReferential(n, c, ref, refCol) =>
+        df.filter(col(c).isNotNull)
+          .join(broadcast(ref.select(col(refCol)).distinct()), col(c) === col(refCol), "left_anti")
+          .agg(count(lit(1)).cast("long").as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
+    }
+    val all = rowReport.toSeq ++ otherReports
+    val order = rules.map(_.name).zipWithIndex.toMap
+    val orderDf = order.toSeq.toDF("rule", "__graft_ord")
+    all.reduce(_.unionByName(_))
+      .join(broadcast(orderDf), Seq("rule"), "left")
+      .orderBy(col("__graft_ord"))
+      .drop("__graft_ord")
+  }
 }
 
 /** Robust outlier detection for telemetry/metric columns — median/MAD

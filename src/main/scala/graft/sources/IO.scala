@@ -30,6 +30,21 @@ object Readers {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mode", "FAILFAST").json(path)
 
+  /** ORC scan — the other columnar format Spark ships natively (the
+    * reference is parquet-only; warehouse interop needs ORC too). Same
+    * pushdown/pruning behavior as parquet via the vectorized ORC reader. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Schema-evolution read: multiple parquet roots written at different
+    * schema versions, reconciled by field NAME (`mergeSchema`) — columns
+    * absent in older files surface as NULL. This is the scan-side answer
+    * to additive schema evolution over years of 100 TB partitions: no
+    * rewrite of old data, one footer-merge pass at planning time (footers
+    * only — data pages are untouched until the scan). */
+  def parquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Suffix dispatch (ref: dsgrid/utils/spark.py:173-277). */
   def read(spark: SparkSession, path: String, schema: Option[FileSchema] = None): DataFrame = {
     val p = path.toLowerCase
@@ -215,6 +230,10 @@ object Writers {
     val d = if (singleFile) df.coalesce(1) else df
     d.write.mode(SaveMode.Overwrite).json(path)
   }
+
+  /** ORC sink — columnar interop with Hive-ecosystem warehouses. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 
   /** Warehouse sink: saveAsTable + read back (ref: dsgrid/utils/
     * spark.py:675-733). On a cluster this is the metastore-backed handoff.
