@@ -12,7 +12,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -54,18 +56,41 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else 0.0)
     }.toMap
-    // Millisecond precision keeps the line compact (the harness keeps only
-    // the tail of the output), and the errors/total/sf summary keys go LAST
-    // so they survive even if a long queries map gets front-truncated.
-    // Locale.ROOT: the f-interpolator uses the default locale, and a
-    // comma-decimal locale would make the line unparseable JSON
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail (round 6: a 3.4 KB line over 99 queries
+    // front-truncated there → "parsed": null, an unreadable bench). The
+    // stdout line must therefore FIT ENTIRELY in that tail together with
+    // the runner's trailer lines: short query keys (q97_bpe_encode → q97),
+    // centisecond values, and — should the catalog ever outgrow even that —
+    // drop the fastest queries first with an "omitted" count. Full-name
+    // millisecond detail goes to bench_detail.json and stderr.
+    // Locale.ROOT: a comma-decimal default locale would break the JSON.
+    def fmt(v: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"runs":$runs,"errors":$errs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    def jsonLine(entries: Seq[(String, Double)], p: Int, omitted: Int): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""""omitted":$omitted,""" else ""
+      s"""{"queries":$qs,$om"runs":$runs,"errors":$errs,"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"}"""
+    }
+    val detail = jsonLine(results.toSeq, 3, 0)
+    System.err.println(detail)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val short = results.toSeq.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+    // qNN prefixes are unique today; fall back to full names if that changes
+    var kept = (if (short.map(_._1).distinct.size == short.size) short else results.toSeq)
+      .sortBy { case (_, v) => -v } // trim from the fast tail, keep the slow head
+    var line = jsonLine(kept, 2, 0)
+    val budget = 1800 // 2000-char tail minus runner trailer headroom
+    while (line.length > budget && kept.nonEmpty) {
+      kept = kept.dropRight(1)
+      line = jsonLine(kept, 2, short.size - kept.size)
+    }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -15,6 +15,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // without the extensions, Similarity.dot falls back to the HOF
       // spelling and the dumped plans stop matching production
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -29,16 +29,35 @@ object Queries {
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — read as long nanos (session
-    // sets spark.sql.legacy.parquet.nanosAsLong) and converted here with
-    // integer arithmetic (no double round-trip, so no precision loss).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+  /** events.ts has shipped in three encodings across testdata generations:
+    * parquet TIMESTAMP(NANOS) read as long nanos (session sets
+    * spark.sql.legacy.parquet.nanosAsLong), plain micros TIMESTAMP_NTZ,
+    * or TIMESTAMP. Canonicalize all three to a TIMESTAMP whose UTC wall
+    * clock equals the stored wall clock — DuckDB's timezone('UTC', ts)
+    * view of the same file. graft sessions set
+    * spark.sql.parquet.inferTimestampNTZ.enabled=false, so the NTZ file
+    * column already arrives as a UTC-instant TIMESTAMP (session-tz
+    * INDEPENDENT — a bare cast would capture the session zone at analysis
+    * time and silently shift under withSessionTimeZone scopes, which is
+    * how q80 broke when the testdata encoding changed). The NTZ branch
+    * below is a fallback for foreign sessions without that conf: it pins
+    * the interpretation to UTC explicitly via convert_timezone against
+    * the session zone captured at construction. Long nanos convert with
+    * integer arithmetic (no double round-trip, so no precision loss). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        val z = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(z), col("ts")).cast(TimestampType))
+      case _ => df
     }
   }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   // ------------------------------------------------------------------
   // Relational core
@@ -3111,8 +3130,7 @@ object Queries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
       val agg = graft.streaming.StreamOps.windowedAggregate(
         stream, "ts", "6 hours", None, watermark = "1 hour",
         groupColumns = Seq("event_type"), aggName = "count", valueColumn = "value")
@@ -3911,8 +3929,7 @@ object Queries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
       val dd = graft.streaming.StreamOps.dedupWithinWatermark(
         stream, Seq("user_id", "event_type"), "ts", watermark = "1 hour")
       val qname = s"graft_q121_${streamRuns.incrementAndGet()}"
@@ -4214,8 +4231,7 @@ object Queries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
       val static = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
       val enriched = stream.join(broadcast(static), Seq("user_id"))

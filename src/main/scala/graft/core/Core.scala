@@ -111,6 +111,7 @@ object GraftSession {
       // Parquet TIMESTAMP(NANOS) columns (unsupported natively) surface as
       // long nanos; readers convert explicitly (`timestamp_micros(ns div 1000)`).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // native codegen vector functions (fvec_dot)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
