@@ -142,14 +142,24 @@ object Bpe {
     learned.toSeq
   }
 
-  /** Encode text with an already-learned merge list: per word, start from
-    * single characters and apply every rule in rank order — k chained
-    * [[MergeAdjacentPair]] nodes inside a `transform` lambda (per-word work
-    * belongs in the lambda; the rules are plan constants riding as codegen
-    * reference objects). Pure map-side projection: encoding 100 TB is a
-    * scan, the merge table being driver-small by construction. Adds
-    * `bpe_tokens` (array<string>). */
+  /** Encode text with an already-learned merge list: one
+    * [[graft.plans.BpeEncodeWords]] codegen node over the word array — the
+    * whole per-document encode (code-point split, every rule in rank order,
+    * flatten) in a single tight JVM loop, the merge table riding as a
+    * codegen reference object. Pure map-side projection: encoding 100 TB is
+    * a scan, the merge table being driver-small by construction. Adds
+    * `bpe_tokens` (array<string>). Bit-equal to [[encodeComposed]]
+    * (spec-enforced). */
   def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val words = TextFunctions.tokens(TextFunctions.normalize(col(textCol)))
+    df.withColumn("bpe_tokens",
+      ExprColumn(graft.plans.BpeEncodeWords(ExprColumn.expr(words), merges)))
+  }
+
+  /** The composed reference spelling of [[encode]] (interpreted `transform`
+    * lambda over chained [[MergeAdjacentPair]] nodes) — kept as the
+    * equivalence oracle for the fused expression's spec. */
+  def encodeComposed(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val words = TextFunctions.tokens(TextFunctions.normalize(col(textCol)))
     val encodedWords = transform(words, w => {
       val chars = regexp_extract_all(w, lit("(.)"), lit(1))

@@ -75,6 +75,43 @@ class TextFunctionsSpec extends SparkSpec {
       .select(col("bpe_tokens")).as[Seq[String]].head().take(3) == Seq("l", "o", "w"))
   }
 
+  test("BPE encode: fused expression is bit-equal to the composed spelling") {
+    import graft.text.Bpe
+    // real corpus slice + adversarial rows: supplementary code points (one
+    // 𝄞 is TWO chars but ONE '.' match), repeated-merge overlap, unicode
+    // that normalize() touches, empties
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200)
+      .union(Seq(
+        "a𝄞a𝄞 aaaa aaa", "low lower lowest", "", "  ", "café café",
+        "x" * 300, "ab ab ab ba").toDF("text"))
+    val merges = Seq(("a", "a"), ("aa", "a"), ("e", "r"), ("l", "o"),
+      ("lo", "w"), ("a", "b"), ("c", "a"), ("ca", "f"))
+    val fused = Bpe.encode(docs, "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].collect().toSeq
+    val composed = Bpe.encodeComposed(docs, "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].collect().toSeq
+    assert(fused == composed)
+    // interpreted path (eval) agrees with the codegen'd projection too
+    import org.apache.spark.sql.graft.ExprColumn
+    val words = Seq(Seq("aaa", "ab"), Seq.empty[String]).toDF("words")
+    def run(): Seq[Seq[String]] = words.select(ExprColumn(
+        graft.plans.BpeEncodeWords(ExprColumn.expr(col("words")), merges)).as("t"))
+      .as[Seq[String]].collect().toSeq
+    val viaCodegen = run()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode").getOrElse("FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == viaCodegen)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    assert(viaCodegen == Seq(Seq("aaa", "ab"), Seq.empty[String]))
+    // null word nulls the document (flatten-of-null contract)
+    val withNull = Seq(1).toDF("i").select(
+      array(lit("ab"), lit(null).cast("string")).as("words"))
+    assert(withNull.select(ExprColumn(
+        graft.plans.BpeEncodeWords(ExprColumn.expr(col("words")), merges)).as("t"))
+      .collect().head.isNullAt(0))
+  }
+
   test("inverted index: capped postings, uncapped doc_freq, id order") {
     val d = Seq(
       (1L, "apple banana"), (2L, "apple"), (3L, "apple banana"),
