@@ -4370,6 +4370,290 @@ object Queries {
                         AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
             ) ORDER BY rule"""))
 
+  /** CDC merge-apply (MERGE INTO shape): a change batch (inserts/updates/
+    * deletes derived deterministically from orders) folded into the
+    * customer snapshot — delta compacted to one winner per key, then ONE
+    * outer join against the base. The oracle replays the same winner
+    * selection and join in SQL. */
+  val q134_merge_upsert = Q(
+    "q134_merge_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(
+          col("c_custkey").cast("long").as("k"),
+          col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      val changes = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 === 0, col("o_custkey"))
+          .when(col("o_orderkey") % 10 <= 3, col("o_custkey"))
+          .otherwise(col("o_custkey") + 1000000L).cast("long").as("k"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 10 <= 3, "U")
+          .otherwise("I").as("op"),
+        col("o_orderpriority").as("seg"),
+        col("o_totalprice").as("bal"),
+        col("o_orderkey").cast("long").as("seqno"))
+      graft.operators.Cdc
+        .applyChanges(base, changes, Seq("k"), "op", Seq(col("seqno")))
+        .orderBy("k")
+    },
+    Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+                                 c_acctbal AS bal FROM customer),
+            ch AS (SELECT CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey
+                                    WHEN o_orderkey % 10 <= 3 THEN o_custkey
+                                    ELSE o_custkey + 1000000 END AS BIGINT) AS k,
+                          CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                               WHEN o_orderkey % 10 <= 3 THEN 'U'
+                               ELSE 'I' END AS op,
+                          o_orderpriority AS cseg, o_totalprice AS cbal,
+                          CAST(o_orderkey AS BIGINT) AS seqno
+                   FROM orders),
+            win AS (SELECT * FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seqno DESC) AS rn
+                      FROM ch) WHERE rn = 1)
+            SELECT COALESCE(b.k, w.k) AS k,
+                   CASE WHEN w.op IS NULL THEN b.seg ELSE w.cseg END AS seg,
+                   CASE WHEN w.op IS NULL THEN b.bal ELSE w.cbal END AS bal
+            FROM base b FULL OUTER JOIN win w ON b.k = w.k
+            WHERE w.op IS NULL OR w.op <> 'D'
+            ORDER BY k"""))
+
+  /** Systematic PPS weighted sampling (Madow 1949): 100 picks proportional
+    * to document length, every quantity integer arithmetic so the pick
+    * multiset is bit-reproducible in any engine — the deterministic
+    * weighted sampler a corpus-mixing recipe needs (exp-sort reservoirs
+    * depend on libm). One global cumsum window + map-side span math. */
+  val q135_pps_sample = Q(
+    "q135_pps_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("n_chars") > 0)
+      graft.text.Sampling
+        .ppsSystematic(d, "n_chars", 100,
+          orderBy = Seq(knuthUniform(col("doc_id"), "pps"), col("doc_id")))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("w"), col("multiplicity"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ordered AS (
+               SELECT doc_id, n_chars,
+                      SUM(CAST(n_chars AS BIGINT)) OVER (
+                        ORDER BY ${knuthUniformSql("doc_id", "pps")}, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM documents WHERE n_chars > 0),
+             tot AS (SELECT MAX(cum) AS t FROM ordered),
+             spans AS (SELECT doc_id, n_chars,
+                              200 * (cum - n_chars) AS a, 200 * cum AS b, t
+                       FROM ordered, tot),
+             m AS (SELECT doc_id, n_chars,
+                          ((a + t - 1) // t) AS c, ((b - 1) // t) AS d
+                   FROM spans)
+             SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                    CAST(n_chars AS BIGINT) AS w,
+                    CAST(((d + 1) // 2) - (c // 2) AS BIGINT) AS multiplicity
+             FROM m
+             WHERE ((d + 1) // 2) - (c // 2) > 0
+             ORDER BY doc_id"""))
+
+  /** Arbitrary-stateful streaming (mapGroupsWithState): the per-user
+    * running peak driven through a real file stream under AvailableNow,
+    * drained to a memory sink, then reduced — max is order/batching
+    * independent, so the streaming result equals the batch peak exactly
+    * (the q96 drain pattern for custom state instead of windowed aggs). */
+  val q136_stream_state = Q(
+    "q136_stream_state",
+    (s, dir) => {
+      import s.implicits._
+      val schema = t(s, dir, "events").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_q136")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
+      val keyed = stream.select(col("user_id").cast("long").as("k"), col("value"))
+        .as[(Long, Double)]
+      val peaks = graft.streaming.StreamOps.runningPeak(keyed)
+      val qname = s"graft_q136_${streamRuns.incrementAndGet()}"
+      val q = peaks.toDF("user_id", "peak").writeStream
+        .format("memory").queryName(qname).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update mode may emit one row per micro-batch per key; the final
+      // state is the max — an associative reduce, batching-independent
+      s.table(qname)
+        .groupBy(col("user_id"))
+        .agg(max(col("peak")).as("peak"))
+        .filter(col("user_id") < 300)
+        .orderBy("user_id")
+    },
+    Some("""SELECT CAST(user_id AS BIGINT) AS user_id, MAX(value) AS peak
+            FROM events WHERE user_id < 300 GROUP BY 1 ORDER BY 1"""))
+
+  /** Small-file compaction (table maintenance): a 40-file fragmented copy
+    * of documents rewritten in place to byte-targeted files; the oracle
+    * checks content identity — compaction is layout, never semantics.
+    * File-count mechanics are spec-asserted (IOValidationSpec). */
+  val q137_compaction = Q(
+    "q137_compaction",
+    (s, dir) => {
+      val base = s.conf.get("spark.local.dir", "/tmp") + "/graft_q137"
+      graft.sources.Writers.parquet(
+        t(s, dir, "documents").repartition(40), base)
+      graft.sources.Writers.compactFiles(s, base, targetFileBytes = 4L << 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** CUBE aggregation (§2.4 breadth alongside q122's ROLLUP): all four
+    * grouping combinations of (returnflag, linestatus) in one pass with
+    * grouping_id disambiguation. */
+  val q138_cube = Q(
+    "q138_cube",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).cast("long").as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy("gid", "flag", "status")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                   COALESCE(l_linestatus, 'ALL') AS status,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY gid, flag, status"""))
+
+  /** b-bit minhash (Li & König 2010): 16-hash signatures compressed to the
+    * low 8 bits each (8× smaller dedup artifacts), pairwise Jaccard
+    * estimated from b-bit agreement with the 2^-b collision debias. The
+    * oracle replays the ENTIRE pipeline value-exactly in DuckDB — shingles,
+    * xxhash64 (tools.OracleSql), the k universal-hash mins, the b-bit mask,
+    * and the dyadic-rational estimate. */
+  val q139_bbit_minhash = Q(
+    "q139_bbit_minhash",
+    (s, dir) => {
+      import graft.text.Dedup
+      val d = t(s, dir, "documents").filter(col("doc_id") < 60)
+      val sh = Dedup.shingleSets(d, "doc_id", "text", 3)
+      val sigs = Dedup.minhashSignaturesFromShingles(sh, "doc_id", 16)
+      val bsigs = Dedup.bbitCompress(sigs, "doc_id", 16, 8).cache()
+      val ids = bsigs.select(col("doc_id"))
+      val pairs = ids.as("x").join(ids.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      val out = Dedup.bbitEstimate(bsigs, pairs, "doc_id", 16, 8)
+        .select(col("id1").cast("long"), col("id2").cast("long"),
+          col("matches"), col("jaccard_est"))
+        .orderBy("id1", "id2")
+      val materialized = out.cache()
+      materialized.count()
+      bsigs.unpersist()
+      materialized
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = s"SELECT CAST(doc_id AS BIGINT) AS doc_id, ${normalizeSql("text")} AS norm " +
+        "FROM documents WHERE doc_id < 60"
+      val shingles =
+        s"""SELECT doc_id, unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                     p -> toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3]) END) AS sh
+            FROM (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS toks
+                  FROM ($base))"""
+      val dist = s"SELECT DISTINCT doc_id, sh FROM ($shingles)"
+      val hashed = xxhash64Stages(dist, "sh", "hv", pfx = "__b")
+      val coefs = graft.text.Dedup.minhashCoefs(16).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH hashed AS ($hashed),
+            coefs(i, a, b) AS (VALUES $coefs),
+            mins AS (SELECT doc_id, i,
+                            MIN((CAST(a AS BIGINT) * (((hv % 2147483647) + 2147483647) % 2147483647)
+                                 + b) % 2147483647) AS h
+                     FROM hashed CROSS JOIN coefs GROUP BY 1, 2),
+            bb AS (SELECT doc_id, i, h % 256 AS bv FROM mins),
+            pm AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+                          CAST(SUM(CASE WHEN x.bv = y.bv THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                   FROM bb x JOIN bb y ON x.i = y.i AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+          SELECT id1, id2, matches,
+                 (matches / 16.0 - 0.00390625) / 0.99609375 AS jaccard_est
+          FROM pm ORDER BY id1, id2"""
+    })
+
+  /** Plain-text source/sink roundtrip (source breadth): documents flattened
+    * to delimited single-line records, written with the text sink, read
+    * back with the text source, re-parsed and aggregated — the lowest-
+    * common-denominator interchange format still everywhere in corpus
+    * plumbing. The oracle recomputes the aggregate from the table. */
+  val q140_text_roundtrip = Q(
+    "q140_text_roundtrip",
+    (s, dir) => {
+      val base = s.conf.get("spark.local.dir", "/tmp") + "/graft_q140"
+      val lines = t(s, dir, "documents").select(
+        concat(col("doc_id").cast("string"), lit("|"),
+          regexp_replace(col("text"), "[\\n\\r\\t]", " ")).as("value"))
+      graft.sources.Writers.text(lines, base)
+      graft.sources.Readers.text(s, base)
+        .select(
+          split(col("value"), "\\|", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\\|", 2).getItem(1).as("payload"))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(length(col("payload"))).cast("long").as("chars"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len(regexp_replace(text, '[\n\r\t]', ' ', 'g'))) AS BIGINT) AS chars
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Incremental partition-selective refresh (materialized-view
+    * maintenance): day-partitioned fingerprints (order-independent
+    * bit_xor of row hashes) diff two event snapshots; only changed days
+    * are recomputed, unchanged days stitch through from the previous
+    * derived table — and the result must equal a full recompute of the
+    * next snapshot, which is exactly what the oracle computes. */
+  val q141_incremental_refresh = Q(
+    "q141_incremental_refresh",
+    (s, dir) => {
+      import graft.operators.Incremental._
+      val prev = t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      // the "next" snapshot: value bumped on days where day-of-month ≡ 3 (mod 7)
+      val next = prev.withColumn("value",
+        when(dayofmonth(col("ts")) % 7 === 3, col("value") + lit(1.0))
+          .otherwise(col("value")))
+      val derive = (df: DataFrame) => df.groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(floor(col("value") * 100).cast("long")).cast("long").as("cents"))
+      val hashCols = Seq("event_id", "user_id", "event_type", "value")
+      val changed = changedPartitions(
+        partitionFingerprints(prev, Seq("day"), hashCols),
+        partitionFingerprints(next, Seq("day"), hashCols),
+        Seq("day"))
+      refresh(derive(prev), next, changed, Seq("day"), derive)
+        .orderBy("day")
+    },
+    Some("""WITH nxt AS (
+              SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                     CASE WHEN EXTRACT(day FROM ts) % 7 = 3
+                          THEN value + 1.0 ELSE value END AS value
+              FROM events)
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM nxt GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -4402,5 +4686,7 @@ object Queries {
     q121_stream_dedup, q122_rollup, q123_posexplode, q124_jl_projection,
     q125_hll_union, q126_profile, q127_orc_roundtrip, q128_cosine_pairs,
     q129_triangles, q130_stream_static, q131_scd2, q132_schema_evolution,
-    q133_expectations)
+    q133_expectations, q134_merge_upsert, q135_pps_sample, q136_stream_state,
+    q137_compaction, q138_cube, q139_bbit_minhash, q140_text_roundtrip,
+    q141_incremental_refresh)
 }

@@ -36,6 +36,11 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Plain-text scan: one row per line, single `value` string column —
+    * the lowest-common-denominator corpus interchange format. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Schema-evolution read: multiple parquet roots written at different
     * schema versions, reconciled by field NAME (`mergeSchema`) — columns
     * absent in older files surface as NULL. This is the scan-side answer
@@ -231,6 +236,10 @@ object Writers {
     d.write.mode(SaveMode.Overwrite).json(path)
   }
 
+  /** Plain-text sink: writes the single string column as raw lines. */
+  def text(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
   /** ORC sink — columnar interop with Hive-ecosystem warehouses. */
   def orc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
@@ -324,6 +333,32 @@ object Writers {
     }
     parquet(df, path)
     spark.read.parquet(path)
+  }
+
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * 100 TB dataset needs: streaming/incremental writers leave thousands of
+    * KB-sized files whose per-file open/footer/task overhead eventually
+    * dominates scan cost. Rewrite `path` in place into
+    * ⌈total_bytes / targetFileBytes⌉ files.
+    *
+    * The file count comes from the INPUT's actual on-disk bytes (Hadoop
+    * listing — no data pass), and the rewrite is one `repartition(n)`
+    * round-robin shuffle, so output files are near-uniform regardless of
+    * input skew. Row content is untouched (compaction is layout, not
+    * semantics — the content-identity oracle checks exactly that).
+    * Parallelism note: coalesce(n) would avoid the shuffle but caps the
+    * read parallelism at n and inherits input skew; for a maintenance pass
+    * that runs off the critical path, uniform output wins. */
+  def compactFiles(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long): DataFrame = {
+    require(targetFileBytes > 0, "compactFiles: targetFileBytes must be positive")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    overwriteInPlace(spark, spark.read.parquet(path).repartition(n), path)
   }
 
   private def listFiles(dir: Path, suffix: String): Seq[Path] =

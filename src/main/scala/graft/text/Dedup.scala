@@ -213,6 +213,53 @@ object Dedup {
     j.filter(col("jaccard") >= threshold).select("id1", "id2", "jaccard")
   }
 
+  /** b-bit minhash compression (Li & König 2010): keep only the low `bits`
+    * bits of each of the k minhash values. At b=8 a 16-hash signature
+    * shrinks from 128 to 16 bytes — the storage/shuffle win that makes
+    * persisting signatures for a 100 TB corpus (incremental dedup
+    * artifacts, cross-corpus screens) practical. Input is the
+    * `h0..h{k-1}` frame from [[minhashSignaturesFromShingles]]; output
+    * replaces them with `b0..b{k-1}`. Map-side, zero shuffle. */
+  def bbitCompress(sigs: DataFrame, idCol: String, numHashes: Int, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bbitCompress: bits must be in [1,32]: $bits")
+    val m = 1L << bits
+    sigs.select(col(idCol) +:
+      (0 until numHashes).map(i => (col(s"h$i") % m).as(s"b$i")): _*)
+  }
+
+  /** Jaccard estimation from b-bit signatures over candidate pairs — the
+    * cheap verify stage: no shingle-set join (the expensive half of exact
+    * verification), just k fixed-width equality tests per pair. A random
+    * pair agrees on a b-bit value with probability 2^-b even at J=0, so
+    * the matched fraction m is debiased: Ĵ = (m − 2^−b) / (1 − 2^−b)
+    * (the large-universe form of Li & König eq. 3). The estimate tree is
+    * fixed-order dyadic-rational arithmetic, so it is IEEE-deterministic
+    * and replayable bit-for-bit by any engine.
+    *
+    * `pairs` carries (id1, id2); both join sides are the compressed
+    * signature frame (cache it when pairs came from the same LSH pass). */
+  def bbitEstimate(
+      bsigs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bits: Int): DataFrame = {
+    val bcols = (0 until numHashes).map(i => s"b$i")
+    def side(tag: String) = bsigs.select(
+      col(idCol).as(s"id$tag") +: bcols.map(c => col(c).as(s"${c}_$tag")): _*)
+    val matches = bcols
+      .map(c => when(col(s"${c}_1") === col(s"${c}_2"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val c = 1.0 / (1L << bits)
+    pairs
+      .join(side("1"), Seq("id1"))
+      .join(side("2"), Seq("id2"))
+      .withColumn("matches", matches)
+      .withColumn("jaccard_est",
+        (col("matches").cast("double") / numHashes.toDouble - lit(c)) / lit(1.0 - c))
+      .select(col("id1"), col("id2"), col("matches"), col("jaccard_est"))
+  }
+
   /** End-to-end MinHash near-dedup: LSH candidates → exact-Jaccard verify. */
   def minhashNearDuplicates(
       df: DataFrame,

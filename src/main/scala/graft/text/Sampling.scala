@@ -223,6 +223,61 @@ object Sampling {
       .drop("__graft_thr")
   }
 
+  /** Systematic probability-proportional-to-size sampling (PPS): draw `k`
+    * picks by laying the rows end to end along their cumulative weight axis
+    * (in `orderBy` order — pass a content-keyed hash for a reproducible
+    * "random" order) and selecting the row under each of k equally spaced
+    * points p_i = (2i+1)·T/(2k), T the total weight. Classic survey-
+    * sampling PPS (Madow 1949): inclusion probability exactly proportional
+    * to weight, zero variance in the sample's weight coverage, and — unlike
+    * exp-sort weighted reservoirs — every quantity is integer arithmetic,
+    * so the pick set is bit-reproducible across engines.
+    *
+    * A row of weight w spanning [cum−w, cum) is picked once per point
+    * inside its span: multiplicity = #{ i : 2k·(cum−w) ≤ (2i+1)·T < 2k·cum },
+    * computed closed-form per row (rows heavier than the stride T/k can be
+    * picked more than once — standard PPS-with-replacement semantics).
+    *
+    * Scale shape: ONE window cumsum over the global order (range-
+    * partitioned sort — Spark's window over an unpartitioned ORDER BY is a
+    * global sort, the same cost class as any deterministic global sample)
+    * plus a broadcast 1-row total; selection itself is map-side integer
+    * math. Weights must be positive integers (cast char/token counts). */
+  def ppsSystematic(
+      df: DataFrame,
+      weightCol: String,
+      k: Int,
+      orderBy: Seq[Column],
+      multiplicityColumn: String = "multiplicity"): DataFrame = {
+    require(k > 0, "ppsSystematic: k must be positive")
+    val w = Window.orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .withColumn("__graft_w", col(weightCol).cast("long"))
+      .withColumn("__graft_cum", sum(col("__graft_w")).over(w))
+    val total = cum.agg(max(col("__graft_cum")).as("__graft_T"))
+    // integer-only span test: with a = 2k(cum−w), b = 2k·cum, a point
+    // (2i+1)·T lands in the span iff a ≤ (2i+1)·T < b, i.e. the odd
+    // integer 2i+1 lies in [c, d] with c = ⌈a/T⌉, d = ⌊(b−1)/T⌋.
+    // multiplicity = #odds in [c,d] = ⌊(d+1)/2⌋ − ⌊c/2⌋ — every term
+    // nonnegative, so `div` (truncating) IS floor. Overflow needs
+    // 2k·T < 2^63 — char-count weights at corpus scale stay far under.
+    val sel = cum.join(broadcast(total))
+      .withColumn("__graft_a", lit(2L * k) * (col("__graft_cum") - col("__graft_w")))
+      .withColumn("__graft_b", lit(2L * k) * col("__graft_cum"))
+      .withColumn("__graft_c",
+        expr("(__graft_a + __graft_T - 1) div __graft_T"))
+      .withColumn("__graft_d", expr("(__graft_b - 1) div __graft_T"))
+      .withColumn(multiplicityColumn,
+        greatest(lit(0L),
+          expr("((__graft_d + 1) div 2) - (__graft_c div 2)")))
+    sel
+      .filter(col(multiplicityColumn) > 0)
+      .withColumn(multiplicityColumn, col(multiplicityColumn).cast("long"))
+      .drop("__graft_w", "__graft_cum", "__graft_T", "__graft_a", "__graft_b",
+        "__graft_c", "__graft_d")
+  }
+
   /** Leakage-safe train/val/test split: every near-duplicate CLUSTER lands
     * wholly in one split — the guard against train/test contamination that
     * a per-document split cannot give (a doc and its near-copy must never

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Incremental}
+import graft.text.{Dedup, Sampling}
+
+/** Round-7 pipeline operators: CDC merge-apply, systematic PPS sampling,
+  * small-file compaction, b-bit minhash, incremental refresh. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdc applyChanges: upsert/delete/last-write-wins semantics") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "seg", "bal")
+    val changes = Seq(
+      (2L, "U", "b2", 21.0, 1L), // update existing
+      (2L, "U", "b3", 22.0, 2L), // later write wins
+      (3L, "D", null, 0.0, 1L), // delete existing
+      (4L, "I", "d", 40.0, 1L), // insert new
+      (5L, "D", null, 0.0, 1L), // delete of absent key: no-op
+      (6L, "I", "e", 50.0, 1L), // insert then delete: gone
+      (6L, "D", null, 0.0, 2L))
+      .toDF("k", "op", "seg", "bal", "seqno")
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "op", Seq(col("seqno")))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b3", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("ppsSystematic: hand-checked picks, multiplicity sums to k") {
+    // weights 1,2,3,4 in id order, T=10, k=2 → points 2.5, 7.5 → rows 2 and 4
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "w")
+    val got = Sampling.ppsSystematic(df, "w", 2, Seq(col("id")))
+      .select(col("id"), col("multiplicity")).as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 4L -> 1L))
+    // heavy row picked multiple times; total multiplicity is exactly k
+    val heavy = Seq((1L, 8L), (2L, 1L), (3L, 1L)).toDF("id", "w")
+    val h = Sampling.ppsSystematic(heavy, "w", 5, Seq(col("id")))
+      .select(col("id"), col("multiplicity")).as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> 4L, 3L -> 1L))
+    // property: sum(multiplicity) == k on real data for several k
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("n_chars") > 0)
+    for (k <- Seq(1, 7, 100)) {
+      val total = Sampling.ppsSystematic(docs, "n_chars", k, Seq(col("doc_id")))
+        .agg(sum("multiplicity")).as[Long].head()
+      assert(total == k, s"k=$k")
+    }
+  }
+
+  test("compactFiles: rewrites to the byte-targeted count, content identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.sources.Writers.parquet(docs.repartition(13), base)
+    def files() = new java.io.File(base).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files() == 13)
+    val before = docs.orderBy("doc_id").collect().toSeq
+    graft.sources.Writers.compactFiles(spark, base, targetFileBytes = 1L << 30)
+    assert(files() == 1) // total bytes far below 1 GiB → single file
+    val after = spark.read.parquet(base).orderBy("doc_id").collect().toSeq
+    assert(after == before)
+  }
+
+  test("b-bit minhash: identical docs estimate exactly 1.0, estimate bounded") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines at scale"))
+      .toDF("id", "text")
+    val sigs = Dedup.minhashSignaturesFromShingles(
+      Dedup.shingleSets(d, "id", "text", 3), "id", 16)
+    val b = Dedup.bbitCompress(sigs, "id", 16, 8)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val est = Dedup.bbitEstimate(b, pairs, "id", 16, 8)
+      .select(col("id2"), col("matches"), col("jaccard_est"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(est(2L) == ((16L, 1.0)))
+    assert(est(3L)._1 < 16L && est(3L)._2 < 1.0)
+  }
+
+  test("incremental refresh: only changed partitions recompute, result equals full") {
+    val prev = Seq(
+      ("d1", 1L, 1.0), ("d1", 2L, 2.0), ("d2", 3L, 3.0), ("d3", 4L, 4.0))
+      .toDF("day", "id", "value")
+    val next = prev.withColumn("value",
+      when(col("day") === "d2", col("value") + 10).otherwise(col("value")))
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      Incremental.partitionFingerprints(df, Seq("day"), Seq("id", "value"))
+    val changed = Incremental.changedPartitions(fp(prev), fp(next), Seq("day"))
+    assert(changed.as[String].collect().toSeq == Seq("d2"))
+    val derive = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("day").agg(sum(col("value").cast("long")).as("s"))
+    val got = Incremental.refresh(derive(prev), next, changed, Seq("day"), derive)
+      .orderBy("day").as[(String, Long)].collect().toSeq
+    val full = derive(next).orderBy("day").as[(String, Long)].collect().toSeq
+    assert(got == full)
+    // the count column closes xor's even-multiplicity blind spot: a row
+    // duplicated twice keeps the fingerprint but changes n
+    val dup = next.union(next.filter(col("day") === "d3"))
+    val changed2 = Incremental.changedPartitions(fp(next), fp(dup), Seq("day"))
+    assert(changed2.as[String].collect().toSeq == Seq("d3"))
+    // a partition present on only one side is changed
+    val dropped = next.filter(col("day") =!= "d1")
+    val changed3 = Incremental.changedPartitions(fp(next), fp(dropped), Seq("day"))
+    assert(changed3.as[String].collect().toSeq == Seq("d1"))
+  }
+}
