@@ -4654,6 +4654,153 @@ object Queries {
                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
             FROM nxt GROUP BY 1 ORDER BY 1"""))
 
+  /** Distribution-drift monitoring (corpus-refresh guardrail): per event
+    * type, total-variation distance between the month-halves' value
+    * distributions over a fixed 16-bucket grid — reported as the EXACT
+    * integer numerator Σ|n_a·N_b − n_b·N_a| (PSI/KL need libm logs; TVD
+    * in integers is bit-reproducible anywhere). */
+  val q142_drift_tvd = Q(
+    "q142_drift_tvd",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("bucket", least(lit(15L), floor(col("value") / 10.0).cast("long")))
+      val a = e.filter(dayofmonth(col("ts")) <= 15)
+      val b = e.filter(dayofmonth(col("ts")) > 15)
+      graft.operators.Drift.tvdNumerator(a, b, Seq("event_type"), "bucket")
+        .orderBy("event_type")
+    },
+    Some("""WITH bucketed AS (
+              SELECT event_type,
+                     LEAST(15, CAST(FLOOR(value / 10.0) AS BIGINT)) AS bucket,
+                     EXTRACT(day FROM ts) AS dom
+              FROM events),
+            ca AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS na
+                   FROM bucketed WHERE dom <= 15 GROUP BY 1, 2),
+            cb AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS nb
+                   FROM bucketed WHERE dom > 15 GROUP BY 1, 2),
+            j AS (SELECT COALESCE(ca.event_type, cb.event_type) AS event_type,
+                         COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+                  FROM ca FULL OUTER JOIN cb
+                    ON ca.event_type = cb.event_type AND ca.bucket = cb.bucket),
+            tot AS (SELECT event_type, CAST(SUM(na) AS BIGINT) AS n_a,
+                           CAST(SUM(nb) AS BIGINT) AS n_b
+                    FROM j GROUP BY 1)
+            SELECT t.event_type, t.n_a, t.n_b,
+                   CAST(SUM(ABS(j.na * t.n_b - j.nb * t.n_a)) AS BIGINT) AS tvd_num
+            FROM j JOIN tot t USING (event_type)
+            GROUP BY 1, 2, 3 ORDER BY 1"""))
+
+  /** Corpus-level source similarity matrix (mixing-decision input): pairwise
+    * Jaccard between six sources' united shingle sets, BOTH ways — corpus
+    * minhash signatures (map-side-partial mins: a 100 TB source folds to 16
+    * longs) and the exact distinct-shingle intersection audit. The oracle
+    * replays signatures value-exactly (tools.OracleSql XXH64 + universal
+    * mins) and the exact sets independently. */
+  val q143_source_similarity = Q(
+    "q143_source_similarity",
+    (s, dir) => {
+      val srcs = (0 to 5).map(i => s"src$i")
+      val d = t(s, dir, "documents").filter(col("source").isin(srcs: _*))
+      graft.text.Dedup.corpusSimilarity(d, "source", "text", 16, 3)
+        .orderBy("g1", "g2")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = s"SELECT source, ${normalizeSql("text")} AS norm FROM documents " +
+        "WHERE source IN ('src0','src1','src2','src3','src4','src5')"
+      val shingles =
+        s"""SELECT source, unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                     p -> toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3]) END) AS sh
+            FROM (SELECT source, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS toks
+                  FROM ($base))"""
+      val dist = s"SELECT DISTINCT source, sh FROM ($shingles)"
+      val hashed = xxhash64Stages(dist, "sh", "hv", pfx = "__c")
+      val coefs = graft.text.Dedup.minhashCoefs(16).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH hashed AS ($hashed),
+            coefs(i, a, b) AS (VALUES $coefs),
+            mins AS (SELECT source, i,
+                            MIN((CAST(a AS BIGINT) * (((hv % 2147483647) + 2147483647) % 2147483647)
+                                 + b) % 2147483647) AS h
+                     FROM hashed CROSS JOIN coefs GROUP BY 1, 2),
+            sigpairs AS (SELECT x.source AS g1, y.source AS g2,
+                                CAST(SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                         FROM mins x JOIN mins y ON x.i = y.i AND x.source < y.source
+                         GROUP BY 1, 2),
+            sets AS (SELECT DISTINCT source, sh FROM ($shingles)),
+            sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sets GROUP BY 1),
+            inter AS (SELECT x.source AS g1, y.source AS g2, CAST(COUNT(*) AS BIGINT) AS inter
+                      FROM sets x JOIN sets y ON x.sh = y.sh AND x.source < y.source
+                      GROUP BY 1, 2)
+          SELECT p.g1, p.g2, p.matches, p.matches / 16.0 AS jaccard_est,
+                 COALESCE(i.inter, 0) AS inter,
+                 s1.sz + s2.sz - COALESCE(i.inter, 0) AS uni,
+                 COALESCE(i.inter, 0) / CAST(s1.sz + s2.sz - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard
+          FROM sigpairs p
+          LEFT JOIN inter i ON i.g1 = p.g1 AND i.g2 = p.g2
+          JOIN sizes s1 ON s1.source = p.g1
+          JOIN sizes s2 ON s2.source = p.g2
+          ORDER BY p.g1, p.g2"""
+    })
+
+  /** Streaming gap sessionization (native session_window) driven through a
+    * real file stream under AvailableNow. session_window aggregation only
+    * supports APPEND mode, which withholds any session the watermark has
+    * not passed — so a per-user flush event 3 h past end-of-data is staged
+    * as a second stream file: the advanced watermark (max+3h − 1h) emits
+    * every real session, while the flush sessions themselves end beyond it
+    * and are withheld — self-excluding. The emitted per-user session-count
+    * distribution must equal the batch lag/cumsum sessionization (q58's
+    * oracle, verbatim). */
+  val q144_stream_sessions = Q(
+    "q144_stream_sessions",
+    (s, dir) => {
+      val batch = t(s, dir, "events")
+      val schema = batch.schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_q144")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      // flush file: one event per user at max(ts)+3h (same schema)
+      val tsMax = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(tsMax.getTime + 3L * 3600 * 1000)
+      val flush = batch.dropDuplicates("user_id").withColumn("ts", lit(flushTs))
+      val flushTmp = streamDir.resolve("__flush_build")
+      flush.coalesce(1).write.parquet(flushTmp.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(flushTmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+      }
+      java.nio.file.Files.move(part, streamDir.resolve("zz_flush.parquet"))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
+      val sess = graft.streaming.StreamOps.sessionize(
+        stream, "ts", "30 minutes", Seq("user_id"), watermark = "1 hour")
+      val qname = s"graft_q144_${streamRuns.incrementAndGet()}"
+      val q = sess.writeStream
+        .format("memory").queryName(qname).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+        .groupBy(col("n_sessions"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy("n_sessions")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                     THEN 1 ELSE 0 END AS is_start
+              FROM events),
+            per_user AS (
+              SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions FROM marked GROUP BY user_id)
+            SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -4688,5 +4835,6 @@ object Queries {
     q129_triangles, q130_stream_static, q131_scd2, q132_schema_evolution,
     q133_expectations, q134_merge_upsert, q135_pps_sample, q136_stream_state,
     q137_compaction, q138_cube, q139_bbit_minhash, q140_text_roundtrip,
-    q141_incremental_refresh)
+    q141_incremental_refresh, q142_drift_tvd, q143_source_similarity,
+    q144_stream_sessions)
 }

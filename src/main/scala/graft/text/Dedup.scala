@@ -260,6 +260,62 @@ object Dedup {
       .select(col("id1"), col("id2"), col("matches"), col("jaccard_est"))
   }
 
+  /** Corpus-level similarity matrix: pairwise Jaccard between document
+    * GROUPS (sources, crawls, snapshots) over their united shingle sets —
+    * the "how much does feed A overlap feed B" question a corpus-mixing
+    * decision starts from. Two readings per pair, both exact and both
+    * engine-replayable:
+    *   - `matches`/`jaccard_est`: agreement of the groups' corpus-level
+    *     minhash signatures (min over EVERY member document's shingles —
+    *     a map-side-partial aggregation, so a 100 TB group folds to k
+    *     longs without materializing its shingle set);
+    *   - `inter`/`uni`/`jaccard`: exact distinct-shingle intersection via
+    *     a shingle-keyed self-join (the audit path — costs a shuffle of
+    *     the distinct (group, shingle) pairs).
+    * Zero-intersection pairs surface with inter=0 (left join from the
+    * signature matrix), never silently dropped. */
+  def corpusSimilarity(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    // eager localCheckpoints, not cache(): both frames fan out to two
+    // consumers, and a cache would leak past return (the round-5 lesson —
+    // checkpointed blocks are GC-reclaimed with the frame)
+    val sh = shingleSets(docs, groupCol, textCol, shingleSize).localCheckpoint()
+    val sigs = minhashSignaturesFromShinglesAgg(sh, groupCol, numHashes)
+    val sets = sh.select(col(groupCol), explode(col("sh")).as("__graft_sh")).distinct()
+      .localCheckpoint()
+    val sizes = sets.groupBy(col(groupCol)).agg(count(lit(1)).cast("long").as("sz"))
+    val inter = sets.as("x")
+      .join(sets.as("y"),
+        col("x.__graft_sh") === col("y.__graft_sh") &&
+          col(s"x.$groupCol") < col(s"y.$groupCol"))
+      .groupBy(col(s"x.$groupCol").as("g1"), col(s"y.$groupCol").as("g2"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigPairs = sigs.as("a")
+      .join(sigs.as("b"), col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(
+        col(s"a.$groupCol").as("g1"), col(s"b.$groupCol").as("g2"),
+        matches.as("matches"))
+    val out = sigPairs
+      .join(inter, Seq("g1", "g2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.withColumnRenamed(groupCol, "g1").withColumnRenamed("sz", "sz1"), Seq("g1"))
+      .join(sizes.withColumnRenamed(groupCol, "g2").withColumnRenamed("sz", "sz2"), Seq("g2"))
+      .withColumn("uni", (col("sz1") + col("sz2") - col("inter")).cast("long"))
+      .select(
+        col("g1"), col("g2"), col("matches"),
+        (col("matches").cast("double") / numHashes.toDouble).as("jaccard_est"),
+        col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+    out
+  }
+
   /** End-to-end MinHash near-dedup: LSH candidates → exact-Jaccard verify. */
   def minhashNearDuplicates(
       df: DataFrame,

@@ -77,6 +77,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est(3L)._1 < 16L && est(3L)._2 < 1.0)
   }
 
+  test("tvd drift: hand-checked numerator, identical snapshots score zero") {
+    import graft.operators.Drift
+    // group g: a = {b0:2, b1:2} (N=4), b = {b0:1, b1:3} (N=4)
+    // tvd_num = |2*4-1*4| + |2*4-3*4| = 4 + 4 = 8 → TVD = 8/(2*16) = 0.25
+    val a = Seq(("g", 0L), ("g", 0L), ("g", 1L), ("g", 1L)).toDF("k", "bucket")
+    val b = Seq(("g", 0L), ("g", 1L), ("g", 1L), ("g", 1L)).toDF("k", "bucket")
+    val got = Drift.tvdNumerator(a, b, Seq("k"), "bucket")
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("g", 4L, 4L, 8L)))
+    // identical distributions → zero numerator
+    val same = Drift.tvdNumerator(a, a, Seq("k"), "bucket")
+      .as[(String, Long, Long, Long)].head()
+    assert(same._4 == 0L)
+    // bucket present on one side only still counts
+    val c = Seq(("g", 9L)).toDF("k", "bucket")
+    val oneSided = Drift.tvdNumerator(a, c, Seq("k"), "bucket")
+      .as[(String, Long, Long, Long)].head()
+    // |2*1-0*4| + |2*1-0*4| + |0*1-1*4| = 2+2+4 = 8 → TVD = 8/(2*4*1) = 1
+    assert(oneSided == (("g", 4L, 1L, 8L)))
+  }
+
+  test("corpusSimilarity: identical groups estimate 1.0 and jaccard 1.0") {
+    val docs = Seq(
+      ("A", "alpha beta gamma delta epsilon zeta"),
+      ("B", "alpha beta gamma delta epsilon zeta"),
+      ("C", "one two three four five six seven"))
+      .toDF("source", "text")
+    val m = Dedup.corpusSimilarity(docs, "source", "text", 16, 3)
+      .select(col("g1"), col("g2"), col("matches"), col("jaccard_est"), col("jaccard"))
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(m(("A", "B")) == ((16L, 1.0, 1.0)))
+    assert(m(("A", "C"))._1 < 16L && m(("A", "C"))._3 == 0.0)
+    assert(m.size == 3) // zero-overlap pairs included, not dropped
+  }
+
   test("incremental refresh: only changed partitions recompute, result equals full") {
     val prev = Seq(
       ("d1", 1L, 1.0), ("d1", 2L, 2.0), ("d2", 3L, 3.0), ("d3", 4L, 4.0))
