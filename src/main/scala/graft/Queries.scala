@@ -4801,6 +4801,114 @@ object Queries {
             SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM per_user GROUP BY 1 ORDER BY 1"""))
 
+  /** DSIR-style data selection (Xie et al. 2023, integer-quantized): score
+    * every document by hashed-unigram resemblance to the target slice
+    * (sources 0–2) vs the whole corpus; log-ratios in floor-log₂ integer
+    * space (libm-free), exact BIGINT end to end. The oracle replays
+    * xxhash64 bucketing (tools.OracleSql), the bucket profile, and the
+    * bin()-length log₂. */
+  val q145_dsir_weights = Q(
+    "q145_dsir_weights",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling
+        .dsirLogWeights(d, "doc_id", "text",
+          isTarget = col("source").isin("src0", "src1", "src2"), buckets = 512)
+        .select(col("doc_id").cast("long").as("doc_id"), col("dsir_weight"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val toks =
+        s"""SELECT doc_id, source, tok FROM (
+              SELECT doc_id, source, unnest(string_split(${normalizeSql("text")}, ' ')) AS tok
+              FROM documents) WHERE len(tok) > 0"""
+      val hashed = xxhash64Stages(toks, "tok", "hv", pfx = "__d")
+      s"""WITH hashed AS ($hashed),
+            bucketed AS (SELECT doc_id, source,
+                                ((hv % 512) + 512) % 512 AS b
+                         FROM hashed),
+            prof AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                            CAST(SUM(CASE WHEN source IN ('src0','src1','src2')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS t
+                     FROM bucketed GROUP BY 1),
+            w AS (SELECT b, CAST(length(bin(t + 1)) - 1 AS BIGINT)
+                           - CAST(length(bin(r + 1)) - 1 AS BIGINT) AS wt
+                  FROM prof)
+          SELECT CAST(x.doc_id AS BIGINT) AS doc_id,
+                 CAST(SUM(w.wt) AS BIGINT) AS dsir_weight
+          FROM bucketed x JOIN w ON w.b = x.b
+          GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Per-key time-bucketed rate limiting (abuse throttling / event-stream
+    * hygiene): at most 3 events per user per hour, chosen deterministically
+    * by (ts, event_id) order — capPerGroup over the time bucket. */
+  val q146_rate_limit = Q(
+    "q146_rate_limit",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      val kept = graft.text.Sampling
+        .capPerGroup(e, Seq("user_id", "hour"), 3,
+          orderBy = Seq(col("ts"), col("event_id")))
+      kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_kept"))
+        .join(
+          e.groupBy(col("event_type"))
+            .agg(count(lit(1)).cast("long").as("n_total")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n_total"), col("n_kept"),
+          (col("n_total") - col("n_kept")).cast("long").as("n_dropped"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ranked AS (
+              SELECT event_type,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM ranked WHERE rn <= 3 GROUP BY 1),
+            tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total
+                   FROM events GROUP BY 1)
+            SELECT tt.event_type, tt.n_total, k.n_kept,
+                   CAST(tt.n_total - k.n_kept AS BIGINT) AS n_dropped
+            FROM tt JOIN k USING (event_type) ORDER BY 1"""))
+
+  /** Keyed pseudonymization (PII-safe analytics joins): customer keys
+    * replaced by salted SHA-256 digests on BOTH tables, then joined on the
+    * pseudonym — referential structure preserved, raw keys never co-located
+    * with payloads. SHA-256 is standardized byte-exact, so the oracle
+    * replays the digests themselves (unlike engine-internal hashes). */
+  val q147_pseudonymize = Q(
+    "q147_pseudonymize",
+    (s, dir) => {
+      def pseudo(key: Column): Column =
+        sha2(concat(key.cast("string"), lit("|pepper42")), 256)
+      val cust = t(s, dir, "customer")
+        .select(pseudo(col("c_custkey")).as("pid"), col("c_mktsegment").as("segment"))
+      val ords = t(s, dir, "orders")
+        .select(pseudo(col("o_custkey")).as("pid"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      cust.join(ords, Seq("pid"))
+        .groupBy(col("segment"))
+        .agg(
+          count(lit(1)).cast("long").as("n_orders"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          min(col("pid")).as("sample_pid"))
+        .orderBy("segment")
+    },
+    Some("""WITH cust AS (SELECT sha256(CAST(c_custkey AS VARCHAR) || '|pepper42') AS pid,
+                                 c_mktsegment AS segment FROM customer),
+                 ords AS (SELECT sha256(CAST(o_custkey AS VARCHAR) || '|pepper42') AS pid,
+                                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   MIN(pid) AS sample_pid
+            FROM cust JOIN ords USING (pid)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -4836,5 +4944,6 @@ object Queries {
     q133_expectations, q134_merge_upsert, q135_pps_sample, q136_stream_state,
     q137_compaction, q138_cube, q139_bbit_minhash, q140_text_roundtrip,
     q141_incremental_refresh, q142_drift_tvd, q143_source_similarity,
-    q144_stream_sessions)
+    q144_stream_sessions, q145_dsir_weights, q146_rate_limit,
+    q147_pseudonymize)
 }

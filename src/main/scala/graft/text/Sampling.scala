@@ -278,6 +278,53 @@ object Sampling {
         "__graft_c", "__graft_d")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, integer-quantized):
+    * score every document by how much its hashed-unigram profile looks like
+    * a TARGET slice of the corpus versus the corpus as a whole — the
+    * data-selection signal behind "pick generalist web data that resembles
+    * the high-quality target".
+    *
+    * Per token with feature bucket b (xxhash64 mod `buckets`), the
+    * log-ratio log p_target(b) − p_raw(b) is quantized to INTEGER
+    * floor-log₂ space: w(b) = ⌊log₂(t_b+1)⌋ − ⌊log₂(r_b+1)⌋ (the q90
+    * discipline — libm logs are not bit-stable across engines; floor-log₂
+    * over exact counts is). A document's weight is the sum of its tokens'
+    * bucket weights — exact BIGINT arithmetic end to end.
+    *
+    * Scale shape: a profile pass (explode → `buckets`-sized aggregate,
+    * map-side partials; target counted in the same pass via a conditional
+    * sum) and a weighting pass (explode → broadcast 512-row table join →
+    * per-document sum). Two corpus scans total — the alternative,
+    * materializing the exploded tokens, costs more than the re-scan. */
+  def dsirLogWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 512): DataFrame = {
+    require(buckets > 0, "dsirLogWeights: buckets must be positive")
+    val toks = df
+      .select(col(idCol), isTarget.as("__graft_tgt"),
+        TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("__graft_toks"))
+      .select(col(idCol), col("__graft_tgt"),
+        explode(col("__graft_toks")).as("__graft_tok"))
+      .withColumn("__graft_b", pmod(xxhash64(col("__graft_tok")), lit(buckets.toLong)))
+    // ⌊log₂(x)⌋ for x ≥ 1 as length(bin(x)) − 1 — pure integer, and DuckDB's
+    // bin() renders the same minimal binary string (the q90 trick)
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val table = toks
+      .groupBy(col("__graft_b"))
+      .agg(
+        count(lit(1)).as("__graft_r"),
+        sum(when(col("__graft_tgt"), 1L).otherwise(0L)).as("__graft_t"))
+      .select(col("__graft_b"),
+        (flog2(col("__graft_t") + 1) - flog2(col("__graft_r") + 1)).as("__graft_w"))
+    toks
+      .join(broadcast(table), Seq("__graft_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__graft_w")).cast("long").as("dsir_weight"))
+  }
+
   /** Leakage-safe train/val/test split: every near-duplicate CLUSTER lands
     * wholly in one split — the guard against train/test contamination that
     * a per-document split cannot give (a doc and its near-copy must never
