@@ -90,8 +90,13 @@ object Bench {
       kept = kept.dropRight(1)
       line = jsonLine(kept, 2, short.size - kept.size)
     }
-    println(line)
+    // stop Spark BEFORE printing: the compact JSON must be the very last
+    // stdout write of the process (the driver parses the tail of stdout;
+    // any shutdown chatter after the line re-breaks the parse — r1–r7 all
+    // landed "parsed": null)
     spark.stop()
+    println(line)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

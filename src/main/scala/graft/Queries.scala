@@ -697,11 +697,15 @@ object Queries {
               FROM (SELECT doc_id,
                 list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
                 FROM corpus)),
+            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ic
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
             pairs AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2,
-                CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              SELECT id1, id2, CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS jaccard
+              FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2)
             SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
               ROUND(jaccard, 4) AS jaccard
             FROM pairs WHERE jaccard >= 0.8 ORDER BY id1, id2"""))
@@ -1966,8 +1970,9 @@ object Queries {
     * pipeline needs connected components over the verified pairs and one
     * representative per component. Corpus: each doc plus two clipped
     * variants (chains full≈minus1≈minus2). Output: cluster-size histogram.
-    * Oracle: exhaustive-pair Jaccard (as q29) + a recursive CTE computing
-    * min-reachable-id components — fully independent of the LSH path. */
+    * Oracle: exact-Jaccard pairs via inverted-index join (as q29) + a
+    * recursive CTE computing min-reachable-id components — fully
+    * independent of the LSH path. */
   /** Shared q69/q82 fixture: the first 2000 documents plus two clipped
     * copies (1 and 2 trailing tokens removed, ids offset by 1M/2M), so
     * near-dup components of known shape exist. The clip length is clamped
@@ -1986,9 +1991,18 @@ object Queries {
   }
 
   /** The matching DuckDB CTE chain: corpus construction, shingle sets,
-    * exhaustive-Jaccard pairs, and connected components via recursive walk
-    * (ends with `roots(id, root)`). Shared verbatim by q69 and q82 so the
-    * two oracles can never drift apart. */
+    * exact-Jaccard pairs, and connected components via recursive walk
+    * (ends with `roots(id, root)`). Shared verbatim by q69/q82/q120 so the
+    * oracles can never drift apart.
+    *
+    * Pairs are spelled as an inverted-index join (unnest shingles, join on
+    * shared shingle, COUNT(*) = |A∩B|, union by inclusion-exclusion) rather
+    * than the exhaustive all-pairs `list_intersect` — identical ground
+    * truth (any pair with Jaccard ≥ 0.8 > 0 shares a shingle; distinct
+    * shingle sets make the equi-join count the exact intersection) but
+    * near-linear: Σ df(sh)² join rows instead of n²/2 list intersections.
+    * The exhaustive form blew the driver's correctness-gate budget
+    * (~190 s/oracle at sf0.01, the r6/r7 `{}` outage); this runs in ~3 s. */
   private val nearDupComponentsCte: String =
     """corpus AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 2000
@@ -2007,11 +2021,16 @@ object Queries {
               FROM (SELECT doc_id,
                 list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
                 FROM corpus)),
+            shsz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            shex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            shinter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ic
+              FROM shex a JOIN shex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
             pairs AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+              SELECT id1, id2
+              FROM shinter JOIN shsz sa ON sa.doc_id = id1 JOIN shsz sb ON sb.doc_id = id2
+              WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.8),
             edges AS (
               SELECT id1 AS a, id2 AS b FROM pairs
               UNION SELECT id2, id1 FROM pairs),
@@ -4463,7 +4482,11 @@ object Queries {
     "q136_stream_state",
     (s, dir) => {
       import s.implicits._
-      val schema = t(s, dir, "events").schema
+      // RAW file schema (the q96/q121 pattern), NOT the normalized batch
+      // schema: under a TIMESTAMP(NANOS) encoding the raw column is
+      // LongType (nanosAsLong) and normalizeTs must see it that way —
+      // forcing TimestampType onto the INT64-nanos column would misread
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
       val streamDir = java.nio.file.Files.createTempDirectory("graft_q136")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
@@ -4556,8 +4579,9 @@ object Queries {
         .select(col("id1").cast("long"), col("id2").cast("long"),
           col("matches"), col("jaccard_est"))
         .orderBy("id1", "id2")
-      val materialized = out.cache()
-      materialized.count()
+      // localCheckpoint (not cache): cuts lineage so bsigs can unpersist,
+      // without leaking a cached frame into the long-lived bench JVM
+      val materialized = out.localCheckpoint(true)
       bsigs.unpersist()
       materialized
     },
@@ -4686,7 +4710,10 @@ object Queries {
                            CAST(SUM(nb) AS BIGINT) AS n_b
                     FROM j GROUP BY 1)
             SELECT t.event_type, t.n_a, t.n_b,
-                   CAST(SUM(ABS(j.na * t.n_b - j.nb * t.n_a)) AS BIGINT) AS tvd_num
+                   CAST(CASE WHEN t.n_a = 0 OR t.n_b = 0
+                             THEN GREATEST(t.n_a, t.n_b)
+                             ELSE SUM(ABS(j.na * t.n_b - j.nb * t.n_a)) END
+                        AS BIGINT) AS tvd_num
             FROM j JOIN tot t USING (event_type)
             GROUP BY 1, 2, 3 ORDER BY 1"""))
 
@@ -4756,16 +4783,27 @@ object Queries {
   val q144_stream_sessions = Q(
     "q144_stream_sessions",
     (s, dir) => {
-      val batch = t(s, dir, "events")
-      val schema = batch.schema
+      // RAW file read for both the stream schema and the flush file (the
+      // q96/q121 pattern): under a TIMESTAMP(NANOS) encoding the raw ts is
+      // LongType (nanosAsLong) and BOTH stream files must carry the same
+      // encoding — a normalized-batch flush file would mix micros
+      // timestamps with a nanos base file under one schema
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val schema = raw.schema
       val streamDir = java.nio.file.Files.createTempDirectory("graft_q144")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      // flush file: one event per user at max(ts)+3h (same schema)
-      val tsMax = batch.agg(max(col("ts"))).head().getTimestamp(0)
-      val flushTs = new java.sql.Timestamp(tsMax.getTime + 3L * 3600 * 1000)
-      val flush = batch.dropDuplicates("user_id").withColumn("ts", lit(flushTs))
+      // flush file: one event per user at max(ts)+3h, in the RAW encoding
+      val flush = {
+        val mx = raw.agg(max(col("ts"))).head().get(0)
+        val shifted = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // nanos-as-long round
+            lit(mx.asInstanceOf[Long] + 3L * 3600 * 1000 * 1000 * 1000)
+          case tsType => lit(mx).cast(tsType) + expr("INTERVAL 3 HOUR")
+        }
+        raw.dropDuplicates("user_id").withColumn("ts", shifted)
+      }
       val flushTmp = streamDir.resolve("__flush_build")
       flush.coalesce(1).write.parquet(flushTmp.toString)
       val part = {

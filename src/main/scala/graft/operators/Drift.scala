@@ -27,8 +27,17 @@ object Drift {
     * Returns one row per group: groupCols*, n_a, n_b (totals),
     * `tvd_num` = Σ_b |n_a(b)·N_b − n_b(b)·N_a|; TVD itself is
     * tvd_num / (2·N_a·N_b), left to the caller (the exact-integer
-    * numerator is the deterministic part worth shipping). Groups present
-    * in only one snapshot surface with a zero total on the empty side. */
+    * numerator is the deterministic part worth shipping).
+    *
+    * DEGENERATE CASE — a group present in only ONE snapshot: the empty
+    * side's total is 0, so every cross-product vanishes and the raw
+    * formula yields tvd_num = 0 with denominator 0 — "no drift" for what
+    * is actually an appearing/disappearing group, the worst drift there
+    * is. Such groups are therefore special-cased to
+    * `tvd_num = max(N_a, N_b)` (the nonzero side's total) so that with
+    * the guarded denominator `2·max(N_a,1)·max(N_b,1)` they score
+    * TVD = ½ — strictly positive, never silently "unchanged". Callers can
+    * still detect the case exactly (n_a = 0 or n_b = 0 in the output). */
   def tvdNumerator(
       a: DataFrame,
       b: DataFrame,
@@ -51,6 +60,10 @@ object Drift {
       .agg(
         first(col("n_a")).as("n_a"),
         first(col("n_b")).as("n_b"),
-        sum(abs(col("na") * col("n_b") - col("nb") * col("n_a"))).cast("long").as("tvd_num"))
+        sum(abs(col("na") * col("n_b") - col("nb") * col("n_a"))).cast("long").as("raw_num"))
+      .withColumn("tvd_num",
+        when(col("n_a") === 0 || col("n_b") === 0, greatest(col("n_a"), col("n_b")))
+          .otherwise(col("raw_num")).cast("long"))
+      .drop("raw_num")
   }
 }

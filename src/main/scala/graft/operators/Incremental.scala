@@ -26,11 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Per-partition content fingerprint: (partCols*, fp, n). */
+  /** Per-partition content fingerprint: (partCols*, fp, n).
+    *
+    * NULLs are replaced by a per-column sentinel before hashing: Spark's
+    * hash functions SKIP null arguments (leaving the accumulator
+    * untouched), so without the sentinel ('x', NULL) and (NULL, 'x')
+    * would fingerprint identically and a value shifting between columns
+    * would be invisible to the diff. Remaining documented caveats: values
+    * are compared in string form (a prev/next schema retype that
+    * round-trips through the same string is invisible — schemas should
+    * match anyway), and a real value equal to the NUL-prefixed sentinel would collide with NULL (control characters in data are
+    * assumed absent). */
   def partitionFingerprints(df: DataFrame, partCols: Seq[String], hashCols: Seq[String]): DataFrame =
     df.groupBy(partCols.map(col): _*)
       .agg(
-        bit_xor(xxhash64(hashCols.map(c => col(c).cast("string")): _*)).as("fp"),
+        bit_xor(xxhash64(hashCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000null:" + c))): _*)).as("fp"),
         count(lit(1)).cast("long").as("n"))
 
   /** Partition keys whose (fp, n) differ between snapshots — including

@@ -1,16 +1,32 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** All-pairs similarity search (APSS) over SPARSE lexical vectors — the
   * token-space sibling of the embedding-space near-dup operators
   * ([[graft.ml.Similarity]]). Documents become integer term-frequency
   * vectors over word n-grams; pairs above a cosine threshold are found by
-  * an inverted-index join (Bayardo et al., "Scaling Up All Pairs
-  * Similarity Search", WWW'07): each shared gram contributes one candidate
-  * row, the dot product is the SUM of tf products over shared grams, and
-  * nothing is ever compared all-pairs.
+  * a PREFIX-FILTERED inverted-index join (Bayardo et al., "Scaling Up All
+  * Pairs Similarity Search", WWW'07 §3): each document indexes only the
+  * low-df prefix of its vector that a qualifying pair MUST touch, candidate
+  * pairs come from one index⋈vector join, and the exact integer cosine test
+  * runs only on candidates.
+  *
+  * The prefix bound: order a document's grams by DESCENDING global df and
+  * let S_j be the running sum of tf² through position j. If the high-df
+  * head r_1..r_k is skipped (not indexed), any pair whose shared grams all
+  * fall in that head has dot(a,b) = a_head·b ≤ |a_head|·|b|, so
+  * cos ≤ sqrt(S_k / norm2_a). Skipping is therefore safe while
+  * S_k·den² < num²·norm2 holds STRICTLY — every missed pair is strictly
+  * below threshold, so recall is exact and the output is unchanged from
+  * the unfiltered join (spec-pinned). The test is pure integer arithmetic,
+  * so the operator stays bit-exact and oracle-replayable. At cos ≥ 4/5 a
+  * document skips up to 64 % of its squared norm — exactly the ubiquitous
+  * mid-df grams that otherwise dominate the join (the r7 q128 plan without
+  * this filter spent 27 % of the whole bench generating df²-per-gram
+  * candidates; candidates now scale with output pairs, not grams×df²).
   *
   * Determinism: vectors are integer counts, the dot and the squared norms
   * are integer sums (commutative — any partitioning), and the cosine
@@ -18,8 +34,7 @@ import org.apache.spark.sql.functions._
   *
   *   den^2 * dot^2 >= num^2 * |a|^2 * |b|^2
   *
-  * so there is NO floating point anywhere — the operator is bit-exact and
-  * oracle-replayable.
+  * so there is NO floating point anywhere.
   *
   * Scale design (100 TB corpus):
   *   - grams shuffle as 8-byte xxhash64 keys, never strings (the q87
@@ -28,18 +43,20 @@ import org.apache.spark.sql.functions._
   *     collisions);
   *   - the document-frequency cap `dfCap` drops grams occurring in more
   *     than `dfCap` documents FROM THE VECTORS (a stopword rule, part of
-  *     the operator's semantics, replayed by the oracle) — it bounds the
-  *     inverted-index join fanout at dfCap² candidate rows per gram, the
-  *     classic APSS guard against a stop-gram generating |corpus|² pairs;
-  *   - one explode → one self-join on the gram key → one (a,b) groupBy:
-  *     three shuffles total, each keyed on hashes — no skew beyond the
-  *     dfCap bound by construction.
+  *     the operator's semantics, replayed by the oracle);
+  *   - the prefix filter bounds the index join's fanout by what the
+  *     threshold can admit — high-df grams drop out of the INDEX side
+  *     entirely instead of fanning out df² candidate rows each;
+  *   - the verify joins (dot + norms) are candidate-sized, not corpus-
+  *     sized, and every shuffle is keyed on hashes or ids — no skew
+  *     beyond the dfCap bound by construction.
   */
 object ApssJoin {
 
-  /** Integer TF vectors over word `n`-grams as (id, gram hash, tf) rows,
-    * df-capped. Tokenization = trim/lower/whitespace-split (the q77
-    * convention). */
+  /** Integer TF vectors over word `n`-grams as (id, gram hash, tf, df)
+    * rows, df-capped; `df` (the gram's global document frequency) is kept
+    * for the prefix-filter ordering. Tokenization = trim/lower/whitespace-
+    * split (the q77 convention). */
   private[graft] def gramVectors(
       df: DataFrame,
       idCol: String,
@@ -50,15 +67,39 @@ object ApssJoin {
     val toked = df
       .withColumn("__graft_toks", TextFunctions.tokens(lower(col(textCol))))
       .select(col(idCol), TextFunctions.wordShinglesFromTokens(col("__graft_toks"), n).as("__graft_grams"))
+    // array_compact is semantically a no-op (grams are never null) but
+    // keeps InferFiltersFromGenerate from inferring a size()>0 filter
+    // below the Generate whose pushdown would inline and re-evaluate the
+    // whole tokenize+shingle subtree (the q78 trap — measured 11.2 s vs
+    // 0.5 s for this explode alone at sf0.1)
     val tf = toked
-      .select(col(idCol), explode(col("__graft_grams")).as("__graft_gram"))
+      .select(col(idCol), explode(array_compact(col("__graft_grams"))).as("__graft_gram"))
       .groupBy(col(idCol), xxhash64(col("__graft_gram")).as("gram"))
       .agg(count(lit(1)).as("tf"))
     val dfCounts = tf
       .groupBy(col("gram"))
-      .agg(count(lit(1)).as("__graft_df"))
-      .filter(col("__graft_df") <= dfCap)
-    tf.join(dfCounts.select("gram"), Seq("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    tf.join(dfCounts, Seq("gram"))
+  }
+
+  /** The indexed (prefix) subset of `vecs`: per document, grams ordered by
+    * DESCENDING (df, gram); a gram is indexed iff the running tf² sum
+    * through it reaches num²·norm2/den² — the maximal high-df head below
+    * that bound is safely skipped (see object doc for the proof). */
+  private[graft] def prefixIndex(vecs: DataFrame, idCol: String, minCosNum: Long, minCosDen: Long): DataFrame = {
+    val w = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("df").desc, col("gram").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy(col(idCol))
+    vecs
+      .withColumn("__graft_csum", sum(col("tf") * col("tf")).over(w))
+      .withColumn("__graft_norm2", sum(col("tf") * col("tf")).over(total))
+      .filter(
+        col("__graft_csum") * lit(minCosDen * minCosDen) >=
+          lit(minCosNum * minCosNum) * col("__graft_norm2"))
+      .select(col(idCol), col("gram"), col("tf"))
   }
 
   /** Pairs `(id_a < id_b)` with cosine(tfVec_a, tfVec_b) >= num/den over
@@ -76,11 +117,11 @@ object ApssJoin {
     require(minCosNum > 0 && minCosNum <= minCosDen,
       s"cosinePairs: threshold $minCosNum/$minCosDen not in (0, 1]")
     require(n >= 1, s"cosinePairs: gram size must be >= 1, got $n")
-    // vectors feed three consumers (index join ×2, norms) — compute once.
-    // The self-join EXPANDS rows (up to dfCap² per gram), so partitioning
-    // must match the output, not the input: explicit-N repartition on the
-    // join key (exempt from AQE's input-bytes coalescing — the q115
-    // lesson), which also co-partitions both join sides.
+    // vectors feed four consumers (index, probe, dot verify, norms) —
+    // compute once. The index join EXPANDS rows, so partitioning must
+    // match the output, not the input: explicit-N repartition on the join
+    // key (exempt from AQE's input-bytes coalescing — the q115 lesson),
+    // which also co-partitions both join sides.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val vecs = gramVectors(df, idCol, textCol, n, dfCap)
       .repartition(par, col("gram"))
@@ -89,11 +130,27 @@ object ApssJoin {
       val norms = vecs
         .groupBy(col(idCol))
         .agg(sum(col("tf") * col("tf")).as("norm2"))
-      val a = vecs.select(col("gram"), col(idCol).as("id_a"), col("tf").as("tf_a"))
-      val b = vecs.select(col("gram"), col(idCol).as("id_b"), col("tf").as("tf_b"))
-      val dots = a
-        .join(b, Seq("gram"))
+      // candidate generation: only the smaller-id side needs its prefix —
+      // a pair whose shared grams all miss id_a's index is provably below
+      // threshold regardless of id_b (object doc), so the probe side stays
+      // the full vector set.
+      val idx = prefixIndex(vecs, idCol, minCosNum, minCosDen)
+        .select(col("gram"), col(idCol).as("id_a"))
+      val probe = vecs.select(col("gram"), col(idCol).as("id_b"))
+      val cands = idx
+        .join(probe, Seq("gram"))
         .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      // exact verification, candidate-sized: rebuild the FULL dot by
+      // walking id_a's whole vector against id_b's (the index join's
+      // partial sums only cover prefix grams, so the dot is recomputed
+      // from vecs, not accumulated from candidates).
+      val aSide = vecs.select(col(idCol).as("id_a"), col("gram"), col("tf").as("tf_a"))
+      val bSide = vecs.select(col(idCol).as("id_b"), col("gram"), col("tf").as("tf_b"))
+      val dots = cands
+        .join(aSide, Seq("id_a"))
+        .join(bSide, Seq("id_b", "gram"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
       val out = dots

@@ -690,8 +690,11 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("__graft_pos"), col("__graft_pos") + (n - 1))).as("__graft_cpos"))
       .distinct()
+    // array_compact: semantic no-op (tokens() yields no null elements, so
+    // positions are unchanged) that stops InferFiltersFromGenerate from
+    // inlining the tokenize subtree into a pushed-down filter (q78 trap)
     val tokenStream = toked.select(
-      col(idCol), posexplode(col("__graft_toks")).as(Seq("__graft_tpos", "__graft_tok")))
+      col(idCol), posexplode(array_compact(col("__graft_toks"))).as(Seq("__graft_tpos", "__graft_tok")))
     val kept = tokenStream.join(
       covered,
       tokenStream(idCol) === covered(idCol) &&

@@ -250,19 +250,29 @@ object Sampling {
       orderBy: Seq[Column],
       multiplicityColumn: String = "multiplicity"): DataFrame = {
     require(k > 0, "ppsSystematic: k must be positive")
+    // T from a plain aggregate over df, NOT max(cum): the unpartitioned-
+    // window global sort is the dominant cost and referencing cum twice
+    // (total + selection) would execute it twice. The 1-row collect also
+    // lets the 2k·T < 2^63 overflow precondition be ENFORCED, not just
+    // documented. (sum == max cum because weights are positive — the
+    // stated contract.)
+    val totalW = Option(df.agg(sum(col(weightCol).cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (totalW <= 0L)
+      return df.withColumn(multiplicityColumn, lit(0L)).limit(0)
+    require(totalW <= Long.MaxValue / (2L * k),
+      s"ppsSystematic: 2k·T = ${2L * k}·$totalW overflows 63-bit span arithmetic")
     val w = Window.orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = df
       .withColumn("__graft_w", col(weightCol).cast("long"))
       .withColumn("__graft_cum", sum(col("__graft_w")).over(w))
-    val total = cum.agg(max(col("__graft_cum")).as("__graft_T"))
     // integer-only span test: with a = 2k(cum−w), b = 2k·cum, a point
     // (2i+1)·T lands in the span iff a ≤ (2i+1)·T < b, i.e. the odd
     // integer 2i+1 lies in [c, d] with c = ⌈a/T⌉, d = ⌊(b−1)/T⌋.
     // multiplicity = #odds in [c,d] = ⌊(d+1)/2⌋ − ⌊c/2⌋ — every term
-    // nonnegative, so `div` (truncating) IS floor. Overflow needs
-    // 2k·T < 2^63 — char-count weights at corpus scale stay far under.
-    val sel = cum.join(broadcast(total))
+    // nonnegative, so `div` (truncating) IS floor.
+    val sel = cum.withColumn("__graft_T", lit(totalW))
       .withColumn("__graft_a", lit(2L * k) * (col("__graft_cum") - col("__graft_w")))
       .withColumn("__graft_b", lit(2L * k) * col("__graft_cum"))
       .withColumn("__graft_c",
@@ -306,8 +316,11 @@ object Sampling {
     val toks = df
       .select(col(idCol), isTarget.as("__graft_tgt"),
         TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("__graft_toks"))
+      // array_compact is a semantic no-op (tokens() yields no null
+      // elements) but keeps InferFiltersFromGenerate from inlining the
+      // tokenize subtree into a pushed-down size()>0 filter (the q78 trap)
       .select(col(idCol), col("__graft_tgt"),
-        explode(col("__graft_toks")).as("__graft_tok"))
+        explode(array_compact(col("__graft_toks"))).as("__graft_tok"))
       .withColumn("__graft_b", pmod(xxhash64(col("__graft_tok")), lit(buckets.toLong)))
     // ⌊log₂(x)⌋ for x ≥ 1 as length(bin(x)) − 1 — pure integer, and DuckDB's
     // bin() renders the same minimal binary string (the q90 trick)

@@ -18,6 +18,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     if (args.contains("--q69")) { q69(args.head); return }
     if (args.contains("--q90")) { q90(args.head); return }
+    if (args.contains("--apss")) { apss(args.head); return }
     args.sliding(2).collectFirst { case Array("--query", name) => name } match {
       case Some(name) => timeQuery(args.head, name); return
       case None =>
@@ -110,6 +111,38 @@ object Profile {
         TextFunctions.lmSurprisalScores(d, "doc_id", "text", lm)
           .write.format("noop").mode("overwrite").save())
     }
+    spark.stop()
+  }
+
+  /** Stage timing for the q128 APSS pipeline (prefix-filter diagnostics). */
+  def apss(dir: String): Unit = {
+    import graft.text.ApssJoin
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vecs = time("gramVectors") {
+      val v = ApssJoin.gramVectors(docs, "doc_id", "text", 3, 1000L)
+        .repartition(32, col("gram")).cache()
+      println("  vec rows=" + v.count()); v
+    }
+    val idx = time("prefixIndex") {
+      val i = ApssJoin.prefixIndex(vecs, "doc_id", 4L, 5L).cache()
+      println("  idx rows=" + i.count()); i
+    }
+    val cands = time("candidates") {
+      val c = idx.select(col("gram"), col("doc_id").as("id_a"))
+        .join(vecs.select(col("gram"), col("doc_id").as("id_b")), Seq("gram"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().cache()
+      println("  cands=" + c.count()); c
+    }
+    cands.unpersist(); idx.unpersist(); vecs.unpersist()
+    time("full cosinePairs")(println("  pairs=" +
+      ApssJoin.cosinePairs(docs, "doc_id", "text", 3, 4L, 5L, 1000L).count()))
     spark.stop()
   }
 

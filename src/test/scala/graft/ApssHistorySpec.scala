@@ -46,6 +46,60 @@ class ApssHistorySpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L, 1L, 1L))) // "p q" == "p q"; "p r" shares nothing
   }
 
+  test("prefix filter keeps exact recall and drops a saturating stop-gram from the index") {
+    // every doc contains the stop-gram "the" (df = n+1) once plus a rare
+    // gram nine times; doc 1000 duplicates doc 1. Unfiltered, the index
+    // join fans out df² ≈ n² candidate rows on "the"; the prefix filter
+    // must drop every "the" posting from the INDEX side while still
+    // finding the (1, 1000) duplicate pair — exact recall.
+    val n = 60
+    val docs = ((1 to n).map(i => (i.toLong, s"the ${(s"w$i " * 9).trim}")) ++
+      Seq((1000L, s"the ${("w1 " * 9).trim}"))).toDF("id", "text")
+    val full = ApssJoin.gramVectors(docs, "id", "text", 1, 1000L).cache()
+    try {
+      // per doc: {the: 1, w_i: 9}, norm2 = 82; skip while csum·25 < 16·82
+      // in DESC-df order: "the" first (csum=1, 25 < 1312 → skipped);
+      // w_i (csum=82, 2050 ≥ 1312 → indexed).
+      val idx = ApssJoin.prefixIndex(full, "id", 4L, 5L)
+      assert(idx.count() == n.toLong + 1, "index must hold exactly the rare-gram postings")
+      assert(idx.filter(col("gram") === xxhash64(lit("the"))).count() == 0,
+        "stop-gram postings must drop out of the index")
+      val got = ApssJoin.cosinePairs(docs, "id", "text", n = 1, minCosNum = 4L, minCosDen = 5L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1000L, 82L, 82L, 82L)),
+        "the duplicate pair must survive prefix filtering")
+    } finally full.unpersist()
+  }
+
+  test("prefix filter output identical to exhaustive join on a near-dup corpus") {
+    // near-dup docs share the heavy grams; the prefix filter must still
+    // find every qualifying pair (recall proof exercised end-to-end).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "alpha beta gamma delta alpha zeta"),
+      (3L, "alpha beta gamma delta alpha beta"), // identical to 1
+      (4L, "omega psi chi phi upsilon tau"),
+      (5L, "omega psi chi phi upsilon tau omega")
+    ).toDF("id", "text")
+    for ((num, den) <- Seq((1L, 2L), (4L, 5L), (9L, 10L), (1L, 1L))) {
+      val got = ApssJoin.cosinePairs(docs, "id", "text", n = 1, minCosNum = num, minCosDen = den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // brute-force reference over the same integer vectors
+      val vecs = ApssJoin.gramVectors(docs, "id", "text", 1, 1000L)
+        .as[(Long, Long, Long, Long)].collect() // (gram, id, tf, df)
+        .groupBy(_._2).view.mapValues(_.map(r => (r._1, r._3)).toMap).toMap
+      val expected = (for {
+        a <- vecs.keys; b <- vecs.keys; if a < b
+        va = vecs(a); vb = vecs(b)
+        dot = va.keysIterator.map(g => va(g) * vb.getOrElse(g, 0L)).sum
+        n2a = va.valuesIterator.map(x => x * x).sum
+        n2b = vb.valuesIterator.map(x => x * x).sum
+        if den * den * dot * dot >= num * num * n2a * n2b
+      } yield (a, b, dot, n2a, n2b)).toSet
+      assert(got == expected, s"threshold $num/$den")
+    }
+  }
+
   test("cosinePairs refuses degenerate thresholds") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     intercept[IllegalArgumentException](ApssJoin.cosinePairs(docs, "id", "text", minCosNum = 0L))

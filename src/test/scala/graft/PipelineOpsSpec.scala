@@ -96,6 +96,14 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     // |2*1-0*4| + |2*1-0*4| + |0*1-1*4| = 2+2+4 = 8 → TVD = 8/(2*4*1) = 1
     assert(oneSided == (("g", 4L, 1L, 8L)))
+    // a GROUP present in only one snapshot must NOT read as "no drift":
+    // the raw formula degenerates to 0/0, so the operator emits the
+    // nonzero side's total (TVD = ½ under the guarded denominator)
+    val other = Seq(("h", 0L)).toDF("k", "bucket")
+    val groups = Drift.tvdNumerator(a, other, Seq("k"), "bucket")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(groups("g") == (("g", 4L, 0L, 4L)), "vanished group scores its own mass")
+    assert(groups("h") == (("h", 0L, 1L, 1L)), "appeared group scores its own mass")
   }
 
   test("corpusSimilarity: identical groups estimate 1.0 and jaccard 1.0") {
@@ -138,5 +146,18 @@ class PipelineOpsSpec extends SparkSpec {
     val dropped = next.filter(col("day") =!= "d1")
     val changed3 = Incremental.changedPartitions(fp(next), fp(dropped), Seq("day"))
     assert(changed3.as[String].collect().toSeq == Seq("d1"))
+  }
+
+  test("partition fingerprints see a value shifting between columns across NULL") {
+    // Spark's hash skips NULL args, so without per-column null sentinels
+    // ('x', NULL) and (NULL, 'x') would fingerprint identically
+    val fpOf = (rows: Seq[(String, Option[String], Option[String])]) =>
+      Incremental.partitionFingerprints(
+        rows.toDF("day", "a", "b"), Seq("day"), Seq("a", "b"))
+    val prev = fpOf(Seq(("d1", Some("x"), None)))
+    val next = fpOf(Seq(("d1", None, Some("x"))))
+    val changed = Incremental.changedPartitions(prev, next, Seq("day"))
+    assert(changed.as[String].collect().toSeq == Seq("d1"),
+      "null-shifted value must change the fingerprint")
   }
 }

@@ -6,9 +6,16 @@ query's result parquet + oracle_sql.json, then run each oracle SQL in DuckDB
 against the same testdata tables and compare (columns sorted by name, rows
 sorted, values hashed). Usage:
 
-    python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+    python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out [--budget-seconds N]
+
+Each oracle's DuckDB wall time is printed on its line and the slowest five
+are summarized at the end — the r6/r7 correctness-gate outage was caused by
+oracle SQL silently creeping past the driver's budget (three ~190 s
+recursive/exhaustive oracles), so budget creep must be visible locally.
+With --budget-seconds N, any single oracle exceeding N seconds FAILS the
+gate even if its values match.
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, time
 import duckdb
 import pandas as pd
 
@@ -24,8 +31,10 @@ def table_hash(df: pd.DataFrame) -> str:
         h.update(repr(tuple(row)).encode())
     return h.hexdigest()[:16]
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, budget: float | None = None) -> int:
     con = duckdb.connect()
+    timings: dict[str, float] = {}
+    n_over = 0
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(f)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
@@ -47,11 +56,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             if len(spark_df) == 0:
                 print(f"    WARNING: zero rows")
             continue
+        t0 = time.monotonic()
         try:
             oracle_df = con.execute(oracles[name]).df()
         except Exception as e:
             n_fail += 1
             print(f"  [FAIL-SQL ] {name}: oracle SQL error: {e}")
+            continue
+        dt = time.monotonic() - t0
+        timings[name] = dt
+        if budget is not None and dt > budget:
+            n_over += 1
+            n_fail += 1
+            print(f"  [FAIL-BUDGET] {name}: oracle took {dt:.1f}s > budget {budget:.0f}s")
             continue
         a, b = canon(spark_df), canon(oracle_df)
         schema_ok = list(a.columns) == list(b.columns)
@@ -66,7 +83,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         ha, hb = table_hash(a), table_hash(b)
         if ha == hb:
             n_pass += 1
-            print(f"  [pass] {name}: {len(a)} rows, hash={ha}")
+            print(f"  [pass] {name}: {len(a)} rows, hash={ha}, oracle {dt:.2f}s")
         else:
             n_fail += 1
             print(f"  [FAIL-HASH] {name}: {len(a)} rows")
@@ -81,8 +98,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                     idx = diff[diff].index[:3]
                     for i in idx:
                         print(f"    col {c} row {i}: spark={a[c][i]!r} oracle={b[c][i]!r}")
-    print(f"\npass={n_pass} fail={n_fail} rows_only={n_noracle}")
+    if timings:
+        total = sum(timings.values())
+        slow = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        print(f"\noracle wall time: total {total:.1f}s; slowest: "
+              + ", ".join(f"{n} {t:.1f}s" for n, t in slow))
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_noracle}"
+          + (f" over_budget={n_over}" if budget is not None else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    budget = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--budget-seconds" and i + 1 < len(argv):
+            budget = float(argv[i + 1])
+            args.remove(argv[i + 1])
+    sys.exit(main(args[0], args[1], budget))
