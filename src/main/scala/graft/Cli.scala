@@ -22,8 +22,15 @@ import graft.registry.Registry
   * graft.Cli registry remove-dataset <registryRoot> <datasetId>
   * graft.Cli registry dump-dimension <registryRoot> <name> <out-path[.csv]>
   * graft.Cli registry new-version <registryRoot> <fromVersion> <toVersion>
+  * graft.Cli registry delete-version <registryRoot> <version>
   * graft.Cli registry check <registryRoot>
   * graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]
+  * graft.Cli registry auto-update-dimension <registryRoot> <name> <records-path> [--category c]
+  * graft.Cli registry generate-dataset-config <registryRoot> <datasetId> <data-path> <out-dir> [--time-cols a,b] [--register]
+  * graft.Cli registry generate-project-query <registryRoot> <name> <ds1,ds2,...> <out.json>
+  * graft.Cli query composite-create <registryRoot> <query.json> <id>
+  * graft.Cli query composite-run <registryRoot> <id> <query.json> <outDir> [--csv]
+  * graft.Cli query register-derived <registryRoot> <query.json> <id>
   * }}}
   *
   * The registration verbs delegate to the validated `Registry.*` APIs
@@ -49,6 +56,9 @@ object Cli {
 
   private def flagValue(rest: List[String], flag: String): Option[String] =
     rest.dropWhile(_ != flag).drop(1).headOption
+
+  private def readFile(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
 
   /** Validation errors become exit 1 + message, not a stack trace.
     * Returns the exit code so `run` (and specs) can observe it. */
@@ -163,6 +173,101 @@ object Cli {
       }
       rc
 
+    // §3.3 composite/derived lifecycle on the command line (ref:
+    // dsgrid/cli/query.py:464+ create-composite / query-composite /
+    // create-derived-dataset), delegating to the Submitter APIs
+    case "query" :: "composite-create" :: registryRoot :: queryFile :: id :: rest =>
+      val spark = GraftSession.get()
+      val q = Json.parseProjectQuery(readFile(queryFile))
+      val rc = validated {
+        new Submitter(Registry(spark, registryRoot), flagValue(rest, "--cache"))
+          .createCompositeDataset(id, q.datasets)
+      }
+      if (rc == 0) println(s"created composite dataset $id")
+      rc
+
+    case "query" :: "composite-run" :: registryRoot :: id :: queryFile :: outDir :: rest =>
+      val spark = GraftSession.get()
+      val q = Json.parseProjectQuery(readFile(queryFile))
+      val rc = validated {
+        val result = new Submitter(Registry(spark, registryRoot), flagValue(rest, "--cache"))
+          .submitComposite(id, q.result)
+        if (rest.contains("--csv"))
+          graft.sources.Writers.csv(result, s"$outDir/${q.name}.csv", singleFile = true)
+        else
+          graft.sources.Writers.parquetAutoPartition(spark, result, s"$outDir/${q.name}.parquet")
+        println(s"wrote $outDir/${q.name}")
+      }
+      rc
+
+    case "query" :: "register-derived" :: registryRoot :: queryFile :: id :: rest =>
+      val spark = GraftSession.get()
+      val q = Json.parseProjectQuery(readFile(queryFile))
+      val rc = validated {
+        new Submitter(Registry(spark, registryRoot), flagValue(rest, "--cache"))
+          .registerDerivedDataset(id, q)
+      }
+      if (rc == 0) println(s"registered derived dataset $id")
+      rc
+
+    // cascade a dimension update through dependent mappings/datasets (ref:
+    // registry_auto_updater.py) instead of refusing it
+    case "registry" :: "auto-update-dimension" :: registryRoot :: name :: recordsPath :: rest =>
+      val spark = GraftSession.get()
+      val rc = validated {
+        val report = graft.registry.AutoUpdate.updateDimensionCascade(
+          Registry(spark, registryRoot), name, readTable(spark, recordsPath),
+          category = flagValue(rest, "--category").getOrElse("base"))
+        println(s"updated dimension $name" +
+          (if (report.updatedMappings.nonEmpty)
+            s"; pruned mappings: ${report.updatedMappings.mkString(", ")}" else "") +
+          (if (report.updatedDatasets.nonEmpty)
+            s"; pruned datasets: ${report.updatedDatasets.mkString(", ")}" else ""))
+      }
+      rc
+
+    // bootstrap a dataset config from the data (ref:
+    // dataset_config_generator.py): writes dataset.json + per-dimension
+    // record CSVs to <out-dir>; --register registers everything directly
+    case "registry" :: "generate-dataset-config" :: registryRoot :: datasetId :: dataPath :: outDir :: rest =>
+      val spark = GraftSession.get()
+      val rc = validated {
+        val reg = Registry(spark, registryRoot)
+        val data = readTable(spark, dataPath)
+        val timeCols = flagValue(rest, "--time-cols")
+          .map(_.split(",").toSet.filter(_.nonEmpty)).getOrElse(Set("timestamp"))
+        val gen = graft.registry.ConfigGen.generateDatasetConfig(reg, datasetId, data, timeCols)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/dimensions"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/dataset.json"), graft.registry.ConfigGen.toJson(gen))
+        gen.newRecords.foreach { case (c, recs) =>
+          graft.sources.Writers.csv(recs, s"$outDir/dimensions/$c.csv", singleFile = true)
+        }
+        if (rest.contains("--register"))
+          graft.registry.ConfigGen.registerGenerated(reg, gen, data)
+        println(s"generated config for $datasetId at $outDir" +
+          (if (rest.contains("--register")) " (registered)" else ""))
+      }
+      rc
+
+    // bootstrap a runnable project query over existing datasets (ref:
+    // project_config_generator.py — graft projects are query documents)
+    case "registry" :: "generate-project-query" :: registryRoot :: name :: dsList :: outFile :: Nil =>
+      val spark = GraftSession.get()
+      val rc = validated {
+        val json = graft.registry.ConfigGen.generateProjectQueryJson(
+          Registry(spark, registryRoot), name, dsList.split(",").toSeq.filter(_.nonEmpty))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+        println(s"wrote project query template to $outFile")
+      }
+      rc
+
+    // delete a whole version subtree (ref: dsgrid_admin delete commands)
+    case "registry" :: "delete-version" :: registryRoot :: version :: Nil =>
+      val rc = validated(Registry.deleteVersion(GraftSession.get(), registryRoot, version))
+      if (rc == 0) println(s"deleted $registryRoot/$version")
+      rc
+
     case "registry" :: "remove-dimension" :: registryRoot :: name :: Nil =>
       val rc = validated(Registry.removeDimension(Registry(GraftSession.get(), registryRoot), name))
       if (rc == 0) println(s"removed dimension $name")
@@ -223,8 +328,15 @@ object Cli {
           |  graft.Cli registry remove-dataset <registryRoot> <datasetId>
           |  graft.Cli registry dump-dimension <registryRoot> <name> <out-path[.csv]>
           |  graft.Cli registry new-version <registryRoot> <fromVersion> <toVersion>
+          |  graft.Cli registry delete-version <registryRoot> <version>
           |  graft.Cli registry check <registryRoot>
-          |  graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]""".stripMargin)
+          |  graft.Cli registry filter <srcRoot> <destRoot> [--datasets a,b] [--dimensions x,y] [--mappings m,n]
+          |  graft.Cli registry auto-update-dimension <registryRoot> <name> <records-path> [--category c]
+          |  graft.Cli registry generate-dataset-config <registryRoot> <datasetId> <data-path> <out-dir> [--time-cols a,b] [--register]
+          |  graft.Cli registry generate-project-query <registryRoot> <name> <ds1,ds2,...> <out.json>
+          |  graft.Cli query composite-create <registryRoot> <query.json> <id> [--cache <dir>]
+          |  graft.Cli query composite-run <registryRoot> <id> <query.json> <outDir> [--csv] [--cache <dir>]
+          |  graft.Cli query register-derived <registryRoot> <query.json> <id> [--cache <dir>]""".stripMargin)
       2
   }
 }

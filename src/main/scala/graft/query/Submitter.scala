@@ -448,7 +448,18 @@ final class Submitter(
     graft.registry.Registry.registerDataset(registry, id, submit(q))
   }
 
+  /** Registered composite-dataset ids (directories with a table). */
+  def listCompositeDatasets(): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(s"${registry.root}/composite_datasets")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
   def submitComposite(id: String, result: ResultSection): DataFrame = {
+    require(registry.hadoopExists(s"${registry.root}/composite_datasets/$id/table.parquet"),
+      s"submitComposite('$id'): no such composite dataset " +
+        s"(known: ${listCompositeDatasets().mkString(", ")})")
     validateResult(s"composite:$id", result)
     postProcess(
       spark.read.parquet(s"${registry.root}/composite_datasets/$id/table.parquet"),

@@ -211,6 +211,17 @@ object Registry {
     atVersion(spark, root, toVersion)
   }
 
+  /** Delete a whole version subtree (ref: dsgrid_admin delete/prune — the
+    * admin affordance that keeps a registry from growing forever). Refuses
+    * non-semver names so a typo can never delete the registry root or a
+    * non-version directory. */
+  def deleteVersion(spark: SparkSession, root: String, version: String): Unit = {
+    require(VersionDir.matches(version), s"not a v<major>.<minor>.<patch> version: $version")
+    require(versions(spark, root).contains(version), s"no such version: $root/$version")
+    val hp = new org.apache.hadoop.fs.Path(s"$root/$version")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+  }
+
   /** Filtered-registry export (ref: registry/filter_registry_manager.py —
     * the pruned registries the reference's own test suite runs against, and
     * the natural tool for shipping dataset subsets): copy only the selected

@@ -248,6 +248,139 @@ class RegistryOpsSpec extends SparkSpec {
   import graft.query.Models._
   import org.apache.spark.sql.functions._
 
+  test("composite CLI verbs: create, then run equals the direct query; derived registers") {
+    val root = Files.createTempDirectory("graft-compcli").toString
+    val reg = Registry(spark, root)
+    Registry.registerDataset(reg, "ds",
+      Seq(("a", 1.0), ("a", 2.0), ("b", 4.0)).toDF("geography", ValueColumn))
+    val queryFile = Files.createTempFile("graft-compcli", ".json")
+    Files.writeString(queryFile, """{
+      "name": "comp_q",
+      "datasets": {"datasets": [{"dataset_id": "ds"}]},
+      "result": {"aggregations": [{"group_by": ["geography"]}], "sort_by": ["geography"]}
+    }""")
+    assert(Cli.run(Array("query", "composite-create", root, queryFile.toString, "comp1")) == 0)
+    val outDir = Files.createTempDirectory("graft-compcli-out").toString
+    assert(Cli.run(Array("query", "composite-run", root, "comp1", queryFile.toString, outDir)) == 0)
+    val viaComposite = spark.read.parquet(s"$outDir/comp_q.parquet")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    val direct = new graft.query.Submitter(reg)
+      .submit(graft.query.Json.parseProjectQuery(Files.readString(queryFile)))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    assert(viaComposite == direct && direct.nonEmpty)
+    // derived dataset: registers the query result as a queryable dataset
+    assert(Cli.run(Array("query", "register-derived", root, queryFile.toString, "derived1")) == 0)
+    assert(reg.listDatasets().contains("derived1"))
+    assert(reg.dataset("derived1").count() == 2)
+    // a query against a missing composite id fails cleanly
+    assert(Cli.run(Array("query", "composite-run", root, "nope", queryFile.toString, outDir)) != 0)
+  }
+
+  test("generate-project-query emits a document the query verb runs unmodified") {
+    val root = Files.createTempDirectory("graft-genpq").toString
+    val reg = Registry(spark, root)
+    Registry.registerDataset(reg, "d1",
+      Seq(("a", "com", 1.0), ("b", "com", 2.0)).toDF("geography", "sector", ValueColumn))
+    Registry.registerDataset(reg, "d2",
+      Seq(("a", "res", 3.0)).toDF("geography", "sector", ValueColumn))
+    val outFile = Files.createTempFile("graft-genpq", ".json")
+    assert(Cli.run(Array(
+      "registry", "generate-project-query", root, "boot_q", "d1,d2", outFile.toString)) == 0)
+    val outDir = Files.createTempDirectory("graft-genpq-out").toString
+    assert(Cli.run(Array("query", "project", root, outFile.toString, outDir)) == 0)
+    assert(spark.read.parquet(s"$outDir/boot_q.parquet").count() > 0)
+    // unknown dataset refused with the name
+    assert(Cli.run(Array(
+      "registry", "generate-project-query", root, "bad", "d1,zz", outFile.toString)) != 0)
+  }
+
+  test("auto-update cascades a shrinking dimension through mappings and datasets") {
+    import graft.registry.AutoUpdate
+    val root = Files.createTempDirectory("graft-autoupd").toString
+    val reg = Registry(spark, root)
+    Registry.registerDimension(reg, "geography", Seq(("a", "A"), ("b", "B")).toDF("id", "name"))
+    Registry.registerMapping(reg, "geo_up",
+      Seq(("a", "all", 1.0), ("b", "all", 1.0)).toDF("from_id", "to_id", "from_fraction"),
+      fromDimension = Some("geography"))
+    Registry.registerDataset(reg, "facts",
+      Seq(("a", 1.0), ("b", 2.0)).toDF("geography", ValueColumn))
+    // the plain registration path refuses the shrinking update...
+    val shrunk = Seq(("a", "A")).toDF("id", "name")
+    intercept[IllegalArgumentException](Registry.registerDimension(reg, "geography", shrunk))
+    // ...the auto-updater cascades it: mapping and dataset both pruned
+    val report = AutoUpdate.updateDimensionCascade(reg, "geography", shrunk)
+    assert(report.updatedMappings == Seq("geo_up"))
+    assert(report.updatedDatasets == Seq("facts"))
+    assert(Registry.checkIntegrity(reg).isEmpty)
+    assert(reg.dimensionRecords("geography").count() == 1)
+    assert(reg.mapping("geo_up").select("from_id").as[String].collect().toSeq == Seq("a"))
+    assert(reg.dataset("facts").select("geography").as[String].collect().toSeq == Seq("a"))
+    // a compatible (growing) update cascades as a no-op
+    val grown = Seq(("a", "A"), ("c", "C")).toDF("id", "name")
+    val r2 = AutoUpdate.updateDimensionCascade(reg, "geography", grown)
+    assert(!r2.changed && reg.dimensionRecords("geography").count() == 2)
+    // unknown dimension is refused (fresh registration is registerDimension's job)
+    intercept[IllegalArgumentException](
+      AutoUpdate.updateDimensionCascade(reg, "nope", grown))
+  }
+
+  test("generate-dataset-config: generate, edit nothing, register succeeds; existing dimensions matched") {
+    import graft.registry.ConfigGen
+    val root = Files.createTempDirectory("graft-genreg").toString
+    val reg = Registry(spark, root)
+    // 'sector' pre-registered with exactly the record set the data carries →
+    // the generator must MATCH it instead of minting a duplicate
+    Registry.registerDimension(reg, "sector",
+      Seq(("com", "Commercial"), ("res", "Residential")).toDF("id", "name"))
+    val data = Seq(
+      ("c1", "com", 1.5), ("c2", "com", 2.5), ("c1", "res", 4.0))
+      .toDF("geography", "sector", ValueColumn)
+    val gen = ConfigGen.generateDatasetConfig(reg, "accounts", data)
+    assert(gen.dimensionColumns.toSet == Set("geography", "sector"))
+    assert(gen.valueColumns == Seq(ValueColumn))
+    assert(gen.matchedDimensions == Map("sector" -> "sector"))
+    assert(gen.newRecords.keySet == Set("geography"))
+    // the reference's record synthesis: name = title-cased id
+    val geoRecs = gen.newRecords("geography").as[(String, String)].collect().toSeq
+    assert(geoRecs == Seq(("c1", "C1"), ("c2", "C2")))
+    ConfigGen.registerGenerated(reg, gen, data)
+    assert(reg.listDatasets() == Seq("accounts"))
+    assert(reg.listDimensions().toSet == Set("geography", "sector"))
+    // the registered dataset answers a query over the generated dimensions
+    assert(reg.dataset("accounts").count() == 3)
+  }
+
+  test("generate-dataset-config CLI verb writes config + records and --register lands it") {
+    val root = Files.createTempDirectory("graft-genclireg").toString
+    val files = Files.createTempDirectory("graft-gencli-files").toString
+    Seq(("c1", "com", 1.5), ("c2", "res", 2.5)).toDF("geography", "sector", ValueColumn)
+      .write.parquet(s"$files/load.parquet")
+    val out = Files.createTempDirectory("graft-gencli-out").toString
+    assert(Cli.run(Array(
+      "registry", "generate-dataset-config", root, "accounts", s"$files/load.parquet",
+      out, "--register")) == 0)
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/dataset.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/dimensions/geography.csv")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/dimensions/sector.csv")))
+    val reg = Registry(spark, root)
+    assert(reg.listDatasets() == Seq("accounts"))
+    assert(reg.listDimensions().toSet == Set("geography", "sector"))
+  }
+
+  test("delete-version removes only the named semver subtree and refuses non-versions") {
+    val root = Files.createTempDirectory("graft-delver").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/v1.0.0"))
+    val v1 = Registry.atVersion(spark, root, "v1.0.0")
+    Registry.registerDimension(v1, "geo", Seq(("a", "A")).toDF("id", "name"))
+    Registry.newVersion(spark, root, "v1.0.0", "v1.1.0")
+    assert(Cli.run(Array("registry", "delete-version", root, "v1.0.0")) == 0)
+    assert(Registry.versions(spark, root) == Seq("v1.1.0"))
+    assert(Cli.run(Array("registry", "delete-version", root, "v9.9.9")) != 0)
+    assert(Cli.run(Array("registry", "delete-version", root, "dimensions")) != 0)
+    // the survivor still reads
+    assert(Registry.latest(spark, root).dimensionRecords("geo").count() == 1)
+  }
+
   test("version bump: an update that drops a mapped-to record fails naming the mapping") {
     val root = Files.createTempDirectory("graft-verreg").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/v1.0.0"))
