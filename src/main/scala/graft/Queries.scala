@@ -4947,6 +4947,39 @@ object Queries {
             FROM cust JOIN ords USING (pid)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Document chunking into overlapping token windows (RAG / long-context
+    * preprocessing): chunk size 8, overlap 3 — so chunk starts step by 5
+    * and consecutive chunks share 3 tokens. Output keeps the chunk text
+    * itself plus its (start, length) span, so the oracle replays the exact
+    * slicing arithmetic relationally (range + list slice in DuckDB). */
+  val q148_chunking = Q(
+    "q148_chunking",
+    (s, dir) => {
+      graft.text.Chunking
+        .chunkDocuments(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", chunkTokens = 8, overlapTokens = 3)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("chunk_id"), col("token_start"), col("n_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> len(x) > 0) AS tk
+              FROM documents WHERE doc_id < 300),
+            starts AS (
+              SELECT doc_id, tk,
+                     unnest(range(0, greatest(len(tk) - 3 - 1, 0) + 1, 5)) AS st,
+                     generate_subscripts(range(0, greatest(len(tk) - 3 - 1, 0) + 1, 5), 1) - 1 AS cid
+              FROM toks WHERE len(tk) > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cid AS BIGINT) AS chunk_id,
+                   CAST(st AS BIGINT) AS token_start,
+                   CAST(len(tk[st+1 : st+8]) AS BIGINT) AS n_tokens,
+                   array_to_string(tk[st+1 : st+8], ' ') AS chunk_text
+            FROM starts ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -4983,5 +5016,5 @@ object Queries {
     q137_compaction, q138_cube, q139_bbit_minhash, q140_text_roundtrip,
     q141_incremental_refresh, q142_drift_tvd, q143_source_similarity,
     q144_stream_sessions, q145_dsir_weights, q146_rate_limit,
-    q147_pseudonymize)
+    q147_pseudonymize, q148_chunking)
 }

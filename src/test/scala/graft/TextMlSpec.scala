@@ -1098,6 +1098,45 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.Chunking
+
+  test("chunking: hand-checked spans, overlap, short and empty documents") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c"), // shorter than one chunk
+      (3L, "  "), // empty after tokenization → no chunks
+      (4L, "x1 x2 x3 x4 x5 x6") // exactly stride+overlap+... boundary case
+    ).toDF("id", "text")
+    val got = Chunking.chunkDocuments(docs, "id", "text", chunkTokens = 4, overlapTokens = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // stride 2; doc 1 (10 toks): starts 0,2,4,6 (<= 10-2-1=7)
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 2L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 4L, 4L, "t4 t5 t6 t7"),
+      (1L, 3L, 6L, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 0L, 3L, "a b c"),
+      (4L, 0L, 0L, 4L, "x1 x2 x3 x4"),
+      (4L, 1L, 2L, 4L, "x3 x4 x5 x6")))
+    // every consecutive pair overlaps by exactly overlapTokens
+    // (verified by the explicit expected spans above); coverage: every
+    // token of doc 1 appears in some chunk
+    val covered = got.filter(_._1 == 1L).flatMap(c => c._3 until (c._3 + c._4))
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("chunking refuses degenerate parameters and zero-overlap partitions exactly") {
+    val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
+    intercept[IllegalArgumentException](Chunking.chunkDocuments(docs, "id", "text", 0))
+    intercept[IllegalArgumentException](Chunking.chunkDocuments(docs, "id", "text", 4, 4))
+    val got = Chunking.chunkDocuments(docs, "id", "text", 2, 0)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._5) == Seq("a b", "c d", "e f"), "zero overlap = exact partition")
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.text.{Sampling, Sharding}
