@@ -100,6 +100,35 @@ class ApssHistorySpec extends SparkSpec {
     }
   }
 
+  test("prefix filter equals brute force on fuzzed corpora") {
+    // randomized recall check: small vocab forces heavy gram sharing, so
+    // the prefix filter actually skips postings; every output must still
+    // equal the driver-side brute-force cosine over the same vectors
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = (1 to 40).map { i =>
+        val len = rng.nextInt(12) // includes empty documents
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("id", "text")
+      val (num, den) = Seq((1L, 2L), (4L, 5L), (7L, 10L))(trial - 1)
+      val got = ApssJoin.cosinePairs(docs, "id", "text", n = 1, minCosNum = num, minCosDen = den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val vecs = ApssJoin.gramVectors(docs, "id", "text", 1, 1000L)
+        .as[(Long, Long, Long, Long)].collect() // (gram, id, tf, df)
+        .groupBy(_._2).view.mapValues(_.map(r => (r._1, r._3)).toMap).toMap
+      val expected = (for {
+        a <- vecs.keys; b <- vecs.keys; if a < b
+        va = vecs(a); vb = vecs(b)
+        dot = va.keysIterator.map(g => va(g) * vb.getOrElse(g, 0L)).sum
+        n2a = va.valuesIterator.map(x => x * x).sum
+        n2b = vb.valuesIterator.map(x => x * x).sum
+        if den * den * dot * dot >= num * num * n2a * n2b
+      } yield (a, b, dot, n2a, n2b)).toSet
+      assert(got == expected, s"trial $trial threshold $num/$den")
+    }
+  }
+
   test("cosinePairs refuses degenerate thresholds") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     intercept[IllegalArgumentException](ApssJoin.cosinePairs(docs, "id", "text", minCosNum = 0L))

@@ -1127,6 +1127,26 @@ class ChunkingSpec extends SparkSpec {
     assert(covered == (0L until 10L).toSet)
   }
 
+  test("chunking equals a driver-side reference on fuzzed documents") {
+    val rng = new scala.util.Random(23)
+    val docs = (1 to 60).map { i =>
+      val len = rng.nextInt(30)
+      (i.toLong, (0 until len).map(j => s"w$j").mkString(" "))
+    }
+    val (chunk, overlap) = (7, 3)
+    val got = Chunking.chunkDocuments(docs.toDF("id", "text"), "id", "text", chunk, overlap)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val expected = (for {
+      (id, text) <- docs
+      toks = text.split("\\s+").filter(_.nonEmpty)
+      if toks.nonEmpty
+      stride = chunk - overlap
+      (start, cid) <- (0 to math.max(toks.length - overlap - 1, 0) by stride).zipWithIndex
+      ck = toks.slice(start, start + chunk)
+    } yield (id, cid.toLong, start.toLong, ck.length.toLong, ck.mkString(" "))).toSet
+    assert(got == expected)
+  }
+
   test("chunking refuses degenerate parameters and zero-overlap partitions exactly") {
     val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
     intercept[IllegalArgumentException](Chunking.chunkDocuments(docs, "id", "text", 0))
