@@ -896,13 +896,17 @@ object Queries {
       val base = s"SELECT doc_id::BIGINT AS doc_id, ${normalizeSql("text")} AS norm FROM documents"
       val fp = xxhash64Stages(base, "norm", "content_fp", pfx = "__f")
       val toks =
-        s"""SELECT doc_id, content_fp, tok, p FROM (
-              SELECT doc_id, content_fp, unnest(string_split(norm, ' ')) AS tok,
+        s"""SELECT doc_id, tok, p FROM (
+              SELECT doc_id, unnest(string_split(norm, ' ')) AS tok,
                      generate_subscripts(string_split(norm, ' '), 1) AS p
               FROM fpc) WHERE len(tok) > 0"""
-      val hashed = xxhash64Stages(toks, "tok", "th", pfx = "__t")
+      // hash DISTINCT tokens, join back (vocab << token stream — the
+      // staged XXH64 expression is the oracle's dominant cost)
+      val hashedD = xxhash64Stages("SELECT DISTINCT tok FROM tk", "tok", "th", pfx = "__t")
       s"""WITH RECURSIVE fpc AS ($fp),
-          hashed AS ($hashed),
+          tk AS ($toks),
+          hd AS ($hashedD),
+          hashed AS (SELECT tk.doc_id, tk.p, hd.th FROM tk JOIN hd USING (tok)),
           pw(i, v) AS (
             SELECT 1, 1::BIGINT
             UNION ALL
@@ -3653,7 +3657,10 @@ object Queries {
     },
     Some {
       import graft.tools.OracleSql._
-      val keys = "SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem"
+      // group BEFORE hashing: the exact counts ride through the XXH64
+      // stages (they pass non-hash columns along), so only distinct keys
+      // pay the staged-expression cost
+      val keys = "SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS exact FROM lineitem GROUP BY 1"
       val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__c")
       val buckets = (0 until 4)
         .map(i => s"CAST(((h1 + $i * h2) % 4294967296) % 512 AS BIGINT) AS g$i")
@@ -3663,7 +3670,7 @@ object Queries {
         .mkString(",\n            ")
       val joins = (0 until 4).map(i => s"JOIN s$i ON top.g$i = s$i.g$i").mkString(" ")
       s"""WITH wc AS (
-            SELECT k, kh, COUNT(*) AS exact FROM ($hashed) GROUP BY 1, 2),
+            SELECT k, kh, exact FROM ($hashed)),
           hu AS (
             SELECT k, exact,
                    CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
@@ -3707,7 +3714,10 @@ object Queries {
       val m = 256
       val alpha = 0.7213 / (1.0 + 1.079 / m)
       val scale = alpha * m.toDouble * m.toDouble
-      val keys = "SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem"
+      // DISTINCT first: HLL registers are a MAX per (flag, bucket), so
+      // duplicate keys cannot change them — and only distinct keys then
+      // pay the staged-XXH64 cost (~4× fewer at lineitem granularity)
+      val keys = "SELECT DISTINCT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem"
       val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__h")
       s"""WITH hu AS (
             SELECT flag,
@@ -4873,8 +4883,13 @@ object Queries {
         s"""SELECT doc_id, source, tok FROM (
               SELECT doc_id, source, unnest(string_split(${normalizeSql("text")}, ' ')) AS tok
               FROM documents) WHERE len(tok) > 0"""
-      val hashed = xxhash64Stages(toks, "tok", "hv", pfx = "__d")
-      s"""WITH hashed AS ($hashed),
+      // hash DISTINCT tokens only (the staged XXH64 expression dominates
+      // oracle cost; the vocab is far smaller than the token stream), then
+      // join the hashes back onto the stream — value-identical
+      val hashedD = xxhash64Stages(s"SELECT DISTINCT tok FROM ($toks)", "tok", "hv", pfx = "__d")
+      s"""WITH tk AS ($toks),
+            hd AS ($hashedD),
+            hashed AS (SELECT tk.doc_id, tk.source, hd.hv FROM tk JOIN hd USING (tok)),
             bucketed AS (SELECT doc_id, source,
                                 ((hv % 512) + 512) % 512 AS b
                          FROM hashed),
