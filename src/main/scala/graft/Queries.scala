@@ -5007,6 +5007,49 @@ object Queries {
                    array_to_string(tk[st+1 : st+8], ' ') AS chunk_text
             FROM starts ORDER BY doc_id, chunk_id"""))
 
+  /** Semi-structured VARIANT ingestion (Spark 4 VariantType): each event
+    * serialized to a JSON payload (with a nested object and a sometimes-
+    * missing field), parsed into the binary variant encoding, and shredded
+    * back into typed columns with `try_variant_get` path extraction —
+    * missing paths yield NULL, not errors. The oracle recomputes the same
+    * aggregate straight from the base columns, so any parse/extract loss
+    * or type coercion drift in the variant round-trip hash-mismatches. */
+  val q149_variant_shred = Q(
+    "q149_variant_shred",
+    (s, dir) => {
+      import graft.functions.SemiStructured
+      val payloads = t(s, dir, "events").select(
+        to_json(struct(
+          col("event_type").as("type"),
+          struct(
+            col("user_id").as("id"),
+            (col("user_id") % 7).as("cohort")).as("user"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          // present only for even event ids — exercises NULL-on-missing
+          when(col("event_id") % 2 === 0, col("event_id")).as("trace"))).as("payload"))
+      val shredded = SemiStructured.shredJson(payloads, "payload", Seq(
+        SemiStructured.Field("etype", "$.type", "string"),
+        SemiStructured.Field("cohort", "$.user.cohort", "bigint"),
+        SemiStructured.Field("cents", "$.cents", "bigint"),
+        SemiStructured.Field("trace", "$.trace", "bigint"),
+        SemiStructured.Field("missing", "$.nope.deeper", "string")))
+      shredded
+        .groupBy(col("etype"), col("cohort"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          count(col("trace")).cast("long").as("n_traced"),
+          count(col("missing")).cast("long").as("n_missing_hits"))
+        .orderBy("etype", "cohort")
+    },
+    Some("""SELECT event_type AS etype,
+                   CAST(user_id % 7 AS BIGINT) AS cohort,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_traced,
+                   CAST(0 AS BIGINT) AS n_missing_hits
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5043,5 +5086,5 @@ object Queries {
     q137_compaction, q138_cube, q139_bbit_minhash, q140_text_roundtrip,
     q141_incremental_refresh, q142_drift_tvd, q143_source_similarity,
     q144_stream_sessions, q145_dsir_weights, q146_rate_limit,
-    q147_pseudonymize, q148_chunking)
+    q147_pseudonymize, q148_chunking, q149_variant_shred)
 }

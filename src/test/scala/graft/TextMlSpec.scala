@@ -1157,6 +1157,42 @@ class ChunkingSpec extends SparkSpec {
   }
 }
 
+class SemiStructuredSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.SemiStructured
+  import graft.functions.SemiStructured.Field
+
+  test("shredJson extracts typed paths; missing paths and bad JSON yield NULL") {
+    val rows = Seq(
+      (1L, """{"a": 5, "nest": {"s": "x", "d": 1.5}, "arr": [10, 20]}"""),
+      (2L, """{"a": "not-a-number", "nest": {}}"""),
+      (3L, """not json at all"""),
+      (4L, """{"nest": {"s": "y"}}""")
+    ).toDF("id", "js")
+    val got = SemiStructured.shredJson(rows, "js", Seq(
+      Field("a", "$.a", "bigint"),
+      Field("s", "$.nest.s", "string"),
+      Field("d", "$.nest.d", "double"),
+      Field("first", "$.arr[0]", "bigint"),
+      Field("gone", "$.no.such.path", "string")))
+      .select("id", "a", "s", "d", "first", "gone")
+      .as[(Long, Option[Long], Option[String], Option[Double], Option[Long], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some(5L), Some("x"), Some(1.5), Some(10L), None),
+      (2L, None, None, None, None, None), // "not-a-number" fails the bigint cast → NULL
+      (3L, None, None, None, None, None), // malformed JSON → try_parse_json NULL
+      (4L, None, Some("y"), None, None, None)))
+  }
+
+  test("shredJson refuses duplicate output names and empty field lists") {
+    val df = Seq((1L, "{}")).toDF("id", "js")
+    intercept[IllegalArgumentException](SemiStructured.shredJson(df, "js", Nil))
+    intercept[IllegalArgumentException](SemiStructured.shredJson(df, "js",
+      Seq(Field("x", "$.a", "string"), Field("x", "$.b", "string"))))
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import graft.text.{Sampling, Sharding}
