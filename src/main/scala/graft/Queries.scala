@@ -3644,15 +3644,19 @@ object Queries {
     "q113_heavy_hitters",
     (s, dir) => {
       import graft.operators.Sketches
-      val keys = t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("k"))
-      val art = Sketches.buildCountMin(keys, array(col("k")), depth = 4, width = 512)
+      // keys stay BIGINT end to end: the sketch is built from pre-hashed
+      // xxhash64(long) values (CountMinAgg's array<long> form) and probed
+      // with the same hash — and the oracle replays the fixed-8-byte
+      // XXH64 form (~6 SQL stages) instead of the ~40-stage string form
+      val keys = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val art = Sketches.buildCountMin(keys, array(xxhash64(col("k"))), depth = 4, width = 512)
       keys
         .groupBy("k")
         .agg(count(lit(1)).cast("long").as("exact"))
         .orderBy(col("exact").desc, col("k"))
         .limit(10)
         .withColumn("est", Sketches.countMinEstimate(art, xxhash64(col("k"))))
-        .select(col("k").cast("long").as("partkey"), col("exact"), col("est"))
+        .select(col("k").as("partkey"), col("exact"), col("est"))
         .orderBy("partkey")
     },
     Some {
@@ -3660,8 +3664,8 @@ object Queries {
       // group BEFORE hashing: the exact counts ride through the XXH64
       // stages (they pass non-hash columns along), so only distinct keys
       // pay the staged-expression cost
-      val keys = "SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS exact FROM lineitem GROUP BY 1"
-      val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__c")
+      val keys = "SELECT l_partkey AS k, COUNT(*) AS exact FROM lineitem GROUP BY 1"
+      val hashed = xxhash64LongStages(keys, "k", "kh", pfx = "__c")
       val buckets = (0 until 4)
         .map(i => s"CAST(((h1 + $i * h2) % 4294967296) % 512 AS BIGINT) AS g$i")
         .mkString(", ")
@@ -3699,8 +3703,9 @@ object Queries {
     "q114_hll_distinct",
     (s, dir) => {
       import graft.operators.Sketches
+      // BIGINT keys: xxhash64(long) replays via the fixed-8-byte oracle form
       val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("flag"), col("l_orderkey").cast("string").as("k"))
+        .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k"))
       val regs = Sketches.hllRegisters(li, Seq("flag"), xxhash64(col("k")), p = 8)
       val est = Sketches.hllEstimate(regs, Seq("flag"), p = 8)
       li.groupBy("flag")
@@ -3717,8 +3722,8 @@ object Queries {
       // DISTINCT first: HLL registers are a MAX per (flag, bucket), so
       // duplicate keys cannot change them — and only distinct keys then
       // pay the staged-XXH64 cost (~4× fewer at lineitem granularity)
-      val keys = "SELECT DISTINCT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem"
-      val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__h")
+      val keys = "SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k FROM lineitem"
+      val hashed = xxhash64LongStages(keys, "k", "kh", pfx = "__h")
       s"""WITH hu AS (
             SELECT flag,
                    CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
@@ -4082,15 +4087,20 @@ object Queries {
     "q125_hll_union",
     (s, dir) => {
       import graft.operators.Sketches
+      // the key is the (partkey, orderkey) PAIR, hashed as two chained
+      // BIGINT arguments — Spark's multi-arg xxhash64 seeds each argument
+      // with the previous result, and the oracle replays the chain in the
+      // fixed-8-byte form (two short stage blocks, no string machinery)
       val li = t(s, dir, "lineitem").select(
         col("l_linestatus").as("status"),
         col("l_orderkey").as("okey"),
-        concat(col("l_partkey").cast("string"), lit("|"), col("l_orderkey").cast("string")).as("k"))
+        col("l_partkey").as("pkey"))
       def regs(parity: Int) = Sketches.hllRegisters(
-        li.filter(col("okey") % 2 === parity), Seq("status"), xxhash64(col("k")), p = 8)
+        li.filter(col("okey") % 2 === parity), Seq("status"),
+        xxhash64(col("pkey"), col("okey")), p = 8)
       val merged = Sketches.hllMergeRegisters(regs(0), regs(1), Seq("status"))
       li.groupBy("status")
-        .agg(countDistinct(col("k")).cast("long").as("exact"))
+        .agg(countDistinct(col("pkey"), col("okey")).cast("long").as("exact"))
         .join(Sketches.hllEstimate(merged, Seq("status"), p = 8), Seq("status"))
         .select(col("status"), col("exact"), col("registers_used"), col("hll_est"))
         .orderBy("status")
@@ -4100,11 +4110,11 @@ object Queries {
       val m = 256
       val alpha = 0.7213 / (1.0 + 1.079 / m)
       val scale = alpha * m.toDouble * m.toDouble
+      // DISTINCT triples first (register MAXes are duplicate-invariant)
       val keys =
-        """SELECT l_linestatus AS status,
-                  CAST(l_partkey AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR) AS k
-           FROM lineitem"""
-      val hashed = xxhash64Stages(keys, "k", "kh", pfx = "__h")
+        "SELECT DISTINCT l_linestatus AS status, l_partkey AS pk, l_orderkey AS ok FROM lineitem"
+      val h1 = xxhash64LongStages(keys, "pk", "kh1", pfx = "__g")
+      val hashed = xxhash64LongStages(h1, "ok", "kh", pfx = "__h", seed = unsignedOf("kh1"))
       s"""WITH hu AS (
             SELECT status,
                    CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
@@ -4124,7 +4134,7 @@ object Queries {
             FROM regs GROUP BY 1),
           exact AS (
             SELECT l_linestatus AS status,
-                   CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)) AS BIGINT) AS exact
+                   CAST(COUNT(DISTINCT (l_partkey, l_orderkey)) AS BIGINT) AS exact
             FROM lineitem GROUP BY 1)
           SELECT e.status, e.exact, f.registers_used, $scale / f.sh AS hll_est
           FROM exact e JOIN folded f USING (status)

@@ -126,6 +126,46 @@ object OracleSql {
     s"SELECT * EXCLUDE (${dropped.mkString(", ")}) FROM ($q)"
   }
 
+  /** XXH64 of ONE BIGINT input (Spark's `xxhash64(longCol)`: the 8
+    * little-endian bytes of the two's-complement value) — the fixed-width
+    * special case of [[xxhash64Stages]]: no hex/substr byte machinery, no
+    * stripe loop, just h0 = seed+P5+8, one 8-byte merge, avalanche. ~6
+    * stages instead of ~40, which is what keeps BIGINT-keyed sketch
+    * oracles (q113/q114/q125) inside the gate's time budget.
+    *
+    * `seed` is a SQL expression in `rel`'s scope yielding the UNSIGNED
+    * 64-bit seed (default 42). Spark chains multi-argument xxhash64 by
+    * seeding each argument's hash with the previous SIGNED result —
+    * convert with [[unsignedOf]] when chaining. */
+  def xxhash64LongStages(
+      rel: String,
+      src: String,
+      out: String,
+      pfx: String = "__l",
+      seed: String = "42"): String = {
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var q = rel
+    def wrap(expr: String, col: String, keep: Boolean = false): Unit = {
+      q = s"SELECT *, $expr AS $col FROM ($q)"
+      if (!keep) dropped += col
+    }
+    wrap(unsignedOf(src), s"${pfx}u")
+    wrap(addm(addm(s"($seed)::UBIGINT", u(P5)), "8"), s"${pfx}h0")
+    wrap(addm(mulc(rotl(xor(s"${pfx}h0", rnd0(s"${pfx}u")), 27), P1), u(P4)), s"${pfx}h1")
+    wrap(mulc(xor(s"${pfx}h1", s"${pfx}h1 >> 33"), P2), s"${pfx}a1")
+    wrap(mulc(xor(s"${pfx}a1", s"${pfx}a1 >> 29"), P3), s"${pfx}a2")
+    wrap(xor(s"${pfx}a2", s"${pfx}a2 >> 32"), s"${pfx}v")
+    wrap(
+      s"CASE WHEN ${pfx}v >= 9223372036854775808 " +
+        s"THEN CAST(${pfx}v::HUGEINT - $M64 AS BIGINT) ELSE CAST(${pfx}v AS BIGINT) END",
+      out, keep = true)
+    s"SELECT * EXCLUDE (${dropped.mkString(", ")}) FROM ($q)"
+  }
+
+  /** The UBIGINT bit pattern of a signed BIGINT SQL expression. */
+  def unsignedOf(e: String): String =
+    s"CAST(CASE WHEN ($e) < 0 THEN ($e)::HUGEINT + $M64 ELSE ($e)::HUGEINT END AS UBIGINT)"
+
   /** The library's text normalization, spelled in DuckDB (DuckDB's
     * regexp_replace needs an explicit 'g' flag where Spark's is global). */
   def normalizeSql(c: String): String =
