@@ -5060,6 +5060,185 @@ object Queries {
                    CAST(0 AS BIGINT) AS n_missing_hits
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** URL canonicalization + first-fetch dedup (crawl-frontier op). URLs are
+    * synthesized deterministically from doc_id with every messiness class
+    * the canonicalizer handles: mixed-case scheme/host, default ports,
+    * `www.` prefixes, trailing slashes, tracking params, unsorted params,
+    * fragments. The oracle derives each CANONICAL form independently from
+    * the doc_id arithmetic (never replaying the regex pipeline), so it
+    * checks the end-to-end mapping, not the implementation. */
+  val q150_url_dedup = Q(
+    "q150_url_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val withUrl = d.withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, "HTTP").otherwise("https"),
+        lit("://WWW.Site"), (col("doc_id") % 40).cast("string"), lit(".COM"),
+        when(col("doc_id") % 4 < 2,
+          when(col("doc_id") % 2 === 0, ":80").otherwise(":443")).otherwise(""),
+        lit("/Page/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 3 === 0, "?utm_source=feed&b=2&a=1")
+          .when(col("doc_id") % 3 === 1, "?a=1&b=2").otherwise(""),
+        when(col("doc_id") % 7 === 0, "#frag").otherwise("")))
+      val kept = graft.text.UrlOps.dedupByCanonicalUrl(withUrl, "doc_id", "url")
+      val counts = withUrl
+        .withColumn("canonical_url", graft.text.UrlOps.canonicalize(col("url")))
+        .groupBy(col("canonical_url")).agg(count(lit(1)).cast("long").as("n_variants"))
+      kept
+        .join(counts, Seq("canonical_url"))
+        .filter(col("n_variants") >= 2)
+        .select(col("canonical_url"), col("doc_id").as("keeper"), col("n_variants"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH canon AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                || '://site' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+                || '/Page/' || CAST(doc_id % 25 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END)
+                AS canonical_url
+              FROM documents)
+            SELECT canonical_url,
+                   CAST(MIN(doc_id) AS BIGINT) AS keeper,
+                   CAST(COUNT(*) AS BIGINT) AS n_variants
+            FROM canon GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
+
+  /** Inverted-index top-k TF-IDF retrieval: unlike q86 (BM25 scores for
+    * every document), this is the RETRIEVAL operator — postings pruned to
+    * the query terms immediately after the explode, fixed-point integer
+    * idf (floor-log2, bit-stable), and the k best documents via
+    * TakeOrderedAndProject (per-partition heaps; only k rows cross the
+    * final exchange). 'dup' is the one rare term in the synthetic vocab
+    * (df 25/500 vs ~380/500), so the idf spread is real. */
+  val q151_tfidf_topk = Q(
+    "q151_tfidf_topk",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      graft.text.Search.searchTopK(d, "doc_id", "text",
+        terms = Seq("dup", "key", "fast"), k = 200, idfScale = 1024L)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id::BIGINT AS id,
+                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            posts AS (
+              SELECT id, u.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM d, UNNEST(d.toks) AS u(term)
+              WHERE u.term IN ('dup', 'key', 'fast') GROUP BY 1, 2),
+            stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM posts GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d)
+            SELECT id AS doc_id,
+                   CAST(SUM(tf * (length(bin((n_docs * 1024) // df_t)) - 1)) AS BIGINT) AS score
+            FROM posts JOIN stats USING (term), n
+            GROUP BY id, n_docs
+            ORDER BY score DESC, doc_id ASC LIMIT 200"""))
+
+  /** Bigram collocation mining (word2phrase): integer PMI-ish score
+    * (c12*T) div (c1*c2) in exact BIGINT, long-tail pruned at minCount
+    * BEFORE the vocabulary joins, top-k fully tie-broken. */
+  val q152_collocations = Q(
+    "q152_collocations",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("text"))
+      graft.text.Search.collocations(d, "text", minCount = 5L, k = 50)
+    },
+    Some("""WITH d AS (
+              SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            uni AS (
+              SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM d, UNNEST(d.toks) AS u(w) GROUP BY 1),
+            bi AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+              FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            total AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni)
+            SELECT w1, w2, c12,
+                   CAST((c12 * t_tokens) // (u1.c * u2.c) AS BIGINT) AS score
+            FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, total
+            ORDER BY score DESC, c12 DESC, w1 ASC, w2 ASC LIMIT 50"""))
+
+  /** Mergeable fixed-grid histogram quantiles: the corpus is split into two
+    * shards (user parity), a histogram artifact built per shard, merged
+    * (sum-combine — the persistable-artifact property, like the CM/HLL
+    * rows), and p50/p90/p99 read back in pure BIGINT arithmetic. Grid
+    * quantiles are DETERMINISTIC — unlike rank-error sketches, the merged
+    * artifact hash-matches an oracle that never saw the sharding. */
+  val q153_quantile_sketch = Q(
+    "q153_quantile_sketch",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val e = t(s, dir, "events").select(
+        col("event_type"),
+        col("user_id").cast("long").as("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val shardA = Sketches.histogramSketch(
+        e.filter(col("user_id") % 2 === 0), Seq("event_type"), "cents", width = 500L)
+      val shardB = Sketches.histogramSketch(
+        e.filter(col("user_id") % 2 === 1), Seq("event_type"), "cents", width = 500L)
+      val merged = Sketches.histogramMerge(shardA, shardB, Seq("event_type"))
+      Sketches.histogramQuantiles(merged, Seq("event_type"), Seq(50, 90, 99), width = 500L)
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT event_type,
+                CAST(FLOOR(value * 100) AS BIGINT) // 500 AS bucket
+              FROM events),
+            h AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+            c AS (
+              SELECT event_type, bucket, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM h)
+            SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket * 500 END) AS BIGINT) AS p50,
+                   CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket * 500 END) AS BIGINT) AS p90,
+                   CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket * 500 END) AS BIGINT) AS p99
+            FROM c GROUP BY event_type ORDER BY event_type"""))
+
+  /** Stream-stream interval join: even-id events join odd-id events of the
+    * same user within ±30 minutes, both sides file streams with event-time
+    * watermarks and the interval bound in the join condition (the state-
+    * pruning shape — a keyed row leaves the state store once the other
+    * side's watermark passes its interval). The watermark delay covers the
+    * whole corpus, so the streamed append-mode result equals the batch
+    * join exactly and the DuckDB batch replay is a true oracle. */
+  val q154_stream_join = Q(
+    "q154_stream_join",
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q154")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
+        .select(col("user_id").cast("long").as("user_id"), col("event_id"), col("ts"))
+      val left = stream.filter(col("event_id") % 2 === 0).drop("event_id")
+      val right = stream.filter(col("event_id") % 2 === 1).drop("event_id")
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        left, right, Seq("user_id"), "ts", within = "30 minutes",
+        watermark = "3650 days")
+      val qname = s"graft_q154_${streamRuns.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      s.table(qname)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT CAST(l.user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+            WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5096,5 +5275,7 @@ object Queries {
     q137_compaction, q138_cube, q139_bbit_minhash, q140_text_roundtrip,
     q141_incremental_refresh, q142_drift_tvd, q143_source_similarity,
     q144_stream_sessions, q145_dsir_weights, q146_rate_limit,
-    q147_pseudonymize, q148_chunking, q149_variant_shred)
+    q147_pseudonymize, q148_chunking, q149_variant_shred, q150_url_dedup,
+    q151_tfidf_topk, q152_collocations, q153_quantile_sketch,
+    q154_stream_join)
 }

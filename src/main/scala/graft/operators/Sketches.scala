@@ -145,4 +145,65 @@ object Sketches {
         count(lit(1)).cast("long").as("registers_used"),
         (lit(scale) / harmonic).as("hll_est"))
   }
+
+  // ------------------------------------------- fixed-grid histogram quantiles
+
+  /** Fixed-grid histogram sketch: per group, bucket = `value div width`
+    * with its row count — the mergeable quantile summary (sum-combine, so
+    * the merged histogram equals the histogram of the union; per-ingest
+    * histograms are persistable artifacts like the CM/HLL ones). Exact on
+    * the grid: quantiles read back from it are correct to one bucket
+    * width, deterministically — unlike rank-error sketches (KLL/t-digest)
+    * whose output depends on row order and so can never hash-match an
+    * oracle. `valueCol` must be a non-negative BIGINT (BIGINT `div`
+    * truncates toward zero, which is floor only for non-negatives).
+    *
+    * Scale shape: groups x (domain/width) tiny rows shuffle — never the
+    * raw values; the groupBy partial-aggregates map-side. */
+  def histogramSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      width: Long): DataFrame = {
+    require(width >= 1, s"histogramSketch: width must be >= 1, got $width")
+    df.select(groupCols.map(col) :+
+        expr(s"cast($valueCol as bigint) div $width").as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Merge histogram sketches over the same grid: counts add. */
+  def histogramMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Grid quantiles from a histogram sketch: for each percentile `p` (an
+    * integer, 0 < p <= 100), the LOWER EDGE (`bucket * width`) of the
+    * first bucket whose cumulative count reaches `ceil(p * n / 100)` —
+    * the inverted-CDF definition, spelled in pure BIGINT arithmetic
+    * (`(n*p + 99) div 100`) so any engine replays it bit-for-bit. One
+    * window cumsum per group plus one aggregate; cost scales with bucket
+    * count, not row count. */
+  def histogramQuantiles(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      percentiles: Seq[Int],
+      width: Long): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 100),
+      s"histogramQuantiles: percentiles must be in (0,100], got $percentiles")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__graft_cum", sum(col("cnt")).over(w))
+      .withColumn("__graft_n", sum(col("cnt")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val qcols = percentiles.map { p =>
+      min(when(expr(s"__graft_cum >= (__graft_n * $p + 99) div 100"),
+        col("bucket") * width)).as(s"p$p")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(first(col("__graft_n")).cast("long").as("n"), qcols: _*)
+  }
 }

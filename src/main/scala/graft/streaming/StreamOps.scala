@@ -100,6 +100,48 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner interval join: match left and right events on the
+    * key columns with |tsLeft - tsRight| <= `within`. BOTH sides carry
+    * watermarks and the join condition carries the event-time interval
+    * bound, which is what lets Spark prune join state (a keyed row is
+    * dropped once the other side's watermark passes its interval) — the
+    * unbounded-state trap of a bare stream-stream equi-join is the thing
+    * this operator exists to avoid. Inner join only here: results are
+    * emitted as soon as both sides arrive, and with a watermark delay that
+    * covers the data's disorder the streamed result equals the batch join
+    * exactly (append-mode deterministic).
+    *
+    * Column layout: key columns keep their names; non-key columns get
+    * `leftSuffix`/`rightSuffix` to avoid collisions. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyColumns: Seq[String],
+      timestampColumn: String,
+      within: String,
+      watermark: String = "10 minutes",
+      leftSuffix: String = "_l",
+      rightSuffix: String = "_r"): DataFrame = {
+    require(keyColumns.nonEmpty, "intervalJoin: no key columns")
+    def suffixed(df: DataFrame, suffix: String) = {
+      val renamed = df.columns.foldLeft(df) { (d, c) =>
+        if (keyColumns.contains(c)) d else d.withColumnRenamed(c, c + suffix)
+      }
+      renamed.withWatermark(timestampColumn + suffix, watermark)
+    }
+    val l = suffixed(left, leftSuffix)
+    val r = suffixed(right, rightSuffix)
+    val tl = col(timestampColumn + leftSuffix)
+    val tr = col(timestampColumn + rightSuffix)
+    val keysEq = keyColumns.map(k => l(k) === r(k)).reduce(_ && _)
+    val bound = tr >= tl - expr(s"INTERVAL $within") && tr <= tl + expr(s"INTERVAL $within")
+    l.join(r, keysEq && bound, "inner")
+      // project the key columns once (both sides carry them post-join)
+      .select(keyColumns.map(l(_)) ++
+        l.columns.filterNot(keyColumns.contains).map(l(_)) ++
+        r.columns.filterNot(keyColumns.contains).map(r(_)): _*)
+  }
+
   /** Convenience writer: append stream to parquet with a checkpoint — the
     * standard durable sink layout. */
   def toParquet(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the first dedup key of every web-crawl pipeline
+  * (the same page arrives as `HTTP://WWW.Example.com:80/a/?utm_source=x`
+  * and `http://example.com/a`). All pure column expressions (regex +
+  * array ops), so canonicalization runs map-side at scan speed and the
+  * subsequent "first fetch per canonical URL" is one hash aggregation.
+  *
+  * Canonical form (the usual crawl-frontier rules, cf. the normalization
+  * sections of RFC 3986 §6):
+  *   - drop the fragment;
+  *   - lowercase scheme and host; strip a leading `www.`;
+  *   - strip default ports (`:80` for http, `:443` for https);
+  *   - strip tracking parameters (`utm_*`, `fbclid`, `gclid`) and empty
+  *     params, then SORT the survivors (param order is non-semantic);
+  *   - collapse trailing slashes in the path; empty path → `/`.
+  */
+object UrlOps {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val trackerRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+  /** Canonical URL for an absolute `scheme://...` URL column. Inputs
+    * without a scheme pass through lowercased-and-defragmented only (a
+    * relative URL has no host to normalize). */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, schemeRe, 1))
+    val rest = regexp_replace(noFrag, schemeRe, "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val noDefPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noDefPort, "^www\\.", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => !p.rlike(trackerRe) && p =!= "")
+    val sortedQs = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
+    when(scheme === "", lower(noFrag))
+      .otherwise(concat(scheme, lit("://"), host, path, sortedQs))
+  }
+
+  /** Keep the first fetch per canonical URL: canonicalize, then one
+    * min-aggregate keyed by the canonical form (map-side partials absorb
+    * the hot mirrors/tracking-variant URLs), then a semi-join back.
+    * Returns the input rows whose `idCol` is the smallest id among its
+    * canonical-URL group, plus the canonical form. */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withCanon = df.withColumn("canonical_url", canonicalize(col(urlCol)))
+    val winners = withCanon
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as(idCol))
+    withCanon.join(winners, Seq("canonical_url", idCol), "left_semi")
+  }
+}

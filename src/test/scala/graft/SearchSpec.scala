@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Search, UrlOps}
+import graft.operators.Sketches
+
+/** Retrieval, collocations, URL canonicalization, and the fixed-grid
+  * histogram quantile sketch — each against a driver-side brute-force
+  * reference on small corpora (the oracle strategy at spec scale). */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ilog2(x: Long): Long = {
+    require(x >= 1); 63 - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  test("searchTopK matches a driver-side brute force with ties and scale") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta beta delta"),
+      (3L, "alpha alpha alpha beta"),
+      (4L, "delta epsilon zeta"),
+      (5L, "no match here at all"),
+      (6L, "ALPHA case insensitive Alpha")).toDF("doc_id", "text")
+    val terms = Seq("alpha", "beta")
+    val got = Search.searchTopK(docs, "doc_id", "text", terms, k = 4, idfScale = 8L)
+      .as[(Long, Long)].collect().toSeq
+
+    // brute force
+    val corpus = Map(
+      1L -> Seq("alpha", "beta", "gamma", "alpha"),
+      2L -> Seq("beta", "beta", "delta"),
+      3L -> Seq("alpha", "alpha", "alpha", "beta"),
+      4L -> Seq("delta", "epsilon", "zeta"),
+      5L -> Seq("no", "match", "here", "at", "all"),
+      6L -> Seq("alpha", "case", "insensitive", "alpha"))
+    val n = corpus.size.toLong
+    val df_ = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val scores = corpus.flatMap { case (id, toks) =>
+      val s = terms.map(t => toks.count(_ == t).toLong * ilog2(n * 8L / df_(t))).sum
+      if (terms.exists(toks.contains)) Some(id -> s) else None
+    }
+    val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(4)
+    assert(got === want)
+  }
+
+  test("collocations: hand-checked scores, minCount pruning, tie-break order") {
+    val docs = Seq(
+      "new york new york city",
+      "new york is big",
+      "san francisco and new york",
+      "single").toDF("text")
+    val got = Search.collocations(docs, "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // unigrams: new=4 york=4 city=1 is=1 big=1 san=1 francisco=1 and=1 single=1 → T=15
+    // bigrams >= 2: (new,york) c12=4 → score = 4*15/(4*4) = 3
+    assert(got === Seq(("new", "york", 4L, 3L)))
+  }
+
+  test("collocations equals a driver-side reference on a fuzzed corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val texts = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val got = Search.collocations(texts.toDF("text"), "text", minCount = 3L, k = 100)
+      .as[(String, String, Long, Long)].collect().toSeq
+
+    val tokss = texts.map(_.split("\\s+").toSeq)
+    val uni = tokss.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val t = uni.values.sum
+    val bi = tokss.flatMap(ts => ts.zip(ts.drop(1))).groupBy(identity)
+      .map { case (p, g) => p -> g.size.toLong }.filter(_._2 >= 3L)
+    val want = bi.toSeq.map { case ((w1, w2), c12) =>
+      (w1, w2, c12, c12 * t / (uni(w1) * uni(w2)))
+    }.sortBy { case (w1, w2, c12, s) => (-s, -c12, w1, w2) }.take(100)
+    assert(got === want)
+  }
+
+  test("canonicalizeUrl: every messiness class") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&z=1&a=2#frag" ->
+        "http://example.com/a/b?a=2&z=1",
+      "https://Example.com:443/" -> "https://example.com/",
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      "http://example.com" -> "http://example.com/",
+      "http://example.com/a//" -> "http://example.com/a",
+      "http://example.com/?fbclid=abc&gclid=x" -> "http://example.com/",
+      "http://example.com/p?b=2&a=1&utm_medium=m" -> "http://example.com/p?a=1&b=2",
+      "ftp://Host.com:80/f" -> "ftp://host.com:80/f", // non-http keeps :80
+      "relative/Path#f" -> "relative/path") // schemeless: defrag + lowercase only
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), UrlOps.canonicalize(col("url")).as("c"))
+      .as[(Int, String)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(got === cases.map(_._2))
+  }
+
+  test("dedupByCanonicalUrl keeps the min id per canonical group") {
+    val df = Seq(
+      (10L, "http://A.com/x?utm_source=1"),
+      (3L, "HTTP://a.com:80/x"),
+      (7L, "http://a.com/x/"),
+      (5L, "https://b.com/y")).toDF("id", "url")
+    val kept = UrlOps.dedupByCanonicalUrl(df, "id", "url")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(3L, 5L))
+  }
+
+  test("histogram sketch: merge equals union; quantiles match a sorted-grid reference") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(500)((if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(10000).toLong))
+    val df = vals.toDF("g", "v")
+    val (a, b) = (df.filter(col("v") % 2 === 0), df.filter(col("v") % 2 === 1))
+    val merged = Sketches.histogramMerge(
+      Sketches.histogramSketch(a, Seq("g"), "v", 100L),
+      Sketches.histogramSketch(b, Seq("g"), "v", 100L), Seq("g"))
+    val direct = Sketches.histogramSketch(df, Seq("g"), "v", 100L)
+    assert(rows(merged.orderBy("g", "bucket")) === rows(direct.orderBy("g", "bucket")))
+
+    val got = Sketches.histogramQuantiles(merged, Seq("g"), Seq(50, 99), 100L)
+      .select("g", "n", "p50", "p99").as[(String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val want = vals.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, vs) =>
+      val buckets = vs.map(_._2 / 100L).sorted
+      def q(p: Int) = buckets((((buckets.size.toLong * p + 99) / 100) - 1).toInt) * 100L
+      (g, vs.size.toLong, q(50), q(99))
+    }
+    assert(got === want)
+  }
+
+  test("searchTopK plan prunes postings before the stats join (broadcasts only)") {
+    val docs = viaParquet(Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"))
+    val plan = Search.searchTopK(docs, "doc_id", "text", Seq("alpha"), 5)
+      .queryExecution.executedPlan.toString
+    // top-k must be a TakeOrderedAndProject, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

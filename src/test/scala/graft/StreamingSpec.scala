@@ -83,4 +83,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got == Map("a" -> 5.0, "b" -> 7.0))
   }
+
+  test("stream-stream interval join equals the batch join") {
+    implicit val sql = spark.sqlContext
+    val li = MemoryStream[(Long, Timestamp, String)]
+    val ri = MemoryStream[(Long, Timestamp, String)]
+    val l = li.toDF().toDF("k", "ts", "tag")
+    val r = ri.toDF().toDF("k", "ts", "tag")
+    val joined = StreamOps.intervalJoin(l, r, Seq("k"), "ts", within = "10 minutes",
+      watermark = "1 day")
+    val q = joined.writeStream.format("memory").queryName("sj").outputMode("append").start()
+    val lRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 10:00:00"), "l3"))
+    val rRows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "r1"), // within of l1
+      (1L, ts("2024-01-01 11:00:00"), "r2"), // within of neither
+      (2L, ts("2024-01-01 09:55:00"), "r3"), // within of l3 (right earlier)
+      (3L, ts("2024-01-01 10:00:00"), "r4")) // key never matches
+    li.addData(lRows: _*)
+    ri.addData(rRows: _*)
+    q.processAllAvailable()
+    val got = spark.table("sj").select("k", "tag_l", "tag_r")
+      .as[(Long, String, String)].collect().toSet
+    q.stop()
+    val want = (for {
+      (lk, lt, ltag) <- lRows
+      (rk, rt, rtag) <- rRows
+      if lk == rk && math.abs(lt.getTime - rt.getTime) <= 10 * 60 * 1000
+    } yield (lk, ltag, rtag)).toSet
+    assert(want === Set((1L, "l1", "r1"), (2L, "l3", "r3"))) // sanity of the reference itself
+    assert(got === want)
+  }
 }
