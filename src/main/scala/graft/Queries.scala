@@ -5253,6 +5253,91 @@ object Queries {
             WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1 AND l.user_id < 50
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Containment (asymmetric-Jaccard) dedup: every fourth document gets a
+    * 12-token snippet child — full containment (1.0) in the parent while
+    * symmetric Jaccard is ~0.1, exactly the pair minhash LSH structurally
+    * misses (q29's operator cannot see these; this one exists for them).
+    * df-capped inverted-index intersection; the oracle replays shingling,
+    * cap, and both direction ratios (exact-int / exact-int division —
+    * IEEE-deterministic, no rounding needed). */
+  val q155_containment = Q(
+    "q155_containment",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val snippets = d.filter(col("doc_id") % 4 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text"))
+      val corpus = d.unionByName(snippets)
+      Dedup.containmentPairs(corpus, "doc_id", "text",
+          shingleSize = 3, threshold = 0.9, dfCap = 1000)
+        .select(col("id1"), col("id2"), col("c1_in_2"), col("c2_in_1"), col("containment"))
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id::BIGINT AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, array_to_string(toks[1:12], ' ')
+              FROM (SELECT doc_id::BIGINT AS doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+              WHERE doc_id % 4 = 0),
+            sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM corpus)),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 1000),
+            cex AS (SELECT doc_id, s FROM ex JOIN df USING (s)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM cex GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ic
+              FROM cex a JOIN cex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+                   CAST(ic AS DOUBLE) / s1.n AS c1_in_2,
+                   CAST(ic AS DOUBLE) / s2.n AS c2_in_1,
+                   greatest(CAST(ic AS DOUBLE) / s1.n, CAST(ic AS DOUBLE) / s2.n) AS containment
+            FROM inter
+            JOIN sz s1 ON s1.doc_id = id1
+            JOIN sz s2 ON s2.doc_id = id2
+            WHERE greatest(CAST(ic AS DOUBLE) / s1.n, CAST(ic AS DOUBLE) / s2.n) >= 0.9
+            ORDER BY id1, id2"""))
+
+  /** Hard-negative mining for contrastive training: per anchor, the top-5
+    * most-similar DIFFERENT-label vectors (label inequality inside the
+    * join — a same-label near-dup can never become a negative). Oracle is
+    * the exhaustive replay with the same fixed-fold cosine. */
+  val q156_hard_negatives = Q(
+    "q156_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"),
+        col("label").cast("long").as("label"))
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 6), emb, k = 5)
+        .select(
+          col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("neighbor_label"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM e q CROSS JOIN e c
+              WHERE q.vec_id < 6 AND q.label <> c.label),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, neighbor_label,
+                   ROUND(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5291,5 +5376,5 @@ object Queries {
     q144_stream_sessions, q145_dsir_weights, q146_rate_limit,
     q147_pseudonymize, q148_chunking, q149_variant_shred, q150_url_dedup,
     q151_tfidf_topk, q152_collocations, q153_quantile_sketch,
-    q154_stream_join)
+    q154_stream_join, q155_containment, q156_hard_negatives)
 }

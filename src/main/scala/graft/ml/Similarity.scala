@@ -53,6 +53,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__graft_rn").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * (anchor) vector, the k most-cosine-similar corpus vectors whose
+    * `labelCol` DIFFERS from the anchor's — the highest-loss negatives, the
+    * standard positive-pair-poisoning guard being the label inequality in
+    * the join condition itself (a same-label near-duplicate never becomes a
+    * "negative"). Same scale shape as [[bruteForceTopK]]: anchors broadcast
+    * (the anchor set is small by definition), corpus scanned exactly once
+    * shuffle-free before the per-anchor top-k window; swap the corpus side
+    * for IVF cells ([[ivfTopK]]) when the corpus outgrows a full scan per
+    * mining pass. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, "hardNegatives: k must be positive")
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__graft_qv"), col(labelCol).as("__graft_ql")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__graft_cv"), col(labelCol).as("__graft_cl"))
+    val scored = q.join(c, col("__graft_ql") =!= col("__graft_cl"))
+      .withColumn("cosine", cosine(col("__graft_qv"), col("__graft_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), asc("neighbor_id"))
+    scored
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("__graft_cl").as("neighbor_label"), col("cosine"), col("__graft_rn").as("rank"))
+  }
+
   /** Assign each vector to its nearest centroid (IVF cell) — a TRUE
     * map-side argmax with zero shuffle: the centroid table is tiny by
     * definition, so it is collected to the driver and unrolled into one

@@ -213,6 +213,62 @@ object Dedup {
     j.filter(col("jaccard") >= threshold).select("id1", "id2", "jaccard")
   }
 
+  /** Containment (asymmetric-Jaccard) near-duplicate pairs:
+    * C(A→B) = |A∩B| / |A| over distinct word shingles — the detector for
+    * SUBSET duplication (a snippet quoted inside a larger page, a wrapped
+    * repost), which symmetric-Jaccard LSH structurally misses: a small doc
+    * fully contained in a big one has LOW Jaccard, so minhash banding never
+    * candidates it. Emits (id1, id2, c1_in_2, c2_in_1, containment =
+    * max of the two) for pairs reaching `threshold` in either direction.
+    *
+    * Semantics are df-capped like [[graft.text.ApssJoin]]: shingles
+    * occurring in more than `dfCap` documents are dropped from BOTH the
+    * index and the size denominators (deterministic — the oracle replays
+    * the cap), which is what bounds the inverted-index join at corpus
+    * scale: candidate volume is Σ_g df(g)² over surviving shingles, never
+    * all-pairs. The intersection itself is the inverted-index equi-join +
+    * count pattern (unnest → equi-join → count = |A∩B|), not an
+    * all-pairs `array_intersect`. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9,
+      dfCap: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"containmentPairs: bad threshold $threshold")
+    // hashed shingles: fixed-width 8-byte keys through the join
+    val sh = hashedShingleSets(docs, idCol, textCol, shingleSize)
+    val posts = sh.select(col(idCol).as("id"), explode(array_compact(col("sh"))).as("g"))
+      .localCheckpoint(true) // feeds the df filter and both join sides
+    val kept = posts
+      .groupBy(col("g")).agg(count(lit(1)).cast("long").as("df_g"))
+      .filter(col("df_g") <= dfCap)
+    // explicit-N repartition on the join key BEFORE the pair expansion:
+    // partitioning must match the OUTPUT (Σ df² candidate rows), not the
+    // small posting input, and AQE's input-bytes coalescing is blind to
+    // the expansion (the q115 lesson); also co-partitions both join sides.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val capped = posts.join(kept.select("g"), Seq("g"), "left_semi")
+      .repartition(par, col("g"))
+      .localCheckpoint(true) // consumed three times: sizes + two join sides
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).cast("long").as("n"))
+    val inter = capped.select(col("g"), col("id").as("id1"))
+      .join(capped.select(col("g"), col("id").as("id2")), Seq("g"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      // exact-int / exact-int double division: IEEE-deterministic, oracle-safe
+      .withColumn("c1_in_2", col("inter").cast("double") / col("n1"))
+      .withColumn("c2_in_1", col("inter").cast("double") / col("n2"))
+      .withColumn("containment", greatest(col("c1_in_2"), col("c2_in_1")))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("c1_in_2"), col("c2_in_1"), col("containment"))
+  }
+
   /** b-bit minhash compression (Li & König 2010): keep only the low `bits`
     * bits of each of the k minhash values. At b=8 a 16-hash signature
     * shrinks from 128 to 16 bytes — the storage/shuffle win that makes

@@ -794,6 +794,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("containmentPairs: snippet fully contained in parent that Jaccard misses; dfCap drops stop-shingles") {
+    // parent: 12 distinct tokens → 10 trigram windows; snippet: first 6
+    // tokens → 4 windows, all inside the parent: containment 1.0 while
+    // jaccard would be 4/10 — the pair symmetric-Jaccard LSH misses
+    val parent = "a b c d e f g h i j k l"
+    val snippet = "a b c d e f"
+    val docs = Seq((1L, parent), (2L, snippet), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9, dfCap = 100)
+      .select("id1", "id2", "c1_in_2", "c2_in_1", "containment")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 4.0 / 10.0, 1.0, 1.0)))
+
+    // dfCap = 1 removes every shared shingle → no pairs at all
+    val none = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.1, dfCap = 1)
+    assert(none.count() === 0)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -966,6 +985,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - math.cos(2 * theta)) < 1e-12)
     // nothing stays cached after the call returns
     assert(spark.sharedState.cacheManager.isEmpty, "semanticDeduplicate leaked a cached frame")
+  }
+
+  test("hardNegatives: never returns a same-label neighbor; ranks by cosine desc") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0), 0L),
+      (2L, Seq(0.99, 0.1), 0L), // most similar to 1 but SAME label → excluded
+      (3L, Seq(0.9, 0.4), 1L),
+      (4L, Seq(0.0, 1.0), 1L),
+      (5L, Seq(-1.0, 0.0), 2L)).toDF("vec_id", "embedding", "label")
+    val got = graft.ml.Similarity.hardNegatives(emb.filter($"vec_id" === 1L), emb, k = 2)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got === Seq((1L, 1, 3L, 1L), (1L, 2, 4L, 1L)))
   }
 }
 
@@ -1369,4 +1401,5 @@ class QuantizeSpec extends SparkSpec {
     // scale 1.0: integers round-trip exactly
     assert(out(3L)._1 == Seq(127, -127, 1, 64) && out(3L)._3 == 0.0)
   }
+
 }
