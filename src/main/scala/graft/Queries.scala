@@ -5338,6 +5338,50 @@ object Queries {
                    ROUND(cos, 4) AS cosine
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Streaming near-dup ingest gate: the q88 incremental-dedup semantics
+    * driven through a real file stream — corpus artifacts (hashed shingle
+    * sets + LSH buckets) computed once batch-side, each micro-batch
+    * screened by two stream-static joins with zero streaming state. Same
+    * signatures and band hashing as batch, so the streamed result equals
+    * q88 exactly and SHARES its oracle SQL verbatim. */
+  val q157_stream_neardup = Q(
+    "q157_stream_neardup",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // persisted-corpus artifacts: eager-checkpointed (feed the signature
+      // pipeline AND every micro-batch's verify join; nothing stays cached)
+      val exShingles = Dedup.hashedShingleSets(d, "doc_id", "text", 3).localCheckpoint(true)
+      val exBuckets = Dedup.lshBucketsFromSignatures(
+        Dedup.minhashSignaturesFromShingles(exShingles, "doc_id", 64), "doc_id", 16, 4)
+        .localCheckpoint(true)
+      val incoming = d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        array_join(
+          slice(split(trim(col("text")), "\\s+"), lit(1),
+            size(split(trim(col("text")), "\\s+")) - 1), " ").as("text"))
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q157")
+      incoming.coalesce(1).write.mode("overwrite").parquet(s"$streamDir/batch")
+      val schema = s.read.parquet(s"$streamDir/batch").schema
+      val stream = s.readStream.schema(schema).parquet(s"$streamDir/batch")
+      val gated = graft.streaming.StreamOps.nearDupIngestGate(
+        stream, exShingles, exBuckets, "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+      val qname = s"graft_q157_${streamRuns.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a pair caught by several bands appears once per band (the gate
+      // cannot distinct without unbounded state); collapse batch-side
+      s.table(qname)
+        .groupBy(col("new_id"), col("existing_id"))
+        .agg(round(max(col("jaccard")), 4).as("jaccard"))
+        .orderBy("new_id", "existing_id")
+    },
+    // IDENTICAL semantics to the batch incremental dedup → shared oracle
+    q88_dedup_incremental.oracle)
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5376,5 +5420,6 @@ object Queries {
     q144_stream_sessions, q145_dsir_weights, q146_rate_limit,
     q147_pseudonymize, q148_chunking, q149_variant_shred, q150_url_dedup,
     q151_tfidf_topk, q152_collocations, q153_quantile_sketch,
-    q154_stream_join, q155_containment, q156_hard_negatives)
+    q154_stream_join, q155_containment, q156_hard_negatives,
+    q157_stream_neardup)
 }

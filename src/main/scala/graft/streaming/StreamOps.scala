@@ -100,6 +100,71 @@ object StreamOps {
       }
   }
 
+  /** Streaming near-duplicate ingest gate: each micro-batch of incoming
+    * documents is screened against a STATIC deduplicated corpus via
+    * MinHash LSH + exact-Jaccard verify — the streaming face of
+    * `Dedup.minhashNearDuplicatesIncremental` (same signatures, same band
+    * hashing, so batch and stream land in identical buckets). The corpus
+    * side supplies its PERSISTED per-row artifacts (hashed shingle sets +
+    * LSH buckets — computed once, reused every batch): both joins are
+    * stream-static, re-planned per micro-batch, zero streaming state.
+    *
+    * Emits one row per (new_id, existing_id, band) candidate that passes
+    * exact verification; a pair caught by several bands appears once per
+    * band (a streaming `distinct` would grow unbounded state — dedupe
+    * downstream, batch-side, or with dropDuplicatesWithinWatermark).
+    * The incoming side's shingle array rides along through the band
+    * explode (bands × |sh| in-flight amplification) — the price of
+    * avoiding a stream-stream self-join for the verify; bound it with
+    * micro-batch sizing (`maxFilesPerTrigger`), not bigger executors. */
+  def nearDupIngestGate(
+      newDocs: DataFrame,
+      existingShingles: DataFrame,
+      existingBuckets: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    import graft.text.Dedup
+    val numHashes = bands * rowsPerBand
+    val sh = Dedup.hashedShingleSets(newDocs, idCol, textCol, shingleSize)
+    val sig = ExprColumn(graft.plans.MinHashSignature(ExprColumn.expr(col("sh")), numHashes))
+    // explode(array_compact(array(sig))): evaluate the signature exactly
+    // once and drop null/empty-shingle docs without a pushdown-duplicated
+    // filter (the minhashSignaturesFromShingles pattern)
+    val withSig = sh.select(col(idCol).as("new_id"), col("sh").as("__graft_sh1"),
+      explode(array_compact(array(sig))).as("__graft_sig"))
+    // identical band hashing to lshBucketsFromSignatures (hash of the same
+    // rowsPerBand signature values) — bucket-compatible with the corpus side
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col("__graft_sig").getItem(i))
+      struct(lit(b).as("band"), hash(hs: _*).cast("long").as("bucket"))
+    }
+    val buckets = withSig
+      .select(col("new_id"), col("__graft_sh1"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("new_id"), col("__graft_sh1"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets
+      .join(existingBuckets.select(
+        col("band"), col("bucket"), col(idCol).as("existing_id")), Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("existing_id"))
+      .join(existingShingles.select(
+        col(idCol).as("existing_id"), col("sh").as("__graft_sh2")), Seq("existing_id"))
+      .withColumn("__graft_inter",
+        size(array_intersect(col("__graft_sh1"), col("__graft_sh2"))).cast("double"))
+      .withColumn("__graft_uni",
+        size(array_union(col("__graft_sh1"), col("__graft_sh2"))).cast("double"))
+      .withColumn("jaccard",
+        when(col("__graft_uni") === 0, 0.0)
+          .otherwise(col("__graft_inter") / col("__graft_uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("existing_id"), col("band"), col("jaccard"))
+  }
+
   /** Stream-stream inner interval join: match left and right events on the
     * key columns with |tsLeft - tsRight| <= `within`. BOTH sides carry
     * watermarks and the join condition carries the event-time interval

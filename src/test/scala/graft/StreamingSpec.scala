@@ -84,6 +84,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("a" -> 5.0, "b" -> 7.0))
   }
 
+  test("nearDupIngestGate flags stream docs near-duplicating the static corpus") {
+    implicit val sql = spark.sqlContext
+    import graft.text.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark streaming state stores")).toDF("doc_id", "text")
+    val exSh = Dedup.hashedShingleSets(corpus, "doc_id", "text", 3).localCheckpoint(true)
+    val exBk = Dedup.lshBucketsFromSignatures(
+      Dedup.minhashSignaturesFromShingles(exSh, "doc_id", 64), "doc_id", 16, 4)
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.nearDupIngestGate(
+      input.toDF().toDF("doc_id", "text"), exSh, exBk, "doc_id", "text")
+    val q = gated.writeStream.format("memory").queryName("gate").outputMode("append").start()
+    input.addData(
+      (100L, "the quick brown fox jumps over the lazy dog again and"), // near-dup of 1
+      (101L, "unrelated text that matches nothing in the corpus at all"))
+    q.processAllAvailable()
+    val got = spark.table("gate").select("new_id", "existing_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set((100L, 1L)))
+  }
+
   test("stream-stream interval join equals the batch join") {
     implicit val sql = spark.sqlContext
     val li = MemoryStream[(Long, Timestamp, String)]
