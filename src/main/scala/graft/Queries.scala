@@ -5382,6 +5382,135 @@ object Queries {
     // IDENTICAL semantics to the batch incremental dedup → shared oracle
     q88_dedup_incremental.oracle)
 
+  /** Hybrid retrieval via reciprocal-rank fusion: the lexical ranking
+    * (integer-idf TF-IDF, q151's operator) fused with a vector ranking
+    * (cosine to the vec_id=0 anchor; embeddings and documents share the
+    * id space) by RRF — exact integer ranks, fixed two-term IEEE score,
+    * bit-replayable. */
+  val q158_hybrid_rrf = Q(
+    "q158_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val lex = graft.text.Search.searchTopK(d, "doc_id", "text",
+        terms = Seq("dup", "key", "fast"), k = 100, idfScale = 1024L)
+      val lexRank = lex.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val emb = t(s, dir, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val vecRank = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 100)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.Search.rrfFuse(lexRank.select(col("doc_id"), col("rank")), vecRank,
+          "doc_id", kConst = 60, topK = 30)
+        .select(col("doc_id"),
+          col("rank_a").cast("long").as("rank_a"),
+          col("rank_b").cast("long").as("rank_b"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id::BIGINT AS id,
+                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            posts AS (
+              SELECT id, u.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM d, UNNEST(d.toks) AS u(term)
+              WHERE u.term IN ('dup', 'key', 'fast') GROUP BY 1, 2),
+            stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM posts GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+            scored AS (
+              SELECT id, CAST(SUM(tf * (length(bin((n_docs * 1024) // df_t)) - 1)) AS BIGINT) AS score
+              FROM posts JOIN stats USING (term), n GROUP BY id, n_docs),
+            lex AS (
+              SELECT id AS doc_id, rank_a FROM (
+                SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rank_a
+                FROM scored) WHERE rank_a <= 100),
+            e AS (SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            vecscored AS (
+              SELECT c.vec_id AS doc_id,
+                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM e q CROSS JOIN e c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+            vec AS (
+              SELECT doc_id, rank_b FROM (
+                SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank_b
+                FROM vecscored) WHERE rank_b <= 100),
+            fused AS (
+              SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_a, rank_b,
+                COALESCE(1.0 / (60 + rank_a), 0.0) + COALESCE(1.0 / (60 + rank_b), 0.0) AS rrf
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+            SELECT doc_id, rank_a, rank_b, rrf
+            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 30"""))
+
+  /** Token-budget corpus fill: keep the longest documents (chars-desc
+    * priority, id tiebreak) until 20k whitespace tokens are spent — the
+    * greedy-prefix selection of a pretraining mix. One window cumsum in
+    * BIGINT; the oracle replays it. */
+  val q159_budget_fill = Q(
+    "q159_budget_fill",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      graft.text.Sampling.fillTokenBudget(d, "toks", budget = 20000L,
+          orderBy = Seq(col("n_chars").desc, col("doc_id").asc))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("toks")).cast("long").as("tokens"),
+          min(col("n_chars")).cast("long").as("min_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS toks
+              FROM documents),
+            cum AS (
+              SELECT *, SUM(toks) OVER (ORDER BY n_chars DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM d)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS tokens,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars
+            FROM cum WHERE c <= 20000 GROUP BY lang ORDER BY lang"""))
+
+  /** HTML boilerplate stripping: documents wrapped in deterministic HTML
+    * (style/script blocks with `<`-bearing code, attributes, entities,
+    * `&nbsp;` separators on every 7th doc, an entity-laden div on every
+    * 3rd), stripped by the chained-regex operator. The oracle derives each
+    * CLEANED string independently from the raw text (never replaying the
+    * regexes) and compares md5 — an end-to-end mapping check. */
+  val q160_html_strip = Q(
+    "q160_html_strip",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val html = d.withColumn("html", concat(
+        lit("<html><head><style>p { color: red; }</style></head><body>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<p class=\"main\">"),
+        when(col("doc_id") % 7 === 0, regexp_replace(col("text"), " ", "&nbsp;"))
+          .otherwise(col("text")),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div>&quot;quoted&quot; &amp;amp; more</div>")).otherwise(lit("")),
+        lit("</body></html>")))
+      html
+        .withColumn("clean", TextFunctions.stripHtml(col("html")))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH expected AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                trim(regexp_replace(text, '\s+', ' ', 'g'))
+                  || (CASE WHEN doc_id % 3 = 0 THEN ' "quoted" &amp; more' ELSE '' END)
+                  AS clean
+              FROM documents)
+            SELECT doc_id, md5(clean) AS clean_md5,
+                   CAST(length(clean) AS BIGINT) AS clean_len
+            FROM expected ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5421,5 +5550,5 @@ object Queries {
     q147_pseudonymize, q148_chunking, q149_variant_shred, q150_url_dedup,
     q151_tfidf_topk, q152_collocations, q153_quantile_sketch,
     q154_stream_join, q155_containment, q156_hard_negatives,
-    q157_stream_neardup)
+    q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip)
 }

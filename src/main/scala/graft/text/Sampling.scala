@@ -371,4 +371,29 @@ object Sampling {
       case None => split.drop("__graft_rep")
     }
   }
+
+  /** Token-budget corpus fill: take documents in `orderBy` priority order
+    * (quality-first curation) until the cumulative token count reaches
+    * `budget` — "give me the best B tokens", the selection step of every
+    * pretraining-mix recipe. A row is kept iff its INCLUSIVE cumulative
+    * sum stays ≤ budget (greedy prefix; no partial documents). Pure BIGINT
+    * window arithmetic — deterministic given a total `orderBy` order
+    * (callers append an id tiebreak).
+    *
+    * Scale: one global-sort window, same shape as ppsSystematic — at
+    * corpus scale run it per stratum (partition the window) or pre-filter
+    * with an approximate threshold ([[filterAboveApproxQuantile]]) so the
+    * sorted set is budget-sized, not corpus-sized. */
+  def fillTokenBudget(
+      df: DataFrame,
+      tokenCol: String,
+      budget: Long,
+      orderBy: Seq[Column]): DataFrame = {
+    require(budget >= 0, s"fillTokenBudget: negative budget $budget")
+    val w = Window.orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__graft_cum") <= budget)
+      .withColumnRenamed("__graft_cum", "cum_tokens")
+  }
 }

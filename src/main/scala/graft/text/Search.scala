@@ -86,6 +86,33 @@ object Search {
       .select(col("id").as(idCol), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two rankings —
+    * the standard hybrid-retrieval combiner (lexical + vector): score(d) =
+    * Σ_r 1/(kConst + rank_r(d)) over the rankings that contain d. Rank
+    * inputs are (idCol, rankCol) frames, 1-based. Deterministic: each
+    * score is a fixed two-term IEEE expression over exact integer ranks
+    * (no row-order aggregation), so any engine replays it bit-for-bit.
+    * Ties break on id. Both ranking frames are top-k-sized by
+    * construction, so the fuse is a broadcast-scale full-outer join. */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      kConst: Int = 60,
+      topK: Int = 100): DataFrame = {
+    require(kConst >= 1, "rrfFuse: kConst must be >= 1")
+    require(topK >= 1, "rrfFuse: topK must be >= 1")
+    val av = a.select(col(idCol).as("id"), col("rank").as("rank_a"))
+    val bv = b.select(col(idCol).as("id"), col("rank").as("rank_b"))
+    av.join(bv, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as(idCol), col("rank_a"), col("rank_b"), col("rrf"))
+  }
+
   /** Bigram collocation mining (word2phrase-style, Mikolov et al. 2013):
     * score(w1 w2) = (c12 * T) / (c1 * c2) with T = total corpus tokens —
     * spelled in exact BIGINT integer division so both engines land on the

@@ -127,6 +127,46 @@ class SearchSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("rrfFuse: hand-checked fusion, one-sided entries, tie-break") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = Search.rrfFuse(a, b, "id", kConst = 60, topK = 10)
+      .select("id", "rrf").as[(Long, Double)].collect().toSeq
+    val want = Seq(
+      20L -> (1.0 / 62 + 1.0 / 61), // both rankings
+      10L -> 1.0 / 61,
+      40L -> 1.0 / 62,
+      30L -> 1.0 / 63)
+    assert(got === want)
+  }
+
+  test("fillTokenBudget: greedy prefix, exact-boundary row kept, next dropped") {
+    val d = Seq((1L, 100L, 5L), (2L, 90L, 3L), (3L, 80L, 2L), (4L, 70L, 4L))
+      .toDF("id", "quality", "toks")
+    // order by quality desc → cum 5, 8, 10, 14; budget 10 keeps 1..3 exactly
+    val kept = graft.text.Sampling.fillTokenBudget(d, "toks", 10L,
+        Seq(col("quality").desc, col("id").asc))
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(kept === Seq((1L, 5L), (2L, 8L), (3L, 10L)))
+  }
+
+  test("stripHtml: blocks, tags, entity order (&amp; last), whitespace collapse") {
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      "<script>var x = 1 < 2;</script>after" -> "after",
+      "<style media=\"all\">p{}</style>text" -> "text",
+      "a&nbsp;b&nbsp;&nbsp;c" -> "a b c",
+      "&amp;lt; stays literal" -> "&lt; stays literal", // NOT '<'
+      "&quot;q&quot; &#39;s&#39; &lt;x&gt; &amp;" -> "\"q\" 's' <x> &",
+      "  spaced\t\nout  " -> "spaced out",
+      "<SCRIPT a=1>ignore</SCRIPT >kept" -> "kept") // case-insensitive, space before >
+    val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "h")
+      .select(col("i"), graft.text.TextFunctions.stripHtml(col("h")).as("c"))
+      .as[(Int, String)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(got === cases.map(_._2))
+  }
+
   test("searchTopK plan prunes postings before the stats join (broadcasts only)") {
     val docs = viaParquet(Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"))
     val plan = Search.searchTopK(docs, "doc_id", "text", Seq("alpha"), 5)
