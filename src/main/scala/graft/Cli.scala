@@ -75,9 +75,51 @@ object Cli {
     if (rc != 0) sys.exit(rc)
   }
 
+  /** Stored CLI defaults (ref: dsgrid/cli/config.py `dsgrid config create`
+    * — registry connection settings persisted once, reused by every later
+    * command). graft's analogue: a JSON file holding the registry root;
+    * any verb accepts `@<path>` in place of `<registryRoot>` and resolves
+    * it from the file. No home-directory magic — the path is explicit, so
+    * tests and multi-registry users stay isolated. */
+  private def resolveRoot(root: String): String =
+    if (root.startsWith("@")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readFile(root.drop(1)))
+      val v = node.get("registry_root")
+      if (v == null || !v.isTextual)
+        throw new IllegalArgumentException(
+          s"config file ${root.drop(1)} has no string 'registry_root'")
+      v.asText()
+    } else root
+
   /** The whole CLI as a function returning its exit code — testable
-    * without killing the JVM. */
-  def run(args: Array[String]): Int = args.toList match {
+    * without killing the JVM. Any `@<path>` argument is replaced by the
+    * `registry_root` stored in that config file before dispatch (the `@`
+    * sigil has no other meaning in this CLI, so global substitution is
+    * unambiguous). */
+  def run(args: Array[String]): Int = {
+    val resolved =
+      try args.toList.map(a => if (a.startsWith("@")) resolveRoot(a) else a)
+      catch {
+        case e: Exception =>
+          System.err.println(e.getMessage)
+          return 1
+      }
+    dispatch(resolved)
+  }
+
+  private def dispatch(args: List[String]): Int = args match {
+    case "config" :: "create" :: path :: registryRoot :: Nil =>
+      val rc = validated {
+        val p = java.nio.file.Paths.get(path)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        val node = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+        node.put("registry_root", registryRoot)
+        java.nio.file.Files.writeString(p, node.toPrettyString + "\n")
+      }
+      if (rc == 0) println(s"wrote $path")
+      rc
+
     case "query" :: kind :: registryRoot :: queryFile :: outDir :: rest
         if kind == "project" || kind == "dataset" =>
       val spark = GraftSession.get()
@@ -314,7 +356,8 @@ object Cli {
 
     case _ =>
       System.err.println(
-        """usage:
+        """usage:  (<registryRoot> may be @<config.json> written by `config create`)
+          |  graft.Cli config create <config.json> <registryRoot>
           |  graft.Cli query project <registryRoot> <query.json> <outDir> [--csv] [--cache <dir>]
           |  graft.Cli query dataset <registryRoot> <query.json> <outDir> [--csv] [--cache <dir>]
           |  graft.Cli registry list <registryRoot>

@@ -27,6 +27,23 @@ class CliSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$outDir/query.json")))
   }
 
+  test("config create stores the registry root; @config resolves in any verb; bad config exits 1") {
+    val root = Files.createTempDirectory("graft-cli-cfgreg").toString
+    val reg = Registry(spark, root)
+    Registry.registerDataset(reg, "cfgds",
+      Seq(("a", 1.0), ("b", 2.0)).toDF("geography", ValueColumn))
+    val cfg = Files.createTempDirectory("graft-cli-cfg").resolve("graft.json")
+    assert(Cli.run(Array("config", "create", cfg.toString, root)) == 0)
+    // the stored root resolves wherever a registryRoot is expected
+    assert(Cli.run(Array("registry", "list", s"@$cfg")) == 0)
+    assert(Cli.run(Array("registry", "check", s"@$cfg")) == 0)
+    // missing file / malformed content → exit 1, not a stack trace
+    assert(Cli.run(Array("registry", "list", "@/nonexistent/graft.json")) == 1)
+    val bad = Files.createTempFile("graft-cli-badcfg", ".json")
+    Files.writeString(bad, """{"wrong_key": 1}""")
+    assert(Cli.run(Array("registry", "list", s"@$bad")) == 1)
+  }
+
   test("query dataset command runs a DatasetQuery document") {
     val root = Files.createTempDirectory("graft-cli-reg2").toString
     val reg = Registry(spark, root)
