@@ -94,6 +94,27 @@ class SearchSpec extends SparkSpec {
     assert(got === cases.map(_._2))
   }
 
+  test("canonicalize is a fixed point on fuzzed URLs (canonical form re-canonicalizes to itself)") {
+    val rnd = new scala.util.Random(13)
+    val schemes = Seq("http", "HTTPS", "ftp", "")
+    val urls = Seq.tabulate(200) { i =>
+      val s = schemes(rnd.nextInt(schemes.size))
+      val host = s"${if (rnd.nextBoolean()) "WWW." else ""}Host${rnd.nextInt(10)}.com"
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/", "/A/b", "/A/b/", "/x//")(rnd.nextInt(5))
+      val query = Seq("", "?a=1", "?b=2&a=1&utm_source=x", "?utm_a=1", "?z=&a=3")(rnd.nextInt(5))
+      val frag = Seq("", "#f")(rnd.nextInt(2))
+      (i.toLong, (if (s.isEmpty) "" else s + "://") + host + port + path + query + frag)
+    }
+    val once = urls.toDF("i", "url")
+      .select(col("i"), UrlOps.canonicalize(col("url")).as("c"))
+    val twice = once.select(col("i"), col("c"), UrlOps.canonicalize(col("c")).as("c2"))
+      .as[(Long, String, String)].collect()
+    twice.foreach { case (i, c, c2) =>
+      assert(c === c2, s"url #$i: canonicalize not idempotent: '$c' -> '$c2'")
+    }
+  }
+
   test("dedupByCanonicalUrl keeps the min id per canonical group") {
     val df = Seq(
       (10L, "http://A.com/x?utm_source=1"),
