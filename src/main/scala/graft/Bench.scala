@@ -78,7 +78,11 @@ object Bench {
     }
     val detail = jsonLine(results.toSeq, 3, 0)
     System.err.println(detail)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    // a SPARK_GRAFT_BENCH_ONLY dev run must NOT clobber the full-catalog
+    // detail file (it silently replaced 160 queries with 3 once) — partial
+    // runs land in a sidecar instead
+    val detailFile = if (only.isDefined) "bench_detail_partial.json" else "bench_detail.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), detail + "\n")
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val short = results.toSeq.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
     // qNN prefixes are unique today; fall back to full names if that changes

@@ -5511,6 +5511,86 @@ object Queries {
                    CAST(length(clean) AS BIGINT) AS clean_len
             FROM expected ORDER BY doc_id"""))
 
+  /** Link-graph extraction from HTML: hrefs pulled from constructed pages
+    * (mixed quote styles, messy case/www/ports/tracking params),
+    * canonicalized, reduced to host-level in-degree + distinct-URL counts
+    * — the crawl-frontier statistics pass. The oracle derives hosts and
+    * canonical urls independently from the doc_id arithmetic. */
+  val q161_link_extract = Q(
+    "q161_link_extract",
+    (s, dir) => {
+      import graft.text.UrlOps
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val html = d.select(col("doc_id"), concat(
+        lit("<p>"), col("text"), lit("</p><a href=\"HTTP://WWW.Site"),
+        (col("doc_id") % 40).cast("string"),
+        lit(".COM/Page/"), (col("doc_id") % 25).cast("string"),
+        lit("?utm_source=x\">link</a>"),
+        when(col("doc_id") % 2 === 0, concat(
+          lit("<a class='x' href='https://Other"), (col("doc_id") % 10).cast("string"),
+          lit(".org/a/'>o</a>"))).otherwise(lit(""))).as("html"))
+      // materialize the extracted array, THEN explode(array_compact(...)):
+      // the explode-trap rule — pushdown must not inline the regex twice
+      html
+        .select(col("doc_id"), UrlOps.extractLinks(col("html")).as("links"))
+        .select(explode(array_compact(col("links"))).as("url"))
+        .select(UrlOps.canonicalize(col("url")).as("canon"))
+        .select(UrlOps.host(col("canon")).as("host"), col("canon"))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).cast("long").as("n_links"),
+          count_distinct(col("canon")).cast("long").as("n_urls"))
+        .orderBy("host")
+    },
+    Some("""WITH links AS (
+              SELECT 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+                     'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.com/Page/'
+                       || CAST(doc_id % 25 AS VARCHAR) AS canon
+              FROM documents
+              UNION ALL
+              SELECT 'other' || CAST(doc_id % 10 AS VARCHAR) || '.org',
+                     'https://other' || CAST(doc_id % 10 AS VARCHAR) || '.org/a'
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls
+            FROM links GROUP BY 1 ORDER BY 1"""))
+
+  /** Robust trimmed aggregation: per event type, the 10%-trimmed mean of
+    * integer cents (drop floor(n/10) rows from each end by value) — the
+    * outlier-immune counterpart of q99's MAD detector. Exact BIGINT
+    * boundary arithmetic; mean is one exact-int / exact-int division. */
+  val q162_trimmed_agg = Q(
+    "q162_trimmed_agg",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type"), col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Aggregation.trimmedStats(
+          e, Seq("event_type"), "cents", trimPercent = 10, tieBreak = col("event_id"))
+        .select(col("event_type"), col("n"), col("n_kept"),
+          col("trimmed_sum"), col("kept_min"), col("kept_max"), col("trimmed_mean"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT event_type, event_id::BIGINT AS event_id,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents
+              FROM events),
+            ranked AS (
+              SELECT event_type, cents,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents ASC, event_id ASC) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM e),
+            kept AS (
+              SELECT * FROM ranked
+              WHERE rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100)
+            SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(cents) AS BIGINT) AS trimmed_sum,
+                   CAST(MIN(cents) AS BIGINT) AS kept_min,
+                   CAST(MAX(cents) AS BIGINT) AS kept_max,
+                   CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS trimmed_mean
+            FROM kept GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5550,5 +5630,6 @@ object Queries {
     q147_pseudonymize, q148_chunking, q149_variant_shred, q150_url_dedup,
     q151_tfidf_topk, q152_collocations, q153_quantile_sketch,
     q154_stream_join, q155_containment, q156_hard_negatives,
-    q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip)
+    q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
+    q161_link_extract, q162_trimmed_agg)
 }

@@ -124,6 +124,52 @@ object Aggregation {
       .agg(finals.head, finals.tail: _*)
   }
 
+  /** Robust (trimmed) aggregation: per group, drop the lowest and highest
+    * `trimPercent`% of rows by `valueCol` (k = floor(n·p/100) from EACH
+    * end, the classic trimmed-mean definition) and aggregate the middle —
+    * the outlier-immune mean for heavy-tailed metrics (complementing the
+    * MAD-based outlier DETECTOR in Validation). Integer-exact given an
+    * integral `valueCol`: the kept-set boundary is a pure row_number
+    * comparison, and mean = exact-int sum ÷ exact-int count — one IEEE
+    * division, engine-deterministic. Row_number ties on equal values are
+    * broken by `tieBreak` (pass a unique id for full determinism); ties
+    * do not affect the trimmed SUM/mean (equal values are interchangeable
+    * at the boundary) but make the kept row SET reproducible.
+    *
+    * Shape: one window shuffle on the group key, then a hash aggregate —
+    * scales with group size like any percentile-exact computation; use
+    * [[graft.text.Sampling.filterAboveApproxQuantile]]-style sketch
+    * bounds when an approximate trim suffices at corpus scale. */
+  def trimmedStats(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      valueCol: String,
+      trimPercent: Int,
+      tieBreak: Column): DataFrame = {
+    require(trimPercent >= 0 && trimPercent < 50,
+      s"trimmedStats: trimPercent must be in [0,50), got $trimPercent")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupColumns.map(col): _*)
+      .orderBy(col(valueCol).asc, tieBreak.asc)
+    val wn = Window.partitionBy(groupColumns.map(col): _*)
+    val ranked = df
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(wn))
+      .withColumn("__graft_k", expr(s"(__graft_n * $trimPercent) div 100"))
+    ranked
+      .filter(col("__graft_rn") > col("__graft_k") &&
+        col("__graft_rn") <= col("__graft_n") - col("__graft_k"))
+      .groupBy(groupColumns.map(col): _*)
+      .agg(
+        first(col("__graft_n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_kept"),
+        sum(col(valueCol)).cast("long").as("trimmed_sum"),
+        min(col(valueCol)).cast("long").as("kept_min"),
+        max(col(valueCol)).cast("long").as("kept_max"))
+      .withColumn("trimmed_mean",
+        col("trimmed_sum").cast("double") / col("n_kept").cast("double"))
+  }
+
   /** Validation: every group has the same count (used for identical-length
     * time arrays, ref: dataset_schema_handler_base.py:430-452). */
   def groupsHaveEqualCounts(df: DataFrame, groupColumns: Seq[String]): Boolean = {

@@ -48,6 +48,19 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, path, sortedQs))
   }
 
+  /** All `href` targets of a raw HTML column (single- or double-quoted),
+    * in document order — the link-graph extraction step of a crawl
+    * pipeline (feed through [[canonicalize]] then [[host]] for in-degree /
+    * frontier work). Pure `regexp_extract_all`, map-side. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=[\"']([^\"']+)[\"']"), lit(1))
+
+  /** Host of an absolute URL (empty string when schemeless). Apply to
+    * CANONICALIZED urls for aggregation keys — case and `www.` are already
+    * folded there. */
+  def host(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+
   /** Keep the first fetch per canonical URL: canonicalize, then one
     * min-aggregate keyed by the canonical form (map-side partials absorb
     * the hot mirrors/tracking-variant URLs), then a semi-join back.

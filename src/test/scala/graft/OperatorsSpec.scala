@@ -75,6 +75,25 @@ class AggregationSpec extends SparkSpec {
     val uneven = Seq(("x", 1.0), ("y", 1.0), ("y", 2.0)).toDF("g", ValueColumn)
     assert(!Aggregation.groupsHaveEqualCounts(uneven, Seq("g")))
   }
+
+  test("trimmedStats drops floor(n*p/100) rows from each end; small groups untrimmed") {
+    // g=a: 10 values 1..10 with one extreme outlier swapped in at the top;
+    // 10% trim drops exactly the min and the max
+    val a = (1L to 9L).map(v => ("a", v * 10, v)) :+ (("a", 101L, 1000000L))
+    // g=b: 4 rows — floor(4*10/100)=0, nothing trimmed
+    val b = (1L to 4L).map(v => ("b", v * 10, v))
+    val d = (a ++ b).toDF("g", "id", "v")
+    val out = Aggregation.trimmedStats(d, Seq("g"), "v", 10, tieBreak = col("id"))
+      .select("g", "n", "n_kept", "trimmed_sum", "kept_min", "kept_max", "trimmed_mean")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // a: keeps 2..9 → sum 44, mean 5.5; outlier gone
+    assert(out === Seq(
+      ("a", 10L, 8L, 44L, 2L, 9L, 5.5),
+      ("b", 4L, 4L, 10L, 1L, 4L, 2.5)))
+    // trim >= 50 is every row from both ends — refused
+    intercept[IllegalArgumentException](
+      Aggregation.trimmedStats(d, Seq("g"), "v", 50, col("id")))
+  }
 }
 
 class ReshapeSpec extends SparkSpec {

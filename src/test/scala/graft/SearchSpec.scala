@@ -115,6 +115,18 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("extractLinks harvests single- and double-quoted hrefs in order; host reads canonical urls") {
+    val html = """<a href="http://A.com/x">1</a> <img src="i.png"/> <a class=y href='HTTPS://b.org/'>2</a>"""
+    val links = Seq(html).toDF("h")
+      .select(UrlOps.extractLinks(col("h")).as("l"))
+      .as[Seq[String]].head()
+    assert(links === Seq("http://A.com/x", "HTTPS://b.org/"))
+    val hosts = links.toDF("u")
+      .select(UrlOps.host(UrlOps.canonicalize(col("u"))).as("h"))
+      .as[String].collect().toSet
+    assert(hosts === Set("a.com", "b.org"))
+  }
+
   test("dedupByCanonicalUrl keeps the min id per canonical group") {
     val df = Seq(
       (10L, "http://A.com/x?utm_source=1"),
