@@ -5591,6 +5591,91 @@ object Queries {
                    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS trimmed_mean
             FROM kept GROUP BY event_type ORDER BY event_type"""))
 
+  /** k-anonymity release gate: quasi-identifier groups (age bucket ×
+    * region × event type) below k=5 are suppressed; the audit reports
+    * group counts and l-diversity of a sensitive column per event type —
+    * the release-readiness numbers a data steward actually reads. Pure
+    * integer counting on both engines. */
+  val q163_k_anonymity = Q(
+    "q163_k_anonymity",
+    (s, dir) => {
+      import graft.operators.Privacy
+      val e = t(s, dir, "events").select(
+        col("event_type"),
+        (col("user_id") % 23).cast("long").as("age_bucket"),
+        (col("user_id") % 7).cast("long").as("region"),
+        (floor(col("value")).cast("long") % 10).as("sensitive"))
+      val quasi = Seq("event_type", "age_bucket", "region")
+      val report = Privacy.kAnonymityReport(e, quasi, "sensitive", k = 5L)
+      val keptRows = Privacy.kAnonymitySuppress(e, quasi, k = 5L)
+        .groupBy(col("event_type")).agg(count(lit(1)).cast("long").as("rows_kept"))
+      report
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_groups"),
+          sum(when(col("suppressed"), 1L).otherwise(0L)).cast("long").as("n_suppressed"),
+          min(when(!col("suppressed"), col("l_diversity"))).cast("long").as("min_l_kept"))
+        .join(keptRows, Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT event_type,
+                     CAST(user_id % 23 AS BIGINT) AS age_bucket,
+                     CAST(user_id % 7 AS BIGINT) AS region,
+                     CAST(FLOOR(value) AS BIGINT) % 10 AS sensitive
+              FROM events),
+            g AS (
+              SELECT event_type, age_bucket, region,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+              FROM e GROUP BY 1, 2, 3)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+                   CAST(MIN(CASE WHEN n >= 5 THEN l END) AS BIGINT) AS min_l_kept,
+                   CAST(SUM(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT) AS rows_kept
+            FROM g GROUP BY event_type ORDER BY event_type"""))
+
+  /** Ingest-volume anomaly monitor: per event type and day, flag days
+    * whose count drops below half the trailing-7-day EXACT median. A
+    * synthetic outage (80% of events dropped on days ≡ 3 mod 11) gives
+    * the detector real positives; cold-start days (< 3 prior) never
+    * flag. The trailing median is a sorted bounded list — BIGINT
+    * arithmetic both engines replay exactly. */
+  val q164_volume_anomaly = Q(
+    "q164_volume_anomaly",
+    (s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_type"), col("event_id").cast("long").as("event_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"))
+      val filt = base.filter(!(col("day") % 11 === 3 && col("event_id") % 5 =!= 0))
+      val counts = filt.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      graft.operators.Outliers.volumeAnomalies(
+          counts, Seq("event_type"), "day", "cnt",
+          windowDays = 7, dropNum = 1, dropDen = 2, minPrior = 3)
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("n_prior"), col("trailing_median"), col("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH base AS (
+              SELECT event_type, event_id::BIGINT AS event_id,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+              FROM events),
+            filt AS (SELECT * FROM base WHERE NOT (day % 11 = 3 AND event_id % 5 <> 0)),
+            c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM filt GROUP BY 1, 2),
+            h AS (
+              SELECT event_type, day, cnt,
+                -- an empty frame yields NULL in DuckDB, not [] — coalesce
+                list_sort(COALESCE(list(cnt) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), CAST([] AS BIGINT[]))) AS hist
+              FROM c)
+            SELECT event_type, day, cnt,
+                   CAST(len(hist) AS BIGINT) AS n_prior,
+                   CAST(CASE WHEN len(hist) > 0 THEN hist[(len(hist) + 1) // 2] END AS BIGINT) AS trailing_median,
+                   (len(hist) >= 3 AND cnt * 2 < hist[(len(hist) + 1) // 2]) AS is_anomaly
+            FROM h ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5631,5 +5716,6 @@ object Queries {
     q151_tfidf_topk, q152_collocations, q153_quantile_sketch,
     q154_stream_join, q155_containment, q156_hard_negatives,
     q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
-    q161_link_extract, q162_trimmed_agg)
+    q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
+    q164_volume_anomaly)
 }

@@ -190,4 +190,48 @@ object Outliers {
         coalesce(abs(col(valueCol) - col("__graft_med")) > col("__graft_mad") * k, lit(false)))
       .drop("__graft_med", "__graft_mad")
   }
+
+  /** Ingest-volume anomaly detection: per group, flag days whose row count
+    * falls below `dropNum/dropDen` of the TRAILING median over the
+    * previous `windowDays` days — the "did yesterday's feed silently
+    * halve" monitor every ingest pipeline runs. The trailing median is
+    * EXACT: `sort_array(collect_list(...))` over a range frame of at most
+    * `windowDays` tiny counts (bounded array — never a scalability risk),
+    * lower-median element — all BIGINT, engine-replayable (no
+    * approx_percentile row-order dependence). Days with fewer than
+    * `minPrior` observed prior days are never flagged (cold start).
+    *
+    * `dayCol` must be an integral day number (e.g. `datediff(date, epoch)`
+    * or `unix_date`); gaps in it are handled by the RANGE frame — a
+    * missing day simply contributes no count to the trailing window.
+    * Returns (group..., day, cnt, trailing_median, n_prior, is_anomaly). */
+  def volumeAnomalies(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      dayCol: String,
+      cntCol: String,
+      windowDays: Int,
+      dropNum: Int = 1,
+      dropDen: Int = 2,
+      minPrior: Int = 3): DataFrame = {
+    require(windowDays >= 1, "volumeAnomalies: windowDays must be >= 1")
+    require(dropNum >= 1 && dropDen > dropNum,
+      s"volumeAnomalies: drop fraction must be in (0,1): $dropNum/$dropDen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(dayCol))
+      .rangeBetween(-windowDays.toLong, -1L)
+    val hist = sort_array(collect_list(col(cntCol).cast("long")).over(w))
+    counts
+      .withColumn("__graft_hist", hist)
+      .withColumn("n_prior", size(col("__graft_hist")).cast("long"))
+      .withColumn("trailing_median",
+        when(col("n_prior") > 0,
+          // `div`: Spark's `/` on ints is double division
+          element_at(col("__graft_hist"),
+            expr("cast((size(__graft_hist) + 1) div 2 as int)"))))
+      .withColumn("is_anomaly",
+        col("n_prior") >= minPrior &&
+        col(cntCol).cast("long") * dropDen < col("trailing_median") * dropNum)
+      .drop("__graft_hist")
+  }
 }

@@ -264,6 +264,49 @@ class OutliersGapFillSpec extends SparkSpec {
   }
 }
 
+class PrivacyVolumeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Outliers, Privacy}
+
+  test("kAnonymitySuppress drops small groups; report counts l-diversity") {
+    val d = Seq(
+      ("a", 1L, "s1"), ("a", 1L, "s2"), ("a", 1L, "s1"), // group (a,1): n=3
+      ("a", 2L, "s1"),                                   // group (a,2): n=1
+      ("b", 1L, "s1"), ("b", 1L, "s1"))                  // group (b,1): n=2, l=1
+      .toDF("q1", "q2", "sens")
+    val kept = Privacy.kAnonymitySuppress(d, Seq("q1", "q2"), k = 2L)
+    assert(kept.count() === 5) // (a,2) suppressed
+    val rep = Privacy.kAnonymityReport(d, Seq("q1", "q2"), "sens", k = 2L)
+      .select("q1", "q2", "n", "l_diversity", "suppressed")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(rep === Set(
+      ("a", 1L, 3L, 2L, false),
+      ("a", 2L, 1L, 1L, true),
+      ("b", 1L, 2L, 1L, false)))
+  }
+
+  test("volumeAnomalies: trailing exact median over a gappy range frame; cold start never flags") {
+    // group g: days 1..5 at 100, day 6 drops to 10; day 9 (gap!) back at 100
+    // then day 10 at 40 vs trailing median of {100,10,100}(within 7d)=100
+    val counts = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L),
+      (6L, 10L), (9L, 100L), (10L, 40L))
+      .map { case (d, c) => ("g", d, c) }.toDF("g", "day", "cnt")
+    val out = Outliers.volumeAnomalies(counts, Seq("g"), "day", "cnt",
+        windowDays = 7, dropNum = 1, dropDen = 2, minPrior = 3)
+      .select("day", "n_prior", "trailing_median", "is_anomaly")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq.sortBy(_._1)
+    val byDay = out.map(r => r._1 -> r).toMap
+    assert(byDay(1L) === ((1L, 0L, None, false)))          // cold start, no prior
+    assert(byDay(3L) === ((3L, 2L, Some(100L), false)))    // < minPrior: never flags
+    assert(byDay(6L) === ((6L, 5L, Some(100L), true)))     // 10 < 100/2
+    // day 9: window covers days 2..8 → counts {100,100,100,100,10} median 100
+    assert(byDay(9L) === ((9L, 5L, Some(100L), false)))
+    // day 10: window covers days 3..9 → days 3,4,5,6,9 = {10,100,100,100,100}, median 100
+    assert(byDay(10L) === ((10L, 5L, Some(100L), true)))   // 40 < 100/2
+  }
+}
+
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
