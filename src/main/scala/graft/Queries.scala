@@ -5676,6 +5676,39 @@ object Queries {
                    (len(hist) >= 3 AND cnt * 2 < hist[(len(hist) + 1) // 2]) AS is_anomaly
             FROM h ORDER BY event_type, day"""))
 
+  /** Embedding-corpus QA audit before ANN indexing: per label, counts,
+    * dimension drift bounds, zero vectors (synthesized on every 97th id —
+    * the detector must have positives), and integer-quantized squared-norm
+    * stats (BIGINT sums — row-order-proof, unlike double sums). */
+  val q165_embedding_audit = Q(
+    "q165_embedding_audit",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").select(
+        col("label").cast("long").as("label"),
+        when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), _ => lit(0.0)))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("embedding"))
+      Similarity.embeddingAudit(emb, Seq("label"), "embedding", scale = 1000L)
+        .orderBy("label")
+    },
+    Some("""WITH e AS (
+              SELECT label::BIGINT AS label,
+                CASE WHEN vec_id % 97 = 0
+                     THEN list_transform(embedding, x -> CAST(0.0 AS DOUBLE))
+                     ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+              FROM embeddings),
+            q AS (
+              SELECT label, CAST(len(v) AS BIGINT) AS dim,
+                     CAST(FLOOR(list_dot_product(v, v) * 1000) AS BIGINT) AS qn
+              FROM e)
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+                   CAST(SUM(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                   CAST(SUM(qn) AS BIGINT) AS sum_q_normsq,
+                   MIN(qn) AS min_q_normsq, MAX(qn) AS max_q_normsq
+            FROM q GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5717,5 +5750,5 @@ object Queries {
     q154_stream_join, q155_containment, q156_hard_negatives,
     q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
-    q164_volume_anomaly)
+    q164_volume_anomaly, q165_embedding_audit)
 }

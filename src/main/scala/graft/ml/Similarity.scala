@@ -53,6 +53,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__graft_rn").as("rank"))
   }
 
+  /** Embedding-corpus QA audit — the gate BEFORE building any ANN index
+    * (a batch of zero vectors or a dimension drift silently poisons
+    * centroid training and cosine ranking). Per group: vector count,
+    * dimension min/max (drift shows as min != max), zero-vector count,
+    * and the distribution of squared norms QUANTIZED to integers
+    * (`floor(|v|² · scale)`) so the per-group sums are BIGINT — exact
+    * under any row order, unlike a double sum, hence oracle-checkable.
+    * Map-side projections + one hash aggregate; scan-speed at corpus
+    * scale. */
+  def embeddingAudit(
+      df: DataFrame,
+      groupCols: Seq[String],
+      vecCol: String = "embedding",
+      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, "embeddingAudit: scale must be >= 1")
+    val nsq = dot(col(vecCol), col(vecCol))
+    df.select(groupCols.map(col) :+ size(col(vecCol)).cast("long").as("__graft_dim")
+        :+ floor(nsq * scale).cast("long").as("__graft_q"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        min(col("__graft_dim")).as("dim_min"),
+        max(col("__graft_dim")).as("dim_max"),
+        sum(when(col("__graft_q") === 0L, 1L).otherwise(0L)).cast("long").as("n_zero"),
+        sum(col("__graft_q")).cast("long").as("sum_q_normsq"),
+        min(col("__graft_q")).as("min_q_normsq"),
+        max(col("__graft_q")).as("max_q_normsq"))
+  }
+
   /** Hard-negative mining for contrastive training data: for each query
     * (anchor) vector, the k most-cosine-similar corpus vectors whose
     * `labelCol` DIFFERS from the anchor's — the highest-loss negatives, the

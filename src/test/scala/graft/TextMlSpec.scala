@@ -987,6 +987,21 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty, "semanticDeduplicate leaked a cached frame")
   }
 
+  test("embeddingAudit: zero vectors counted, dim drift bounded, quantized norms exact") {
+    val emb = Seq(
+      (0L, Seq(1.0, 2.0), 7L),   // |v|² = 5 → q = 5000
+      (1L, Seq(0.0, 0.0), 7L),   // zero vector
+      (2L, Seq(0.5, 0.5, 0.5), 7L), // dim drift: 3 — |v|² = 0.75 → 750
+      (3L, Seq(3.0, 4.0), 8L))   // 25 → 25000
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ml.Similarity.embeddingAudit(emb, Seq("label"))
+      .select("label", "n_vecs", "dim_min", "dim_max", "n_zero", "sum_q_normsq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (7L, 3L, 2L, 3L, 1L, 5750L),
+      (8L, 1L, 2L, 2L, 0L, 25000L)))
+  }
+
   test("hardNegatives: never returns a same-label neighbor; ranks by cosine desc") {
     val emb = Seq(
       (1L, Seq(1.0, 0.0), 0L),
