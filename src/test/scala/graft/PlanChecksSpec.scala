@@ -77,6 +77,23 @@ class PlanChecksSpec extends SparkSpec {
     assert(graft.plans.PlanChecks.shuffleCount(q) == 0)
   }
 
+  test("HTML strip + PII-free text cleaning is a pure map-side projection") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val cleaned = d.select(graft.text.TextFunctions.stripHtml(
+      org.apache.spark.sql.functions.col("text")).as("clean"))
+    cleaned.collect()
+    assert(graft.plans.PlanChecks.shuffleCount(cleaned) == 0,
+      "cleaning a corpus must run in the scan stage")
+  }
+
+  test("embeddingAudit is one hash aggregate over a map-side projection") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val audit = graft.ml.Similarity.embeddingAudit(emb, Seq("label"))
+    audit.collect()
+    // exactly the aggregate's exchange — nothing else may shuffle
+    assert(graft.plans.PlanChecks.shuffleCount(audit) == 1)
+  }
+
   test("salted join does not broadcast the salted small side (the regime salting is for)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").withColumnRenamed("l_partkey", "p_partkey")
     val p = spark.read.parquet(s"$sf/part.parquet")
