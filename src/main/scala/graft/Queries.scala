@@ -5709,6 +5709,61 @@ object Queries {
                    MIN(qn) AS min_q_normsq, MAX(qn) AS max_q_normsq
             FROM q GROUP BY label ORDER BY label"""))
 
+  /** Code-switching detection: every third document gets a French-stopword
+    * sentence appended — invisible to the document-level argmax (q30,
+    * English dominates globally) but caught by segment-level language ID
+    * over 12-token windows. The oracle replays the same per-segment
+    * stopword fold from the same profiles, generated like q30's. */
+  val q166_code_switch = Q(
+    "q166_code_switch",
+    (s, dir) => {
+      val french = " le la de et les des un est dans que le la"
+      val d = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, french).otherwise("")).as("text2"))
+      val stats = TextFunctions.codeSwitchStats(d, "doc_id", "text2", segTokens = 12)
+      stats
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("is_code_switched"), 1L).otherwise(0L)).cast("long").as("n_switched"),
+          sum(col("n_segments")).cast("long").as("n_segments"))
+        .orderBy("source")
+    },
+    Some {
+      val profiles = TextFunctions.languageProfiles.toSeq.sortBy(_._1)
+      val scoreDefs = profiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_intersect(sd, [$list])) AS s_$lang"
+      }.mkString(", ")
+      val fold = profiles.foldLeft(("'und'", "0")) { case ((bl, bs), (lang, _)) =>
+        (s"(CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END)",
+          s"(CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END)")
+      }._1
+      s"""WITH d AS (
+            SELECT doc_id::BIGINT AS doc_id, source,
+              text || (CASE WHEN doc_id % 3 = 0 THEN ' le la de et les des un est dans que le la' ELSE '' END) AS text2
+            FROM documents),
+          t AS (
+            SELECT doc_id, source,
+              list_filter(regexp_split_to_array(trim(lower(text2)), '\\s+'), x -> len(x) > 0) AS toks
+            FROM d),
+          seg AS (
+            SELECT doc_id, source, list_distinct(toks[(i*12+1):(i*12+12)]) AS sd
+            FROM t, UNNEST(range((len(toks) + 11) // 12)) AS u(i)),
+          lang AS (SELECT doc_id, source, $fold AS lang FROM (SELECT doc_id, source, $scoreDefs FROM seg)),
+          agg AS (
+            SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_seg,
+              COUNT(DISTINCT CASE WHEN lang <> 'und' THEN lang END) AS n_langs
+            FROM lang GROUP BY 1, 2)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_switched,
+                 CAST(SUM(n_seg) AS BIGINT) AS n_segments
+          FROM agg GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5750,5 +5805,5 @@ object Queries {
     q154_stream_join, q155_containment, q156_hard_negatives,
     q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
-    q164_volume_anomaly, q165_embedding_audit)
+    q164_volume_anomaly, q165_embedding_audit, q166_code_switch)
 }

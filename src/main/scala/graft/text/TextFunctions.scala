@@ -418,6 +418,46 @@ object TextFunctions {
   def languageId(text: Column, profiles: Map[String, Seq[String]] = languageProfiles): Column =
     languageIdFromTokens(array_distinct(tokens(lower(text))), profiles)
 
+  /** Segment-level language ID + per-document code-switching detection:
+    * split each document into fixed `segTokens`-token windows, identify
+    * each window's language, and report per document how many distinct
+    * languages appear (ignoring "und") — the filter that catches
+    * mixed-language documents a DOCUMENT-level language ID (q30) calls
+    * monolingual because one language dominates the global stopword
+    * argmax. Returns (idCol, n_segments, n_langs, is_code_switched).
+    *
+    * Shape: token array materialized once; windows materialized as an
+    * array-of-arrays column and exploded through `array_compact` (the
+    * explode-trap rule), so the per-segment argmax runs codegen'd on
+    * exploded rows — not interpreted inside a HOF lambda (the
+    * CLAUDE.md fold rule); one groupBy per document closes it. */
+  def codeSwitchStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int,
+      profiles: Map[String, Seq[String]] = languageProfiles): DataFrame = {
+    require(segTokens >= 1, s"codeSwitchStats: segTokens must be >= 1, got $segTokens")
+    val base = df.select(col(idCol), tokens(lower(col(textCol))).as("__graft_toks"))
+    val n = size(col("__graft_toks"))
+    val nseg = expr(s"cast((size(__graft_toks) + ${segTokens - 1}) div $segTokens as int)")
+    // guard the empty doc: sequence(0, -1) would generate a DESCENDING run
+    val segs = when(n === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(sequence(lit(0), nseg - 1),
+        i => slice(col("__graft_toks"), i * segTokens + 1, lit(segTokens))))
+    base
+      .select(col(idCol), segs.as("__graft_segs"))
+      .select(col(idCol), explode(array_compact(col("__graft_segs"))).as("__graft_seg"))
+      .withColumn("__graft_lang",
+        languageIdFromTokens(array_distinct(col("__graft_seg")), profiles))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_segments"),
+        count_distinct(when(col("__graft_lang") =!= "und", col("__graft_lang")))
+          .cast("long").as("n_langs"))
+      .withColumn("is_code_switched", col("n_langs") >= 2)
+  }
+
   // ------------------------------------------------- corpus vocabulary
 
   /** Corpus term statistics: one row per lowercase whitespace token with its

@@ -167,6 +167,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("codeSwitchStats: segment-level langs, und ignored, empty doc drops, window math") {
+    val en = "the cat and the dog is that it was with for"   // 11 tokens, english
+    val fr = "le chien et le chat est dans que un des"       // 10 tokens, french
+    val docs = Seq(
+      (1L, en + " " + fr),  // 21 tokens → segs of 12: [en*11+le] + [fr rest] → en,fr
+      (2L, en),             // 11 tokens → one english segment
+      (3L, "zz qq ww"),     // no profile hit → und only, n_langs 0
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.codeSwitchStats(docs, "doc_id", "text", segTokens = 12)
+      .select("doc_id", "n_segments", "n_langs", "is_code_switched")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (1L, 2L, 2L, true),
+      (2L, 1L, 1L, false),
+      (3L, 1L, 0L, false))) // doc 4 (empty) produces no segments and drops
+  }
+
   test("language id picks dominant stopword profile") {
     val df = Seq(
       "the cat and the dog is that it was with for",
