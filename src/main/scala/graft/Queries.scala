@@ -5764,6 +5764,52 @@ object Queries {
           FROM agg GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Chat-template flattening: synthesized 3-turn JSON conversations
+    * (user/assistant/user over token slices) rendered to training text
+    * with turn stats — the fine-tuning prep step before sequence packing.
+    * The oracle derives the EXPECTED rendered strings independently from
+    * the token arithmetic (never parsing JSON). */
+  val q167_chat_flatten = Q(
+    "q167_chat_flatten",
+    (s, dir) => {
+      import graft.functions.SemiStructured
+      val d = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      def seg(from: Int) = array_join(slice(toks, from, 8), " ")
+      val convo = d.withColumn("convo_json", to_json(array(
+        struct(lit("user").as("role"), seg(1).as("content")),
+        struct(lit("assistant").as("role"), seg(9).as("content")),
+        struct(lit("user").as("role"), seg(17).as("content")))))
+      SemiStructured.flattenChat(convo, "convo_json")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("chat_text"))).cast("long").as("chars"),
+          sum(col("n_turns")).cast("long").as("turns"),
+          sum(col("n_user_turns")).cast("long").as("user_turns"),
+          count_distinct(col("chat_text")).cast("long").as("distinct_chats"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+            r AS (
+              SELECT source,
+                -- a slice starting past the end is NULL in DuckDB (Spark:
+                -- empty) — coalesce each segment to ''
+                '### user:' || chr(10) || COALESCE(array_to_string(toks[1:8], ' '), '')
+                || chr(10) || '### assistant:' || chr(10) || COALESCE(array_to_string(toks[9:16], ' '), '')
+                || chr(10) || '### user:' || chr(10) || COALESCE(array_to_string(toks[17:24], ' '), '')
+                AS chat_text
+              FROM d)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(chat_text)) AS BIGINT) AS chars,
+                   CAST(COUNT(*) * 3 AS BIGINT) AS turns,
+                   CAST(COUNT(*) * 2 AS BIGINT) AS user_turns,
+                   CAST(COUNT(DISTINCT chat_text) AS BIGINT) AS distinct_chats
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5805,5 +5851,6 @@ object Queries {
     q154_stream_join, q155_containment, q156_hard_negatives,
     q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
-    q164_volume_anomaly, q165_embedding_audit, q166_code_switch)
+    q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
+    q167_chat_flatten)
 }

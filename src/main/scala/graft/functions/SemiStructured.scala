@@ -39,4 +39,42 @@ object SemiStructured {
       }
       .drop("__graft_variant")
   }
+
+  /** Chat-template rendering: a JSON conversation (`[{"role": ...,
+    * "content": ...}, ...]`) flattened to one training-text column plus
+    * turn statistics — the fine-tuning-data preparation step between raw
+    * conversation logs and sequence packing ([[graft.text.Sharding]]).
+    * Rendering is `"<header>role:\ncontent"` per turn, newline-joined —
+    * the minimal template shape; swap `header` per tokenizer convention.
+    *
+    * Pure column expressions (from_json + transform + concat), map-side at
+    * scan speed. Malformed JSON → NULL messages → NULL rendered text and
+    * zero turn counts (quarantine-friendly, never a crash). */
+  def flattenChat(
+      df: DataFrame,
+      jsonCol: String,
+      outCol: String = "chat_text",
+      header: String = "### "): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val msgs = from_json(col(jsonCol), schema)
+    df
+      .withColumn("__graft_msgs", msgs)
+      .withColumn(outCol,
+        // concat_ws silently folds a NULL array to "" — guard explicitly so
+        // malformed JSON stays NULL (quarantinable), distinct from an
+        // empty-but-valid conversation
+        when(col("__graft_msgs").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", transform(col("__graft_msgs"),
+            m => concat(lit(header), m.getField("role"), lit(":\n"), m.getField("content"))))))
+      .withColumn("n_turns", coalesce(size(col("__graft_msgs")), lit(-1))
+        .cast("long"))
+      .withColumn("n_user_turns",
+        coalesce(size(filter(col("__graft_msgs"), m => m.getField("role") === "user")), lit(-1))
+          .cast("long"))
+      .withColumn("n_turns", when(col("n_turns") < 0, 0L).otherwise(col("n_turns")))
+      .withColumn("n_user_turns", when(col("n_user_turns") < 0, 0L).otherwise(col("n_user_turns")))
+      .drop("__graft_msgs")
+  }
 }

@@ -1226,6 +1226,18 @@ class SemiStructuredSpec extends SparkSpec {
   import graft.functions.SemiStructured
   import graft.functions.SemiStructured.Field
 
+  test("flattenChat renders turns with stats; malformed JSON yields NULL text and zero counts") {
+    val d = Seq(
+      (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"},{"role":"user","content":"bye"}]"""),
+      (2L, """not json""")).toDF("id", "convo")
+    val out = SemiStructured.flattenChat(d, "convo")
+      .select("id", "chat_text", "n_turns", "n_user_turns")
+      .as[(Long, Option[String], Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out(0) === ((1L,
+      Some("### user:\nhi\n### assistant:\nhello\n### user:\nbye"), 3L, 2L)))
+    assert(out(1) === ((2L, None, 0L, 0L)))
+  }
+
   test("shredJson extracts typed paths; missing paths and bad JSON yield NULL") {
     val rows = Seq(
       (1L, """{"a": 5, "nest": {"s": "x", "d": 1.5}, "arr": [10, 20]}"""),
