@@ -68,6 +68,11 @@ object Cli {
       case e: IllegalArgumentException =>
         System.err.println(e.getMessage)
         1
+      // file-system failures (unwritable config path, bad directory) get
+      // the same clean exit-1 + message, never a stack trace
+      case e: java.io.IOException =>
+        System.err.println(e.toString)
+        1
     }
 
   def main(args: Array[String]): Unit = {

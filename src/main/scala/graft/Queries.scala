@@ -5081,14 +5081,16 @@ object Queries {
         when(col("doc_id") % 3 === 0, "?utm_source=feed&b=2&a=1")
           .when(col("doc_id") % 3 === 1, "?a=1&b=2").otherwise(""),
         when(col("doc_id") % 7 === 0, "#frag").otherwise("")))
-      val kept = graft.text.UrlOps.dedupByCanonicalUrl(withUrl, "doc_id", "url")
-      val counts = withUrl
+      // ONE canonicalize pass + ONE aggregation produces both the keeper
+      // and the variant count (the ~10-regex chain must not run twice;
+      // dedupByCanonicalUrl itself is row-level and spec-covered)
+      withUrl
         .withColumn("canonical_url", graft.text.UrlOps.canonicalize(col("url")))
-        .groupBy(col("canonical_url")).agg(count(lit(1)).cast("long").as("n_variants"))
-      kept
-        .join(counts, Seq("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).cast("long").as("n_variants"))
         .filter(col("n_variants") >= 2)
-        .select(col("canonical_url"), col("doc_id").as("keeper"), col("n_variants"))
+        .select(col("canonical_url"), col("keeper"), col("n_variants"))
         .orderBy("canonical_url")
     },
     Some("""WITH canon AS (
@@ -5615,7 +5617,10 @@ object Queries {
           count(lit(1)).cast("long").as("n_groups"),
           sum(when(col("suppressed"), 1L).otherwise(0L)).cast("long").as("n_suppressed"),
           min(when(!col("suppressed"), col("l_diversity"))).cast("long").as("min_l_kept"))
-        .join(keptRows, Seq("event_type"))
+        // LEFT join: an event_type whose every quasi-group is suppressed has
+        // no kept rows at all — it must still report, with rows_kept = 0
+        .join(keptRows, Seq("event_type"), "left")
+        .withColumn("rows_kept", coalesce(col("rows_kept"), lit(0L)))
         .orderBy("event_type")
     },
     Some("""WITH e AS (

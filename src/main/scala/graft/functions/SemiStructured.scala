@@ -67,7 +67,11 @@ object SemiStructured {
         // empty-but-valid conversation
         when(col("__graft_msgs").isNull, lit(null).cast("string"))
           .otherwise(concat_ws("\n", transform(col("__graft_msgs"),
-            m => concat(lit(header), m.getField("role"), lit(":\n"), m.getField("content"))))))
+            // coalesce each field: a turn with a missing role/content must
+            // still RENDER (else concat→NULL, concat_ws silently drops the
+            // turn, and chat_text disagrees with n_turns)
+            m => concat(lit(header), coalesce(m.getField("role"), lit("")),
+              lit(":\n"), coalesce(m.getField("content"), lit("")))))))
       .withColumn("n_turns", coalesce(size(col("__graft_msgs")), lit(-1))
         .cast("long"))
       .withColumn("n_user_turns",

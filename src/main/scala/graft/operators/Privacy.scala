@@ -24,7 +24,12 @@ object Privacy {
       .agg(count(lit(1)).as("__graft_n"))
       .filter(col("__graft_n") >= k)
       .drop("__graft_n")
-    df.join(big, quasiCols, "left_semi")
+      .select(quasiCols.map(c => col(c).as(s"__graft_$c")): _*)
+    // NULL-SAFE equality (<=>): groupBy treats NULL as a real group, so the
+    // audit and the suppression must agree about it — a null-unsafe semi
+    // join would silently delete every NULL-quasi row however big its group
+    val cond = quasiCols.map(c => col(c) <=> col(s"__graft_$c")).reduce(_ && _)
+    df.join(big, cond, "left_semi")
   }
 
   /** Per-group audit: size and the distinct count of a sensitive column

@@ -285,6 +285,20 @@ class PrivacyVolumeSpec extends SparkSpec {
       ("b", 1L, 2L, 1L, false)))
   }
 
+  test("kAnonymitySuppress and the report agree on NULL quasi groups (null-safe join)") {
+    val d = Seq(
+      (Some("x"), "s1"), (Some("x"), "s2"),
+      (None, "s1"), (None, "s2"), (None, "s3")) // NULL group of 3
+      .toDF("q1", "sens")
+    val kept = Privacy.kAnonymitySuppress(d, Seq("q1"), k = 3L)
+    // the NULL group has 3 members → releasable; ("x") has 2 → suppressed
+    assert(kept.count() === 3)
+    assert(kept.filter(col("q1").isNull).count() === 3)
+    val rep = Privacy.kAnonymityReport(d, Seq("q1"), "sens", k = 3L)
+      .filter(col("q1").isNull).select("suppressed").as[Boolean].head()
+    assert(!rep) // audit agrees: not suppressed
+  }
+
   test("volumeAnomalies: trailing exact median over a gappy range frame; cold start never flags") {
     // group g: days 1..5 at 100, day 6 drops to 10; day 9 (gap!) back at 100
     // then day 10 at 40 vs trailing median of {100,10,100}(within 7d)=100
