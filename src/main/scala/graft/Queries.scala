@@ -5815,6 +5815,145 @@ object Queries {
                    CAST(COUNT(DISTINCT chat_text) AS BIGINT) AS distinct_chats
             FROM r GROUP BY 1 ORDER BY 1"""))
 
+  /** k-core extraction (graph breadth): the 4-core of the co-supplier
+    * graph (suppliers sharing >= 5 orders) by iterative peeling — the
+    * dense-community extraction a spam-ring or co-citation audit runs.
+    * The peeling fixed point is unique, so Spark (loop-until-stable with
+    * per-round checkpoints) and the oracle (a generated 16-stage peel
+    * chain — extra stages past convergence are no-ops) agree exactly;
+    * Spark THROWS rather than return a non-fixed-point if 16 rounds ever
+    * stop sufficing. */
+  val q168_kcore = Q(
+    "q168_kcore",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+      val a = os.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = os.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val edges = a
+        .join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      graft.operators.Graph.kCore(edges, k = 4, maxRounds = 16)
+        .select(col("node").cast("long").as("node"), col("deg").cast("long").as("deg"))
+        .orderBy("node")
+    },
+    Some {
+      // each round references the previous one several times — MATERIALIZED
+      // keeps DuckDB's CTE inlining from expanding the chain exponentially
+      val rounds = (1 to 16).map { i =>
+        val prev = s"r${i - 1}"
+        s"""k$i AS MATERIALIZED (
+                    SELECT node FROM (SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+                    GROUP BY node HAVING COUNT(*) >= 4),
+            r$i AS MATERIALIZED (
+                    SELECT u, v FROM $prev
+                    WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))"""
+      }.mkString(",\n          ")
+      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+          e0 AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
+                 FROM os a JOIN os b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                 GROUP BY 1, 2),
+          r0 AS MATERIALIZED (SELECT sa AS u, sb AS v FROM e0 WHERE w >= 5),
+          $rounds
+          SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (SELECT u AS node FROM r16 UNION ALL SELECT v FROM r16)
+          GROUP BY node ORDER BY node"""
+    })
+
+  /** Deterministic random walks (graph breadth / node2vec-style positive
+    * sampling): 4 hops from every node of the order-derived customer
+    * graph, next hop = integer-mix argmin over out-neighbors — the PRNG
+    * replaced by arithmetic both engines compute bit-identically. Output
+    * is per-node visit counts (start position included); the oracle
+    * replays all 4 steps as generated CTE stages with a (mix, dst)
+    * row_number argmin. */
+  val q169_walks = Q(
+    "q169_walks",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val edges = o.select(
+        col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey") % 1500).cast("long").as("dst")).distinct()
+      graft.operators.Graph.deterministicWalkVisits(edges, steps = 4)
+        .select(col("node").cast("long").as("node"), col("visits").cast("long").as("visits"))
+        .orderBy("node")
+    },
+    Some {
+      val steps = (1 to 4).map { i =>
+        val prev = s"f${i - 1}"
+        s"""f$i AS (
+              SELECT start, cand AS cur FROM (
+                SELECT f.start, e.dst AS cand,
+                       ((f.cur % 2147483647) * 1048573 + $i * 8191
+                        + (e.dst % 2147483647) * 524287) % 2147483647 AS mix,
+                       ROW_NUMBER() OVER (PARTITION BY f.start
+                                          ORDER BY ((f.cur % 2147483647) * 1048573 + $i * 8191
+                                                    + (e.dst % 2147483647) * 524287) % 2147483647,
+                                                   e.dst) AS rn
+                FROM $prev f JOIN e ON f.cur = e.src)
+              WHERE rn = 1)"""
+      }.mkString(",\n          ")
+      s"""WITH e AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(o_orderkey % 1500 AS BIGINT) AS dst
+            FROM orders),
+          nodes AS (SELECT DISTINCT node
+                    FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          f0 AS (SELECT node AS start, node AS cur FROM nodes),
+          $steps,
+          vis AS (SELECT cur FROM f0 UNION ALL SELECT cur FROM f1 UNION ALL
+                  SELECT cur FROM f2 UNION ALL SELECT cur FROM f3 UNION ALL
+                  SELECT cur FROM f4)
+          SELECT CAST(cur AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS visits
+          FROM vis GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Preference-cycle audit (RLHF data QA): pairwise preference edges
+    * (the earlier line in an order "beats" the next, items = part buckets)
+    * checked for intransitive triads — a directed 3-cycle means the
+    * judgments cannot come from any consistent ranking. Cycles are
+    * counted once each (anchored at the minimum node); the oracle runs
+    * the naive 3-way join, which only survives because the oracle's graph
+    * is small. */
+  val q170_pref_cycles = Q(
+    "q170_pref_cycles",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 300).cast("long").as("item"))
+      val a = li.select(
+        col("l_orderkey").as("o2"), col("l_linenumber").as("nxt"),
+        col("item").as("w_item"))
+      val edges = li
+        .join(a, col("l_orderkey") === col("o2") && col("nxt") === col("l_linenumber") + 1)
+        .filter(col("item") =!= col("w_item"))
+        .select(col("item").as("src"), col("w_item").as("dst"))
+      edges.distinct()
+        .agg(count(lit(1)).cast("long").as("n_edges"))
+        .crossJoin(graft.operators.Graph.directedTriangleCycles(edges))
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+                               CAST(l_partkey % 300 AS BIGINT) AS item
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+                  FROM li a JOIN li b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND b.l_linenumber = a.l_linenumber + 1
+                  WHERE a.item != b.item)
+            SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*)
+                         FROM e e1
+                         JOIN e e2 ON e2.src = e1.dst
+                                  AND e1.src < e1.dst AND e1.src < e2.dst
+                         JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src)
+                        AS BIGINT) AS cycles"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5857,5 +5996,5 @@ object Queries {
     q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
     q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
-    q167_chat_flatten)
+    q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles)
 }

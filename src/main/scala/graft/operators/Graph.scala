@@ -79,6 +79,157 @@ object Graph {
     ranks
   }
 
+  /** k-core of an undirected graph by ITERATIVE PEELING: repeatedly drop
+    * every node whose degree within the surviving subgraph is < k until a
+    * fixed point. The survivors are exactly the maximal subgraph in which
+    * every node has degree ≥ k — the standard "dense-enough community"
+    * extraction that a spam-cluster or co-citation analysis needs.
+    *
+    * Determinism: the fixed point of peeling is UNIQUE (peeling is a
+    * monotone set-shrinking operator), so the result is independent of
+    * partitioning and iteration batching — which is what makes it
+    * oracle-replayable level-by-level.
+    *
+    * Scale shape: each round is one degree aggregation over the surviving
+    * edge set + one semi-join filter — both keyed on node ids, no
+    * whole-graph collect. The surviving EDGE set is re-materialized and
+    * checkpointed every round so round r+1's plan reads a pinned result,
+    * not an r-deep lineage (the q69 connected-components discipline).
+    * Rounds are bounded by the peel depth (≤ max-degeneracy ordering
+    * depth, typically ≪ 20 on real graphs); `maxRounds` is a safety rail
+    * that THROWS rather than silently returning a non-fixed-point.
+    *
+    * `edges` needs columns (src, dst); direction, duplicates and
+    * self-loops are normalized away. Returns (node, deg) — the surviving
+    * nodes with their degree inside the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int = 50,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val undirected = edges
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var live = checkpoint(undirected)
+    var round = 0
+    var done = false
+    while (!done) {
+      require(round < maxRounds, s"kCore: no fixed point after $maxRounds rounds")
+      val deg = live
+        .select(col("u").as("node")).union(live.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val pruned = checkpoint(
+        live
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v"))
+      // fixed point iff no edge was dropped (node set shrinks only when
+      // its incident edges do, so edge count is the cheaper test)
+      done = pruned.count() == live.count()
+      live = pruned
+      round += 1
+    }
+    live
+      .select(col("u").as("node")).union(live.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Deterministic random walks: from EVERY node, take `steps` hops where
+    * the hop from `cur` at step `i` goes to the out-neighbor `nb`
+    * minimizing the integer mix
+    *
+    *   mix(cur, i, nb) = ((cur % M)*A1 + i*A2 + (nb % M)*A3) % M
+    *
+    * (ties broken by smaller `nb`). The mix plays the role of the PRNG in
+    * node2vec-style positive-pair generation, but is pure integer
+    * arithmetic — bit-identical on any engine and any partitioning, hence
+    * oracle-replayable step-by-step. Walks halt early at sink nodes.
+    *
+    * Scale shape: the frontier is one row per live walk; each step is ONE
+    * join frontier⋈adjacency on the current node plus a per-walk argmin
+    * (`min(struct(mix, nb))` — a codegen'd aggregate, not a sort), then a
+    * checkpoint to truncate lineage. State never exceeds |nodes| rows and
+    * steps are bounded, so the plan survives arbitrarily large edge sets —
+    * the expensive side is the adjacency join, which shuffles on node
+    * keys only.
+    *
+    * Returns visit counts: (node, visits) where visits counts every walk
+    * position 0..steps that landed on `node` (position 0 = the start
+    * itself).
+    */
+  def deterministicWalkVisits(
+      edges: DataFrame,
+      steps: Int,
+      m: Long = 2147483647L,
+      a1: Long = 1048573L,
+      a2: Long = 8191L,
+      a3: Long = 524287L,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(steps >= 1, s"walks: steps must be >= 1, got $steps")
+    val adj = checkpoint(edges.select(col("src"), col("dst")).distinct())
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+    var frontier = checkpoint(nodes.select(col("node").as("start"), col("node").as("cur")))
+    val visited = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.select(col("cur").as("node")))
+    var i = 0
+    while (i < steps) {
+      val step = frontier
+        .join(adj, frontier("cur") === adj("src"))
+        .select(
+          col("start"),
+          col("dst"),
+          (((col("cur") % m) * a1 + lit(i + 1) * a2 + (col("dst") % m) * a3) % m).as("mix"))
+        .groupBy("start")
+        .agg(min(struct(col("mix"), col("dst"))).as("pick"))
+        .select(col("start"), col("pick.dst").as("cur"))
+      frontier = checkpoint(step)
+      visited += frontier.select(col("cur").as("node"))
+      i += 1
+    }
+    visited.reduce(_ union _)
+      .groupBy("node").agg(count(lit(1)).as("visits"))
+  }
+
+  /** Count directed 3-cycles u→v→w→u (each cycle once, anchored at its
+    * minimum node) — the "preference cycle" audit: if edges encode
+    * pairwise preferences (winner→loser), a directed triangle is an
+    * intransitive triad, the signature of inconsistent judgments.
+    *
+    * Same scale discipline as [[triangleCount]]: the edge list is
+    * deduplicated, checkpointed once for its three consumers, and the
+    * wedge expansion (the only row-EXPANDING join) is preceded by an
+    * explicit-N repartition because AQE sizes by input bytes and cannot
+    * see the expansion. Anchoring at the minimum node (u < v, u < w)
+    * cuts the wedge volume 3× and makes each cycle counted exactly once.
+    */
+  def directedTriangleCycles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("src"))
+      .localCheckpoint(true) // consumed 3x: two wedge sides + the closing probe
+    val wedges = e.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") < col("v"))
+      .join(
+        e.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v"))
+      .filter(col("u") < col("w"))
+    wedges
+      .join(
+        e.select(col("src").as("w"), col("dst").as("u")),
+        Seq("w", "u"),
+        "left_semi")
+      .agg(count(lit(1)).cast("long").as("cycles"))
+  }
+
   /** Exact triangle count by DEGREE ORIENTATION (the MapReduce-classic
     * Suri–Vassilvitskii / Cohen scheme): orient every undirected edge from
     * its lower-(degree, id) endpoint to the higher one, enumerate wedges

@@ -76,6 +76,91 @@ class GraphZorderSpec extends SparkSpec {
     }
   }
 
+  test("kCore peels a tail and keeps the clique") {
+    // K5 (a 4-core) with a pendant path 5-6-7 hanging off node 1:
+    // peeling must remove the path in two rounds and keep exactly the clique
+    val clique = for (u <- 1L to 5L; v <- (u + 1) to 5L) yield (u, v)
+    val edges = (clique ++ Seq((1L, 6L), (6L, 7L))).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 4).as[(Long, Long)].collect().sorted
+    assert(core.toSeq == (1L to 5L).map(n => (n, 4L)))
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(edges, k = 5).count() == 0L)
+  }
+
+  test("kCore matches a driver-side peel on a fuzzed graph and ignores direction/dups") {
+    val rnd = new scala.util.Random(7)
+    val edgeSet = (1 to 260).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val df = (edgeSet ++ edgeSet.map(_.swap)).toDF("src", "dst") // dups + both directions
+    val got = Graph.kCore(viaParquet(df), k = 3).as[(Long, Long)].collect().toMap
+    // driver replay
+    var live = edgeSet.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = (live.map(_._1) ++ live.map(_._2)).groupBy(identity).map { case (k2, v) => (k2, v.size) }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val pruned = live.filter { case (a, b) => keep(a) && keep(b) }
+      changed = pruned.size != live.size
+      live = pruned
+    }
+    val want = (live.map(_._1) ++ live.map(_._2)).groupBy(identity)
+      .map { case (k2, v) => (k2, v.size.toLong) }
+    assert(got == want)
+  }
+
+  test("deterministic walks are partition-independent and replayable") {
+    val base = (1L to 120L).map(i => (i % 13L, (i * 5L) % 13L)).filter(e => e._1 != e._2)
+      .distinct.toDF("src", "dst")
+    val a = Graph.deterministicWalkVisits(viaParquet(base).repartition(1), steps = 3)
+    val b = Graph.deterministicWalkVisits(viaParquet(base).repartition(5, col("dst")), steps = 3)
+    assert(sortedRows(a) == sortedRows(b))
+    // driver replay of the argmin walk
+    val edges = base.as[(Long, Long)].collect()
+    val adj = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).distinct.sorted) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val m = 2147483647L
+    def mix(cur: Long, step: Long, nb: Long) =
+      ((cur % m) * 1048573L + step * 8191L + (nb % m) * 524287L) % m
+    val visits = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    nodes.foreach { start =>
+      var cur = start
+      visits(cur) += 1
+      var i = 1
+      var alive = true
+      while (i <= 3 && alive) {
+        adj.get(cur) match {
+          case Some(nbs) =>
+            cur = nbs.minBy(nb => (mix(cur, i, nb), nb))
+            visits(cur) += 1
+          case None => alive = false
+        }
+        i += 1
+      }
+    }
+    val got = a.as[(Long, Long)].collect().toMap
+    assert(got == visits.toMap)
+  }
+
+  test("walks halt at sinks (visit mass shrinks, never grows)") {
+    // chain 1->2->3, 3 is a sink: walk from 1 visits 1,2,3; from 2: 2,3; from 3: 3
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.deterministicWalkVisits(edges, steps = 5).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("directed 3-cycles counts each cycle once and excludes transitive triads") {
+    // cycle 1->2->3->1, plus a TRANSITIVE triad 4->5, 5->6, 4->6 (no cycle),
+    // plus a 2-cycle 7<->8 (not a triangle)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    assert(Graph.directedTriangleCycles(edges).as[Long].head() == 1L)
+    // both rotations of a cycle pair: 1->2->3->1 and its reverse 1->3->2->1
+    val both = edges.union(Seq((2L, 1L), (3L, 2L), (1L, 3L)).toDF("src", "dst"))
+    assert(Graph.directedTriangleCycles(both).as[Long].head() == 2L)
+  }
+
   test("leakage-safe split never lets a cluster straddle splits") {
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters: {1..5}, {10..12}, {20,21}; rest singletons
