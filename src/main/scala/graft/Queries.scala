@@ -5954,6 +5954,80 @@ object Queries {
                          JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src)
                         AS BIGINT) AS cycles"""))
 
+  /** First-order event transition matrix (clickstream analytics): per
+    * user, consecutive event pairs under a TOTAL order (ts, event_id —
+    * duplicate timestamps exist, so the tie column is what makes the pair
+    * multiset deterministic), aggregated to counts + fixed-point
+    * transition probabilities. One user-keyed window shuffle; the per-prev
+    * totals re-aggregate the pair counts, never the raw events. */
+  val q171_transitions = Q(
+    "q171_transitions",
+    (s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.transitionMatrix(
+          t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .select(
+          col("prev_type"), col("cur_type"),
+          col("n").cast("long").as("n"),
+          col("prob_ppm").cast("long").as("prob_ppm"))
+        .orderBy("prev_type", "cur_type")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events),
+            p AS (SELECT prev AS prev_type, event_type AS cur_type,
+                         COUNT(*) AS n
+                  FROM ev WHERE prev IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, cur_type, CAST(n AS BIGINT) AS n,
+                   CAST((1000000 * n) // SUM(n) OVER (PARTITION BY prev_type)
+                        AS BIGINT) AS prob_ppm
+            FROM p ORDER BY 1, 2"""))
+
+  /** Seasonal-naive ingest forecast monitor: per event type, daily counts
+    * over a DENSE date spine (gap days score as 0 — a silent feed is
+    * maximal error, not a missing row), forecast(d) = actual(d-7), scored
+    * as integer MAE ppm. The raw volume reduces to (key, day) counts
+    * before any window runs — the spine/lag/scoring plan never touches
+    * event-sized data. */
+  val q172_seasonal_naive = Q(
+    "q172_seasonal_naive",
+    (s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.seasonalNaiveError(t(s, dir, "events"), "event_type", "ts", period = 7)
+        .select(
+          col("key").as("event_type"),
+          col("days_scored").cast("long").as("days_scored"),
+          col("total_actual").cast("long").as("total_actual"),
+          col("total_abs_err").cast("long").as("total_abs_err"),
+          col("mae_ppm").cast("long").as("mae_ppm"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type AS key, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            spine AS (
+              SELECT k.key, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS day
+              FROM (SELECT DISTINCT key FROM daily) k, bounds b),
+            dense AS (
+              SELECT s.key, s.day, COALESCE(d.n, 0) AS actual
+              FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day),
+            scored AS (
+              SELECT key, actual,
+                     LAG(actual, 7) OVER (PARTITION BY key ORDER BY day) AS fc
+              FROM dense)
+            SELECT key AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS days_scored,
+                   CAST(SUM(actual) AS BIGINT) AS total_actual,
+                   CAST(SUM(ABS(actual - fc)) AS BIGINT) AS total_abs_err,
+                   CAST(CASE WHEN SUM(actual) > 0
+                             THEN (1000000 * SUM(ABS(actual - fc))) // SUM(actual)
+                        END AS BIGINT) AS mae_ppm
+            FROM scored WHERE fc IS NOT NULL
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -5996,5 +6070,6 @@ object Queries {
     q157_stream_neardup, q158_hybrid_rrf, q159_budget_fill, q160_html_strip,
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
     q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
-    q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles)
+    q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles,
+    q171_transitions, q172_seasonal_naive)
 }

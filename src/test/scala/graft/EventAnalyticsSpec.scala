@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Transition matrix + seasonal-naive monitor (q171–q172). */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("transitionMatrix counts consecutive pairs per user with total order") {
+    // user 1: a->b->a ; user 2: a->b ; duplicate timestamp for user 1's
+    // 2nd/3rd events — event_id breaks the tie (2 before 3)
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "a", ts("2024-01-01 11:00:00")),
+      (4L, 2L, "a", ts("2024-01-02 09:00:00")),
+      (5L, 2L, "b", ts("2024-01-02 09:30:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .select("prev_type", "cur_type", "n", "prob_ppm")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 1000000L), // a always goes to b
+      ("b", "a", 1L, 1000000L))) // b->a only observed transition out of b
+  }
+
+  test("transitionMatrix probabilities are floor-div ppm within each prev") {
+    val ev = Seq(
+      (1L, 1L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "y", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "x", ts("2024-01-01 10:02:00")),
+      (4L, 1L, "z", ts("2024-01-01 10:03:00")),
+      (5L, 1L, "x", ts("2024-01-01 10:04:00")),
+      (6L, 1L, "y", ts("2024-01-01 10:05:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    // out of x: y (2), z (1) -> 666666 and 333333 ppm (floor)
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .filter(col("prev_type") === "x")
+      .select("cur_type", "prob_ppm").as[(String, Long)].collect().toMap
+    assert(got == Map("y" -> 666666L, "z" -> 333333L))
+  }
+
+  test("seasonalNaiveError scores gap days as zero actuals") {
+    // key k: day 1 -> 3 events, day 8 -> 1 event, day 2..7 absent.
+    // spine is day1..day8; only day8 has a defined lag-7 forecast (=3).
+    val rows = (Seq.fill(3)("2024-03-01 12:00:00") ++ Seq("2024-03-08 12:00:00"))
+      .map(d => ("k", ts(d)))
+    val got = EventAnalytics.seasonalNaiveError(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select("key", "days_scored", "total_actual", "total_abs_err", "mae_ppm")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got == (("k", 1L, 1L, 2L, 2000000L)))
+  }
+
+  test("seasonalNaiveError emits NULL mae when the scored actual total is zero") {
+    // all volume on day 1; days 8..9 in spine score 0 actuals vs forecasts
+    val rows = Seq(
+      ("k", ts("2024-03-01 12:00:00")),
+      ("k", ts("2024-03-09 12:00:00"))).toDF("event_type", "ts")
+    // day1: 1, day9: 1 -> spine 1..9, scored days 8 (fc=1, actual 0) and
+    // 9 (fc=0, actual 1): total_actual 1 -> defined here; build a real
+    // zero-total case instead: single day of data yields no scored rows
+    val one = Seq(("z", ts("2024-03-01 12:00:00"))).toDF("event_type", "ts")
+    assert(EventAnalytics.seasonalNaiveError(one, "event_type", "ts").count() == 0L)
+    val got = EventAnalytics.seasonalNaiveError(rows, "event_type", "ts")
+      .select("days_scored", "total_abs_err").as[(Long, Long)].head()
+    assert(got == ((2L, 2L)))
+  }
+
+  test("period must be positive") {
+    val one = Seq(("z", ts("2024-03-01 12:00:00"))).toDF("event_type", "ts")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.seasonalNaiveError(one, "event_type", "ts", period = 0)
+    }
+  }
+}
