@@ -6028,6 +6028,88 @@ object Queries {
             FROM scored WHERE fc IS NOT NULL
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Corpus n-gram novelty (boilerplate/template detector): per doc, the
+    * fraction of its distinct 3-grams appearing in NO other document, as
+    * integer ppm. Spark counts document frequency over 8-byte hashed grams
+    * with a COUNT window on the gram key (one shuffle, no join); the
+    * oracle replays with raw gram STRINGS as keys — identical grouping
+    * absent a 64-bit collision (the q87 convention). Per-source rollup
+    * keeps the output compact while pinning every doc's score (sums over
+    * exact integers). */
+  val q173_novelty = Q(
+    "q173_novelty",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), col("text"))
+      Dedup.corpusNoveltyScores(d, "doc_id", "text", shingleSize = 3)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("total_grams")).cast("long").as("grams"),
+          sum(col("unique_grams")).cast("long").as("unique_grams"),
+          sum(col("novelty_ppm")).cast("long").as("ppm_sum"),
+          min(col("novelty_ppm")).cast("long").as("ppm_min"))
+        .orderBy("source")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      s"""WITH d AS (
+            SELECT doc_id::BIGINT AS doc_id, source,
+                   list_filter(regexp_split_to_array(${normalizeSql("text")}, '\\s+'),
+                               x -> len(x) > 0) AS toks
+            FROM documents),
+          sh AS (
+            SELECT doc_id, source,
+                   list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' ')) END) AS grams
+            FROM d),
+          ex AS (SELECT doc_id, source, unnest(grams) AS g FROM sh),
+          dfc AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY 1),
+          scored AS (
+            SELECT e.doc_id, e.source, COUNT(*) AS total_grams,
+                   SUM(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS unique_grams
+            FROM ex e JOIN dfc c USING (g) GROUP BY 1, 2)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(total_grams) AS BIGINT) AS grams,
+                 CAST(SUM(unique_grams) AS BIGINT) AS unique_grams,
+                 CAST(SUM((1000000 * unique_grams) // total_grams) AS BIGINT) AS ppm_sum,
+                 CAST(MIN((1000000 * unique_grams) // total_grams) AS BIGINT) AS ppm_min
+          FROM scored GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Two-stage domain quality gate (RefinedWeb/CCNet shape): domains are
+    * admitted on aggregate evidence (≥ 10 docs AND 2×median(n_chars) ≥
+    * 500), then docs within admitted domains must clear their own
+    * domain's median. med2 = 2×median keeps the even-count interpolated
+    * median integer-exact on both engines. */
+  val q174_domain_gate = Q(
+    "q174_domain_gate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Sampling.domainMedianGate(d, "source", "n_chars", minDocs = 10L, minMedian2 = 500L)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_kept"),
+          max(col("n_docs")).cast("long").as("n_docs"),
+          max(col("med2")).cast("long").as("med2"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+    Some("""WITH stats AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(2 * median(n_chars) AS BIGINT) AS med2
+              FROM documents GROUP BY 1),
+            ok AS (SELECT * FROM stats WHERE n_docs >= 10 AND med2 >= 500)
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(o.n_docs) AS BIGINT) AS n_docs,
+                   CAST(MAX(o.med2) AS BIGINT) AS med2,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+            FROM documents d JOIN ok o USING (source)
+            WHERE 2 * d.n_chars >= o.med2
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6071,5 +6153,5 @@ object Queries {
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
     q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
     q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles,
-    q171_transitions, q172_seasonal_naive)
+    q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate)
 }

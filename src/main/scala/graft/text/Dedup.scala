@@ -994,4 +994,36 @@ object Dedup {
       .select(col("__graft_r.id1"), col("__graft_r.id2"), col("__graft_r.distance"))
       .filter(col("distance") <= maxDistance)
   }
+
+  /** Corpus n-gram novelty: for each document, the fraction of its DISTINCT
+    * word n-grams that appear in NO other document — a boilerplate /
+    * template detector (low novelty = the doc is assembled from corpus-
+    * common spans) and the per-doc dual of span dedup's per-window view.
+    * Output per doc: `total_grams`, `unique_grams` (document frequency 1),
+    * `novelty_ppm = (1e6 * unique) div total`. Documents whose shingle set
+    * is empty (no tokens after normalization) are excluded by contract.
+    *
+    * Scale shape: grams are 8-byte xxhash64 keys ([[hashedShingleSets]] —
+    * never shingle strings) and the document frequency is a COUNT window
+    * over the gram key on the exploded (id, gram) pairs: one shuffle on
+    * the gram, one on the id, no join, no second text pass. The explode
+    * wraps its attribute in array_compact — InferFiltersFromGenerate would
+    * otherwise clone the whole shingle pipeline into an inferred
+    * size()-filter below the Generate (SPARK-36715, the q78 lesson). */
+  def corpusNoveltyScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = hashedShingleSets(df, idCol, textCol, shingleSize)
+      .select(col(idCol), explode(array_compact(col("sh"))).as("__graft_g"))
+    pairs
+      .withColumn("__graft_df", count(lit(1)).over(Window.partitionBy(col("__graft_g"))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("total_grams"),
+        sum(when(col("__graft_df") === 1, 1L).otherwise(0L)).as("unique_grams"))
+      .withColumn("novelty_ppm", expr("(1000000 * unique_grams) div total_grams"))
+  }
 }

@@ -396,4 +396,37 @@ object Sampling {
       .filter(col("__graft_cum") <= budget)
       .withColumnRenamed("__graft_cum", "cum_tokens")
   }
+
+  /** Two-stage domain quality gate (the RefinedWeb/CCNet shape): first
+    * DOMAINS are admitted or rejected on aggregate evidence (enough
+    * documents AND a high-enough median quality value — one bad page
+    * shouldn't kill a domain, a bad median should), then within admitted
+    * domains each DOCUMENT must clear its own domain's median. Medians are
+    * carried as `med2 = 2×median` BIGINTs — exact for the interpolated
+    * even-count case (x.5 doubles to an odd integer), so every comparison
+    * is integer-exact on any engine.
+    *
+    * Returns the surviving rows with `med2` and `n_docs` attached.
+    *
+    * Scale shape: the stats aggregate reduces to one row per domain and
+    * joins back BROADCAST — no shuffle of the corpus beyond the stats
+    * groupBy itself. Exact per-domain medians sort domain-sized groups
+    * (distributed across executors); for heavy-tailed domain sizes at
+    * 100 TB swap in the mergeable histogram quantile (q153's operator) —
+    * the gate's join shape is unchanged. */
+  def domainMedianGate(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      minDocs: Long,
+      minMedian2: Long): DataFrame = {
+    val stats = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (expr(s"percentile($valueCol, 0.5)") * 2).cast("long").as("med2"))
+      .filter(col("n_docs") >= minDocs && col("med2") >= minMedian2)
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(col(valueCol) * 2 >= col("med2"))
+  }
 }

@@ -830,6 +830,34 @@ class DedupSpec extends SparkSpec {
       shingleSize = 3, threshold = 0.1, dfCap = 1)
     assert(none.count() === 0)
   }
+
+  test("corpusNoveltyScores separates templated from unique docs") {
+    // docs 1 and 2 share their whole text (all grams df=2, novelty 0);
+    // doc 3 is fully unique (novelty 1e6); doc 4 mixes: 4 tokens shared
+    // with doc 3's start, rest unique
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),
+      (4L, "one two three nine ten eleven twelve")).toDF("doc_id", "text")
+    val got = Dedup.corpusNoveltyScores(docs, "doc_id", "text", shingleSize = 3)
+      .select("doc_id", "total_grams", "unique_grams", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 0L, 0L)))
+    assert(got(2L) == ((3L, 0L, 0L)))
+    // doc3 grams: 4 windows; "one two three" also in doc4 → 3 unique of 4
+    assert(got(3L) == ((4L, 3L, 750000L)))
+    // doc4: 5 windows, shares only "one two three" → 4 unique of 5
+    assert(got(4L) == ((5L, 4L, 800000L)))
+  }
+
+  test("corpusNoveltyScores short docs collapse to one whole-text gram") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = Dedup.corpusNoveltyScores(docs, "doc_id", "text", shingleSize = 3)
+      .select("doc_id", "total_grams", "novelty_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 0L)) && got(2L) == ((1L, 0L)) && got(3L) == ((1L, 1000000L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -1419,6 +1447,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sharding.packTrainingSequences(d, "doc_id", "n_tok", 128L, Nil)
     }
+  }
+
+  test("domainMedianGate admits domains then filters docs against their median") {
+    // domain A: 4 docs, values 10,20,30,40 -> median 25, med2 50; admitted
+    //   (minDocs 3, minMedian2 40); docs >= 25 survive: 30, 40
+    // domain B: median too low (med2 20 < 40) -> rejected wholesale
+    // domain C: too few docs -> rejected
+    val rows = Seq(
+      ("A", 10L), ("A", 20L), ("A", 30L), ("A", 40L),
+      ("B", 10L), ("B", 10L), ("B", 10L),
+      ("C", 100L), ("C", 100L)).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val got = Sampling.domainMedianGate(rows, "grp", "v", minDocs = 3L, minMedian2 = 40L)
+      .select("grp", "v", "med2", "n_docs").as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 30L, 50L, 4L), ("A", 40L, 50L, 4L)))
+    // boundary: a doc exactly AT the median survives (2*v >= med2)
+    val med = Sampling.domainMedianGate(
+      Seq((1L, "D", 5L), (2L, "D", 7L), (3L, "D", 9L)).toDF("id", "grp", "v"),
+      "grp", "v", minDocs = 1L, minMedian2 = 0L)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(med == Seq(7L, 9L))
   }
 }
 
