@@ -6110,6 +6110,80 @@ object Queries {
             WHERE 2 * d.n_chars >= o.med2
             GROUP BY 1 ORDER BY 1"""))
 
+  /** MMR diversified re-ranking (RAG retrieval QA): for 4 query vectors,
+    * greedily select 4 of the top-8 cosine candidates maximizing
+    * 7·rel − 3·max-sim-to-selected — the diversity re-rank that stops a
+    * result list being five paraphrases of one passage. The greedy
+    * trajectory (which id at which round) is the contract; the oracle
+    * replays all 4 rounds as generated MATERIALIZED CTE stages over the
+    * same two-term double expression (never a re-associated sum — q124's
+    * ulp-exactness argument). */
+  val q175_mmr = Q(
+    "q175_mmr",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Similarity.mmrSelect(emb.filter(col("vec_id") < 4), emb, topN = 8, k = 4)
+        .select(
+          col("query_id").cast("long").as("query_id"),
+          col("round").cast("long").as("sel_round"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          round(col("relevance"), 4).as("relevance"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "sel_round")
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"list_dot_product($a.v, $b.v) / (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))"
+      val rounds = (2 to 4).map { i =>
+        val prev = s"acc${i - 1}"
+        s"""ms$i AS (
+              SELECT rm.query_id, rm.neighbor_id, rm.rel, MAX(p.sim) AS ms
+              FROM cands rm
+              JOIN p ON p.query_id = rm.query_id AND p.a = rm.neighbor_id
+              JOIN $prev s ON s.query_id = p.query_id AND s.sel = p.b
+              WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+                                WHERE s2.query_id = rm.query_id AND s2.sel = rm.neighbor_id)
+              GROUP BY 1, 2, 3),
+            acc$i AS MATERIALIZED (
+              SELECT * FROM $prev
+              UNION ALL
+              SELECT query_id, neighbor_id AS sel, $i AS r, rel, score FROM (
+                SELECT query_id, neighbor_id, rel, 7 * rel - 3 * ms AS score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY 7 * rel - 3 * ms DESC, neighbor_id) AS rn
+                FROM ms$i) WHERE rn = 1)"""
+      }.mkString(",\n          ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          sc0 AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${cos("q", "c")} AS rel
+            FROM e q JOIN e c ON q.vec_id < 4 AND q.vec_id <> c.vec_id),
+          cands AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rel FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, neighbor_id) AS rn
+              FROM sc0) WHERE rn <= 8),
+          p AS MATERIALIZED (
+            SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+                   ${cos("ea", "eb")} AS sim
+            FROM cands c1
+            JOIN cands c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+            JOIN e ea ON ea.vec_id = c1.neighbor_id
+            JOIN e eb ON eb.vec_id = c2.neighbor_id),
+          acc1 AS MATERIALIZED (
+            SELECT query_id, neighbor_id AS sel, 1 AS r, rel, 7 * rel AS score FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, neighbor_id) AS rn
+              FROM cands) WHERE rn = 1),
+          $rounds
+          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(r AS BIGINT) AS sel_round,
+                 CAST(sel AS BIGINT) AS neighbor_id,
+                 ROUND(rel, 4) AS relevance, ROUND(score, 4) AS score
+          FROM acc4 ORDER BY query_id, sel_round"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6153,5 +6227,6 @@ object Queries {
     q161_link_extract, q162_trimmed_agg, q163_k_anonymity,
     q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
     q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles,
-    q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate)
+    q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate,
+    q175_mmr)
 }

@@ -82,6 +82,79 @@ object Similarity {
         max(col("__graft_q")).as("max_q_normsq"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diversified selection: for each
+    * query, greedily pick `k` of its `topN` nearest candidates maximizing
+    *
+    *   score = lambdaNum·rel − (lambdaDen−lambdaNum)·max-sim-to-selected
+    *
+    * (round 1 scores are pure relevance; ties break to the smaller id) —
+    * the standard RAG re-ranking step that stops a result list from being
+    * five paraphrases of the same passage. λ is carried as an integer
+    * ratio so the score is a fixed two-term expression over doubles both
+    * engines evaluate identically (never a re-associated sum).
+    *
+    * Scale shape: the candidate set is topN per query BY CONSTRUCTION
+    * (the expensive part is [[bruteForceTopK]] / [[ivfTopK]], which
+    * scans the corpus once); the greedy loop then runs k bounded rounds
+    * over queries×topN-sized frames — each round one anti-join, one
+    * pair-sim max, one per-query argmax via `max(struct(...))` (a
+    * codegen'd aggregate, not a sort), all parallel across queries.
+    * Candidate pair similarities are computed once and checkpointed.
+    *
+    * Returns (query_id, round, neighbor_id, relevance, score).
+    */
+  def mmrSelect(
+      queries: DataFrame,
+      corpus: DataFrame,
+      topN: Int,
+      k: Int,
+      lambdaNum: Long = 7L,
+      lambdaDen: Long = 10L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topN >= k && k >= 1, s"mmrSelect: need topN >= k >= 1, got topN=$topN k=$k")
+    require(lambdaDen >= lambdaNum && lambdaNum >= 0, s"mmrSelect: bad lambda $lambdaNum/$lambdaDen")
+    val cands = bruteForceTopK(queries, corpus, topN, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      .localCheckpoint(true) // consumed every greedy round
+    val cv = corpus.select(col(idCol).as("__graft_pid"), col(vecCol).as("__graft_pv"))
+    val pairSims = cands.select(col("query_id"), col("neighbor_id").as("a"))
+      .join(cands.select(col("query_id"), col("neighbor_id").as("b")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(cv.withColumnRenamed("__graft_pid", "a").withColumnRenamed("__graft_pv", "__graft_va")), Seq("a"))
+      .join(broadcast(cv.withColumnRenamed("__graft_pid", "b").withColumnRenamed("__graft_pv", "__graft_vb")), Seq("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosine(col("__graft_va"), col("__graft_vb")).as("sim"))
+      .localCheckpoint(true) // consumed every greedy round
+    def argmax(df: DataFrame, round: Int): DataFrame = df
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("score"), (-col("neighbor_id")).as("negid"),
+        col("rel"))).as("__graft_m"))
+      .select(
+        col("query_id"),
+        lit(round.toLong).as("round"),
+        (-col("__graft_m.negid")).as("neighbor_id"),
+        col("__graft_m.rel").as("relevance"),
+        col("__graft_m.score").as("score"))
+    var acc = argmax(cands.withColumn("score", lit(lambdaNum) * col("rel")), 1)
+      .localCheckpoint(true)
+    var r = 2
+    while (r <= k) {
+      val rem = cands.join(acc.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = rem
+        .join(pairSims.withColumnRenamed("a", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .join(acc.select(col("query_id"), col("neighbor_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("sim")).as("__graft_ms"))
+      val scored = ms.withColumn("score",
+        lit(lambdaNum) * col("rel") - lit(lambdaDen - lambdaNum) * col("__graft_ms"))
+      acc = acc.unionByName(argmax(scored, r)).localCheckpoint(true)
+      r += 1
+    }
+    acc
+  }
+
   /** Hard-negative mining for contrastive training data: for each query
     * (anchor) vector, the k most-cosine-similar corpus vectors whose
     * `labelCol` DIFFERS from the anchor's — the highest-loss negatives, the

@@ -884,6 +884,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("mmrSelect trades relevance for diversity after round 1") {
+    // query [1,0,0]; candidates: two near-duplicates of the query direction
+    // (ids 1,2), one orthogonal (3), one diagonal (4). Pure relevance would
+    // pick 1 then 2; MMR must pick 1 then skip its near-copy for a
+    // more-diverse candidate.
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f)),
+      (2L, Seq(0.98f, 0.02f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    // λ = 0.3: diversity-weighted enough that a 0.9999-sim near-copy of
+    // pick 1 loses to the orthogonal candidate despite far higher relevance
+    val got = Similarity.mmrSelect(corpus.filter($"vec_id" === 0L), corpus,
+        topN = 4, k = 3, lambdaNum = 3L, lambdaDen = 10L)
+      .orderBy("round").select("round", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), "one pick per round")
+    assert(got.head._2 == 1L, "round 1 is pure relevance")
+    assert(got(1)._2 != 2L, "round 2 must NOT take the near-duplicate of pick 1")
+    assert(got.map(_._2).distinct.size == 3, "no repeats")
+  }
+
+  test("mmrSelect lambda=den degenerates to pure relevance ranking") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f)),
+      (2L, Seq(0.98f, 0.02f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus.filter($"vec_id" === 0L), corpus,
+        topN = 3, k = 3, lambdaNum = 10L, lambdaDen = 10L)
+      .orderBy("round").select("neighbor_id").as[Long].collect().toSeq
+    val rel = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0L), corpus, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == rel)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(corpus, corpus, topN = 2, k = 3)
+    }
+  }
+
   test("IVF probes nearest cells and finds the same top neighbor") {
     val centroids = Similarity.sampleCentroids(vecs, 2)
     val cells = Similarity.assignToCentroids(vecs, centroids)
