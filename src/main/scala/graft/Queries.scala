@@ -6184,6 +6184,108 @@ object Queries {
           FROM acc4 ORDER BY query_id, sel_round"""
     })
 
+  /** Vocabulary coverage / OOV audit: the corpus's top-200 tokens (total
+    * (tf, token) order — deterministic) as vocabulary, every doc scored for
+    * OOV fraction, rolled up per language — the tokenizer-coverage report
+    * before committing to a vocab size. */
+  val q176_oov = Q(
+    "q176_oov",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      TextFunctions.oovStats(d, "doc_id", "text", vocabSize = 200)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("total_tokens")).cast("long").as("tokens"),
+          sum(col("oov_tokens")).cast("long").as("oov_tokens"),
+          sum(col("oov_ppm")).cast("long").as("ppm_sum"),
+          max(col("oov_ppm")).cast("long").as("ppm_max"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                        x -> len(x) > 0)) AS token
+              FROM documents),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1)
+              ORDER BY tf DESC, token LIMIT 200),
+            perdoc AS (
+              SELECT t.doc_id, t.lang, COUNT(*) AS total_tokens,
+                     SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov_tokens
+              FROM toks t LEFT JOIN vocab v USING (token)
+              GROUP BY 1, 2)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(total_tokens) AS BIGINT) AS tokens,
+                   CAST(SUM(oov_tokens) AS BIGINT) AS oov_tokens,
+                   CAST(SUM((1000000 * oov_tokens) // total_tokens) AS BIGINT) AS ppm_sum,
+                   CAST(MAX((1000000 * oov_tokens) // total_tokens) AS BIGINT) AS ppm_max
+            FROM perdoc GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-user temporal holdout split (leakage-safe for sequence models):
+    * each user's LAST ceil(n/5) events by (ts, event_id) go to holdout.
+    * Value sums are exact integer cents so the per-split rollup is
+    * bit-stable. */
+  val q177_temporal_split = Q(
+    "q177_temporal_split",
+    (s, dir) => {
+      graft.text.Sampling
+        .temporalHoldout(t(s, dir, "events"), "user_id", "ts", "event_id")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          sum(floor(col("value") * 100).cast("long")).cast("long").as("value_cents"))
+        .orderBy("split")
+    },
+    Some("""WITH r AS (
+              SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rk,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            sp AS (
+              SELECT user_id, value,
+                     CASE WHEN rk <= (n * 1 + 4) // 5 THEN 'holdout'
+                          ELSE 'train' END AS split
+              FROM r)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM sp GROUP BY 1 ORDER BY 1"""))
+
+  /** Tokenizer fertility by language: BPE-ish pieces per whitespace word
+    * (a language at 3× fertility pays 3× sequence length for the same
+    * text). The piece count is replayed in DuckDB WITHOUT lookaround
+    * (RE2 has none): pieces = maximal alnum runs + non-alnum non-space
+    * chars — provably equal to the boundary-split count. */
+  val q178_fertility = Q(
+    "q178_fertility",
+    (s, dir) => {
+      TextFunctions.fertilityCounts(t(s, dir, "documents"), "text")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("words"),
+          sum(col("n_pieces")).cast("long").as("pieces"))
+        .withColumn("fertility_ppm", expr("(1000000 * pieces) div words"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (
+              SELECT lang,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> len(x) > 0)) AS n_words,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                     + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_pieces
+              FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS words,
+                   CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+                   CAST((1000000 * SUM(n_pieces)) // SUM(n_words) AS BIGINT) AS fertility_ppm
+            FROM c GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6228,5 +6330,5 @@ object Queries {
     q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
     q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles,
     q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate,
-    q175_mmr)
+    q175_mmr, q176_oov, q177_temporal_split, q178_fertility)
 }

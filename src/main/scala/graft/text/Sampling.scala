@@ -397,6 +397,36 @@ object Sampling {
       .withColumnRenamed("__graft_cum", "cum_tokens")
   }
 
+  /** Per-key temporal holdout: within each key (user, device, series) the
+    * LAST ceil(n·holdNum/holdDen) rows by (tsCol, tieCol) go to the
+    * holdout split, the rest to train — the leakage-safe split for
+    * sequence models, where a random split would let the model peek at a
+    * user's future. The tie column makes the per-key order TOTAL, so the
+    * assignment is deterministic under duplicate timestamps.
+    *
+    * Scale shape: one key-partitioned window (per-key sort only, never
+    * global); the per-key count rides the same window partition. Returns
+    * the input plus `split`.
+    */
+  def temporalHoldout(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      holdNum: Long = 1L,
+      holdDen: Long = 5L): DataFrame = {
+    require(holdDen >= 1 && holdNum >= 0 && holdNum <= holdDen,
+      s"temporalHoldout: bad holdout fraction $holdNum/$holdDen")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieCol).desc)
+    val wn = Window.partitionBy(col(keyCol))
+    df.withColumn("__graft_rank", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("__graft_rank") <= expr(s"(__graft_n * $holdNum + ${holdDen - 1}) div $holdDen"),
+          lit("holdout")).otherwise(lit("train")))
+      .drop("__graft_rank", "__graft_n")
+  }
+
   /** Two-stage domain quality gate (the RefinedWeb/CCNet shape): first
     * DOMAINS are admitted or rejected on aggregate evidence (enough
     * documents AND a high-enough median quality value — one bad page

@@ -668,4 +668,49 @@ object TextFunctions {
         when(col("n_grams") > 0,
           col("surprisal").cast("double") / col("n_grams").cast("double")))
   }
+
+  /** Vocabulary coverage / OOV audit: the corpus's own top-`vocabSize`
+    * tokens (by frequency, ties to the lexicographically smaller token —
+    * a total order, so the vocabulary is deterministic) become the
+    * vocabulary, and every document is scored for out-of-vocabulary token
+    * count — the tokenizer-coverage report run before committing to a
+    * vocab size. Returns one row per doc: `total_tokens`, `oov_tokens`,
+    * `oov_ppm` (floor ppm; docs with zero tokens are excluded — nothing
+    * to cover).
+    *
+    * Scale shape: the vocabulary is an aggregate top-k (tiny by
+    * construction) broadcast into a left join against the exploded
+    * tokens; the corpus shuffles once on the token for the frequency
+    * count and once on the doc id for the rollup — no global sort ever
+    * touches corpus-sized data (the top-k sorts only the aggregated
+    * vocabulary). */
+  def oovStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"oovStats: vocabSize must be >= 1, got $vocabSize")
+    val toks = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    val vocab = toks
+      .groupBy(col("token")).agg(count(lit(1)).as("__graft_tf"))
+      .orderBy(col("__graft_tf").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("__graft_in"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("__graft_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm", expr("(1000000 * oov_tokens) div total_tokens"))
+  }
+
+  /** Tokenizer fertility: BPE-ish pieces per whitespace word, the
+    * cross-language cost report (a language at fertility 3× pays 3× the
+    * sequence length for the same text). Pure map-side counting — both
+    * counts are per-row column expressions. Returns the input plus
+    * `n_words` / `n_pieces`. */
+  def fertilityCounts(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_words", tokenCount(col(textCol)).cast("long"))
+    .withColumn("n_pieces", bpeishTokenCount(col(textCol)).cast("long"))
 }

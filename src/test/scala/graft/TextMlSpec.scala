@@ -831,6 +831,37 @@ class DedupSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("oovStats scores docs against the corpus's own top-k vocabulary") {
+    // tokens by frequency: "the" x4, "cat" x3, "dog" x2, rare x1 each.
+    // vocabSize=2 -> vocab {the, cat}; doc 3 is all-rare.
+    val docs = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the dog the cat dog"),
+      (3L, "zebra yak")).toDF("doc_id", "text")
+    val got = TextFunctions.oovStats(docs, "doc_id", "text", vocabSize = 2)
+      .select("doc_id", "total_tokens", "oov_tokens", "oov_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((5L, 2L, 400000L)))
+    assert(got(3L) == ((2L, 2L, 1000000L)))
+    // frequency ties break to the lexicographically smaller token
+    val tied = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val oneVocab = TextFunctions.oovStats(tied, "doc_id", "text", vocabSize = 1)
+      .select("oov_tokens").as[Long].collect().toSeq
+    assert(oneVocab == Seq(1L, 1L), "vocab must be {aa}: bb is OOV in both docs")
+  }
+
+  test("fertilityCounts: pieces = alnum runs + non-alnum non-space chars") {
+    val df = Seq(
+      ("hello world", 2L, 2L),          // plain words: 1 piece each
+      ("don't stop", 2L, 4L),           // don ' t stop
+      ("a,b..c", 1L, 6L),               // a , b . . c
+      ("  spaced   out  ", 2L, 2L)).toDF("text", "w", "p")
+    val got = TextFunctions.fertilityCounts(df, "text")
+      .select("w", "p", "n_words", "n_pieces").as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (w, p, nw, np) => assert((nw, np) == ((w, p))) }
+  }
+
   test("corpusNoveltyScores separates templated from unique docs") {
     // docs 1 and 2 share their whole text (all grams df=2, novelty 0);
     // doc 3 is fully unique (novelty 1e6); doc 4 mixes: 4 tokens shared
@@ -1485,6 +1516,33 @@ class SamplingSpec extends SparkSpec {
     // an empty partition list must be refused (global sort does not scale)
     intercept[IllegalArgumentException] {
       Sharding.packTrainingSequences(d, "doc_id", "n_tok", 128L, Nil)
+    }
+  }
+
+  test("temporalHoldout holds out each key's LAST ceil(n/5) rows deterministically") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: 6 events -> ceil(6/5)=2 held out (the two latest);
+    // user 2: 1 event -> ceil(1/5)=1 held out (everything)
+    val ev = ((1 to 6).map(i => (i.toLong, 1L, ts(f"2024-01-0$i 10:00:00"))) :+
+      (7L, 2L, ts("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val got = Sampling.temporalHoldout(ev, "user_id", "ts", "event_id")
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(got(6L) == "holdout" && got(5L) == "holdout")
+    assert((1L to 4L).forall(got(_) == "train"))
+    assert(got(7L) == "holdout")
+    // duplicate timestamps: the higher event_id is "later" (tie column)
+    val dup = Seq(
+      (1L, 9L, ts("2024-01-01 10:00:00")),
+      (2L, 9L, ts("2024-01-01 10:00:00")),
+      (3L, 9L, ts("2024-01-01 10:00:00")),
+      (4L, 9L, ts("2024-01-01 10:00:00")),
+      (5L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val d = Sampling.temporalHoldout(dup, "user_id", "ts", "event_id")
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(d(5L) == "holdout" && (1L to 4L).forall(d(_) == "train"))
+    intercept[IllegalArgumentException] {
+      Sampling.temporalHoldout(dup, "user_id", "ts", "event_id", holdNum = 6L, holdDen = 5L)
     }
   }
 
