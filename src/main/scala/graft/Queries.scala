@@ -6286,6 +6286,36 @@ object Queries {
                    CAST((1000000 * SUM(n_pieces)) // SUM(n_words) AS BIGINT) AS fertility_ppm
             FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** Custom PHYSICAL top-k-per-group operator (logical node → planner
+    * strategy → bounded-heap exec, `plans.TopKPerGroup`): top-2 lineitems
+    * by price per supplier, under a total order so the heap and the
+    * oracle's row_number agree exactly. The plan carries NO sort and ONE
+    * exchange of ≤ k rows per group per input partition — the map-side
+    * combine for top-k that the window spelling cannot express
+    * (TopKSpec pins the plan shape). */
+  val q179_topk_operator = Q(
+    "q179_topk_operator",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_orderkey").cast("long").as("orderkey"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        col("l_extendedprice").as("price"))
+      graft.operators.TopK.perGroup(
+          li, Seq("suppkey"),
+          Seq(("price", false), ("orderkey", true), ("linenumber", true)), k = 2)
+        .orderBy("suppkey", "orderkey", "linenumber")
+    },
+    Some("""SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                   CAST(l_orderkey AS BIGINT) AS orderkey,
+                   CAST(l_linenumber AS BIGINT) AS linenumber,
+                   l_extendedprice AS price
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 2
+            ORDER BY suppkey, orderkey, linenumber"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6330,5 +6360,6 @@ object Queries {
     q164_volume_anomaly, q165_embedding_audit, q166_code_switch,
     q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles,
     q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate,
-    q175_mmr, q176_oov, q177_temporal_split, q178_fertility)
+    q175_mmr, q176_oov, q177_temporal_split, q178_fertility,
+    q179_topk_operator)
 }

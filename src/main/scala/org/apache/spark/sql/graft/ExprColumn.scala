@@ -18,3 +18,22 @@ object ExprColumn {
   def apply(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge from a Catalyst `LogicalPlan` to a public `DataFrame` — the
+  * classic engine's `Dataset.ofRows`, `private[sql]` for the same reason
+  * as the expression bridge above. This is how graft's custom logical
+  * nodes (e.g. `graft.plans.TopKPerGroup`) become user-facing frames. */
+object PlanDataset {
+  def apply(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a frame (for building nodes over its
+    * resolved output attributes). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+import graft.plans.{PlanChecks, TopKPerGroup}
+
+/** The custom top-k-per-group physical operator (logical node + strategy +
+  * bounded-heap exec) — q179. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fuzz = {
+    val rnd = new scala.util.Random(11)
+    (1 to 2000).map(i => (i.toLong, s"g${rnd.nextInt(17)}", rnd.nextInt(1000).toLong))
+      .toDF("id", "g", "v")
+  }
+
+  test("matches the window row_number spelling under a total order") {
+    val df = viaParquet(fuzz)
+    val got = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k = 5)
+      .select("id", "g", "v").as[(Long, String, Long)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select("id", "g", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+    // ascending order and k larger than some groups
+    val gotAsc = TopK.perGroup(df, Seq("g"), Seq(("v", true), ("id", true)), k = 200)
+      .select("id").as[Long].collect().toSet
+    val wAsc = Window.partitionBy($"g").orderBy($"v".asc, $"id".asc)
+    val wantAsc = df.withColumn("rn", row_number().over(wAsc)).filter($"rn" <= 200)
+      .select("id").as[Long].collect().toSet
+    assert(gotAsc == wantAsc)
+  }
+
+  test("plan: two heap stages, one exchange, NO sort") {
+    val df = viaParquet(fuzz)
+    val plan = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k = 3)
+    val nodes = PlanChecks.flatten(plan)
+    assert(nodes.count(_.isInstanceOf[TopKPerGroup.TopKPerGroupExec]) == 2,
+      "partial + final heap stages")
+    assert(PlanChecks.shuffleCount(plan) == 1, "exactly one exchange between the stages")
+    assert(!nodes.exists(_.isInstanceOf[SortExec]),
+      "the whole point: no per-group sort anywhere")
+    // the window spelling, for contrast, sorts
+    val w = Window.partitionBy($"g").orderBy($"v".desc)
+    val windowPlan = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    assert(PlanChecks.flatten(windowPlan).exists(_.isInstanceOf[SortExec]))
+  }
+
+  test("partial stage bounds what the exchange carries") {
+    // 1 group, 8 input partitions, k=2: the partial pass may forward at
+    // most 8×2 rows into the exchange; the final stage reduces to 2
+    val df = viaParquet((1L to 10000L).map(i => ("only", i)).toDF("g", "v")).repartition(8)
+    val got = TopK.perGroup(df, Seq("g"), Seq(("v", true)), k = 2)
+      .select("v").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("is registered via GraftExtensions and survives multiple groups/order keys") {
+    // SparkSpec's session carries spark.sql.extensions=GraftExtensions, so
+    // the strategy must already be present without the extraStrategies patch
+    assert(spark.sessionState.planner.strategies
+      .exists(_.isInstanceOf[TopKPerGroup.TopKStrategy]))
+    val df = Seq(
+      ("a", 1L, 10L, 100L), ("a", 1L, 10L, 50L), ("a", 2L, 5L, 10L),
+      ("b", 1L, 1L, 1L)).toDF("g1", "g2", "v", "id")
+    val got = TopK.perGroup(df, Seq("g1", "g2"), Seq(("v", false), ("id", true)), k = 1)
+      .select("g1", "g2", "id").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 50L), ("a", 2L, 10L), ("b", 1L, 1L)))
+  }
+
+  test("refusals: bad k, empty groups, unknown column") {
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] { TopK.perGroup(df, Seq("g"), Seq(("v", true)), 0) }
+    intercept[IllegalArgumentException] { TopK.perGroup(df, Nil, Seq(("v", true)), 1) }
+    intercept[IllegalArgumentException] { TopK.perGroup(df, Seq("nope"), Seq(("v", true)), 1) }
+  }
+}
