@@ -6316,6 +6316,161 @@ object Queries {
             WHERE rn <= 2
             ORDER BY suppkey, orderkey, linenumber"""))
 
+  /** Synchronous label-propagation communities (graph breadth): 4 fixed
+    * rounds over the co-supplier graph, every node adopting its
+    * neighborhood's most frequent label (ties to the smaller) — the
+    * deterministic LPA variant that replays level-by-level; the oracle
+    * runs the same 4 rounds as generated MATERIALIZED stages. */
+  val q180_label_prop = Q(
+    "q180_label_prop",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+      val a = os.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = os.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val edges = a
+        .join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, iterations = 4)
+        .select(col("node").cast("long").as("node"), col("lbl").cast("long").as("community"))
+        .orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS MATERIALIZED (
+              SELECT src AS node, lbl FROM (
+                SELECT src, lbl,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
+                FROM (SELECT e.src, p.lbl, COUNT(*) AS c
+                      FROM e JOIN $prev p ON p.node = e.dst GROUP BY 1, 2))
+              WHERE rn = 1)"""
+      }.mkString(",\n          ")
+      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+          e0 AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
+                 FROM os a JOIN os b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                 GROUP BY 1, 2),
+          und AS (SELECT sa AS src, sb AS dst FROM e0 WHERE w >= 5),
+          e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)),
+          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+          $rounds
+          SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+          FROM l4 ORDER BY node"""
+    })
+
+  /** Per-document keyword extraction: top-3 tokens by integer TF·IDF
+    * (floor-log2 idf, the q151 spelling), selected through the CUSTOM
+    * top-k-per-group physical operator — the bounded-heap plan composing
+    * in a real text pipeline (no sort, one exchange over ≤ 3 rows per doc
+    * per input partition). */
+  val q181_keywords = Q(
+    "q181_keywords",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val toks = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(dfT, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * expr("CAST(length(bin((n_docs * 1024) div df_t)) - 1 AS BIGINT)"))
+      graft.operators.TopK.perGroup(
+          scored, Seq("doc_id"), Seq(("score", false), ("token", true)), k = 3)
+        .select(col("doc_id"), col("token"),
+          col("tf").cast("long").as("tf"), col("score").cast("long").as("score"))
+        .orderBy("doc_id", "token")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            tf AS (
+              SELECT doc_id, u.token AS token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM d, UNNEST(d.toks) AS u(token) GROUP BY 1, 2),
+            dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+            scored AS (
+              SELECT doc_id, token, tf,
+                     tf * (length(bin((n_docs * 1024) // df_t)) - 1) AS score
+              FROM tf JOIN dft USING (token), n)
+            SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, token ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 3
+            ORDER BY doc_id, token"""))
+
+  /** Last-touch attribution (marketing analytics): purchases credit the
+    * latest preceding view/click within 7 days, one window pass, no
+    * self-join of the event log; out-of-window or touchless purchases
+    * report as unattributed. */
+  val q182_attribution = Q(
+    "q182_attribution",
+    (s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.lastTouchAttribution(
+          t(s, dir, "events"), "user_id", "event_type", "ts", "event_id",
+          touchTypes = Seq("view", "click"), conversionType = "purchase", windowDays = 7)
+        .select(col("channel"), col("n_conversions").cast("long").as("n_conversions"))
+        .orderBy("channel")
+    },
+    Some("""WITH w AS (
+              SELECT event_type, ts, epoch_us(ts) AS us,
+                     LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                                     THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tts,
+                     LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tty
+              FROM events),
+            conv AS (
+              SELECT CASE WHEN tts IS NOT NULL AND us - tts <= 7::BIGINT * 86400 * 1000000
+                          THEN tty ELSE 'unattributed' END AS channel
+              FROM w WHERE event_type = 'purchase')
+            SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM conv GROUP BY 1 ORDER BY 1"""))
+
+  /** Inter-arrival burstiness profile: per-user consecutive event gaps
+    * bucketed by floor-log2 seconds (−1 = sub-second), counted per
+    * event type of the later event — integer end-to-end. */
+  val q183_interarrival = Q(
+    "q183_interarrival",
+    (s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.interArrivalProfile(
+          t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .select(col("event_type"), col("bucket"),
+          col("n_gaps").cast("long").as("n_gaps"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id) AS gap
+              FROM events),
+            b AS (
+              SELECT event_type,
+                     CASE WHEN gap < 1000000 THEN -1
+                          ELSE length(bin(gap // 1000000)) - 1 END AS bucket
+              FROM g WHERE gap IS NOT NULL)
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6361,5 +6516,6 @@ object Queries {
     q167_chat_flatten, q168_kcore, q169_walks, q170_pref_cycles,
     q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate,
     q175_mmr, q176_oov, q177_temporal_split, q178_fertility,
-    q179_topk_operator)
+    q179_topk_operator, q180_label_prop, q181_keywords, q182_attribution,
+    q183_interarrival)
 }

@@ -49,6 +49,70 @@ object EventAnalytics {
         expr(s"($scale * n) div __graft_tot").as("prob_ppm"))
   }
 
+  /** Last-touch attribution: each conversion event credits the LATEST
+    * preceding touch event (same key, touch strictly-or-equal before the
+    * conversion under the (ts, tie) total order, within `windowDays`);
+    * conversions with no in-window touch report as `unattributed`. Output:
+    * (channel, n_conversions).
+    *
+    * Scale shape: ONE key-partitioned window pass — the last touch is
+    * carried forward with `last(_, ignoreNulls)` over rows-unbounded-
+    * preceding (the two carried columns are null on exactly the same
+    * rows, so they always come from the same touch row). No self-join of
+    * the event log, no per-conversion probe. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      touchTypes: Seq[String],
+      conversionType: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"lastTouchAttribution: windowDays must be >= 1, got $windowDays")
+    require(!touchTypes.contains(conversionType),
+      "lastTouchAttribution: the conversion type cannot also be a touch type")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val horizonMicros = windowDays.toLong * 86400L * 1000000L
+    events
+      .withColumn("__graft_tts", last(when(isTouch, unix_micros(col(tsCol))), ignoreNulls = true).over(w))
+      .withColumn("__graft_tty", last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("channel",
+        when(col("__graft_tts").isNotNull &&
+          unix_micros(col(tsCol)) - col("__graft_tts") <= horizonMicros, col("__graft_tty"))
+          .otherwise(lit("unattributed")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** Inter-arrival burstiness profile: per key-ordered consecutive event
+    * gaps, bucketed by floor-log2 of the gap in seconds (bucket −1 =
+    * sub-second), counted per (type, bucket) — the traffic-shape
+    * fingerprint that separates steady feeds from bursty ones. Integer
+    * end-to-end (floor-log2 via `length(bin(x)) − 1`, the q90/q151
+    * spelling DuckDB mirrors exactly). One key-partitioned window, then a
+    * bucket-sized aggregate. */
+  def interArrivalProfile(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__graft_gap",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__graft_gap").isNotNull)
+      .withColumn("bucket",
+        when(col("__graft_gap") < 1000000L, lit(-1L))
+          .otherwise(expr("CAST(length(bin(__graft_gap div 1000000)) - 1 AS BIGINT)")))
+      .groupBy(col(typeCol), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
   /** Seasonal-naive forecast error monitor: daily observation counts per
     * key over a DENSE date spine (missing days count 0 — a gap is real
     * signal, not absence of a row), forecast(d) = actual(d − period),

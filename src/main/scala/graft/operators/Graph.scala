@@ -197,6 +197,48 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("visits"))
   }
 
+  /** Synchronous label propagation (community detection): labels start as
+    * node ids; each round every node adopts the most frequent label among
+    * its neighbors, ties to the SMALLER label, isolated behavior
+    * irrelevant (every node in an edge list has a neighbor). All nodes
+    * update simultaneously from the previous round's labels and the round
+    * count is FIXED — both choices for determinism: asynchronous LPA and
+    * run-to-convergence depend on visit order, this form is a pure
+    * function of (edges, iterations) and replays level-by-level in SQL.
+    *
+    * Scale shape per round: one join edges⋈labels on the neighbor key,
+    * one (node, label) count aggregate, one per-node argmax via
+    * `max(struct(cnt, -label))` (codegen'd aggregate, no sort), then a
+    * checkpoint — shuffles carry (node, label) pairs only. Same
+    * per-round lineage-truncation discipline as [[pageRankFixedPoint]].
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iterations: Int,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iterations >= 1, s"labelPropagation: iterations must be >= 1, got $iterations")
+    val und = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = checkpoint(
+      und.union(und.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = checkpoint(nodes.withColumn("lbl", col("node")))
+    var i = 0
+    while (i < iterations) {
+      val freq = e
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("__graft_c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__graft_c"), (-col("lbl")).as("neg"))).as("__graft_m"))
+        .select(col("src").as("node"), (-col("__graft_m.neg")).as("lbl"))
+      labels = checkpoint(freq)
+      i += 1
+    }
+    labels
+  }
+
   /** Count directed 3-cycles u→v→w→u (each cycle once, anchored at its
     * minimum node) — the "preference cycle" audit: if edges encode
     * pairwise preferences (winner→loser), a directed triangle is an

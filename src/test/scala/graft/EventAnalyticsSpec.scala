@@ -72,6 +72,45 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == ((2L, 2L)))
   }
 
+  test("lastTouchAttribution credits the latest in-window touch, else unattributed") {
+    val ev = Seq(
+      // user 1: view .. click .. purchase -> click wins (latest)
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-02 10:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-03 10:00:00")),
+      // user 2: touch 10 days before purchase -> out of the 7-day window
+      (4L, 2L, "view", ts("2024-01-01 10:00:00")),
+      (5L, 2L, "purchase", ts("2024-01-11 10:00:00")),
+      // user 3: purchase with no touch at all
+      (6L, 3L, "purchase", ts("2024-01-05 10:00:00")),
+      // user 4: touch at the SAME ts as the purchase, smaller event_id -> counts
+      (7L, 4L, "view", ts("2024-01-06 10:00:00")),
+      (8L, 4L, "purchase", ts("2024-01-06 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.lastTouchAttribution(
+        ev, "user_id", "event_type", "ts", "event_id",
+        touchTypes = Seq("view", "click"), conversionType = "purchase", windowDays = 7)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("click" -> 1L, "view" -> 1L, "unattributed" -> 2L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.lastTouchAttribution(ev, "user_id", "event_type", "ts", "event_id",
+        Seq("purchase"), "purchase", 7)
+    }
+  }
+
+  test("interArrivalProfile buckets gaps by floor-log2 seconds") {
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00.0")),
+      (2L, 1L, "a", ts("2024-01-01 10:00:00.5")), // 0.5s -> bucket -1
+      (3L, 1L, "b", ts("2024-01-01 10:00:03.5")), // 3s   -> bucket 1
+      (4L, 1L, "a", ts("2024-01-01 10:00:11.5")), // 8s   -> bucket 3
+      (5L, 2L, "b", ts("2024-01-01 10:00:00"))    // first event: no gap
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.interArrivalProfile(ev, "user_id", "event_type", "ts", "event_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", -1L, 1L), ("b", 1L, 1L), ("a", 3L, 1L)))
+  }
+
   test("period must be positive") {
     val one = Seq(("z", ts("2024-03-01 12:00:00"))).toDF("event_type", "ts")
     intercept[IllegalArgumentException] {

@@ -148,6 +148,39 @@ class GraphZorderSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("label propagation converges to per-clique communities on two cliques") {
+    // two triangles bridged by one edge: after a few synchronous rounds,
+    // each triangle's labels collapse to its minimum node
+    val t1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val t2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (t1 ++ t2 :+ ((3L, 10L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1, "triangle 1 is one community")
+    assert(Seq(10L, 11L, 12L).map(got).distinct.size == 1, "triangle 2 is one community")
+    assert(got(1L) != got(11L), "the bridge must not merge the cliques")
+  }
+
+  test("label propagation is synchronous and deterministic under partitioning") {
+    val base = (1L to 300L).map(i => (i % 23L, (i * 7L) % 23L)).filter(e => e._1 != e._2)
+      .distinct.toDF("src", "dst")
+    val a = Graph.labelPropagation(viaParquet(base).repartition(1), iterations = 3)
+    val b = Graph.labelPropagation(viaParquet(base).repartition(6, col("src")), iterations = 3)
+    assert(sortedRows(a) == sortedRows(b))
+    // driver replay of the synchronous (count desc, label asc) update
+    val und = base.as[(Long, Long)].collect()
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      labels = adj.map { case (n, nbs) =>
+        val freq = nbs.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(a.as[(Long, Long)].collect().toMap == labels)
+  }
+
   test("directed 3-cycles counts each cycle once and excludes transitive triads") {
     // cycle 1->2->3->1, plus a TRANSITIVE triad 4->5, 5->6, 4->6 (no cycle),
     // plus a 2-cycle 7<->8 (not a triangle)
