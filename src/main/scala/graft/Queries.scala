@@ -6471,6 +6471,37 @@ object Queries {
                    CAST(COUNT(*) AS BIGINT) AS n_gaps
             FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Perceptual image hashing (multimodal dedup): 200 synthetic PNGs — 100
+    * horizontal gradients (one aHash class by construction: blocks right
+    * of center above the mean regardless of base brightness) and 100
+    * solid grays (aHash 0) — really decoded by ImageIO and hashed into
+    * 8-byte artifacts. The oracle derives BOTH expected hashes from
+    * arithmetic (the gradient class = bytes 0xF0 at every position,
+    * spelled 240·(2⁶⁴−1)/255 − 2⁶⁴ signed), never touching a codec. */
+  val q184_image_phash = Q(
+    "q184_image_phash",
+    (s, dir) => {
+      val media = Multimodal.syntheticImages(s, 200)
+      Multimodal.imageAHashes(media)
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("id")).cast("long").as("n_ids"))
+        .orderBy("ahash")
+    },
+    Some("""WITH g AS (
+              SELECT i AS id,
+                     CASE WHEN i % 2 = 0
+                          -- gradient aHash: bit by*8+bx set iff bx >= 4 →
+                          -- byte 0xF0 at each of the 8 byte positions =
+                          -- 240 * (2^64-1)/255, converted to signed BIGINT
+                          THEN CAST(240::HUGEINT * ((18446744073709551616::HUGEINT - 1) // 255)
+                                    - 18446744073709551616::HUGEINT AS BIGINT)
+                          ELSE 0 END AS ahash
+              FROM range(200) t(i))
+            SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids
+            FROM g GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6517,5 +6548,5 @@ object Queries {
     q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate,
     q175_mmr, q176_oov, q177_temporal_split, q178_fertility,
     q179_topk_operator, q180_label_prop, q181_keywords, q182_attribution,
-    q183_interarrival)
+    q183_interarrival, q184_image_phash)
 }

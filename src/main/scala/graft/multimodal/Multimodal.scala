@@ -111,6 +111,49 @@ object Multimodal {
       out
     }
 
+    /** 64-bit average hash (aHash): 8×8 block mean-luminances, bit
+      * `by*8+bx` set iff that block's mean is STRICTLY above the mean of
+      * all 64 — the classic perceptual fingerprint (robust to resize and
+      * brightness-preserving re-encodes; a solid image hashes to 0).
+      * None for payloads that do not decode as images. */
+    def aHash64(payload: Array[Byte]): Option[Long] =
+      decodeImage(payload).map { _ =>
+        val f = blockFeatures(payload, 64)
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s += f(i); i += 1 }
+        val mean = s / 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (f(i) > mean) h |= (1L << i)
+          i += 1
+        }
+        h
+      }
+
+    /** Horizontal-gradient grayscale image: pixel value base + x*step on
+      * every row (caller keeps base + (width−1)·step within 0..255 — no
+      * clipping, so block means stay exactly linear in the column). */
+    def gradientImage(width: Int, height: Int, base: Int, step: Int, format: String): Array[Byte] = {
+      require(base >= 0 && base + (width - 1) * step <= 255,
+        s"gradientImage: gradient $base..${base + (width - 1) * step} leaves 0..255")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = base + x * step
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
     /** Real bilinear resize, re-encoded as PNG; null for non-images. */
     def resizePng(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
       decodeImage(payload).map { img =>
@@ -356,6 +399,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual image hashing: payload → 64-bit aHash column (`ahash`,
+    * null for non-images). Partition-local decode, no shuffle — the hash
+    * is the 8-byte artifact that joins the dedup family downstream
+    * (exact groupBy for identical-content groups, [[graft.text.Dedup
+    * .hammingDistance]] banding for near-dups), so 100 TB of pixels
+    * reduce to a long per image before anything wide happens. */
+  def imageAHashes(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("ahash", LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h = Codec.aHash64(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ h.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
   /** Real image resize: payload → bilinear-resampled PNG payload + target
     * dims. Non-image payloads resize to null (schema keeps the row). */
   def resizeImages(
@@ -440,6 +501,28 @@ object Multimodal {
     * lets q33's oracle recompute the expected aggregates analytically in
     * SQL, independent of the codec. Payload generation runs on executors
     * (mapPartitions over a range), never on the driver. */
+  /** Synthetic image corpus for the perceptual-hash pipeline: even ids
+    * are horizontal gradients (varying base brightness, SAME spatial
+    * structure — one aHash class by construction), odd ids solid grays
+    * (aHash 0). Distributed generation, every property analytic in the
+    * id — the oracle derives expected hashes from the arithmetic, never
+    * from the codec. */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+    spark.range(n.toLong).toDF("id").mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val payload =
+          if (i % 2 == 0) Codec.gradientImage(16, 16, (20 + (i * 5) % 100).toInt, 3, "png")
+          else Codec.solidGrayImage(12, 12, ((i * 7) % 256).toInt, "png")
+        Row(i, payload)
+      }
+    }(enc)
+  }
+
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     spark.range(n.toLong).toDF("id").mapPartitions { rows =>

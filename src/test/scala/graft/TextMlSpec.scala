@@ -1134,6 +1134,23 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("aHash64: gradient class, solid zero, brightness invariance, null for non-images") {
+    import graft.multimodal.Multimodal.Codec
+    // the closed-form gradient hash: bit by*8+bx set iff bx >= 4
+    val expected = (0 until 64).filter(i => i % 8 >= 4).map(1L << _).sum
+    val g1 = Codec.aHash64(Codec.gradientImage(16, 16, 20, 3, "png"))
+    val g2 = Codec.aHash64(Codec.gradientImage(16, 16, 90, 3, "png"))
+    val g3 = Codec.aHash64(Codec.gradientImage(32, 8, 10, 2, "png")) // other dims, same structure
+    assert(g1.contains(expected) && g2 == g1 && g3 == g1,
+      "aHash is invariant to base brightness and resolution for the same structure")
+    assert(Codec.aHash64(Codec.solidGrayImage(12, 12, 77, "png")).contains(0L))
+    assert(Codec.aHash64("not an image".getBytes("UTF-8")).isEmpty)
+    // DataFrame op: nulls flow through, hashes group the two classes
+    val df = Multimodal.imageAHashes(Multimodal.syntheticImages(spark, 40))
+    val byHash = df.groupBy("ahash").count().as[(Long, Long)].collect().toMap
+    assert(byHash == Map(expected -> 20L, 0L -> 20L))
+  }
+
   test("synthetic media → real ImageIO/javax.sound decode → features pipeline") {
     val media = Multimodal.syntheticMedia(spark, 30)
     assert(media.count() == 30)
