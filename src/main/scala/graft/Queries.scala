@@ -6502,6 +6502,110 @@ object Queries {
                    CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids
             FROM g GROUP BY 1 ORDER BY 1"""))
 
+  /** Market-basket affinity (order-level lift): co-purchased part buckets
+    * with exact integer lift ppm, support-pruned, top-30 fully
+    * tie-broken — the basket generalization of q152's adjacency-only
+    * collocations. Explicit-N repartition before the pair expansion. */
+  val q185_basket_lift = Q(
+    "q185_basket_lift",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("basket"),
+        (col("l_partkey") % 200).cast("long").as("item"))
+      graft.operators.Baskets.cooccurrenceLift(li, "basket", "item", minSupport = 5L)
+        .select(
+          col("item_a").cast("long").as("item_a"),
+          col("item_b").cast("long").as("item_b"),
+          col("c12").cast("long").as("c12"),
+          col("lift_ppm").cast("long").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+        .limit(30)
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey AS b, CAST(l_partkey % 200 AS BIGINT) AS item
+              FROM lineitem),
+            n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM items),
+            singles AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
+            pairs AS (
+              SELECT x.item AS a, y.item AS bb, CAST(COUNT(*) AS BIGINT) AS c12
+              FROM items x JOIN items y ON x.b = y.b AND x.item < y.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+            SELECT a AS item_a, bb AS item_b, c12,
+                   CAST((c12 * nb * 1000000) // (s1.c * s2.c) AS BIGINT) AS lift_ppm
+            FROM pairs JOIN singles s1 ON s1.item = a
+                       JOIN singles s2 ON s2.item = bb, n
+            ORDER BY lift_ppm DESC, item_a, item_b LIMIT 30"""))
+
+  /** Integer char-entropy quality feature: floor-log2 entropy bits over
+    * [a-z0-9] — near 0 for degenerate filler, large for diverse text —
+    * computed WITHOUT exploding characters (36 unrolled replace-count
+    * terms, map-side at scan speed). Rolled up per source. */
+  val q186_char_entropy = Q(
+    "q186_char_entropy",
+    (s, dir) => {
+      TextFunctions.charEntropyBits(t(s, dir, "documents"), "text")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("char_total")).cast("long").as("chars"),
+          sum(col("entropy_bits")).cast("long").as("entropy_bits"),
+          min(col("entropy_bits")).cast("long").as("min_entropy"))
+        .orderBy("source")
+    },
+    Some {
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+      val lst = chars.map(c => s"'$c'").mkString(", ")
+      s"""WITH c AS (SELECT source, lower(text) AS norm FROM documents),
+          k AS (SELECT source,
+                       list_transform([$lst],
+                         ch -> CAST(length(norm) - length(replace(norm, ch, '')) AS BIGINT)) AS cnts
+                FROM c),
+          t AS (SELECT source, cnts, list_sum(cnts) AS tot FROM k),
+          e AS (SELECT source, tot,
+                       CASE WHEN tot > 0 THEN list_sum(list_transform(cnts,
+                         x -> CASE WHEN x > 0 THEN x * (length(bin(tot // x)) - 1) ELSE 0 END))
+                       ELSE 0 END AS ent
+                FROM t)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tot) AS BIGINT) AS chars,
+                 CAST(SUM(ent) AS BIGINT) AS entropy_bits,
+                 CAST(MIN(ent) AS BIGINT) AS min_entropy
+          FROM e GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Domain blocklist gate (crawl hygiene): hosts synthesized from doc_id
+    * arithmetic, matched against a blocklist with SUBDOMAIN semantics
+    * (suffix explode + broadcast join; the most specific entry wins).
+    * The oracle derives every verdict from the id arithmetic alone. */
+  val q187_blocklist = Q(
+    "q187_blocklist",
+    (s, dir) => {
+      import graft.text.UrlOps
+      val d = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("host",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("a"), (col("doc_id") % 3).cast("string"), lit(".bad.org")))
+            .otherwise(concat(lit("www.site"), (col("doc_id") % 40).cast("string"), lit(".com"))))
+      val blocklist = s.createDataFrame(
+        Seq(Tuple1("site3.com"), Tuple1("site17.com"), Tuple1("bad.org"), Tuple1("a1.bad.org")))
+        .toDF("entry")
+      UrlOps.matchBlocklist(d, "doc_id", "host", blocklist)
+        .groupBy(coalesce(col("blocked_by"), lit("allowed")).as("verdict"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("verdict")
+    },
+    Some("""WITH v AS (
+              SELECT CASE
+                       -- a1.bad.org (most specific) beats bad.org
+                       WHEN doc_id % 5 = 0 AND doc_id % 3 = 1 THEN 'a1.bad.org'
+                       WHEN doc_id % 5 = 0 THEN 'bad.org'
+                       WHEN doc_id % 40 = 3 THEN 'site3.com'
+                       WHEN doc_id % 40 = 17 THEN 'site17.com'
+                       ELSE 'allowed' END AS verdict
+              FROM documents)
+            SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM v GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6548,5 +6652,6 @@ object Queries {
     q171_transitions, q172_seasonal_naive, q173_novelty, q174_domain_gate,
     q175_mmr, q176_oov, q177_temporal_split, q178_fertility,
     q179_topk_operator, q180_label_prop, q181_keywords, q182_attribution,
-    q183_interarrival, q184_image_phash)
+    q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
+    q187_blocklist)
 }

@@ -705,6 +705,38 @@ object TextFunctions {
       .withColumn("oov_ppm", expr("(1000000 * oov_tokens) div total_tokens"))
   }
 
+  /** Integer character-entropy quality feature: over the 36 chars
+    * [a-z0-9] of the lowercased text,
+    *
+    *   entropy_bits = Σ_c cnt_c · ⌊log2(total / cnt_c)⌋
+    *
+    * — a floor-log2 (hence integer-exact, engine-portable) lower bound on
+    * total·H(char distribution): near 0 for single-char runs ("aaaa…" —
+    * the degenerate filler a length filter can't see), large for diverse
+    * text. Adds `char_total` and `entropy_bits`.
+    *
+    * Scale shape: NO explode — per-char counts come from 36 unrolled
+    * `length − length(replace(…))` terms materialized once into an array
+    * column, then codegen'd element_at sums; the whole feature is
+    * map-side at scan speed, where the char-explode spelling would
+    * shuffle ~|text| rows per document. */
+  def charEntropyBits(df: DataFrame, textCol: String): DataFrame = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val n = chars.size
+    val cntExprs = chars.map(c =>
+      s"CAST(length(__graft_norm) - length(replace(__graft_norm, '$c')) AS BIGINT)")
+    def cnt(i: Int) = s"element_at(__graft_cnts, ${i + 1})"
+    val entTerms = (0 until n).map { i =>
+      s"(CASE WHEN ${cnt(i)} > 0 THEN ${cnt(i)} * (length(bin(char_total div ${cnt(i)})) - 1) ELSE 0 END)"
+    }
+    df.withColumn("__graft_norm", lower(col(textCol)))
+      .withColumn("__graft_cnts", expr(s"array(${cntExprs.mkString(", ")})"))
+      .withColumn("char_total", expr((1 to n).map(i => s"element_at(__graft_cnts, $i)").mkString(" + ")))
+      .withColumn("entropy_bits",
+        expr(s"CAST(CASE WHEN char_total > 0 THEN ${entTerms.mkString(" + ")} ELSE 0 END AS BIGINT)"))
+      .drop("__graft_norm", "__graft_cnts")
+  }
+
   /** Tokenizer fertility: BPE-ish pieces per whitespace word, the
     * cross-language cost report (a language at fertility 3× pays 3× the
     * sequence length for the same text). Pure map-side counting — both

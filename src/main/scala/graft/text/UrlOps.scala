@@ -73,4 +73,42 @@ object UrlOps {
       .agg(min(col(idCol)).as(idCol))
     withCanon.join(winners, Seq("canonical_url", idCol), "left_semi")
   }
+
+  /** Every dot-suffix of a hostname with >= `minLabels` labels:
+    * `a.b.c.com` → [a.b.c.com, b.c.com, c.com] at minLabels=2. The unit of
+    * blocklist matching — a list entry `c.com` must block every subdomain
+    * under it. */
+  def hostSuffixes(hostCol: Column, minLabels: Int = 2): Column = {
+    val parts = split(hostCol, "\\.")
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(parts) - minLabels, lit(-1))),
+        i => array_join(slice(parts, i + 1, size(parts) - i), ".")),
+      s => length(s) > 0)
+  }
+
+  /** Domain blocklist matching with subdomain semantics: a row is blocked
+    * when ANY dot-suffix of its host appears in `blocklist` (column
+    * `entry`); the MOST SPECIFIC (longest) matching entry wins and is
+    * attached as `blocked_by` (null = allowed).
+    *
+    * Scale shape: hosts explode into their ≤ label-count suffixes (a
+    * handful per row), the blocklist broadcasts into the equi-join, and
+    * the argmax collapses back to one row per input row via
+    * max(struct(length, entry)) — corpus-sized data shuffles only on the
+    * row id for the collapse, and not at all when the blocklist join is
+    * the final consumer of a per-partition pipeline. */
+  def matchBlocklist(
+      df: DataFrame,
+      idCol: String,
+      hostCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val hits = df
+      .select(col(idCol), explode(hostSuffixes(col(hostCol))).as("__graft_sfx"))
+      .join(broadcast(blocklist.select(col("entry").as("__graft_sfx"))), Seq("__graft_sfx"))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("__graft_sfx")).as("len"), col("__graft_sfx").as("e"))).as("__graft_m"))
+      .select(col(idCol), col("__graft_m.e").as("blocked_by"))
+    df.join(hits, Seq(idCol), "left")
+  }
 }

@@ -356,3 +356,39 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 }
+
+class BasketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cooccurrenceLift: exact counts, within-basket dedup, support pruning, lift") {
+    // 4 baskets: {x,y} together in 2 of 4, x alone once, y alone once;
+    // z rides with x once (below minSupport 2); duplicates inside a
+    // basket must not inflate counts
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // dup x in basket 1
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("b", "item")
+    val got = Baskets.cooccurrenceLift(rows, "b", "item", minSupport = 2L)
+      .select("item_a", "item_b", "c12", "c1", "c2", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // c12(x,y)=2, c1(x)=3, c2(y)=3, nb=4 -> lift = 2*4*1e6/9 = 888888
+    assert(got == Seq(("x", "y", 2L, 3L, 3L, 888888L)))
+    intercept[IllegalArgumentException] {
+      Baskets.cooccurrenceLift(rows, "b", "item", minSupport = 0L)
+    }
+  }
+
+  test("cooccurrenceLift flags independence at ~scale and association above it") {
+    // x,y co-occur in EVERY basket -> lift = nb*nb*1e6/(nb*nb) = 1e6... with
+    // c12=nb, c1=c2=nb: nb*nb*1e6/(nb*nb) = exactly 1e6 (independence-like
+    // saturation); a rarer pair confined to shared baskets scores higher
+    val all = (1L to 10L).flatMap(b => Seq((b, "x"), (b, "y"))) ++
+      Seq((1L, "p"), (1L, "q"), (2L, "p"), (2L, "q"))
+    val got = Baskets.cooccurrenceLift(all.toDF("b", "item"), "b", "item", minSupport = 2L)
+      .select("item_a", "item_b", "lift_ppm").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("x", "y")) == 1000000L)
+    assert(got(("p", "q")) == 2L * 10L * 1000000L / 4L, "confined pair lifts 5x")
+  }
+}

@@ -831,6 +831,37 @@ class DedupSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("charEntropyBits: degenerate filler near zero, diverse text higher") {
+    val df = Seq(
+      ("aaaaaaaa", 8L, 0L),            // one char: flog2(8/8)=0 -> entropy 0
+      ("aaaabbbb", 8L, 8L),            // two equal chars: 8 * flog2(2) = 8
+      ("abcd", 4L, 8L),                // four singles: 4 * flog2(4) = 8
+      ("a b. C!", 3L, 3L),             // only [a-z0-9] counted; case folded
+      ("", 0L, 0L),                    // empty text
+      ("!?.,", 0L, 0L)                 // no counted chars at all
+    ).toDF("text", "tot", "ent")
+    val got = graft.text.TextFunctions.charEntropyBits(df, "text")
+      .select("tot", "ent", "char_total", "entropy_bits")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (t2, e, gt, ge) => assert((gt, ge) == ((t2, e))) }
+  }
+
+  test("matchBlocklist: subdomain semantics, most specific entry wins") {
+    import graft.text.UrlOps
+    val hosts = Seq(
+      (1L, "cdn.bad.org"),      // blocked by bad.org
+      (2L, "a1.bad.org"),       // a1.bad.org is more specific than bad.org
+      (3L, "deep.a1.bad.org"),  // subdomain of the specific entry
+      (4L, "goodbad.org"),      // NOT a subdomain (label boundary)
+      (5L, "fine.com")).toDF("id", "host")
+    val bl = Seq("bad.org", "a1.bad.org").toDF("entry")
+    val got = UrlOps.matchBlocklist(hosts, "id", "host", bl)
+      .select("id", "blocked_by").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("bad.org"), 2L -> Some("a1.bad.org"), 3L -> Some("a1.bad.org"),
+      4L -> None, 5L -> None))
+  }
+
   test("oovStats scores docs against the corpus's own top-k vocabulary") {
     // tokens by frequency: "the" x4, "cat" x3, "dog" x2, rare x1 each.
     // vocabSize=2 -> vocab {the, cat}; doc 3 is all-rare.
