@@ -6606,6 +6606,102 @@ object Queries {
             SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM v GROUP BY 1 ORDER BY 1"""))
 
+  /** SQL-TEXT surface of the custom Catalyst expressions: the whole query
+    * is one `spark.sql` string over a temp view, exercising `fvec_dot`
+    * (registered via GraftExtensions' injectFunction) from SQL — the
+    * extension path a SQL-only user takes; values match q27's
+    * Column-API/native-expression route bit-for-bit. */
+  val q188_sql_surface = Q(
+    "q188_sql_surface",
+    (s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_q188_emb")
+      s.sql("""
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               ROUND(fvec_dot(a.embedding, b.embedding) /
+                     (SQRT(fvec_dot(a.embedding, a.embedding)) *
+                      SQRT(fvec_dot(b.embedding, b.embedding))), 4) AS cos
+        FROM graft_q188_emb a JOIN graft_q188_emb b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 20 AND b.vec_id < 20
+        ORDER BY cos DESC, id1, id2 LIMIT 5""")
+        .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"), col("cos"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 20)
+            SELECT CAST(a.vec_id AS BIGINT) AS id1, CAST(b.vec_id AS BIGINT) AS id2,
+                   ROUND(list_dot_product(a.v, b.v) /
+                         (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ORDER BY cos DESC, id1, id2 LIMIT 5"""))
+
+  /** Time-travel read over SCD2 history (lakehouse pattern): the q131
+    * history table queried AS OF two instants — an open-ended current
+    * version (valid_to NULL) must satisfy any later as-of, a closed one
+    * only instants inside [from, to). */
+  val q189_time_travel = Q(
+    "q189_time_travel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"))
+      val hist = graft.operators.History
+        .scd2(ev, Seq("user_id"), "tsu", "event_type", tieBreak = Seq("event_id"))
+        .localCheckpoint(true) // two as-of consumers
+      def asOf(tag: String, tu: Long) = hist
+        .filter(col("valid_from") <= tu && (col("valid_to").isNull || col("valid_to") > tu))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .withColumn("as_of", lit(tag))
+      asOf("t1", 1704844800000000L) // 2024-01-10T00:00:00Z
+        .unionByName(asOf("t2", 1706140800000000L)) // 2024-01-25T00:00:00Z
+        .orderBy("as_of", "event_type")
+    },
+    Some("""WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+            f AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+                                      LAG(event_type) OVER w THEN 0 ELSE 1 END AS chg
+                  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS island FROM f),
+            g AS (SELECT user_id, island, MIN(event_type) AS event_type,
+                         MIN(tsu) AS valid_from FROM i GROUP BY 1, 2),
+            h AS (SELECT user_id, event_type, valid_from,
+                         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+                  FROM g),
+            t AS (SELECT 't1' AS as_of, 1704844800000000 AS tu
+                  UNION ALL SELECT 't2', 1706140800000000)
+            SELECT t.as_of, h.event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM h JOIN t ON h.valid_from <= t.tu
+                         AND (h.valid_to IS NULL OR h.valid_to > t.tu)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Streaming idempotent upsert sink (exactly-once pattern): the events
+    * file split into 4 source files, streamed one file per micro-batch
+    * through an update-mode count into a batch-partitioned parquet
+    * serving table (`batch=<id>` dirs, overwrite — a batch RETRY rewrites
+    * its own directory instead of duplicating). The serving read resolves
+    * each key to its latest batch; the oracle is the plain batch count —
+    * equality across 4 incremental upserts is the exactly-once claim. */
+  val q190_stream_upsert = Q(
+    "q190_stream_upsert",
+    (s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val scratch = s.conf.get("spark.local.dir", "/tmp") +
+        "/graft_q190_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Writers.deleteRecursively(java.nio.file.Paths.get(scratch))
+      val srcDir = s"$scratch/src"
+      raw.repartition(4, col("event_id")).write.parquet(srcDir)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val q = graft.streaming.StreamOps.idempotentUpsertCounts(
+        agg, s"$scratch/serving", s"$scratch/ckpt")
+      q.awaitTermination()
+      graft.streaming.StreamOps.readServingCounts(s, s"$scratch/serving", Seq("event_type"))
+        .select(col("event_type"), col("n").cast("long").as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6653,5 +6749,5 @@ object Queries {
     q175_mmr, q176_oov, q177_temporal_split, q178_fertility,
     q179_topk_operator, q180_label_prop, q181_keywords, q182_attribution,
     q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
-    q187_blocklist)
+    q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert)
 }

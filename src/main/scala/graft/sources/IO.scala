@@ -365,7 +365,7 @@ object Writers {
     if (!Files.isDirectory(dir)) Nil
     else Files.walk(dir).iterator().asScala.filter(p => p.toString.endsWith(suffix)).toSeq
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator().asScala
         .foreach(Files.delete)

@@ -216,4 +216,49 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Idempotent streaming upsert into a parquet "serving table" — the
+    * exactly-once-sink pattern for engines without transactional MERGE:
+    * an UPDATE-mode aggregation feeds `foreachBatch`, and each batch's
+    * changed keys are written under `serving/batch=<batchId>` with
+    * overwrite — a RETRY of the same batch id rewrites the same directory
+    * byte-for-byte instead of appending duplicates, which is exactly the
+    * idempotence Structured Streaming's at-least-once foreachBatch
+    * contract asks the sink to provide. The serving read resolves each
+    * key to its LATEST batch (update-mode values are cumulative, so the
+    * latest write per key IS the current total).
+    *
+    * Scale shape: per batch only CHANGED keys are written (update mode);
+    * the batch-partitioned layout makes the upsert an O(changed-keys)
+    * append-shaped write, and compaction (q137's operator) can fold old
+    * batch dirs without changing the read contract. */
+  def idempotentUpsertCounts(
+      aggregated: DataFrame,
+      servingDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$servingDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Current state of an [[idempotentUpsertCounts]] serving table: the
+    * latest batch's row per key. */
+  def readServingCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      servingDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(servingDir) // batch=<id> dirs -> `batch` column
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("batch").desc)
+    raw.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn", "batch")
+  }
 }

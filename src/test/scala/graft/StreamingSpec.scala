@@ -140,4 +140,32 @@ class StreamingSpec extends SparkSpec {
     assert(want === Set((1L, "l1", "r1"), (2L, "l3", "r3"))) // sanity of the reference itself
     assert(got === want)
   }
+
+  test("idempotent upsert sink: multi-batch counts converge and a batch retry is a no-op") {
+    import graft.streaming.StreamOps
+    val scratch = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val src = s"$scratch/src"; val serving = s"$scratch/serving"
+    // 3 source files -> 3 micro-batches under maxFilesPerTrigger=1
+    val rows = (1L to 90L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    rows.toDF("id", "k").repartition(3, col("id")).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    val agg = stream.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    StreamOps.idempotentUpsertCounts(agg, serving, s"$scratch/ckpt").awaitTermination()
+    val batches = new java.io.File(serving).listFiles().map(_.getName).filter(_.startsWith("batch="))
+    assert(batches.length == 3, s"expected 3 micro-batches, got ${batches.toSeq}")
+    def state() = StreamOps.readServingCounts(spark, serving, Seq("k"))
+      .as[(String, Long)].collect().toMap
+    val converged = state()
+    assert(converged == Map("a" -> 30L, "b" -> 60L))
+    // simulate an at-least-once RETRY of the last batch: rewriting the same
+    // batch directory with the same cumulative rows must change nothing
+    val lastId = batches.map(_.stripPrefix("batch=").toLong).max
+    // (read fully to driver first — Spark cannot read and overwrite one
+    // path in a single job, the q71 lesson)
+    val replay = spark.read.parquet(s"$serving/batch=$lastId")
+      .select("k", "n").as[(String, Long)].collect().toSeq
+    replay.toDF("k", "n").write.mode("overwrite").parquet(s"$serving/batch=$lastId")
+    assert(state() == converged, "a batch retry must be byte-idempotent")
+  }
 }
