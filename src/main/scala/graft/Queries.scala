@@ -6702,6 +6702,82 @@ object Queries {
     Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Rolling 7-day distinct users via HLL register merge: per-day register
+    * tables (the persistable artifact) each contribute to 7 target days
+    * through a bounded offset explode, max-merged per (day, register) —
+    * the sliding-cardinality report that at 100 TB never rescans old
+    * days and never shuffles raw user ids across windows (registers are
+    * ≤ 256 rows/day regardless of volume). Exact rolling distinct
+    * computed alongside as the honesty column; the oracle replays hash,
+    * registers, shift-merge, and the ordered dyadic estimate fold. */
+  val q191_rolling_distinct = Q(
+    "q191_rolling_distinct",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events")
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"), col("user_id"))
+      val days = ev.select(col("day")).distinct().localCheckpoint(true)
+      val regs = Sketches.hllRegisters(ev, Seq("day"), xxhash64(col("user_id")), p = 8)
+      val rolled = regs
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select((col("day") + col("off")).as("day"), col("j"), col("m"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"), col("j"))
+        .agg(max(col("m")).as("m"))
+      val est = Sketches.hllEstimate(rolled, Seq("day"), p = 8)
+      val exact = ev.distinct()
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select((col("day") + col("off")).as("day"), col("user_id"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).cast("long").as("exact"))
+      exact.join(est, Seq("day"))
+        .select(col("day"), col("exact"), col("registers_used"), col("hll_est"))
+        .orderBy("day")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val scale = alpha * m.toDouble * m.toDouble
+      val keys = """SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                           user_id AS k FROM events"""
+      val hashed = xxhash64LongStages(s"($keys)", "k", "kh", pfx = "__h")
+      s"""WITH hu AS (
+            SELECT day,
+                   CASE WHEN kh < 0 THEN kh::HUGEINT + 18446744073709551616::HUGEINT
+                        ELSE kh::HUGEINT END AS u
+            FROM ($hashed)),
+          days AS (SELECT DISTINCT day FROM hu),
+          jr AS (
+            SELECT day, CAST(u % $m AS BIGINT) AS j,
+                   CASE WHEN u // $m = 0 THEN 57
+                        ELSE 57 - length(bin(CAST(u // $m AS BIGINT))) END AS rho
+            FROM hu),
+          shifted AS (
+            SELECT jr.day + o.i AS day, j, rho
+            FROM jr, (SELECT unnest(range(7)) AS i) o
+            WHERE jr.day + o.i IN (SELECT day FROM days)),
+          regs AS (SELECT day, j, MAX(rho) AS mm FROM shifted GROUP BY 1, 2),
+          folded AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS registers_used,
+                   list_reduce(
+                     [$m.0 - COUNT(*)] || list(1.0 / (1::BIGINT << mm) ORDER BY j),
+                     (a, b) -> a + b) AS sh
+            FROM regs GROUP BY 1),
+          exact AS (
+            SELECT s.day, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact
+            FROM (SELECT hu2.day + o.i AS day, k
+                  FROM (SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                               user_id AS k FROM events) hu2,
+                       (SELECT unnest(range(7)) AS i) o
+                  WHERE hu2.day + o.i IN (SELECT day FROM days)) s
+            GROUP BY 1)
+          SELECT e.day, e.exact, f.registers_used, $scale / f.sh AS hll_est
+          FROM exact e JOIN folded f USING (day)
+          ORDER BY day"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6749,5 +6825,6 @@ object Queries {
     q175_mmr, q176_oov, q177_temporal_split, q178_fertility,
     q179_topk_operator, q180_label_prop, q181_keywords, q182_attribution,
     q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
-    q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert)
+    q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
+    q191_rolling_distinct)
 }

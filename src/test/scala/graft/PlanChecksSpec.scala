@@ -94,6 +94,30 @@ class PlanChecksSpec extends SparkSpec {
     assert(graft.plans.PlanChecks.shuffleCount(audit) == 1)
   }
 
+  test("corpus novelty: df via gram-key window, no join back to text (2 shuffles to the score)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plan = graft.text.Dedup.corpusNoveltyScores(d, "doc_id", "text")
+    // one exchange for the gram-key window, one for the doc-id aggregate —
+    // a join-based df lookup would add a third
+    assert(PlanChecks.shuffleCount(plan) <= 2,
+      s"novelty must not re-join the corpus: ${PlanChecks.shuffleCount(plan)} shuffles")
+  }
+
+  test("oov audit and domain gate broadcast their aggregate artifacts") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val oov = graft.text.TextFunctions.oovStats(d, "doc_id", "text", vocabSize = 50)
+    assert(PlanChecks.broadcastExchangeCount(oov) >= 1, "vocab must broadcast")
+    val gate = graft.text.Sampling.domainMedianGate(d, "source", "n_chars", 1L, 0L)
+    assert(PlanChecks.broadcastExchangeCount(gate) >= 1, "domain stats must broadcast")
+  }
+
+  test("char entropy is a pure map-side projection (zero shuffles)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.text.TextFunctions.charEntropyBits(d, "text")
+    assert(PlanChecks.shuffleCount(plan) == 0, "entropy must not explode or shuffle")
+  }
+
   test("salted join does not broadcast the salted small side (the regime salting is for)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").withColumnRenamed("l_partkey", "p_partkey")
     val p = spark.read.parquet(s"$sf/part.parquet")
