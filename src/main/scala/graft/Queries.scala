@@ -6778,6 +6778,92 @@ object Queries {
           ORDER BY day"""
     })
 
+  /** Second-order event sequences: per-user consecutive 3-grams under the
+    * (ts, event_id) total order, top-20 by (count, sequence) — the
+    * depth-2 extension of q171's first-order transition matrix (what a
+    * next-event model actually trains on). */
+  val q192_event_trigrams = Q(
+    "q192_event_trigrams",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
+    Some("""WITH g AS (
+              SELECT event_type AS e1,
+                     LEAD(event_type, 1) OVER w AS e2,
+                     LEAD(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM g WHERE e3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20"""))
+
+  /** Weekday seasonality profile: per event type, each ISO weekday's
+    * share of volume in ppm (integer; Σ over weekdays ≤ 7·10⁶ exactly) —
+    * the shape used to judge whether q172's period-7 naive forecast even
+    * applies. */
+  val q193_weekday_profile = Q(
+    "q193_weekday_profile",
+    (s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      d.withColumn("tot", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("dow"),
+          col("n").cast("long").as("n"),
+          expr("(1000000 * n) div tot").cast("long").as("share_ppm"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH d AS (
+              SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+                   CAST((1000000 * n) // SUM(n) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS share_ppm
+            FROM d ORDER BY event_type, dow"""))
+
+  /** Manifest-based data skipping (lakehouse pattern): orders written
+    * range-clustered on o_totalprice into 8 files, a per-file min/max
+    * manifest built once, and a selective range query planned against the
+    * MANIFEST — it must open a strict subset of files (asserted) and
+    * still produce exactly the full-scan answer (the oracle). */
+  val q194_file_skipping = Q(
+    "q194_file_skipping",
+    (s, dir) => {
+      import graft.sources.Skipping
+      val scratch = s.conf.get("spark.local.dir", "/tmp") +
+        "/graft_q194_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Writers.deleteRecursively(java.nio.file.Paths.get(scratch))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_totalprice"))
+        .write.parquet(scratch)
+      val manifest = Skipping.buildManifest(s, scratch, "o_totalprice")
+      val nFiles = manifest.count()
+      val (files, ranged) = Skipping.readRange(s, scratch, manifest, "o_totalprice", 100000.0, 150000.0)
+      require(files.nonEmpty && files.size < nFiles,
+        s"skipping must open a strict subset: ${files.size} of $nFiles")
+      ranged
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6826,5 +6912,6 @@ object Queries {
     q179_topk_operator, q180_label_prop, q181_keywords, q182_attribution,
     q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
     q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
-    q191_rolling_distinct)
+    q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
+    q194_file_skipping)
 }

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based data skipping — the poor-lakehouse half of what table
+  * formats (Delta/Iceberg) do with file-level column stats: keep a tiny
+  * (file → min/max) manifest next to the data and plan range reads against
+  * the MANIFEST, so a selective query opens only the files whose range
+  * intersects the predicate. With range-clustered layout (repartitionByRange
+  * or [[graft.operators.Zorder]] for multi-column locality) a point/range
+  * query touches O(result) files instead of O(corpus).
+  */
+object Skipping {
+
+  /** Per-file (min, max, rows) stats for `statsCol` over a parquet
+    * directory — one full scan to bootstrap; on an incrementally-written
+    * table, append each new file's row at write time instead and never
+    * rescan. The manifest is aggregate-sized (one row per FILE), the
+    * artifact a driver can hold for millions of files. */
+  def buildManifest(spark: SparkSession, path: String, statsCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(statsCol)).as("min_v"),
+        max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("rows"))
+
+  /** Range read planned against the manifest: only files whose
+    * [min_v, max_v] intersects [lo, hi] are opened; the residual filter
+    * still applies (stats prune FILES, not rows). The file list is a
+    * bounded driver collect — the same catalog-sized metadata every table
+    * format resolves on the driver. */
+  def readRange(
+      spark: SparkSession,
+      path: String,
+      manifest: DataFrame,
+      statsCol: String,
+      lo: Double,
+      hi: Double): (Seq[String], DataFrame) = {
+    require(lo <= hi, s"readRange: empty interval [$lo, $hi]")
+    val files = manifest
+      .filter(col("min_v") <= hi && col("max_v") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val df =
+      if (files.isEmpty)
+        // no file intersects: schema from the base path, zero rows (the
+        // constant-false filter folds to an empty relation at plan time)
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(col(statsCol).between(lo, hi))
+    (files, df)
+  }
+}

@@ -140,6 +140,30 @@ class IOSpec extends SparkSpec {
     assert(spark.table("region").count() == 5)
     assert(spark.sql("SELECT COUNT(*) FROM nation").first().getLong(0) == 25)
   }
+
+  test("manifest skipping opens only intersecting files and loses no rows") {
+    import graft.sources.Skipping
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip").toString + "/t"
+    // range-clustered layout: 4 files, values 0..399
+    (0L until 400L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .repartitionByRange(4, col("v")).write.parquet(dir)
+    val manifest = Skipping.buildManifest(spark, dir, "v")
+    assert(manifest.count() == 4)
+    // a range inside one quartile must open exactly 1 file
+    val (files, df) = Skipping.readRange(spark, dir, manifest, "v", 110.0, 120.0)
+    assert(files.size == 1, s"opened ${files.size} files")
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (110L to 120L))
+    // a boundary-straddling range opens 2; results still exact
+    val (f2, d2) = Skipping.readRange(spark, dir, manifest, "v", 95.0, 105.0)
+    assert(f2.size == 2 && d2.count() == 11)
+    // a miss range opens 0 files and returns an empty, correctly-typed frame
+    val (f3, d3) = Skipping.readRange(spark, dir, manifest, "v", 1000.0, 2000.0)
+    assert(f3.isEmpty && d3.isEmpty && d3.columns.toSeq == Seq("id", "v"))
+    intercept[IllegalArgumentException] {
+      Skipping.readRange(spark, dir, manifest, "v", 5.0, 1.0)
+    }
+  }
 }
 
 class ValidationSpec extends SparkSpec {
