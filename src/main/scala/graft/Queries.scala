@@ -6864,6 +6864,46 @@ object Queries {
             FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Quota-balanced eval-set builder: 300 docs spread equally across the
+    * (lang, source) cells (first n mod C cells in cell order get the
+    * remainder), filled by deterministic hash order; small cells
+    * under-fill and REPORT shortfall rather than borrow. Per-lang rollup
+    * pins pools, quotas, picks, and the picked-id checksum. */
+  val q195_quota_sample = Q(
+    "q195_quota_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("source"))
+      val picked = graft.text.Sampling.quotaBalancedSample(
+        d, Seq("lang", "source"), "doc_id", n = 307L, seed = "ev", uniform = knuthUniform)
+      picked
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("picked"),
+          sum(col("cell_quota")).cast("long").as("quota_weighted_rows"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH cells AS (
+              SELECT lang, source, COUNT(*) AS cell_pool,
+                     ROW_NUMBER() OVER (ORDER BY lang, source) AS ci,
+                     (SELECT COUNT(*) FROM (SELECT DISTINCT lang, source FROM documents)) AS c
+              FROM documents GROUP BY 1, 2),
+            quotas AS (
+              SELECT lang, source, cell_pool,
+                     307 // c + CASE WHEN ci <= 307 % c THEN 1 ELSE 0 END AS cell_quota
+              FROM cells),
+            ranked AS (
+              SELECT d.doc_id, d.lang, d.source, q.cell_quota,
+                     ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+                                        ORDER BY ${knuthUniformSql("d.doc_id", "ev")}, d.doc_id) AS rn
+              FROM documents d JOIN quotas q ON d.lang = q.lang AND d.source = q.source),
+            picked AS (SELECT * FROM ranked WHERE rn <= cell_quota)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS picked,
+                   CAST(SUM(cell_quota) AS BIGINT) AS quota_weighted_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM picked GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6913,5 +6953,5 @@ object Queries {
     q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
     q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
-    q194_file_skipping)
+    q194_file_skipping, q195_quota_sample)
 }

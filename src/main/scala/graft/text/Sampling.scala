@@ -427,6 +427,46 @@ object Sampling {
       .drop("__graft_rank", "__graft_n")
   }
 
+  /** Quota-balanced eval-set builder: `n` rows spread EQUALLY across the
+    * (cellCols) cells — base = n div C per cell, the first n mod C cells
+    * in deterministic cell order get one extra — then each cell filled by
+    * deterministic content-keyed hash order. Cells with too small a pool
+    * under-fill and report the shortfall instead of silently borrowing
+    * (balanced eval sets must surface imbalance, not hide it). Returns
+    * the SELECTED rows with `cell_pool`, `cell_quota` attached.
+    *
+    * Scale shape: quotas are computed on the aggregate cell table (one
+    * row per cell — the only single-partition sort touches THAT, never
+    * corpus rows); selection is one cell-partitioned window by (uniform,
+    * id). The uniform is injectable for oracle replay, xxhash64-grade by
+    * default in production callers. */
+  def quotaBalancedSample(
+      df: DataFrame,
+      cellCols: Seq[String],
+      idCol: String,
+      n: Long,
+      seed: String,
+      uniform: (Column, String) => Column): DataFrame = {
+    require(n >= 1, s"quotaBalancedSample: n must be >= 1, got $n")
+    require(cellCols.nonEmpty, "quotaBalancedSample: need at least one cell column")
+    val cells = df.groupBy(cellCols.map(col): _*).agg(count(lit(1)).as("cell_pool"))
+    val cOrder = Window.orderBy(cellCols.map(col): _*) // cell-table-sized sort only
+    val c = cells.count()
+    val base = n / c
+    val extra = n % c
+    val quotas = cells
+      .withColumn("__graft_ci", row_number().over(cOrder))
+      .withColumn("cell_quota",
+        lit(base) + when(col("__graft_ci") <= extra, 1L).otherwise(0L))
+      .drop("__graft_ci")
+    val w = Window.partitionBy(cellCols.map(col): _*)
+      .orderBy(uniform(col(idCol), seed), col(idCol))
+    df.join(broadcast(quotas), cellCols)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= col("cell_quota"))
+      .drop("__graft_rn")
+  }
+
   /** Two-stage domain quality gate (the RefinedWeb/CCNet shape): first
     * DOMAINS are admitted or rejected on aggregate evidence (enough
     * documents AND a high-enough median quality value — one bad page

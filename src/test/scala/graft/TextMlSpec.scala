@@ -1594,6 +1594,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("quotaBalancedSample: equal quotas + remainder, shortfall surfaces, deterministic") {
+    val hash: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column =
+      (c, s2) => pmod(c * 2654435761L, lit(1000000000L)).cast("double") / 1000000000.0
+    // 3 cells: A has 5 rows, B has 5, C has only 1 (shortfall cell)
+    val rows = ((1L to 5L).map(i => (i, "A")) ++ (11L to 15L).map(i => (i, "B")) :+ (21L, "C"))
+      .toDF("id", "cell")
+    // n=7, C=3 -> base 2, first 7%3=1 cell (A) gets +1 -> quotas A:3 B:2 C:2
+    val got = Sampling.quotaBalancedSample(rows, Seq("cell"), "id", 7L, "s", hash)
+    val byCell = got.groupBy("cell").count().as[(String, Long)].collect().toMap
+    assert(byCell == Map("A" -> 3L, "B" -> 2L, "C" -> 1L), s"got $byCell")
+    // C's shortfall is visible: quota 2, picked 1
+    val cQuota = got.filter($"cell" === "C").select("cell_quota").as[Long].head()
+    assert(cQuota == 2L)
+    // deterministic under re-partitioning
+    val again = Sampling.quotaBalancedSample(
+      viaParquet(rows).repartition(5), Seq("cell"), "id", 7L, "s", hash)
+    assert(sortedRows(got.select("id")) == sortedRows(again.select("id")))
+    intercept[IllegalArgumentException] {
+      Sampling.quotaBalancedSample(rows, Seq("cell"), "id", 0L, "s", hash)
+    }
+  }
+
   test("domainMedianGate admits domains then filters docs against their median") {
     // domain A: 4 docs, values 10,20,30,40 -> median 25, med2 50; admitted
     //   (minDocs 3, minMedian2 40); docs >= 25 survive: 30, 40
