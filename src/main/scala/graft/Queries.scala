@@ -6904,6 +6904,35 @@ object Queries {
                    CAST(SUM(doc_id) AS BIGINT) AS id_checksum
             FROM picked GROUP BY 1 ORDER BY 1"""))
 
+  /** The custom OPTIMIZER rule end-to-end: a group-key filter applied
+    * AFTER the top-k operator — `PushFilterThroughTopK` commutes it below
+    * the node (group filters drop whole groups, never rows within one)
+    * and Spark's own pushdown carries it into the scan; TopKSpec pins
+    * the plan, this query pins the values. */
+  val q196_topk_pushdown = Q(
+    "q196_topk_pushdown",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_orderkey").cast("long").as("orderkey"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        col("l_extendedprice").as("price"))
+      graft.operators.TopK.perGroup(
+          li, Seq("suppkey"),
+          Seq(("price", false), ("orderkey", true), ("linenumber", true)), k = 3)
+        .filter(col("suppkey") % 7 === 2)
+        .orderBy("suppkey", "orderkey", "linenumber")
+    },
+    Some("""SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                   CAST(l_orderkey AS BIGINT) AS orderkey,
+                   CAST(l_linenumber AS BIGINT) AS linenumber,
+                   l_extendedprice AS price
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 3 AND l_suppkey % 7 = 2
+            ORDER BY suppkey, orderkey, linenumber"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6953,5 +6982,5 @@ object Queries {
     q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
     q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
-    q194_file_skipping, q195_quota_sample)
+    q194_file_skipping, q195_quota_sample, q196_topk_pushdown)
 }

@@ -38,6 +38,12 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new TopKStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(TopKPerGroup.PushFilterThroughTopK) &&
+        !spark.sessionState.optimizer.batches.exists(
+          _.rules.contains(TopKPerGroup.PushFilterThroughTopK))) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKPerGroup.PushFilterThroughTopK
+    }
     val analyzed = PlanDataset.analyzed(df)
     def attr(name: String) = analyzed.output
       .find(_.name == name)

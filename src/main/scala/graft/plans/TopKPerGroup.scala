@@ -101,6 +101,27 @@ object TopKPerGroup {
     }
   }
 
+  /** Custom OPTIMIZER rule for the custom node: a deterministic filter
+    * that references only GROUP columns commutes with per-group top-k
+    * (it drops whole groups, never rows within a surviving group), so it
+    * pushes below the node — from where Spark's own pushdown carries it
+    * into the scan (`PushedFilters`). A filter touching the ORDER columns
+    * must NOT move: filtering values before selection changes which rows
+    * are the top k. This is the `injectOptimizerRule` extension point;
+    * the rule re-fires until fixpoint like any logical rule, and the
+    * rewritten shape no longer matches, so it terminates trivially. */
+  object PushFilterThroughTopK
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, t @ TopKPerGroupNode(g, _, _, child))
+          if cond.deterministic &&
+            f.condition.references.subsetOf(AttributeSet(g.flatMap(_.references))) =>
+        t.copy(child = Filter(cond, child))
+    }
+  }
+
   /** Plans the logical node as partial → (exchange inserted by
     * EnsureRequirements where needed) → final. */
   class TopKStrategy extends SparkStrategy {

@@ -162,7 +162,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnicodeNormalize(exprs.head, form)
       }))
     // whole-operator extension: the bounded-heap top-k-per-group physical
-    // operator (logical node + strategy — see graft.plans.TopKPerGroup)
+    // operator (logical node + strategy + optimizer rule — see
+    // graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => new TopKPerGroup.TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKPerGroup.PushFilterThroughTopK)
   }
 }

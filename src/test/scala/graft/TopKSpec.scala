@@ -72,6 +72,34 @@ class TopKSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 50L), ("a", 2L, 10L), ("b", 1L, 1L)))
   }
 
+  test("optimizer rule: group-key filters push below the node into the scan") {
+    val df = viaParquet(fuzz)
+    val plan = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k = 3)
+      .filter($"g" === "g3")
+    // the custom rule moves the filter under TopKPerGroupNode; Spark's own
+    // pushdown then carries it into the parquet scan
+    assert(PlanChecks.filterPushedFor(plan, "g"),
+      "group filter must reach PushedFilters through the custom node")
+    // and semantics are unchanged vs filtering first
+    val direct = TopK.perGroup(df.filter($"g" === "g3"), Seq("g"),
+      Seq(("v", false), ("id", true)), k = 3)
+    assert(sortedRows(plan) == sortedRows(direct))
+  }
+
+  test("optimizer rule: ORDER-column filters must NOT move below the node") {
+    val df = viaParquet(fuzz)
+    val after = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k = 3)
+      .filter($"v" < 500)
+    assert(!PlanChecks.filterPushedFor(after, "v"),
+      "a value filter below top-k would change which rows are the top k")
+    // and the two orders of operations genuinely differ on this data —
+    // the semantic reason the rule must not fire
+    val before = TopK.perGroup(df.filter($"v" < 500), Seq("g"),
+      Seq(("v", false), ("id", true)), k = 3)
+    assert(sortedRows(after) != sortedRows(before),
+      "fuzz data should make filter-then-topk differ from topk-then-filter")
+  }
+
   test("refusals: bad k, empty groups, unknown column") {
     val df = Seq(("a", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] { TopK.perGroup(df, Seq("g"), Seq(("v", true)), 0) }
