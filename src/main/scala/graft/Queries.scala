@@ -6933,6 +6933,99 @@ object Queries {
             WHERE rn <= 3 AND l_suppkey % 7 = 2
             ORDER BY suppkey, orderkey, linenumber"""))
 
+  /** Exact-integer daily-volume trend: OLS slope as a BIGINT rational
+    * (numerator sign = direction, no doubles anywhere), dense-spine day
+    * indexing — the feed-health monitor that can't flap from float
+    * noise. */
+  val q197_volume_trend = Q(
+    "q197_volume_trend",
+    (s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.dailyTrend(t(s, dir, "events"), "event_type", "ts")
+        .select(
+          col("key").as("event_type"),
+          col("days").cast("long").as("days"),
+          col("slope_num").cast("long").as("slope_num"),
+          col("slope_den").cast("long").as("slope_den"),
+          col("slope_mppm").cast("long").as("slope_mppm"),
+          col("trend"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type AS key, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            spine AS (
+              SELECT k.key, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS day, b.lo
+              FROM (SELECT DISTINCT key FROM daily) k, bounds b),
+            xy AS (
+              SELECT s.key, CAST(s.day - s.lo AS BIGINT) AS x,
+                     CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+              FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day),
+            agg AS (
+              SELECT key, CAST(COUNT(*) AS BIGINT) AS days,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+              FROM xy GROUP BY 1)
+            SELECT key AS event_type, days,
+                   CAST(days * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(days * sxx - sx * sx AS BIGINT) AS slope_den,
+                   CAST(CASE WHEN days * sxx - sx * sx > 0
+                        THEN (1000000000 * (days * sxy - sx * sy)) // (days * sxx - sx * sx)
+                        END AS BIGINT) AS slope_mppm,
+                   CASE WHEN days * sxy - sx * sy > 0 THEN 'growing'
+                        WHEN days * sxy - sx * sy < 0 THEN 'shrinking'
+                        ELSE 'flat' END AS trend
+            FROM agg ORDER BY 1"""))
+
+  /** CUSUM change-point detection: centered cumulative sums scaled by n
+    * (exact BIGINT, no fractional mean), argmax |S| with earliest-day
+    * tie-break — the level-shift locator for ingest volumes. */
+  val q198_change_point = Q(
+    "q198_change_point",
+    (s, dir) => {
+      import graft.operators.EventAnalytics
+      EventAnalytics.cusumChangePoint(t(s, dir, "events"), "event_type", "ts")
+        .select(
+          col("key").as("event_type"),
+          col("days").cast("long").as("days"),
+          col("total").cast("long").as("total"),
+          col("change_day").cast("long").as("change_day"),
+          col("peak_abs").cast("long").as("peak_abs"),
+          col("shift"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type AS key, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            spine AS (
+              SELECT k.key, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS day, b.lo
+              FROM (SELECT DISTINCT key FROM daily) k, bounds b),
+            xy AS (
+              SELECT s.key, CAST(s.day - s.lo AS BIGINT) AS x,
+                     CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+              FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day = d.day),
+            c0 AS (
+              SELECT key, x, y,
+                     COUNT(*) OVER (PARTITION BY key) AS nd,
+                     SUM(y) OVER (PARTITION BY key) AS tot
+              FROM xy),
+            cum AS (
+              SELECT key, x, nd, tot,
+                     SUM(y * nd - tot)
+                       OVER (PARTITION BY key ORDER BY x ROWS UNBOUNDED PRECEDING) AS s
+              FROM c0),
+            pick AS (
+              SELECT key, nd AS days, tot AS total, x AS change_day, ABS(s) AS peak_abs, s,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY ABS(s) DESC, x ASC) AS rn
+              FROM cum)
+            SELECT key AS event_type, CAST(days AS BIGINT) AS days,
+                   CAST(total AS BIGINT) AS total,
+                   CAST(change_day AS BIGINT) AS change_day,
+                   CAST(peak_abs AS BIGINT) AS peak_abs,
+                   CASE WHEN s >= 0 THEN 'up_then_down' ELSE 'down_then_up' END AS shift
+            FROM pick WHERE rn = 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -6982,5 +7075,6 @@ object Queries {
     q183_interarrival, q184_image_phash, q185_basket_lift, q186_char_entropy,
     q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
-    q194_file_skipping, q195_quota_sample, q196_topk_pushdown)
+    q194_file_skipping, q195_quota_sample, q196_topk_pushdown,
+    q197_volume_trend, q198_change_point)
 }

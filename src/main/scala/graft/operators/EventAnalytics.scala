@@ -113,6 +113,101 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_gaps"))
   }
 
+  /** Per-key daily-volume TREND via exact least squares: with x = day
+    * index and y = daily count (both integers), the OLS slope is the
+    * rational
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * whose numerator and denominator are EXACT BIGINTs — so the
+    * growing/shrinking/flat classification (sign of the numerator; the
+    * denominator is ≥ 0 always) is engine-portable without a single
+    * double. Emits per key: days, numerator, denominator, slope_mppm
+    * (slope in milli-ppm: (10⁹·num) div den, NULL for a single day).
+    * Gap days count 0 — the dense spine again.
+    *
+    * Overflow envelope: |num| ≤ n²·max_day_count·max_x; with day indices
+    * rebased to 0..n−1 (done here) and n ≤ 10⁴ days of ≤ 10⁹ rows/day,
+    * products stay under 2⁶². */
+  def dailyTrend(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"))
+      .crossJoin(daily.select("key").distinct())
+    spine
+      .join(daily, Seq("key", "day"), "left")
+      .select(
+        col("key"),
+        datediff(col("day"), col("lo")).cast("long").as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("key"), col("days"),
+        (col("days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_mppm",
+        when(col("slope_den") > 0, expr("(1000000000 * slope_num) div slope_den")))
+      .withColumn("trend",
+        when(col("slope_num") > 0, "growing")
+          .when(col("slope_num") < 0, "shrinking").otherwise("flat"))
+  }
+
+  /** CUSUM change-point detection on a key's daily counts: with total T
+    * over n days, the centered cumulative sum S_d = Σ_{i≤d} (n·y_i − T)
+    * is EXACT in BIGINT (counts scaled by n instead of subtracting the
+    * fractional mean); the change point is the day maximizing |S_d|
+    * (ties → earliest day). Emits per key: the argmax day offset, the
+    * peak |S| and its sign (level shift up vs down), and n·T for scale
+    * context. One dense-spine window pass per key. */
+  def cusumChangePoint(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"))
+      .crossJoin(daily.select("key").distinct())
+    val dense = spine
+      .join(daily, Seq("key", "day"), "left")
+      .select(
+        col("key"),
+        datediff(col("day"), col("lo")).cast("long").as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val wk = Window.partitionBy(col("key"))
+    val wcum = Window.partitionBy(col("key")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("nd", count(lit(1)).over(wk))
+      .withColumn("tot", sum(col("y")).over(wk))
+      .withColumn("s", sum(col("y") * col("nd") - col("tot")).over(wcum))
+      .groupBy(col("key"))
+      .agg(
+        max(struct(abs(col("s")).as("a"), (-col("x")).as("nx"), col("s").as("sv")))
+          .as("__graft_m"),
+        max(col("nd")).as("days"),
+        max(col("tot")).as("total"))
+      .select(
+        col("key"), col("days"), col("total"),
+        (-col("__graft_m.nx")).as("change_day"),
+        col("__graft_m.a").as("peak_abs"),
+        when(col("__graft_m.sv") >= 0, "up_then_down").otherwise("down_then_up").as("shift"))
+  }
+
   /** Seasonal-naive forecast error monitor: daily observation counts per
     * key over a DENSE date spine (missing days count 0 — a gap is real
     * signal, not absence of a row), forecast(d) = actual(d − period),

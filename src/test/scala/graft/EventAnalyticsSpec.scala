@@ -111,6 +111,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Set(("a", -1L, 1L), ("b", 1L, 1L), ("a", 3L, 1L)))
   }
 
+  test("dailyTrend classifies growth exactly, gaps count as zero days") {
+    // key g: counts 1,2,3 on consecutive days -> exact slope 1 (num=den)
+    val g = (1 to 1).map(_ => ("g", ts("2024-01-01 10:00:00"))) ++
+      (1 to 2).map(_ => ("g", ts("2024-01-02 10:00:00"))) ++
+      (1 to 3).map(_ => ("g", ts("2024-01-03 10:00:00")))
+    // key f: 2,0(gap),2 -> slope 0 (flat) only because the gap day scores 0
+    val f = (1 to 2).map(_ => ("f", ts("2024-01-01 10:00:00"))) ++
+      (1 to 2).map(_ => ("f", ts("2024-01-03 10:00:00")))
+    val got = EventAnalytics.dailyTrend((g ++ f).toDF("event_type", "ts"), "event_type", "ts")
+      .select("key", "slope_num", "slope_den", "trend")
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // n=3, x=0,1,2: num = 3*Σxy - Σx*Σy; g: Σxy=0+2+6=8, 3*8-3*6=6; den=3*5-9=6
+    assert(got("g") == ((6L, 6L, "growing")))
+    assert(got("f") == ((0L, 6L, "flat")))
+  }
+
+  test("cusumChangePoint locates a level shift at its boundary") {
+    // 6 days: 0,0,0,6,6,6 -> S_d peaks (in |.|) at day 2 (end of the low
+    // regime): S = (6*y_i - 18) summed = -18,-36,-54,-36,-18,0
+    val rows = (0 until 3).flatMap(d =>
+      Seq.fill(0)(("k", ts(f"2024-02-0${d + 1} 10:00:00")))) ++
+      (3 until 6).flatMap(d => Seq.fill(6)(("k", ts(f"2024-02-0${d + 1} 10:00:00")))) :+
+      (("k", ts("2024-02-01 10:00:00"))) // day 0 needs >=1 row to anchor the spine
+    val got = EventAnalytics.cusumChangePoint(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select("key", "days", "total", "change_day", "shift")
+      .as[(String, Long, Long, Long, String)].head()
+    // counts: 1,0,0,6,6,6 (total 19, n=6); S_d = Σ(6*y - 19):
+    // -13,-32,-51,-34,-17,0 -> peak |S| at day 2, below the mean first
+    assert(got == (("k", 6L, 19L, 2L, "down_then_up")))
+  }
+
   test("period must be positive") {
     val one = Seq(("z", ts("2024-03-01 12:00:00"))).toDF("event_type", "ts")
     intercept[IllegalArgumentException] {
