@@ -7026,6 +7026,51 @@ object Queries {
                    CASE WHEN s >= 0 THEN 'up_then_down' ELSE 'down_then_up' END AS shift
             FROM pick WHERE rn = 1 ORDER BY 1"""))
 
+  /** Mixture epoch planner (the data-mixing step BEFORE sampling): given
+    * a token budget and uniform per-source target weights, compute each
+    * source's required tokens, epochs over its actual supply (ceil,
+    * capped at 4 — the standard repetition guard), served tokens, and
+    * repeated-token fraction — all integer arithmetic over per-source
+    * BPE-ish token supplies (the q178 piece formula, replayed without
+    * lookaround by the oracle). */
+  val q199_epoch_plan = Q(
+    "q199_epoch_plan",
+    (s, dir) => {
+      val budget = 2000000L
+      val capEpochs = 4L
+      val supply = TextFunctions.fertilityCounts(t(s, dir, "documents"), "text")
+        .groupBy(col("source"))
+        .agg(sum(col("n_pieces")).as("supply"))
+      val nSrc = supply.select(countDistinct(col("source")).as("n_src"))
+      supply.crossJoin(broadcast(nSrc))
+        .withColumn("need", expr(s"($budget div n_src)"))
+        .withColumn("epochs",
+          expr(s"least($capEpochs, (need + supply - 1) div supply)"))
+        .withColumn("served", expr("least(need, epochs * supply)"))
+        .withColumn("rep_ppm",
+          expr("(1000000 * (served - least(supply, served))) div served"))
+        .select(col("source"), col("supply").cast("long").as("supply"),
+          col("need").cast("long").as("need"), col("epochs").cast("long").as("epochs"),
+          col("served").cast("long").as("served"), col("rep_ppm").cast("long").as("rep_ppm"))
+        .orderBy("source")
+    },
+    Some("""WITH sup AS (
+              SELECT source,
+                     CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                              + len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))) AS BIGINT) AS supply
+              FROM documents GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM sup),
+            plan AS (
+              SELECT source, supply, 2000000 // n_src AS need,
+                     LEAST(4, (2000000 // n_src + supply - 1) // supply) AS epochs
+              FROM sup, n),
+            served AS (
+              SELECT *, LEAST(need, epochs * supply) AS served FROM plan)
+            SELECT source, supply, need, CAST(epochs AS BIGINT) AS epochs,
+                   CAST(served AS BIGINT) AS served,
+                   CAST((1000000 * (served - LEAST(supply, served))) // served AS BIGINT) AS rep_ppm
+            FROM served ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7076,5 +7121,5 @@ object Queries {
     q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
     q194_file_skipping, q195_quota_sample, q196_topk_pushdown,
-    q197_volume_trend, q198_change_point)
+    q197_volume_trend, q198_change_point, q199_epoch_plan)
 }
