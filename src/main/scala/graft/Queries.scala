@@ -7071,6 +7071,102 @@ object Queries {
                    CAST((1000000 * (served - LEAST(supply, served))) // served AS BIGINT) AS rep_ppm
             FROM served ORDER BY 1"""))
 
+  /** Sketch-fidelity audit (the meta-check every sketch deployment owes
+    * itself): for EVERY doc pair in an 80-doc slice, the 64-hash minhash
+    * Jaccard estimate (matching signature components / 64) against the
+    * exact shingle Jaccard, error-histogrammed in 10k-ppm buckets — the
+    * empirical accuracy report that justifies the band/row choices used
+    * by the whole dedup family. Integer end-to-end; the oracle replays
+    * hashing, all 64 universal-hash mins, and the exact intersections. */
+  val q200_sketch_fidelity = Q(
+    "q200_sketch_fidelity",
+    (s, dir) => {
+      import graft.text.Dedup
+      val d = t(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val sh = Dedup.hashedShingleSets(d, "doc_id", "text", 3).localCheckpoint(true)
+      val sigs = Dedup.minhashSignaturesFromShingles(sh, "doc_id", 64)
+      val a = sigs.select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
+      val matches = (0 until 64)
+        .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = a.join(b, col("a_doc_id") < col("b_doc_id"))
+        .select(col("a_doc_id").as("id1"), col("b_doc_id").as("id2"),
+          matches.as("matches"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      val inter = sh
+        .select(col("doc_id"), explode(array_compact(col("sh"))).as("g"))
+        .as("x")
+        .join(sh.select(col("doc_id"), explode(array_compact(col("sh"))).as("g")).as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("s1")), Seq("id1"))
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("s2")), Seq("id2"))
+        .withColumn("iv", coalesce(col("inter"), lit(0L)))
+        .withColumn("est_ppm", expr("(1000000 * matches) div 64"))
+        .withColumn("ex_ppm", expr("(1000000 * iv) div (s1 + s2 - iv)"))
+        .withColumn("bucket", expr("abs(est_ppm - ex_ppm) div 10000"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("matches")).cast("long").as("sum_matches"),
+          sum(col("iv")).cast("long").as("sum_inter"))
+        .orderBy("bucket")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = s"SELECT CAST(doc_id AS BIGINT) AS doc_id, ${normalizeSql("text")} AS norm " +
+        "FROM documents WHERE doc_id < 80"
+      val shingles =
+        s"""SELECT doc_id, unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                     p -> toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3]) END) AS sh
+            FROM (SELECT doc_id, list_filter(string_split(norm, ' '), t -> len(t) > 0) AS toks
+                  FROM ($base))"""
+      val dist = s"SELECT DISTINCT doc_id, sh FROM ($shingles)"
+      val hashed = xxhash64Stages(dist, "sh", "hv", pfx = "__b")
+      val coefs = graft.text.Dedup.minhashCoefs(64).zipWithIndex
+        .map { case ((av, bv), i) => s"($i, $av, $bv)" }.mkString(", ")
+      s"""WITH hashed AS MATERIALIZED ($hashed),
+            coefs(i, a, b) AS (VALUES $coefs),
+            mins AS MATERIALIZED (
+              SELECT doc_id, i,
+                     MIN((CAST(a AS BIGINT) * (((hv % 2147483647) + 2147483647) % 2147483647)
+                          + b) % 2147483647) AS h
+              FROM hashed CROSS JOIN coefs GROUP BY 1, 2),
+            est AS (
+              SELECT x.doc_id AS id1, y.doc_id AS id2,
+                     CAST(SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS BIGINT) AS matches
+              FROM mins x JOIN mins y ON x.i = y.i AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+                      FROM ($dist) GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS id1, y.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS iv
+              FROM ($dist) x JOIN ($dist) y
+                ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT e.id1, e.id2, e.matches, COALESCE(i.iv, 0) AS iv, sa.sz AS s1, sb.sz AS s2
+              FROM est e
+              LEFT JOIN inter i ON i.id1 = e.id1 AND i.id2 = e.id2
+              JOIN sizes sa ON sa.doc_id = e.id1
+              JOIN sizes sb ON sb.doc_id = e.id2),
+            scored AS (
+              SELECT matches, iv,
+                     ABS((1000000 * matches) // 64 - (1000000 * iv) // (s1 + s2 - iv)) // 10000 AS bucket
+              FROM pairs)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(matches) AS BIGINT) AS sum_matches,
+                   CAST(SUM(iv) AS BIGINT) AS sum_inter
+            FROM scored GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7121,5 +7217,6 @@ object Queries {
     q187_blocklist, q188_sql_surface, q189_time_travel, q190_stream_upsert,
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
     q194_file_skipping, q195_quota_sample, q196_topk_pushdown,
-    q197_volume_trend, q198_change_point, q199_epoch_plan)
+    q197_volume_trend, q198_change_point, q199_epoch_plan,
+    q200_sketch_fidelity)
 }
