@@ -7167,6 +7167,87 @@ object Queries {
             FROM scored GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Reciprocal nearest neighbors (parallel-corpus mining): pairs where
+    * each vector is in the OTHER's cosine top-5 — the mutual-kNN
+    * criterion (Artetxe/margin-mining family) that filters hubness
+    * out of raw nearest-neighbor pairs. Composes bruteForceTopK over a
+    * 60-vector slice; emitted once per unordered pair. */
+  val q201_mutual_knn = Q(
+    "q201_mutual_knn",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val topk = Similarity.bruteForceTopK(emb, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .localCheckpoint(true) // both sides of the mutuality join
+      topk.as("f")
+        .join(topk.as("r"),
+          col("f.query_id") === col("r.neighbor_id") &&
+            col("f.neighbor_id") === col("r.query_id") &&
+            col("f.query_id") < col("f.neighbor_id"))
+        .select(
+          col("f.query_id").cast("long").as("id1"),
+          col("f.neighbor_id").cast("long").as("id2"),
+          round(col("f.cosine"), 4).as("cos12"),
+          round(col("r.cosine"), 4).as("cos21"))
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 60),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+            topk AS (
+              SELECT query_id, neighbor_id, cos FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 5)
+            SELECT CAST(f.query_id AS BIGINT) AS id1,
+                   CAST(f.neighbor_id AS BIGINT) AS id2,
+                   ROUND(f.cos, 4) AS cos12, ROUND(r.cos, 4) AS cos21
+            FROM topk f JOIN topk r
+              ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+             AND f.query_id < f.neighbor_id
+            ORDER BY id1, id2"""))
+
+  /** Cross-source decile calibration: each doc's quality proxy mapped to
+    * its WITHIN-SOURCE decile (integer rank arithmetic, total (value, id)
+    * order) — the score-normalization step before corpus-wide thresholds,
+    * since a raw cutoff means different things in different sources.
+    * Output pins the (source-agnostic) decile populations and per-decile
+    * char sums. */
+  val q202_decile_calibration = Q(
+    "q202_decile_calibration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("decile", expr("(10 * (rk - 1)) div n"))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("source")).cast("long").as("n_sources"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("decile")
+    },
+    Some("""WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT CAST((10 * (rk - 1)) // n AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7218,5 +7299,5 @@ object Queries {
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
     q194_file_skipping, q195_quota_sample, q196_topk_pushdown,
     q197_volume_trend, q198_change_point, q199_epoch_plan,
-    q200_sketch_fidelity)
+    q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration)
 }
