@@ -7248,6 +7248,217 @@ object Queries {
                    CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM r GROUP BY 1 ORDER BY 1"""))
 
+  /** Pareto-skyline data selection (minimize price, maximize size over
+    * `part`): the multi-objective selection primitive, via the sort-free
+    * [[graft.operators.Skyline]] plan — per-x partial aggregate, a
+    * prefix-scan over the DISTINCT-x frame only, broadcast join back.
+    * The oracle is the independent quadratic NOT-EXISTS dominance
+    * spelling, which must agree exactly. */
+  val q203_skyline = Q(
+    "q203_skyline",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      graft.operators.Skyline
+        .pareto2d(
+          p.select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          "p_retailprice", "p_size")
+        .select(
+          col("p_partkey").cast("long").as("p_partkey"),
+          col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_retailprice,
+                   CAST(p.p_size AS BIGINT) AS p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+            ORDER BY p_partkey"""))
+
+  /** KMV theta-sketch audience overlap: per event-type pair, the union-
+    * sketch common count, kept union size, integer Jaccard estimate, and
+    * the exact intersection alongside (the expensive raw-key join the
+    * sketch replaces — kept here as the fidelity reference, q200-style).
+    * Sketch build rides the custom TopK physical operator (map-side
+    * bounded heaps); everything after operates on the groups×k bounded
+    * sketch frame. Oracle replays the full hash→min-k→union→rank
+    * arithmetic through tools.OracleSql's XXH64-in-SQL. */
+  val q204_kmv_overlap = Q(
+    "q204_kmv_overlap",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val sk = Sketches.kmvSketches(ev, "event_type", "user_id", 64)
+      val overlap = Sketches.kmvOverlap(sk, 64)
+      val d = ev.distinct().cache()
+      val exact = d.as("x")
+        .join(d.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("g1"), col("y.event_type").as("g2"))
+        .agg(count(lit(1)).as("exact_common"))
+      val out = overlap.join(exact, Seq("g1", "g2"), "left")
+        .select(
+          col("g1"), col("g2"),
+          col("kmv_common").cast("long").as("kmv_common"),
+          col("union_kept").cast("long").as("union_kept"),
+          col("jaccard_est_ppm").cast("long").as("jaccard_est_ppm"),
+          coalesce(col("exact_common"), lit(0L)).cast("long").as("exact_common"))
+        .orderBy("g1", "g2")
+      val materialized = out.localCheckpoint(true)
+      d.unpersist()
+      materialized
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val dist = "SELECT DISTINCT event_type AS g, user_id FROM events"
+      val hashed = xxhash64LongStages(dist, "user_id", "h")
+      s"""WITH hashed AS ($hashed),
+            hs AS (SELECT DISTINCT g, h FROM hashed),
+            sk AS (SELECT g, h FROM (
+                     SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+                     FROM hs) WHERE rk <= 64),
+            gs AS (SELECT DISTINCT g FROM sk),
+            pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+            merged AS (SELECT g1, g2, h, COUNT(DISTINCT mg) AS sides FROM (
+                         SELECT p.g1, p.g2, s.g AS mg, s.h
+                         FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2)
+                       GROUP BY 1, 2, 3),
+            kept AS (SELECT * FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+                       FROM merged) WHERE rk <= 64),
+            est AS (SELECT g1, g2,
+                           CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS kmv_common,
+                           CAST(COUNT(*) AS BIGINT) AS union_kept
+                    FROM kept GROUP BY 1, 2),
+            d AS ($dist),
+            exact AS (SELECT x.g AS g1, y.g AS g2, CAST(COUNT(*) AS BIGINT) AS exact_common
+                      FROM d x JOIN d y ON x.user_id = y.user_id AND x.g < y.g
+                      GROUP BY 1, 2)
+          SELECT e.g1, e.g2, e.kmv_common, e.union_kept,
+                 CAST((1000000 * e.kmv_common) // e.union_kept AS BIGINT) AS jaccard_est_ppm,
+                 COALESCE(x.exact_common, 0) AS exact_common
+          FROM est e LEFT JOIN exact x ON e.g1 = x.g1 AND e.g2 = x.g2
+          ORDER BY 1, 2"""
+    })
+
+  /** Model-based quality gate via the hashing trick: every document scored
+    * by a hashed-feature linear classifier — ONE codegen expression
+    * ([[graft.plans.HashedLinearScore]]), so the whole corpus is scored
+    * map-side at scan speed, the shape a learned quality filter must have
+    * at 100 TB. Weights are the deterministic integer ramp (b mod 7) − 3
+    * over 4096 buckets, so per-source pass/score aggregates are exact
+    * BIGINTs; the oracle replays tokenize→xxhash64→bucket→ramp→sum in SQL. */
+  val q205_hash_classifier = Q(
+    "q205_hash_classifier",
+    (s, dir) => {
+      import graft.text.TextFunctions
+      import org.apache.spark.sql.graft.ExprColumn
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(TextFunctions.normalize(col("text"))))
+        .withColumn("score",
+          ExprColumn(graft.plans.HashedLinearScore(ExprColumn.expr(col("toks")), 4096)))
+      d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          count(col("score")).cast("long").as("n_scored"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).cast("long").as("n_pass"),
+          coalesce(sum(col("score")), lit(0L)).cast("long").as("sum_score"))
+        .orderBy("source")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = s"SELECT doc_id, source, " +
+        s"list_filter(string_split(${normalizeSql("text")}, ' '), t -> len(t) > 0) AS toks " +
+        "FROM documents"
+      val tk = s"SELECT doc_id, unnest(toks) AS tok FROM ($base)"
+      val hashed = xxhash64Stages(tk, "tok", "hv", pfx = "__q205")
+      s"""WITH base AS ($base),
+            hashed AS ($hashed),
+            sc AS (SELECT doc_id,
+                          CAST(SUM(((((hv % 4096) + 4096) % 4096) % 7) - 3) AS BIGINT) AS score
+                   FROM hashed GROUP BY 1)
+          SELECT b.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(sc.score) AS BIGINT) AS n_scored,
+                 CAST(SUM(CASE WHEN sc.score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                 CAST(COALESCE(SUM(sc.score), 0) AS BIGINT) AS sum_score
+          FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id
+          GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Column-level lineage report over a four-table revenue pipeline —
+    * Catalyst-native governance tooling ([[graft.plans.Lineage]]): the
+    * analyzed plan's ExprIds are folded bottom-up into per-output-column
+    * source sets, no data touched. The oracle is the hand-derived expected
+    * mapping (the strongest form for constructed inputs: the answer comes
+    * from the pipeline's definition, not from replaying the extractor). */
+  val q206_lineage = Q(
+    "q206_lineage",
+    (s, dir) => {
+      val pipeline = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("n_name").as("nation_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+      graft.plans.Lineage.report(pipeline).orderBy("out_col")
+    },
+    Some("""SELECT * FROM (VALUES
+              ('n_orders', 'orders.o_orderkey'),
+              ('n_rows', 'literal'),
+              ('nation_name', 'nation.n_name'),
+              ('revenue', 'lineitem.l_discount,lineitem.l_extendedprice')
+            ) AS v(out_col, sources) ORDER BY out_col"""))
+
+  /** Corpus Zipf-law audit: global word-frequency ranks bucketed by
+    * floor-log2(rank) with per-bucket counts and frequency mass — the
+    * vocabulary-shape report behind tokenizer and filtering decisions.
+    * One word-count aggregate (map-side combine over the corpus), then a
+    * single global sort of the VOCABULARY (≪ corpus; the only global
+    * stage touches distinct words, never documents). Integer-only via the
+    * floor-log2 `length(bin(rank)) − 1` spelling, bit-stable across
+    * engines. */
+  val q207_zipf = Q(
+    "q207_zipf",
+    (s, dir) => {
+      import graft.text.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("w"))
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      freq
+        .withColumn("rank", row_number().over(Window.orderBy(col("f").desc, col("w"))))
+        .withColumn("bucket", expr("length(bin(rank)) - 1").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).cast("long").as("n_words"),
+          sum(col("f")).cast("long").as("freq_mass"),
+          max(col("f")).cast("long").as("max_f"),
+          min(col("f")).cast("long").as("min_f"))
+        .orderBy("bucket")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(${normalizeSql("text")}, ' '),
+                                      t -> len(t) > 0)) AS w
+                        FROM documents),
+            f AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY 1),
+            r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank FROM f)
+          SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(f) AS BIGINT) AS freq_mass,
+                 CAST(MAX(f) AS BIGINT) AS max_f,
+                 CAST(MIN(f) AS BIGINT) AS min_f
+          FROM r GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7299,5 +7510,7 @@ object Queries {
     q191_rolling_distinct, q192_event_trigrams, q193_weekday_profile,
     q194_file_skipping, q195_quota_sample, q196_topk_pushdown,
     q197_volume_trend, q198_change_point, q199_epoch_plan,
-    q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration)
+    q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration,
+    q203_skyline, q204_kmv_overlap, q205_hash_classifier, q206_lineage,
+    q207_zipf)
 }

@@ -206,4 +206,66 @@ object Sketches {
     cum.groupBy(groupCols.map(col): _*)
       .agg(first(col("__graft_n")).cast("long").as("n"), qcols: _*)
   }
+
+  /** KMV (k-minimum-values) theta sketch per group: the k smallest
+    * `xxhash64(value)` hashes of the group's DISTINCT values (Bar-Yossef
+    * et al. '02; the mergeable-set-sketch family DataSketches calls theta).
+    * This is the sketch that answers what HLL cannot: SET OPERATIONS.
+    * A KMV sketch of A∪B is the k smallest of the merged hash sets, and
+    * the fraction of those union-minima present in both sides estimates
+    * Jaccard — so bounded ~k·8-byte summaries give intersection/overlap
+    * estimates between corpus-sized sets without ever joining the raw keys.
+    *
+    * Ordering is on the SIGNED hash value: any fixed total order over a
+    * uniform 64-bit hash yields a uniform minimum sample, and signed order
+    * is what both Spark's `xxhash64` and the DuckDB oracle replay natively
+    * (no unsigned-compare gymnastics in ANSI mode). The k-smallest pass is
+    * the custom [[TopK]] physical operator — map-side bounded heaps, ≤ k
+    * rows per group per partition into one exchange; at 100 TB the shuffle
+    * carries sketches, never keys. */
+  def kmvSketches(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"kmvSketches: k must be >= 1, got $k")
+    val hashed = df
+      .select(col(groupCol).as("g"), xxhash64(col(valueCol)).as("h"))
+      .distinct()
+    TopK.perGroup(hashed, Seq("g"), Seq(("h", true)), k)
+  }
+
+  /** Pairwise overlap report from KMV sketches: for every group pair
+    * (g1 < g2), the union sketch (k smallest of the merged distinct
+    * hashes), how many of those union-minima occur in BOTH sides
+    * (`kmv_common`), the union sample size actually kept (`union_kept` =
+    * min(k, |A∪B|) — smaller only when the true union is), and the
+    * integer-exact Jaccard estimate `ppm = (10⁶ · common) div kept`.
+    *
+    * Everything here operates on the sketch frame, whose size is bounded
+    * by groups×k regardless of corpus size — the pair join, the OR-shaped
+    * membership join and the per-pair rank are all over that bounded frame
+    * (broadcast-scale by construction), which is the entire point. */
+  def kmvOverlap(sketches: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sketches.cache()
+    val groups = s.select(col("g")).distinct()
+    val pairs = groups.as("a")
+      .join(groups.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g1"), col("b.g").as("g2"))
+    val member = s.select(col("g").as("mg"), col("h"))
+    val merged = pairs
+      .join(broadcast(member), col("mg") === col("g1") || col("mg") === col("g2"))
+      .groupBy(col("g1"), col("g2"), col("h"))
+      .agg(countDistinct(col("mg")).as("sides"))
+    val ranked = merged
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("g1"), col("g2")).orderBy(col("h"))))
+      .filter(col("rk") <= k)
+    val out = ranked
+      .groupBy(col("g1"), col("g2"))
+      .agg(
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("kmv_common"),
+        count(lit(1)).as("union_kept"))
+      .withColumn("jaccard_est_ppm", expr("(1000000 * kmv_common) div union_kept"))
+    val materialized = out.localCheckpoint(true)
+    s.unpersist()
+    materialized
+  }
 }

@@ -576,3 +576,81 @@ case class MergeAdjacentPair(child: Expression, left: String, right: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Map-side hashed-feature linear classifier score (the "hashing trick"
+  * of Weinberger '09 / fastText's bag-of-features linear layer): each
+  * token indexes a weight table through `bucket = pmod(xxhash64(tok), B)`
+  * and the document score is the plain sum of its token weights — one
+  * primitive loop per row in the scan stage, zero shuffle, the shape a
+  * model-based quality filter must have to run over 100 TB of crawl
+  * (score EVERY document at scan speed, never materialize features).
+  *
+  * The weight table is any deterministic function of the bucket id; graft
+  * ships the integer ramp `w(b) = (b mod 7) − 3 ∈ [−3, 3]` so scores stay
+  * exact BIGINTs (a trained model would broadcast a real float table —
+  * the plumbing is identical, one array lookup per token). Integer sums
+  * in the JVM loop wrap at 2⁶⁴ like every hand-written graft kernel (no
+  * ANSI overflow; unreachable anyway — |score| ≤ 3·tokens).
+  *
+  * Null tokens hash like `xxhash64(NULL)` (= the seed); empty arrays
+  * yield NULL (consistent with [[SimHash64]]/[[MinHashSignature]]: "no
+  * tokens" is signal-absent, not score-zero). */
+case class HashedLinearScore(child: Expression, buckets: Int) extends UnaryExpression {
+
+  require(buckets >= 1, s"hashed_linear_score: buckets must be >= 1, got $buckets")
+
+  private val Seed = 42L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"hashed_linear_score requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // empty token array → NULL
+  override def prettyName: String = "hashed_linear_score"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var score = 0L
+    var j = 0
+    while (j < n) {
+      val h = if (arr.isNullAt(j)) Seed else XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+      val b = ((h % buckets) + buckets) % buckets
+      score += (b % 7) - 3
+      j += 1
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val score = ctx.freshName("score")
+      s"""
+         |final int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $score = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final long $h = $arr.isNullAt($j)
+         |      ? ${Seed}L
+         |      : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($arr.getUTF8String($j), ${Seed}L);
+         |    final long $b = (($h % ${buckets}L) + ${buckets}L) % ${buckets}L;
+         |    $score += ($b % 7L) - 3L;
+         |  }
+         |  ${ev.value} = $score;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
