@@ -7459,6 +7459,241 @@ object Queries {
           FROM r GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Product-quantization ANN (Jégou '11) — the beyond-IVF scale path:
+    * integer-exact PQ end to end ([[graft.ml.Pq]]): floor-quantized grid,
+    * 2 integer-Lloyd rounds per subspace (M=8 × K=4 codebooks over 64
+    * dims), map-side codegen encoding, broadcast ADC lookup tables, top-5
+    * per query via the custom TopK operator, with the exact quantized L2²
+    * audited alongside on the result rows. The oracle replays EVERY stage
+    * value-exactly in DuckDB — quantization, seeding, both Lloyd rounds
+    * (materialized iterated CTEs), encoding, ADC sums, ranking, and the
+    * 64-term exact distance. */
+  val q208_pq_ann = Q(
+    "q208_pq_ann",
+    (s, dir) => {
+      import graft.ml.Pq
+      import graft.operators.TopK
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val M = 8; val K = 4; val SD = 8; val ITERS = 2; val SCALE = 64
+      val emb = t(s, dir, "embeddings")
+        .select(
+          col("vec_id").cast("long").as("vec_id"),
+          Pq.quantized(col("embedding"), SCALE).as("qv"))
+        .cache() // drives the training iteration and the encode pass
+      val cb = Pq.train(emb, "vec_id", "qv", M, K, SD, ITERS)
+      val encoded = Pq.encode(emb, "qv", cb)
+      val queries = emb.filter(col("vec_id") < 5).collect()
+      val qdf = queries.toSeq
+        .map(r => (r.getLong(0), Pq.adcTable(r.getSeq[Long](1), cb)))
+        .toDF("query_id", "tab")
+      val scored = encoded
+        .crossJoin(broadcast(qdf))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc_dist", Pq.adcDistance(cb))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+      val top = TopK.perGroup(
+        scored, Seq("query_id"), Seq(("adc_dist", true), ("neighbor_id", true)), 5)
+      val ranked = top.withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))))
+      val qq = queries.toSeq.map(r => (r.getLong(0), r.getSeq[Long](1))).toDF("query_id", "qq")
+      val out = ranked
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qn")), "neighbor_id")
+        .join(broadcast(qq), "query_id")
+        .withColumn("exact_d2",
+          expr("aggregate(zip_with(qn, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .select(
+          col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          col("adc_dist").cast("long").as("adc_dist"),
+          col("exact_d2").cast("long").as("exact_d2"))
+        .orderBy("query_id", "rank")
+      val materialized = out.localCheckpoint(true)
+      emb.unpersist()
+      materialized
+    },
+    Some {
+      val M = 8; val K = 4; val SD = 8; val ITERS = 2; val SCALE = 64
+      def dist(sv: String, cw: String): String =
+        (1 to SD).map(d => s"(($sv[$d] - $cw[$d]) * ($sv[$d] - $cw[$d]))").mkString(" + ")
+      val sb = new StringBuilder
+      sb ++= s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $SCALE) AS BIGINT)) AS qv
+                 FROM embeddings),
+            ranked0 AS (SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM q),
+            seeds AS MATERIALIZED (
+              SELECT CAST(r.range AS INT) AS c, k.qv
+              FROM range($K) r JOIN ranked0 k
+                ON k.rk = 1 + r.range * ((SELECT COUNT(*) FROM q) // $K)),
+            subv AS MATERIALIZED (
+              SELECT vec_id, CAST(mr.range AS INT) AS m,
+                     list_slice(qv, mr.range * $SD + 1, mr.range * $SD + $SD) AS sv
+              FROM q CROSS JOIN range($M) mr),
+            cb0 AS MATERIALIZED (
+              SELECT CAST(mr.range AS INT) AS m, s.c,
+                     list_slice(s.qv, mr.range * $SD + 1, mr.range * $SD + $SD) AS cw
+              FROM range($M) mr CROSS JOIN seeds s),"""
+      val cwUpdate = (1 to SD)
+        .map(d => s"CAST(FLOOR(CAST(SUM(b.sv[$d]) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+        .mkString(", ")
+      for (i <- 0 until ITERS) {
+        sb ++= s"""
+            a$i AS MATERIALIZED (
+              SELECT vec_id, m, sv, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+              FROM (SELECT s.vec_id, s.m, s.sv, cb.c, ${dist("s.sv", "cb.cw")} AS dist
+                    FROM subv s JOIN cb$i cb ON cb.m = s.m)),
+            cb${i + 1} AS MATERIALIZED (
+              SELECT p.m, p.c, CASE WHEN u.cnt IS NULL THEN p.cw ELSE u.cw END AS cw
+              FROM cb$i p LEFT JOIN (
+                SELECT b.m, b.c, COUNT(*) AS cnt, [$cwUpdate] AS cw
+                FROM (SELECT * FROM a$i WHERE rn = 1) b GROUP BY 1, 2) u
+                ON u.m = p.m AND u.c = p.c),"""
+      }
+      val exact64 = (1 to M * SD)
+        .map(d => s"(a.qv[$d] - b.qv[$d]) * (a.qv[$d] - b.qv[$d])")
+        .mkString(" + ")
+      sb ++= s"""
+            encode AS MATERIALIZED (
+              SELECT vec_id, m, c FROM (
+                SELECT s.vec_id, s.m, cb.c,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                          ORDER BY ${dist("s.sv", "cb.cw")}, cb.c) AS rn
+                FROM subv s JOIN cb$ITERS cb ON cb.m = s.m) WHERE rn = 1),
+            qsub AS (SELECT vec_id AS query_id, m, sv FROM subv WHERE vec_id < 5),
+            tt AS MATERIALIZED (
+              SELECT t.query_id, t.m, cb.c, ${dist("t.sv", "cb.cw")} AS d
+              FROM qsub t JOIN cb$ITERS cb ON cb.m = t.m),
+            adc AS MATERIALIZED (
+              SELECT tt.query_id, e.vec_id AS neighbor_id, CAST(SUM(tt.d) AS BIGINT) AS adc_dist
+              FROM encode e JOIN tt ON tt.m = e.m AND tt.c = e.c
+              WHERE e.vec_id <> tt.query_id GROUP BY 1, 2),
+            sel AS (SELECT * FROM (
+                      SELECT query_id, neighbor_id, adc_dist,
+                             ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY adc_dist, neighbor_id) AS rank
+                      FROM adc) WHERE rank <= 5)
+          SELECT s.query_id, CAST(s.rank AS BIGINT) AS rank, s.neighbor_id, s.adc_dist,
+                 CAST($exact64 AS BIGINT) AS exact_d2
+          FROM sel s
+          JOIN q a ON a.vec_id = s.query_id
+          JOIN q b ON b.vec_id = s.neighbor_id
+          ORDER BY query_id, rank"""
+      sb.toString
+    })
+
+  /** Greedy k-center coreset (Gonzalez '85 farthest-point traversal) over
+    * integer-quantized embeddings — the maximally-diverse-subset primitive
+    * of data curation ([[graft.ml.Coreset]]). Each round is one map-side
+    * running-min update against only the newest pick plus a top-1 reduce;
+    * the oracle replays all 8 rounds as materialized CTE stages with
+    * explicit 64-term integer distances, ties to smallest id. */
+  val q209_coreset = Q(
+    "q209_coreset",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          graft.ml.Pq.quantized(col("embedding"), 64).as("qv"))
+      val picks = graft.ml.Coreset.kCenterGreedy(emb, "vec_id", "qv", 8)
+      picks.map { case (r, id, d) => (r.toLong, id, d) }
+        .toDF("round", "vec_id", "maxmin_d2")
+        .orderBy("round")
+    },
+    Some {
+      val K = 8
+      def dist(a: String, b: String): String =
+        (1 to 64).map(d => s"(($a[$d] - $b[$d]) * ($a[$d] - $b[$d]))").mkString(" + ")
+      val sb = new StringBuilder
+      sb ++= """WITH q AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                   list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+                 FROM embeddings),
+            p0 AS MATERIALIZED (SELECT id, qv FROM q ORDER BY id LIMIT 1),
+            m0 AS MATERIALIZED (SELECT q.id, q.qv, """ + dist("q.qv", "s.qv") +
+        " AS d FROM q CROSS JOIN p0 s),"
+      for (i <- 1 until K) {
+        val excl = (0 until i).map(j => s"SELECT id FROM p$j").mkString(" UNION ALL ")
+        sb ++= s"""
+            p$i AS MATERIALIZED (SELECT id, qv, d FROM m${i - 1}
+                                 WHERE id NOT IN ($excl)
+                                 ORDER BY d DESC, id LIMIT 1),"""
+        if (i < K - 1) {
+          sb ++= s"""
+            m$i AS MATERIALIZED (SELECT m.id, m.qv,
+                                        LEAST(m.d, ${dist("m.qv", "p.qv")}) AS d
+                                 FROM m${i - 1} m CROSS JOIN p$i p),"""
+        }
+      }
+      val rounds = (s"SELECT 0 AS round, id AS vec_id, 0 AS maxmin_d2 FROM p0" +:
+        (1 until K).map(i => s"SELECT $i, id, d FROM p$i")).mkString(" UNION ALL ")
+      sb ++= s"""
+            res AS ($rounds)
+          SELECT CAST(round AS BIGINT) AS round, vec_id,
+                 CAST(maxmin_d2 AS BIGINT) AS maxmin_d2
+          FROM res ORDER BY round"""
+      sb.toString
+    })
+
+  /** A/B experiment readout with an integer-exact decision statistic:
+    * users hash-split into arms, per-event-type 2×2 contingency tables,
+    * and significance decided by the cross-multiplied Pearson χ² test
+    * `25·N·(ad−bc)² ≥ 96·r₁·r₂·c₁·c₂` (χ²₁ ≥ 3.84 as the exact rational
+    * 96/25) — no libm, no float flap; the same integer-decision move as
+    * the TVD/CUSUM monitors. BIGINT products are safe through ~sf0.3
+    * (documented bound: N·(ad−bc)² < 2⁶³/25); beyond that the statistic
+    * needs the decimal path. */
+  val q210_ab_chisq = Q(
+    "q210_ab_chisq",
+    (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("value") > 75.0).as("conv"))
+        .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2)))
+      perUser
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 0 && !col("conv"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 1 && !col("conv"), 1L).otherwise(0L)).as("d"))
+        .withColumn("lhs",
+          lit(25L) * (col("a") + col("b") + col("c") + col("d")) *
+            (col("a") * col("d") - col("b") * col("c")) *
+            (col("a") * col("d") - col("b") * col("c")))
+        .withColumn("rhs",
+          lit(96L) * (col("a") + col("b")) * (col("c") + col("d")) *
+            (col("a") + col("c")) * (col("b") + col("d")))
+        .withColumn("significant",
+          when(col("rhs") > 0 && col("lhs") >= col("rhs"), 1L).otherwise(0L))
+        .select(col("event_type"),
+          col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("c").cast("long").as("c"), col("d").cast("long").as("d"),
+          col("significant"))
+        .orderBy("event_type")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val pu = "SELECT event_type, user_id, " +
+        "MAX(CASE WHEN value > 75.0 THEN 1 ELSE 0 END) AS conv " +
+        "FROM events GROUP BY 1, 2"
+      val hashed = xxhash64LongStages(pu, "user_id", "h")
+      s"""WITH hashed AS ($hashed),
+            armd AS (SELECT event_type, conv, ((h % 2) + 2) % 2 AS arm FROM hashed),
+            ct AS (SELECT event_type,
+                     CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                     CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                     CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+                   FROM armd GROUP BY 1)
+          SELECT event_type, a, b, c, d,
+                 CAST(CASE WHEN 96 * (a + b) * (c + d) * (a + c) * (b + d) > 0
+                            AND 25 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+                                >= 96 * (a + b) * (c + d) * (a + c) * (b + d)
+                           THEN 1 ELSE 0 END AS BIGINT) AS significant
+          FROM ct ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7512,5 +7747,5 @@ object Queries {
     q197_volume_trend, q198_change_point, q199_epoch_plan,
     q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration,
     q203_skyline, q204_kmv_overlap, q205_hash_classifier, q206_lineage,
-    q207_zipf)
+    q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq)
 }

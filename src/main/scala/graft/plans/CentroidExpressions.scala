@@ -297,3 +297,136 @@ case class MinSquaredDistance(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Integer-exact L2² codeword argmin — the product-quantization assignment
+  * kernel. Child is an `array<long>` (a QUANTIZED subvector); the codeword
+  * table rides as a codegen REFERENCE OBJECT (never an iteration-varying
+  * literal in the expression tree — same Janino-compile-stability rule as
+  * [[NearestCentroidIndex]]), and the squared distances are plain JVM long
+  * arithmetic, so assignment is bit-reproducible in any engine that
+  * replays the same integers (the DuckDB oracle does, term by term).
+  *
+  * Tie-break: STRICT `<`, so equal distances keep the SMALLEST codeword
+  * index — the oracle's `ORDER BY dist, c` replays it exactly. One
+  * primitive (K × dims) loop per row in the scan stage: PQ encoding of a
+  * 100 TB corpus is map-side, zero shuffle. */
+case class NearestCodewordL2(child: Expression, codewords: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  require(codewords.nonEmpty, "nearest_codeword_l2: empty codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"nearest_codeword_l2 requires array<long>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_codeword_l2"
+
+  @transient private lazy val matrix: Array[Array[Long]] = codewords.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < matrix.length) {
+      val cv = matrix(c)
+      val n = math.min(v.numElements(), cv.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = v.getLong(i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("codewordMatrix", matrix, "long[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val cv = ctx.freshName("cv")
+      s"""
+         |int $best = 0;
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  final long[] $cv = $m[$c];
+         |  final int $n = java.lang.Math.min($v.numElements(), $cv.length);
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $d = $v.getLong($i) - $cv[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact-integer squared L2 distance from an `array<long>` column to ONE
+  * fixed point — the inner kernel of the greedy k-center loop, where each
+  * round updates a running min-distance with `least(d, sqdist(qv, newPick))`.
+  * The point rides as a codegen reference object (it changes every round —
+  * embedding it as a literal would Janino-recompile per round, the q57
+  * lesson), and the arithmetic is plain JVM longs, bit-replayable in SQL
+  * as an explicit term sum. */
+case class SqDistL2(child: Expression, point: Seq[Long]) extends UnaryExpression {
+
+  require(point.nonEmpty, "sqdist_l2: empty point")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sqdist_l2 requires array<long>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sqdist_l2"
+
+  @transient private lazy val p: Array[Long] = point.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), p.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = v.getLong(i) - p(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pt = ctx.addReferenceObj("sqdistPoint", p, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), $pt.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $d = $v.getLong($i) - $pt[$i];
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
