@@ -7694,6 +7694,151 @@ object Queries {
           FROM ct ORDER BY 1"""
     })
 
+  /** Video near-duplicate detection by frame-signature shingles — the
+    * multimodal face of the dedup family: REAL AVI payloads are demuxed
+    * (q95's RIFF walker), per-frame solid-gray luminance recovered exactly
+    * (dyadic means × 256 → integers), consecutive-frame 2-gram shingles
+    * formed per video, and pairs scored by exact shingle Jaccard through
+    * the inverted-index equi-join (never all-pairs). The corpus
+    * construction plants near-dups (same footage, new last frame) and
+    * distractors; the oracle derives every expected pair from the
+    * (v, j) gray arithmetic — the demuxer never touches the oracle, so a
+    * codec bug diverges the hash. */
+  val q211_video_neardup = Q(
+    "q211_video_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = Multimodal.syntheticVideoCorpus(s, 120)
+      val frames = Multimodal.sampleVideoFrames(corpus, 1)
+        .select(col("id"), col("frame_index"),
+          (col("frame_mean") * 256).cast("long").as("gray"))
+      val w = Window.partitionBy(col("id")).orderBy(col("frame_index"))
+      val sh = frames
+        .withColumn("nxt", lead(col("gray"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("id"), (col("gray") * 256 + col("nxt")).as("key"))
+        .distinct()
+        .cache()
+      val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("s"))
+      val inter = sh.as("x").join(sh.as("y"), col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+      val out = inter
+        .join(sz.select(col("id").as("id1"), col("s").as("s1")), "id1")
+        .join(sz.select(col("id").as("id2"), col("s").as("s2")), "id2")
+        .withColumn("n_union", col("s1") + col("s2") - col("n_shared"))
+        .withColumn("jaccard_ppm", expr("(1000000 * n_shared) div n_union"))
+        .filter(col("jaccard_ppm") >= 500000)
+        .select(col("id1"), col("id2"),
+          col("n_shared").cast("long").as("n_shared"),
+          col("n_union").cast("long").as("n_union"),
+          col("jaccard_ppm").cast("long").as("jaccard_ppm"))
+        .orderBy("id1", "id2")
+      val materialized = out.localCheckpoint(true)
+      sh.unpersist()
+      materialized
+    },
+    Some("""WITH fr AS (
+              SELECT v.range AS vid, j.range AS j,
+                     ((v.range // 3) * 17 + j.range * 23 +
+                      CASE WHEN v.range % 3 = 2 OR (v.range % 3 = 1 AND j.range = 5)
+                           THEN 101 ELSE 0 END) % 256 AS gray
+              FROM range(120) v CROSS JOIN range(6) j),
+            sh AS (
+              SELECT DISTINCT a.vid, a.gray * 256 + b.gray AS key
+              FROM fr a JOIN fr b ON a.vid = b.vid AND b.j = a.j + 1),
+            sz AS (SELECT vid, COUNT(*) AS s FROM sh GROUP BY 1),
+            inter AS (
+              SELECT x.vid AS id1, y.vid AS id2, COUNT(*) AS n_shared
+              FROM sh x JOIN sh y ON x.key = y.key AND x.vid < y.vid
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT i.id1, i.id2, i.n_shared, s1.s + s2.s - i.n_shared AS n_union
+              FROM inter i JOIN sz s1 ON s1.vid = i.id1 JOIN sz s2 ON s2.vid = i.id2)
+            SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(n_union AS BIGINT) AS n_union,
+                   CAST((1000000 * n_shared) // n_union AS BIGINT) AS jaccard_ppm
+            FROM sc WHERE (1000000 * n_shared) // n_union >= 500000
+            ORDER BY id1, id2"""))
+
+  /** Filter-funnel attrition audit — the pipeline-composition artifact
+    * every curation run ships: sequential gates (language → length →
+    * exact-dedup winner → model-based classifier) with per-stage
+    * survivor/dropped counts. One pass computes all gate flags map-side
+    * (the classifier is the q205 codegen expression, the dedup winner one
+    * hash-partitioned window over the survivors); the report is a 5-row
+    * stack. The oracle replays every gate — including the xxhash64 dedup
+    * hash and the full tokenize→bucket→ramp classifier — in SQL. */
+  val q212_filter_funnel = Q(
+    "q212_filter_funnel",
+    (s, dir) => {
+      import graft.text.TextFunctions
+      import org.apache.spark.sql.graft.ExprColumn
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .withColumn("g_lang", col("lang").isin("en", "de", "fr"))
+        .withColumn("g_len", col("n_chars").between(100, 500))
+      val head = d.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("g_lang"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g_lang") && col("g_len"), 1L).otherwise(0L)).as("n2"))
+      val surv = d.filter(col("g_lang") && col("g_len"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(xxhash64(col("text"))).orderBy(col("doc_id"))))
+        .withColumn("score",
+          ExprColumn(graft.plans.HashedLinearScore(
+            ExprColumn.expr(TextFunctions.tokens(TextFunctions.normalize(col("text")))), 4096)))
+      val tail = surv.agg(
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("rk") === 1 && col("score") > 0, 1L).otherwise(0L)).as("n4"))
+      head.crossJoin(tail)
+        .select(expr(
+          """stack(5,
+               0L, 'all', n0,
+               1L, 'lang_gate', n1,
+               2L, 'length_gate', n2,
+               3L, 'exact_dedup', n3,
+               4L, 'classifier_gate', n4) AS (stage, stage_name, n_out)"""))
+        .withColumn("dropped",
+          coalesce(lag(col("n_out"), 1).over(Window.orderBy(col("stage"))) - col("n_out"), lit(0L)))
+        .select(col("stage").cast("long").as("stage"), col("stage_name"),
+          col("n_out").cast("long").as("n_out"), col("dropped").cast("long").as("dropped"))
+        .orderBy("stage")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = "SELECT doc_id, text, lang, n_chars, " +
+        "(lang IN ('en', 'de', 'fr')) AS g1, " +
+        "(n_chars BETWEEN 100 AND 500) AS g2 FROM documents"
+      val hashed = xxhash64Stages(s"SELECT * FROM ($base) WHERE g1 AND g2", "text", "hv", pfx = "__fh")
+      val toks = s"SELECT doc_id, unnest(list_filter(string_split(${normalizeSql("text")}, ' '), " +
+        s"t -> len(t) > 0)) AS tok FROM ($base) WHERE g1 AND g2"
+      val tokHashed = xxhash64Stages(toks, "tok", "tv", pfx = "__ft")
+      s"""WITH d AS ($base),
+            r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY hv ORDER BY doc_id) AS rk
+                  FROM ($hashed)),
+            sc AS (SELECT doc_id,
+                          CAST(SUM(((((tv % 4096) + 4096) % 4096) % 7) - 3) AS BIGINT) AS score
+                   FROM ($tokHashed) GROUP BY 1),
+            counts AS (
+              SELECT 0 AS stage, 'all' AS stage_name, (SELECT COUNT(*) FROM d) AS n_out
+              UNION ALL
+              SELECT 1, 'lang_gate', (SELECT COUNT(*) FROM d WHERE g1)
+              UNION ALL
+              SELECT 2, 'length_gate', (SELECT COUNT(*) FROM d WHERE g1 AND g2)
+              UNION ALL
+              SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM r WHERE rk = 1)
+              UNION ALL
+              SELECT 4, 'classifier_gate',
+                     (SELECT COUNT(*) FROM r JOIN sc USING (doc_id)
+                      WHERE rk = 1 AND sc.score > 0))
+          SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+                 CAST(n_out AS BIGINT) AS n_out,
+                 CAST(COALESCE(LAG(n_out) OVER (ORDER BY stage) - n_out, 0) AS BIGINT) AS dropped
+          FROM counts ORDER BY stage"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7747,5 +7892,6 @@ object Queries {
     q197_volume_trend, q198_change_point, q199_epoch_plan,
     q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration,
     q203_skyline, q204_kmv_overlap, q205_hash_classifier, q206_lineage,
-    q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq)
+    q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq, q211_video_neardup,
+    q212_filter_funnel)
 }

@@ -555,4 +555,32 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Synthetic video corpus with near-duplicates BY CONSTRUCTION, for the
+    * frame-signature dedup pipeline (q211): video v belongs to group
+    * g = v/3 with canonical 6-frame gray sequence `(g·17 + j·23) % 256`;
+    * variant v%3 == 0 is the canonical cut, 1 re-renders only the LAST
+    * frame (+101 — a near-duplicate: same footage, new outro), 2 shifts
+    * every frame (+101 — different footage). Real uncompressed-DIB AVI
+    * payloads (the q95 demuxer must recover every gray exactly); every
+    * frame value stays a closed-form function of (v, j), so the oracle
+    * derives expected similarities from the arithmetic, never from the
+    * codec. Generation runs on executors. */
+  def syntheticVideoCorpus(spark: SparkSession, n: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+    spark.range(n.toLong).toDF("id").mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getLong(0)
+        val g = v / 3
+        val grays = (0 until 6).map { j =>
+          val offset = if (v % 3 == 2 || (v % 3 == 1 && j == 5)) 101L else 0L
+          ((g * 17 + j * 23 + offset) % 256).toInt
+        }
+        Row(v, Codec.solidGrayAvi(16, 12, 8, grays))
+      }
+    }(enc)
+  }
 }
