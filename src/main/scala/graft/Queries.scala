@@ -7839,6 +7839,170 @@ object Queries {
           FROM counts ORDER BY stage"""
     })
 
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * SIGMOD'03 — the MOSS local fingerprinting algorithm) driving a
+    * near-duplicate pair report: n=4-token Rabin–Karp window hashes
+    * (map-side [[graft.plans.WindowHash64]]) → rightmost-min selection over
+    * w=4-hash windows (map-side [[graft.plans.WinnowSelect]] deque, O(L)
+    * per doc) → inverted-index pair join on shared fingerprints. The corpus
+    * plants a prefix-padded clone of every 7th document; winnowing's
+    * guarantee (any shared ≥ w+n−1-token run shares a fingerprint) makes
+    * each clone pair share nearly all selected prints while only ~2/(w+1)
+    * of window hashes are ever kept — the local-fingerprint density bound.
+    * The oracle replays token XXH64 → the 2⁶⁴-wrapping polynomial window
+    * hash (B-power constants via [[graft.tools.OracleSql.mulConstSql]]) →
+    * per-window rightmost-argmin → the same pair join, value-exactly. */
+  val q213_winnowing = Q(
+    "q213_winnowing",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("intro preamble "), col("text")).as("text"))
+      val corpus = base.unionByName(clones)
+      Dedup.winnowingNearDuplicates(corpus, "doc_id", "text", n = 4, w = 4, minShared = 3)
+        .select(
+          col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"),
+          col("shared").cast("long").as("shared"),
+          col("n_fp1").cast("long").as("n_fp1"),
+          col("n_fp2").cast("long").as("n_fp2"))
+        .orderBy("id1", "id2")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val B = BigInt("9E3779B97F4A7C15", 16)
+      val M = BigInt(2).pow(64)
+      val b2 = (B * B).mod(M)
+      val b3 = (B * B * B).mod(M)
+      val corpus =
+        """SELECT doc_id::BIGINT AS doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id::BIGINT + 3000000, 'intro preamble ' || text FROM documents
+           WHERE doc_id % 7 = 0"""
+      val toked =
+        s"""SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(${normalizeSql("text")}), '\\s+'),
+                          t -> len(t) > 0) AS toks
+            FROM ($corpus)"""
+      val tk =
+        s"""SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+            FROM ($toked)"""
+      val hd = xxhash64Stages("SELECT DISTINCT tok FROM tk", "tok", "th", pfx = "__w")
+      val wu = addModSql(
+        addModSql(
+          addModSql(mulConstSql("u0", b3), mulConstSql("u1", b2)),
+          mulConstSql("u2", B)),
+        "u3")
+      s"""WITH tk AS ($tk),
+            hd AS ($hd),
+            hu AS (SELECT tk.doc_id, tk.p, ${unsignedOf("hd.th")} AS u
+                   FROM tk JOIN hd USING (tok)),
+            w4 AS (SELECT doc_id, p AS i, u AS u0,
+                          LEAD(u, 1) OVER (PARTITION BY doc_id ORDER BY p) AS u1,
+                          LEAD(u, 2) OVER (PARTITION BY doc_id ORDER BY p) AS u2,
+                          LEAD(u, 3) OVER (PARTITION BY doc_id ORDER BY p) AS u3,
+                          COUNT(*) OVER (PARTITION BY doc_id) AS mtok
+                   FROM hu),
+            hw AS (SELECT doc_id, i, mtok - 3 AS m, $wu AS wu
+                   FROM w4 WHERE u3 IS NOT NULL),
+            hs AS (SELECT doc_id, i, m,
+                          CASE WHEN wu >= 9223372036854775808
+                               THEN CAST(wu::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+                               ELSE CAST(wu AS BIGINT) END AS h
+                   FROM hw),
+            exp AS (SELECT doc_id, i, h, i - off AS j
+                    FROM hs, unnest(range(4)) AS o(off)
+                    WHERE i - off >= 1 AND i - off <= GREATEST(1, m - 3)),
+            picks AS (SELECT doc_id, i, h FROM (
+                        SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+                        FROM exp) WHERE rn = 1),
+            fps AS (SELECT DISTINCT doc_id, h FROM picks),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+                      FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+          SELECT p.id1, p.id2, CAST(p.shared AS BIGINT) AS shared,
+                 CAST(s1.n_fp AS BIGINT) AS n_fp1, CAST(s2.n_fp AS BIGINT) AS n_fp2
+          FROM pairs p
+          JOIN sizes s1 ON s1.doc_id = p.id1
+          JOIN sizes s2 ON s2.doc_id = p.id2
+          ORDER BY p.id1, p.id2"""
+    })
+
+  /** Count-Min join-size estimation (Cormode & Muthukrishnan '05 §4.2):
+    * the size of `A ⋈ B` on a key, estimated as the min-across-depths
+    * inner product of the two sides' sketch rows — two 16-KiB artifacts
+    * answer the question a planner asks before choosing a join order, with
+    * the one-sided `estimate ≥ exact` guarantee. The exact join sizes ride
+    * alongside as the fidelity reference (the q113/q200 convention): the
+    * view⋈purchase cross size and the view self-join size (the F2 second
+    * frequency moment). Oracle replays the fixed-8-byte XXH64 → bucket →
+    * cell-sum → inner-product arithmetic in SQL. */
+  val q214_join_size_est = Q(
+    "q214_join_size_est",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view").select(col("user_id").as("k"))
+      val buys = ev.filter(col("event_type") === "purchase").select(col("user_id").as("k"))
+      val cmV = Sketches.buildCountMin(views, array(xxhash64(col("k"))), depth = 4, width = 512)
+      val cmB = Sketches.buildCountMin(buys, array(xxhash64(col("k"))), depth = 4, width = 512)
+      val cntV = views.groupBy("k").agg(count(lit(1)).as("cv"))
+      val cntB = buys.groupBy("k").agg(count(lit(1)).as("cb"))
+      val exacts = cntV.join(cntB, Seq("k"))
+        .agg(sum(col("cv") * col("cb")).as("exact"))
+        .withColumn("pair", lit("view_purchase"))
+        .unionByName(
+          cntV.agg(sum(col("cv") * col("cv")).as("exact"))
+            .withColumn("pair", lit("view_view")))
+      val ests = s.createDataFrame(Seq(
+        ("view_purchase", cmV.innerProduct(cmB)),
+        ("view_view", cmV.innerProduct(cmV)))).toDF("pair", "est")
+      exacts.join(ests, Seq("pair"))
+        .select(col("pair"), col("est").cast("long").as("est"),
+          col("exact").cast("long").as("exact"))
+        .orderBy("pair")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      def side(tp: String, pfx: String): String = {
+        val keys = s"SELECT user_id AS k, COUNT(*) AS c FROM events WHERE event_type = '$tp' GROUP BY 1"
+        val hashed = xxhash64LongStages(keys, "k", "kh", pfx = pfx)
+        val buckets = (0 until 4)
+          .map(i => s"CAST(((h1 + $i * h2) % 4294967296) % 512 AS BIGINT) AS g$i")
+          .mkString(", ")
+        s"""SELECT k, c, $buckets FROM (
+              SELECT k, c, u % 4294967296 AS h1, u // 4294967296 AS h2 FROM (
+                SELECT k, c, ${unsignedOf("kh")} AS u FROM ($hashed)))"""
+      }
+      val cellsV = (0 until 4)
+        .map(i => s"sv$i AS (SELECT g$i AS g, SUM(c) AS s FROM bv GROUP BY 1)")
+        .mkString(",\n            ")
+      val cellsB = (0 until 4)
+        .map(i => s"sb$i AS (SELECT g$i AS g, SUM(c) AS s FROM bb GROUP BY 1)")
+        .mkString(",\n            ")
+      val ipVB = (0 until 4)
+        .map(i => s"(SELECT SUM(a.s * b.s) FROM sv$i a JOIN sb$i b USING (g))")
+        .mkString("LEAST(", ", ", ")")
+      val ipVV = (0 until 4)
+        .map(i => s"(SELECT SUM(a.s * a.s) FROM sv$i a)")
+        .mkString("LEAST(", ", ", ")")
+      s"""WITH bv AS (${side("view", "__jv")}),
+            bb AS (${side("purchase", "__jb")}),
+            $cellsV,
+            $cellsB
+          SELECT 'view_purchase' AS pair, CAST($ipVB AS BIGINT) AS est,
+                 CAST((SELECT SUM(v.c * b.c) FROM bv v JOIN bb b USING (k)) AS BIGINT) AS exact
+          UNION ALL
+          SELECT 'view_view', CAST($ipVV AS BIGINT),
+                 CAST((SELECT SUM(c * c) FROM bv) AS BIGINT)
+          ORDER BY pair"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -7893,5 +8057,5 @@ object Queries {
     q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration,
     q203_skyline, q204_kmv_overlap, q205_hash_classifier, q206_lineage,
     q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq, q211_video_neardup,
-    q212_filter_funnel)
+    q212_filter_funnel, q213_winnowing, q214_join_size_est)
 }

@@ -50,6 +50,32 @@ object Sketches {
       while (i < counts.length) { out(i) = counts(i) + other.counts(i); i += 1 }
       CountMinArtifact(out, depth, width)
     }
+
+    /** Equi-join-size estimate between this sketch's key multiset and
+      * `other`'s (Cormode & Muthukrishnan '05 §4.2, the AGMS-style inner
+      * product): per depth row d, `Σ_w a[d][w]·b[d][w]` ≥ `Σ_k n_a(k)·n_b(k)`
+      * — hash collisions only ADD cross terms — so the MIN across rows is
+      * the estimate and the one-sided `estimate ≥ exact` guarantee carries
+      * over from point counts to join sizes. This is how a planner sizes
+      * `A ⋈ B` from two 16-KiB artifacts without touching either table —
+      * at 100 TB the sketches are built once per ingest batch (mergeable)
+      * and every join-order decision reads them driver-side. Overflow: the
+      * row inner product is bounded by N_a·N_b; callers joining > 3·10⁹-row
+      * multisets should widen to BigInt. Same-shape sketches only. */
+    def innerProduct(other: CountMinArtifact): Long = {
+      require(other.depth == depth && other.width == width,
+        s"count-min inner product: shape ${other.depth}x${other.width} != ${depth}x$width")
+      var best = Long.MaxValue
+      var d = 0
+      while (d < depth) {
+        var s = 0L
+        var w = 0
+        while (w < width) { s += counts(d * width + w) * other.counts(d * width + w); w += 1 }
+        if (s < best) best = s
+        d += 1
+      }
+      best
+    }
   }
 
   /** One-pass Count-Min build over a tokens column (`array<string>`, or

@@ -654,3 +654,115 @@ case class HashedLinearScore(child: Expression, buckets: Int) extends UnaryExpre
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken, SIGMOD'03
+  * — the MOSS local fingerprinting algorithm): over an `array<long>` of
+  * consecutive window hashes (the [[WindowHash64]] output), slide a
+  * selection window of `w` hashes and keep the RIGHTMOST minimum of each —
+  * recording a position once even when consecutive selection windows agree.
+  * Output is `array<long>` of the selected hashes in position order
+  * (positional duplicates of an equal hash value are kept; set semantics
+  * are one `distinct` away). NULL in → NULL out; an input shorter than `w`
+  * selects the rightmost minimum of the whole array, so every document
+  * with at least one window hash yields at least one fingerprint — the
+  * winnowing guarantee (any shared run of w+n−1 tokens shares at least one
+  * selected fingerprint) plus total coverage of short documents.
+  *
+  * Why an expression: selection is a PURE per-row function of the hash
+  * array (CLAUDE.md signature rule). The SQL-function spelling —
+  * `transform(sequence(...), j -> array_min(slice(hs, j, w)))` plus an
+  * argmin rank per window — is O(m·w) interpreted HOF work per document
+  * and still needs a dedup pass; the ascending-minima deque below is O(m)
+  * inside whole-stage codegen, and the corpus never shuffles anything but
+  * the selected (id, hash) fingerprints. Comparisons are SIGNED 64-bit on
+  * both paths — the contract the DuckDB oracle replays (BIGINT order).
+  *
+  * Tie rule: rightmost (pop `>=` from the deque back), the choice SIGMOD'03
+  * §4 makes so that equal hashes in one window cost one fingerprint, not w. */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (w < 1)
+      TypeCheckResult.TypeCheckFailure(s"winnow_select: window size $w must be >= 1")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"winnow_select requires array<long>, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = if (arr.isNullAt(i)) 42L else arr.getLong(i); i += 1 }
+    val win = if (w < m) w else m
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // deque holds indices, hashes strictly increasing front→back
+    val selPos = new Array[Int](m)
+    var nSel = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (i >= win - 1) {
+        val j = i - win + 1 // selection window [j, i]
+        while (deque(head) < j) head += 1
+        val pick = deque(head)
+        if (nSel == 0 || selPos(nSel - 1) != pick) { selPos(nSel) = pick; nSel += 1 }
+      }
+      i += 1
+    }
+    val out = new Array[Long](nSel)
+    i = 0
+    while (i < nSel) { out(i) = hs(selPos(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val hs = ctx.freshName("hs")
+      val win = ctx.freshName("win")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val selPos = ctx.freshName("selPos")
+      val nSel = ctx.freshName("nSel")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val pick = ctx.freshName("pick")
+      s"""
+         |final int $m = $arr.numElements();
+         |final long[] $hs = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $hs[$i] = $arr.isNullAt($i) ? 42L : $arr.getLong($i);
+         |}
+         |final int $win = ($w < $m) ? $w : ($m == 0 ? 1 : $m);
+         |final int[] $dq = new int[$m == 0 ? 1 : $m];
+         |int $head = 0, $tail = 0, $nSel = 0;
+         |final int[] $selPos = new int[$m == 0 ? 1 : $m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  while ($tail > $head && $hs[$dq[$tail - 1]] >= $hs[$i]) $tail--;
+         |  $dq[$tail++] = $i;
+         |  if ($i >= $win - 1) {
+         |    final int $j = $i - $win + 1;
+         |    while ($dq[$head] < $j) $head++;
+         |    final int $pick = $dq[$head];
+         |    if ($nSel == 0 || $selPos[$nSel - 1] != $pick) $selPos[$nSel++] = $pick;
+         |  }
+         |}
+         |final long[] $out = new long[$nSel];
+         |for (int $i = 0; $i < $nSel; $i++) { $out[$i] = $hs[$selPos[$i]]; }
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

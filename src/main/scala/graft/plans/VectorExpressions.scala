@@ -149,6 +149,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WindowHash64(exprs.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "winnow_select takes (array<long> hashes, int windowSize)")
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_select: windowSize must be an integer literal, got $other")
+        }
+        WinnowSelect(exprs.head, w)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (exprs: Seq[Expression]) => {

@@ -1026,4 +1026,72 @@ object Dedup {
         sum(when(col("__graft_df") === 1, 1L).otherwise(0L)).as("unique_grams"))
       .withColumn("novelty_ppm", expr("(1000000 * unique_grams) div total_grams"))
   }
+
+  // ----------------------------------------------------------- winnowing
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): n-token window hashes via the
+    * map-side [[graft.plans.WindowHash64]] Rabin–Karp expression, then the
+    * rightmost-minimum of each w-hash selection window via the map-side
+    * [[graft.plans.WinnowSelect]] deque expression. The guarantee: any two
+    * documents sharing a run of at least w+n−1 tokens share at least one
+    * selected fingerprint, while only ~2/(w+1) of window hashes are kept —
+    * the density/recall dial of local fingerprinting.
+    *
+    * Scale shape: BOTH stages are pure per-row codegen expressions — the
+    * corpus never shuffles tokens, window hashes, or window strings; only
+    * the selected (id, fingerprint) pairs (an ~2/(w+1) sample of windows)
+    * reach the one distinct-aggregate exchange. Short documents (< n
+    * tokens) contribute no fingerprints; documents with ≥ 1 window always
+    * contribute ≥ 1 (WinnowSelect's short-array rule).
+    *
+    * Returns one row per distinct (idCol, fp). */
+  def winnowedFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 4,
+      w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, s"winnowedFingerprints: n=$n and w=$w must be >= 1")
+    import org.apache.spark.sql.graft.ExprColumn
+    val toked = df.select(col(idCol), tokens(normalize(col(textCol))).as("__graft_toks"))
+    val winHashes = ExprColumn(
+      graft.plans.WindowHash64(ExprColumn.expr(col("__graft_toks")), n))
+    val selected = ExprColumn(
+      graft.plans.WinnowSelect(ExprColumn.expr(winHashes), w))
+    // array_compact wrapper: drops the short-document NULL arrays without a
+    // filter on the expensive projected column (the q78/q80 pushdown trap —
+    // InferFiltersFromGenerate skips non-attribute generator children)
+    toked
+      .select(col(idCol), explode(array_compact(array(selected))).as("__graft_sel"))
+      .select(col(idCol), explode(col("__graft_sel")).as("fp"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by shared winnowed fingerprints: the inverted-
+    * index join (fingerprint → docs, equi-join, count = shared) — candidate
+    * volume proportional to real fingerprint collisions, never all-pairs.
+    * Pairs sharing ≥ `minShared` fingerprints are reported with the shared
+    * count and each side's fingerprint total (containment evidence). */
+  def winnowingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val fps = winnowedFingerprints(df, idCol, textCol, n, w)
+      .withColumnRenamed(idCol, "__graft_id")
+      .localCheckpoint(true) // self-joined below: compute the pipeline once
+    val sizes = fps.groupBy(col("__graft_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.__graft_id") < col("b.__graft_id"))
+      .groupBy(col("a.__graft_id").as("id1"), col("b.__graft_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(sizes.select(col("__graft_id").as("id1"), col("n_fp").as("n_fp1")), Seq("id1"))
+      .join(sizes.select(col("__graft_id").as("id2"), col("n_fp").as("n_fp2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("shared"), col("n_fp1"), col("n_fp2"))
+  }
 }

@@ -162,6 +162,20 @@ object OracleSql {
     s"SELECT * EXCLUDE (${dropped.mkString(", ")}) FROM ($q)"
   }
 
+  /** Public wrap-arithmetic building blocks, for oracles that replay
+    * custom 2⁶⁴-wrapping hash chains (the winnowing window hash): modular
+    * (x·c) and (a+b) over UBIGINT-typed SQL expressions. `c` may be any
+    * 64-bit constant — the 32-bit-split trick keeps every intermediate
+    * product inside HUGEINT. */
+  def mulConstSql(x: String, c: BigInt): String = {
+    val cu = c.mod(BigInt(2).pow(64))
+    s"CAST(((($x) % 4294967296)::HUGEINT * $cu + " +
+      s"(((($x) // 4294967296)::HUGEINT * $cu) % 4294967296) * 4294967296) " +
+      s"% $M64 AS UBIGINT)"
+  }
+
+  def addModSql(a: String, b: String): String = addm(a, b)
+
   /** The UBIGINT bit pattern of a signed BIGINT SQL expression. */
   def unsignedOf(e: String): String =
     s"CAST(CASE WHEN ($e) < 0 THEN ($e)::HUGEINT + $M64 ELSE ($e)::HUGEINT END AS UBIGINT)"

@@ -78,6 +78,11 @@ class CodegenCompileSpec extends AnyFunSuite {
     compileAndCompare(UnicodeNormalize(str, "NFC"), messy)
     compileAndCompare(UnicodeNormalize(str, "NFKC"), messy)
     compileAndCompare(UnicodeNormalize(str, "NFC"), text) // ASCII fast path
+    val lArr = BoundReference(0, ArrayType(LongType), nullable = true)
+    val winHashes = InternalRow(new GenericArrayData(Array[Any](5L, 1L, 1L, 3L, -7L, 2L)))
+    compileAndCompare(WinnowSelect(lArr, 3), winHashes)
+    compileAndCompare(WinnowSelect(lArr, 8), winHashes) // short-array rule: w > m
+    compileAndCompare(WinnowSelect(lArr, 1), winHashes) // w=1: every position selected
     // NULL inputs through the compiled path
     compileAndCompare(WindowHash64(sArr, 3), InternalRow(null))
     compileAndCompare(UnicodeNormalize(str, "NFC"), InternalRow(null))

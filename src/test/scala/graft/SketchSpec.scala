@@ -146,4 +146,34 @@ class SketchSpec extends SparkSpec {
     // pushed-down filter and pays the O(len²) DP twice per pair
     assert(PlanChecks.exprOccurrences(plan, "levenshtein") == 1)
   }
+
+  test("count-min inner product over-estimates the exact join size, never under") {
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val a = Seq.fill(400)(rnd.nextInt(60).toLong).toDF("k")
+    val b = Seq.fill(300)(rnd.nextInt(80).toLong).toDF("k")
+    val sa = Sketches.buildCountMin(a, array(xxhash64(col("k"))), depth = 4, width = 256)
+    val sb = Sketches.buildCountMin(b, array(xxhash64(col("k"))), depth = 4, width = 256)
+    val exact = a.groupBy("k").count().as("x")
+      .join(b.groupBy("k").count().as("y"), col("x.k") === col("y.k"))
+      .agg(sum(col("x.count") * col("y.count"))).head().getLong(0)
+    val est = sa.innerProduct(sb)
+    assert(est >= exact, s"est $est < exact $exact")
+    // self-join: the F2 moment, same one-sided bound
+    val exactF2 = a.groupBy("k").count().agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(sa.innerProduct(sa) >= exactF2)
+    // wide sketch + few keys: no bucket collisions, the estimate is EXACT
+    val tiny = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val st = Sketches.buildCountMin(tiny, array(xxhash64(col("k"))), depth = 4, width = 512)
+    assert(st.innerProduct(st) == (4L + 1L + 1L)) // 2² + 1² + 1²
+  }
+
+  test("count-min inner product refuses mismatched shapes") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("k")
+    val s1 = Sketches.buildCountMin(df, array(xxhash64(col("k"))), depth = 4, width = 32)
+    val s2 = Sketches.buildCountMin(df, array(xxhash64(col("k"))), depth = 2, width = 32)
+    assertThrows[IllegalArgumentException](s1.innerProduct(s2))
+  }
+
 }

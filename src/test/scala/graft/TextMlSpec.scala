@@ -920,6 +920,80 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(1L) == ((1L, 0L)) && got(2L) == ((1L, 0L)) && got(3L) == ((1L, 1000000L)))
   }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Driver-side reference winnowing: per w-window rightmost argmin,
+    * positions recorded once — the SIGMOD'03 definition, straight-line. */
+  private def winnowRef(hs: Seq[Long], w: Int): Seq[Long] = {
+    if (hs.isEmpty) return Seq.empty
+    val win = math.min(w, hs.length)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (j <- 0 to hs.length - win) {
+      val window = (j until j + win)
+      val minV = window.map(hs).min
+      val pick = window.filter(i => hs(i) == minV).max // rightmost tie
+      if (picks.isEmpty || picks.last != pick) picks += pick
+    }
+    picks.toSeq.map(hs)
+  }
+
+  test("winnow_select matches the reference selection on fuzzed arrays") {
+    val rnd = new scala.util.Random(20260814)
+    import org.apache.spark.sql.graft.ExprColumn
+    for (trial <- 1 to 30) {
+      val m = 1 + rnd.nextInt(40)
+      val w = 1 + rnd.nextInt(6)
+      // small value range on purpose: forces ties, exercising the
+      // rightmost-tie rule that distinguishes winnowing variants
+      val hs = Seq.fill(m)(rnd.nextInt(8).toLong - 3)
+      val df = Seq(Tuple1(hs)).toDF("hs")
+      val got = df.select(ExprColumn(
+        graft.plans.WinnowSelect(ExprColumn.expr(col("hs")), w)).as("sel"))
+        .head().getSeq[Long](0)
+      assert(got == winnowRef(hs, w), s"trial $trial m=$m w=$w hs=$hs")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a long run share a fingerprint; density ~ 2/(w+1)") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, shared + " one ending here now"),
+      (2L, "prefix words differ " + shared),
+      (3L, "totally unrelated text about reactor maintenance schedules and steam")).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(docs, "doc_id", "text", n = 4, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the ≥ w+n−1 = 7-token shared run guarantees a common fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density: selected ≤ windows, and far fewer (ballpark 2/(w+1))
+    val mWindows = shared.split(" ").length + 4 - 4 + 1
+    assert(byDoc(1L).size < mWindows)
+  }
+
+  test("winnowing short-document rules: < n tokens none, >= n tokens at least one") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "")).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(docs, "doc_id", "text", n = 4, w = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(!fps.contains(1L) && !fps.contains(3L)) // fewer than n tokens: no window
+    assert(fps(2L).length == 1) // one window hash, w > m: rightmost min of the whole array
+  }
+
+  test("winnowingNearDuplicates pairs the planted clone and reports sizes") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today again"
+    val docs = Seq(
+      (1L, base),
+      (2L, "intro words " + base),
+      (3L, "unrelated corpus row about tidal power generation capacity planning")).toDF("doc_id", "text")
+    val out = Dedup.winnowingNearDuplicates(docs, "doc_id", "text", n = 4, w = 4, minShared = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("id1")) == 1L && r.getLong(r.fieldIndex("id2")) == 2L)
+    assert(r.getLong(r.fieldIndex("shared")) >= 2L)
+    assert(r.getLong(r.fieldIndex("n_fp1")) >= r.getLong(r.fieldIndex("shared")))
+  }
+
 }
 
 class SimilaritySpec extends SparkSpec {
