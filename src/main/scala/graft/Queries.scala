@@ -8003,6 +8003,149 @@ object Queries {
           ORDER BY pair"""
     })
 
+
+  /** Integer HITS hubs & authorities (Kleinberg JACM'99) over the
+    * bipartite supplier→part supply graph: two unnormalized mutual-
+    * reinforcement rounds ([[graft.operators.Graph.hits]] — exact BIGINT
+    * scores, partitioning-deterministic), reporting the top-10 hubs
+    * (suppliers whose parts are widely co-supplied) and top-10 authorities
+    * (parts supplied by the best-connected suppliers) under a (score,
+    * node) total order. Oracle = the same two aggregation rounds as plain
+    * SQL joins. */
+  val q215_hits = Q(
+    "q215_hits",
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"), col("l_partkey").cast("long").as("dst"))
+        .distinct()
+      val scored = graft.operators.Graph.hits(edges, rounds = 2)
+      val hubs = scored.filter(col("hub").isNotNull)
+        .select(lit("hub").as("side"), col("node"), col("hub").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      val auths = scored.filter(col("auth").isNotNull)
+        .select(lit("authority").as("side"), col("node"), col("auth").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      hubs.unionByName(auths)
+        .select(col("side"), col("node").cast("long").as("node"),
+          col("score").cast("long").as("score"))
+        .orderBy("side", "node")
+    },
+    Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+              h1 AS (SELECT src, COUNT(*) AS sc FROM e GROUP BY 1),
+              a1 AS (SELECT dst, SUM(h1.sc) AS sc FROM e JOIN h1 USING (src) GROUP BY dst),
+              h2 AS (SELECT src, SUM(a1.sc) AS sc FROM e JOIN a1 USING (dst) GROUP BY src),
+              a2 AS (SELECT dst, SUM(h2.sc) AS sc FROM e JOIN h2 USING (src) GROUP BY dst),
+              th AS (SELECT 'hub' AS side, src AS node, sc FROM h2
+                     ORDER BY sc DESC, src LIMIT 10),
+              ta AS (SELECT 'authority' AS side, dst AS node, sc FROM a2
+                     ORDER BY sc DESC, dst LIMIT 10)
+            SELECT side, CAST(node AS BIGINT) AS node, CAST(sc AS BIGINT) AS score
+            FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+            ORDER BY side, node"""))
+
+  /** Sorted-neighborhood record-linkage blocking (Hernandez & Stolfo
+    * SIGMOD'95 merge/purge): documents keyed by their 40-char normalized
+    * prefix, blocked on the first character, sorted within block, and
+    * compared only against their 2 sort-successors
+    * ([[graft.text.Dedup.sortedNeighborhoodPairs]] — one window shuffle,
+    * LEAD-carried neighbor keys, codegen levenshtein verify; candidate
+    * volume (window−1)·N, linear). The corpus plants a suffix-padded clone
+    * of every 9th document — identical prefix keys sort adjacent, the
+    * pattern blocking-by-sort exists to catch. Oracle = ROW_NUMBER rank
+    * replay + rank-distance join + DuckDB's native levenshtein. */
+  val q216_sorted_neighborhood = Q(
+    "q216_sorted_neighborhood",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" trailing audit suffix")).as("text"))
+      val keyed = base.unionByName(clones)
+        .select(col("doc_id"),
+          substring(TextFunctions.normalize(col("text")), 1, 40).as("key"))
+        .withColumn("block", substring(col("key"), 1, 1))
+      Dedup.sortedNeighborhoodPairs(keyed, "doc_id", "key", "block", window = 3, maxDist = 8)
+        .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"),
+          col("dist"))
+        .orderBy("id1", "id2")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      s"""WITH corpus AS (
+              SELECT doc_id::BIGINT AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id::BIGINT + 4000000, text || ' trailing audit suffix'
+              FROM documents WHERE doc_id % 9 = 0),
+            keyed AS (
+              SELECT doc_id, substr(${normalizeSql("text")}, 1, 40) AS key FROM corpus),
+            kb AS (SELECT doc_id, key, substr(key, 1, 1) AS block FROM keyed),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY block ORDER BY key, doc_id) AS rn
+                   FROM kb)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+          FROM rk a JOIN rk b
+            ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 2
+          WHERE levenshtein(a.key, b.key) <= 8
+          ORDER BY id1, id2"""
+    })
+
+  /** Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    * '98) stability audit: every document assigned under 8 and under 9
+    * shards by argmax xxhash64(doc_id, shard)
+    * ([[graft.text.Sharding.rendezvousShard]], pure map-side), with
+    * per-shard counts and moved-in counts. The HRW property the report
+    * demonstrates — and the oracle proves value-exactly — is that growing
+    * the fleet moves ONLY keys whose argmax is the NEW shard (moved_in = 0
+    * for shards 0–7), the incremental-reshard guarantee a 100 TB corpus
+    * layout needs. Oracle replays the chained two-argument XXH64 (doc hash
+    * seeds the shard hash) over a doc×shard expansion. */
+  val q217_rendezvous = Q(
+    "q217_rendezvous",
+    (s, dir) => {
+      import graft.text.Sharding
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("s8", Sharding.rendezvousShard(col("doc_id"), 8))
+        .withColumn("s9", Sharding.rendezvousShard(col("doc_id"), 9))
+      val c8 = docs.groupBy(col("s8").as("shard")).agg(count(lit(1)).as("cnt8"))
+      val c9 = docs.groupBy(col("s9").as("shard")).agg(count(lit(1)).as("cnt9"))
+      val moved = docs.filter(col("s8") =!= col("s9"))
+        .groupBy(col("s9").as("shard")).agg(count(lit(1)).as("moved_in"))
+      c9.join(c8, Seq("shard"), "left").join(moved, Seq("shard"), "left")
+        .select(col("shard").cast("long").as("shard"),
+          coalesce(col("cnt8"), lit(0L)).cast("long").as("cnt8"),
+          col("cnt9").cast("long").as("cnt9"),
+          coalesce(col("moved_in"), lit(0L)).cast("long").as("moved_in"))
+        .orderBy("shard")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val ids = "SELECT doc_id::BIGINT AS doc_id FROM documents"
+      val h0s = xxhash64LongStages(ids, "doc_id", "h0", pfx = "__r0")
+      val exp = s"SELECT doc_id, h0, s FROM ($h0s), unnest(range(9)) AS u(s)"
+      val hs = xxhash64LongStages(exp, "s", "h", pfx = "__r1", seed = unsignedOf("h0"))
+      s"""WITH hs AS ($hs),
+            a8 AS (SELECT doc_id, s AS s8 FROM (
+                     SELECT doc_id, s, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+                     FROM hs WHERE s < 8) WHERE rn = 1),
+            a9 AS (SELECT doc_id, s AS s9 FROM (
+                     SELECT doc_id, s, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+                     FROM hs) WHERE rn = 1),
+            j AS (SELECT a9.doc_id, a8.s8, a9.s9 FROM a9 JOIN a8 USING (doc_id)),
+            c8 AS (SELECT s8 AS shard, COUNT(*) AS cnt8 FROM j GROUP BY 1),
+            c9 AS (SELECT s9 AS shard, COUNT(*) AS cnt9 FROM j GROUP BY 1),
+            mv AS (SELECT s9 AS shard, COUNT(*) AS moved_in FROM j WHERE s8 <> s9 GROUP BY 1)
+          SELECT CAST(c9.shard AS BIGINT) AS shard,
+                 CAST(COALESCE(c8.cnt8, 0) AS BIGINT) AS cnt8,
+                 CAST(c9.cnt9 AS BIGINT) AS cnt9,
+                 CAST(COALESCE(mv.moved_in, 0) AS BIGINT) AS moved_in
+          FROM c9 LEFT JOIN c8 ON c8.shard = c9.shard
+          LEFT JOIN mv ON mv.shard = c9.shard
+          ORDER BY shard"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8057,5 +8200,6 @@ object Queries {
     q200_sketch_fidelity, q201_mutual_knn, q202_decile_calibration,
     q203_skyline, q204_kmv_overlap, q205_hash_classifier, q206_lineage,
     q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq, q211_video_neardup,
-    q212_filter_funnel, q213_winnowing, q214_join_size_est)
+    q212_filter_funnel, q213_winnowing, q214_join_size_est,
+    q215_hits, q216_sorted_neighborhood, q217_rendezvous)
 }

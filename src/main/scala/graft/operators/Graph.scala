@@ -79,6 +79,51 @@ object Graph {
     ranks
   }
 
+  /** Integer HITS (Kleinberg JACM'99 hubs & authorities): `rounds` mutual-
+    * reinforcement rounds from the all-ones authority vector WITHOUT the
+    * usual per-round normalization — normalization rescales but never
+    * reorders, and dropping it keeps every score an exact BIGINT sum,
+    * deterministic under any partitioning and replayable as plain SQL
+    * aggregation chains (the float/normalized variant differs in last-ulp
+    * shuffle order, the PageRank lesson). The trade: magnitudes grow like
+    * (mean-degree)^(2*rounds), so callers keep `rounds` small — ANSI mode
+    * turns a genuine overflow into a loud error, never a silent wrap.
+    *
+    * Scale shape: per round one join+agg on `src` (hubs) and one on `dst`
+    * (authorities) — shuffles carry (node, score) pairs only; the edge set
+    * is materialized once and reused; each round's scores are checkpointed
+    * so the lineage stays flat.
+    *
+    * Returns (node, hub, auth): hub NULL for nodes with no out-edges,
+    * auth NULL for nodes with no in-edges (a bipartite edge list yields
+    * disjoint hub/authority sides — the natural HITS reading). */
+  def hits(
+      edges: DataFrame,
+      rounds: Int = 2,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
+    val e = checkpoint(edges.select(col("src"), col("dst")))
+    var auth = checkpoint(e.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(1L).as("score")))
+    var hub: DataFrame = null
+    for (_ <- 1 to rounds) {
+      hub = checkpoint(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("hnode"))
+          .agg(sum(col("score")).as("hscore"))
+          .select(col("hnode").as("node"), col("hscore").as("score")))
+      auth = checkpoint(
+        e.join(hub.select(col("node").as("hnode"), col("score").as("hscore")),
+            e("src") === col("hnode"))
+          .groupBy(col("dst").as("anode"))
+          .agg(sum(col("hscore")).as("ascore"))
+          .select(col("anode").as("node"), col("ascore").as("score")))
+    }
+    hub.select(col("node"), col("score").as("hub"))
+      .join(auth.select(col("node"), col("score").as("auth")), Seq("node"), "full_outer")
+  }
+
+
   /** k-core of an undirected graph by ITERATIVE PEELING: repeatedly drop
     * every node whose degree within the surviving subgraph is < k until a
     * fixed point. The survivors are exactly the maximal subgraph in which

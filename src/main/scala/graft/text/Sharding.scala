@@ -133,4 +133,22 @@ object Sharding {
     sharded
       .groupBy((extraKeys :+ "shard").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol).cast("long")).as("total_tokens"))
+
+  /** Rendezvous / highest-random-weight shard assignment (Thaler &
+    * Ravishankar '98, the consistent-hashing alternative without a ring):
+    * each key goes to the shard maximizing xxhash64(key, shard). The HRW
+    * property this buys at scale: growing `n` → `n+1` moves EXACTLY the
+    * keys whose new argmax is the new shard — an expected 1/(n+1) of the
+    * corpus — while every other assignment is untouched (no ring-segment
+    * reshuffling), which is what keeps a 100 TB re-shard incremental.
+    * Pure map-side: n struct comparisons per row, no shuffle; ties on the
+    * 64-bit hash (probability ~n²/2⁶⁴ per key) break to the larger shard
+    * id via the struct's second field — total order, engine-replayable. */
+  def rendezvousShard(key: Column, numShards: Int): Column = {
+    require(numShards >= 1, s"rendezvousShard: numShards $numShards must be >= 1")
+    if (numShards == 1) lit(0L) // greatest() needs >= 2 args; one shard is constant
+    else greatest((0 until numShards).map { s =>
+      struct(xxhash64(key.cast("long"), lit(s.toLong)).as("h"), lit(s.toLong).as("s"))
+    }: _*).getField("s")
+  }
 }

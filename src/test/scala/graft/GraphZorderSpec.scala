@@ -214,4 +214,29 @@ class GraphZorderSpec extends SparkSpec {
     assert(reps(33L) == 33L, "singletons are their own rep")
     assert(split.filter(col("split").isNull).count() == 0L)
   }
+
+  test("hits: star hub dominates; bipartite sides get disjoint hub/auth; exact integer scores") {
+    import spark.implicits._
+    // suppliers s1 supplies p1,p2,p3; s2 supplies p1 only
+    val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L)).toDF("src", "dst")
+    val out = graft.operators.Graph.hits(e, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) null else r.getLong(1),
+                                  if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    // round 1: hub = outdeg → h(10)=3, h(20)=1; auth(p) = Σ hub over suppliers
+    // a(1)=3+1=4, a(2)=3, a(3)=3
+    // round 2: h2(10)=4+3+3=10, h2(20)=4; a2(1)=10+4=14, a2(2)=10, a2(3)=10
+    assert(out(10L) == ((10L, null)) && out(20L) == ((4L, null)))
+    assert(out(1L) == ((null, 14L)) && out(2L) == ((null, 10L)) && out(3L) == ((null, 10L)))
+  }
+
+  test("hits is deterministic under repartitioning and refuses zero rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val e = Seq.fill(60)((rnd.nextInt(8).toLong, 100L + rnd.nextInt(8))).toDF("src", "dst")
+    val a = sortedRows(graft.operators.Graph.hits(e.repartition(1), rounds = 2))
+    val b = sortedRows(graft.operators.Graph.hits(e.repartition(7), rounds = 2))
+    assert(a == b)
+    assertThrows[IllegalArgumentException](graft.operators.Graph.hits(e, rounds = 0))
+  }
+
 }

@@ -979,6 +979,33 @@ class DedupSpec extends SparkSpec {
     assert(fps(2L).length == 1) // one window hash, w > m: rightmost min of the whole array
   }
 
+  test("sorted-neighborhood blocking pairs adjacent keys within the window only") {
+    val recs = Seq(
+      (1L, "acme corporation north"),   // pair with 2 (1 edit in key)
+      (2L, "acme corporation norte"),
+      (3L, "acme industries limited"),  // within window of 1,2 but > maxDist
+      (4L, "zenith widgets global"),    // different block ('z')
+      (5L, "zenith widgets global")).toDF("doc_id", "key")
+      .withColumn("block", substring(col("key"), 1, 1))
+    val out = Dedup.sortedNeighborhoodPairs(recs, "doc_id", "key", "block",
+      window = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pair order follows SORT position: 'norte' < 'north' → id1 = 2
+    assert(out == Set((2L, 1L, 1L), (4L, 5L, 0L)))
+  }
+
+  test("sorted-neighborhood window bound: rank distance beyond window-1 is never compared") {
+    // four identical-distance keys in one block: window=2 pairs only adjacent ranks
+    val recs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aaac"), (4L, "aaad"))
+      .toDF("doc_id", "key").withColumn("block", lit("a"))
+    val out = Dedup.sortedNeighborhoodPairs(recs, "doc_id", "key", "block",
+      window = 2, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    assertThrows[IllegalArgumentException](
+      Dedup.sortedNeighborhoodPairs(recs, "doc_id", "key", "block", window = 1))
+  }
+
   test("winnowingNearDuplicates pairs the planted clone and reports sizes") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today again"
     val docs = Seq(
@@ -1605,6 +1632,21 @@ class SamplingSpec extends SparkSpec {
     // shard ids are contiguous from 0 in sequence order
     val ids = m2.map(_.getAs[Long]("shard")).sorted
     assert(ids.head == 0L && ids.last == ids.length - 1)
+  }
+
+  test("rendezvous sharding: adding a shard moves only keys bound for the new shard") {
+    val ids = (1L to 400L).toDF("doc_id")
+    val assigned = ids
+      .withColumn("s4", Sharding.rendezvousShard(col("doc_id"), 4))
+      .withColumn("s5", Sharding.rendezvousShard(col("doc_id"), 5))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // HRW invariant: a changed assignment ALWAYS lands on the new shard
+    assert(assigned.forall { case (s4, s5) => s4 == s5 || s5 == 4L })
+    val movedFrac = assigned.count { case (s4, s5) => s4 != s5 }.toDouble / assigned.length
+    assert(movedFrac > 0.05 && movedFrac < 0.45, s"expected ~1/5 moved, got $movedFrac")
+    // single shard degenerates to constant 0
+    assert(ids.select(Sharding.rendezvousShard(col("doc_id"), 1)).distinct().head().getLong(0) == 0L)
+    assertThrows[IllegalArgumentException](Sharding.rendezvousShard(col("doc_id"), 0))
   }
 
   test("sequence packing cuts the stream at fixed boundaries; manifest accounts every slot") {
