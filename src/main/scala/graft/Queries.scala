@@ -8146,6 +8146,167 @@ object Queries {
           ORDER BY shard"""
     })
 
+
+  /** Local-DP randomized response (Warner '65; the RAPPOR-style frequency
+    * mechanism) over event types: each row reports its TRUE type when its
+    * coin bit is 1, otherwise a hash-chosen type uniform over the k-type
+    * vocabulary; the collector sees only the randomized stream and
+    * debiases with n̂_v = 2·c_v − N/k, emitted k-SCALED
+    * (est_scaled = 2k·c_v − N) so every value is an exact BIGINT. The coin
+    * and the replacement draw both derive from xxhash64(event_id) — the
+    * DETERMINISTIC stand-in for the PRNG a real deployment uses, which is
+    * what lets both engines replay the identical randomized stream
+    * (the q135/q169 integer-randomness convention). True counts ride
+    * alongside as the fidelity reference. Pure map-side randomization +
+    * two k-sized aggregates. */
+  val q218_randomized_response = Q(
+    "q218_randomized_response",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"), col("event_type"))
+      // bounded driver collect: the event-type vocabulary (the q80/q97
+      // convention for semantically-forced small sets)
+      val types = ev.select(col("event_type")).distinct()
+        .orderBy("event_type").collect().map(_.getString(0)).toSeq
+      val k = types.length.toLong
+      val typesArr = array(types.map(lit): _*)
+      val h = xxhash64(col("event_id"))
+      val randomized = ev.select(
+        col("event_type"),
+        when(pmod(h, lit(2L)) === 1L, col("event_type"))
+          .otherwise(element_at(typesArr,
+            (shiftrightunsigned(h, 1) % k).cast("int") + 1)).as("reported"))
+      val rep = randomized.groupBy(col("reported").as("event_type"))
+        .agg(count(lit(1)).as("reported_cnt"))
+      val tru = randomized.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val total = ev.count()
+      tru.join(rep, Seq("event_type"), "left")
+        .select(
+          col("event_type"),
+          coalesce(col("reported_cnt"), lit(0L)).cast("long").as("reported_cnt"),
+          col("true_cnt").cast("long").as("true_cnt"),
+          (lit(2L * k) * coalesce(col("reported_cnt"), lit(0L)) - lit(total))
+            .cast("long").as("est_scaled"))
+        .orderBy("event_type")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = "SELECT event_id::BIGINT AS event_id, event_type FROM events"
+      val hashed = xxhash64LongStages(base, "event_id", "h", pfx = "__p")
+      s"""WITH hashed AS ($hashed),
+            types AS (SELECT event_type AS t,
+                             ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+                      FROM (SELECT DISTINCT event_type FROM events)),
+            kc AS (SELECT COUNT(*)::BIGINT AS k FROM types),
+            rnd AS (SELECT ev.event_type,
+                           CASE WHEN ${unsignedOf("ev.h")} % 2 = 1 THEN ev.event_type
+                                ELSE tt.t END AS reported
+                    FROM (SELECT h, event_type,
+                                 CAST((${unsignedOf("h")} // 2) % (SELECT k FROM kc) AS BIGINT) AS alt_idx
+                          FROM hashed) ev
+                    JOIN types tt ON tt.idx = ev.alt_idx),
+            rep AS (SELECT reported AS event_type, COUNT(*) AS reported_cnt
+                    FROM rnd GROUP BY 1),
+            tru AS (SELECT event_type, COUNT(*) AS true_cnt FROM rnd GROUP BY 1),
+            n AS (SELECT COUNT(*)::BIGINT AS total FROM events)
+          SELECT t.event_type,
+                 CAST(COALESCE(r.reported_cnt, 0) AS BIGINT) AS reported_cnt,
+                 CAST(t.true_cnt AS BIGINT) AS true_cnt,
+                 CAST(2 * kc.k * COALESCE(r.reported_cnt, 0) - n.total AS BIGINT) AS est_scaled
+          FROM tru t
+          LEFT JOIN rep r ON r.event_type = t.event_type
+          CROSS JOIN kc CROSS JOIN n
+          ORDER BY t.event_type"""
+    })
+
+  /** Bloom-pruned runtime-filter join ([[graft.operators.RuntimeFilter]]):
+    * lineitem joined to the suppliers of ONE nation with the fact side
+    * pre-pruned map-side by a Bloom filter built over the dim keys — the
+    * semi-join reduction that keeps a selective join from shuffling the
+    * full fact table (≈ |matching| + fpp·|fact| rows reach the exchange
+    * instead of |fact|). Result is EXACTLY the plain join — no false
+    * negatives by construction, false positives die in the join — so the
+    * oracle IS the plain join, the q105/q116 convention for plan-level
+    * operators. */
+  val q219_bloom_join = Q(
+    "q219_bloom_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val dim = t(s, dir, "supplier").join(
+        t(s, dir, "nation").filter(col("n_name") === "NATION_9"),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+      graft.operators.RuntimeFilter
+        .bloomPrunedJoin(li, dim, "l_suppkey", "s_suppkey")
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_9'
+            GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** Join-key skew diagnostic (the pre-flight report behind the salted
+    * join/agg family q105/q116): per event type, the user_id key
+    * distribution's concentration — key count, hottest-key count, top-10
+    * mass (via the custom [[graft.operators.TopK]] bounded-heap physical
+    * operator), hottest-key share in ppm, and the suggested salt factor
+    * ceil(max_cnt · P / total) for P = 32 partitions (how many ways the
+    * hottest key must split so no partition exceeds the mean load). All
+    * integer; one groupBy + k-sized aggregates. */
+  val q220_skew_report = Q(
+    "q220_skew_report",
+    (s, dir) => {
+      val grp = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds both the agg and the TopK operator
+      val agg = grp.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"))
+      val top10 = graft.operators.TopK
+        .perGroup(grp, Seq("event_type"), Seq(("c", false), ("user_id", true)), 10)
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("top10_sum"))
+      agg.join(top10, Seq("event_type"))
+        .select(
+          col("event_type"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_keys").cast("long").as("n_keys"),
+          col("max_cnt").cast("long").as("max_cnt"),
+          col("top10_sum").cast("long").as("top10_sum"),
+          expr("(1000000 * max_cnt) div n_rows").as("top1_share_ppm"),
+          expr("(max_cnt * 32 + n_rows - 1) div n_rows").as("suggested_salt"))
+        .orderBy("event_type")
+    },
+    Some("""WITH grp AS (SELECT event_type, user_id, COUNT(*) AS c
+                         FROM events GROUP BY 1, 2),
+              agg AS (SELECT event_type, SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                             MAX(c) AS max_cnt
+                      FROM grp GROUP BY 1),
+              t10 AS (SELECT event_type, SUM(c) AS top10_sum FROM (
+                        SELECT event_type, c, ROW_NUMBER() OVER (
+                          PARTITION BY event_type ORDER BY c DESC, user_id) AS rn
+                        FROM grp) WHERE rn <= 10 GROUP BY 1)
+            SELECT a.event_type,
+                   CAST(a.n_rows AS BIGINT) AS n_rows,
+                   CAST(a.n_keys AS BIGINT) AS n_keys,
+                   CAST(a.max_cnt AS BIGINT) AS max_cnt,
+                   CAST(t.top10_sum AS BIGINT) AS top10_sum,
+                   CAST((1000000 * a.max_cnt) // a.n_rows AS BIGINT) AS top1_share_ppm,
+                   CAST((a.max_cnt * 32 + a.n_rows - 1) // a.n_rows AS BIGINT) AS suggested_salt
+            FROM agg a JOIN t10 t USING (event_type)
+            ORDER BY a.event_type"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8201,5 +8362,6 @@ object Queries {
     q203_skyline, q204_kmv_overlap, q205_hash_classifier, q206_lineage,
     q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq, q211_video_neardup,
     q212_filter_funnel, q213_winnowing, q214_join_size_est,
-    q215_hits, q216_sorted_neighborhood, q217_rendezvous)
+    q215_hits, q216_sorted_neighborhood, q217_rendezvous,
+    q218_randomized_response, q219_bloom_join, q220_skew_report)
 }

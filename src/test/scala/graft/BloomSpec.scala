@@ -103,4 +103,19 @@ class BloomSpec extends SparkSpec {
     val out = Dedup.bloomScreen(batch, existing, "doc_id", "text", prebuilt = Some(art))
     assert(out.count() == 0, "every batch row duplicates an existing doc and must drop")
   }
+
+  test("bloomPrunedJoin equals the plain join and prunes non-matching fact rows map-side") {
+    import spark.implicits._
+    val fact = (1L to 1000L).map(i => (i % 50, i)).toDF("fk", "payload")
+    val dim = Seq((3L, "a"), (7L, "b"), (11L, "c")).toDF("dk", "name")
+    val viaBloom = graft.operators.RuntimeFilter.bloomPrunedJoin(fact, dim, "fk", "dk")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    assert(sortedRows(viaBloom) == sortedRows(plain))
+    assert(viaBloom.count() == 60) // 3 matching keys × 20 rows each
+    // empty dim: the filter rejects everything, join result empty
+    val none = graft.operators.RuntimeFilter.bloomPrunedJoin(
+      fact, dim.filter(col("dk") < 0), "fk", "dk")
+    assert(none.count() == 0)
+  }
+
 }
