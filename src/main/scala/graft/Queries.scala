@@ -8307,6 +8307,168 @@ object Queries {
             FROM agg a JOIN t10 t USING (event_type)
             ORDER BY a.event_type"""))
 
+
+  /** Streaming SLIDING-window aggregation (6 h window, 3 h slide — every
+    * event lands in exactly 2 overlapping windows), the overlap face of
+    * q96's tumbling form: same file stream, AvailableNow drain, complete-
+    * mode memory sink. Oracle replays the epoch-aligned window arithmetic
+    * (each event expanded to its 2 covering window starts). */
+  val q221_stream_sliding = Q(
+    "q221_stream_sliding",
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q221")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(streamDir.toString))
+      val agg = graft.streaming.StreamOps.windowedAggregate(
+        stream, "ts", "6 hours", Some("3 hours"), watermark = "1 hour",
+        groupColumns = Seq("event_type"), aggName = "count", valueColumn = "value")
+      val qname = s"graft_q221_${q221Runs.incrementAndGet()}"
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      s.table(qname).select(
+        col("window.start").cast("long").as("win_start"),
+        col("event_type"),
+        col("value").cast("long").as("n"))
+        .orderBy("win_start", "event_type")
+    },
+    Some("""SELECT CAST(((epoch_us(ts) // 10800000000) - o.range) * 10800 AS BIGINT) AS win_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events CROSS JOIN range(2) o
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+  private val q221Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Sweep-line maximum-concurrency profile: per-user 30-min-gap sessions
+    * (q58's sessionization) as CLOSED [first-event, last-event] intervals,
+    * swept by +1/−1 boundary points — the classic interval-overlap
+    * counting operator (ends at an instant release before starts at the
+    * same instant claim, i.e. [s, e+1µs) half-open arithmetic). Scale
+    * shape: boundary points pre-aggregate to net deltas per DISTINCT
+    * instant, so the one unavoidable global-order cumsum runs over
+    * distinct boundary instants (≪ events — the q207 vocabulary-sort
+    * move). Output: per day, the max concurrent sessions observed at
+    * boundary instants that day. */
+  val q222_concurrency = Q(
+    "q222_concurrency",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = graft.time.Sessionize
+        .assignSessions(t(s, dir, "events"), "ts", 1800L, Seq("user_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(unix_micros(min(col("ts"))).as("s"),
+          (unix_micros(max(col("ts"))) + 1L).as("e"))
+      val pts = sess.select(col("s").as("t"), lit(1L).as("d"))
+        .unionAll(sess.select(col("e").as("t"), lit(-1L).as("d")))
+      val byT = pts.groupBy(col("t")).agg(sum(col("d")).as("net"))
+      val cum = byT.withColumn("cc",
+        sum(col("net")).over(Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
+        .agg(max(col("cc")).cast("long").as("max_cc"))
+        .orderBy("day")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                     THEN 1 ELSE 0 END AS is_start
+              FROM events),
+            sess AS (
+              SELECT user_id,
+                     SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid, ts
+              FROM marked),
+            iv AS (SELECT user_id, sid, MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) + 1 AS e
+                   FROM sess GROUP BY 1, 2),
+            pts AS (SELECT s AS t, 1 AS d FROM iv UNION ALL SELECT e, -1 FROM iv),
+            byt AS (SELECT t, SUM(d) AS net FROM pts GROUP BY 1),
+            cum AS (SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cc
+                    FROM byt)
+          SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+                 CAST(MAX(cc) AS BIGINT) AS max_cc
+          FROM cum GROUP BY 1 ORDER BY 1"""))
+
+  /** Audio near-duplicate detection — the envelope-fingerprint member of
+    * the multimodal dedup family (text q29 / image q184 / video q211):
+    * real PCM WAV payloads demuxed to exact per-segment energy integers
+    * ([[graft.multimodal.Multimodal.audioSegmentEnergies]], map-side),
+    * consecutive-segment 2-gram shingles, exact Jaccard via the
+    * inverted-index equi-join. The corpus plants a clone (first segment
+    * re-recorded) for every 5th clip: 10 of 12 union shingles survive →
+    * jaccard 833333 ppm, and every energy is a closed-form function of
+    * (id, segment) — the oracle derives all expected pairs from the
+    * arithmetic, never touching the codec (codec bugs diverge the hash). */
+  val q223_audio_neardup = Q(
+    "q223_audio_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 150
+      val corpus = Multimodal.syntheticAudioCorpus(s, n)
+      val seg = Multimodal.audioSegmentEnergies(corpus, 200)
+        .select(col("id"), col("segment_index"), col("energy"))
+      val w = Window.partitionBy(col("id")).orderBy(col("segment_index"))
+      val sh = seg
+        .withColumn("nxt", lead(col("energy"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("id"), (col("energy") * 4194304L + col("nxt")).as("key"))
+        .distinct()
+        .cache()
+      val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("s"))
+      val inter = sh.as("x")
+        .join(sh.as("y"), col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+      val out = inter
+        .join(sz.select(col("id").as("id1"), col("s").as("s1")), "id1")
+        .join(sz.select(col("id").as("id2"), col("s").as("s2")), "id2")
+        .withColumn("n_union", col("s1") + col("s2") - col("n_shared"))
+        .withColumn("jaccard_ppm", expr("(1000000 * n_shared) div n_union"))
+        .filter(col("jaccard_ppm") >= 500000)
+        .select(col("id1"), col("id2"),
+          col("n_shared").cast("long").as("n_shared"),
+          col("n_union").cast("long").as("n_union"),
+          col("jaccard_ppm").cast("long").as("jaccard_ppm"))
+        .orderBy("id1", "id2")
+      val materialized = out.localCheckpoint(true)
+      sh.unpersist()
+      materialized
+    },
+    Some("""WITH ids AS (
+              SELECT range AS id FROM range(150)
+              UNION ALL
+              SELECT range + 150 FROM range(150) WHERE range % 5 = 0),
+            seg AS (
+              SELECT i.id, k.range AS k,
+                     200 * (CASE WHEN i.id >= 150 AND k.range = 0
+                                 THEN 7500 + (i.id - 150) * 16
+                                 ELSE 500 + (CASE WHEN i.id >= 150 THEN i.id - 150 ELSE i.id END) * 16 + k.range
+                            END) AS energy
+              FROM ids i CROSS JOIN range(12) k),
+            sh AS (
+              SELECT DISTINCT a.id, a.energy * 4194304 + b.energy AS key
+              FROM seg a JOIN seg b ON a.id = b.id AND b.k = a.k + 1),
+            sz AS (SELECT id, COUNT(*) AS s FROM sh GROUP BY 1),
+            inter AS (
+              SELECT x.id AS id1, y.id AS id2, COUNT(*) AS n_shared
+              FROM sh x JOIN sh y ON x.key = y.key AND x.id < y.id
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT i.id1, i.id2, i.n_shared, s1.s + s2.s - i.n_shared AS n_union
+              FROM inter i JOIN sz s1 ON s1.id = i.id1 JOIN sz s2 ON s2.id = i.id2)
+          SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+                 CAST(n_shared AS BIGINT) AS n_shared,
+                 CAST(n_union AS BIGINT) AS n_union,
+                 CAST((1000000 * n_shared) // n_union AS BIGINT) AS jaccard_ppm
+          FROM sc WHERE (1000000 * n_shared) // n_union >= 500000
+          ORDER BY id1, id2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8363,5 +8525,6 @@ object Queries {
     q207_zipf, q208_pq_ann, q209_coreset, q210_ab_chisq, q211_video_neardup,
     q212_filter_funnel, q213_winnowing, q214_join_size_est,
     q215_hits, q216_sorted_neighborhood, q217_rendezvous,
-    q218_randomized_response, q219_bloom_join, q220_skew_report)
+    q218_randomized_response, q219_bloom_join, q220_skew_report,
+    q221_stream_sliding, q222_concurrency, q223_audio_neardup)
 }

@@ -215,6 +215,57 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 16-bit mono little-endian PCM WAV at 8192 Hz with the given
+      * per-frame sample values (clamped to short range) — the payload
+      * generator behind `syntheticAudioCorpus`. Constant-valued segments
+      * survive the PCM round-trip exactly, keeping derived energies
+      * analytic (the solid-gray-image move, in audio). */
+    def pcmWav(samples: Array[Int]): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(8192f, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, samples(i)))
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a 16-bit mono little-endian PCM payload back to its exact
+      * integer samples via the JDK sampled-audio stack; None for anything
+      * that is not that format (opaque payloads are data, not errors). */
+    def wavSamples(payload: Array[Byte]): Option[Array[Int]] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian ||
+              f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bytes = ais.readAllBytes()
+            val out = new Array[Int](bytes.length / 2)
+            var i = 0
+            while (i < out.length) {
+              out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+              i += 1
+            }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
     // ---- AVI container (RIFF) — pure-JVM video path ------------------
     //
     // The JDK ships no compressed video codec, but the AVI *container* with
@@ -580,6 +631,72 @@ object Multimodal {
           ((g * 17 + j * 23 + offset) % 256).toInt
         }
         Row(v, Codec.solidGrayAvi(16, 12, 8, grays))
+      }
+    }(enc)
+  }
+
+  /** REAL audio envelope extraction: demux the PCM samples and emit one
+    * row per `framesPerSegment`-frame segment with its absolute-amplitude
+    * energy sum (exact BIGINT — constant-segment payloads make it
+    * analytic). Undecodable payloads emit zero rows; partition-local
+    * flatMap, no shuffle — the map-side front half of the audio dedup
+    * pipeline, mirroring `sampleVideoFrames`. */
+  def audioSegmentEnergies(
+      df: DataFrame,
+      framesPerSegment: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    require(framesPerSegment >= 1, s"audioSegmentEnergies: framesPerSegment $framesPerSegment must be >= 1")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("segment_index", IntegerType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Codec.wavSamples(r.getAs[Array[Byte]](idx)).toSeq.flatMap { samples =>
+          samples.grouped(framesPerSegment).zipWithIndex.collect {
+            // ragged tails are dropped: only FULL segments are comparable
+            // fingerprint units across payloads
+            case (seg, si) if seg.length == framesPerSegment =>
+              var e = 0L
+              var i = 0
+              while (i < seg.length) { e += math.abs(seg(i).toLong); i += 1 }
+              Row.fromSeq(r.toSeq ++ Seq[Any](si, e))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic audio corpus for the envelope-fingerprint dedup pipeline
+    * (q223): base clip a (a in [0, n)) has 12 constant-amplitude segments
+    * of 200 frames, amplitude amp(a, k) = 500 + a·16 + k — injective in
+    * (a, k), so distinct clips share NO segment energies; every a with
+    * a % 5 == 0 also ships a near-duplicate clone (id n + a) identical
+    * except segment 0, whose amplitude moves to 7500 + a·16 (outside the
+    * base range — collision-free). Real PCM WAV payloads, every energy a
+    * closed-form function of the ids: the oracle derives expected
+    * similarities from the arithmetic, never from the codec. Generation
+    * runs on executors. */
+  def syntheticAudioCorpus(spark: SparkSession, n: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", BinaryType))))
+    val ids = spark.range(n.toLong).toDF("id")
+      .union(spark.range(n.toLong).filter(col("id") % 5 === 0)
+        .select((col("id") + n.toLong).as("id")))
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val a = if (id >= n) id - n else id
+        val samples = (0 until 12).flatMap { k =>
+          val amp =
+            if (id >= n && k == 0) 7500 + a.toInt * 16
+            else 500 + a.toInt * 16 + k
+          Seq.fill(200)(amp)
+        }.toArray
+        Row(id, Codec.pcmWav(samples))
       }
     }(enc)
   }

@@ -168,4 +168,24 @@ class StreamingSpec extends SparkSpec {
     replay.toDF("k", "n").write.mode("overwrite").parquet(s"$serving/batch=$lastId")
     assert(state() == converged, "a batch retry must be byte-idempotent")
   }
+
+  test("sliding-window aggregation: each event lands in window/slide overlapping windows") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "user", "value")
+    val agg = StreamOps.windowedAggregate(
+      events, "ts", "2 hours", Some("1 hour"), groupColumns = Seq("user"), aggName = "count")
+    val q = agg.writeStream.format("memory").queryName("win_slide").outputMode("complete").start()
+    input.addData(
+      (ts("2024-01-01 10:30:00"), "a", 1.0),
+      (ts("2024-01-01 11:30:00"), "a", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("win_slide")
+      .select(hour(col("window.start")).as("h"), col("value"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    q.stop()
+    // event@10:30 → windows [9,11) and [10,12); event@11:30 → [10,12) and [11,13)
+    assert(got == Set((9, 1L), (10, 2L), (11, 1L)))
+  }
+
 }

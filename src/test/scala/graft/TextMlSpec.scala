@@ -1407,6 +1407,39 @@ class MultimodalSpec extends SparkSpec {
       .withColumn("resized_payload", hex($"resized_payload")))
     assert(a == b)
   }
+
+  test("PCM WAV round-trip: pcmWav samples decode back exactly; non-audio decodes to none") {
+    val samples = Array(500, -1200, 0, 32767, -32768, 7)
+    val wav = Multimodal.Codec.pcmWav(samples)
+    assert(Multimodal.Codec.wavSamples(wav).get.toSeq == samples.toSeq)
+    assert(Multimodal.Codec.wavSamples("not audio".getBytes).isEmpty)
+    assert(Multimodal.Codec.wavSamples(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioSegmentEnergies: full segments only, exact integer energies, opaque rows drop") {
+    import spark.implicits._
+    val wav = Multimodal.Codec.pcmWav(Array.fill(10)(100) ++ Array.fill(10)(-200) ++ Array.fill(4)(999))
+    val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "payload")
+    val seg = Multimodal.audioSegmentEnergies(df, 10)
+      .select(col("id"), col("segment_index"), col("energy"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // ragged 4-frame tail dropped; |−200|·10 = 2000
+    assert(seg == Set((1L, 0, 1000L), (1L, 1, 2000L)))
+  }
+
+  test("synthetic audio corpus: clone differs only in segment 0, energies analytic") {
+    val seg = Multimodal.audioSegmentEnergies(
+      Multimodal.syntheticAudioCorpus(spark, 10), 200)
+      .select(col("id"), col("segment_index"), col("energy"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // base clip 5, segment k: 200·(500 + 5·16 + k); clone 15 seg0: 200·(7500+80)
+    (0 until 12).foreach { k =>
+      assert(seg((5L, k)) == 200L * (500 + 80 + k))
+      if (k > 0) assert(seg((15L, k)) == seg((5L, k)))
+    }
+    assert(seg((15L, 0)) == 200L * 7580)
+  }
+
 }
 
 class ChunkingSpec extends SparkSpec {
