@@ -8469,6 +8469,46 @@ object Queries {
           FROM sc WHERE (1000000 * n_shared) // n_union >= 500000
           ORDER BY id1, id2"""))
 
+
+  /** Price-tier classification via the broadcast interval-lookup join —
+    * the SECOND whole-operator Catalyst extension
+    * ([[graft.plans.IntervalJoin]]): lineitem prices joined to a table of
+    * disjoint [lo, hi) tiers by binary search over the sorted broadcast
+    * intervals, O(n log m) where the plan Spark writes for the same
+    * `p >= lo AND p < hi` predicate is an O(n·m)
+    * BroadcastNestedLoopJoin. Probe-side partitioning is preserved (no
+    * shuffle before the aggregate's own exchange); disjointness is
+    * validated, not assumed. Oracle = the plain containment join. */
+  val q224_interval_lookup = Q(
+    "q224_interval_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("budget", 0L, 5000L),
+        ("value", 5000L, 15000L),
+        ("mid", 15000L, 30000L),
+        ("premium", 30000L, 60000L),
+        ("luxury", 60000L, 120000L)).toDF("tier", "lo", "hi")
+      val probe = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice")).cast("long").as("price_pt"),
+          col("l_quantity"))
+      graft.operators.IntervalLookup
+        .join(probe, tiers, "price_pt", "lo", "hi")
+        .groupBy(col("tier"), col("lo"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("tier"), col("lo").cast("long").as("lo"), col("n"), col("sum_qty"))
+        .orderBy("lo")
+    },
+    Some("""WITH tiers(tier, lo, hi) AS (VALUES
+              ('budget', 0, 5000), ('value', 5000, 15000), ('mid', 15000, 30000),
+              ('premium', 30000, 60000), ('luxury', 60000, 120000))
+            SELECT tier, CAST(lo AS BIGINT) AS lo, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN tiers
+              ON FLOOR(l_extendedprice) >= lo AND FLOOR(l_extendedprice) < hi
+            GROUP BY 1, 2 ORDER BY lo"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8526,5 +8566,6 @@ object Queries {
     q212_filter_funnel, q213_winnowing, q214_join_size_est,
     q215_hits, q216_sorted_neighborhood, q217_rendezvous,
     q218_randomized_response, q219_bloom_join, q220_skew_report,
-    q221_stream_sliding, q222_concurrency, q223_audio_neardup)
+    q221_stream_sliding, q222_concurrency, q223_audio_neardup,
+    q224_interval_lookup)
 }

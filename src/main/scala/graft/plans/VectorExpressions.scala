@@ -178,5 +178,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => new TopKPerGroup.TopKStrategy)
     ext.injectOptimizerRule(_ => TopKPerGroup.PushFilterThroughTopK)
+    // whole-operator extension #2: the broadcast interval-lookup join
+    // (sorted disjoint intervals + binary-search probe — graft.plans.IntervalJoin)
+    ext.injectPlannerStrategy(_ => new IntervalJoin.IntervalJoinStrategy)
   }
 }

@@ -106,4 +106,58 @@ class TopKSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TopK.perGroup(df, Nil, Seq(("v", true)), 1) }
     intercept[IllegalArgumentException] { TopK.perGroup(df, Seq("nope"), Seq(("v", true)), 1) }
   }
+
+  // ---------------------------------------------------- interval lookup
+
+  test("interval-lookup join equals the predicate join; edges and nulls handled") {
+    import spark.implicits._
+    val probe = Seq(Some(-5L), Some(0L), Some(9L), Some(10L), Some(15L), Some(19L),
+      Some(20L), Some(25L), Some(30L), Some(99L), None)
+      .toDF("p")
+    val iv = Seq(("a", 0L, 10L), ("b", 10L, 20L), ("c", 25L, 30L)).toDF("name", "lo", "hi")
+    val got = graft.operators.IntervalLookup.join(probe, iv, "p", "lo", "hi")
+    val expected = probe.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(sortedRows(got) == sortedRows(expected))
+    // lo inclusive, hi exclusive, gaps and out-of-range drop, null drops
+    assert(got.count() == 6) // 0,9 → a; 10,15,19 → b; 25 → c
+  }
+
+  test("interval-lookup join plans the custom exec, not a nested-loop join") {
+    import spark.implicits._
+    val probe = viaParquet(Seq(1L, 7L, 12L).toDF("p"))
+    val iv = Seq(("a", 0L, 10L)).toDF("name", "lo", "hi")
+    val df = graft.operators.IntervalLookup.join(probe, iv, "p", "lo", "hi")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalLookupJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.count() == 2)
+  }
+
+  test("interval-lookup join refuses overlapping, inverted, and non-long intervals") {
+    import spark.implicits._
+    val probe = Seq(1L).toDF("p")
+    val overlap = Seq(("a", 0L, 10L), ("b", 5L, 15L)).toDF("name", "lo", "hi")
+    val e1 = intercept[Exception](
+      graft.operators.IntervalLookup.join(probe, overlap, "p", "lo", "hi").collect())
+    assert(e1.getMessage.contains("overlapping"))
+    val inverted = Seq(("a", 10L, 10L)).toDF("name", "lo", "hi")
+    val e2 = intercept[Exception](
+      graft.operators.IntervalLookup.join(probe, inverted, "p", "lo", "hi").collect())
+    assert(e2.getMessage.contains("inverted"))
+    val typed = Seq(("a", 0.5, 10.0)).toDF("name", "lo", "hi")
+    assertThrows[IllegalArgumentException](
+      graft.operators.IntervalLookup.join(probe, typed, "p", "lo", "hi"))
+    val collide = Seq(("a", 0L, 10L)).toDF("p", "lo", "hi")
+    assertThrows[IllegalArgumentException](
+      graft.operators.IntervalLookup.join(probe, collide, "p", "lo", "hi"))
+  }
+
+  test("interval-lookup join works through the GraftExtensions-registered strategy from SQL-built frames") {
+    import spark.implicits._
+    // empty intervals: every probe row drops, no crash
+    val probe = Seq(1L, 2L).toDF("p")
+    val none = Seq.empty[(String, Long, Long)].toDF("name", "lo", "hi")
+    assert(graft.operators.IntervalLookup.join(probe, none, "p", "lo", "hi").count() == 0)
+  }
+
 }
