@@ -8509,6 +8509,147 @@ object Queries {
               ON FLOOR(l_extendedprice) >= lo AND FLOOR(l_extendedprice) < hi
             GROUP BY 1, 2 ORDER BY lo"""))
 
+
+  /** Deterministic per-group uniform sample, exactly min(k, n) per source:
+    * rows ordered by (xxhash64(id), id) — the engine-replayable stand-in
+    * for a uniform draw (the q135/q195 integer-randomness convention) —
+    * and cut at k by the custom [[graft.operators.TopK]] bounded-heap
+    * physical operator: a per-group reservoir whose shuffle carries at
+    * most k rows per group per input partition, no per-group sort. The
+    * grouped-sampling shape every eval-set builder needs at corpus scale.
+    * Oracle replays the hash order with ROW_NUMBER. */
+  val q225_group_sample = Q(
+    "q225_group_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").cast("long").as("doc_id"))
+        .withColumn("h", xxhash64(col("doc_id")))
+      graft.operators.TopK
+        .perGroup(d, Seq("source"), Seq(("h", true), ("doc_id", true)), 20)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = "SELECT source, doc_id::BIGINT AS doc_id FROM documents"
+      val hashed = xxhash64LongStages(base, "doc_id", "h", pfx = "__s")
+      s"""SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+            FROM ($hashed))
+          WHERE rn <= 20 ORDER BY source, doc_id"""
+    })
+
+  /** Dyadic-EWMA ingest smoothing monitor
+    * ([[graft.operators.EventAnalytics.dyadicEwma]]): per event type and
+    * day, the 8-day dyadic-weight history sum (weights 128..1, mass 255 —
+    * exact BIGINT smoothing, no libm α-powers) with spike/drop flags by
+    * cross-multiplication. The SMOOTHER face of the monitor family beside
+    * CUSUM (level shifts, q198) and seasonal-naive (periodicity, q172).
+    * Only flagged days are reported; full-history days only score. */
+  val q226_dyadic_ewma = Q(
+    "q226_dyadic_ewma",
+    (s, dir) => {
+      graft.operators.EventAnalytics
+        .dyadicEwma(t(s, dir, "events").select(col("event_type"), col("ts")),
+          "event_type", "ts", depth = 8)
+        .select(
+          col("key").as("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt").cast("long").as("cnt"),
+          col("ewma_num").cast("long").as("ewma_num"),
+          col("flag"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type AS key, ts::DATE AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            spine AS (
+              SELECT k.key, d.day FROM
+                (SELECT DISTINCT key FROM daily) k
+              CROSS JOIN
+                (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                 FROM bounds) d),
+            dense AS (
+              SELECT s.key, s.day, COALESCE(dl.n, 0) AS cnt
+              FROM spine s LEFT JOIN daily dl ON dl.key = s.key AND dl.day = s.day),
+            lagged AS (
+              SELECT key, day, cnt,
+                     LAG(cnt, 8) OVER w AS oldest,
+                     128*LAG(cnt,1) OVER w + 64*LAG(cnt,2) OVER w + 32*LAG(cnt,3) OVER w
+                       + 16*LAG(cnt,4) OVER w + 8*LAG(cnt,5) OVER w
+                       + 4*LAG(cnt,6) OVER w + 2*LAG(cnt,7) OVER w
+                       + LAG(cnt,8) OVER w AS ewma_num
+              FROM dense WINDOW w AS (PARTITION BY key ORDER BY day))
+          SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day,
+                 CAST(cnt AS BIGINT) AS cnt, CAST(ewma_num AS BIGINT) AS ewma_num,
+                 CASE WHEN 255 * cnt > 2 * ewma_num THEN 'spike'
+                      WHEN 510 * cnt < ewma_num THEN 'drop'
+                      ELSE 'normal' END AS flag
+          FROM lagged WHERE oldest IS NOT NULL
+          ORDER BY event_type, day"""))
+
+  /** Winsorized robust aggregation: per return flag, prices clamped to the
+    * exact rank-based [p10, p90] before summing — the outlier-resistant
+    * aggregate that, unlike q162's TRIMMED mean, keeps every row's vote
+    * (clamped, not dropped). Percentiles are DISCRETE order statistics
+    * (value at rank ceil(q·n) under the price order) — integer-exact and
+    * engine-replayable where interpolated quantiles are float territory;
+    * prices enter as floor() integer units. Two passes: one window rank,
+    * one clamp-and-sum. */
+  val q227_winsorize = Q(
+    "q227_winsorize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice")).cast("long").as("p"),
+        col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("flag"))))
+      val pcts = ranked
+        .groupBy(col("flag"))
+        .agg(
+          max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 9) div 10"), col("p"))).as("p10"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("p"))).as("p90"))
+      li.join(pcts, Seq("flag"))
+        .select(col("flag"), col("n"), col("p10"), col("p90"),
+          least(greatest(col("p"), col("p10")), col("p90")).as("cl"), col("p"))
+        .groupBy(col("flag"))
+        .agg(
+          max(col("n")).cast("long").as("n"),
+          max(col("p10")).cast("long").as("p10"),
+          max(col("p90")).cast("long").as("p90"),
+          sum(col("cl")).cast("long").as("winsorized_sum"),
+          sum(col("p")).cast("long").as("raw_sum"))
+        .orderBy("flag")
+    },
+    Some("""WITH li AS (
+              SELECT l_returnflag AS flag, CAST(FLOOR(l_extendedprice) AS BIGINT) AS p,
+                     l_orderkey, l_linenumber
+              FROM lineitem),
+            ranked AS (
+              SELECT flag, p,
+                     ROW_NUMBER() OVER (PARTITION BY flag ORDER BY p, l_orderkey, l_linenumber) AS rn,
+                     COUNT(*) OVER (PARTITION BY flag) AS n
+              FROM li),
+            pcts AS (
+              SELECT flag, MAX(n) AS n,
+                     MAX(CASE WHEN rn = (n + 9) // 10 THEN p END) AS p10,
+                     MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN p END) AS p90
+              FROM ranked GROUP BY flag)
+          SELECT li.flag, CAST(MAX(pcts.n) AS BIGINT) AS n,
+                 CAST(MAX(pcts.p10) AS BIGINT) AS p10,
+                 CAST(MAX(pcts.p90) AS BIGINT) AS p90,
+                 CAST(SUM(LEAST(GREATEST(li.p, pcts.p10), pcts.p90)) AS BIGINT) AS winsorized_sum,
+                 CAST(SUM(li.p) AS BIGINT) AS raw_sum
+          FROM li JOIN pcts ON li.flag = pcts.flag
+          GROUP BY li.flag ORDER BY li.flag"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8567,5 +8708,5 @@ object Queries {
     q215_hits, q216_sorted_neighborhood, q217_rendezvous,
     q218_randomized_response, q219_bloom_join, q220_skew_report,
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
-    q224_interval_lookup)
+    q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize)
 }

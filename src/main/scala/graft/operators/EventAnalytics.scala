@@ -252,4 +252,54 @@ object EventAnalytics {
         "mae_ppm",
         when(col("total_actual") > 0, expr("(1000000 * total_abs_err) div total_actual")))
   }
+
+  /** Dyadic-weight exponential smoothing monitor: per key and day (dense
+    * spine — gaps count 0), the PAST-only weighted history sum
+    * `s_t = Σ_{j=1..depth} c_{t−j} · 2^{depth−j}` (yesterday weighs
+    * 2^(depth−1), the oldest day 1; weight mass 2^depth − 1). Today is
+    * deliberately excluded from its own baseline — a smoother containing
+    * 128·c_t would dampen the very spike it is meant to flag. Dyadic
+    * weights make the smoother EXACT BIGINT arithmetic — the float EWMA's
+    * α-power products are libm territory and flap across engines; this
+    * one is a fixed-depth integer window, the TVD/CUSUM move applied to
+    * smoothing. Flags by cross-multiplication (never a division):
+    * `spike` when (2^depth−1)·c_t > 2·s_t (today more than twice the
+    * smoothed level), `drop` when 2·(2^depth−1)·c_t < s_t.
+    * Only days with FULL depth-day history score — a partial window would
+    * silently compare against a different weight mass.
+    *
+    * Scale shape: events reduce to (key, day) counts before any window
+    * (the q172 spine pattern); the lag window shuffles once on key. */
+  def dyadicEwma(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      depth: Int = 8): DataFrame = {
+    require(depth >= 2 && depth <= 32, s"dyadicEwma: depth $depth must be in [2, 32]")
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .crossJoin(daily.select("key").distinct())
+    val dense = spine
+      .join(daily, Seq("key", "day"), "left")
+      .withColumn("cnt", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    val sTerms = (1 to depth).map { j =>
+      lag(col("cnt"), j).over(w) * lit(1L << (depth - j))
+    }
+    val mass = (1L << depth) - 1L
+    dense
+      .withColumn("oldest", lag(col("cnt"), depth).over(w))
+      .withColumn("ewma_num", sTerms.reduce(_ + _))
+      .filter(col("oldest").isNotNull)
+      .select(
+        col("key"), col("day"), col("cnt"), col("ewma_num"),
+        when(lit(mass) * col("cnt") > lit(2L) * col("ewma_num"), "spike")
+          .when(lit(2L * mass) * col("cnt") < col("ewma_num"), "drop")
+          .otherwise("normal").as("flag"))
+  }
 }

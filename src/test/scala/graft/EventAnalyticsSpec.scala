@@ -148,4 +148,32 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.seasonalNaiveError(one, "event_type", "ts", period = 0)
     }
   }
+
+  test("dyadicEwma: flat series normal, 3x spike flagged, zero-day drop flagged, gaps count 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // key 'a': 10 events/day for days 1-8, day 9 silent (spine gap),
+    // day 10 spikes to 40, day 11 back to 10
+    val rows = (for {
+      d <- 1 to 11
+      n = if (d == 9) 0 else if (d == 10) 40 else 10
+      i <- 1 to n
+    } yield (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), "a", i)).toSeq
+    val df = rows.toDF("ts", "key", "i")
+    val out = graft.operators.EventAnalytics.dyadicEwma(df, "key", "ts", depth = 8)
+      .collect().map(r => r.getDate(1).toString -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // first scored day is day 9 (full 8 PAST days of history)
+    assert(!out.contains("2024-01-08") && out.contains("2024-01-09"))
+    // day 9 exists only via the spine (no events): 0 vs past 10/day → drop
+    assert(out("2024-01-09") == ((0L, 2550L, "drop"))) // 10·(128+64+...+1)
+    // day 10: cnt 40 vs past incl. the gap: 10·127 = 1270 → 255·40 > 2·1270
+    assert(out("2024-01-10") == ((40L, 1270L, "spike")))
+    // day 11: back to 10, but the spike inflated the baseline
+    // (40·128 + 0·64 + 10·(32+16+8+4+2+1) = 5750): 510·10 < 5750 → drop —
+    // the post-spike hangover every EWMA monitor exhibits
+    assert(out("2024-01-11") == ((10L, 5750L, "drop")))
+    assertThrows[IllegalArgumentException](
+      graft.operators.EventAnalytics.dyadicEwma(df, "key", "ts", depth = 1))
+  }
+
 }
