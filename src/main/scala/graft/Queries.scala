@@ -8650,6 +8650,39 @@ object Queries {
           FROM li JOIN pcts ON li.flag = pcts.flag
           GROUP BY li.flag ORDER BY li.flag"""))
 
+
+  /** Guaranteed heavy hitters via Misra–Gries + exact verify
+    * ([[graft.operators.Sketches.guaranteedHeavyHitters]]): a planted
+    * hot key (every third event) among ~1000 cold keys, k = 16 counters.
+    * The one-pass MG summary (a NEW TypedImperativeAggregate with the
+    * mergeable-summaries merge rule) bounds memory at k counters where a
+    * full groupBy histograms every key; the exact verify of its ≤ k
+    * candidates makes the output the EXACT set above N/(k+1) —
+    * deterministic despite MG's order-dependent counters. Oracle = the
+    * plain threshold aggregation. */
+  val q228_misra_gries = Q(
+    "q228_misra_gries",
+    (s, dir) => {
+      val keyed = t(s, dir, "events").select(
+        when(col("user_id") % 3 === 0, 7L)
+          .otherwise(lit(1000L) + pmod(col("user_id"), lit(997L))).as("k"))
+      graft.operators.Sketches.guaranteedHeavyHitters(keyed, col("k"), 16)
+        .select(col("key").cast("long").as("key"),
+          col("exact").cast("long").as("exact"),
+          col("total_n").cast("long").as("total_n"))
+        .orderBy("key")
+    },
+    Some("""WITH keyed AS (
+              SELECT CASE WHEN user_id % 3 = 0 THEN 7
+                          ELSE 1000 + ((user_id % 997) + 997) % 997 END AS k
+              FROM events),
+            n AS (SELECT COUNT(*)::BIGINT AS total FROM keyed)
+          SELECT CAST(k AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS exact,
+                 CAST(MAX(n.total) AS BIGINT) AS total_n
+          FROM keyed CROSS JOIN n
+          GROUP BY k HAVING COUNT(*) * 17 > MAX(n.total)
+          ORDER BY key"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8708,5 +8741,5 @@ object Queries {
     q215_hits, q216_sorted_neighborhood, q217_rendezvous,
     q218_randomized_response, q219_bloom_join, q220_skew_report,
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
-    q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize)
+    q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries)
 }

@@ -294,4 +294,37 @@ object Sketches {
     s.unpersist()
     materialized
   }
+
+  /** Two-pass GUARANTEED heavy hitters via a Misra–Gries candidate pass
+    * ([[graft.plans.MisraGriesAgg]]) + exact verification: pass 1 folds
+    * the corpus into one ≤ k-counter summary (map-side partials, merged by
+    * the mergeable-summaries rule — the collect is 2k longs, bounded by k
+    * never by data); pass 2 exactly counts ONLY the ≤ k candidate keys
+    * and keeps those with `count · (k+1) > N`. The MG bound (undercount
+    * ≤ N/(k+1)) makes the candidate set a SUPERSET of every key above the
+    * threshold, so the verified output is deterministic under any
+    * partitioning even though MG counter values are order-dependent — the
+    * same two-pass candidates-then-verify discipline as the LSH dedup
+    * family. Versus q113's Count-Min: MG carries the KEYS (nothing to
+    * invert), Count-Min answers point queries for keys already in hand.
+    *
+    * Returns (key, exact, total_n) for each guaranteed heavy hitter. */
+  def guaranteedHeavyHitters(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val agg = graft.plans.MisraGriesAgg(ExprColumn.expr(keyCol), k)
+    val row = df.agg(
+      ExprColumn(agg.toAggregateExpression()).as("mg"),
+      count(lit(1)).as("n")).head()
+    val pairs = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    val candidates = pairs.grouped(2).map(_.head).toSeq
+    val base = df.select(keyCol.cast("long").as("key"))
+    val verified =
+      if (candidates.isEmpty) base.limit(0).groupBy("key").agg(count(lit(1)).as("exact"))
+      else base.filter(col("key").isin(candidates: _*))
+        .groupBy("key").agg(count(lit(1)).as("exact"))
+    verified
+      .filter(col("exact") * (k + 1L) > n)
+      .withColumn("total_n", lit(n))
+  }
 }

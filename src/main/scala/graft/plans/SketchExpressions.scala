@@ -210,3 +210,134 @@ case class CountMinLookup(child: Expression, counts: Array[Long], depth: Int, wi
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Misra–Gries frequent-items summary (Misra & Gries '82) as a one-pass
+  * TypedImperativeAggregate over a BIGINT key column: at most `k` counters;
+  * a key hit increments its counter, a miss with a full table decrements
+  * EVERY counter (dropping zeros) — the classic amortized charge argument
+  * bounds undercount by N/(k+1). Partial buffers MERGE by the mergeable-
+  * summaries rule (Agarwal et al. PODS'12): pointwise counter sum, then
+  * subtract the (k+1)-th largest counter from all and drop non-positives —
+  * the bound survives, so the map-side combine is exact MG semantics.
+  *
+  * What the summary GUARANTEES (and what is therefore deterministic under
+  * any partitioning, even though the counter VALUES are order-dependent):
+  * every key with true count > N/(k+1) survives in the final table. The
+  * caller's contract is two-pass — treat survivors as CANDIDATES, verify
+  * with exact counts, keep those above the threshold
+  * ([[graft.operators.Sketches.guaranteedHeavyHitters]]). Versus q113's
+  * Count-Min route: MG keeps the KEYS (no second hash inversion problem)
+  * in O(k) memory, Count-Min answers point queries for keys you already
+  * hold; both bound memory where a full groupBy would not.
+  *
+  * Output encoding: interleaved [key₁, cnt₁, key₂, cnt₂, …] array<long>
+  * (counters > 0 only, order unspecified). NULL keys are skipped. */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] with UnaryLike[Expression] {
+
+  require(k >= 1 && k <= 4096, s"misra_gries_agg: k $k must be in [1, 4096]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"misra_gries_agg requires bigint, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_agg"
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long](k * 2)
+
+  override def update(
+      buffer: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[Long]
+      val cur = buffer.getOrDefault(key, 0L)
+      if (cur > 0L) buffer.put(key, cur + 1L)
+      else if (buffer.size() < k) buffer.put(key, 1L)
+      else {
+        // decrement-all: the O(k) step the charge argument pays for
+        val it = buffer.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: java.util.HashMap[Long, Long],
+      other: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buffer.put(e.getKey, buffer.getOrDefault(e.getKey, 0L) + e.getValue)
+    }
+    if (buffer.size() > k) {
+      // subtract the (k+1)-th largest counter value, drop non-positives
+      val vals = new Array[Long](buffer.size())
+      var i = 0
+      val vi = buffer.values().iterator()
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val sub = vals(vals.length - (k + 1)) // (k+1)-th largest
+      val it2 = buffer.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (e.getValue <= sub) it2.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.HashMap[Long, Long]): Any = {
+    val out = new Array[Long](buffer.size() * 2)
+    var i = 0
+    val it = buffer.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = e.getKey
+      out(i + 1) = e.getValue
+      i += 2
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.size() * 16).order(ByteOrder.LITTLE_ENDIAN)
+    val lb = bb.asLongBuffer()
+    val it = buffer.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      lb.put(e.getKey)
+      lb.put(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val out = new java.util.HashMap[Long, Long](k * 2)
+    val lb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    while (lb.hasRemaining) {
+      val key = lb.get()
+      val cnt = lb.get()
+      out.put(key, cnt)
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}

@@ -176,4 +176,42 @@ class SketchSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s1.innerProduct(s2))
   }
 
+
+  test("misra-gries guaranteed heavy hitters: exact set above N/(k+1), partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // 300 hot rows of key 7 + 700 cold rows over ~200 keys: N=1000, k=9 → threshold 100
+    val rows = Seq.fill(300)(7L) ++ Seq.fill(700)(100L + rnd.nextInt(200))
+    val df = rnd.shuffle(rows).toDF("k")
+    val a = graft.operators.Sketches.guaranteedHeavyHitters(df.repartition(1), col("k"), 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.operators.Sketches.guaranteedHeavyHitters(df.repartition(13), col("k"), 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == Set((7L, 300L, 1000L)))
+    assert(b == a) // deterministic despite MG's order-dependent counters
+  }
+
+  test("misra-gries candidate pass: a key above N/(k+1) always survives the raw summary") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ExprColumn
+    // adversarial order: all hot rows FIRST, then a flood of distinct cold
+    // keys (each block of 4 misses costs the hot counter one decrement —
+    // the exact-bound case: 40 hot vs 160 colds drains to 0, 50 survives)
+    val rows = Seq.fill(50)(1L) ++ (1L to 160L).map(_ + 1000L)
+    val df = rows.toDF("k").repartition(1) // single partition = pure streaming MG
+    val agg = graft.plans.MisraGriesAgg(ExprColumn.expr(col("k")), 4)
+    val pairs = df.agg(ExprColumn(agg.toAggregateExpression()).as("mg")).head().getSeq[Long](0)
+    val keys = pairs.grouped(2).map(_.head).toSet
+    assert(keys.contains(1L)) // 50 > 210/5: the strict MG bound keeps it
+    assert(pairs.length <= 8) // at most k (key, cnt) pairs
+    assertThrows[IllegalArgumentException](graft.plans.MisraGriesAgg(ExprColumn.expr(col("k")), 0))
+  }
+
+  test("misra-gries verify pass drops sub-threshold candidates") {
+    import spark.implicits._
+    // uniform keys, none above N/(k+1) → empty result
+    val df = (1L to 100L).toDF("k")
+    assert(graft.operators.Sketches.guaranteedHeavyHitters(df, col("k"), 4).count() == 0)
+  }
+
 }
