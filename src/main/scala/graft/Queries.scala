@@ -8683,6 +8683,89 @@ object Queries {
           GROUP BY k HAVING COUNT(*) * 17 > MAX(n.total)
           ORDER BY key"""))
 
+
+  /** TextTiling-style topic segmentation (Hearst CL'97, integerized —
+    * [[graft.text.TextFunctions.topicBoundaries]]): per document, w=10
+    * token blocks, adjacent-block multiset-overlap similarity per gap,
+    * boundary = strict local minimum below the per-doc median (med2
+    * integer-median gate). Every 6th document gets a 40-token second
+    * topic appended (disjoint vocabulary), planting a deep valley at the
+    * junction the detector must find. Oracle replays the full block/gap/
+    * median arithmetic in SQL — token equality only, no hashing needed. */
+  val q229_topic_segments = Q(
+    "q229_topic_segments",
+    (s, dir) => {
+      val topic2 = Seq.fill(8)("reactor turbine coolant valve inspection").mkString(" ")
+      val corpus = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        when(col("doc_id") % 6 === 0, concat(col("text"), lit(" " + topic2)))
+          .otherwise(col("text")).as("text"))
+      TextFunctions.topicBoundaries(corpus, "doc_id", "text", w = 10)
+        .select(col("doc_id"),
+          col("n_gaps").cast("long").as("n_gaps"),
+          col("n_boundaries").cast("long").as("n_boundaries"),
+          col("deepest_gap").cast("long").as("deepest_gap"),
+          col("min_sim").cast("long").as("min_sim"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val topic2 = Seq.fill(8)("reactor turbine coolant valve inspection").mkString(" ")
+      s"""WITH corpus AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                     CASE WHEN doc_id % 6 = 0 THEN text || ' $topic2' ELSE text END AS text
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(${normalizeSql("text")}), '\\s+'),
+                                 t -> len(t) > 0) AS toks
+              FROM corpus),
+            pos AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) - 1 AS p0, len(toks) AS L
+              FROM d),
+            blocked AS (
+              SELECT doc_id, p0 // 10 AS blk, tok, L // 10 AS nblk
+              FROM pos WHERE p0 < (L // 10) * 10),
+            bc AS (
+              SELECT doc_id, blk, tok, COUNT(*) AS c, MAX(nblk) AS nblk
+              FROM blocked GROUP BY 1, 2, 3),
+            sims AS (
+              SELECT l.doc_id, r.blk AS g, SUM(LEAST(l.c, r.c)) AS sim
+              FROM bc l JOIN bc r
+                ON l.doc_id = r.doc_id AND l.tok = r.tok AND r.blk = l.blk + 1
+              GROUP BY 1, 2),
+            spine AS (
+              SELECT doc_id, unnest(range(1, nblk)) AS g
+              FROM (SELECT doc_id, MAX(nblk) AS nblk FROM bc GROUP BY 1)
+              WHERE nblk >= 2),
+            dense AS (
+              SELECT s.doc_id, s.g, COALESCE(si.sim, 0) AS sim
+              FROM spine s LEFT JOIN sims si ON si.doc_id = s.doc_id AND si.g = s.g),
+            scored AS (
+              SELECT doc_id, g, sim,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS m,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim, g) AS rk,
+                     COALESCE(LAG(sim) OVER (PARTITION BY doc_id ORDER BY g),
+                              9223372036854775807) AS prv,
+                     COALESCE(LEAD(sim) OVER (PARTITION BY doc_id ORDER BY g),
+                              9223372036854775807) AS nxt
+              FROM dense),
+            med AS (
+              SELECT doc_id,
+                     MAX(CASE WHEN rk = (m + 1) // 2 THEN sim END) +
+                       MAX(CASE WHEN rk = (m + 2) // 2 THEN sim END) AS med2
+              FROM scored GROUP BY 1)
+          SELECT s.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(CASE WHEN s.sim < s.prv AND s.sim < s.nxt
+                                AND 2 * s.sim < md.med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+                 CAST(MAX(CASE WHEN s.rk = 1 THEN s.g END) AS BIGINT) AS deepest_gap,
+                 CAST(MIN(s.sim) AS BIGINT) AS min_sim
+          FROM scored s JOIN med md ON md.doc_id = s.doc_id
+          GROUP BY s.doc_id ORDER BY s.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8741,5 +8824,6 @@ object Queries {
     q215_hits, q216_sorted_neighborhood, q217_rendezvous,
     q218_randomized_response, q219_bloom_join, q220_skew_report,
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
-    q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries)
+    q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
+    q229_topic_segments)
 }

@@ -745,4 +745,78 @@ object TextFunctions {
   def fertilityCounts(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("n_words", tokenCount(col(textCol)).cast("long"))
     .withColumn("n_pieces", bpeishTokenCount(col(textCol)).cast("long"))
+
+  /** TextTiling-style topic segmentation (Hearst CL'97, the block-
+    * comparison form, integerized): per document, tokens partition into
+    * full w-token blocks (the ragged tail drops — only full blocks are
+    * comparable units); each internal gap g scores the MULTISET overlap of
+    * its two flanking blocks, `sim_g = Σ_tok min(count_left, count_right)`
+    * — the integer stand-in for Hearst's cosine, exact BIGINT where the
+    * cosine is libm territory. A gap is a topic boundary when it is a
+    * STRICT local minimum of the sim series and lies below the per-doc
+    * median (the med2 = doubled-median trick of q174, so interpolated
+    * medians stay integer: boundary ⇔ 2·sim < med2).
+    *
+    * Scale shape: one posexplode + one (id, blk, tok) count aggregate;
+    * gap similarity is an equi-join of adjacent block rows on (id, tok) —
+    * never a text re-scan; the windows run per-document. Documents with
+    * fewer than 2 full blocks have no gaps and drop.
+    *
+    * Returns (idCol, n_gaps, n_boundaries, deepest_gap, min_sim) —
+    * deepest_gap = the argmin gap index (1-based; smallest index on ties). */
+  def topicBoundaries(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10): DataFrame = {
+    require(w >= 2, s"topicBoundaries: block size $w must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toked = df.select(col(idCol), tokens(normalize(col(textCol))).as("__graft_toks"))
+    val pos = toked
+      .select(col(idCol), posexplode(array_compact(col("__graft_toks"))).as(Seq("__graft_p", "__graft_tok")))
+      .withColumn("__graft_L", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("__graft_p") < (col("__graft_L").cast("long") / w).cast("long") * w)
+      .select(col(idCol), (col("__graft_p") / w).cast("long").as("__graft_blk"),
+        col("__graft_tok"),
+        (col("__graft_L").cast("long") / w).cast("long").as("__graft_nblk"))
+    val blkCounts = pos
+      .groupBy(col(idCol), col("__graft_blk"), col("__graft_tok"))
+      .agg(count(lit(1)).as("__graft_c"), max(col("__graft_nblk")).as("__graft_nblk"))
+    val sims = blkCounts.as("l")
+      .join(blkCounts.as("r"),
+        col("l." + idCol) === col("r." + idCol) &&
+          col("l.__graft_tok") === col("r.__graft_tok") &&
+          col("r.__graft_blk") === col("l.__graft_blk") + 1)
+      .groupBy(col("l." + idCol).as(idCol), col("r.__graft_blk").as("__graft_g"))
+      .agg(sum(least(col("l.__graft_c"), col("r.__graft_c"))).as("__graft_sim"))
+    // gap spine: zero-overlap gaps must exist with sim 0
+    val spine = blkCounts
+      .groupBy(col(idCol))
+      .agg(max(col("__graft_nblk")).as("__graft_nblk"))
+      .filter(col("__graft_nblk") >= 2)
+      .select(col(idCol), explode(sequence(lit(1L), col("__graft_nblk") - 1)).as("__graft_g"))
+    val dense = spine.join(sims, Seq(idCol, "__graft_g"), "left")
+      .withColumn("__graft_sim", coalesce(col("__graft_sim"), lit(0L)))
+    val byG = Window.partitionBy(col(idCol)).orderBy(col("__graft_g"))
+    val byId = Window.partitionBy(col(idCol))
+    val bySim = Window.partitionBy(col(idCol)).orderBy(col("__graft_sim"), col("__graft_g"))
+    val MaxL = Long.MaxValue
+    val scored = dense
+      .withColumn("__graft_m", count(lit(1)).over(byId))
+      .withColumn("__graft_rk", row_number().over(bySim))
+      .withColumn("__graft_med2",
+        max(when(col("__graft_rk") === expr("(__graft_m + 1) div 2"), col("__graft_sim"))).over(byId) +
+          max(when(col("__graft_rk") === expr("(__graft_m + 2) div 2"), col("__graft_sim"))).over(byId))
+      .withColumn("__graft_isb",
+        col("__graft_sim") < coalesce(lag(col("__graft_sim"), 1).over(byG), lit(MaxL)) &&
+          col("__graft_sim") < coalesce(lead(col("__graft_sim"), 1).over(byG), lit(MaxL)) &&
+          col("__graft_sim") * 2 < col("__graft_med2"))
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(when(col("__graft_isb"), 1L).otherwise(0L)).as("n_boundaries"),
+        min(struct(col("__graft_sim"), col("__graft_g"))).getField("__graft_g").as("deepest_gap"),
+        min(col("__graft_sim")).as("min_sim"))
+  }
 }

@@ -434,6 +434,29 @@ class TextFunctionsSpec extends SparkSpec {
       if (n <= 3) assert(all.toMap.values.toSeq.distinct.size == all.map(_._1).distinct.size)
     }
   }
+
+  test("topicBoundaries: two-topic doc valleys at the junction, uniform doc does not") {
+    import spark.implicits._
+    val topicA = Seq.fill(6)("alpha beta gamma delta epsilon").mkString(" ") // 30 tokens
+    val topicB = Seq.fill(6)("omega sigma lambda kappa theta").mkString(" ") // 30 tokens
+    val docs = Seq(
+      (1L, topicA + " " + topicB), // junction at gap 3 of 5 (w=10, 6 blocks)
+      (2L, Seq.fill(12)("alpha beta gamma delta epsilon").mkString(" ")), // one topic
+      (3L, "too short to have blocks")).toDF("doc_id", "text")
+    val out = TextFunctions.topicBoundaries(docs, "doc_id", "text", w = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 6 blocks, 5 gaps; gap 3 (blocks 2|3) spans the junction → sim 0
+    assert(out(1L)._1 == 5L)
+    assert(out(1L) == ((5L, 1L, 3L, 0L)))
+    // doc 2: identical blocks — flat sims, no strict local min below median
+    assert(out(2L)._1 == 5L && out(2L)._2 == 0L)
+    // doc 3: < 2 full blocks → absent
+    assert(!out.contains(3L))
+    assertThrows[IllegalArgumentException](
+      TextFunctions.topicBoundaries(docs, "doc_id", "text", w = 1))
+  }
+
 }
 
 class DedupSpec extends SparkSpec {
