@@ -8766,6 +8766,58 @@ object Queries {
           GROUP BY s.doc_id ORDER BY s.doc_id"""
     })
 
+
+  /** The textbook window top-k spelling, silently planned as the custom
+    * bounded-heap operator: with `spark.graft.topk.rewriteWindow` on, the
+    * opt-in optimizer rule
+    * [[graft.plans.TopKPerGroup.RewriteRowNumberTopK]] rewrites
+    * `row_number() OVER (PARTITION BY order ORDER BY price DESC, line)
+    * <= 2` + rank-drop into TopKPerGroupNode — the user keeps the
+    * idiomatic query, the plan loses its full shuffle + per-group sort
+    * (≤ k rows per group per partition cross one exchange). The window
+    * order here is TOTAL (linenumber breaks price ties), which is the
+    * contract the conf asserts. Values must equal the window form
+    * exactly — the oracle IS the window replay. */
+  val q230_window_topk_rewrite = Q(
+    "q230_window_topk_rewrite",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val prev = s.conf.getOption("spark.graft.topk.rewriteWindow")
+      s.conf.set("spark.graft.topk.rewriteWindow", "true")
+      try {
+        val li = t(s, dir, "lineitem")
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+        val top2 = li
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val out = top2
+          .groupBy(col("l_orderkey").cast("long").as("l_orderkey"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("l_extendedprice")), 2).as("top2_sum"))
+          .orderBy("l_orderkey")
+        // materialize under the conf scope — the rewrite fires at
+        // optimization time, which localCheckpoint forces here
+        out.localCheckpoint(true)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.graft.topk.rewriteWindow", v)
+          case None => s.conf.unset("spark.graft.topk.rewriteWindow")
+        }
+      }
+    },
+    Some("""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS top2_sum
+            FROM (
+              SELECT l_orderkey, l_extendedprice,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+              FROM lineitem)
+            WHERE rn <= 2
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8825,5 +8877,5 @@ object Queries {
     q218_randomized_response, q219_bloom_join, q220_skew_report,
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
     q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
-    q229_topic_segments)
+    q229_topic_segments, q230_window_topk_rewrite)
 }

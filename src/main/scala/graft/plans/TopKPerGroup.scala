@@ -122,6 +122,58 @@ object TopKPerGroup {
     }
   }
 
+  /** OPT-IN rewrite of the idiomatic window top-k into the bounded-heap
+    * operator: `Project(cols, Filter(rn <= k, Window(rn = row_number()
+    * OVER (PARTITION BY g ORDER BY o), child)))` becomes
+    * `Project(cols, TopKPerGroupNode(g, o, k, child))` whenever the
+    * enclosing Project DROPS the rank column — the user keeps writing the
+    * textbook `row_number` spelling and the optimizer silently plans the
+    * map-side-bounded exec (≤ k rows per group per partition into one
+    * exchange, zero sorts).
+    *
+    * Gated behind `spark.graft.topk.rewriteWindow` (default off) rather
+    * than always-on, deliberately: when the window ORDER is not a total
+    * order, `row_number` and the heap resolve boundary ties differently —
+    * both answers are valid under the query's own semantics, but a
+    * pinned-value regression suite (like this repo's oracle gate) would
+    * see values flip. The user asserts tie-safety by setting the conf —
+    * the same contract TopK.perGroup documents.
+    *
+    * Shape requirements (all checked): exactly one window expression and
+    * it is ROW_NUMBER (rank()/dense_rank() admit ties and must not
+    * rewrite); the filter condition is `rn <= lit` / `rn < lit` /
+    * `rn = 1` over the rank attribute alone; the Project references
+    * child columns only (the rank column must be dead above the filter —
+    * TopK does not produce it). */
+  object RewriteRowNumberTopK
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And => _, Attribute, EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+    private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) && k >= 1 => Some(k)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) && k >= 2 => Some(k - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+      case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rn) => Some(1)
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (conf.getConfString("spark.graft.topk.rewriteWindow", "false") != "true") return plan
+      plan.transform {
+        case Project(projList,
+              Filter(cond,
+                Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
+                  part, order, child, _)))
+            if order.nonEmpty &&
+              limitOf(cond, alias.toAttribute).isDefined &&
+              projList.forall(_.references.subsetOf(child.outputSet)) =>
+          Project(projList,
+            TopKPerGroupNode(part, order, limitOf(cond, alias.toAttribute).get, child))
+      }
+    }
+  }
+
   /** Plans the logical node as partial → (exchange inserted by
     * EnsureRequirements where needed) → final. */
   class TopKStrategy extends SparkStrategy {

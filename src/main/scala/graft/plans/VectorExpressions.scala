@@ -178,6 +178,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => new TopKPerGroup.TopKStrategy)
     ext.injectOptimizerRule(_ => TopKPerGroup.PushFilterThroughTopK)
+    // opt-in (spark.graft.topk.rewriteWindow): window row_number()<=k plans
+    // as the bounded-heap TopK operator
+    ext.injectOptimizerRule(_ => TopKPerGroup.RewriteRowNumberTopK)
     // whole-operator extension #2: the broadcast interval-lookup join
     // (sorted disjoint intervals + binary-search probe — graft.plans.IntervalJoin)
     ext.injectPlannerStrategy(_ => new IntervalJoin.IntervalJoinStrategy)

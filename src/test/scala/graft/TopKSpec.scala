@@ -160,4 +160,60 @@ class TopKSpec extends SparkSpec {
     assert(graft.operators.IntervalLookup.join(probe, none, "p", "lo", "hi").count() == 0)
   }
 
+
+  // ------------------------------------------- window → TopK rewrite rule
+
+  private def withRewriteConf[T](on: Boolean)(body: => T): T = {
+    val key = "spark.graft.topk.rewriteWindow"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, on.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def windowTop2(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).select(col("g"), col("id"))
+  }
+
+  test("rewriteWindow on: row_number()<=k plans as TopKPerGroupExec with identical values") {
+    import spark.implicits._
+    val df = viaParquet((1L to 200L).map(i => (i % 7, i % 31, i)).toDF("g", "v", "id"))
+    val (planOn, rowsOn) = withRewriteConf(true) {
+      val q = windowTop2(df)
+      (q.queryExecution.executedPlan.toString, sortedRows(q))
+    }
+    val (planOff, rowsOff) = withRewriteConf(false) {
+      val q = windowTop2(df)
+      (q.queryExecution.executedPlan.toString, sortedRows(q))
+    }
+    assert(planOn.contains("TopKPerGroup") && !planOn.contains("Window"), planOn)
+    assert(!planOff.contains("TopKPerGroup") && planOff.contains("Window"), planOff)
+    assert(rowsOn == rowsOff) // total order (v, id) → tie-safe, values identical
+  }
+
+  test("rewriteWindow negative cases: rank(), kept rank column, conf off") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = viaParquet(Seq((1L, 5L, 1L), (1L, 3L, 2L)).toDF("g", "v", "id"))
+    withRewriteConf(true) {
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      // rank() admits ties — must not rewrite
+      val viaRank = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+        .select(col("g"), col("id"))
+      assert(!viaRank.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // rank column kept in the output — TopK cannot produce it, must not rewrite
+      val kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      assert(!kept.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // rn = 1 form rewrites with k = 1
+      val argmax = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("g"), col("id"))
+      assert(argmax.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      assert(argmax.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+    }
+  }
+
 }
