@@ -8818,6 +8818,101 @@ object Queries {
             WHERE rn <= 2
             GROUP BY 1 ORDER BY 1"""))
 
+
+  /** The custom interval-lookup physical operator under STREAMING: a file
+    * stream of events drained in micro-batches (maxFilesPerTrigger=1 over
+    * a 4-file split), each batch enriched against the static tier table
+    * via [[graft.operators.IntervalLookup]] inside foreachBatch and
+    * upserted to its own `batch=<id>` directory (the q190 idempotent-sink
+    * shape — a retry rewrites its own dir); the serving read sums the
+    * per-batch partials. Per-batch aggregation + integer value sums make
+    * the result independent of how files split into batches. Oracle = the
+    * batch containment join. */
+  val q231_stream_interval = Q(
+    "q231_stream_interval",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(("low", 0L, 50L), ("mid", 50L, 150L),
+        ("high", 150L, 300L), ("peak", 300L, 100000L)).toDF("tier", "lo", "hi")
+      val inDir = java.nio.file.Files.createTempDirectory("graft-q231-in").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-q231-out").toString
+      t(s, dir, "events").select(col("event_id"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val query = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val pts = batch.select(floor(col("value")).cast("long").as("pt"))
+          graft.operators.IntervalLookup.join(pts, tiers, "pt", "lo", "hi")
+            .groupBy(col("tier"))
+            .agg(count(lit(1)).as("n"), sum(col("pt")).as("fv"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("tier"))
+        .agg(sum(col("n")).cast("long").as("n_events"),
+          sum(col("fv")).cast("long").as("sum_fv"))
+        .orderBy("tier")
+    },
+    Some("""WITH tiers(tier, lo, hi) AS (VALUES
+              ('low', 0, 50), ('mid', 50, 150), ('high', 150, 300), ('peak', 300, 100000))
+            SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_fv
+            FROM events JOIN tiers
+              ON FLOOR(value) >= lo AND FLOOR(value) < hi
+            GROUP BY 1 ORDER BY tier"""))
+
+  /** Trapezoidal time-weighted integration of an irregular series: per
+    * user, Σ gap_µs · (v_i + v_{i+1}) over consecutive events under the
+    * (ts, event_id) total order — twice the trapezoid integral, kept
+    * UNDIVIDED and in integer cents so every value is an exact BIGINT
+    * (values sampled at irregular times make the plain AVG meaningless —
+    * this is the operator metering/billing pipelines actually need).
+    * Overflow-safe by telescoping: Σ gaps = the user's span, so the sum
+    * is bounded by span_µs · 2·max_cents regardless of event count. One
+    * user-keyed window shuffle. */
+  val q232_time_weighted = Q(
+    "q232_time_weighted",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t"),
+        col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      ev
+        .withColumn("pt", lag(col("t"), 1).over(w))
+        .withColumn("pc", lag(col("cents"), 1).over(w))
+        .filter(col("pt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          (count(lit(1)) + 1).cast("long").as("n_events"),
+          (max(col("t")) - min(col("pt"))).cast("long").as("span_us"),
+          sum((col("t") - col("pt")) * (col("cents") + col("pc"))).cast("long").as("integral2"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS t, event_id,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents
+              FROM events),
+            lagged AS (
+              SELECT user_id, t, cents,
+                     LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt,
+                     LAG(cents) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pc
+              FROM ev)
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+                 CAST(MAX(t) - MIN(pt) AS BIGINT) AS span_us,
+                 CAST(SUM((t - pt) * (cents + pc)) AS BIGINT) AS integral2
+          FROM lagged WHERE pt IS NOT NULL
+          GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8877,5 +8972,6 @@ object Queries {
     q218_randomized_response, q219_bloom_join, q220_skew_report,
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
     q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
-    q229_topic_segments, q230_window_topk_rewrite)
+    q229_topic_segments, q230_window_topk_rewrite,
+    q231_stream_interval, q232_time_weighted)
 }
