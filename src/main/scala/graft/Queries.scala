@@ -8913,6 +8913,42 @@ object Queries {
           FROM lagged WHERE pt IS NOT NULL
           GROUP BY user_id ORDER BY user_id"""))
 
+
+  /** The custom DataSource V2 fixed-width source end-to-end
+    * ([[graft.sources.fixedwidth.FixedWidthSource]] — schema from the
+    * `fields` option, byte-level column pruning, scan-side comparison
+    * pushdown with Spark re-checking the residuals): supplier exported to
+    * fixed-width lines (the mainframe interchange layout), read back
+    * through `.format("graft-fixedwidth")`, filtered and aggregated. The
+    * oracle computes the same report from the ORIGINAL table — the
+    * round-trip through format/parse plus the pushdown path must be
+    * value-invisible. */
+  val q233_fixedwidth_source = Q(
+    "q233_fixedwidth_source",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val out = java.nio.file.Files.createTempDirectory("graft-q233").toString
+      sup.select(format_string("%10d%6d%14d%-30s",
+          col("s_suppkey").cast("long"), col("s_nationkey").cast("long"),
+          floor(col("s_acctbal") * 100).cast("long"), col("s_name")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.format("graft-fixedwidth")
+        .option("fields", "suppkey:10:long,nkey:6:long,balc:14:long,name:30:string")
+        .load(out)
+        .filter(col("nkey") < 8)
+        .groupBy(col("nkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("balc")).cast("long").as("sum_balc"),
+          max(col("name")).as("max_name"))
+        .orderBy("nkey")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS nkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_balc,
+                   MAX(s_name) AS max_name
+            FROM supplier WHERE s_nationkey < 8
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -8973,5 +9009,5 @@ object Queries {
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
     q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
     q229_topic_segments, q230_window_topk_rewrite,
-    q231_stream_interval, q232_time_weighted)
+    q231_stream_interval, q232_time_weighted, q233_fixedwidth_source)
 }

@@ -1,0 +1,237 @@
+package graft.sources.fixedwidth
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fixed-width-record file source as a full DataSource V2 implementation —
+  * the remaining Spark extension surface beside the repo's expressions,
+  * aggregates, logical/physical operators, and optimizer rules: a custom
+  * `TableProvider` with REAL column pruning and filter pushdown, the two
+  * contracts that decide whether a 100 TB scan reads what the query needs
+  * or everything.
+  *
+  * Format: one record per line, columns at fixed byte offsets (the
+  * mainframe/export interchange layout every enterprise pipeline still
+  * meets). Schema comes from the `fields` option —
+  * `name:width:type(,name:width:type)*`, types `long` | `string`; values
+  * are space-trimmed within their slots.
+  *
+  * Scale design:
+  *  - `SupportsPushDownRequiredColumns`: only the REQUIRED (plus
+  *    filter-referenced) slots are ever parsed — pruning reaches the byte
+  *    level, not just the row schema (`ReadSchema` in explain shows it);
+  *  - `SupportsPushDownFilters`: comparison predicates on any field
+  *    evaluate DURING the scan against the parsed slots, skipping
+  *    non-matching lines before row materialization (`PushedFilters` in
+  *    explain). Pushed filters are also RETURNED as post-scan filters —
+  *    the DSv2 contract that keeps Spark re-checking, so a source bug can
+  *    never silently widen results;
+  *  - one `InputPartition` per file: splits parallelize across executors
+  *    exactly like the built-in text source's file granularity.
+  */
+class FixedWidthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-fixedwidth"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixedWidthSource.schemaOf(FixedWidthSource.fieldsOf(options.get("fields")))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FixedWidthTable(FixedWidthSource.fieldsOf(opts.get("fields")), FixedWidthSource.pathOf(opts))
+  }
+}
+
+object FixedWidthSource {
+  /** (name, width, isLong, startOffset) */
+  case class FieldSpec(name: String, width: Int, isLong: Boolean, start: Int)
+
+  def fieldsOf(spec: String): Seq[FieldSpec] = {
+    require(spec != null && spec.nonEmpty,
+      "graft-fixedwidth: the 'fields' option is required (name:width:type,...)")
+    var off = 0
+    spec.split(",").toSeq.map { part =>
+      val bits = part.trim.split(":")
+      require(bits.length == 3, s"graft-fixedwidth: bad field spec '$part' (want name:width:type)")
+      val width = bits(1).toInt
+      require(width >= 1, s"graft-fixedwidth: field '${bits(0)}' width must be >= 1")
+      val isLong = bits(2) match {
+        case "long" => true
+        case "string" => false
+        case t => throw new IllegalArgumentException(
+          s"graft-fixedwidth: field '${bits(0)}' type '$t' not supported (long|string)")
+      }
+      val f = FieldSpec(bits(0), width, isLong, off)
+      off += width
+      f
+    }
+  }
+
+  def schemaOf(fields: Seq[FieldSpec]): StructType =
+    StructType(fields.map(f => StructField(f.name, if (f.isLong) LongType else StringType)))
+
+  def pathOf(opts: CaseInsensitiveStringMap): String = {
+    val p = Option(opts.get("path")).orElse(Option(opts.get("paths"))).orNull
+    require(p != null, "graft-fixedwidth: no path given")
+    // .load(dir) passes a JSON array for multi-path; single path arrives plain
+    if (p.startsWith("[")) p.stripPrefix("[\"").stripSuffix("\"]") else p
+  }
+}
+
+class FixedWidthTable(fields: Seq[FixedWidthSource.FieldSpec], path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-fixedwidth:$path"
+  override def schema(): StructType = FixedWidthSource.schemaOf(fields)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixedWidthScanBuilder(fields, path)
+}
+
+class FixedWidthScanBuilder(fields: Seq[FixedWidthSource.FieldSpec], path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = FixedWidthSource.schemaOf(fields)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+
+  private def supported(f: Filter): Boolean = {
+    val names = fields.map(_.name).toSet
+    f match {
+      case EqualTo(a, _) => names(a)
+      case GreaterThan(a, _) => names(a)
+      case GreaterThanOrEqual(a, _) => names(a)
+      case LessThan(a, _) => names(a)
+      case LessThanOrEqual(a, _) => names(a)
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    // return everything as post-scan residuals: Spark re-applies them, so
+    // the scan-side skip is a pure optimization, never a correctness risk
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FixedWidthScan(fields, path, required, pushed)
+}
+
+class FixedWidthScan(
+    fields: Seq[FixedWidthSource.FieldSpec],
+    path: String,
+    required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-fixedwidth path=$path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory)
+        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(_.getAbsolutePath).sorted
+      else Array(path)
+    files.map(FixedWidthInputPartition(_)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthReaderFactory(fields, required.fieldNames.toSeq, pushed)
+}
+
+case class FixedWidthInputPartition(file: String) extends InputPartition
+
+class FixedWidthReaderFactory(
+    fields: Seq[FixedWidthSource.FieldSpec],
+    requiredNames: Seq[String],
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FixedWidthInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val reader = java.nio.file.Files.newBufferedReader(
+        java.nio.file.Paths.get(file), java.nio.charset.StandardCharsets.UTF_8)
+      private val byName = fields.map(f => f.name -> f).toMap
+      private val outFields = requiredNames.map(byName)
+      private val filterFields = pushed.flatMap {
+        case EqualTo(a, _) => Some(a)
+        case GreaterThan(a, _) => Some(a)
+        case GreaterThanOrEqual(a, _) => Some(a)
+        case LessThan(a, _) => Some(a)
+        case LessThanOrEqual(a, _) => Some(a)
+        case _ => None
+      }.distinct.map(byName)
+      private var current: InternalRow = _
+
+      private def slot(line: String, f: FixedWidthSource.FieldSpec): String = {
+        val end = math.min(f.start + f.width, line.length)
+        if (f.start >= line.length) "" else line.substring(f.start, end).trim
+      }
+
+      private def parsed(line: String, f: FixedWidthSource.FieldSpec): Any = {
+        val s = slot(line, f)
+        if (f.isLong) (if (s.isEmpty) 0L else s.toLong) else s
+      }
+
+      private def passes(line: String): Boolean = pushed.forall { flt =>
+        def v(a: String): Any = parsed(line, byName(a))
+        def cmpLong(a: String, x: Any)(op: (Long, Long) => Boolean): Boolean =
+          v(a) match { case l: Long => op(l, x.asInstanceOf[Number].longValue); case _ => true }
+        def cmpStr(a: String, x: Any)(op: (Int, Int) => Boolean): Boolean =
+          v(a) match { case s: String => op(s.compareTo(x.toString), 0); case _ => true }
+        flt match {
+          case EqualTo(a, x) => v(a) match {
+            case l: Long => x.isInstanceOf[Number] && l == x.asInstanceOf[Number].longValue
+            case s: String => s == x.toString
+          }
+          case GreaterThan(a, x) if byName(a).isLong => cmpLong(a, x)(_ > _)
+          case GreaterThanOrEqual(a, x) if byName(a).isLong => cmpLong(a, x)(_ >= _)
+          case LessThan(a, x) if byName(a).isLong => cmpLong(a, x)(_ < _)
+          case LessThanOrEqual(a, x) if byName(a).isLong => cmpLong(a, x)(_ <= _)
+          case GreaterThan(a, x) => cmpStr(a, x)(_ > _)
+          case GreaterThanOrEqual(a, x) => cmpStr(a, x)(_ >= _)
+          case LessThan(a, x) => cmpStr(a, x)(_ < _)
+          case LessThanOrEqual(a, x) => cmpStr(a, x)(_ <= _)
+          case _ => true
+        }
+      }
+
+      override def next(): Boolean = {
+        var line = reader.readLine()
+        while (line != null && !(line.nonEmpty && passes(line))) line = reader.readLine()
+        if (line == null) { current = null; false }
+        else {
+          val values = outFields.map { f =>
+            parsed(line, f) match {
+              case l: Long => Long.box(l)
+              case s: String => UTF8String.fromString(s)
+            }
+          }
+          current = InternalRow.fromSeq(values)
+          true
+        }
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
