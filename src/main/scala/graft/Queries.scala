@@ -8949,6 +8949,40 @@ object Queries {
             FROM supplier WHERE s_nationkey < 8
             GROUP BY 1 ORDER BY 1"""))
 
+
+  /** The DSv2 source's WRITE side closing the loop: part rows exported
+    * through `.write.format("graft-fixedwidth")` (per-task append
+    * writers, left/right slot padding — the exact inverse of the reader's
+    * trim, over-wide values refused), read back through the same source
+    * with a pushed filter, and aggregated. Oracle = the same report from
+    * the original table; the full write→read cycle must be
+    * value-invisible. */
+  val q234_fixedwidth_write = Q(
+    "q234_fixedwidth_write",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q234").toString + "/part_fw"
+      val fieldsOpt = "partkey:10:long,size:6:long,retailc:14:long,brand:12:string"
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("partkey"),
+          col("p_size").cast("long").as("size"),
+          floor(col("p_retailprice") * 100).cast("long").as("retailc"),
+          col("p_brand").as("brand"))
+        .write.format("graft-fixedwidth").option("fields", fieldsOpt)
+        .mode("append").save(out)
+      s.read.format("graft-fixedwidth").option("fields", fieldsOpt).load(out)
+        .filter(col("size") <= 25)
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("retailc")).cast("long").as("sum_retailc"),
+          max(col("partkey")).cast("long").as("max_partkey"))
+        .orderBy("brand")
+    },
+    Some("""SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_retailc,
+                   CAST(MAX(p_partkey) AS BIGINT) AS max_partkey
+            FROM part WHERE p_size <= 25
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9009,5 +9043,6 @@ object Queries {
     q221_stream_sliding, q222_concurrency, q223_audio_neardup,
     q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
     q229_topic_segments, q230_window_topk_rewrite,
-    q231_stream_interval, q232_time_weighted, q233_fixedwidth_source)
+    q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
+    q234_fixedwidth_write)
 }

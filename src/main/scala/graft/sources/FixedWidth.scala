@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,13 +93,76 @@ object FixedWidthSource {
 }
 
 class FixedWidthTable(fields: Seq[FixedWidthSource.FieldSpec], path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-fixedwidth:$path"
   override def schema(): StructType = FixedWidthSource.schemaOf(fields)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FixedWidthScanBuilder(fields, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // column order/types must match the declared layout — a silent
+    // re-order would scramble every slot downstream
+    val expected = FixedWidthSource.schemaOf(fields)
+    require(info.schema().map(f => (f.name, f.dataType)) == expected.map(f => (f.name, f.dataType)),
+      s"graft-fixedwidth write: frame schema ${info.schema().simpleString} does not match " +
+        s"the declared layout ${expected.simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new FixedWidthBatchWrite(fields, path)
+      }
+    }
+  }
+}
+
+/** Append-mode batch write: each task streams its partition to one
+  * `part-<partition>-<task>` file in the target directory (no tmp/rename
+  * dance needed for the append-only contract; abort deletes the file).
+  * Longs pad LEFT in their slot, strings pad RIGHT — the exact inverse of
+  * the reader's trim, so the round-trip is value-exact; a value wider
+  * than its slot REFUSES rather than silently truncating. */
+class FixedWidthBatchWrite(fields: Seq[FixedWidthSource.FieldSpec], path: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new FixedWidthWriterFactory(fields, path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class FixedWidthWriterFactory(fields: Seq[FixedWidthSource.FieldSpec], path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = new java.io.File(path, f"part-$partitionId%05d-$taskId")
+      private val out = java.nio.file.Files.newBufferedWriter(
+        file.toPath, java.nio.charset.StandardCharsets.UTF_8)
+
+      private def pad(s: String, f: FixedWidthSource.FieldSpec): String = {
+        require(s.length <= f.width,
+          s"graft-fixedwidth write: value '$s' wider than field '${f.name}' width ${f.width}")
+        if (f.isLong) (" " * (f.width - s.length)) + s
+        else s + (" " * (f.width - s.length))
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val sb = new StringBuilder
+        fields.zipWithIndex.foreach { case (f, i) =>
+          val s =
+            if (f.isLong) String.valueOf(row.getLong(i))
+            else if (row.isNullAt(i)) ""
+            else row.getUTF8String(i).toString
+          sb.append(pad(s, f))
+        }
+        out.write(sb.toString)
+        out.write("\n")
+      }
+
+      override def commit(): WriterCommitMessage = { out.close(); new WriterCommitMessage {} }
+      override def abort(): Unit = { out.close(); file.delete(); () }
+      override def close(): Unit = ()
+    }
 }
 
 class FixedWidthScanBuilder(fields: Seq[FixedWidthSource.FieldSpec], path: String)

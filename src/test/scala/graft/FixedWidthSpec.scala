@@ -64,4 +64,31 @@ class FixedWidthSpec extends SparkSpec {
     assertThrows[Exception](
       spark.read.format("graft-fixedwidth").option("fields", "a:0:long").load(dir).collect())
   }
+
+  test("fixed-width DSv2 write: append round-trips exactly; over-wide values refuse") {
+    import spark.implicits._
+    val df = Seq((7L, "seven"), (-12L, "minus twelve")).toDF("k", "label")
+    val dir = java.nio.file.Files.createTempDirectory("fw_write").toString + "/out"
+    df.repartition(2).write.format("graft-fixedwidth")
+      .option("fields", "k:6:long,label:14:string").mode("append").save(dir)
+    val back = spark.read.format("graft-fixedwidth")
+      .option("fields", "k:6:long,label:14:string").load(dir)
+    assert(sortedRows(back) == sortedRows(df))
+    // second append accumulates (append-only contract)
+    df.limit(1).write.format("graft-fixedwidth")
+      .option("fields", "k:6:long,label:14:string").mode("append").save(dir)
+    assert(spark.read.format("graft-fixedwidth")
+      .option("fields", "k:6:long,label:14:string").load(dir).count() == 3)
+    // a value wider than its slot must refuse, not truncate
+    val wide = Seq((1L, "this label is far wider than fourteen")).toDF("k", "label")
+    assertThrows[Exception](
+      wide.write.format("graft-fixedwidth")
+        .option("fields", "k:6:long,label:14:string").mode("append").save(dir))
+    // schema mismatch refuses before any file is touched
+    val misnamed = Seq((1L, "x")).toDF("wrong", "label")
+    assertThrows[Exception](
+      misnamed.write.format("graft-fixedwidth")
+        .option("fields", "k:6:long,label:14:string").mode("append").save(dir))
+  }
+
 }
