@@ -8983,6 +8983,117 @@ object Queries {
             FROM part WHERE p_size <= 25
             GROUP BY 1 ORDER BY 1"""))
 
+
+  /** DSv2 aggregate pushdown over the fixed-width source: ungrouped
+    * COUNT(*)/MIN/MAX fold INSIDE the scan (one partial row per file
+    * reaches Spark's final merge — `SupportsPushDownAggregates`, the
+    * contract that turns a table-stat query over a 100 TB export into a
+    * metadata-speed pass). The spec pins the partial-push plan shape;
+    * here the values must equal the same stats computed from the original
+    * table. */
+  val q235_fixedwidth_agg_push = Q(
+    "q235_fixedwidth_agg_push",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q235").toString + "/ev_fw"
+      val fieldsOpt = "event_id:12:long,user_id:10:long"
+      t(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"))
+        .write.format("graft-fixedwidth").option("fields", fieldsOpt)
+        .mode("append").save(out)
+      s.read.format("graft-fixedwidth").option("fields", fieldsOpt).load(out)
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("event_id")).cast("long").as("min_event"),
+          max(col("event_id")).cast("long").as("max_event"),
+          max(col("user_id")).cast("long").as("max_user"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event,
+                   CAST(MAX(user_id) AS BIGINT) AS max_user
+            FROM events"""))
+
+  /** Skip-gram training-pair generation (word2vec/SGNS data prep,
+    * Mikolov '13): per document, (center, context) pairs within a ±2
+    * token window plus one hash-drawn negative context per pair — the
+    * deterministic stand-in for unigram negative sampling, keyed on
+    * (doc, position, offset) so both engines draw the identical negative
+    * (the q135/q169 integer-randomness convention). The report aggregates
+    * per offset: pair volume, distinct centers, self-cooccurrence count,
+    * and the negative-index checksum. One posexplode + 4 window LEADs/
+    * LAGs; the only driver scalar is the vocabulary size (the negative
+    * draw's modulus). */
+  val q236_skipgram_pairs = Q(
+    "q236_skipgram_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(array_compact(TextFunctions.tokens(TextFunctions.normalize(col("text")))))
+            .as(Seq("p", "tok")))
+      // negatives are drawn as vocabulary INDICES — only the modulus (the
+      // vocabulary size) is needed, a single bounded scalar
+      val vocabSize = toks.select(col("tok")).distinct().count()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val withCtx = toks
+        .withColumn("m2", lag(col("tok"), 2).over(w))
+        .withColumn("m1", lag(col("tok"), 1).over(w))
+        .withColumn("p1", lead(col("tok"), 1).over(w))
+        .withColumn("p2", lead(col("tok"), 2).over(w))
+      val pairs = withCtx.select(col("doc_id"), col("p"), col("tok"),
+        explode(array(
+          struct(lit(-2L).as("off"), col("m2").as("ctx")),
+          struct(lit(-1L).as("off"), col("m1").as("ctx")),
+          struct(lit(1L).as("off"), col("p1").as("ctx")),
+          struct(lit(2L).as("off"), col("p2").as("ctx")))).as("c"))
+        .select(col("doc_id"), col("p"), col("tok"),
+          col("c.off").as("off"), col("c.ctx").as("ctx"))
+        .filter(col("ctx").isNotNull)
+        .withColumn("neg_idx",
+          pmod(xxhash64(col("doc_id") * 1048576L + col("p") * 8L + (col("off") + 4L)),
+            lit(vocabSize)))
+      pairs.groupBy(col("off"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("tok")).cast("long").as("distinct_centers"),
+          sum(when(col("tok") === col("ctx"), 1L).otherwise(0L)).cast("long").as("self_pairs"),
+          sum(col("neg_idx")).cast("long").as("neg_checksum"))
+        .orderBy("off")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val toks =
+        s"""SELECT doc_id::BIGINT AS doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS p
+            FROM (SELECT doc_id,
+                    list_filter(regexp_split_to_array(trim(${normalizeSql("text")}), '\\s+'),
+                                t -> len(t) > 0) AS toks
+                  FROM documents)"""
+      val pairsRel =
+        s"""SELECT doc_id, p, tok, off, ctx,
+                   doc_id * 1048576 + p * 8 + (off + 4) AS negkey
+            FROM (
+              SELECT doc_id, p, tok, u.off,
+                     CASE u.off
+                       WHEN -2 THEN LAG(tok, 2) OVER w WHEN -1 THEN LAG(tok, 1) OVER w
+                       WHEN 1 THEN LEAD(tok, 1) OVER w ELSE LEAD(tok, 2) OVER w END AS ctx
+              FROM tk CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) u
+              WINDOW w AS (PARTITION BY doc_id, u.off ORDER BY p))
+            WHERE ctx IS NOT NULL"""
+      val hashed = xxhash64LongStages("SELECT * FROM pairs_rel", "negkey", "h", pfx = "__n")
+      s"""WITH tk AS ($toks),
+            vs AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM tk),
+            pairs_rel AS ($pairsRel),
+            hashed AS ($hashed),
+            neg AS (SELECT hashed.*, ((h % (SELECT v FROM vs)) + (SELECT v FROM vs)) % (SELECT v FROM vs) AS neg_idx
+                    FROM hashed)
+          SELECT CAST(off AS BIGINT) AS off,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_centers,
+                 CAST(SUM(CASE WHEN tok = ctx THEN 1 ELSE 0 END) AS BIGINT) AS self_pairs,
+                 CAST(SUM(neg_idx) AS BIGINT) AS neg_checksum
+          FROM neg GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9044,5 +9155,5 @@ object Queries {
     q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
     q229_topic_segments, q230_window_topk_rewrite,
     q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
-    q234_fixedwidth_write)
+    q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs)
 }

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -166,10 +167,37 @@ class FixedWidthWriterFactory(fields: Seq[FixedWidthSource.FieldSpec], path: Str
 }
 
 class FixedWidthScanBuilder(fields: Seq[FixedWidthSource.FieldSpec], path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = FixedWidthSource.schemaOf(fields)
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** Aggregate pushdown (PARTIAL form — `supportCompletePushDown` stays
+    * false, so Spark still runs the final merge): ungrouped COUNT(*) /
+    * MIN / MAX over long fields fold per FILE inside the scan, and the
+    * exchange carries one partial row per input partition instead of the
+    * table. This is the DSv2 contract that turns `SELECT count(*),
+    * max(k)` over a 100 TB export into a metadata-speed scan. Only fires
+    * when no residual filters exist (Spark's own precondition — this
+    * source intentionally reports all filters as residuals). */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def longField(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fields.exists(f => f.name == r.fieldNames.head && f.isLong)
+      case _ => false
+    }
+    val ok = agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => longField(m.column)
+        case m: Max => longField(m.column)
+        case _ => false
+      }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
@@ -193,7 +221,106 @@ class FixedWidthScanBuilder(fields: Seq[FixedWidthSource.FieldSpec], path: Strin
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new FixedWidthScan(fields, path, required, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new FixedWidthAggScan(fields, path, agg)
+    case None => new FixedWidthScan(fields, path, required, pushed)
+  }
+}
+
+/** Scan for a pushed ungrouped aggregation: one partial row per file —
+  * (count | min | max)* in the pushed order; Spark merges the partials. */
+class FixedWidthAggScan(
+    fields: Seq[FixedWidthSource.FieldSpec],
+    path: String,
+    agg: Aggregation) extends Scan with Batch {
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames.head
+
+  override def readSchema(): StructType = StructType(agg.aggregateExpressions.map {
+    case _: CountStar => StructField("count_star", LongType, nullable = false)
+    case m: Min => StructField(s"min_${refName(m.column)}", LongType)
+    case m: Max => StructField(s"max_${refName(m.column)}", LongType)
+    case other => throw new IllegalStateException(s"unexpected pushed aggregate $other")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-fixedwidth path=$path, PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory)
+        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(_.getAbsolutePath).sorted
+      else Array(path)
+    files.map(FixedWidthInputPartition(_)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val specs: Array[(String, String)] = agg.aggregateExpressions.map {
+      case _: CountStar => ("count", "")
+      case m: Min => ("min", refName(m.column))
+      case m: Max => ("max", refName(m.column))
+      case other => throw new IllegalStateException(s"unexpected pushed aggregate $other")
+    }
+    new FixedWidthAggReaderFactory(fields, specs)
+  }
+}
+
+class FixedWidthAggReaderFactory(
+    fields: Seq[FixedWidthSource.FieldSpec],
+    specs: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FixedWidthInputPartition].file
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      private val byName = fields.map(f => f.name -> f).toMap
+
+      override def next(): Boolean = {
+        if (done) return false
+        val reader = java.nio.file.Files.newBufferedReader(
+          java.nio.file.Paths.get(file), java.nio.charset.StandardCharsets.UTF_8)
+        var count = 0L
+        val mins = Array.fill(specs.length)(Long.MaxValue)
+        val maxs = Array.fill(specs.length)(Long.MinValue)
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              count += 1
+              var i = 0
+              while (i < specs.length) {
+                val (kind, col) = specs(i)
+                if (kind != "count") {
+                  val f = byName(col)
+                  val end = math.min(f.start + f.width, line.length)
+                  val s = if (f.start >= line.length) "" else line.substring(f.start, end).trim
+                  val v = if (s.isEmpty) 0L else s.toLong
+                  if (v < mins(i)) mins(i) = v
+                  if (v > maxs(i)) maxs(i) = v
+                }
+                i += 1
+              }
+            }
+            line = reader.readLine()
+          }
+        } finally reader.close()
+        val values: Seq[Any] = specs.toSeq.zipWithIndex.map {
+          case (("count", _), _) => Long.box(count)
+          case (("min", _), i) => if (count == 0) null else Long.box(mins(i))
+          case (("max", _), i) => if (count == 0) null else Long.box(maxs(i))
+          case other => throw new IllegalStateException(s"unexpected spec $other")
+        }
+        row = InternalRow.fromSeq(values)
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class FixedWidthScan(

@@ -91,4 +91,25 @@ class FixedWidthSpec extends SparkSpec {
         .option("fields", "k:6:long,label:14:string").mode("append").save(dir))
   }
 
+
+  test("fixed-width aggregate pushdown: ungrouped count/min/max fold inside the scan") {
+    val (dir, df) = writeFixture()
+    val src = spark.read.format("graft-fixedwidth").option("fields", fieldsOpt).load(dir)
+    val q = src.agg(count(lit(1)).as("n"), min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    // partial-push shape: Spark's final merge over the scan's partial columns
+    assert(plan.contains("count_star#") && plan.contains("min_bal#") &&
+      plan.contains("sum(agg_func_0"), plan)
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, -55L, 999999L)))
+    // grouped aggregates must NOT push (unsupported) and still be correct
+    val g = src.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    assert(!g.queryExecution.optimizedPlan.toString.contains("count_star#"))
+    assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 2L), (20L, 1L), (30L, 1L)))
+    // min over a string field must not push either
+    val s = src.agg(min(col("name")))
+    assert(!s.queryExecution.optimizedPlan.toString.contains("min_name#"))
+    assert(s.head().getString(0) == "alpha unit")
+  }
+
 }
