@@ -9094,6 +9094,138 @@ object Queries {
           FROM neg GROUP BY 1 ORDER BY 1"""
     })
 
+
+  /** Trainable integer Naive Bayes source classifier over hashed features
+    * — the LEARNED counterpart of q205's fixed-ramp gate: multinomial NB
+    * with the hashing trick (1024 buckets), an 80/20 hash split, and ALL
+    * likelihood arithmetic in floor-log2 (`length(bin(x)) − 1` — the
+    * bit-stable integer logarithm of q90/q178; real NB log-probs are libm
+    * territory and flap across engines). Score(d, c) =
+    * Σ_b cnt_b·flog2(n(c,b)+1) − T_d·flog2(N_c+1) + flog2(D_c+1), where
+    * flog2 is the 1/16-resolution fixed-point log2 (16·msb + mantissa
+    * nibble — exact in both engines; unit-step flog2 drowned the evidence
+    * in quantization noise); prediction = argmax with (score desc, class)
+    * tie order. The watermarked half of the test split classifies near-
+    * perfectly, the unwatermarked half sits at the 1/C floor — overall
+    * ≈ 51 % vs the 5 % random baseline. Scale shape:
+    * the model is a ≤ classes×buckets count table (broadcast side), test
+    * docs reduce to (doc, bucket, cnt) before any join, and the
+    * doc×class spine is |test|×C rows. Output: per-class test accuracy. */
+  val q237_naive_bayes = Q(
+    "q237_naive_bayes",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // every even doc carries a class-pure watermark token — the planted
+      // learnable signal (the synthetic sources are otherwise vocabulary-
+      // indistinguishable and ANY classifier sits at the 1/C floor); the
+      // model must still LEARN the association from the train split
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"),
+              lit(" beacon"), col("source"), lit(" beacon"), col("source"),
+              lit(" beacon"), col("source")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("is_test", pmod(xxhash64(col("doc_id")), lit(5L)) === 0L)
+      val toks = docs.select(col("doc_id"), col("source"), col("is_test"),
+          explode(array_compact(TextFunctions.tokens(TextFunctions.normalize(col("text"))))).as("tok"))
+        .withColumn("b", pmod(xxhash64(col("tok")), lit(1024L)))
+        .localCheckpoint(true) // feeds model AND scoring
+      // fixed-point log2 with 1/16 resolution: 16·msb + mantissa-nibble —
+      // the flog2 idiom (bit-stable across engines) at the precision a
+      // working classifier needs (unit-step flog2 quantization noise
+      // across ~100 shared-vocabulary tokens swamps any single-token
+      // evidence; at 1/16 steps the shared terms cancel and evidence wins)
+      def flog2(c: Column): Column = {
+        val msb = (length(bin(c)) - 1).cast("int")
+        // (c·16) / 2^msb: division by a power of two is EXACT in doubles
+        // for c·16 < 2^53, so floor() is the integer // both engines agree on
+        val nibble = floor(c.cast("double") * 16d / pow(lit(2.0), msb.cast("double")))
+        (lit(16L) * msb - 16L + nibble.cast("long")).cast("long")
+      }
+      val model = toks.filter(!col("is_test"))
+        .groupBy(col("source").as("c"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("term", flog2(col("n") + 1))
+      val classStats = toks.filter(!col("is_test"))
+        .groupBy(col("source").as("c"))
+        .agg(count(lit(1)).as("ntok"))
+        .join(docs.filter(!col("is_test")).groupBy(col("source").as("c"))
+          .agg(count(lit(1)).as("ndoc")), Seq("c"))
+        .select(col("c"), flog2(col("ntok") + 1).as("flog_ntok"),
+          flog2(col("ndoc") + 1).as("flog_ndoc"))
+      val testBuckets = toks.filter(col("is_test"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val part1 = testBuckets.join(model, Seq("b"))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(sum(col("cnt") * col("term")).as("s1"))
+      val testDocs = toks.filter(col("is_test"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("td"))
+      val spine = testDocs.crossJoin(classStats)
+      val scored = spine.join(part1, Seq("doc_id", "c"), "left")
+        .withColumn("score",
+          coalesce(col("s1"), lit(0L)) - col("td") * col("flog_ntok") + col("flog_ndoc"))
+      val predicted = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("c"))))
+        .filter(col("rn") === 1)
+      predicted.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(when(col("c") === col("source"), 1L).otherwise(0L)).cast("long").as("n_correct"))
+        .orderBy("source")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val split = xxhash64LongStages(
+        """SELECT doc_id::BIGINT AS doc_id, source,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN text || repeat(' beacon' || source, 3)
+                       ELSE text END AS text
+           FROM documents""", "doc_id", "dh", pfx = "__d")
+      val toks =
+        s"""SELECT doc_id, source, is_test, unnest(toks) AS tok
+            FROM (SELECT doc_id, source, is_test,
+                    list_filter(regexp_split_to_array(trim(${normalizeSql("text")}), '\\s+'),
+                                t -> len(t) > 0) AS toks
+                  FROM docs)"""
+      val hashedTok = xxhash64Stages("SELECT DISTINCT tok FROM tk0", "tok", "th", pfx = "__t")
+      s"""WITH hashed_docs AS ($split),
+            docs AS (SELECT doc_id, source, text,
+                            ((dh % 5) + 5) % 5 = 0 AS is_test
+                     FROM hashed_docs),
+            tk0 AS ($toks),
+            ht AS ($hashedTok),
+            tk AS (SELECT tk0.doc_id, tk0.source, tk0.is_test,
+                          ((ht.th % 1024) + 1024) % 1024 AS b
+                   FROM tk0 JOIN ht USING (tok)),
+            model AS (SELECT source AS c, b, COUNT(*) AS n,
+                             (16 * (length(bin(COUNT(*) + 1)) - 1) - 16 + ((COUNT(*) + 1) * 16) // (1::BIGINT << (length(bin(COUNT(*) + 1)) - 1))) AS term
+                      FROM tk WHERE NOT is_test GROUP BY 1, 2),
+            cstats AS (SELECT t.c, (16 * (length(bin(t.ntok + 1)) - 1) - 16 + ((t.ntok + 1) * 16) // (1::BIGINT << (length(bin(t.ntok + 1)) - 1))) AS flog_ntok,
+                              (16 * (length(bin(d.ndoc + 1)) - 1) - 16 + ((d.ndoc + 1) * 16) // (1::BIGINT << (length(bin(d.ndoc + 1)) - 1))) AS flog_ndoc
+                       FROM (SELECT source AS c, COUNT(*) AS ntok FROM tk
+                             WHERE NOT is_test GROUP BY 1) t
+                       JOIN (SELECT source AS c, COUNT(*) AS ndoc FROM docs
+                             WHERE NOT is_test GROUP BY 1) d USING (c)),
+            tb AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tk WHERE is_test GROUP BY 1, 2),
+            p1 AS (SELECT tb.doc_id, model.c, SUM(tb.cnt * model.term) AS s1
+                   FROM tb JOIN model USING (b) GROUP BY 1, 2),
+            td AS (SELECT doc_id, source, COUNT(*) AS td FROM tk WHERE is_test GROUP BY 1, 2),
+            scored AS (SELECT td.doc_id, td.source, cs.c,
+                              COALESCE(p1.s1, 0) - td.td * cs.flog_ntok + cs.flog_ndoc AS score
+                       FROM td CROSS JOIN cstats cs
+                       LEFT JOIN p1 ON p1.doc_id = td.doc_id AND p1.c = cs.c),
+            pred AS (SELECT * FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, c) AS rn
+                       FROM scored) WHERE rn = 1)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(SUM(CASE WHEN c = source THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+          FROM pred GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9155,5 +9287,6 @@ object Queries {
     q224_interval_lookup, q225_group_sample, q226_dyadic_ewma, q227_winsorize, q228_misra_gries,
     q229_topic_segments, q230_window_topk_rewrite,
     q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
-    q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs)
+    q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
+    q237_naive_bayes)
 }
