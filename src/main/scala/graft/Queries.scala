@@ -9226,6 +9226,170 @@ object Queries {
           FROM pred GROUP BY 1 ORDER BY 1"""
     })
 
+
+  /** Single-pass pipeline telemetry via Spark's Observation API: a
+    * quality-gate filter instrumented with `Dataset.observe` metrics
+    * (rows in, null texts, total chars) that are collected DURING the one
+    * action — no second audit pass over the corpus, which at 100 TB is
+    * the difference between metrics-for-free and a doubled bill. The
+    * observed values join the gate's own output into one report; the
+    * oracle recomputes both sides as plain aggregates. */
+  val q238_observed_metrics = Q(
+    "q238_observed_metrics",
+    (s, dir) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_q238_${q238Runs.incrementAndGet()}")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .observe(obs,
+          count(lit(1)).as("rows_in"),
+          sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L)).as("empty_texts"),
+          sum(length(coalesce(col("text"), lit("")))).as("total_chars"))
+        .filter(length(col("text")) >= 200)
+      val kept = d.count()
+      val m = obs.get
+      Seq((m("rows_in").asInstanceOf[Long], m("empty_texts").asInstanceOf[Long],
+        m("total_chars").asInstanceOf[Long], kept))
+        .toDF("rows_in", "empty_texts", "total_chars", "rows_kept")
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+                   CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_texts,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept
+            FROM documents"""))
+  private val q238Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Right-to-be-forgotten propagation: a tombstone set (every 13th user)
+    * cascaded through the raw events AND two derived artifacts — the
+    * per-user daily rollup and the HLL-register sketch table — with a
+    * per-artifact before/after/leak report. The sketch artifact is the
+    * interesting case: HLL registers cannot subtract, so the deletion
+    * contract is REBUILD-from-surviving-rows (the GDPR reality for
+    * non-invertible summaries, stated loudly rather than papered over);
+    * leak counts prove absence by anti-join, not by trust. Deletes are
+    * broadcast anti-joins — delta-sized, never a corpus shuffle. */
+  val q239_forget_flow = Q(
+    "q239_forget_flow",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("ts"))
+      val tomb = ev.select(col("user_id")).distinct().filter(col("user_id") % 13 === 0)
+      val rollup = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val evAfter = ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+      val rollupAfter = rollup.join(broadcast(tomb), Seq("user_id"), "left_anti")
+      import graft.operators.Sketches
+      val regsBefore = Sketches.hllRegisters(ev, Nil, xxhash64(col("user_id")), p = 8)
+      val regsAfter = Sketches.hllRegisters(evAfter, Nil, xxhash64(col("user_id")), p = 8)
+      val report = Seq(
+        ("events", ev.count(), evAfter.count(),
+          evAfter.join(broadcast(tomb), Seq("user_id"), "left_semi").count()),
+        ("daily_rollup", rollup.count(), rollupAfter.count(),
+          rollupAfter.join(broadcast(tomb), Seq("user_id"), "left_semi").count()),
+        ("hll_registers", regsBefore.count(), regsAfter.count(), 0L))
+      import s.implicits._
+      report.toDF("artifact", "rows_before", "rows_after", "leaked")
+        .select(col("artifact"),
+          col("rows_before").cast("long").as("rows_before"),
+          col("rows_after").cast("long").as("rows_after"),
+          col("leaked").cast("long").as("leaked"))
+        .orderBy("artifact")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      // the register-table row counts replay through the fixed-8-byte
+      // XXH64 stages: count of distinct occupied register indices
+      val keysB = "SELECT DISTINCT user_id FROM events"
+      val keysA = "SELECT DISTINCT user_id FROM events WHERE user_id % 13 <> 0"
+      val hb = xxhash64LongStages(keysB, "user_id", "kh", pfx = "__fb")
+      val ha = xxhash64LongStages(keysA, "user_id", "kh", pfx = "__fa")
+      def regs(h: String): String =
+        s"""SELECT COUNT(DISTINCT CASE WHEN kh < 0
+                     THEN (kh::HUGEINT + 18446744073709551616::HUGEINT) % 256
+                     ELSE kh::HUGEINT % 256 END) FROM ($h)"""
+      s"""SELECT 'daily_rollup' AS artifact,
+                 (SELECT COUNT(*) FROM (SELECT user_id, ts::DATE, COUNT(*) FROM events GROUP BY 1, 2))::BIGINT AS rows_before,
+                 (SELECT COUNT(*) FROM (SELECT user_id, ts::DATE, COUNT(*) FROM events WHERE user_id % 13 <> 0 GROUP BY 1, 2))::BIGINT AS rows_after,
+                 0::BIGINT AS leaked
+          UNION ALL
+          SELECT 'events',
+                 (SELECT COUNT(*) FROM events)::BIGINT,
+                 (SELECT COUNT(*) FROM events WHERE user_id % 13 <> 0)::BIGINT,
+                 0::BIGINT
+          UNION ALL
+          SELECT 'hll_registers', (${regs(hb)})::BIGINT, (${regs(ha)})::BIGINT, 0::BIGINT
+          ORDER BY artifact"""
+    })
+
+  /** Corpus growth / novelty curve by ingest day: distinct 3-gram hashes
+    * attributed to their FIRST-seen day (one min-aggregate over hashed
+    * grams — no join back, no re-scan), with per-day new-gram counts and
+    * the cumulative vocabulary curve — the dataset-accounting artifact
+    * behind "is more crawl still adding content?". Ingest day is the
+    * deterministic doc_id mod 7. Gram hashing rides the map-side
+    * [[graft.plans.XxHash64Array]] expression; only (hash, day) pairs
+    * shuffle. */
+  val q240_growth_curve = Q(
+    "q240_growth_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ExprColumn
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select((col("doc_id") % 7).cast("long").as("day"),
+          TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val grams = d.select(col("day"),
+        explode(ExprColumn(graft.plans.WindowHash64(ExprColumn.expr(col("toks")), 3))).as("g"))
+      val firstSeen = grams.groupBy(col("g")).agg(min(col("day")).as("first_day"))
+      val daily = firstSeen.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_grams"))
+      daily
+        .withColumn("cumulative",
+          sum(col("new_grams")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("day"), col("new_grams").cast("long").as("new_grams"),
+          col("cumulative").cast("long").as("cumulative"))
+        .orderBy("day")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val B = BigInt("9E3779B97F4A7C15", 16)
+      val M = BigInt(2).pow(64)
+      val b2 = (B * B).mod(M)
+      val toked =
+        s"""SELECT doc_id::BIGINT AS doc_id, doc_id % 7 AS day,
+                   list_filter(regexp_split_to_array(trim(${normalizeSql("text")}), '\\s+'),
+                               t -> len(t) > 0) AS toks
+            FROM documents"""
+      val tk =
+        s"""SELECT doc_id, day, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+            FROM ($toked) WHERE len(toks) >= 3"""
+      val hd = xxhash64Stages("SELECT DISTINCT tok FROM tk", "tok", "th", pfx = "__g")
+      val wu = addModSql(addModSql(mulConstSql("u0", b2), mulConstSql("u1", B)), "u2")
+      s"""WITH tk AS ($tk),
+            hd AS ($hd),
+            hu AS (SELECT tk.doc_id, tk.day, tk.p, ${unsignedOf("hd.th")} AS u
+                   FROM tk JOIN hd USING (tok)),
+            w3 AS (SELECT doc_id, day, p, u AS u0,
+                          LEAD(u, 1) OVER (PARTITION BY doc_id ORDER BY p) AS u1,
+                          LEAD(u, 2) OVER (PARTITION BY doc_id ORDER BY p) AS u2
+                   FROM hu),
+            hw AS (SELECT day, $wu AS gu FROM w3 WHERE u2 IS NOT NULL),
+            hs AS (SELECT day,
+                          CASE WHEN gu >= 9223372036854775808
+                               THEN CAST(gu::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+                               ELSE CAST(gu AS BIGINT) END AS g
+                   FROM hw),
+            fs AS (SELECT g, MIN(day) AS day FROM hs GROUP BY 1),
+            daily AS (SELECT day, COUNT(*) AS new_grams FROM fs GROUP BY 1)
+          SELECT CAST(day AS BIGINT) AS day,
+                 CAST(new_grams AS BIGINT) AS new_grams,
+                 CAST(SUM(new_grams) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
+          FROM daily ORDER BY day"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9288,5 +9452,6 @@ object Queries {
     q229_topic_segments, q230_window_topk_rewrite,
     q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
     q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
-    q237_naive_bayes)
+    q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
+    q240_growth_curve)
 }
