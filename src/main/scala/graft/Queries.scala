@@ -9390,6 +9390,45 @@ object Queries {
           FROM daily ORDER BY day"""
     })
 
+
+  /** Hourly spine-coverage report via the NEW SQL table-valued function
+    * `graft_time_spine` (`injectTableFunction` — the dense time spine
+    * every monitor here joins against, now a SQL-text surface planned as
+    * a distributed Catalyst Range, never a driver-side collection): the
+    * events span is covered hour by hour and empty slots counted — the
+    * ingest-gap audit, spelled entirely in SQL. The only driver scalars
+    * are the two span bounds. Oracle = a generate_series spine replay. */
+  val q241_spine_coverage = Q(
+    "q241_spine_coverage",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.createOrReplaceTempView("graft_q241_events")
+      val b = ev.agg(min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi")).head()
+      val lo = b.getLong(0) / 3600 * 3600
+      val hi = b.getLong(1) / 3600 * 3600 + 3600
+      s.sql(s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
+               CAST(SUM(CASE WHEN c.n IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_with_events,
+               CAST(SUM(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_events
+        FROM graft_time_spine(timestamp_seconds($lo), timestamp_seconds($hi), 3600) sp
+        LEFT JOIN (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+                   FROM graft_q241_events GROUP BY 1) c
+          ON sp.ts = c.h""")
+    },
+    Some("""WITH b AS (SELECT (epoch_us(MIN(ts)) // 3600000000) * 3600 AS lo,
+                              (epoch_us(MAX(ts)) // 3600000000) * 3600 + 3600 AS hi
+                       FROM events),
+              spine AS (SELECT unnest(generate_series(lo, hi - 3600, 3600)) AS t FROM b),
+              c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS h, COUNT(*) AS n
+                    FROM events GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
+                   CAST(SUM(CASE WHEN c.n IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_with_events,
+                   CAST(SUM(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_events
+            FROM spine LEFT JOIN c ON spine.t = c.h"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9453,5 +9492,5 @@ object Queries {
     q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
     q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
-    q240_growth_curve)
+    q240_growth_curve, q241_spine_coverage)
 }

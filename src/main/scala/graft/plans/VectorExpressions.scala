@@ -173,6 +173,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         UnicodeNormalize(exprs.head, form)
       }))
+    // SQL TABLE-VALUED function: the dense time spine every time-series
+    // operator in this engine joins against (gap scoring, resampling,
+    // EWMA/CUSUM monitors), exposed to SQL-text users as
+    // `SELECT * FROM graft_time_spine(TIMESTAMP'...', TIMESTAMP'...', 3600)`.
+    // Planned as a Catalyst Range + projection — the spine never
+    // materializes driver-side, it is generated distributed like
+    // `spark.range` (constant folding gives the planner its exact row
+    // count). Bounds: [start, end) exclusive; arguments must be literals.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_time_spine"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_time_spine"),
+      (exprs: Seq[Expression]) => TimeSpineTvf.plan(exprs)))
     // whole-operator extension: the bounded-heap top-k-per-group physical
     // operator (logical node + strategy + optimizer rule — see
     // graft.plans.TopKPerGroup)
@@ -184,5 +196,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension #2: the broadcast interval-lookup join
     // (sorted disjoint intervals + binary-search probe — graft.plans.IntervalJoin)
     ext.injectPlannerStrategy(_ => new IntervalJoin.IntervalJoinStrategy)
+  }
+}
+
+
+/** Builder for the `graft_time_spine` SQL table function — see the
+  * registration comment in [[GraftExtensions]]. */
+object TimeSpineTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Literal, MicrosToTimestamp, Multiply}
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LRange}
+  import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "graft_time_spine takes (timestamp start, timestamp end, bigint step_seconds)")
+    def lit(e: Expression, what: String): Any = {
+      require(e.foldable, s"graft_time_spine: $what must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    def micros(e: Expression, what: String): Long = {
+      require(e.dataType == TimestampType, s"graft_time_spine: $what must be a TIMESTAMP")
+      lit(e, what).asInstanceOf[Long]
+    }
+    val startUs = micros(exprs(0), "start")
+    val endUs = micros(exprs(1), "end")
+    val stepSec = exprs(2).dataType match {
+      case LongType => lit(exprs(2), "step_seconds").asInstanceOf[Long]
+      case IntegerType => lit(exprs(2), "step_seconds").asInstanceOf[Int].toLong
+      case t => throw new IllegalArgumentException(
+        s"graft_time_spine: step_seconds must be integral, got ${t.sql}")
+    }
+    require(stepSec >= 1, s"graft_time_spine: step_seconds $stepSec must be >= 1")
+    val stepUs = stepSec * 1000000L
+    val n = if (endUs <= startUs) 0L else (endUs - startUs + stepUs - 1) / stepUs
+    val range = LRange(0, n, 1, None)
+    val id = range.output.head
+    Project(Seq(Alias(
+      MicrosToTimestamp(Add(Literal(startUs), Multiply(id, Literal(stepUs)))), "ts")()),
+      range)
   }
 }

@@ -43,4 +43,30 @@ class VectorExpressionsSpec extends SparkSpec {
     val c = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
     assert(math.abs(c - 1.0) < 1e-9)
   }
+
+  test("graft_time_spine TVF: distributed Range-planned spine, exact bounds, refusals") {
+    val r = spark.sql(
+      """SELECT COUNT(*) AS n,
+                MIN(unix_timestamp(ts)) AS lo, MAX(unix_timestamp(ts)) AS hi
+         FROM graft_time_spine(TIMESTAMP'2024-01-01 00:00:00',
+                               TIMESTAMP'2024-01-02 00:00:00', 3600)""").head()
+    assert(r.getLong(0) == 24L) // [start, end) exclusive
+    assert(r.getLong(1) == 1704067200L && r.getLong(2) == 1704067200L + 23 * 3600)
+    // the spine is Range-planned (distributed generation), never a local relation
+    val plan = spark.sql(
+      "SELECT * FROM graft_time_spine(TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-01 01:00:00', 60)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Range"), plan)
+    // empty spine when end <= start
+    assert(spark.sql(
+      "SELECT * FROM graft_time_spine(TIMESTAMP'2024-01-02 00:00:00', TIMESTAMP'2024-01-01 00:00:00', 60)")
+      .count() == 0)
+    // ragged step: ceil division covers the tail slot
+    assert(spark.sql(
+      "SELECT * FROM graft_time_spine(TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-01 00:01:30', 60)")
+      .count() == 2)
+    assertThrows[Exception](spark.sql(
+      "SELECT * FROM graft_time_spine(TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-02 00:00:00', 0)").count())
+  }
+
 }
