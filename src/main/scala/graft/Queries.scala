@@ -9429,6 +9429,48 @@ object Queries {
                    CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_events
             FROM spine LEFT JOIN c ON spine.t = c.h"""))
 
+
+  /** The plan linter ([[graft.plans.PlanLint]], `injectCheckRule`) in
+    * action: with `spark.graft.lint.noCartesian` on, an unconditioned
+    * CROSS JOIN is VETOED at analysis time (the dropped-join-condition
+    * footgun caught before it melts a cluster) while the equi-join form
+    * of the same question passes and computes. The report row per case
+    * (vetoed?, rows) is the deterministic artifact; conf restored after. */
+  val q242_plan_lint = Q(
+    "q242_plan_lint",
+    (s, dir) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.graft.lint.noCartesian")
+      s.conf.set("spark.graft.lint.noCartesian", "true")
+      try {
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val r = t(s, dir, "region").select(col("r_regionkey"))
+        val vetoed =
+          try { n.crossJoin(r).count(); false }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("noCartesian") => true
+          }
+        val joined = n.join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey")).count()
+        Seq(("cross_join", vetoed, 0L), ("equi_join", false, joined))
+          .toDF("case", "vetoed", "rows")
+          .select(col("case"), col("vetoed"), col("rows").cast("long").as("rows"))
+          .orderBy("case")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.graft.lint.noCartesian", v)
+          case None => s.conf.unset("spark.graft.lint.noCartesian")
+        }
+      }
+    },
+    Some("""SELECT 'cross_join' AS "case", TRUE AS vetoed, 0::BIGINT AS rows
+            UNION ALL
+            SELECT 'equi_join', FALSE,
+                   (SELECT COUNT(*) FROM nation JOIN region ON n_regionkey = r_regionkey)::BIGINT
+            ORDER BY "case""""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9492,5 +9534,5 @@ object Queries {
     q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
     q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
-    q240_growth_curve, q241_spine_coverage)
+    q240_growth_curve, q241_spine_coverage, q242_plan_lint)
 }

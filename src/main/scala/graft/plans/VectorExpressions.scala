@@ -173,6 +173,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         UnicodeNormalize(exprs.head, form)
       }))
+    // plan LINTER (injectCheckRule): conf-gated guardrails that VETO
+    // analysis-clean but cluster-hostile plans before execution —
+    // spark.graft.lint.noCartesian rejects unconditioned cross joins
+    // (the classic 100 TB footgun: a dropped join condition passes
+    // analysis and melts the cluster). Opt-in, like every graft conf.
+    ext.injectCheckRule(session => PlanLint.check(session))
     // SQL TABLE-VALUED function: the dense time spine every time-series
     // operator in this engine joins against (gap scoring, resampling,
     // EWMA/CUSUM monitors), exposed to SQL-text users as
@@ -234,5 +240,31 @@ object TimeSpineTvf {
     Project(Seq(Alias(
       MicrosToTimestamp(Add(Literal(startUs), Multiply(id, Literal(stepUs)))), "ts")()),
       range)
+  }
+}
+
+
+/** Conf-gated plan guardrails — see the registration comment. A check
+  * rule runs after analysis on EVERY query of the session; lints must be
+  * cheap (one plan traversal) and default OFF. */
+object PlanLint {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+  import org.apache.spark.sql.catalyst.plans.Cross
+
+  def check(session: SparkSession)(plan: LogicalPlan): Unit = {
+    if (session.conf.get("spark.graft.lint.noCartesian", "false") == "true") {
+      plan.foreach {
+        case j @ Join(_, _, Cross, None, _) =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              ("graft lint [noCartesian]: unconditioned CROSS JOIN vetoed — " +
+                "at fleet scale this is almost always a dropped join condition; " +
+                "add an ON clause, broadcast-hint a genuinely intended tiny " +
+                "cartesian, or unset spark.graft.lint.noCartesian")))
+        case _ => ()
+      }
+    }
   }
 }

@@ -141,4 +141,26 @@ class PlanChecksSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("plan lint: noCartesian vetoes unconditioned cross joins, spares everything else") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(10L).toDF("y")
+    val key = "spark.graft.lint.noCartesian"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException](a.crossJoin(b).count())
+      assert(e.getMessage.contains("noCartesian"))
+      // joins with conditions are untouched
+      assert(a.join(b, col("x") < col("y")).count() == 2)
+      assert(a.join(b.withColumnRenamed("y", "x"), Seq("x"), "inner").count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // default off: cartesian allowed
+    assert(a.crossJoin(b).count() == 2)
+  }
+
 }
