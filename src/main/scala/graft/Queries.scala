@@ -9471,6 +9471,107 @@ object Queries {
                    (SELECT COUNT(*) FROM nation JOIN region ON n_regionkey = r_regionkey)::BIGINT
             ORDER BY "case""""))
 
+
+  /** Metadata-speed corpus accounting from parquet FOOTERS: events
+    * re-laid-out as a 4-file parquet table, then row counts taken from the
+    * file footers alone — zero data pages read, the layout-audit query a
+    * 100 TB lakehouse answers from metadata (file and row-group counts
+    * are deterministic here: 4 round-robin files, one row group each at
+    * this size). The footer total must equal the real COUNT(*) — which is
+    * exactly what the oracle checks from the original table. At fleet
+    * scale the footer reads parallelize over the file list; 4 files read
+    * driver-side keep the demo honest without ceremony. */
+  val q243_parquet_footers = Q(
+    "q243_parquet_footers",
+    (s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-q243").toString + "/ev"
+      t(s, dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+      val conf = s.sparkContext.hadoopConfiguration
+      val files = new java.io.File(out).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      val perFile = files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala
+          (blocks.size.toLong, blocks.map(_.getRowCount).sum)
+        } finally reader.close()
+      }
+      Seq((files.length.toLong, perFile.map(_._1).sum, perFile.map(_._2).sum))
+        .toDF("n_files", "n_row_groups", "meta_rows")
+    },
+    Some("""SELECT 4::BIGINT AS n_files, 4::BIGINT AS n_row_groups,
+                   CAST(COUNT(*) AS BIGINT) AS meta_rows
+            FROM events"""))
+
+  /** Matryoshka truncation audit (Kusupati '22 MRL): retrieval recall of
+    * prefix-truncated embeddings (dims 8 and 16) against the full-64-dim
+    * top-5, over every 25th vector as the query set. Dots ride the
+    * codegen [[graft.plans.FloatVectorDot]] on sliced arrays; ranking is
+    * total-ordered by (score desc, vec_id) so ties cannot flap; the
+    * oracle replays the dot as a SEQUENTIAL list_reduce fold — the
+    * left-to-right summation both engines share (q124's ulp-exactness
+    * pattern, not list_dot_product's unspecified order). Output per dim:
+    * Σ overlap with the full top-5 and the query count — the measurement
+    * behind "how many dims can this index drop". */
+  val q244_matryoshka = Q(
+    "q244_matryoshka",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ExprColumn
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dims = Seq(8, 16, 64)
+      val top5 = dims.map { d =>
+        val qd = if (d == 64) col("qv") else slice(col("qv"), 1, d)
+        val cd = if (d == 64) col("embedding") else slice(col("embedding"), 1, d)
+        val scored = queries.crossJoin(emb)
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"),
+            ExprColumn(graft.plans.FloatVectorDot(
+              ExprColumn.expr(qd), ExprColumn.expr(cd))).as("score"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(lit(d.toLong).as("dim"), col("qid"), col("vec_id"))
+      }
+      val full = top5.last.select(col("qid"), col("vec_id"))
+      top5.map { t =>
+        t.join(full.withColumnRenamed("vec_id", "fv"),
+            t("qid") === full("qid") && col("vec_id") === col("fv"), "left_semi")
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).cast("long").as("overlap5"))
+      }.reduce(_.unionByName(_))
+        .join(queries.agg(count(lit(1)).cast("long").as("n_queries")))
+        .orderBy("dim")
+    },
+    Some {
+      def dot(d: Int) =
+        s"""list_reduce(list_transform(range(1, ${d + 1}),
+              i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)"""
+      val tops = Seq(8, 16, 64).map(d =>
+        s"""SELECT $d AS dim, qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ${dot(d)} DESC, e.vec_id) AS rn
+              FROM qs q CROSS JOIN embeddings e
+              WHERE q.qid <> e.vec_id) WHERE rn <= 5""").mkString("\nUNION ALL\n")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                      WHERE vec_id % 25 = 0),
+            tops AS ($tops),
+            full5 AS (SELECT qid, vec_id FROM tops WHERE dim = 64)
+          SELECT CAST(t.dim AS BIGINT) AS dim,
+                 CAST(COUNT(*) AS BIGINT) AS overlap5,
+                 (SELECT COUNT(*) FROM qs)::BIGINT AS n_queries
+          FROM tops t JOIN full5 f ON f.qid = t.qid AND f.vec_id = t.vec_id
+          GROUP BY t.dim ORDER BY dim"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9534,5 +9635,6 @@ object Queries {
     q231_stream_interval, q232_time_weighted, q233_fixedwidth_source,
     q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
-    q240_growth_curve, q241_spine_coverage, q242_plan_lint)
+    q240_growth_curve, q241_spine_coverage, q242_plan_lint,
+    q243_parquet_footers, q244_matryoshka)
 }
