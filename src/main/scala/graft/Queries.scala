@@ -9572,6 +9572,58 @@ object Queries {
           GROUP BY t.dim ORDER BY dim"""
     })
 
+
+  /** Versioned table layout via the minimal transaction log
+    * ([[graft.sources.TxnLog]] — per-commit JSON action files published by
+    * atomic rename, snapshots resolved by metadata-only log replay):
+    * v0 writes events as two files, v1 COMPACTS them into one (remove ×2
+    * + add — contents identical), v2 appends a late-arrivals file. The
+    * report reads every version AS OF its number — file counts prove the
+    * layout history, row counts prove compaction moved bytes without
+    * changing content and that time travel sees exactly the pre-append
+    * state. Oracle derives each version's expected shape from the
+    * construction arithmetic. */
+  val q245_txn_log = Q(
+    "q245_txn_log",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q245").toString
+      val logDir = s"$root/_log"
+      val ev = t(s, dir, "events").select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val f0a = writeOne(ev.filter(col("event_id") % 2 === 0), "even")
+      val f0b = writeOne(ev.filter(col("event_id") % 2 === 1), "odd")
+      TxnLog.commit(logDir, 0, adds = Seq(f0a, f0b), removes = Nil)
+      val f1 = writeOne(TxnLog.readAsOf(s, logDir, 0), "compacted")
+      TxnLog.commit(logDir, 1, adds = Seq(f1), removes = Seq(f0a, f0b))
+      val f2 = writeOne(ev.filter(col("event_id") % 97 === 0)
+        .select((col("event_id") + 10000000L).as("event_id"), col("user_id")), "late")
+      TxnLog.commit(logDir, 2, adds = Seq(f2), removes = Nil)
+      (0L to 2L).map { v =>
+        val snap = TxnLog.readAsOf(s, logDir, v)
+        (v, TxnLog.liveFiles(logDir, v).size.toLong, snap.count())
+      }.toDF("version", "n_files", "n_rows")
+        .select(col("version").cast("long").as("version"),
+          col("n_files").cast("long").as("n_files"),
+          col("n_rows").cast("long").as("n_rows"))
+        .orderBy("version")
+    },
+    Some("""SELECT 0::BIGINT AS version, 2::BIGINT AS n_files,
+                   (SELECT COUNT(*) FROM events)::BIGINT AS n_rows
+            UNION ALL
+            SELECT 1, 1, (SELECT COUNT(*) FROM events)
+            UNION ALL
+            SELECT 2, 2,
+                   (SELECT COUNT(*) FROM events) +
+                   (SELECT COUNT(*) FROM events WHERE event_id % 97 = 0)
+            ORDER BY version"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9636,5 +9688,5 @@ object Queries {
     q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
     q240_growth_curve, q241_spine_coverage, q242_plan_lint,
-    q243_parquet_footers, q244_matryoshka)
+    q243_parquet_footers, q244_matryoshka, q245_txn_log)
 }

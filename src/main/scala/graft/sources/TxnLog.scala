@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transaction-log table layout — the Delta/Iceberg commit-log
+  * pattern reduced to its load-bearing core: a table IS a log of versioned
+  * commits, each an ordered list of `add` / `remove` file actions; any
+  * historical state is recovered by replaying the log to a version. This
+  * completes the repo's lakehouse family (SCD2 time travel reads ROW
+  * history; this reads FILE-LAYOUT history — compaction, appends and
+  * deletes become time-travelable without touching row contents).
+  *
+  * Scale notes: the log is metadata — one tiny JSON-lines file per commit,
+  * written via temp+rename (the atomic-publish move a real lakehouse uses);
+  * snapshot resolution reads only the ≤ version log files, never data.
+  * Readers get a plain parquet DataFrame over the resolved file set, so
+  * every downstream operator (including column pruning and pushdown) works
+  * unchanged.
+  *
+  * Reference scope: the reference registry versions CONFIGS; file-level
+  * table versioning is part of the scale extension surface.
+  */
+object TxnLog {
+
+  private def logFile(logDir: String, version: Long) =
+    new java.io.File(logDir, f"_v$version%06d.json")
+
+  /** Append one commit. Versions must be dense from 0 (the contract that
+    * makes "latest" unambiguous without a catalog); `adds`/`removes` are
+    * absolute file paths. A remove of a file not live at this version
+    * REFUSES — it means the caller's view of the table has diverged. */
+  def commit(logDir: String, version: Long, adds: Seq[String], removes: Seq[String]): Unit = {
+    val dir = new java.io.File(logDir)
+    dir.mkdirs()
+    require(version == latestVersion(logDir).map(_ + 1).getOrElse(0L),
+      s"txn log: version $version is not the next dense version in $logDir")
+    if (removes.nonEmpty) {
+      val live = liveFiles(logDir, version - 1)
+      removes.foreach(f => require(live.contains(f),
+        s"txn log: cannot remove $f — not live at version ${version - 1}"))
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines =
+      adds.map(f => s"""{"action":"add","file":"${esc(f)}"}""") ++
+        removes.map(f => s"""{"action":"remove","file":"${esc(f)}"}""")
+    val tmp = java.io.File.createTempFile("_graft_txn", ".json", dir)
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // rename is the atomic publish: the commit exists entirely or not at all
+    require(tmp.renameTo(logFile(logDir, version)),
+      s"txn log: atomic publish of version $version failed")
+  }
+
+  def latestVersion(logDir: String): Option[Long] = {
+    val files = Option(new java.io.File(logDir).listFiles()).getOrElse(Array.empty)
+    val vs = files.filter(_.getName.matches("_v\\d{6}\\.json"))
+      .map(_.getName.stripPrefix("_v").stripSuffix(".json").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The live file set after replaying commits 0..asOf (inclusive). */
+  def liveFiles(logDir: String, asOf: Long): Set[String] = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(asOf >= 0 && asOf <= latest,
+      s"txn log: version $asOf out of range [0, $latest]")
+    var live = Set.empty[String]
+    (0L to asOf).foreach { v =>
+      val lines = java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+      lines.forEach { line =>
+        if (line.nonEmpty) {
+          // two-field fixed-shape records: split-level parsing is exact
+          val file = line.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+            .replace("\\\\", "\\")
+          if (line.contains("\"action\":\"add\"")) live += file
+          else live -= file
+        }
+      }
+    }
+    live
+  }
+
+  /** Snapshot read AS OF a version: plain parquet over the resolved file
+    * set (typed empty frame when the snapshot is empty). */
+  def readAsOf(spark: SparkSession, logDir: String, asOf: Long): DataFrame = {
+    val files = liveFiles(logDir, asOf).toSeq.sorted
+    require(files.nonEmpty, s"txn log: version $asOf has no live files")
+    spark.read.parquet(files: _*)
+  }
+}

@@ -202,4 +202,32 @@ class ValidationSpec extends SparkSpec {
     assert(onlyA.as[Int].collect().toSeq == Seq(1))
     assert(onlyB.as[Int].collect().toSeq == Seq(4))
   }
+
+  test("txn log: dense versions, atomic commits, as-of replay, refusals") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("txn_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val a = fileOf(Seq(1L, 2L).toDF("x"), "a")
+    val b = fileOf(Seq(3L).toDF("x"), "b")
+    TxnLog.commit(log, 0, Seq(a), Nil)
+    TxnLog.commit(log, 1, Seq(b), Nil)
+    TxnLog.commit(log, 2, Nil, Seq(a))
+    assert(TxnLog.latestVersion(log).contains(2L))
+    assert(TxnLog.readAsOf(spark, log, 0).count() == 2)
+    assert(TxnLog.readAsOf(spark, log, 1).count() == 3)
+    assert(TxnLog.readAsOf(spark, log, 2).count() == 1)
+    // non-dense version refuses
+    assertThrows[IllegalArgumentException](TxnLog.commit(log, 5, Seq(a), Nil))
+    // removing a non-live file refuses (a was removed at v2)
+    assertThrows[IllegalArgumentException](TxnLog.commit(log, 3, Nil, Seq(a)))
+    // as-of beyond latest refuses
+    assertThrows[IllegalArgumentException](TxnLog.readAsOf(spark, log, 9))
+  }
+
 }
