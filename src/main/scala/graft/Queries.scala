@@ -9624,6 +9624,152 @@ object Queries {
                    (SELECT COUNT(*) FROM events WHERE event_id % 97 = 0)
             ORDER BY version"""))
 
+
+  /** Time-window-constrained conversion funnel — q106's unbounded funnel
+    * with the deadlines real attribution uses: first view → first click
+    * WITHIN 1 h of that view → first purchase WITHIN 24 h of that click.
+    * Three user-keyed min-aggregations with the window predicates pushed
+    * into each stage's candidate filter (exact microsecond arithmetic,
+    * total (ts, event_id) order for first-of ties). Output: stage counts
+    * + median view→click latency of converters in integer seconds (rank
+    * order statistic — the med2 discrete form). */
+  val q246_windowed_funnel = Q(
+    "q246_windowed_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"), col("event_id").cast("long").as("eid"))
+      def firstOf(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("user_id")).agg(min(struct(col("tu"), col("eid"))).as(name))
+      val v = firstOf(ev.filter(col("event_type") === "view"), "v")
+        .select(col("user_id"), col("v.tu").as("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("tu") > col("vt") && col("tu") <= col("vt") + 3600000000L)
+      val cf = firstOf(c, "c").select(col("user_id"), col("c.tu").as("ct"))
+        .join(v, Seq("user_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(cf.select(col("user_id"), col("ct")), Seq("user_id"))
+        .filter(col("tu") > col("ct") && col("tu") <= col("ct") + 86400000000L)
+      val pf = firstOf(p, "p").select(col("user_id"))
+      val latencies = cf.select(((col("ct") - col("vt")) / 1000000L).cast("long").as("lat_s"))
+      val w = Window.orderBy(col("lat_s"))
+      val med = latencies
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg(
+          max(when(col("rn") === expr("(n + 1) div 2"), col("lat_s"))).as("m1"),
+          max(when(col("rn") === expr("(n + 2) div 2"), col("lat_s"))).as("m2"))
+        .select((col("m1") + col("m2")).as("med2_lat_s"))
+      v.agg(count(lit(1)).cast("long").as("n_view")).crossJoin(
+        cf.agg(count(lit(1)).cast("long").as("n_click_1h")))
+        .crossJoin(pf.agg(count(lit(1)).cast("long").as("n_purchase_24h")))
+        .crossJoin(med)
+        .select(col("n_view"), col("n_click_1h"), col("n_purchase_24h"),
+          col("med2_lat_s").cast("long").as("med2_lat_s"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+              v AS (SELECT user_id, MIN(tu) AS vt FROM ev WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, MIN(e.tu) AS ct, MAX(v.vt) AS vt
+                    FROM ev e JOIN v ON v.user_id = e.user_id
+                    WHERE e.event_type = 'click' AND e.tu > v.vt AND e.tu <= v.vt + 3600000000
+                    GROUP BY 1),
+              p AS (SELECT e.user_id
+                    FROM ev e JOIN c ON c.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.tu > c.ct AND e.tu <= c.ct + 86400000000
+                    GROUP BY 1),
+              lat AS (SELECT (ct - vt) // 1000000 AS lat_s,
+                             ROW_NUMBER() OVER (ORDER BY (ct - vt) // 1000000) AS rn,
+                             COUNT(*) OVER () AS n
+                      FROM c),
+              med AS (SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) +
+                             MAX(CASE WHEN rn = (n + 2) // 2 THEN lat_s END) AS med2_lat_s
+                      FROM lat)
+            SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+                   (SELECT COUNT(*) FROM c)::BIGINT AS n_click_1h,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_purchase_24h,
+                   (SELECT med2_lat_s FROM med)::BIGINT AS med2_lat_s"""))
+
+  /** Schema matching by column-content fingerprints (the data-integration
+    * classic): every string-rendered column of customer and supplier is
+    * summarized by a 64-min MinHash signature of its DISTINCT value set —
+    * spelled as 64 codegen'd min-aggregates over universal hashes, so the
+    * signature partial-aggregates MAP-SIDE and a 100 TB column folds to
+    * 64 longs (the q143 corpus-signature shape, applied to columns).
+    * Each customer column then matches its best supplier column by
+    * estimated Jaccard — the alignment step that lets two uncoordinated
+    * exports merge. Planted truth: the tables share the nationkey domain
+    * (≈ full overlap) and little else. Oracle replays hash → the
+    * library's actual seeded universal-hash coefficients → mins →
+    * agreement counts, value-exactly. */
+  val q247_schema_match = Q(
+    "q247_schema_match",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def colValues(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+        cols.map { c =>
+          df.select(lit(table).as("tbl"), lit(c).as("col"),
+            col(c).cast("string").as("v")).filter(col("v").isNotNull).distinct()
+        }.reduce(_.unionByName(_))
+      val values = colValues(t(s, dir, "customer"), "customer",
+          Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+        .unionByName(colValues(t(s, dir, "supplier"), "supplier",
+          Seq("s_suppkey", "s_nationkey", "s_name")))
+      val P = 2147483647L
+      val hm = pmod(xxhash64(col("v")), lit(P))
+      val coefs = graft.text.Dedup.minhashCoefs(64)
+      val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+        min((hm * lit(a) + lit(b)) % P).as(s"m$i")
+      }
+      val sigs = values.groupBy(col("tbl"), col("col"))
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(true)
+      val matches = (0 until 64)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val pairs = sigs.filter(col("tbl") === "customer").as("a")
+        .join(sigs.filter(col("tbl") === "supplier").as("b"))
+        .select(col("a.col").as("cust_col"), col("b.col").as("supp_col"),
+          (lit(1000000L) * matches / 64L).cast("long").as("est_jaccard_ppm"))
+      pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cust_col"))
+            .orderBy(col("est_jaccard_ppm").desc, col("supp_col"))))
+        .filter(col("rn") === 1)
+        .select(col("cust_col"), col("supp_col"), col("est_jaccard_ppm"))
+        .orderBy("cust_col")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val vals =
+        """SELECT 'customer' AS tbl, 'c_custkey' AS col, CAST(c_custkey AS VARCHAR) AS v FROM customer
+           UNION SELECT 'customer', 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION SELECT 'customer', 'c_mktsegment', c_mktsegment FROM customer
+           UNION SELECT 'supplier', 's_suppkey', CAST(s_suppkey AS VARCHAR) FROM supplier
+           UNION SELECT 'supplier', 's_nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+           UNION SELECT 'supplier', 's_name', s_name FROM supplier"""
+      val hashed = xxhash64Stages(s"SELECT DISTINCT v FROM ($vals)", "v", "h", pfx = "__m")
+      val coefs = graft.text.Dedup.minhashCoefs(64)
+      val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a * hm + $b) % 2147483647) AS m$i"
+      }.mkString(", ")
+      val eqTerms = (0 until 64).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH vals AS ($vals),
+            hv AS (SELECT DISTINCT v, h FROM ($hashed)),
+            joined AS (SELECT vals.tbl, vals.col,
+                              ((hv.h % 2147483647) + 2147483647) % 2147483647 AS hm
+                       FROM vals JOIN hv USING (v)),
+            sigs AS (SELECT tbl, col, $mins FROM joined GROUP BY 1, 2),
+            pairs AS (SELECT a.col AS cust_col, b.col AS supp_col,
+                             (1000000 * ($eqTerms)) // 64 AS est_jaccard_ppm
+                      FROM sigs a JOIN sigs b
+                        ON a.tbl = 'customer' AND b.tbl = 'supplier')
+          SELECT cust_col, supp_col, CAST(est_jaccard_ppm AS BIGINT) AS est_jaccard_ppm
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cust_col
+                  ORDER BY est_jaccard_ppm DESC, supp_col) AS rn FROM pairs)
+          WHERE rn = 1 ORDER BY cust_col"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9688,5 +9834,6 @@ object Queries {
     q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
     q240_growth_curve, q241_spine_coverage, q242_plan_lint,
-    q243_parquet_footers, q244_matryoshka, q245_txn_log)
+    q243_parquet_footers, q244_matryoshka, q245_txn_log,
+    q246_windowed_funnel, q247_schema_match)
 }
