@@ -9770,6 +9770,53 @@ object Queries {
           WHERE rn = 1 ORDER BY cust_col"""
     })
 
+
+  /** Event-time vs arrival-time lag audit — the measurement that SIZES
+    * watermarks (q121/q144's "10 minutes" is a guess until this report
+    * exists): arrival delays (hash-derived, 0–599 s — the deterministic
+    * stand-in for a transport's jitter, engine-replayable) are profiled
+    * per event type as exact rank order statistics (p50/p95 at rank
+    * ceil(q·n) — discrete, integer) plus the late-beyond-5-min count a
+    * 300 s watermark would drop. One keyed window shuffle. */
+  val q248_lag_audit = Q(
+    "q248_lag_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("event_type"),
+          col("event_id").cast("long").as("event_id"))
+        .withColumn("delay_s", pmod(xxhash64(col("event_id")), lit(600L)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("delay_s"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n")).cast("long").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("delay_s"))).cast("long").as("p50_s"),
+          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("delay_s"))).cast("long").as("p95_s"),
+          max(col("delay_s")).cast("long").as("max_s"),
+          sum(when(col("delay_s") > 300, 1L).otherwise(0L)).cast("long").as("n_late_5m"))
+        .orderBy("event_type")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val base = "SELECT event_type, event_id::BIGINT AS event_id FROM events"
+      val hashed = xxhash64LongStages(base, "event_id", "h", pfx = "__l")
+      s"""WITH d AS (SELECT event_type, event_id,
+                            ((h % 600) + 600) % 600 AS delay_s
+                     FROM ($hashed)),
+            rk AS (SELECT event_type, delay_s,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY delay_s, event_id) AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type) AS n
+                   FROM d)
+          SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delay_s END) AS BIGINT) AS p50_s,
+                 CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN delay_s END) AS BIGINT) AS p95_s,
+                 CAST(MAX(delay_s) AS BIGINT) AS max_s,
+                 CAST(SUM(CASE WHEN delay_s > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5m
+          FROM rk GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9835,5 +9882,5 @@ object Queries {
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
     q240_growth_curve, q241_spine_coverage, q242_plan_lint,
     q243_parquet_footers, q244_matryoshka, q245_txn_log,
-    q246_windowed_funnel, q247_schema_match)
+    q246_windowed_funnel, q247_schema_match, q248_lag_audit)
 }
