@@ -103,22 +103,31 @@ object Graph {
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
     val e = checkpoint(edges.select(col("src"), col("dst")))
-    var auth = checkpoint(e.select(col("dst").as("node")).distinct()
-      .select(col("node"), lit(1L).as("score")))
+    var auth = e.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(1L).as("score"))
     var hub: DataFrame = null
-    for (_ <- 1 to rounds) {
-      hub = checkpoint(
-        e.join(auth, e("dst") === auth("node"))
-          .groupBy(col("src").as("hnode"))
-          .agg(sum(col("score")).as("hscore"))
-          .select(col("hnode").as("node"), col("hscore").as("score")))
-      auth = checkpoint(
-        e.join(hub.select(col("node").as("hnode"), col("score").as("hscore")),
-            e("src") === col("hnode"))
-          .groupBy(col("dst").as("anode"))
-          .agg(sum(col("hscore")).as("ascore"))
-          .select(col("anode").as("node"), col("ascore").as("score")))
+    // per-round checkpointing is ITERATION hygiene — it pays for itself
+    // when lineage would otherwise compound (the PageRank lesson), but at
+    // the shallow depths HITS is typically run to, each checkpoint is a
+    // full materialization of a node-sized frame; keep the plan lazy for
+    // <= 2 rounds and truncate per round only beyond that
+    val deep = rounds > 2
+    for (r <- 1 to rounds) {
+      hub = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("hnode"))
+        .agg(sum(col("score")).as("hscore"))
+        .select(col("hnode").as("node"), col("hscore").as("score"))
+      if (deep) hub = checkpoint(hub)
+      auth = e.join(hub.select(col("node").as("hnode"), col("score").as("hscore")),
+          e("src") === col("hnode"))
+        .groupBy(col("dst").as("anode"))
+        .agg(sum(col("hscore")).as("ascore"))
+        .select(col("anode").as("node"), col("ascore").as("score"))
+      if (deep) auth = checkpoint(auth)
     }
+    // hub feeds the final join twice (directly and through auth's lineage)
+    // — materialize it once either way
+    hub = checkpoint(hub)
     hub.select(col("node"), col("score").as("hub"))
       .join(auth.select(col("node"), col("score").as("auth")), Seq("node"), "full_outer")
   }
