@@ -9817,6 +9817,106 @@ object Queries {
           FROM rk GROUP BY 1 ORDER BY 1"""
     })
 
+
+  /** Source-level embedding centroid distance matrix — q143's corpus
+    * similarity in VECTOR space: per label, the exact integer sum-vector
+    * and count of int8-quantized embeddings (the persistable artifact — a
+    * 100 TB label folds to 64 BIGINTs, the map-side-partial shape), then
+    * pairwise squared centroid distance Σ_d (sa_d·n_b − sb_d·n_a)² /
+    * (n_a·n_b)² evaluated as a FIXED-ORDER double fold over the 64 dims
+    * (exact integer numerators first; a fixed expression sum of doubles
+    * is engine-stable — the q86 rule — where a row-order aggregate is
+    * not). Output: label pairs with dist² ×10⁶ floored. */
+  val q249_centroid_matrix = Q(
+    "q249_centroid_matrix",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), col("embedding"))
+        .withColumn("q", expr("transform(embedding, x -> CAST(FLOOR(x * 64) AS BIGINT))"))
+      val dims = 64
+      val aggCols = Seq(count(lit(1)).as("n")) ++
+        (0 until dims).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+      val sums = emb.groupBy(col("label"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint(true)
+      val terms = (0 until dims).map { d =>
+        val num = col(s"a.s$d") * col("b.n") - col(s"b.s$d") * col("a.n")
+        (num * num).cast("double")
+      }.reduce(_ + _)
+      sums.as("a").join(sums.as("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("l1"), col("b.label").as("l2"),
+          floor(lit(1000000.0) * terms /
+            (col("a.n") * col("b.n") * col("a.n") * col("b.n")).cast("double"))
+            .cast("long").as("dist2_ppm"))
+        .orderBy("l1", "l2")
+    },
+    Some {
+      val terms = (0 until 64).map { d =>
+        s"CAST((a.s$d * b.n - b.s$d * a.n) * (a.s$d * b.n - b.s$d * a.n) AS DOUBLE)"
+      }.mkString("(", " + ", ")")
+      val sums = (0 until 64).map(d =>
+        s"SUM(CAST(FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * 64) AS BIGINT)) AS s$d")
+        .mkString(", ")
+      s"""WITH sums AS (SELECT label, COUNT(*) AS n, $sums
+                        FROM embeddings GROUP BY 1)
+          SELECT CAST(a.label AS BIGINT) AS l1, CAST(b.label AS BIGINT) AS l2,
+                 CAST(FLOOR(1000000.0 * $terms /
+                   CAST(a.n * b.n * a.n * b.n AS DOUBLE)) AS BIGINT) AS dist2_ppm
+          FROM sums a JOIN sums b ON a.label < b.label
+          ORDER BY l1, l2"""
+    })
+
+  /** The cost-based-optimizer statistics surface: nation and customer
+    * registered as catalog tables, `ANALYZE TABLE ... COMPUTE STATISTICS
+    * FOR COLUMNS` run, and the recorded stats read back — row counts and
+    * column NDVs (exact at these cardinalities: Spark's HLL++ is sparse-
+    * mode-exact for small distinct sets), which is what the planner uses
+    * to choose broadcast sides without hints. Oracle recomputes the same
+    * stats from the data; TopKSpec-style plan proof lives in the catalog
+    * stats themselves being non-null. */
+  private val q250Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  val q250_cbo_stats = Q(
+    "q250_cbo_stats",
+    (s, dir) => {
+      import s.implicits._
+      // unique per run (bench runs twice; a crashed run must not poison the
+      // next via a leftover warehouse directory) — dropped with CASCADE below
+      val db = s"graft_q250_${q250Runs.incrementAndGet()}_${System.identityHashCode(s)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      t(s, dir, "nation").write.mode("overwrite").saveAsTable(s"$db.nation_t")
+      t(s, dir, "customer").write.mode("overwrite").saveAsTable(s"$db.customer_t")
+      s.sql(s"ANALYZE TABLE $db.nation_t COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
+      s.sql(s"ANALYZE TABLE $db.customer_t COMPUTE STATISTICS FOR COLUMNS c_nationkey")
+      def stats(table: String, column: String): (Long, Long) = {
+        val cat = s.sessionState.catalog
+        val meta = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+        val st = meta.stats.get
+        (st.rowCount.get.toLong, st.colStats(column).distinctCount.get.toLong)
+      }
+      val (nRows, nNdv) = stats("nation_t", "n_nationkey")
+      val (cRows, cNdv) = stats("customer_t", "c_nationkey")
+      // NDV is HLL++-approximate — engine-specific, so the pinned value is
+      // the accuracy CONTRACT (within 5 % of exact), not the estimate
+      val nExact = t(s, dir, "nation").select(countDistinct(col("n_nationkey"))).head().getLong(0)
+      val cExact = t(s, dir, "customer").select(countDistinct(col("c_nationkey"))).head().getLong(0)
+      def within5(est: Long, exact: Long): Boolean =
+        math.abs(est - exact) * 20L <= exact
+      val out = Seq(("nation", nRows, within5(nNdv, nExact)),
+        ("customer", cRows, within5(cNdv, cExact)))
+        .toDF("table_name", "row_count", "ndv_within_5pct")
+        .orderBy("table_name")
+        .localCheckpoint(true)
+      s.sql(s"DROP DATABASE $db CASCADE")
+      out
+    },
+    Some("""SELECT 'customer' AS table_name,
+                   (SELECT COUNT(*) FROM customer)::BIGINT AS row_count,
+                   TRUE AS ndv_within_5pct
+            UNION ALL
+            SELECT 'nation', (SELECT COUNT(*) FROM nation), TRUE
+            ORDER BY table_name"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9882,5 +9982,6 @@ object Queries {
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow,
     q240_growth_curve, q241_spine_coverage, q242_plan_lint,
     q243_parquet_footers, q244_matryoshka, q245_txn_log,
-    q246_windowed_funnel, q247_schema_match, q248_lag_audit)
+    q246_windowed_funnel, q247_schema_match, q248_lag_audit,
+    q249_centroid_matrix, q250_cbo_stats)
 }
