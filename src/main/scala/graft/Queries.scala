@@ -9917,6 +9917,168 @@ object Queries {
             SELECT 'nation', (SELECT COUNT(*) FROM nation), TRUE
             ORDER BY table_name"""))
 
+
+  /** Personalized PageRank from a seed set
+    * ([[graft.operators.Graph.personalizedPageRank]] — teleport mass only
+    * on the seeds, so scores measure proximity to them; same BIGINT
+    * fixed-point determinism as q119's global form): customers of nation
+    * 0 as seeds over the customer→order-bucket graph, 4 rounds, top-15
+    * non-seed-side nodes by (rank, node). Oracle = the generated
+    * seed-aware round chain. */
+  val q251_personalized_pr = Q(
+    "q251_personalized_pr",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val edges = o.select(
+        col("o_custkey").cast("long").as("src"),
+        (lit(100000L) + col("o_orderkey") % 1500).cast("long").as("dst")).distinct()
+      val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").cast("long").as("node"))
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 4)
+        .filter(col("node") >= 100000L && col("rank") > 0)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(15)
+        .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
+        .orderBy("node")
+    },
+    Some {
+      val iters = (1 to 4).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (
+              SELECT sn.node,
+                     sn.is_seed * (SELECT (1000000000::BIGINT * 15) // (100 * ns) FROM consts)
+                     + (85 * COALESCE(s.s, 0)) // 100 AS rank
+              FROM sn LEFT JOIN (
+                SELECT ed.dst AS node, SUM($prev.rank // ed.outdeg) AS s
+                FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY 1) s USING (node))"""
+      }.mkString(",\n          ")
+      s"""WITH e AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(100000 + o_orderkey % 1500 AS BIGINT) AS dst
+            FROM orders),
+          nodes AS (
+            SELECT DISTINCT node
+            FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          seeds AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node FROM customer
+                    WHERE c_nationkey = 0),
+          sn AS (SELECT nodes.node,
+                        CASE WHEN seeds.node IS NULL THEN 0 ELSE 1 END AS is_seed
+                 FROM nodes LEFT JOIN seeds USING (node)),
+          consts AS (SELECT CAST(SUM(is_seed) AS BIGINT) AS ns FROM sn),
+          deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+          ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d USING (src)),
+          r0 AS (SELECT node, is_seed * (SELECT 1000000000::BIGINT // ns FROM consts) AS rank
+                 FROM sn),
+          $iters
+          SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+          FROM (SELECT * FROM r4 WHERE node >= 100000 AND rank > 0
+                ORDER BY rank DESC, node LIMIT 15)
+          ORDER BY node"""
+    })
+
+
+  /** Multi-probe LSH over simhash bands (Lv et al. VLDB'07, the
+    * table-count/recall trade): beside the exact 16-bit band-bucket join
+    * (q31's scheme — which MISSES any pair whose signatures differ in
+    * every band), probe depth 1 also joins each band key against its 16
+    * one-bit-flip neighbors, rescuing pairs with a band at Hamming
+    * distance exactly 1 — more recall from the SAME four tables, the
+    * alternative to doubling band count. Candidates verified exactly
+    * (bit_count(xor) ≤ 6); the report pins candidate and verified pair
+    * counts per probe depth, so the recall gain is a VALUE, not a claim.
+    * Integer end-to-end; the oracle replays signature → bands → flips →
+    * verify (the q31 machinery plus the probe expansion). */
+  val q252_multiprobe_lsh = Q(
+    "q252_multiprobe_lsh",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val clipped = d.filter(col("doc_id") % 4 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), lit(1),
+          size(split(trim(col("text")), "\\s+")) - 3), " ").as("text"))
+      val corpus = d.unionByName(clipped)
+      val sigs = Dedup.simhash(corpus, "doc_id", "text").localCheckpoint(true)
+      val bands = sigs.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("blk"))
+        .withColumn("key", expr("shiftrightunsigned(simhash, blk * 16) & 65535"))
+        .localCheckpoint(true)
+      // j = -1 is the exact probe; j in 0..15 flips one bit of the band key
+      val probes = bands.select(col("doc_id"), col("simhash"), col("blk"), col("key"),
+          explode(array((-1 to 15).map(lit): _*)).as("j"))
+        .withColumn("pkey",
+          when(col("j") === -1, col("key"))
+            .otherwise(expr("key ^ shiftleft(1L, j)")))
+      val out = Seq(0, 1).map { depth =>
+        val b =
+          if (depth == 0) bands.select(col("blk"), col("key").as("pkey"),
+            col("doc_id").as("id2"), col("simhash").as("s2"))
+          else probes.select(col("blk"), col("pkey"),
+            col("doc_id").as("id2"), col("simhash").as("s2"))
+        val cands = bands.select(col("blk"), col("key").as("pkey"),
+            col("doc_id").as("id1"), col("simhash").as("s1"))
+          .join(b, Seq("blk", "pkey"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("s1"), col("s2"))
+          .distinct()
+          .localCheckpoint(true)
+        val nc = cands.count()
+        val nv = cands.filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 6).count()
+        (depth.toLong, nc, nv)
+      }
+      import s.implicits._
+      out.toDF("probe_depth", "n_candidate_pairs", "n_verified_pairs")
+        .orderBy("probe_depth")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val corpus =
+        s"""SELECT doc_id::BIGINT AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id::BIGINT + 1000000,
+                   array_to_string(rt[1:len(rt)-3], ' ')
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rt
+                  FROM documents WHERE doc_id % 2 = 0) WHERE doc_id % 4 = 0"""
+      val toks =
+        s"""SELECT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(${normalizeSql("text")}, ' ')) AS tok
+              FROM ($corpus)) WHERE len(tok) > 0"""
+      val hashed = xxhash64Stages(toks, "tok", "th", pfx = "__t")
+      val bitsums = (0 until 64)
+        .map(j => s"SUM(CASE WHEN (hu >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val sigexpr = (0 until 64)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT ELSE 0::HUGEINT END")
+        .mkString(" + ")
+      s"""WITH hashed AS (
+            SELECT doc_id, CASE WHEN th < 0 THEN CAST(th::HUGEINT + 18446744073709551616::HUGEINT AS UBIGINT)
+                                ELSE CAST(th AS UBIGINT) END AS hu
+            FROM ($hashed)),
+          bits AS (SELECT doc_id, $bitsums FROM hashed GROUP BY doc_id),
+          sig AS (SELECT doc_id, CAST(($sigexpr) AS UBIGINT) AS sigu FROM bits),
+          bands AS MATERIALIZED (
+            SELECT doc_id, sigu, bb.b AS blk, (sigu >> (16 * bb.b)) & 65535 AS key
+            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bb(b)),
+          probes AS (
+            SELECT doc_id, sigu, blk, key AS pkey FROM bands
+            UNION ALL
+            SELECT doc_id, sigu, blk, xor(key, 1::UBIGINT << j.range) AS pkey
+            FROM bands CROSS JOIN range(16) j),
+          c0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sigu AS s1, b.sigu AS s2
+                 FROM bands a JOIN bands b
+                   ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+          c1 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sigu AS s1, b.sigu AS s2
+                 FROM bands a JOIN probes b
+                   ON a.blk = b.blk AND a.key = b.pkey AND a.doc_id < b.doc_id)
+          SELECT 0::BIGINT AS probe_depth,
+                 (SELECT COUNT(*) FROM c0)::BIGINT AS n_candidate_pairs,
+                 (SELECT COUNT(*) FROM c0 WHERE bit_count(xor(s1, s2)) <= 6)::BIGINT AS n_verified_pairs
+          UNION ALL
+          SELECT 1, (SELECT COUNT(*) FROM c1),
+                 (SELECT COUNT(*) FROM c1 WHERE bit_count(xor(s1, s2)) <= 6)
+          ORDER BY probe_depth"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -9983,5 +10145,6 @@ object Queries {
     q240_growth_curve, q241_spine_coverage, q242_plan_lint,
     q243_parquet_footers, q244_matryoshka, q245_txn_log,
     q246_windowed_funnel, q247_schema_match, q248_lag_audit,
-    q249_centroid_matrix, q250_cbo_stats)
+    q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
+    q252_multiprobe_lsh)
 }

@@ -79,6 +79,68 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (the seed-biased teleport variant behind
+    * related-item recommendation and local graph exploration): identical
+    * integer fixed-point arithmetic to [[pageRankFixedPoint]], except the
+    * teleport mass lands ONLY on the seed set —
+    *
+    *   rank'(v) = [v ∈ S]·(scale·(dampDen−dampNum)) div (dampDen·|S|)
+    *              + (dampNum·Σ contrib(u→v)) div dampDen
+    *
+    * — so scores measure proximity TO THE SEEDS, not global centrality,
+    * while keeping every guarantee of the global form (BIGINT-exact,
+    * partitioning-deterministic, oracle-replayable; mass only shrinks, so
+    * overflow-safe). Seeds start with scale div |S| each, everything else
+    * at 0. Same per-round checkpoint hygiene; seeds broadcast. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iterations >= 1, s"personalizedPageRank: iterations must be >= 1, got $iterations")
+    require(scale >= 1000L, s"personalizedPageRank: scale must be >= 1000, got $scale")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"personalizedPageRank: damping $dampNum/$dampDen not in [0,1]")
+    val e = checkpoint(edges.select(col("src"), col("dst")))
+    val nodes = checkpoint(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val seedSet = checkpoint(seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi"))
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    val base = (scale * (dampDen - dampNum)) / (dampDen * nSeeds)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__graft_outdeg"))
+    val edgesWithDeg = checkpoint(e.join(outdeg, "src"))
+    val seeded = nodes.join(
+      seedSet.withColumn("__graft_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__graft_seed"), lit(0L)).as("__graft_seed"))
+    var ranks = checkpoint(seeded
+      .withColumn("rank", col("__graft_seed") * lit(scale / nSeeds))
+      .select(col("node"), col("rank")))
+    var it = 0
+    while (it < iterations) {
+      val sums = edgesWithDeg
+        .join(ranks, edgesWithDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div __graft_outdeg").as("__graft_c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__graft_c")).as("__graft_s"))
+      ranks = checkpoint(
+        seeded
+          .join(sums, Seq("node"), "left")
+          .select(
+            col("node"),
+            (col("__graft_seed") * lit(base) +
+              expr(s"($dampNum * coalesce(__graft_s, 0L)) div $dampDen")).as("rank")))
+      it += 1
+    }
+    ranks
+  }
+
   /** Integer HITS (Kleinberg JACM'99 hubs & authorities): `rounds` mutual-
     * reinforcement rounds from the all-ones authority vector WITHOUT the
     * usual per-round normalization — normalization rescales but never

@@ -239,4 +239,25 @@ class GraphZorderSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](graft.operators.Graph.hits(e, rounds = 0))
   }
 
+
+  test("personalized PageRank: mass localizes at seeds, unreachable nodes score 0") {
+    import spark.implicits._
+    // chain 1→2→3 and an unreachable island 8→9; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.operators.Graph.personalizedPageRank(e, seeds, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L)) // proximity ordering
+    assert(out(8L) == 0L && out(9L) == 0L) // no teleport mass off-seed
+    // determinism under partitioning
+    val a = sortedRows(graft.operators.Graph.personalizedPageRank(
+      e.repartition(1), seeds, iterations = 3))
+    val b = sortedRows(graft.operators.Graph.personalizedPageRank(
+      e.repartition(7), seeds, iterations = 3))
+    assert(a == b)
+    // seeds that are not graph nodes refuse
+    assertThrows[IllegalArgumentException](
+      graft.operators.Graph.personalizedPageRank(e, Seq(42L).toDF("node"), 2))
+  }
+
 }
