@@ -10079,6 +10079,64 @@ object Queries {
           ORDER BY probe_depth"""
     })
 
+
+  /** Incremental connected-components maintenance
+    * ([[graft.text.Dedup.incrementalClusters]]): a persisted component
+    * artifact over within-decade part-id chains is updated with a batch
+    * of bridge edges — only the touched components re-cluster (star edges
+    * to old roots + the new pairs, a delta-sized local graph), untouched
+    * components pass through by subtraction. The oracle is the FULL
+    * recompute over old∪new edges (a generated min-label propagation
+    * chain, each stage MATERIALIZED), which is precisely the operator's
+    * equivalence contract — incremental must be indistinguishable from
+    * recomputing everything. Output: component-size histogram after the
+    * update. */
+  val q253_incremental_cc = Q(
+    "q253_incremental_cc",
+    (s, dir) => {
+      val ids = t(s, dir, "part").select(col("p_partkey").cast("long").as("p"))
+      val base = ids.filter(col("p") % 10 =!= 0)
+        .select(col("p").as("id1"), (col("p") + 1).as("id2"))
+      val batch = ids.filter(col("p") % 100 === 5)
+        .select(col("p").as("id1"), (col("p") + 10).as("id2"))
+      val existing = Dedup.duplicateClusters(base)
+      val updated = Dedup.incrementalClusters(existing, batch)
+      updated.groupBy(col("root")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").cast("long").as("component_size"))
+        .agg(count(lit(1)).cast("long").as("n_components"))
+        .orderBy("component_size")
+    },
+    Some {
+      // full recompute: min-label propagation over old ∪ new edges; merged
+      // chains have diameter <= 20, so 21 materialized stages reach the
+      // fixpoint with margin
+      val stages = (1 to 21).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS MATERIALIZED (
+              SELECT n.id, LEAST(p.root, COALESCE(m.mn, p.root)) AS root
+              FROM nodes n
+              JOIN $prev p ON p.id = n.id
+              LEFT JOIN (SELECT e.a AS id, MIN($prev.root) AS mn
+                         FROM e JOIN $prev ON e.b = $prev.id GROUP BY 1) m
+                ON m.id = n.id)"""
+      }.mkString(",\n          ")
+      s"""WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS p FROM part),
+          pairs AS (
+            SELECT p AS id1, p + 1 AS id2 FROM ids WHERE p % 10 <> 0
+            UNION ALL
+            SELECT p, p + 10 FROM ids WHERE p % 100 = 5),
+          e AS MATERIALIZED (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+          nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM e),
+          l0 AS MATERIALIZED (SELECT id, id AS root FROM nodes),
+          $stages
+          SELECT CAST(sz AS BIGINT) AS component_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_components
+          FROM (SELECT root, COUNT(*) AS sz FROM l21 GROUP BY 1)
+          GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10146,5 +10204,5 @@ object Queries {
     q243_parquet_footers, q244_matryoshka, q245_txn_log,
     q246_windowed_funnel, q247_schema_match, q248_lag_audit,
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
-    q252_multiprobe_lsh)
+    q252_multiprobe_lsh, q253_incremental_cc)
 }

@@ -944,6 +944,25 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((1L, 0L)) && got(2L) == ((1L, 0L)) && got(3L) == ((1L, 1000000L)))
   }
 
+  test("incrementalClusters == full recompute on fuzzed graphs; untouched components pass through") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 5) {
+      val base = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2).toDF("id1", "id2")
+      val batch = Seq.fill(8)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("id1", "id2") // ids 30..39 are NEW nodes
+      val existing = Dedup.duplicateClusters(base)
+      val incr = Dedup.incrementalClusters(existing, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val full = Dedup.duplicateClusters(base.unionByName(batch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // every node the full recompute knows agrees; incremental may also
+      // carry singleton artifacts for isolated old nodes — roots must match
+      full.foreach { case (id, root) => assert(incr(id) == root, s"node $id") }
+    }
+  }
+
   // ------------------------------------------------------------ winnowing
 
   /** Driver-side reference winnowing: per w-window rightmost argmin,
