@@ -10137,6 +10137,83 @@ object Queries {
           GROUP BY 1 ORDER BY 1"""
     })
 
+
+  /** Empirical Bloom-filter false-positive audit — the measured-accuracy
+    * report that completes the sketch-fidelity family (minhash q200, KMV
+    * q204, Count-Min q113/q214, HLL q114): a 16384-bit k=5 filter built
+    * over the even-event key set is probed with the DISJOINT odd-event
+    * keys (true positives excluded by construction via anti-join), so
+    * every hit IS a false positive and the measured rate is the number a
+    * capacity plan uses — here the filter is deliberately UNDERSIZED
+    * (load kn/m ≈ 1.5 → measured ≈ 29 %, matching (1−e^(−kn/m))^k), the
+    * overload condition this report exists to catch. The oracle replays the filter's actual probe
+    * arithmetic — splitmix64 finalizer, forced-odd stride h2, five
+    * wrapping-2⁶⁴ probe positions — through the mod-2⁶⁴ SQL machinery,
+    * bit-for-bit. */
+  val q254_bloom_fpp = Q(
+    "q254_bloom_fpp",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.ExprColumn
+      val ev = t(s, dir, "events").select(col("event_id").cast("long").as("eid"))
+      val members = ev.filter(col("eid") % 2 === 0)
+        .select(xxhash64(col("eid")).as("key")).distinct().localCheckpoint(true)
+      val probes = ev.filter(col("eid") % 2 === 1)
+        .select(xxhash64(col("eid")).as("key")).distinct()
+        .join(members, Seq("key"), "left_anti").localCheckpoint(true)
+      val agg = graft.plans.BloomBuildAgg(ExprColumn.expr(col("key")), 16384L, 5)
+      val bits = members.agg(ExprColumn(agg.toAggregateExpression()).as("bits"))
+        .head().getSeq[Long](0).toArray
+      val nFp = probes.filter(ExprColumn(graft.plans.BloomContains(
+        ExprColumn.expr(col("key")), bits, 5))).count()
+      import s.implicits._
+      Seq((members.count(), probes.count(), nFp))
+        .toDF("n_members", "n_probes", "n_false_positives")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val C1 = BigInt("9E3779B97F4A7C15", 16)
+      val C2 = BigInt("BF58476D1CE4E5B9", 16)
+      val C3 = BigInt("94D049BB133111EB", 16)
+      // splitmix64 + forced-odd stride + 5 wrapping probe positions, as
+      // chained stages over a relation exposing UBIGINT column `u`
+      def probeStages(rel: String, pfx: String): String = {
+        var q = rel
+        def wrap(expr: String, col: String): Unit = { q = s"SELECT *, $expr AS $col FROM ($q)" }
+        wrap(addModSql("u", C1.toString), s"${pfx}z0")
+        wrap(mulConstSql(s"xor(${pfx}z0, ${pfx}z0 >> 30)", C2), s"${pfx}z1")
+        wrap(mulConstSql(s"xor(${pfx}z1, ${pfx}z1 >> 27)", C3), s"${pfx}z2")
+        wrap(s"xor(${pfx}z2, ${pfx}z2 >> 31)", s"${pfx}mx")
+        wrap(s"${pfx}mx | 1", s"${pfx}h2")
+        wrap("u", s"${pfx}p0")
+        (1 to 4).foreach(i => wrap(addModSql(s"${pfx}p${i - 1}", s"${pfx}h2"), s"${pfx}p$i"))
+        wrap((0 to 4).map(i => s"${pfx}p$i & 16383").mkString("[", ", ", "]"), s"${pfx}plist")
+        q
+      }
+      val mk = xxhash64LongStages(
+        "SELECT DISTINCT event_id::BIGINT AS eid FROM events WHERE event_id % 2 = 0",
+        "eid", "key", pfx = "__bm")
+      val pk = xxhash64LongStages(
+        "SELECT DISTINCT event_id::BIGINT AS eid FROM events WHERE event_id % 2 = 1",
+        "eid", "key", pfx = "__bp")
+      s"""WITH mkeys AS MATERIALIZED (SELECT DISTINCT key FROM ($mk)),
+            pkeys0 AS MATERIALIZED (SELECT DISTINCT key FROM ($pk)),
+            pkeys AS MATERIALIZED (SELECT key FROM pkeys0 ANTI JOIN mkeys USING (key)),
+            mpos AS MATERIALIZED (
+              SELECT DISTINCT unnest(__amplist) AS pos FROM (
+                ${probeStages(s"SELECT ${unsignedOf("key")} AS u FROM mkeys", "__am")})),
+            bprobe AS (
+              SELECT u AS key, unnest(__bbplist) AS pos FROM (
+                ${probeStages(s"SELECT ${unsignedOf("key")} AS u FROM pkeys", "__bb")}) ),
+            hits AS (
+              SELECT b.key,
+                     SUM(CASE WHEN m.pos IS NULL THEN 0 ELSE 1 END) AS nhit
+              FROM bprobe b LEFT JOIN mpos m ON m.pos = b.pos
+              GROUP BY b.key)
+          SELECT (SELECT COUNT(*) FROM mkeys)::BIGINT AS n_members,
+                 (SELECT COUNT(*) FROM pkeys)::BIGINT AS n_probes,
+                 (SELECT COUNT(*) FROM hits WHERE nhit = 5)::BIGINT AS n_false_positives"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10204,5 +10281,5 @@ object Queries {
     q243_parquet_footers, q244_matryoshka, q245_txn_log,
     q246_windowed_funnel, q247_schema_match, q248_lag_audit,
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
-    q252_multiprobe_lsh, q253_incremental_cc)
+    q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp)
 }
