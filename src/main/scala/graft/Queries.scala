@@ -10214,6 +10214,131 @@ object Queries {
                  (SELECT COUNT(*) FROM hits WHERE nhit = 5)::BIGINT AS n_false_positives"""
     })
 
+
+  /** Positional multi-touch attribution (the 40/20/40 U-shape — beside
+    * q182's last-touch): per user, every view touch within 24 h before
+    * that user's first purchase earns integer-ppm credit — 40 % first
+    * touch, 40 % last touch, the middle 20 % split evenly (single-touch
+    * journeys take 100 %; two-touch 50/50 by the same arithmetic with the
+    * middle empty). Credits are exact integers summing to 1 000 000 per
+    * converter (largest-remainder-free by construction: 400000·2 +
+    * 200000/(n−2)·(n−2) + remainder folded into the LAST middle touch).
+    * One user-keyed window pass. Report: credit mass per touch position
+    * bucket. */
+  val q255_position_attribution = Q(
+    "q255_position_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"), col("event_id").cast("long").as("eid"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("pt"))
+      val touches = ev.filter(col("event_type") === "view")
+        .join(conv, Seq("user_id"))
+        .filter(col("tu") < col("pt") && col("tu") >= col("pt") - 86400000000L)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("eid"))
+      val ranked = touches
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      val credited = ranked.withColumn("credit",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("rn") === 1, when(col("n") === 2, 500000L).otherwise(400000L))
+          .when(col("rn") === col("n"), when(col("n") === 2, 500000L).otherwise(400000L))
+          .otherwise(expr("200000 div (n - 2)") +
+            when(col("rn") === col("n") - 1, expr("200000 % (n - 2)")).otherwise(0L)))
+      credited
+        .withColumn("bucket",
+          when(col("rn") === 1, "first")
+            .when(col("rn") === col("n"), "last")
+            .otherwise("middle"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_touches"),
+          sum(col("credit")).cast("long").as("credit_ppm"))
+        .orderBy("bucket")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+              conv AS (SELECT user_id, MIN(tu) AS pt FROM ev
+                       WHERE event_type = 'purchase' GROUP BY 1),
+              touches AS (SELECT e.user_id, e.tu, e.event_id
+                          FROM ev e JOIN conv c ON c.user_id = e.user_id
+                          WHERE e.event_type = 'view'
+                            AND e.tu < c.pt AND e.tu >= c.pt - 86400000000),
+              ranked AS (SELECT user_id,
+                                ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY tu, event_id) AS rn,
+                                COUNT(*) OVER (PARTITION BY user_id) AS n
+                         FROM touches),
+              credited AS (SELECT *,
+                CASE WHEN n = 1 THEN 1000000
+                     WHEN rn = 1 THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+                     WHEN rn = n THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+                     ELSE 200000 // (n - 2) +
+                          CASE WHEN rn = n - 1 THEN 200000 % (n - 2) ELSE 0 END
+                END AS credit,
+                CASE WHEN rn = 1 THEN 'first' WHEN rn = n THEN 'last'
+                     ELSE 'middle' END AS bucket
+                FROM ranked)
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   CAST(SUM(credit) AS BIGINT) AS credit_ppm
+            FROM credited GROUP BY 1 ORDER BY 1"""))
+
+  /** Bitmap-index set intersection (the roaring-bitmap pattern reduced to
+    * word alignment): per event type, user-id membership packed
+    * into 64-bit words (word = key div 64, bit = key mod 64 — a set's
+    * 100 TB id set folds to ids/64 longs); pairwise segment overlap =
+    * Σ bit_count(wordA & wordB) over the word-aligned equi-join (ids/64
+    * rows per side) — the bitmap AND that replaces a row-level id join.
+    * The exact row-join
+    * count rides alongside (q204's fidelity convention) and must agree
+    * EXACTLY — bitmaps are lossless, unlike the sketch family. */
+  val q256_bitmap_index = Q(
+    "q256_bitmap_index",
+    (s, dir) => {
+      val c = t(s, dir, "events").select(col("event_type").as("seg"),
+        col("user_id").cast("long").as("k"))
+      // distinct first: sum of single-bit words equals the bitwise OR only
+      // when every (seg, key) contributes its bit exactly once
+      val dKeys = c.distinct().localCheckpoint(true)
+      val words = dKeys
+        .groupBy(col("seg"), expr("k div 64").as("w"))
+        .agg(sum(expr("shiftleft(1L, CAST(k % 64 AS INT))")).as("bits"))
+        .localCheckpoint(true)
+      val overlap = words.as("a")
+        .join(words.as("b"), col("a.w") === col("b.w") && col("a.seg") < col("b.seg"))
+        .groupBy(col("a.seg").as("seg1"), col("b.seg").as("seg2"))
+        .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits")))).cast("long").as("bitmap_common"))
+      val exact = dKeys.as("x").join(dKeys.as("y"),
+          col("x.k") === col("y.k") && col("x.seg") < col("y.seg"))
+        .groupBy(col("x.seg").as("seg1"), col("y.seg").as("seg2"))
+        .agg(count(lit(1)).cast("long").as("exact_common"))
+      overlap.join(exact, Seq("seg1", "seg2"), "full_outer")
+        .select(col("seg1"), col("seg2"),
+          coalesce(col("bitmap_common"), lit(0L)).as("bitmap_common"),
+          coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+        .orderBy("seg1", "seg2")
+    },
+    Some("""WITH c AS (SELECT DISTINCT event_type AS seg, CAST(user_id AS BIGINT) AS k
+                       FROM events),
+              words AS (SELECT seg, k // 64 AS w,
+                               -- UBIGINT: bit 63 overflows a signed shift;
+                               -- the bit PATTERN matches Spark's signed sum
+                               CAST(SUM(1::UBIGINT << CAST(k % 64 AS INT)) AS UBIGINT) AS bits
+                        FROM c GROUP BY 1, 2),
+              overlap AS (SELECT a.seg AS seg1, b.seg AS seg2,
+                                 SUM(bit_count(a.bits & b.bits)) AS bitmap_common
+                          FROM words a JOIN words b
+                            ON a.w = b.w AND a.seg < b.seg
+                          GROUP BY 1, 2),
+              exact AS (SELECT x.seg AS seg1, y.seg AS seg2, COUNT(*) AS exact_common
+                        FROM c x JOIN c y ON x.k = y.k AND x.seg < y.seg
+                        GROUP BY 1, 2)
+            SELECT COALESCE(o.seg1, e.seg1) AS seg1, COALESCE(o.seg2, e.seg2) AS seg2,
+                   CAST(COALESCE(o.bitmap_common, 0) AS BIGINT) AS bitmap_common,
+                   CAST(COALESCE(e.exact_common, 0) AS BIGINT) AS exact_common
+            FROM overlap o FULL OUTER JOIN exact e
+              ON o.seg1 = e.seg1 AND o.seg2 = e.seg2
+            ORDER BY seg1, seg2"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10281,5 +10406,6 @@ object Queries {
     q243_parquet_footers, q244_matryoshka, q245_txn_log,
     q246_windowed_funnel, q247_schema_match, q248_lag_audit,
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
-    q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp)
+    q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp,
+    q255_position_attribution, q256_bitmap_index)
 }
