@@ -10339,6 +10339,54 @@ object Queries {
               ON o.seg1 = e.seg1 AND o.seg2 = e.seg2
             ORDER BY seg1, seg2"""))
 
+
+  /** Histogram-based equi-join cardinality estimation — the THIRD member
+    * of the planner-statistics family (q214: sketch inner product, q250:
+    * catalog stats): equi-width histograms on both join keys (per bucket:
+    * row count and exact distinct count — the shape ANALYZE histograms
+    * persist), estimate per bucket = rows_a·rows_b / max(ndv_a, ndv_b)
+    * (the uniform-within-bucket textbook formula, integer floor-div), exact
+    * join size alongside. Unlike the sketch's one-sided ≥ guarantee this
+    * estimator can err EITHER way — pinning est next to exact is the
+    * point: the report shows the error a CBO would act on. Bucket-count-
+    * sized aggregates only. */
+  val q257_histogram_join_est = Q(
+    "q257_histogram_join_est",
+    (s, dir) => {
+      val a = t(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("user_id").cast("long").as("k"))
+      val b = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(col("user_id").cast("long").as("k"))
+      def hist(df: DataFrame) = df
+        .groupBy(expr("k div 32").as("bucket"))
+        .agg(count(lit(1)).as("rows"), countDistinct(col("k")).as("ndv"))
+      val est = hist(a).as("ha").join(hist(b).as("hb"), Seq("bucket"))
+        .select((col("ha.rows") * col("hb.rows") /
+          greatest(col("ha.ndv"), col("hb.ndv"))).cast("long").as("e"))
+        .agg(sum(col("e")).as("est"))
+      val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact"))
+      est.crossJoin(exact)
+        .select(col("est").cast("long").as("est"),
+          col("exact").cast("long").as("exact"))
+    },
+    Some("""WITH a AS (SELECT CAST(user_id AS BIGINT) AS k FROM events
+                       WHERE event_type = 'view'),
+              b AS (SELECT CAST(user_id AS BIGINT) AS k FROM events
+                    WHERE event_type = 'click'),
+              ha AS (SELECT k // 32 AS bucket, COUNT(*) AS rows_, COUNT(DISTINCT k) AS ndv
+                     FROM a GROUP BY 1),
+              hb AS (SELECT k // 32 AS bucket, COUNT(*) AS rows_, COUNT(DISTINCT k) AS ndv
+                     FROM b GROUP BY 1),
+              est AS (SELECT SUM((ha.rows_ * hb.rows_) // GREATEST(ha.ndv, hb.ndv)) AS est
+                      FROM ha JOIN hb USING (bucket)),
+              ex AS (SELECT SUM(ca.c * cb.c) AS exact FROM
+                       (SELECT k, COUNT(*) AS c FROM a GROUP BY 1) ca
+                     JOIN (SELECT k, COUNT(*) AS c FROM b GROUP BY 1) cb USING (k))
+            SELECT CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
+            FROM est CROSS JOIN ex"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10407,5 +10455,5 @@ object Queries {
     q246_windowed_funnel, q247_schema_match, q248_lag_audit,
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
     q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp,
-    q255_position_attribution, q256_bitmap_index)
+    q255_position_attribution, q256_bitmap_index, q257_histogram_join_est)
 }
