@@ -10387,6 +10387,143 @@ object Queries {
             SELECT CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
             FROM est CROSS JOIN ex"""))
 
+
+  /** Column-level snapshot diff — q104's corpus diff at COLUMN
+    * granularity (the data-diff report schema-migration reviews read):
+    * between two constructed customer snapshots (every 7th key's balance
+    * floored up, every 11th key's segment rewritten, every 100th key
+    * dropped), the per-column changed/same counts over matched keys plus
+    * added/removed key counts. One full-outer join on the key; per-column
+    * null-safe comparisons; counts derive from the id arithmetic so the
+    * oracle is analytic where possible and a replay elsewhere. */
+  val q258_column_diff = Q(
+    "q258_column_diff",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val next = base.filter(col("k") % 100 =!= 0)
+        .select(col("k"),
+          when(col("k") % 7 === 0, floor(col("c_acctbal")) + 1).otherwise(col("c_acctbal"))
+            .cast("double").as("c_acctbal"),
+          when(col("k") % 11 === 0, lit("REASSIGNED")).otherwise(col("c_mktsegment"))
+            .as("c_mktsegment"))
+      val j = base.as("o").join(next.as("n"), Seq("k"), "full_outer")
+        .localCheckpoint(true)
+      val matched = j.filter(col("o.c_acctbal").isNotNull && col("n.c_acctbal").isNotNull ||
+        (col("o.c_mktsegment").isNotNull && col("n.c_mktsegment").isNotNull))
+      val perCol = Seq(
+        ("c_acctbal", col("o.c_acctbal") === col("n.c_acctbal")),
+        ("c_mktsegment", col("o.c_mktsegment") === col("n.c_mktsegment"))).map {
+        case (name, eq) =>
+          matched.agg(
+            sum(when(eq, 0L).otherwise(1L)).cast("long").as("n_changed"),
+            sum(when(eq, 1L).otherwise(0L)).cast("long").as("n_same"))
+            .select(lit(name).as("column_name"), col("n_changed"), col("n_same"))
+      }.reduce(_.unionByName(_))
+      val keys = j.agg(
+        sum(when(col("n.c_mktsegment").isNull && col("o.c_mktsegment").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_changed"),
+        lit(0L).as("n_same"))
+        .select(lit("__removed_keys").as("column_name"), col("n_changed"), col("n_same"))
+      perCol.unionByName(keys).orderBy("column_name")
+    },
+    Some("""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal, c_mktsegment
+                          FROM customer),
+              nxt AS (SELECT k,
+                             CASE WHEN k % 7 = 0 THEN FLOOR(c_acctbal) + 1
+                                  ELSE c_acctbal END AS c_acctbal,
+                             CASE WHEN k % 11 = 0 THEN 'REASSIGNED'
+                                  ELSE c_mktsegment END AS c_mktsegment
+                      FROM base WHERE k % 100 <> 0),
+              m AS (SELECT o.c_acctbal AS oa, n.c_acctbal AS na,
+                           o.c_mktsegment AS os, n.c_mktsegment AS ns
+                    FROM base o JOIN nxt n USING (k))
+            SELECT 'c_acctbal' AS column_name,
+                   CAST(SUM(CASE WHEN oa = na THEN 0 ELSE 1 END) AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN oa = na THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+            FROM m
+            UNION ALL
+            SELECT 'c_mktsegment',
+                   CAST(SUM(CASE WHEN os = ns THEN 0 ELSE 1 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN os = ns THEN 1 ELSE 0 END) AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT '__removed_keys',
+                   (SELECT COUNT(*) FROM base WHERE k % 100 = 0)::BIGINT, 0::BIGINT
+            ORDER BY column_name"""))
+
+  /** Referential-integrity audit across the star schema — the cross-table
+    * data-quality report beside q133's single-table expectations: per
+    * foreign key, total references, orphan count (anti-join), and
+    * distinct orphan keys — lineitem→orders, lineitem→part,
+    * lineitem→supplier, orders→customer, customer→nation. Each check is
+    * one anti-join aggregate; at 100 TB the dimension side broadcasts and
+    * the audit is a single fact-scan per FK. */
+  val q259_ri_audit = Q(
+    "q259_ri_audit",
+    (s, dir) => {
+      import s.implicits._
+      def check(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): DataFrame = {
+        val f = fact.select(col(fk).cast("long").as("fk"))
+        val orphans = f.join(dim.select(col(pk).cast("long").as("fk")).distinct(),
+          Seq("fk"), "left_anti")
+        f.agg(count(lit(1)).as("n_refs")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col("fk")).as("n_orphan_keys")))
+          .select(lit(name).as("fk_name"),
+            col("n_refs").cast("long").as("n_refs"),
+            col("n_orphans").cast("long").as("n_orphans"),
+            col("n_orphan_keys").cast("long").as("n_orphan_keys"))
+      }
+      Seq(
+        check("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        check("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        check("lineitem.l_suppkey", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        check("orders.o_custkey", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        check("customer.c_nationkey", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .reduce(_.unionByName(_))
+        .orderBy("fk_name")
+    },
+    Some("""SELECT 'customer.c_nationkey' AS fk_name,
+                   (SELECT COUNT(*) FROM customer)::BIGINT AS n_refs,
+                   (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+                     (SELECT n_nationkey FROM nation))::BIGINT AS n_orphans,
+                   (SELECT COUNT(DISTINCT c_nationkey) FROM customer WHERE c_nationkey NOT IN
+                     (SELECT n_nationkey FROM nation))::BIGINT AS n_orphan_keys
+            UNION ALL
+            SELECT 'lineitem.l_orderkey', (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders)),
+                   (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey NOT IN
+                     (SELECT o_orderkey FROM orders))
+            UNION ALL
+            SELECT 'lineitem.l_partkey', (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+                     (SELECT p_partkey FROM part)),
+                   (SELECT COUNT(DISTINCT l_partkey) FROM lineitem WHERE l_partkey NOT IN
+                     (SELECT p_partkey FROM part))
+            UNION ALL
+            SELECT 'lineitem.l_suppkey', (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+                     (SELECT s_suppkey FROM supplier)),
+                   (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem WHERE l_suppkey NOT IN
+                     (SELECT s_suppkey FROM supplier))
+            UNION ALL
+            SELECT 'orders.o_custkey', (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+                     (SELECT c_custkey FROM customer)),
+                   (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_custkey NOT IN
+                     (SELECT c_custkey FROM customer))
+            ORDER BY fk_name"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10455,5 +10592,6 @@ object Queries {
     q246_windowed_funnel, q247_schema_match, q248_lag_audit,
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
     q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp,
-    q255_position_attribution, q256_bitmap_index, q257_histogram_join_est)
+    q255_position_attribution, q256_bitmap_index, q257_histogram_join_est,
+    q258_column_diff, q259_ri_audit)
 }
