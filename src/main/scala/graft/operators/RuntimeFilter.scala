@@ -41,14 +41,34 @@ object RuntimeFilter {
       numBits: Long = 1L << 22,
       numHashFuncs: Int = 5): DataFrame = {
     import org.apache.spark.sql.graft.ExprColumn
+    import org.apache.spark.sql.types._
+    // xxhash64 is TYPE-sensitive: INT 7 and BIGINT 7 hash differently, so a
+    // fact/dim key-type mismatch the plain join would bridge (implicit cast)
+    // would produce Bloom FALSE NEGATIVES and silently drop matching rows.
+    // Hash both sides at a common type: identical types hash natively;
+    // integral mismatches widen to LongType (lossless, matches the join's
+    // own widening); anything else is refused rather than risked.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (factHashCol, dimHashCol) =
+      if (ft == dt) (col(factKey), col(dimKey))
+      else if (integral(ft) && integral(dt))
+        (col(factKey).cast(LongType), col(dimKey).cast(LongType))
+      else throw new IllegalArgumentException(
+        s"bloomPrunedJoin: key types must match or both be integral — " +
+          s"fact.$factKey is ${ft.sql}, dim.$dimKey is ${dt.sql}")
     val agg = graft.plans.BloomBuildAgg(
-      ExprColumn.expr(xxhash64(col(dimKey))), numBits, numHashFuncs)
+      ExprColumn.expr(xxhash64(dimHashCol)), numBits, numHashFuncs)
     val row = dim.agg(ExprColumn(agg.toAggregateExpression()).as("bits")).head()
     val bits = row.getSeq[Long](0).toArray
     // probe directly on xxhash64(rawColumn) — nothing projected, so the
     // filter evaluates the hash exactly once (no double-eval pushdown)
     val pruned = fact.filter(ExprColumn(graft.plans.BloomContains(
-      ExprColumn.expr(xxhash64(col(factKey))), bits, numHashFuncs)))
+      ExprColumn.expr(xxhash64(factHashCol)), bits, numHashFuncs)))
     pruned.join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -254,8 +254,17 @@ object PlanLint {
 
   def check(session: SparkSession)(plan: LogicalPlan): Unit = {
     if (session.conf.get("spark.graft.lint.noCartesian", "false") == "true") {
+      import org.apache.spark.sql.catalyst.plans.logical.{JoinHint, ResolvedHint}
+      // a user broadcast hint on either side is the documented escape hatch
+      // for a genuinely intended tiny cartesian — honor it (a hinted cross
+      // join becomes BroadcastNestedLoopJoin, the bounded form) and veto
+      // only the bare unconditioned cross. At check time (post-analysis,
+      // pre-optimization) the hint is still a ResolvedHint CHILD node; it
+      // only folds into Join.hint later, so test both encodings.
+      def hinted(p: LogicalPlan): Boolean = p.isInstanceOf[ResolvedHint]
       plan.foreach {
-        case j @ Join(_, _, Cross, None, _) =>
+        case j @ Join(l, r, Cross, None, JoinHint(None, None))
+            if !hinted(l) && !hinted(r) =>
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "USER_RAISED_EXCEPTION",
             messageParameters = Map("errorMessage" ->

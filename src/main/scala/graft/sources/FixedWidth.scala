@@ -150,9 +150,13 @@ class FixedWidthWriterFactory(fields: Seq[FixedWidthSource.FieldSpec], path: Str
       override def write(row: InternalRow): Unit = {
         val sb = new StringBuilder
         fields.zipWithIndex.foreach { case (f, i) =>
+          // the format has no NULL marker (an all-blank long slot reads back
+          // as 0, a blank string slot as "") — REFUSE rather than silently
+          // conflate NULL with the zero value, same contract as overwidth
+          require(!row.isNullAt(i),
+            s"graft-fixedwidth write: NULL in field '${f.name}' — the format cannot represent NULLs")
           val s =
             if (f.isLong) String.valueOf(row.getLong(i))
-            else if (row.isNullAt(i)) ""
             else row.getUTF8String(i).toString
           sb.append(pad(s, f))
         }
@@ -386,8 +390,17 @@ class FixedWidthReaderFactory(
         def v(a: String): Any = parsed(line, byName(a))
         def cmpLong(a: String, x: Any)(op: (Long, Long) => Boolean): Boolean =
           v(a) match { case l: Long => op(l, x.asInstanceOf[Number].longValue); case _ => true }
+        // compare in UTF8String (UTF-8 binary) order — Spark evaluates the
+        // returned residual on UTF8String, and java.lang.String's UTF-16
+        // code-unit order diverges for non-BMP code points (U+10000 sorts
+        // below U+FFFD in UTF-16 but above it in UTF-8); a scan-side skip
+        // under the wrong order would be an unrecoverable false drop
         def cmpStr(a: String, x: Any)(op: (Int, Int) => Boolean): Boolean =
-          v(a) match { case s: String => op(s.compareTo(x.toString), 0); case _ => true }
+          v(a) match {
+            case s: String =>
+              op(UTF8String.fromString(s).compareTo(UTF8String.fromString(x.toString)), 0)
+            case _ => true
+          }
         flt match {
           case EqualTo(a, x) => v(a) match {
             case l: Long => x.isInstanceOf[Number] && l == x.asInstanceOf[Number].longValue

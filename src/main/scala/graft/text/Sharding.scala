@@ -146,9 +146,16 @@ object Sharding {
     * id via the struct's second field — total order, engine-replayable. */
   def rendezvousShard(key: Column, numShards: Int): Column = {
     require(numShards >= 1, s"rendezvousShard: numShards $numShards must be >= 1")
+    // hash the key at its NATIVE type (xxhash64 accepts any type): a
+    // cast-to-long would throw on string keys under ANSI mode and silently
+    // truncate fractional doubles onto colliding shard assignments. The
+    // flip side of type-native hashing: xxhash64 is type-sensitive, so the
+    // key column's TYPE (not just its values) must stay stable across
+    // re-shards — widening an INT key to BIGINT between runs would reassign
+    // every key, defeating the HRW incrementality.
     if (numShards == 1) lit(0L) // greatest() needs >= 2 args; one shard is constant
     else greatest((0 until numShards).map { s =>
-      struct(xxhash64(key.cast("long"), lit(s.toLong)).as("h"), lit(s.toLong).as("s"))
+      struct(xxhash64(key, lit(s.toLong)).as("h"), lit(s.toLong).as("s"))
     }: _*).getField("s")
   }
 }

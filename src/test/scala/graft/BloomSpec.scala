@@ -118,4 +118,19 @@ class BloomSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("bloomPrunedJoin widens mismatched integral key types instead of false-negating") {
+    import spark.implicits._
+    // xxhash64 is type-sensitive: INT 7 and BIGINT 7 hash differently, so
+    // without the common-type widening every probe would miss (false
+    // negative) and the join would silently return 0 rows
+    val fact = (1 to 100).map(i => (i % 10, i)).toDF("fk", "payload") // fk: INT
+    val dim = Seq((3L, "a"), (7L, "b")).toDF("dk", "name") // dk: BIGINT
+    val viaBloom = graft.operators.RuntimeFilter.bloomPrunedJoin(fact, dim, "fk", "dk")
+    assert(viaBloom.count() == 20) // 2 matching keys × 10 rows each
+    // non-integral mismatch refuses rather than risking silent drops
+    val sdim = Seq(("3", "a")).toDF("dk", "name")
+    assertThrows[IllegalArgumentException](
+      graft.operators.RuntimeFilter.bloomPrunedJoin(fact, sdim, "fk", "dk"))
+  }
+
 }

@@ -89,6 +89,16 @@ class FixedWidthSpec extends SparkSpec {
     assertThrows[Exception](
       misnamed.write.format("graft-fixedwidth")
         .option("fields", "k:6:long,label:14:string").mode("append").save(dir))
+    // NULLs refuse: the format has no NULL marker, and silently writing a
+    // NULL bigint as 0 / a NULL string as '' would corrupt the round-trip
+    val withNullStr = Seq((1L, Option.empty[String]), (2L, Some("ok"))).toDF("k", "label")
+    assertThrows[Exception](
+      withNullStr.write.format("graft-fixedwidth")
+        .option("fields", "k:6:long,label:14:string").mode("append").save(dir))
+    val withNullLong = Seq((Option.empty[Long], "x")).toDF("k", "label")
+    assertThrows[Exception](
+      withNullLong.write.format("graft-fixedwidth")
+        .option("fields", "k:6:long,label:14:string").mode("append").save(dir))
   }
 
 

@@ -155,6 +155,9 @@ class PlanChecksSpec extends SparkSpec {
       // joins with conditions are untouched
       assert(a.join(b, col("x") < col("y")).count() == 2)
       assert(a.join(b.withColumnRenamed("y", "x"), Seq("x"), "inner").count() == 0)
+      // the documented escape hatch: a broadcast-hinted cross join passes
+      // (the hint marks it a deliberate, bounded cartesian)
+      assert(a.crossJoin(org.apache.spark.sql.functions.broadcast(b)).count() == 2)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -1722,6 +1722,19 @@ class SamplingSpec extends SparkSpec {
     // single shard degenerates to constant 0
     assert(ids.select(Sharding.rendezvousShard(col("doc_id"), 1)).distinct().head().getLong(0) == 0L)
     assertThrows[IllegalArgumentException](Sharding.rendezvousShard(col("doc_id"), 0))
+    // keys hash at their NATIVE type: a string key must work (a cast-to-long
+    // would throw under ANSI mode) and still satisfy the HRW invariant
+    val strKeys = (1L to 300L).map(i => s"doc-$i").toDF("k")
+      .withColumn("s4", Sharding.rendezvousShard(col("k"), 4))
+      .withColumn("s5", Sharding.rendezvousShard(col("k"), 5))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(strKeys.forall { case (s4, s5) => s4 == s5 || s5 == 4L })
+    assert(strKeys.map(_._1).distinct.length == 4, "string keys spread over all shards")
+    // fractional doubles must NOT collapse onto their truncated-long buckets:
+    // 0.25 and 0.75 truncate to the same long but are distinct keys
+    val dbl = Seq(0.25, 0.75, 1.25, 1.75, 2.25, 2.75).toDF("k")
+      .select(Sharding.rendezvousShard(col("k"), 2).as("s")).collect().map(_.getLong(0))
+    assert(dbl.distinct.length == 2, "double keys reach both shards, not one truncated bucket")
   }
 
   test("sequence packing cuts the stream at fixed boundaries; manifest accounts every slot") {
