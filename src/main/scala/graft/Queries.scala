@@ -5917,10 +5917,12 @@ object Queries {
   /** Preference-cycle audit (RLHF data QA): pairwise preference edges
     * (the earlier line in an order "beats" the next, items = part buckets)
     * checked for intransitive triads — a directed 3-cycle means the
-    * judgments cannot come from any consistent ranking. Cycles are
-    * counted once each (anchored at the minimum node); the oracle runs
-    * the naive 3-way join, which only survives because the oracle's graph
-    * is small. */
+    * judgments cannot come from any consistent ranking. Cycles are counted
+    * once each via [[graft.operators.Graph.directedTriangleCycles]]'s
+    * (degree, id)-oriented wedge enumeration — hub-safe: a judge/item
+    * compared against everything expands O(√m)-bounded oriented wedges,
+    * not in-deg×out-deg candidates. The oracle runs the naive 3-way join,
+    * which only survives because the oracle's graph is small. */
   val q170_pref_cycles = Q(
     "q170_pref_cycles",
     (s, dir) => {
@@ -9524,7 +9526,15 @@ object Queries {
       import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"),
         col("embedding"))
-      val queries = emb.filter(col("vec_id") % 25 === 0)
+      // fixed-COUNT hash-ordered query sample, not a fixed fraction: the
+      // audit's brute-force scoring must stay O(n·k) in the corpus size —
+      // a %-based query side grows the sanity check itself to O(n²) at
+      // 100×. TakeOrderedAndProject keeps this a per-partition top-k scan
+      // (no global sort); vec_id breaks the improbable 64-bit hash tie so
+      // the sample is total-ordered and engine-replayable.
+      val queries = emb
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val dims = Seq(8, 16, 64)
       val top5 = dims.map { d =>
@@ -9561,8 +9571,12 @@ object Queries {
                        ORDER BY ${dot(d)} DESC, e.vec_id) AS rn
               FROM qs q CROSS JOIN embeddings e
               WHERE q.qid <> e.vec_id) WHERE rn <= 5""").mkString("\nUNION ALL\n")
-      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-                      WHERE vec_id % 25 = 0),
+      val hashed = graft.tools.OracleSql.xxhash64LongStages(
+        "SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings", "vec_id", "qh")
+      s"""WITH qs AS (SELECT vec_id AS qid, qv FROM (
+                        SELECT vec_id, embedding AS qv,
+                               ROW_NUMBER() OVER (ORDER BY qh, vec_id) AS rn
+                        FROM ($hashed)) WHERE rn <= 100),
             tops AS ($tops),
             full5 AS (SELECT qid, vec_id FROM tops WHERE dim = 64)
           SELECT CAST(t.dim AS BIGINT) AS dim,

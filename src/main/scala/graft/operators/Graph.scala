@@ -355,37 +355,100 @@ object Graph {
     labels
   }
 
-  /** Count directed 3-cycles u→v→w→u (each cycle once, anchored at its
-    * minimum node) — the "preference cycle" audit: if edges encode
-    * pairwise preferences (winner→loser), a directed triangle is an
-    * intransitive triad, the signature of inconsistent judgments.
+  /** Count directed 3-cycles u→v→w→u (each directed cycle once) — the
+    * "preference cycle" audit: if edges encode pairwise preferences
+    * (winner→loser), a directed triangle is an intransitive triad, the
+    * signature of inconsistent judgments. A triangle whose three edges
+    * are all bidirectional hosts TWO directed cycles (one per rotation
+    * sense) and counts twice, matching the naive 3-way-join semantics.
     *
-    * Same scale discipline as [[triangleCount]]: the edge list is
-    * deduplicated, checkpointed once for its three consumers, and the
-    * wedge expansion (the only row-EXPANDING join) is preceded by an
-    * explicit-N repartition because AQE sizes by input bytes and cannot
-    * see the expansion. Anchoring at the minimum node (u < v, u < w)
-    * cuts the wedge volume 3× and makes each cycle counted exactly once.
-    */
-  def directedTriangleCycles(edges: DataFrame): DataFrame = {
-    val e = edges
+    * Scale shape: enumeration rides the SAME (degree, id) orientation as
+    * [[triangleCount]] — directed edges collapse to undirected SUPPORT
+    * edges carrying two direction bits (f = low→high endpoint edge
+    * exists, r = high→low exists), the support graph is oriented so
+    * every out-degree is O(√m), wedges come only from oriented
+    * out-neighborhoods, and cyclicity is classified from the six direction
+    * bits at the closing equi-join. This removes the hub blow-up of the
+    * naive in×out wedge join: a preference hub compared against
+    * everything (huge in- AND out-degree) has only low-(degree,id)
+    * neighbors in its oriented out-list, so the wedge expansion stays
+    * O(m^1.5) total with no quadratic hot key — the exact skew real
+    * pairwise-preference data has. The oriented edge list is checkpointed
+    * once for its three consumers, and the row-EXPANDING wedge join is
+    * preceded by an explicit-N repartition (AQE sizes by input bytes,
+    * blind to the expansion).
+    *
+    * Cycle classification: the owning triangle (u; v, w with v < w by id)
+    * carries bits (f1, b1) for the oriented edge u→v, (f2, b2) for u→w,
+    * and (f3, b3) for the closing support edge keyed in id order (f3 =
+    * v→w exists). The two possible rotation senses are then
+    * u→v→w→u = f1 ∧ f3 ∧ b2 and u→w→v→u = f2 ∧ b3 ∧ b1; each directed
+    * cycle is counted exactly once because exactly one vertex of the
+    * triangle owns it under the orientation. */
+  def directedTriangleCycles(edges: DataFrame): DataFrame =
+    orientedDirectedSupport(edges) match {
+      case (oriented, par) =>
+        val wedges = oriented
+          .select(col("src").as("t_u"), col("dst").as("t_v"),
+            col("f").as("f1"), col("r").as("b1"))
+          .repartition(par, col("t_u"))
+          .join(
+            oriented.select(col("src").as("t_u"), col("dst").as("t_w"),
+              col("f").as("f2"), col("r").as("b2")),
+            Seq("t_u"))
+          .filter(col("t_v") < col("t_w"))
+        // closing support edge keyed by id order — (least, greatest) of the
+        // oriented endpoints is exactly (t_v, t_w); translate its bits into
+        // id order so f3 always means "lower-id → higher-id edge exists"
+        val closing = oriented.select(
+          least(col("src"), col("dst")).as("t_v"),
+          greatest(col("src"), col("dst")).as("t_w"),
+          when(col("src") < col("dst"), col("f")).otherwise(col("r")).as("f3"),
+          when(col("src") < col("dst"), col("r")).otherwise(col("f")).as("b3"))
+        wedges
+          .join(closing, Seq("t_v", "t_w"))
+          .agg(coalesce(sum(
+            (col("f1") && col("f3") && col("b2")).cast("long") +
+              (col("f2") && col("b3") && col("b1")).cast("long")), lit(0L))
+            .cast("long").as("cycles"))
+    }
+
+  /** (degree, id)-oriented support graph of a DIRECTED edge list: one row
+    * per unordered endpoint pair, (src, dst) pointing from the
+    * lower-(degree, id) endpoint to the higher, with direction bits f
+    * (directed edge src→dst exists) and r (dst→src exists). Checkpointed
+    * (consumed multiple times by wedge enumeration); second element is the
+    * explicit repartition width for the row-expanding join that follows.
+    * Shared by [[directedTriangleCycles]] and its spec (which asserts the
+    * oriented out-degree bound directly on a planted hub). */
+  private[graft] def orientedDirectedSupport(edges: DataFrame): (DataFrame, Int) = {
+    val support = edges
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("src"))
-      .localCheckpoint(true) // consumed 3x: two wedge sides + the closing probe
-    val wedges = e.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") < col("v"))
-      .join(
-        e.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v"))
-      .filter(col("u") < col("w"))
-    wedges
-      .join(
-        e.select(col("src").as("w"), col("dst").as("u")),
-        Seq("w", "u"),
-        "left_semi")
-      .agg(count(lit(1)).cast("long").as("cycles"))
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        (col("src") < col("dst")).as("isFwd"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("isFwd")).as("f"), max(!col("isFwd")).as("r"))
+    val degrees = support
+      .select(col("a").as("node")).union(support.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = support
+      .join(degrees.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(degrees.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+    val aLower = struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b"))
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val oriented = withDeg
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"),
+        // bits follow the flip: f must mean "directed src→dst exists"
+        when(aLower, col("f")).otherwise(col("r")).as("f"),
+        when(aLower, col("r")).otherwise(col("f")).as("r"))
+      .localCheckpoint(true) // consumed 3× (two wedge sides + the probe)
+    (oriented, par)
   }
 
   /** Exact triangle count by DEGREE ORIENTATION (the MapReduce-classic
