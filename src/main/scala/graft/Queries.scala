@@ -10538,6 +10538,57 @@ object Queries {
                      (SELECT c_custkey FROM customer))
             ORDER BY fk_name"""))
 
+  /** Completeness failure → closed-pattern diagnosis, end to end: a fact
+    * table is PLANTED with two missing slabs (all of one nation across
+    * every region × sector; one region × one sector across every nation),
+    * [[graft.operators.Validation.missingAssociations]] recovers the
+    * missing cross-product rows, and
+    * [[graft.operators.Validation.minimalClosedPatterns]] compresses the
+    * 39 missing combinations into the two patterns that CAUSED them — the
+    * reference's Rust miner surface (rust/src/lib.rs:298-612 via
+    * dsgrid/utils/dataset.py:241-291), re-expressed as levelwise
+    * groupBy-count plans. The oracle derives the expected patterns
+    * independently from the plant arithmetic (nation 7; region 2 × 'm1'),
+    * not by replaying the miner. */
+  val q260_missing_patterns = Q(
+    "q260_missing_patterns",
+    (s, dir) => {
+      import graft.operators.Validation
+      val nations = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val regions = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val geoRecs = nations.select(col("n_name").as("id"))
+      val scenRecs = regions.select(col("r_name").as("id"))
+      import s.implicits._
+      val secRecs = Seq("m0", "m1", "m2").toDF("id")
+      val cube = geoRecs.select(col("id").as("geography"))
+        .crossJoin(scenRecs.select(col("id").as("scenario")))
+        .crossJoin(secRecs.select(col("id").as("sector")))
+      val slabG = nations.filter(col("n_nationkey") === 7)
+        .select(col("n_name").as("geography"))
+      val slabRS = regions.filter(col("r_regionkey") === 2)
+        .select(col("r_name").as("scenario"), lit("m1").as("sector"))
+      val data = cube
+        .join(slabG, Seq("geography"), "left_anti")
+        .join(slabRS, Seq("scenario", "sector"), "left_anti")
+      val missing = Validation.missingAssociations(
+        data, Seq("geography", "scenario", "sector"),
+        Map("geography" -> geoRecs, "scenario" -> scenRecs, "sector" -> secRecs))
+      Validation.minimalClosedPatterns(missing)
+        .select(
+          concat_ws("|", col("columns")).as("pattern_cols"),
+          concat_ws("|", col("values")).as("pattern_vals"),
+          col("num_rows").cast("long").as("num_rows"))
+        .orderBy("pattern_cols", "pattern_vals")
+    },
+    Some("""SELECT 'geography' AS pattern_cols,
+                   (SELECT n_name FROM nation WHERE n_nationkey = 7) AS pattern_vals,
+                   15::BIGINT AS num_rows
+            UNION ALL
+            SELECT 'scenario|sector',
+                   (SELECT r_name FROM region WHERE r_regionkey = 2) || '|m1',
+                   25::BIGINT
+            ORDER BY pattern_cols, pattern_vals"""))
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10607,5 +10658,5 @@ object Queries {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
     q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp,
     q255_position_attribution, q256_bitmap_index, q257_histogram_join_est,
-    q258_column_diff, q259_ri_audit)
+    q258_column_diff, q259_ri_audit, q260_missing_patterns)
 }

@@ -58,6 +58,132 @@ object Validation {
   def missingValueCounts(missing: DataFrame, dimColumns: Seq[String]): Map[String, Long] =
     dimColumns.map(c => c -> missing.select(c).distinct().count()).toMap
 
+  /** Minimal CLOSED patterns in a missing-combinations frame — the compact
+    * "all of geography X × scenario Y is missing" diagnostics the
+    * reference mines natively (ref: rust/src/lib.rs:298-612, surfaced via
+    * dsgrid/utils/dataset.py:241-291). A pattern is a value assignment to
+    * a subset of columns; it is CLOSED when the rows matching it cover the
+    * FULL cross product of every other column's value dictionary (the
+    * dictionaries come from the missing frame itself, as in the
+    * reference's encoder) — i.e. the assignment alone explains a complete
+    * missing slab. A closed pattern is MINIMAL when no proper
+    * sub-assignment is itself closed; only minimal patterns are reported,
+    * so a slab is named once by its smallest description.
+    *
+    * Enumeration mirrors the reference's levelwise prefix search, with the
+    * per-pattern roaring-bitmap work re-expressed as whole-level Spark
+    * plans: level k is ONE groupBy-count over the frame per visited column
+    * set (every pattern of that set at once — no per-pattern state),
+    * candidates are kept only when their prefix parent was open (semi-join)
+    * and killed when any proper sub-assignment already closed (anti-joins
+    * against the tiny recorded pattern frames, broadcast). The driver
+    * iterates over COLUMN SETS only (≤ 2^d for d dimension columns — the
+    * frame's width, never its row count); all row-scale work is
+    * distributed, and sets are pruned exactly like the reference: a closed
+    * pattern never expands, an empty candidate set never spawns children.
+    * The closedness test itself is the reference's unique-input fast path
+    * (`num_rows == expected_combinations`, rust/src/lib.rs:331) — the
+    * frame is `.distinct()`-ed on entry to make that precondition hold by
+    * construction.
+    *
+    * `maxDepth` 0 = unlimited (the reference default); otherwise patterns
+    * stop growing at that many columns. Returns (columns ARRAY<STRING>,
+    * values ARRAY<STRING>, num_rows BIGINT), one row per minimal closed
+    * pattern, unordered (sort at the call site for presentation). */
+  def minimalClosedPatterns(missing: DataFrame, maxDepth: Int = 0): DataFrame = {
+    val spark = missing.sparkSession
+    import spark.implicits._
+    val names = missing.columns.toSeq
+    val d = names.size
+    require(d >= 1, "minimalClosedPatterns: need at least one column")
+    // values compare as strings (the reference dictionary-encodes the
+    // parquet's string columns); distinct both enforces the unique-input
+    // closedness fast path and makes re-runs idempotent. The frame drives
+    // a driver-side level iteration — checkpoint it once.
+    val m = missing
+      .select(names.map(c => col(c).cast("string").as(c)): _*)
+      .na.drop() // a NULL is not a dimension value; reference input never has them
+      .distinct()
+      .localCheckpoint(true)
+    val totalRows = m.count()
+    val sizeRow = m.agg(
+      countDistinct(col(names.head)).as(names.head),
+      names.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
+    val dictSize: Map[Int, Long] = names.indices.map(i => i -> sizeRow.getLong(i)).toMap
+    // expected combinations of the REMAINING columns; BigInt — the u64
+    // saturation in the reference exists for the same overflow reason
+    def expected(s: Seq[Int]): BigInt =
+      names.indices.filterNot(s.contains).map(i => BigInt(dictSize(i))).product
+
+    val emptyOut = Seq.empty[(Seq[String], Seq[String], Long)]
+      .toDF("columns", "values", "num_rows")
+    var out = emptyOut
+    // minimal closed patterns recorded per column set, for subset kills;
+    // (tiny by purpose — a diagnostic with millions of patterns explains
+    // nothing — so they broadcast)
+    val closedBySet = scala.collection.mutable.Map.empty[Seq[Int], DataFrame]
+    // open (non-closed, non-empty) pattern frames awaiting expansion
+    var level = scala.collection.immutable.Map.empty[Seq[Int], DataFrame]
+
+    def process(s: Seq[Int], candidates: DataFrame): Unit = {
+      val exp = expected(s)
+      // a pattern can only be closed when the remaining cross product fits
+      // inside the frame at all (the reference's fast rejection)
+      val closable = exp <= BigInt(totalRows)
+      val scols = s.map(i => col(names(i)))
+      if (closable) {
+        // kill candidates whose proper sub-assignment already closed —
+        // levels run in size order, so every subset is already recorded
+        var minimal = candidates.filter(col("__graft_n") === lit(exp.toLong))
+        (1 until s.size).foreach { k =>
+          s.combinations(k).foreach { sub =>
+            closedBySet.get(sub).foreach { cf =>
+              minimal = minimal.join(
+                broadcast(cf.select(sub.map(i => col(names(i))): _*)),
+                sub.map(names), "left_anti")
+            }
+          }
+        }
+        val kept = minimal.localCheckpoint(true)
+        if (!kept.isEmpty) {
+          closedBySet(s) = kept
+          out = out.unionByName(kept.select(
+            array(s.map(i => lit(names(i))): _*).as("columns"),
+            array(scols: _*).cast("array<string>").as("values"),
+            col("__graft_n").cast("long").as("num_rows")))
+        }
+      }
+      val open =
+        if (!closable) candidates
+        else candidates.filter(col("__graft_n") =!= lit(exp.toLong))
+      val expandable = s.max < d - 1 && (maxDepth <= 0 || s.size < maxDepth)
+      if (expandable) {
+        val o = open.localCheckpoint(true)
+        if (!o.isEmpty) level = level.updated(s, o)
+      }
+    }
+
+    (0 until d).foreach { i =>
+      process(Seq(i), m.groupBy(col(names(i))).agg(count(lit(1)).as("__graft_n")))
+    }
+    while (level.nonEmpty) {
+      val current = level
+      level = Map.empty
+      current.toSeq.sortBy(_._1.mkString(",")).foreach { case (s, openParent) =>
+        ((s.max + 1) until d).foreach { j =>
+          val t = s :+ j
+          val grouped = m
+            .groupBy(t.map(i => col(names(i))): _*)
+            .agg(count(lit(1)).as("__graft_n"))
+            // prefix-parent pruning: only tuples whose parent was open
+            .join(openParent.select(s.map(i => col(names(i))): _*), s.map(names), "left_semi")
+          process(t, grouped)
+        }
+      }
+    }
+    out
+  }
+
   /** Values in `df1[c1]` with no counterpart in `df2[c2]` and vice versa
     * (ref intersect/except reconciliation in the two-table handler). */
   def idMismatches(df1: DataFrame, c1: String, df2: DataFrame, c2: String): (DataFrame, DataFrame) = {

@@ -521,14 +521,29 @@ object Registry {
       val dims = dimensionRecords.keys.toSeq.sorted.filter(frame.columns.contains)
       require(dims.nonEmpty,
         s"registerDataset($datasetId): requireCompleteAssociations needs dimensionRecords matching data columns")
-      val missing = graft.operators.Validation
+      val missingDf = graft.operators.Validation
         .missingAssociations(frame, dims, dimensionRecords, expectedMissing)
-        .limit(5)
-        .collect()
-      require(
-        missing.isEmpty,
-        s"registerDataset($datasetId): incomplete dimension associations — combinations with no data, " +
-          s"e.g. ${missing.map(r => dims.zip(r.toSeq).map { case (d, v) => s"$d=$v" }.mkString("(", ", ", ")")).mkString("; ")}")
+      val missing = missingDf.limit(5).collect()
+      if (missing.nonEmpty) {
+        // failure path only: compress the (possibly enormous) missing set
+        // into its minimal closed patterns — "all of geography X ×
+        // scenario Y is missing" — the diagnosis the reference's Rust
+        // miner logs before raising (dsgrid/utils/dataset.py:273-281,
+        // top-10 by size); the raw sample rides alongside for the
+        // no-structure case
+        import org.apache.spark.sql.functions.col
+        val patterns = graft.operators.Validation.minimalClosedPatterns(missingDf)
+          .orderBy(col("num_rows").desc, col("columns"), col("values"))
+          .limit(10)
+          .collect()
+          .map(r => r.getSeq[String](0).zip(r.getSeq[String](1))
+            .map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+            s" covering ${r.getLong(2)} missing rows")
+        throw new IllegalArgumentException(
+          s"registerDataset($datasetId): incomplete dimension associations — combinations with no data, " +
+            s"e.g. ${missing.map(r => dims.zip(r.toSeq).map { case (d, v) => s"$d=$v" }.mkString("(", ", ", ")")).mkString("; ")}" +
+            s"; minimal closed patterns: ${patterns.mkString("; ")}")
+      }
     }
   }
 }

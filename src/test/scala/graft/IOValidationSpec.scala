@@ -203,6 +203,78 @@ class ValidationSpec extends SparkSpec {
     assert(onlyB.as[Int].collect().toSeq == Seq(4))
   }
 
+  private def patternsOf(df: org.apache.spark.sql.DataFrame, maxDepth: Int = 0) =
+    Validation.minimalClosedPatterns(df, maxDepth).collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1), r.getLong(2))).toSet
+
+  test("minimal closed patterns name planted block-missing slabs once, by smallest description") {
+    // the reference miner's flagship case (rust/src/lib.rs semantics via
+    // dataset.py:241-291): missing = all of geography g7, plus all of
+    // (scenario s2 × sector m1). Dictionaries come from the missing frame
+    // itself — both slabs keep every other column's alphabet complete.
+    val geos = (0 until 25).map(i => f"g$i%02d")
+    val scens = (0 until 5).map(i => s"s$i")
+    val secs = (0 until 3).map(i => s"m$i")
+    val cube = for { g <- geos; s <- scens; m <- secs } yield (g, s, m)
+    val missing = cube
+      .filter { case (g, s, m) => g == "g07" || (s == "s2" && m == "m1") }
+      .toDF("geography", "scenario", "sector")
+    assert(patternsOf(missing) == Set(
+      (Seq("geography"), Seq("g07"), 15L),
+      (Seq("scenario", "sector"), Seq("s2", "m1"), 25L)))
+    // a closed superset of a closed pattern is never reported: add the
+    // full-column rows of a third slab INSIDE g07 — still just the slabs
+    assert(patternsOf(missing, maxDepth = 2) == patternsOf(missing))
+    // maxDepth 1 keeps only single-column patterns
+    assert(patternsOf(missing, maxDepth = 1) == Set(
+      (Seq("geography"), Seq("g07"), 15L)))
+    // an isolated missing row that no slab explains reports as itself
+    val plusOne = missing.union(Seq(("g01", "s0", "m0")).toDF("geography", "scenario", "sector"))
+    assert(patternsOf(plusOne).contains(
+      (Seq("geography", "scenario", "sector"), Seq("g01", "s0", "m0"), 1L)))
+  }
+
+  test("minimal closed patterns equal the brute-force closure definition on random frames") {
+    // pin the operator to the DEFINITION (closed: rows cover the full
+    // remaining cross product; minimal: no proper sub-assignment closed),
+    // independently of the levelwise pruning path
+    def brute(rows: Seq[Seq[String]], names: Seq[String]): Set[(Seq[String], Seq[String], Long)] = {
+      val d = names.size
+      val rs = rows.distinct
+      val dict = (0 until d).map(i => rs.map(_(i)).distinct.size.toLong)
+      def expected(s: Seq[Int]) = (0 until d).filterNot(s.contains).map(dict).product
+      def matches(s: Seq[Int], vs: Seq[String]) =
+        rs.count(r => s.zip(vs).forall { case (i, v) => r(i) == v }).toLong
+      val closed = (for {
+        k <- 1 to d
+        s <- (0 until d).combinations(k).map(_.toSeq)
+        vs <- rs.map(r => s.map(r)).distinct
+        if matches(s, vs) == expected(s)
+      } yield (s, vs)).toSet
+      closed
+        .filterNot { case (s, vs) => closed.exists { case (s2, vs2) =>
+          s2.size < s.size && s2.forall(s.contains) &&
+            s2.zip(vs2).forall { case (i, v) => vs(s.indexOf(i)) == v }
+        }}
+        .map { case (s, vs) => (s.map(names), vs, matches(s, vs)) }
+    }
+    val names = Seq("a", "b", "c", "dd")
+    Seq(61, 97, 141).foreach { seed =>
+      val rows = (0 until 160).map { i =>
+        Seq(s"a${(i * 7 + seed) % 3}", s"b${(i * 13 + seed * 5) % 4}",
+          s"c${(i * 5 + seed * 11) % 3}", s"d${(i * 17 + seed * 3) % 2}")
+      }.distinct
+      val df = rows.map { case Seq(a, b, c, dd) => (a, b, c, dd) }.toDF(names: _*)
+      assert(patternsOf(df) == brute(rows, names), s"seed $seed diverged from brute force")
+    }
+    // degenerate: a frame that IS a full cube closes at every single value;
+    // only the single-column patterns are minimal
+    val cube = (for { a <- Seq("x", "y"); b <- Seq("p", "q") } yield (a, b)).toDF("a", "b")
+    assert(patternsOf(cube) == Set(
+      (Seq("a"), Seq("x"), 2L), (Seq("a"), Seq("y"), 2L),
+      (Seq("b"), Seq("p"), 2L), (Seq("b"), Seq("q"), 2L)))
+  }
+
   test("txn log: dense versions, atomic commits, as-of replay, refusals") {
     import spark.implicits._
     import graft.sources.TxnLog

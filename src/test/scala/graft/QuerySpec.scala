@@ -429,6 +429,10 @@ class QuerySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("incomplete dimension associations"))
     assert(e.getMessage.contains("c3") || e.getMessage.contains("c4"))
+    // the miner compresses the gap to its cause: everything under res is
+    // missing for the geographies that appear in the missing set
+    assert(e.getMessage.contains("minimal closed patterns"))
+    assert(e.getMessage.contains("(sector=res) covering 2 missing rows"))
     // declaring the gaps expected-missing makes the same data register
     val em = Seq(("c3", "res"), ("c4", "res")).toDF("geography", "sector")
     Registry.registerDataset(reg, "declared", partial,
