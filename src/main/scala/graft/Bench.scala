@@ -89,7 +89,15 @@ object Bench {
     var kept = (if (short.map(_._1).distinct.size == short.size) short else results.toSeq)
       .sortBy { case (_, v) => -v } // trim from the fast tail, keep the slow head
     var line = jsonLine(kept, 2, 0)
-    val budget = 1800 // 2000-char tail minus runner trailer headroom
+    // The r8 driver record finally shows WHERE the parse dies: the captured
+    // tail held the END of the stderr detail line, then "[info] " + the
+    // FIRST ~1100 chars of our 1800-char compact line — the window is
+    // 2000 chars of MERGED output, and whatever shares it (detail-line
+    // tail, sbt prefix, trailer) evicts the compact line's end. The only
+    // robust contract is a final line so short it fits whole beside all of
+    // that. Full per-query detail stays authoritative in
+    // bench_detail.json; the stdout line keeps the slow head only.
+    val budget = 1000
     while (line.length > budget && kept.nonEmpty) {
       kept = kept.dropRight(1)
       line = jsonLine(kept, 2, short.size - kept.size)

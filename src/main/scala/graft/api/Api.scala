@@ -76,6 +76,8 @@ final class Api(
     server.createContext("/registry/datasets", listHandler(() => registry.listDatasets()))
     server.createContext("/registry/dimensions", listHandler(() => registry.listDimensions()))
     server.createContext("/registry/mappings", listHandler(() => registry.listMappings()))
+    server.createContext("/projects", projectsHandler())
+    server.createContext("/dimensions/records/", dimensionRecordsHandler())
     server.createContext("/query/project/async", asyncSubmitHandler())
     server.createContext("/query/project", queryHandler())
     server.createContext("/jobs/", jobStatusHandler())
@@ -92,6 +94,46 @@ final class Api(
   private def listHandler(items: () => Seq[String]): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit =
       respond(ex, 200, items().map(quote).mkString("[", ",", "]"))
+  }
+
+  /** The registry presented as one project — graft projects are query-time
+    * objects (see registry/AutoUpdate.scala), so the registry root IS the
+    * project the viewer browses. */
+  private def projectId: String = new org.apache.hadoop.fs.Path(registry.root).getName
+
+  /** The read endpoints the reference's Dash project viewer calls
+    * (ref: apps/project_viewer/app.py:193-204: `projects`,
+    * `projects/{id}/dimensions`, `dimensions/records/{id}`), shaped so the
+    * viewer runs against graft unchanged:
+    *   GET /projects                      → {"projects": [{"project_id": …}]}
+    *   GET /projects/<id>/dimensions      → {"dimensions": [{dimension_id, name, category}]}
+    *   GET /dimensions/records/<name>     → {"records": [row…]} (limit-capped) */
+  private def projectsHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      path match {
+        case "/projects" =>
+          respond(ex, 200,
+            s"""{"projects": [{"project_id": ${quote(projectId)}}]}""")
+        case p if p == s"/projects/$projectId/dimensions" =>
+          val dims = registry.listDimensions().map { d =>
+            s"""{"dimension_id": ${quote(d)}, "name": ${quote(d)}, """ +
+              s""""category": ${quote(registry.dimensionCategory(d))}}"""
+          }
+          respond(ex, 200, s"""{"dimensions": ${dims.mkString("[", ",", "]")}}""")
+        case _ =>
+          respond(ex, 404, s"""{"error": "unknown project path: $path"}""")
+      }
+    }
+  }
+
+  private def dimensionRecordsHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val dim = ex.getRequestURI.getPath.stripPrefix("/dimensions/records/").stripSuffix("/")
+      if (!registry.listDimensions().contains(dim))
+        respond(ex, 404, s"""{"error": ${quote(s"unknown dimension: $dim")}}""")
+      else respond(ex, 200, s"""{"records": ${toJsonRows(registry.dimensionRecords(dim))}}""")
+    }
   }
 
   private def queryHandler(): HttpHandler = new HttpHandler {

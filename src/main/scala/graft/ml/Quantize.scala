@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * doubles), so both engines evaluate the identical floating-point tree.
   *
   * All pure map-side column expressions — quantizing a corpus is a scan.
-  * The per-element fold uses a higher-order function (interpreted, not
-  * codegen — the CLAUDE.md HOF caveat): acceptable here because the fold is
-  * 64 multiply-adds per row in a cold path, not a join key. */
+  * The per-element fold uses a higher-order function (interpreted —
+  * Catalyst does not compile lambda bodies): acceptable here because the
+  * fold is 64 multiply-adds per row in a cold path, not a join key. */
 object Quantize {
 
   /** Adds `q8` (array<int>, clamped ±127), `scale` (double), and

@@ -669,7 +669,8 @@ case class HashedLinearScore(child: Expression, buckets: Int) extends UnaryExpre
   * selected fingerprint) plus total coverage of short documents.
   *
   * Why an expression: selection is a PURE per-row function of the hash
-  * array (CLAUDE.md signature rule). The SQL-function spelling —
+  * array, so a codegen expression removes the explode+groupBy shuffle a
+  * relational spelling would need. The SQL-function spelling —
   * `transform(sequence(...), j -> array_min(slice(hs, j, w)))` plus an
   * argmin rank per window — is O(m·w) interpreted HOF work per document
   * and still needs a dedup pass; the ascending-minima deque below is O(m)

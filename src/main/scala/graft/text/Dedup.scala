@@ -929,9 +929,9 @@ object Dedup {
     // Bloom-positive batch keys. The when/array_compact/explode spelling
     // (instead of .filter on the projected key) keeps the fingerprint
     // pipeline evaluated ONCE: a filter on a projected column is pushed
-    // below the projection with the column's definition inlined — the
-    // CLAUDE.md double-eval trap; a generator is not a filter-pushdown
-    // target, and array_compact's non-attribute child suppresses
+    // below the projection with the column's definition inlined and paid
+    // a second time; a generator is not a filter-pushdown target, and
+    // array_compact's non-attribute child suppresses
     // InferFiltersFromGenerate (SPARK-36715).
     val candidates = newBatch
       .select(fingerprint(col(textCol)).as("__graft_k"))
@@ -1022,8 +1022,8 @@ object Dedup {
       (blockCols.map(col) :+ col(idCol).as("id2")) :+ col(strCol).as("__graft_s2"): _*)
     // explode-then-filter instead of project-then-filter: a filter on a
     // projected distance column is pushed below the projection with the
-    // levenshtein inlined — the CLAUDE.md double-eval trap (each candidate
-    // pair would pay the O(len²) DP twice). The filter here references the
+    // levenshtein inlined, and each candidate pair would pay the O(len²)
+    // DP twice. The filter here references the
     // GENERATOR's output attribute, which no pushdown rule crosses, so the
     // distance is computed exactly once per pair (plan-guarded in
     // SketchSpec).

@@ -158,8 +158,8 @@ object Sampling {
     *
     * τ is fixed at 2, deliberately: the exponent becomes sqrt, which IEEE
     * requires to be correctly rounded — bit-identical across engines —
-    * whereas a general pow() is libm-dependent and breaks oracle hashing
-    * (the CLAUDE.md libm rule). One count aggregation broadcast back, then
+    * whereas a general pow() is libm-dependent — not bit-stable across
+    * engines, so it breaks oracle hashing. One count aggregation broadcast back, then
     * a map-side content-keyed Bernoulli keep — no data shuffle. */
   def temperatureSample(
       df: DataFrame,
@@ -169,7 +169,7 @@ object Sampling {
       uniform: (Column, String) => Column = (c, s) => uniformHash(c, s)): DataFrame = {
     // localCheckpoint: counts is self-joined (its own min on the other
     // side of the crossJoin) — without it the full-corpus aggregation
-    // would execute twice (the CLAUDE.md self-join caching rule)
+    // would execute twice, once per side
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__graft_n")).localCheckpoint()
     val withMin = counts.crossJoin(
       broadcast(counts.agg(min(col("__graft_n")).as("__graft_nmin"))))

@@ -178,9 +178,9 @@ object TextFunctions {
     val withToks = df.select(col(idCol), normalize(col(textCol)).as("__graft_norm"))
       .withColumn("__graft_toks", tokens(col("__graft_norm")))
       .withColumn("__graft_nlen", length(col("__graft_norm")).cast("long"))
-    // no .filter on the expensive projected token column — pushdown would
-    // inline the tokenize pipeline below the Project and run it twice
-    // (CLAUDE.md rule / the q78 incident); an empty-guard inside the
+    // no .filter on the expensive projected token column — predicate
+    // pushdown would inline the tokenize pipeline below the Project and
+    // run it twice (the q78 60× regression); an empty-guard inside the
     // generator child drops tokenless docs with toks evaluated once
     val grams = withToks
       .select(
@@ -427,10 +427,11 @@ object TextFunctions {
     * argmax. Returns (idCol, n_segments, n_langs, is_code_switched).
     *
     * Shape: token array materialized once; windows materialized as an
-    * array-of-arrays column and exploded through `array_compact` (the
-    * explode-trap rule), so the per-segment argmax runs codegen'd on
-    * exploded rows — not interpreted inside a HOF lambda (the
-    * CLAUDE.md fold rule); one groupBy per document closes it. */
+    * array-of-arrays column and exploded through `array_compact` (whose
+    * non-attribute child suppresses InferFiltersFromGenerate's
+    * double-eval, SPARK-36715), so the per-segment argmax runs codegen'd
+    * on exploded rows — not interpreted inside a HOF lambda, which
+    * Catalyst cannot compile; one groupBy per document closes it. */
   def codeSwitchStats(
       df: DataFrame,
       idCol: String,

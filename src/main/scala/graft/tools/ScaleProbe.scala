@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-exponent stress gate: measures how the heaviest catalog operators
+  * actually scale between two data sizes and FAILS when a measured growth
+  * exponent exceeds the operator's declared complexity bound — converting
+  * every "scales by design" claim in COVERAGE.md into a measured contract.
+  *
+  * Why a gate and not a benchmark: scale-killers hide at small SF (the
+  * r8 APSS join was "fine" at sf0.01 and 49.7 s at sf0.1 — a quadratic
+  * candidate set only shows up as the RATIO between sizes). For data
+  * growing by factor F, a probe passes when
+  * t_big / t_small ≤ F^bound + overhead-floor; the bound encodes the
+  * operator's designed complexity (1.3 ≈ linear + shuffle/log slack,
+  * 1.5 ≈ iterative with log-round growth, 1.6 ≈ designed super-linear
+  * expansion such as m^1.5 triangle enumeration or output-pair-bounded
+  * similarity joins). Fixed overhead at the small size biases exponents
+  * DOWN, so a generous bound still catches the quadratic class: the
+  * pre-fix APSS measured ≈ 1.8 under this probe, 0.8 after the Bayardo
+  * prefix filter.
+  *
+  * Usage: `graft.tools.ScaleProbe [smallDir bigDir outFile]` — defaults
+  * /root/testdata/sf0.01, /root/testdata/sf0.1, SCALE.json. Streaming
+  * queries are excluded by design: their cost is trigger/drain machinery,
+  * not data volume (measured flat across SFs), so a ratio gate on them
+  * tests the clock, not the plan.
+  */
+object ScaleProbe {
+
+  /** (query, declared max growth exponent). Bounds are contracts: raising
+    * one requires a design justification in COVERAGE.md. */
+  val probes: Seq[(String, Double)] = Seq(
+    "q29_dedup_minhash" -> 1.5, // banded LSH: candidates ∝ true pairs; CC rounds ~log n
+    "q69_dedup_clusters" -> 1.5, // same family, cluster materialization
+    "q82_dedup_keep_best" -> 1.5, // CC + per-component argmax
+    "q85_semantic_dedup" -> 1.5, // k-means‖ + per-cluster pairs
+    "q94_bpe_train" -> 1.3, // merge rounds fixed; each round one linear pass
+    "q115_edit_pairs" -> 1.6, // blocked pair expansion (explicit-N repartition)
+    "q119_pagerank" -> 1.4, // fixed rounds × linear edge joins
+    "q120_leakage_split" -> 1.5, // iterative CC: rounds grow ~log n
+    "q128_cosine_pairs" -> 1.6, // APSS: candidates ∝ output pairs (Bayardo bound)
+    "q129_triangles" -> 1.6, // degree-oriented wedges: O(m^1.5) total
+    "q155_containment" -> 1.6, // inverted-index pair generation
+    "q170_pref_cycles" -> 1.6, // oriented directed-cycle wedges: O(m^1.5)
+    "q180_label_prop" -> 1.4, // fixed rounds × linear frequency joins
+    "q185_basket_lift" -> 1.6, // within-basket pair expansion
+    "q208_pq_ann" -> 1.3, // bounded-sample training + map-side encode + top-k
+    "q209_coreset" -> 1.3, // O(N) per round vs newest pick only
+    "q213_winnowing" -> 1.3, // O(L) monotone-deque selection, map-side
+    "q215_hits" -> 1.4, // fixed rounds × linear edge joins
+    "q229_topic_segments" -> 1.3, // per-document linear tiling
+    "q244_matryoshka" -> 1.3, // fixed-COUNT query side: O(n·k) brute force
+    "q253_incremental_cc" -> 1.5 // delta-sized re-clustering + full-equivalence check
+  )
+
+  /** Synthesize a k× scale-up of a testdata directory for the probe's big
+    * side: every table is unioned k times with DISJOINT id spaces (offset
+    * 10⁸ per copy — small enough that modular hash arithmetic stays in
+    * range) and per-copy CONTENT perturbation, so structure replicates
+    * instead of densifying:
+    *   - documents.text: per-copy letter rotation (translate) — without it
+    *     every doc has k exact clones and dedup candidate sets grow k² in
+    *     cross-copy pairs, measuring the synthesis, not the operator;
+    *   - embeddings.embedding: per-copy deterministic sign pattern per
+    *     dimension — same reason for similarity joins;
+    *   - lineitem/orders: key offsets only (item spaces like l_partkey %
+    *     300 deliberately saturate — a fixed vocabulary is the realistic
+    *     shape there, and a saturating graph can only LOWER an exponent).
+    * Remaining tables copy through untouched (dimension tables are
+    * size-independent context). */
+  def synthesize(spark: SparkSession, srcDir: String, dstDir: String, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    require(k >= 2, s"synthesize: k must be >= 2, got $k")
+    val off = 100000000L
+    val letters = "etaoinsrhl"
+    def rotated(i: Int) = letters.drop(i % letters.length) + letters.take(i % letters.length)
+    def copies(name: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      (0 until k).map(i => perturb(src, i)).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    }
+    copies("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * off))
+        .withColumn("text",
+          if (i == 0) col("text") else translate(col("text"), letters, rotated(i)))
+    }
+    copies("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * off))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(j, $i), 2)) AS FLOAT))"))
+    }
+    copies("lineitem")((df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off)))
+    copies("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "events").foreach { name =>
+      val p = new java.io.File(s"$srcDir/$name.parquet")
+      if (p.exists()) spark.read.parquet(p.toString)
+        .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--synthesize")) {
+      val Array(_, src, dst, k) = args.take(4)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
+      val s = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      synthesize(s, src, dst, k.toInt)
+      s.stop()
+      return
+    }
+    val smallDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val bigDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outFile = args.lift(2).getOrElse("SCALE.json")
+    // growth factor between the two directories' data volumes; sf encodes it
+    val factor = args.lift(3).map(_.toDouble).getOrElse(10.0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup (JIT/codegen/parquet-reader init)
+    try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val catalog = graft.SparkEntry.queries
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // min-of-N steady-state time, like Bench (cold runs measure JIT noise)
+    def timeOne(name: String, dir: String): Double = {
+      val fn = catalog(name)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }.min
+    }
+
+    val results = probes.map { case (name, bound) =>
+      val tSmall = timeOne(name, smallDir)
+      val tBig = timeOne(name, bigDir)
+      // subtract nothing, declare honestly: overhead at the small size can
+      // only make the exponent SMALLER, so a violation is a true positive
+      val exponent = math.log(tBig / tSmall) / math.log(factor)
+      val pass = exponent <= bound
+      System.err.println(
+        f"[scale] $name%-24s small=${tSmall}%6.2fs big=${tBig}%6.2fs " +
+          f"exp=$exponent%5.2f bound=$bound%4.2f ${if (pass) "ok" else "FAIL"}")
+      (name, tSmall, tBig, exponent, bound, pass)
+    }
+    val allPass = results.forall(_._6)
+    val body = results.map { case (n, ts, tb, e, b, p) =>
+      s""""$n":{"t_small":${fmt(ts)},"t_big":${fmt(tb)},"exponent":${fmt(e)},""" +
+        s""""bound":$b,"pass":$p}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"small":"$smallDir","big":"$bigDir","factor":$factor,"runs":$runs,""" +
+        s""""probes":$body,"pass":$allPass}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    spark.stop()
+    println(json)
+    if (!allPass) sys.exit(1)
+  }
+}
