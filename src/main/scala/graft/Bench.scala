@@ -30,13 +30,40 @@ object Bench {
     // noop sink forces full evaluation of every operator (a bare count()
     // lets Catalyst prune projection-only work and under-measures).
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Contention self-diagnosis (round-9 verdict: the driver's 253 s record
+    // was ~40% machine noise on code that cleanly measures 175 s, and the
+    // artifact could not say so). Per run we track our own process CPU
+    // (OperatingSystemMXBean, ns) and the whole machine's busy time
+    // (/proc/stat, USER_HZ=100 ticks); external load = (system busy − our
+    // busy) / (cores × wall). A clean local[n] run has external ≈ 0; a
+    // contended one shows other processes eating the cores the wall time
+    // paid for.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def procCpuNs(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    def systemBusyTicks(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        // busy = total − idle − iowait (fields 4,5 zero-indexed 3,4)
+        f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
+      } catch { case _: Exception => -1L }
+    val nCores = cpus.toInt
+    // (externalCoreSeconds, wallSeconds) accumulated over every timed run
+    var externAccum = 0.0
+    var wallAccum = 0.0
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=q115_edit_pairs,q29_dedup_minhash
     // times just those queries (the driver never sets it → full catalog)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // per run: (wall, our process-CPU seconds); the reported cpu is the
+      // one PAIRED with the min-wall run so detail rows stay consistent
       val times = (1 to runs).flatMap { _ =>
+        val c0 = procCpuNs(); val s0 = systemBusyTicks()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -49,12 +76,18 @@ object Bench {
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val cpuSec = if (c0 >= 0) (procCpuNs() - c0) / 1e9 else -1.0
+        val s1 = systemBusyTicks()
+        if (ok && s0 >= 0 && s1 >= 0 && cpuSec >= 0) {
+          externAccum += math.max(0.0, (s1 - s0) / 100.0 - cpuSec)
+          wallAccum += dt
+        }
         spark.catalog.clearCache() // queries that cache intermediates don't skew later ones
         // a failed run contributes NO timing: its time-to-throw would win
         // the min and report a fast failure as the steady-state time
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, cpuSec)) else None
       }
-      name -> (if (times.nonEmpty) times.min else 0.0)
+      name -> (if (times.nonEmpty) times.minBy(_._1) else (0.0, 0.0))
     }.toMap
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail (round 6: a 3.4 KB line over 99 queries
@@ -67,16 +100,32 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would break the JSON.
     def fmt(v: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val wall = results.map { case (k, (w, _)) => k -> w }
+    val total = if (wall.nonEmpty) wall.values.sum else 0.0
+    // external load: fraction of the machine's cores busy with OTHER work
+    // during our timed runs; > 0.25 means a quarter of the machine was
+    // fighting us — flag the whole artifact as contended so a slow record
+    // self-diagnoses instead of reading as a regression
+    val externalLoad = if (wallAccum > 0) externAccum / (wallAccum * nCores) else -1.0
+    val contended = externalLoad > 0.25
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonLine(entries: Seq[(String, Double)], p: Int, omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""""omitted":$omitted,""" else ""
-      s"""{"queries":$qs,$om"runs":$runs,"errors":$errs,"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,$om"runs":$runs,"errors":$errs,"contended":$contended,"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"}"""
     }
-    val detail = jsonLine(results.toSeq, 3, 0)
+    val cpuJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c, 3) }
+      .mkString("{", ",", "}")
+    val detail = {
+      val base = jsonLine(wall.toSeq, 3, 0)
+      // splice per-query process-CPU + the contention diagnosis into the
+      // detail record (the machine-readable contract — r9 verdict #1/#3)
+      base.dropRight(1) +
+        s""","cpu":$cpuJson,"external_load":${fmt(externalLoad, 3)}}"""
+    }
     System.err.println(detail)
     // a SPARK_GRAFT_BENCH_ONLY dev run must NOT clobber the full-catalog
     // detail file (it silently replaced 160 queries with 3 once) — partial
@@ -84,9 +133,9 @@ object Bench {
     val detailFile = if (only.isDefined) "bench_detail_partial.json" else "bench_detail.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), detail + "\n")
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val short = results.toSeq.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+    val short = wall.toSeq.map { case (k, v) => (k.takeWhile(_ != '_'), v) }
     // qNN prefixes are unique today; fall back to full names if that changes
-    var kept = (if (short.map(_._1).distinct.size == short.size) short else results.toSeq)
+    var kept = (if (short.map(_._1).distinct.size == short.size) short else wall.toSeq)
       .sortBy { case (_, v) => -v } // trim from the fast tail, keep the slow head
     var line = jsonLine(kept, 2, 0)
     // The r8 driver record finally shows WHERE the parse dies: the captured

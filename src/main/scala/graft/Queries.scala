@@ -3170,10 +3170,10 @@ object Queries {
         stream, "ts", "6 hours", None, watermark = "1 hour",
         groupColumns = Seq("event_type"), aggName = "count", valueColumn = "value")
       val qname = s"graft_q96_${streamRuns.incrementAndGet()}" // bench runs twice
-      val query = agg.writeStream.format("memory").queryName(qname)
+      val query = scopedStreamStart(s)(agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       query.awaitTermination()
       // the stream is fully drained into the memory sink — the temp dir
       // and symlink are no longer referenced (each bench run would
@@ -3190,6 +3190,22 @@ object Queries {
                    event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Scope `spark.sql.shuffle.partitions` down to 8 around a streaming
+    * query's start: state-store partitioning is FIXED at the first batch
+    * from this conf, and per-batch store open/commit (plus tiny-batch
+    * shuffle task launch) scales with it — for the catalog's bounded
+    * corpora that machinery dominates the streaming queries' cost (the
+    * q154 stream-stream join measured 14.3 s → 3.4 s). Restored
+    * immediately after `.start()`: only the streaming plan captures the
+    * value, so batch queries on the session are unaffected. On a real
+    * cluster the same knob is sized to state volume instead. */
+  private def scopedStreamStart[A](s: SparkSession)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try start
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** BPE encoding with the learned merges (training-data pipeline op): the
     * 8 rules from q94 applied corpus-wide as a pure map-side projection
@@ -3979,10 +3995,10 @@ object Queries {
       val dd = graft.streaming.StreamOps.dedupWithinWatermark(
         stream, Seq("user_id", "event_type"), "ts", watermark = "1 hour")
       val qname = s"graft_q121_${streamRuns.incrementAndGet()}"
-      val query = dd.writeStream.format("memory").queryName(qname)
+      val query = scopedStreamStart(s)(dd.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       query.awaitTermination()
       java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(streamDir)
@@ -4290,10 +4306,10 @@ object Queries {
         enriched, "ts", "6 hours", None, watermark = "1 hour",
         groupColumns = Seq("segment"), aggName = "count", valueColumn = "value")
       val qname = s"graft_q130_${streamRuns.incrementAndGet()}"
-      val query = agg.writeStream.format("memory").queryName(qname)
+      val query = scopedStreamStart(s)(agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       query.awaitTermination()
       java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(streamDir)
@@ -4528,10 +4544,10 @@ object Queries {
         .as[(Long, Double)]
       val peaks = graft.streaming.StreamOps.runningPeak(keyed)
       val qname = s"graft_q136_${streamRuns.incrementAndGet()}"
-      val q = peaks.toDF("user_id", "peak").writeStream
+      val q = scopedStreamStart(s)(peaks.toDF("user_id", "peak").writeStream
         .format("memory").queryName(qname).outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       // update mode may emit one row per micro-batch per key; the final
       // state is the max — an associative reduce, batching-independent
@@ -4848,10 +4864,10 @@ object Queries {
       val sess = graft.streaming.StreamOps.sessionize(
         stream, "ts", "30 minutes", Seq("user_id"), watermark = "1 hour")
       val qname = s"graft_q144_${streamRuns.incrementAndGet()}"
-      val q = sess.writeStream
+      val q = scopedStreamStart(s)(sess.writeStream
         .format("memory").queryName(qname).outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.table(qname)
         .groupBy(col("user_id"))
@@ -5226,20 +5242,14 @@ object Queries {
         left, right, Seq("user_id"), "ts", within = "30 minutes",
         watermark = "3650 days")
       val qname = s"graft_q154_${streamRuns.incrementAndGet()}"
-      // a stream-stream join runs TWO keyed state stores; with the default
-      // 32 shuffle partitions the per-batch store open/commit overhead
-      // dominates this bounded corpus (measured 2x). 8 partitions is still
-      // plenty of parallelism for the state volume; scoped + restored.
-      // (State-store partitioning is fixed at first batch from this conf —
-      // on a real cluster you size it to state volume, exactly this knob.)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try joined.writeStream.format("memory").queryName(qname)
+      // a stream-stream join runs TWO keyed state stores and is the
+      // heaviest case of the scopedStreamStart rationale (measured 2x
+      // on 32 partitions before the scoping)
+      val q = scopedStreamStart(s)(
+        joined.writeStream.format("memory").queryName(qname)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          .start())
       q.awaitTermination()
       java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(streamDir)
@@ -5369,10 +5379,10 @@ object Queries {
         stream, exShingles, exBuckets, "doc_id", "text",
         bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
       val qname = s"graft_q157_${streamRuns.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(qname)
+      val q = scopedStreamStart(s)(gated.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       // a pair caught by several bands appears once per band (the gate
       // cannot distinct without unbounded state); collapse batch-side
@@ -6694,8 +6704,8 @@ object Queries {
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
       val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      val q = graft.streaming.StreamOps.idempotentUpsertCounts(
-        agg, s"$scratch/serving", s"$scratch/ckpt")
+      val q = scopedStreamStart(s)(graft.streaming.StreamOps.idempotentUpsertCounts(
+        agg, s"$scratch/serving", s"$scratch/ckpt"))
       q.awaitTermination()
       graft.streaming.StreamOps.readServingCounts(s, s"$scratch/serving", Seq("event_type"))
         .select(col("event_type"), col("n").cast("long").as("n"))
@@ -8328,10 +8338,10 @@ object Queries {
         stream, "ts", "6 hours", Some("3 hours"), watermark = "1 hour",
         groupColumns = Seq("event_type"), aggName = "count", valueColumn = "value")
       val qname = s"graft_q221_${q221Runs.incrementAndGet()}"
-      val query = agg.writeStream.format("memory").queryName(qname)
+      val query = scopedStreamStart(s)(agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       query.awaitTermination()
       java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(streamDir)
@@ -8843,7 +8853,7 @@ object Queries {
       val schema = s.read.parquet(inDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
-      val query = stream.writeStream
+      val query = scopedStreamStart(s)(stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val pts = batch.select(floor(col("value")).cast("long").as("pt"))
           graft.operators.IntervalLookup.join(pts, tiers, "pt", "lo", "hi")
@@ -8853,7 +8863,7 @@ object Queries {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       query.awaitTermination()
       s.read.parquet(outDir)
         .groupBy(col("tier"))

@@ -109,31 +109,39 @@ final class Api(
     *   GET /projects/<id>/dimensions      → {"dimensions": [{dimension_id, name, category}]}
     *   GET /dimensions/records/<name>     → {"records": [row…]} (limit-capped) */
   private def projectsHandler(): HttpHandler = new HttpHandler {
-    def handle(ex: HttpExchange): Unit = {
-      val path = ex.getRequestURI.getPath.stripSuffix("/")
-      path match {
-        case "/projects" =>
-          respond(ex, 200,
-            s"""{"projects": [{"project_id": ${quote(projectId)}}]}""")
-        case p if p == s"/projects/$projectId/dimensions" =>
-          val dims = registry.listDimensions().map { d =>
-            s"""{"dimension_id": ${quote(d)}, "name": ${quote(d)}, """ +
-              s""""category": ${quote(registry.dimensionCategory(d))}}"""
-          }
-          respond(ex, 200, s"""{"dimensions": ${dims.mkString("[", ",", "]")}}""")
-        case _ =>
-          respond(ex, 404, s"""{"error": "unknown project path: $path"}""")
+    def handle(ex: HttpExchange): Unit =
+      try {
+        val path = ex.getRequestURI.getPath.stripSuffix("/")
+        path match {
+          case "/projects" =>
+            respond(ex, 200,
+              s"""{"projects": [{"project_id": ${quote(projectId)}}]}""")
+          case p if p == s"/projects/$projectId/dimensions" =>
+            val dims = registry.listDimensions().map { d =>
+              s"""{"dimension_id": ${quote(d)}, "name": ${quote(d)}, """ +
+                s""""category": ${quote(registry.dimensionCategory(d))}}"""
+            }
+            respond(ex, 200, s"""{"dimensions": ${dims.mkString("[", ",", "]")}}""")
+          case _ =>
+            respond(ex, 404, s"""{"error": "unknown project path: $path"}""")
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
       }
-    }
   }
 
   private def dimensionRecordsHandler(): HttpHandler = new HttpHandler {
-    def handle(ex: HttpExchange): Unit = {
-      val dim = ex.getRequestURI.getPath.stripPrefix("/dimensions/records/").stripSuffix("/")
-      if (!registry.listDimensions().contains(dim))
-        respond(ex, 404, s"""{"error": ${quote(s"unknown dimension: $dim")}}""")
-      else respond(ex, 200, s"""{"records": ${toJsonRows(registry.dimensionRecords(dim))}}""")
-    }
+    def handle(ex: HttpExchange): Unit =
+      try {
+        val dim = ex.getRequestURI.getPath.stripPrefix("/dimensions/records/").stripSuffix("/")
+        if (!registry.listDimensions().contains(dim))
+          respond(ex, 404, s"""{"error": ${quote(s"unknown dimension: $dim")}}""")
+        else respond(ex, 200, s"""{"records": ${toJsonRows(registry.dimensionRecords(dim))}}""")
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
+      }
   }
 
   private def queryHandler(): HttpHandler = new HttpHandler {

@@ -80,13 +80,22 @@ object AutoUpdate {
           }
         }
       }
-      val datasetsTouched = reg.listDatasets().flatMap { d =>
-        val touchedLoad = pruneDatasetTable(reg, ids, name,
-          s"${reg.root}/datasets/$d/load_data.parquet")
-        val touchedLookup = pruneDatasetTable(reg, ids, name,
-          s"${reg.root}/datasets/$d/load_data_lookup.parquet")
-        if (touchedLoad || touchedLookup) Some(d) else None
-      }
+      // the dataset sweep is O(#datasets) driver-side schema reads (most
+      // datasets don't carry the dimension column and are schema-check
+      // only) — run it concurrently; Future.traverse preserves report
+      // order, and prunes write to disjoint per-dataset paths
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val datasetsTouched = Await.result(
+        Future.traverse(reg.listDatasets()) { d => Future {
+          val touchedLoad = pruneDatasetTable(reg, ids, name,
+            s"${reg.root}/datasets/$d/load_data.parquet")
+          val touchedLookup = pruneDatasetTable(reg, ids, name,
+            s"${reg.root}/datasets/$d/load_data_lookup.parquet")
+          if (touchedLoad || touchedLookup) Some(d) else None
+        } },
+        Duration.Inf).flatten
       // the cascade repaired every dependent, so the VALIDATED registration
       // path must now accept the update; its update-compatibility check is
       // the post-condition that proves the cascade complete

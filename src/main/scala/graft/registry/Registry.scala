@@ -245,13 +245,23 @@ object Registry {
     checkKnown("datasets", datasets, reg.listDatasets())
     checkKnown("dimensions", dimensions, reg.listDimensions())
     checkKnown("mappings", mappings, reg.listMappings())
-    def copyAll(kind: String, names: Seq[String]): Unit =
-      names.foreach { n =>
-        val src = new org.apache.hadoop.fs.Path(s"${reg.root}/$kind/$n")
-        val dst = new org.apache.hadoop.fs.Path(s"$destRoot/$kind/$n")
-        org.apache.hadoop.fs.FileUtil.copy(
-          src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
-      }
+    // hundreds of selections are the realistic shape (the reference's
+    // production registries) — copy subtrees concurrently; each copy
+    // targets a distinct destination path
+    def copyAll(kind: String, names: Seq[String]): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(names) { n => Future {
+          val src = new org.apache.hadoop.fs.Path(s"${reg.root}/$kind/$n")
+          val dst = new org.apache.hadoop.fs.Path(s"$destRoot/$kind/$n")
+          org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
+        } },
+        Duration.Inf)
+      ()
+    }
     copyAll("datasets", datasets)
     copyAll("dimensions", dimensions)
     copyAll("mappings", mappings)
@@ -362,25 +372,56 @@ object Registry {
   /** Referential-integrity sweep over every declared mapping endpoint:
     * returns one message per broken reference (empty = consistent). The
     * standing version of the per-update check, for CLI `registry check`
-    * and post-export validation. */
+    * and post-export validation.
+    *
+    * Scale shape: production registries hold hundreds of mappings (the
+    * reference's do), and a per-mapping anti-join + collect loop is
+    * O(#mappings) driver round trips. Instead, all endpoints referencing
+    * the SAME dimension batch into one plan — union of their (tagged)
+    * endpoint columns, one broadcast anti-join against the records, one
+    * collect — so the job count is #referenced-dimensions, not
+    * #mappings. Ids compare as strings on both sides (the registry's id
+    * convention; also makes heterogeneous mapping tables union-safe). */
   def checkIntegrity(reg: Registry): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    reg.listMappings().flatMap { m =>
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, lit, slice, sort_array}
+    // (mapping, side, dimension) for every declared endpoint, in
+    // listMappings order — message order follows this sequence
+    val refs = reg.listMappings().flatMap { m =>
       val (from, to) = reg.mappingEndpoints(m)
       Seq(
-        from.map(d => (d, graft.core.Constants.FromIdColumn)),
-        to.map(d => (d, graft.core.Constants.ToIdColumn))).flatten.flatMap { case (dim, side) =>
-        if (!reg.hadoopExists(s"${reg.root}/dimensions/$dim/records.parquet"))
-          Some(s"mapping '$m' declares ${side.stripSuffix("_id")}_dimension '$dim' which is not registered")
-        else {
-          val ids = reg.dimensionRecords(dim).select(col("id")).distinct()
-          val missing = reg.mapping(m).select(col(side).as("id")).distinct()
-            .join(ids, Seq("id"), "left_anti")
-            .limit(5).collect().map(_.get(0))
-          if (missing.isEmpty) None
-          else Some(s"mapping '$m' $side values missing from dimension '$dim': ${missing.mkString(", ")}")
-        }
-      }
+        from.map(d => (m, graft.core.Constants.FromIdColumn, d)),
+        to.map(d => (m, graft.core.Constants.ToIdColumn, d))).flatten
+    }
+    val (dangling, resolved) = refs.partition { case (_, _, dim) =>
+      !reg.hadoopExists(s"${reg.root}/dimensions/$dim/records.parquet")
+    }
+    val broken = scala.collection.mutable.Map.empty[(String, String), Seq[Any]]
+    resolved.groupBy(_._3).foreach { case (dim, group) =>
+      val ids = reg.dimensionRecords(dim)
+        .select(col("id").cast("string").as("id")).distinct()
+      // reg.mapping() is a driver-side parquet schema read per table —
+      // build the union's legs concurrently (order-preserving)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val tagged = Await.result(
+        Future.traverse(group) { case (m, side, _) => Future {
+          reg.mapping(m).select(
+            col(side).cast("string").as("id"),
+            lit(m).as("mapping"), lit(side).as("side"))
+        } },
+        Duration.Inf).reduce(_.unionByName(_))
+      tagged.join(broadcast(ids), Seq("id"), "left_anti")
+        .groupBy(col("mapping"), col("side"))
+        .agg(slice(sort_array(collect_set(col("id"))), 1, 5).as("missing"))
+        .collect()
+        .foreach(r => broken((r.getString(0), r.getString(1))) = r.getSeq[Any](2))
+    }
+    refs.flatMap { case (m, side, dim) =>
+      if (dangling.contains((m, side, dim)))
+        Some(s"mapping '$m' declares ${side.stripSuffix("_id")}_dimension '$dim' which is not registered")
+      else broken.get((m, side)).map(vals =>
+        s"mapping '$m' $side values missing from dimension '$dim': ${vals.mkString(", ")}")
     }
   }
 
@@ -530,15 +571,23 @@ object Registry {
         // scenario Y is missing" — the diagnosis the reference's Rust
         // miner logs before raising (dsgrid/utils/dataset.py:273-281,
         // top-10 by size); the raw sample rides alongside for the
-        // no-structure case
+        // no-structure case. The miner is best-effort enrichment: if it
+        // fails (OOM on a wide dim set, pathological missing frame), the
+        // plain sample message must still surface — never let the
+        // diagnostic mask the real registration error.
         import org.apache.spark.sql.functions.col
-        val patterns = graft.operators.Validation.minimalClosedPatterns(missingDf)
-          .orderBy(col("num_rows").desc, col("columns"), col("values"))
-          .limit(10)
-          .collect()
-          .map(r => r.getSeq[String](0).zip(r.getSeq[String](1))
-            .map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
-            s" covering ${r.getLong(2)} missing rows")
+        val patterns =
+          try graft.operators.Validation.minimalClosedPatterns(missingDf)
+            .orderBy(col("num_rows").desc, col("columns"), col("values"))
+            .limit(10)
+            .collect()
+            .map(r => r.getSeq[String](0).zip(r.getSeq[String](1))
+              .map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")") +
+              s" covering ${r.getLong(2)} missing rows")
+            .toSeq
+          catch {
+            case e: Exception => Seq(s"<pattern miner failed: ${e.getMessage}>")
+          }
         throw new IllegalArgumentException(
           s"registerDataset($datasetId): incomplete dimension associations — combinations with no data, " +
             s"e.g. ${missing.map(r => dims.zip(r.toSeq).map { case (d, v) => s"$d=$v" }.mkString("(", ", ", ")")).mkString("; ")}" +

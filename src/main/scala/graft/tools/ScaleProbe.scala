@@ -93,11 +93,24 @@ object ScaleProbe {
           else expr(s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(j, $i), 2)) AS FLOAT))"))
     }
     copies("lineitem")((df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off)))
-    copies("orders") { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    // o_custkey stays UNOFFSET (fixed customer vocabulary, like l_partkey):
+    // customer copies through untouched below, so offsetting would leave
+    // every non-zero copy's orders with dangling FKs and a customer-join
+    // probe would silently measure a near-empty join
+    copies("orders")((df, i) => df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off)))
+    // part scales with disjoint keys AND per-copy brand suffix: q115's
+    // edit-distance blocking keys on (p_brand, len), so unperturbed copies
+    // would put k clones of every name in one block (k² candidates — the
+    // synthesis, not the operator); a per-copy brand is the realistic
+    // "more data = more brands" shape. q253's p_partkey arithmetic (%10,
+    // %100 patterns) survives the 1e8 offset, so its components replicate
+    // disjointly.
+    copies("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * off))
+        .withColumn("p_brand",
+          if (i == 0) col("p_brand") else concat(col("p_brand"), lit(s"#$i")))
     }
-    Seq("region", "nation", "customer", "supplier", "part", "events").foreach { name =>
+    Seq("region", "nation", "customer", "supplier", "events").foreach { name =>
       val p = new java.io.File(s"$srcDir/$name.parquet")
       if (p.exists()) spark.read.parquet(p.toString)
         .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
@@ -152,6 +165,10 @@ object ScaleProbe {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint RDDs created inside probed queries aren't covered
+        // by clearCache — without this they accrue block-manager memory
+        // across 21 probes × N runs and starve the late big-side probes
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         dt
       }.min
     }

@@ -70,6 +70,54 @@ class ApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("project-viewer read endpoints serve the exact envelopes the Dash app parses") {
+    // the three calls in the reference viewer (apps/project_viewer/app.py:193-204):
+    //   projects → ListProjectsResponse {"projects":[{"project_id":…}]}
+    //   projects/<id>/dimensions → {"dimensions": […]}
+    //   dimensions/records/<id> → {"records": […]}
+    val reg = buildRegistry()
+    val api = new Api(reg)
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val projectId = new org.apache.hadoop.fs.Path(reg.root).getName
+      val projects = get("/projects")
+      assert(projects.statusCode() == 200)
+      assert(projects.body() == s"""{"projects": [{"project_id": "$projectId"}]}""")
+
+      val dims = get(s"/projects/$projectId/dimensions")
+      assert(dims.statusCode() == 200)
+      assert(dims.body() ==
+        s"""{"dimensions": [{"dimension_id": "geography", "name": "geography", "category": "base"}]}""")
+
+      val records = get("/dimensions/records/geography")
+      assert(records.statusCode() == 200)
+      // row order within the records parquet is not contractual — pin the
+      // envelope and the full row set
+      assert(records.body().startsWith("""{"records": ["""))
+      assert(records.body().contains("""{"id":"c1","name":"C1"}"""))
+      assert(records.body().contains("""{"id":"c2","name":"C2"}"""))
+
+      // trailing slashes are DELIBERATELY accepted (stripSuffix in the
+      // handlers) — a viewer config with a trailing-slash base URL works
+      assert(get("/projects/").statusCode() == 200)
+      assert(get(s"/projects/$projectId/dimensions/").statusCode() == 200)
+      assert(get("/dimensions/records/geography/").statusCode() == 200)
+
+      // unknown ids are clean JSON 404s, not dropped connections
+      val badProject = get("/projects/nope/dimensions")
+      assert(badProject.statusCode() == 404)
+      assert(badProject.body().contains("error"))
+      val badDim = get("/dimensions/records/nope")
+      assert(badDim.statusCode() == 404)
+      assert(badDim.body().contains("unknown dimension"))
+    } finally api.stop()
+  }
+
   test("async submission burst is bounded and evicted jobs answer 410, not 404") {
     val queryDoc = """{
       "name": "api_q2",

@@ -484,3 +484,83 @@ class RegistryOpsSpec extends SparkSpec {
     }
   }
 }
+
+/** Registry-scale stress (r8 task #6 / r9 brief #3): the reference's
+  * production registries hold hundreds of datasets, and `checkIntegrity`
+  * / `filterTo` / an auto-update cascade are the operations where an
+  * accidentally-quadratic registry scan (or a per-object Spark-job loop)
+  * would hide. One object of each kind registers through the real API;
+  * the rest are subtree copies — the registry's own "version = subtree"
+  * on-disk convention — so fixture build time doesn't drown the measured
+  * operations. */
+class RegistryScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Datasets = 500
+  private val Dimensions = 50
+  private val Mappings = 100
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  private def timed[A](label: String, budgetSec: Double)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"$label: $dt%.1f s (budget $budgetSec%.0f s)")
+    assert(dt < budgetSec, f"$label took $dt%.1f s, over the $budgetSec%.0f s budget")
+    r
+  }
+
+  test(s"registry ops stay bounded at $Datasets datasets / $Dimensions dimensions / $Mappings mappings") {
+    val root = Files.createTempDirectory("graft-reg-scale").toString
+    val reg = Registry(spark, root)
+
+    Registry.registerDimension(reg, "geo_000",
+      (0 until 10).map(i => (s"r$i", s"R$i")).toDF("id", "name"))
+    Registry.registerMapping(reg, "m_000",
+      (0 until 5).map(i => (s"r$i", "all", 1.0)).toDF("from_id", "to_id", "from_fraction"),
+      fromDimension = Some("geo_000"))
+    Registry.registerDataset(reg, "d_000",
+      (0 until 5).map(i => (s"r$i", i.toDouble)).toDF("geo_000", ValueColumn))
+
+    def fanOut(kind: String, template: String, n: Int, name: Int => String): Unit = {
+      val src = java.nio.file.Paths.get(root, kind, template)
+      (1 until n).foreach(i => copyTree(src, java.nio.file.Paths.get(root, kind, name(i))))
+    }
+    fanOut("dimensions", "geo_000", Dimensions, i => f"geo_$i%03d")
+    fanOut("mappings", "m_000", Mappings, i => f"m_$i%03d")
+    fanOut("datasets", "d_000", Datasets, i => f"d_$i%03d")
+    assert(reg.listDimensions().size == Dimensions)
+    assert(reg.listMappings().size == Mappings)
+    assert(reg.listDatasets().size == Datasets)
+
+    // every mapping declares geo_000 — the sweep must batch all of them
+    // into one membership check, not run #mappings anti-join jobs
+    timed("checkIntegrity", 60)(assert(Registry.checkIntegrity(reg).isEmpty))
+
+    // full-registry export: 650 subtree copies + post-export integrity
+    val dest = Files.createTempDirectory("graft-reg-scale-out").toString + "/export"
+    val out = timed("filterTo", 60)(Registry.filterTo(
+      reg, dest,
+      datasets = reg.listDatasets(),
+      dimensions = reg.listDimensions(),
+      mappings = reg.listMappings()))
+    assert(out.listDatasets().size == Datasets)
+
+    // cascade on a dimension no mapping/dataset references: the pure
+    // O(datasets + mappings) dependency sweep (dropping an unused id, so
+    // the validated re-registration accepts it; prune semantics proper are
+    // pinned by the small cascade spec above)
+    val shrunk = (0 until 9).map(i => (s"r$i", s"R$i")).toDF("id", "name")
+    val report = timed("updateDimensionCascade", 60)(
+      graft.registry.AutoUpdate.updateDimensionCascade(reg, "geo_001", shrunk))
+    assert(!report.changed)
+    assert(reg.dimensionRecords("geo_001").count() == 9)
+  }
+}
