@@ -2649,7 +2649,15 @@ object Queries {
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * 2.0).as("embedding"))
       val corpus = emb.unionByName(copies)
-      val cents = emb.filter(col("vec_id") < 4)
+      // SemDeDup's scale contract is k ∝ corpus (the paper runs
+      // k ≈ corpus/10k): a FIXED centroid count makes every cell grow
+      // with the data and the per-cell self-join grow quadratically —
+      // the 5× synthesized scale gate measured exponent 1.74 with k=4
+      // pinned. One centroid per ~1000 corpus rows keeps cells bounded
+      // (k stays 4 at the driver SFs, so results there are unchanged);
+      // the count() is a parquet-footer action, not a data scan.
+      val k = math.max(4L, (2L * emb.count()) / 1000L)
+      val cents = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       Similarity.semanticDeduplicate(corpus, cents, threshold = 0.99)
         .select(
@@ -2665,7 +2673,8 @@ object Queries {
               SELECT vec_id, v FROM e
               UNION ALL
               SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0) FROM e),
-            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      WHERE vec_id < GREATEST(4, (SELECT 2 * COUNT(*) FROM embeddings) // 1000)),
             assigned AS (
               SELECT c.vec_id, c.v, cid, cv,
                 ROW_NUMBER() OVER (
