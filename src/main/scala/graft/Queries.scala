@@ -10608,6 +10608,81 @@ object Queries {
                    25::BIGINT
             ORDER BY pattern_cols, pattern_vals"""))
 
+  /** Deterministic grid-free quantile sketch end-to-end
+    * (`Sketches.rankSampleSketch`, the Munro–Paterson rank-sampling
+    * family): penny-exact lineitem prices shard by
+    * xxhash64(orderkey·8+linenumber) into 32 cells, each cell keeps every
+    * 64th value by local rank (ONE shuffle, no global sort), and the
+    * inverted-CDF readback estimates p10/50/90/99. The sketch's rank
+    * CONTRACT is pinned as data: count(v ≤ est) ≥ t' and
+    * count(v < est) < t' + shards·step with t' = least(target, sketch
+    * weight) — proven by exact filter-counts over the raw column. The
+    * oracle replays shard-hash → per-cell rank sample → cumulative
+    * readback → audit counts bit-for-bit (rank selection in a sorted
+    * multiset is tie-order independent, which is what makes a SAMPLING
+    * summary hash-matchable at all). */
+  val q261_rank_sketch = Q(
+    "q261_rank_sketch",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val shards = 32
+      val step = 64
+      val raw = t(s, dir, "lineitem")
+        .select(
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("k"))
+        .localCheckpoint(true) // counted + sketched + audited below
+      val n = raw.count()
+      val ps = Seq(10, 50, 90, 99)
+      val sk = Sketches.rankSampleSketch(raw, "v", col("k"), shards, step)
+      val q = Sketches.rankSampleQuantiles(sk, n, ps).collect()(0)
+      val wTotal = q.getAs[Long]("w_total")
+      val ests = ps.map(p => p -> q.getAs[Long](s"p$p"))
+      // one distributed pass audits all four estimates' exact ranks
+      val auditCols =
+        ests.map { case (p, e) => sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"le$p") } ++
+          ests.map { case (p, e) => sum(when(col("v") < e, 1L).otherwise(0L)).as(s"lt$p") }
+      val audit = raw.agg(auditCols.head, auditCols.tail: _*).collect()(0)
+      import s.implicits._
+      ests.map { case (p, e) =>
+        val target = (n * p + 99) / 100
+        val tp = math.min(target, wTotal)
+        val le = audit.getAs[Long](s"le$p")
+        val lt = audit.getAs[Long](s"lt$p")
+        (p.toLong, e, target, le, (shards * step).toLong,
+          le >= tp && lt < tp + shards * step)
+      }.toDF("p", "est", "target", "exact_le", "bound", "ok")
+        .orderBy("p")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val S = 32
+      val step = 64
+      val raw = "SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v, " +
+        "l_orderkey * 8 + l_linenumber AS k FROM lineitem"
+      val hashed = xxhash64LongStages(s"($raw)", "k", "kh", pfx = "__q")
+      s"""WITH sh AS (SELECT v, ((kh % $S) + $S) % $S AS shard FROM ($hashed)),
+          rn AS (SELECT v, shard, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v) AS r FROM sh),
+          sk AS MATERIALIZED (SELECT v, CAST($step AS BIGINT) AS w FROM rn WHERE r % $step = 0),
+          cum AS (SELECT v, w, SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM sk),
+          tot AS (SELECT COUNT(*) AS n FROM sh),
+          wt AS (SELECT COALESCE(SUM(w), 0) AS wt FROM sk),
+          ps AS (SELECT * FROM (VALUES (10), (50), (90), (99)) t(p)),
+          tgt AS (SELECT p, (n * p + 99) // 100 AS target,
+                         LEAST((n * p + 99) // 100, wt) AS tp
+                  FROM ps, tot, wt),
+          est AS (SELECT p, target, tp,
+                         (SELECT MIN(v) FROM cum WHERE c >= tgt.tp) AS est
+                  FROM tgt)
+          SELECT CAST(p AS BIGINT) AS p, est,
+                 CAST(target AS BIGINT) AS target,
+                 (SELECT COUNT(*) FROM sh WHERE v <= est.est) AS exact_le,
+                 CAST(${S * step} AS BIGINT) AS bound,
+                 ((SELECT COUNT(*) FROM sh WHERE v <= est.est) >= tp AND
+                  (SELECT COUNT(*) FROM sh WHERE v < est.est) < tp + ${S * step}) AS ok
+          FROM est ORDER BY p"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_agg, q02_filter, q03_join_agg, q04_mapping, q05_semi, q06_anti,
     q07_except, q08_intersect, q09_pivot, q10_unpivot, q11_peak, q12_topk,
@@ -10677,5 +10752,5 @@ object Queries {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr,
     q252_multiprobe_lsh, q253_incremental_cc, q254_bloom_fpp,
     q255_position_attribution, q256_bitmap_index, q257_histogram_join_est,
-    q258_column_diff, q259_ri_audit, q260_missing_patterns)
+    q258_column_diff, q259_ri_audit, q260_missing_patterns, q261_rank_sketch)
 }

@@ -327,4 +327,102 @@ object Sketches {
       .filter(col("exact") * (k + 1L) > n)
       .withColumn("total_n", lit(n))
   }
+
+  /** Deterministic GRID-FREE quantile sketch (the Munro–Paterson '80
+    * rank-sampling family): rows are deterministically sharded by
+    * `xxhash64(shardKey)` into `shards` cells, each cell sorts LOCALLY
+    * (one shuffle on the shard id — never a global sort) and keeps every
+    * `step`-th value by local rank as a weighted sample `(v, w = step)`.
+    *
+    * This is the quantile summary [[histogramSketch]] cannot be: no value
+    * grid or domain knowledge required, yet — unlike KLL/t-digest, whose
+    * output depends on row order — fully deterministic, because selection
+    * is by RANK in a sorted multiset (equal values are interchangeable, so
+    * the sampled value at every rank is partitioning- and tie-order-
+    * independent) and the shard assignment is a pure hash. Deterministic ⇒
+    * oracle-hash-matchable, the house rule for every sketch here.
+    *
+    * Rank contract (what the sketch guarantees, pinned by q261/SketchSpec):
+    * est_rank(x) = Σ w over sampled v ≤ x under-counts the true
+    * count(v ≤ x) by < shards·step (each cell drops < step below any
+    * rank plus a < step unsampled tail). Total sampled weight W satisfies
+    * n − W < shards·step.
+    *
+    * Scale shape: one hash-partitioned sort (map-side size N/shards per
+    * cell, spillable), output N/step rows — a 100 TB column folds to a
+    * parquet-persistable artifact 1/step its size, tunable independent of
+    * any value range. `valueCol` must be BIGINT-castable (the exactness
+    * convention shared with the histogram sketch). */
+  def rankSampleSketch(
+      df: DataFrame,
+      valueCol: String,
+      shardKey: Column,
+      shards: Int,
+      step: Int): DataFrame = {
+    require(shards >= 1, s"rankSampleSketch: shards must be >= 1, got $shards")
+    require(step >= 1, s"rankSampleSketch: step must be >= 1, got $step")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__graft_shard")).orderBy(col("v"))
+    df.select(
+        col(valueCol).cast("long").as("v"),
+        pmod(xxhash64(shardKey), lit(shards.toLong)).as("__graft_shard"))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(pmod(col("__graft_rn"), lit(step.toLong)) === 0)
+      .select(col("v"), lit(step.toLong).as("w"))
+  }
+
+  /** Munro–Paterson collapse: halve a (v, w) sketch by pairing consecutive
+    * samples in v-order and keeping the LATER value of each pair carrying
+    * both weights (rank estimates stay under-counts; the error bound grows
+    * by the absorbed weight). `union two sketches → compress` is the merge
+    * law — associative up to the declared bound, which is how shard- or
+    * day-level artifacts fold into one without touching raw rows. The
+    * window runs over SKETCH rows only (bounded by construction — the
+    * documented bounded-input Window.orderBy set). */
+  def rankSampleCompress(sketch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v"), col("w"))
+    sketch
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(
+        Window.orderBy(col("v"), col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__graft_pw", lag(col("w"), 1).over(w))
+      .filter(col("__graft_rn") % 2 === 0 ||
+        (col("__graft_rn") === col("__graft_n") && col("__graft_n") % 2 === 1))
+      .select(
+        col("v"),
+        when(col("__graft_rn") % 2 === 0, col("w") + coalesce(col("__graft_pw"), lit(0L)))
+          .otherwise(col("w")).as("w"))
+  }
+
+  /** Inverted-CDF readback from a rank-sample sketch: for each integer
+    * percentile p, the smallest sampled v whose cumulative weight reaches
+    * t' = least(ceil(p·n/100), W) — clamping to the total sketch weight W
+    * covers the tail the per-cell remainders dropped. Pure BIGINT
+    * arithmetic, replayable bit-for-bit. Returns one row:
+    * (n, w_total, p<p>…). `totalRows` is the exact corpus count (the
+    * caller usually has it; the sketch alone cannot). */
+  def rankSampleQuantiles(
+      sketch: DataFrame,
+      totalRows: Long,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 100),
+      s"rankSampleQuantiles: percentiles must be in (0,100], got $percentiles")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v"), col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("__graft_cum", sum(col("w")).over(w))
+      .withColumn("__graft_wt", sum(col("w")).over(
+        Window.orderBy(col("v"), col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qcols = percentiles.map { p =>
+      min(when(
+        expr(s"__graft_cum >= least(($totalRows * $p + 99) div 100, __graft_wt)"),
+        col("v"))).as(s"p$p")
+    }
+    cum.agg(first(col("__graft_wt")).cast("long").as("w_total"), qcols: _*)
+      .withColumn("n", lit(totalRows))
+  }
 }

@@ -214,4 +214,72 @@ class SketchSpec extends SparkSpec {
     assert(graft.operators.Sketches.guaranteedHeavyHitters(df, col("k"), 4).count() == 0)
   }
 
+  test("rank-sample sketch is partitioning-invariant and honors its rank contract") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val shards = 8
+    val step = 16
+    // values are a known permutation so exact ranks are arithmetic:
+    // v = (k * 37) % 4096 over k = 0..4095 is a bijection → count(v <= x) = x + 1
+    val n = 4096L
+    val raw = (0L until n).map(k => (k * 37 % 4096, k)).toDF("v", "k")
+    val sk = Sketches.rankSampleSketch(raw, "v", col("k"), shards, step)
+    // partitioning-invariance: the sketch is a pure function of the multiset
+    val sk2 = Sketches.rankSampleSketch(raw.repartition(13), "v", col("k"), shards, step)
+    assert(sortedRows(sk) == sortedRows(sk2))
+    // total weight bound: each cell drops < step remainder rows
+    val wTotal = sk.agg(sum(col("w"))).as[Long].head()
+    assert(n - wTotal < shards.toLong * step, s"dropped ${n - wTotal}")
+    // rank contract at every decile: t' = least(target, W); the estimate's
+    // exact rank brackets the target within shards*step
+    val qrow = Sketches.rankSampleQuantiles(sk, n, Seq(10, 30, 50, 70, 90, 99)).head()
+    for (p <- Seq(10, 30, 50, 70, 90, 99)) {
+      val est = qrow.getAs[Long](s"p$p")
+      val target = (n * p + 99) / 100
+      val tp = math.min(target, wTotal)
+      val exactLe = est + 1 // bijection: count(v <= est) = est + 1
+      val exactLt = est
+      assert(exactLe >= tp, s"p$p: est=$est exact_le=$exactLe < t'=$tp")
+      assert(exactLt < tp + shards * step, s"p$p: est=$est exact_lt=$exactLt over bound")
+    }
+  }
+
+  test("rank-sample compress halves the sketch and union+compress merges within the doubled bound") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val shards = 8
+    val step = 16
+    val n = 4096L
+    val raw = (0L until n).map(k => (k * 37 % 4096, k)).toDF("v", "k")
+    // two disjoint halves sketched independently (e.g. two ingest days)...
+    val a = raw.filter(col("k") < 2048)
+    val b = raw.filter(col("k") >= 2048)
+    val skA = Sketches.rankSampleSketch(a, "v", col("k"), shards, step)
+    val skB = Sketches.rankSampleSketch(b, "v", col("k"), shards, step)
+    // ...merged: union then collapse back to roughly the single-sketch size
+    val merged = Sketches.rankSampleCompress(skA.unionByName(skB))
+    val single = Sketches.rankSampleSketch(raw, "v", col("k"), shards, step)
+    val mergedRows = merged.count()
+    assert(mergedRows <= single.count() + 1, s"merged $mergedRows rows did not halve")
+    // weight is conserved exactly by the collapse
+    val wIn = skA.unionByName(skB).agg(sum(col("w"))).as[Long].head()
+    assert(merged.agg(sum(col("w"))).as[Long].head() == wIn)
+    // merged rank error: each half contributes < shards*step, the collapse
+    // absorbs one sample's weight per kept row → < 2*shards*step + 2*step
+    val bound = 2L * shards * step + 2L * step
+    val wTotal = wIn
+    val qrow = Sketches.rankSampleQuantiles(merged, n, Seq(25, 50, 75)).head()
+    for (p <- Seq(25, 50, 75)) {
+      val est = qrow.getAs[Long](s"p$p")
+      val target = (n * p + 99) / 100
+      val tp = math.min(target, wTotal)
+      assert(est + 1 >= tp - bound && est < tp + bound,
+        s"p$p: est=$est (exact rank ${est + 1}) outside [$tp - $bound, $tp + $bound)")
+    }
+    // odd-count collapse keeps the unpaired last sample (weight conserved)
+    val odd = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("v", "w")
+    val collapsed = Sketches.rankSampleCompress(odd).orderBy("v").as[(Long, Long)].collect()
+    assert(collapsed.toSeq == Seq((2L, 8L), (3L, 4L)))
+  }
+
 }
