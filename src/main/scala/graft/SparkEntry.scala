@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q03_join_agg.run(spark, "/root/testdata/sf0.001")
+    Queries.all.find(_.name == "q03_join_agg").get.run(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all.map(q => q.name -> q.run).toMap

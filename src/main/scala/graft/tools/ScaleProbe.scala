@@ -51,7 +51,8 @@ object ScaleProbe {
     "q215_hits" -> 1.4, // fixed rounds × linear edge joins
     "q229_topic_segments" -> 1.3, // per-document linear tiling
     "q244_matryoshka" -> 1.3, // fixed-COUNT query side: O(n·k) brute force
-    "q253_incremental_cc" -> 1.5 // delta-sized re-clustering + full-equivalence check
+    "q253_incremental_cc" -> 1.5, // delta-sized re-clustering + full-equivalence check
+    "q261_rank_sketch" -> 1.3 // one hash-partitioned sort + N/step sketch rows
   )
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big
