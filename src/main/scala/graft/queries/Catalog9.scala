@@ -1736,6 +1736,50 @@ private[graft] object Catalog9 {
           FROM est ORDER BY p"""
     })
 
+  /** Dynamic partition pruning end-to-end — the star-schema scan killer at
+    * 100 TB: a fact table Hive-partitioned by a dimension attribute
+    * (brand), joined on that attribute to a dimension FILTERED ON A
+    * DIFFERENT COLUMN, can only be pruned at RUNTIME from the dim side's
+    * surviving keys — static pushdown sees no literal predicate on the
+    * partition column. Spark plants a DynamicPruningSubquery on the fact
+    * scan's partition filters (reusing the dim broadcast); the query pins
+    * `dpp_planned` — the plan-shape contract — as data, and
+    * PlanChecksSpec pins the MEASURED effect (numFiles read shrinks vs
+    * the same query with DPP disabled). The construction join (attaching
+    * brand to lineitem) is the query's own setup, written to scratch like
+    * q190's serving table. */
+  val q262_dpp = Q(
+    "q262_dpp",
+    (s, dir) => {
+      val scratch = s.conf.get("spark.local.dir", "/tmp") +
+        "/graft_q262_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val part = t(s, dir, "part")
+      li.join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand")),
+          Seq("l_partkey"))
+        .write.mode("overwrite").partitionBy("brand").parquet(s"$scratch/fact")
+      val fact = s.read.parquet(s"$scratch/fact")
+      // the filter is on p_partkey, NOT on brand: only the runtime subquery
+      // over the broadcast dim can know which brand partitions survive
+      val dim = part
+        .filter(col("p_partkey") % 500 === 42)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))
+      val joined = fact.join(broadcast(dim), Seq("l_partkey", "brand"))
+        .groupBy(col("brand"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+      val planned = joined.queryExecution.executedPlan.toString
+        .toLowerCase(java.util.Locale.ROOT).contains("dynamicpruning")
+      joined.withColumn("dpp_planned", lit(planned)).orderBy("brand")
+    },
+    Some("""SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+                   true AS dpp_planned
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey % 500 = 42
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -1744,5 +1788,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch)
+    q261_rank_sketch, q262_dpp)
 }

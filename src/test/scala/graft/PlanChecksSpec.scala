@@ -166,4 +166,43 @@ class PlanChecksSpec extends SparkSpec {
     assert(a.crossJoin(b).count() == 2)
   }
 
+  test("dynamic partition pruning measurably shrinks the fact scan's file count") {
+    import spark.implicits._
+    import graft.plans.PlanChecks
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // fact: 40 rows across 8 brand partitions; dim filter (on id, not brand)
+    // survives only brands b0/b1 — DPP must cut the scan from 8 partitions
+    (0 until 40).map(i => (i % 10, 1L, s"b${i % 8}"))
+      .toDF("id", "qty", "brand")
+      .repartition(1)
+      .write.partitionBy("brand").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // dim goes via parquet: a LocalRelation dim gets its filter constant-
+    // folded away (ConvertToLocalRelation) and DPP sees no selective
+    // predicate to prune with — the viaParquet trap this suite documents
+    val dim = viaParquet((0 until 10).map(i => (i, s"b${i % 8}")).toDF("id", "brand"))
+      .filter(col("id") < 2) // → brands b0, b1 only, knowable only at runtime
+    def run(dppEnabled: Boolean): (Seq[Seq[Any]], Long) = {
+      val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dppEnabled.toString)
+      try {
+        val j = fact.join(broadcast(dim), Seq("id", "brand"))
+          .groupBy(col("brand")).agg(sum(col("qty")).as("q"))
+        val out = sortedRows(j)
+        // fact scan = the one reading qty; metric is populated post-action
+        val files = PlanChecks.flatten(j).collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.output.exists(_.name == "qty") =>
+            s.metrics("numFiles").value
+        }.sum
+        (out, files)
+      } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+    }
+    val (withDpp, filesWith) = run(dppEnabled = true)
+    val (without, filesWithout) = run(dppEnabled = false)
+    assert(withDpp == without, "DPP must not change results")
+    assert(filesWithout == 8, s"expected all 8 partition files without DPP, read $filesWithout")
+    assert(filesWith == 2, s"expected only the 2 surviving brand files with DPP, read $filesWith")
+  }
+
 }
