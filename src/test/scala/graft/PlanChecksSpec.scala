@@ -205,4 +205,44 @@ class PlanChecksSpec extends SparkSpec {
     assert(filesWith == 2, s"expected only the 2 surviving brand files with DPP, read $filesWith")
   }
 
+  test("AQE splits a skewed sort-merge-join partition at runtime (the built-in face of salting)") {
+    import spark.implicits._
+    // manual salting (q105/q116) is the explicit-control path; AQE's skew
+    // join is the runtime re-plan that handles the same hot key without
+    // code changes — worth a pinned contract so a conf regression can't
+    // silently lose it. Thresholds scaled down to fixture size; broadcast
+    // disabled so the join is a shuffle join AQE can re-plan.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0 carries 20k rows with fat payloads; keys 1..50 one row each
+      val left = viaParquet(
+        ((1 to 20000).map(i => (0L, s"payload_$i" * 8)) ++
+          (1L to 50L).map(k => (k, "x"))).toDF("k", "pay"))
+      val right = viaParquet((0L to 50L).map(k => (k, k * 10)).toDF("k", "w"))
+      // global (ungrouped) aggregate over the payload: keeps the fat column
+      // in the shuffled rows (column pruning would otherwise shrink the hot
+      // partition below threshold) and — crucially — requires NO downstream
+      // hash partitioning on k, which would veto the skew split (splitting
+      // a partition breaks the partitioning a following groupBy(k) needs)
+      val joined = left.join(right, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pay"))).as("chars"), max(col("w")).as("w"))
+      val rows = sortedRows(joined)
+      val expectedChars = (1 to 20000).map(i => s"payload_$i".length * 8L).sum + 50
+      assert(rows == Seq(Seq(20050L, expectedChars, 500L)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split sort-merge join in:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
 }

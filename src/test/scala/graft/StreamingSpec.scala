@@ -188,4 +188,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((9, 1L), (10, 2L), (11, 1L)))
   }
 
+  test("stateful aggregation runs identically under the RocksDB state-store provider") {
+    // the production-scale state path: the in-memory (HDFSBackedStateStore)
+    // provider bounds state by executor heap; RocksDB spills to local disk
+    // and is what the 100 TB deployment would run. Same pipeline, same
+    // results — proven by swapping the provider for one query (the conf is
+    // captured at start, so scoping + restore is race-free).
+    implicit val sql = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, String, Double)]
+      val events = input.toDF().toDF("ts", "user", "value")
+      val agg = StreamOps.windowedAggregate(
+        events, "ts", "1 hour", groupColumns = Seq("user"))
+      val q = agg.writeStream.format("memory").queryName("rocks_agg")
+        .outputMode("update").start()
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "a", 1.0),
+        (ts("2024-01-01 10:45:00"), "a", 2.0),
+        (ts("2024-01-01 11:05:00"), "a", 4.0),
+        (ts("2024-01-01 10:10:00"), "b", 8.0))
+      q.processAllAvailable()
+      // second batch updates existing RocksDB state (not just first-open)
+      input.addData((ts("2024-01-01 10:50:00"), "b", 16.0))
+      q.processAllAvailable()
+      val got = spark.table("rocks_agg")
+        .select(col("user"), hour(col("window.start")).as("h"), col("value"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+      q.stop()
+      // update mode re-emits changed windows; the FINAL per-key window state
+      // is the max-timestamped emission — assert on the full emission set
+      assert(got == Set(("a", 10, 3.0), ("a", 11, 4.0), ("b", 10, 8.0), ("b", 10, 24.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
 }
