@@ -1780,6 +1780,66 @@ private[graft] object Catalog9 {
             WHERE p.p_partkey % 500 = 42
             GROUP BY 1 ORDER BY 1"""))
 
+  /** MERGE INTO (copy-on-write upsert) on the transaction-log table — the
+    * flagship lakehouse write: matched keys replace their row, unmatched
+    * insert, and ONLY files containing a matched key rewrite
+    * ([[graft.sources.TxnLog.mergeCopyOnWrite]]). The update keys are
+    * confined to one of three residue-class files by construction, so the
+    * carry-over contract is pinned as data: n_carried = 2 of the 3
+    * pre-merge files stay live by reference, at every SF. The pre-merge
+    * snapshot stays time-travelable (version 0 row unchanged). Oracle is
+    * pure key arithmetic over part. */
+  val q263_merge_cow = Q(
+    "q263_merge_cow",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q263").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val fs = (0 until 3).map(m =>
+        writeOne(base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
+      TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
+      // updates: keys % 300 == 0 (all in the mod-3==0 file) replace their
+      // row; keys +1e7 (new) insert
+      val updates = base.filter(col("key") % 300 === 0)
+        .select(col("key"), (col("key") * 1000).as("value"))
+        .unionByName(base.filter(col("key") % 500 === 0)
+          .select((col("key") + 10000000L).as("key"),
+            ((col("key") + 10000000L) * 1000).as("value")))
+      TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
+      val v0Files = TxnLog.liveFiles(logDir, 0)
+      (0L to 1L).map { v =>
+        val live = TxnLog.liveFiles(logDir, v)
+        val agg = TxnLog.readAsOf(s, logDir, v)
+          .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
+        val carried = if (v == 0) 0L else live.intersect(v0Files).size.toLong
+        (v, live.size.toLong, carried, agg.getLong(0), agg.getLong(1))
+      }.toDF("version", "n_files", "n_carried", "n_rows", "sum_val")
+        .orderBy("version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            upd AS (SELECT k FROM p WHERE k % 300 = 0),
+            ins AS (SELECT k + 10000000 AS k FROM p WHERE k % 500 = 0)
+            SELECT 0::BIGINT AS version, 3::BIGINT AS n_files, 0::BIGINT AS n_carried,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_val
+            UNION ALL
+            SELECT 1, 3, 2,
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM ins))::BIGINT,
+                   ((SELECT SUM(2 * k) FROM p)
+                   - (SELECT COALESCE(SUM(2 * k), 0) FROM upd)
+                   + (SELECT COALESCE(SUM(1000 * k), 0) FROM upd)
+                   + (SELECT COALESCE(SUM(1000 * k), 0) FROM ins))::BIGINT
+            ORDER BY version"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -1788,5 +1848,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp)
+    q261_rank_sketch, q262_dpp, q263_merge_cow)
 }

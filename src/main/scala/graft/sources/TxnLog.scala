@@ -87,4 +87,62 @@ object TxnLog {
     require(files.nonEmpty, s"txn log: version $asOf has no live files")
     spark.read.parquet(files: _*)
   }
+
+  /** MERGE INTO, copy-on-write (the Delta/Iceberg upsert): apply `updates`
+    * — unique on `keyCol` — to the latest snapshot. Matched keys replace
+    * their row, unmatched keys insert. ONLY files that CONTAIN a matched
+    * key are rewritten; every other file carries over by reference with
+    * zero data IO — the copy-on-write contract that bounds write
+    * amplification to touched files, which is what makes a trillion-row
+    * table upsertable (file attribution is one semi-join over
+    * input_file_name, the same scan the rewrite needs anyway). The merge
+    * publishes as ONE atomic commit (removes = touched, adds = the merged
+    * file), so readers see the old or new snapshot, never a mix, and the
+    * pre-merge version stays time-travelable.
+    *
+    * `outDir` receives the merged output (single-file here — the catalog's
+    * data scale; a production writer would keep the snapshot's file-size
+    * distribution). Returns the committed version. */
+  def mergeCopyOnWrite(
+      spark: SparkSession,
+      logDir: String,
+      outDir: String,
+      updates: DataFrame,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val v = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    val files = liveFiles(logDir, v).toSeq.sorted
+    val snap = spark.read.parquet(files: _*)
+    require(updates.columns.sorted.sameElements(snap.columns.sorted),
+      s"merge: updates schema ${updates.columns.mkString(",")} != table schema ${snap.columns.mkString(",")}")
+    val dup = updates.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: duplicate update key '${dup.headOption.map(_.get(0)).orNull}' — one row per key")
+    val keys = updates.select(col(keyCol))
+    def canon(p: String): String =
+      try new java.io.File(new java.net.URI(p).getPath).getAbsolutePath
+      catch { case _: Exception => new java.io.File(p).getAbsolutePath }
+    // which files contain a matched key — driver-bounded by the file count
+    val touchedCanon = snap.withColumn("__graft_file", input_file_name())
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("__graft_file")).distinct().collect()
+      .map(r => canon(r.getString(0))).toSet
+    val touched = files.filter(f => touchedCanon.contains(canon(f)))
+    require(touched.size == touchedCanon.size,
+      s"merge: ${touchedCanon.size} matched files but only ${touched.size} resolve to logged paths")
+    val merged =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched: _*)
+        .join(keys, Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    merged.coalesce(1).write.mode("overwrite").parquet(outDir)
+    val outFile = new java.io.File(outDir).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"merge: no parquet written under $outDir"))
+      .getAbsolutePath
+    commit(logDir, v + 1, adds = Seq(outFile), removes = touched)
+    v + 1
+  }
 }

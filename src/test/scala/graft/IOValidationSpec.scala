@@ -302,4 +302,46 @@ class ValidationSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](TxnLog.readAsOf(spark, log, 9))
   }
 
+  test("txn log merge: copy-on-write rewrites only files containing matched keys") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("txn_merge_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val f1 = fileOf(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "f1")
+    val f2 = fileOf(Seq((3L, 30L), (4L, 40L)).toDF("k", "v"), "f2")
+    val f3 = fileOf(Seq((5L, 50L)).toDF("k", "v"), "f3")
+    TxnLog.commit(log, 0, Seq(f1, f2, f3), Nil)
+
+    // matched key 3 (only f2) + insert key 9 → f1/f3 must survive untouched
+    val v1 = TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m1", Seq((3L, 333L), (9L, 99L)).toDF("k", "v"), "k")
+    assert(v1 == 1L)
+    val live = TxnLog.liveFiles(log, 1)
+    assert(live.contains(f1) && live.contains(f3) && !live.contains(f2),
+      s"expected f2 rewritten, f1/f3 carried: $live")
+    assert(live.size == 3)
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 1)) ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 333L), Seq(4L, 40L), Seq(5L, 50L), Seq(9L, 99L)))
+    // pre-merge snapshot still time-travelable, unchanged
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 0)) ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L), Seq(4L, 40L), Seq(5L, 50L)))
+
+    // pure insert touches nothing: all three live files carry over
+    val v2 = TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m2", Seq((100L, 1L)).toDF("k", "v"), "k")
+    assert(TxnLog.liveFiles(log, v2).intersect(TxnLog.liveFiles(log, 1)).size == 3)
+    assert(TxnLog.readAsOf(spark, log, v2).count() == 7)
+
+    // duplicate update keys refuse; schema mismatch refuses
+    assertThrows[IllegalArgumentException](TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m3", Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), "k"))
+    assertThrows[IllegalArgumentException](TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m4", Seq((1L, 1L)).toDF("k", "other"), "k"))
+  }
+
 }
