@@ -1840,6 +1840,65 @@ private[graft] object Catalog9 {
                    + (SELECT COALESCE(SUM(1000 * k), 0) FROM ins))::BIGINT
             ORDER BY version"""))
 
+  /** Deletion vectors — merge-on-read DELETE on the transaction-log table
+    * ([[graft.sources.TxnLog.deleteMergeOnRead]]), the complement of
+    * q263's copy-on-write: matching rows of the VISIBLE snapshot record as
+    * (file, row-position) pairs in a metadata commit; no data file is
+    * rewritten, scans apply the vectors as one anti-join. Write cost ∝
+    * deleted-row count, not table size — the GDPR-erasure / retraction
+    * path on a trillion-row table. Two successive deletes pin the
+    * visible-snapshot semantics: the second vector records only NEWLY
+    * killed rows (overlap excluded), and every version stays
+    * time-travelable with its own visibility. Oracle is residue arithmetic
+    * over part. */
+  val q264_delete_vectors = Q(
+    "q264_delete_vectors",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q264").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val fs = (0 until 3).map(m =>
+        writeOne(base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
+      TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv2", col("key") % 11 === 0)
+      (0L to 2L).map { v =>
+        val agg = TxnLog.readAsOfWithDeletes(s, logDir, v)
+          .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
+          .head()
+        val dvs = TxnLog.dvFiles(logDir, v).toSeq.sorted
+        val nDv = if (dvs.isEmpty) 0L else s.read.parquet(dvs: _*).count()
+        (v, TxnLog.liveFiles(logDir, v).size.toLong, agg.getLong(0), agg.getLong(1), nDv)
+      }.toDF("version", "n_files", "n_visible", "sum_visible", "n_dv_entries")
+        .orderBy("version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 0::BIGINT AS version, 3::BIGINT AS n_files,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_visible,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_visible,
+                   0::BIGINT AS n_dv_entries
+            UNION ALL
+            SELECT 1, 3,
+                   (SELECT COUNT(*) FROM p WHERE k % 7 != 0)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 7 != 0)::BIGINT,
+                   (SELECT COUNT(*) FROM p WHERE k % 7 = 0)::BIGINT
+            UNION ALL
+            SELECT 2, 3,
+                   (SELECT COUNT(*) FROM p WHERE k % 7 != 0 AND k % 11 != 0)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 7 != 0 AND k % 11 != 0)::BIGINT,
+                   ((SELECT COUNT(*) FROM p WHERE k % 7 = 0)
+                    + (SELECT COUNT(*) FROM p WHERE k % 11 = 0 AND k % 7 != 0))::BIGINT
+            ORDER BY version"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -1848,5 +1907,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors)
 }

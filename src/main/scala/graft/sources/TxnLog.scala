@@ -28,8 +28,16 @@ object TxnLog {
   /** Append one commit. Versions must be dense from 0 (the contract that
     * makes "latest" unambiguous without a catalog); `adds`/`removes` are
     * absolute file paths. A remove of a file not live at this version
-    * REFUSES — it means the caller's view of the table has diverged. */
-  def commit(logDir: String, version: Long, adds: Seq[String], removes: Seq[String]): Unit = {
+    * REFUSES — it means the caller's view of the table has diverged.
+    * `dvs` attach deletion-vector files (see [[deleteMergeOnRead]]) —
+    * metadata-only row-level deletes that accumulate until the rows'
+    * data files are rewritten. */
+  def commit(
+      logDir: String,
+      version: Long,
+      adds: Seq[String],
+      removes: Seq[String],
+      dvs: Seq[String] = Nil): Unit = {
     val dir = new java.io.File(logDir)
     dir.mkdirs()
     require(version == latestVersion(logDir).map(_ + 1).getOrElse(0L),
@@ -42,7 +50,8 @@ object TxnLog {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val lines =
       adds.map(f => s"""{"action":"add","file":"${esc(f)}"}""") ++
-        removes.map(f => s"""{"action":"remove","file":"${esc(f)}"}""")
+        removes.map(f => s"""{"action":"remove","file":"${esc(f)}"}""") ++
+        dvs.map(f => s"""{"action":"dv","file":"${esc(f)}"}""")
     val tmp = java.io.File.createTempFile("_graft_txn", ".json", dir)
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -73,11 +82,31 @@ object TxnLog {
           val file = line.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
             .replace("\\\\", "\\")
           if (line.contains("\"action\":\"add\"")) live += file
-          else live -= file
+          else if (line.contains("\"action\":\"remove\"")) live -= file
+          // "dv" actions are row-level metadata — they never change the
+          // live DATA file set
         }
       }
     }
     live
+  }
+
+  /** Deletion-vector files committed in versions 0..asOf (inclusive). */
+  def dvFiles(logDir: String, asOf: Long): Set[String] = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(asOf >= 0 && asOf <= latest,
+      s"txn log: version $asOf out of range [0, $latest]")
+    var dvs = Set.empty[String]
+    (0L to asOf).foreach { v =>
+      java.nio.file.Files.readAllLines(logFile(logDir, v).toPath).forEach { line =>
+        if (line.nonEmpty && line.contains("\"action\":\"dv\"")) {
+          dvs += line.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+            .replace("\\\\", "\\")
+        }
+      }
+    }
+    dvs
   }
 
   /** Snapshot read AS OF a version: plain parquet over the resolved file
@@ -86,6 +115,74 @@ object TxnLog {
     val files = liveFiles(logDir, asOf).toSeq.sorted
     require(files.nonEmpty, s"txn log: version $asOf has no live files")
     spark.read.parquet(files: _*)
+  }
+
+  /** Snapshot read with deletion vectors applied — the merge-on-read path:
+    * live files scan as usual, then one anti-join against the accumulated
+    * (file, pos) delete set drops the dead rows. Row identity is the
+    * parquet physical row position (`_metadata.row_index` — stable for a
+    * file, and a rewritten file gets a new path so stale DV entries can
+    * never hit it). The DV table is deleted-rows-sized metadata; Spark
+    * broadcasts it when small, which is the common case. */
+  def readAsOfWithDeletes(spark: SparkSession, logDir: String, asOf: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val base = readAsOf(spark, logDir, asOf)
+    val dvs = dvFiles(logDir, asOf).toSeq.sorted
+    if (dvs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvs: _*)
+        .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+        .distinct()
+      base
+        .withColumn("__graft_file", input_file_name())
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(dv, Seq("__graft_file", "__graft_pos"), "left_anti")
+        .drop("__graft_file", "__graft_pos")
+    }
+  }
+
+  /** DELETE WHERE, merge-on-read (the Delta deletion-vector / Iceberg v2
+    * position-delete path — the complement of [[mergeCopyOnWrite]]): rows
+    * of the CURRENT visible snapshot matching `predicate` are recorded as
+    * (file, row-position) pairs in a deletion-vector file; NO data file is
+    * read-modified-written. Write cost is proportional to the deleted row
+    * COUNT, not to the table — which is why row-level deletes on a
+    * trillion-row table (GDPR erasure, late-data retraction) run as
+    * metadata commits, deferring the rewrite to the next compaction or
+    * copy-on-write merge of those files. Returns the committed version. */
+  def deleteMergeOnRead(
+      spark: SparkSession,
+      logDir: String,
+      dvOutDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val v = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    val files = liveFiles(logDir, v).toSeq.sorted
+    require(files.nonEmpty, s"txn log: version $v has no live files")
+    // predicate applies to the VISIBLE snapshot: rows already dead under an
+    // earlier DV must not re-enter the new vector (entry count stays the
+    // honest "rows this delete killed")
+    val existing = dvFiles(logDir, v).toSeq.sorted
+    val marked = spark.read.parquet(files: _*)
+      .withColumn("__graft_file", input_file_name())
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .filter(predicate)
+    val visible =
+      if (existing.isEmpty) marked
+      else marked.join(
+        spark.read.parquet(existing: _*)
+          .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+          .distinct(),
+        Seq("__graft_file", "__graft_pos"), "left_anti")
+    visible.select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(dvOutDir)
+    val dvFile = new java.io.File(dvOutDir).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"delete: no parquet written under $dvOutDir"))
+      .getAbsolutePath
+    commit(logDir, v + 1, adds = Nil, removes = Nil, dvs = Seq(dvFile))
+    v + 1
   }
 
   /** MERGE INTO, copy-on-write (the Delta/Iceberg upsert): apply `updates`
@@ -121,11 +218,27 @@ object TxnLog {
     require(dup.isEmpty,
       s"merge: duplicate update key '${dup.headOption.map(_.get(0)).orNull}' — one row per key")
     val keys = updates.select(col(keyCol))
+    // the merge MUST see the VISIBLE snapshot: reading raw files would
+    // resurrect rows a deletion vector killed, both in file attribution
+    // (a file whose only match is a dead row isn't touched) and in the
+    // rewrite (dead rows must not be copied into the merged file)
+    val dvs = dvFiles(logDir, v).toSeq.sorted
+    def visible(df: DataFrame): DataFrame = {
+      val marked = df
+        .withColumn("__graft_file", input_file_name())
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      if (dvs.isEmpty) marked
+      else marked.join(
+        spark.read.parquet(dvs: _*)
+          .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+          .distinct(),
+        Seq("__graft_file", "__graft_pos"), "left_anti")
+    }
     def canon(p: String): String =
       try new java.io.File(new java.net.URI(p).getPath).getAbsolutePath
       catch { case _: Exception => new java.io.File(p).getAbsolutePath }
-    // which files contain a matched key — driver-bounded by the file count
-    val touchedCanon = snap.withColumn("__graft_file", input_file_name())
+    // which files contain a matched VISIBLE key — driver-bounded by the file count
+    val touchedCanon = visible(snap)
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("__graft_file")).distinct().collect()
       .map(r => canon(r.getString(0))).toSet
@@ -134,7 +247,8 @@ object TxnLog {
       s"merge: ${touchedCanon.size} matched files but only ${touched.size} resolve to logged paths")
     val merged =
       if (touched.isEmpty) updates
-      else spark.read.parquet(touched: _*)
+      else visible(spark.read.parquet(touched: _*))
+        .drop("__graft_file", "__graft_pos")
         .join(keys, Seq(keyCol), "left_anti")
         .unionByName(updates)
     merged.coalesce(1).write.mode("overwrite").parquet(outDir)

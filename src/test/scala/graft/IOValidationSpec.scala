@@ -344,4 +344,50 @@ class ValidationSpec extends SparkSpec {
       spark, log, s"$root/m4", Seq((1L, 1L)).toDF("k", "other"), "k"))
   }
 
+  test("txn log deletion vectors: metadata deletes, visible-snapshot semantics, no CoW resurrection") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("txn_dv_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val f1 = fileOf(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), "f1")
+    val f2 = fileOf(Seq((4L, 40L), (5L, 50L)).toDF("k", "v"), "f2")
+    TxnLog.commit(log, 0, Seq(f1, f2), Nil)
+
+    // DELETE WHERE k IN (2, 4): no data file changes, both files stay live
+    TxnLog.deleteMergeOnRead(spark, log, s"$root/dv1", col("k").isin(2L, 4L))
+    assert(TxnLog.liveFiles(log, 1) == Set(f1, f2))
+    assert(sortedRows(TxnLog.readAsOfWithDeletes(spark, log, 1)) ==
+      Seq(Seq(1L, 10L), Seq(3L, 30L), Seq(5L, 50L)))
+    // version 0 still sees everything; the raw (DV-blind) read still has 5 rows
+    assert(TxnLog.readAsOfWithDeletes(spark, log, 0).count() == 5)
+    assert(TxnLog.readAsOf(spark, log, 1).count() == 5)
+
+    // second delete overlapping the first records ONLY newly-killed rows
+    TxnLog.deleteMergeOnRead(spark, log, s"$root/dv2", col("k") <= 2L)
+    val dv2 = TxnLog.dvFiles(log, 2) -- TxnLog.dvFiles(log, 1)
+    assert(spark.read.parquet(dv2.toSeq: _*).count() == 1) // only k=1; k=2 was dead
+    assert(sortedRows(TxnLog.readAsOfWithDeletes(spark, log, 2)) ==
+      Seq(Seq(3L, 30L), Seq(5L, 50L)))
+
+    // copy-on-write merge of a file carrying dead rows must NOT resurrect
+    // them: update k=3 (in f1, where k=1,2 are dead)
+    val v3 = TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m1", Seq((3L, 333L)).toDF("k", "v"), "k")
+    assert(sortedRows(TxnLog.readAsOfWithDeletes(spark, log, v3)) ==
+      Seq(Seq(3L, 333L), Seq(5L, 50L)))
+    // a dead row must not make a file "touched": update k=2 (dead) only —
+    // no visible match anywhere → pure insert, both files carry over
+    val v4 = TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m2", Seq((2L, 222L)).toDF("k", "v"), "k")
+    assert(TxnLog.liveFiles(log, v4).intersect(TxnLog.liveFiles(log, v3)).size ==
+      TxnLog.liveFiles(log, v3).size)
+    assert(sortedRows(TxnLog.readAsOfWithDeletes(spark, log, v4)) ==
+      Seq(Seq(2L, 222L), Seq(3L, 333L), Seq(5L, 50L)))
+  }
+
 }
