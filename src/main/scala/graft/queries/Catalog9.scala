@@ -1899,6 +1899,58 @@ private[graft] object Catalog9 {
                     + (SELECT COUNT(*) FROM p WHERE k % 11 = 0 AND k % 7 != 0))::BIGINT
             ORDER BY version"""))
 
+  /** VACUUM / snapshot expiration on the transaction-log table
+    * ([[graft.sources.TxnLog.vacuum]]) — the admin op that keeps a
+    * versioned table from growing forever: data files referenced ONLY by
+    * expired versions physically delete (here the pre-compaction
+    * originals), retained versions read unchanged, and an expired-version
+    * read refuses naming the oldest retained version (watermark published
+    * before the deletes, so a racing reader can never see a half-deleted
+    * snapshot). Completes the lakehouse write lifecycle:
+    * append/compact (q245) → CoW merge (q263) → DV delete (q264) →
+    * expire (q265). */
+  val q265_vacuum = Q(
+    "q265_vacuum",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q265").toString
+      val logDir = s"$root/_log"
+      val ev = t(s, dir, "events").select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val f0a = writeOne(ev.filter(col("event_id") % 2 === 0), "even")
+      val f0b = writeOne(ev.filter(col("event_id") % 2 === 1), "odd")
+      TxnLog.commit(logDir, 0, adds = Seq(f0a, f0b), removes = Nil)
+      val f1 = writeOne(TxnLog.readAsOf(s, logDir, 0), "compacted")
+      TxnLog.commit(logDir, 1, adds = Seq(f1), removes = Seq(f0a, f0b))
+      val f2 = writeOne(ev.filter(col("event_id") % 97 === 0), "late")
+      TxnLog.commit(logDir, 2, adds = Seq(f2), removes = Nil)
+      val deleted = TxnLog.vacuum(logDir, 1)
+      val v0Refused =
+        try { TxnLog.readAsOf(s, logDir, 0); false }
+        catch { case _: IllegalArgumentException => true }
+      Seq((
+        deleted.size.toLong,
+        TxnLog.retainedFrom(logDir),
+        TxnLog.liveFiles(logDir, 2).size.toLong,
+        TxnLog.readAsOf(s, logDir, 2).count(),
+        deleted.forall(f => !new java.io.File(f).exists()),
+        v0Refused))
+        .toDF("n_deleted", "oldest_retained", "n_files_latest", "n_rows_latest",
+          "files_gone", "v0_refused")
+    },
+    Some("""SELECT 2::BIGINT AS n_deleted, 1::BIGINT AS oldest_retained,
+                   2::BIGINT AS n_files_latest,
+                   ((SELECT COUNT(*) FROM events)
+                    + (SELECT COUNT(*) FROM events WHERE event_id % 97 = 0))::BIGINT AS n_rows_latest,
+                   true AS files_gone, true AS v0_refused"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -1907,5 +1959,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum)
 }

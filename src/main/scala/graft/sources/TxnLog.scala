@@ -67,12 +67,24 @@ object TxnLog {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  private def watermarkFile(logDir: String) = new java.io.File(logDir, "_vacuum.json")
+
+  /** Oldest version still readable (0 unless [[vacuum]] raised it). */
+  def retainedFrom(logDir: String): Long = {
+    val f = watermarkFile(logDir)
+    if (!f.exists()) 0L
+    else java.nio.file.Files.readString(f.toPath)
+      .split("\"retain_from\":")(1).takeWhile(_.isDigit).toLong
+  }
+
   /** The live file set after replaying commits 0..asOf (inclusive). */
   def liveFiles(logDir: String, asOf: Long): Set[String] = {
     val latest = latestVersion(logDir).getOrElse(
       throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
     require(asOf >= 0 && asOf <= latest,
       s"txn log: version $asOf out of range [0, $latest]")
+    require(asOf >= retainedFrom(logDir),
+      s"txn log: version $asOf was expired by vacuum (oldest retained: ${retainedFrom(logDir)})")
     var live = Set.empty[String]
     (0L to asOf).foreach { v =>
       val lines = java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
@@ -89,6 +101,43 @@ object TxnLog {
       }
     }
     live
+  }
+
+  /** Expire snapshots older than `retainFrom` and physically delete the
+    * data files no retained version references (ref shape: Delta VACUUM /
+    * Iceberg expire_snapshots — the admin affordance that keeps a table
+    * from growing forever, the file-level sibling of the registry's
+    * deleteVersion). The log itself stays (history metadata is tiny); a
+    * `_vacuum.json` watermark makes expired-version reads REFUSE with the
+    * oldest retained version named, instead of failing mid-scan on a
+    * missing file. Deletion-vector files are always kept: vectors
+    * accumulate, so any retained version may depend on one committed
+    * before the watermark. The watermark is monotone — vacuuming to an
+    * older version than the current watermark refuses. Returns the
+    * physically deleted data files (sorted). */
+  def vacuum(logDir: String, retainFrom: Long): Seq[String] = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(retainFrom >= 0 && retainFrom <= latest,
+      s"txn log: retainFrom $retainFrom out of range [0, $latest]")
+    require(retainFrom >= retainedFrom(logDir),
+      s"txn log: watermark is monotone — already vacuumed to ${retainedFrom(logDir)}")
+    val referenced = (retainFrom to latest).flatMap(liveFiles(logDir, _)).toSet
+    // every data file ever added, straight from the log
+    val allAdds = (0L to latest).flatMap { v =>
+      java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.contains("\"action\":\"add\""))
+        .map(_.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+          .replace("\\\\", "\\"))
+    }.toSet
+    val doomed = (allAdds -- referenced).toSeq.sorted
+    // publish the watermark FIRST: a reader racing the deletes sees the
+    // refusal, never a half-deleted snapshot
+    java.nio.file.Files.writeString(watermarkFile(logDir).toPath,
+      s"""{"retain_from":$retainFrom}""")
+    doomed.foreach(f => new java.io.File(f).delete())
+    doomed
   }
 
   /** Deletion-vector files committed in versions 0..asOf (inclusive). */

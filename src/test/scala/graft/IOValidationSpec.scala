@@ -390,4 +390,43 @@ class ValidationSpec extends SparkSpec {
       Seq(Seq(2L, 222L), Seq(3L, 333L), Seq(5L, 50L)))
   }
 
+  test("txn log vacuum: expires old snapshots, deletes exactly the unreferenced files, monotone watermark") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("txn_vac_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val a = fileOf(Seq((1L, 1L)).toDF("k", "v"), "a")
+    val b = fileOf(Seq((2L, 2L)).toDF("k", "v"), "b")
+    TxnLog.commit(log, 0, Seq(a, b), Nil)
+    val c = fileOf(TxnLog.readAsOf(spark, log, 0), "c") // compaction
+    TxnLog.commit(log, 1, Seq(c), Seq(a, b))
+    val d = fileOf(Seq((3L, 3L)).toDF("k", "v"), "d")
+    TxnLog.commit(log, 2, Seq(d), Nil)
+
+    // retainFrom 0 deletes nothing (everything is referenced somewhere)
+    assert(TxnLog.vacuum(log, 0).isEmpty)
+    assert(new java.io.File(a).exists() && new java.io.File(b).exists())
+
+    // retainFrom 1: a/b are only referenced by v0 → physically deleted
+    assert(TxnLog.vacuum(log, 1).toSet == Set(a, b))
+    assert(!new java.io.File(a).exists() && !new java.io.File(b).exists())
+    assert(new java.io.File(c).exists() && new java.io.File(d).exists())
+    // retained versions read unchanged; expired version refuses BY NAME
+    assert(TxnLog.readAsOf(spark, log, 1).count() == 2)
+    assert(TxnLog.readAsOf(spark, log, 2).count() == 3)
+    val e = intercept[IllegalArgumentException](TxnLog.readAsOf(spark, log, 0))
+    assert(e.getMessage.contains("expired") && e.getMessage.contains("1"))
+    // the watermark is monotone: vacuuming backwards refuses
+    assertThrows[IllegalArgumentException](TxnLog.vacuum(log, 0))
+    // commits continue cleanly after a vacuum
+    val f = fileOf(Seq((4L, 4L)).toDF("k", "v"), "f")
+    TxnLog.commit(log, 3, Seq(f), Nil)
+    assert(TxnLog.readAsOf(spark, log, 3).count() == 4)
+  }
+
 }
