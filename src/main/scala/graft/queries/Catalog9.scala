@@ -1951,6 +1951,64 @@ private[graft] object Catalog9 {
                     + (SELECT COUNT(*) FROM events WHERE event_id % 97 = 0))::BIGINT AS n_rows_latest,
                    true AS files_gone, true AS v0_refused"""))
 
+  /** Change data feed across the lakehouse lifecycle
+    * ([[graft.sources.TxnLog.changesBetween]]): the row-level delta
+    * between two versions derived from the FILE-level log diff — only
+    * files that changed hands (plus files hit by new deletion vectors)
+    * are read, so CDF cost scales with the change, not the table. The
+    * window spans a copy-on-write merge AND a DV delete: updates emit as
+    * delete+insert pairs, carried rows rewritten verbatim cancel in the
+    * content-level EXCEPT ALL, transient rows (inserted by the merge,
+    * killed by the later DV) emit nothing. Oracle is residue arithmetic
+    * over part. */
+  val q266_change_feed = Q(
+    "q266_change_feed",
+    (s, dir) => {
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q266").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val fs = (0 until 3).map(m =>
+        writeOne(base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
+      TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
+      // v1: CoW merge — value 1000k+1 (odd) can never equal an original 2k
+      val updates = base.filter(col("key") % 300 === 0)
+        .select(col("key"), (col("key") * 1000 + 1).as("value"))
+        .unionByName(base.filter(col("key") % 500 === 0)
+          .select((col("key") + 10000000L).as("key"),
+            ((col("key") + 10000000L) * 1000 + 1).as("value")))
+      TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
+      // v2: DV delete of every visible key % 7 == 0
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv", col("key") % 7 === 0)
+      TxnLog.changesBetween(s, logDir, 0, 2)
+        .groupBy(col("change_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("value")).cast("long").as("sum_value"))
+        .orderBy("change_type")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            ins AS (SELECT k + 10000000 AS nk FROM p WHERE k % 500 = 0)
+            SELECT 'delete' AS change_type,
+                   ((SELECT COUNT(*) FROM p WHERE k % 300 = 0)
+                    + (SELECT COUNT(*) FROM p WHERE k % 7 = 0 AND k % 300 != 0))::BIGINT AS n_rows,
+                   ((SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 300 = 0)
+                    + (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 7 = 0 AND k % 300 != 0))::BIGINT AS sum_value
+            UNION ALL
+            SELECT 'insert',
+                   ((SELECT COUNT(*) FROM p WHERE k % 300 = 0 AND k % 7 != 0)
+                    + (SELECT COUNT(*) FROM ins WHERE nk % 7 != 0))::BIGINT,
+                   ((SELECT COALESCE(SUM(1000 * k + 1), 0) FROM p WHERE k % 300 = 0 AND k % 7 != 0)
+                    + (SELECT COALESCE(SUM(1000 * nk + 1), 0) FROM ins WHERE nk % 7 != 0))::BIGINT
+            ORDER BY change_type"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -1959,5 +2017,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed)
 }

@@ -234,6 +234,62 @@ object TxnLog {
     v + 1
   }
 
+  /** Change data feed between two versions (Delta CDF / Iceberg
+    * changelog-scan shape): the row-level delta derived from the
+    * FILE-level log diff — only files that changed hands between the
+    * versions (plus files referenced by new deletion vectors) are read;
+    * carried files contribute zero IO, so the cost scales with the CHANGE,
+    * not the table. A row rewritten verbatim into a new file (the carried
+    * part of a copy-on-write merge) cancels in the content-level
+    * EXCEPT ALL and correctly emits nothing. Returns rows tagged
+    * `change_type` ∈ {insert, delete} — an update appears as its
+    * delete + insert pair, multiset-exact via EXCEPT ALL. */
+  def changesBetween(
+      spark: SparkSession,
+      logDir: String,
+      fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    require(fromV < toV, s"txn log: changesBetween needs fromV < toV, got [$fromV, $toV]")
+    val before = liveFiles(logDir, fromV)
+    val after = liveFiles(logDir, toV)
+    val newDvs = (dvFiles(logDir, toV) -- dvFiles(logDir, fromV)).toSeq.sorted
+    // files whose rows can differ: the symmetric file-set difference, plus
+    // carried files hit by a NEW deletion vector
+    val dvTouched: Set[String] =
+      if (newDvs.isEmpty) Set.empty
+      else {
+        def canon(p: String): String =
+          try new java.io.File(new java.net.URI(p).getPath).getAbsolutePath
+          catch { case _: Exception => new java.io.File(p).getAbsolutePath }
+        val hit = spark.read.parquet(newDvs: _*).select(col("file")).distinct()
+          .collect().map(r => canon(r.getString(0))).toSet
+        (before ++ after).filter(f => hit.contains(canon(f)))
+      }
+    val candidates = ((before diff after) ++ (after diff before) ++ dvTouched).toSeq.sorted
+    val schema = readAsOf(spark, logDir, toV).schema
+    def visibleIn(files: Seq[String], asOf: Long): DataFrame = {
+      if (files.isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val dvs = dvFiles(logDir, asOf).toSeq.sorted
+      val base = spark.read.parquet(files: _*)
+      if (dvs.isEmpty) base
+      else base
+        .withColumn("__graft_file", input_file_name())
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(
+          spark.read.parquet(dvs: _*)
+            .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+            .distinct(),
+          Seq("__graft_file", "__graft_pos"), "left_anti")
+        .drop("__graft_file", "__graft_pos")
+    }
+    val visFrom = visibleIn(candidates.filter(before.contains), fromV)
+    val visTo = visibleIn(candidates.filter(after.contains), toV)
+    visTo.exceptAll(visFrom).withColumn("change_type", lit("insert"))
+      .unionByName(visFrom.exceptAll(visTo).withColumn("change_type", lit("delete")))
+  }
+
   /** MERGE INTO, copy-on-write (the Delta/Iceberg upsert): apply `updates`
     * — unique on `keyCol` — to the latest snapshot. Matched keys replace
     * their row, unmatched keys insert. ONLY files that CONTAIN a matched

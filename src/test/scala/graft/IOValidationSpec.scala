@@ -429,4 +429,38 @@ class ValidationSpec extends SparkSpec {
     assert(TxnLog.readAsOf(spark, log, 3).count() == 4)
   }
 
+  test("txn log change feed: file-diff CDF emits exactly the row delta, carried rows cancel") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("txn_cdf_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val f1 = fileOf(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), "f1")
+    val f2 = fileOf(Seq((4L, 40L)).toDF("k", "v"), "f2")
+    TxnLog.commit(log, 0, Seq(f1, f2), Nil)
+    // v1: merge updates k=2 and inserts k=9 — k=1,3 rewrite verbatim into
+    // the merged file and must CANCEL in the feed
+    TxnLog.mergeCopyOnWrite(spark, log, s"$root/m1",
+      Seq((2L, 222L), (9L, 99L)).toDF("k", "v"), "k")
+    // v2: DV delete of k=4 (in the untouched carried file f2)
+    TxnLog.deleteMergeOnRead(spark, log, s"$root/dv1", col("k") === 4L)
+
+    def feed(a: Long, b: Long): Set[(String, Long, Long)] =
+      TxnLog.changesBetween(spark, log, a, b)
+        .select(col("change_type"), col("k"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(feed(0, 1) == Set(
+      ("delete", 2L, 20L), ("insert", 2L, 222L), ("insert", 9L, 99L)))
+    assert(feed(1, 2) == Set(("delete", 4L, 40L)))
+    assert(feed(0, 2) == Set(
+      ("delete", 2L, 20L), ("delete", 4L, 40L),
+      ("insert", 2L, 222L), ("insert", 9L, 99L)))
+    assertThrows[IllegalArgumentException](TxnLog.changesBetween(spark, log, 2, 2))
+  }
+
 }
