@@ -2009,6 +2009,55 @@ private[graft] object Catalog9 {
                     + (SELECT COALESCE(SUM(1000 * nk + 1), 0) FROM ins WHERE nk % 7 != 0))::BIGINT
             ORDER BY change_type"""))
 
+  /** Streaming lakehouse sink — exactly-once micro-batch ingest into the
+    * transaction-log table ([[graft.sources.TxnLog.appendBatch]]):
+    * Structured Streaming replays a failed micro-batch with the SAME batch
+    * id, so the sink records the id as a commit marker and skips
+    * already-committed ids — table-level idempotence, proven here by
+    * re-delivering the last batch after the drain (a no-op, version count
+    * unchanged). Every micro-batch lands as its own time-travelable
+    * version; the final snapshot equals the batch source exactly. */
+  val q267_stream_txn_sink = Q(
+    "q267_stream_txn_sink",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val scratch = s.conf.get("spark.local.dir", "/tmp") +
+        "/graft_q267_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Writers.deleteRecursively(java.nio.file.Paths.get(scratch))
+      val srcDir = s"$scratch/src"
+      raw.select(col("event_id"), col("user_id")).repartition(4, col("event_id"))
+        .write.parquet(srcDir)
+      val logDir = s"$scratch/_log"
+      val dataDir = s"$scratch/data"
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = scopedStreamStart(s)(stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          TxnLog.appendBatch(logDir, dataDir, batch.toDF(), id)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      val versionsAfterDrain = TxnLog.latestVersion(logDir).get + 1
+      // a replayed batch (same id) must be a table-level no-op
+      val retried = TxnLog.appendBatch(
+        logDir, dataDir, raw.select(col("event_id"), col("user_id")).limit(5), 3L)
+      val versionsAfterRetry = TxnLog.latestVersion(logDir).get + 1
+      val table = TxnLog.readAsOf(s, logDir, versionsAfterRetry - 1)
+      Seq((
+        versionsAfterDrain,
+        table.count(),
+        !retried && versionsAfterRetry == versionsAfterDrain,
+        TxnLog.committedBatchIds(logDir).size.toLong))
+        .toDF("n_versions", "n_rows", "retry_noop", "n_batches")
+    },
+    Some("""SELECT 4::BIGINT AS n_versions,
+                   (SELECT COUNT(*) FROM events)::BIGINT AS n_rows,
+                   true AS retry_noop, 4::BIGINT AS n_batches"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -2017,5 +2066,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink)
 }

@@ -37,7 +37,10 @@ object TxnLog {
       version: Long,
       adds: Seq[String],
       removes: Seq[String],
-      dvs: Seq[String] = Nil): Unit = {
+      dvs: Seq[String] = Nil,
+      /** opaque markers carried in the commit (e.g. `batch:<id>` for the
+        * exactly-once streaming sink) — ignored by file-set replay */
+      meta: Seq[String] = Nil): Unit = {
     val dir = new java.io.File(logDir)
     dir.mkdirs()
     require(version == latestVersion(logDir).map(_ + 1).getOrElse(0L),
@@ -51,7 +54,8 @@ object TxnLog {
     val lines =
       adds.map(f => s"""{"action":"add","file":"${esc(f)}"}""") ++
         removes.map(f => s"""{"action":"remove","file":"${esc(f)}"}""") ++
-        dvs.map(f => s"""{"action":"dv","file":"${esc(f)}"}""")
+        dvs.map(f => s"""{"action":"dv","file":"${esc(f)}"}""") ++
+        meta.map(m => s"""{"action":"meta","file":"${esc(m)}"}""")
     val tmp = java.io.File.createTempFile("_graft_txn", ".json", dir)
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -232,6 +236,44 @@ object TxnLog {
       .getAbsolutePath
     commit(logDir, v + 1, adds = Nil, removes = Nil, dvs = Seq(dvFile))
     v + 1
+  }
+
+  /** Batch ids already committed via [[appendBatch]] (from `batch:<id>`
+    * meta markers). */
+  def committedBatchIds(logDir: String): Set[Long] =
+    latestVersion(logDir).map { latest =>
+      (0L to latest).flatMap { v =>
+        java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+          .toArray(Array.empty[String]).toSeq
+          .filter(l => l.contains("\"action\":\"meta\"") && l.contains("batch:"))
+          .map(_.split("batch:")(1).takeWhile(_.isDigit).toLong)
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  /** Exactly-once streaming append: the foreachBatch sink body for
+    * ingesting a stream into a txn-log table. Structured Streaming
+    * REPLAYS a micro-batch after failure with the SAME batch id; recording
+    * the id as a commit marker and skipping already-committed ids makes
+    * the table-level append idempotent — the replayed batch becomes a
+    * no-op instead of duplicate rows (the same contract q190's serving
+    * sink implements with per-batch overwrite, here as an append-only
+    * versioned table where every micro-batch stays time-travelable).
+    * Returns true when the batch committed, false when skipped. */
+  def appendBatch(
+      logDir: String,
+      dataDir: String,
+      batch: DataFrame,
+      batchId: Long): Boolean = {
+    if (committedBatchIds(logDir).contains(batchId)) return false
+    val outDir = s"$dataDir/batch_$batchId"
+    batch.coalesce(1).write.mode("overwrite").parquet(outDir)
+    val file = new java.io.File(outDir).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"appendBatch: no parquet under $outDir"))
+      .getAbsolutePath
+    val next = latestVersion(logDir).map(_ + 1).getOrElse(0L)
+    commit(logDir, next, adds = Seq(file), removes = Nil, meta = Seq(s"batch:$batchId"))
+    true
   }
 
   /** Change data feed between two versions (Delta CDF / Iceberg
