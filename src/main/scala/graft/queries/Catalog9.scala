@@ -2058,6 +2058,60 @@ private[graft] object Catalog9 {
                    (SELECT COUNT(*) FROM events)::BIGINT AS n_rows,
                    true AS retry_noop, 4::BIGINT AS n_batches"""))
 
+  /** Value-level secondary index vs min/max manifest
+    * ([[graft.sources.Skipping.buildValueIndex]] / `readKeys`): on a
+    * high-cardinality key the layout is NOT clustered by, every file's
+    * [min, max] covers everything — the manifest opens all 8 files — while
+    * the inverted (key → file) index opens exactly the files containing
+    * the looked-up keys (3 of 8 here). Both file counts, the row count,
+    * and the sum are pinned; the oracle replays the file layout through
+    * residue arithmetic (file r holds l_orderkey ≡ r mod 8). */
+  val q268_value_index = Q(
+    "q268_value_index",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.Skipping
+      val root = java.nio.file.Files.createTempDirectory("graft-q268").toString
+      val flat = s"$root/table"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(flat))
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("k"),
+        pmod(col("l_orderkey"), lit(8)).cast("int").as("r"),
+        col("l_quantity"))
+      (0 until 8).foreach { r =>
+        val d = s"$root/part_$r"
+        li.filter(col("r") === r).drop("r").coalesce(1)
+          .write.mode("overwrite").parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(flat, s"r$r.parquet"))
+      }
+      val manifest = Skipping.buildManifest(s, flat, "k").localCheckpoint(true)
+      val index = Skipping.buildValueIndex(s, flat, "k").localCheckpoint(true)
+      val keys = Seq(8L * 8 + 1, 17L * 8 + 1, 26L * 8 + 1)
+      val manifestOpens = manifest
+        .filter(keys.map(k => col("min_v") <= k && col("max_v") >= k).reduce(_ || _))
+        .count()
+      val (idxFiles, hits) = Skipping.readKeys(s, flat, index, "k", keys)
+      val agg = hits
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).cast("long")).head()
+      Seq((8L, manifestOpens, idxFiles.size.toLong, agg.getLong(0), agg.getLong(1)))
+        .toDF("n_files_total", "n_files_manifest", "n_files_index", "n_rows", "sum_qty")
+    },
+    Some("""WITH li AS (SELECT l_orderkey * 8 + l_linenumber AS k,
+                               l_orderkey % 8 AS r, l_quantity FROM lineitem),
+            keys(k) AS (VALUES (8*8+1), (17*8+1), (26*8+1)),
+            stats AS (SELECT r, MIN(k) AS mn, MAX(k) AS mx FROM li GROUP BY 1)
+            SELECT 8::BIGINT AS n_files_total,
+                   (SELECT COUNT(DISTINCT s.r) FROM stats s
+                    JOIN keys ky ON ky.k BETWEEN s.mn AND s.mx)::BIGINT AS n_files_manifest,
+                   (SELECT COUNT(DISTINCT r) FROM li JOIN keys USING (k))::BIGINT AS n_files_index,
+                   (SELECT COUNT(*) FROM li JOIN keys USING (k))::BIGINT AS n_rows,
+                   (SELECT CAST(COALESCE(SUM(l_quantity), 0) AS BIGINT)
+                    FROM li JOIN keys USING (k)) AS sum_qty"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -2066,5 +2120,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index)
 }

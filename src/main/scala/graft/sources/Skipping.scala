@@ -50,4 +50,38 @@ object Skipping {
       else spark.read.parquet(files: _*).filter(col(statsCol).between(lo, hi))
     (files, df)
   }
+
+  /** Value-level secondary index — the point-lookup complement of the
+    * min/max manifest. On a column the layout is NOT clustered by,
+    * per-file ranges all overlap and [[readRange]] prunes nothing; the
+    * inverted (key → file) index maps each distinct key to exactly the
+    * files containing it, so a point lookup opens O(result) files
+    * regardless of layout. Index size ∝ distinct (key, file) pairs — a
+    * columnar table itself, bucketable by key at scale so the lookup
+    * probe is a partition-pruned scan, and maintainable incrementally
+    * (append each new file's distinct keys at write time). */
+  def buildValueIndex(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(keyCol).as("key"), input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+
+  /** Point-lookup read planned against the value index: only files
+    * containing at least one requested key open; the residual filter
+    * still applies (a file holds other keys too). */
+  def readKeys(
+      spark: SparkSession,
+      path: String,
+      index: DataFrame,
+      keyCol: String,
+      keys: Seq[Long]): (Seq[String], DataFrame) = {
+    require(keys.nonEmpty, "readKeys: empty key set")
+    val files = index
+      .filter(col("key").isin(keys.map(Long.box): _*))
+      .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+        .filter(col(keyCol).isin(keys.map(Long.box): _*))
+    (files, df)
+  }
 }

@@ -164,6 +164,34 @@ class IOSpec extends SparkSpec {
       Skipping.readRange(spark, dir, manifest, "v", 5.0, 1.0)
     }
   }
+
+  test("value index opens only files containing the looked-up keys where min/max prunes nothing") {
+    import graft.sources.Skipping
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString + "/t"
+    // anti-clustered layout: key i lands in file i % 4 — every file's
+    // [min, max] spans nearly the whole domain
+    (0L until 400L).map(i => (i, i % 4)).toDF("k", "b")
+      .repartition(4, col("b")).write.parquet(dir)
+    val manifest = Skipping.buildManifest(spark, dir, "k")
+    val index = Skipping.buildValueIndex(spark, dir, "k")
+    val nFiles = manifest.count()
+    assert(nFiles >= 3) // hash partitioning may collide buckets; ≥3 real files
+    // min/max: EVERY file covers key 42's point range — range stats are
+    // useless on this layout
+    assert(manifest.filter(col("min_v") <= 42 && col("max_v") >= 42).count() == nFiles)
+    // value index: exactly the one file containing both (same bucket b=2)
+    val (files, df) = Skipping.readKeys(spark, dir, index, "k", Seq(42L, 46L))
+    assert(files.size == 1, s"opened ${files.size} files")
+    assert(df.select("k").as[Long].collect().sorted.toSeq == Seq(42L, 46L))
+    // keys in different buckets open at most their union — always < all files
+    val (f2, d2) = Skipping.readKeys(spark, dir, index, "k", Seq(42L, 43L))
+    assert(f2.size <= 2 && f2.size < nFiles && d2.count() == 2)
+    // absent key: zero files, typed empty frame
+    val (f3, d3) = Skipping.readKeys(spark, dir, index, "k", Seq(9999L))
+    assert(f3.isEmpty && d3.isEmpty && d3.columns.toSeq == Seq("k", "b"))
+    intercept[IllegalArgumentException](Skipping.readKeys(spark, dir, index, "k", Nil))
+  }
 }
 
 class ValidationSpec extends SparkSpec {
