@@ -2112,6 +2112,103 @@ private[graft] object Catalog9 {
                    (SELECT CAST(COALESCE(SUM(l_quantity), 0) AS BIGINT)
                     FROM li JOIN keys USING (k)) AS sum_qty"""))
 
+  /** Per-file Bloom skipping ([[graft.sources.Skipping.buildBloomIndex]] /
+    * `readKeysBloom`) — completes the skipping triad beside q194's range
+    * manifest and q268's exact value index: fixed bytes per file at any
+    * key cardinality, never a false negative (no lost rows — pinned
+    * against the full-scan truth), occasionally a false-positive open.
+    * Same anti-clustered layout as q268; the oracle replays
+    * xxhash64 → splitmix64 stride → 5 wrapping probe positions per
+    * (file, key) bit-for-bit, so `n_files_bloom` is value-exact even when
+    * a false positive occurs. */
+  val q269_bloom_skipping = Q(
+    "q269_bloom_skipping",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.Skipping
+      val root = java.nio.file.Files.createTempDirectory("graft-q269").toString
+      val flat = s"$root/table"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(flat))
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("k"),
+        pmod(col("l_orderkey"), lit(8)).cast("int").as("r"),
+        col("l_quantity"))
+      (0 until 8).foreach { r =>
+        val d = s"$root/part_$r"
+        li.filter(col("r") === r).drop("r").coalesce(1)
+          .write.mode("overwrite").parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(flat, s"r$r.parquet"))
+      }
+      val index = Skipping.buildBloomIndex(s, flat, "k", numBits = 1L << 20)
+        .localCheckpoint(true)
+      val keys = Seq(8L * 8 + 1, 17L * 8 + 1, 26L * 8 + 1)
+      val (bloomFiles, hits) = Skipping.readKeysBloom(s, flat, index, "k", keys)
+      val agg = hits
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).cast("long")).head()
+      val truth = li.filter(col("k").isin(keys.map(Long.box): _*))
+        .agg(count(lit(1)).cast("long")).head().getLong(0)
+      Seq((8L, bloomFiles.size.toLong, agg.getLong(0), agg.getLong(1),
+        agg.getLong(0) == truth))
+        .toDF("n_files_total", "n_files_bloom", "n_rows", "sum_qty", "no_false_negative")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val C1 = BigInt("9E3779B97F4A7C15", 16)
+      val C2 = BigInt("BF58476D1CE4E5B9", 16)
+      val C3 = BigInt("94D049BB133111EB", 16)
+      val Mask = (1L << 20) - 1
+      // splitmix64 stride + 5 wrapping probe positions over a relation
+      // exposing UBIGINT `u` (extra columns pass through the stages)
+      def probeStages(rel: String, pfx: String): String = {
+        var q = rel
+        def wrap(expr: String, c: String): Unit = { q = s"SELECT *, $expr AS $c FROM ($q)" }
+        wrap(addModSql("u", C1.toString), s"${pfx}z0")
+        wrap(mulConstSql(s"xor(${pfx}z0, ${pfx}z0 >> 30)", C2), s"${pfx}z1")
+        wrap(mulConstSql(s"xor(${pfx}z1, ${pfx}z1 >> 27)", C3), s"${pfx}z2")
+        wrap(s"xor(${pfx}z2, ${pfx}z2 >> 31)", s"${pfx}mx")
+        wrap(s"${pfx}mx | 1", s"${pfx}h2")
+        wrap("u", s"${pfx}p0")
+        (1 to 4).foreach(i => wrap(addModSql(s"${pfx}p${i - 1}", s"${pfx}h2"), s"${pfx}p$i"))
+        wrap((0 to 4).map(i => s"${pfx}p$i & $Mask").mkString("[", ", ", "]"), s"${pfx}plist")
+        q
+      }
+      val fileKeys = xxhash64LongStages(
+        "SELECT l_orderkey * 8 + l_linenumber AS kk, l_orderkey % 8 AS r FROM lineitem",
+        "kk", "key", pfx = "__fk")
+      val lookupKeys = xxhash64LongStages(
+        "SELECT * FROM (VALUES (8*8+1), (17*8+1), (26*8+1)) t(kk)",
+        "kk", "key", pfx = "__lk")
+      s"""WITH li AS (SELECT l_orderkey * 8 + l_linenumber AS kk,
+                             l_orderkey % 8 AS r, l_quantity FROM lineitem),
+            fpos AS MATERIALIZED (
+              SELECT DISTINCT r, unnest(__fpplist) AS pos FROM (
+                ${probeStages(s"SELECT ${unsignedOf("key")} AS u, r FROM ($fileKeys)", "__fp")})),
+            lpos AS MATERIALIZED (
+              SELECT kk, unnest(__lpplist) AS pos FROM (
+                ${probeStages(s"SELECT ${unsignedOf("key")} AS u, kk FROM ($lookupKeys)", "__lp")})),
+            ltot AS (SELECT kk, COUNT(DISTINCT pos) AS t FROM lpos GROUP BY 1),
+            opens AS (
+              SELECT f.r, l.kk, COUNT(DISTINCT l.pos) AS nhit
+              FROM lpos l JOIN fpos f USING (pos)
+              GROUP BY 1, 2),
+            -- a key's 5 probes can collide onto fewer distinct positions:
+            -- bloom-positive iff EVERY distinct position is set, so compare
+            -- against the key's own distinct-position count, never literal 5
+            bloomfiles AS (
+              SELECT DISTINCT o.r FROM opens o JOIN ltot USING (kk)
+              WHERE o.nhit = ltot.t),
+            matched AS (SELECT * FROM li WHERE kk IN (8*8+1, 17*8+1, 26*8+1))
+          SELECT 8::BIGINT AS n_files_total,
+                 (SELECT COUNT(*) FROM bloomfiles)::BIGINT AS n_files_bloom,
+                 (SELECT COUNT(*) FROM matched)::BIGINT AS n_rows,
+                 (SELECT CAST(COALESCE(SUM(l_quantity), 0) AS BIGINT) FROM matched) AS sum_qty,
+                 true AS no_false_negative"""
+    })
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -2120,5 +2217,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index, q269_bloom_skipping)
 }

@@ -84,4 +84,57 @@ object Skipping {
         .filter(col(keyCol).isin(keys.map(Long.box): _*))
     (files, df)
   }
+
+  /** Per-file Bloom index — the probabilistic third of the skipping triad:
+    * range stats need a clustered layout, the exact value index costs
+    * O(distinct (key, file) pairs); a per-file Bloom filter is FIXED bytes
+    * per file at any key cardinality (Parquet's own optional bloom_filter
+    * pages and Delta's deletion-file blooms are this shape). Built in one
+    * grouped pass with the zero-shuffle Bloom aggregate — numBits/8 bytes
+    * per (file, partition) cross the wire, never keys. Lookups can false
+    * POSITIVE (a wasted file open, bounded by fpp) but never false
+    * negative — probe and build share [[graft.plans.BloomHash]]'s bit
+    * derivation, so no row is ever lost (spec-enforced). */
+  def buildBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      numBits: Long = 1L << 20,
+      numHashFuncs: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    val agg = graft.plans.BloomBuildAgg(
+      ExprColumn.expr(xxhash64(col(keyCol))), numBits, numHashFuncs)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(ExprColumn(agg.toAggregateExpression()).as("bits"))
+      .withColumn("k", lit(numHashFuncs))
+  }
+
+  /** Point-lookup read planned against the per-file Bloom index: the
+    * filters are catalog-sized metadata (numBits/8 bytes per file), so
+    * the probe runs on the driver; the residual filter still applies. */
+  def readKeysBloom(
+      spark: SparkSession,
+      path: String,
+      index: DataFrame,
+      keyCol: String,
+      keys: Seq[Long]): (Seq[String], DataFrame) = {
+    require(keys.nonEmpty, "readKeysBloom: empty key set")
+    import spark.implicits._
+    // hash exactly as the build did (Spark's xxhash64 over the key column)
+    val keyHashes = keys.toDF(keyCol)
+      .select(xxhash64(col(keyCol))).as[Long].collect()
+    val files = index.select(col("file"), col("bits"), col("k")).collect()
+      .filter { r =>
+        val bits = r.getSeq[Long](1).toArray
+        val k = r.getInt(2)
+        keyHashes.exists(h => graft.plans.BloomHash.contains(bits, h, k))
+      }
+      .map(_.getString(0)).toSeq.sorted
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+        .filter(col(keyCol).isin(keys.map(Long.box): _*))
+    (files, df)
+  }
 }

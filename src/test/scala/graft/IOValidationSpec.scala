@@ -192,6 +192,30 @@ class IOSpec extends SparkSpec {
     assert(f3.isEmpty && d3.isEmpty && d3.columns.toSeq == Seq("k", "b"))
     intercept[IllegalArgumentException](Skipping.readKeys(spark, dir, index, "k", Nil))
   }
+
+  test("bloom skipping never false-negatives; a deliberately undersized filter over-opens but stays exact") {
+    import graft.sources.Skipping
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bidx").toString + "/t"
+    (0L until 400L).map(i => (i, i % 4)).toDF("k", "b")
+      .repartition(4, col("b")).write.parquet(dir)
+    val exact = Skipping.buildValueIndex(spark, dir, "k")
+    // generous filter: bloom opens must equal the exact index's opens here
+    // (fpp ≈ 0 at 2^16 bits over 100 keys/file) and rows must be exact
+    val roomy = Skipping.buildBloomIndex(spark, dir, "k", numBits = 1L << 16)
+    val keys = Seq(42L, 43L, 9999L)
+    val (bf, bd) = Skipping.readKeysBloom(spark, dir, roomy, "k", keys)
+    val (ef, ed) = Skipping.readKeys(spark, dir, exact, "k", keys)
+    assert(bf == ef, s"bloom opened $bf, exact opened $ef")
+    assert(sortedRows(bd) == sortedRows(ed))
+    // undersized filter (64 bits for 100 keys/file → saturated): MAY open
+    // extra files (false positives) but NEVER misses one, and the residual
+    // filter keeps the rows exact
+    val tiny = Skipping.buildBloomIndex(spark, dir, "k", numBits = 64L)
+    val (tf, td) = Skipping.readKeysBloom(spark, dir, tiny, "k", keys)
+    assert(ef.toSet.subsetOf(tf.toSet), s"false negative: exact $ef vs bloom $tf")
+    assert(sortedRows(td) == sortedRows(ed))
+  }
 }
 
 class ValidationSpec extends SparkSpec {
