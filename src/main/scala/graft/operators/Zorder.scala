@@ -42,4 +42,59 @@ object Zorder {
     }
     z
   }
+
+  /** OPTIMIZE ZORDER BY on a transaction-log table (the Delta OPTIMIZE
+    * shape): rewrite the latest snapshot into `numFiles` files clustered
+    * along the Morton curve of (xCol, yCol), published as one atomic
+    * commit (removes = every old file, adds = the clustered set) — readers
+    * see the old or new layout, never a mix, and the pre-optimize version
+    * stays time-travelable. Afterwards each file's (x, y) bounding box is
+    * compact, so min/max stats prune box predicates on EITHER dimension.
+    *
+    * File assignment is EXACT rank bucketing over the z order —
+    * bucket = (rank−1)·numFiles div N — not sampled range partitioning:
+    * z determines (x, y) bijectively, so equal-z rows are interchangeable
+    * and every file's row count and x/y bounds are deterministic under any
+    * partitioning (what makes the layout oracle-replayable; Delta's
+    * sampled ranges are not). The exact global rank here is a single
+    * window (fine at catalog scale); the 100 TB spelling of the SAME
+    * deterministic assignment is the standard two-pass distributed rank —
+    * range-shuffle on z, per-partition counts to the driver, per-partition
+    * offsets added to local ranks — and per-range file writers instead of
+    * the write loop. Returns the committed version. */
+  def optimizeTable(
+      spark: org.apache.spark.sql.SparkSession,
+      logDir: String,
+      scratchDir: String,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      numFiles: Int): Long = {
+    import graft.sources.TxnLog
+    require(numFiles >= 1, s"optimizeTable: numFiles must be >= 1, got $numFiles")
+    val v = TxnLog.latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    val files = TxnLog.liveFiles(logDir, v).toSeq.sorted
+    val snap = spark.read.parquet(files: _*)
+    val n = snap.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__graft_z"))
+    val bucketed = snap
+      .withColumn("__graft_z", interleave(col(xCol), col(yCol), bits))
+      .withColumn("__graft_bucket",
+        ((row_number().over(w) - 1) * numFiles.toLong / lit(n)).cast("int"))
+      .localCheckpoint(true) // written numFiles times below
+    val adds = (0 until numFiles).map { b =>
+      val d = s"$scratchDir/z$b"
+      bucketed.filter(col("__graft_bucket") === b)
+        .drop("__graft_z", "__graft_bucket")
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"optimizeTable: no parquet under $d"))
+        .getAbsolutePath
+    }
+    TxnLog.commit(logDir, v + 1, adds = adds, removes = files)
+    v + 1
+  }
 }

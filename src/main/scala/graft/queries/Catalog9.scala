@@ -2209,6 +2209,80 @@ private[graft] object Catalog9 {
                  true AS no_false_negative"""
     })
 
+  /** OPTIMIZE ZORDER BY through the transaction log
+    * ([[graft.operators.Zorder.optimizeTable]]) — the layout half of the
+    * lakehouse story the write ops (q263–q267) leave open: an
+    * anti-clustered table (every file's (x, y) box covers the whole
+    * domain → box-stat skipping opens all 8 files) rewrites into 8
+    * Morton-clustered files in one atomic commit, after which the same
+    * rectangle query's stats open a strict subset. Both open counts
+    * replay in the oracle: exact rank bucketing over the interleave makes
+    * every post-optimize file's bounds pure arithmetic (z ↔ (x,y) is
+    * bijective, so equal-z ties are content-identical). */
+  val q270_optimize_zorder = Q(
+    "q270_optimize_zorder",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q270").toString
+      val logDir = s"$root/_log"
+      val g = t(s, dir, "lineitem").select(
+        (col("l_partkey") % 1024).cast("long").as("x"),
+        (col("l_orderkey") % 1024).cast("long").as("y"),
+        pmod(col("l_orderkey"), lit(8)).cast("int").as("r"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val fs = (0 until 8).map(m => writeOne(g.filter(col("r") === m).drop("r"), s"m$m"))
+      TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
+      val v1 = graft.operators.Zorder.optimizeTable(
+        s, logDir, s"$root/opt", "x", "y", bits = 10, numFiles = 8)
+      def boxOpens(v: Long): Long = {
+        val live = TxnLog.liveFiles(logDir, v).toSeq.sorted
+        s.read.parquet(live: _*)
+          .groupBy(input_file_name())
+          .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+            min(col("y")).as("mny"), max(col("y")).as("mxy"))
+          .filter(col("mnx") <= 180 && col("mxx") >= 90 &&
+            col("mny") <= 280 && col("mxy") >= 200)
+          .count()
+      }
+      val before = boxOpens(0)
+      val after = boxOpens(v1)
+      val rect = TxnLog.readAsOf(s, logDir, v1)
+        .filter(col("x").between(90, 180) && col("y").between(200, 280)).count()
+      Seq((TxnLog.liveFiles(logDir, v1).size.toLong, before, after, rect, after < before))
+        .toDF("n_files", "opens_before", "opens_after", "n_rows_rect", "pruned")
+    },
+    Some {
+      val zterms = (0 until 10)
+        .map(b => s"((x >> $b) & 1) * ${1L << (2 * b)} + ((y >> $b) & 1) * ${1L << (2 * b + 1)}")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+                            CAST(l_orderkey % 1024 AS BIGINT) AS y,
+                            l_orderkey % 8 AS r FROM lineitem),
+          z AS (SELECT x, y, CAST($zterms AS BIGINT) AS z FROM g),
+          zb AS (SELECT x, y,
+                        ((ROW_NUMBER() OVER (ORDER BY z) - 1) * 8)
+                          // (SELECT COUNT(*) FROM g) AS b
+                 FROM z),
+          pre AS (SELECT r, MIN(x) mnx, MAX(x) mxx, MIN(y) mny, MAX(y) mxy FROM g GROUP BY 1),
+          post AS (SELECT b, MIN(x) mnx, MAX(x) mxx, MIN(y) mny, MAX(y) mxy FROM zb GROUP BY 1)
+          SELECT 8::BIGINT AS n_files,
+                 (SELECT COUNT(*) FROM pre
+                  WHERE mnx <= 180 AND mxx >= 90 AND mny <= 280 AND mxy >= 200)::BIGINT AS opens_before,
+                 (SELECT COUNT(*) FROM post
+                  WHERE mnx <= 180 AND mxx >= 90 AND mny <= 280 AND mxy >= 200)::BIGINT AS opens_after,
+                 (SELECT COUNT(*) FROM g
+                  WHERE x BETWEEN 90 AND 180 AND y BETWEEN 200 AND 280)::BIGINT AS n_rows_rect,
+                 ((SELECT COUNT(*) FROM post
+                   WHERE mnx <= 180 AND mxx >= 90 AND mny <= 280 AND mxy >= 200)
+                  < (SELECT COUNT(*) FROM pre
+                     WHERE mnx <= 180 AND mxx >= 90 AND mny <= 280 AND mxy >= 200)) AS pruned"""
+    })
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -2217,5 +2291,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index, q269_bloom_skipping)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index, q269_bloom_skipping, q270_optimize_zorder)
 }

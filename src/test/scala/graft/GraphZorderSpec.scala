@@ -30,6 +30,42 @@ class GraphZorderSpec extends SparkSpec {
     assert(buckets == 1L)
   }
 
+  test("optimizeTable rewrites the snapshot z-clustered, atomically, with a deterministic layout") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("zopt_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    // 32x32 grid scattered across 4 anti-clustered files
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val fs = (0 until 4).map(m => fileOf(pts.filter(pmod(col("x") + col("y"), lit(4)) === m), s"m$m"))
+    TxnLog.commit(log, 0, fs, Nil)
+    val v1 = graft.operators.Zorder.optimizeTable(spark, log, s"$root/opt", "x", "y", 5, 4)
+    assert(v1 == 1L)
+    // atomic swap: 4 new files live, old ones removed, rows preserved exactly
+    val live = TxnLog.liveFiles(log, 1)
+    assert(live.size == 4 && live.intersect(fs.toSet).isEmpty)
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 1)) == sortedRows(pts))
+    assert(TxnLog.readAsOf(spark, log, 0).count() == 1024) // time travel intact
+    // deterministic layout: each file holds one contiguous quarter of the
+    // z-curve — for the full 32x32 grid that is one 16x16 quadrant, so per-
+    // file x/y bounds are exact 16-wide boxes
+    import org.apache.spark.sql.functions.input_file_name
+    val boxes = spark.read.parquet(live.toSeq.sorted: _*)
+      .groupBy(input_file_name())
+      .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+        min(col("y")).as("mny"), max(col("y")).as("mxy"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(boxes == Set(
+      (0L, 15L, 0L, 15L, 256L), (16L, 31L, 0L, 15L, 256L),
+      (0L, 15L, 16L, 31L, 256L), (16L, 31L, 16L, 31L, 256L)))
+  }
+
   test("pagerank concentrates rank on the star center and conserves bounded mass") {
     // star: every leaf points at node 0
     val edges = (1L to 20L).map(i => (i, 0L)).toDF("src", "dst")
