@@ -2292,6 +2292,72 @@ private[graft] object Catalog9 {
                      WHERE mnx <= 180 AND mxx >= 90 AND mny <= 280 AND mxy >= 200)) AS pruned"""
     })
 
+  /** Schema evolution on the transaction-log table: a later commit adds
+    * files carrying a NEW column, and every snapshot read presents the
+    * union schema — pre-evolution rows read the added column as null (the
+    * Delta/Iceberg add-column semantics, no rewrite of old files). A
+    * copy-on-write merge ON the evolved table then proves the write path
+    * composes: survivors from pre-evolution files null-fill the new
+    * column, updates carry real values, and the pre-evolution version
+    * stays time-travelable with its ORIGINAL 2-column schema. Oracle is
+    * key arithmetic over part. */
+  val q271_schema_evolution = Q(
+    "q271_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q271").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      def writeOne(df: DataFrame, name: String): String = {
+        val d = s"$root/$name"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      TxnLog.commit(logDir, 0, adds = Seq(writeOne(base, "v0")), removes = Nil)
+      // v1: append rows WITH a new column w — schema widens, no rewrite
+      val widened = base.filter(col("key") % 250 === 0)
+        .select((col("key") + 20000000L).as("key"),
+          (col("key") * 2).as("value"), (col("key") * 3).as("w"))
+      TxnLog.commit(logDir, 1, adds = Seq(writeOne(widened, "v1")), removes = Nil)
+      // v2: CoW merge on the evolved table (updates carry the full schema)
+      val updates = base.filter(col("key") % 400 === 0)
+        .select(col("key"), (col("key") * 5).as("value"), (col("key") * 7).as("w"))
+      TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
+      (0L to 2L).map { v =>
+        val snap = TxnLog.readAsOf(s, logDir, v)
+        val withW = if (snap.columns.contains("w")) snap
+          else snap.withColumn("w", lit(null).cast("long"))
+        val agg = withW.agg(
+          count(lit(1)).cast("long"),
+          sum(when(col("w").isNull, 1L).otherwise(0L)).cast("long"),
+          coalesce(sum(col("w")), lit(0L)).cast("long")).head()
+        (v, snap.columns.length.toLong, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      }.toDF("version", "n_cols", "n_rows", "n_null_w", "sum_w")
+        .orderBy("version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            app AS (SELECT k FROM p WHERE k % 250 = 0),
+            upd AS (SELECT k FROM p WHERE k % 400 = 0)
+            SELECT 0::BIGINT AS version, 2::BIGINT AS n_cols,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_null_w,
+                   0::BIGINT AS sum_w
+            UNION ALL
+            SELECT 1, 3,
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM app))::BIGINT,
+                   (SELECT COUNT(*) FROM p)::BIGINT,
+                   (SELECT COALESCE(SUM(3 * k), 0) FROM app)::BIGINT
+            UNION ALL
+            SELECT 2, 3,
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM app))::BIGINT,
+                   ((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM upd))::BIGINT,
+                   ((SELECT COALESCE(SUM(3 * k), 0) FROM app)
+                    + (SELECT COALESCE(SUM(7 * k), 0) FROM upd))::BIGINT
+            ORDER BY version"""))
+
   val all: Seq[Q] = Seq(
     q233_fixedwidth_source, q234_fixedwidth_write, q235_fixedwidth_agg_push, q236_skipgram_pairs,
     q237_naive_bayes, q238_observed_metrics, q239_forget_flow, q240_growth_curve,
@@ -2300,5 +2366,5 @@ private[graft] object Catalog9 {
     q249_centroid_matrix, q250_cbo_stats, q251_personalized_pr, q252_multiprobe_lsh,
     q253_incremental_cc, q254_bloom_fpp, q255_position_attribution, q256_bitmap_index,
     q257_histogram_join_est, q258_column_diff, q259_ri_audit, q260_missing_patterns,
-    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index, q269_bloom_skipping, q270_optimize_zorder)
+    q261_rank_sketch, q262_dpp, q263_merge_cow, q264_delete_vectors, q265_vacuum, q266_change_feed, q267_stream_txn_sink, q268_value_index, q269_bloom_skipping, q270_optimize_zorder, q271_schema_evolution)
 }

@@ -162,12 +162,15 @@ object TxnLog {
     dvs
   }
 
-  /** Snapshot read AS OF a version: plain parquet over the resolved file
-    * set (typed empty frame when the snapshot is empty). */
+  /** Snapshot read AS OF a version: parquet over the resolved file set
+    * with SCHEMA MERGING — the table's schema is the union of its live
+    * files' schemas, so a column added by a later commit (schema
+    * evolution) reads as null from pre-evolution files, the Delta/Iceberg
+    * add-column semantics. Footer-union cost is per-file metadata. */
   def readAsOf(spark: SparkSession, logDir: String, asOf: Long): DataFrame = {
     val files = liveFiles(logDir, asOf).toSeq.sorted
     require(files.nonEmpty, s"txn log: version $asOf has no live files")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Snapshot read with deletion vectors applied — the merge-on-read path:
@@ -217,7 +220,7 @@ object TxnLog {
     // earlier DV must not re-enter the new vector (entry count stays the
     // honest "rows this delete killed")
     val existing = dvFiles(logDir, v).toSeq.sorted
-    val marked = spark.read.parquet(files: _*)
+    val marked = spark.read.option("mergeSchema", "true").parquet(files: _*)
       .withColumn("__graft_file", input_file_name())
       .withColumn("__graft_pos", col("_metadata.row_index"))
       .filter(predicate)
@@ -314,17 +317,25 @@ object TxnLog {
       if (files.isEmpty)
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       val dvs = dvFiles(logDir, asOf).toSeq.sorted
-      val base = spark.read.parquet(files: _*)
-      if (dvs.isEmpty) base
-      else base
-        .withColumn("__graft_file", input_file_name())
-        .withColumn("__graft_pos", col("_metadata.row_index"))
-        .join(
-          spark.read.parquet(dvs: _*)
-            .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
-            .distinct(),
-          Seq("__graft_file", "__graft_pos"), "left_anti")
-        .drop("__graft_file", "__graft_pos")
+      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val deduped =
+        if (dvs.isEmpty) base
+        else base
+          .withColumn("__graft_file", input_file_name())
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(
+            spark.read.parquet(dvs: _*)
+              .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+              .distinct(),
+            Seq("__graft_file", "__graft_pos"), "left_anti")
+          .drop("__graft_file", "__graft_pos")
+      // conform to the TO-version schema so the EXCEPT ALL is well-typed
+      // across a schema evolution: a column the from-side files predate
+      // reads as null, exactly how those rows present post-evolution
+      deduped.select(schema.fields.map { f =>
+        if (deduped.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
     }
     val visFrom = visibleIn(candidates.filter(before.contains), fromV)
     val visTo = visibleIn(candidates.filter(after.contains), toV)
@@ -357,7 +368,7 @@ object TxnLog {
     val v = latestVersion(logDir).getOrElse(
       throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
     val files = liveFiles(logDir, v).toSeq.sorted
-    val snap = spark.read.parquet(files: _*)
+    val snap = spark.read.option("mergeSchema", "true").parquet(files: _*)
     require(updates.columns.sorted.sameElements(snap.columns.sorted),
       s"merge: updates schema ${updates.columns.mkString(",")} != table schema ${snap.columns.mkString(",")}")
     val dup = updates.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
@@ -394,10 +405,17 @@ object TxnLog {
       s"merge: ${touchedCanon.size} matched files but only ${touched.size} resolve to logged paths")
     val merged =
       if (touched.isEmpty) updates
-      else visible(spark.read.parquet(touched: _*))
-        .drop("__graft_file", "__graft_pos")
-        .join(keys, Seq(keyCol), "left_anti")
-        .unionByName(updates)
+      else {
+        val survivors = visible(spark.read.option("mergeSchema", "true").parquet(touched: _*))
+          .drop("__graft_file", "__graft_pos")
+          .join(keys, Seq(keyCol), "left_anti")
+        // conform to the TABLE schema: survivors from pre-evolution files
+        // null-fill columns a later commit added (Delta's CoW write shape)
+        survivors.select(snap.schema.fields.map { f =>
+          if (survivors.columns.contains(f.name)) col(f.name)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*).unionByName(updates)
+      }
     merged.coalesce(1).write.mode("overwrite").parquet(outDir)
     val outFile = new java.io.File(outDir).listFiles()
       .find(_.getName.endsWith(".parquet"))

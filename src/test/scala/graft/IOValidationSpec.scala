@@ -481,6 +481,41 @@ class ValidationSpec extends SparkSpec {
     assert(TxnLog.readAsOf(spark, log, 3).count() == 4)
   }
 
+  test("txn log schema evolution: union-schema reads, evolved CDF and merge, evolved-column deletes") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("txn_evo_spec").toString
+    val log = s"$root/_log"
+    def fileOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    TxnLog.commit(log, 0, Seq(fileOf(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "f0")), Nil)
+    // v1 widens the schema with column w — no rewrite of the old file
+    TxnLog.commit(log, 1, Seq(fileOf(Seq((3L, 30L, 300L)).toDF("k", "v", "w"), "f1")), Nil)
+    assert(TxnLog.readAsOf(spark, log, 0).columns.toSeq == Seq("k", "v"))
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 1).orderBy("k")) ==
+      Seq(Seq(1L, 10L, null), Seq(2L, 20L, null), Seq(3L, 30L, 300L)))
+    // CDF across the evolution: pre-evolution rows conform to the union
+    // schema, so only the appended row emits
+    assert(TxnLog.changesBetween(spark, log, 0, 1)
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getLong(2))).toSeq ==
+      Seq(("insert", 3L, 300L)))
+    // CoW merge on the evolved table: the pre-evolution survivor null-fills w
+    TxnLog.mergeCopyOnWrite(spark, log, s"$root/m1",
+      Seq((2L, 222L, 22L)).toDF("k", "v", "w"), "k")
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 2).orderBy("k")) ==
+      Seq(Seq(1L, 10L, null), Seq(2L, 222L, 22L), Seq(3L, 30L, 300L)))
+    // a 2-column update on the evolved table refuses (schema mismatch)
+    assertThrows[IllegalArgumentException](TxnLog.mergeCopyOnWrite(
+      spark, log, s"$root/m2", Seq((1L, 1L)).toDF("k", "v"), "k"))
+    // DV delete keyed on the EVOLVED column, hitting a pre-evolution row
+    TxnLog.deleteMergeOnRead(spark, log, s"$root/dv", col("w").isNull)
+    assert(sortedRows(TxnLog.readAsOfWithDeletes(spark, log, 3).orderBy("k")) ==
+      Seq(Seq(2L, 222L, 22L), Seq(3L, 30L, 300L)))
+  }
+
   test("txn log change feed: file-diff CDF emits exactly the row delta, carried rows cancel") {
     import spark.implicits._
     import graft.sources.TxnLog
