@@ -25,6 +25,64 @@ object TxnLog {
   private def logFile(logDir: String, version: Long) =
     new java.io.File(logDir, f"_v$version%06d.json")
 
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Attempt to publish `version`; returns false when ANOTHER writer won
+    * the race to this version number. The publish is a hard-link creation
+    * — atomic fail-if-exists at the filesystem level, so two writers
+    * racing the same version can never both succeed and never interleave
+    * partial content (the optimistic-concurrency primitive a real
+    * lakehouse builds on its object store's put-if-absent). Validation of
+    * `removes` against the predecessor snapshot still REFUSES loudly —
+    * only the version race returns false. `partitions` optionally tags an
+    * added file with its partition spec (`col=value`, see
+    * [[commitPartitioned]] callers); the field precedes `file` so every
+    * suffix-based replay parser is unaffected. */
+  def tryCommit(
+      logDir: String,
+      version: Long,
+      adds: Seq[String],
+      removes: Seq[String],
+      dvs: Seq[String] = Nil,
+      meta: Seq[String] = Nil,
+      dvDrops: Seq[String] = Nil,
+      partitions: Map[String, String] = Map.empty): Boolean = {
+    val dir = new java.io.File(logDir)
+    dir.mkdirs()
+    val next = latestVersion(logDir).map(_ + 1).getOrElse(0L)
+    // behind the head = a concurrent writer landed first → lose the race
+    // quietly (the optimistic loop re-reads and retries); AHEAD of the head
+    // would break density and is always a caller bug → refuse loudly
+    if (version < next) return false
+    require(version == next,
+      s"txn log: version $version is not the next dense version in $logDir")
+    if (removes.nonEmpty) {
+      val live = liveFiles(logDir, version - 1)
+      removes.foreach(f => require(live.contains(f),
+        s"txn log: cannot remove $f — not live at version ${version - 1}"))
+    }
+    val lines =
+      adds.map { f =>
+        partitions.get(f) match {
+          case Some(p) => s"""{"action":"add","part":"${esc(p)}","file":"${esc(f)}"}"""
+          case None => s"""{"action":"add","file":"${esc(f)}"}"""
+        }
+      } ++
+        removes.map(f => s"""{"action":"remove","file":"${esc(f)}"}""") ++
+        dvs.map(f => s"""{"action":"dv","file":"${esc(f)}"}""") ++
+        dvDrops.map(f => s"""{"action":"dvdrop","file":"${esc(f)}"}""") ++
+        meta.map(m => s"""{"action":"meta","file":"${esc(m)}"}""")
+    val tmp = java.io.File.createTempFile("_graft_txn", ".json", dir)
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      java.nio.file.Files.createLink(logFile(logDir, version).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally tmp.delete()
+  }
+
   /** Append one commit. Versions must be dense from 0 (the contract that
     * makes "latest" unambiguous without a catalog); `adds`/`removes` are
     * absolute file paths. A remove of a file not live at this version
@@ -40,28 +98,140 @@ object TxnLog {
       dvs: Seq[String] = Nil,
       /** opaque markers carried in the commit (e.g. `batch:<id>` for the
         * exactly-once streaming sink) — ignored by file-set replay */
-      meta: Seq[String] = Nil): Unit = {
-    val dir = new java.io.File(logDir)
-    dir.mkdirs()
-    require(version == latestVersion(logDir).map(_ + 1).getOrElse(0L),
-      s"txn log: version $version is not the next dense version in $logDir")
-    if (removes.nonEmpty) {
-      val live = liveFiles(logDir, version - 1)
-      removes.foreach(f => require(live.contains(f),
-        s"txn log: cannot remove $f — not live at version ${version - 1}"))
+      meta: Seq[String] = Nil,
+      dvDrops: Seq[String] = Nil,
+      partitions: Map[String, String] = Map.empty): Unit =
+    require(tryCommit(logDir, version, adds, removes, dvs, meta, dvDrops, partitions),
+      s"txn log: atomic publish of version $version failed — concurrent writer won")
+
+  /** Optimistic-concurrency commit (the Delta/Iceberg commit protocol):
+    * the writer prepared `adds`/`removes` against snapshot `basedOn`;
+    * publishing first attempts `basedOn + 1`, and on losing the race
+    * CHECKS SEMANTIC CONFLICT against the commits that landed in between,
+    * then rebases to the new head. Conflict rules (the blind-append model:
+    * concurrent appends always compose):
+    *   - a file this writer removes was already removed (or was never
+    *     live) → its rewrite decision is stale → ABORT;
+    *   - a deletion vector committed after `basedOn` touches a file this
+    *     writer removes → the rewrite was computed from a snapshot that
+    *     still showed those rows → ABORT (the concurrent row-delete would
+    *     be silently resurrected by the rewrite).
+    * Aborts throw ConcurrentModificationException; the caller re-reads the
+    * new snapshot and re-derives its change. Returns (version, attempts).
+    * At 1000 executors the retry loop costs one tiny log re-read per
+    * contender — the data files were already written and never rewrite. */
+  def commitOptimistic(
+      spark: SparkSession,
+      logDir: String,
+      basedOn: Long,
+      adds: Seq[String],
+      removes: Seq[String],
+      dvs: Seq[String] = Nil,
+      meta: Seq[String] = Nil,
+      maxAttempts: Int = 20): (Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val head = latestVersion(logDir).getOrElse(
+        throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+      if (removes.nonEmpty) {
+        val live = liveFiles(logDir, head)
+        val gone = removes.filterNot(live.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"txn log: conflict — ${gone.head} was removed by a concurrent commit")
+        val newDvs = (dvFiles(logDir, head) -- dvFiles(logDir, basedOn)).toSeq.sorted
+        if (newDvs.nonEmpty) {
+          def canon(p: String): String =
+            try new java.io.File(new java.net.URI(p).getPath).getAbsolutePath
+            catch { case _: Exception => new java.io.File(p).getAbsolutePath }
+          val touched = spark.read.parquet(newDvs: _*).select(col("file")).distinct()
+            .collect().map(r => canon(r.getString(0))).toSet
+          val hit = removes.filter(f => touched.contains(canon(f)))
+          if (hit.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"txn log: conflict — concurrent row-delete touched ${hit.head}")
+        }
+      }
+      if (tryCommit(logDir, head + 1, adds, removes, dvs, meta))
+        return (head + 1, attempts)
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val lines =
-      adds.map(f => s"""{"action":"add","file":"${esc(f)}"}""") ++
-        removes.map(f => s"""{"action":"remove","file":"${esc(f)}"}""") ++
-        dvs.map(f => s"""{"action":"dv","file":"${esc(f)}"}""") ++
-        meta.map(m => s"""{"action":"meta","file":"${esc(m)}"}""")
-    val tmp = java.io.File.createTempFile("_graft_txn", ".json", dir)
-    java.nio.file.Files.write(tmp.toPath,
-      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // rename is the atomic publish: the commit exists entirely or not at all
-    require(tmp.renameTo(logFile(logDir, version)),
-      s"txn log: atomic publish of version $version failed")
+    throw new IllegalStateException(
+      s"txn log: commit lost the version race $maxAttempts times in $logDir")
+  }
+
+  /** RESTORE TABLE TO VERSION `toV` (Delta RESTORE / Iceberg rollback):
+    * ONE metadata commit makes the head snapshot identical to version
+    * `toV` — old data files re-enter by reference, files added since are
+    * un-referenced (NOT deleted: every intermediate version stays
+    * time-travelable until vacuum), and deletion vectors committed after
+    * `toV` are un-bound via `dvdrop` actions so rows they killed are
+    * visible again, exactly as they were at `toV`. Zero data IO at any
+    * table size. Restoring past the vacuum watermark refuses (the target
+    * snapshot's files may be physically gone). Returns the new version. */
+  def restore(spark: SparkSession, logDir: String, toV: Long): Long = {
+    val head = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(toV <= head, s"txn log: cannot restore to future version $toV (head $head)")
+    val target = liveFiles(logDir, toV)        // refuses below the vacuum watermark
+    val current = liveFiles(logDir, head)
+    val dropDvs = (dvFiles(logDir, head) -- dvFiles(logDir, toV)).toSeq.sorted
+    commit(logDir, head + 1,
+      adds = (target -- current).toSeq.sorted,
+      removes = (current -- target).toSeq.sorted,
+      dvDrops = dropDvs,
+      meta = Seq(s"restore:$toV"))
+    head + 1
+  }
+
+  /** Shallow clone (Delta SHALLOW CLONE / Iceberg snapshot ref): a NEW
+    * table whose version 0 references the source's live files (and
+    * deletion vectors) at `asOf` — zero data copied at any table size.
+    * The clone then evolves independently: its commits never touch the
+    * source log and vice versa. The documented hazard is real here too:
+    * the clone borrows the source's data files, so vacuuming the SOURCE
+    * can delete files the clone still references — production systems
+    * either track external references or deep-clone before source vacuum;
+    * the catalog pins the contract as caller responsibility. */
+  def shallowClone(srcLog: String, dstLog: String, asOf: Long): Unit = {
+    require(latestVersion(dstLog).isEmpty, s"txn log: clone target $dstLog is not empty")
+    val parts = livePartitions(srcLog, asOf)
+    commit(dstLog, 0,
+      adds = liveFiles(srcLog, asOf).toSeq.sorted,
+      removes = Nil,
+      dvs = dvFiles(srcLog, asOf).toSeq.sorted,
+      meta = Seq(s"clone:$srcLog@$asOf"),
+      partitions = parts.collect { case (f, Some(p)) => f -> p })
+  }
+
+  /** The table's commit history as a DataFrame (Delta DESCRIBE HISTORY /
+    * Iceberg `snapshots` metadata table): per-version action counts plus
+    * the operation kind derived from the commit's meta markers. The log
+    * is metadata — driver-side parse, then a local DataFrame; history
+    * size is the version count, never data-scale. */
+  def history(spark: SparkSession, logDir: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    (0L to latest).map { v =>
+      val lines = java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      def n(kind: String) = lines.count(_.contains(s""""action":"$kind"""")).toLong
+      val metas = lines.filter(_.contains(""""action":"meta""""))
+        .map(_.split("\"file\":\"")(1).stripSuffix("\"}"))
+      val op =
+        if (metas.exists(_.startsWith("restore:"))) "restore"
+        else if (metas.exists(_.startsWith("clone:"))) "clone"
+        else if (metas.exists(_.startsWith("batch:"))) "streaming-append"
+        else if (metas.exists(_.startsWith("constraint:"))) "add-constraint"
+        else if (metas.exists(_.startsWith("rename:"))) "rename-column"
+        else if (n("dv") > 0 && n("add") == 0) "delete"
+        else if (n("add") > 0 && n("remove") > 0) "rewrite"
+        else if (n("add") > 0) "append"
+        else "metadata"
+      (v, n("add"), n("remove"), n("dv"), n("dvdrop"), op)
+    }.toDF("version", "n_adds", "n_removes", "n_dvs", "n_dvdrops", "operation")
   }
 
   def latestVersion(logDir: String): Option[Long] = {
@@ -144,7 +314,9 @@ object TxnLog {
     doomed
   }
 
-  /** Deletion-vector files committed in versions 0..asOf (inclusive). */
+  /** Deletion-vector files BOUND at version asOf: `dv` actions accumulate,
+    * `dvdrop` actions (written by [[restore]]) un-bind — prefix replay, so
+    * every historical version keeps exactly the visibility it had. */
   def dvFiles(logDir: String, asOf: Long): Set[String] = {
     val latest = latestVersion(logDir).getOrElse(
       throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
@@ -153,13 +325,171 @@ object TxnLog {
     var dvs = Set.empty[String]
     (0L to asOf).foreach { v =>
       java.nio.file.Files.readAllLines(logFile(logDir, v).toPath).forEach { line =>
-        if (line.nonEmpty && line.contains("\"action\":\"dv\"")) {
-          dvs += line.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+        if (line.nonEmpty) {
+          def file = line.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
             .replace("\\\\", "\\")
+          if (line.contains("\"action\":\"dv\"")) dvs += file
+          else if (line.contains("\"action\":\"dvdrop\"")) dvs -= file
         }
       }
     }
     dvs
+  }
+
+  /** Live files at `asOf` with their partition tag (None for files added
+    * before the table gained a partition spec — the Iceberg
+    * partition-evolution state: one table, several layouts coexisting). */
+  def livePartitions(logDir: String, asOf: Long): Map[String, Option[String]] = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(asOf >= 0 && asOf <= latest,
+      s"txn log: version $asOf out of range [0, $latest]")
+    require(asOf >= retainedFrom(logDir),
+      s"txn log: version $asOf was expired by vacuum (oldest retained: ${retainedFrom(logDir)})")
+    var live = Map.empty[String, Option[String]]
+    (0L to asOf).foreach { v =>
+      java.nio.file.Files.readAllLines(logFile(logDir, v).toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val file = line.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+            .replace("\\\\", "\\")
+          if (line.contains("\"action\":\"add\"")) {
+            val part =
+              if (line.contains("\"part\":\""))
+                Some(line.split("\"part\":\"")(1).split("\",\"file\":\"")(0)
+                  .replace("\\\"", "\"").replace("\\\\", "\\"))
+              else None
+            live += (file -> part)
+          } else if (line.contains("\"action\":\"remove\"")) live -= file
+        }
+      }
+    }
+    live
+  }
+
+  /** Partition-pruned file planning under PARTITION EVOLUTION: for an
+    * equality predicate `col = value`, a file added under a partition spec
+    * on `col` is pruned when its tag mismatches; files from OTHER specs —
+    * pre-evolution unpartitioned files, or files partitioned on a
+    * different column — cannot be pruned by this predicate and stay in
+    * the plan (Spark then applies the residual filter to their rows).
+    * This is the Iceberg contract: evolving the spec NEVER rewrites old
+    * files; old data keeps old-layout planning, new data prunes. */
+  def pruneByPartition(logDir: String, asOf: Long, col: String, value: String): Seq[String] =
+    livePartitions(logDir, asOf).collect {
+      case (f, None) => f
+      case (f, Some(p)) if !p.startsWith(col + "=") => f
+      case (f, Some(p)) if p == s"$col=$value" => f
+    }.toSeq.sorted
+
+  private def metaMarkers(logDir: String, asOf: Long, prefix: String): Seq[String] = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(asOf >= 0 && asOf <= latest,
+      s"txn log: version $asOf out of range [0, $latest]")
+    (0L to asOf).flatMap { v =>
+      java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+        .toArray(Array.empty[String]).toSeq
+        .filter(l => l.contains("\"action\":\"meta\""))
+        .map(_.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+          .replace("\\\\", "\\"))
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix))
+    }
+  }
+
+  /** Column mapping at `asOf` (Delta column-mapping rename): physical
+    * column name (what the parquet files carry, fixed forever) → logical
+    * name (what readers see). Renames are pure-metadata commits recorded
+    * as `rename:<current-logical>-><new-logical>` markers, folded in
+    * order; a name never touched maps to itself. */
+  def columnMapping(logDir: String, asOf: Long): Map[String, String] = {
+    val renames = metaMarkers(logDir, asOf, "rename:").map { m =>
+      val Array(from, to) = m.split("->", 2)
+      (from, to)
+    }
+    renames.foldLeft(Map.empty[String, String]) { case (map, (from, to)) =>
+      // find which physical column currently presents as `from`
+      val phys = map.find(_._2 == from).map(_._1).getOrElse(from)
+      map + (phys -> to)
+    }
+  }
+
+  /** RENAME COLUMN without rewriting a single data file: a metadata
+    * commit re-binding the logical name; every physical file keeps its
+    * original column name forever and [[readAsOfMapped]] projects the
+    * mapping at read time — the Delta column-mapping semantics that make
+    * renames O(1) on a 100 TB table. Refuses when `from` is not a current
+    * logical column or `to` collides. Returns the committed version. */
+  def renameColumn(spark: SparkSession, logDir: String, from: String, to: String): Long = {
+    val head = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    val logical = readAsOfMapped(spark, logDir, head).columns.toSet
+    require(logical.contains(from), s"txn log: rename — no column '$from' (have ${logical.mkString(",")})")
+    require(!logical.contains(to), s"txn log: rename — column '$to' already exists")
+    commit(logDir, head + 1, adds = Nil, removes = Nil, meta = Seq(s"rename:$from->$to"))
+    head + 1
+  }
+
+  /** Snapshot read with the column mapping applied: physical columns
+    * project to their logical names AS OF that version, so time travel
+    * shows each version under the names it had then. */
+  def readAsOfMapped(spark: SparkSession, logDir: String, asOf: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = readAsOf(spark, logDir, asOf)
+    val mapping = columnMapping(logDir, asOf)
+    if (mapping.isEmpty) base
+    else base.select(base.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** CHECK constraints in force at `asOf`, as (name, sql-expression). */
+  def constraints(logDir: String, asOf: Long): Seq[(String, String)] =
+    metaMarkers(logDir, asOf, "constraint:").map { m =>
+      val Array(name, expr) = m.split(":", 2)
+      (name, expr)
+    }
+
+  /** ADD CONSTRAINT (Delta CHECK constraint): refuses unless the CURRENT
+    * visible snapshot already satisfies the expression — one distributed
+    * count, no rewrite — then records the constraint as a metadata
+    * commit. From that version on [[appendChecked]] enforces it on every
+    * write. Returns the committed version. */
+  def addConstraint(spark: SparkSession, logDir: String, name: String, exprSql: String): Long = {
+    require(!name.contains(":") && name.nonEmpty, s"txn log: bad constraint name '$name'")
+    val head = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(!constraints(logDir, head).exists(_._1 == name),
+      s"txn log: constraint '$name' already exists")
+    val bad = readAsOfWithDeletes(spark, logDir, head)
+      .filter(!org.apache.spark.sql.functions.expr(exprSql)).count()
+    require(bad == 0L,
+      s"txn log: cannot add constraint '$name' — $bad existing rows violate ($exprSql)")
+    commit(logDir, head + 1, adds = Nil, removes = Nil, meta = Seq(s"constraint:$name:$exprSql"))
+    head + 1
+  }
+
+  /** Constraint-checked append: validates `df` against every constraint
+    * in force BEFORE any data file is written — a violating batch refuses
+    * atomically (no orphan file, no commit, table unchanged). The check
+    * is one distributed filter-count per batch; `null` results violate
+    * (ANSI CHECK semantics: the constraint must be TRUE). Returns the
+    * committed version. */
+  def appendChecked(spark: SparkSession, logDir: String, dataDir: String, df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val head = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    constraints(logDir, head).foreach { case (name, sql) =>
+      val bad = df.filter(!coalesce(expr(sql), lit(false))).count()
+      require(bad == 0L,
+        s"txn log: append refused — $bad rows violate constraint '$name' ($sql)")
+    }
+    val outDir = s"$dataDir/checked_${head + 1}"
+    df.coalesce(1).write.mode("overwrite").parquet(outDir)
+    val file = new java.io.File(outDir).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"appendChecked: no parquet under $outDir"))
+      .getAbsolutePath
+    commit(logDir, head + 1, adds = Seq(file), removes = Nil)
+    head + 1
   }
 
   /** Snapshot read AS OF a version: parquet over the resolved file set
