@@ -1,0 +1,383 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDsl._
+
+/** Catalog chunk q272+ — the round-10 continuation: table-management
+  * operations completing the lakehouse lifecycle on the transaction-log
+  * table (RESTORE, optimistic concurrency, shallow clone, partition
+  * evolution, column mapping, CHECK constraints, DESCRIBE HISTORY).
+  * Registration + docs in [[graft.Queries]]. */
+private[graft] object Catalog10 {
+
+  private def writeOne(root: String, df: DataFrame, name: String): String = {
+    val d = s"$root/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+  }
+
+  /** The shared 3-residue-file (key, value) fixture over part. */
+  private def residueTable(s: SparkSession, dir: String, root: String,
+      valueOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (String, Seq[String], DataFrame) = {
+    val logDir = s"$root/_log"
+    val base = t(s, dir, "part").select(
+      col("p_partkey").cast("long").as("key"),
+      valueOf(col("p_partkey").cast("long")).as("value"))
+    val fs = (0 until 3).map(m =>
+      writeOne(root, base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
+    graft.sources.TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
+    (logDir, fs, base)
+  }
+
+  /** RESTORE TABLE TO VERSION ([[graft.sources.TxnLog.restore]]) — the
+    * rollback half of time travel: after a DV delete and a copy-on-write
+    * merge, ONE metadata commit returns the head to the version-0 state —
+    * old files re-enter by reference, the merge's file un-references, and
+    * the deletion vector UN-BINDS (a `dvdrop` action), so rows it killed
+    * are visible again. Zero data IO at any table size; every intermediate
+    * version stays time-travelable with its own visibility. Oracle is
+    * residue arithmetic over part. */
+  val q272_restore = Q(
+    "q272_restore",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q272").toString
+      val (logDir, _, base) = residueTable(s, dir, root, k => k * 2)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
+      val updates = base.filter(col("key") % 300 === 0)
+        .select(col("key"), (col("key") * 1000).as("value"))
+      TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
+      TxnLog.restore(s, logDir, 0)
+      (0L to 3L).map { v =>
+        val agg = TxnLog.readAsOfWithDeletes(s, logDir, v)
+          .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
+          .head()
+        (v, TxnLog.liveFiles(logDir, v).size.toLong, TxnLog.dvFiles(logDir, v).size.toLong,
+          agg.getLong(0), agg.getLong(1))
+      }.toDF("version", "n_files", "n_dv_bound", "n_visible", "sum_visible")
+        .orderBy("version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 0::BIGINT AS version, 3::BIGINT AS n_files, 0::BIGINT AS n_dv_bound,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_visible,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_visible
+            UNION ALL
+            SELECT 1, 3, 1,
+                   (SELECT COUNT(*) FROM p WHERE k % 7 != 0)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 7 != 0)::BIGINT
+            UNION ALL
+            SELECT 2, 3, 1,
+                   ((SELECT COUNT(*) FROM p WHERE k % 7 != 0)
+                    - (SELECT COUNT(*) FROM p WHERE k % 300 = 0 AND k % 7 != 0)
+                    + (SELECT COUNT(*) FROM p WHERE k % 300 = 0))::BIGINT,
+                   ((SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 7 != 0)
+                    - (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 300 = 0 AND k % 7 != 0)
+                    + (SELECT COALESCE(SUM(1000 * k), 0) FROM p WHERE k % 300 = 0))::BIGINT
+            UNION ALL
+            SELECT 3, 3, 0,
+                   (SELECT COUNT(*) FROM p)::BIGINT,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT
+            ORDER BY version"""))
+
+  /** Optimistic concurrency on the transaction-log table
+    * ([[graft.sources.TxnLog.commitOptimistic]] — the Delta/Iceberg
+    * commit protocol over an atomic put-if-absent): writers A and B both
+    * prepared rewrites against version 0 touching DIFFERENT files — A
+    * lands v1, B detects the lost version race, finds no semantic
+    * conflict (disjoint files) and REBASES to v2; writer C's rewrite
+    * targets the file A already replaced — stale decision → conflict
+    * ABORT, table unchanged. Blind appends always compose; only
+    * overlapping rewrites abort. Oracle is residue arithmetic. */
+  val q273_concurrent_writers = Q(
+    "q273_concurrent_writers",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q273").toString
+      val (logDir, fs, base) = residueTable(s, dir, root, k => k * 2)
+      val m0a = writeOne(root, base.filter(col("key") % 3 === 0)
+        .select(col("key"), (col("key") * 10).as("value")), "m0a")
+      val m1b = writeOne(root, base.filter(col("key") % 3 === 1)
+        .select(col("key"), (col("key") * 100).as("value")), "m1b")
+      val (vA, _) = TxnLog.commitOptimistic(s, logDir, 0, Seq(m0a), Seq(fs(0)))
+      val (vB, _) = TxnLog.commitOptimistic(s, logDir, 0, Seq(m1b), Seq(fs(1)))
+      val cConflict =
+        try { TxnLog.commitOptimistic(s, logDir, 0, Nil, Seq(fs(0))); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      val head = TxnLog.latestVersion(logDir).get
+      Seq(("a", vA, false), ("b", vB, false), ("c", head, cConflict)).map {
+        case (w, v, conflict) =>
+          val agg = TxnLog.readAsOf(s, logDir, v)
+            .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
+          (w, v, conflict, TxnLog.liveFiles(logDir, v).size.toLong,
+            agg.getLong(0), agg.getLong(1))
+      }.toDF("writer", "version", "conflict", "n_files", "n_rows", "sum_value")
+        .orderBy("writer")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 'a' AS writer, 1::BIGINT AS version, false AS conflict,
+                   3::BIGINT AS n_files, (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   ((SELECT COALESCE(SUM(10 * k), 0) FROM p WHERE k % 3 = 0)
+                    + (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 3 != 0))::BIGINT AS sum_value
+            UNION ALL
+            SELECT 'b', 2, false, 3, (SELECT COUNT(*) FROM p)::BIGINT,
+                   ((SELECT COALESCE(SUM(10 * k), 0) FROM p WHERE k % 3 = 0)
+                    + (SELECT COALESCE(SUM(100 * k), 0) FROM p WHERE k % 3 = 1)
+                    + (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 3 = 2))::BIGINT
+            UNION ALL
+            SELECT 'c', 2, true, 3, (SELECT COUNT(*) FROM p)::BIGINT,
+                   ((SELECT COALESCE(SUM(10 * k), 0) FROM p WHERE k % 3 = 0)
+                    + (SELECT COALESCE(SUM(100 * k), 0) FROM p WHERE k % 3 = 1)
+                    + (SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 3 = 2))::BIGINT
+            ORDER BY writer"""))
+
+  /** Shallow clone ([[graft.sources.TxnLog.shallowClone]]) — a zero-copy
+    * table fork: the clone's version 0 references the source's live files
+    * AND deletion vectors at clone time (n_shared pins the by-reference
+    * contract), then the two tables evolve independently — a CoW merge on
+    * the clone rewrites one file (source untouched), an append on the
+    * source leaves the clone unchanged. The dev/test-table-from-prod
+    * affordance at 100 TB: fork cost is one metadata commit. Oracle is
+    * residue arithmetic. */
+  val q274_shallow_clone = Q(
+    "q274_shallow_clone",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q274").toString
+      val (logDir, _, base) = residueTable(s, dir, root, k => k * 2)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
+      val cloneLog = s"$root/_clone"
+      TxnLog.shallowClone(logDir, cloneLog, 1)
+      // clone diverges: CoW merge confined to the mod-3==0 file
+      val updates = base.filter(col("key") % 300 === 0)
+        .select(col("key"), (col("key") * 9).as("value"))
+      TxnLog.mergeCopyOnWrite(s, cloneLog, s"$root/cmerged", updates, "key")
+      // source diverges: plain append
+      val appended = writeOne(root, base.filter(col("key") % 500 === 0)
+        .select((col("key") + 10000000L).as("key"), (col("key") * 3).as("value")), "srcadd")
+      TxnLog.commit(logDir, 2, adds = Seq(appended), removes = Nil)
+      val srcAtClone = TxnLog.liveFiles(logDir, 1)
+      Seq(("clone", cloneLog, 0L), ("clone", cloneLog, 1L),
+        ("src", logDir, 1L), ("src", logDir, 2L)).map { case (tbl, log, v) =>
+        val agg = TxnLog.readAsOfWithDeletes(s, log, v)
+          .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
+          .head()
+        val live = TxnLog.liveFiles(log, v)
+        (tbl, v, live.size.toLong, live.intersect(srcAtClone).size.toLong,
+          agg.getLong(0), agg.getLong(1))
+      }.toDF("tbl", "version", "n_files", "n_shared", "n_visible", "sum_visible")
+        .orderBy("tbl", "version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            vis AS (SELECT k FROM p WHERE k % 7 != 0)
+            SELECT 'clone' AS tbl, 0::BIGINT AS version, 3::BIGINT AS n_files, 3::BIGINT AS n_shared,
+                   (SELECT COUNT(*) FROM vis)::BIGINT AS n_visible,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM vis)::BIGINT AS sum_visible
+            UNION ALL
+            SELECT 'clone', 1, 3, 2,
+                   ((SELECT COUNT(*) FROM vis)
+                    - (SELECT COUNT(*) FROM vis WHERE k % 300 = 0)
+                    + (SELECT COUNT(*) FROM p WHERE k % 300 = 0))::BIGINT,
+                   ((SELECT COALESCE(SUM(2 * k), 0) FROM vis)
+                    - (SELECT COALESCE(SUM(2 * k), 0) FROM vis WHERE k % 300 = 0)
+                    + (SELECT COALESCE(SUM(9 * k), 0) FROM p WHERE k % 300 = 0))::BIGINT
+            UNION ALL
+            SELECT 'src', 1, 3, 3,
+                   (SELECT COUNT(*) FROM vis)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM vis)::BIGINT
+            UNION ALL
+            SELECT 'src', 2, 4, 3,
+                   ((SELECT COUNT(*) FROM vis) + (SELECT COUNT(*) FROM p WHERE k % 500 = 0))::BIGINT,
+                   ((SELECT COALESCE(SUM(2 * k), 0) FROM vis)
+                    + (SELECT COALESCE(SUM(3 * k), 0) FROM p WHERE k % 500 = 0))::BIGINT
+            ORDER BY tbl, version"""))
+
+  /** Partition evolution ([[graft.sources.TxnLog.pruneByPartition]]) —
+    * the Iceberg contract: the table STARTS unpartitioned (two plain
+    * files), then the spec evolves and new data lands partitioned by
+    * `cat`, WITHOUT rewriting a single old file. A `cat = 2` read plans
+    * old-layout files (unprunable, residual-filtered) plus exactly the
+    * one matching new-layout file — 3 of 6 files opened; the pruned plan
+    * and the full scan agree bit-for-bit. Oracle replays the residue
+    * arithmetic. */
+  val q275_partition_evolution = Q(
+    "q275_partition_evolution",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q275").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        pmod(col("p_partkey").cast("long"), lit(4)).as("cat"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      val half = base.agg(max("key")).head.getLong(0) / 2
+      val old = Seq(
+        writeOne(root, base.filter(col("key") <= half), "old0"),
+        writeOne(root, base.filter(col("key") > half), "old1"))
+      TxnLog.commit(logDir, 0, adds = old, removes = Nil)
+      val fresh = base.filter(col("key") % 25 === 0).select(
+        (col("key") + 10000000L).as("key"), col("cat"), (col("key") * 3).as("value"))
+      val parts = (0 until 4).map { c =>
+        writeOne(root, fresh.filter(col("cat") === c), s"cat$c") -> s"cat=$c"
+      }
+      TxnLog.commit(logDir, 1, adds = parts.map(_._1), removes = Nil,
+        partitions = parts.toMap)
+      val planned = TxnLog.pruneByPartition(logDir, 1, "cat", "2")
+      val agg = s.read.parquet(planned: _*).filter(col("cat") === 2)
+        .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
+      Seq((TxnLog.liveFiles(logDir, 1).size.toLong, planned.size.toLong,
+        agg.getLong(0), agg.getLong(1)))
+        .toDF("n_live_files", "n_planned", "n_rows", "sum_value")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 6::BIGINT AS n_live_files, 3::BIGINT AS n_planned,
+                   ((SELECT COUNT(*) FROM p WHERE k % 4 = 2)
+                    + (SELECT COUNT(*) FROM p WHERE k % 25 = 0 AND k % 4 = 2))::BIGINT AS n_rows,
+                   ((SELECT COALESCE(SUM(2 * k), 0) FROM p WHERE k % 4 = 2)
+                    + (SELECT COALESCE(SUM(3 * k), 0) FROM p WHERE k % 25 = 0 AND k % 4 = 2))::BIGINT AS sum_value"""))
+
+  /** Column-mapping RENAME ([[graft.sources.TxnLog.renameColumn]]) — a
+    * pure-metadata rename: physical files keep their original column name
+    * forever, reads project physical → logical AS OF the version (time
+    * travel shows each version under its own names), appends after the
+    * rename still write the physical schema, and a chained second rename
+    * folds through the mapping. O(1) on a 100 TB table — the operation
+    * that is a full rewrite without column mapping. Oracle pins the
+    * per-version schema strings + sums. */
+  val q276_rename_column = Q(
+    "q276_rename_column",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q276").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2).cast("long").as("val"))
+      TxnLog.commit(logDir, 0, adds = Seq(writeOne(root, base, "v0")), removes = Nil)
+      TxnLog.renameColumn(s, logDir, "val", "amount")
+      val appended = base.filter(col("key") % 250 === 0)
+        .select((col("key") + 10000000L).as("key"), (col("key") * 6).as("val"))
+      TxnLog.commit(logDir, 2, adds = Seq(writeOne(root, appended, "v2")), removes = Nil)
+      TxnLog.renameColumn(s, logDir, "amount", "amt")
+      (0L to 3L).map { v =>
+        val snap = TxnLog.readAsOfMapped(s, logDir, v)
+        val valueCol = snap.columns.filter(_ != "key").head
+        val agg = snap.agg(count(lit(1)).cast("long"), sum(col(valueCol)).cast("long")).head()
+        (v, snap.columns.sorted.mkString(","), agg.getLong(0), agg.getLong(1))
+      }.toDF("version", "cols", "n_rows", "sum_value").orderBy("version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 0::BIGINT AS version, 'key,val' AS cols,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_value
+            UNION ALL
+            SELECT 1, 'amount,key', (SELECT COUNT(*) FROM p)::BIGINT,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT
+            UNION ALL
+            SELECT 2, 'amount,key',
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM p WHERE k % 250 = 0))::BIGINT,
+                   ((SELECT SUM(2 * k) FROM p)
+                    + (SELECT COALESCE(SUM(6 * k), 0) FROM p WHERE k % 250 = 0))::BIGINT
+            UNION ALL
+            SELECT 3, 'amt,key',
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM p WHERE k % 250 = 0))::BIGINT,
+                   ((SELECT SUM(2 * k) FROM p)
+                    + (SELECT COALESCE(SUM(6 * k), 0) FROM p WHERE k % 250 = 0))::BIGINT
+            ORDER BY version"""))
+
+  /** CHECK constraints ([[graft.sources.TxnLog.addConstraint]] /
+    * [[appendChecked]]) — write-path data contracts on the txn-log table:
+    * adding a constraint validates the full VISIBLE history first (a
+    * constraint existing data violates REFUSES), a conforming append
+    * commits, and a violating append refuses ATOMICALLY — no orphan data
+    * file, no commit, head and live set unchanged. The check is one
+    * distributed filter-count per batch (NULL violates, ANSI CHECK
+    * semantics). Oracle is residue arithmetic + pinned booleans. */
+  val q277_check_constraints = Q(
+    "q277_check_constraints",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q277").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2 + 1).cast("long").as("value"))
+      TxnLog.commit(logDir, 0, adds = Seq(writeOne(root, base, "v0")), removes = Nil)
+      val refusedConstraint =
+        try { TxnLog.addConstraint(s, logDir, "big", "value > 10"); false }
+        catch { case _: IllegalArgumentException => true }
+      TxnLog.addConstraint(s, logDir, "positive", "value > 0")
+      val good = base.filter(col("key") % 100 === 0)
+        .select((col("key") + 10000000L).as("key"), (col("key") * 5 + 3).as("value"))
+      TxnLog.appendChecked(s, logDir, root, good)
+      val headBefore = TxnLog.latestVersion(logDir).get
+      val refusedAppend =
+        try {
+          TxnLog.appendChecked(s, logDir, root,
+            Seq((1L, 7L), (2L, -5L)).toDF("key", "value"))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val agg = TxnLog.readAsOf(s, logDir, TxnLog.latestVersion(logDir).get)
+        .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
+      Seq((TxnLog.latestVersion(logDir).get, headBefore,
+        TxnLog.constraints(logDir, 2).size.toLong,
+        agg.getLong(0), agg.getLong(1), refusedConstraint, refusedAppend))
+        .toDF("head_version", "head_before_bad_append", "n_constraints",
+          "n_rows", "sum_value", "refused_constraint", "refused_append")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 2::BIGINT AS head_version, 2::BIGINT AS head_before_bad_append,
+                   1::BIGINT AS n_constraints,
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM p WHERE k % 100 = 0))::BIGINT AS n_rows,
+                   ((SELECT SUM(2 * k + 1) FROM p)
+                    + (SELECT COALESCE(SUM(5 * k + 3), 0) FROM p WHERE k % 100 = 0))::BIGINT AS sum_value,
+                   true AS refused_constraint, true AS refused_append"""))
+
+  /** DESCRIBE HISTORY ([[graft.sources.TxnLog.history]]) — the table's
+    * commit log as a queryable DataFrame: per-version add/remove/dv/dvdrop
+    * action counts plus the operation kind derived from commit markers,
+    * over a lifecycle exercising append → DV delete → CoW rewrite →
+    * restore → rename → exactly-once streaming append. Metadata-scale by
+    * construction (the log is one tiny file per commit). The oracle is the
+    * fixture's known commit sequence as literals — every count is pinned
+    * by the operations' contracts, independent of SF. */
+  val q278_history = Q(
+    "q278_history",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q278").toString
+      val (logDir, _, base) = residueTable(s, dir, root, k => k * 2)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
+      val updates = base.filter(col("key") % 300 === 0)
+        .select(col("key"), (col("key") * 1000).as("value"))
+      TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
+      TxnLog.restore(s, logDir, 0)
+      TxnLog.renameColumn(s, logDir, "value", "v")
+      TxnLog.appendBatch(logDir, s"$root/stream",
+        base.filter(col("key") % 900 === 0), batchId = 7L)
+      TxnLog.history(s, logDir).orderBy("version")
+    },
+    Some("""SELECT * FROM (VALUES
+              (0::BIGINT, 3::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 'append'),
+              (1, 0, 0, 1, 0, 'delete'),
+              (2, 1, 1, 0, 0, 'rewrite'),
+              (3, 1, 1, 0, 1, 'restore'),
+              (4, 0, 0, 0, 0, 'rename-column'),
+              (5, 1, 0, 0, 0, 'streaming-append'))
+            AS t(version, n_adds, n_removes, n_dvs, n_dvdrops, operation)
+            ORDER BY version"""))
+
+  val all: Seq[Q] = Seq(
+    q272_restore, q273_concurrent_writers, q274_shallow_clone,
+    q275_partition_evolution, q276_rename_column, q277_check_constraints,
+    q278_history)
+}
