@@ -202,6 +202,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension #2: the broadcast interval-lookup join
     // (sorted disjoint intervals + binary-search probe — graft.plans.IntervalJoin)
     ext.injectPlannerStrategy(_ => new IntervalJoin.IntervalJoinStrategy)
+    // materialized-view automatic query rewrite (registered MVs only;
+    // see graft.plans.MaterializedView — staleness-checked roll-ups)
+    ext.injectOptimizerRule(_ => MaterializedView.RewriteToMv)
   }
 }
 

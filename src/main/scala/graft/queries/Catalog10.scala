@@ -376,8 +376,58 @@ private[graft] object Catalog10 {
             AS t(version, n_adds, n_removes, n_dvs, n_dvdrops, operation)
             ORDER BY version"""))
 
+  private val mvMemo = scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Materialized-view AUTOMATIC QUERY REWRITE
+    * ([[graft.plans.MaterializedView]] — Catalyst optimizer extension:
+    * Calcite/warehouse-style transparent acceleration): an MV
+    * pre-aggregates lineitem by (returnflag, linestatus); the query is
+    * written against the BASE table as a ROLL-UP — filter on one group
+    * column, grouping by the other — and the rule re-plans it over the
+    * MV (sum→SUM(sum), count(*)→SUM(cnt), max→MAX(max); the filter
+    * commutes because it touches group columns only). `mv_used` pins the
+    * rewrite from the executed plan's scan path, `base_control` pins that
+    * a non-derivable aggregate (sum of a column the MV lacks) still scans
+    * the base table. Values must equal the direct computation — the
+    * oracle computes from lineitem itself, so a rewrite that changed ANY
+    * value hash-fails. Sums stay exact: l_quantity is integral, max is
+    * order-free. */
+  val q279_mv_rewrite = Q(
+    "q279_mv_rewrite",
+    (s, dir) => {
+      import s.implicits._
+      import graft.plans.MaterializedView
+      val src = s"$dir/lineitem.parquet"
+      mvMemo.getOrElseUpdate((dir, s.sparkContext.applicationId), {
+        val mvPath = java.nio.file.Files.createTempDirectory("graft-q279").toString + "/mv"
+        MaterializedView.create(s, src, mvPath,
+          groupCols = Seq("l_returnflag", "l_linestatus"),
+          sums = Seq("l_quantity"), count = true, maxs = Seq("l_extendedprice"))
+      })
+      val accelerated = s.read.parquet(src)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+          max("l_extendedprice").as("max_price"))
+      val mvUsed = accelerated.queryExecution.executedPlan.toString.contains("graft-q279")
+      val control = s.read.parquet(src)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag").agg(sum("l_discount"))
+      val baseControl = !control.queryExecution.executedPlan.toString.contains("graft-q279")
+      accelerated
+        .withColumn("mv_used", lit(mvUsed))
+        .withColumn("base_control", lit(baseControl))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MAX(l_extendedprice) AS max_price,
+                   true AS mv_used, true AS base_control
+            FROM lineitem WHERE l_linestatus = 'F'
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
-    q278_history)
+    q278_history, q279_mv_rewrite)
 }
