@@ -426,8 +426,78 @@ private[graft] object Catalog10 {
             FROM lineitem WHERE l_linestatus = 'F'
             GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAMING READ of the transaction-log table
+    * ([[org.apache.spark.sql.graft.TxnLogStreamProvider]] — the Delta
+    * streaming-source shape, completing the lakehouse streaming pair with
+    * q267's exactly-once sink): versions are offsets, each micro-batch
+    * reads ONLY the files its versions added (cost ∝ new data, never
+    * table size), `maxVersionsPerTrigger=1` pins one version per batch,
+    * and the CHANGE commit in the middle (a rewrite) is consumed with
+    * ZERO rows under `skipChangeCommits` — re-emitting rewritten rows
+    * would double-count downstream. Checkpoint-recovery and the strict
+    * refusal live in TxnLogStreamSpec. Oracle is residue arithmetic. */
+  val q280_stream_table_read = Q(
+    "q280_stream_table_read",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q280").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("key"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      val f0 = writeOne(root, base, "v0")
+      TxnLog.commit(logDir, 0, adds = Seq(f0), removes = Nil)
+      TxnLog.commit(logDir, 1, adds = Seq(writeOne(root,
+        base.filter(col("key") % 100 === 0)
+          .select((col("key") + 10000000L).as("key"), (col("key") * 3).as("value")),
+        "v1")), removes = Nil)
+      // v2 REWRITES v0's file — a change commit the append-only reader skips
+      TxnLog.commit(logDir, 2, adds = Seq(writeOne(root,
+        base.select(col("key"), (col("value") * 1).as("value")), "v2")),
+        removes = Seq(f0))
+      TxnLog.commit(logDir, 3, adds = Seq(writeOne(root,
+        base.filter(col("key") % 200 === 0)
+          .select((col("key") + 20000000L).as("key"), (col("key") * 5).as("value")),
+        "v3")), removes = Nil)
+      val batches = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+      val q = scopedStreamStart(s) {
+        s.readStream
+          .format("org.apache.spark.sql.graft.TxnLogStreamProvider")
+          .option("logDir", logDir)
+          .option("maxVersionsPerTrigger", "1")
+          .option("skipChangeCommits", "true")
+          .load()
+          .writeStream
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            val agg = df.agg(count(lit(1)).cast("long"),
+              coalesce(sum(col("value")), lit(0L)).cast("long")).head()
+            batches.put(id, (agg.getLong(0), agg.getLong(1)))
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+      }
+      try q.processAllAvailable()
+      finally q.stop()
+      batches.toSeq.sortBy(_._1).map { case (id, (n, sv)) => (id, n, sv) }
+        .toDF("batch_id", "n_rows", "sum_value").orderBy("batch_id")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 0::BIGINT AS batch_id, (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_value
+            UNION ALL
+            SELECT 1, (SELECT COUNT(*) FROM p WHERE k % 100 = 0)::BIGINT,
+                   (SELECT COALESCE(SUM(3 * k), 0) FROM p WHERE k % 100 = 0)::BIGINT
+            UNION ALL
+            SELECT 2, 0, 0
+            UNION ALL
+            SELECT 3, (SELECT COUNT(*) FROM p WHERE k % 200 = 0)::BIGINT,
+                   (SELECT COALESCE(SUM(5 * k), 0) FROM p WHERE k % 200 = 0)::BIGINT
+            ORDER BY batch_id"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
-    q278_history, q279_mv_rewrite)
+    q278_history, q279_mv_rewrite, q280_stream_table_read)
 }

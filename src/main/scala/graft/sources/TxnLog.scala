@@ -381,6 +381,32 @@ object TxnLog {
       case (f, Some(p)) if p == s"$col=$value" => f
     }.toSeq.sorted
 
+  /** Data files ADDED by exactly version `v` (the streaming-source unit:
+    * an append-only reader emits these rows per consumed version). */
+  def addedFiles(logDir: String, v: Long): Seq[String] = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(v >= 0 && v <= latest, s"txn log: version $v out of range [0, $latest]")
+    java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.contains("\"action\":\"add\""))
+      .map(_.split("\"file\":\"")(1).stripSuffix("\"}").replace("\\\"", "\"")
+        .replace("\\\\", "\\"))
+  }
+
+  /** Whether version `v` CHANGES existing data (removes a file or commits
+    * a deletion vector) — the commits an append-only streaming reader
+    * must refuse or, under `skipChangeCommits`, skip. */
+  def isChangeCommit(logDir: String, v: Long): Boolean = {
+    val latest = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    require(v >= 0 && v <= latest, s"txn log: version $v out of range [0, $latest]")
+    java.nio.file.Files.readAllLines(logFile(logDir, v).toPath)
+      .toArray(Array.empty[String]).toSeq
+      .exists(l => l.contains("\"action\":\"remove\"") || l.contains("\"action\":\"dv\"")
+        || l.contains("\"action\":\"dvdrop\""))
+  }
+
   private def metaMarkers(logDir: String, asOf: Long, prefix: String): Seq[String] = {
     val latest = latestVersion(logDir).getOrElse(
       throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
