@@ -118,7 +118,121 @@ object MaterializedView {
 
   def unregister(sourcePath: String): Unit = registry.remove(canon(sourcePath))
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); snapshotRegistry.clear(); txnMvs.clear() }
+
+  // ------------------------------------------------------------------
+  // Snapshot-keyed MVs: the transaction-log-table integration
+  // ------------------------------------------------------------------
+
+  /** MVs over a VERSIONED table, keyed by the exact file SET the snapshot
+    * resolves to. The file set IS the freshness token: txn-log data files
+    * are immutable, so a query whose scan reads exactly the registered
+    * files is served correctly REGARDLESS of later commits — which is
+    * also why a RESTORE automatically re-enables the restored version's
+    * MV (the head resolves to the old file set again), and why a
+    * time-travel read of any version with a registered MV accelerates. */
+  private[graft] val snapshotRegistry = TrieMap.empty[Set[String], MvDef]
+
+  /** Per-txn-table bookkeeping for incremental refresh: canonical logDir
+    * → (version the current MV covers, its definition). */
+  private[graft] val txnMvs = TrieMap.empty[String, (Long, MvDef)]
+
+  def registerSnapshot(
+      spark: SparkSession,
+      snapshotFiles: Seq[String],
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Seq[String],
+      count: Boolean,
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): MvDef = {
+    ensureRule(spark)
+    val mv = MvDef(mvPath, groupCols, sums.toSet, count, mins.toSet, maxs.toSet, Map.empty)
+    snapshotRegistry.put(snapshotFiles.map(canon).toSet, mv)
+    mv
+  }
+
+  /** Build + register an MV for the CURRENT version of a txn-log table
+    * (one distributed aggregate pass over the snapshot). Count must be
+    * materialized: the incremental-refresh algebra needs per-group counts
+    * to retire groups whose rows all deleted. Returns the covered
+    * version. */
+  def createForTxn(
+      spark: SparkSession,
+      logDir: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sums: Seq[String],
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
+    val head = graft.sources.TxnLog.latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"mv: no commits in $logDir"))
+    val files = graft.sources.TxnLog.liveFiles(logDir, head).toSeq.sorted
+    val aggs =
+      sums.map(c => fsum(col(c)).as(s"sum_$c")) ++ Seq(fcount(lit(1)).as("cnt")) ++
+        mins.map(c => fmin(col(c)).as(s"min_$c")) ++
+        maxs.map(c => fmax(col(c)).as(s"max_$c"))
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val mv = registerSnapshot(spark, files, mvPath, groupCols, sums, count = true, mins, maxs)
+    txnMvs.put(canon(logDir), (head, mv))
+    head
+  }
+
+  /** INCREMENTAL refresh to the table's current head — cost proportional
+    * to the CHANGE, not the table: the delta comes from the txn log's
+    * change feed (`changesBetween` reads only files that changed hands),
+    * folds to per-group signed partials, and applies to the old MV with
+    * one outer join. Groups whose count reaches zero retire. Min/max are
+    * NOT incrementally maintainable under deletes (a deleted extremum
+    * needs a re-scan of its group) — a delta containing deletes refuses
+    * when the MV carries min/max columns, the classic view-maintenance
+    * restriction. The new MV registers under the head's file set; the old
+    * version's MV stays registered, still serving time-travel reads of
+    * that version. Returns (newVersion, deltaRows). */
+  def refreshIncremental(spark: SparkSession, logDir: String, newMvPath: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, least, greatest, lit, sum => fsum, when}
+    val (fromV, mv) = txnMvs.getOrElse(canon(logDir),
+      throw new IllegalArgumentException(s"mv: no txn MV registered for $logDir — createForTxn first"))
+    val head = graft.sources.TxnLog.latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"mv: no commits in $logDir"))
+    require(head > fromV, s"mv: already fresh at version $fromV")
+    val delta = graft.sources.TxnLog.changesBetween(spark, logDir, fromV, head)
+      .withColumn("__sgn", when(col("change_type") === "insert", 1L).otherwise(-1L))
+      .localCheckpoint(eager = true)
+    val deltaRows = delta.count()
+    val hasDeletes = delta.filter(col("__sgn") === -1L).limit(1).count() > 0
+    require(!hasDeletes || (mv.mins.isEmpty && mv.maxs.isEmpty),
+      "mv: delta contains deletes — min/max columns cannot refresh incrementally; rebuild with createForTxn")
+    val sumCols = mv.sums.toSeq.sorted
+    val minCols = mv.mins.toSeq.sorted
+    val maxCols = mv.maxs.toSeq.sorted
+    val deltaAgg = delta.groupBy(mv.groupCols.map(col): _*).agg(
+      fsum(col("__sgn")).as("__d_cnt"),
+      (sumCols.map(c => fsum(col("__sgn") * col(c)).as(s"__d_sum_$c")) ++
+        minCols.map(c => org.apache.spark.sql.functions.min(col(c)).as(s"__d_min_$c")) ++
+        maxCols.map(c => org.apache.spark.sql.functions.max(col(c)).as(s"__d_max_$c"))): _*)
+    val old = spark.read.parquet(mv.mvPath)
+    val merged = old.join(deltaAgg, mv.groupCols, "full_outer")
+      .select(
+        mv.groupCols.map(col) ++
+          sumCols.map(c =>
+            (coalesce(col(s"sum_$c"), lit(0L).cast(old.schema(s"sum_$c").dataType))
+              + coalesce(col(s"__d_sum_$c"), lit(0L))).as(s"sum_$c")) ++
+          Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L))).as("cnt")) ++
+          minCols.map(c => least(col(s"min_$c"), col(s"__d_min_$c")).as(s"min_$c")) ++
+          maxCols.map(c => greatest(col(s"max_$c"), col(s"__d_max_$c")).as(s"max_$c")): _*)
+      .filter(col("cnt") > 0)
+    merged.write.mode("overwrite").parquet(newMvPath)
+    val files = graft.sources.TxnLog.liveFiles(logDir, head).toSeq.sorted
+    val newDef = registerSnapshot(spark, files, newMvPath,
+      mv.groupCols, sumCols, count = true, minCols, maxCols)
+    txnMvs.put(canon(logDir), (head, newDef))
+    (head, deltaRows)
+  }
 
   /** extraOptimizations fallback so the rewrite works on sessions without
     * `spark.sql.extensions=graft.plans.GraftExtensions`. */
@@ -143,17 +257,24 @@ object MaterializedView {
       case other => (other, filters)
     }
 
-    private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    private def rootsOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths match {
-          case Seq(single) => Some(canon(single.toUri.getPath))
-          case _ => None
-        }
+        Some(fs.location.rootPaths.map(p => canon(p.toUri.getPath)))
       case _ => None
     }
 
+    /** Path-registered MVs check source freshness by re-listing;
+      * snapshot-registered MVs (txn tables) are fresh by construction —
+      * the file set is the version. */
+    private def lookup(roots: Seq[String]): Option[MvDef] = roots match {
+      case Seq(single) =>
+        registry.get(single).filter(mv => snapshotOf(single) == mv.snapshot)
+          .orElse(snapshotRegistry.get(Set(single)))
+      case many => snapshotRegistry.get(many.toSet)
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (registry.isEmpty) return plan
+      if (registry.isEmpty && snapshotRegistry.isEmpty) return plan
       if (conf.getConfString("spark.graft.mv.rewrite", "true") != "true") return plan
       plan.transform {
         case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
@@ -162,10 +283,8 @@ object MaterializedView {
 
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
       val (base, filters) = unwrap(agg.child, Nil)
-      val srcPath = pathOf(base).getOrElse(return None)
-      val mv = registry.get(srcPath).getOrElse(return None)
-      // staleness gate: the source must look exactly as it did at build
-      if (snapshotOf(srcPath) != mv.snapshot) return None
+      val roots = rootsOf(base).getOrElse(return None)
+      val mv = lookup(roots).getOrElse(return None)
       // query group columns must be bare attributes ⊆ MV group columns
       val groupNames = agg.groupingExpressions.map {
         case a: AttributeReference if mv.groupCols.contains(a.name) => a.name

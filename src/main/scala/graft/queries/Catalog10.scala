@@ -496,8 +496,82 @@ private[graft] object Catalog10 {
                    (SELECT COALESCE(SUM(5 * k), 0) FROM p WHERE k % 200 = 0)::BIGINT
             ORDER BY batch_id"""))
 
+  /** Incremental MV maintenance on the transaction-log table
+    * ([[graft.plans.MaterializedView.createForTxn]] /
+    * [[refreshIncremental]] — the lakehouse + MV-rewrite integration):
+    * MVs register per snapshot FILE SET, so freshness is exact by
+    * construction (immutable data files ⇒ the set IS the version) and a
+    * time-travel read of any covered version accelerates. After two
+    * appends the head stops matching (stale MV can never serve); ONE
+    * incremental refresh folds the change feed — cost ∝ delta_rows, not
+    * table size — and the head accelerates again. RESTORE then flips the
+    * head back to version 0's file set and the ORIGINAL MV serves it with
+    * zero work. Oracle is residue arithmetic; any drift between the MV
+    * path and the direct aggregates hash-fails. */
+  val q281_mv_incremental = Q(
+    "q281_mv_incremental",
+    (s, dir) => {
+      import s.implicits._
+      import graft.plans.MaterializedView
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q281").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(
+        pmod(col("p_partkey").cast("long"), lit(10)).as("g"),
+        (col("p_partkey") * 2).cast("long").as("value"))
+      TxnLog.commit(logDir, 0, adds = Seq(writeOne(root, base, "v0")), removes = Nil)
+      MaterializedView.createForTxn(s, logDir, s"$root/mv_v0", Seq("g"), sums = Seq("value"))
+      val keyed = t(s, dir, "part").select(col("p_partkey").cast("long").as("key"))
+      TxnLog.commit(logDir, 1, adds = Seq(writeOne(root,
+        keyed.filter(col("key") % 100 === 0)
+          .select(pmod(col("key"), lit(10)).as("g"), (col("key") * 3).as("value")),
+        "a1")), removes = Nil)
+      TxnLog.commit(logDir, 2, adds = Seq(writeOne(root,
+        keyed.filter(col("key") % 200 === 0)
+          .select(pmod(col("key"), lit(10)).as("g"), (col("key") * 5).as("value")),
+        "a2")), removes = Nil)
+      val (_, deltaRows) = MaterializedView.refreshIncremental(s, logDir, s"$root/mv_head")
+      TxnLog.restore(s, logDir, 0)
+      def stage(name: String, asOf: Long, mvTag: String, delta: Long) = {
+        val q = TxnLog.readAsOf(s, logDir, asOf)
+          .groupBy("g").agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+        val used = q.queryExecution.executedPlan.toString.contains(mvTag)
+        val agg = q.agg(count(lit(1)).cast("long"),
+          sum(col("n")).cast("long"), sum(col("sv")).cast("long")).head()
+        (name, agg.getLong(0), agg.getLong(1), agg.getLong(2), used, delta)
+      }
+      Seq(
+        stage("1_v0", 0, "mv_v0", 0L),
+        stage("2_head", 2, "mv_head", deltaRows),
+        stage("3_restored", 3, "mv_v0", 0L))
+        .toDF("stage", "n_groups", "n_rows", "sum_value", "mv_used", "delta_rows")
+        .orderBy("stage")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT '1_v0' AS stage, 10::BIGINT AS n_groups,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_value,
+                   true AS mv_used, 0::BIGINT AS delta_rows
+            UNION ALL
+            SELECT '2_head', 10,
+                   ((SELECT COUNT(*) FROM p)
+                    + (SELECT COUNT(*) FROM p WHERE k % 100 = 0)
+                    + (SELECT COUNT(*) FROM p WHERE k % 200 = 0))::BIGINT,
+                   ((SELECT SUM(2 * k) FROM p)
+                    + (SELECT COALESCE(SUM(3 * k), 0) FROM p WHERE k % 100 = 0)
+                    + (SELECT COALESCE(SUM(5 * k), 0) FROM p WHERE k % 200 = 0))::BIGINT,
+                   true,
+                   ((SELECT COUNT(*) FROM p WHERE k % 100 = 0)
+                    + (SELECT COUNT(*) FROM p WHERE k % 200 = 0))::BIGINT
+            UNION ALL
+            SELECT '3_restored', 10,
+                   (SELECT COUNT(*) FROM p)::BIGINT,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT,
+                   true, 0::BIGINT
+            ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
-    q278_history, q279_mv_rewrite, q280_stream_table_read)
+    q278_history, q279_mv_rewrite, q280_stream_table_read, q281_mv_incremental)
 }

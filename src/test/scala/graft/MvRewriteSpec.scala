@@ -92,6 +92,76 @@ class MvRewriteSpec extends SparkSpec {
     } finally MaterializedView.unregister(src)
   }
 
+  test("txn-table MV: snapshot-keyed serving, incremental refresh, restore re-serves the old MV") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("mv_txn").toString
+    val log = s"$root/_log"
+    def fileOf(df: DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val base = (1L to 300L).map(i => (i % 5, i)).toDF("g", "v")
+    TxnLog.commit(log, 0, Seq(fileOf(base, "f0")), Nil)
+    MaterializedView.createForTxn(spark, log, s"$root/mv0", Seq("g"), sums = Seq("v"))
+    try {
+      def q(asOf: Long) = TxnLog.readAsOf(spark, log, asOf)
+        .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      assert(scans(q(0)).contains("mv0"))
+      assert(sortedRows(q(0)) == withRule(false)(sortedRows(q(0))))
+      // append a version: the head's file set no longer matches → base scan
+      TxnLog.commit(log, 1, Seq(fileOf(Seq((7L, 1000L), (9L, 2000L)).toDF("g", "v"), "f1")), Nil)
+      assert(!scans(q(1)).contains("mv0"))
+      // incremental refresh: cost = the delta (2 rows), new MV serves head
+      val (v, deltaRows) = MaterializedView.refreshIncremental(spark, log, s"$root/mv1")
+      assert(v == 1L && deltaRows == 2L)
+      assert(scans(q(1)).contains("mv1"))
+      assert(sortedRows(q(1)) == withRule(false)(sortedRows(q(1))))
+      // time travel: version 0 still serves its own MV
+      assert(scans(q(0)).contains("mv0"))
+      // RESTORE to 0: the head resolves to the old file set → mv0 serves again
+      TxnLog.restore(spark, log, 0)
+      assert(scans(q(2)).contains("mv0"))
+      assert(sortedRows(q(2)) == withRule(false)(sortedRows(q(0))))
+    } finally MaterializedView.clear()
+  }
+
+  test("txn-table MV refresh under deletes: sums/counts fold, groups retire, min/max refuses") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("mv_txn_del").toString
+    val log = s"$root/_log"
+    def fileOf(df: DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val base = (1L to 100L).map(i => (i % 4, i)).toDF("g", "v")
+    TxnLog.commit(log, 0, Seq(fileOf(base, "f0")), Nil)
+    MaterializedView.createForTxn(spark, log, s"$root/mv0", Seq("g"), sums = Seq("v"))
+    try {
+      // a CoW UPDATE (delete + insert pairs in the delta): rows keyed v%10==0
+      // move to group 0
+      TxnLog.mergeCopyOnWrite(spark, log, s"$root/m1",
+        base.filter(col("v") % 10 === 0).select(lit(0L).as("g"), col("v")), "v")
+      // and a pure DV delete wiping group 3 entirely
+      TxnLog.deleteMergeOnRead(spark, log, s"$root/dv", col("g") === 3)
+      val (_, _) = MaterializedView.refreshIncremental(spark, log, s"$root/mv2")
+      val refreshed = spark.read.parquet(s"$root/mv2")
+        .select("g", "sum_v", "cnt")
+      val direct = TxnLog.readAsOfWithDeletes(spark, log, TxnLog.latestVersion(log).get)
+        .groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      assert(sortedRows(refreshed) == sortedRows(direct))
+      // g=3 retired (all rows deleted; the merge's inserts were g=0)
+      assert(refreshed.filter(col("g") === 3).isEmpty)
+      // a min/max MV refuses to refresh across a delete delta
+      MaterializedView.createForTxn(spark, log, s"$root/mvx", Seq("g"),
+        sums = Nil, mins = Seq("v"))
+      TxnLog.deleteMergeOnRead(spark, log, s"$root/dv2", col("v") === 2L)
+      assertThrows[IllegalArgumentException](
+        MaterializedView.refreshIncremental(spark, log, s"$root/mvy"))
+    } finally MaterializedView.clear()
+  }
+
   test("staleness: a changed source disables the MV until it is rebuilt") {
     val src = mkSource()
     val mv = src + "_mv"
