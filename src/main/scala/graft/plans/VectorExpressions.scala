@@ -205,6 +205,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view automatic query rewrite (registered MVs only;
     // see graft.plans.MaterializedView — staleness-checked roll-ups)
     ext.injectOptimizerRule(_ => MaterializedView.RewriteToMv)
+    // SQL-text time travel over txn-log tables (Delta VERSION AS OF shape)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_txn_table"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_txn_table"),
+      (exprs: Seq[Expression]) => TxnTableTvf.plan(exprs)))
   }
 }
 
@@ -243,6 +248,45 @@ object TimeSpineTvf {
     Project(Seq(Alias(
       MicrosToTimestamp(Add(Literal(startUs), Multiply(id, Literal(stepUs)))), "ts")()),
       range)
+  }
+}
+
+
+/** Builder for the `graft_txn_table` SQL table function — SQL-TEXT time
+  * travel over a transaction-log table:
+  * `SELECT ... FROM graft_txn_table('<logDir>', <version>)` resolves the
+  * snapshot at that version WITH deletion vectors applied (version -1 =
+  * current head). The files resolve at ANALYSIS time from literal
+  * arguments — exactly Delta's `VERSION AS OF`, surfaced through the
+  * `injectTableFunction` extension point, so pure-SQL users get the
+  * whole versioned-table surface (and the MV rewrite can still
+  * accelerate aggregates over DV-free snapshots underneath). */
+object TxnTableTvf {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2, "graft_txn_table takes (string logDir, bigint version)")
+    def lit(e: Expression, what: String): Any = {
+      require(e.foldable, s"graft_txn_table: $what must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    require(exprs.head.dataType == StringType, "graft_txn_table: logDir must be a STRING")
+    val logDir = lit(exprs.head, "logDir").toString
+    val version = exprs(1).dataType match {
+      case LongType => lit(exprs(1), "version").asInstanceOf[Long]
+      case IntegerType => lit(exprs(1), "version").asInstanceOf[Int].toLong
+      case t => throw new IllegalArgumentException(
+        s"graft_txn_table: version must be integral, got ${t.sql}")
+    }
+    val spark = SparkSession.active
+    val asOf =
+      if (version == -1L) graft.sources.TxnLog.latestVersion(logDir).getOrElse(
+        throw new IllegalArgumentException(s"graft_txn_table: no commits in $logDir"))
+      else version
+    org.apache.spark.sql.graft.PlanDataset.analyzed(
+      graft.sources.TxnLog.readAsOfWithDeletes(spark, logDir, asOf))
   }
 }
 

@@ -570,8 +570,113 @@ private[graft] object Catalog10 {
                    true, 0::BIGINT
             ORDER BY stage"""))
 
+  /** OPTIMIZE (bin-pack compaction) with deletion-vector MATERIALIZATION
+    * ([[graft.sources.TxnLog.compact]]) — the maintenance op that pays
+    * the debt merge-on-read deletes defer: after two DV deletes the
+    * visible snapshot rewrites into 4 key-residue-bucketed files in ONE
+    * atomic commit that removes the old files AND un-binds both vectors
+    * — post-compaction scans pay no anti-join, visible rows are
+    * bit-identical (the oracle proves it: v2 and v3 rows share the same
+    * arithmetic), and every pre-compaction version keeps its own
+    * visibility under time travel. Completes the DV lifecycle:
+    * delete (q264) → accumulate → compact-materialize → vacuum (q265).
+    * Oracle is residue arithmetic over part. */
+  val q282_optimize_compact = Q(
+    "q282_optimize_compact",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q282").toString
+      val (logDir, _, _) = residueTable(s, dir, root, k => k * 2)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
+      TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv2", col("key") % 11 === 0)
+      TxnLog.compact(s, logDir, s"$root/opt", targetFiles = 4,
+        bucket = Some(pmod(col("key"), lit(4))))
+      (0L to 3L).map { v =>
+        val agg = TxnLog.readAsOfWithDeletes(s, logDir, v)
+          .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
+          .head()
+        (v, TxnLog.liveFiles(logDir, v).size.toLong, TxnLog.dvFiles(logDir, v).size.toLong,
+          agg.getLong(0), agg.getLong(1))
+      }.toDF("version", "n_files", "n_dv_bound", "n_visible", "sum_visible")
+        .orderBy("version")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            v1 AS (SELECT k FROM p WHERE k % 7 != 0),
+            v2 AS (SELECT k FROM v1 WHERE k % 11 != 0)
+            SELECT 0::BIGINT AS version, 3::BIGINT AS n_files, 0::BIGINT AS n_dv_bound,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_visible,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_visible
+            UNION ALL
+            SELECT 1, 3, 1,
+                   (SELECT COUNT(*) FROM v1)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM v1)::BIGINT
+            UNION ALL
+            SELECT 2, 3, 2,
+                   (SELECT COUNT(*) FROM v2)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM v2)::BIGINT
+            UNION ALL
+            SELECT 3, 4, 0,
+                   (SELECT COUNT(*) FROM v2)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM v2)::BIGINT
+            ORDER BY version"""))
+
+  /** SQL-TEXT time travel ([[graft.plans.TxnTableTvf]] — the
+    * `graft_txn_table` table function injected via
+    * `injectTableFunction`): the whole query is a `spark.sql` string —
+    * three snapshot scans (version 0, a DV-delete version with row-level
+    * deletes APPLIED, and `-1` = head) plus a cross-version anti-join
+    * computing the appended keys, Delta's `VERSION AS OF` surfaced to
+    * pure-SQL users. Oracle is residue arithmetic over part. */
+  val q283_sql_time_travel = Q(
+    "q283_sql_time_travel",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q283").toString
+      val (log, _, base) = residueTable(s, dir, root, k => k * 2)
+      TxnLog.deleteMergeOnRead(s, log, s"$root/dv1", col("key") % 7 === 0)
+      TxnLog.commit(log, 2, adds = Seq(writeOne(root,
+        base.filter(col("key") % 300 === 0)
+          .select((col("key") + 10000000L).as("key"), (col("key") * 9).as("value")),
+        "a2")), removes = Nil)
+      s.sql(
+        s"""SELECT '1_v0' AS snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(value) AS BIGINT) AS sum_value
+           |FROM graft_txn_table('$log', 0)
+           |UNION ALL
+           |SELECT '2_v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS BIGINT)
+           |FROM graft_txn_table('$log', 1)
+           |UNION ALL
+           |SELECT '3_head', CAST(COUNT(*) AS BIGINT), CAST(SUM(value) AS BIGINT)
+           |FROM graft_txn_table('$log', -1)
+           |UNION ALL
+           |SELECT '4_new', CAST(COUNT(*) AS BIGINT), CAST(SUM(a.value) AS BIGINT)
+           |FROM graft_txn_table('$log', -1) a
+           |LEFT ANTI JOIN graft_txn_table('$log', 1) b ON a.key = b.key
+           |ORDER BY snap""".stripMargin)
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            vis AS (SELECT k FROM p WHERE k % 7 != 0),
+            app AS (SELECT k FROM p WHERE k % 300 = 0)
+            SELECT '1_v0' AS snap, (SELECT COUNT(*) FROM p)::BIGINT AS n_rows,
+                   (SELECT SUM(2 * k) FROM p)::BIGINT AS sum_value
+            UNION ALL
+            SELECT '2_v1', (SELECT COUNT(*) FROM vis)::BIGINT,
+                   (SELECT COALESCE(SUM(2 * k), 0) FROM vis)::BIGINT
+            UNION ALL
+            SELECT '3_head',
+                   ((SELECT COUNT(*) FROM vis) + (SELECT COUNT(*) FROM app))::BIGINT,
+                   ((SELECT COALESCE(SUM(2 * k), 0) FROM vis)
+                    + (SELECT COALESCE(SUM(9 * k), 0) FROM app))::BIGINT
+            UNION ALL
+            SELECT '4_new', (SELECT COUNT(*) FROM app)::BIGINT,
+                   (SELECT COALESCE(SUM(9 * k), 0) FROM app)::BIGINT
+            ORDER BY snap"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
-    q278_history, q279_mv_rewrite, q280_stream_table_read, q281_mv_incremental)
+    q278_history, q279_mv_rewrite, q280_stream_table_read, q281_mv_incremental,
+    q282_optimize_compact, q283_sql_time_travel)
 }

@@ -222,6 +222,7 @@ object TxnLog {
         .map(_.split("\"file\":\"")(1).stripSuffix("\"}"))
       val op =
         if (metas.exists(_.startsWith("restore:"))) "restore"
+        else if (metas.exists(_.startsWith("optimize:"))) "optimize"
         else if (metas.exists(_.startsWith("clone:"))) "clone"
         else if (metas.exists(_.startsWith("batch:"))) "streaming-append"
         else if (metas.exists(_.startsWith("constraint:"))) "add-constraint"
@@ -594,6 +595,54 @@ object TxnLog {
       .getOrElse(throw new IllegalStateException(s"delete: no parquet written under $dvOutDir"))
       .getAbsolutePath
     commit(logDir, v + 1, adds = Nil, removes = Nil, dvs = Seq(dvFile))
+    v + 1
+  }
+
+  /** OPTIMIZE (bin-pack compaction) through the transaction log — the
+    * maintenance op that resolves the debt the merge-on-read path defers:
+    * the VISIBLE snapshot (deletion vectors applied) rewrites into
+    * `targetFiles` hash-bucketed files in ONE atomic commit that removes
+    * every old data file and UN-BINDS every deletion vector (`dvdrop`) —
+    * after compaction the row-level deletes are MATERIALIZED, scans pay
+    * no anti-join, and the next vacuum can reclaim both the old files and
+    * nothing depends on the vectors any more. Readers see the old or new
+    * layout, never a mix; every pre-compaction version stays
+    * time-travelable with its own visibility. Bucketing is content-keyed
+    * (xxhash64 over the whole row) so the layout is deterministic —
+    * which also makes it oracle-replayable. At scale the rewrite is one
+    * shuffle-free pass when `targetFiles` ≥ input partitions, or one
+    * repartition otherwise; cost ∝ LIVE data. Returns the committed
+    * version. */
+  def compact(
+      spark: SparkSession,
+      logDir: String,
+      outDir: String,
+      targetFiles: Int,
+      /** bucket assignment per row; default content hash. A key-residue
+        * expression makes the layout arithmetic-replayable (what q282
+        * pins); one OUTPUT FILE per distinct bucket value either way. */
+      bucket: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{abs, col, lit, pmod, xxhash64}
+    require(targetFiles >= 1, s"txn log: compact needs targetFiles >= 1, got $targetFiles")
+    val v = latestVersion(logDir).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
+    val files = liveFiles(logDir, v).toSeq.sorted
+    require(files.nonEmpty, s"txn log: version $v has no live files")
+    val visible = readAsOfWithDeletes(spark, logDir, v)
+    val bucketCol = bucket.getOrElse(
+      pmod(abs(xxhash64(visible.columns.map(col).toIndexedSeq: _*)), lit(targetFiles)))
+    // repartition by bucket (whole buckets per task) + partitionBy ⇒
+    // exactly one file per non-empty bucket, in ONE distributed write
+    visible.withColumn("__graft_bucket", bucketCol)
+      .repartition(targetFiles, col("__graft_bucket"))
+      .write.mode("overwrite").partitionBy("__graft_bucket").parquet(outDir)
+    val outs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("__graft_bucket="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
+    require(outs.nonEmpty, s"txn log: compact wrote no parquet under $outDir")
+    commit(logDir, v + 1, adds = outs, removes = files,
+      dvDrops = dvFiles(logDir, v).toSeq.sorted, meta = Seq("optimize:compact"))
     v + 1
   }
 

@@ -189,6 +189,43 @@ class LakehouseSpec extends SparkSpec {
     assert(TxnLog.constraints(log, 4).map(_._1) == Seq("pos", "big"))
   }
 
+  test("compact: DV materialization, bit-identical visible rows, time travel, vacuum interplay") {
+    val (root, log, fs) = mkTable("lh_compact")
+    TxnLog.deleteMergeOnRead(spark, log, s"$root/dv1", col("x") % 5 === 0)
+    val before = sortedRows(TxnLog.readAsOfWithDeletes(spark, log, 1))
+    val v2 = TxnLog.compact(spark, log, s"$root/opt", targetFiles = 2,
+      bucket = Some(pmod(col("x"), lit(2))))
+    assert(v2 == 2L)
+    // vectors un-bound, old files gone, exactly one file per bucket
+    assert(TxnLog.dvFiles(log, 2).isEmpty)
+    assert(TxnLog.liveFiles(log, 2).intersect(fs.toSet).isEmpty)
+    assert(TxnLog.liveFiles(log, 2).size == 2)
+    // content identical to the pre-compaction VISIBLE snapshot, no anti-join needed
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 2)) == before)
+    // pre-compaction versions keep their own visibility
+    assert(sortedRows(TxnLog.readAsOfWithDeletes(spark, log, 1)) == before)
+    assert(TxnLog.readAsOfWithDeletes(spark, log, 0).count() == 30)
+    // vacuum to the compacted version reclaims every pre-compaction file
+    val doomed = TxnLog.vacuum(log, 2)
+    assert(doomed.toSet == fs.toSet)
+    assert(sortedRows(TxnLog.readAsOf(spark, log, 2)) == before)
+  }
+
+  test("graft_txn_table TVF: SQL time travel with DVs applied, head alias, refusals") {
+    val (root, log, _) = mkTable("lh_tvf")
+    TxnLog.deleteMergeOnRead(spark, log, s"$root/dv", col("x") % 3 === 0)
+    def one(sql: String): Long = spark.sql(sql).head.getLong(0)
+    assert(one(s"SELECT CAST(SUM(x) AS BIGINT) FROM graft_txn_table('$log', 0)")
+      == (1L to 30L).sum)
+    assert(one(s"SELECT CAST(SUM(x) AS BIGINT) FROM graft_txn_table('$log', 1)")
+      == (1L to 30L).filterNot(_ % 3 == 0).sum)
+    assert(one(s"SELECT CAST(SUM(x) AS BIGINT) FROM graft_txn_table('$log', -1)")
+      == (1L to 30L).filterNot(_ % 3 == 0).sum)
+    // out-of-range version and non-literal args refuse at analysis
+    assertThrows[Exception](spark.sql(s"SELECT * FROM graft_txn_table('$log', 99)").collect())
+    assertThrows[Exception](spark.sql(s"SELECT * FROM graft_txn_table('$log', x)").collect())
+  }
+
   test("history: per-version action counts and operation kinds") {
     val (root, log, fs) = mkTable("lh_hist")
     TxnLog.deleteMergeOnRead(spark, log, s"$root/dv1", col("x") % 5 === 0)
