@@ -18,18 +18,36 @@ private[graft] object Catalog10 {
     new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
   }
 
-  /** The shared 3-residue-file (key, value) fixture over part. */
-  private def residueTable(s: SparkSession, dir: String, root: String,
-      valueOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+  private def residueBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").cast("long").as("key"),
+      (col("p_partkey") * 2).cast("long").as("value"))
+
+  /** The standard 3-residue-file (key, value=2k) data files, built ONCE
+    * per (sf-dir, session) and SHARED across the lakehouse queries: txn
+    * data files are immutable — each query commits the same files into
+    * its OWN log, and all derived writes (DVs, merges, compactions) land
+    * in per-query roots. Safe because no catalog query vacuums a log
+    * referencing these files (vacuum physically deletes; specs that
+    * exercise it build private fixtures). */
+  private val residueMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[String]]
+
+  private def sharedResidueFiles(s: SparkSession, dir: String): Seq[String] =
+    residueMemo.getOrElseUpdate((dir, s.sparkContext.applicationId), {
+      val root = java.nio.file.Files.createTempDirectory("graft-residue").toString
+      val base = residueBase(s, dir)
+      (0 until 3).map(m =>
+        writeOne(root, base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
+    })
+
+  /** A fresh txn table (own log) over the shared residue files. */
+  private def residueTable(s: SparkSession, dir: String, root: String)
       : (String, Seq[String], DataFrame) = {
     val logDir = s"$root/_log"
-    val base = t(s, dir, "part").select(
-      col("p_partkey").cast("long").as("key"),
-      valueOf(col("p_partkey").cast("long")).as("value"))
-    val fs = (0 until 3).map(m =>
-      writeOne(root, base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
+    val fs = sharedResidueFiles(s, dir)
     graft.sources.TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
-    (logDir, fs, base)
+    (logDir, fs, residueBase(s, dir))
   }
 
   /** RESTORE TABLE TO VERSION ([[graft.sources.TxnLog.restore]]) — the
@@ -46,7 +64,7 @@ private[graft] object Catalog10 {
       import s.implicits._
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q272").toString
-      val (logDir, _, base) = residueTable(s, dir, root, k => k * 2)
+      val (logDir, _, base) = residueTable(s, dir, root)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
       val updates = base.filter(col("key") % 300 === 0)
         .select(col("key"), (col("key") * 1000).as("value"))
@@ -98,7 +116,7 @@ private[graft] object Catalog10 {
       import s.implicits._
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q273").toString
-      val (logDir, fs, base) = residueTable(s, dir, root, k => k * 2)
+      val (logDir, fs, base) = residueTable(s, dir, root)
       val m0a = writeOne(root, base.filter(col("key") % 3 === 0)
         .select(col("key"), (col("key") * 10).as("value")), "m0a")
       val m1b = writeOne(root, base.filter(col("key") % 3 === 1)
@@ -149,7 +167,7 @@ private[graft] object Catalog10 {
       import s.implicits._
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q274").toString
-      val (logDir, _, base) = residueTable(s, dir, root, k => k * 2)
+      val (logDir, _, base) = residueTable(s, dir, root)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
       val cloneLog = s"$root/_clone"
       TxnLog.shallowClone(logDir, cloneLog, 1)
@@ -355,7 +373,7 @@ private[graft] object Catalog10 {
       import s.implicits._
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q278").toString
-      val (logDir, _, base) = residueTable(s, dir, root, k => k * 2)
+      val (logDir, _, base) = residueTable(s, dir, root)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
       val updates = base.filter(col("key") % 300 === 0)
         .select(col("key"), (col("key") * 1000).as("value"))
@@ -587,7 +605,7 @@ private[graft] object Catalog10 {
       import s.implicits._
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q282").toString
-      val (logDir, _, _) = residueTable(s, dir, root, k => k * 2)
+      val (logDir, _, _) = residueTable(s, dir, root)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv2", col("key") % 11 === 0)
       TxnLog.compact(s, logDir, s"$root/opt", targetFiles = 4,
@@ -634,7 +652,7 @@ private[graft] object Catalog10 {
       import s.implicits._
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q283").toString
-      val (log, _, base) = residueTable(s, dir, root, k => k * 2)
+      val (log, _, base) = residueTable(s, dir, root)
       TxnLog.deleteMergeOnRead(s, log, s"$root/dv1", col("key") % 7 === 0)
       TxnLog.commit(log, 2, adds = Seq(writeOne(root,
         base.filter(col("key") % 300 === 0)
