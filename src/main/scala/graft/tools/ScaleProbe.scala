@@ -52,7 +52,13 @@ object ScaleProbe {
     "q229_topic_segments" -> 1.3, // per-document linear tiling
     "q244_matryoshka" -> 1.3, // fixed-COUNT query side: O(n·k) brute force
     "q253_incremental_cc" -> 1.5, // delta-sized re-clustering + full-equivalence check
-    "q261_rank_sketch" -> 1.3 // one hash-partitioned sort + N/step sketch rows
+    "q261_rank_sketch" -> 1.3, // one hash-partitioned sort + N/step sketch rows
+    // lakehouse lifecycle: every op is file-count-bounded metadata plus
+    // linear passes over live data — a super-linear exponent here means a
+    // log replay or file-attribution step went quadratic
+    "q272_restore" -> 1.3, // DV delete + CoW merge + metadata restore, all linear passes
+    "q281_mv_incremental" -> 1.3, // MV build linear; refresh ∝ delta
+    "q282_optimize_compact" -> 1.3 // one repartition write of the visible snapshot
   )
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big
