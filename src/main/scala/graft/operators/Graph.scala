@@ -512,4 +512,124 @@ object Graph {
       .join(closing, Seq("w_v", "w_w"), "left_semi")
       .agg(count(lit(1)).cast("long").as("triangles"))
   }
+
+  /** Strongly connected components of a DIRECTED edge table — Orzan's
+    * coloring algorithm, the standard Pregel-family SCC (forward-backward
+    * without the sequential pivot):
+    *
+    * Per outer round over the remaining graph: (1) FORWARD MIN-ID
+    * COLORING to fixpoint — color(v) = min id that reaches v; (2) every
+    * color class whose minimum vertex is its own color (a ROOT — nothing
+    * smaller reaches it) collects its SCC by BACKWARD traversal from the
+    * root restricted to same-color edges: u backward-reached means
+    * u →* root, and color(u) = root means root →* u, so membership is
+    * exactly mutual reachability; (3) emit those SCCs, remove them,
+    * repeat. Each round retires at least the global-minimum vertex's
+    * class, and in practice one round per level of the condensation DAG
+    * whose min-ids shadow the level below.
+    *
+    * Scale shape: every fixpoint step is one edge-colors equi-join + one
+    * min-aggregation on node keys — linear in remaining edges, no
+    * whole-graph collects; rounds cost O(color diameter), the documented
+    * price of distributed SCC (GraphX's SCC is this same loop). Every
+    * iterate is checkpointed (lineage truncated); the graph SHRINKS
+    * across outer rounds so late rounds cost ∝ what is left. Convergence
+    * checks are `isEmpty` probes on change frames, driver-bounded.
+    *
+    * Vertices are those appearing in `edges` (an isolated vertex has no
+    * edge to appear through); self-loops are dropped (they never change
+    * membership). Returns (id, scc) with scc = the component's minimum
+    * vertex id — deterministic under any partitioning, so
+    * oracle-replayable. */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      maxOuterRounds: Int = 16,
+      maxFixpointRounds: Int = 64,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    var liveEdges = checkpoint(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct())
+    var live = checkpoint(
+      liveEdges.select(col("src").as("id"))
+        .union(liveEdges.select(col("dst").as("id"))).distinct())
+    var out: Option[DataFrame] = None
+    var round = 0
+    while (round < maxOuterRounds && !live.isEmpty) {
+      // (1) forward min-id coloring to fixpoint. Each round is one
+      // edge-step (color flows along edges) PLUS a pointer-doubling
+      // shortcut (color(v) ← min over color(color(v)) — valid because
+      // "color(v)=u" certifies u →* v, and reachability composes), so
+      // rounds are O(log color-diameter), the CC-style shortcutting that
+      // keeps a 100 TB chain from costing diameter-many shuffles. The
+      // `__changed` bit rides the checkpointed frame: the convergence
+      // probe is a cached scan, no extra join.
+      def fwdRound(cur: DataFrame): DataFrame = {
+        val cand = liveEdges
+          .join(cur.select(col("id").as("src"), col("color").as("__c")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("__c")).as("__cand"))
+        val stepped = cur.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("color"), coalesce(col("__cand"), col("color"))).as("color"),
+            (coalesce(col("__cand"), col("color")) < col("color")).as("__changed"))
+        stepped
+          .join(stepped.select(col("id").as("color"), col("color").as("__cc")),
+            Seq("color"), "left")
+          .select(col("id"),
+            least(col("color"), coalesce(col("__cc"), col("color"))).as("color"),
+            (col("__changed") ||
+              coalesce(col("__cc"), col("color")) < col("color")).as("__changed"))
+      }
+      var colors = checkpoint(
+        live.select(col("id"), col("id").as("color"), lit(false).as("__changed")))
+      var converged = false
+      var r = 0
+      while (!converged && r < maxFixpointRounds) {
+        val next = checkpoint(fwdRound(
+          colors.select(col("id"), col("color"), col("__changed"))))
+        converged = next.filter(col("__changed")).isEmpty
+        colors = next
+        r += 1
+      }
+      require(converged,
+        s"scc: coloring fixpoint did not converge in $maxFixpointRounds rounds")
+      // (2) backward collection from roots, restricted to same-color edges;
+      // same strided-chain shape, convergence by stable count.
+      val classColors = checkpoint(colors.select(col("id"), col("color")))
+      def bwdRound(cur: DataFrame): DataFrame =
+        cur.unionByName(liveEdges
+          .join(cur.select(col("id").as("dst"), col("color")), Seq("dst"))
+          .select(col("src").as("id"), col("color"))
+          .join(classColors, Seq("id", "color"), "left_semi"))
+          .distinct()
+      val bwdStride = 2
+      var reached = checkpoint(
+        classColors.filter(col("id") === col("color")))
+      var reachedCount = reached.count()
+      converged = false
+      r = 0
+      while (!converged && r < maxFixpointRounds) {
+        val next = checkpoint(
+          Iterator.iterate(reached)(bwdRound).drop(bwdStride).next())
+        val c = next.count()
+        converged = c == reachedCount
+        reached = next
+        reachedCount = c
+        r += bwdStride
+      }
+      require(converged,
+        s"scc: backward collection did not converge in $maxFixpointRounds rounds")
+      // (3) emit the collected SCCs, shrink the graph
+      val emitted = reached.select(col("id"), col("color").as("scc"))
+      out = Some(out.map(_.unionByName(emitted)).getOrElse(emitted))
+      live = checkpoint(live.join(reached, Seq("id"), "left_anti"))
+      liveEdges = checkpoint(liveEdges
+        .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+      round += 1
+    }
+    require(live.isEmpty,
+      s"scc: $maxOuterRounds outer rounds exhausted with vertices remaining")
+    checkpoint(out.getOrElse(
+      edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("scc")).limit(0)))
+  }
 }

@@ -692,9 +692,65 @@ private[graft] object Catalog10 {
                    (SELECT COALESCE(SUM(9 * k), 0) FROM app)::BIGINT
             ORDER BY snap"""))
 
+  /** Strongly connected components
+    * ([[graft.operators.Graph.stronglyConnectedComponents]] — Orzan
+    * coloring, the Pregel-family SCC): the graph is CONSTRUCTED from key
+    * arithmetic — every 4 consecutive keys form a directed ring (one SCC
+    * of size 4), rings chain into depth-3 DAG paths (condensation edges
+    * that must NOT merge components), and every 20th key hangs a
+    * sink node (singleton SCC, id+10⁶). The strongest oracle form: the
+    * expected component census derives INDEPENDENTLY from the same
+    * arithmetic — ring count, singleton count and label sums are pure
+    * functions of the table size — so a component that leaked across a
+    * DAG edge or a ring that split changes the census and hash-fails.
+    * Size histogram output keeps the result SF-stable. */
+  val q284_scc = Q(
+    "q284_scc",
+    (s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      val n = keys.count()
+      val maxRing = n / 4
+      val kept = keys.filter(col("k") < lit(4 * maxRing))
+      val ring = kept.select(col("k").as("src"),
+        (col("k") - pmod(col("k"), lit(4)) + pmod(pmod(col("k"), lit(4)) + 1, lit(4))).as("dst"))
+      val cross = kept.filter(pmod(col("k"), lit(4)) === 0)
+        .withColumn("i", expr("k div 4"))
+        .filter(col("i") % 3 === 1 && col("i") < maxRing - 1)
+        .select((col("i") * 4).as("src"), ((col("i") + 1) * 4).as("dst"))
+      val single = kept.filter(col("k") % 20 === 0)
+        .select(col("k").as("src"), (col("k") + 1000000L).as("dst"))
+      // the fixpoint rounds are many TINY shuffle stages — scope the
+      // shuffle width down (per-round job overhead, not data, dominates
+      // at catalog sizes; on a real cluster this knob scales with the
+      // edge count instead)
+      val prevP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val scc =
+        try graft.operators.Graph.stronglyConnectedComponents(
+          ring.unionByName(cross).unionByName(single))
+        finally s.conf.set("spark.sql.shuffle.partitions", prevP)
+      scc.groupBy(col("scc")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").cast("long").as("scc_size"))
+        .agg(count(lit(1)).cast("long").as("n_sccs"),
+          sum(col("scc")).cast("long").as("sum_labels"))
+        .orderBy("scc_size")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            nr AS (SELECT (COUNT(*) // 4) AS m FROM p),
+            kept AS (SELECT k FROM p WHERE k < 4 * (SELECT m FROM nr)),
+            sing AS (SELECT k FROM kept WHERE k % 20 = 0)
+            SELECT 1::BIGINT AS scc_size,
+                   (SELECT COUNT(*) FROM sing)::BIGINT AS n_sccs,
+                   (SELECT COALESCE(SUM(k + 1000000), 0) FROM sing)::BIGINT AS sum_labels
+            UNION ALL
+            SELECT 4, (SELECT m FROM nr)::BIGINT,
+                   (2 * (SELECT m FROM nr) * ((SELECT m FROM nr) - 1))::BIGINT
+            ORDER BY scc_size"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
     q278_history, q279_mv_rewrite, q280_stream_table_read, q281_mv_incremental,
-    q282_optimize_compact, q283_sql_time_travel)
+    q282_optimize_compact, q283_sql_time_travel, q284_scc)
 }

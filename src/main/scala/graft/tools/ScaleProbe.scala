@@ -58,7 +58,8 @@ object ScaleProbe {
     // log replay or file-attribution step went quadratic
     "q272_restore" -> 1.3, // DV delete + CoW merge + metadata restore, all linear passes
     "q281_mv_incremental" -> 1.3, // MV build linear; refresh ∝ delta
-    "q282_optimize_compact" -> 1.3 // one repartition write of the visible snapshot
+    "q282_optimize_compact" -> 1.3, // one repartition write of the visible snapshot
+    "q284_scc" -> 1.3 // O(log d) shortcut rounds; per-round work linear in edges
   )
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big

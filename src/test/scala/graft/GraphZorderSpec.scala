@@ -340,4 +340,67 @@ class GraphZorderSpec extends SparkSpec {
       graft.operators.Graph.personalizedPageRank(e, Seq(42L).toDF("node"), 2))
   }
 
+
+  // --- strongly connected components ---
+
+  /** Driver-side brute-force SCC: mutual reachability via boolean-matrix
+    * closure — the oracle the distributed operator must match. */
+  private def bruteScc(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    (0 until n).foreach(i => reach(i)(i) = true)
+    (0 until n).foreach(k => (0 until n).foreach(i => (0 until n).foreach(j =>
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true)))
+    (0 until n).map { v =>
+      v.toLong -> (0 until n).filter(u => reach(v)(u) && reach(u)(v)).min.toLong
+    }.toMap
+  }
+
+  test("scc: planted rings, chain DAG, bidirectional pair, singletons") {
+    import spark.implicits._
+    // ring 0-1-2-0, ring 10-11-10 (bidirectional pair), chain 2->10->20,
+    // sink 20 (singleton), source 30 -> 0 (singleton)
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 10L),
+      (2L, 10L), (10L, 20L), (30L, 0L)).toDF("src", "dst")
+    val got = graft.operators.Graph.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 30L -> 30L))
+  }
+
+  test("scc matches brute-force mutual reachability on a seeded random digraph") {
+    import spark.implicits._
+    val n = 36
+    // deterministic pseudo-random edges: multiplicative-mix arithmetic
+    val pairs = (0 until 150).map { i =>
+      val a = (i * 2654435761L + 17) % n
+      val b = (i * 40503L + 31) % n
+      (a, b)
+    }.filter { case (a, b) => a != b }.distinct
+    val df = pairs.toDF("src", "dst")
+    val got = graft.operators.Graph.stronglyConnectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = bruteScc(n, pairs)
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(got == expect.filter { case (v, _) => touched.contains(v) })
+    // determinism under partitioning
+    val got2 = graft.operators.Graph.stronglyConnectedComponents(df.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("scc: self-loops and duplicate edges are inert; exhaustion refuses") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 0L), (0L, 0L), (2L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Graph.stronglyConnectedComponents(
+        Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"), maxOuterRounds = 16,
+        maxFixpointRounds = 1))
+  }
 }
