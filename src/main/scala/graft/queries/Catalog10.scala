@@ -748,9 +748,61 @@ private[graft] object Catalog10 {
                    (2 * (SELECT m FROM nr) * ((SELECT m FROM nr) - 1))::BIGINT
             ORDER BY scc_size"""))
 
+  /** Write-audit-publish ([[graft.sources.TxnLog.publishStaged]] — the
+    * Iceberg WAP / audit-branch workflow): candidate data lands on a
+    * STAGING branch (shallow clone of main), is audited there against
+    * main's CHECK constraints, and only then publishes ZERO-COPY (staged
+    * files commit into main by reference through the optimistic
+    * protocol). Branch X stages a batch containing a violating row —
+    * publish refuses, main stays bit-identical, the bad branch keeps its
+    * data for debugging; branch Y stages a clean batch — published as
+    * one commit. Consumers of main can never observe unvalidated rows.
+    * Oracle is residue arithmetic + pinned booleans. */
+  val q285_write_audit_publish = Q(
+    "q285_write_audit_publish",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q285").toString
+      val (mainLog, _, base) = residueTable(s, dir, root)
+      TxnLog.addConstraint(s, mainLog, "nonnegative", "value >= 0")
+      def stage(name: String, batch: DataFrame): String = {
+        val log = s"$root/_$name"
+        TxnLog.shallowClone(mainLog, log, 1)
+        TxnLog.commit(log, 1, adds = Seq(writeOne(root, batch, name)), removes = Nil)
+        log
+      }
+      // branch X: one violating row hidden in an otherwise-clean batch
+      val badLog = stage("bad",
+        base.filter(col("key") % 400 === 0)
+          .select((col("key") + 30000000L).as("key"), (col("key") + 1).as("value"))
+          .unionByName(Seq((99999999L, -3L)).toDF("key", "value")))
+      val refused =
+        try { TxnLog.publishStaged(s, mainLog, badLog, 1); false }
+        catch { case _: IllegalArgumentException => true }
+      val mainAfterBad = TxnLog.latestVersion(mainLog).get
+      // branch Y: clean batch publishes by reference
+      val goodLog = stage("good",
+        base.filter(col("key") % 100 === 0)
+          .select((col("key") + 10000000L).as("key"), (col("key") * 5 + 1).as("value")))
+      val published = TxnLog.publishStaged(s, mainLog, goodLog, 1)
+      val agg = TxnLog.readAsOf(s, mainLog, published)
+        .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
+      Seq((published, mainAfterBad, refused,
+        TxnLog.liveFiles(mainLog, published).size.toLong, agg.getLong(0), agg.getLong(1)))
+        .toDF("published_version", "main_after_refusal", "audit_refused",
+          "n_files", "n_rows", "sum_value")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part)
+            SELECT 2::BIGINT AS published_version, 1::BIGINT AS main_after_refusal,
+                   true AS audit_refused, 4::BIGINT AS n_files,
+                   ((SELECT COUNT(*) FROM p) + (SELECT COUNT(*) FROM p WHERE k % 100 = 0))::BIGINT AS n_rows,
+                   ((SELECT SUM(2 * k) FROM p)
+                    + (SELECT COALESCE(SUM(5 * k + 1), 0) FROM p WHERE k % 100 = 0))::BIGINT AS sum_value"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
     q278_history, q279_mv_rewrite, q280_stream_table_read, q281_mv_incremental,
-    q282_optimize_compact, q283_sql_time_travel, q284_scc)
+    q282_optimize_compact, q283_sql_time_travel, q284_scc, q285_write_audit_publish)
 }

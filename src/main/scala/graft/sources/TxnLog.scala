@@ -223,6 +223,7 @@ object TxnLog {
       val op =
         if (metas.exists(_.startsWith("restore:"))) "restore"
         else if (metas.exists(_.startsWith("optimize:"))) "optimize"
+        else if (metas.exists(_.startsWith("publish:"))) "publish"
         else if (metas.exists(_.startsWith("clone:"))) "clone"
         else if (metas.exists(_.startsWith("batch:"))) "streaming-append"
         else if (metas.exists(_.startsWith("constraint:"))) "add-constraint"
@@ -644,6 +645,48 @@ object TxnLog {
     commit(logDir, v + 1, adds = outs, removes = files,
       dvDrops = dvFiles(logDir, v).toSeq.sorted, meta = Seq("optimize:compact"))
     v + 1
+  }
+
+  /** Write-audit-publish (the Iceberg WAP / audit-branch workflow): data
+    * lands on a STAGING table (a [[shallowClone]] of the main table), gets
+    * audited there, and only then publishes — so consumers of the main
+    * table can never observe unvalidated rows, and a failed audit leaves
+    * main bit-identical (the staging branch keeps the bad data for
+    * debugging). Publish is ZERO-COPY: the staged data files commit into
+    * the main log by reference via [[commitOptimistic]], so a concurrent
+    * writer on main triggers the usual rebase/conflict path instead of a
+    * lost update.
+    *
+    * This implementation audits the staged APPENDS against every CHECK
+    * constraint in force on main (one distributed filter-count per
+    * constraint over the delta only — cost ∝ staged rows); staging must
+    * be append-only relative to its clone point (a staged rewrite of main
+    * data cannot publish by file reference — it refuses). Returns the
+    * published main version. */
+  def publishStaged(
+      spark: SparkSession,
+      mainLog: String,
+      stagingLog: String,
+      basedOn: Long): Long = {
+    val stagingHead = latestVersion(stagingLog).getOrElse(
+      throw new IllegalArgumentException(s"txn log: no commits in $stagingLog"))
+    val cloneBase = liveFiles(stagingLog, 0)
+    val stagedLive = liveFiles(stagingLog, stagingHead)
+    require(cloneBase.subsetOf(stagedLive),
+      "txn log: publish — staging rewrote or removed cloned main files; only appends can publish by reference")
+    require((dvFiles(stagingLog, stagingHead) -- dvFiles(stagingLog, 0)).isEmpty,
+      "txn log: publish — staging committed deletion vectors; only appends can publish by reference")
+    val delta = (stagedLive -- cloneBase).toSeq.sorted
+    require(delta.nonEmpty, "txn log: publish — staging added no files")
+    val staged = spark.read.option("mergeSchema", "true").parquet(delta: _*)
+    constraints(mainLog, latestVersion(mainLog).get).foreach { case (name, sql) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val bad = staged.filter(!coalesce(expr(sql), lit(false))).count()
+      require(bad == 0L,
+        s"txn log: publish refused — $bad staged rows violate constraint '$name' ($sql)")
+    }
+    commitOptimistic(spark, mainLog, basedOn, adds = delta, removes = Nil,
+      meta = Seq(s"publish:$stagingLog@$stagingHead"))._1
   }
 
   /** Batch ids already committed via [[appendBatch]] (from `batch:<id>`

@@ -226,6 +226,37 @@ class LakehouseSpec extends SparkSpec {
     assertThrows[Exception](spark.sql(s"SELECT * FROM graft_txn_table('$log', x)").collect())
   }
 
+  test("write-audit-publish: zero-copy publish rebases past concurrent writers; rewrites refuse") {
+    val (root, log, fs) = mkTable("lh_wap")
+    TxnLog.addConstraint(spark, log, "pos", "x > 0")
+    // staging branch with a clean append
+    val stg = s"$root/_stg"
+    TxnLog.shallowClone(log, stg, 1)
+    val add = fileOf(root, Seq(100L, 200L).toDF("x"), "stgadd")
+    TxnLog.commit(stg, 1, Seq(add), Nil)
+    // a concurrent append lands on MAIN before publish → publish rebases
+    val conc = fileOf(root, Seq(555L).toDF("x"), "conc")
+    TxnLog.commit(log, 2, Seq(conc), Nil)
+    val v = TxnLog.publishStaged(spark, log, stg, 1)
+    assert(v == 3L)
+    assert(TxnLog.liveFiles(log, 3) == fs.toSet + conc + add)
+    assert(TxnLog.readAsOf(spark, log, 3).agg(sum("x")).head.getLong(0)
+      == (1L to 30L).sum + 555L + 300L)
+    assert(TxnLog.history(spark, log).filter(col("operation") === "publish").count() == 1)
+    // a staging branch that REWROTE main data cannot publish by reference
+    val stg2 = s"$root/_stg2"
+    TxnLog.shallowClone(log, stg2, 3)
+    val repl = fileOf(root, Seq(7L).toDF("x"), "repl")
+    TxnLog.commit(stg2, 1, Seq(repl), Seq(fs.head))
+    assertThrows[IllegalArgumentException](TxnLog.publishStaged(spark, log, stg2, 3))
+    // a staging DV delete cannot publish by reference either
+    val stg3 = s"$root/_stg3"
+    TxnLog.shallowClone(log, stg3, 3)
+    TxnLog.deleteMergeOnRead(spark, stg3, s"$root/stgdv", col("x") === 1L)
+    TxnLog.commit(stg3, 2, Seq(fileOf(root, Seq(9L).toDF("x"), "stg3add")), Nil)
+    assertThrows[IllegalArgumentException](TxnLog.publishStaged(spark, log, stg3, 3))
+  }
+
   test("history: per-version action counts and operation kinds") {
     val (root, log, fs) = mkTable("lh_hist")
     TxnLog.deleteMergeOnRead(spark, log, s"$root/dv1", col("x") % 5 === 0)
