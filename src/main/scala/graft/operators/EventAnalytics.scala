@@ -302,4 +302,61 @@ object EventAnalytics {
           .when(lit(2L * mass) * col("cnt") < col("ewma_num"), "drop")
           .otherwise("normal").as("flag"))
   }
+
+  /** Frequent GAPPED event sequences (GSP / PrefixSpan family — the
+    * sequential-pattern complement of the contiguous n-gram views q192
+    * materializes and of the closed-pattern ASSOCIATION miner): a
+    * sequence <a₁ … aₖ> is supported by a user when their event stream —
+    * under the TOTAL (pos) order the caller supplies — contains the items
+    * in order with arbitrary gaps; support is the DISTINCT-user count,
+    * and every sequence with support ≥ minSupport up to maxLen is
+    * returned.
+    *
+    * Levelwise with the EARLIEST-OCCURRENCE invariant: per (user,
+    * prefix) only the minimal end position is carried — sufficient for
+    * existence (a gapped subsequence embeds iff its greedy earliest
+    * embedding does) and what keeps level state at one row per (user,
+    * frequent prefix) instead of per embedding (embedding counts explode
+    * combinatorially; existence does not). Each level is one equi-join on
+    * user (events after the prefix's end) + one min-aggregation + one
+    * support count — all node-key shuffles; anti-monotone pruning
+    * (Apriori) cuts non-frequent prefixes before they expand, and the
+    * expansion streams into a partial aggregate within the join stage, so
+    * no materialized blow-up. State checkpointed per level.
+    *
+    * `ordered` needs (user, item, pos) with pos a TOTAL order per user —
+    * ties in the underlying timestamp must be broken deterministically by
+    * the caller (row_number over (ts, id)), or supports become
+    * partitioning-dependent. Returns (seq, length, support), seq joined
+    * with '>' in order. */
+  def frequentSequences(
+      ordered: DataFrame,
+      minSupport: Long,
+      maxLen: Int,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(minSupport >= 1, s"frequentSequences: minSupport must be >= 1, got $minSupport")
+    require(maxLen >= 1, s"frequentSequences: maxLen must be >= 1, got $maxLen")
+    val ev = checkpoint(ordered.select(col("user"), col("item"), col("pos")))
+    // level 1: earliest occurrence of each item per user
+    var occ = checkpoint(ev.groupBy(col("user"), col("item").as("seq"))
+      .agg(min(col("pos")).as("__mp")))
+    var results = Seq.empty[DataFrame]
+    var level = 1
+    while (level <= maxLen && !occ.isEmpty) {
+      val support = checkpoint(occ.groupBy(col("seq"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .filter(col("support") >= minSupport))
+      results = results :+ support.withColumn("length", lit(level.toLong))
+      if (level < maxLen) {
+        val frequent = occ.join(support.select(col("seq")), Seq("seq"), "left_semi")
+        occ = checkpoint(frequent
+          .join(ev, Seq("user"))
+          .filter(col("pos") > col("__mp"))
+          .groupBy(col("user"), concat(col("seq"), lit(">"), col("item")).as("seq"))
+          .agg(min(col("pos")).as("__mp")))
+      }
+      level += 1
+    }
+    results.reduce(_.unionByName(_)).select(col("seq"), col("length"), col("support"))
+  }
 }

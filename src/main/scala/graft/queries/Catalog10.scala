@@ -800,9 +800,57 @@ private[graft] object Catalog10 {
                    ((SELECT SUM(2 * k) FROM p)
                     + (SELECT COALESCE(SUM(5 * k + 1), 0) FROM p WHERE k % 100 = 0))::BIGINT AS sum_value"""))
 
+  /** Frequent gapped event sequences
+    * ([[graft.operators.EventAnalytics.frequentSequences]] — GSP /
+    * PrefixSpan family, the sequential-pattern complement of the
+    * contiguous trigram views (q192) and the association closed-pattern
+    * miner (q260)): over a sparse slice of the event log (so Apriori
+    * pruning actually fires), every sequence of ≤ 3 event types embedded
+    * IN ORDER WITH GAPS by ≥ 40% of users, support = distinct users.
+    * Levelwise earliest-occurrence state — one row per (user, frequent
+    * prefix), never per embedding. The oracle replays the same levelwise
+    * chain in DuckDB (each stage MATERIALIZED — multiply-referenced CTEs
+    * otherwise expand exponentially). */
+  val q286_frequent_sequences = Q(
+    "q286_frequent_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").filter(col("event_id") % 17 === 0)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ordered = ev.select(col("user_id").as("user"), col("event_type").as("item"),
+        row_number().over(w).cast("long").as("pos"))
+      val nUsers = ordered.select("user").distinct().count()
+      val minSup = (2 * nUsers + 4) / 5
+      graft.operators.EventAnalytics.frequentSequences(ordered, minSup, maxLen = 3)
+        .orderBy("length", "seq")
+    },
+    Some("""WITH ev AS MATERIALIZED (
+              SELECT user_id AS u, event_type AS e,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+              FROM events WHERE event_id % 17 = 0),
+            ms AS (SELECT (2 * COUNT(DISTINCT u) + 4) // 5 AS m FROM ev),
+            o1 AS MATERIALIZED (SELECT u, e AS seq, MIN(p) AS mp FROM ev GROUP BY 1, 2),
+            s1 AS MATERIALIZED (SELECT seq, COUNT(*) AS c FROM o1 GROUP BY 1
+                                HAVING COUNT(*) >= (SELECT m FROM ms)),
+            f1 AS MATERIALIZED (SELECT o1.u, o1.seq, o1.mp FROM o1 JOIN s1 USING (seq)),
+            o2 AS MATERIALIZED (SELECT f1.u, f1.seq || '>' || ev.e AS seq, MIN(ev.p) AS mp
+                                FROM f1 JOIN ev ON ev.u = f1.u AND ev.p > f1.mp GROUP BY 1, 2),
+            s2 AS MATERIALIZED (SELECT seq, COUNT(*) AS c FROM o2 GROUP BY 1
+                                HAVING COUNT(*) >= (SELECT m FROM ms)),
+            f2 AS MATERIALIZED (SELECT o2.u, o2.seq, o2.mp FROM o2 JOIN s2 USING (seq)),
+            o3 AS MATERIALIZED (SELECT f2.u, f2.seq || '>' || ev.e AS seq, MIN(ev.p) AS mp
+                                FROM f2 JOIN ev ON ev.u = f2.u AND ev.p > f2.mp GROUP BY 1, 2),
+            s3 AS MATERIALIZED (SELECT seq, COUNT(*) AS c FROM o3 GROUP BY 1
+                                HAVING COUNT(*) >= (SELECT m FROM ms))
+            SELECT seq, 1::BIGINT AS length, c::BIGINT AS support FROM s1
+            UNION ALL SELECT seq, 2, c FROM s2
+            UNION ALL SELECT seq, 3, c FROM s3
+            ORDER BY length, seq"""))
+
   val all: Seq[Q] = Seq(
     q272_restore, q273_concurrent_writers, q274_shallow_clone,
     q275_partition_evolution, q276_rename_column, q277_check_constraints,
     q278_history, q279_mv_rewrite, q280_stream_table_read, q281_mv_incremental,
-    q282_optimize_compact, q283_sql_time_travel, q284_scc, q285_write_audit_publish)
+    q282_optimize_compact, q283_sql_time_travel, q284_scc, q285_write_audit_publish,
+    q286_frequent_sequences)
 }

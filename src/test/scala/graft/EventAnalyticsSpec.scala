@@ -176,4 +176,44 @@ class EventAnalyticsSpec extends SparkSpec {
       graft.operators.EventAnalytics.dyadicEwma(df, "key", "ts", depth = 1))
   }
 
+
+  /** Driver-side brute force: all gapped subsequences up to maxLen with
+    * distinct-user support. */
+  private def bruteSeqs(
+      streams: Map[Long, Seq[String]], minSupport: Int, maxLen: Int): Map[(String, Int), Long] = {
+    def subseqs(s: Seq[String], k: Int): Set[Seq[String]] =
+      if (k == 0) Set(Seq.empty)
+      else s.indices.flatMap(i => subseqs(s.drop(i + 1), k - 1).map(s(i) +: _)).toSet
+    (1 to maxLen).flatMap { k =>
+      streams.values.flatMap(s => subseqs(s, k)).toSet.toSeq.map { sq: Seq[String] =>
+        val sup = streams.count { case (_, st) => subseqs(st, k).contains(sq) }
+        (sq.mkString(">"), k) -> sup.toLong
+      }
+    }.toMap.filter(_._2 >= minSupport)
+  }
+
+  test("frequent gapped sequences match brute force and prune anti-monotonically") {
+    import spark.implicits._
+    val streams = Map(
+      1L -> Seq("a", "b", "a", "c"),
+      2L -> Seq("b", "a", "c", "c"),
+      3L -> Seq("a", "c", "b"),
+      4L -> Seq("c", "c"))
+    val df = streams.toSeq.flatMap { case (u, items) =>
+      items.zipWithIndex.map { case (it, i) => (u, it, (i + 1).toLong) }
+    }.toDF("user", "item", "pos")
+    val got = graft.operators.EventAnalytics.frequentSequences(df, minSupport = 2, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    assert(got == bruteSeqs(streams, 2, 3))
+    // support threshold 4: only items every user has
+    val strict = graft.operators.EventAnalytics.frequentSequences(df, minSupport = 4, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(strict == Set(("c", 4L)))
+    // determinism under partitioning
+    val got2 = graft.operators.EventAnalytics.frequentSequences(df.repartition(5), 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    assert(got2 == got)
+    assertThrows[IllegalArgumentException](
+      graft.operators.EventAnalytics.frequentSequences(df, 0, 3))
+  }
 }
