@@ -245,4 +245,33 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("recursive CTE plans as UnionLoop and matches the closed-form walk") {
+    import spark.implicits._
+    // q287's shape on a small contiguous key range: parent(k) = k DIV 10.
+    // The closed form of the recursion's path-dependent state is the base-10
+    // prefix chain (root = leading digit, path_sum = sum of decimal
+    // prefixes), so brute force needs no recursion — a disagreement means
+    // UnionLoop produced a wrong frontier somewhere.
+    viaParquet((1L to 487L).toDF("k")).createOrReplaceTempView("rec_nodes")
+    val out = spark.sql("""
+      WITH RECURSIVE walk(k, depth, root, path_sum) AS (
+        SELECT k, CAST(0 AS BIGINT), k, k FROM rec_nodes WHERE k < 10
+        UNION ALL
+        SELECT n.k, w.depth + 1, w.root, w.path_sum + n.k
+        FROM rec_nodes n JOIN walk w ON n.k DIV 10 = w.k
+        WHERE n.k >= 10
+      )
+      SELECT k, depth, root, path_sum FROM walk""")
+    val got = out.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def chain(k: Long): Seq[Long] = if (k < 10) Seq(k) else chain(k / 10) :+ k
+    val expected = (1L to 487L).map { k =>
+      val c = chain(k)
+      k -> ((c.length - 1).toLong, c.head, c.sum)
+    }.toMap
+    assert(got == expected)
+    assert(out.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "recursive CTE should plan as the UnionLoop operator")
+  }
+
 }
