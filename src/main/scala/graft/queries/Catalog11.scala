@@ -52,5 +52,109 @@ private[graft] object Catalog11 {
                    COUNT(DISTINCT root)::BIGINT AS n_roots
             FROM walk GROUP BY depth ORDER BY depth"""))
 
-  val all: Seq[Q] = Seq(q287_recursive_cte)
+  /** Fellegi–Sunter probabilistic record linkage
+    * ([[graft.operators.Linkage.fellegiSunterScores]] — the DECISION MODEL
+    * layered on the repo's candidate generators, beside the purely
+    * distance-based blocked/sorted-neighborhood dedup): a dirty-duplicates
+    * corpus is derived from part (every 3rd row gets a copy with
+    * deterministic field perturbations — name suffix at k%6, size bump at
+    * k%9, type suffix at k%12, price bump at k%15), candidates come from
+    * the LINEAR sorted-neighborhood generator (name sort within brand
+    * blocks, window 4), and each pair's per-field agreement vector is
+    * scored with integer fixed-point log-odds: m fixed at 15/16, u
+    * estimated from the candidate population itself (one global partial
+    * aggregate, broadcast back), score = Σ γ_j·wa_j + (1−γ_j)·wd_j in
+    * 1/16-bit units. Decisions at ≥4 bits (link) / ≥0 (possible) are
+    * cross-tabbed against planted ground truth (copy id = orig + 10M).
+    * Oracle replays the whole chain — window pairing, smoothed u counts,
+    * fixed-point log₂ — in exact integer SQL. */
+  val q288_record_linkage = Q(
+    "q288_record_linkage",
+    (s, dir) => {
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("id"),
+        col("p_name").as("nm"), col("p_type").as("ty"),
+        col("p_size").cast("long").as("sz"), col("p_retailprice").as("pr"),
+        col("p_brand").as("blk"))
+      val copies = base.filter(col("id") % 3 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        when(col("id") % 6 === 0, concat(col("nm"), lit(" x"))).otherwise(col("nm")).as("nm"),
+        when(col("id") % 12 === 0, concat(col("ty"), lit(" alt"))).otherwise(col("ty")).as("ty"),
+        when(col("id") % 9 === 0, col("sz") + 1L).otherwise(col("sz")).as("sz"),
+        when(col("id") % 15 === 0, col("pr") + 1.0d).otherwise(col("pr")).as("pr"),
+        col("blk"))
+      val corpus = base.unionByName(copies).localCheckpoint(true) // pairs join back twice
+      val pairs = graft.text.Dedup
+        .sortedNeighborhoodPairs(corpus.select(col("id"), col("nm"), col("blk")),
+          "id", "nm", "blk", window = 4, maxDist = 1000)
+        .join(corpus.select(col("id").as("id1"), col("nm").as("nm1"), col("ty").as("ty1"),
+          col("sz").as("sz1"), col("pr").as("pr1")), Seq("id1"))
+        .join(corpus.select(col("id").as("id2"), col("nm").as("nm2"), col("ty").as("ty2"),
+          col("sz").as("sz2"), col("pr").as("pr2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          (col("nm1") === col("nm2")).as("g_nm"),
+          (col("ty1") === col("ty2")).as("g_ty"),
+          (col("sz1") === col("sz2")).as("g_sz"),
+          (col("pr1") === col("pr2")).as("g_pr"))
+      graft.operators.Linkage
+        .fellegiSunterScores(pairs, Seq("g_nm", "g_ty", "g_sz", "g_pr"))
+        .withColumn("decision",
+          when(col("score") >= 64L, "1_link")
+            .when(col("score") >= 0L, "2_possible").otherwise("3_non_link"))
+        .withColumn("is_dup",
+          greatest(col("id1"), col("id2")) - least(col("id1"), col("id2")) === 10000000L)
+        .groupBy("decision", "is_dup")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("score")).cast("long").as("sum_score"))
+        .orderBy("decision", "is_dup")
+    },
+    Some {
+      def f(x: String): String =
+        s"(16 * (length(bin($x)) - 1) - 16 + (($x) * 16) // (1::BIGINT << (length(bin($x)) - 1)))"
+      val fieldSql = Seq("nm", "ty", "sz", "pr")
+        .map { j =>
+          s"""CASE WHEN g_$j THEN ${f(s"15 * (C + 2)")} - ${f(s"16 * (A_$j + 1)")}
+                   ELSE ${f(s"1 * (C + 2)")} - ${f(s"16 * (C - A_$j + 1)")} END"""
+        }.mkString(" + ")
+      s"""WITH base AS (
+            SELECT p_partkey::BIGINT AS id, p_name AS nm, p_type AS ty,
+                   p_size::BIGINT AS sz, p_retailprice AS pr, p_brand AS blk
+            FROM part),
+          corpus AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT id + 10000000,
+                   CASE WHEN id % 6 = 0 THEN nm || ' x' ELSE nm END,
+                   CASE WHEN id % 12 = 0 THEN ty || ' alt' ELSE ty END,
+                   CASE WHEN id % 9 = 0 THEN sz + 1 ELSE sz END,
+                   CASE WHEN id % 15 = 0 THEN pr + 1.0 ELSE pr END,
+                   blk
+            FROM base WHERE id % 3 = 0),
+          ordered AS (
+            SELECT *, row_number() OVER (PARTITION BY blk ORDER BY nm, id) AS rn
+            FROM corpus),
+          pairs AS (
+            SELECT a.id AS id1, b.id AS id2,
+                   a.nm = b.nm AS g_nm, a.ty = b.ty AS g_ty,
+                   a.sz = b.sz AS g_sz, a.pr = b.pr AS g_pr
+            FROM ordered a JOIN ordered b
+              ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+          stats AS (
+            SELECT COUNT(*)::BIGINT AS C,
+                   SUM(CASE WHEN g_nm THEN 1 ELSE 0 END)::BIGINT AS A_nm,
+                   SUM(CASE WHEN g_ty THEN 1 ELSE 0 END)::BIGINT AS A_ty,
+                   SUM(CASE WHEN g_sz THEN 1 ELSE 0 END)::BIGINT AS A_sz,
+                   SUM(CASE WHEN g_pr THEN 1 ELSE 0 END)::BIGINT AS A_pr
+            FROM pairs),
+          scored AS (
+            SELECT id1, id2, ($fieldSql)::BIGINT AS score
+            FROM pairs CROSS JOIN stats)
+          SELECT CASE WHEN score >= 64 THEN '1_link'
+                      WHEN score >= 0 THEN '2_possible' ELSE '3_non_link' END AS decision,
+                 greatest(id1, id2) - least(id1, id2) = 10000000 AS is_dup,
+                 COUNT(*)::BIGINT AS n_pairs, SUM(score)::BIGINT AS sum_score
+          FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  val all: Seq[Q] = Seq(q287_recursive_cte, q288_record_linkage)
 }
