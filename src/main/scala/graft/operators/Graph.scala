@@ -632,4 +632,52 @@ object Graph {
       edges.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("scc")).limit(0)))
   }
+
+  /** Link prediction by the RESOURCE-ALLOCATION index (Zhou/Lü/Zhang EPJ B
+    * 2009 — the degree-discounted cousin of common-neighbors/Adamic–Adar):
+    * for each non-adjacent pair (a, b), RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z),
+    * kept exact-integer as Σ ⌊10⁶/deg(z)⌋ ppm units.
+    *
+    * Candidate pairs are enumerated through their common neighbor: each
+    * middle node z contributes its neighbor pairs (a wedge expansion of
+    * deg(z)² rows). Middle nodes with deg(z) > `maxMiddleDegree` are
+    * EXCLUDED — that is part of the operator's contract, not a silent
+    * cap: a hub's per-pair contribution is < 10⁶/deg ppm (that discount
+    * is the entire point of RA over raw common-neighbors), while its
+    * expansion cost is deg² — the classic quadratic hot key. The cap
+    * bounds the expansion at |V|·D² and the score error at k·10⁶/D ppm
+    * per retained common neighbor above the cap. The expansion runs on an
+    * explicit-N repartition of the wedge join key (AQE coalesces by INPUT
+    * bytes, blind to the expansion), and existing edges are removed with
+    * one anti-join on the canonical pair.
+    *
+    * `edges` needs (src, dst); direction/duplicates/self-loops are
+    * normalized away. Returns the global top-`k` predicted links by
+    * (ra_ppm desc, a, b) — TakeOrderedAndProject, no global sort. */
+  def predictLinks(edges: DataFrame, maxMiddleDegree: Int, k: Int): DataFrame = {
+    require(maxMiddleDegree >= 2, s"predictLinks: maxMiddleDegree $maxMiddleDegree must be >= 2")
+    require(k >= 1, s"predictLinks: k $k must be >= 1")
+    val undirected = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // consumed by sym (twice via degrees) and the anti-join
+    val sym = undirected.select(col("u").as("z"), col("v").as("n"))
+      .union(undirected.select(col("v").as("z"), col("u").as("n")))
+    val degrees = sym.groupBy("z").agg(count(lit(1)).as("deg"))
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val adj = sym.join(degrees.filter(col("deg") <= maxMiddleDegree), Seq("z"))
+      .repartition(par, col("z"))
+      .localCheckpoint(true) // both wedge sides
+    val wedges = adj.select(col("z"), col("n").as("a"), col("deg"))
+      .join(adj.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+    wedges
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("common_neighbors"),
+        sum(floor(lit(1000000L) / col("deg"))).cast("long").as("ra_ppm"))
+      .join(undirected.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -156,5 +156,56 @@ private[graft] object Catalog11 {
           FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 
-  val all: Seq[Q] = Seq(q287_recursive_cte, q288_record_linkage)
+  /** Link prediction by the resource-allocation index
+    * ([[graft.operators.Graph.predictLinks]] — Zhou/Lü/Zhang 2009, the
+    * degree-discounted cousin of common-neighbors; the graph-ML
+    * complement of the repo's descriptive graph operators): over the
+    * co-purchase part graph (parts sharing ≥ 2 orders), the top-20
+    * non-adjacent pairs by Σ ⌊10⁶/deg(z)⌋ over common neighbors z.
+    * Wedge enumeration is bounded by the middle-degree cap (part of the
+    * operator contract — a hub's per-pair RA contribution is < 10⁶/deg
+    * while its expansion is deg²), runs on an explicit-N repartition, and
+    * existing edges drop via one anti-join. Oracle replays wedges, the
+    * ppm floor-division, and the (score desc, a, b) top-k in SQL. */
+  val q289_link_prediction = Q(
+    "q289_link_prediction",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = os.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = os.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+      graft.operators.Graph.predictLinks(edges, maxMiddleDegree = 64, k = 20)
+        .select(col("a").as("a"), col("b").as("b"),
+          col("common_neighbors"), col("ra_ppm"))
+    },
+    Some("""WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+                   FROM os a JOIN os b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+            e AS (SELECT pa::BIGINT AS u, pb::BIGINT AS v FROM e0 WHERE w >= 2),
+            sym AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT z, COUNT(*) AS d FROM sym GROUP BY 1),
+            adj AS (SELECT sym.z, sym.n, deg.d FROM sym JOIN deg USING (z)
+                    WHERE deg.d <= 64),
+            wedges AS (
+              SELECT s1.n AS a, s2.n AS b, s1.d
+              FROM adj s1 JOIN adj s2 ON s1.z = s2.z AND s1.n < s2.n),
+            scored AS (
+              SELECT a, b, COUNT(*)::BIGINT AS common_neighbors,
+                     SUM(1000000 // d)::BIGINT AS ra_ppm
+              FROM wedges GROUP BY 1, 2),
+            nonedge AS (
+              SELECT scored.* FROM scored
+              LEFT JOIN e ON e.u = scored.a AND e.v = scored.b
+              WHERE e.u IS NULL)
+            SELECT a, b, common_neighbors, ra_ppm
+            FROM nonedge ORDER BY ra_ppm DESC, a, b LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction)
 }

@@ -403,4 +403,40 @@ class GraphZorderSpec extends SparkSpec {
         Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"), maxOuterRounds = 16,
         maxFixpointRounds = 1))
   }
+
+  test("link prediction matches a driver-side RA computation on a fuzzed graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val edges = viaParquet(raw.toDF("src", "dst"))
+    val got = graft.operators.Graph.predictLinks(edges, maxMiddleDegree = 64, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // driver replay: adjacency sets, RA over common neighbors, existing
+    // edges excluded, same (ra desc, a, b) top-k
+    val und = raw.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct
+    val adj = und.flatMap(p => Seq(p, p.swap)).groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val deg = adj.map { case (k2, v) => k2 -> v.size.toLong }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && !und.contains((a, b))
+      common = adj(a).intersect(adj(b)) if common.nonEmpty
+    } yield (a, b, common.size.toLong, common.toSeq.map(z => 1000000L / deg(z)).sum))
+      .sortBy { case (a, b, _, ra) => (-ra, a, b) }.take(15)
+    assert(got == expected)
+  }
+
+  test("link prediction: the degree cap keeps a hub out of the wedge expansion") {
+    import spark.implicits._
+    // star: hub 0 adjacent to 1..50 (deg 50 > cap 8) plus a small clique
+    // path 100-101-102; with the hub capped out, the only predicted link
+    // is (100, 102) through middle 101
+    val star = (1L to 50L).map(i => (0L, i))
+    val edges = viaParquet((star ++ Seq((100L, 101L), (101L, 102L))).toDF("src", "dst"))
+    val got = graft.operators.Graph.predictLinks(edges, maxMiddleDegree = 8, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((100L, 102L, 1L, 500000L)))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Graph.predictLinks(edges, maxMiddleDegree = 1, k = 5))
+  }
 }
