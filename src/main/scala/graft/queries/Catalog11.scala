@@ -207,5 +207,58 @@ private[graft] object Catalog11 {
             SELECT a, b, common_neighbors, ra_ppm
             FROM nonedge ORDER BY ra_ppm DESC, a, b LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction)
+  /** Declarative data-quality suite compiled to ONE pass
+    * ([[graft.operators.QualityChecks.verify]] — the Deequ/dbt-tests
+    * shape): eight named checks over lineitem — completeness, composite-
+    * key uniqueness, numeric bounds, domain containment, regex compliance,
+    * a row-count floor, and a deliberately FAILING freshness gate — all
+    * folded into a single aggregation job (map-side conditional counters;
+    * the one distinct aggregate plans as one Expand over the same single
+    * scan). Verdicts are exact-integer cross-multiplications of rational
+    * thresholds; ratios are integral-div ppm. Oracle computes the same
+    * eight (satisfied, total) pairs in one SQL aggregate. */
+  val q290_quality_suite = Q(
+    "q290_quality_suite",
+    (s, dir) => {
+      import graft.operators.QualityChecks._
+      val li = t(s, dir, "lineitem")
+      verify(li, Seq(
+        Completeness("c1_completeness_shipdate", "l_shipdate", 1L, 1L),
+        Uniqueness("c2_unique_line_key",
+          col("l_orderkey") * 8L + col("l_linenumber"), 1L, 1L),
+        Satisfies("c3_quantity_bounds",
+          col("l_quantity").between(1d, 50d), 1L, 1L),
+        Satisfies("c4_discount_bounds",
+          col("l_discount").between(0d, 0.1d), 1L, 1L),
+        Satisfies("c5_returnflag_domain",
+          col("l_returnflag").isin("A", "N", "R"), 1L, 1L),
+        Satisfies("c6_status_pattern",
+          col("l_linestatus").rlike("^[OF]$"), 1L, 1L),
+        MinSize("c7_min_rows", 1000L),
+        Satisfies("c8_ship_before_1998",
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"), 9L, 10L)))
+        .orderBy("check")
+    },
+    Some("""WITH m AS (SELECT
+              COUNT(l_shipdate)::BIGINT AS s1, COUNT(*)::BIGINT AS t,
+              COUNT(DISTINCT l_orderkey * 8 + l_linenumber)::BIGINT AS s2,
+              SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END)::BIGINT AS s3,
+              SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)::BIGINT AS s4,
+              SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)::BIGINT AS s5,
+              SUM(CASE WHEN regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END)::BIGINT AS s6,
+              SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END)::BIGINT AS s8
+            FROM lineitem)
+            SELECT 'c1_completeness_shipdate' AS check, s1 AS satisfied, t AS total,
+                   (s1 * 1000000) // t AS ratio_ppm, s1 * 1 >= 1 * t AS passed FROM m
+            UNION ALL SELECT 'c2_unique_line_key', s2, t, (s2 * 1000000) // t, s2 * 1 >= 1 * t FROM m
+            UNION ALL SELECT 'c3_quantity_bounds', s3, t, (s3 * 1000000) // t, s3 * 1 >= 1 * t FROM m
+            UNION ALL SELECT 'c4_discount_bounds', s4, t, (s4 * 1000000) // t, s4 * 1 >= 1 * t FROM m
+            UNION ALL SELECT 'c5_returnflag_domain', s5, t, (s5 * 1000000) // t, s5 * 1 >= 1 * t FROM m
+            UNION ALL SELECT 'c6_status_pattern', s6, t, (s6 * 1000000) // t, s6 * 1 >= 1 * t FROM m
+            UNION ALL SELECT 'c7_min_rows', t, 1, t * 1000000, t * 1 >= 1000 FROM m
+            UNION ALL SELECT 'c8_ship_before_1998', s8, t, (s8 * 1000000) // t, s8 * 10 >= 9 * t FROM m
+            ORDER BY 1"""))
+
+  val all: Seq[Q] =
+    Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite)
 }

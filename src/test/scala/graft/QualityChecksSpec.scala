@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityChecks
+import graft.operators.QualityChecks._
+import graft.plans.PlanChecks
+
+/** One-pass declarative quality-suite contracts: exact metrics on a frame
+  * with known defects, the single-scan plan property, NULL-predicate
+  * semantics, and suite refusals. */
+class QualityChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = viaParquet(Seq(
+    (1L, Some("a"), 5.0),
+    (2L, Some("b"), 15.0),
+    (2L, None, 25.0), // duplicate id, null name
+    (3L, Some("c"), -1.0) // bound violation
+  ).toDF("id", "name", "v"))
+
+  test("metrics and verdicts are exact on known defects") {
+    val out = QualityChecks.verify(frame, Seq(
+      Completeness("comp", "name", 3L, 4L),
+      Uniqueness("uniq", col("id"), 1L, 1L),
+      Satisfies("bounds", col("v") >= 0.0, 9L, 10L),
+      MinSize("size", 4L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("comp", 3L, 4L, 750000L, true), // 3/4 ≥ 3/4
+      ("uniq", 3L, 4L, 750000L, false), // 3 distinct of 4
+      ("bounds", 3L, 4L, 750000L, false), // 3/4 < 9/10
+      ("size", 4L, 1L, 4000000L, true)))
+  }
+
+  test("a NULL predicate row counts as a violation, not a pass") {
+    val df = viaParquet(Seq((1L, Some(2.0)), (2L, None)).toDF("id", "v"))
+    val out = QualityChecks.verify(df, Seq(Satisfies("p", col("v") > 0.0, 1L, 1L)))
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getBoolean(4)) == ((1L, 2L, false)))
+  }
+
+  test("the whole suite compiles to one scan of the input") {
+    val suite = Seq(
+      Completeness("comp", "name", 1L, 1L),
+      Satisfies("bounds", col("v") >= 0.0, 1L, 1L),
+      Uniqueness("uniq", col("id"), 1L, 1L),
+      MinSize("size", 1L))
+    val out = QualityChecks.verify(frame, suite)
+    out.collect()
+    assert(PlanChecks.scanColumns(out).size == 1,
+      "a quality suite must audit the table in a single pass, not one job per check")
+  }
+
+  test("suite refusals: empty, duplicate names, bad thresholds") {
+    intercept[IllegalArgumentException](QualityChecks.verify(frame, Nil))
+    intercept[IllegalArgumentException](QualityChecks.verify(frame,
+      Seq(MinSize("a", 1L), MinSize("a", 2L))))
+    intercept[IllegalArgumentException](QualityChecks.verify(frame,
+      Seq(Completeness("c", "name", 1L, 0L))))
+  }
+}
