@@ -45,4 +45,67 @@ object Privacy {
         count(lit(1)).cast("long").as("n"),
         count_distinct(col(sensitiveCol)).cast("long").as("l_diversity"))
       .withColumn("suppressed", col("n") < k)
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian ICDE 2007 — the third
+    * rung of the release-gate ladder after k-anonymity and l-diversity: a
+    * group can be large AND diverse yet still leak because its sensitive
+    * DISTRIBUTION differs from the table's). For an ORDERED sensitive
+    * attribute pre-bucketed by `bucketCol`, the distance is the 1-D earth
+    * mover's distance over the bucket order:
+    * EMD = (1/(m−1))·Σ_i |cumP_g(i) − cumQ(i)|.
+    *
+    * All arithmetic is exact-integer: cumulative counts never become
+    * fractions — |cumg_i·N − cumG_i·n_g| over the common denominator
+    * n_g·N, reported as integral-div ppm (valid while n_g·N·10⁶ < 2⁶³,
+    * i.e. group×table up to ~9·10¹²; past that, switch the numerator to
+    * the fixed-bucket-order double sum, which is still
+    * partitioning-deterministic because the spine fixes the add order).
+    *
+    * Scale shape: one groupBy to (group, bucket) counts; the global
+    * bucket distribution folds from THOSE partials (no second scan) and
+    * broadcasts — the per-group work is groups×m spine rows with one
+    * window cumsum partitioned BY GROUP. The only unpartitioned window
+    * orders the ≤ m global buckets (a bounded set by construction). */
+  def tClosenessReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      bucketCol: Column,
+      tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessReport: at least one quasi-identifier column")
+    require(tPpm >= 0, s"tClosenessReport: tPpm $tPpm must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val q = quasiCols.map(col)
+    val counts = df
+      .select(q :+ bucketCol.cast("long").as("__graft_b"): _*)
+      .groupBy(q :+ col("__graft_b"): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+      .localCheckpoint(true) // feeds global, groups, and the spine join
+    // NOTE: column resolution is case-INSENSITIVE in Spark and DuckDB —
+    // "cumg"/"cumG" are the SAME identifier (withColumn would silently
+    // replace), so the two cumulative sums get unambiguous names
+    val globalCum = counts
+      .groupBy("__graft_b").agg(sum(col("__graft_c")).as("__graft_g"))
+      .select(col("__graft_b"),
+        sum(col("__graft_g")).over(Window.orderBy("__graft_b")).as("__graft_cum_all"))
+      .crossJoin(counts.agg(
+        sum(col("__graft_c")).cast("long").as("__graft_N"),
+        count_distinct(col("__graft_b")).cast("long").as("__graft_m")))
+    val groups = counts
+      .groupBy(q: _*).agg(sum(col("__graft_c")).as("__graft_ng"))
+    val spine = groups.crossJoin(broadcast(globalCum))
+      .join(counts, quasiCols :+ "__graft_b", "left")
+      .withColumn("__graft_cum_grp",
+        sum(coalesce(col("__graft_c"), lit(0L)))
+          .over(Window.partitionBy(q: _*).orderBy("__graft_b")))
+    spine
+      .groupBy(q :+ col("__graft_ng").as("n") :+ col("__graft_N") :+ col("__graft_m"): _*)
+      .agg(sum(abs(col("__graft_cum_grp") * col("__graft_N") -
+        col("__graft_cum_all") * col("__graft_ng"))).as("__graft_num"))
+      .withColumn("emd_ppm",
+        when(col("__graft_m") > 1L,
+          expr("(__graft_num * CAST(1000000 AS BIGINT)) div ((__graft_m - 1) * n * __graft_N)"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("breached", col("emd_ppm") > tPpm)
+      .select(q ++ Seq(col("n").cast("long").as("n"), col("emd_ppm"), col("breached")): _*)
+  }
 }

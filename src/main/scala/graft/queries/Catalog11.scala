@@ -259,6 +259,57 @@ private[graft] object Catalog11 {
             UNION ALL SELECT 'c8_ship_before_1998', s8, t, (s8 * 1000000) // t, s8 * 10 >= 9 * t FROM m
             ORDER BY 1"""))
 
+  /** t-closeness audit ([[graft.operators.Privacy.tClosenessReport]] —
+    * Li/Li/Venkatasubramanian ICDE 2007, the third rung of the privacy
+    * release ladder after k-anonymity (q126-family) and l-diversity: a
+    * large, diverse group still leaks when its sensitive DISTRIBUTION
+    * differs from the table's): per (event_type, user cohort) group, the
+    * exact-integer 1-D EMD between the group's bucketed value
+    * distribution and the global one, in ppm, gated at t = 30000 ppm.
+    * Oracle replays the dense bucket spine, both cumulative sums, and the
+    * common-denominator integer EMD in SQL window functions. */
+  val q291_t_closeness = Q(
+    "q291_t_closeness",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        (col("user_id") % 20).as("cohort"),
+        least(floor(col("value") / 50d), lit(7L)).cast("long").as("bk"))
+      graft.operators.Privacy
+        .tClosenessReport(ev, Seq("event_type", "cohort"), col("bk"), tPpm = 30000L)
+        .orderBy("event_type", "cohort")
+    },
+    Some("""WITH b AS (
+              SELECT event_type, user_id % 20 AS cohort,
+                     LEAST(CAST(FLOOR(value / 50) AS BIGINT), 7) AS bk
+              FROM events),
+            counts AS (
+              SELECT event_type, cohort, bk, COUNT(*)::BIGINT AS c
+              FROM b GROUP BY 1, 2, 3),
+            tot AS (SELECT SUM(c)::BIGINT AS N, COUNT(DISTINCT bk)::BIGINT AS m FROM counts),
+            gcum AS (
+              SELECT bk, SUM(g) OVER (ORDER BY bk)::BIGINT AS cum_all
+              FROM (SELECT bk, SUM(c) AS g FROM counts GROUP BY 1)),
+            groups AS (
+              SELECT event_type, cohort, SUM(c)::BIGINT AS n_g
+              FROM counts GROUP BY 1, 2),
+            spine AS (
+              SELECT gr.event_type, gr.cohort, gr.n_g, gc.bk, gc.cum_all,
+                     SUM(COALESCE(c.c, 0)) OVER (
+                       PARTITION BY gr.event_type, gr.cohort ORDER BY gc.bk) AS cum_grp
+              FROM groups gr CROSS JOIN gcum gc
+              LEFT JOIN counts c ON c.event_type = gr.event_type
+                AND c.cohort = gr.cohort AND c.bk = gc.bk),
+            emd AS (
+              SELECT event_type, cohort, n_g,
+                     SUM(ABS(cum_grp * (SELECT N FROM tot) - cum_all * n_g))::BIGINT AS num
+              FROM spine GROUP BY 1, 2, 3)
+            SELECT event_type, cohort::BIGINT AS cohort, n_g AS n,
+                   ((num * 1000000) // (((SELECT m FROM tot) - 1) * n_g * (SELECT N FROM tot)))::BIGINT AS emd_ppm,
+                   ((num * 1000000) // (((SELECT m FROM tot) - 1) * n_g * (SELECT N FROM tot))) > 30000 AS breached
+            FROM emd ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
-    Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite)
+    Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
+      q291_t_closeness)
 }

@@ -319,6 +319,36 @@ class PrivacyVolumeSpec extends SparkSpec {
     // day 10: window covers days 3..9 → days 3,4,5,6,9 = {10,100,100,100,100}, median 100
     assert(byDay(10L) === ((10L, 5L, Some(100L), true)))   // 40 < 100/2
   }
+
+  test("tCloseness: hand-computed EMD, identical distribution scores 0, disjoint scores 1e6") {
+    // global buckets over groups g/h/i: g = (2,2,0), h = (0,0,4), i = (2,2,4)
+    val d = viaParquet((
+      Seq.fill(2)(("g", 0L)) ++ Seq.fill(2)(("g", 1L)) ++
+        Seq.fill(4)(("h", 2L)) ++
+        Seq.fill(2)(("i", 0L)) ++ Seq.fill(2)(("i", 1L)) ++ Seq.fill(4)(("i", 2L)))
+      .toDF("grp", "bk"))
+    val out = Privacy.tClosenessReport(d, Seq("grp"), col("bk"), tPpm = 300000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // N=16, m=3, global cum = (4, 8, 16)
+    // g: n=4, cum=(2,4,4): |2·16−4·4|+|4·16−8·4|+0 = 16+32 = 48 → 48e6/(2·4·16) = 375000
+    // h: n=4, cum=(0,0,4): 16+32+0=48 → 375000 (all mass at the far bucket)
+    // i: n=8, cum=(2,4,8): |32−32|+|64−64|+0 = 0 → the global mix itself
+    assert(out("g") == ((4L, 375000L, true)))
+    assert(out("h") == ((4L, 375000L, true)))
+    assert(out("i") == ((8L, 0L, false)))
+  }
+
+  test("tCloseness is partitioning-invariant and refuses bad parameters") {
+    val rnd = new scala.util.Random(11)
+    val d = viaParquet((1 to 400)
+      .map(_ => (s"g${rnd.nextInt(5)}", rnd.nextInt(6).toLong)).toDF("grp", "bk"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Privacy.tClosenessReport(df, Seq("grp"), col("bk"), 50000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(run(d.repartition(1)) == run(d.repartition(7, col("bk"))))
+    intercept[IllegalArgumentException](Privacy.tClosenessReport(d, Nil, col("bk"), 1L))
+    intercept[IllegalArgumentException](Privacy.tClosenessReport(d, Seq("grp"), col("bk"), -1L))
+  }
 }
 
 class SkewJoinSpec extends SparkSpec {
