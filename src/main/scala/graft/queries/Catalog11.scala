@@ -309,7 +309,64 @@ private[graft] object Catalog11 {
                    ((num * 1000000) // (((SELECT m FROM tot) - 1) * n_g * (SELECT N FROM tot))) > 30000 AS breached
             FROM emd ORDER BY 1, 2"""))
 
+  /** Leakage-safe out-of-fold target encoding
+    * ([[graft.ml.Features.targetEncodeOOF]] — the K-fold mean-target
+    * encoder of the Kaggle/CatBoost lineage, the SUPERVISED feature
+    * complement of the leakage-safe splits (q120/q246): l_partkey encoded
+    * by mean l_quantity computed WITHOUT the row's own xxhash64 fold, so
+    * no row's target feeds its own feature; categories with no
+    * out-of-fold evidence fall back to the global out-of-fold prior.
+    * Encodings are exact rationals (integral-div ppm); the output pins
+    * per-fold row counts, fallback counts, and the enc_ppm checksum.
+    * Oracle replays the fold hash (xxhash64 stages), both aggregate
+    * levels, and the fallback arithmetic. */
+  val q292_target_encoding = Q(
+    "q292_target_encoding",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey").as("cat"),
+        col("l_quantity").cast("long").as("tgt"),
+        pmod(xxhash64(col("l_orderkey") * 8 + col("l_linenumber")), lit(5L)).as("fold"))
+      graft.ml.Features.targetEncodeOOF(li, "cat", "tgt", "fold")
+        .groupBy("fold")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("enc_fallback"), 1L).otherwise(0L)).cast("long").as("n_fallback"),
+          sum(col("enc_ppm")).cast("long").as("sum_enc_ppm"),
+          sum(col("enc_den")).cast("long").as("sum_enc_den"))
+        .orderBy("fold")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val hashed = xxhash64LongStages(
+        """SELECT l_partkey AS cat, CAST(l_quantity AS BIGINT) AS tgt,
+                  l_orderkey * 8 + l_linenumber AS rk FROM lineitem""",
+        "rk", "h", pfx = "__f")
+      s"""WITH hashed AS ($hashed),
+            rows0 AS (SELECT cat, tgt, ((h % 5) + 5) % 5 AS fold FROM hashed),
+            partials AS (SELECT cat, fold, SUM(tgt)::BIGINT AS sf, COUNT(*)::BIGINT AS nf
+                         FROM rows0 GROUP BY 1, 2),
+            cats AS (SELECT cat, SUM(sf) AS sc, SUM(nf) AS nc FROM partials GROUP BY 1),
+            folds AS (SELECT fold, SUM(sf) AS sfold, SUM(nf) AS nfold FROM partials GROUP BY 1),
+            tot AS (SELECT SUM(sf) AS sall, SUM(nf) AS nall FROM partials),
+            enc AS (SELECT p.cat, p.fold, (c.sc - p.sf) AS oof_s, (c.nc - p.nf) AS oof_n
+                    FROM partials p JOIN cats c USING (cat)),
+            scored AS (
+              SELECT r.fold, e.oof_n = 0 AS fb,
+                     CASE WHEN e.oof_n = 0 THEN (SELECT sall FROM tot) - f.sfold
+                          ELSE e.oof_s END AS num,
+                     CASE WHEN e.oof_n = 0 THEN (SELECT nall FROM tot) - f.nfold
+                          ELSE e.oof_n END AS den
+              FROM rows0 r
+              JOIN enc e ON e.cat = r.cat AND e.fold = r.fold
+              JOIN folds f ON f.fold = r.fold)
+            SELECT fold::BIGINT AS fold, COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN fb THEN 1 ELSE 0 END)::BIGINT AS n_fallback,
+                   SUM((num * 1000000) // den)::BIGINT AS sum_enc_ppm,
+                   SUM(den)::BIGINT AS sum_enc_den
+            FROM scored GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
-      q291_t_closeness)
+      q291_t_closeness, q292_target_encoding)
 }
