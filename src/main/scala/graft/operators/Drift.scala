@@ -66,4 +66,72 @@ object Drift {
           .otherwise(col("raw_num")).cast("long"))
       .drop("raw_num")
   }
+
+  /** Exact-integer autocorrelation function over per-key daily series —
+    * the periodicity detector beside the seasonal-naive forecast and the
+    * dyadic-EWMA monitor (a weekly-cyclic feed shows acf(7) ≫ acf(1); a
+    * trending feed shows slow decay). Input rows are (keys, day, value)
+    * with gaps allowed; the series is DENSIFIED on the global [min, max]
+    * day spine with zeros (a missing day is a real zero for count
+    * series), because ACF over a gappy index silently correlates
+    * non-adjacent days.
+    *
+    * Exactness: with n days, sum S, the centered series is scaled by n —
+    * dev_t = n·x_t − S (BIGINT) — so num(lag) = Σ dev_t·dev_{t+lag} and
+    * den = Σ dev_t² are exact; the n² factor cancels in the ratio.
+    * acf_ppm = sign(num)·((|num|·10⁶) div den) computed in DECIMAL(38,0)
+    * (|num|·10⁶ can pass 2⁶³; DuckDB replays in HUGEINT) with
+    * sign-magnitude division — Spark `div` truncates toward zero while
+    * DuckDB `//` floors, so negative quotients would differ by one ulp
+    * otherwise. A constant series (den = 0) yields NULL.
+    *
+    * Scale shape: spine = keys × days (broadcast bounds); per-key stats
+    * fold from the spine; ALL lags ride ONE window pass (lead(dev, ℓ)
+    * share the window spec) and the lag unpivot is a generator over
+    * window-materialized attributes — no re-sort per lag. */
+  def autocorrelation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(keyCols.nonEmpty, "autocorrelation: at least one key column")
+    require(maxLag >= 1 && maxLag <= 64, s"autocorrelation: maxLag $maxLag out of [1, 64]")
+    import org.apache.spark.sql.expressions.Window
+    val q = keyCols.map(col)
+    val counts = df.select(q :+ col(dayCol).cast("long").as("__graft_day")
+      :+ col(valueCol).cast("long").as("__graft_x"): _*)
+    val bounds = counts.agg(
+      min(col("__graft_day")).as("__graft_mn"), max(col("__graft_day")).as("__graft_mx"))
+    val spine = counts.select(q: _*).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(q :+ explode(sequence(col("__graft_mn"), col("__graft_mx"))).as("__graft_day"): _*)
+      .join(counts, keyCols :+ "__graft_day", "left")
+      .withColumn("__graft_xf", coalesce(col("__graft_x"), lit(0L)))
+    val stats = spine.groupBy(q: _*)
+      .agg(count(lit(1)).as("__graft_n"), sum(col("__graft_xf")).as("__graft_s"))
+    val dev = spine.join(stats, keyCols)
+      .withColumn("__graft_dev", col("__graft_n") * col("__graft_xf") - col("__graft_s"))
+    val w = Window.partitionBy(q: _*).orderBy("__graft_day")
+    val led = dev.select(q ++ Seq(col("__graft_n"), col("__graft_dev")) ++
+      (1 to maxLag).map(l => lead(col("__graft_dev"), l).over(w).as(s"__graft_l$l")): _*)
+    val den = dev.groupBy(q: _*)
+      .agg(sum(col("__graft_dev") * col("__graft_dev")).as("__graft_den"),
+        max(col("__graft_n")).as("n_days"))
+    val stacked = led.select(q :+ col("__graft_dev") :+
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l.toLong).as("lag"), col(s"__graft_l$l").as("dl"))): _*)).as("__graft_e"): _*)
+      .select(q ++ Seq(col("__graft_dev"), col("__graft_e.lag").as("lag"), col("__graft_e.dl").as("__graft_dl")): _*)
+      .filter(col("__graft_dl").isNotNull)
+    stacked
+      .groupBy(q :+ col("lag"): _*)
+      .agg(sum(col("__graft_dev") * col("__graft_dl")).as("__graft_num"))
+      .join(den, keyCols)
+      .withColumn("acf_ppm",
+        when(col("__graft_den") === 0L, lit(null).cast("long")).otherwise(
+          (when(col("__graft_num") < 0L, -1L).otherwise(1L) *
+            expr("(CAST(abs(__graft_num) AS DECIMAL(38,0)) * 1000000) div __graft_den"))
+            .cast("long")))
+      .select(q ++ Seq(col("lag"), col("n_days").cast("long").as("n_days"), col("acf_ppm")): _*)
+  }
 }

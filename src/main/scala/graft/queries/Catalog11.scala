@@ -366,7 +366,64 @@ private[graft] object Catalog11 {
             FROM scored GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Exact-integer autocorrelation function
+    * ([[graft.operators.Drift.autocorrelation]] — the periodicity
+    * detector beside the seasonal-naive forecast (q-family) and CUSUM:
+    * per-event-type daily counts densified on the global day spine, ACF
+    * at lags 1..7 with the n-scaled centered series so numerator and
+    * denominator stay BIGINT-exact; the ppm ratio divides in
+    * DECIMAL(38,0) (|num|·10⁶ can pass 2⁶³) with SIGN-MAGNITUDE
+    * semantics — Spark div truncates toward zero, DuckDB // floors, so
+    * negative quotients would differ otherwise. All lags ride one window
+    * pass. Oracle replays spine, leads, and HUGEINT division. */
+  val q293_acf = Q(
+    "q293_acf",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.Drift
+        .autocorrelation(daily, Seq("event_type"), "day", "x", maxLag = 7)
+        .orderBy("event_type", "lag")
+    },
+    Some {
+      val leads = (1 to 7).map(l => s"LEAD(dv, $l) OVER w AS d$l").mkString(", ")
+      val lagCase = (1 to 7).map(l => s"WHEN $l THEN d$l").mkString(" ")
+      s"""WITH counts AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   COUNT(*)::BIGINT AS x
+            FROM events GROUP BY 1, 2),
+          bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM counts),
+          spine AS (
+            SELECT k.event_type, u.day, COALESCE(c.x, 0)::BIGINT AS x
+            FROM (SELECT DISTINCT event_type FROM counts) k
+            CROSS JOIN (SELECT unnest(range((SELECT mn FROM bounds),
+                                            (SELECT mx FROM bounds) + 1)) AS day) u
+            LEFT JOIN counts c ON c.event_type = k.event_type AND c.day = u.day),
+          stats AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s
+                    FROM spine GROUP BY 1),
+          dev AS (SELECT sp.event_type, sp.day, (st.n * sp.x - st.s)::BIGINT AS dv, st.n
+                  FROM spine sp JOIN stats st USING (event_type)),
+          led AS (SELECT event_type, day, dv, $leads
+                  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          den AS (SELECT event_type, SUM(dv * dv)::BIGINT AS den, MAX(n)::BIGINT AS n_days
+                  FROM dev GROUP BY 1),
+          nums AS (
+            SELECT event_type, u.lag,
+                   SUM(dv * (CASE u.lag $lagCase END))::BIGINT AS num
+            FROM led CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS lag) u
+            WHERE (CASE u.lag $lagCase END) IS NOT NULL
+            GROUP BY 1, 2)
+          SELECT n.event_type, n.lag::BIGINT AS lag, d.n_days,
+                 CASE WHEN d.den = 0 THEN NULL
+                      ELSE (CASE WHEN n.num < 0 THEN -1 ELSE 1 END
+                            * ((abs(n.num)::HUGEINT * 1000000) // d.den))::BIGINT
+                 END AS acf_ppm
+          FROM nums n JOIN den d USING (event_type) ORDER BY 1, 2"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
-      q291_t_closeness, q292_target_encoding)
+      q291_t_closeness, q292_target_encoding, q293_acf)
 }

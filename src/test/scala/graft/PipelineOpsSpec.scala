@@ -160,4 +160,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(changed.as[String].collect().toSeq == Seq("d1"),
       "null-shifted value must change the fingerprint")
   }
+
+  test("acf: alternating series scores the hand-computed ±lags; constant series is NULL") {
+    import graft.operators.Drift
+    // x = 1,0,1,0,1,0,1,0 over days 0..7: n=8, S=4, dev=±4, den=128
+    // num(1) = 7·(−16) = −112 → −875000 ppm; num(2) = 6·16 = 96 → 750000
+    val alt = (0L to 7L).map(d => ("a", d, (1 - d % 2)))
+    val const = (0L to 7L).map(d => ("c", d, 3L))
+    val df = viaParquet((alt ++ const).toDF("k", "day", "x"))
+    val out = Drift.autocorrelation(df, Seq("k"), "day", "x", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(("a", 1L)) == ((8L, Some(-875000L))))
+    assert(out(("a", 2L)) == ((8L, Some(750000L))))
+    assert(out(("c", 1L)) == ((8L, None))) // den = 0 → undefined, not 0
+  }
+
+  test("acf densifies gaps as zeros on the global spine") {
+    import graft.operators.Drift
+    // days 0,1,3 present; day 2 missing → series 2,2,0,2 (n=4, S=6)
+    // dev = 4x−6 = (2,2,−6,2); den = 48; num(1) = 4 −12 −12 = −20 →
+    // sign-magnitude: −((20e6) div 48) = −416666 (truncates the magnitude)
+    val df = viaParquet(Seq(("g", 0L, 2L), ("g", 1L, 2L), ("g", 3L, 2L))
+      .toDF("k", "day", "x"))
+    val out = Drift.autocorrelation(df, Seq("k"), "day", "x", maxLag = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(out == ((4L, -416666L)))
+  }
+
+  test("acf is partitioning-invariant and refuses bad lags") {
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(3)
+    val df = viaParquet((0 until 200).map(i =>
+      (s"k${i % 3}", (i / 3).toLong, rnd.nextInt(50).toLong)).toDF("k", "day", "x"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Drift.autocorrelation(d, Seq("k"), "day", "x", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(9, col("day"))))
+    intercept[IllegalArgumentException](Drift.autocorrelation(df, Seq("k"), "day", "x", 0))
+    intercept[IllegalArgumentException](Drift.autocorrelation(df, Nil, "day", "x", 1))
+  }
 }
