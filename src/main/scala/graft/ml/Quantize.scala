@@ -41,4 +41,36 @@ object Quantize {
           (acc, x) => acc + abs(xd(x) - quant(x).cast("double") * col("scale"))))
       .drop("__graft_maxabs")
   }
+
+  /** Exact Gram matrix XᵀX over an int8-quantized embedding column — the
+    * d×d second-moment table that feeds PCA/whitening/feature-correlation
+    * audits, computable EXACTLY (BIGINT) over quantized vectors where the
+    * float original would be row-order-dependent.
+    *
+    * Plan shape (the part that matters at 100 TB): NO JOIN — each row
+    * expands to its d² coordinate pairs via two chained generates and the
+    * partial aggregate folds them map-side into ≤ d(d+1)/2 groups inside
+    * the same stage, so the shuffle carries d² cells per task, not rows.
+    * The input is repartitioned with an EXPLICIT N first: the expansion is
+    * d²× and AQE sizes partitions by input bytes, blind to it (a 500 KB
+    * scan would otherwise run 20M expanded rows on one core). Generator
+    * children are array_compact-wrapped so InferFiltersFromGenerate cannot
+    * inline an expensive upstream projection below the Generate (the q78
+    * trap); vectors must have no NULL elements (positions would shift).
+    *
+    * Returns the upper triangle (i ≤ j, 0-based): (i, j, g). */
+  def gramMatrix(df: DataFrame, q8Col: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val rows = df.select(col(q8Col).as("__graft_q")).repartition(par)
+    rows
+      .select(col("__graft_q"), posexplode(array_compact(col("__graft_q"))))
+      .select(col("pos").as("i"), col("col").cast("long").as("__graft_qi"), col("__graft_q"))
+      .select(col("i"), col("__graft_qi"), posexplode(array_compact(col("__graft_q"))))
+      .select(col("i"), col("pos").as("j"),
+        (col("__graft_qi") * col("col").cast("long")).as("__graft_p"))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("__graft_p")).cast("long").as("g"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("g"))
+  }
 }

@@ -423,7 +423,43 @@ private[graft] object Catalog11 {
           FROM nums n JOIN den d USING (event_type) ORDER BY 1, 2"""
     })
 
+  /** Exact Gram matrix over int8-quantized embeddings
+    * ([[graft.ml.Quantize.gramMatrix]] — the XᵀX second-moment table that
+    * feeds PCA/whitening/correlation audits, exact in BIGINT over the
+    * quantized grid where the float original is row-order-dependent):
+    * NO-JOIN plan — each vector expands to its d² coordinate pairs via
+    * two chained generates and partial aggregation folds them map-side
+    * into d(d+1)/2 cells inside the stage; explicit-N repartition before
+    * the d²× expansion (AQE is blind to it). Output: the 64×64 upper
+    * triangle. Oracle replays quantization + double unnest + pair
+    * aggregation. */
+  val q294_gram_matrix = Q(
+    "q294_gram_matrix",
+    (s, dir) => {
+      val q = graft.ml.Quantize.int8(t(s, dir, "embeddings"), "embedding")
+      graft.ml.Quantize.gramMatrix(q, "q8").orderBy("i", "j")
+    },
+    Some("""WITH s AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, embedding,
+                           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                    FROM embeddings)),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(LEAST(127, GREATEST(-127,
+                         FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)) AS q8
+              FROM s),
+            e AS (
+              SELECT vec_id, generate_subscripts(q8, 1) - 1 AS i, unnest(q8) AS qv
+              FROM q)
+            SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+                   SUM(a.qv * b.qv)::BIGINT AS g
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
-      q291_t_closeness, q292_target_encoding, q293_acf)
+      q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix)
 }

@@ -1867,4 +1867,30 @@ class QuantizeSpec extends SparkSpec {
     assert(out(3L)._1 == Seq(127, -127, 1, 64) && out(3L)._3 == 0.0)
   }
 
+  test("gramMatrix: hand-computed XᵀX upper triangle, symmetric by construction") {
+    val d = Seq(
+      (1L, Seq(1, 2, 3)),
+      (2L, Seq(-1, 0, 2)),
+      (3L, Seq(4, -2, 1))).toDF("vec_id", "q8")
+    val got = graft.ml.Quantize.gramMatrix(d, "q8")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // XᵀX rows: [1,2,3],[-1,0,2],[4,-2,1]
+    val x = Seq(Seq(1L, 2L, 3L), Seq(-1L, 0L, 2L), Seq(4L, -2L, 1L))
+    val expected = (for { i <- 0 to 2; j <- i to 2 }
+      yield (i.toLong, j.toLong) -> x.map(r => r(i) * r(j)).sum).toMap
+    assert(got == expected)
+    assert(got.keySet.forall { case (i, j) => j >= i }) // triangle only
+  }
+
+  test("gramMatrix matches a driver-side computation on quantized real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.ml.Quantize.int8(emb, "embedding")
+    val got = graft.ml.Quantize.gramMatrix(q, "q8")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = q.select("q8").collect().map(_.getSeq[Int](0).map(_.toLong))
+    val dim = rows.head.size
+    val expected = (for { i <- 0 until dim; j <- i until dim }
+      yield (i.toLong, j.toLong) -> rows.map(r => r(i) * r(j)).sum).toMap
+    assert(got == expected)
+  }
 }
