@@ -459,7 +459,88 @@ private[graft] object Catalog11 {
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Stream-stream LEFT OUTER interval join
+    * ([[graft.streaming.StreamOps.intervalJoin]] with joinType left_outer
+    * — the semantics the inner form (q154) cannot express: an unmatched
+    * left row is a RESULT, but only once the global watermark proves no
+    * future right row can join it). Sparse left (10% of events) joins
+    * dense right (50%) within ±10 minutes; the file stream is fed in
+    * three event-time-MONOTONE chunks (explicit mtimes, 1 file/trigger)
+    * so watermark progression is deterministic: matched pairs all emit,
+    * unmatched lefts emit null-padded iff ts + 10min < final watermark =
+    * min(max left ts, max right ts) − 1min delay — the remainder die in
+    * state, and the oracle replays that cutoff arithmetic exactly. */
+  val q295_stream_outer_join = Q(
+    "q295_stream_outer_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id").cast("long").as("user_id"), col("event_id"), col("ts"))
+        .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
+      val minDay = ev.agg(min(col("day"))).head().getLong(0)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-q295-in")
+      (0 to 2).foreach { c =>
+        val stage = java.nio.file.Files.createTempDirectory(s"graft-q295-c$c").toString
+        ev.filter(expr(s"(day - $minDay) div 10") === c)
+          .drop("day").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val target = inDir.resolve(f"chunk$c%03d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
+      }
+      val schema = s.read.parquet(inDir.toString).schema
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString))
+      val left = stream.filter(col("event_id") % 10 === 0).drop("event_id")
+      val right = stream.filter(col("event_id") % 2 === 1).drop("event_id")
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        left, right, Seq("user_id"), "ts", within = "10 minutes",
+        watermark = "1 minute", joinType = "left_outer")
+      val qname = s"graft_q295_${streamRuns.incrementAndGet()}"
+      val q = scopedStreamStart(s)(
+        joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts_r").isNotNull, 1L).otherwise(0L)).cast("long").as("n_pairs"),
+          sum(when(col("ts_r").isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, ts FROM events WHERE user_id < 50),
+            l AS (SELECT user_id, ts FROM ev WHERE event_id % 10 = 0),
+            r AS (SELECT user_id, ts FROM ev WHERE event_id % 2 = 1),
+            wm AS (SELECT LEAST((SELECT MAX(ts) FROM l), (SELECT MAX(ts) FROM r))
+                          - INTERVAL 1 MINUTE AS w),
+            pairs AS (
+              SELECT l.user_id, COUNT(*)::BIGINT AS n
+              FROM l JOIN r ON l.user_id = r.user_id
+                AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts + INTERVAL 10 MINUTE
+              GROUP BY 1),
+            nulls AS (
+              SELECT l.user_id, COUNT(*)::BIGINT AS n
+              FROM l
+              WHERE NOT EXISTS (
+                  SELECT 1 FROM r WHERE r.user_id = l.user_id
+                    AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts + INTERVAL 10 MINUTE)
+                AND l.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+              GROUP BY 1),
+            users AS (SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM pairs UNION ALL SELECT user_id FROM nulls))
+            SELECT u.user_id::BIGINT AS user_id,
+                   COALESCE(p.n, 0)::BIGINT AS n_pairs,
+                   COALESCE(x.n, 0)::BIGINT AS n_nulls
+            FROM users u
+            LEFT JOIN pairs p ON p.user_id = u.user_id
+            LEFT JOIN nulls x ON x.user_id = u.user_id
+            ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
-      q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix)
+      q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
+      q295_stream_outer_join)
 }

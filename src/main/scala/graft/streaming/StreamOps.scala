@@ -178,6 +178,15 @@ object StreamOps {
     *
     * Column layout: key columns keep their names; non-key columns get
     * `leftSuffix`/`rightSuffix` to avoid collisions. */
+  /** Stream-stream interval join. `joinType` "inner" (default) or
+    * "left_outer": the outer form emits a null-padded left row once the
+    * GLOBAL watermark (min across both sides' watermark nodes) passes the
+    * row's join window — i.e. a left row L surfaces as unmatched only
+    * after watermark > L.ts + within, which is when the state store can
+    * prove no future right row can join it. Left rows inside the final
+    * watermark horizon stay in state and never emit; a deterministic
+    * drain (AvailableNow + monotone event-time feeding) makes that
+    * cutoff exactly min(max left ts, max right ts) − delay. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -186,8 +195,11 @@ object StreamOps {
       within: String,
       watermark: String = "10 minutes",
       leftSuffix: String = "_l",
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      joinType: String = "inner"): DataFrame = {
     require(keyColumns.nonEmpty, "intervalJoin: no key columns")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"intervalJoin: joinType $joinType not in {inner, left_outer}")
     def suffixed(df: DataFrame, suffix: String) = {
       val renamed = df.columns.foldLeft(df) { (d, c) =>
         if (keyColumns.contains(c)) d else d.withColumnRenamed(c, c + suffix)
@@ -200,8 +212,9 @@ object StreamOps {
     val tr = col(timestampColumn + rightSuffix)
     val keysEq = keyColumns.map(k => l(k) === r(k)).reduce(_ && _)
     val bound = tr >= tl - expr(s"INTERVAL $within") && tr <= tl + expr(s"INTERVAL $within")
-    l.join(r, keysEq && bound, "inner")
-      // project the key columns once (both sides carry them post-join)
+    l.join(r, keysEq && bound, joinType)
+      // project the key columns once from the left (both sides carry them
+      // post-join; on left_outer the right copies are null for unmatched)
       .select(keyColumns.map(l(_)) ++
         l.columns.filterNot(keyColumns.contains).map(l(_)) ++
         r.columns.filterNot(keyColumns.contains).map(r(_)): _*)

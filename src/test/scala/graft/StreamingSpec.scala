@@ -141,6 +141,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("left-outer interval join: nulls emit only once the watermark passes the window") {
+    implicit val sql = spark.sqlContext
+    val li = MemoryStream[(Long, Timestamp, String)]
+    val ri = MemoryStream[(Long, Timestamp, String)]
+    val l = li.toDF().toDF("k", "ts", "tag")
+    val r = ri.toDF().toDF("k", "ts", "tag")
+    val joined = StreamOps.intervalJoin(l, r, Seq("k"), "ts", within = "10 minutes",
+      watermark = "1 minute", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("soj").outputMode("append").start()
+    // batch 1: one matched left, one unmatched left, plus a right row
+    li.addData((1L, ts("2024-01-01 10:00:00"), "lm"), (2L, ts("2024-01-01 10:00:00"), "lu"))
+    ri.addData((1L, ts("2024-01-01 10:05:00"), "rm"))
+    q.processAllAvailable()
+    def rows() = spark.table("soj").select("k", "tag_l", "tag_r")
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1), Option(r0.getString(2)))).toSet
+    // watermark still at batch-1 horizon: the match emits, the null does NOT yet
+    assert(rows() == Set((1L, "lm", Some("rm"))))
+    // batch 2 pushes both watermarks past 10:10 + delay → the unmatched left flushes
+    li.addData((9L, ts("2024-01-01 11:00:00"), "ltail"))
+    ri.addData((9L, ts("2024-01-01 11:00:01"), "rtail"))
+    q.processAllAvailable()
+    val got = rows()
+    q.stop()
+    assert(got.contains((2L, "lu", None)), s"unmatched left must flush after watermark: $got")
+    // the tail left sits inside the final horizon: matched pair emits, no null for it
+    assert(got == Set((1L, "lm", Some("rm")), (2L, "lu", None), (9L, "ltail", Some("rtail"))))
+  }
+
   test("idempotent upsert sink: multi-batch counts converge and a batch retry is a no-op") {
     import graft.streaming.StreamOps
     val scratch = java.nio.file.Files.createTempDirectory("graft-upsert").toString
