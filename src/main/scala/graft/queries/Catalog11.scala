@@ -539,8 +539,52 @@ private[graft] object Catalog11 {
             LEFT JOIN nulls x ON x.user_id = u.user_id
             ORDER BY 1"""))
 
+  /** Positional proximity search ([[graft.text.Search.proximityMinSpan]]
+    * — the position-aware rung above the bag-of-words retrievers: TF-IDF
+    * (q24-family) and BM25 score "hash join" and "join … 500 tokens …
+    * hash" identically; the proximity ranker does not): documents
+    * containing both "hash" and "join" ranked by minimum token distance.
+    * Min-span via the sorted-union adjacency property — one doc-keyed lag
+    * window instead of the quadratic occurrence pair join; a sound
+    * `contains` superset prefilter keeps the tokenizer off non-candidate
+    * docs. Oracle replays tokenization, the lag window, and the
+    * (span, id) top-k. */
+  val q296_proximity_search = Q(
+    "q296_proximity_search",
+    (s, dir) => {
+      graft.text.Search.proximityMinSpan(
+        t(s, dir, "documents"), "doc_id", "text", "hash", "join", k = 20)
+        .select(col("id").cast("long").as("doc_id"), col("n_a"), col("n_b"), col("min_span"))
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val ws = """'\s+'"""
+      s"""WITH cand AS (
+            SELECT doc_id, text FROM documents
+            WHERE contains(lower(text), 'hash') AND contains(lower(text), 'join')),
+          toks AS (
+            SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) - 1 AS p
+            FROM (SELECT doc_id,
+                    list_filter(regexp_split_to_array(${normalizeSql("text")}, $ws),
+                                x -> len(x) > 0) AS toks
+                  FROM cand)),
+          occ AS (SELECT doc_id, p, t FROM toks WHERE t IN ('hash', 'join')),
+          lagged AS (
+            SELECT doc_id, p, t, LAG(p) OVER w AS pp, LAG(t) OVER w AS pt
+            FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+          agg AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN t = 'hash' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   SUM(CASE WHEN t = 'join' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                   MIN(CASE WHEN pt IS NOT NULL AND pt <> t THEN p - pp END)::BIGINT AS min_span
+            FROM lagged GROUP BY 1)
+          SELECT doc_id::BIGINT AS doc_id, n_a, n_b, min_span
+          FROM agg WHERE n_a > 0 AND n_b > 0
+          ORDER BY min_span, doc_id LIMIT 20"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
-      q295_stream_outer_join)
+      q295_stream_outer_join, q296_proximity_search)
 }

@@ -164,4 +164,55 @@ object Search {
       .orderBy(col("score").desc, col("c12").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /** Positional proximity search — the POSITION-aware rung above the
+    * bag-of-words retrievers (q-family TF-IDF/BM25 see "hash … join" and
+    * "join … 500 tokens … hash" as the same doc; a proximity ranker does
+    * not): for two query terms, rank documents containing BOTH by the
+    * minimum token distance between any occurrence pair.
+    *
+    * The min-span uses the sorted-union property: over the doc's A/B
+    * occurrence positions in token order, the minimum |posA − posB| is
+    * realized by some ADJACENT pair with different terms — so one
+    * doc-keyed window (lag) replaces the quadratic pair join; cost is
+    * linear in occurrences. A coarse `contains` prefilter on the lowered
+    * text runs BEFORE tokenization — sound superset, every token is a
+    * substring of the lowered text — so the tokenizer only runs on
+    * candidate docs. Top-k via orderBy+limit (TakeOrderedAndProject).
+    *
+    * Returns (id, n_a, n_b, min_span) — the k best by (min_span, id). */
+  def proximityMinSpan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      termA: String,
+      termB: String,
+      k: Int): DataFrame = {
+    require(termA != termB, "proximityMinSpan: distinct terms required")
+    require(k >= 1, s"proximityMinSpan: k $k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val candidates = df
+      .filter(lower(col(textCol)).contains(termA) && lower(col(textCol)).contains(termB))
+      .select(col(idCol).as("id"), TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("__graft_toks"))
+    val occ = candidates
+      .select(col("id"), posexplode(array_compact(col("__graft_toks"))))
+      .filter(col("col").isin(termA, termB))
+      .select(col("id"), col("pos").cast("long").as("p"), col("col").as("t"))
+    val w = Window.partitionBy("id").orderBy("p")
+    val spans = occ
+      .withColumn("__graft_pp", lag(col("p"), 1).over(w))
+      .withColumn("__graft_pt", lag(col("t"), 1).over(w))
+      .withColumn("__graft_span",
+        when(col("__graft_pt").isNotNull && col("__graft_pt") =!= col("t"),
+          col("p") - col("__graft_pp")))
+    spans
+      .groupBy("id")
+      .agg(
+        sum(when(col("t") === termA, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("t") === termB, 1L).otherwise(0L)).cast("long").as("n_b"),
+        min(col("__graft_span")).cast("long").as("min_span"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .orderBy(col("min_span"), col("id"))
+      .limit(k)
+  }
 }

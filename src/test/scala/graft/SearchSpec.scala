@@ -208,4 +208,34 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("proximityMinSpan: hand-computed spans, both-terms requirement, top-k order") {
+    val docs = viaParquet(Seq(
+      (1L, "hash join is fast"),             // adjacent: span 1
+      (2L, "join the big hash table hash"),  // min(3-0, ...) = 3
+      (3L, "hash hash hash only"),           // missing 'join' → excluded
+      (4L, "a join b c hash d join"),        // occurrences j@1, h@4, j@6 → min 2
+      (5L, "nothing relevant here")).toDF("doc_id", "text"))
+    val got = Search.proximityMinSpan(docs, "doc_id", "text", "hash", "join", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 1L), (4L, 1L, 2L, 2L), (2L, 2L, 1L, 3L)))
+  }
+
+  test("proximityMinSpan adjacency shortcut equals the brute-force pair minimum") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("hash", "join", "scan", "sort", "x", "y")
+    val docs = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = viaParquet(docs.toDF("doc_id", "text"))
+    val got = Search.proximityMinSpan(df, "doc_id", "text", "hash", "join", 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").zipWithIndex
+      val as = toks.filter(_._1 == "hash").map(_._2)
+      val bs = toks.filter(_._1 == "join").map(_._2)
+      if (as.isEmpty || bs.isEmpty) None
+      else Some(id -> (for { a <- as; b <- bs } yield math.abs(a - b).toLong).min)
+    }.toMap
+    assert(got == expected)
+  }
 }
