@@ -11,6 +11,12 @@ import graft.QueryDsl._
   * Registration + docs in [[graft.Queries]]. */
 private[graft] object Catalog11 {
 
+  private def writeOne(root: String, df: DataFrame, name: String): String = {
+    val d = s"$root/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+  }
+
   /** Recursive CTE (`WITH RECURSIVE` — Spark 4's UnionLoop operator,
     * SPARK-24497): a 10-ary hierarchy is derived from part keys (parent(k)
     * = k DIV 10, roots k < 10 — keys are contiguous so every parent
@@ -583,8 +589,75 @@ private[graft] object Catalog11 {
           ORDER BY min_span, doc_id LIMIT 20"""
     })
 
+  /** Hidden partitioning — Iceberg partition TRANSFORMS
+    * ([[graft.sources.TxnLog.pruneByPartitionRange]], completing the
+    * partition story beside equality pruning (q262 DPP, q275 evolution):
+    * the table is partitioned by days(ts) — a transform of a data column
+    * — and the query filters on RAW ts; the planner derives the day range
+    * from the predicate bounds and prunes by tag. The user never names
+    * the partition column. A pre-evolution unpartitioned file CANNOT be
+    * range-pruned and conservatively stays planned (its rows pass through
+    * the residual filter — pruning skips provably-mismatched files,
+    * never data). All 30 day files land in ONE partitionBy write. Oracle
+    * derives file counts and sums from day arithmetic. */
+  val q297_hidden_partitioning = Q(
+    "q297_hidden_partitioning",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q297").toString
+      val logDir = s"$root/_log"
+      val ev = t(s, dir, "events").select(
+        expr("CAST(ts AS LONG)").as("tsec"),
+        col("user_id").cast("long").as("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val minDay = ev.agg(min(expr("tsec div 86400"))).head().getLong(0)
+      // pre-evolution unpartitioned file: day minDay+12 rows, shifted ids, 7× cents
+      val old = writeOne(root,
+        ev.filter(expr("tsec div 86400") === minDay + 12)
+          .select(col("tsec"), (col("user_id") + 1000000L).as("user_id"),
+            (col("cents") * 7).as("cents")), "old")
+      TxnLog.commit(logDir, 0, adds = Seq(old), removes = Nil)
+      // the days(ts) layout: ONE partitionBy write, tag = transform value
+      val stage = s"$root/staged"
+      ev.withColumn("day", expr("tsec div 86400"))
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles().filter(_.getName.startsWith("day="))
+        .flatMap { d =>
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getAbsolutePath -> d.getName)
+        }.toMap
+      TxnLog.commit(logDir, 1, adds = parts.keys.toSeq.sorted, removes = Nil,
+        partitions = parts)
+      // raw-ts predicate; the planner derives the day range (the transform)
+      val t1 = (minDay + 10) * 86400L
+      val t2 = (minDay + 15) * 86400L - 1
+      val planned = TxnLog.pruneByPartitionRange(logDir, 1, "day",
+        t1 / 86400L, t2 / 86400L)
+      val agg = s.read.parquet(planned: _*)
+        .filter(col("tsec").between(t1, t2)) // residual on the RAW column
+        .agg(count(lit(1)).cast("long"), sum(col("cents")).cast("long")).head()
+      Seq((TxnLog.liveFiles(logDir, 1).size.toLong, planned.size.toLong,
+        agg.getLong(0), agg.getLong(1)))
+        .toDF("n_live_files", "n_planned", "n_rows", "sum_cents")
+    },
+    Some("""WITH ev AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents
+              FROM events),
+            b AS (SELECT MIN(day) AS dmin, COUNT(DISTINCT day) AS ndays FROM ev),
+            inr AS (SELECT * FROM ev
+                    WHERE day BETWEEN (SELECT dmin FROM b) + 10 AND (SELECT dmin FROM b) + 14)
+            SELECT ((SELECT ndays FROM b) + 1)::BIGINT AS n_live_files,
+                   6::BIGINT AS n_planned,
+                   ((SELECT COUNT(*) FROM inr)
+                    + (SELECT COUNT(*) FROM ev WHERE day = (SELECT dmin FROM b) + 12))::BIGINT AS n_rows,
+                   ((SELECT SUM(cents) FROM inr)
+                    + (SELECT 7 * SUM(cents) FROM ev WHERE day = (SELECT dmin FROM b) + 12))::BIGINT AS sum_cents"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
-      q295_stream_outer_join, q296_proximity_search)
+      q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning)
 }

@@ -383,6 +383,29 @@ object TxnLog {
       case (f, Some(p)) if p == s"$col=$value" => f
     }.toSeq.sorted
 
+  /** Range planning over TRANSFORM-derived partition tags — the hidden-
+    * partitioning half of the Iceberg contract (the equality form above is
+    * the other half): a table partitioned by a transform of a data column
+    * (days(ts), bucket(n, k), truncate(w, s)) is queried on the RAW
+    * column; the planner derives the matching transform-value range from
+    * the predicate bounds and prunes by tag, the user never names the
+    * partition column. Tags are parsed as integers; a file whose tag on
+    * `col` does not parse CANNOT be pruned by a range and conservatively
+    * stays in the plan, like files from other specs — pruning must never
+    * drop data, only skip provably-mismatched files. The residual row
+    * filter still applies to survivors (a boundary day's file carries
+    * out-of-range rows). */
+  def pruneByPartitionRange(
+      logDir: String, asOf: Long, col: String, lo: Long, hi: Long): Seq[String] = {
+    require(lo <= hi, s"txn log: empty transform range [$lo, $hi]")
+    livePartitions(logDir, asOf).collect {
+      case (f, None) => f
+      case (f, Some(p)) if !p.startsWith(col + "=") => f
+      case (f, Some(p)) if p.startsWith(col + "=") &&
+        p.stripPrefix(col + "=").toLongOption.forall(v => v >= lo && v <= hi) => f
+    }.toSeq.sorted
+  }
+
   /** Data files ADDED by exactly version `v` (the streaming-source unit:
     * an append-only reader emits these rows per consumed version). */
   def addedFiles(logDir: String, v: Long): Seq[String] = {

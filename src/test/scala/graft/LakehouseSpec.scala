@@ -274,4 +274,25 @@ class LakehouseSpec extends SparkSpec {
       (3L, 1L, 1L, 0L, 1L, "restore"),
       (4L, 0L, 0L, 0L, 0L, "rename-column")))
   }
+
+  test("hidden partitioning: range pruning keeps boundaries, other specs, unparsable tags") {
+    val root = java.nio.file.Files.createTempDirectory("lh_hidden").toString
+    val log = s"$root/_log"
+    val old = fileOf(root, (1L to 5L).toDF("x"), "old") // pre-evolution, no tag
+    val tagged = (10 to 14).map { d =>
+      fileOf(root, Seq(d.toLong).toDF("x"), s"d$d") -> s"day=$d"
+    }
+    val other = fileOf(root, Seq(99L).toDF("x"), "other") // different spec column
+    val weird = fileOf(root, Seq(98L).toDF("x"), "weird") // same column, non-numeric tag
+    TxnLog.commit(log, 0, old +: other +: weird +: tagged.map(_._1), Nil,
+      partitions = tagged.toMap ++ Map(other -> "cat=3", weird -> "day=abc"))
+    val planned = TxnLog.pruneByPartitionRange(log, 0, "day", 11L, 13L)
+    // boundary days 11 and 13 included, 10/14 pruned; old/other/weird conservatively kept
+    assert(planned.toSet ==
+      Set(old, other, weird) ++ tagged.slice(1, 4).map(_._1))
+    // a range on an untracked column prunes nothing
+    assert(TxnLog.pruneByPartitionRange(log, 0, "zzz", 0L, 1L).size == 8)
+    assertThrows[IllegalArgumentException](
+      TxnLog.pruneByPartitionRange(log, 0, "day", 5L, 4L))
+  }
 }
