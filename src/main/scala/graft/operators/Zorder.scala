@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) curve utilities — the multi-dimensional data-layout
@@ -99,5 +99,50 @@ object Zorder {
     }
     TxnLog.commit(logDir, v + 1, adds = adds, removes = files)
     v + 1
+  }
+
+  /** Clustering-depth profile of a file-stats manifest — the layout-
+    * QUALITY metric behind OPTIMIZE decisions (Delta's clusteringMetrics /
+    * Iceberg's overlap analysis): for a point query on the stats column,
+    * depth(x) = how many files' [lo, hi] ranges cover x — i.e. how many
+    * files must open. A perfectly clustered layout has depth 1 everywhere;
+    * a random layout has depth ≈ n_files. Computed exactly by a boundary
+    * sweep: +1 at lo, −1 at hi+1 (integer, right-open), running sum in
+    * boundary order with closes before opens at ties (touching ranges do
+    * not overlap), segment lengths from the next boundary. Returns one
+    * row: n_files, max_depth, and avg_depth_ppm — the expected opens for
+    * a uniform point over the covered span, as an exact integral-div ppm
+    * of Σ depth·segment_length over the span.
+    *
+    * The input is the MANIFEST (one row per file), so the sweep's
+    * unpartitioned window orders a bounded set — metadata-sized, like
+    * every skipping-triad structure; the data itself is never read. */
+  def clusteringDepth(manifest: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = manifest.select(explode(array(
+      struct(col(loCol).cast("long").as("b"), lit(1L).as("d")),
+      struct((col(hiCol).cast("long") + 1L).as("b"), lit(-1L).as("d")))).as("e"))
+      .select(col("e.b").as("b"), col("e.d").as("d"))
+    // RANGE frame (the orderBy default) folds ALL events at the same
+    // boundary together — depth on [b, next) is the cumulative after every
+    // open and close AT b, with no within-b tie ordering to get wrong
+    // (a file whose range ends at b−1 contributes its −1 at b; a file
+    // starting at b its +1 — both are in b's frame)
+    val w = Window.orderBy(col("b"))
+    val stepped = events
+      .withColumn("__graft_depth", sum(col("d")).over(w))
+      .groupBy("b").agg(max(col("__graft_depth")).as("__graft_after")) // all rows at b agree
+    val seg = stepped
+      .withColumn("__graft_next", lead(col("b"), 1).over(Window.orderBy("b")))
+      .filter(col("__graft_next").isNotNull)
+      .withColumn("__graft_len", col("__graft_next") - col("b"))
+    seg.agg(
+      max(col("__graft_after")).cast("long").as("max_depth"),
+      sum(col("__graft_after") * col("__graft_len")).as("__graft_area"),
+      (max(col("__graft_next")) - min(col("b"))).as("__graft_span"))
+      .crossJoin(manifest.agg(count(lit(1)).cast("long").as("n_files")))
+      .withColumn("avg_depth_ppm",
+        expr("(__graft_area * CAST(1000000 AS BIGINT)) div __graft_span").cast("long"))
+      .select(col("n_files"), col("max_depth"), col("avg_depth_ppm"))
   }
 }

@@ -656,8 +656,60 @@ private[graft] object Catalog11 {
                    ((SELECT SUM(cents) FROM inr)
                     + (SELECT 7 * SUM(cents) FROM ev WHERE day = (SELECT dmin FROM b) + 12))::BIGINT AS sum_cents"""))
 
+  /** Clustering-depth layout metric
+    * ([[graft.operators.Zorder.clusteringDepth]] — the layout-QUALITY
+    * measure behind OPTIMIZE decisions, completing the layout family
+    * beside ZORDER itself (q270) and the skipping triad: depth(x) = files
+    * whose [min,max] cover point x = files a point query must open).
+    * Two manifests over the same part keys — range-clustered 8 files vs
+    * modulo-scattered 8 files — profiled by the exact boundary sweep
+    * (+1 at lo, −1 at hi+1, RANGE-frame cumulative so same-boundary
+    * opens/closes fold together): clustered scores depth 1, scattered ≈ 8.
+    * The sweep runs on the metadata-sized manifest, never the data.
+    * Oracle replays both sweeps. */
+  val q298_clustering_depth = Q(
+    "q298_clustering_depth",
+    (s, dir) => {
+      val keys = t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      val n = keys.agg(max(col("k"))).head().getLong(0)
+      def manifest(bucket: org.apache.spark.sql.Column) = keys
+        .groupBy(bucket.as("f"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val clustered = manifest(expr(s"((k - 1) * 8) div $n"))
+      val scattered = manifest(pmod(col("k"), lit(8L)))
+      graft.operators.Zorder.clusteringDepth(clustered, "lo", "hi")
+        .select(lit("1_clustered").as("layout"), col("n_files"), col("max_depth"),
+          col("avg_depth_ppm"))
+        .unionByName(graft.operators.Zorder.clusteringDepth(scattered, "lo", "hi")
+          .select(lit("2_scattered").as("layout"), col("n_files"), col("max_depth"),
+            col("avg_depth_ppm")))
+        .orderBy("layout")
+    },
+    Some {
+      def sweep(bucketExpr: String, tag: String): String =
+        s"""SELECT '$tag' AS layout, n_files, max_depth, avg_depth_ppm FROM (
+            WITH m AS (
+              SELECT $bucketExpr AS f, MIN(k) AS lo, MAX(k) AS hi
+              FROM p GROUP BY 1),
+            ev AS (SELECT lo AS b, 1 AS d FROM m UNION ALL SELECT hi + 1, -1 FROM m),
+            st AS (SELECT b, MAX(dep) AS aft FROM (
+                     SELECT b, SUM(d) OVER (ORDER BY b) AS dep FROM ev) GROUP BY b),
+            seg AS (SELECT b, aft, LEAD(b) OVER (ORDER BY b) AS nb FROM st)
+            SELECT (SELECT COUNT(*) FROM m)::BIGINT AS n_files,
+                   MAX(aft)::BIGINT AS max_depth,
+                   ((SUM(aft * (nb - b)) * 1000000) // (MAX(nb) - MIN(b)))::BIGINT AS avg_depth_ppm
+            FROM seg WHERE nb IS NOT NULL)"""
+      s"""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            nn AS (SELECT MAX(k) AS n FROM p)
+          ${sweep("((k - 1) * 8) // (SELECT n FROM nn)", "1_clustered")}
+          UNION ALL
+          ${sweep("k % 8", "2_scattered")}
+          ORDER BY layout"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
-      q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning)
+      q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning,
+      q298_clustering_depth)
 }

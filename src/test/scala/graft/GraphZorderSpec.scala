@@ -426,6 +426,23 @@ class GraphZorderSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("clusteringDepth: hand-computed overlap profile with gaps and touching ranges") {
+    import spark.implicits._
+    // files: [0,9], [10,19] touch (no overlap); [15,24] overlaps the 2nd;
+    // [40,49] leaves a gap 25..39 at depth 0
+    val m = viaParquet(Seq((0L, 9L), (10L, 19L), (15L, 24L), (40L, 49L)).toDF("lo", "hi"))
+    val out = graft.operators.Zorder.clusteringDepth(m, "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // segments: [0,10)=1, [10,15)=1, [15,20)=2, [20,25)=1, [25,40)=0, [40,50)=1
+    // area = 10 + 5 + 10 + 5 + 0 + 10 = 40 over span 50 → 800000 ppm
+    assert(out == ((4L, 2L, 800000L)))
+    // a single file is depth 1 everywhere
+    val one = graft.operators.Zorder.clusteringDepth(
+      viaParquet(Seq((5L, 14L)).toDF("lo", "hi")), "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(one == ((1L, 1L, 1000000L)))
+  }
+
   test("link prediction: the degree cap keeps a hub out of the wedge expansion") {
     import spark.implicits._
     // star: hub 0 adjacent to 1..50 (deg 50 > cap 8) plus a small clique
