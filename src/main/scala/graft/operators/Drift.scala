@@ -67,6 +67,53 @@ object Drift {
       .drop("raw_num")
   }
 
+  /** Benford first-digit audit — the classic fabricated-data / unit-mixup
+    * detector for scale-spanning positive quantities (prices, populations,
+    * file sizes): the first significant digit of natural data follows
+    * P(d) = log₁₀(1 + 1/d); uniform or hand-entered data does not. The
+    * digit is extracted from the BIGINT's decimal rendering
+    * (d = x div 10^(len−1)) — never from a double's string form, which is
+    * engine-dependent. Expected shares are fixed ppm literals (the
+    * irrational logs enter as constants both engines share); per digit the
+    * deviation |n_d·10⁶ − benford_d·N| stays exact-integer. One count
+    * aggregate over 9 groups; rows with x ≤ 0 are excluded (Benford is
+    * undefined for them) and reported via the digit-0 row.
+    *
+    * Returns digit 1..9 rows with (n, obs_ppm, benford_ppm, dev_num),
+    * plus a digit-0 row carrying the excluded count when any row had
+    * x ≤ 0. */
+  def benfordProfile(df: DataFrame, valueCol: Column): DataFrame = {
+    // ⌊10⁶·log₁₀(1 + 1/d)⌋, d = 1..9
+    val benfordPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+    val x = valueCol.cast("long")
+    val tagged = df.select(x.as("__graft_x"))
+      .withColumn("digit",
+        when(col("__graft_x") > 0L,
+          expr("CAST(substring(CAST(__graft_x AS STRING), 1, 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+    val counts = tagged.groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+    val session = df.sparkSession
+    import session.implicits._
+    val expected = benfordPpm.zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("digit", "benford_ppm")
+    val total = counts.filter(col("digit") > 0L)
+      .agg(sum(col("n")).cast("long").as("__graft_N"))
+    expected
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_ppm",
+        when(col("__graft_N") > 0L, expr("(n * CAST(1000000 AS BIGINT)) div __graft_N"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("dev_num",
+        abs(col("n") * 1000000L - col("benford_ppm") * col("__graft_N")).cast("long"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("benford_ppm"), col("dev_num"))
+      .unionByName(counts.filter(col("digit") === 0L)
+        .select(col("digit"), col("n"), lit(0L).as("obs_ppm"),
+          lit(0L).as("benford_ppm"), lit(0L).as("dev_num")))
+  }
+
   /** Exact-integer autocorrelation function over per-key daily series —
     * the periodicity detector beside the seasonal-naive forecast and the
     * dyadic-EWMA monitor (a weekly-cyclic feed shows acf(7) ≫ acf(1); a

@@ -654,6 +654,47 @@ object Graph {
     * `edges` needs (src, dst); direction/duplicates/self-loops are
     * normalized away. Returns the global top-`k` predicted links by
     * (ra_ppm desc, a, b) — TakeOrderedAndProject, no global sort. */
+  /** Degree assortativity (Newman PRL 2002) — the one-number health metric
+    * of a graph's mixing pattern: the Pearson correlation of endpoint
+    * degrees over edge ends (r > 0: hubs link hubs, social-network-like;
+    * r < 0: hubs link leaves, internet/dedup-artifact-like). Exact-integer
+    * Pearson over the symmetrized edge list: with m edge ends,
+    * num = m·Σxy − Σx·Σy and den = m·Σxx − (Σx)² (x/y symmetric, so one
+    * denominator), r_ppm computed sign-magnitude in DECIMAL(38,0) — the
+    * q293 cross-engine division discipline. One degree aggregate, two
+    * joins, one global fold; returns a single row (n_edges, r_ppm, NULL
+    * on a degree-regular graph where den = 0). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val undirected = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = undirected.select(col("u").as("a"), col("v").as("b"))
+      .union(undirected.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val ends = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("dy")), Seq("b"))
+    ends.agg(
+      count(lit(1)).as("__graft_m"),
+      sum(col("dx") * col("dy")).as("__graft_sxy"),
+      sum(col("dx")).as("__graft_sx"),
+      sum(col("dx") * col("dx")).as("__graft_sxx"))
+      // the one-row moment products go through DECIMAL(38,0): m·Σxy on a
+      // 10⁹-edge graph passes 2⁶³ and ANSI would throw mid-fold otherwise
+      .withColumn("__graft_num", expr(
+        "CAST(__graft_m AS DECIMAL(38,0)) * __graft_sxy - CAST(__graft_sx AS DECIMAL(38,0)) * __graft_sx"))
+      .withColumn("__graft_den", expr(
+        "CAST(__graft_m AS DECIMAL(38,0)) * __graft_sxx - CAST(__graft_sx AS DECIMAL(38,0)) * __graft_sx"))
+      .withColumn("r_ppm",
+        when(col("__graft_den") === lit(0), lit(null).cast("long")).otherwise(
+          (when(col("__graft_num") < lit(0), -1L).otherwise(1L) *
+            expr("(abs(__graft_num) * 1000000) div __graft_den"))
+            .cast("long")))
+      .select((col("__graft_m") / 2).cast("long").as("n_edges"), col("r_ppm"))
+  }
+
   def predictLinks(edges: DataFrame, maxMiddleDegree: Int, k: Int): DataFrame = {
     require(maxMiddleDegree >= 2, s"predictLinks: maxMiddleDegree $maxMiddleDegree must be >= 2")
     require(k >= 1, s"predictLinks: k $k must be >= 1")

@@ -80,4 +80,40 @@ object Linkage {
       .withColumn("score", score.cast("long"))
       .drop(fields.flatMap(f => Seq(s"__graft_wa_$f", s"__graft_wd_$f")): _*)
   }
+
+  /** Golden-record survivorship — the MERGE step of entity resolution
+    * (after blocking finds candidates, scoring links them, and connected
+    * components clusters them, something must produce THE record): per
+    * cluster and field, the survivor is the MOST FREQUENT non-null value
+    * ("majority rules", the standard MDM survivorship policy), ties
+    * broken by the smallest value so the outcome is total-order
+    * deterministic — never "whichever partition answered last".
+    *
+    * NULL semantics: nulls never vote; a field null in every member
+    * survives as null (no vote ≠ a vote for null).
+    *
+    * Scale shape: per field, one groupBy (cluster, value) count and one
+    * per-cluster argmin of struct(−count, value) — both delta-sized
+    * after the first aggregate; fields then join back on the cluster key
+    * (f cluster-sized joins, not row-sized). No collects, no windows. */
+  def goldenRecords(
+      records: DataFrame,
+      clusterCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecords: at least one field")
+    require(records.columns.contains(clusterCol),
+      s"goldenRecords: missing cluster column $clusterCol")
+    val sizes = records.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    fields.foldLeft(sizes) { (acc, f) =>
+      val survivor = records
+        .filter(col(f).isNotNull)
+        .groupBy(col(clusterCol).as("cluster"), col(f))
+        .agg(count(lit(1)).as("__graft_c"))
+        .groupBy("cluster")
+        .agg(min(struct((-col("__graft_c")).as("nc"), col(f).as("v"))).as("__graft_best"))
+        .select(col("cluster"), col(s"__graft_best.v").as(f))
+      acc.join(survivor, Seq("cluster"), "left")
+    }
+  }
 }

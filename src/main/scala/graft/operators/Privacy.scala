@@ -66,6 +66,7 @@ object Privacy {
     * broadcasts — the per-group work is groups×m spine rows with one
     * window cumsum partitioned BY GROUP. The only unpartitioned window
     * orders the ≤ m global buckets (a bounded set by construction). */
+
   def tClosenessReport(
       df: DataFrame,
       quasiCols: Seq[String],
@@ -107,5 +108,37 @@ object Privacy {
           .otherwise(lit(0L)).cast("long"))
       .withColumn("breached", col("emd_ppm") > tPpm)
       .select(q ++ Seq(col("n").cast("long").as("n"), col("emd_ppm"), col("breached")): _*)
+  }
+
+  /** Noisy count release — the discrete-Laplace (two-sided geometric)
+    * mechanism at ε = ln 2: P(noise = ±k) ∝ 2^−k, the integer-valued
+    * Laplace that differential-privacy count releases use. The noise here
+    * is DERANDOMIZED from xxhash64(group ‖ seed): magnitude = trailing
+    * zeros of a 32-bit hash slice (exactly geometric with p = ½, capped
+    * at 32), sign from the next hash bit — bit-replayable in any engine,
+    * which is what makes the release pipeline TESTABLE end to end. A
+    * production release swaps the hash for a CSPRNG draw per (group,
+    * release-id); everything else — the mechanism, the cap, the
+    * sensitivity-1 count — is unchanged. Pure map-side after one count
+    * aggregate.
+    *
+    * Returns (groupCols*, n, noise, noisy_n) — callers drop `n`/`noise`
+    * from the published artifact. */
+  def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "noisyCounts: at least one group column")
+    val h = xxhash64(concat_ws("\u0001", groupCols.map(col) :+ lit(seed): _*))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("__graft_h32", pmod(h, lit(4294967296L)))
+      .withColumn("__graft_k",
+        when(col("__graft_h32") === 0L, 32L)
+          .otherwise((length(bin(col("__graft_h32").bitwiseAND(-col("__graft_h32")))) - 1)
+            .cast("long")))
+      .withColumn("__graft_b33", pmod(h, lit(8589934592L)))
+      .withColumn("__graft_sign",
+        lit(1L) - lit(2L) * expr("__graft_b33 div CAST(4294967296 AS BIGINT)"))
+      .withColumn("noise", (col("__graft_sign") * col("__graft_k")).cast("long"))
+      .withColumn("noisy_n", (col("n") + col("noise")).cast("long"))
+      .drop("__graft_h32", "__graft_b33", "__graft_k", "__graft_sign")
   }
 }

@@ -707,9 +707,186 @@ private[graft] object Catalog11 {
           ORDER BY layout"""
     })
 
+  /** Golden-record survivorship ([[graft.operators.Linkage.goldenRecords]]
+    * — the MERGE step of entity resolution, after q288's scoring and the
+    * CC clustering ops: per cluster and field the survivor is the most
+    * frequent non-null value, ties to the SMALLEST value so outcomes are
+    * total-order deterministic). Dirty-duplicate part corpus (q288's
+    * perturbations), clusters from the planted arithmetic: every
+    * perturbed field heals back to the original (tie of 1-1 → smaller
+    * value = the unperturbed one, since suffixes sort after their prefix
+    * and sz+1 after sz). Output pins cluster counts, the survivor size
+    * checksum, and per-field healed-cluster counts; oracle derives all
+    * from the perturbation arithmetic. */
+  val q299_golden_record = Q(
+    "q299_golden_record",
+    (s, dir) => {
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("id"),
+        col("p_name").as("nm"), col("p_type").as("ty"),
+        col("p_size").cast("long").as("sz"))
+      val copies = base.filter(col("id") % 3 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        when(col("id") % 6 === 0, concat(col("nm"), lit(" x"))).otherwise(col("nm")).as("nm"),
+        when(col("id") % 12 === 0, concat(col("ty"), lit(" alt"))).otherwise(col("ty")).as("ty"),
+        when(col("id") % 9 === 0, col("sz") + 1L).otherwise(col("sz")).as("sz"))
+      val members = base.unionByName(copies)
+        .withColumn("cluster", col("id") % 10000000L)
+        .localCheckpoint(true) // survivorship votes + the healed audit
+      val golden = graft.operators.Linkage
+        .goldenRecords(members, "cluster", Seq("nm", "ty", "sz"))
+      val audit = members
+        .join(golden.select(col("cluster"), col("nm").as("s_nm"),
+          col("ty").as("s_ty"), col("sz").as("s_sz")), Seq("cluster"))
+        .groupBy("cluster")
+        .agg(max(when(col("nm") =!= col("s_nm"), 1L).otherwise(0L)).as("h_nm"),
+          max(when(col("ty") =!= col("s_ty"), 1L).otherwise(0L)).as("h_ty"),
+          max(when(col("sz") =!= col("s_sz"), 1L).otherwise(0L)).as("h_sz"))
+      golden.join(audit, Seq("cluster"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(when(col("n_members") === 2L, 1L).otherwise(0L)).cast("long").as("n_pairs"),
+          sum(col("sz")).cast("long").as("sum_survivor_sz"),
+          sum(col("h_nm")).cast("long").as("n_nm_healed"),
+          sum(col("h_ty")).cast("long").as("n_ty_healed"),
+          sum(col("h_sz")).cast("long").as("n_sz_healed"))
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+                              CAST(p_size AS BIGINT) AS sz FROM part)
+            SELECT (SELECT COUNT(*) FROM p)::BIGINT AS n_clusters,
+                   (SELECT COUNT(*) FROM p WHERE id % 3 = 0)::BIGINT AS n_pairs,
+                   (SELECT SUM(sz) FROM p)::BIGINT AS sum_survivor_sz,
+                   (SELECT COUNT(*) FROM p WHERE id % 6 = 0)::BIGINT AS n_nm_healed,
+                   (SELECT COUNT(*) FROM p WHERE id % 12 = 0)::BIGINT AS n_ty_healed,
+                   (SELECT COUNT(*) FROM p WHERE id % 9 = 0)::BIGINT AS n_sz_healed"""))
+
+  /** Discrete-Laplace noisy count release
+    * ([[graft.operators.Privacy.noisyCounts]] — the ε = ln 2 two-sided-
+    * geometric mechanism of DP count releases, completing the privacy
+    * family's OUTPUT side beside the input-side gates (k-anon, l-div,
+    * t-closeness) and local-DP randomized response): noise magnitude =
+    * trailing zeros of a 32-bit xxhash64 slice (exactly geometric p = ½),
+    * sign from the next hash bit — derandomized for end-to-end
+    * testability, CSPRNG-swappable in production. Sign bit extracted as
+    * pmod-then-div (Spark div truncates, DuckDB // floors — pmod first
+    * makes them agree). Oracle replays the hash and both bit
+    * extractions. */
+  val q300_dp_counts = Q(
+    "q300_dp_counts",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"), (col("user_id") % 10).as("cohort"))
+      graft.operators.Privacy.noisyCounts(ev, Seq("event_type", "cohort"), "q300")
+        .select(col("event_type"), col("cohort").cast("long").as("cohort"),
+          col("n"), col("noise"), col("noisy_n"))
+        .orderBy("event_type", "cohort")
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val hashed = xxhash64Stages(
+        """SELECT event_type, cohort, n,
+                  event_type || chr(1) || CAST(cohort AS VARCHAR) || chr(1) || 'q300' AS gk
+           FROM (SELECT event_type, user_id % 10 AS cohort, COUNT(*)::BIGINT AS n
+                 FROM events GROUP BY 1, 2)""",
+        "gk", "h", pfx = "__x")
+      s"""WITH hashed AS ($hashed),
+            bits AS (
+              SELECT event_type, cohort, n,
+                     ((h % 4294967296) + 4294967296) % 4294967296 AS h32,
+                     (((h % 8589934592) + 8589934592) % 8589934592) // 4294967296 AS b
+              FROM hashed),
+            fin AS (
+              SELECT event_type, cohort, n,
+                     (1 - 2 * b) * (CASE WHEN h32 = 0 THEN 32
+                                         ELSE length(bin(h32 & (-h32))) - 1 END) AS noise
+              FROM bits)
+          SELECT event_type, cohort::BIGINT AS cohort, n,
+                 noise::BIGINT AS noise, (n + noise)::BIGINT AS noisy_n
+          FROM fin ORDER BY 1, 2"""
+    })
+
+  /** Degree assortativity ([[graft.operators.Graph.assortativity]] —
+    * Newman PRL 2002, the one-number mixing-pattern health metric beside
+    * the repo's structural graph ops): exact-integer Pearson of endpoint
+    * degrees over the symmetrized co-purchase edge list, the one-row
+    * moment products lifted to DECIMAL(38,0)/HUGEINT (m·Σxy passes 2⁶³ on
+    * 10⁹-edge graphs), sign-magnitude ppm division. Oracle replays
+    * degrees, moments, and the division. */
+  val q301_assortativity = Q(
+    "q301_assortativity",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = os.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = os.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+      graft.operators.Graph.assortativity(edges)
+    },
+    Some("""WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+                   FROM os a JOIN os b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+            e AS (SELECT pa::BIGINT AS u, pb::BIGINT AS v FROM e0 WHERE w >= 2),
+            sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT a AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY 1),
+            ends AS (SELECT da.d AS dx, db.d AS dy
+                     FROM sym JOIN deg da ON da.node = sym.a
+                     JOIN deg db ON db.node = sym.b),
+            mom AS (SELECT COUNT(*)::HUGEINT AS m, SUM(dx * dy)::HUGEINT AS sxy,
+                           SUM(dx)::HUGEINT AS sx, SUM(dx * dx)::HUGEINT AS sxx
+                    FROM ends),
+            nd AS (SELECT m, m * sxy - sx * sx AS num, m * sxx - sx * sx AS den FROM mom)
+            SELECT (m / 2)::BIGINT AS n_edges,
+                   CASE WHEN den = 0 THEN NULL
+                        ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END
+                              * ((abs(num) * 1000000) // den))::BIGINT
+                   END AS r_ppm
+            FROM nd"""))
+
+  /** Benford first-digit audit ([[graft.operators.Drift.benfordProfile]]
+    * — the fabricated-data / unit-mixup detector for scale-spanning
+    * positive quantities): order totals in integer cents profiled against
+    * the log₁₀(1 + 1/d) expectation (fixed ppm constants both engines
+    * share; the digit extracted from the BIGINT's decimal rendering,
+    * never a double's engine-dependent string form); per-digit deviations
+    * exact-integer. Oracle replays digit extraction and the deviation
+    * arithmetic. */
+  val q302_benford = Q(
+    "q302_benford",
+    (s, dir) => {
+      graft.operators.Drift
+        .benfordProfile(t(s, dir, "orders"), floor(col("o_totalprice") * 100))
+        .orderBy("digit")
+    },
+    Some("""WITH x AS (
+              SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+            tagged AS (
+              SELECT CASE WHEN c > 0
+                          THEN CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                          ELSE 0 END AS digit
+              FROM x),
+            counts AS (SELECT digit, COUNT(*)::BIGINT AS n FROM tagged GROUP BY 1),
+            bf(digit, benford_ppm) AS (VALUES
+              (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+              (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+            tot AS (SELECT SUM(n)::BIGINT AS N FROM counts WHERE digit > 0)
+            SELECT bf.digit::BIGINT AS digit, COALESCE(c.n, 0)::BIGINT AS n,
+                   ((COALESCE(c.n, 0) * 1000000) // (SELECT N FROM tot))::BIGINT AS obs_ppm,
+                   bf.benford_ppm::BIGINT AS benford_ppm,
+                   abs(COALESCE(c.n, 0) * 1000000 - bf.benford_ppm * (SELECT N FROM tot))::BIGINT AS dev_num
+            FROM bf LEFT JOIN counts c ON c.digit = bf.digit
+            UNION ALL
+            SELECT 0, n, 0, 0, 0 FROM counts WHERE digit = 0
+            ORDER BY digit"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
       q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning,
-      q298_clustering_depth)
+      q298_clustering_depth, q299_golden_record, q300_dp_counts,
+      q301_assortativity, q302_benford)
 }

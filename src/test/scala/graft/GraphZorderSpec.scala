@@ -426,6 +426,20 @@ class GraphZorderSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("assortativity: hand-computed mixed graph, star is −1, regular graph is NULL") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)]) =
+      graft.operators.Graph.assortativity(viaParquet(es.toDF("src", "dst")))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).head
+    // triangle a-b-c with pendant d on a: m=8, Σxy=38, Σx=18, Σxx=44
+    // num = 8·38−324 = −20, den = 8·44−324 = 28 → −⌊20e6/28⌋ = −714285
+    assert(run(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))) == ((4L, Some(-714285L))))
+    // star: perfectly disassortative
+    assert(run(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((3L, Some(-1000000L))))
+    // 4-cycle: degree-regular → correlation undefined, not 0
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((4L, None)))
+  }
+
   test("clusteringDepth: hand-computed overlap profile with gaps and touching ranges") {
     import spark.implicits._
     // files: [0,9], [10,19] touch (no overlap); [15,24] overlaps the 2nd;

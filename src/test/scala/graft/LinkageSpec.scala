@@ -67,6 +67,30 @@ class LinkageSpec extends SparkSpec {
     assert(run(base.repartition(1)) == run(base.repartition(13, col("pid"))))
   }
 
+  test("goldenRecords: majority wins, ties go to the smallest value, nulls never vote") {
+    val recs = viaParquet(Seq(
+      // cluster 1: majority "alice" (2 of 3); sz tie 5 vs 7 → 5
+      (1L, Some("alice"), Some(5L)),
+      (1L, Some("alice"), Some(7L)),
+      (1L, Some("bob"), None),
+      // cluster 2: name null in one member only — null must not outvote
+      (2L, None, Some(9L)),
+      (2L, Some("carol"), Some(9L)),
+      // cluster 3: field null in EVERY member → survives as null
+      (3L, None, Some(1L))).toDF("cluster", "nm", "sz"))
+    val got = graft.operators.Linkage.goldenRecords(recs, "cluster", Seq("nm", "sz"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(1L) == ((3L, Some("alice"), Some(5L))))
+    assert(got(2L) == ((2L, Some("carol"), Some(9L))))
+    assert(got(3L) == ((1L, None, Some(1L))))
+    intercept[IllegalArgumentException](
+      graft.operators.Linkage.goldenRecords(recs, "cluster", Nil))
+    intercept[IllegalArgumentException](
+      graft.operators.Linkage.goldenRecords(recs, "nope", Seq("nm")))
+  }
+
   test("degenerate m is refused") {
     val df = Seq((1L, true)).toDF("pid", "g_a")
     intercept[IllegalArgumentException] {

@@ -338,6 +338,28 @@ class PrivacyVolumeSpec extends SparkSpec {
     assert(out("i") == ((8L, 0L, false)))
   }
 
+  test("noisyCounts: geometric noise shape, seed determinism, arithmetic consistency") {
+    val df = viaParquet((1 to 4000).map(i => (s"g${i % 400}", i)).toDF("g", "x"))
+    val rel = Privacy.noisyCounts(df, Seq("g"), "seedA")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rel.length == 400)
+    rel.foreach { case (_, n, noise, noisy) => assert(noisy == n + noise) }
+    // two-sided geometric p=1/2: about half the groups draw |noise| = 0,
+    // about a quarter |noise| = 1; signs balance. Loose bounds, 400 draws.
+    val mags = rel.map(_._3.abs)
+    assert(mags.count(_ == 0L) > 140 && mags.count(_ == 0L) < 260)
+    assert(mags.count(_ == 1L) > 50 && mags.count(_ == 1L) < 160)
+    assert(rel.map(_._3).count(_ > 0L) > 40 && rel.map(_._3).count(_ < 0L) > 40)
+    // same seed replays bit-identically; a different seed moves some noise
+    val again = Privacy.noisyCounts(df, Seq("g"), "seedA")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rel.map(r => r._1 -> r._3).toMap == again)
+    val other = Privacy.noisyCounts(df, Seq("g"), "seedB")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rel.exists { case (g, _, noise, _) => other(g) != noise })
+    intercept[IllegalArgumentException](Privacy.noisyCounts(df, Nil, "s"))
+  }
+
   test("tCloseness is partitioning-invariant and refuses bad parameters") {
     val rnd = new scala.util.Random(11)
     val d = viaParquet((1 to 400)

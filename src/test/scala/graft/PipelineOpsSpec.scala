@@ -188,6 +188,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == ((4L, -416666L)))
   }
 
+  test("benford: hand-computed digits, exclusions reported, absent digits zero-filled") {
+    import graft.operators.Drift
+    val df = viaParquet(Seq(1L, 19L, 23L, 250L, 3L, 999L, 0L, -5L).toDF("x"))
+    val out = Drift.benfordProfile(df, col("x"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // digits over the 6 positive rows: 1,1,2,2,3,9; 0 and −5 excluded
+    assert(out(1L) == ((2L, 333333L, math.abs(2000000L - 301029L * 6))))
+    assert(out(2L)._1 == 2L && out(3L)._1 == 1L && out(9L)._1 == 1L)
+    assert(out(4L) == ((0L, 0L, 96910L * 6))) // absent digit zero-fills
+    assert(out(0L)._1 == 2L) // the excluded-row report
+    assert(out.size == 10)
+  }
+
   test("acf is partitioning-invariant and refuses bad lags") {
     import graft.operators.Drift
     val rnd = new scala.util.Random(3)
