@@ -654,6 +654,55 @@ object Graph {
     * `edges` needs (src, dst); direction/duplicates/self-loops are
     * normalized away. Returns the global top-`k` predicted links by
     * (ra_ppm desc, a, b) — TakeOrderedAndProject, no global sort. */
+  /** Multi-source BFS to a fixed horizon — exact shortest-path distances
+    * from a seed set over the undirected graph, the primitive behind
+    * eccentricity/diameter estimation, landmark distance features, and
+    * blast-radius queries. Frontier iteration: round d's frontier joins
+    * the symmetric edge list, new nodes (per seed) adopt distance d+1 via
+    * an anti-join against everything already settled; every iterate is
+    * checkpointed and the loop stops early when a frontier empties. The
+    * horizon caps rounds — distances beyond it are ABSENT by contract,
+    * not infinity (on a 100 TB graph the horizon is what bounds the
+    * frontier blow-up; diameter-scale sweeps raise it knowingly).
+    *
+    * Returns (seed, node, dist) with dist = exact hop count ≤ horizon;
+    * work per round = frontier×degree join + anti-join, linear in touched
+    * edges, frontiers for ALL seeds advance in the same round's jobs. */
+  def multiSourceBfs(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      horizon: Int): DataFrame = {
+    require(seeds.nonEmpty, "multiSourceBfs: at least one seed")
+    require(horizon >= 1 && horizon <= 64, s"multiSourceBfs: horizon $horizon out of [1, 64]")
+    val session = edges.sparkSession
+    import session.implicits._
+    val undirected = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = undirected.select(col("u").as("a"), col("v").as("b"))
+      .union(undirected.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true) // joined every round
+    var settled = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var d = 0L
+    while (d < horizon && !frontier.isEmpty) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("a"))
+        .select(col("seed"), col("b").as("node"))
+        .distinct()
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(d + 1L))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
+      frontier = next
+      d += 1
+    }
+    settled
+  }
+
   /** Degree assortativity (Newman PRL 2002) — the one-number health metric
     * of a graph's mixing pattern: the Pearson correlation of endpoint
     * degrees over edge ends (r > 0: hubs link hubs, social-network-like;

@@ -883,10 +883,60 @@ private[graft] object Catalog11 {
             SELECT 0, n, 0, 0, 0 FROM counts WHERE digit = 0
             ORDER BY digit"""))
 
+  /** Multi-source BFS eccentricity ([[graft.operators.Graph.multiSourceBfs]]
+    * — exact shortest-path distances, the graph-DISTANCE primitive the
+    * structural operators (components, cores, ranks) don't provide;
+    * eccentricities lower-bound the diameter): from the 4 smallest nodes
+    * of the co-purchase graph, per-seed eccentricity / reached count /
+    * distance mass to horizon 20. All seeds' frontiers advance in the
+    * same per-round jobs; every iterate checkpointed. Oracle: DuckDB
+    * recursive CTE with UNION dedup and the same horizon, min-distance
+    * folded after — both sides agree on the reached set by construction. */
+  val q303_bfs_eccentricity = Q(
+    "q303_bfs_eccentricity",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = os.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = os.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+        .localCheckpoint(true) // seeds scan + BFS rounds
+      val seeds = edges.select(col("src").as("n")).union(edges.select(col("dst").as("n")))
+        .distinct().orderBy("n").limit(4)
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.Graph.multiSourceBfs(edges, seeds, horizon = 20)
+        .groupBy("seed")
+        .agg(max(col("dist")).cast("long").as("ecc"),
+          count(lit(1)).cast("long").as("n_reached"),
+          sum(col("dist")).cast("long").as("sum_dist"))
+        .orderBy("seed")
+    },
+    Some("""WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+                   FROM os a JOIN os b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+            e AS (SELECT pa::BIGINT AS u, pb::BIGINT AS v FROM e0 WHERE w >= 2),
+            sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+            seeds AS (SELECT DISTINCT a AS seed FROM sym ORDER BY 1 LIMIT 4),
+            bfs(seed, node, d) AS (
+              SELECT seed, seed, 0 FROM seeds
+              UNION
+              SELECT b.seed, s.b, b.d + 1
+              FROM bfs b JOIN sym s ON s.a = b.node WHERE b.d < 20),
+            md AS (SELECT seed, node, MIN(d) AS dist FROM bfs GROUP BY 1, 2)
+            SELECT seed::BIGINT AS seed, MAX(dist)::BIGINT AS ecc,
+                   COUNT(*)::BIGINT AS n_reached, SUM(dist)::BIGINT AS sum_dist
+            FROM md GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
       q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning,
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
-      q301_assortativity, q302_benford)
+      q301_assortativity, q302_benford, q303_bfs_eccentricity)
 }

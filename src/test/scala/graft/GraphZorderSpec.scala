@@ -426,6 +426,25 @@ class GraphZorderSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("multiSourceBfs: exact distances on a path, horizon cut, disconnected absence") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected edge 100-101
+    val edges = viaParquet(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+      .toDF("src", "dst"))
+    val got = graft.operators.Graph.multiSourceBfs(edges, Seq(1L, 3L), horizon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, // node 4 at dist 3 > horizon: absent
+      (3L, 3L) -> 0L, (3L, 2L) -> 1L, (3L, 4L) -> 1L, (3L, 1L) -> 2L, (3L, 5L) -> 2L)
+    assert(got == expected) // and never (seed, 100)/(seed, 101)
+    // full horizon reaches the whole component with shortest distances
+    val full = graft.operators.Graph.multiSourceBfs(edges, Seq(1L), horizon = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    intercept[IllegalArgumentException](
+      graft.operators.Graph.multiSourceBfs(edges, Nil, 3))
+  }
+
   test("assortativity: hand-computed mixed graph, star is −1, regular graph is NULL") {
     import spark.implicits._
     def run(es: Seq[(Long, Long)]) =
