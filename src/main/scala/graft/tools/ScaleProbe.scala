@@ -59,7 +59,12 @@ object ScaleProbe {
     "q272_restore" -> 1.3, // DV delete + CoW merge + metadata restore, all linear passes
     "q281_mv_incremental" -> 1.3, // MV build linear; refresh ∝ delta
     "q282_optimize_compact" -> 1.3, // one repartition write of the visible snapshot
-    "q284_scc" -> 1.3 // O(log d) shortcut rounds; per-round work linear in edges
+    "q284_scc" -> 1.3, // O(log d) shortcut rounds; per-round work linear in edges
+    "q286_frequent_sequences" -> 1.5, // levelwise, one row per (user, frequent prefix)
+    "q288_record_linkage" -> 1.3, // sorted-neighborhood candidates: window-linear
+    "q289_link_prediction" -> 1.6, // wedge expansion, middle-degree-capped Σdeg²
+    "q294_gram_matrix" -> 1.3, // rows × fixed d² map-side expansion
+    "q303_bfs_eccentricity" -> 1.4 // rounds ≈ diameter; per-round linear in touched edges
   )
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big
