@@ -67,6 +67,56 @@ object Privacy {
     * window cumsum partitioned BY GROUP. The only unpartitioned window
     * orders the ≤ m global buckets (a bounded set by construction). */
 
+  /** Format-preserving pseudonymization — a keyed Feistel PERMUTATION of
+    * the 62-bit integer space (the FPE/FF1 construction shape): unlike the
+    * one-way sha2 pseudonyms (q147), this token is INVERTIBLE by the key
+    * holder — re-identification under legal order, cross-system joins on
+    * tokens, referential integrity across pseudonymized tables — while
+    * remaining a bijection (no collisions, ever, by construction).
+    *
+    * Balanced Feistel over 31-bit halves, `rounds` rounds, round function
+    * F_i(R) = xxhash64(R + (i+1)·2³¹ + keyMod·2³⁶) mod 2³¹ — all inputs
+    * stay < 2⁶² so ANSI BIGINT arithmetic never overflows, and XOR keeps
+    * halves in range without carries. Pure column expressions, map-side,
+    * engine-replayable (the oracle chains the hash stages per round).
+    * Security note: xxhash64 is NOT a PRF — production swaps F for
+    * HMAC/AES rounds (the FF1 standard); the permutation STRUCTURE,
+    * domain handling, and inverse are what this operator pins. */
+  def feistelPermute(id: Column, key: String, rounds: Int = 4): Column = {
+    require(rounds >= 2 && rounds <= 16, s"feistelPermute: rounds $rounds out of [2, 16]")
+    val keyMod = key.foldLeft(0L)((a, c) => (a * 31 + c) % 1024L)
+    val half = 2147483648L // 2^31
+    // split by SHIFTS, not division — a double quotient loses bits past
+    // 2^53 (domain contract: 0 ≤ id < 2^62)
+    var lc: Column = shiftright(id.cast("long"), 31)
+    var rc: Column = id.cast("long").bitwiseAND(lit(half - 1L))
+    (0 until rounds).foreach { i =>
+      val f = pmod(xxhash64(rc + lit((i + 1).toLong * half) + lit(keyMod * 68719476736L)),
+        lit(half))
+      val newR = lc.bitwiseXOR(f)
+      lc = rc
+      rc = newR
+    }
+    (shiftleft(lc, 31) + rc).cast("long")
+  }
+
+  /** Inverse of [[feistelPermute]] under the same key and round count. */
+  def feistelInvert(token: Column, key: String, rounds: Int = 4): Column = {
+    require(rounds >= 2 && rounds <= 16, s"feistelInvert: rounds $rounds out of [2, 16]")
+    val keyMod = key.foldLeft(0L)((a, c) => (a * 31 + c) % 1024L)
+    val half = 2147483648L
+    var lc: Column = shiftright(token.cast("long"), 31)
+    var rc: Column = token.cast("long").bitwiseAND(lit(half - 1L))
+    ((rounds - 1) to 0 by -1).foreach { i =>
+      val f = pmod(xxhash64(lc + lit((i + 1).toLong * half) + lit(keyMod * 68719476736L)),
+        lit(half))
+      val newL = rc.bitwiseXOR(f)
+      rc = lc
+      lc = newL
+    }
+    (shiftleft(lc, 31) + rc).cast("long")
+  }
+
   def tClosenessReport(
       df: DataFrame,
       quasiCols: Seq[String],

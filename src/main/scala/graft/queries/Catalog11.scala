@@ -933,10 +933,110 @@ private[graft] object Catalog11 {
                    COUNT(*)::BIGINT AS n_reached, SUM(dist)::BIGINT AS sum_dist
             FROM md GROUP BY 1 ORDER BY 1"""))
 
+  /** k-truss decomposition ([[graft.operators.Graph.kTruss]] — the
+    * cohesion rung above k-core: an edge must sit in ≥ k−2 triangles, and
+    * peeling one edge can starve its neighbors, so the cascade is
+    * genuinely iterative). The graph is CONSTRUCTED from part keys: 6-
+    * cliques (every edge in 4 triangles — survive the 4-truss), a
+    * triangle STAIRCASE whose rung edges have support 1 and whose spine
+    * then cascades to support 0 (fully peels over two rounds), and a
+    * support-0 cycle (peels instantly). Expected truss = exactly the
+    * clique edges; the oracle derives that set independently from the
+    * same key arithmetic — a leaked staircase edge or lost clique edge
+    * changes every census number. */
+  val q304_ktruss = Q(
+    "q304_ktruss",
+    (s, dir) => {
+      import s.implicits._
+      val leaders = t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+        .filter(col("k") % 50 === 0)
+      val pairIdx = (for { i <- 0 to 5; j <- i + 1 to 5 } yield (i.toLong, j.toLong))
+        .toDF("i", "j")
+      val cliques = leaders.crossJoin(broadcast(pairIdx))
+        .select((col("k") * 100 + col("i")).as("src"), (col("k") * 100 + col("j")).as("dst"))
+      val sb = 1000000000L
+      val cb = 2000000000L
+      val extra = ((0L to 8L).map(i => (sb + i, sb + i + 1)) ++
+        (0L to 7L).map(i => (sb + i, sb + i + 2)) ++
+        (0L until 12L).map(i => (cb + i, cb + (i + 1) % 12))).toDF("src", "dst")
+      val truss = graft.operators.Graph.kTruss(cliques.unionByName(extra), k = 4)
+        .localCheckpoint(true) // census + node count
+      val nodes = truss.select(col("u").as("n")).union(truss.select(col("v").as("n")))
+        .distinct().agg(count(lit(1)).cast("long").as("n_nodes"))
+      truss.agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(col("u")).cast("long").as("sum_u"), sum(col("v")).cast("long").as("sum_v"))
+        .crossJoin(nodes)
+        .select(col("n_edges"), col("n_nodes"), col("sum_u"), col("sum_v"))
+    },
+    Some("""WITH leaders AS (
+              SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_partkey % 50 = 0),
+            pairs AS (
+              SELECT a.i, b.j
+              FROM (SELECT unnest(range(0, 6)) AS i) a,
+                   (SELECT unnest(range(0, 6)) AS j) b
+              WHERE a.i < b.j),
+            ce AS (SELECT k * 100 + i AS u, k * 100 + j AS v FROM leaders, pairs)
+            SELECT (SELECT COUNT(*) FROM ce)::BIGINT AS n_edges,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT u AS n FROM ce
+                                          UNION SELECT DISTINCT v FROM ce))::BIGINT AS n_nodes,
+                   (SELECT SUM(u) FROM ce)::BIGINT AS sum_u,
+                   (SELECT SUM(v) FROM ce)::BIGINT AS sum_v"""))
+
+  /** Format-preserving pseudonymization
+    * ([[graft.operators.Privacy.feistelPermute]] — a keyed Feistel
+    * PERMUTATION of the 62-bit space, the INVERTIBLE counterpart of the
+    * one-way sha2 pseudonyms: key-holder re-identification, cross-system
+    * token joins, zero collisions by construction): customer keys
+    * tokenized, bijection evidenced by distinct_ids = distinct_tokens in
+    * BOTH engines' independent computations; halves split by SHIFTS (a
+    * double quotient loses bits past 2⁵³). Oracle replays all four
+    * Feistel rounds through the xxhash64 long stages. The sum checksum
+    * rides token mod 10⁹ — raw 62-bit tokens would overflow a BIGINT
+    * sum under ANSI. */
+  val q305_feistel_tokens = Q(
+    "q305_feistel_tokens",
+    (s, dir) => {
+      val ids = t(s, dir, "orders").select(col("o_custkey").cast("long").as("id"))
+      val toks = ids.withColumn("token",
+        graft.operators.Privacy.feistelPermute(col("id"), "q305"))
+      toks.agg(
+        count(lit(1)).cast("long").as("n"),
+        countDistinct(col("id")).cast("long").as("distinct_ids"),
+        countDistinct(col("token")).cast("long").as("distinct_tokens"),
+        sum(pmod(col("token"), lit(1000000000L))).cast("long").as("sum_token_mod"),
+        min(col("token")).cast("long").as("min_token"),
+        max(col("token")).cast("long").as("max_token"))
+    },
+    Some {
+      import graft.tools.OracleSql._
+      val keyMod = "q305".foldLeft(0L)((a, c) => (a * 31 + c) % 1024L)
+      val half = 2147483648L
+      var rel = s"""SELECT CAST(o_custkey AS BIGINT) AS id,
+                           CAST(o_custkey AS BIGINT) >> 31 AS l,
+                           CAST(o_custkey AS BIGINT) & ${half - 1} AS r
+                    FROM orders"""
+      for (i <- 0 until 4) {
+        val withInp =
+          s"SELECT *, r + ${(i + 1).toLong * half + keyMod * 68719476736L} AS inp$i FROM ($rel)"
+        val hashed = xxhash64LongStages(withInp, s"inp$i", s"h$i", pfx = s"__f$i")
+        rel = s"""SELECT id, r AS l, xor(l, ((h$i % $half) + $half) % $half) AS r
+                  FROM ($hashed)"""
+      }
+      s"""WITH toks AS (SELECT id, (l << 31) + r AS token FROM ($rel))
+          SELECT COUNT(*)::BIGINT AS n,
+                 COUNT(DISTINCT id)::BIGINT AS distinct_ids,
+                 COUNT(DISTINCT token)::BIGINT AS distinct_tokens,
+                 SUM(token % 1000000000)::BIGINT AS sum_token_mod,
+                 MIN(token)::BIGINT AS min_token,
+                 MAX(token)::BIGINT AS max_token
+          FROM toks"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
       q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning,
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
-      q301_assortativity, q302_benford, q303_bfs_eccentricity)
+      q301_assortativity, q302_benford, q303_bfs_eccentricity, q304_ktruss,
+      q305_feistel_tokens)
 }

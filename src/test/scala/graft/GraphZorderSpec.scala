@@ -426,6 +426,28 @@ class GraphZorderSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("kTruss: clique survives, low-support structures peel, cascade converges") {
+    import spark.implicits._
+    // 5-clique (ids 1..5): every edge in 3 triangles; lone triangle 10-11-12
+    // (support 1); staircase 20..27 (spine support ≤2, rungs 1); path 30-31-32
+    val clique = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val stair = (20L to 26L).map(i => (i, i + 1)) ++ (20L to 25L).map(i => (i, i + 2))
+    val path = Seq((30L, 31L), (31L, 32L))
+    val edges = viaParquet((clique ++ tri ++ stair ++ path).toDF("src", "dst"))
+    def truss(k: Int) = graft.operators.Graph.kTruss(edges, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss(4) == clique.toSet, "4-truss = exactly the 5-clique")
+    assert(truss(5) == clique.toSet, "5-clique edges sit in 3 triangles each")
+    assert(truss(6).isEmpty, "nothing satisfies support >= 4")
+    // at k=3 every edge in ≥ 1 triangle survives: the lone triangle AND
+    // the whole staircase (its rungs have support 1) — only the path dies
+    assert(truss(3) == clique.toSet ++ tri.toSet ++ stair.toSet)
+    intercept[IllegalArgumentException](graft.operators.Graph.kTruss(edges, 2))
+    intercept[IllegalArgumentException](
+      graft.operators.Graph.kTruss(edges, 4, maxRounds = 1)) // cascade needs > 1 round
+  }
+
   test("multiSourceBfs: exact distances on a path, horizon cut, disconnected absence") {
     import spark.implicits._
     // path 1-2-3-4-5 plus a disconnected edge 100-101

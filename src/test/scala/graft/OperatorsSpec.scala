@@ -338,6 +338,25 @@ class PrivacyVolumeSpec extends SparkSpec {
     assert(out("i") == ((8L, 0L, false)))
   }
 
+  test("feistelPermute: exact roundtrip across the domain, bijection, key sensitivity") {
+    val ids = (Seq(0L, 1L, 2L, 42L, 2147483647L, 2147483648L,
+      1234567890123L, (1L << 61) + 12345L, (1L << 62) - 1L) ++
+      (1L to 500L)).distinct
+    val df = viaParquet(ids.toDF("id"))
+    val out = df
+      .withColumn("tok", Privacy.feistelPermute(col("id"), "key-a"))
+      .withColumn("back", Privacy.feistelInvert(col("tok"), "key-a"))
+      .withColumn("tok_b", Privacy.feistelPermute(col("id"), "key-b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (id, tok, back, _) =>
+      assert(back == id, s"roundtrip failed for $id -> $tok -> $back")
+      assert(tok >= 0L && tok < (1L << 62), s"token $tok out of the 62-bit domain")
+    }
+    assert(out.map(_._2).distinct.length == out.length, "tokens must be collision-free")
+    assert(out.exists { case (_, tok, _, tokB) => tok != tokB }, "keys must matter")
+    intercept[IllegalArgumentException](Privacy.feistelPermute(col("id"), "k", rounds = 1))
+  }
+
   test("noisyCounts: geometric noise shape, seed determinism, arithmetic consistency") {
     val df = viaParquet((1 to 4000).map(i => (s"g${i % 400}", i)).toDF("g", "x"))
     val rel = Privacy.noisyCounts(df, Seq("g"), "seedA")
