@@ -1032,11 +1032,152 @@ private[graft] object Catalog11 {
           FROM toks"""
     })
 
+  /** Bitemporal as-of query — VALID time (q131's SCD2 intervals) crossed
+    * with TRANSACTION time (the txn log's versions): "what did the system
+    * BELIEVE at version S about the state valid at time V". An SCD2 rate
+    * table lives in a txn-log table; v1 applies a forward-dated rate
+    * change (close + open intervals for even keys), v2 applies a
+    * RETROACTIVE correction (rewrites the historical interval for keys
+    * %10). The probe grid shows the two time axes are independent:
+    * (S=1, V=5) still returns the uncorrected history while (S=2, V=5)
+    * returns the corrected one, and both return the same V=15 state.
+    * Snapshot isolation comes from time travel, interval resolution from
+    * the SCD2 filter — no new operator, the COMPOSITION is the object.
+    * Oracle derives every probe from the construction arithmetic. */
+  val q306_bitemporal = Q(
+    "q306_bitemporal",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TxnLog
+      val root = java.nio.file.Files.createTempDirectory("graft-q306").toString
+      val logDir = s"$root/_log"
+      val base = t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      // v0: one open interval per key, rate 2k, valid [0, ∞)
+      val v0 = writeOne(root, base.select(col("k"),
+        lit(0L).as("valid_from"), lit(Long.MaxValue).as("valid_to"),
+        (col("k") * 2).as("rate")), "v0")
+      TxnLog.commit(logDir, 0, adds = Seq(v0), removes = Nil)
+      // v1: forward-dated change for even keys — close at day 10, open 3k
+      val evens = base.filter(col("k") % 2 === 0)
+      val v1closed = writeOne(root, evens.select(col("k"),
+        lit(0L).as("valid_from"), lit(10L).as("valid_to"), (col("k") * 2).as("rate")), "v1c")
+      val v1open = writeOne(root, evens.select(col("k"),
+        lit(10L).as("valid_from"), lit(Long.MaxValue).as("valid_to"),
+        (col("k") * 3).as("rate")), "v1o")
+      val v1odd = writeOne(root, base.filter(col("k") % 2 =!= 0).select(col("k"),
+        lit(0L).as("valid_from"), lit(Long.MaxValue).as("valid_to"),
+        (col("k") * 2).as("rate")), "v1odd")
+      TxnLog.commit(logDir, 1, adds = Seq(v1closed, v1open, v1odd), removes = Seq(v0))
+      // v2: retroactive correction for k % 10 == 0 — the HISTORICAL
+      // interval's rate was wrong (2k → 2k + 1); CoW-rewrite the closed file
+      val v2closed = writeOne(root, evens.select(col("k"),
+        lit(0L).as("valid_from"), lit(10L).as("valid_to"),
+        when(col("k") % 10 === 0, col("k") * 2 + 1).otherwise(col("k") * 2).as("rate")), "v2c")
+      TxnLog.commit(logDir, 2, adds = Seq(v2closed), removes = Seq(v1closed))
+      val probes = Seq((0L, 5L), (1L, 5L), (1L, 15L), (2L, 5L), (2L, 15L))
+      probes.map { case (sv, vv) =>
+        val snap = TxnLog.readAsOf(s, logDir, sv)
+          .filter(col("valid_from") <= vv && col("valid_to") > vv)
+        snap.agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("rate")).cast("long").as("sum_rate"))
+          .select(lit(sv).as("sys_version"), lit(vv).as("valid_at"),
+            col("n_rows"), col("sum_rate"))
+      }.reduce(_ unionByName _).orderBy("sys_version", "valid_at")
+    },
+    Some("""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+            tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS sk FROM p),
+            ev AS (SELECT COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS sk FROM p WHERE k % 2 = 0),
+            ten AS (SELECT COUNT(*)::BIGINT AS n FROM p WHERE k % 10 = 0)
+            SELECT 0::BIGINT AS sys_version, 5::BIGINT AS valid_at,
+                   (SELECT n FROM tot) AS n_rows, (SELECT 2 * sk FROM tot) AS sum_rate
+            UNION ALL SELECT 1, 5, (SELECT n FROM tot), (SELECT 2 * sk FROM tot)
+            UNION ALL SELECT 1, 15, (SELECT n FROM tot),
+              (SELECT 2 * sk FROM tot) + (SELECT sk FROM ev)
+            UNION ALL SELECT 2, 5, (SELECT n FROM tot),
+              (SELECT 2 * sk FROM tot) + (SELECT n FROM ten)
+            UNION ALL SELECT 2, 15, (SELECT n FROM tot),
+              (SELECT 2 * sk FROM tot) + (SELECT sk FROM ev)
+            ORDER BY sys_version, valid_at"""))
+
+  /** Water-filling token-budget allocation
+    * ([[graft.text.Sampling.waterFillAllocation]] — the max-min-fair
+    * splitter the mixture planners assume: largest integer cap c with
+    * Σ min(n_s, c) ≤ B; small sources keep everything, large ones clip at
+    * a COMMON ceiling — proportional clipping would punish exactly the
+    * small sources a mix needs): per-source char masses with a
+    * deterministic 7-tier skew (multiplier from the source index), budget
+    * = half the total. Windows order the SOURCE list, never documents.
+    * Oracle replays ranking, prefix sums, the per-hypothesis candidate
+    * caps, and the max. */
+  val q307_water_filling = Q(
+    "q307_water_filling",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy("source").agg(sum(col("n_chars")).as("base"))
+        .withColumn("n",
+          col("base") * (substring(col("source"), 4, 10).cast("long") % 7 + 1))
+      val budget = counts.agg(sum(col("n"))).head().getLong(0) / 2
+      graft.text.Sampling.waterFillAllocation(counts, "source", "n", budget)
+        .orderBy("source")
+    },
+    Some("""WITH c AS (
+              SELECT source,
+                     SUM(n_chars)::BIGINT
+                       * (CAST(substr(source, 4) AS BIGINT) % 7 + 1) AS n
+              FROM documents GROUP BY source),
+            tot AS (SELECT SUM(n)::BIGINT AS t, COUNT(*)::BIGINT AS k,
+                           MAX(n)::BIGINT AS mx FROM c),
+            b AS (SELECT (SELECT t FROM tot) // 2 AS B),
+            ranked AS (
+              SELECT source, n,
+                     ROW_NUMBER() OVER (ORDER BY n, source) AS rn,
+                     SUM(n) OVER (ORDER BY n, source) - n AS pref
+              FROM c),
+            caps AS (
+              SELECT MAX(CASE
+                  WHEN (SELECT t FROM tot) <= (SELECT B FROM b) THEN (SELECT mx FROM tot)
+                  WHEN pref <= (SELECT B FROM b)
+                    THEN ((SELECT B FROM b) - pref) // ((SELECT k FROM tot) - rn + 1)
+                END)::BIGINT AS cap
+              FROM ranked)
+            SELECT c.source, c.n, (SELECT cap FROM caps) AS cap,
+                   LEAST(c.n, GREATEST((SELECT cap FROM caps), 0))::BIGINT AS alloc
+            FROM c ORDER BY source"""))
+
+  /** SQL-text PIVOT surface (the q09 reshape operator reachable from pure
+    * SQL — Spark 4's PIVOT clause): per-nation account balances pivoted
+    * into one column per market segment, straight from a `spark.sql`
+    * string. The oracle spells the same table as conditional aggregation
+    * (engine-neutral; DuckDB's own PIVOT has different syntax — the
+    * VALUES, not the dialect, are the contract). */
+  val q308_sql_pivot = Q(
+    "q308_sql_pivot",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q308_customer")
+      s.sql("""
+        SELECT * FROM (
+          SELECT c_nationkey, c_mktsegment, c_acctbal FROM q308_customer)
+        PIVOT (ROUND(SUM(c_acctbal), 2)
+               FOR c_mktsegment IN ('AUTOMOBILE' AS automobile, 'BUILDING' AS building,
+                 'FURNITURE' AS furniture, 'HOUSEHOLD' AS household, 'MACHINERY' AS machinery))
+        ORDER BY c_nationkey""")
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("automobile"), col("building"), col("furniture"),
+          col("household"), col("machinery"))
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   ROUND(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS automobile,
+                   ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS building,
+                   ROUND(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS furniture,
+                   ROUND(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS household,
+                   ROUND(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS machinery
+            FROM customer GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
       q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning,
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
       q301_assortativity, q302_benford, q303_bfs_eccentricity, q304_ktruss,
-      q305_feistel_tokens)
+      q305_feistel_tokens, q306_bitemporal, q307_water_filling, q308_sql_pivot)
 }

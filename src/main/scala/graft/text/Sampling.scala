@@ -499,4 +499,51 @@ object Sampling {
     df.join(broadcast(stats), Seq(groupCol))
       .filter(col(valueCol) * 2 >= col("med2"))
   }
+
+  /** Water-filling budget allocation — the max-min-fair splitter for a
+    * token budget over sources (the cap the mixture planners assume): find
+    * the largest integer cap c with Σ_s min(n_s, c) ≤ B, allocate
+    * a_s = min(n_s, c). Small sources keep everything; large sources are
+    * clipped at a COMMON ceiling — proportional clipping would punish the
+    * small sources the mix most needs.
+    *
+    * Exact integer derivation: sources sorted by n ascending; for each
+    * "first r−1 sources saturate" hypothesis, the candidate cap is
+    * (B − prefix_{r−1}) div (k − r + 1); every feasible-hypothesis
+    * candidate yields a feasible allocation (over-segment candidates only
+    * under-count), so cap = MAX over candidates — and when Σn ≤ B the cap
+    * is max(n) and everything allocates. Windows order the SOURCE list
+    * (bounded — one row per source, not per document).
+    *
+    * Returns (keyCol, n, cap, alloc) — alloc = min(n, cap), one row per
+    * source. */
+  def waterFillAllocation(
+      counts: DataFrame,
+      keyCol: String,
+      nCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"waterFillAllocation: budget $budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__graft_n"), col(keyCol))
+    val ranked = counts
+      .select(col(keyCol), col(nCol).cast("long").as("__graft_n"))
+      .withColumn("__graft_rn", row_number().over(w).cast("long"))
+      .withColumn("__graft_pref",
+        sum(col("__graft_n")).over(w) - col("__graft_n"))
+    val caps = ranked
+      .crossJoin(broadcast(counts.agg(
+        count(lit(1)).cast("long").as("__graft_k"),
+        sum(col(nCol).cast("long")).as("__graft_tot"),
+        max(col(nCol).cast("long")).as("__graft_mx"))))
+      .withColumn("__graft_cand",
+        when(col("__graft_pref") <= budget,
+          expr(s"(CAST($budget AS BIGINT) - __graft_pref) div (__graft_k - __graft_rn + 1)")))
+      .agg(
+        max(when(col("__graft_tot") <= budget, col("__graft_mx"))
+          .otherwise(col("__graft_cand"))).cast("long").as("cap"))
+    counts
+      .select(col(keyCol), col(nCol).cast("long").as("n"))
+      .crossJoin(broadcast(caps))
+      .withColumn("alloc", least(col("n"), greatest(col("cap"), lit(0L))).cast("long"))
+  }
 }

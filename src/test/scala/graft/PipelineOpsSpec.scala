@@ -188,6 +188,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == ((4L, -416666L)))
   }
 
+  test("waterFill: hand-computed caps — clipping, keep-all, zero and surplus budgets") {
+    import graft.text.Sampling
+    val c = viaParquet(Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("src", "n"))
+    def run(b: Long) = Sampling.waterFillAllocation(c, "src", "n", b)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // B=200: a keeps 10; cap solves 10 + 2c = 200 → c = 95
+    val m = run(200L)
+    assert(m("a") == ((10L, 95L, 10L)) && m("b") == ((100L, 95L, 95L))
+      && m("c") == ((1000L, 95L, 95L)))
+    // B=60: 10 + 2c ≤ 60 → c = 25; a keeps all
+    assert(run(60L).values.map(_._3).sum == 60L)
+    // surplus budget: everything allocates, cap = max n
+    val full = run(5000L)
+    assert(full.values.map(_._3).toSeq.sorted == Seq(10L, 100L, 1000L) &&
+      full("a")._2 == 1000L)
+    // starvation: B < k → cap 0, nothing allocates
+    assert(run(2L).values.forall(_._3 == 0L))
+    // feasibility property on fuzzed inputs: Σ alloc ≤ B always, and the
+    // cap is maximal (cap+1 would overshoot) whenever something is clipped
+    val rnd = new scala.util.Random(9)
+    val big = viaParquet((1 to 40).map(i => (s"s$i", rnd.nextInt(5000).toLong + 1))
+      .toDF("src", "n"))
+    for (b <- Seq(1000L, 17000L, 60000L)) {
+      val rows = Sampling.waterFillAllocation(big, "src", "n", b)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val (ns, cap, allocs) = (rows.map(_._1), rows.head._2, rows.map(_._3))
+      assert(allocs.sum <= b)
+      if (ns.exists(_ > cap))
+        assert(ns.map(n => math.min(n, cap + 1)).sum > b, s"cap $cap not maximal at B=$b")
+    }
+    intercept[IllegalArgumentException](Sampling.waterFillAllocation(c, "src", "n", -1L))
+  }
+
   test("benford: hand-computed digits, exclusions reported, absent digits zero-filled") {
     import graft.operators.Drift
     val df = viaParquet(Seq(1L, 19L, 23L, 250L, 3L, 999L, 0L, -5L).toDF("x"))
