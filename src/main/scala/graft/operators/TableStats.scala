@@ -58,4 +58,47 @@ object TableStats {
         col("__graft_r.nulls").as("nulls"), col("__graft_r.ndv").as("ndv"),
         col("__graft_r.min_long").as("min_long"), col("__graft_r.max_long").as("max_long"))
   }
+
+  /** Functional-dependency discovery over a column set — the schema-
+    * profiling step of data integration / normalization audits: for every
+    * ordered pair (lhs, rhs), lhs → rhs holds when no lhs value maps to
+    * two distinct rhs values. Reports per pair the lhs group count, the
+    * VIOLATING group count, and the verdict — "o_orderkey → everything"
+    * falls out as the key; near-dependencies (few violating groups)
+    * are the denormalization candidates.
+    *
+    * Shape: ONE pass explodes each row to its k·(k−1) ordered pairs
+    * (pair id, lhs value, rhs value) and a single (pair, lhs-value)
+    * aggregate counts distinct rhs — the k² blow-up is per ROW and
+    * immediately partially aggregated, the same no-join discipline as the
+    * Gram matrix; NULL rhs values count as a value (a group mapping to
+    * {x, NULL} is a real violation). Column values are compared through
+    * their canonical string forms (one exploded value column needs one
+    * type) — two values collide only if their renderings do, acceptable
+    * for a PROFILING verdict and replayed identically by the oracle. */
+  def fdViolations(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "fdViolations: need at least two columns")
+    require(columns.forall(df.columns.contains),
+      s"fdViolations: missing columns in ${df.columns.mkString(",")}")
+    val pairs = for {
+      a <- columns; b <- columns if a != b
+    } yield (a, b)
+    val exploded = df.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(s"$a->$b").as("fd"),
+        col(a).cast("string").as("lhs"), col(b).cast("string").as("rhs"))
+    }: _*)).as("__graft_p"))
+      .select(col("__graft_p.fd").as("fd"), col("__graft_p.lhs").as("lhs"),
+        col("__graft_p.rhs").as("rhs"))
+    exploded
+      .groupBy("fd", "lhs")
+      .agg(count_distinct(col("rhs")).as("__graft_ndv"),
+        sum(when(col("rhs").isNull, 1L).otherwise(0L)).as("__graft_nulls"))
+      .withColumn("__graft_distinct_rhs",
+        col("__graft_ndv") + when(col("__graft_nulls") > 0L, 1L).otherwise(0L))
+      .groupBy("fd")
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("__graft_distinct_rhs") > 1L, 1L).otherwise(0L))
+          .cast("long").as("n_violating"))
+      .withColumn("holds", col("n_violating") === 0L)
+  }
 }

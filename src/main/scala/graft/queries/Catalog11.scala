@@ -1173,11 +1173,48 @@ private[graft] object Catalog11 {
                    ROUND(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS machinery
             FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** Functional-dependency discovery
+    * ([[graft.operators.TableStats.fdViolations]] — the schema-profiling
+    * step of data-integration/normalization audits, beside the per-column
+    * profile (q126) and the quality suite (q290)): all 12 ordered column
+    * pairs of orders audited in ONE pass — per-row k·(k−1) pair explosion
+    * immediately partially aggregated (the Gram-matrix no-join
+    * discipline); "o_orderkey → everything" falls out as the key, the
+    * rest report exact violating-group counts. NULL rhs counts as a
+    * value. Oracle replays the pair explosion and both aggregate
+    * levels. */
+  val q309_fd_discovery = Q(
+    "q309_fd_discovery",
+    (s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      graft.operators.TableStats.fdViolations(t(s, dir, "orders"), cols)
+        .orderBy("fd")
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val union = (for { a <- cols; b <- cols if a != b } yield
+        s"""SELECT '$a->$b' AS fd, CAST($a AS VARCHAR) AS lhs,
+                   CAST($b AS VARCHAR) AS rhs FROM orders""")
+        .mkString(" UNION ALL ")
+      s"""WITH p AS ($union),
+            g AS (
+              SELECT fd, lhs,
+                     COUNT(DISTINCT rhs)
+                       + CASE WHEN SUM(CASE WHEN rhs IS NULL THEN 1 ELSE 0 END) > 0
+                              THEN 1 ELSE 0 END AS ndv
+              FROM p GROUP BY 1, 2)
+          SELECT fd, COUNT(*)::BIGINT AS n_groups,
+                 SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+                 SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM g GROUP BY 1 ORDER BY fd"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
       q295_stream_outer_join, q296_proximity_search, q297_hidden_partitioning,
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
       q301_assortativity, q302_benford, q303_bfs_eccentricity, q304_ktruss,
-      q305_feistel_tokens, q306_bitemporal, q307_water_filling, q308_sql_pivot)
+      q305_feistel_tokens, q306_bitemporal, q307_water_filling, q308_sql_pivot,
+      q309_fd_discovery)
 }

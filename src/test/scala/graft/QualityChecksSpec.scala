@@ -51,6 +51,27 @@ class QualityChecksSpec extends SparkSpec {
       "a quality suite must audit the table in a single pass, not one job per check")
   }
 
+  test("fdViolations: holds/violations exact, NULL rhs is a value, one scan") {
+    import graft.operators.TableStats
+    val df = viaParquet(Seq(
+      (1L, "x", Some("p")),
+      (2L, "x", Some("p")), // a=x maps only to p so far
+      (3L, "x", None), // …but also to NULL → a->c violates
+      (4L, "y", Some("q")),
+      (5L, "y", Some("q"))).toDF("id", "a", "c"))
+    val out = TableStats.fdViolations(df, Seq("id", "a", "c"))
+    out.collect() // settle the plan for the scan assertion
+    val m = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(m("id->a") == ((5L, 0L, true))) // id is the key
+    assert(m("a->c") == ((2L, 1L, false))) // x → {p, NULL}: NULL is a value
+    assert(m("a->id") == ((2L, 2L, false)))
+    assert(m("c->a") == ((3L, 0L, true))) // p→x, q→y, NULL→x
+    assert(graft.plans.PlanChecks.scanColumns(out).size == 1,
+      "all FD pairs must audit in one pass")
+    intercept[IllegalArgumentException](TableStats.fdViolations(df, Seq("id")))
+  }
+
   test("suite refusals: empty, duplicate names, bad thresholds") {
     intercept[IllegalArgumentException](QualityChecks.verify(frame, Nil))
     intercept[IllegalArgumentException](QualityChecks.verify(frame,
