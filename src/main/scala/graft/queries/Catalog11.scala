@@ -1209,6 +1209,76 @@ private[graft] object Catalog11 {
           FROM g GROUP BY 1 ORDER BY fd"""
     })
 
+  /** Edit-distance similarity join via ED-Join prefix filtering
+    * ([[graft.text.Dedup.qgramEditJoin]] — the UNBLOCKED counterpart of
+    * the blocked edit-distance dedup: no blocking key, no blocked-away
+    * false negatives; each string's q·d+1 RAREST grams probe the full
+    * positional gram index, so stopgram df² volume never materializes):
+    * part names plus planted one-char typos (position from key
+    * arithmetic), d = 1, q = 2. Output: per-distance pair census. Oracle
+    * replays the full algorithm — grams, df order, prefix window,
+    * asymmetric join, levenshtein verify; SOUNDNESS (no missed pair) is
+    * the spec's brute-force job. */
+  val q310_qgram_edit_join = Q(
+    "q310_qgram_edit_join",
+    (s, dir) => {
+      // fixed slice (q69 convention): the synthetic name vocabulary repeats
+      // heavily, so identical-name pair OUTPUT grows quadratically with the
+      // corpus — the operator handles it, but the catalog query pins a
+      // constant-size slice so bench cost measures the algorithm, not an
+      // exploding output
+      val names = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"), col("p_name").as("s"))
+        .filter(col("id") < 4000)
+      val typos = names.filter(col("id") % 4 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        expr("concat(substring(s, 1, CAST(id % 10 AS INT)), 'q', " +
+          "substring(s, CAST(id % 10 AS INT) + 2, 200))").as("s"))
+      val corpus = names.unionByName(typos)
+      graft.text.Dedup.qgramEditJoin(corpus, "id", "s", q = 2, maxDistance = 1)
+        .groupBy("distance")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("id1")).cast("long").as("sum_id1"),
+          sum(col("id2")).cast("long").as("sum_id2"))
+        .select(col("distance").cast("long").as("distance"),
+          col("n_pairs"), col("sum_id1"), col("sum_id2"))
+        .orderBy("distance")
+    },
+    Some("""WITH names AS (
+              SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS s FROM part
+              WHERE p_partkey < 4000),
+            corpus AS (
+              SELECT * FROM names
+              UNION ALL
+              SELECT id + 10000000,
+                     concat(substring(s, 1, CAST(id % 10 AS INT)), 'q',
+                            substring(s, CAST(id % 10 AS INT) + 2, 200))
+              FROM names WHERE id % 4 = 0),
+            grams AS (
+              SELECT c.id, length(c.s) AS len,
+                     substr(c.s, CAST(u.i AS INT), 2) AS g, u.i AS p
+              FROM corpus c, UNNEST(range(1, length(c.s))) AS u(i)),
+            dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
+            pre AS (
+              SELECT g, id, len, p FROM (
+                SELECT gr.g, gr.id, gr.len, gr.p,
+                       ROW_NUMBER() OVER (PARTITION BY gr.id
+                         ORDER BY dfc.df, gr.g, gr.p) AS rk
+                FROM grams gr JOIN dfc USING (g))
+              WHERE rk <= 3),
+            cand AS (
+              SELECT DISTINCT LEAST(a.id, b.id) AS id1, GREATEST(a.id, b.id) AS id2
+              FROM pre a JOIN grams b USING (g)
+              WHERE a.id <> b.id AND abs(a.len - b.len) <= 1 AND abs(a.p - b.p) <= 1),
+            ver AS (
+              SELECT c.id1, c.id2, levenshtein(s1.s, s2.s) AS distance
+              FROM cand c
+              JOIN corpus s1 ON s1.id = c.id1
+              JOIN corpus s2 ON s2.id = c.id2)
+            SELECT distance::BIGINT AS distance, COUNT(*)::BIGINT AS n_pairs,
+                   SUM(id1)::BIGINT AS sum_id1, SUM(id2)::BIGINT AS sum_id2
+            FROM ver WHERE distance <= 1 GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
@@ -1216,5 +1286,5 @@ private[graft] object Catalog11 {
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
       q301_assortativity, q302_benford, q303_bfs_eccentricity, q304_ktruss,
       q305_feistel_tokens, q306_bitemporal, q307_water_filling, q308_sql_pivot,
-      q309_fd_discovery)
+      q309_fd_discovery, q310_qgram_edit_join)
 }

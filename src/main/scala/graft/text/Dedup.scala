@@ -1036,6 +1036,84 @@ object Dedup {
       .filter(col("distance") <= maxDistance)
   }
 
+  /** Edit-distance similarity JOIN via PREFIX-filtered positional q-grams —
+    * the ED-Join scheme (Xiao/Wang/Lin VLDB'08), the UNBLOCKED counterpart
+    * of [[editDistanceNearDuplicates]]: no blocking key to choose and NO
+    * false negatives. Soundness by pigeonhole: d edits destroy at most q·d
+    * of a string's q-grams, so under ANY global total order of grams two
+    * strings within distance d must have a MATCHED gram occurrence whose
+    * side in the first string sits among that string's q·d+1 first-in-
+    * order occurrences (ordering by (corpus df asc, gram, position): at
+    * most q·d occurrences are unmatched, and everything ordered before the
+    * first matched occurrence of the minimal matched gram is unmatched).
+    * The candidate join is therefore ASYMMETRIC — each string's rare-gram
+    * PREFIX probes the FULL gram index (a both-prefix join can miss the
+    * pair when duplicate grams push the partner occurrence out of the
+    * other prefix) — and stays small because prefix grams are by
+    * construction the corpus-RAREST: the "e "-style stopgrams whose df²
+    * volume kills a count-filter join on narrow alphabets never enter the
+    * probe side, and their full-index partners are only ever joined
+    * against rare probes. Matched occurrences must align within ±d
+    * positions and lengths within ±d — both sound — and every surviving
+    * candidate pair is levenshtein-verified (the DP rides a generator
+    * output attribute so it runs once per pair — the editDistance op's
+    * plan guard).
+    *
+    * Domain contract: strings shorter than q·(d+1) cannot carry a full
+    * prefix and are EXCLUDED — the caller routes micro-strings to an exact
+    * groupBy. Scale shape: one df aggregate, one per-string top-(q·d+1)
+    * window, an inverted-index join on the RAREST grams only, distinct
+    * pairs, then the verify join. */
+  def qgramEditJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      q: Int,
+      maxDistance: Int): DataFrame = {
+    require(q >= 1, s"qgramEditJoin: q $q must be >= 1")
+    require(maxDistance >= 0, s"qgramEditJoin: maxDistance $maxDistance must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val minLen = q * (maxDistance + 1)
+    val prefixSize = q * maxDistance + 1
+    val base = df
+      .select(col(idCol).as("__graft_id"), col(strCol).as("__graft_s"))
+      .filter(length(col("__graft_s")) >= minLen)
+      .localCheckpoint(true) // grams + the verify join (twice)
+    val grams = base.select(col("__graft_id"), length(col("__graft_s")).as("__graft_len"),
+      explode(expr(s"transform(sequence(1, length(__graft_s) - ${q - 1}), " +
+        s"i -> struct(substring(__graft_s, i, $q) AS g, i AS p))")).as("__graft_e"))
+      .select(col("__graft_id"), col("__graft_len"),
+        col("__graft_e.g").as("g"), col("__graft_e.p").as("p"))
+      .localCheckpoint(true) // df counts + the prefix selection
+    val dfCounts = grams.groupBy("g").agg(count(lit(1)).as("__graft_df"))
+    val w = Window.partitionBy("__graft_id")
+      .orderBy(col("__graft_df"), col("g"), col("p"))
+    val prefix = grams.join(dfCounts, Seq("g"))
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= prefixSize)
+      .select(col("g"), col("__graft_id"), col("__graft_len"), col("p"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val probe = prefix.repartition(par, col("g")).localCheckpoint(true)
+    val full = grams.repartition(par, col("g"))
+    val candidates = probe.select(col("g"), col("__graft_id").as("ida"),
+        col("__graft_len").as("la"), col("p").as("pa"))
+      .join(full.select(col("g"), col("__graft_id").as("idb"),
+        col("__graft_len").as("lb"), col("p").as("pb")), Seq("g"))
+      .filter(col("ida") =!= col("idb") &&
+        abs(col("la") - col("lb")) <= maxDistance &&
+        abs(col("pa") - col("pb")) <= maxDistance)
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+      .distinct()
+    val d = levenshtein(col("__graft_s1"), col("__graft_s2"))
+    candidates
+      .join(base.select(col("__graft_id").as("id1"), col("__graft_s").as("__graft_s1")), Seq("id1"))
+      .join(base.select(col("__graft_id").as("id2"), col("__graft_s").as("__graft_s2")), Seq("id2"))
+      .select(explode(array(struct(col("id1"), col("id2"), d.as("distance")))).as("__graft_r"))
+      .select(col("__graft_r.id1"), col("__graft_r.id2"), col("__graft_r.distance"))
+      .filter(col("distance") <= maxDistance)
+  }
+
   /** Corpus n-gram novelty: for each document, the fraction of its DISTINCT
     * word n-grams that appear in NO other document — a boilerplate /
     * template detector (low novelty = the doc is assembled from corpus-

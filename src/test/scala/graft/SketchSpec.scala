@@ -113,6 +113,37 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("qgramEditJoin is SOUND: equals brute force on a duplicate-gram-heavy corpus") {
+    // alphabet {a,b} strings of length 6..10: grams repeat within and
+    // across strings — exactly the regime where a both-prefix index can
+    // lose a matched pair (the asymmetric probe-vs-full join's reason)
+    val rnd = new scala.util.Random(13)
+    val strs = (1 to 80).map(i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(5))(if (rnd.nextBoolean()) 'a' else 'b').mkString))
+    val df = viaParquet(strs.toDF("id", "s"))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (maxD <- Seq(0, 1)) {
+      val got = Dedup.qgramEditJoin(df, "id", "s", q = 2, maxDistance = maxD)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+        d = lev(s1, s2) if d <= maxD
+      } yield (i1, i2, d)).toSet
+      assert(got == brute, s"maxDistance=$maxD: prefix filter must lose nothing")
+    }
+    // micro-strings below q·(d+1) are excluded by contract
+    val tiny = viaParquet(Seq((1L, "ab"), (2L, "ab"), (3L, "abcdef"), (4L, "abcdef"))
+      .toDF("id", "s"))
+    val t = Dedup.qgramEditJoin(tiny, "id", "s", 2, 1).as[(Long, Long, Int)].collect().toSet
+    assert(t == Set((3L, 4L, 0)))
+  }
+
   test("hll merged registers equal the registers of the union, bit-exact") {
     val a = (1 to 800).map(i => ("g", s"k$i")).toDF("g", "k")
     val b = (500 to 1200).map(i => ("g", s"k$i")).toDF("g", "k")
