@@ -1279,6 +1279,81 @@ private[graft] object Catalog11 {
                    SUM(id1)::BIGINT AS sum_id1, SUM(id2)::BIGINT AS sum_id2
             FROM ver WHERE distance <= 1 GROUP BY 1 ORDER BY 1"""))
 
+  /** Consistent-hash ring with virtual nodes
+    * ([[graft.text.Sharding.consistentHashRing]] — Karger/Dynamo sharding
+    * beside rendezvous HRW (q217): the ring pre-materializes ownership
+    * SEGMENTS, so key assignment is an INTERVAL LOOKUP and rides the
+    * broadcast interval-join operator — the ring is metadata, the key
+    * side never shuffles). 8 nodes × 16 vnodes assign order keys; node
+    * n8 joins; the output pins THE invariant that justifies the scheme:
+    * every moved key lands on the NEW node — no key ever moves between
+    * two old nodes. Oracle replays both rings (string-hash stages for
+    * vnode positions, long-hash stages for keys, window segments,
+    * containment joins) and the movement join. */
+  val q311_consistent_hashing = Q(
+    "q311_consistent_hashing",
+    (s, dir) => {
+      import graft.operators.IntervalLookup
+      val keys = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("id"),
+        pmod(xxhash64(col("o_orderkey").cast("long")), lit(4294967296L)).as("h"))
+      val nodes = (0 to 7).map(i => s"n$i")
+      val ring1 = graft.text.Sharding.consistentHashRing(s, nodes, 16)
+      val ring2 = graft.text.Sharding.consistentHashRing(s, nodes :+ "n8", 16)
+      val a1 = IntervalLookup.join(keys, ring1, "h", "lo", "hi")
+        .select(col("id"), col("h"), col("node").as("node1"))
+      val a2 = IntervalLookup.join(keys, ring2, "h", "lo", "hi")
+        .select(col("id").as("id2"), col("node").as("node2"))
+      a1.join(a2, col("id") === col("id2"))
+        .agg(
+          count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("node1") =!= col("node2"), 1L).otherwise(0L)).cast("long").as("n_moved"),
+          (sum(when(col("node1") =!= col("node2") && col("node2") =!= "n8", 1L)
+            .otherwise(0L)) === 0L).as("moved_only_to_new"),
+          sum(when(col("node1") =!= col("node2"), col("h")).otherwise(0L))
+            .cast("long").as("sum_moved_h"))
+    },
+    Some {
+      import graft.tools.OracleSql._
+      def ringSql(nodeList: String, tag: String): String = {
+        val labeled =
+          s"""SELECT n.node, n.node || '#' || CAST(v.v AS VARCHAR) AS lbl
+              FROM (SELECT unnest([$nodeList]) AS node) n,
+                   (SELECT unnest(range(0, 16)) AS v) v"""
+        val hashed = xxhash64Stages(labeled, "lbl", "ph", pfx = s"__r$tag")
+        s"""pos_$tag AS (
+              SELECT ((ph % 4294967296) + 4294967296) % 4294967296 AS pos,
+                     MIN(node) AS node
+              FROM ($hashed) GROUP BY 1),
+            seg_$tag AS (
+              SELECT COALESCE(LAG(pos) OVER (ORDER BY pos) + 1, 0) AS lo,
+                     pos + 1 AS hi, node
+              FROM pos_$tag
+              UNION ALL
+              SELECT (SELECT MAX(pos) + 1 FROM pos_$tag), 4294967296,
+                     (SELECT node FROM pos_$tag ORDER BY pos LIMIT 1)
+              WHERE (SELECT MAX(pos) FROM pos_$tag) < 4294967295),
+            asg_$tag AS (
+              SELECT k.id, k.h, s.node
+              FROM keys k JOIN seg_$tag s ON k.h >= s.lo AND k.h < s.hi)"""
+      }
+      val n8 = (0 to 7).map(i => s"'n$i'").mkString(", ")
+      val n9 = n8 + ", 'n8'"
+      val keyHash = xxhash64LongStages(
+        "SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders", "id", "kh", pfx = "__k")
+      s"""WITH keys AS (
+            SELECT id, ((kh % 4294967296) + 4294967296) % 4294967296 AS h
+            FROM ($keyHash)),
+          ${ringSql(n8, "a")},
+          ${ringSql(n9, "b")}
+          SELECT COUNT(*)::BIGINT AS n_keys,
+                 SUM(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+                 SUM(CASE WHEN a.node <> b.node AND b.node <> 'n8' THEN 1 ELSE 0 END) = 0
+                   AS moved_only_to_new,
+                 SUM(CASE WHEN a.node <> b.node THEN a.h ELSE 0 END)::BIGINT AS sum_moved_h
+          FROM asg_a a JOIN asg_b b USING (id)"""
+    })
+
   val all: Seq[Q] =
     Seq(q287_recursive_cte, q288_record_linkage, q289_link_prediction, q290_quality_suite,
       q291_t_closeness, q292_target_encoding, q293_acf, q294_gram_matrix,
@@ -1286,5 +1361,5 @@ private[graft] object Catalog11 {
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
       q301_assortativity, q302_benford, q303_bfs_eccentricity, q304_ktruss,
       q305_feistel_tokens, q306_bitemporal, q307_water_filling, q308_sql_pivot,
-      q309_fd_discovery, q310_qgram_edit_join)
+      q309_fd_discovery, q310_qgram_edit_join, q311_consistent_hashing)
 }

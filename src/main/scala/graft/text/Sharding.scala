@@ -144,6 +144,59 @@ object Sharding {
     * Pure map-side: n struct comparisons per row, no shuffle; ties on the
     * 64-bit hash (probability ~n²/2⁶⁴ per key) break to the larger shard
     * id via the struct's second field — total order, engine-replayable. */
+  /** Consistent-hash RING with virtual nodes (Karger '97 / Dynamo-style —
+    * the other classic sharding scheme beside [[rendezvousShard]]'s HRW:
+    * HRW is stateless per key×node, the ring pre-materializes ownership
+    * SEGMENTS, which is what systems with range-readable metadata want):
+    * each node owns `vnodes` pseudo-random ring positions
+    * (xxhash64(node ‖ "#" ‖ v) mod 2³²), a key belongs to the first vnode
+    * clockwise from its own hash, and the ring compiles to right-open
+    * ownership intervals — so ASSIGNMENT IS AN INTERVAL LOOKUP and rides
+    * the broadcast interval-join operator; the ring is metadata-sized, the
+    * key side never shuffles.
+    *
+    * The contract that makes the scheme matter: adding a node moves ONLY
+    * the keys that land on the new node's segments — no key ever moves
+    * between two old nodes (each old segment either survives or is SPLIT
+    * by a new-node vnode; survivors keep their owner). Position collisions
+    * between vnodes resolve to the lexicographically smallest node,
+    * deterministically.
+    *
+    * Returns the segment table (lo, hi, node) with right-open [lo, hi)
+    * covering [0, 2³²) exactly (the wraparound arc is owned by the
+    * smallest-position vnode). */
+  def consistentHashRing(spark: org.apache.spark.sql.SparkSession,
+      nodes: Seq[String], vnodes: Int): DataFrame = {
+    require(nodes.nonEmpty, "consistentHashRing: at least one node")
+    require(vnodes >= 1, s"consistentHashRing: vnodes $vnodes must be >= 1")
+    require(nodes.distinct.size == nodes.size, "consistentHashRing: duplicate node names")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = 4294967296L
+    val positions = nodes.flatMap(n => (0 until vnodes).map(v => (n, v)))
+      .toDF("node", "v")
+      .select(col("node"),
+        pmod(xxhash64(concat(col("node"), lit("#"), col("v"))), lit(m)).as("pos"))
+      .groupBy("pos").agg(min(col("node")).as("node")) // collision → smallest node
+    // segment owned by the vnode at p: (prev_p, p] — spelled right-open as
+    // [prev_p + 1, p + 1); the wrap arc [last_p + 1, 2^32) ∪ [0, first_p]
+    // belongs to the FIRST vnode. The window orders the ring — vnode-count
+    // sized, metadata.
+    val w = Window.orderBy("pos")
+    val seg = positions
+      .withColumn("__graft_prev", lag(col("pos"), 1).over(w))
+      .select(
+        coalesce(col("__graft_prev") + 1L, lit(0L)).as("lo"),
+        (col("pos") + 1L).as("hi"), col("node"))
+    val firstOwner = positions.orderBy("pos").limit(1)
+      .select(lit(0L).as("__graft_unused"), col("node"))
+    val lastPos = positions.agg(max(col("pos")).as("mp"))
+    val wrap = firstOwner.crossJoin(lastPos)
+      .select((col("mp") + 1L).as("lo"), lit(m).as("hi"), col("node"))
+      .filter(col("lo") < col("hi")) // empty when the last vnode sits at 2^32−1
+    seg.unionByName(wrap.select("lo", "hi", "node"))
+  }
+
   def rendezvousShard(key: Column, numShards: Int): Column = {
     require(numShards >= 1, s"rendezvousShard: numShards $numShards must be >= 1")
     // hash the key at its NATIVE type (xxhash64 accepts any type): a

@@ -1709,6 +1709,35 @@ class SamplingSpec extends SparkSpec {
     assert(ids.head == 0L && ids.last == ids.length - 1)
   }
 
+  test("consistent-hash ring: exact coverage, minimal movement, deterministic collisions") {
+    import graft.text.Sharding
+    val ring = Sharding.consistentHashRing(spark, (0 to 5).map(i => s"m$i"), vnodes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // right-open segments tile [0, 2^32) exactly: no gaps, no overlaps
+    assert(ring.head._1 == 0L && ring.last._2 == 4294967296L)
+    ring.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) => assert(hi == lo) }
+    // adding a node: every reassigned key lands on the new node
+    val keys = viaParquet((1L to 3000L).toDF("id"))
+      .withColumn("h", pmod(xxhash64(col("id")), lit(4294967296L)))
+      .localCheckpoint(true)
+    def assign(nodes: Seq[String]) = graft.operators.IntervalLookup
+      .join(keys, Sharding.consistentHashRing(spark, nodes, 8), "h", "lo", "hi")
+      .select("id", "node").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = assign((0 to 5).map(i => s"m$i"))
+    val after = assign((0 to 6).map(i => s"m$i"))
+    assert(before.size == 3000 && after.size == 3000) // total function: every key owned
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty && moved.forall(after(_) == "m6"),
+      "reassignments may only target the new node")
+    // ring construction is deterministic across invocations
+    val again = Sharding.consistentHashRing(spark, (0 to 5).map(i => s"m$i"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(again.toSeq == ring.toSeq)
+    intercept[IllegalArgumentException](Sharding.consistentHashRing(spark, Nil, 4))
+    intercept[IllegalArgumentException](
+      Sharding.consistentHashRing(spark, Seq("a", "a"), 4))
+  }
+
   test("rendezvous sharding: adding a shard moves only keys bound for the new shard") {
     val ids = (1L to 400L).toDF("doc_id")
     val assigned = ids
