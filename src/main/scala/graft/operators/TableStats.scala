@@ -59,6 +59,45 @@ object TableStats {
         col("__graft_r.min_long").as("min_long"), col("__graft_r.max_long").as("max_long"))
   }
 
+  /** Dictionary-encoding storage planner — the per-column layout decision
+    * every columnar writer makes, surfaced as a queryable plan: for each
+    * string column, exact plain bytes (Σ octet lengths) versus dictionary
+    * bytes (Σ distinct-value octet lengths + n·⌈log₂ ndv⌉ bits of codes,
+    * byte-rounded), with the recommendation. The code width uses the
+    * integer floor-log idiom (length(bin(ndv−1)) — bit-stable in both
+    * engines); ndv ≤ 1 needs 0 bits. NULLs carry 0 plain bytes and join
+    * the dictionary as one 0-byte entry (matching parquet's null-aware
+    * dictionaries closely enough for a PLANNER).
+    *
+    * One aggregation per column over (value) groups — the distinct pass —
+    * then a one-row fold; columns union into one report. Cost: one scan
+    * per column's group-by (the ndv pass is inherent to the question). */
+  def encodingPlan(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "encodingPlan: at least one column")
+    require(cols.forall(df.columns.contains),
+      s"encodingPlan: missing columns in ${df.columns.mkString(",")}")
+    cols.map { c =>
+      df.select(col(c).cast("string").as("__graft_v"))
+        .groupBy("__graft_v")
+        .agg(count(lit(1)).as("__graft_n"),
+          coalesce(octet_length(col("__graft_v")), lit(0)).cast("long").as("__graft_len"))
+        .agg(
+          sum(col("__graft_n")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("ndv"),
+          sum(col("__graft_n") * col("__graft_len")).cast("long").as("plain_bytes"),
+          sum(col("__graft_len")).cast("long").as("__graft_dict_values"))
+        .withColumn("__graft_bits",
+          when(col("ndv") <= 1L, 0L)
+            .otherwise((length(bin(col("ndv") - 1))).cast("long")))
+        .withColumn("dict_bytes",
+          (col("__graft_dict_values") +
+            expr("(n * __graft_bits + 7) div 8")).cast("long"))
+        .select(lit(c).as("col_name"), col("n"), col("ndv"),
+          col("plain_bytes"), col("dict_bytes"),
+          (col("dict_bytes") < col("plain_bytes")).as("use_dictionary"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Functional-dependency discovery over a column set — the schema-
     * profiling step of data integration / normalization audits: for every
     * ordered pair (lhs, rhs), lhs → rhs holds when no lhs value maps to

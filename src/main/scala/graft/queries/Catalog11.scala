@@ -1361,5 +1361,40 @@ private[graft] object Catalog11 {
       q298_clustering_depth, q299_golden_record, q300_dp_counts,
       q301_assortativity, q302_benford, q303_bfs_eccentricity, q304_ktruss,
       q305_feistel_tokens, q306_bitemporal, q307_water_filling, q308_sql_pivot,
-      q309_fd_discovery, q310_qgram_edit_join, q311_consistent_hashing)
+      q309_fd_discovery, q310_qgram_edit_join, q311_consistent_hashing,
+      q312_encoding_plan)
+
+  /** Dictionary-encoding storage planner
+    * ([[graft.operators.TableStats.encodingPlan]] — the per-column layout
+    * decision every columnar writer makes, beside the skipping triad and
+    * the clustering-depth metric: exact plain bytes vs dictionary bytes
+    * (distinct values + byte-rounded ⌈log₂ ndv⌉-bit codes), with the
+    * verdict). Low-cardinality orders columns recommend dictionaries, the
+    * stringified customer key does not. Oracle replays both cost models
+    * in exact integers. */
+  lazy val q312_encoding_plan = Q(
+    "q312_encoding_plan",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("custkey_str", col("o_custkey").cast("string"))
+      graft.operators.TableStats
+        .encodingPlan(o, Seq("o_orderstatus", "o_orderpriority", "custkey_str"))
+        .orderBy("col_name")
+    },
+    Some {
+      def one(c: String, src: String): String =
+        s"""SELECT '$c' AS col_name, SUM(cnt)::BIGINT AS n, COUNT(*)::BIGINT AS ndv,
+                   SUM(cnt * len)::BIGINT AS plain_bytes,
+                   (SUM(len) + (SUM(cnt) * (CASE WHEN COUNT(*) <= 1 THEN 0
+                        ELSE length(bin(COUNT(*) - 1)) END) + 7) // 8)::BIGINT AS dict_bytes,
+                   (SUM(len) + (SUM(cnt) * (CASE WHEN COUNT(*) <= 1 THEN 0
+                        ELSE length(bin(COUNT(*) - 1)) END) + 7) // 8)
+                     < SUM(cnt * len) AS use_dictionary
+            FROM (SELECT v, COUNT(*) AS cnt, COALESCE(octet_length(v), 0) AS len
+                  FROM (SELECT $src AS v FROM orders) GROUP BY v)"""
+      s"""${one("custkey_str", "CAST(o_custkey AS VARCHAR)")}
+          UNION ALL ${one("o_orderpriority", "o_orderpriority")}
+          UNION ALL ${one("o_orderstatus", "o_orderstatus")}
+          ORDER BY col_name"""
+    })
 }
