@@ -1390,7 +1390,7 @@ private[graft] object Catalog11 {
                    (SUM(len) + (SUM(cnt) * (CASE WHEN COUNT(*) <= 1 THEN 0
                         ELSE length(bin(COUNT(*) - 1)) END) + 7) // 8)
                      < SUM(cnt * len) AS use_dictionary
-            FROM (SELECT v, COUNT(*) AS cnt, COALESCE(octet_length(v), 0) AS len
+            FROM (SELECT v, COUNT(*) AS cnt, COALESCE(strlen(v), 0) AS len
                   FROM (SELECT $src AS v FROM orders) GROUP BY v)"""
       s"""${one("custkey_str", "CAST(o_custkey AS VARCHAR)")}
           UNION ALL ${one("o_orderpriority", "o_orderpriority")}

@@ -72,6 +72,40 @@ class QualityChecksSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableStats.fdViolations(df, Seq("id")))
   }
 
+  test("encodingPlan: exact cost models, NULL as 0-byte dict entry, code-width edges") {
+    import graft.operators.TableStats
+    // lowcard: dictionary wins. 100 rows over {"aaaa","bbbb"} (4 bytes each):
+    //   plain = 400; dict = 8 values + (100·1 bit + 7) div 8 = 13 → 21.
+    val df = viaParquet(
+      (0 until 100).map(i => if (i % 2 == 0) "aaaa" else "bbbb").toDF("lowcard"))
+    val low = TableStats.encodingPlan(df, Seq("lowcard")).collect().head
+    assert((low.getLong(1), low.getLong(2), low.getLong(3), low.getLong(4), low.getBoolean(5)) ==
+      ((100L, 2L, 400L, 21L, true)))
+
+    val nulls = viaParquet(Seq(Some("ab"), Some("ab"), Some("ab"), None, None).toDF("v"))
+    val nr = TableStats.encodingPlan(nulls, Seq("v")).collect().head
+    assert((nr.getLong(1), nr.getLong(2), nr.getLong(3), nr.getLong(4), nr.getBoolean(5)) ==
+      ((5L, 2L, 6L, 3L, true)))
+
+    // all-distinct stringified key: dictionary must lose (dict ⊇ plain + codes).
+    val key = viaParquet((0 until 64).map(i => f"k$i%04d").toDF("k"))
+    val kr = TableStats.encodingPlan(key, Seq("k")).collect().head
+    assert((kr.getLong(1), kr.getLong(2), kr.getLong(3)) == ((64L, 64L, 320L)))
+    assert(kr.getLong(4) == 320L + (64L * 6L + 7L) / 8L && !kr.getBoolean(5))
+
+    // code-width edges: ndv ∈ {1,2,3,256,257} → bits {0,1,2,8,9}.
+    for ((ndv, bits) <- Seq(1 -> 0L, 2 -> 1L, 3 -> 2L, 256 -> 8L, 257 -> 9L)) {
+      val vals = viaParquet((0 until ndv).map(i => f"$i%03d").toDF("v"))
+      val r = TableStats.encodingPlan(vals, Seq("v")).collect().head
+      val n = ndv.toLong
+      assert(r.getLong(2) == n, s"ndv=$ndv")
+      assert(r.getLong(4) == 3L * n + (n * bits + 7L) / 8L,
+        s"ndv=$ndv expects $bits-bit codes")
+    }
+    intercept[IllegalArgumentException](TableStats.encodingPlan(df, Nil))
+    intercept[IllegalArgumentException](TableStats.encodingPlan(df, Seq("nope")))
+  }
+
   test("suite refusals: empty, duplicate names, bad thresholds") {
     intercept[IllegalArgumentException](QualityChecks.verify(frame, Nil))
     intercept[IllegalArgumentException](QualityChecks.verify(frame,
