@@ -75,19 +75,26 @@ object Zorder {
     val v = TxnLog.latestVersion(logDir).getOrElse(
       throw new IllegalArgumentException(s"txn log: no commits in $logDir"))
     val files = TxnLog.liveFiles(logDir, v).toSeq.sorted
-    val snap = spark.read.parquet(files: _*)
+    // rewrite the VISIBLE snapshot, not the raw live files: a table with
+    // bound deletion vectors would otherwise resurrect DV-killed rows in
+    // the clustered rewrite (the stale DVs reference removed paths and
+    // silently no-op) — same write-path invariant as TxnLog.compact
+    val snap = TxnLog.readAsOfWithDeletes(spark, logDir, v)
     val n = snap.count()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__graft_z"))
     // ONE write job: hash-repartition on the bucket id sends each bucket
     // wholly to one task (one part file per bucket dir), partitionBy lays
     // the buckets out as directories — vs a per-bucket filtered-write loop
-    // that costs numFiles sequential jobs
+    // that costs numFiles sequential jobs. Bucket assignment is integral
+    // div by contract (true division's double rounding can misplace
+    // boundary rows once (rank−1)·numFiles passes 2^53).
     snap
       .withColumn("__graft_z", interleave(col(xCol), col(yCol), bits))
+      .withColumn("__graft_rn", row_number().over(w))
       .withColumn("__graft_bucket",
-        ((row_number().over(w) - 1) * numFiles.toLong / lit(n)).cast("int"))
-      .drop("__graft_z")
+        expr(s"CAST(((__graft_rn - 1) * ${numFiles.toLong}) div ${n}L AS INT)"))
+      .drop("__graft_z", "__graft_rn")
       .repartition(numFiles, col("__graft_bucket"))
       .write.partitionBy("__graft_bucket").mode("overwrite").parquet(s"$scratchDir/zopt")
     val adds = (0 until numFiles).map { b =>
@@ -97,7 +104,8 @@ object Zorder {
         .getOrElse(throw new IllegalStateException(s"optimizeTable: no parquet under $d"))
         .getAbsolutePath
     }
-    TxnLog.commit(logDir, v + 1, adds = adds, removes = files)
+    TxnLog.commit(logDir, v + 1, adds = adds, removes = files,
+      dvDrops = TxnLog.dvFiles(logDir, v).toSeq.sorted, meta = Seq("optimize:zorder"))
     v + 1
   }
 

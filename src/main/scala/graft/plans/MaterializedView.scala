@@ -216,9 +216,14 @@ object MaterializedView {
         minCols.map(c => org.apache.spark.sql.functions.min(col(c)).as(s"__d_min_$c")) ++
         maxCols.map(c => org.apache.spark.sql.functions.max(col(c)).as(s"__d_max_$c"))): _*)
     val old = spark.read.parquet(mv.mvPath)
-    val merged = old.join(deltaAgg, mv.groupCols, "full_outer")
+    // null-SAFE key equality (<=>, as Privacy.kAnonymitySuppress joins):
+    // a usingColumns full_outer matches null-unsafely, so a NULL-valued
+    // group key would split into two rows — old side and delta side never
+    // meeting — and the refreshed MV would carry duplicates for that group
+    val joinCond = mv.groupCols.map(c => old(c) <=> deltaAgg(c)).reduce(_ && _)
+    val merged = old.join(deltaAgg, joinCond, "full_outer")
       .select(
-        mv.groupCols.map(col) ++
+        mv.groupCols.map(c => coalesce(old(c), deltaAgg(c)).as(c)) ++
           sumCols.map(c =>
             (coalesce(col(s"sum_$c"), lit(0L).cast(old.schema(s"sum_$c").dataType))
               + coalesce(col(s"__d_sum_$c"), lit(0L))).as(s"sum_$c")) ++

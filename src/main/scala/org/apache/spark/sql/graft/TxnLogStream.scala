@@ -135,11 +135,19 @@ class TxnLogSource(
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.option("mergeSchema", "true").parquet(files: _*)
-          .select(schema.fields.map { f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-          }.toIndexedSeq: _*)
+      else {
+        // a batch whose files predate a schema-evolution column must
+        // null-fill it (mirroring TxnLog.changesBetween's conform step) —
+        // selecting a column the batch's merged schema lacks would throw
+        // AnalysisException and permanently wedge the stream at this offset
+        val read = spark.read.option("mergeSchema", "true").parquet(files: _*)
+        val present = read.columns.toSet
+        read.select(schema.fields.map { f =>
+          (if (present.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+           else org.apache.spark.sql.functions.lit(null))
+            .cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, schema, isStreaming = true)
   }

@@ -66,6 +66,30 @@ class GraphZorderSpec extends SparkSpec {
       (0L, 15L, 16L, 31L, 256L), (16L, 31L, 16L, 31L, 256L)))
   }
 
+  test("optimizeTable rewrites the VISIBLE snapshot: DV-killed rows never resurrect, stale DVs drop") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("zopt_dv_spec").toString
+    val log = s"$root/_log"
+    val d0 = s"$root/base"
+    (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toDF("x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(d0)
+    val f0 = new java.io.File(d0).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    TxnLog.commit(log, 0, Seq(f0), Nil)
+    // bind a deletion vector: kill the x = 0 column of the grid (16 rows)
+    val v1 = TxnLog.deleteMergeOnRead(spark, log, s"$root/dv", col("x") === 0L)
+    assert(TxnLog.readAsOfWithDeletes(spark, log, v1).count() == 240)
+    val v2 = graft.operators.Zorder.optimizeTable(spark, log, s"$root/opt", "x", "y", 4, 2)
+    // the clustered rewrite holds exactly the visible 240 rows — a raw
+    // live-file rewrite would resurrect the 16 DV-killed ones
+    val after = TxnLog.readAsOfWithDeletes(spark, log, v2)
+    assert(after.count() == 240 && after.filter(col("x") === 0L).count() == 0)
+    // the stale DV was dropped with the commit (its file references are gone)
+    assert(TxnLog.dvFiles(log, v2).isEmpty)
+    // pre-optimize versions stay time-travelable with their DV semantics
+    assert(TxnLog.readAsOfWithDeletes(spark, log, v1).count() == 240)
+    assert(TxnLog.readAsOf(spark, log, 0).count() == 256)
+  }
+
   test("pagerank concentrates rank on the star center and conserves bounded mass") {
     // star: every leaf points at node 0
     val edges = (1L to 20L).map(i => (i, 0L)).toDF("src", "dst")
@@ -465,6 +489,55 @@ class GraphZorderSpec extends SparkSpec {
     assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
     intercept[IllegalArgumentException](
       graft.operators.Graph.multiSourceBfs(edges, Nil, 3))
+  }
+
+  test("weightedSssp: min-fold over a diamond, parallel-edge fold, refusals, unreachable absence") {
+    import graft.operators.Graph
+    // diamond: 1→2 (w 10) direct, but 1→3→2 costs 2+3=5; plus a tail 2→4 (w 1)
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L),
+      (1L, 3L, 9L), // parallel edge: min(2, 9) = 2 must win
+      (7L, 8L, 1L)) // disconnected: absent from seed 1
+      .toDF("src", "dst", "w")
+    val out = Graph.weightedSssp(viaParquet(g), Seq(1L), maxRounds = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L))
+    // multi-seed: all seeds advance in the same rounds, per-seed tables
+    val multi = Graph.weightedSssp(viaParquet(g), Seq(1L, 7L), maxRounds = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(multi((7L, 8L)) == 1L && !multi.contains((7L, 4L)) && multi((1L, 4L)) == 6L)
+    // exhaustion refuses: the 1→3→2→4 wavefront needs 3 rounds
+    val e = intercept[IllegalArgumentException](
+      Graph.weightedSssp(viaParquet(g), Seq(1L), maxRounds = 2))
+    assert(e.getMessage.contains("not converged"))
+    // negative weight refuses up front
+    val neg = viaParquet(Seq((1L, 2L, -1L)).toDF("src", "dst", "w"))
+    intercept[IllegalArgumentException](Graph.weightedSssp(neg, Seq(1L)))
+    intercept[IllegalArgumentException](Graph.weightedSssp(viaParquet(g), Nil))
+  }
+
+  test("weightedSssp matches a driver-side Dijkstra on a fuzzed weighted graph") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(315)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, (rnd.nextInt(9) + 1).toLong))
+      .filter { case (a, b, _) => a != b }
+    val want: Map[Long, Long] = {
+      val adj = (edges.map { case (a, b, w) => (a, b, w) } ++
+        edges.map { case (a, b, w) => (b, a, w) })
+        .groupBy(_._1).map { case (k, es) => k -> es.map(e => (e._2, e._3)) }
+      val dist = scala.collection.mutable.Map(0L -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (dist(u) == d) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+        }
+      }
+      dist.toMap
+    }
+    val got = Graph.weightedSssp(viaParquet(edges.toDF("src", "dst", "w")), Seq(0L), maxRounds = 40)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == want)
   }
 
   test("assortativity: hand-computed mixed graph, star is −1, regular graph is NULL") {

@@ -126,6 +126,33 @@ class MvRewriteSpec extends SparkSpec {
     } finally MaterializedView.clear()
   }
 
+  test("incremental refresh folds a NULL group key instead of splitting it") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files.createTempDirectory("mv_null").toString
+    val log = s"$root/_log"
+    def fileOf(df: DataFrame, name: String): String = {
+      val d = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val base = Seq((Some(1L), 10L), (None, 7L), (None, 3L)).toDF("g", "v")
+    TxnLog.commit(log, 0, Seq(fileOf(base, "f0")), Nil)
+    MaterializedView.createForTxn(spark, log, s"$root/mv0", Seq("g"), sums = Seq("v"))
+    try {
+      TxnLog.commit(log, 1,
+        Seq(fileOf(Seq((Option.empty[Long], 5L), (Some(1L), 100L)).toDF("g", "v"), "f1")), Nil)
+      MaterializedView.refreshIncremental(spark, log, s"$root/mv1")
+      // the null-unsafe join left TWO rows for g = NULL (old side and delta
+      // side never matched); the null-safe merge folds them into one
+      val rows = spark.read.parquet(s"$root/mv1")
+        .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1.map(_.toString).getOrElse(""))
+      assert(rows == Seq(
+        (None, 15L, 3L), // 7 + 3 + 5, three NULL-keyed rows
+        (Some(1L), 110L, 2L)))
+    } finally MaterializedView.clear()
+  }
+
   test("txn-table MV refresh under deletes: sums/counts fold, groups retire, min/max refuses") {
     import graft.sources.TxnLog
     val root = java.nio.file.Files.createTempDirectory("mv_txn_del").toString

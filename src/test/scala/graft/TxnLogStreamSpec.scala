@@ -46,6 +46,31 @@ class TxnLogStreamSpec extends SparkSpec {
       (0L, Seq(0L, 1L)), (1L, Seq(10L, 11L)), (2L, Seq(20L, 21L))))
   }
 
+  test("schema evolution: a batch of pre-evolution files null-fills the new column") {
+    val root = java.nio.file.Files.createTempDirectory("txnstream_evo").toString
+    val log = s"$root/_log"
+    TxnLog.commit(log, 0, Seq(fileOf(root, Seq(1L, 2L).toDF("x"), "f0")), Nil)
+    TxnLog.commit(log, 1,
+      Seq(fileOf(root, Seq((3L, "a"), (4L, "b")).toDF("x", "y"), "f1")), Nil)
+    val batches = scala.collection.concurrent.TrieMap.empty[Long, Seq[(Long, Option[String])]]
+    val q = readVersions(log, "maxVersionsPerTrigger" -> "1")
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.put(id, df.select("x", "y").collect()
+          .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // batch 0's files predate y: the stream must emit them null-filled (the
+    // unconformed select threw AnalysisException and wedged the offset)
+    assert(batches.toSeq.sortBy(_._1) == Seq(
+      (0L, Seq((1L, None), (2L, None))),
+      (1L, Seq((3L, Some("a")), (4L, Some("b"))))))
+  }
+
   test("checkpoint recovery: a restarted query resumes at the committed version") {
     val root = java.nio.file.Files.createTempDirectory("txnstream_rec").toString
     val log = s"$root/_log"
