@@ -64,8 +64,43 @@ object ScaleProbe {
     "q288_record_linkage" -> 1.3, // sorted-neighborhood candidates: window-linear
     "q289_link_prediction" -> 1.6, // wedge expansion, middle-degree-capped Σdeg²
     "q294_gram_matrix" -> 1.3, // rows × fixed d² map-side expansion
-    "q303_bfs_eccentricity" -> 1.4 // rounds ≈ diameter; per-round linear in touched edges
+    "q296_proximity_search" -> 1.3, // contains prefilter + per-doc lag window, top-k
+    "q298_clustering_depth" -> 1.4, // manifest build = one linear groupBy; sweep is file-count-sized (floored by tiny absolute times)
+    "q303_bfs_eccentricity" -> 1.4, // rounds ≈ diameter; per-round linear in touched edges
+    "q304_ktruss" -> 1.6, // per-round degree-oriented wedges O(m^1.5); clique census rounds fixed
+    "q309_fd_discovery" -> 1.3, // n·k² per-row explode, immediately partially aggregated
+    "probe_edit_join_full" -> 1.6 // ED-Join over the FULL name corpus (q310 minus its fixed slice): candidates ∝ verified pairs under the df-order prefix filter
   )
+
+  /** Probe-only drivers for operators whose CATALOG query deliberately
+    * fixes its input size (the q69/q310 convention: a constant slice so
+    * bench cost measures the algorithm, not a synthetic vocabulary's
+    * quadratic pair OUTPUT). The probe variant removes the slice and runs
+    * the operator over the full scaling corpus — the r10 verdict asked
+    * for exactly this on ED-Join, whose df-order prefix filter is what a
+    * 5× corpus stresses. The synthesized big side rotates p_name letters
+    * per copy (see [[synthesize]]) so cross-copy exact-name clones don't
+    * reintroduce the quadratic output the slice existed to avoid. */
+  val probeOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "probe_edit_join_full" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // document-title corpus, NOT part names: p_name draws from a 64-name
+      // vocabulary, so a full-corpus join has ~n²/64 identical-name pairs
+      // (6.3M at sf0.1) — output-quadratic by construction, measuring the
+      // synthetic vocabulary, not the prefix filter. 40-char document
+      // prefixes are ~unique (4756/5000 at sf0.1) and the synthesizer
+      // rotates text per copy, so pair output scales with the corpus.
+      val names = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"),
+          substring(col("text"), 1, 40).as("s"))
+      val typos = names.filter(pmod(col("id"), lit(4)) === 0).select(
+        (col("id") + 1000000000L).as("id"),
+        expr("concat(substring(s, 1, CAST(id % 10 AS INT) + 5), 'q', " +
+          "substring(s, CAST(id % 10 AS INT) + 7, 200))").as("s"))
+      graft.text.Dedup.qgramEditJoin(names.unionByName(typos), "id", "s",
+          q = 2, maxDistance = 1)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("distance")).as("sum_d"))
+    })
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big
     * side: every table is unioned k times with DISJOINT id spaces (offset
@@ -118,10 +153,16 @@ object ScaleProbe {
     // "more data = more brands" shape. q253's p_partkey arithmetic (%10,
     // %100 patterns) survives the 1e8 offset, so its components replicate
     // disjointly.
+    // p_name rotates per copy like documents.text: the full-corpus ED-Join
+    // probe would otherwise see k exact clones of every name (identical-
+    // name pair output grows k² in cross-copy pairs — the synthesis, not
+    // the operator); rotation preserves lengths and gram structure.
     copies("part") { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(i * off))
         .withColumn("p_brand",
           if (i == 0) col("p_brand") else concat(col("p_brand"), lit(s"#$i")))
+        .withColumn("p_name",
+          if (i == 0) col("p_name") else translate(col("p_name"), letters, rotated(i)))
     }
     Seq("region", "nation", "customer", "supplier", "events").foreach { name =>
       val p = new java.io.File(s"$srcDir/$name.parquet")
@@ -172,7 +213,7 @@ object ScaleProbe {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // min-of-N steady-state time, like Bench (cold runs measure JIT noise)
     def timeOne(name: String, dir: String): Double = {
-      val fn = catalog(name)
+      val fn = catalog.getOrElse(name, probeOnly(name))
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -186,7 +227,11 @@ object ScaleProbe {
       }.min
     }
 
-    val results = probes.map { case (name, bound) =>
+    // dev iteration: 5th arg = comma-separated probe filter (the driver
+    // and Doctor never pass it → full list)
+    val only = args.lift(4).map(_.split(",").toSet)
+    val results = probes.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, bound) =>
       val tSmall = timeOne(name, smallDir)
       val tBig = timeOne(name, bigDir)
       // subtract nothing, declare honestly: overhead at the small size can
@@ -206,7 +251,10 @@ object ScaleProbe {
     val json =
       s"""{"small":"$smallDir","big":"$bigDir","factor":$factor,"runs":$runs,""" +
         s""""probes":$body,"pass":$allPass}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // a filtered dev run must never clobber the full-gate artifact
+    // (the bench_detail.json lesson) — partials land in a sidecar
+    val outPath = if (only.isDefined) outFile + ".partial" else outFile
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
     println(json)
     if (!allPass) sys.exit(1)
