@@ -119,12 +119,29 @@ object Bench {
     val cpuJson = results.toSeq.sortBy(_._1)
       .map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c, 3) }
       .mkString("{", ",", "}")
+    // fixture content hash: the r10 verdict found three records moving
+    // 4-5× on byte-identical code — the driver regenerates the testdata
+    // between rounds, so cross-round per-query comparisons are only valid
+    // on matching fixtures. SHA-256 over (name, bytes) of every file in
+    // the SF dir, sorted by name; ~17 MB at sf0.1, negligible.
+    val fixtureHash: String =
+      try {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val dir = java.nio.file.Paths.get(sfDir)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala.toSeq
+          .sortBy(_.getFileName.toString).foreach { p =>
+            md.update(p.getFileName.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(p))
+          }
+        md.digest().map("%02x".format(_)).mkString.take(16)
+      } catch { case e: Exception => s"unavailable:${e.getClass.getSimpleName}" }
     val detail = {
       val base = jsonLine(wall.toSeq, 3, 0)
       // splice per-query process-CPU + the contention diagnosis into the
       // detail record (the machine-readable contract — r9 verdict #1/#3)
       base.dropRight(1) +
-        s""","cpu":$cpuJson,"external_load":${fmt(externalLoad, 3)}}"""
+        s""","cpu":$cpuJson,"external_load":${fmt(externalLoad, 3)},"fixture_hash":"$fixtureHash"}"""
     }
     System.err.println(detail)
     // a SPARK_GRAFT_BENCH_ONLY dev run must NOT clobber the full-catalog
