@@ -81,6 +81,7 @@ final class Api(
     server.createContext("/query/project/async", asyncSubmitHandler())
     server.createContext("/query/project", queryHandler())
     server.createContext("/jobs/", jobStatusHandler())
+    server.createContext("/viewer", viewerHandler())
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -207,6 +208,20 @@ final class Api(
         case Done(rows, _) => respond(ex, 200, rows)
         case Failed(err, _) => respond(ex, 500, s"""{"error": ${quote(err)}}""")
       }
+    }
+  }
+
+  /** GET /viewer — the static single-page project viewer ([[ViewerPage]]),
+    * closing the reference's Dash GUI surface headlessly: the page drives
+    * the same three read endpoints the Dash app calls. */
+  private def viewerHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val bytes = ViewerPage.html.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
     }
   }
 

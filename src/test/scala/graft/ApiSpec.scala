@@ -115,6 +115,15 @@ class ApiSpec extends SparkSpec {
       val badDim = get("/dimensions/records/nope")
       assert(badDim.statusCode() == 404)
       assert(badDim.body().contains("unknown dimension"))
+
+      // the static viewer page serves from the same server and drives
+      // exactly those three endpoints (no external assets, no build step)
+      val viewer = get("/viewer")
+      assert(viewer.statusCode() == 200)
+      assert(viewer.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(viewer.body().contains("/projects"))
+      assert(viewer.body().contains("/dimensions/records/"))
+      assert(viewer.body().contains("\"/projects/\" + encodeURIComponent(projectId) + \"/dimensions\""))
     } finally api.stop()
   }
 
