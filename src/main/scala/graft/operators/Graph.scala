@@ -768,6 +768,72 @@ object Graph {
     settled
   }
 
+  /** Multi-source weighted single-source shortest paths — the WEIGHTED
+    * rung above [[multiSourceBfs]]: exact min-cost distances from a seed
+    * set over the undirected graph with non-negative integer edge weights
+    * (latency maps, cost-to-serve, weighted blast radius). Distributed
+    * Bellman-Ford with delta-frontier relaxation: each round only the
+    * nodes IMPROVED last round relax their neighbors (one frontier×edges
+    * join + a (seed, node) min-fold against the settled table), so
+    * per-round work tracks the wavefront, not the graph; every iterate is
+    * checkpointed; the loop stops at the fixed point (no improvement).
+    * Rounds are bounded by the hop length of the longest optimal path —
+    * `maxRounds` REFUSES on exhaustion rather than silently reporting
+    * non-shortest distances (the k-truss cap discipline). Parallel edges
+    * fold to their min weight; negative weights refuse up front (one
+    * validation scan — Bellman-Ford's fixed point isn't shortest paths
+    * under negative cycles, and an undirected negative edge IS one).
+    *
+    * Returns (seed, node, dist), one row per reachable node per seed;
+    * unreachable nodes are absent, not infinity. */
+  def weightedSssp(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      maxRounds: Int = 64): DataFrame = {
+    require(seeds.nonEmpty, "weightedSssp: at least one seed")
+    require(maxRounds >= 1, s"weightedSssp: maxRounds must be >= 1, got $maxRounds")
+    val session = edges.sparkSession
+    import session.implicits._
+    require(edges.filter(col("w") < 0L).isEmpty,
+      "weightedSssp: negative edge weights (an undirected negative edge is a negative cycle)")
+    val undirected = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"),
+        col("w").cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w")) // parallel edges: min
+    val sym = undirected.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .union(undirected.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .localCheckpoint(true) // joined every round
+    var dist = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var improved = dist
+    var round = 0
+    while (round < maxRounds && !improved.isEmpty) {
+      val cand = improved
+        .join(sym, improved("node") === sym("a"))
+        .select(col("seed"), col("b").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+      // a candidate improves when the node is new for its seed or strictly
+      // cheaper than the settled distance
+      val merged = dist.unionByName(cand)
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      improved = merged.join(
+          dist.select(col("seed"), col("node"), col("dist").as("__graft_old")),
+          Seq("seed", "node"), "left")
+        .filter(col("__graft_old").isNull || col("dist") < col("__graft_old"))
+        .drop("__graft_old")
+        .localCheckpoint(true)
+      dist = merged
+      round += 1
+    }
+    require(improved.isEmpty,
+      s"weightedSssp: not converged after $maxRounds rounds — raise maxRounds " +
+        "(a silent cap would report non-shortest distances)")
+    dist
+  }
+
   /** Degree assortativity (Newman PRL 2002) — the one-number health metric
     * of a graph's mixing pattern: the Pearson correlation of endpoint
     * degrees over edge ends (r > 0: hubs link hubs, social-network-like;

@@ -61,4 +61,65 @@ object RangeJoin {
         col(leftTimeColumn) >= col(startColumn) && col(leftTimeColumn) < col(endColumn))
       .drop(bucket)
   }
+
+  /** Interval OVERLAP join — both sides are interval relations and a pair
+    * matches when the half-open intervals intersect:
+    * `key equal AND lStart < rEnd AND rStart < lEnd`. The genomic /
+    * temporal-overlap workhorse (shift overlaps, outage windows vs job
+    * runs, span containment screens) and the BIG-BIG counterpart of the
+    * broadcast [[IntervalLookup]] operator: neither side needs to fit in
+    * memory.
+    *
+    * Spark-first formulation (the bin-join): both sides explode to the
+    * fixed-width buckets they cover, a plain shuffled equi-join on
+    * (key, bucket) bounds candidates, the exact overlap predicate
+    * verifies. A pair whose overlap spans several shared buckets would
+    * emit once per bucket — instead of a distinct (a second full shuffle
+    * of the OUTPUT, the expensive relation here), each pair reports
+    * exactly once in the bucket containing max(lStart, rStart), the first
+    * bucket of the intersection, which both sides cover by construction.
+    * At 100 TB: shuffle is hash(key, bucket) — time-locality becomes
+    * partition-locality, a hot key spreads over its buckets, and the
+    * planner sees an ordinary equi-join (AQE skew split applies). Pick
+    * `bucketWidthSeconds` near the typical interval length: fan-out per
+    * row is ceil(length/width) + 1.
+    *
+    * Degenerate intervals (end <= start) are empty sets — they match
+    * nothing and are dropped before the explode. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyColumns: Seq[String],
+      leftStartColumn: String,
+      leftEndColumn: String,
+      rightStartColumn: String,
+      rightEndColumn: String,
+      bucketWidthSeconds: Long = 86400L): DataFrame = {
+    require(bucketWidthSeconds > 0, "bucketWidthSeconds must be positive")
+    val rPayload = right.columns.filterNot(keyColumns.contains).toSeq
+    val collisions = rPayload.intersect(left.columns.filterNot(keyColumns.contains).toSeq)
+    require(
+      collisions.isEmpty,
+      s"intervalOverlapJoin: right columns collide with left: ${collisions.mkString(",")}")
+    val w = bucketWidthSeconds * 1000000L // microseconds
+    val bucket = "__graft_ovl_bucket"
+    def bucketed(df: DataFrame, startCol: String, endCol: String) = df
+      .filter(col(endCol) > col(startCol))
+      .withColumn(
+        bucket,
+        explode(sequence(
+          (unix_micros(col(startCol)) / w).cast("long"),
+          ((unix_micros(col(endCol)) - 1) / w).cast("long"))))
+    val lb = bucketed(left, leftStartColumn, leftEndColumn)
+    val rb = bucketed(right, rightStartColumn, rightEndColumn)
+    lb.join(rb, keyColumns :+ bucket)
+      .filter(
+        col(leftStartColumn) < col(rightEndColumn) &&
+          col(rightStartColumn) < col(leftEndColumn))
+      // emit-once: only the intersection's FIRST bucket reports the pair
+      .filter(col(bucket) ===
+        (greatest(unix_micros(col(leftStartColumn)), unix_micros(col(rightStartColumn))) / w)
+          .cast("long"))
+      .drop(bucket)
+  }
 }

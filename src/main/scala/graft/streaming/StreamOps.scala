@@ -178,15 +178,17 @@ object StreamOps {
     *
     * Column layout: key columns keep their names; non-key columns get
     * `leftSuffix`/`rightSuffix` to avoid collisions. */
-  /** Stream-stream interval join. `joinType` "inner" (default) or
-    * "left_outer": the outer form emits a null-padded left row once the
-    * GLOBAL watermark (min across both sides' watermark nodes) passes the
-    * row's join window — i.e. a left row L surfaces as unmatched only
-    * after watermark > L.ts + within, which is when the state store can
-    * prove no future right row can join it. Left rows inside the final
-    * watermark horizon stay in state and never emit; a deterministic
-    * drain (AvailableNow + monotone event-time feeding) makes that
-    * cutoff exactly min(max left ts, max right ts) − delay. */
+  /** Stream-stream interval join. `joinType` "inner" (default),
+    * "left_outer", or "full_outer": an outer form emits a null-padded row
+    * once the GLOBAL watermark (min across both sides' watermark nodes)
+    * passes the row's join window — i.e. a left row L surfaces as
+    * unmatched only after watermark > L.ts + within, which is when the
+    * state store can prove no future right row can join it; full_outer
+    * applies the same eviction contract to BOTH sides (key columns
+    * resolve via coalesce since either side can be the null one). Rows
+    * inside the final watermark horizon stay in state and never emit; a
+    * deterministic drain (AvailableNow + monotone event-time feeding)
+    * makes that cutoff exactly min(max left ts, max right ts) − delay. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -198,26 +200,31 @@ object StreamOps {
       rightSuffix: String = "_r",
       joinType: String = "inner"): DataFrame = {
     require(keyColumns.nonEmpty, "intervalJoin: no key columns")
-    require(Seq("inner", "left_outer").contains(joinType),
-      s"intervalJoin: joinType $joinType not in {inner, left_outer}")
+    require(Seq("inner", "left_outer", "full_outer").contains(joinType),
+      s"intervalJoin: joinType $joinType not in {inner, left_outer, full_outer}")
+    // EVERY column is suffixed per side, keys included: both sides often
+    // derive from the same source stream (two filters of one reader), and
+    // a projection referencing both sides' copy of a shared-lineage key
+    // trips the ambiguous-self-join check — distinct names sidestep it
     def suffixed(df: DataFrame, suffix: String) = {
-      val renamed = df.columns.foldLeft(df) { (d, c) =>
-        if (keyColumns.contains(c)) d else d.withColumnRenamed(c, c + suffix)
-      }
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
       renamed.withWatermark(timestampColumn + suffix, watermark)
     }
     val l = suffixed(left, leftSuffix)
     val r = suffixed(right, rightSuffix)
     val tl = col(timestampColumn + leftSuffix)
     val tr = col(timestampColumn + rightSuffix)
-    val keysEq = keyColumns.map(k => l(k) === r(k)).reduce(_ && _)
+    val keysEq = keyColumns.map(k => col(k + leftSuffix) === col(k + rightSuffix)).reduce(_ && _)
     val bound = tr >= tl - expr(s"INTERVAL $within") && tr <= tl + expr(s"INTERVAL $within")
     l.join(r, keysEq && bound, joinType)
-      // project the key columns once from the left (both sides carry them
-      // post-join; on left_outer the right copies are null for unmatched)
-      .select(keyColumns.map(l(_)) ++
-        l.columns.filterNot(keyColumns.contains).map(l(_)) ++
-        r.columns.filterNot(keyColumns.contains).map(r(_)): _*)
+      // project each key once under its original name (on left_outer the
+      // right copy is null for unmatched rows; on full_outer EITHER side
+      // can be the null one → coalesce)
+      .select(keyColumns.map(k =>
+          (if (joinType == "full_outer") coalesce(col(k + leftSuffix), col(k + rightSuffix))
+           else col(k + leftSuffix)).as(k)) ++
+        left.columns.filterNot(keyColumns.contains).map(c => col(c + leftSuffix)) ++
+        right.columns.filterNot(keyColumns.contains).map(c => col(c + rightSuffix)): _*)
   }
 
   /** Convenience writer: append stream to parquet with a checkpoint — the

@@ -198,6 +198,54 @@ class DatasetExprSpec extends SparkSpec {
       (1.0, "long"), (2.0, "long"), (3.0, "long"), (4.0, "long")))
   }
 
+  test("interval overlap join: half-open semantics, emit-once across shared buckets, degenerates drop") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq(
+      ("k", 1L, ts("2024-01-01 00:00:00"), ts("2024-01-20 00:00:00")), // long: many buckets
+      ("k", 2L, ts("2024-01-05 00:00:00"), ts("2024-01-06 00:00:00")),
+      ("k", 3L, ts("2024-02-01 00:00:00"), ts("2024-02-01 00:00:00")), // degenerate: drops
+      ("z", 4L, ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00"))) // other key
+      .toDF("key", "lid", "ls", "le")
+    val r = Seq(
+      ("k", 10L, ts("2024-01-03 00:00:00"), ts("2024-01-15 00:00:00")), // overlaps 1 over many buckets, and 2
+      ("k", 11L, ts("2024-01-20 00:00:00"), ts("2024-01-21 00:00:00")), // touches 1's end: half-open, no match
+      ("k", 12L, ts("2024-01-31 00:00:00"), ts("2024-02-02 00:00:00"))) // would hit 3 if not degenerate
+      .toDF("key", "rid", "rs", "re")
+    val out = graft.operators.RangeJoin
+      .intervalOverlapJoin(l, r, Seq("key"), "ls", "le", "rs", "re", bucketWidthSeconds = 86400L)
+    val pairs = out.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // emit-once: (1,10) shares 12 daily buckets — exactly one output row
+    assert(pairs.sorted == Seq((1L, 10L), (2L, 10L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Cartesian"))
+  }
+
+  test("interval overlap join equals the brute-force overlap join on fuzzed intervals") {
+    val rnd = new scala.util.Random(313)
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val s = rnd.nextInt(500).toLong * 3600L // hours grid over ~21 days
+      val len = (rnd.nextInt(96) + 1).toLong * 3600L
+      (s"k${rnd.nextInt(4)}", i.toLong, new java.sql.Timestamp(s * 1000L),
+        new java.sql.Timestamp((s + len) * 1000L))
+    }.toDF("key", s"${tag}id", s"${tag}s", s"${tag}e")
+    val l = mk(80, "l")
+    val r = mk(60, "r")
+    for (width <- Seq(3600L, 86400L, 7L * 86400L)) {
+      val got = graft.operators.RangeJoin
+        .intervalOverlapJoin(l, r, Seq("key"), "ls", "le", "rs", "re", bucketWidthSeconds = width)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = l.join(r, Seq("key"))
+        .filter(col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == want, s"width=$width")
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        l, r.withColumnRenamed("rid", "lid"), Seq("key"), "ls", "le", "rs", "re")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("range join rejects payload column collisions up front") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -169,6 +169,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "lm", Some("rm")), (2L, "lu", None), (9L, "ltail", Some("rtail"))))
   }
 
+  test("full-outer interval join: BOTH sides null-pad after the watermark, keys coalesce") {
+    implicit val sql = spark.sqlContext
+    val li = MemoryStream[(Long, Timestamp, String)]
+    val ri = MemoryStream[(Long, Timestamp, String)]
+    val l = li.toDF().toDF("k", "ts", "tag")
+    val r = ri.toDF().toDF("k", "ts", "tag")
+    val joined = StreamOps.intervalJoin(l, r, Seq("k"), "ts", within = "10 minutes",
+      watermark = "1 minute", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("foj").outputMode("append").start()
+    // one matched pair, one unmatched LEFT, one unmatched RIGHT (its key 3
+    // exists on no left row — the coalesce projection must still carry it)
+    li.addData((1L, ts("2024-01-01 10:00:00"), "lm"), (2L, ts("2024-01-01 10:00:00"), "lu"))
+    ri.addData((1L, ts("2024-01-01 10:05:00"), "rm"), (3L, ts("2024-01-01 10:00:00"), "ru"))
+    q.processAllAvailable()
+    def rows() = spark.table("foj").select("k", "tag_l", "tag_r")
+      .collect().map(r0 => (r0.getLong(0), Option(r0.getString(1)), Option(r0.getString(2)))).toSet
+    // watermark at the batch-1 horizon: only the match emits
+    assert(rows() == Set((1L, Some("lm"), Some("rm"))))
+    // push both watermarks past the windows: BOTH unmatched rows flush
+    li.addData((9L, ts("2024-01-01 11:00:00"), "ltail"))
+    ri.addData((9L, ts("2024-01-01 11:00:01"), "rtail"))
+    q.processAllAvailable()
+    val got = rows()
+    q.stop()
+    assert(got == Set(
+      (1L, Some("lm"), Some("rm")),
+      (2L, Some("lu"), None), // unmatched left, right side null
+      (3L, None, Some("ru")), // unmatched right, LEFT side null — key from coalesce
+      (9L, Some("ltail"), Some("rtail"))))
+  }
+
   test("idempotent upsert sink: multi-batch counts converge and a batch retry is a no-op") {
     import graft.streaming.StreamOps
     val scratch = java.nio.file.Files.createTempDirectory("graft-upsert").toString
