@@ -129,11 +129,14 @@ object Bench {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val dir = java.nio.file.Paths.get(sfDir)
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(dir).iterator().asScala.toSeq
-          .sortBy(_.getFileName.toString).foreach { p =>
-            md.update(p.getFileName.toString.getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(p))
-          }
+        val stream = java.nio.file.Files.list(dir)
+        val names =
+          try stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+          finally stream.close() // a leaked stream holds a directory fd per run
+        names.foreach { p =>
+          md.update(p.getFileName.toString.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(p))
+        }
         md.digest().map("%02x".format(_)).mkString.take(16)
       } catch { case e: Exception => s"unavailable:${e.getClass.getSimpleName}" }
     val detail = {

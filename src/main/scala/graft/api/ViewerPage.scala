@@ -50,6 +50,11 @@ object ViewerPage {
 "use strict";
 const $ = id => document.getElementById(id);
 const fail = msg => { $("error").textContent = msg; };
+// escape EVERYTHING interpolated into innerHTML — record values and
+// dimension metadata are data, and data containing markup must render as
+// text, not execute (the reference's Dash DataTable escapes cell content)
+const esc = v => String(v).replace(/[&<>"']/g, ch =>
+  ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;"}[ch]));
 async function getJson(path) {
   const r = await fetch(path);
   const body = await r.json();
@@ -62,9 +67,9 @@ function renderRecords() {
   const rows = records.filter(row =>
     !needle || columns.some(c => String(row[c] ?? "").toLowerCase().includes(needle)));
   $("recs").querySelector("thead").innerHTML =
-    "<tr>" + columns.map(c => "<th>" + c + "</th>").join("") + "</tr>";
+    "<tr>" + columns.map(c => "<th>" + esc(c) + "</th>").join("") + "</tr>";
   $("recs").querySelector("tbody").innerHTML = rows.slice(0, 500).map(row =>
-    "<tr>" + columns.map(c => "<td>" + String(row[c] ?? "") + "</td>").join("") + "</tr>"
+    "<tr>" + columns.map(c => "<td>" + esc(row[c] ?? "") + "</td>").join("") + "</tr>"
   ).join("");
   $("recTitle").textContent =
     "Records (" + rows.length + (rows.length > 500 ? ", showing 500" : "") + ")";
@@ -86,8 +91,8 @@ async function loadDimensions(projectId) {
   (body.dimensions || []).forEach(d => {
     const tr = document.createElement("tr");
     tr.className = "dim";
-    tr.innerHTML = "<td>" + d.dimension_id + "</td><td>" + d.name +
-      "</td><td>" + d.category + "</td>";
+    tr.innerHTML = "<td>" + esc(d.dimension_id) + "</td><td>" + esc(d.name) +
+      "</td><td>" + esc(d.category) + "</td>";
     tr.onclick = () => loadRecords(d.dimension_id, tr).catch(e => fail(e.message));
     tbody.appendChild(tr);
   });

@@ -773,10 +773,15 @@ object Graph {
     * set over the undirected graph with non-negative integer edge weights
     * (latency maps, cost-to-serve, weighted blast radius). Distributed
     * Bellman-Ford with delta-frontier relaxation: each round only the
-    * nodes IMPROVED last round relax their neighbors (one frontier×edges
-    * join + a (seed, node) min-fold against the settled table), so
-    * per-round work tracks the wavefront, not the graph; every iterate is
-    * checkpointed; the loop stops at the fixed point (no improvement).
+    * nodes IMPROVED last round relax their neighbors, so the
+    * frontier×edges RELAXATION join tracks the wavefront, not the graph.
+    * The (seed, node) min-fold that merges candidates into the settled
+    * table is O(|dist|) per round — rewriting the distance table is
+    * inherent to a batch DataFrame fixpoint (no in-place update), so total
+    * cost is O(rounds·|dist| + Σ frontier×degree); a real cluster would
+    * co-partition dist and candidates on (seed, node) so that merge is a
+    * shuffle-free zipped fold. Every iterate is checkpointed; the loop
+    * stops at the fixed point (no improvement).
     * Rounds are bounded by the hop length of the longest optimal path —
     * `maxRounds` REFUSES on exhaustion rather than silently reporting
     * non-shortest distances (the k-truss cap discipline). Parallel edges

@@ -109,30 +109,56 @@ object Skyline {
       .groupBy(dims.map(c => col(s"__cell_$c")): _*)
       .count()
       .collect()
-      .map(r => (0 until k).map(r.getInt).toVector)
-      .toSet
-    // suffix-OR sweep: occupiedFrom(c) = some non-empty cell >= c componentwise.
-    // Dimension-by-dimension running OR turns the 2^k-neighbor recursion into
-    // k passes over the (bounded) grid.
-    var occupiedFrom = census
-    for (dim <- 0 until k; b <- (buckets - 2) to 0 by -1) {
-      occupiedFrom = occupiedFrom ++ occupiedFrom.collect {
-        case c if c(dim) == b + 1 => c.updated(dim, b)
+      .map(r => (0 until k).map(r.getInt).toArray)
+    // suffix-OR sweep over a DENSE flat grid (buckets^k <= 2^20 by the
+    // require above): occ(c) = some non-empty cell >= c componentwise.
+    // Dimension-by-dimension running OR turns the 2^k-neighbor recursion
+    // into k linear passes over the array — no per-step set copies.
+    val gridSize = math.pow(buckets, k).toInt
+    val strides = Array.iterate(1, k)(_ * buckets)
+    def flat(c: Array[Int]): Int = {
+      var idx = 0; var i = 0
+      while (i < k) { idx += c(i) * strides(i); i += 1 }
+      idx
+    }
+    val occ = new Array[Boolean](gridSize)
+    census.foreach(c => occ(flat(c)) = true)
+    for (dim <- 0 until k) {
+      val stride = strides(dim)
+      // descending flat order: idx + stride (the b+1 neighbor) is always
+      // visited before idx, so one linear pass per dim is exact
+      var idx = gridSize - 1
+      while (idx >= 0) {
+        if (idx / stride % buckets < buckets - 1 && occ(idx + stride))
+          occ(idx) = true
+        idx -= 1
       }
     }
+    // a census cell c is prunable iff every coordinate admits a strict +1
+    // (not at the grid edge) and some non-empty cell >= c+1 componentwise —
+    // that cell's points then strictly dominate all of c's in every dim
     val prunedCells = census.filter { c =>
-      val up = c.map(x => math.min(x + 1, buckets - 1))
-      up != c && occupiedFrom.contains(up) &&
-        // up must dominate via STRICT +1 in every dim; at the grid edge
-        // (x = buckets-1) there is no strictly-higher cell → not prunable
-        c.forall(_ < buckets - 1)
+      c.forall(_ < buckets - 1) && occ(flat(c.map(_ + 1)))
     }
-    val prunedSet = prunedCells.map(_.mkString(","))
-    val cellKey = concat_ws(",", dims.map(c => col(s"__cell_$c").cast("string")): _*)
-    val band = withCells
-      .filter(!cellKey.isin(prunedSet.toSeq: _*) || lit(prunedSet.isEmpty))
-      .drop(dims.map(c => s"__cell_$c"): _*)
-      .cache()
+    val spark = df.sparkSession
+    val band0 =
+      if (prunedCells.isEmpty) withCells
+      else {
+        // broadcast left_anti on the cell-key tuple — a literal `isin`
+        // over up to ~10^6 cells blows up analysis/codegen (r11 advice)
+        val schema = org.apache.spark.sql.types.StructType(
+          dims.map(c => org.apache.spark.sql.types.StructField(s"__cell_$c",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val rows = prunedCells.toSeq.map(c =>
+          org.apache.spark.sql.Row.fromSeq(c.toSeq))
+        val prunedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        withCells.join(broadcast(prunedDf), dims.map(c => s"__cell_$c"), "left_anti")
+      }
+    // eager local checkpoint: materialized once, lineage truncated, and the
+    // blocks are reclaimed by the ContextCleaner when the plan is GC'd —
+    // no session-lifetime cache leak (r11 advice)
+    val band = band0.drop(dims.map(c => s"__cell_$c"): _*).localCheckpoint(true)
     val bandRows = band.count()
     require(bandRows <= maxBandRows,
       s"paretoFrontier: staircase band has $bandRows rows (> $maxBandRows) — " +
