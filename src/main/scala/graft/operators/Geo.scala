@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup
+
+/** Planar geospatial operators over an INTEGER grid — the spatial-join /
+  * neighborhood family (Sedona / PostGIS territory) re-expressed as
+  * grid-bucketed equi-joins so Catalyst plans them like any other join.
+  *
+  * Contract: coordinates are integers (projected microdegrees, meters, or
+  * any fixed-point grid — at 100 TB you project once at ingest and never
+  * carry float lat/lon through joins). Integer squared-Euclidean
+  * distance makes every predicate exact on both engines: no haversine/trig
+  * in the join path (trig is not bit-stable across engines, and a
+  * fixed-point planar projection is how production spatial joins avoid it
+  * anyway — the projection step is a per-row scalar map left to ingest).
+  *
+  * Scale design (all three operators share it):
+  *   - candidate generation is a GRID-CELL EQUI-JOIN: cell width = the
+  *     query radius, the probe side expands to its 3×3 neighbor cells
+  *     (bounded 9× fanout, repartitioned to explicit N first per the
+  *     row-expansion ground rule), the build side keys by its single home
+  *     cell — every true pair shares a probe cell exactly once, so there
+  *     is no post-join distinct;
+  *   - the exact d² ≤ r² filter runs inside the join stage (codegen'd
+  *     integer arithmetic), so shuffle volume is cells, never all-pairs;
+  *   - a hot cell (urban-core skew) is an ordinary skewed join key: AQE
+  *     skew-join or the salting operators apply unchanged — which is the
+  *     point of spelling spatial candidates as a plain equi-join.
+  */
+object Geo {
+
+  /** Distance-threshold spatial join: all (left, right) pairs with
+    * squared Euclidean distance ≤ radius² on the integer grid. Output:
+    * every left column, every right column, plus `d2` (exact BIGINT).
+    * Column names must be disjoint.
+    *
+    * `probePartitions`: explicit repartition width for the probe side
+    * BEFORE its 9× neighbor-cell expansion — AQE coalesces by INPUT bytes
+    * and is blind to the fanout (the q115 lesson), so the width is a
+    * visible knob, not an inferred one. */
+  def gridDistanceJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lx: String, ly: String,
+      rx: String, ry: String,
+      radius: Long,
+      probePartitions: Int = 32): DataFrame = {
+    require(radius >= 1, s"gridDistanceJoin: radius must be >= 1, got $radius")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"gridDistanceJoin: overlapping columns $overlap")
+    // FLOOR division for the cell key (subtract the non-negative pmod
+    // remainder first): Spark's `div` truncates toward zero, which would
+    // mis-cell negative coordinates — this form equals DuckDB's flooring
+    // `//` on every integer, so negative grids are correct, not a contract
+    // footnote
+    def cell(c: String): Column =
+      expr(s"(CAST($c AS BIGINT) - pmod($c, $radius)) div $radius")
+    // home cell of the build side; 3x3 neighborhood of the probe side —
+    // any pair within `radius` differs by at most one cell per axis, so
+    // the probe's 9 cells cover every true partner and each (probe cell =
+    // build home cell) match occurs exactly once.
+    val probe = left
+      .repartition(probePartitions)
+      .withColumn("__geo_hx", cell(lx))
+      .withColumn("__geo_hy", cell(ly))
+      .withColumn("__geo_c", explode(expr(
+        "flatten(transform(sequence(-1L, 1L), dx -> " +
+          "transform(sequence(-1L, 1L), dy -> " +
+          "struct(__geo_hx + dx AS cx, __geo_hy + dy AS cy))))")))
+      .withColumn("__geo_cx", col("__geo_c.cx"))
+      .withColumn("__geo_cy", col("__geo_c.cy"))
+      .drop("__geo_c", "__geo_hx", "__geo_hy")
+    val build = right
+      .withColumn("__geo_cx", cell(rx))
+      .withColumn("__geo_cy", cell(ry))
+    val d2 = (col(lx) - col(rx)) * (col(lx) - col(rx)) +
+      (col(ly) - col(ry)) * (col(ly) - col(ry))
+    probe
+      .join(build, Seq("__geo_cx", "__geo_cy"))
+      .drop("__geo_cx", "__geo_cy")
+      .withColumn("d2", d2.cast("long"))
+      .filter(col("d2") <= lit(radius * radius))
+  }
+
+  /** k nearest right-side neighbors within `radius` of each left row —
+    * the bounded-radius kNN every geo feature pipeline runs ("closest k
+    * depots within 50 km"). Exact: grid candidates (above) ranked by
+    * (d², rIdCol) through the bounded-heap TopK physical operator — at
+    * most k rows per (group, input partition) cross the shuffle, vs the
+    * window spelling's full candidate sort. The rIdCol tiebreak makes the
+    * boundary deterministic. Left rows with NO neighbor in range are
+    * absent (it is a join, not a gap-fill — LEFT-join a spine afterwards
+    * if the zero rows matter). */
+  def knnWithinRadius(
+      left: DataFrame,
+      right: DataFrame,
+      lIdCol: String, rIdCol: String,
+      lx: String, ly: String,
+      rx: String, ry: String,
+      radius: Long,
+      k: Int,
+      probePartitions: Int = 32): DataFrame = {
+    require(k >= 1, s"knnWithinRadius: k must be >= 1, got $k")
+    val cand = gridDistanceJoin(left, right, lx, ly, rx, ry, radius, probePartitions)
+    TopK.perGroup(cand, Seq(lIdCol), Seq("d2" -> true, rIdCol -> true), k)
+  }
+
+  /** Grid DBSCAN (Ester et al. KDD'96 semantics, exact): density clusters
+    * on the integer grid — core points have ≥ `minPts` neighbors within
+    * `eps` (the point itself counts, per the paper's |N_eps(p)|), clusters
+    * are connected components of core points under eps-adjacency, border
+    * points (non-core with a core neighbor) attach to their MINIMUM core
+    * neighbor's cluster (the paper leaves multi-assignment ambiguous;
+    * minimum makes it deterministic), everything else is noise.
+    *
+    * Exactness makes this oracle-replayable — the usual DBSCAN
+    * non-determinism is entirely in border tie-breaks, pinned here.
+    *
+    * Shape: ONE grid self-join for eps-neighbor pairs (cells = eps wide),
+    * a count for core-ness, checkpointed min-label CC with pointer jumping
+    * over core-core edges (O(log diameter) rounds), one broadcast-friendly
+    * join for border attachment. Cluster id = min point id in the
+    * component. Returns (idCol, role 'core'|'border'|'noise',
+    * cluster BIGINT, NULL for noise). Ids must be unique and non-null.
+    *
+    * At 100 TB: the neighbor join is the dominant cost and is exactly the
+    * gridDistanceJoin scale story (cell equi-join, AQE-skewable); the CC
+    * fixpoint runs over core EDGES (density-bounded: ≤ minPts-dense
+    * neighborhoods by definition of the clusters one cares about), and
+    * everything after is metadata-shaped per cluster. */
+  def gridDbscan(
+      points: DataFrame,
+      idCol: String, xCol: String, yCol: String,
+      eps: Long,
+      minPts: Int,
+      probePartitions: Int = 32): DataFrame = {
+    require(minPts >= 1, s"gridDbscan: minPts must be >= 1, got $minPts")
+    val base = points.select(col(idCol), col(xCol), col(yCol)).localCheckpoint(true)
+    val a = base.select(col(idCol).as("__db_aid"), col(xCol).as("__db_ax"), col(yCol).as("__db_ay"))
+    val b = base.select(col(idCol).as("__db_bid"), col(xCol).as("__db_bx"), col(yCol).as("__db_by"))
+    // includes the self-pair (d2=0) — |N_eps(p)| counts p itself
+    val pairs = gridDistanceJoin(a, b, "__db_ax", "__db_ay", "__db_bx", "__db_by",
+        eps, probePartitions)
+      .select(col("__db_aid"), col("__db_bid"))
+      .localCheckpoint(true)
+    val core = pairs.groupBy(col("__db_aid"))
+      .agg(count(lit(1)).as("__db_n"))
+      .filter(col("__db_n") >= minPts)
+      .select(col("__db_aid").as("__db_core"))
+      .localCheckpoint(true)
+    val coreEdges = pairs
+      .filter(col("__db_aid") < col("__db_bid"))
+      .join(core.withColumnRenamed("__db_core", "__db_aid"), Seq("__db_aid"), "left_semi")
+      .join(core.withColumnRenamed("__db_core", "__db_bid"), Seq("__db_bid"), "left_semi")
+      .select(col("__db_aid").as("id1"), col("__db_bid").as("id2"))
+    // min-id components over core-core adjacency; isolated cores (no core
+    // neighbor) are their own singleton cluster via the coalesce below
+    val roots = Dedup.duplicateClusters(coreEdges)
+      .select(col("id").as("__db_core"), col("root").as("__db_root"))
+    val coreLabeled = core
+      .join(roots, Seq("__db_core"), "left")
+      .select(col("__db_core"),
+        coalesce(col("__db_root"), col("__db_core")).as("__db_cluster"))
+      .localCheckpoint(true)
+    // border: non-core with >= 1 core neighbor -> min core-neighbor cluster
+    val borderLabel = pairs
+      .join(core.withColumnRenamed("__db_core", "__db_aid"), Seq("__db_aid"), "left_anti")
+      .join(coreLabeled.withColumnRenamed("__db_core", "__db_bid"), Seq("__db_bid"))
+      .groupBy(col("__db_aid"))
+      .agg(min(col("__db_cluster")).as("__db_cluster"))
+    base
+      .join(coreLabeled.withColumnRenamed("__db_core", idCol)
+          .withColumnRenamed("__db_cluster", "__db_corecl"), Seq(idCol), "left")
+      .join(borderLabel.withColumnRenamed("__db_aid", idCol)
+          .withColumnRenamed("__db_cluster", "__db_bordercl"), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("__db_corecl").isNotNull, lit("core"))
+          .when(col("__db_bordercl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__db_corecl"), col("__db_bordercl")).cast("long").as("cluster"))
+  }
+
+  /** Point-in-convex-polygon test as a pure codegen'd Column: inside (or
+    * on the boundary) iff the point is on the non-negative side of every
+    * edge of the COUNTER-CLOCKWISE vertex ring — one exact integer cross
+    * product per edge, no trig, no floats, trivially oracle-replayable.
+    * Refuses vertex rings that are not strictly convex CCW (a concave or
+    * clockwise ring would silently test the wrong region). The convex
+    * restriction is the honest contract: arbitrary polygons need ray
+    * casting with edge-case handling that has no exact-SQL twin; convex
+    * cells (tiles, fences, viewports) are the overwhelmingly common
+    * filter shape. */
+  def pointInConvexPolygon(
+      x: Column, y: Column, vertices: Seq[(Long, Long)]): Column = {
+    require(vertices.size >= 3, s"pointInConvexPolygon: need >= 3 vertices")
+    val n = vertices.size
+    val crossSigns = (0 until n).map { i =>
+      val (x1, y1) = vertices(i)
+      val (x2, y2) = vertices((i + 1) % n)
+      val (x3, y3) = vertices((i + 2) % n)
+      (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+    }
+    require(crossSigns.forall(_ > 0),
+      "pointInConvexPolygon: vertices must form a strictly convex CCW ring")
+    (0 until n).map { i =>
+      val (x1, y1) = vertices(i)
+      val (x2, y2) = vertices((i + 1) % n)
+      (lit(x2 - x1) * (y - lit(y1)) - lit(y2 - y1) * (x - lit(x1))) >= 0L
+    }.reduce(_ && _)
+  }
+}

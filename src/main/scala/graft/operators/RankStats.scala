@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Rank-based (distribution-free) statistics — the drift / A-B / model-eval
+  * tests that compare DISTRIBUTIONS, not means: two-sample
+  * Kolmogorov–Smirnov, Mann–Whitney U, Spearman rank correlation, and
+  * ROC-AUC. These complete the monitoring surface next to the parametric
+  * chi-square (q210), MAD outliers (q99), and exact ACF (q293).
+  *
+  * Everything is EXACT INTEGER arithmetic end-to-end, which is what makes
+  * rank statistics the right family for a cross-engine-verified pipeline:
+  * ranks are integers, tie-averaged ranks are half-integers (so DOUBLED
+  * ranks are integers — the `rank2` convention below), and every statistic
+  * is a rational whose numerator/denominator we carry explicitly, emitting
+  * a ppm fixed-point value via truncating sign-magnitude division (Spark
+  * `div` truncates toward zero, DuckDB `//` floors — sign·(|num| div den)
+  * agrees on both).
+  *
+  * Scale design: NO global per-row sort anywhere. All ranks derive from a
+  * DISTINCT-VALUE CENSUS — groupBy(value) count, one shuffle whose width is
+  * the number of distinct values, then a prefix-sum window over the census
+  * only. Rank2 of a tie class of size c starting after r rows is
+  * 2r + c + 1 (= twice the average rank), so every Σ-over-rows statistic is
+  * a Σ-over-census weighted by c. A window over a census partitioned by
+  * group keys scales with per-group distinct values; for continuous
+  * measures at 100 TB you quantize first (the census IS the quantizer
+  * contract), exactly like every production KS/PSI monitor.
+  */
+object RankStats {
+
+  /** Truncating sign-magnitude ppm column `out` = sign(num)·((|num|·10⁶)
+    * div den), exact in DECIMAL(38,0) so |num|·10⁶ can't overflow BIGINT
+    * midway (the q293 pattern); materialized through fixed-name temp
+    * columns so the integral `div` sees plain attributes. */
+  private[operators] def withPpm(
+      df: DataFrame, num: Column, den: Column, out: String): DataFrame =
+    df.withColumn("__rs_num", num.cast("long"))
+      .withColumn("__rs_den", den.cast("long"))
+      .withColumn(out, (when(col("__rs_num") < 0, -1L).otherwise(1L) *
+        expr("(CAST(abs(__rs_num) AS DECIMAL(38,0)) * 1000000) div __rs_den"))
+        .cast("long"))
+      .drop("__rs_num", "__rs_den")
+
+  /** Distinct-value census with doubled average ranks, per group:
+    * (groupCols*, value, cnt, rank2) where rank2 = 2·cumBelow + cnt + 1.
+    * The only window runs over the census (one row per distinct value per
+    * group), partitioned by the group columns. */
+  def rank2Census(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census.withColumn("rank2",
+      lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov per group: D = max_v |F_a(v) − F_b(v)|
+    * carried as the exact integer numerator max|cumA·nB − cumB·nA| over
+    * the merged distinct-value census (the max of the ECDF gap is attained
+    * at a data point, so the census sweep is the whole test). Returns one
+    * row per group: (groupCols*, n_a, n_b, d_num, d_ppm) with
+    * d = d_num/(n_a·n_b). `sideCol` must take exactly the two values
+    * `sideA`/`sideB` (others are ignored). Groups missing a side are
+    * dropped (no distribution to compare). */
+  def ksTest(
+      df: DataFrame, valueCol: String, sideCol: String,
+      sideA: String, sideB: String, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val census = df
+      .filter(col(sideCol).isin(sideA, sideB))
+      .groupBy((gs :+ col(valueCol)): _*)
+      .agg(
+        sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__rs_ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__rs_cb"))
+    val w = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gs: _*)
+    val swept = census
+      .withColumn("__rs_cuma", sum(col("__rs_ca")).over(w))
+      .withColumn("__rs_cumb", sum(col("__rs_cb")).over(w))
+      .withColumn("__rs_na", sum(col("__rs_ca")).over(wTot))
+      .withColumn("__rs_nb", sum(col("__rs_cb")).over(wTot))
+      .filter(col("__rs_na") > 0 && col("__rs_nb") > 0)
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__rs_na")).as("n_a"),
+        max(col("__rs_nb")).as("n_b"),
+        max(abs(col("__rs_cuma") * col("__rs_nb") - col("__rs_cumb") * col("__rs_na")))
+          .as("d_num"))
+    withPpm(swept, col("d_num"), col("n_a") * col("n_b"), "d_ppm")
+  }
+
+  /** Mann–Whitney U per group, doubled for tie exactness: returns
+    * (groupCols*, n_a, n_b, u2, u_ppm) where u2 = 2·U_A =
+    * 2·ΣR_A − n_a·(n_a+1) over tie-averaged ranks of the pooled sample and
+    * u_ppm = u2·10⁶ div (2·n_a·n_b) — the common-language effect size
+    * P(A > B) + ½P(A = B) in ppm (ROC-AUC when A = positives). */
+  def mannWhitney(
+      df: DataFrame, valueCol: String, sideCol: String,
+      sideA: String, sideB: String, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val filtered = df.filter(col(sideCol).isin(sideA, sideB))
+    val census = filtered
+      .groupBy((gs :+ col(valueCol)): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__rs_ca"))
+    val w = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("rank2",
+        lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("__rs_ca")).as("n_a"),
+        sum(col("cnt") - col("__rs_ca")).as("n_b"),
+        sum(col("__rs_ca") * col("rank2")).as("__rs_sumr2"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("u2", col("__rs_sumr2") - col("n_a") * (col("n_a") + 1L))
+      .drop("__rs_sumr2")
+      .transform(d => withPpm(d, col("u2"), lit(2L) * col("n_a") * col("n_b"), "u_ppm"))
+  }
+
+  /** ROC-AUC per group over an integer/discrete score column with a
+    * boolean label: AUC = P(score_pos > score_neg) + ½P(=) — exactly the
+    * Mann–Whitney effect size with A = positives. Returns
+    * (groupCols*, n_pos, n_neg, u2, auc_ppm). */
+  def rocAuc(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val sided = df.withColumn("__rs_side",
+      when(col(labelCol), lit("p")).otherwise(lit("n")))
+    mannWhitney(sided, scoreCol, "__rs_side", "p", "n", groupCols)
+      .withColumnRenamed("n_a", "n_pos")
+      .withColumnRenamed("n_b", "n_neg")
+      .withColumnRenamed("u_ppm", "auc_ppm")
+  }
+
+  /** Spearman rank correlation per group (tie-averaged ranks, the
+    * Σd² formulation): returns (groupCols*, n, d2sum4, rho_ppm) where
+    * d2sum4 = Σ(rank2_x − rank2_y)² = 4·Σd² exactly, and
+    * rho_ppm = (2·n(n²−1) − 3·d2sum4)·10⁶ div (2·n(n²−1)) — the classical
+    * 1 − 6Σd²/(n(n²−1)) in ppm. With heavy ties this is the standard
+    * average-rank Spearman (not the full Pearson-on-ranks tie correction);
+    * the exact tie-correction sums are one more census aggregate away if a
+    * caller needs them. num/den ride BIGINT (the DECIMAL(38,0) in the ppm
+    * step only protects the ·10⁶), so 2n(n²−1) bounds n at ~1.6·10⁶ rows
+    * per group — beyond that ANSI mode fails LOUDLY and the den/d2sum4
+    * arithmetic must be lifted to DECIMAL, never silently wrapped. */
+  def spearman(
+      df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val rx = rank2Census(df, xCol, groupCols)
+      .select((gs :+ col(xCol).as("__rs_x") :+ col("rank2").as("__rs_r2x")): _*)
+    val ry = rank2Census(df, yCol, groupCols)
+      .select((gs :+ col(yCol).as("__rs_y") :+ col("rank2").as("__rs_r2y")): _*)
+    df.select((gs :+ col(xCol).as("__rs_x") :+ col(yCol).as("__rs_y")): _*)
+      .join(rx, groupCols :+ "__rs_x")
+      .join(ry, groupCols :+ "__rs_y")
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("__rs_r2x") - col("__rs_r2y")) * (col("__rs_r2x") - col("__rs_r2y")))
+          .as("d2sum4"))
+      .filter(col("n") >= 2)
+      .transform { d =>
+        val den = lit(2L) * col("n") * (col("n") * col("n") - 1L)
+        withPpm(d, den - lit(3L) * col("d2sum4"), den, "rho_ppm")
+      }
+  }
+}

@@ -257,7 +257,456 @@ private[graft] object Catalog12 {
             LEFT JOIN rnulls b ON b.user_id = u.user_id
             ORDER BY 1"""))
 
+  // ------------------------------------------------------------------
+  // Geospatial family (operators/Geo.scala) — integer-grid planar points
+  // derived from key arithmetic so every oracle replays the construction.
+  // Customers form 40 dense BLOBS (8×5 centers, ±11 jitter), suppliers
+  // scatter uniformly — blobs exercise density clustering and give the
+  // spatial joins realistic hot cells.
+  // ------------------------------------------------------------------
+
+  /** Shared customer blob points: (id, nk, x, y). */
+  private def custBlobPoints(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").cast("long").as("nk"),
+      (pmod(pmod(col("c_custkey"), lit(40L)), lit(8L)) * 125L + 62L +
+        pmod(col("c_custkey") * 48271L, lit(23L)) - 11L).as("x"),
+      (expr("(c_custkey % 40) div 8") * 200L + 100L +
+        pmod(col("c_custkey") * 16807L, lit(23L)) - 11L).as("y"))
+
+  private val custBlobSql =
+    """SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nk,
+              (c_custkey % 40) % 8 * 125 + 62 + (c_custkey * 48271) % 23 - 11 AS x,
+              (c_custkey % 40) // 8 * 200 + 100 + (c_custkey * 16807) % 23 - 11 AS y
+       FROM customer"""
+
+  /** Shared uniform supplier points: (sid, sx, sy). */
+  private def suppPoints(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "supplier").select(
+      col("s_suppkey").as("sid"),
+      pmod(col("s_suppkey") * 48271L, lit(1000L)).as("sx"),
+      pmod(col("s_suppkey") * 16807L, lit(1000L)).as("sy"))
+
+  private val suppSql =
+    """SELECT s_suppkey AS sid, (s_suppkey * 48271) % 1000 AS sx,
+              (s_suppkey * 16807) % 1000 AS sy
+       FROM supplier"""
+
+  /** Distance-threshold spatial join
+    * ([[graft.operators.Geo.gridDistanceJoin]] — the Sedona-shape spatial
+    * join as a grid-cell EQUI-join: cell width = radius, probe side
+    * expands to its 3×3 neighbor cells (bounded 9× fanout behind an
+    * explicit repartition), build side keys by its home cell, exact
+    * integer d² ≤ r² inside the join stage — no all-pairs, no distinct,
+    * and a hot cell is an ordinary AQE-skewable join key). Customers
+    * within 50 grid units of a supplier; one-row pair census. The oracle
+    * is the RAW distance join — the grid is invisible to semantics. */
+  val q317_spatial_join = Q(
+    "q317_spatial_join",
+    (s, dir) => {
+      val cust = custBlobPoints(s, dir).drop("nk")
+      val supp = suppPoints(s, dir)
+      graft.operators.Geo.gridDistanceJoin(cust, supp, "x", "y", "sx", "sy", 50L)
+        .agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("id")).cast("long").as("n_cust"),
+          countDistinct(col("sid")).cast("long").as("n_supp"),
+          sum(col("d2")).cast("long").as("sum_d2"),
+          sum(col("id") * col("sid")).cast("long").as("checksum"))
+    },
+    Some(s"""WITH cp AS ($custBlobSql),
+            sp AS ($suppSql),
+            pr AS (
+              SELECT cp.id, sp.sid,
+                     (cp.x - sp.sx) * (cp.x - sp.sx) + (cp.y - sp.sy) * (cp.y - sp.sy) AS d2
+              FROM cp JOIN sp
+                ON (cp.x - sp.sx) * (cp.x - sp.sx) + (cp.y - sp.sy) * (cp.y - sp.sy) <= 2500)
+            SELECT COUNT(*)::BIGINT AS n_pairs,
+                   COUNT(DISTINCT id)::BIGINT AS n_cust,
+                   COUNT(DISTINCT sid)::BIGINT AS n_supp,
+                   SUM(d2)::BIGINT AS sum_d2,
+                   SUM(id * sid)::BIGINT AS checksum
+            FROM pr"""))
+
+  /** Bounded-radius k-nearest-neighbors
+    * ([[graft.operators.Geo.knnWithinRadius]] — grid candidates ranked by
+    * (d², neighbor id) through the bounded-heap TopK physical operator: at
+    * most k rows per (customer, partition) cross the shuffle, vs the
+    * window spelling's full candidate sort; the id tiebreak pins the
+    * boundary). 3 nearest suppliers within 150 units per customer;
+    * customers with no supplier in range are absent by join contract. */
+  val q318_geo_knn = Q(
+    "q318_geo_knn",
+    (s, dir) => {
+      val cust = custBlobPoints(s, dir).drop("nk")
+      val supp = suppPoints(s, dir)
+      graft.operators.Geo
+        .knnWithinRadius(cust, supp, "id", "sid", "x", "y", "sx", "sy", 150L, 3)
+        .groupBy(col("id").as("custkey"))
+        .agg(
+          count(lit(1)).cast("long").as("n_nb"),
+          min(col("d2")).cast("long").as("min_d2"),
+          sum(col("sid")).cast("long").as("sum_supp"))
+        .orderBy("custkey")
+    },
+    Some(s"""WITH cp AS ($custBlobSql),
+            sp AS ($suppSql),
+            pr AS (
+              SELECT cp.id, sp.sid,
+                     (cp.x - sp.sx) * (cp.x - sp.sx) + (cp.y - sp.sy) * (cp.y - sp.sy) AS d2
+              FROM cp JOIN sp
+                ON (cp.x - sp.sx) * (cp.x - sp.sx) + (cp.y - sp.sy) * (cp.y - sp.sy) <= 22500),
+            rk AS (
+              SELECT id, sid, d2,
+                     ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, sid) AS rn
+              FROM pr)
+            SELECT id AS custkey, COUNT(*)::BIGINT AS n_nb,
+                   MIN(d2)::BIGINT AS min_d2, SUM(sid)::BIGINT AS sum_supp
+            FROM rk WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""))
+
+  /** Grid DBSCAN ([[graft.operators.Geo.gridDbscan]] — KDD'96 semantics
+    * made EXACT and deterministic: core = ≥ minPts eps-neighbors counting
+    * self, clusters = min-id connected components of core adjacency
+    * (checkpointed pointer-jumping CC), border points attach to their
+    * MINIMUM core neighbor's cluster — the one ambiguity the paper leaves
+    * open, pinned so the oracle can replay it; neighbor pairs come from
+    * the q317 grid join, never all-pairs). Customer blobs plus the
+    * uniform supplier scatter (ids offset 10M — isolated points that MUST
+    * come out noise) at eps=4, minPts=8: all three roles populated
+    * (1039/452/109 at sf0.01) so the census pins core, border AND noise
+    * semantics. Oracle: raw-distance pairs + recursive-CTE components. */
+  val q319_grid_dbscan = Q(
+    "q319_grid_dbscan",
+    (s, dir) => {
+      val pts = custBlobPoints(s, dir).drop("nk").unionByName(
+        suppPoints(s, dir).select(
+          (col("sid") + 10000000L).as("id"),
+          col("sx").as("x"), col("sy").as("y")))
+      graft.operators.Geo.gridDbscan(pts, "id", "x", "y", eps = 4L, minPts = 8)
+        .groupBy(col("role"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          countDistinct(col("cluster")).cast("long").as("n_clusters"),
+          coalesce(sum(col("cluster")), lit(0L)).cast("long").as("sum_cluster"))
+        .orderBy("role")
+    },
+    Some(s"""WITH RECURSIVE pts AS (
+              $custBlobSql
+              UNION ALL
+              SELECT s_suppkey + 10000000 AS id,
+                     NULL::BIGINT AS nk,
+                     (s_suppkey * 48271) % 1000 AS x,
+                     (s_suppkey * 16807) % 1000 AS y
+              FROM supplier),
+            pr AS (
+              SELECT a.id AS aid, b.id AS bid
+              FROM pts a JOIN pts b
+                ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16),
+            core AS (SELECT aid AS id FROM pr GROUP BY 1 HAVING COUNT(*) >= 8),
+            ce AS (
+              SELECT p.aid AS a, p.bid AS b
+              FROM pr p JOIN core c1 ON p.aid = c1.id JOIN core c2 ON p.bid = c2.id
+              WHERE p.aid <> p.bid),
+            walk(id, reach) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT w.id, e.b FROM walk w JOIN ce e ON w.reach = e.a),
+            corelab AS (SELECT id, MIN(reach) AS cluster FROM walk GROUP BY 1),
+            borderlab AS (
+              SELECT p.aid AS id, MIN(c.cluster) AS cluster
+              FROM pr p JOIN corelab c ON p.bid = c.id
+              WHERE p.aid NOT IN (SELECT id FROM core)
+              GROUP BY 1),
+            lab AS (
+              SELECT pts.id,
+                     CASE WHEN cl.id IS NOT NULL THEN 'core'
+                          WHEN bl.id IS NOT NULL THEN 'border'
+                          ELSE 'noise' END AS role,
+                     COALESCE(cl.cluster, bl.cluster) AS cluster
+              FROM pts
+              LEFT JOIN corelab cl ON pts.id = cl.id
+              LEFT JOIN borderlab bl ON pts.id = bl.id)
+            SELECT role, COUNT(*)::BIGINT AS n,
+                   COUNT(DISTINCT cluster)::BIGINT AS n_clusters,
+                   COALESCE(SUM(cluster), 0)::BIGINT AS sum_cluster
+            FROM lab GROUP BY 1 ORDER BY 1"""))
+
+  /** Point-in-convex-polygon filter
+    * ([[graft.operators.Geo.pointInConvexPolygon]] — one exact integer
+    * cross product per edge of a CCW convex ring, pure codegen'd
+    * boolean, no trig/floats; the geofence/viewport/tile filter shape).
+    * Uniform customer points against a hexagonal fence, tallied per
+    * nation. Boundary points count as inside on both engines (≥ 0). */
+  val q320_point_in_polygon = Q(
+    "q320_point_in_polygon",
+    (s, dir) => {
+      val hex = Seq((500L, 50L), (900L, 300L), (900L, 700L),
+        (500L, 950L), (100L, 700L), (100L, 300L))
+      val pts = t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nk"),
+        pmod(col("c_custkey") * 16807L, lit(1000L)).as("x"),
+        pmod(col("c_custkey") * 69621L, lit(1000L)).as("y"))
+      pts
+        .withColumn("inside",
+          graft.operators.Geo.pointInConvexPolygon(col("x"), col("y"), hex))
+        .groupBy(col("nk"))
+        .agg(
+          count(lit(1)).cast("long").as("n_total"),
+          sum(when(col("inside"), 1L).otherwise(0L)).cast("long").as("n_inside"))
+        .orderBy("nk")
+    },
+    Some {
+      val hex = Seq((500L, 50L), (900L, 300L), (900L, 700L),
+        (500L, 950L), (100L, 700L), (100L, 300L))
+      val tests = hex.indices.map { i =>
+        val (x1, y1) = hex(i)
+        val (x2, y2) = hex((i + 1) % hex.size)
+        s"(${x2 - x1}) * (y - ($y1)) - (${y2 - y1}) * (x - ($x1)) >= 0"
+      }.mkString(" AND ")
+      s"""WITH p AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                   (c_custkey * 16807) % 1000 AS x,
+                   (c_custkey * 69621) % 1000 AS y
+            FROM customer)
+          SELECT nk, COUNT(*)::BIGINT AS n_total,
+                 SUM(CASE WHEN $tests THEN 1 ELSE 0 END)::BIGINT AS n_inside
+          FROM p GROUP BY 1 ORDER BY 1"""
+    })
+
+  // ------------------------------------------------------------------
+  // Rank-statistics family (operators/RankStats.scala) — distribution
+  // tests with EXACT integer numerators via the distinct-value census
+  // (rank2 = doubled tie-averaged ranks), never a global per-row sort.
+  // ------------------------------------------------------------------
+
+  /** Two-sample Kolmogorov–Smirnov drift test
+    * ([[graft.operators.RankStats.ksTest]] — D carried as the exact
+    * integer max|cumA·nB − cumB·nA| over the merged distinct-value
+    * census; the ECDF gap peaks at a data point, so the census sweep IS
+    * the test; d_ppm via positive integer division). click-vs-purchase
+    * value distributions per user cohort. */
+  val q321_ks_test = Q(
+    "q321_ks_test",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.RankStats
+        .ksTest(ev, "value", "event_type", "click", "purchase", Seq("cohort"))
+        .orderBy("cohort")
+    },
+    Some("""WITH e AS (
+              SELECT user_id % 4 AS cohort, value, event_type
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            cen AS (
+              SELECT cohort, value,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+              FROM e GROUP BY 1, 2),
+            sw AS (
+              SELECT cohort,
+                     SUM(ca) OVER (PARTITION BY cohort ORDER BY value) AS cuma,
+                     SUM(cb) OVER (PARTITION BY cohort ORDER BY value) AS cumb,
+                     SUM(ca) OVER (PARTITION BY cohort) AS na,
+                     SUM(cb) OVER (PARTITION BY cohort) AS nb
+              FROM cen)
+            SELECT cohort::BIGINT AS cohort, MAX(na)::BIGINT AS n_a,
+                   MAX(nb)::BIGINT AS n_b,
+                   MAX(ABS(cuma * nb - cumb * na))::BIGINT AS d_num,
+                   ((MAX(ABS(cuma * nb - cumb * na)) * 1000000)
+                      // (MAX(na) * MAX(nb)))::BIGINT AS d_ppm
+            FROM sw GROUP BY 1 ORDER BY 1"""))
+
+  /** Mann–Whitney U ([[graft.operators.RankStats.mannWhitney]] — U doubled
+    * so tie-averaged ranks stay integer: u2 = 2ΣR_A − n_a(n_a+1) over the
+    * pooled rank2 census; u_ppm = the common-language effect size
+    * P(A>B)+½P(A=B)). view-vs-signup values per cohort. */
+  val q322_mann_whitney = Q(
+    "q322_mann_whitney",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.RankStats
+        .mannWhitney(ev, "value", "event_type", "view", "signup", Seq("cohort"))
+        .orderBy("cohort")
+    },
+    Some("""WITH e AS (
+              SELECT user_id % 4 AS cohort, value, event_type
+              FROM events WHERE event_type IN ('view', 'signup')),
+            cen AS (
+              SELECT cohort, value, COUNT(*) AS cnt,
+                     SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca
+              FROM e GROUP BY 1, 2),
+            rk AS (
+              SELECT cohort, cnt, ca,
+                     2 * COALESCE(SUM(cnt) OVER (PARTITION BY cohort ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS rank2
+              FROM cen),
+            ag AS (
+              SELECT cohort, SUM(ca) AS na, SUM(cnt - ca) AS nb,
+                     SUM(ca * rank2) AS sr
+              FROM rk GROUP BY 1)
+            SELECT cohort::BIGINT AS cohort, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   (sr - na * (na + 1))::BIGINT AS u2,
+                   (((sr - na * (na + 1)) * 1000000) // (2 * na * nb))::BIGINT AS u_ppm
+            FROM ag WHERE na > 0 AND nb > 0 ORDER BY 1"""))
+
+  /** Spearman rank correlation ([[graft.operators.RankStats.spearman]] —
+    * tie-averaged Σd² form with d2sum4 = Σ(rank2_x − rank2_y)² exact;
+    * rho_ppm = (2D − 3·d2sum4)·10⁶ / 2D, D = n(n²−1), in sign-magnitude
+    * DECIMAL/HUGEINT division). quantity-vs-price monotone association
+    * per (returnflag, ship month). */
+  val q323_spearman = Q(
+    "q323_spearman",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        month(col("l_shipdate")).cast("long").as("mo"),
+        col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      graft.operators.RankStats.spearman(li, "x", "y", Seq("l_returnflag", "mo"))
+        .orderBy("l_returnflag", "mo")
+    },
+    Some("""WITH li AS (
+              SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS mo,
+                     l_quantity AS x, l_extendedprice AS y
+              FROM lineitem),
+            cx AS (SELECT l_returnflag, mo, x, COUNT(*) AS cnt FROM li GROUP BY 1, 2, 3),
+            rx AS (
+              SELECT l_returnflag, mo, x,
+                     2 * COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag, mo ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2x
+              FROM cx),
+            cy AS (SELECT l_returnflag, mo, y, COUNT(*) AS cnt FROM li GROUP BY 1, 2, 3),
+            ry AS (
+              SELECT l_returnflag, mo, y,
+                     2 * COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag, mo ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2y
+              FROM cy),
+            j AS (
+              SELECT li.l_returnflag, li.mo, rx.r2x, ry.r2y
+              FROM li
+              JOIN rx ON li.l_returnflag = rx.l_returnflag AND li.mo = rx.mo AND li.x = rx.x
+              JOIN ry ON li.l_returnflag = ry.l_returnflag AND li.mo = ry.mo AND li.y = ry.y),
+            ag AS (
+              SELECT l_returnflag, mo, COUNT(*) AS n,
+                     SUM((r2x - r2y) * (r2x - r2y)) AS d2sum4
+              FROM j GROUP BY 1, 2)
+            SELECT l_returnflag, mo, n::BIGINT AS n, d2sum4::BIGINT AS d2sum4,
+                   ((CASE WHEN 2 * n * (n * n - 1) - 3 * d2sum4 < 0 THEN -1 ELSE 1 END)
+                    * ((ABS(2 * n * (n * n - 1) - 3 * d2sum4)::HUGEINT * 1000000)
+                       // (2 * n * (n * n - 1))))::BIGINT AS rho_ppm
+            FROM ag WHERE n >= 2 ORDER BY 1, 2"""))
+
+  /** ROC-AUC as the Mann–Whitney effect size
+    * ([[graft.operators.RankStats.rocAuc]] — AUC = P(s⁺>s⁻)+½P(=) exactly,
+    * so the rank2 census gives the exact integer u2 and auc_ppm without a
+    * single float; the model-eval operator every filter-training loop
+    * needs). Planted discrete classifier over lineitem: label from
+    * partkey residue, score = 7·label + hash noise in 0..12 → overlapping
+    * but separable, per returnflag. */
+  val q324_roc_auc = Q(
+    "q324_roc_auc",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (pmod(col("l_partkey"), lit(5L)) === 0L).as("lab"),
+        (when(pmod(col("l_partkey"), lit(5L)) === 0L, 7L).otherwise(0L) +
+          pmod(col("l_orderkey") * 48271L, lit(13L))).as("score"))
+      graft.operators.RankStats.rocAuc(li, "score", "lab", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH d AS (
+              SELECT l_returnflag,
+                     (l_partkey % 5 = 0) AS lab,
+                     (CASE WHEN l_partkey % 5 = 0 THEN 7 ELSE 0 END)
+                       + (l_orderkey * 48271) % 13 AS score
+              FROM lineitem),
+            cen AS (
+              SELECT l_returnflag, score, COUNT(*) AS cnt,
+                     SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS ca
+              FROM d GROUP BY 1, 2),
+            rk AS (
+              SELECT l_returnflag, cnt, ca,
+                     2 * COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS rank2
+              FROM cen),
+            ag AS (
+              SELECT l_returnflag, SUM(ca) AS np, SUM(cnt - ca) AS nn,
+                     SUM(ca * rank2) AS sr
+              FROM rk GROUP BY 1)
+            SELECT l_returnflag, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+                   (sr - np * (np + 1))::BIGINT AS u2,
+                   (((sr - np * (np + 1)) * 1000000) // (2 * np * nn))::BIGINT AS auc_ppm
+            FROM ag WHERE np > 0 AND nn > 0 ORDER BY 1"""))
+
+  /** Exact multiple regression via distributed normal equations
+    * ([[graft.ml.Regress.olsFitPpm]] — ONE map-side-combinable pass builds
+    * XᵀX/Xᵀy (metadata-sized), the solve is exact BigInt Cramer on the
+    * driver, coefficients emerge as floor-divided ppm rationals —
+    * bit-identical under any partitioning, no gradient iterations, no
+    * float order-dependence; HUGEINT replays the determinants in SQL).
+    * Planted linear target y = 3x₁ − 2x₂ + 7 + uniform-ish hash noise:
+    * the fit recovers the plan within the noise floor, r2_ppm included. */
+  val q325_normal_equations = Q(
+    "q325_normal_equations",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(17L)).as("x1"),
+        pmod(col("l_suppkey"), lit(13L)).as("x2"),
+        (lit(3L) * pmod(col("l_partkey"), lit(17L))
+          - lit(2L) * pmod(col("l_suppkey"), lit(13L)) + 7L
+          + pmod(col("l_orderkey") * 48271L, lit(11L)) - 5L).as("y"))
+      graft.ml.Regress.olsFitPpm(li, Seq("x1", "x2"), "y")
+    },
+    Some("""WITH d AS (
+              SELECT l_partkey % 17 AS x1, l_suppkey % 13 AS x2,
+                     3 * (l_partkey % 17) - 2 * (l_suppkey % 13) + 7
+                       + (l_orderkey * 48271) % 11 - 5 AS y
+              FROM lineitem),
+            m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+                     CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                     CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                     CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+                     CAST(SUM(x2 * y) AS HUGEINT) AS s2y,
+                     CAST(SUM(y * y) AS HUGEINT) AS syy
+              FROM d),
+            c AS (
+              SELECT n, sy, syy,
+                     s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+                       + s1 * (s12 * s2 - s22 * s1) AS det,
+                     s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+                       + s1 * (s2y * s2 - s22 * sy) AS det1,
+                     s11 * (s2y * n - s2 * sy) - s1y * (s12 * n - s2 * s1)
+                       + s1 * (s12 * sy - s2y * s1) AS det2,
+                     s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1)
+                       + s1y * (s12 * s2 - s22 * s1) AS det3,
+                     s1y AS b1, s2y AS b2
+              FROM m),
+            r AS (
+              SELECT n, det, det1, det2, det3,
+                     det * syy - (det1 * b1 + det2 * b2 + det3 * sy) AS ssenum,
+                     n * syy - sy * sy AS sstnum
+              FROM c)
+            SELECT n::BIGINT AS n,
+                   ((det1 * 1000000) // det)::BIGINT AS ppm_x1,
+                   ((det2 * 1000000) // det)::BIGINT AS ppm_x2,
+                   ((det3 * 1000000) // det)::BIGINT AS ppm_intercept,
+                   (((sstnum * det - ssenum * n) * 1000000)
+                      // (sstnum * det))::BIGINT AS r2_ppm
+            FROM r"""))
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
-      q316_stream_full_outer)
+      q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
+      q319_grid_dbscan, q320_point_in_polygon, q321_ks_test,
+      q322_mann_whitney, q323_spearman, q324_roc_auc, q325_normal_equations)
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RankStats
+
+/** Rank-statistics contracts: rank2 equals the doubled tie-averaged rank
+  * from a driver sort under fuzz, hand-computed KS / Mann–Whitney /
+  * Spearman / AUC cases (incl. the tie boundaries the doubled-rank trick
+  * exists for), group handling, and the exact ppm arithmetic. */
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank2Census equals doubled tie-averaged ranks from a driver sort (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 400).map(_ => rnd.nextInt(40).toLong) // heavy ties
+    val df = viaParquet(vals.map(v => ("g", v)).toDF("g", "v"))
+    val got = RankStats.rank2Census(df, "v", Seq("g"))
+      .select("v", "rank2").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    val expect = vals.distinct.map { v =>
+      val below = sorted.count(_ < v)
+      val cnt = sorted.count(_ == v)
+      // doubled average of ranks below+1 .. below+cnt
+      v -> (2L * below + cnt + 1L)
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("ksTest: disjoint supports give D = 1, hand case, one-sided groups dropped") {
+    val df = viaParquet(Seq(
+      ("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 3.0), ("g1", "b", 4.0),
+      // g2: A = {1,3}, B = {2,4} -> max gap at v=1: |1*2-0*2| = 2
+      ("g2", "a", 1.0), ("g2", "a", 3.0), ("g2", "b", 2.0), ("g2", "b", 4.0),
+      ("g3", "a", 9.0), // no b side -> dropped
+      ("g1", "zzz", 99.0)) // foreign side value ignored
+      .toDF("g", "side", "v"))
+    val got = RankStats.ksTest(df, "v", "side", "a", "b", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "g1" -> ((2L, 2L, 4L, 1000000L)),
+      "g2" -> ((2L, 2L, 2L, 500000L))))
+  }
+
+  test("mannWhitney: hand case with a tie — u2 = 2U stays integer") {
+    // A = {1,2,3}, B = {2,4}: U_A = 1.5 -> u2 = 3, u_ppm = 250000
+    val df = viaParquet(Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .map { case (s, v) => ("g", s, v) }.toDF("g", "side", "v"))
+    val r = RankStats.mannWhitney(df, "v", "side", "a", "b", Seq("g")).collect()(0)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("u2"), r.getAs[Long]("u_ppm")) == ((3L, 2L, 3L, 250000L)))
+  }
+
+  test("spearman: perfect, inverted, tie-identical, and no-tie fuzz vs the exact formula") {
+    def one(xy: Seq[(Long, Long)]): (Long, Long) = {
+      val df = viaParquet(xy.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"))
+      val r = RankStats.spearman(df, "x", "y", Seq("g")).collect()(0)
+      (r.getAs[Long]("d2sum4"), r.getAs[Long]("rho_ppm"))
+    }
+    assert(one(Seq((1L, 10L), (2L, 20L), (3L, 30L))) == ((0L, 1000000L)))
+    assert(one(Seq((1L, 30L), (2L, 20L), (3L, 10L))) == ((32L, -1000000L)))
+    // identical tie structure in x and y -> rank vectors equal -> rho = 1
+    assert(one(Seq((1L, 5L), (1L, 5L), (2L, 9L)))._2 == 1000000L)
+    // no-tie fuzz: rho_ppm must equal the classical formula exactly
+    val rnd = new scala.util.Random(23)
+    val xs = rnd.shuffle((1L to 60L).toList)
+    val ys = rnd.shuffle((1L to 60L).toList)
+    val (d2sum4, rhoPpm) = one(xs.zip(ys))
+    val rx = xs.zipWithIndex.sortBy(_._1).zipWithIndex
+      .map { case ((_, i), r) => i -> (r + 1L) }.toMap
+    val ry = ys.zipWithIndex.sortBy(_._1).zipWithIndex
+      .map { case ((_, i), r) => i -> (r + 1L) }.toMap
+    val sd2 = (0 until 60).map(i => { val d = rx(i) - ry(i); d * d }).sum
+    assert(d2sum4 == 4L * sd2)
+    val n = 60L
+    val den = 2L * n * (n * n - 1L)
+    val num = den - 3L * d2sum4
+    val expectPpm = (if (num < 0) -1L else 1L) * (math.abs(num) * 1000000L / den)
+    assert(rhoPpm == expectPpm)
+  }
+
+  test("rocAuc: hand case with score ties across labels") {
+    // pos scores {3,5}, neg {1,3,4}: AUC = 4.5/6 = 0.75
+    val df = viaParquet(Seq(
+      (true, 3L), (true, 5L), (false, 1L), (false, 3L), (false, 4L))
+      .map { case (l, s) => ("g", l, s) }.toDF("g", "lab", "score"))
+    val r = RankStats.rocAuc(df, "score", "lab", Seq("g")).collect()(0)
+    assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Long]("auc_ppm")) == ((2L, 3L, 750000L)))
+    assert(r.getAs[Long]("u2") == 9L) // 2 * 4.5
+  }
+
+  test("statistics are partitioning-invariant") {
+    val rnd = new scala.util.Random(31)
+    val base = (1 to 300).map(i =>
+      ("g", if (i % 2 == 0) "a" else "b", rnd.nextInt(25).toDouble))
+    val df1 = viaParquet(base.toDF("g", "side", "v")).repartition(1)
+    val df7 = viaParquet(base.toDF("g", "side", "v")).repartition(7)
+    assert(sortedRows(RankStats.ksTest(df1, "v", "side", "a", "b", Seq("g"))) ==
+      sortedRows(RankStats.ksTest(df7, "v", "side", "a", "b", Seq("g"))))
+    assert(sortedRows(RankStats.mannWhitney(df1, "v", "side", "a", "b", Seq("g"))) ==
+      sortedRows(RankStats.mannWhitney(df7, "v", "side", "a", "b", Seq("g"))))
+  }
+}
