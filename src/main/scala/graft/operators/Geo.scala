@@ -184,6 +184,45 @@ object Geo {
         coalesce(col("__db_corecl"), col("__db_bordercl")).cast("long").as("cluster"))
   }
 
+  /** Multi-resolution tile pyramid (the map-tile / H3-style zoom
+    * aggregation every geo dashboard and spatial index needs): points
+    * bucket into Morton cells at the FINEST level (`bits` per axis —
+    * 2^bits × 2^bits tiles over [0, 2^coordBits)² non-negative
+    * coordinates), and every coarser level derives from the census below
+    * it by `z div 4` — dropping one Morton bit-pair merges the 4 children
+    * into their parent tile, exactly. ONE data-wide shuffle total (the
+    * finest groupBy); the pyramid above it is census-sized aggregations —
+    * at 100 TB the zoom stack costs one scan, not one scan per level.
+    * Returns (level 1..bits, z, cnt). */
+  def tilePyramid(
+      points: DataFrame,
+      xCol: String, yCol: String,
+      bits: Int,
+      coordBits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"tilePyramid: bits in [1,16], got $bits")
+    require(coordBits >= bits && coordBits <= 31,
+      s"tilePyramid: coordBits in [$bits,31], got $coordBits")
+    val shiftN = coordBits - bits
+    val finest = points
+      .select(
+        Zorder.interleave(
+          shiftright(col(xCol).cast("long"), shiftN),
+          shiftright(col(yCol).cast("long"), shiftN), bits).as("z"))
+      .groupBy("z").agg(count(lit(1)).as("cnt"))
+      .withColumn("level", lit(bits))
+      .localCheckpoint(true) // root of the census chain, reused per level
+    (bits - 1 to 1 by -1)
+      .scanLeft(finest) { (child, lvl) =>
+        child.select(expr("z div 4").as("z"), col("cnt"))
+          .groupBy("z").agg(sum(col("cnt")).as("cnt"))
+          .withColumn("level", lit(lvl))
+          .localCheckpoint(true)
+      }
+      .reduce(_ unionByName _)
+      .select(col("level").cast("int").as("level"), col("z").cast("long").as("z"),
+        col("cnt").cast("long").as("cnt"))
+  }
+
   /** Point-in-convex-polygon test as a pure codegen'd Column: inside (or
     * on the boundary) iff the point is on the non-negative side of every
     * edge of the COUNTER-CLOCKWISE vertex ring — one exact integer cross

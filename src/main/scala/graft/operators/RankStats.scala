@@ -141,6 +141,47 @@ object RankStats {
       .withColumnRenamed("u_ppm", "auc_ppm")
   }
 
+  /** Kendall rank correlation per group, pair-census form: the joint
+    * (x, y) value census self-joins within each group, so cost is
+    * (distinct x · distinct y)² per group — QUANTIZE continuous measures
+    * first (the same census-is-the-quantizer contract as the other rank
+    * stats); the row count never enters the join. Returns
+    * (groupCols*, n, c_pairs, d_pairs, tau_a_ppm): concordant /
+    * discordant unordered pair counts as exact BIGINTs (each pair counted
+    * once via the strict b>a orientation) and Kendall's
+    * τ_a = (C − D)/(n(n−1)/2) in sign-magnitude ppm. τ_b's tie correction
+    * needs a √ — the exact integers C, D, n are the engine-stable
+    * contract, and τ_a is the reported effect size. The census self-join
+    * repartitions to explicit N first: the join OUTPUT is census²-shaped
+    * and AQE only sees census-sized inputs (the q115 expansion rule). */
+  def kendallPairs(
+      df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String],
+      censusPartitions: Int = 32): DataFrame = {
+    val gs = groupCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(xCol).as("__rs_x") :+ col(yCol).as("__rs_y")): _*)
+      .agg(count(lit(1)).as("__rs_c"))
+      .repartition(censusPartitions)
+      .localCheckpoint(true) // self-joined below
+    val a = census.select((gs :+ col("__rs_x").as("__rs_xa") :+
+      col("__rs_y").as("__rs_ya") :+ col("__rs_c").as("__rs_ca")): _*)
+    val b = census.select((gs :+ col("__rs_x").as("__rs_xb") :+
+      col("__rs_y").as("__rs_yb") :+ col("__rs_c").as("__rs_cb")): _*)
+    val joined = a.join(b, groupCols)
+    val conc = sum(when(col("__rs_xb") > col("__rs_xa") && col("__rs_yb") > col("__rs_ya"),
+      col("__rs_ca") * col("__rs_cb")).otherwise(0L))
+    val disc = sum(when(col("__rs_xb") > col("__rs_xa") && col("__rs_yb") < col("__rs_ya"),
+      col("__rs_ca") * col("__rs_cb")).otherwise(0L))
+    val totals = df.groupBy(gs: _*).agg(count(lit(1)).as("n"))
+    joined
+      .groupBy(gs: _*)
+      .agg(conc.as("c_pairs"), disc.as("d_pairs"))
+      .join(totals, groupCols)
+      .filter(col("n") >= 2)
+      .transform(d => withPpm(d, col("c_pairs") - col("d_pairs"),
+        expr("(n * (n - 1)) div 2"), "tau_a_ppm"))
+  }
+
   /** Spearman rank correlation per group (tie-averaged ranks, the
     * Σd² formulation): returns (groupCols*, n, d2sum4, rho_ppm) where
     * d2sum4 = Σ(rank2_x − rank2_y)² = 4·Σd² exactly, and

@@ -704,9 +704,159 @@ private[graft] object Catalog12 {
                       // (sstnum * det))::BIGINT AS r2_ppm
             FROM r"""))
 
+  /** Poisson bootstrap confidence interval
+    * ([[graft.operators.Resample.bootstrapMeanCi]] — the resampling that
+    * distributes: deterministic Poisson(1) weights from
+    * xxhash64(id·B + rep) cut against cumulative-ppm thresholds, all B
+    * replicates riding ONE aggregation pass as 2B partial-agg columns —
+    * no row explosion, no extra shuffle; CI = exact order statistics of
+    * the B replicate means in ppm). 95%-ish band (ranks 2/63 of 64) for
+    * mean event value in cents, per event type. The oracle replays every
+    * draw through the XXH64 stages. */
+  val q326_bootstrap_ci = Q(
+    "q326_bootstrap_ci",
+    (s, dir) => {
+      // the even-user slice halves the ORACLE's 64-replicate hash replay
+      // (its only superlinear consumer); the operator itself is one scan
+      val ev = t(s, dir, "events").filter(pmod(col("user_id"), lit(2L)) === 0L)
+        .select(
+          col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Resample
+        .bootstrapMeanCi(ev, "event_id", "cents", reps = 64,
+          loRank = 2, hiRank = 63, groupCols = Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some {
+      val hashed = graft.tools.OracleSql.xxhash64LongStages(
+        """SELECT event_type, cents, r AS rep, event_id * 64 + r AS hk
+           FROM (SELECT event_id, event_type,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+                 WHERE user_id % 2 = 0)
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS r)""",
+        "hk", "h", pfx = "__bs")
+      s"""WITH hh AS ($hashed),
+            ww AS (
+              SELECT event_type, cents, rep,
+                     CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                          WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                          WHEN u < 996340 THEN 4 ELSE 5 END AS w
+              FROM (SELECT *, ((h % 1000000) + 1000000) % 1000000 AS u FROM hh)),
+            rs AS (
+              SELECT event_type, rep, SUM(w) AS n_w, SUM(w * cents) AS sum_w
+              FROM ww GROUP BY 1, 2),
+            rm AS (
+              SELECT event_type, rep,
+                     CAST((CASE WHEN sum_w < 0 THEN -1 ELSE 1 END)
+                       * ((ABS(sum_w)::HUGEINT * 1000000) // n_w) AS BIGINT) AS mean_ppm
+              FROM rs WHERE n_w > 0),
+            rk AS (
+              SELECT event_type, mean_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY mean_ppm, rep) AS rk
+              FROM rm),
+            band AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rk = 2 THEN mean_ppm END) AS lo_ppm,
+                     MAX(CASE WHEN rk = 63 THEN mean_ppm END) AS hi_ppm
+              FROM rk GROUP BY 1),
+            pt AS (
+              SELECT event_type, COUNT(*)::BIGINT AS n,
+                     CAST((SUM(CAST(ROUND(value * 100) AS BIGINT))::HUGEINT * 1000000)
+                       // COUNT(*) AS BIGINT) AS mean_ppm
+              FROM events WHERE user_id % 2 = 0 GROUP BY 1)
+            SELECT pt.event_type, pt.n, pt.mean_ppm, band.lo_ppm, band.hi_ppm
+            FROM pt JOIN band ON pt.event_type = band.event_type
+            ORDER BY 1"""
+    })
+
+  /** Kendall rank correlation ([[graft.operators.RankStats.kendallPairs]]
+    * — concordant/discordant pair counts via the joint-value-census
+    * self-join: cost is census², row count never enters the join;
+    * explicit-N repartition before the census² expansion per the q115
+    * rule; τ_a in sign-magnitude ppm, exact C/D/n alongside because τ_b's
+    * tie correction needs a √). quantity vs 10k-dollar price bucket per
+    * returnflag. */
+  val q327_kendall = Q(
+    "q327_kendall",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") / 10000.0).cast("long").as("y"))
+      graft.operators.RankStats.kendallPairs(li, "x", "y", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH li AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                     CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS y
+              FROM lineitem),
+            cen AS (SELECT l_returnflag, x, y, COUNT(*) AS c FROM li GROUP BY 1, 2, 3),
+            pairs AS (
+              SELECT a.l_returnflag,
+                     SUM(CASE WHEN b.x > a.x AND b.y > a.y THEN a.c * b.c ELSE 0 END) AS cp,
+                     SUM(CASE WHEN b.x > a.x AND b.y < a.y THEN a.c * b.c ELSE 0 END) AS dp
+              FROM cen a JOIN cen b ON a.l_returnflag = b.l_returnflag
+              GROUP BY 1),
+            tot AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1)
+            SELECT t.l_returnflag, n::BIGINT AS n, cp::BIGINT AS c_pairs,
+                   dp::BIGINT AS d_pairs,
+                   CAST((CASE WHEN cp - dp < 0 THEN -1 ELSE 1 END)
+                     * ((ABS(cp - dp)::HUGEINT * 1000000) // ((n * (n - 1)) // 2))
+                     AS BIGINT) AS tau_a_ppm
+            FROM pairs p JOIN tot t ON p.l_returnflag = t.l_returnflag
+            WHERE n >= 2 ORDER BY 1"""))
+
+  /** Multi-resolution tile pyramid ([[graft.operators.Geo.tilePyramid]] —
+    * the map-tile zoom stack in ONE data-wide shuffle: finest-level
+    * Morton census, then each coarser level is `z div 4` over the census
+    * below — dropping a Morton bit-pair merges 4 children into their
+    * parent exactly; 100 TB cost = one scan, not one per level).
+    * Customer blob points at 6..1 bits over the 1024-grid; per-level
+    * census with a point-count invariant across every level. */
+  val q328_tile_pyramid = Q(
+    "q328_tile_pyramid",
+    (s, dir) => {
+      val pts = custBlobPoints(s, dir)
+      graft.operators.Geo.tilePyramid(pts, "x", "y", bits = 6, coordBits = 10)
+        .groupBy(col("level"))
+        .agg(
+          count(lit(1)).cast("long").as("n_cells"),
+          sum(col("cnt")).cast("long").as("n_points"),
+          max(col("cnt")).cast("long").as("max_cnt"),
+          sum(col("z") * col("cnt")).cast("long").as("checksum"))
+        .orderBy("level")
+    },
+    Some {
+      val zterms = (0 until 6)
+        .map(b => s"((xs >> $b) & 1) * ${1L << (2 * b)} + ((ys >> $b) & 1) * ${1L << (2 * b + 1)}")
+        .mkString(" + ")
+      val levels = (5 to 1 by -1).map { lvl =>
+        val child = s"l${lvl + 1}"
+        s"""l$lvl AS (
+              SELECT z // 4 AS z, SUM(cnt) AS cnt FROM $child GROUP BY 1)"""
+      }.mkString(",\n            ")
+      val union = (6 to 1 by -1)
+        .map(lvl => s"SELECT $lvl AS level, z, cnt FROM l$lvl")
+        .mkString("\n              UNION ALL ")
+      s"""WITH cp AS ($custBlobSql),
+            g AS (SELECT x >> 4 AS xs, y >> 4 AS ys FROM cp),
+            l6 AS (
+              SELECT CAST($zterms AS BIGINT) AS z, COUNT(*) AS cnt
+              FROM g GROUP BY 1),
+            $levels,
+            pyr AS (
+              $union)
+            SELECT level::INT AS level, COUNT(*)::BIGINT AS n_cells,
+                   SUM(cnt)::BIGINT AS n_points, MAX(cnt)::BIGINT AS max_cnt,
+                   SUM(z * cnt)::BIGINT AS checksum
+            FROM pyr GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
       q319_grid_dbscan, q320_point_in_polygon, q321_ks_test,
-      q322_mann_whitney, q323_spearman, q324_roc_auc, q325_normal_equations)
+      q322_mann_whitney, q323_spearman, q324_roc_auc, q325_normal_equations,
+      q326_bootstrap_ci, q327_kendall, q328_tile_pyramid)
 }

@@ -141,6 +141,27 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("tilePyramid: point conservation, parent-of-4 rollup, interleave agreement") {
+    val rnd = new scala.util.Random(19)
+    val ps = (1 to 300).map(i => (i.toLong, rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val pyr = Geo.tilePyramid(viaParquet(ps.toDF("id", "x", "y")), "x", "y",
+        bits = 5, coordBits = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // every level conserves the point count
+    val byLevel = pyr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byLevel == (1 to 5).map(_ -> 300L).toMap)
+    // finest census equals the driver interleave
+    val expect5 = ps.groupBy { case (_, x, y) =>
+      graft.operators.Zorder.interleaveRef(x >> 5, y >> 5, 5)
+    }.map { case (z, g) => z -> g.size.toLong }
+    assert(pyr.filter(_._1 == 5).map(t => t._2 -> t._3).toMap == expect5)
+    // each parent is the sum of its (at most 4) children
+    val l4 = pyr.filter(_._1 == 4).map(t => t._2 -> t._3).toMap
+    val fromChildren = pyr.filter(_._1 == 5).groupBy(_._2 / 4)
+      .map { case (p, cs) => p -> cs.map(_._3).sum }
+    assert(l4 == fromChildren)
+  }
+
   test("argument refusals") {
     val df = Seq((1L, 2L, 3L)).toDF("id", "x", "y")
     assertThrows[IllegalArgumentException] {

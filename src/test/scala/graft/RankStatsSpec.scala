@@ -92,6 +92,30 @@ class RankStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("u2") == 9L) // 2 * 4.5
   }
 
+  test("kendallPairs: hand case, heavy-tie case, and fuzz vs brute-force pairs") {
+    import graft.operators.RankStats.kendallPairs
+    // perfect concordance: C = n(n-1)/2, D = 0, tau_a = 1
+    val mono = viaParquet((1L to 5L).map(i => ("g", i, i * 10L)).toDF("g", "x", "y"))
+    val rm = kendallPairs(mono, "x", "y", Seq("g")).collect()(0)
+    assert((rm.getAs[Long]("c_pairs"), rm.getAs[Long]("d_pairs"),
+      rm.getAs[Long]("tau_a_ppm")) == ((10L, 0L, 1000000L)))
+    // fuzz with ties vs the O(n^2) definition
+    val rnd = new scala.util.Random(17)
+    val pts = (1 to 120).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+    val df = viaParquet(pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"))
+    val r = kendallPairs(df, "x", "y", Seq("g")).collect()(0)
+    var (c, d) = (0L, 0L)
+    for (i <- pts.indices; j <- i + 1 until pts.size) {
+      val s = (pts(j)._1 - pts(i)._1) * (pts(j)._2 - pts(i)._2)
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    assert((r.getAs[Long]("c_pairs"), r.getAs[Long]("d_pairs")) == ((c, d)))
+    val n = 120L
+    val num = c - d
+    val expect = (if (num < 0) -1L else 1L) * (math.abs(num) * 1000000L / (n * (n - 1) / 2))
+    assert(r.getAs[Long]("tau_a_ppm") == expect)
+  }
+
   test("statistics are partitioning-invariant") {
     val rnd = new scala.util.Random(31)
     val base = (1 to 300).map(i =>
