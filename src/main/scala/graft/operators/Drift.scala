@@ -181,4 +181,61 @@ object Drift {
             .cast("long")))
       .select(q ++ Seq(col("lag"), col("n_days").cast("long").as("n_days"), col("acf_ppm")): _*)
   }
+
+  /** Population Stability Index in fixed-point log₂ — THE production
+    * score/feature drift monitor (credit-risk heritage, now standard in
+    * every ML feature store) beside the rank-based KS: per bucket b,
+    * PSI = Σ (p_a − p_b)·log(p_a/p_b), every term ≥ 0, big = drifted.
+    *
+    * Engine-stable exactness: natural log is libm territory, so this is
+    * the LOG₂ variant in 1/16-resolution fixed point (the q237/q288
+    * idiom): with Laplace-smoothed counts c' = c + 1 over the per-group
+    * bucket UNION, term_b = (c'_a·N'_b − c'_b·N'_a) ·
+    * (flog2fp(c'_a·N'_b) − flog2fp(c'_b·N'_a)) — both factors share sign
+    * (floor-log₂ is monotone), so terms stay ≥ 0 exactly like true PSI.
+    * psi_ppm = Σterm·10⁶ div (16·N'_a·N'_b) puts it on the log₂-PSI
+    * scale. Buckets are the caller's (quantize first — fixed-width or
+    * quantile edges); smoothing keeps one-sided buckets finite, the
+    * standard PSI practice.
+    *
+    * Scale: one census aggregation (groupBy group×bucket with conditional
+    * sums), one group-total window over the census, one fold — no per-row
+    * sort, no join. Returns (groupCols*, n_a, n_b, n_buckets, psi_num,
+    * psi_ppm). Groups missing a side entirely are dropped. */
+  def psiLog2(
+      df: DataFrame,
+      bucketCol: String,
+      sideCol: String,
+      sideA: String,
+      sideB: String,
+      groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val census = df
+      .filter(col(sideCol).isin(sideA, sideB))
+      .groupBy((gs :+ col(bucketCol).as("__dr_bucket")): _*)
+      .agg(
+        sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__dr_ca"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__dr_cb"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val smoothed = census
+      .withColumn("__dr_nb", count(lit(1)).over(wTot))
+      .withColumn("__dr_na2", sum(col("__dr_ca")).over(wTot) + col("__dr_nb"))
+      .withColumn("__dr_nb2", sum(col("__dr_cb")).over(wTot) + col("__dr_nb"))
+      .filter(col("__dr_na2") > col("__dr_nb") && col("__dr_nb2") > col("__dr_nb"))
+      .withColumn("__dr_xa", (col("__dr_ca") + 1L) * col("__dr_nb2"))
+      .withColumn("__dr_xb", (col("__dr_cb") + 1L) * col("__dr_na2"))
+    val term = (col("__dr_xa") - col("__dr_xb")) *
+      (graft.operators.Linkage.flog2fp(col("__dr_xa")) -
+        graft.operators.Linkage.flog2fp(col("__dr_xb")))
+    val agg = smoothed
+      .groupBy(gs: _*)
+      .agg(
+        (max(col("__dr_na2")) - max(col("__dr_nb"))).as("n_a"),
+        (max(col("__dr_nb2")) - max(col("__dr_nb"))).as("n_b"),
+        max(col("__dr_nb")).cast("long").as("n_buckets"),
+        sum(term).as("psi_num"),
+        (lit(16L) * max(col("__dr_na2")) * max(col("__dr_nb2"))).as("__dr_den"))
+    RankStats.withPpm(agg, col("psi_num"), col("__dr_den"), "psi_ppm")
+      .drop("__dr_den")
+  }
 }

@@ -359,4 +359,51 @@ object EventAnalytics {
     }
     results.reduce(_.unionByName(_)).select(col("seq"), col("length"), col("support"))
   }
+
+  /** Exponential time-decay multi-touch attribution — the recency-weighted
+    * credit model beside last-touch (q182) and U-shaped positional
+    * (q255): every touch within the lookback window of a conversion earns
+    * credit halving per day of gap. The half-life is a POWER OF TWO so
+    * credit is an exact integer SHIFT — credit_ppm = 10⁶ >> gap_days,
+    * floored at gap ≥ 20 days to 0 — no float decay, both engines agree
+    * bit-for-bit (the "never libm in scored paths" discipline).
+    *
+    * Shape: one per-key equi-join of touches × conversions filtered to
+    * the window — candidate volume is per-key activity-bounded, the same
+    * join the funnel/interval operators run; at 100 TB the key is the
+    * shuffle key and a hot user is an ordinary AQE-skewable key. Returns
+    * per touch-type: n_touches (credited pairs) and credit_ppm (Σ of
+    * shifted credits, exact BIGINT). */
+  def timeDecayAttribution(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      touchTypes: Seq[String],
+      conversionType: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 60,
+      s"timeDecayAttribution: windowDays in [1,60], got $windowDays")
+    require(!touchTypes.contains(conversionType),
+      "timeDecayAttribution: the conversion type cannot also be a touch type")
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__ta_k"), col(typeCol).as("__ta_ty"),
+        unix_micros(col(tsCol)).as("__ta_tts"))
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(keyCol).as("__ta_k"), unix_micros(col(tsCol)).as("__ta_cts"))
+    val horizonMicros = windowDays.toLong * 86400L * 1000000L
+    touches
+      .join(convs, Seq("__ta_k"))
+      .filter(col("__ta_tts") <= col("__ta_cts") &&
+        col("__ta_cts") - col("__ta_tts") <= horizonMicros)
+      .withColumn("__ta_gap",
+        expr("(__ta_cts - __ta_tts) div 86400000000").cast("int"))
+      .withColumn("__ta_credit",
+        when(col("__ta_gap") >= 20, 0L)
+          .otherwise(expr("shiftright(1000000L, __ta_gap)")))
+      .groupBy(col("__ta_ty").as("channel"))
+      .agg(
+        count(lit(1)).cast("long").as("n_touches"),
+        sum(col("__ta_credit")).cast("long").as("credit_ppm"))
+  }
 }

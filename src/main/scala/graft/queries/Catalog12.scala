@@ -853,10 +853,152 @@ private[graft] object Catalog12 {
             FROM pyr GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Population Stability Index drift monitor
+    * ([[graft.operators.Drift.psiLog2]] — THE production score/feature
+    * drift metric beside the rank-based KS q321, in 1/16 fixed-point LOG2
+    * (libm ln is not bit-stable; floor-log2 is) with Laplace smoothing
+    * over the per-group bucket union; every term >= 0 exactly like true
+    * PSI; one census aggregation + a group-total window over the census).
+    * click-vs-error value distributions in fixed-width 50-unit buckets
+    * per user cohort. */
+  val q329_psi = Q(
+    "q329_psi",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(3L)))
+        .withColumn("bucket", least(floor(col("value") / 50.0), lit(9.0)).cast("long"))
+      graft.operators.Drift
+        .psiLog2(ev, "bucket", "event_type", "click", "error", Seq("cohort"))
+        .orderBy("cohort")
+    },
+    Some {
+      def flog(x: String) =
+        s"(16 * (length(bin($x)) - 1) - 16 + (($x) * 16) // (1::BIGINT << (length(bin($x)) - 1)))"
+      s"""WITH e AS (
+              SELECT user_id % 3 AS cohort,
+                     CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bucket,
+                     event_type
+              FROM events WHERE event_type IN ('click', 'error')),
+            cen AS (
+              SELECT cohort, bucket,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                     SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS cb
+              FROM e GROUP BY 1, 2),
+            sm AS (
+              SELECT cohort, ca, cb,
+                     COUNT(*) OVER (PARTITION BY cohort) AS nb,
+                     SUM(ca) OVER (PARTITION BY cohort)
+                       + COUNT(*) OVER (PARTITION BY cohort) AS na2,
+                     SUM(cb) OVER (PARTITION BY cohort)
+                       + COUNT(*) OVER (PARTITION BY cohort) AS nb2
+              FROM cen),
+            tt AS (
+              SELECT cohort, nb, na2, nb2,
+                     (ca + 1) * nb2 AS xa, (cb + 1) * na2 AS xb
+              FROM sm WHERE na2 > nb AND nb2 > nb),
+            ag AS (
+              SELECT cohort, MAX(na2) - MAX(nb) AS n_a, MAX(nb2) - MAX(nb) AS n_b,
+                     MAX(nb) AS n_buckets,
+                     SUM((xa - xb) * (${flog("xa")} - ${flog("xb")})) AS psi_num,
+                     16 * MAX(na2) * MAX(nb2) AS den
+              FROM tt GROUP BY 1)
+            SELECT cohort::BIGINT AS cohort, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   n_buckets::BIGINT AS n_buckets, psi_num::BIGINT AS psi_num,
+                   CAST((CASE WHEN psi_num < 0 THEN -1 ELSE 1 END)
+                     * ((ABS(psi_num)::HUGEINT * 1000000) // den) AS BIGINT) AS psi_ppm
+            FROM ag ORDER BY 1"""
+    })
+
+  /** Exponential time-decay attribution
+    * ([[graft.operators.EventAnalytics.timeDecayAttribution]] — the
+    * recency-weighted credit model completing the attribution family
+    * (last-touch q182, U-shaped q255): credit halves per day of gap as an
+    * exact integer SHIFT (10^6 >> gap_days, clamped past 20 — a shift
+    * >= 64 would WRAP under Java's mod-64 semantics, which the clamp
+    * prevents); one per-user equi-join of touches x conversions). */
+  val q330_time_decay = Q(
+    "q330_time_decay",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.EventAnalytics
+        .timeDecayAttribution(ev, "user_id", "event_type", "ts",
+          Seq("click", "view", "signup"), "purchase", windowDays = 30)
+        .orderBy("channel")
+    },
+    Some("""WITH tch AS (
+              SELECT user_id AS k, event_type AS ty, epoch_us(ts) AS tts
+              FROM events WHERE event_type IN ('click', 'view', 'signup')),
+            cv AS (
+              SELECT user_id AS k, epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'purchase'),
+            p AS (
+              SELECT ty, (cts - tts) // 86400000000 AS gap
+              FROM tch JOIN cv ON tch.k = cv.k
+              WHERE tts <= cts AND cts - tts <= 30 * 86400000000)
+            SELECT ty AS channel, COUNT(*)::BIGINT AS n_touches,
+                   SUM(CASE WHEN gap >= 20 THEN 0
+                            ELSE 1000000 // (1::BIGINT << gap::INT) END)::BIGINT AS credit_ppm
+            FROM p GROUP BY 1 ORDER BY 1"""))
+
+  /** Commutative table digest ([[graft.operators.TableDigest.reconcile]]
+    * — cross-replica content verification: (count, XOR of row hashes,
+    * SUM of row hashes mod 2^40), identical under ANY row order /
+    * partitioning / layout, so replicas compare by exchanging six numbers
+    * — which is the whole point at 100 TB; XOR alone is duplicate-pair
+    * blind, the modular sum covers it). A repartitioned copy matches; a
+    * single-value tamper (min orderkey's custkey + 1) does not. The
+    * oracle replays the chained two-column xxhash64 and both folds. */
+  val q331_table_digest = Q(
+    "q331_table_digest",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey")
+      val minKey = o.agg(min(col("o_orderkey"))).head().getLong(0)
+      val tampered = o.withColumn("o_custkey",
+        when(col("o_orderkey") === minKey, col("o_custkey") + 1L)
+          .otherwise(col("o_custkey")))
+      val same = graft.operators.TableDigest.reconcile(o, o.repartition(7), cols)
+        .withColumn("variant", lit("shuffled"))
+      val tamper = graft.operators.TableDigest.reconcile(o, tampered, cols)
+        .withColumn("variant", lit("tampered"))
+      same.unionByName(tamper)
+        .select(col("variant"), col("n_a"), col("n_b"), col("xor_a"),
+          col("sum_a"), col("matches"))
+        .orderBy("variant")
+    },
+    Some {
+      import graft.tools.OracleSql
+      def hashed(rel: String, pfx: String) = {
+        val h1 = OracleSql.xxhash64LongStages(rel, "o_orderkey", "h1", pfx = s"${pfx}a")
+        OracleSql.xxhash64LongStages(s"SELECT * FROM ($h1)", "o_custkey", "h",
+          pfx = s"${pfx}b", seed = OracleSql.unsignedOf("h1"))
+      }
+      def dig(rel: String, pfx: String) =
+        s"""SELECT COUNT(*)::BIGINT AS n, bit_xor(h)::BIGINT AS xh,
+                   SUM(((h % 1099511627776) + 1099511627776) % 1099511627776)::BIGINT AS sh
+            FROM (${hashed(rel, pfx)})"""
+      val base = dig("SELECT o_orderkey, o_custkey FROM orders", "__g1")
+      val tam = dig(
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+                       THEN o_custkey + 1 ELSE o_custkey END AS o_custkey
+           FROM orders""", "__g2")
+      s"""WITH d AS ($base), td AS ($tam)
+          SELECT 'shuffled' AS variant, d.n AS n_a, d.n AS n_b, d.xh AS xor_a,
+                 d.sh AS sum_a, TRUE AS matches
+          FROM d
+          UNION ALL
+          SELECT 'tampered', d.n, td.n, d.xh, d.sh,
+                 (d.n = td.n AND d.xh = td.xh AND d.sh = td.sh)
+          FROM d, td
+          ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
       q319_grid_dbscan, q320_point_in_polygon, q321_ks_test,
       q322_mann_whitney, q323_spearman, q324_roc_auc, q325_normal_equations,
-      q326_bootstrap_ci, q327_kendall, q328_tile_pyramid)
+      q326_bootstrap_ci, q327_kendall, q328_tile_pyramid, q329_psi,
+      q330_time_decay, q331_table_digest)
 }

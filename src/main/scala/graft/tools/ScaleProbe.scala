@@ -69,7 +69,20 @@ object ScaleProbe {
     "q303_bfs_eccentricity" -> 1.4, // rounds ≈ diameter; per-round linear in touched edges
     "q304_ktruss" -> 1.6, // per-round degree-oriented wedges O(m^1.5); clique census rounds fixed
     "q309_fd_discovery" -> 1.3, // n·k² per-row explode, immediately partially aggregated
-    "probe_edit_join_full" -> 1.6 // ED-Join over the FULL name corpus (q310 minus its fixed slice): candidates ∝ verified pairs under the df-order prefix filter
+    "probe_edit_join_full" -> 1.6, // ED-Join over the FULL name corpus (q310 minus its fixed slice): candidates ∝ verified pairs under the df-order prefix filter
+    // round-12 families. The catalog geo/bootstrap queries read customer/
+    // supplier/events, which synthesize() copies through UNSCALED (fixed
+    // dimension context) — a direct probe would measure factor-1 data and
+    // pass vacuously, so these four run probe-only drivers over the
+    // SCALING tables instead.
+    "q323_spearman" -> 1.3, // two value censuses + row-linear join-back
+    "q324_roc_auc" -> 1.3, // one score census + prefix window over it
+    "q325_normal_equations" -> 1.3, // one map-side-combinable Gram pass
+    "q327_kendall" -> 1.3, // census self-join is value-grid-bounded; data pass linear
+    "probe_spatial_join_orders" -> 1.4, // grid join, FIXED build side: pairs ∝ probe rows
+    "probe_dbscan_tiled" -> 1.5, // constant density (copies tile new area); CC rounds ~log
+    "probe_tile_pyramid_orders" -> 1.3, // one data shuffle + census-sized rollups
+    "probe_bootstrap_lineitem" -> 1.3 // B replicates ride one aggregation pass
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
@@ -100,6 +113,59 @@ object ScaleProbe {
       graft.text.Dedup.qgramEditJoin(names.unionByName(typos), "id", "s",
           q = 2, maxDistance = 1)
         .agg(count(lit(1)).as("n_pairs"), sum(col("distance")).as("sum_d"))
+    },
+    // q317's shape over SCALING order keys: probe side grows with the
+    // corpus, build side (suppliers) is fixed context — pairs ∝ probe rows
+    "probe_spatial_join_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val probe = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_orderkey") * 48271L, lit(1000L)).as("x"),
+        pmod(col("o_orderkey") * 16807L, lit(1000L)).as("y"))
+      val build = s.read.parquet(s"$dir/supplier.parquet").select(
+        col("s_suppkey").as("sid"),
+        pmod(col("s_suppkey") * 48271L, lit(1000L)).as("sx"),
+        pmod(col("s_suppkey") * 16807L, lit(1000L)).as("sy"))
+      graft.operators.Geo.gridDistanceJoin(probe, build, "x", "y", "sx", "sy", 50L)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"))
+    },
+    // q319's shape at CONSTANT density: each synthesized copy tiles a NEW
+    // 1000-wide x-band (the realistic geo scale-up — more area, same
+    // density), so neighbor volume grows linearly and cluster count ×k;
+    // an un-tiled probe would densify one field and measure the k²
+    // synthesis, not the operator
+    "probe_dbscan_tiled" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      // wider ±50 jitter than the catalog fixture: order volume is ~100×
+      // the customer fixture per blob, so the box grows to keep neighbor
+      // volume probe-sized — the probe measures join+CC scaling, not an
+      // artificially saturated clique
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").as("id"),
+        (expr("(o_orderkey div 100000000) * 2100") +
+          pmod(pmod(col("o_orderkey"), lit(40L)), lit(8L)) * 250L + 125L +
+          pmod(col("o_orderkey") * 48271L, lit(101L)) - 50L).as("x"),
+        (expr("(o_orderkey % 40) div 8") * 250L + 125L +
+          pmod(col("o_orderkey") * 16807L, lit(101L)) - 50L).as("y"))
+      graft.operators.Geo.gridDbscan(pts, "id", "x", "y", eps = 6L, minPts = 3)
+        .groupBy("role").agg(count(lit(1)).as("n"))
+    },
+    "probe_tile_pyramid_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        pmod(col("o_orderkey") * 48271L, lit(1024L)).as("x"),
+        pmod(col("o_orderkey") * 16807L, lit(1024L)).as("y"))
+      graft.operators.Geo.tilePyramid(pts, "x", "y", bits = 6, coordBits = 10)
+        .groupBy("level").agg(sum(col("cnt")).as("n"), count(lit(1)).as("cells"))
+    },
+    "probe_bootstrap_lineitem" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_returnflag"),
+        (col("l_orderkey") * 8L + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("v"))
+      graft.operators.Resample.bootstrapMeanCi(li, "id", "v", reps = 64,
+        loRank = 2, hiRank = 63, groupCols = Seq("l_returnflag"))
     })
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, EventAnalytics, TableDigest}
+
+/** Round-12 monitor/verification contracts: PSI fixed-point-log2 semantics
+  * (zero on identical distributions, monotone in shift, smoothing keeps
+  * one-sided buckets finite, driver-replay exactness), time-decay
+  * attribution (shift credits, window/order/clamp edges), and the
+  * commutative table digest (layout invariance, tamper sensitivity, and
+  * the duplicate-pair attack XOR alone would miss). */
+class DriftDigestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- PSI
+
+  private def psi(rows: Seq[(String, Long, String)]): Map[String, (Long, Long)] =
+    Drift.psiLog2(viaParquet(rows.toDF("g", "bucket", "side")),
+        "bucket", "side", "a", "b", Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("psi_num"), r.getAs[Long]("psi_ppm"))))
+      .toMap
+
+  test("psiLog2: identical distributions score exactly zero; shift is monotone") {
+    val same = (1 to 40).flatMap(i =>
+      Seq(("g", (i % 4).toLong, "a"), ("g", (i % 4).toLong, "b")))
+    assert(psi(same) == Map("g" -> ((0L, 0L))))
+    // mild shift vs hard shift: b's mass moves one bucket vs all-to-one
+    def shifted(hard: Boolean) = (1 to 40).map(i => ("g", (i % 4).toLong, "a")) ++
+      (1 to 40).map(i => ("g", if (hard) 0L else ((i % 4) min 2).toLong, "b"))
+    val mild = psi(shifted(hard = false))("g")._2
+    val hard = psi(shifted(hard = true))("g")._2
+    assert(mild > 0L && hard > mild)
+  }
+
+  test("psiLog2: one-sided buckets stay finite via smoothing; driver replay is exact") {
+    // census: bucket 1 -> (ca=10, cb=20); bucket 9 -> (ca=20, cb=0) —
+    // bucket 9 exists ONLY on side a (the case smoothing exists for)
+    val rows = (1 to 10).map(_ => ("g", 1L, "a")) ++
+      (1 to 20).map(_ => ("g", 1L, "b")) ++
+      (1 to 20).map(_ => ("g", 9L, "a"))
+    val got = psi(rows)("g")
+    // driver replay with the same fixed-point floor-log2
+    def flog(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      16L * msb - 16L + x * 16L / (1L << msb)
+    }
+    val (na2, nb2) = (30L + 2L, 20L + 2L)
+    val terms = Seq((10L, 20L), (20L, 0L)).map { case (ca, cb) =>
+      val (xa, xb) = ((ca + 1) * nb2, (cb + 1) * na2)
+      (xa - xb) * (flog(xa) - flog(xb))
+    }
+    assert(terms.forall(_ >= 0L))
+    assert(got._1 == terms.sum)
+    assert(got._2 == terms.sum * 1000000L / (16L * na2 * nb2))
+  }
+
+  test("psiLog2: groups missing a side are dropped") {
+    val rows = Seq(("g1", 0L, "a"), ("g1", 0L, "b"), ("g2", 0L, "a"))
+    assert(psi(rows).keySet == Set("g1"))
+  }
+
+  // ------------------------------------------------- time-decay credits
+
+  test("timeDecayAttribution: shift credits, ordering, window, and >=20-day clamp") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-31 12:00:00")
+    def ts(daysBefore: Double) = new java.sql.Timestamp(
+      t0.getTime - (daysBefore * 86400000L).toLong)
+    val ev = Seq(
+      (1L, "conv", ts(0)),
+      (1L, "x", ts(0.5)), // gap 0 days -> 1000000
+      (1L, "x", ts(1.5)), // gap 1 day  -> 500000
+      (1L, "y", ts(2.5)), // gap 2 days -> 250000
+      (1L, "y", ts(25.0)), // gap 25 -> clamped to 0 (still counted as a touch)
+      (1L, "x", ts(35.0)), // outside the 30-day window -> excluded
+      (1L, "x", ts(-1.0)), // AFTER the conversion -> excluded
+      (2L, "x", ts(3.0))) // no conversion for key 2 -> excluded
+      .toDF("k", "ty", "ts")
+    val got = EventAnalytics.timeDecayAttribution(viaParquet(ev), "k", "ty", "ts",
+        Seq("x", "y"), "conv", windowDays = 30)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("x" -> ((2L, 1500000L)), "y" -> ((2L, 250000L))))
+    assertThrows[IllegalArgumentException] {
+      EventAnalytics.timeDecayAttribution(ev, "k", "ty", "ts", Seq("x", "conv"), "conv", 30)
+    }
+  }
+
+  // ----------------------------------------------------- table digest
+
+  test("digest is layout-invariant and value/row-count sensitive") {
+    val base = viaParquet((1L to 300L).map(i => (i, i * 7L % 50L)).toDF("a", "b"))
+    val d0 = TableDigest.digest(base, Seq("a", "b")).head()
+    val d1 = TableDigest.digest(base.repartition(11).orderBy(desc("b")), Seq("a", "b")).head()
+    assert(d0.toSeq == d1.toSeq)
+    val tampered = base.withColumn("b", when(col("a") === 7L, col("b") + 1L).otherwise(col("b")))
+    assert(TableDigest.reconcile(base, tampered, Seq("a", "b"))
+      .head().getAs[Boolean]("matches") == false)
+    assert(TableDigest.reconcile(base, base.filter(col("a") =!= 7L), Seq("a", "b"))
+      .head().getAs[Boolean]("matches") == false)
+    assert(TableDigest.reconcile(base, base.repartition(5), Seq("a", "b"))
+      .head().getAs[Boolean]("matches") == true)
+  }
+
+  test("digest catches the duplicate-pair swap that XOR alone cannot") {
+    // A = {r, r, s}, B = {s, u, u}: equal counts, equal XOR (pairs cancel),
+    // different content -> the modular SUM must flag it
+    val a = viaParquet(Seq((10L, 1L), (10L, 1L), (20L, 2L)).toDF("a", "b"))
+    val b = viaParquet(Seq((20L, 2L), (30L, 3L), (30L, 3L)).toDF("a", "b"))
+    val r = TableDigest.reconcile(a, b, Seq("a", "b")).head()
+    assert(r.getAs[Long]("xor_a") == r.getAs[Long]("xor_b"))
+    assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+    assert(!r.getAs[Boolean]("matches"))
+  }
+
+  test("digest refusals") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    assertThrows[IllegalArgumentException] { TableDigest.digest(df, Seq.empty) }
+    assertThrows[IllegalArgumentException] { TableDigest.digest(df, Seq("zz")) }
+  }
+}
