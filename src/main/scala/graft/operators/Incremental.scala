@@ -72,4 +72,29 @@ object Incremental {
     val recomputed = derive(next.join(broadcast(changed), partCols, "left_semi"))
     kept.unionByName(recomputed)
   }
+
+  /** Incremental JOIN-view maintenance — the delta algebra every
+    * materialized-join refresher runs (differential-dataflow / DBSP
+    * Δ(A⋈B) identity): with inserts ΔA and ΔB,
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — three joins whose LEFT inputs are
+    * delta-sized, so refresh cost tracks the CHANGE, not the view
+    * (the agg-MV counterpart lives in the txn-log registration; this is
+    * the join shape). Insert-only by contract: deletes need the DV/CDF
+    * machinery upstream to present retractions, and a silent delete here
+    * would corrupt the view — callers REFUSE mixed feeds.
+    *
+    * At 100 TB: B₀ shuffles once against ΔA (delta-sized probe, AQE
+    * broadcast when ΔA is small); A₀⋈ΔB symmetric; ΔA⋈ΔB is tiny. The
+    * returned frame is the delta to APPEND to the stored view. */
+  def joinDelta(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta: at least one join key")
+    val overlap = aOld.columns.toSet.intersect(bOld.columns.toSet) -- keys
+    require(overlap.isEmpty, s"joinDelta: non-key column overlap $overlap")
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }

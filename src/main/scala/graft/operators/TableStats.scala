@@ -140,4 +140,39 @@ object TableStats {
           .cast("long").as("n_violating"))
       .withColumn("holds", col("n_violating") === 0L)
   }
+
+  /** Per-column Shannon entropy of the VALUE distribution in fixed-point
+    * log₂ — the information-content row of a table profile (uniqueness ≈
+    * log₂ n bits, constants = 0; feeds key discovery, join-cardinality
+    * sanity, and compression planning next to [[encodingPlan]]): with
+    * value counts c over n rows, H = log₂ n − (1/n)·Σ c·log₂ c, carried
+    * exactly as h_num = n·flog2fp(n) − Σ c·flog2fp(c) (≈ 16·n·H) and
+    * reported as entropy_ubits = h_num·10⁶ div (16·n) — micro-bits,
+    * engine-stable like every fixed-point-log₂ score in this library.
+    * NULL is its own value (a 99%-NULL column is LOW entropy, which is
+    * the profiling answer one wants). One stack-unpivot scan + a census
+    * aggregate per column — value strings shuffle once. */
+  def columnEntropy(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "columnEntropy: at least one column")
+    require(columns.forall(df.columns.contains),
+      s"columnEntropy: missing columns in ${df.columns.mkString(",")}")
+    val stackArgs = columns
+      .map(c => s"'$c', CAST(`$c` AS STRING)")
+      .mkString(", ")
+    val census = df
+      .select(expr(s"stack(${columns.size}, $stackArgs)").as(Seq("column", "val")))
+      .groupBy(col("column"), col("val"))
+      .agg(count(lit(1)).as("__ts_c"))
+    census
+      .groupBy(col("column"))
+      .agg(
+        sum(col("__ts_c")).as("n"),
+        count(lit(1)).as("ndv"),
+        sum(col("__ts_c") * graft.operators.Linkage.flog2fp(col("__ts_c"))).as("__ts_sc"))
+      .withColumn("h_num",
+        col("n") * graft.operators.Linkage.flog2fp(col("n")) - col("__ts_sc"))
+      .transform(d => RankStats.withPpm(d, col("h_num"), lit(16L) * col("n"),
+        "entropy_ubits"))
+      .drop("__ts_sc")
+  }
 }

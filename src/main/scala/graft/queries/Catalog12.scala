@@ -994,11 +994,200 @@ private[graft] object Catalog12 {
           ORDER BY 1"""
     })
 
+  /** Incremental JOIN-view maintenance
+    * ([[graft.operators.Incremental.joinDelta]] — the DBSP / differential
+    * delta identity Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, three joins with
+    * delta-sized left inputs so refresh cost tracks the CHANGE; the
+    * verdict column comes from [[graft.operators.TableDigest.reconcile]]
+    * comparing (old view ∪ Δ) against the full re-join — operators
+    * composing, which is the point). Orders/customers split 80/20 and
+    * 90/10 by key residue; the oracle derives every census count from
+    * the same residue arithmetic and the verdict from the identity. */
+  val q332_join_mv_delta = Q(
+    "q332_join_mv_delta",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price_fl"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_nationkey").cast("long").as("nk"))
+      val (aOld, aDelta) = (o.filter(pmod(col("o_orderkey"), lit(10L)) < 8),
+        o.filter(pmod(col("o_orderkey"), lit(10L)) >= 8))
+      val (bOld, bDelta) = (c.filter(pmod(col("k"), lit(10L)) < 9),
+        c.filter(pmod(col("k"), lit(10L)) >= 9))
+      val delta = graft.operators.Incremental.joinDelta(aOld, aDelta, bOld, bDelta, Seq("k"))
+      val oldView = aOld.join(bOld, Seq("k"))
+      val full = o.join(c, Seq("k"))
+      val cols = Seq("k", "o_orderkey", "price_fl", "nk")
+      val verdict = graft.operators.TableDigest
+        .reconcile(oldView.unionByName(delta), full, cols)
+        .select(col("n_a").as("n_maintained"), col("n_b").as("n_full"), col("matches"))
+      val counts = delta.agg(
+        count(lit(1)).cast("long").as("n_delta"),
+        sum(col("o_orderkey")).cast("long").as("delta_checksum"))
+      counts.crossJoin(verdict)
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey AS k, o_orderkey,
+                     CAST(FLOOR(o_totalprice) AS BIGINT) AS price_fl
+              FROM orders),
+            c AS (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+            ao AS (SELECT * FROM o WHERE o_orderkey % 10 < 8),
+            ad AS (SELECT * FROM o WHERE o_orderkey % 10 >= 8),
+            bo AS (SELECT * FROM c WHERE k % 10 < 9),
+            bd AS (SELECT * FROM c WHERE k % 10 >= 9),
+            delta AS (
+              SELECT ad.o_orderkey FROM ad JOIN bo ON ad.k = bo.k
+              UNION ALL SELECT ao.o_orderkey FROM ao JOIN bd ON ao.k = bd.k
+              UNION ALL SELECT ad.o_orderkey FROM ad JOIN bd ON ad.k = bd.k),
+            nold AS (SELECT COUNT(*) AS n FROM ao JOIN bo ON ao.k = bo.k),
+            nfull AS (SELECT COUNT(*) AS n FROM o JOIN c ON o.k = c.k)
+            SELECT COUNT(*)::BIGINT AS n_delta,
+                   SUM(o_orderkey)::BIGINT AS delta_checksum,
+                   ((SELECT n FROM nold) + COUNT(*))::BIGINT AS n_maintained,
+                   (SELECT n FROM nfull)::BIGINT AS n_full,
+                   ((SELECT n FROM nold) + COUNT(*) = (SELECT n FROM nfull)) AS matches
+            FROM delta"""))
+
+  /** Streaming geofence enter/exit detection
+    * ([[graft.streaming.StreamOps.flagTransitions]] — per-key boolean
+    * TRANSITION events via flatMapGroupsWithState, the 0..n-outputs-per-
+    * group state shape the matrix was missing (map-state q:runningPeak
+    * emits exactly one); state = ONE boolean per key; within-batch rows
+    * sort by (ts, tie) because GroupState iterators are unordered, and
+    * the q316 monotone-chunk drain orders batches). Event coordinates
+    * from key arithmetic against the q320 hexagon; the oracle is the
+    * batch LAG replay with initial-state false. */
+  val q333_geofence_stream = Q(
+    "q333_geofence_stream",
+    (s, dir) => {
+      val hex = Seq((500L, 50L), (900L, 300L), (900L, 700L),
+        (500L, 950L), (100L, 700L), (100L, 300L))
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
+      val minDay = ev.agg(min(col("day"))).head().getLong(0)
+      val inDir = java.nio.file.Files.createTempDirectory("graft-q333-in")
+      (0 to 2).foreach { ch =>
+        val stage = java.nio.file.Files.createTempDirectory(s"graft-q333-c$ch").toString
+        ev.filter(expr(s"(day - $minDay) div 10") === ch)
+          .drop("day").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val target = inDir.resolve(f"chunk$ch%03d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + ch * 60000L))
+      }
+      val schema = s.read.parquet(inDir.toString).schema
+      val stream = normalizeTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString))
+        .withColumn("x", pmod(col("event_id") * 48271L, lit(1000L)))
+        .withColumn("y", pmod(col("event_id") * 16807L, lit(1000L)))
+        .withColumn("inside",
+          graft.operators.Geo.pointInConvexPolygon(col("x"), col("y"), hex))
+        .select(col("user_id"), unix_micros(col("ts")).as("tms"),
+          col("event_id"), col("inside"))
+      val trans = graft.streaming.StreamOps
+        .flagTransitions(stream, "user_id", "tms", "event_id", "inside")
+      val qname = s"graft_q333_${streamRuns.incrementAndGet()}"
+      val q = scopedStreamStart(s)(
+        trans.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("direction"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          sum(col("user_id")).cast("long").as("checksum"))
+        .orderBy("direction")
+    },
+    Some {
+      val hex = Seq((500L, 50L), (900L, 300L), (900L, 700L),
+        (500L, 950L), (100L, 700L), (100L, 300L))
+      val tests = hex.indices.map { i =>
+        val (x1, y1) = hex(i)
+        val (x2, y2) = hex((i + 1) % hex.size)
+        s"(${x2 - x1}) * (y - ($y1)) - (${y2 - y1}) * (x - ($x1)) >= 0"
+      }.mkString(" AND ")
+      s"""WITH e AS (
+              SELECT user_id, event_id, ts,
+                     (event_id * 48271) % 1000 AS x,
+                     (event_id * 16807) % 1000 AS y
+              FROM events WHERE user_id < 30),
+            f AS (SELECT user_id, event_id, ts, ($tests) AS inside FROM e),
+            w AS (
+              SELECT user_id, inside,
+                     LAG(inside, 1, FALSE) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM f),
+            tr AS (
+              SELECT user_id,
+                     CASE WHEN inside THEN 'enter' ELSE 'exit' END AS direction
+              FROM w WHERE inside <> prev)
+            SELECT direction, COUNT(*)::BIGINT AS n,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users,
+                   SUM(user_id)::BIGINT AS checksum
+            FROM tr GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Per-column Shannon entropy profile
+    * ([[graft.operators.TableStats.columnEntropy]] — information content
+    * in fixed-point log₂ micro-bits beside the ndv/encoding profile rows:
+    * H = log₂n − (1/n)Σc·log₂c carried exactly as n·flog2fp(n) −
+    * Σc·flog2fp(c); NULL is its own value, so a mostly-NULL column reads
+    * LOW; one stack-unpivot scan + census fold). Orders' status/priority/
+    * custkey plus a 25%-NULLed status variant spanning the range from
+    * near-constant to near-unique. */
+  val q334_column_entropy = Q(
+    "q334_column_entropy",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
+        when(pmod(col("o_orderkey"), lit(4L)) === 0L, lit(null))
+          .otherwise(col("o_orderstatus")).as("status_nulled"))
+      graft.operators.TableStats
+        .columnEntropy(o,
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey", "status_nulled"))
+        .orderBy("column")
+    },
+    Some {
+      def flog(x: String) =
+        s"(16 * (length(bin($x)) - 1) - 16 + (($x) * 16) // (1::BIGINT << (length(bin($x)) - 1)))"
+      s"""WITH src AS (
+              SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+                     CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+                     CAST(o_custkey AS VARCHAR) AS o_custkey,
+                     CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                          ELSE CAST(o_orderstatus AS VARCHAR) END AS status_nulled
+              FROM orders),
+            up AS (
+              SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM src
+              UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM src
+              UNION ALL SELECT 'o_custkey', o_custkey FROM src
+              UNION ALL SELECT 'status_nulled', status_nulled FROM src),
+            cen AS (SELECT col, val, COUNT(*) AS c FROM up GROUP BY 1, 2),
+            ag AS (
+              SELECT col, SUM(c) AS n, COUNT(*) AS ndv,
+                     SUM(c * ${flog("c")}) AS sc
+              FROM cen GROUP BY 1)
+            SELECT col AS "column", n::BIGINT AS n, ndv::BIGINT AS ndv,
+                   (n * ${flog("n")} - sc)::BIGINT AS h_num,
+                   CAST((CASE WHEN n * ${flog("n")} - sc < 0 THEN -1 ELSE 1 END)
+                     * ((ABS(n * ${flog("n")} - sc)::HUGEINT * 1000000)
+                        // (16 * n)) AS BIGINT) AS entropy_ubits
+            FROM ag ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
       q319_grid_dbscan, q320_point_in_polygon, q321_ks_test,
       q322_mann_whitney, q323_spearman, q324_roc_auc, q325_normal_equations,
       q326_bootstrap_ci, q327_kendall, q328_tile_pyramid, q329_psi,
-      q330_time_decay, q331_table_digest)
+      q330_time_decay, q331_table_digest, q332_join_mv_delta,
+      q333_geofence_stream, q334_column_entropy)
 }

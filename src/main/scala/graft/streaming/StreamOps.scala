@@ -281,4 +281,49 @@ object StreamOps {
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn", "batch")
   }
+
+  /** Per-key boolean-flag TRANSITION detector via flatMapGroupsWithState —
+    * the geofence enter/exit shape (also alert raise/clear, SLA
+    * breach/restore): each input carries a boolean flag; the operator
+    * emits a row ONLY when a key's flag flips, carrying the flip
+    * direction. The initial state is "false" by contract, so a key's
+    * first true emits an "enter".
+    *
+    * flatMap (not map) because one micro-batch can flip a key several
+    * times — 0..n outputs per group per trigger. Within a batch the
+    * group's rows sort by (ts, tie) — a GroupState iterator has NO order
+    * guarantee; across batches correctness needs event-time-monotone
+    * arrival per key (the q316 chunked-drain discipline; in production,
+    * watermark + source ordering). State is ONE boolean per key — the
+    * smallest possible footprint, RocksDB-provider-ready.
+    *
+    * Input columns: (keyCol: BIGINT, tsCol: BIGINT, tieCol: BIGINT,
+    * flagCol: BOOLEAN). Returns (key, ts, tie, direction: "enter"|"exit").
+    */
+  def flagTransitions(
+      events: DataFrame,
+      keyCol: String, tsCol: String, tieCol: String, flagCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+        col(tieCol).cast("long"), col(flagCol).cast("boolean"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Boolean)], state: GroupState[Boolean]) =>
+          var inside = state.getOption.getOrElse(false)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, tie, flag) =>
+            if (flag != inside) {
+              out += ((key, ts, tie, if (flag) "enter" else "exit"))
+              inside = flag
+            }
+          }
+          state.update(inside)
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, tieCol, "direction")
+  }
 }

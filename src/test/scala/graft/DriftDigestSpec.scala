@@ -118,4 +118,37 @@ class DriftDigestSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { TableDigest.digest(df, Seq.empty) }
     assertThrows[IllegalArgumentException] { TableDigest.digest(df, Seq("zz")) }
   }
+
+  // ------------------------------------------- join-delta MV + entropy
+
+  test("joinDelta equals the full re-join under fuzzed splits; overlap refusal") {
+    import graft.operators.Incremental
+    val rnd = new scala.util.Random(29)
+    val a = (1 to 400).map(i => (rnd.nextInt(60).toLong, i.toLong))
+    val b = (1 to 80).map(i => (rnd.nextInt(60).toLong, (i * 100).toLong))
+    val adf = viaParquet(a.toDF("k", "av"))
+    val bdf = viaParquet(b.toDF("k", "bv"))
+    val (aOld, aDelta) = (adf.filter(col("av") % 3 =!= 0), adf.filter(col("av") % 3 === 0))
+    val (bOld, bDelta) = (bdf.filter(col("bv") % 2 =!= 0), bdf.filter(col("bv") % 2 === 0))
+    val maintained = aOld.join(bOld, Seq("k"))
+      .unionByName(Incremental.joinDelta(aOld, aDelta, bOld, bDelta, Seq("k")))
+    assert(sortedRows(maintained) == sortedRows(adf.join(bdf, Seq("k"))))
+    assertThrows[IllegalArgumentException] {
+      Incremental.joinDelta(adf, adf, adf.toDF("k", "av"), adf.toDF("k", "av"), Seq("k"))
+    }
+  }
+
+  test("columnEntropy: constant = 0, unique = flog(n)/16 bits, NULL is a value") {
+    import graft.operators.TableStats
+    val df = viaParquet((1L to 64L).map(i =>
+      (i, "same", if (i <= 32) "x" else null)).toDF("uniq", "const", "half"))
+    val got = TableStats.columnEntropy(df, Seq("uniq", "const", "half"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("ndv"), r.getAs[Long]("h_num"), r.getAs[Long]("entropy_ubits")))).toMap
+    assert(got("const") == ((1L, 0L, 0L)))
+    // 64 unique values: h_num = 64*flog(64) = 64*96; ubits = 96*1e6/16 = 6e6 (6 bits)
+    assert(got("uniq") == ((64L, 64L * 96L, 6000000L)))
+    // two equal halves (x / NULL): exactly 1 bit
+    assert(got("half")._1 == 2L && got("half")._3 == 1000000L)
+  }
 }

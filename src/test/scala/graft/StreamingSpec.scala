@@ -287,4 +287,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flagTransitions emits enter/exit flips only, with state across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Boolean)]
+    val trans = StreamOps.flagTransitions(
+      input.toDF().toDF("k", "ts", "tie", "flag"), "k", "ts", "tie", "flag")
+    val q = trans.writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    // batch 1, deliberately OUT of order within the batch (the operator
+    // sorts by (ts, tie)): key 1 enters at 10, exits at 30; key 2 stays out
+    input.addData((1L, 30L, 1L, false), (1L, 10L, 1L, true), (1L, 20L, 1L, true),
+      (2L, 10L, 1L, false))
+    q.processAllAvailable()
+    // batch 2: key 1 re-enters (state carried: it was OUT after batch 1);
+    // key 2 enters for the first time; a same-ts tie resolves by tie col
+    input.addData((1L, 40L, 1L, true), (2L, 40L, 2L, true), (2L, 40L, 1L, false))
+    q.processAllAvailable()
+    val got = spark.table("trans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    q.stop()
+    assert(got == Set((1L, 10L, "enter"), (1L, 30L, "exit"), (1L, 40L, "enter"),
+      (2L, 40L, "enter")))
+  }
 }
