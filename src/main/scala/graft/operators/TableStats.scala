@@ -175,4 +175,43 @@ object TableStats {
         "entropy_ubits"))
       .drop("__ts_sc")
   }
+
+  /** Mutual information between two columns in fixed-point log₂ —
+    * the dependence row of the profile (feature selection, FD-discovery's
+    * soft sibling: MI ≈ 0 ⇒ independent, MI ≈ min(H_x, H_y) ⇒ one
+    * determines the other; compare against [[fdViolations]]'s hard
+    * verdict and [[columnEntropy]]'s marginals): MI = Σ p_xy·log₂(n·c_xy
+    * /(c_x·c_y)) carried exactly as mi_num = Σ c_xy·(flog2fp(n·c_xy) −
+    * flog2fp(c_x·c_y)) ≈ 16·n·MI, reported as mi_ubits = mi_num·10⁶ div
+    * (16·n). Individual terms CAN be negative (the fixed-point floor
+    * keeps them exact either way); the total sits within ±n of the true
+    * 16n·MI. Three censuses (joint + two marginals, each one shuffle)
+    * and a joint-census-sized join — rows never pair. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    require(df.columns.contains(xCol) && df.columns.contains(yCol),
+      s"mutualInformation: missing columns in ${df.columns.mkString(",")}")
+    val joint = df
+      .groupBy(col(xCol).cast("string").as("__ts_x"), col(yCol).cast("string").as("__ts_y"))
+      .agg(count(lit(1)).as("__ts_cxy"))
+      .localCheckpoint(true) // feeds both marginals AND the final join
+    // null-safe (<=>) joins: NULL is a legitimate profile value (the
+    // columnEntropy convention) and a plain equi-join would silently drop
+    // every NULL-keyed census row
+    val mx = joint.groupBy(col("__ts_x").as("__ts_x2"))
+      .agg(sum(col("__ts_cxy")).as("__ts_cx"))
+    val my = joint.groupBy(col("__ts_y").as("__ts_y2"))
+      .agg(sum(col("__ts_cxy")).as("__ts_cy"))
+    val n = joint.agg(sum(col("__ts_cxy"))).head().getLong(0)
+    joint
+      .join(mx, col("__ts_x") <=> col("__ts_x2"))
+      .join(my, col("__ts_y") <=> col("__ts_y2"))
+      .agg(
+        lit(n).as("n"),
+        count(lit(1)).as("ndv_joint"),
+        sum(col("__ts_cxy") *
+          (graft.operators.Linkage.flog2fp(col("__ts_cxy") * lit(n)) -
+            graft.operators.Linkage.flog2fp(col("__ts_cx") * col("__ts_cy"))))
+          .as("mi_num"))
+      .transform(d => RankStats.withPpm(d, col("mi_num"), lit(16L) * col("n"), "mi_ubits"))
+  }
 }

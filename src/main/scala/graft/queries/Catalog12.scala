@@ -1182,6 +1182,140 @@ private[graft] object Catalog12 {
             FROM ag ORDER BY 1"""
     })
 
+  /** Mutual information between column pairs
+    * ([[graft.operators.TableStats.mutualInformation]] — the dependence
+    * row of the profile in fixed-point log₂ micro-bits, the soft sibling
+    * of FD discovery q309 and the pairing of entropy q334: three censuses
+    * + a joint-census-sized join, rows never pair). A dependent pair
+    * (returnflag ↔ linestatus) against an independent-by-construction
+    * pair (partkey%10 ↔ suppkey%10) — the contrast IS the demo. */
+  val q335_mutual_info = Q(
+    "q335_mutual_info",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        pmod(col("l_partkey"), lit(10L)).as("pk10"),
+        pmod(col("l_suppkey"), lit(10L)).as("sk10"))
+      val dep = graft.operators.TableStats
+        .mutualInformation(li, "l_returnflag", "l_linestatus")
+        .withColumn("pair", lit("flag_status"))
+      val ind = graft.operators.TableStats
+        .mutualInformation(li, "pk10", "sk10")
+        .withColumn("pair", lit("pk_sk"))
+      dep.unionByName(ind).select(col("pair"), col("n"), col("ndv_joint"),
+        col("mi_num"), col("mi_ubits")).orderBy("pair")
+    },
+    Some {
+      def flog(x: String) =
+        s"(16 * (length(bin($x)) - 1) - 16 + (($x) * 16) // (1::BIGINT << (length(bin($x)) - 1)))"
+      def mi(xExpr: String, yExpr: String, label: String) =
+        s"""SELECT '$label' AS pair, n::BIGINT AS n, ndv_joint::BIGINT AS ndv_joint,
+                   mi_num::BIGINT AS mi_num,
+                   CAST((CASE WHEN mi_num < 0 THEN -1 ELSE 1 END)
+                     * ((ABS(mi_num)::HUGEINT * 1000000) // (16 * n)) AS BIGINT) AS mi_ubits
+            FROM (
+              SELECT MAX(n) AS n, COUNT(*) AS ndv_joint,
+                     SUM(cxy * (${flog("cxy * n")} - ${flog("cx * cy")})) AS mi_num
+              FROM (
+                SELECT cxy, SUM(cxy) OVER (PARTITION BY x) AS cx,
+                       SUM(cxy) OVER (PARTITION BY y) AS cy,
+                       SUM(cxy) OVER () AS n
+                FROM (SELECT $xExpr AS x, $yExpr AS y, COUNT(*) AS cxy
+                      FROM lineitem GROUP BY 1, 2)))"""
+      s"""${mi("l_returnflag", "l_linestatus", "flag_status")}
+          UNION ALL
+          ${mi("CAST(l_partkey % 10 AS VARCHAR)", "CAST(l_suppkey % 10 AS VARCHAR)", "pk_sk")}
+          ORDER BY 1"""
+    })
+
+  /** TextRank keyword extraction — text × graph COMPOSITION, no new
+    * operator: adjacent-token co-occurrence edges (count ≥ 3 prune) over
+    * the normalized document corpus feed the integer fixed-point
+    * PageRank ([[graft.operators.Graph.pageRankFixedPoint]], q119's
+    * bit-stable arithmetic), word ids are dense ranks over the surviving
+    * vocabulary (a census-sized window), top-15 keywords by (rank, word).
+    * The oracle replays tokenization, pair census, id assignment, and
+    * the 5-round integer chain. */
+  val q336_textrank = Q(
+    "q336_textrank",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(graft.text.TextFunctions.normalize(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))"))
+          .as("p"))
+        .select(col("p.a"), col("p.b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .localCheckpoint(true)
+      val vocab = pairs.select(col("a").as("w")).unionByName(pairs.select(col("b").as("w")))
+        .distinct()
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("w"))).cast("long"))
+        .localCheckpoint(true)
+      val ida = vocab.select(col("w").as("a"), col("id").as("src"))
+      val idb = vocab.select(col("w").as("b"), col("id").as("dst"))
+      val edges = pairs.join(ida, Seq("a")).join(idb, Seq("b")).select(col("src"), col("dst"))
+      val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.operators.Graph.pageRankFixedPoint(sym, iterations = 5)
+        .join(vocab.select(col("id").as("node"), col("w")), Seq("node"))
+        .select(col("w").as("word"), col("rank").cast("long").as("rank"))
+        .orderBy(col("rank").desc, col("word"))
+        .limit(15)
+    },
+    Some {
+      val iters = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (
+              SELECT nodes.node,
+                     (SELECT (1000000000::BIGINT * 15) // (100 * n) FROM consts)
+                     + (85 * COALESCE(sm.s, 0)) // 100 AS rank
+              FROM nodes LEFT JOIN (
+                SELECT ed.dst AS node, SUM($prev.rank // ed.outdeg) AS s
+                FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY 1) sm USING (node))"""
+      }.mkString(",\n          ")
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array($normSql, $wsSql), x -> x <> '') AS ws
+            FROM documents),
+          pr0 AS (
+            SELECT u.p.a AS a, u.p.b AS b
+            FROM (SELECT list_transform(range(1, len(ws)), i ->
+                    {'a': ws[i], 'b': ws[i + 1]}) AS prs
+                  FROM tk WHERE len(ws) >= 2) t,
+                 UNNEST(t.prs) AS u(p)),
+          pairs AS (
+            SELECT a, b, COUNT(*) AS c FROM pr0 WHERE a <> b
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+          vocab AS (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS id
+            FROM (SELECT DISTINCT a AS w FROM pairs
+                  UNION SELECT DISTINCT b FROM pairs)),
+          e0 AS (
+            SELECT va.id AS src, vb.id AS dst
+            FROM pairs JOIN vocab va ON pairs.a = va.w
+                       JOIN vocab vb ON pairs.b = vb.w),
+          e AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+          nodes AS (
+            SELECT DISTINCT node
+            FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+          deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+          ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d USING (src)),
+          r0 AS (SELECT node, (SELECT 1000000000::BIGINT // n FROM consts) AS rank FROM nodes),
+          $iters
+          SELECT v.w AS word, CAST(r5.rank AS BIGINT) AS rank
+          FROM r5 JOIN vocab v ON r5.node = v.id
+          ORDER BY r5.rank DESC, v.w
+          LIMIT 15"""
+    })
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
@@ -1189,5 +1323,6 @@ private[graft] object Catalog12 {
       q322_mann_whitney, q323_spearman, q324_roc_auc, q325_normal_equations,
       q326_bootstrap_ci, q327_kendall, q328_tile_pyramid, q329_psi,
       q330_time_decay, q331_table_digest, q332_join_mv_delta,
-      q333_geofence_stream, q334_column_entropy)
+      q333_geofence_stream, q334_column_entropy, q335_mutual_info,
+      q336_textrank)
 }

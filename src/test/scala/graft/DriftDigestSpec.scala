@@ -151,4 +151,21 @@ class DriftDigestSpec extends SparkSpec {
     // two equal halves (x / NULL): exactly 1 bit
     assert(got("half")._1 == 2L && got("half")._3 == 1000000L)
   }
+
+  test("mutualInformation: MI(x,x) = H(x), independence = 0, NULL keys survive") {
+    import graft.operators.TableStats
+    val df = viaParquet((0L until 64L).map(i =>
+      (i % 8, i / 8, if (i % 2 == 0) "e" else null)).toDF("x", "y", "par"))
+    // x vs x: MI = H = exactly 3 bits on 8 uniform values
+    val self = TableStats.mutualInformation(df, "x", "x").head()
+    assert(self.getAs[Long]("mi_ubits") == 3000000L)
+    // full factorial x (8 values) x y (8 values): exactly independent -> 0
+    val ind = TableStats.mutualInformation(df, "x", "y").head()
+    assert(ind.getAs[Long]("mi_num") == 0L && ind.getAs[Long]("ndv_joint") == 64L)
+    // par is NULL half the time and determined by x's parity: MI = 1 bit,
+    // and the NULL census rows must survive the null-safe joins
+    val dep = TableStats.mutualInformation(df, "x", "par").head()
+    assert(dep.getAs[Long]("ndv_joint") == 8L)
+    assert(dep.getAs[Long]("mi_ubits") == 1000000L)
+  }
 }
