@@ -238,4 +238,50 @@ object Drift {
     RankStats.withPpm(agg, col("psi_num"), col("__dr_den"), "psi_ppm")
       .drop("__dr_den")
   }
+
+  /** Hampel filter — rolling-median outlier tagging for time series (the
+    * ROLLING counterpart of the global MAD q99: a level-shifting series
+    * makes a global threshold useless; the local window adapts): each
+    * point compares against the median of its ±half window, flagged when
+    * |x − med| > k·rollingMAD. Exactness: the window is SMALL and ODD
+    * (2·half+1), so median = element_at(array_sort(collect_list over the
+    * window), half+1) — a PICK from a bounded sorted array, deterministic
+    * on both engines, no percentile interpolation; the MAD recomputes the
+    * same way over |x−med|. Series edges (incomplete windows) are not
+    * flagged — no median to trust. k is a rational kNum/kDen so the
+    * threshold test is pure integer cross-multiplication.
+    *
+    * Scale: one key-partitioned window pass carrying a (2·half+1)-element
+    * array per row — rolling state, never a global sort. Input values
+    * must be integers (quantize first). Returns the input plus
+    * (med, dev, is_outlier). */
+  def hampelOutliers(
+      series: DataFrame,
+      keyCol: String, xCol: String, yCol: String,
+      half: Int = 3,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(half >= 1 && half <= 50, s"hampelOutliers: half in [1,50], got $half")
+    require(kNum >= 0 && kDen >= 1, s"hampelOutliers: bad threshold $kNum/$kDen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(xCol))
+      .rowsBetween(-half, half)
+    val full = 2 * half + 1
+    val withMed = series
+      .withColumn("__dr_win", collect_list(col(yCol).cast("long")).over(w))
+      .withColumn("__dr_full", size(col("__dr_win")) === full)
+      .withColumn("med",
+        when(col("__dr_full"),
+          element_at(array_sort(col("__dr_win")), half + 1)).cast("long"))
+    withMed
+      .withColumn("__dr_devs",
+        when(col("__dr_full"), expr(s"transform(__dr_win, v -> abs(v - med))")))
+      .withColumn("dev", abs(col(yCol).cast("long") - col("med")))
+      .withColumn("__dr_mad",
+        when(col("__dr_full"),
+          element_at(array_sort(col("__dr_devs")), half + 1)).cast("long"))
+      .withColumn("is_outlier",
+        when(!col("__dr_full"), lit(false))
+          .otherwise(col("dev") * lit(kDen) > col("__dr_mad") * lit(kNum)))
+      .drop("__dr_win", "__dr_devs", "__dr_full", "__dr_mad")
+  }
 }

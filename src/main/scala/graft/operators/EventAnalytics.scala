@@ -406,4 +406,52 @@ object EventAnalytics {
         count(lit(1)).cast("long").as("n_touches"),
         sum(col("__ta_credit")).cast("long").as("credit_ppm"))
   }
+
+  /** Theil–Sen robust slope per key — the outlier-immune counterpart of
+    * [[dailyTrend]]'s exact OLS (one corrupted day flips an OLS monitor;
+    * the MEDIAN of pairwise slopes shrugs at < 29% contamination, the
+    * best possible breakdown for a slope estimator): over a per-key
+    * series (x, y), slope = median over all i<j of (y_j−y_i)/(x_j−x_i).
+    *
+    * Exactness discipline: the median is a PICK, not an aggregate — pairs
+    * sort by their IEEE-double slope (the same two longs divide to the
+    * same double on every engine) with a total (dy, dx, x_i, x_j)
+    * tie-break, and the ⌈m/2⌉-th pair's EXACT integer (dy, dx) is the
+    * result, so the reported rational never touches float rounding.
+    * Pair volume is n²/2 per key with n = series LENGTH (days, not rows)
+    * — quantize/bucket time first; the explicit-N repartition guards the
+    * expansion (q115 rule). Returns (key, n_points, n_pairs, dy, dx,
+    * slope_ppm = dy·10⁶ div dx sign-magnitude). */
+  def theilSenSlope(
+      series: DataFrame,
+      keyCol: String, xCol: String, yCol: String,
+      pairPartitions: Int = 32): DataFrame = {
+    val base = series.select(col(keyCol).as("__th_k"),
+        col(xCol).cast("long").as("__th_x"), col(yCol).cast("long").as("__th_y"))
+      .repartition(pairPartitions)
+      .localCheckpoint(true) // self-joined
+    val a = base.select(col("__th_k"), col("__th_x").as("__th_xi"), col("__th_y").as("__th_yi"))
+    val b = base.select(col("__th_k"), col("__th_x").as("__th_xj"), col("__th_y").as("__th_yj"))
+    val pairs = a.join(b, Seq("__th_k"))
+      .filter(col("__th_xi") < col("__th_xj"))
+      .select(col("__th_k"),
+        (col("__th_yj") - col("__th_yi")).as("__th_dy"),
+        (col("__th_xj") - col("__th_xi")).as("__th_dx"),
+        col("__th_xi"), col("__th_xj"))
+      .withColumn("__th_slope", col("__th_dy").cast("double") / col("__th_dx").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__th_k"))
+      .orderBy(col("__th_slope"), col("__th_dy"), col("__th_dx"),
+        col("__th_xi"), col("__th_xj"))
+    val stats = series.groupBy(col(keyCol).as("__th_k"))
+      .agg(count(lit(1)).as("n_points"))
+    pairs
+      .withColumn("__th_rk", row_number().over(w))
+      .withColumn("__th_m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__th_k"))))
+      .filter(col("__th_rk") === expr("(__th_m + 1) div 2"))
+      .join(stats, Seq("__th_k"))
+      .select(col("__th_k").as(keyCol), col("n_points"),
+        col("__th_m").as("n_pairs"), col("__th_dy").as("dy"), col("__th_dx").as("dx"))
+      .transform(d => RankStats.withPpm(d, col("dy"), col("dx"), "slope_ppm"))
+  }
 }

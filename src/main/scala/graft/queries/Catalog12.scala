@@ -1316,6 +1316,130 @@ private[graft] object Catalog12 {
           LIMIT 15"""
     })
 
+  /** Theil–Sen robust trend ([[graft.operators.EventAnalytics
+    * .theilSenSlope]] — the outlier-immune counterpart of q197's exact
+    * OLS: median of pairwise slopes, < 29% breakdown; the median is a
+    * PICK — pairs sort by IEEE slope with a total integer tie-break and
+    * the ⌈m/2⌉-th pair's EXACT (dy, dx) is the answer, so the rational
+    * never touches float rounding). Per-event-type daily-count series. */
+  val q337_theil_sen = Q(
+    "q337_theil_sen",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff(col("day"),
+          min(col("day")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")))).cast("long"))
+      graft.operators.EventAnalytics
+        .theilSenSlope(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+              FROM events GROUP BY 1, 2),
+            ser AS (
+              SELECT event_type,
+                     datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS x,
+                     y
+              FROM daily),
+            pr AS (
+              SELECT a.event_type,
+                     b.y - a.y AS dy, b.x - a.x AS dx, a.x AS xi, b.x AS xj,
+                     CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+              FROM ser a JOIN ser b
+                ON a.event_type = b.event_type AND a.x < b.x),
+            rk AS (
+              SELECT event_type, dy, dx,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY sl, dy, dx, xi, xj) AS r,
+                     COUNT(*) OVER (PARTITION BY event_type) AS m
+              FROM pr),
+            np AS (SELECT event_type, COUNT(*) AS n_points FROM ser GROUP BY 1)
+            SELECT rk.event_type, n_points::BIGINT AS n_points, m::BIGINT AS n_pairs,
+                   dy::BIGINT AS dy, dx::BIGINT AS dx,
+                   CAST((CASE WHEN dy < 0 THEN -1 ELSE 1 END)
+                     * ((ABS(dy)::HUGEINT * 1000000) // dx) AS BIGINT) AS slope_ppm
+            FROM rk JOIN np ON rk.event_type = np.event_type
+            WHERE r = (m + 1) // 2
+            ORDER BY 1"""))
+
+  /** Hampel rolling-median outlier filter
+    * ([[graft.operators.Drift.hampelOutliers]] — the ROLLING counterpart
+    * of the global MAD q99: ±3-day window, median and MAD are PICKS from
+    * the bounded sorted window array (no percentile interpolation),
+    * threshold |x−med|·kDen > MAD·kNum in pure integer cross-multiply;
+    * incomplete edge windows are never flagged). Daily event counts on
+    * the dense zero-filled spine, census per type. */
+  val q338_hampel = Q(
+    "q338_hampel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"))
+        .crossJoin(daily.select("event_type").distinct())
+      val series = spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"),
+          datediff(col("day"), col("lo")).cast("long").as("x"),
+          coalesce(col("n"), lit(0L)).as("y"))
+      graft.operators.Drift
+        .hampelOutliers(series, "event_type", "x", "y", half = 3, kNum = 3L, kDen = 1L)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).cast("long").as("n_outliers"),
+          sum(when(col("is_outlier"), col("x")).otherwise(0L)).cast("long").as("day_checksum"),
+          max(col("dev")).cast("long").as("max_dev"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            spine AS (
+              SELECT t.event_type, d.day, (SELECT lo FROM bounds) AS lo
+              FROM (SELECT DISTINCT event_type FROM daily) t
+              CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 DAY))::DATE AS day) d),
+            ser AS (
+              SELECT s.event_type, datediff('day', s.lo, s.day) AS x,
+                     COALESCE(d.n, 0) AS y
+              FROM spine s LEFT JOIN daily d
+                ON s.event_type = d.event_type AND s.day = d.day),
+            win AS (
+              SELECT event_type, x, y,
+                     list(y) OVER (PARTITION BY event_type ORDER BY x
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+              FROM ser),
+            med AS (
+              SELECT event_type, x, y, len(w) = 7 AS wfull,
+                     list_sort(w)[4] AS med
+              FROM win),
+            dev AS (
+              SELECT event_type, x, y, wfull, med,
+                     CASE WHEN wfull THEN ABS(y - med) END AS dev,
+                     list_sort(list_transform(
+                       list(y) OVER (PARTITION BY event_type ORDER BY x
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+                       v -> ABS(v - med)))[4] AS mad
+              FROM med),
+            fl AS (
+              SELECT event_type, x, dev,
+                     CASE WHEN NOT wfull THEN FALSE
+                          ELSE dev * 1 > mad * 3 END AS is_outlier
+              FROM dev)
+            SELECT event_type, COUNT(*)::BIGINT AS n_days,
+                   SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   SUM(CASE WHEN is_outlier THEN x ELSE 0 END)::BIGINT AS day_checksum,
+                   MAX(dev)::BIGINT AS max_dev
+            FROM fl GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
@@ -1324,5 +1448,5 @@ private[graft] object Catalog12 {
       q326_bootstrap_ci, q327_kendall, q328_tile_pyramid, q329_psi,
       q330_time_decay, q331_table_digest, q332_join_mv_delta,
       q333_geofence_stream, q334_column_entropy, q335_mutual_info,
-      q336_textrank)
+      q336_textrank, q337_theil_sen, q338_hampel)
 }

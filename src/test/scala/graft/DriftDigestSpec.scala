@@ -168,4 +168,37 @@ class DriftDigestSpec extends SparkSpec {
     assert(dep.getAs[Long]("ndv_joint") == 8L)
     assert(dep.getAs[Long]("mi_ubits") == 1000000L)
   }
+
+  // ------------------------------------------ robust trend + Hampel
+
+  test("theilSenSlope: median pick is outlier-immune and tie-deterministic") {
+    import graft.operators.EventAnalytics
+    // y = x except one wild point: OLS would bend, Theil-Sen says slope 1
+    val ser = viaParquet(Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 30L))
+      .toDF("g", "x", "y"))
+    val r = EventAnalytics.theilSenSlope(ser, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_points") == 4L && r.getAs[Long]("n_pairs") == 6L)
+    // rank-3 of [1,1,1,10,14.5,28] under the (slope, dy, dx, xi, xj) order
+    assert((r.getAs[Long]("dy"), r.getAs[Long]("dx")) == ((2L, 2L)))
+    assert(r.getAs[Long]("slope_ppm") == 1000000L)
+    // partitioning invariance of the pick
+    val r13 = EventAnalytics.theilSenSlope(ser.repartition(13), "g", "x", "y").collect()(0)
+    assert(r.toSeq == r13.toSeq)
+  }
+
+  test("hampelOutliers: spike flagged, neighbors and edges not, constants never") {
+    import graft.operators.Drift
+    val ys = Seq(5L, 5L, 5L, 5L, 50L, 5L, 5L, 5L, 5L, 5L, 5L)
+    val ser = viaParquet(ys.zipWithIndex.map { case (y, x) => ("g", x.toLong, y) }
+      .toDF("g", "x", "y"))
+    val got = Drift.hampelOutliers(ser, "g", "x", "y", half = 2, kNum = 3L, kDen = 1L)
+      .filter(col("is_outlier")).select("x").collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L))
+    val const = viaParquet((0L to 10L).map(x => ("g", x, 7L)).toDF("g", "x", "y"))
+    assert(Drift.hampelOutliers(const, "g", "x", "y", half = 2)
+      .filter(col("is_outlier")).isEmpty)
+    assertThrows[IllegalArgumentException] {
+      Drift.hampelOutliers(const, "g", "x", "y", half = 0)
+    }
+  }
 }
