@@ -114,4 +114,82 @@ object Regress {
     spark.createDataFrame(
       java.util.Arrays.asList(Row.fromSeq(fit.n +: ppms :+ r2)), schema)
   }
+
+  /** Isotonic regression (PAVA's result, no sequential pooling) — the
+    * probability-calibration operator (isotonic calibration of classifier
+    * scores, dose-response monotonization): the L2 nondecreasing fit at
+    * position i is the MINIMAX f(i) = max_{j≤i} min_{k≥i} avg(y[j..k])
+    * (Robertson/Wright/Dykstra §1.2), which distributes as two window
+    * passes over the position-pair table — no driver loop, no sequential
+    * PAVA state.
+    *
+    * Exactness: interval averages are rationals; the fit is reported in
+    * ppm via floor((num·10⁶) div den) — and because floor is monotone it
+    * COMMUTES with min and max, so fit_ppm is EXACTLY floor(10⁶·f_true):
+    * no float enters the pipeline at all, both engines agree bit-for-bit,
+    * and the output is still provably nondecreasing. Contract: y ≥ 0
+    * (validated — floor-div of negative numerators would differ from the
+    * true floor) and Σy per group ≤ ~9·10¹² (BIGINT headroom for ·10⁶).
+    *
+    * Scale: positions = DISTINCT x per group (quantize scores first —
+    * calibration bins, not raw floats); the pair table is positions² per
+    * group, window passes are pair-table-sized. Rows only touch the
+    * census. Returns (groupCols*, x, n_x, fit_ppm). */
+  def isotonicFitPpm(
+      df: DataFrame,
+      xCol: String, yCol: String,
+      groupCols: Seq[String],
+      maxPositions: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    require(df.select(min(col(yCol))).head().get(0) match {
+      case null => true
+      case v => v.toString.toDouble >= 0
+    }, "isotonicFitPpm: y must be >= 0 (floor-division exactness contract)")
+    val census = df
+      .groupBy((gs :+ col(xCol).as("__iso_x")): _*)
+      .agg(count(lit(1)).as("__iso_n"), sum(col(yCol).cast("long")).as("__iso_s"))
+      .localCheckpoint(true) // feeds the pair self-join twice
+    val posCounts = census.groupBy(gs: _*).agg(count(lit(1)).as("__iso_p"))
+    val tooWide = posCounts.filter(col("__iso_p") > maxPositions).limit(1).collect()
+    require(tooWide.isEmpty,
+      s"isotonicFitPpm: a group has > $maxPositions distinct x positions — " +
+        "quantize the score axis first (the pair table is positions² per group)")
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__iso_x"))
+    val pos = census
+      .withColumn("__iso_r", row_number().over(wOrd))
+      // cumulative columns get DISTINCT names, not case variants — Spark
+      // resolves identifiers case-insensitively and __iso_s/__iso_S would
+      // silently alias (the round-10 q291 lesson, re-learned here)
+      .withColumn("__iso_cs", sum(col("__iso_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__iso_cn", sum(col("__iso_n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__iso_PS", coalesce(sum(col("__iso_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__iso_PN", coalesce(sum(col("__iso_n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val aJ = pos.select((gs :+ col("__iso_r").as("__iso_j") :+
+      col("__iso_PS") :+ col("__iso_PN")): _*)
+    val bK = pos.select((gs :+ col("__iso_r").as("__iso_k") :+ col("__iso_x") :+
+      col("__iso_n") :+ col("__iso_cs") :+ col("__iso_cn")): _*)
+    // greatest(den, 1): rows with j > k never SURVIVE the filter, but ANSI
+    // division can still evaluate on them inside the joined stage before
+    // the predicate lands — a semantically-free guard, not a semantics
+    val pairs = aJ.join(bK, groupCols)
+      .filter(col("__iso_j") <= col("__iso_k"))
+      .withColumn("__iso_key", expr(
+        "((__iso_cs - __iso_PS) * 1000000) div greatest(__iso_cn - __iso_PN, 1)"))
+    // suffix-min over k' >= k per (group, j): ordered by k DESC, the
+    // running min at row (j, k) is exactly min_{k' >= k} avg(j, k')
+    val wSuf = Window.partitionBy((gs :+ col("__iso_j")): _*)
+      .orderBy(col("__iso_k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("__iso_mk", min(col("__iso_key")).over(wSuf))
+      .groupBy((gs :+ col("__iso_k") :+ col("__iso_x").as(xCol) :+
+        col("__iso_n").as("n_x")): _*)
+      .agg(max(col("__iso_mk")).as("fit_ppm")) // max over j <= k
+      .drop("__iso_k")
+  }
 }

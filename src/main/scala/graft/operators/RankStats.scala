@@ -214,4 +214,48 @@ object RankStats {
         withPpm(d, den - lit(3L) * col("d2sum4"), den, "rho_ppm")
       }
   }
+
+  /** Kruskal–Wallis H — the k-sample generalization of Mann–Whitney
+    * (does ANY of k variants differ in distribution?), rank-based so it
+    * rides the same census machinery: with pooled doubled ranks,
+    * S2_g = Σ_g rank2 and dev_g = S2_g − n_g·(n+1) (zero-mean by
+    * construction), H = 3·Σ dev_g²/n_g / (n(n+1)).
+    *
+    * Engine-stable recipe (defined, not approximated): h_uppm =
+    * (3 · Σ_g ((dev_g²·10⁶) div n_g)) div (n·(n+1)) with the squares in
+    * DECIMAL(38,0) (dev can reach ~n·n_g — far past BIGINT when squared;
+    * HUGEINT replays it). Both floors are spelled identically in the
+    * oracle — bit-stable everywhere. Pooled ranks come from
+    * [[rank2Census]] (value census, no per-row sort) joined back to the
+    * per-side census. Returns (groupCols*, k_sides, n, h_uppm); groups
+    * need ≥ 2 sides. */
+  def kruskalWallis(
+      df: DataFrame, valueCol: String, sideCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val pooledRanks = rank2Census(df, valueCol, groupCols)
+      .select((gs :+ col(valueCol) :+ col("rank2")): _*)
+    val perSide = df
+      .groupBy((gs :+ col(sideCol).as("__rs_side") :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__rs_scnt"))
+    val agg = perSide
+      .join(pooledRanks, groupCols :+ valueCol)
+      .groupBy((gs :+ col("__rs_side")): _*)
+      .agg(
+        sum(col("__rs_scnt")).as("__rs_ng"),
+        sum(col("__rs_scnt") * col("rank2")).as("__rs_s2"))
+    val totals = agg.groupBy(gs: _*).agg(
+      count(lit(1)).as("k_sides"), sum(col("__rs_ng")).as("n"))
+    agg.join(totals, groupCols)
+      .filter(col("k_sides") >= 2)
+      .withColumn("__rs_dev", col("__rs_s2") - col("__rs_ng") * (col("n") + 1L))
+      .withColumn("__rs_t", expr(
+        "(CAST(__rs_dev AS DECIMAL(38,0)) * __rs_dev * 1000000) div __rs_ng"))
+      .groupBy((gs :+ col("k_sides") :+ col("n")): _*)
+      // decimal sum: the per-side terms can individually approach BIGINT
+      .agg(sum(col("__rs_t").cast("decimal(38,0)")).as("__rs_tsum"))
+      .withColumn("h_uppm",
+        expr("CAST((3 * __rs_tsum) div (n * (n + 1)) AS BIGINT)"))
+      .drop("__rs_tsum")
+  }
 }

@@ -1440,6 +1440,105 @@ private[graft] object Catalog12 {
                    MAX(dev)::BIGINT AS max_dev
             FROM fl GROUP BY 1 ORDER BY 1"""))
 
+  /** Isotonic calibration ([[graft.ml.Regress.isotonicFitPpm]] — PAVA's
+    * result WITHOUT sequential pooling: the minimax identity
+    * f(i) = max_{j≤i} min_{k≥i} avg(y[j..k]) distributes as two window
+    * passes over the positions² pair table; floor commutes with min/max,
+    * so fit_ppm = floor(10⁶·f_true) EXACTLY with zero floats, and the
+    * output is provably nondecreasing). Calibrating q324's planted
+    * classifier: per returnflag, empirical P(positive | score) made
+    * monotone over the 20 discrete scores. */
+  val q339_isotonic = Q(
+    "q339_isotonic",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (when(pmod(col("l_partkey"), lit(5L)) === 0L, 7L).otherwise(0L) +
+          pmod(col("l_orderkey") * 48271L, lit(13L))).as("score"),
+        when(pmod(col("l_partkey"), lit(5L)) === 0L, 1L).otherwise(0L).as("pos"))
+      graft.ml.Regress.isotonicFitPpm(li, "score", "pos", Seq("l_returnflag"))
+        .orderBy("l_returnflag", "score")
+    },
+    Some("""WITH d AS (
+              SELECT l_returnflag,
+                     (CASE WHEN l_partkey % 5 = 0 THEN 7 ELSE 0 END)
+                       + (l_orderkey * 48271) % 13 AS score,
+                     CASE WHEN l_partkey % 5 = 0 THEN 1 ELSE 0 END AS pos
+              FROM lineitem),
+            cen AS (
+              SELECT l_returnflag, score, COUNT(*) AS nx, SUM(pos) AS sx
+              FROM d GROUP BY 1, 2),
+            pos AS (
+              SELECT l_returnflag, score, nx,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY score) AS r,
+                     SUM(sx) OVER (PARTITION BY l_returnflag ORDER BY score
+                       ROWS UNBOUNDED PRECEDING) AS s,
+                     SUM(nx) OVER (PARTITION BY l_returnflag ORDER BY score
+                       ROWS UNBOUNDED PRECEDING) AS cn,
+                     COALESCE(SUM(sx) OVER (PARTITION BY l_returnflag ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ps,
+                     COALESCE(SUM(nx) OVER (PARTITION BY l_returnflag ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pn
+              FROM cen),
+            pairs AS (
+              SELECT a.l_returnflag, a.r AS j, b.r AS k, b.score, b.nx,
+                     ((b.s - a.ps) * 1000000) // (b.cn - a.pn) AS key
+              FROM pos a JOIN pos b
+                ON a.l_returnflag = b.l_returnflag AND a.r <= b.r),
+            sufmin AS (
+              SELECT l_returnflag, j, k, score, nx,
+                     MIN(key) OVER (PARTITION BY l_returnflag, j ORDER BY k DESC
+                       ROWS UNBOUNDED PRECEDING) AS mk
+              FROM pairs)
+            SELECT l_returnflag, score::BIGINT AS score, nx::BIGINT AS n_x,
+                   MAX(mk)::BIGINT AS fit_ppm
+            FROM sufmin GROUP BY 1, 2, 3 ORDER BY 1, 2"""))
+
+  /** Kruskal–Wallis H ([[graft.operators.RankStats.kruskalWallis]] — the
+    * k-sample rung above Mann–Whitney q322: does ANY of the k event types
+    * differ in value distribution? pooled rank2 census joined back to the
+    * per-side census, dev_g = S2_g − n_g(n+1) zero-mean by construction,
+    * H via the defined two-floor DECIMAL/HUGEINT recipe). Five event
+    * types per user cohort. */
+  val q340_kruskal_wallis = Q(
+    "q340_kruskal_wallis",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.RankStats
+        .kruskalWallis(ev, "value", "event_type", Seq("cohort"))
+        .orderBy("cohort")
+    },
+    Some("""WITH e AS (SELECT user_id % 4 AS cohort, value, event_type FROM events),
+            vc AS (SELECT cohort, value, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+            rk AS (
+              SELECT cohort, value,
+                     2 * COALESCE(SUM(cnt) OVER (PARTITION BY cohort ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS rank2
+              FROM vc),
+            ps AS (
+              SELECT cohort, event_type, value, COUNT(*) AS scnt
+              FROM e GROUP BY 1, 2, 3),
+            ag AS (
+              SELECT ps.cohort, ps.event_type,
+                     SUM(scnt) AS ng, SUM(scnt * rank2) AS s2
+              FROM ps JOIN rk ON ps.cohort = rk.cohort AND ps.value = rk.value
+              GROUP BY 1, 2),
+            tot AS (
+              SELECT cohort, COUNT(*) AS k_sides, SUM(ng) AS n
+              FROM ag GROUP BY 1),
+            dev AS (
+              SELECT ag.cohort, k_sides, n,
+                     ((s2 - ng * (n + 1))::HUGEINT
+                       * (s2 - ng * (n + 1)) * 1000000) // ng AS t
+              FROM ag JOIN tot ON ag.cohort = tot.cohort
+              WHERE k_sides >= 2)
+            SELECT cohort::BIGINT AS cohort, k_sides::BIGINT AS k_sides,
+                   n::BIGINT AS n,
+                   ((3 * SUM(t)) // (n * (n + 1)))::BIGINT AS h_uppm
+            FROM dev GROUP BY cohort, k_sides, n ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
@@ -1448,5 +1547,6 @@ private[graft] object Catalog12 {
       q326_bootstrap_ci, q327_kendall, q328_tile_pyramid, q329_psi,
       q330_time_decay, q331_table_digest, q332_join_mv_delta,
       q333_geofence_stream, q334_column_entropy, q335_mutual_info,
-      q336_textrank, q337_theil_sen, q338_hampel)
+      q336_textrank, q337_theil_sen, q338_hampel, q339_isotonic,
+      q340_kruskal_wallis)
 }

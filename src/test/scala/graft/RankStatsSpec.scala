@@ -127,4 +127,29 @@ class RankStatsSpec extends SparkSpec {
     assert(sortedRows(RankStats.mannWhitney(df1, "v", "side", "a", "b", Seq("g"))) ==
       sortedRows(RankStats.mannWhitney(df7, "v", "side", "a", "b", Seq("g"))))
   }
+
+  test("kruskalWallis: identical sides score 0; separated sides score big; driver replay") {
+    import graft.operators.RankStats.kruskalWallis
+    val same = viaParquet((1 to 60).map(i =>
+      ("g", Seq("a", "b", "c")(i % 3), (i % 5).toDouble)).toDF("g", "side", "v"))
+    val r0 = kruskalWallis(same, "v", "side", Seq("g")).collect()(0)
+    assert(r0.getAs[Long]("k_sides") == 3L && r0.getAs[Long]("h_uppm") == 0L)
+    // disjoint value ranges: near-maximal H (~ n-1 for k groups as n grows)
+    val sep = viaParquet((1 to 60).map(i =>
+      ("g", Seq("a", "b", "c")(i % 3), (i % 3) * 100 + i.toDouble)).toDF("g", "side", "v"))
+    val r1 = kruskalWallis(sep, "v", "side", Seq("g")).collect()(0)
+    // driver replay of the exact two-floor recipe
+    val rows = (1 to 60).map(i => (Seq("a", "b", "c")(i % 3), (i % 3) * 100 + i))
+    val sorted = rows.map(_._2).sorted
+    def rank2(v: Int) = 2L * sorted.count(_ < v) + sorted.count(_ == v) + 1L
+    val n = 60L
+    val ts = rows.groupBy(_._1).values.map { g =>
+      val ng = g.size.toLong
+      val dev = g.map(r => rank2(r._2)).sum - ng * (n + 1)
+      BigInt(dev) * dev * 1000000 / ng
+    }
+    val expect = (BigInt(3) * ts.sum / (n * (n + 1))).toLong
+    assert(r1.getAs[Long]("h_uppm") == expect)
+    assert(expect > 40000000L) // strongly separated: H in the tens
+  }
 }

@@ -80,4 +80,48 @@ class RegressSpec extends SparkSpec {
     val b = Regress.olsFitPpm(df.repartition(13), Seq("x1", "x2"), "y").collect()(0)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("isotonicFitPpm: pooling, monotone output, exact floor vs a driver PAVA") {
+    // classic violator: pointwise means (4, 2, 3) -> PAVA (3, 3, 3)
+    val v = viaParquet(Seq(("g", 0L, 4L), ("g", 1L, 2L), ("g", 2L, 3L))
+      .toDF("g", "x", "y"))
+    val f = Regress.isotonicFitPpm(v, "x", "y", Seq("g"))
+      .orderBy("x").collect().map(_.getAs[Long]("fit_ppm")).toSeq
+    assert(f == Seq(3000000L, 3000000L, 3000000L))
+    // already monotone: fit = the pointwise averages, floored to ppm
+    val m = viaParquet(Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 1L, 4L), ("g", 2L, 5L))
+      .toDF("g", "x", "y"))
+    val fm = Regress.isotonicFitPpm(m, "x", "y", Seq("g"))
+      .orderBy("x").collect().map(_.getAs[Long]("fit_ppm")).toSeq
+    assert(fm == Seq(1500000L, 4000000L, 5000000L))
+    // fuzz: nondecreasing AND equal to a driver PAVA in exact rationals
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 30).map(x => (x.toLong, rnd.nextInt(50).toLong))
+    val df = viaParquet(pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"))
+    val got = Regress.isotonicFitPpm(df, "x", "y", Seq("g"))
+      .orderBy("x").collect().map(_.getAs[Long]("fit_ppm")).toSeq
+    assert(got == got.sorted, "fit must be nondecreasing")
+    // driver PAVA with exact rational blocks
+    case class Block(num: Long, den: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    pts.foreach { case (_, y) =>
+      var b = Block(y, 1)
+      while (blocks.nonEmpty && blocks.last.num * b.den >= b.num * blocks.last.den) {
+        val p = blocks.remove(blocks.size - 1)
+        b = Block(p.num + b.num, p.den + b.den)
+      }
+      blocks += b
+    }
+    val expect = blocks.flatMap(b =>
+      Seq.fill(b.den.toInt)(b.num * 1000000L / b.den)).toSeq
+    assert(got == expect)
+    // refusals: negative y; too many positions
+    assertThrows[IllegalArgumentException] {
+      Regress.isotonicFitPpm(viaParquet(Seq(("g", 0L, -1L)).toDF("g", "x", "y")),
+        "x", "y", Seq("g"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Regress.isotonicFitPpm(df, "x", "y", Seq("g"), maxPositions = 10)
+    }
+  }
 }
