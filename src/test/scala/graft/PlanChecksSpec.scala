@@ -274,4 +274,25 @@ class PlanChecksSpec extends SparkSpec {
       "recursive CTE should plan as the UnionLoop operator")
   }
 
+  test("round-12 plan contracts: spatial grid join broadcasts the small build side, no cartesian; bootstrap is one aggregation") {
+    import graft.plans.PlanChecks
+    import graft.operators.{Geo, Resample}
+    val pts = viaParquet((1L to 2000L).map(i =>
+      (i, i * 48271 % 1000, i * 16807 % 1000)).toDF("lid", "x", "y"))
+    val build = viaParquet((1L to 50L).map(i =>
+      (i, i * 13 % 1000, i * 29 % 1000)).toDF("rid", "rx", "ry"))
+    val joined = Geo.gridDistanceJoin(pts, build, "x", "y", "rx", "ry", 40L,
+      probePartitions = 4)
+    val plans = PlanChecks.flatten(joined).map(_.getClass.getSimpleName)
+    assert(!plans.exists(_.contains("CartesianProduct")),
+      s"spatial join must never be a cartesian: $plans")
+    // tiny build side: the cell equi-join collapses to a broadcast hash join
+    assert(PlanChecks.broadcastJoinCount(joined) >= 1, s"expected broadcast: $plans")
+    // bootstrap: all B replicates ride ONE aggregation — exactly one
+    // shuffle (the groupBy exchange), never a B-times explode
+    val ev = viaParquet((1L to 3000L).map(i => ("g", i, i % 17)).toDF("g", "id", "v"))
+    val reps = Resample.bootstrapReplicates(ev, "id", "v", reps = 16, Seq("g"))
+    assert(PlanChecks.shuffleCount(reps) == 1,
+      s"bootstrap must be one aggregation pass: ${PlanChecks.shuffleCount(reps)} shuffles")
+  }
 }
