@@ -82,7 +82,9 @@ object ScaleProbe {
     "probe_spatial_join_orders" -> 1.4, // grid join, FIXED build side: pairs ∝ probe rows
     "probe_dbscan_tiled" -> 1.5, // constant density (copies tile new area); CC rounds ~log
     "probe_tile_pyramid_orders" -> 1.3, // one data shuffle + census-sized rollups
-    "probe_bootstrap_lineitem" -> 1.3 // B replicates ride one aggregation pass
+    "probe_bootstrap_lineitem" -> 1.3, // B replicates ride one aggregation pass
+    "q339_isotonic" -> 1.3, // positions fixed (20 scores): census pass linear
+    "q340_kruskal_wallis" -> 1.3 // value census + join-back, both row-linear
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
