@@ -184,6 +184,61 @@ object Geo {
         coalesce(col("__db_corecl"), col("__db_bordercl")).cast("long").as("cluster"))
   }
 
+
+  /** Big-big RECTANGLE overlap join — the 2-D face of the 1-D interval
+    * bin join (q313) and the bbox prefilter behind every real polygon
+    * join: both sides are rectangle RELATIONS (half-open
+    * [x1,x2)×[y1,y2)), a pair matches when the boxes intersect.
+    * Candidates come from exploding each box to the fixed-width TILES it
+    * covers and equi-joining on the tile — hash(tile) turns spatial
+    * locality into partition locality, AQE skew split applies — and each
+    * matching pair emits EXACTLY ONCE: in the tile containing the
+    * intersection's min corner (the 2-D first-bucket trick), so there is
+    * no distinct over the output. Degenerate boxes (x2 ≤ x1 or y2 ≤ y1)
+    * drop before the explode; floor-div tiling via the pmod-subtract
+    * idiom keeps negative coordinates correct.
+    *
+    * Tile width trades explode fanout (⌈w/tile⌉·⌈h/tile⌉ per box) against
+    * candidate selectivity — size it near the median box edge. Explicit-N
+    * repartitions guard both explosions (the q115 rule). Column names
+    * must be disjoint. */
+  def bboxOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      lx1: String, lx2: String, ly1: String, ly2: String,
+      rx1: String, rx2: String, ry1: String, ry2: String,
+      tile: Long,
+      probePartitions: Int = 32): DataFrame = {
+    require(tile >= 1, s"bboxOverlapJoin: tile must be >= 1, got $tile")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"bboxOverlapJoin: overlapping columns $overlap")
+    def tiled(df: DataFrame, x1: String, x2: String, y1: String, y2: String) = df
+      .filter(col(x2) > col(x1) && col(y2) > col(y1))
+      .repartition(probePartitions)
+      .withColumn("__geo_t", explode(expr(
+        s"flatten(transform(sequence(($x1 - pmod($x1, $tile)) div $tile, " +
+          s"($x2 - 1 - pmod($x2 - 1, $tile)) div $tile), tx -> " +
+          s"transform(sequence(($y1 - pmod($y1, $tile)) div $tile, " +
+          s"($y2 - 1 - pmod($y2 - 1, $tile)) div $tile), ty -> " +
+          "struct(tx, ty))))")))
+      .withColumn("__geo_tx", col("__geo_t.tx"))
+      .withColumn("__geo_ty", col("__geo_t.ty"))
+      .drop("__geo_t")
+    val l = tiled(left, lx1, lx2, ly1, ly2)
+    val r = tiled(right, rx1, rx2, ry1, ry2)
+    l.join(r, Seq("__geo_tx", "__geo_ty"))
+      .filter(col(lx1) < col(rx2) && col(rx1) < col(lx2) &&
+        col(ly1) < col(ry2) && col(ry1) < col(ly2))
+      // emit-once: only in the tile holding the intersection's min corner
+      // (integral `div` on the materialized corner — floor via pmod)
+      .withColumn("__geo_mx", greatest(col(lx1), col(rx1)))
+      .withColumn("__geo_my", greatest(col(ly1), col(ry1)))
+      .filter(col("__geo_tx") ===
+          expr(s"(__geo_mx - pmod(__geo_mx, $tile)) div $tile") &&
+        col("__geo_ty") ===
+          expr(s"(__geo_my - pmod(__geo_my, $tile)) div $tile"))
+      .drop("__geo_tx", "__geo_ty", "__geo_mx", "__geo_my")
+  }
+
   /** Multi-resolution tile pyramid (the map-tile / H3-style zoom
     * aggregation every geo dashboard and spatial index needs): points
     * bucket into Morton cells at the FINEST level (`bits` per axis —

@@ -906,4 +906,40 @@ object Graph {
       .orderBy(col("ra_ppm").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** Subtree rollup over an IMPLICIT hierarchy — the "aggregate every
+    * node's whole subtree" question (org charts, category trees, IP
+    * prefixes, decimal key hierarchies) WITHOUT a mapping table and
+    * WITHOUT iteration: when a node's ancestor chain is computable from
+    * its key (parent = key div `fanout`), each row EXPLODES to its ≤
+    * maxDepth+1 ancestors-or-self and ONE aggregation folds the whole
+    * tree — the explode is a bounded fanout behind partial aggregation
+    * (the Gram-matrix no-join discipline), so at 100 TB this is a scan
+    * plus one (depth+1)×-wide shuffle of partial sums, not a fixpoint.
+    *
+    * Returns one row per ancestor node that has ≥ 1 descendant-or-self
+    * row: (node, n_rows, total). Keys must be ≥ 0; fanout ≥ 2. Nodes
+    * whose key exceeds fanout^maxDepth still roll up — maxDepth only
+    * bounds how far UP the chain goes (chain stops at the root 0, which
+    * is included when reached). */
+  def subtreeRollup(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      fanout: Long,
+      maxDepth: Int): DataFrame = {
+    require(fanout >= 2, s"subtreeRollup: fanout must be >= 2, got $fanout")
+    require(maxDepth >= 1 && maxDepth <= 40,
+      s"subtreeRollup: maxDepth in [1,40], got $maxDepth")
+    val powers = (0 to maxDepth).map(d =>
+      BigInt(fanout).pow(d)).takeWhile(_ <= BigInt(Long.MaxValue)).map(_.toLong)
+    val ancestors = powers.map(p => s"CAST(`$keyCol` AS BIGINT) div $p")
+    df
+      .select(col(valueCol).cast("long").as("__sr_v"),
+        explode(expr(
+          s"array_distinct(array(${ancestors.mkString(", ")}))")).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__sr_v")).cast("long").as("total"))
+  }
 }

@@ -1539,6 +1539,96 @@ private[graft] object Catalog12 {
                    ((3 * SUM(t)) // (n * (n + 1)))::BIGINT AS h_uppm
             FROM dev GROUP BY cohort, k_sides, n ORDER BY 1"""))
 
+  /** Big-big rectangle overlap join ([[graft.operators.Geo
+    * .bboxOverlapJoin]] — the 2-D face of the q313 interval bin join and
+    * the bbox prefilter behind every real polygon join: both sides
+    * explode to fixed-width tiles, candidates from a plain tile
+    * equi-join, each intersecting pair emitted EXACTLY ONCE in the tile
+    * holding the intersection's min corner — no distinct; degenerate
+    * boxes drop, floor tiling survives negative coordinates). Even-vs-odd
+    * order boxes from key arithmetic; census with an exact integer
+    * overlap-area checksum. Oracle = the raw 4-inequality join. */
+  val q341_bbox_overlap = Q(
+    "q341_bbox_overlap",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def side(parity: Int, idc: String, p: String) = o
+        .filter(pmod(col("o_orderkey"), lit(2L)) === parity)
+        .select(
+          col("o_orderkey").as(idc),
+          pmod(col("o_orderkey") * 48271L, lit(1000L)).as(s"${p}x1"),
+          (pmod(col("o_orderkey") * 48271L, lit(1000L)) +
+            pmod(col("o_orderkey"), lit(30L)) + 5L).as(s"${p}x2"),
+          pmod(col("o_orderkey") * 16807L, lit(1000L)).as(s"${p}y1"),
+          (pmod(col("o_orderkey") * 16807L, lit(1000L)) +
+            pmod(col("o_orderkey"), lit(23L)) + 5L).as(s"${p}y2"))
+      val l = side(0, "lid", "l")
+      val r = side(1, "rid", "r")
+      graft.operators.Geo
+        .bboxOverlapJoin(l, r, "lx1", "lx2", "ly1", "ly2",
+          "rx1", "rx2", "ry1", "ry2", tile = 32L)
+        .agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("lid")).cast("long").as("n_left"),
+          countDistinct(col("rid")).cast("long").as("n_right"),
+          sum((least(col("lx2"), col("rx2")) - greatest(col("lx1"), col("rx1"))) *
+            (least(col("ly2"), col("ry2")) - greatest(col("ly1"), col("ry1"))))
+            .cast("long").as("sum_area"),
+          sum(col("lid") + col("rid")).cast("long").as("checksum"))
+    },
+    Some("""WITH b AS (
+              SELECT o_orderkey AS id, o_orderkey % 2 AS par,
+                     (o_orderkey * 48271) % 1000 AS x1,
+                     (o_orderkey * 48271) % 1000 + o_orderkey % 30 + 5 AS x2,
+                     (o_orderkey * 16807) % 1000 AS y1,
+                     (o_orderkey * 16807) % 1000 + o_orderkey % 23 + 5 AS y2
+              FROM orders),
+            pr AS (
+              SELECT l.id AS lid, r.id AS rid,
+                     (LEAST(l.x2, r.x2) - GREATEST(l.x1, r.x1)) *
+                     (LEAST(l.y2, r.y2) - GREATEST(l.y1, r.y1)) AS area
+              FROM (SELECT * FROM b WHERE par = 0) l
+              JOIN (SELECT * FROM b WHERE par = 1) r
+                ON l.x1 < r.x2 AND r.x1 < l.x2 AND l.y1 < r.y2 AND r.y1 < l.y2)
+            SELECT COUNT(*)::BIGINT AS n_pairs,
+                   COUNT(DISTINCT lid)::BIGINT AS n_left,
+                   COUNT(DISTINCT rid)::BIGINT AS n_right,
+                   SUM(area)::BIGINT AS sum_area,
+                   SUM(lid + rid)::BIGINT AS checksum
+            FROM pr"""))
+
+  /** Subtree rollup over an implicit hierarchy
+    * ([[graft.operators.Graph.subtreeRollup]] — "aggregate every node's
+    * whole subtree" WITHOUT a mapping table and WITHOUT iteration: the
+    * ancestor chain is key arithmetic (parent = key div 10), each row
+    * explodes to its ≤ depth+1 ancestors and ONE partial-agg fold rolls
+    * the tree up — a scan plus one bounded-fanout shuffle, never a
+    * fixpoint). Order totals per 1–2-digit key prefix; the oracle derives
+    * each prefix's subtree membership from the same arithmetic (for
+    * p ≥ 1 a key matches at most one ancestor level, so a plain OR never
+    * double-counts). */
+  val q342_subtree_rollup = Q(
+    "q342_subtree_rollup",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+      graft.operators.Graph.subtreeRollup(o, "k", "v", fanout = 10L, maxDepth = 6)
+        .filter(col("node").between(1L, 99L))
+        .orderBy("node")
+    },
+    Some("""WITH o AS (
+              SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+              FROM orders),
+            nodes AS (SELECT unnest(range(1, 100)) AS node)
+            SELECT node::BIGINT AS node, COUNT(*)::BIGINT AS n_rows,
+                   SUM(v)::BIGINT AS total
+            FROM o JOIN nodes
+              ON k = node OR k // 10 = node OR k // 100 = node
+                OR k // 1000 = node OR k // 10000 = node
+                OR k // 100000 = node OR k // 1000000 = node
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
@@ -1548,5 +1638,5 @@ private[graft] object Catalog12 {
       q330_time_decay, q331_table_digest, q332_join_mv_delta,
       q333_geofence_stream, q334_column_entropy, q335_mutual_info,
       q336_textrank, q337_theil_sen, q338_hampel, q339_isotonic,
-      q340_kruskal_wallis)
+      q340_kruskal_wallis, q341_bbox_overlap, q342_subtree_rollup)
 }

@@ -174,4 +174,54 @@ class GeoSpec extends SparkSpec {
       Geo.gridDbscan(df, "id", "x", "y", eps = 3L, minPts = 0)
     }
   }
+
+  test("bboxOverlapJoin: fuzzed brute-force equivalence, exactly-once, at 3 tile widths incl. negative coords") {
+    def boxes(seed: Int, n: Int, shift: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (1 to n).map { i =>
+        val x1 = rnd.nextInt(200) + shift; val y1 = rnd.nextInt(200) + shift
+        (i.toLong, x1.toLong, (x1 + 1 + rnd.nextInt(30)).toLong,
+          y1.toLong, (y1 + 1 + rnd.nextInt(30)).toLong)
+      }
+    }
+    for ((tile, shift) <- Seq((8L, 0), (32L, -150), (100L, -50))) {
+      val l = boxes(1 + shift, 60, shift)
+      val r = boxes(2 + shift, 60, shift)
+      val ldf = viaParquet(l.toDF("lid", "lx1", "lx2", "ly1", "ly2"))
+      val rdf = viaParquet(r.toDF("rid", "rx1", "rx2", "ry1", "ry2"))
+      val got = Geo.bboxOverlapJoin(ldf, rdf, "lx1", "lx2", "ly1", "ly2",
+          "rx1", "rx2", "ry1", "ry2", tile, probePartitions = 4)
+        .select("lid", "rid").collect().map(t => (t.getLong(0), t.getLong(1))).toSeq
+      val expect = (for {
+        (li, lx1, lx2, ly1, ly2) <- l
+        (ri, rx1, rx2, ry1, ry2) <- r
+        if lx1 < rx2 && rx1 < lx2 && ly1 < ry2 && ry1 < ly2
+      } yield (li, ri)).toSet
+      assert(got.toSet == expect, s"tile=$tile shift=$shift")
+      assert(got.size == expect.size, s"duplicate emission at tile=$tile shift=$shift")
+    }
+    // degenerate boxes never join
+    val deg = viaParquet(Seq((1L, 5L, 5L, 0L, 10L)).toDF("lid", "lx1", "lx2", "ly1", "ly2"))
+    val any = viaParquet(Seq((2L, 0L, 100L, 0L, 100L)).toDF("rid", "rx1", "rx2", "ry1", "ry2"))
+    assert(Geo.bboxOverlapJoin(deg, any, "lx1", "lx2", "ly1", "ly2",
+      "rx1", "rx2", "ry1", "ry2", 16L).isEmpty)
+  }
+
+  test("subtreeRollup: hand tree and fuzz vs a driver fold") {
+    import graft.operators.Graph
+    // keys 1..99 value=key: node 1's subtree = {1, 10..19} at fanout 10
+    val df = viaParquet((1L to 99L).map(k => (k, k)).toDF("k", "v"))
+    val got = Graph.subtreeRollup(df, "k", "v", fanout = 10L, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((11L, 1L + (10L to 19L).sum)))
+    assert(got(99L) == ((1L, 99L)))
+    assert(got(0L)._1 == 99L) // the root sees every row
+    // driver fold over all ancestor levels
+    val expect = (1L to 99L).flatMap(k =>
+      Iterator.iterate(k)(_ / 10L).take(5).toSeq.distinct.map(a => a -> k))
+      .groupBy(_._1).map { case (a, xs) =>
+        a -> ((xs.size.toLong, xs.map(_._2).sum))
+      }
+    assert(got == expect)
+  }
 }
