@@ -95,4 +95,60 @@ object Resample {
       .drop("__bs_sum")
     point.join(band, groupCols)
   }
+
+  /** Bootstrap CI for a RATIO metric — the A/B-testing workhorse the mean
+    * CI cannot cover (CTR, revenue-per-session, share-above-threshold:
+    * the ratio of two correlated sums has no per-row mean, so the
+    * delta-method or the bootstrap is mandatory — and Poisson weights
+    * resample the NUMERATOR AND DENOMINATOR together, preserving their
+    * per-row correlation, which independent resamples would destroy).
+    * Same one-pass shape as [[bootstrapReplicates]] with 3B agg columns;
+    * replicates whose denominator is ≤ 0 carry no ratio and drop (small-n
+    * corner; the full-sample point estimate keeps its own denominator
+    * guard). Returns (groupCols*, n, ratio_ppm, lo_ppm, hi_ppm). */
+  def bootstrapRatioCi(
+      df: DataFrame,
+      idCol: String,
+      numCol: String,
+      denCol: String,
+      reps: Int,
+      loRank: Int,
+      hiRank: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(reps >= 2 && reps <= 256, s"bootstrapRatioCi: reps in [2,256], got $reps")
+    require(1 <= loRank && loRank < hiRank && hiRank <= reps,
+      s"bootstrapRatioCi: need 1 <= loRank < hiRank <= reps, got $loRank/$hiRank/$reps")
+    val gs = groupCols.map(col)
+    val aggs = (0 until reps).flatMap { b =>
+      val w = poissonWeight(col(idCol), b, reps)
+      Seq(
+        sum(w * col(numCol).cast("long")).as(s"__bs_sn_$b"),
+        sum(w * col(denCol).cast("long")).as(s"__bs_sd_$b"))
+    }
+    val wide = df.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until reps)
+      .map(b => s"$b, __bs_sn_$b, __bs_sd_$b")
+      .mkString(", ")
+    val repRatios = wide
+      .select((gs :+
+        expr(s"stack($reps, $stackArgs)").as(Seq("rep", "s_num", "s_den"))): _*)
+      .filter(col("s_den") > 0)
+      .transform(d => RankStats.withPpm(d, col("s_num"), col("s_den"), "ratio_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("ratio_ppm"), col("rep"))
+    val band = repRatios
+      .withColumn("__bs_rk", row_number().over(w))
+      .groupBy(gs: _*)
+      .agg(
+        max(when(col("__bs_rk") === loRank, col("ratio_ppm"))).as("lo_ppm"),
+        max(when(col("__bs_rk") === hiRank, col("ratio_ppm"))).as("hi_ppm"))
+    val point = df.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(numCol).cast("long")).as("__bs_pn"),
+        sum(col(denCol).cast("long")).as("__bs_pd"))
+      .filter(col("__bs_pd") > 0)
+      .transform(d => RankStats.withPpm(d, col("__bs_pn"), col("__bs_pd"), "ratio_ppm"))
+      .drop("__bs_pn", "__bs_pd")
+    point.join(band, groupCols)
+  }
 }

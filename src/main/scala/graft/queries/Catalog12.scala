@@ -1629,6 +1629,73 @@ private[graft] object Catalog12 {
                 OR k // 100000 = node OR k // 1000000 = node
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Bootstrap CI for a RATIO metric
+    * ([[graft.operators.Resample.bootstrapRatioCi]] — the A/B workhorse
+    * the mean CI cannot cover: Poisson weights resample numerator and
+    * denominator TOGETHER, preserving their per-row correlation; same
+    * one-pass 3B-column aggregation, rank-band CI). Share of event value
+    * carried by big-ticket (> $100) events per type, 95%-ish band. Odd
+    * users — the q326 slice discipline for the oracle's 64× hash replay. */
+  val q343_bootstrap_ratio = Q(
+    "q343_bootstrap_ratio",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(pmod(col("user_id"), lit(2L)) === 1L)
+        .select(
+          col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("big", when(col("cents") > 10000L, col("cents")).otherwise(0L))
+      graft.operators.Resample
+        .bootstrapRatioCi(ev, "event_id", "big", "cents", reps = 64,
+          loRank = 2, hiRank = 63, groupCols = Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some {
+      val hashed = graft.tools.OracleSql.xxhash64LongStages(
+        """SELECT event_type, cents,
+                  CASE WHEN cents > 10000 THEN cents ELSE 0 END AS big,
+                  r AS rep, event_id * 64 + r AS hk
+           FROM (SELECT event_id, event_type,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+                 WHERE user_id % 2 = 1)
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS r)""",
+        "hk", "h", pfx = "__br")
+      s"""WITH hh AS ($hashed),
+            ww AS (
+              SELECT event_type, cents, big, rep,
+                     CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                          WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                          WHEN u < 996340 THEN 4 ELSE 5 END AS w
+              FROM (SELECT *, ((h % 1000000) + 1000000) % 1000000 AS u FROM hh)),
+            rs AS (
+              SELECT event_type, rep, SUM(w * big) AS sn, SUM(w * cents) AS sd
+              FROM ww GROUP BY 1, 2),
+            rm AS (
+              SELECT event_type, rep,
+                     CAST((CASE WHEN sn < 0 THEN -1 ELSE 1 END)
+                       * ((ABS(sn)::HUGEINT * 1000000) // sd) AS BIGINT) AS ratio_ppm
+              FROM rs WHERE sd > 0),
+            rk AS (
+              SELECT event_type, ratio_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ratio_ppm, rep) AS rk
+              FROM rm),
+            band AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rk = 2 THEN ratio_ppm END) AS lo_ppm,
+                     MAX(CASE WHEN rk = 63 THEN ratio_ppm END) AS hi_ppm
+              FROM rk GROUP BY 1),
+            pt AS (
+              SELECT event_type, COUNT(*)::BIGINT AS n,
+                     CAST((SUM(CASE WHEN cents > 10000 THEN cents ELSE 0 END)::HUGEINT
+                       * 1000000) // SUM(cents) AS BIGINT) AS ratio_ppm
+              FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE user_id % 2 = 1)
+              GROUP BY 1 HAVING SUM(cents) > 0)
+            SELECT pt.event_type, pt.n, pt.ratio_ppm, band.lo_ppm, band.hi_ppm
+            FROM pt JOIN band ON pt.event_type = band.event_type
+            ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
@@ -1638,5 +1705,6 @@ private[graft] object Catalog12 {
       q330_time_decay, q331_table_digest, q332_join_mv_delta,
       q333_geofence_stream, q334_column_entropy, q335_mutual_info,
       q336_textrank, q337_theil_sen, q338_hampel, q339_isotonic,
-      q340_kruskal_wallis, q341_bbox_overlap, q342_subtree_rollup)
+      q340_kruskal_wallis, q341_bbox_overlap, q342_subtree_rollup,
+      q343_bootstrap_ratio)
 }

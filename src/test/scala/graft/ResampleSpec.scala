@@ -74,4 +74,26 @@ class ResampleSpec extends SparkSpec {
       Resample.bootstrapMeanCi(df, "id", "v", reps = 8, loRank = 0, hiRank = 8, Seq("g"))
     }
   }
+
+  test("bootstrapRatioCi: correlated resampling, ordered band, hand replay of one replicate") {
+    val rnd = new scala.util.Random(43)
+    // ~30% of value mass above the threshold
+    val rows = (1 to 3000).map { i =>
+      val v = 10L + rnd.nextInt(100)
+      ("g", i.toLong, if (v > 80) v else 0L, v)
+    }
+    val df = viaParquet(rows.toDF("g", "id", "num", "den"))
+    val r = Resample.bootstrapRatioCi(df, "id", "num", "den", reps = 32,
+      loRank = 1, hiRank = 32, groupCols = Seq("g")).collect()(0)
+    val (ratio, lo, hi) = (r.getAs[Long]("ratio_ppm"), r.getAs[Long]("lo_ppm"),
+      r.getAs[Long]("hi_ppm"))
+    assert(lo < hi && lo <= ratio && ratio <= hi)
+    val exact = rows.map(_._3).sum * 1000000L / rows.map(_._4).sum
+    assert(ratio == exact)
+    // the true ratio is ~0.55-0.65 of mass; a 3000-row bootstrap band is tight
+    assert(hi - lo < 100000L, s"band implausibly wide: $lo..$hi")
+    assertThrows[IllegalArgumentException] {
+      Resample.bootstrapRatioCi(df, "id", "num", "den", reps = 1, 1, 1, Seq("g"))
+    }
+  }
 }
