@@ -44,4 +44,37 @@ object SkewJoin {
       "__graft_salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(sm, keys :+ "__graft_salt", joinType).drop("__graft_salt")
   }
+
+  /** Join-key skew report — the "should I salt?" advisor pairing the
+    * salting operators and the AQE skew contract: per key-census, the
+    * exact Gini concentration of the key distribution plus the top-k hot
+    * keys with their shuffle shares. Gini over sorted counts c_(1..m) is
+    * G = Σ(2i − m − 1)·c_(i) / (m·Σc) — exact integers throughout (the
+    * rank weights are the census positions), reported in sign-magnitude
+    * ppm. The only ordered pass runs over the KEY CENSUS (one row per
+    * distinct key), never rows; top-k rides the bounded-heap TopK
+    * operator. Returns one summary row (n_rows, n_keys, gini_ppm,
+    * top1_ppm = hottest key's row share) — the numbers that decide
+    * between a plain shuffle, AQE skew split, and explicit salting. */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport: at least one key column")
+    val census = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__sk_c"))
+      .localCheckpoint(true) // window + two aggregates below
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy((col("__sk_c") +: keyCols.map(col)): _*)
+    val ranked = census.withColumn("__sk_i", row_number().over(w))
+    val agg = ranked.agg(
+      sum(col("__sk_c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum((lit(2L) * col("__sk_i")) * col("__sk_c")).as("__sk_wsum"),
+      max(col("__sk_c")).as("__sk_top1"))
+    agg
+      .withColumn("__sk_num",
+        col("__sk_wsum") - (col("n_keys") + 1L) * col("n_rows"))
+      .transform(d => graft.operators.RankStats.withPpm(d,
+        col("__sk_num"), col("n_keys") * col("n_rows"), "gini_ppm"))
+      .transform(d => graft.operators.RankStats.withPpm(d,
+        col("__sk_top1"), col("n_rows"), "top1_ppm"))
+      .drop("__sk_wsum", "__sk_num", "__sk_top1")
+  }
 }

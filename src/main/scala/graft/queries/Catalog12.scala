@@ -1696,6 +1696,40 @@ private[graft] object Catalog12 {
             ORDER BY 1"""
     })
 
+  /** Join-key skew report ([[graft.operators.SkewJoin.skewReport]] — the
+    * "should I salt?" advisor pairing the salting operators (q105/q116)
+    * and the pinned AQE skew contract: exact Gini concentration of the
+    * key census (rank-weighted, tie-invariant) plus the hottest key's
+    * row share, in sign-magnitude ppm; the only ordered pass runs over
+    * the census, never rows). A planted 30%-hot key over order keys —
+    * the report says SALT; the oracle replays census, ranks, and both
+    * ratios. */
+  val q344_skew_report = Q(
+    "q344_skew_report",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(10L)) < 3L, 1L)
+          .otherwise(pmod(col("l_orderkey"), lit(1000L))).as("jk"))
+      graft.operators.SkewJoin.skewReport(li, Seq("jk"))
+    },
+    Some("""WITH d AS (
+              SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                          ELSE l_orderkey % 1000 END AS jk
+              FROM lineitem),
+            cen AS (SELECT jk, COUNT(*) AS c FROM d GROUP BY 1),
+            rk AS (
+              SELECT c, ROW_NUMBER() OVER (ORDER BY c, jk) AS i FROM cen),
+            ag AS (
+              SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                     SUM(2 * i * c) AS wsum, MAX(c) AS top1
+              FROM rk)
+            SELECT n_rows::BIGINT AS n_rows, n_keys::BIGINT AS n_keys,
+                   CAST((CASE WHEN wsum - (n_keys + 1) * n_rows < 0 THEN -1 ELSE 1 END)
+                     * ((ABS(wsum - (n_keys + 1) * n_rows)::HUGEINT * 1000000)
+                        // (n_keys * n_rows)) AS BIGINT) AS gini_ppm,
+                   ((top1::HUGEINT * 1000000) // n_rows)::BIGINT AS top1_ppm
+            FROM ag"""))
+
   val all: Seq[Q] =
     Seq(q313_interval_overlap, q314_pareto_frontier, q315_weighted_sssp,
       q316_stream_full_outer, q317_spatial_join, q318_geo_knn,
@@ -1706,5 +1740,5 @@ private[graft] object Catalog12 {
       q333_geofence_stream, q334_column_entropy, q335_mutual_info,
       q336_textrank, q337_theil_sen, q338_hampel, q339_isotonic,
       q340_kruskal_wallis, q341_bbox_overlap, q342_subtree_rollup,
-      q343_bootstrap_ratio)
+      q343_bootstrap_ratio, q344_skew_report)
 }

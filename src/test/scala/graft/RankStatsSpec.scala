@@ -152,4 +152,27 @@ class RankStatsSpec extends SparkSpec {
     assert(r1.getAs[Long]("h_uppm") == expect)
     assert(expect > 40000000L) // strongly separated: H in the tens
   }
+
+  test("skewReport: uniform ~ 0, single-key = max concentration, exact Gini replay") {
+    import graft.operators.SkewJoin
+    // perfectly uniform keys: Gini exactly 0
+    val uni = viaParquet((1 to 400).map(i => (i % 20).toLong).toDF("jk"))
+    val r0 = SkewJoin.skewReport(uni, Seq("jk")).collect()(0)
+    assert(r0.getAs[Long]("gini_ppm") == 0L)
+    assert(r0.getAs[Long]("top1_ppm") == 50000L) // 20 per key / 400
+    // one dominant key: driver replay of the rank-weighted formula
+    val rnd = new scala.util.Random(47)
+    val keys = (1 to 500).map(_ => if (rnd.nextInt(10) < 4) 7L else rnd.nextInt(50).toLong)
+    val df = viaParquet(keys.toDF("jk"))
+    val r1 = SkewJoin.skewReport(df, Seq("jk")).collect()(0)
+    val census = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+    val m = census.size.toLong
+    val n = census.sum
+    val wsum = census.zipWithIndex.map { case (c, i) => 2L * (i + 1) * c }.sum
+    val num = wsum - (m + 1) * n
+    val expect = (if (num < 0) -1L else 1L) * (math.abs(num) * 1000000L / (m * n))
+    assert(r1.getAs[Long]("gini_ppm") == expect)
+    assert(r1.getAs[Long]("top1_ppm") == census.max * 1000000L / n)
+    assert(expect > 500000L) // the 40%-hot key reads as strong concentration
+  }
 }
