@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * the d×d Gram matrix XᵀX and moment vector Xᵀy (d = features +
   * intercept, metadata-sized), the solve happens on the driver in EXACT
   * BigInt arithmetic (Cramer determinants — d ≤ 4 keeps that honest), and
-  * coefficients come back as FLOOR-divided ppm fixed-point rationals, so
-  * the result is bit-identical under any partitioning and replayable in
-  * oracle SQL (HUGEINT + flooring `//`). No gradient iterations, no float
+  * coefficients come back as truncating-division ppm fixed-point
+  * rationals, so the result is bit-identical under any partitioning and
+  * replayable in oracle SQL (HUGEINT `//` — truncates toward zero exactly
+  * like BigInt `/`, measured r12). No gradient iterations, no float
   * accumulation order, no per-row driver traffic.
   *
   * Contract: feature and target columns are INTEGERS (fixed-point-quantize
@@ -141,6 +142,10 @@ object Regress {
       groupCols: Seq[String],
       maxPositions: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty,
+      "isotonicFitPpm: empty groupCols would make the position pair " +
+        "self-join an implicit cross join — inject a literal constant " +
+        "group column for a whole-table calibration")
     val gs = groupCols.map(col)
     require(df.select(min(col(yCol))).head().get(0) match {
       case null => true

@@ -128,9 +128,10 @@ object Drift {
     * den = Σ dev_t² are exact; the n² factor cancels in the ratio.
     * acf_ppm = sign(num)·((|num|·10⁶) div den) computed in DECIMAL(38,0)
     * (|num|·10⁶ can pass 2⁶³; DuckDB replays in HUGEINT) with
-    * sign-magnitude division — Spark `div` truncates toward zero while
-    * DuckDB `//` floors, so negative quotients would differ by one ulp
-    * otherwise. A constant series (den = 0) yields NULL.
+    * sign-magnitude division — both engines truncate toward zero (measured
+    * round 12), and sign·(|num| div den) agrees under either truncating or
+    * flooring semantics, so it stays the safe spelling. A constant series
+    * (den = 0) yields NULL.
     *
     * Scale shape: spine = keys × days (broadcast bounds); per-key stats
     * fold from the spine; ALL lags ride ONE window pass (lead(dev, ℓ)
@@ -254,7 +255,14 @@ object Drift {
     * Scale: one key-partitioned window pass carrying a (2·half+1)-element
     * array per row — rolling state, never a global sort. Input values
     * must be integers (quantize first). Returns the input plus
-    * (med, dev, is_outlier). */
+    * (med, dev, is_outlier).
+    *
+    * Determinism under duplicate x: the window orders by (x, y) — rows
+    * that tie on BOTH are interchangeable (equal y contributes the same
+    * multiset to every covering window), so med/MAD/is_outlier are
+    * deterministic across runs and partitionings with no uniqueness
+    * precondition. Callers replaying in SQL must mirror the same
+    * two-column ORDER BY. */
   def hampelOutliers(
       series: DataFrame,
       keyCol: String, xCol: String, yCol: String,
@@ -263,7 +271,7 @@ object Drift {
     require(half >= 1 && half <= 50, s"hampelOutliers: half in [1,50], got $half")
     require(kNum >= 0 && kDen >= 1, s"hampelOutliers: bad threshold $kNum/$kDen")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(xCol))
+      .partitionBy(col(keyCol)).orderBy(col(xCol), col(yCol).cast("long"))
       .rowsBetween(-half, half)
     val full = 2 * half + 1
     val withMed = series

@@ -52,10 +52,11 @@ object Geo {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"gridDistanceJoin: overlapping columns $overlap")
     // FLOOR division for the cell key (subtract the non-negative pmod
-    // remainder first): Spark's `div` truncates toward zero, which would
-    // mis-cell negative coordinates — this form equals DuckDB's flooring
-    // `//` on every integer, so negative grids are correct, not a contract
-    // footnote
+    // remainder first): both engines' integer division TRUNCATES toward
+    // zero (Spark `div` and DuckDB `//` alike — measured round 12), which
+    // would mis-cell negative coordinates; subtracting the pmod remainder
+    // makes the numerator exactly divisible, so the quotient is the true
+    // floor on both engines and negative grids are correct
     def cell(c: String): Column =
       expr(s"(CAST($c AS BIGINT) - pmod($c, $radius)) div $radius")
     // home cell of the build side; 3x3 neighborhood of the probe side —

@@ -15,9 +15,10 @@ import org.apache.spark.sql.expressions.Window
   * ranks are integers, tie-averaged ranks are half-integers (so DOUBLED
   * ranks are integers — the `rank2` convention below), and every statistic
   * is a rational whose numerator/denominator we carry explicitly, emitting
-  * a ppm fixed-point value via truncating sign-magnitude division (Spark
-  * `div` truncates toward zero, DuckDB `//` floors — sign·(|num| div den)
-  * agrees on both).
+  * a ppm fixed-point value via truncating sign-magnitude division. Both
+  * engines truncate integer division toward zero (Spark `div` and DuckDB
+  * `//` alike — measured round 12: −7 // 2 = −3); sign·(|num| div den) is
+  * kept anyway because it is robust under EITHER semantics.
   *
   * Scale design: NO global per-row sort anywhere. All ranks derive from a
   * DISTINCT-VALUE CENSUS — groupBy(value) count, one shuffle whose width is
@@ -49,6 +50,10 @@ object RankStats {
     * The only window runs over the census (one row per distinct value per
     * group), partitioned by the group columns. */
   def rank2Census(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "rank2Census: empty groupCols would plan a single-task global window/join — " +
+        "inject a literal constant group column for a whole-table statistic " +
+        "(and quantize first: the census must stay census-sized)")
     val gs = groupCols.map(col)
     val census = df
       .groupBy((gs :+ col(valueCol)): _*)
@@ -70,6 +75,9 @@ object RankStats {
   def ksTest(
       df: DataFrame, valueCol: String, sideCol: String,
       sideA: String, sideB: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "ksTest: empty groupCols would plan a single-task global window/join — " +
+        "inject a literal constant group column for a whole-table statistic")
     val gs = groupCols.map(col)
     val census = df
       .filter(col(sideCol).isin(sideA, sideB))
@@ -103,6 +111,9 @@ object RankStats {
   def mannWhitney(
       df: DataFrame, valueCol: String, sideCol: String,
       sideA: String, sideB: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mannWhitney: empty groupCols would plan a single-task global window — " +
+        "inject a literal constant group column for a whole-table statistic")
     val gs = groupCols.map(col)
     val filtered = df.filter(col(sideCol).isin(sideA, sideB))
     val census = filtered
@@ -146,17 +157,26 @@ object RankStats {
     * (distinct x · distinct y)² per group — QUANTIZE continuous measures
     * first (the same census-is-the-quantizer contract as the other rank
     * stats); the row count never enters the join. Returns
-    * (groupCols*, n, c_pairs, d_pairs, tau_a_ppm): concordant /
-    * discordant unordered pair counts as exact BIGINTs (each pair counted
-    * once via the strict b>a orientation) and Kendall's
-    * τ_a = (C − D)/(n(n−1)/2) in sign-magnitude ppm. τ_b's tie correction
-    * needs a √ — the exact integers C, D, n are the engine-stable
-    * contract, and τ_a is the reported effect size. The census self-join
+    * (groupCols*, n, c_pairs, d_pairs, tau_a_ppm, tie_x_pairs,
+    * tie_y_pairs, tau_b_ppm): concordant / discordant unordered pair
+    * counts as exact BIGINTs (each pair counted once via the strict b>a
+    * orientation), Kendall's τ_a = (C − D)/(n(n−1)/2) in sign-magnitude
+    * ppm, the exact tie-pair sums n1 = Σ_x t_x(t_x−1)/2 and
+    * n2 = Σ_y u_y(u_y−1)/2 (two census-sized aggregates), and the
+    * tie-corrected τ_b = (C − D)/√((n0−n1)(n0−n2)) in ppm. τ_b's √ rides
+    * IEEE doubles: BIGINT→DOUBLE casts and SQRT are correctly rounded on
+    * both engines (the Theil–Sen long÷long precedent), and the oracle
+    * spells the identical expression — the exact integers C, D, n, n1,
+    * n2 remain the engine-stable contract. τ_b is NULL when either axis
+    * is entirely tied (n0 = n1 or n0 = n2). The census self-join
     * repartitions to explicit N first: the join OUTPUT is census²-shaped
     * and AQE only sees census-sized inputs (the q115 expansion rule). */
   def kendallPairs(
       df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String],
       censusPartitions: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty,
+      "kendallPairs: empty groupCols would make the census self-join an " +
+        "implicit cross join — inject a literal constant group column")
     val gs = groupCols.map(col)
     val census = df
       .groupBy((gs :+ col(xCol).as("__rs_x") :+ col(yCol).as("__rs_y")): _*)
@@ -173,6 +193,11 @@ object RankStats {
     val disc = sum(when(col("__rs_xb") > col("__rs_xa") && col("__rs_yb") < col("__rs_ya"),
       col("__rs_ca") * col("__rs_cb")).otherwise(0L))
     val totals = df.groupBy(gs: _*).agg(count(lit(1)).as("n"))
+    // exact tie-pair sums from the marginal censuses (census-sized aggs)
+    def tiePairs(axis: String, out: String) = census
+      .groupBy((gs :+ col(axis)): _*).agg(sum(col("__rs_c")).as("__rs_t"))
+      .groupBy(gs: _*)
+      .agg(sum(expr("(__rs_t * (__rs_t - 1)) div 2")).as(out))
     joined
       .groupBy(gs: _*)
       .agg(conc.as("c_pairs"), disc.as("d_pairs"))
@@ -180,21 +205,40 @@ object RankStats {
       .filter(col("n") >= 2)
       .transform(d => withPpm(d, col("c_pairs") - col("d_pairs"),
         expr("(n * (n - 1)) div 2"), "tau_a_ppm"))
+      .join(tiePairs("__rs_x", "tie_x_pairs"), groupCols)
+      .join(tiePairs("__rs_y", "tie_y_pairs"), groupCols)
+      .withColumn("__rs_n0", expr("(n * (n - 1)) div 2"))
+      .withColumn("tau_b_ppm",
+        when(col("__rs_n0") === col("tie_x_pairs") ||
+             col("__rs_n0") === col("tie_y_pairs"), lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(FLOOR((CAST(c_pairs - d_pairs AS DOUBLE) * 1000000.0) / " +
+              "(SQRT(CAST(__rs_n0 - tie_x_pairs AS DOUBLE)) * " +
+              "SQRT(CAST(__rs_n0 - tie_y_pairs AS DOUBLE)))) AS BIGINT)")))
+      .drop("__rs_n0")
   }
 
-  /** Spearman rank correlation per group (tie-averaged ranks, the
-    * Σd² formulation): returns (groupCols*, n, d2sum4, rho_ppm) where
-    * d2sum4 = Σ(rank2_x − rank2_y)² = 4·Σd² exactly, and
+  /** Spearman rank correlation per group (tie-averaged ranks): returns
+    * (groupCols*, n, d2sum4, rho_ppm, rho_b_ppm) where
+    * d2sum4 = Σ(rank2_x − rank2_y)² = 4·Σd² exactly,
     * rho_ppm = (2·n(n²−1) − 3·d2sum4)·10⁶ div (2·n(n²−1)) — the classical
-    * 1 − 6Σd²/(n(n²−1)) in ppm. With heavy ties this is the standard
-    * average-rank Spearman (not the full Pearson-on-ranks tie correction);
-    * the exact tie-correction sums are one more census aggregate away if a
-    * caller needs them. num/den ride BIGINT (the DECIMAL(38,0) in the ppm
-    * step only protects the ·10⁶), so 2n(n²−1) bounds n at ~1.6·10⁶ rows
-    * per group — beyond that ANSI mode fails LOUDLY and the den/d2sum4
-    * arithmetic must be lifted to DECIMAL, never silently wrapped. */
+    * 1 − 6Σd²/(n(n²−1)) in ppm (the no-tie-correction convention) — and
+    * rho_b_ppm = the FULL tie-corrected Pearson-on-ranks: with
+    * S = n(n+1) (= Σrank2, exact under tie-averaging),
+    * num = n·Σ(r2x·r2y) − S², den_x = n·Σr2x² − S²,
+    * den_y = n·Σr2y² − S², rho_b = num/√(den_x·den_y). The moment sums
+    * are exact BIGINTs (three more aggregates in the same fold); the
+    * final √ rides IEEE doubles spelled identically in the oracle
+    * (correctly-rounded casts/SQRT — the τ_b precedent), NULL when an
+    * axis is constant (den = 0). num/den ride BIGINT, so n·Σ(r2·r2) ~ 4n⁴
+    * bounds n at ~5·10⁴ rows per group — beyond that ANSI mode fails
+    * LOUDLY and the moment arithmetic must be lifted to DECIMAL, never
+    * silently wrapped (quantize + census first at scale anyway). */
   def spearman(
       df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "spearman: empty groupCols would plan single-task global windows — " +
+        "inject a literal constant group column for a whole-table statistic")
     val gs = groupCols.map(col)
     val rx = rank2Census(df, xCol, groupCols)
       .select((gs :+ col(xCol).as("__rs_x") :+ col("rank2").as("__rs_r2x")): _*)
@@ -207,12 +251,28 @@ object RankStats {
       .agg(
         count(lit(1)).as("n"),
         sum((col("__rs_r2x") - col("__rs_r2y")) * (col("__rs_r2x") - col("__rs_r2y")))
-          .as("d2sum4"))
+          .as("d2sum4"),
+        sum(col("__rs_r2x") * col("__rs_r2y")).as("__rs_sxy"),
+        sum(col("__rs_r2x") * col("__rs_r2x")).as("__rs_sxx"),
+        sum(col("__rs_r2y") * col("__rs_r2y")).as("__rs_syy"))
       .filter(col("n") >= 2)
       .transform { d =>
         val den = lit(2L) * col("n") * (col("n") * col("n") - 1L)
         withPpm(d, den - lit(3L) * col("d2sum4"), den, "rho_ppm")
       }
+      // Pearson on doubled ranks: Σrank2 = n(n+1) exactly, so the moment
+      // identity needs no separate mean pass
+      .withColumn("__rs_ss", col("n") * (col("n") + 1L))
+      .withColumn("__rs_pnum", col("n") * col("__rs_sxy") - col("__rs_ss") * col("__rs_ss"))
+      .withColumn("__rs_dx", col("n") * col("__rs_sxx") - col("__rs_ss") * col("__rs_ss"))
+      .withColumn("__rs_dy", col("n") * col("__rs_syy") - col("__rs_ss") * col("__rs_ss"))
+      .withColumn("rho_b_ppm",
+        when(col("__rs_dx") === 0L || col("__rs_dy") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(FLOOR((CAST(__rs_pnum AS DOUBLE) * 1000000.0) / " +
+              "(SQRT(CAST(__rs_dx AS DOUBLE)) * SQRT(CAST(__rs_dy AS DOUBLE)))) AS BIGINT)")))
+      .drop("__rs_sxy", "__rs_sxx", "__rs_syy", "__rs_ss", "__rs_pnum",
+        "__rs_dx", "__rs_dy")
   }
 
   /** Kruskal–Wallis H — the k-sample generalization of Mann–Whitney
@@ -232,6 +292,9 @@ object RankStats {
   def kruskalWallis(
       df: DataFrame, valueCol: String, sideCol: String,
       groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "kruskalWallis: empty groupCols would plan a single-task global " +
+        "window/join — inject a literal constant group column")
     val gs = groupCols.map(col)
     val pooledRanks = rank2Census(df, valueCol, groupCols)
       .select((gs :+ col(valueCol) :+ col("rank2")): _*)

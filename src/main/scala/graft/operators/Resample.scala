@@ -77,6 +77,9 @@ object Resample {
       groupCols: Seq[String]): DataFrame = {
     require(1 <= loRank && loRank < hiRank && hiRank <= reps,
       s"bootstrapMeanCi: need 1 <= loRank < hiRank <= reps, got $loRank/$hiRank/$reps")
+    require(groupCols.nonEmpty,
+      "bootstrapMeanCi: empty groupCols would make the band join an " +
+        "implicit cross join — inject a literal constant group column")
     val gs = groupCols.map(col)
     val repMeans = bootstrapReplicates(df, idCol, valueCol, reps, groupCols)
       .filter(col("n_w") > 0) // an empty replicate has no mean (possible only at tiny n)
@@ -118,6 +121,9 @@ object Resample {
     require(reps >= 2 && reps <= 256, s"bootstrapRatioCi: reps in [2,256], got $reps")
     require(1 <= loRank && loRank < hiRank && hiRank <= reps,
       s"bootstrapRatioCi: need 1 <= loRank < hiRank <= reps, got $loRank/$hiRank/$reps")
+    require(groupCols.nonEmpty,
+      "bootstrapRatioCi: empty groupCols would make the band join an " +
+        "implicit cross join — inject a literal constant group column")
     val gs = groupCols.map(col)
     val aggs = (0 until reps).flatMap { b =>
       val w = poissonWeight(col(idCol), b, reps)

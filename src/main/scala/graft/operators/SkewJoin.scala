@@ -47,22 +47,52 @@ object SkewJoin {
 
   /** Join-key skew report — the "should I salt?" advisor pairing the
     * salting operators and the AQE skew contract: per key-census, the
-    * exact Gini concentration of the key distribution plus the top-k hot
-    * keys with their shuffle shares. Gini over sorted counts c_(1..m) is
+    * exact Gini concentration of the key distribution plus the hottest
+    * key's shuffle share. Gini over sorted counts c_(1..m) is
     * G = Σ(2i − m − 1)·c_(i) / (m·Σc) — exact integers throughout (the
     * rank weights are the census positions), reported in sign-magnitude
-    * ppm. The only ordered pass runs over the KEY CENSUS (one row per
-    * distinct key), never rows; top-k rides the bounded-heap TopK
-    * operator. Returns one summary row (n_rows, n_keys, gini_ppm,
+    * ppm.
+    *
+    * Scale shape: the advisor's own use case is a big join with a
+    * high-cardinality key (user_id, url), where the key CENSUS is itself
+    * row-scale — so the rank pass must be DISTRIBUTED, never a global
+    * unpartitioned window (which would pull the whole census into one
+    * task). Two-pass rank: `repartitionByRange` on the census order
+    * (count, keys) — a total order, census keys are distinct — then
+    * `row_number` within each range partition (a partitionBy window, N
+    * concurrent tasks) plus a broadcast per-partition row-count offset.
+    * The offsets are one bounded collect (`rankPartitions` numbers, never
+    * census rows). Returns one summary row (n_rows, n_keys, gini_ppm,
     * top1_ppm = hottest key's row share) — the numbers that decide
     * between a plain shuffle, AQE skew split, and explicit salting. */
-  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def skewReport(
+      df: DataFrame, keyCols: Seq[String], rankPartitions: Int = 32): DataFrame = {
     require(keyCols.nonEmpty, "skewReport: at least one key column")
+    require(rankPartitions >= 1, s"skewReport: rankPartitions $rankPartitions < 1")
+    val ord = col("__sk_c") +: keyCols.map(col)
+    // localCheckpoint pins BOTH the census content and the range
+    // partitioner's sampled boundaries: the offset pass and the rank pass
+    // below must see identical partition ids
     val census = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__sk_c"))
-      .localCheckpoint(true) // window + two aggregates below
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy((col("__sk_c") +: keyCols.map(col)): _*)
-    val ranked = census.withColumn("__sk_i", row_number().over(w))
+      .repartitionByRange(rankPartitions, ord: _*)
+      .withColumn("__sk_pid", spark_partition_id())
+      .localCheckpoint(true)
+    // RangePartitioner emits partitions in sorted order, so the global
+    // rank of a row is its within-partition rank plus the total row count
+    // of all lower partitions — `rankPartitions` numbers, collected once
+    val counts = census.groupBy("__sk_pid").agg(count(lit(1)).as("__sk_pc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+    val offsetRows = counts.map(_._1).zip(offsets.map(_._2)).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsetRows.toDF("__sk_pid", "__sk_off")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sk_pid")).orderBy(ord: _*)
+    val ranked = census
+      .withColumn("__sk_li", row_number().over(wLocal))
+      .join(broadcast(offDf), Seq("__sk_pid"))
+      .withColumn("__sk_i", col("__sk_off") + col("__sk_li"))
     val agg = ranked.agg(
       sum(col("__sk_c")).as("n_rows"),
       count(lit(1)).as("n_keys"),

@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * compensating ±deltas; together with the count they make accidental
   * collisions a 2⁻¹⁰⁰-ish event while staying one map-side aggregate —
   * both folds are commutative+associative, so the shuffle carries 3
-  * numbers per task at any scale. NULL columns hash per Spark's rule
-  * (skipped in the chain), documented here because cross-ENGINE replicas
-  * must replay the same rule.
+  * numbers per task at any scale. The sum ACCUMULATES in DECIMAL(38,0)
+  * and takes the final mod after the fold (mod-of-sum ≡ sum-of-mods mod
+  * 2⁴⁰): per-row terms average ~2³⁹, so a plain BIGINT sum would hit
+  * ANSI ARITHMETIC_OVERFLOW at ~2²⁴ rows — the opposite of the
+  * any-scale contract. NULL columns hash per Spark's rule (skipped in
+  * the chain), documented here because cross-ENGINE replicas must
+  * replay the same rule.
   */
 object TableDigest {
 
@@ -34,7 +38,9 @@ object TableDigest {
       .agg(
         count(lit(1)).cast("long").as("n"),
         expr("bit_xor(__td_h)").cast("long").as("xor_h"),
-        sum(pmod(col("__td_h"), lit(1099511627776L))).cast("long").as("sum_h"))
+        // decimal(38,0) headroom: 2^40 per term × up to ~10^26 rows
+        expr("pmod(sum(CAST(pmod(__td_h, 1099511627776) AS DECIMAL(38,0))), " +
+          "1099511627776)").cast("long").as("sum_h"))
   }
 
   /** Compare two relations by digest: one row with both digests and a

@@ -379,8 +379,9 @@ private[graft] object Catalog11 {
     * at lags 1..7 with the n-scaled centered series so numerator and
     * denominator stay BIGINT-exact; the ppm ratio divides in
     * DECIMAL(38,0) (|num|·10⁶ can pass 2⁶³) with SIGN-MAGNITUDE
-    * semantics — Spark div truncates toward zero, DuckDB // floors, so
-    * negative quotients would differ otherwise. All lags ride one window
+    * semantics — both engines truncate toward zero (measured r12), and
+    * sign·(|num| div den) agrees under either truncating or flooring
+    * semantics, so it stays the spelling. All lags ride one window
     * pass. Oracle replays spine, leads, and HUGEINT division. */
   val q293_acf = Q(
     "q293_acf",
@@ -767,9 +768,9 @@ private[graft] object Catalog11 {
     * trailing zeros of a 32-bit xxhash64 slice (exactly geometric p = ½),
     * sign from the next hash bit — derandomized for end-to-end
     * testability, CSPRNG-swappable in production. Sign bit extracted as
-    * pmod-then-div (Spark div truncates, DuckDB // floors — pmod first
-    * makes them agree). Oracle replays the hash and both bit
-    * extractions. */
+    * pmod-then-div (pmod first keeps every operand non-negative, where
+    * truncating and flooring division coincide — both engines truncate,
+    * measured r12). Oracle replays the hash and both bit extractions. */
   val q300_dp_counts = Q(
     "q300_dp_counts",
     (s, dir) => {

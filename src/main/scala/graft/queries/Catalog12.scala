@@ -19,8 +19,8 @@ private[graft] object Catalog12 {
     * 1..14 / 1..10 days; output is the one-row pair census with an
     * exact-integer overlap-hours checksum. Oracle replays the windows in
     * epoch-microsecond arithmetic and joins on the raw overlap predicate
-    * (DuckDB's IEJoin); positive durations make Spark's truncating div and
-    * DuckDB's flooring `//` agree. */
+    * (DuckDB's IEJoin); durations are positive, where truncating and
+    * flooring division coincide (both engines truncate — measured r12). */
   val q313_interval_overlap = Q(
     "q313_interval_overlap",
     (s, dir) => {
@@ -555,8 +555,10 @@ private[graft] object Catalog12 {
   /** Spearman rank correlation ([[graft.operators.RankStats.spearman]] —
     * tie-averaged Σd² form with d2sum4 = Σ(rank2_x − rank2_y)² exact;
     * rho_ppm = (2D − 3·d2sum4)·10⁶ / 2D, D = n(n²−1), in sign-magnitude
-    * DECIMAL/HUGEINT division). quantity-vs-price monotone association
-    * per (returnflag, ship month). */
+    * DECIMAL/HUGEINT division; plus the r13 tie completion rho_b_ppm =
+    * full Pearson-on-ranks from exact BIGINT moment sums and
+    * identically-spelled IEEE SQRT). quantity-vs-price monotone
+    * association per (returnflag, ship month). */
   val q323_spearman = Q(
     "q323_spearman",
     (s, dir) => {
@@ -593,13 +595,26 @@ private[graft] object Catalog12 {
               JOIN ry ON li.l_returnflag = ry.l_returnflag AND li.mo = ry.mo AND li.y = ry.y),
             ag AS (
               SELECT l_returnflag, mo, COUNT(*) AS n,
-                     SUM((r2x - r2y) * (r2x - r2y)) AS d2sum4
-              FROM j GROUP BY 1, 2)
+                     SUM((r2x - r2y) * (r2x - r2y)) AS d2sum4,
+                     CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+                     CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+                     CAST(SUM(r2y * r2y) AS BIGINT) AS syy
+              FROM j GROUP BY 1, 2),
+            mm AS (
+              SELECT l_returnflag, mo, n, d2sum4,
+                     n * sxy - (n * (n + 1)) * (n * (n + 1)) AS pnum,
+                     n * sxx - (n * (n + 1)) * (n * (n + 1)) AS dx,
+                     n * syy - (n * (n + 1)) * (n * (n + 1)) AS dy
+              FROM ag)
             SELECT l_returnflag, mo, n::BIGINT AS n, d2sum4::BIGINT AS d2sum4,
                    ((CASE WHEN 2 * n * (n * n - 1) - 3 * d2sum4 < 0 THEN -1 ELSE 1 END)
                     * ((ABS(2 * n * (n * n - 1) - 3 * d2sum4)::HUGEINT * 1000000)
-                       // (2 * n * (n * n - 1))))::BIGINT AS rho_ppm
-            FROM ag WHERE n >= 2 ORDER BY 1, 2"""))
+                       // (2 * n * (n * n - 1))))::BIGINT AS rho_ppm,
+                   CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                        ELSE CAST(FLOOR((CAST(pnum AS DOUBLE) * 1000000.0)
+                          / (SQRT(CAST(dx AS DOUBLE)) * SQRT(CAST(dy AS DOUBLE))))
+                          AS BIGINT) END AS rho_b_ppm
+            FROM mm WHERE n >= 2 ORDER BY 1, 2"""))
 
   /** ROC-AUC as the Mann–Whitney effect size
     * ([[graft.operators.RankStats.rocAuc]] — AUC = P(s⁺>s⁻)+½P(=) exactly,
@@ -774,8 +789,10 @@ private[graft] object Catalog12 {
     * — concordant/discordant pair counts via the joint-value-census
     * self-join: cost is census², row count never enters the join;
     * explicit-N repartition before the census² expansion per the q115
-    * rule; τ_a in sign-magnitude ppm, exact C/D/n alongside because τ_b's
-    * tie correction needs a √). quantity vs 10k-dollar price bucket per
+    * rule; τ_a in sign-magnitude ppm with exact C/D/n alongside, plus
+    * the r13 tie completion: exact marginal tie-pair sums n1/n2 from two
+    * census aggregates and tie-corrected τ_b via identically-spelled
+    * IEEE SQRT on both engines). quantity vs 10k-dollar price bucket per
     * returnflag. */
   val q327_kendall = Q(
     "q327_kendall",
@@ -798,13 +815,32 @@ private[graft] object Catalog12 {
                      SUM(CASE WHEN b.x > a.x AND b.y < a.y THEN a.c * b.c ELSE 0 END) AS dp
               FROM cen a JOIN cen b ON a.l_returnflag = b.l_returnflag
               GROUP BY 1),
-            tot AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1)
+            tot AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1),
+            tx AS (
+              SELECT l_returnflag, CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS n1
+              FROM (SELECT l_returnflag, x, SUM(c) AS t FROM cen GROUP BY 1, 2)
+              GROUP BY 1),
+            ty AS (
+              SELECT l_returnflag, CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS n2
+              FROM (SELECT l_returnflag, y, SUM(c) AS t FROM cen GROUP BY 1, 2)
+              GROUP BY 1)
             SELECT t.l_returnflag, n::BIGINT AS n, cp::BIGINT AS c_pairs,
                    dp::BIGINT AS d_pairs,
                    CAST((CASE WHEN cp - dp < 0 THEN -1 ELSE 1 END)
                      * ((ABS(cp - dp)::HUGEINT * 1000000) // ((n * (n - 1)) // 2))
-                     AS BIGINT) AS tau_a_ppm
-            FROM pairs p JOIN tot t ON p.l_returnflag = t.l_returnflag
+                     AS BIGINT) AS tau_a_ppm,
+                   n1 AS tie_x_pairs, n2 AS tie_y_pairs,
+                   CASE WHEN (n * (n - 1)) // 2 = n1 OR (n * (n - 1)) // 2 = n2
+                        THEN NULL
+                        ELSE CAST(FLOOR((CAST(CAST(cp - dp AS BIGINT) AS DOUBLE)
+                            * 1000000.0)
+                          / (SQRT(CAST((n * (n - 1)) // 2 - n1 AS DOUBLE))
+                           * SQRT(CAST((n * (n - 1)) // 2 - n2 AS DOUBLE))))
+                          AS BIGINT) END AS tau_b_ppm
+            FROM pairs p
+            JOIN tot t ON p.l_returnflag = t.l_returnflag
+            JOIN tx ON t.l_returnflag = tx.l_returnflag
+            JOIN ty ON t.l_returnflag = ty.l_returnflag
             WHERE n >= 2 ORDER BY 1"""))
 
   /** Multi-resolution tile pyramid ([[graft.operators.Geo.tilePyramid]] —
@@ -975,7 +1011,8 @@ private[graft] object Catalog12 {
       }
       def dig(rel: String, pfx: String) =
         s"""SELECT COUNT(*)::BIGINT AS n, bit_xor(h)::BIGINT AS xh,
-                   SUM(((h % 1099511627776) + 1099511627776) % 1099511627776)::BIGINT AS sh
+                   (SUM(((h % 1099511627776) + 1099511627776) % 1099511627776)
+                    % 1099511627776)::BIGINT AS sh
             FROM (${hashed(rel, pfx)})"""
       val base = dig("SELECT o_orderkey, o_custkey FROM orders", "__g1")
       val tam = dig(
@@ -1066,9 +1103,14 @@ private[graft] object Catalog12 {
       val ev = t(s, dir, "events").filter(col("user_id") < 30)
         .select(col("user_id"), col("event_id"), col("ts"))
         .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
-      val minDay = ev.agg(min(col("day"))).head().getLong(0)
+      // chunk range DERIVED from the day span — the events fixture's span
+      // changes between rounds (CLAUDE.md), so a hardcoded chunk count
+      // would silently drop late events the oracle still replays
+      val dayRow = ev.agg(min(col("day")), max(col("day"))).head()
+      val minDay = dayRow.getLong(0)
+      val maxChunk = ((dayRow.getLong(1) - minDay) / 10L).toInt
       val inDir = java.nio.file.Files.createTempDirectory("graft-q333-in")
-      (0 to 2).foreach { ch =>
+      (0 to maxChunk).foreach { ch =>
         val stage = java.nio.file.Files.createTempDirectory(s"graft-q333-c$ch").toString
         ev.filter(expr(s"(day - $minDay) div 10") === ch)
           .drop("day").coalesce(1).write.mode("overwrite").parquet(stage)

@@ -84,7 +84,12 @@ object ScaleProbe {
     "probe_tile_pyramid_orders" -> 1.3, // one data shuffle + census-sized rollups
     "probe_bootstrap_lineitem" -> 1.3, // B replicates ride one aggregation pass
     "q339_isotonic" -> 1.3, // positions fixed (20 scores): census pass linear
-    "q340_kruskal_wallis" -> 1.3 // value census + join-back, both row-linear
+    "q340_kruskal_wallis" -> 1.3, // value census + join-back, both row-linear
+    // round-13 probes
+    "q331_table_digest" -> 1.3, // one map-side-combinable fold over orders
+    "q332_join_mv_delta" -> 1.3, // three delta-left joins + digest folds, all linear
+    "probe_bbox_overlap_tiled" -> 1.4, // tiled boxes at constant density: pairs ∝ rows
+    "probe_skew_report" -> 1.3 // row-scale census, distributed two-pass rank
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
@@ -159,6 +164,40 @@ object ScaleProbe {
         pmod(col("o_orderkey") * 16807L, lit(1024L)).as("y"))
       graft.operators.Geo.tilePyramid(pts, "x", "y", bits = 6, coordBits = 10)
         .groupBy("level").agg(sum(col("cnt")).as("n"), count(lit(1)).as("cells"))
+    },
+    // q341's shape at CONSTANT density: each synthesized copy's boxes land
+    // in a fresh 1100-wide x-band (copy = o_orderkey div 1e8), so box
+    // density per tile stays fixed and overlap pairs grow linearly — an
+    // un-tiled probe would densify one field and measure the k² synthesis
+    "probe_bbox_overlap_tiled" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      def side(parity: Int, idc: String, p: String) = o
+        .filter(pmod(col("o_orderkey"), lit(2L)) === parity)
+        .select(
+          col("o_orderkey").as(idc),
+          (expr("(o_orderkey div 100000000) * 1100") +
+            pmod(col("o_orderkey") * 48271L, lit(1000L))).as(s"${p}x1"),
+          (expr("(o_orderkey div 100000000) * 1100") +
+            pmod(col("o_orderkey") * 48271L, lit(1000L)) +
+            pmod(col("o_orderkey"), lit(30L)) + 5L).as(s"${p}x2"),
+          pmod(col("o_orderkey") * 16807L, lit(1000L)).as(s"${p}y1"),
+          (pmod(col("o_orderkey") * 16807L, lit(1000L)) +
+            pmod(col("o_orderkey"), lit(23L)) + 5L).as(s"${p}y2"))
+      graft.operators.Geo.bboxOverlapJoin(
+          side(0, "lid", "l"), side(1, "rid", "r"),
+          "lx1", "lx2", "ly1", "ly2", "rx1", "rx2", "ry1", "ry2", tile = 32L)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("lid") + col("rid")).as("checksum"))
+    },
+    // row-scale key census (≈ n/2 distinct keys) with a planted hot key —
+    // the exact shape the r12 verdict flagged: the Gini rank pass must
+    // stay distributed when the census itself grows with the data
+    "probe_skew_report" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
+        when(pmod(col("l_orderkey"), lit(100L)) < 3L, -1L)
+          .otherwise(expr("l_orderkey div 2")).as("jk"))
+      graft.operators.SkewJoin.skewReport(li, Seq("jk"))
     },
     "probe_bootstrap_lineitem" -> { (s, dir) =>
       import org.apache.spark.sql.functions._

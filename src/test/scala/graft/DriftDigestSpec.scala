@@ -119,6 +119,22 @@ class DriftDigestSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { TableDigest.digest(df, Seq("zz")) }
   }
 
+  test("digest sum_h = (sum of per-row mods) mod 2^40 — decimal accumulation, " +
+    "bounded output") {
+    // the r13 overflow fix: terms average ~2^39, so a plain BIGINT sum dies
+    // (ANSI) at ~2^24 rows; the decimal fold + final mod must equal the
+    // BigInt replay and keep the reported digest inside [0, 2^40)
+    val base = viaParquet((1L to 500L).map(i => (i, i * 13L % 97L)).toDF("a", "b"))
+    val mod = BigInt(1099511627776L)
+    val perRow = base.select(xxhash64(col("a"), col("b")).as("h"))
+      .select(pmod(col("h"), lit(1099511627776L)).as("m"))
+      .collect().map(r => BigInt(r.getLong(0)))
+    val expect = (perRow.sum % mod).toLong
+    val got = TableDigest.digest(base, Seq("a", "b")).head().getAs[Long]("sum_h")
+    assert(got == expect)
+    assert(got >= 0L && got < 1099511627776L)
+  }
+
   // ------------------------------------------- join-delta MV + entropy
 
   test("joinDelta equals the full re-join under fuzzed splits; overlap refusal") {
@@ -200,5 +216,27 @@ class DriftDigestSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Drift.hampelOutliers(const, "g", "x", "y", half = 0)
     }
+  }
+
+  test("hampelOutliers: duplicate x values stay deterministic across " +
+    "partitionings (the (x, y) window order)") {
+    import graft.operators.Drift
+    // three rows share x=4 with different y — an x-only ORDER BY would make
+    // the window contents depend on physical row order
+    val rows = Seq((0L, 5L), (1L, 5L), (2L, 6L), (3L, 5L), (4L, 50L), (4L, 5L),
+      (4L, 7L), (5L, 5L), (6L, 6L), (7L, 5L), (8L, 5L))
+    def run(p: Int) = Drift.hampelOutliers(
+      viaParquet(rows.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"))
+        .repartition(p), "g", "x", "y", half = 2)
+      .orderBy("x", "y").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7) && run(7) == run(13))
+    // the spike among the x=4 duplicates is flagged; its zero-deviation
+    // twin at the same x is not (MAD-0 windows may flag small deviations
+    // too — fine; the pinned contract is spike-in, twin-out)
+    val flagged = Drift.hampelOutliers(
+      viaParquet(rows.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")),
+      "g", "x", "y", half = 2)
+      .filter(col("is_outlier")).select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((4L, 50L)) && !flagged.contains((4L, 5L)))
   }
 }

@@ -175,4 +175,126 @@ class RankStatsSpec extends SparkSpec {
     assert(r1.getAs[Long]("top1_ppm") == census.max * 1000000L / n)
     assert(expect > 500000L) // the 40%-hot key reads as strong concentration
   }
+
+  test("skewReport: distributed rank is exact across partition boundaries and " +
+    "plans no single-partition exchange") {
+    import graft.operators.SkewJoin
+    val rnd = new scala.util.Random(13)
+    val keys = (1 to 800).map(_ => rnd.nextInt(97).toLong)
+    val df = viaParquet(keys.toDF("jk"))
+    // rankPartitions deliberately tiny and non-dividing: offsets must stitch
+    // local ranks into the exact global order
+    val reports = Seq(1, 3, 32).map { p =>
+      SkewJoin.skewReport(df, Seq("jk"), rankPartitions = p).collect()(0)
+    }
+    val census = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+    val m = census.size.toLong
+    val n = census.sum
+    val wsum = census.zipWithIndex.map { case (c, i) => 2L * (i + 1) * c }.sum
+    val expect = (wsum - (m + 1) * n) * 1000000L / (m * n)
+    reports.foreach { r =>
+      assert(r.getAs[Long]("gini_ppm") == expect)
+      assert(r.getAs[Long]("n_keys") == m && r.getAs[Long]("n_rows") == n)
+    }
+    // the scale contract: the census RANK pass must never collapse to one
+    // task — every Window in the plan runs over multiple partitions (the
+    // final 4-number summary aggregate may legitimately collapse)
+    val rep = SkewJoin.skewReport(df, Seq("jk"), rankPartitions = 8)
+    rep.collect()
+    val windows = graft.plans.PlanChecks.flatten(rep)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the census rank window in the plan")
+    // AQE may byte-coalesce the tiny TEST census — the planned exchange
+    // shape below the window is the contract: hash partitioning on the
+    // range-partition id, never the SinglePartition the old global
+    // orderBy planned (the final 4-number summary agg above it may
+    // legitimately collapse)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"census rank window must partition (by the range-partition id):\n$w")
+      assert(!w.child.treeString.contains("SinglePartition"),
+        s"census rank pass planned SinglePartition below the window:\n${w.child.treeString}")
+    }
+  }
+
+  test("kendall tau_b: tie-pair sums and tau_b match a driver replay; " +
+    "all-tied axis yields NULL") {
+    import graft.operators.RankStats
+    val rnd = new scala.util.Random(29)
+    val xy = (1 to 300).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(6).toLong))
+    val df = viaParquet(xy.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"))
+    val r = RankStats.kendallPairs(df, "x", "y", Seq("g")).collect()(0)
+    val n = xy.size.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = xy.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n2 = xy.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    var c = 0L; var d = 0L
+    for (i <- xy.indices; j <- i + 1 until xy.size) {
+      val ((xa, ya), (xb, yb)) = (xy(i), xy(j))
+      val s = (xb - xa).sign * (yb - ya).sign
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    assert(r.getAs[Long]("c_pairs") == c && r.getAs[Long]("d_pairs") == d)
+    assert(r.getAs[Long]("tie_x_pairs") == n1 && r.getAs[Long]("tie_y_pairs") == n2)
+    val expect = math.floor((c - d).toDouble * 1000000.0 /
+      (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))).toLong
+    assert(r.getAs[Long]("tau_b_ppm") == expect)
+    // sanity: tau_b magnitude exceeds tau_a (ties shrink the denominator)
+    assert(math.abs(r.getAs[Long]("tau_b_ppm")) >= math.abs(r.getAs[Long]("tau_a_ppm")))
+    // constant x: n0 == n1 -> NULL tau_b
+    val const = viaParquet(Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 1L, 3L))
+      .toDF("g", "x", "y"))
+    val rc = RankStats.kendallPairs(const, "x", "y", Seq("g")).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("tau_b_ppm")))
+  }
+
+  test("spearman rho_b: Pearson-on-ranks replay, ties make it differ from rho, " +
+    "constant axis yields NULL") {
+    import graft.operators.RankStats
+    val rnd = new scala.util.Random(31)
+    val xy = (1 to 250).map(_ => (rnd.nextInt(7).toLong, rnd.nextInt(9).toLong))
+    val df = viaParquet(xy.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"))
+    val r = RankStats.spearman(df, "x", "y", Seq("g")).collect()(0)
+    // driver replay: doubled tie-averaged ranks, then Pearson
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        v -> (2L * sorted.count(_ < v) + sorted.count(_ == v) + 1L)
+      }.toMap
+    }
+    val rx = rank2(xy.map(_._1)); val ry = rank2(xy.map(_._2))
+    val n = xy.size.toLong
+    val sxy = xy.map { case (x, y) => rx(x) * ry(y) }.sum
+    val sxx = xy.map { case (x, _) => rx(x) * rx(x) }.sum
+    val syy = xy.map { case (_, y) => ry(y) * ry(y) }.sum
+    val ss = n * (n + 1)
+    val (pnum, dx, dy) = (n * sxy - ss * ss, n * sxx - ss * ss, n * syy - ss * ss)
+    val expect = math.floor(pnum.toDouble * 1000000.0 /
+      (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))).toLong
+    assert(r.getAs[Long]("rho_b_ppm") == expect)
+    assert(r.getAs[Long]("rho_b_ppm") != r.getAs[Long]("rho_ppm")) // heavy ties separate them
+    val const = viaParquet(Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 5L, 3L))
+      .toDF("g", "x", "y"))
+    val rc = RankStats.spearman(const, "x", "y", Seq("g")).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("rho_b_ppm")))
+  }
+
+  test("empty groupCols refuse loudly across the census machinery") {
+    import graft.operators.{RankStats, Resample}
+    val df = viaParquet(Seq(("a", 1L, 2L), ("b", 2L, 3L)).toDF("s", "x", "y"))
+    val cases: Seq[() => Any] = Seq(
+      () => RankStats.rank2Census(df, "x", Nil),
+      () => RankStats.ksTest(df, "x", "s", "a", "b", Nil),
+      () => RankStats.mannWhitney(df, "x", "s", "a", "b", Nil),
+      () => RankStats.kendallPairs(df, "x", "y", Nil),
+      () => RankStats.spearman(df, "x", "y", Nil),
+      () => RankStats.kruskalWallis(df, "x", "s", Nil),
+      () => Resample.bootstrapMeanCi(df, "x", "y", 8, 1, 8, Nil),
+      () => Resample.bootstrapRatioCi(df, "x", "y", "y", 8, 1, 8, Nil),
+      () => graft.ml.Regress.isotonicFitPpm(df, "x", "y", Nil))
+    cases.foreach { c =>
+      val e = intercept[IllegalArgumentException](c())
+      assert(e.getMessage.contains("group"), e.getMessage)
+    }
+  }
 }
