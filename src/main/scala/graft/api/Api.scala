@@ -25,6 +25,15 @@ import graft.registry.Registry
   *                                          (the reference submits queries
   *                                          asynchronously via spark-submit,
   *                                          app.py:104-422; here a JVM thread)
+  *   POST /registry/bulk                  → run a bulk-register manifest
+  *                                          ([[graft.registry.BulkRegister]]),
+  *                                          respond {"registered": …,
+  *                                          "skipped": …} — the headless twin
+  *                                          of the reference's registration
+  *                                          GUI actions
+  *                                          (ref: apps/registration_gui.py)
+  *   GET  /register                       → static registration page
+  *                                          ([[RegistrationPage]])
   */
 final class Api(
     registry: Registry,
@@ -82,6 +91,8 @@ final class Api(
     server.createContext("/query/project", queryHandler())
     server.createContext("/jobs/", jobStatusHandler())
     server.createContext("/viewer", viewerHandler())
+    server.createContext("/registry/bulk", bulkRegisterHandler())
+    server.createContext("/register", staticPageHandler(RegistrationPage.html))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -214,14 +225,46 @@ final class Api(
   /** GET /viewer — the static single-page project viewer ([[ViewerPage]]),
     * closing the reference's Dash GUI surface headlessly: the page drives
     * the same three read endpoints the Dash app calls. */
-  private def viewerHandler(): HttpHandler = new HttpHandler {
+  private def viewerHandler(): HttpHandler = staticPageHandler(ViewerPage.html)
+
+  private def staticPageHandler(html: String): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
-      val bytes = ViewerPage.html.getBytes(StandardCharsets.UTF_8)
+      val bytes = html.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
       ex.sendResponseHeaders(200, bytes.length)
       val os = ex.getResponseBody
       os.write(bytes)
       os.close()
+    }
+  }
+
+  /** POST /registry/bulk — run a bulk-register manifest against this
+    * registry (dimensions → mappings → datasets, the
+    * [[graft.registry.BulkRegister]] order/validation/resume semantics).
+    * The mutation twin of the read endpoints: together with /register they
+    * replace the reference's Dash registration GUI
+    * (ref: apps/registration_gui.py:106-374 — register-project /
+    * register-and-submit-dataset buttons over config files; here the
+    * manifest IS the config file, posted inline). Registration is
+    * serialized: the registry's list/read paths are rename-atomic per
+    * object, but two interleaved manifests could observe each other's
+    * partial order — one at a time matches the GUI's disabled-while-
+    * running buttons. */
+  private val registration = new Object
+  private def bulkRegisterHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      try {
+        val result = registration.synchronized {
+          graft.registry.BulkRegister(registry, body)
+        }
+        respond(ex, 200,
+          s"""{"registered": ${result.registered.map(quote).mkString("[", ",", "]")}, """ +
+            s""""skipped": ${result.skipped.map(quote).mkString("[", ",", "]")}}""")
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
+      }
     }
   }
 

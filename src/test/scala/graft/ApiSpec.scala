@@ -172,4 +172,48 @@ class ApiSpec extends SparkSpec {
       assert(get(port, "/jobs/not-a-job").statusCode() == 404)
     } finally api.stop()
   }
+
+  test("registration surface: POST /registry/bulk registers, GET /register serves the page") {
+    val api = new Api(buildRegistry())
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def post(path: String, body: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // a records table on disk, referenced by the manifest (server-side path)
+      val recDir = Files.createTempDirectory("graft-api-recs").toString
+      Seq(("s1", "S1"), ("s2", "S2")).toDF("id", "name")
+        .coalesce(1).write.mode("overwrite").parquet(s"$recDir/sector.parquet")
+      val manifest =
+        s"""{"dimensions": [{"name": "sector", "records": "$recDir/sector.parquet"}]}"""
+      val ok = post("/registry/bulk", manifest)
+      assert(ok.statusCode() == 200, s"got ${ok.statusCode()}: ${ok.body()}")
+      assert(ok.body().contains(""""registered": ["dimension/sector"]"""), ok.body())
+      // the read surface reflects the mutation immediately
+      assert(get("/registry/dimensions").body() == """["geography","sector"]""")
+      assert(get("/dimensions/records/sector").body().contains("\"s1\""))
+
+      // re-posting the same manifest is an UPDATE (compatibility-checked
+      // upsert — the registerDimension semantics), not an error
+      val dup = post("/registry/bulk", manifest)
+      assert(dup.statusCode() == 200, s"got ${dup.statusCode()}: ${dup.body()}")
+      assert(dup.body().contains(""""registered": ["dimension/sector"]"""), dup.body())
+      // malformed manifest: named 400, not a stack trace
+      val bad = post("/registry/bulk", """{"dimensions": [{"records": "x"}]}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("name"), bad.body())
+
+      val page = get("/register")
+      assert(page.statusCode() == 200)
+      assert(page.body().contains("graft registration") &&
+        page.body().contains("/registry/bulk"))
+      // the page escapes interpolated data (the ViewerPage XSS rule)
+      assert(page.body().contains("const esc"))
+    } finally api.stop()
+  }
 }
