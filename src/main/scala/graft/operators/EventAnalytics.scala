@@ -454,4 +454,45 @@ object EventAnalytics {
         col("__th_m").as("n_pairs"), col("__th_dy").as("dy"), col("__th_dx").as("dx"))
       .transform(d => RankStats.withPpm(d, col("dy"), col("dx"), "slope_ppm"))
   }
+
+  /** Retention cohort triangle — THE product-analytics table (and the
+    * data-pipeline health view: does a crawl/user/source keep producing?):
+    * users cohort by their FIRST activity period, and cell (cohort,
+    * offset) counts how many of that cohort were active `offset` periods
+    * later, with retention as the exact ppm share of the cohort's size.
+    *
+    * Exactness: periods are integer `day div periodDays`; activity
+    * dedupes to the (user, period) census FIRST (a user active twice in a
+    * period counts once — the standard cohort convention), cohort = each
+    * user's min period (one aggregation over the census), cells = one
+    * groupBy over the census joined to cohorts. Offset 0 is the cohort
+    * size by construction (every user is active in their first period),
+    * so retention_ppm(0) = 10⁶ exactly — a built-in self-check.
+    *
+    * Scale shape: two shuffles over the (user, period) census (distinct +
+    * min) and one broadcast-friendly cohort-size join; no windows, no
+    * row-scale sort. Returns (cohort, offset, n_active, cohort_size,
+    * retention_ppm) sorted upstream by the caller. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      dayCol: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"retentionCohorts: periodDays must be >= 1, got $periodDays")
+    val census = events
+      .select(col(userCol).as("__ret_u"),
+        expr(s"CAST($dayCol AS BIGINT) div $periodDays").as("__ret_p"))
+      .distinct()
+      .localCheckpoint(true) // cohorts + cells below
+    val cohorts = census.groupBy(col("__ret_u"))
+      .agg(min(col("__ret_p")).as("__ret_c"))
+    val cells = census.join(cohorts, Seq("__ret_u"))
+      .groupBy(col("__ret_c").as("cohort"),
+        (col("__ret_p") - col("__ret_c")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy(col("__ret_c").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort"))
+      .withColumn("retention_ppm", expr("(n_active * 1000000) div cohort_size"))
+  }
 }

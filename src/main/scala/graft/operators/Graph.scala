@@ -942,4 +942,120 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("n_rows"),
         sum(col("__sr_v")).cast("long").as("total"))
   }
+
+  /** Minimum spanning forest via Borůvka — THE distributed MST algorithm
+    * (each round every component picks its cheapest outgoing edge and
+    * components merge, so component count at least HALVES per round:
+    * O(log n) rounds of linear edge joins, no priority queue, no
+    * sequential Kruskal/Prim state — the reason Borůvka and not the
+    * textbook algorithms is what a 1000-executor cluster runs).
+    *
+    * Determinism: edges totally ordered by (w, min(u,v), max(u,v)) — ties
+    * in w break by endpoint ids, which makes the selected forest the
+    * UNIQUE MSF of the lexicographically perturbed weights (the standard
+    * tie-break trick), bit-stable under any partitioning. Per round: two
+    * broadcast-free equi-joins label edge endpoints with components, one
+    * groupBy picks each component's min outgoing edge (a struct-min —
+    * partial-agg friendly), then the selected pointer graph contracts by
+    * CLASSIC HOOKING: under a total edge order every pointer cycle is a
+    * 2-cycle (the mutual-min pair — longer cycles would need equal
+    * weights), broken by pointing the pair at its min id, followed by a
+    * fixed batch of LAZY pointer jumps (8 chained census-sized joins in
+    * ONE job — 2⁸-fold path compression per round; a deeper merge chain
+    * is simply finished next round, which only re-selects the same
+    * edges, deduped at the end). Exactly THREE actions per round
+    * (selected checkpoint, emptiness check, comp checkpoint) — the
+    * local-mode job-count discipline that makes O(log n) rounds cheap.
+    *
+    * Input: undirected edges (srcCol, dstCol, weightCol) — integer
+    * weights; duplicates fine (the min picks one), self-loops dropped.
+    * Returns forest edges (a, b, w, round = first round selected) with
+    * a < b; a caller wanting total weight folds one aggregate over it. */
+  def boruvkaMsf(
+      edges: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      maxRounds: Int = 48): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"boruvkaMsf: maxRounds in [1,64], got $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // symmetrize once; (a, b) normalized for the emit-once forest rows
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .select(explode(array(
+        struct(col("u"), col("v"), col("w")),
+        struct(col("v").as("u"), col("u").as("v"), col("w")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+      .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
+    var comp = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
+    var forest = Seq.empty[(Long, Long, Long, Int)].toDF("a", "b", "w", "round")
+    var round = 0
+    var done = false
+    val t0 = System.nanoTime()
+    val trace = sys.env.contains("GRAFT_MSF_TRACE")
+    def tr(msg: => String): Unit =
+      if (trace) System.err.println(f"[boruvka] t=${(System.nanoTime() - t0) / 1e9}%.1fs $msg")
+    while (!done && round < maxRounds) {
+      round += 1
+      tr(s"round $round start")
+      val cu = comp.select(col("id").as("u"), col("comp").as("__ms_cu"))
+      val cv = comp.select(col("id").as("v"), col("comp").as("__ms_cv"))
+      val cross = sym.join(cu, "u").join(cv, "v")
+        .filter(col("__ms_cu") =!= col("__ms_cv"))
+      // min outgoing edge per component under the (w, a, b) total order
+      val selected = cross
+        .withColumn("__ms_a", least(col("u"), col("v")))
+        .withColumn("__ms_b", greatest(col("u"), col("v")))
+        .groupBy(col("__ms_cu"))
+        .agg(min(struct(col("w"), col("__ms_a").as("a"), col("__ms_b").as("b"),
+          col("__ms_cv").as("cv"))).as("m"))
+        .select(col("m.w").as("w"), col("m.a").as("a"), col("m.b").as("b"),
+          col("__ms_cu").as("ca"), col("m.cv").as("cb"))
+        .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
+      tr(s"selected ckpt done n=${selected.count()}")
+      if (selected.isEmpty) done = true
+      else {
+        forest = forest.unionByName(
+          selected.select(col("a"), col("b"), col("w")).distinct()
+            .withColumn("round", lit(round)))
+        // hooking: break the mutual-min 2-cycles at their min id (every
+        // pointer cycle is a 2-cycle under the total edge order).
+        // Checkpoint BEFORE the jump chain: each lazy jump references its
+        // input twice, so an unmaterialized base doubles the PLAN TREE
+        // per jump — 2^k subtree copies send Catalyst planning time
+        // exponential (measured: rounds went 8 s → 27 s → stuck)
+        val p0 = selected.select(col("ca").as("c"), col("cb").as("p"))
+        val mirror = p0.select(col("c").as("__ms_mc"), col("p").as("__ms_mp"))
+        var ptr = p0.join(mirror, col("p") === col("__ms_mc"), "left")
+          .select(col("c"),
+            when(col("__ms_mp") === col("c"), least(col("c"), col("p")))
+              .otherwise(col("p")).as("p"))
+          .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
+        tr(s"hook ckpt done parts=${ptr.rdd.getNumPartitions}")
+        // 3 LAZY pointer jumps — one job, 8-fold path compression; merge
+        // chains deeper than 8 finish in later rounds (they only
+        // re-select the same edges, deduped at the end)
+        for (_ <- 1 to 3) {
+          val r = ptr.select(col("c").as("__ms_jc"), col("p").as("__ms_jp"))
+          ptr = ptr.join(r, col("p") === col("__ms_jc"), "left")
+            .select(col("c"), coalesce(col("__ms_jp"), col("p")).as("p"))
+        }
+        comp = comp
+          .join(ptr.select(col("c").as("comp"), col("p").as("__ms_new")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("__ms_new"), col("comp")).as("comp"))
+          .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
+        tr(s"comp ckpt done parts=${comp.rdd.getNumPartitions}")
+      }
+    }
+    require(done, s"boruvkaMsf: no fixed point after $maxRounds rounds — " +
+      "raise maxRounds (components at least halve per round, so log2(n) suffices)")
+    // a deeper-than-2^8 merge chain re-selects its edges next round —
+    // emit each forest edge once, stamped with its first round
+    forest.groupBy(col("a"), col("b"), col("w"))
+      .agg(min(col("round")).as("round"))
+  }
 }

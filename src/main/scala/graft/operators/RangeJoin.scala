@@ -122,4 +122,51 @@ object RangeJoin {
           .cast("long"))
       .drop(bucket)
   }
+
+  /** Gaps-and-islands interval merge — coalesce each key's overlapping or
+    * touching half-open [start, end) intervals into maximal ISLANDS (the
+    * coverage operator behind uptime/session coverage, index-range
+    * compaction, and the skipping manifests' range union). Integer
+    * endpoints (epoch-us, days — quantize first).
+    *
+    * Mechanics: one key-partitioned window ordered by (start, end); a new
+    * island opens when start > max(end) over all PRIOR intervals (running
+    * prefix max — an interval swallowed by a longer predecessor extends
+    * nothing), island id = running count of opens, then one groupBy
+    * yields (keys*, island_start, island_end, n_intervals). Touching
+    * intervals (start = prior end) MERGE — half-open adjacency is
+    * continuous coverage; callers wanting strict-overlap semantics
+    * subtract 1 from ends first. Deterministic under duplicates: rows
+    * tying on (start, end) are interchangeable in every prefix.
+    *
+    * Scale shape: per-key windows (no global sort), one shuffle on the
+    * keys + the groupBy reusing the same partitioning. Degenerate
+    * intervals (end ≤ start) are dropped before the window. */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "mergeIntervals: empty keyCols would plan a single-task global " +
+        "window — inject a literal constant key for a whole-table merge")
+    import org.apache.spark.sql.expressions.Window
+    val gs = keyCols.map(col)
+    val wOrd = Window.partitionBy(gs: _*)
+      .orderBy(col(startCol), col(endCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(endCol) > col(startCol))
+      .withColumn("__gi_pmax", max(col(endCol)).over(wPrev))
+      .withColumn("__gi_open",
+        when(col("__gi_pmax").isNull || col(startCol) > col("__gi_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__gi_island", sum(col("__gi_open")).over(wRun))
+      .groupBy((gs :+ col("__gi_island")): _*)
+      .agg(
+        min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__gi_island")
+  }
 }

@@ -64,6 +64,31 @@ object RankStats {
       lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
   }
 
+  /** Exact per-group ECDF / percentile table from the value census — the
+    * "what fraction of rows is ≤ v" operator (latency percentile reports,
+    * threshold calibration, PERCENT_RANK without a per-row sort): one row
+    * per distinct value with its count, cumulative ≤-count, group total,
+    * and pct_le_ppm = cum_le·10⁶ div n. Exact integers throughout; the
+    * only window runs over the census, partitioned by group. A percentile
+    * lookup (p50/p99) is then a census-side filter: the smallest value
+    * with pct_le_ppm ≥ p — exact, tie-safe, engine-replayable. */
+  def ecdf(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "ecdf: empty groupCols would plan a single-task global window — " +
+        "inject a literal constant group column for a whole-table ECDF")
+    val gs = groupCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wLe = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gs: _*)
+    census
+      .withColumn("cum_le", sum(col("cnt")).over(wLe))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("pct_le_ppm", expr("(cum_le * 1000000) div n"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov per group: D = max_v |F_a(v) − F_b(v)|
     * carried as the exact integer numerator max|cumA·nB − cumB·nA| over
     * the merged distinct-value census (the max of the ECDF gap is attained

@@ -107,4 +107,33 @@ object SkewJoin {
         col("__sk_top1"), col("n_rows"), "top1_ppm"))
       .drop("__sk_wsum", "__sk_num", "__sk_top1")
   }
+
+  /** EXACT inner-equi-join output cardinality WITHOUT running the join —
+    * the planning advisor beside [[skewReport]]: |A ⋈ B| = Σ_k c_A(k)·c_B(k)
+    * over the key censuses, so the cost is two census aggregations plus a
+    * census-sized join — metadata-scale work that tells you whether the
+    * real join's output is 10⁶ or 10¹² rows BEFORE you commit a cluster to
+    * it (the number AQE only discovers after the shuffle is built).
+    * Returns one row: (n_left, n_right, n_keys_common, join_rows,
+    * max_key_rows = the hottest key's output contribution — the
+    * skew-aware tasks-will-die check, pairing the Gini report). join_rows
+    * accumulates in DECIMAL(38,0): per-key products of two row-scale
+    * censuses overflow BIGINT exactly when the answer matters. */
+  def joinSizeEstimate(
+      left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinSizeEstimate: at least one join key")
+    val ca = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__sk_ca"))
+    val cb = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__sk_cb"))
+    val totals = ca.agg(sum(col("__sk_ca")).as("n_left"))
+      .crossJoin(cb.agg(sum(col("__sk_cb")).as("n_right")))
+    ca.join(cb, keys)
+      .agg(
+        count(lit(1)).as("n_keys_common"),
+        expr("CAST(sum(CAST(__sk_ca AS DECIMAL(38,0)) * __sk_cb) AS DECIMAL(38,0))")
+          .as("join_rows"),
+        max(col("__sk_ca") * col("__sk_cb")).as("max_key_rows"))
+      .crossJoin(totals)
+      .select(col("n_left"), col("n_right"), col("n_keys_common"),
+        col("join_rows"), col("max_key_rows"))
+  }
 }

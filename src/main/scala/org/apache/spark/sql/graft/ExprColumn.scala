@@ -37,3 +37,33 @@ object PlanDataset {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 }
+
+/** Stats-resetting local checkpoint for ITERATIVE driver loops.
+  *
+  * `Dataset.localCheckpoint` truncates lineage but REWRITES the original
+  * plan's statistics onto the resulting `LogicalRDD`
+  * (`LogicalRDD.rewriteStatsAndConstraints`). In a loop that joins the
+  * previous round's checkpoint k times, `SizeInBytesOnlyStatsPlanVisitor`
+  * multiplies child sizes, so the `sizeInBytes` BigInt's BIT LENGTH grows
+  * ~(2k+1)× per round — by round 5 of a 5-join round (Borůvka MSF) the
+  * driver is multiplying quarter-BILLION-bit BigIntegers inside stats
+  * estimation and each checkpoint takes minutes (measured: rounds of a
+  * 15k-node MSF went 1 s → 18 s → stuck; the thread dump shows
+  * `BigInteger.multiplyToomCook3` under `visitJoin`).
+  *
+  * This helper materializes the SAME local checkpoint (internal-row RDD,
+  * defensive copy, `localCheckpoint()`, eager count) but rebuilds the
+  * frame via `internalCreateDataFrame`, whose `LogicalRDD` carries NO
+  * origin stats — downstream estimation sees the conf default size, and
+  * per-round stats work stays constant forever. Use it for any checkpoint
+  * INSIDE an iteration; one-shot checkpoints can keep the richer stats. */
+object CheckpointFresh {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager: materialize now, fail fast, truncate before reuse
+    spark.internalCreateDataFrame(rdd, ds.schema)
+  }
+}
