@@ -50,7 +50,7 @@ object Coreset {
         val next = cur.withColumn("__cs_d",
           least(col("__cs_d"), ExprColumn(SqDistL2(
             ExprColumn.expr(col("__cs_qv")), far.getSeq[Long](1)))))
-          .localCheckpoint(true)
+          .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
         cur.unpersist()
         cur = next
       }

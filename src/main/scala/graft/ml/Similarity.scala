@@ -149,7 +149,7 @@ object Similarity {
         .agg(max(col("sim")).as("__graft_ms"))
       val scored = ms.withColumn("score",
         lit(lambdaNum) * col("rel") - lit(lambdaDen - lambdaNum) * col("__graft_ms"))
-      acc = acc.unionByName(argmax(scored, r)).localCheckpoint(true)
+      acc = acc.unionByName(argmax(scored, r)).transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
       r += 1
     }
     acc

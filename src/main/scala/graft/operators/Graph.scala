@@ -45,7 +45,7 @@ object Graph {
       scale: Long = 1000000000L,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(scale >= 1000L, s"pageRank: scale must be >= 1000, got $scale")
     require(dampNum >= 0 && dampNum <= dampDen, s"pageRank: damping $dampNum/$dampDen not in [0,1]")
@@ -99,7 +99,7 @@ object Graph {
       scale: Long = 1000000000L,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     require(iterations >= 1, s"personalizedPageRank: iterations must be >= 1, got $iterations")
     require(scale >= 1000L, s"personalizedPageRank: scale must be >= 1000, got $scale")
     require(dampNum >= 0 && dampNum <= dampDen,
@@ -162,7 +162,7 @@ object Graph {
   def hits(
       edges: DataFrame,
       rounds: Int = 2,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
     val e = checkpoint(edges.select(col("src"), col("dst")))
     var auth = e.select(col("dst").as("node")).distinct()
@@ -223,7 +223,7 @@ object Graph {
       edges: DataFrame,
       k: Int,
       maxRounds: Int = 50,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val undirected = edges
       .select(
@@ -286,7 +286,7 @@ object Graph {
       a1: Long = 1048573L,
       a2: Long = 8191L,
       a3: Long = 524287L,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     require(steps >= 1, s"walks: steps must be >= 1, got $steps")
     val adj = checkpoint(edges.select(col("src"), col("dst")).distinct())
     val nodes = adj.select(col("src").as("node"))
@@ -331,7 +331,7 @@ object Graph {
   def labelPropagation(
       edges: DataFrame,
       iterations: Int,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     require(iterations >= 1, s"labelPropagation: iterations must be >= 1, got $iterations")
     val und = edges
       .select(col("src"), col("dst"))
@@ -545,7 +545,7 @@ object Graph {
       edges: DataFrame,
       maxOuterRounds: Int = 16,
       maxFixpointRounds: Int = 64,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     var liveEdges = checkpoint(
       edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct())
     var live = checkpoint(
@@ -692,7 +692,7 @@ object Graph {
           when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
             .otherwise(col("u")).as("dst"))
         .repartition(par, col("src"))
-        .localCheckpoint(true) // two wedge sides + the closing probe
+        .transform(org.apache.spark.sql.graft.CheckpointFresh.apply) // two wedge sides + the closing probe
       val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
         .join(oriented.select(col("src").as("a"), col("dst").as("c")), Seq("a"))
         .filter(col("b") < col("c"))
@@ -709,7 +709,7 @@ object Graph {
         .groupBy("u", "v").agg(count(lit(1)).as("__graft_sup"))
         .filter(col("__graft_sup") >= (k - 2).toLong)
         .select(col("u"), col("v"))
-      val next = cur.join(support, Seq("u", "v"), "left_semi").localCheckpoint(true)
+      val next = cur.join(support, Seq("u", "v"), "left_semi").transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
       val m = next.count()
       stable = m == n
       cur = next
@@ -760,8 +760,8 @@ object Graph {
         .distinct()
         .join(settled, Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(d + 1L))
-        .localCheckpoint(true)
-      settled = settled.unionByName(next).localCheckpoint(true)
+        .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
+      settled = settled.unionByName(next).transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
       frontier = next
       d += 1
     }
@@ -823,13 +823,13 @@ object Graph {
       // cheaper than the settled distance
       val merged = dist.unionByName(cand)
         .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
       improved = merged.join(
           dist.select(col("seed"), col("node"), col("dist").as("__graft_old")),
           Seq("seed", "node"), "left")
         .filter(col("__graft_old").isNull || col("dist") < col("__graft_old"))
         .drop("__graft_old")
-        .localCheckpoint(true)
+        .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
       dist = merged
       round += 1
     }
@@ -959,13 +959,15 @@ object Graph {
     * partial-agg friendly), then the selected pointer graph contracts by
     * CLASSIC HOOKING: under a total edge order every pointer cycle is a
     * 2-cycle (the mutual-min pair — longer cycles would need equal
-    * weights), broken by pointing the pair at its min id, followed by a
-    * fixed batch of LAZY pointer jumps (8 chained census-sized joins in
-    * ONE job — 2⁸-fold path compression per round; a deeper merge chain
-    * is simply finished next round, which only re-selects the same
-    * edges, deduped at the end). Exactly THREE actions per round
-    * (selected checkpoint, emptiness check, comp checkpoint) — the
-    * local-mode job-count discipline that makes O(log n) rounds cheap.
+    * weights), broken by pointing the pair at its min id, then pointer
+    * jumping TO CONVERGENCE in batches of 3 lazy jumps (8× compression
+    * per materialized batch, one census-sized root probe per batch —
+    * almost always 1 batch; adversarial monotone chains take ⌈log₈⌉).
+    * A handful of actions per round, all
+    * [[org.apache.spark.sql.graft.CheckpointFresh]] materializations or
+    * census-sized probes — CheckpointFresh, not Dataset.localCheckpoint,
+    * because the latter's origin-stats rewrite compounds sizeInBytes
+    * bit-length ~30× per round here (see the helper's scaladoc).
     *
     * Input: undirected edges (srcCol, dstCol, weightCol) — integer
     * weights; duplicates fine (the min picks one), self-loops dropped.
@@ -1034,21 +1036,41 @@ object Graph {
             when(col("__ms_mp") === col("c"), least(col("c"), col("p")))
               .otherwise(col("p")).as("p"))
           .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
-        tr(s"hook ckpt done parts=${ptr.rdd.getNumPartitions}")
-        // 3 LAZY pointer jumps — one job, 8-fold path compression; merge
-        // chains deeper than 8 finish in later rounds (they only
-        // re-select the same edges, deduped at the end)
-        for (_ <- 1 to 3) {
-          val r = ptr.select(col("c").as("__ms_jc"), col("p").as("__ms_jp"))
-          ptr = ptr.join(r, col("p") === col("__ms_jc"), "left")
-            .select(col("c"), coalesce(col("__ms_jp"), col("p")).as("p"))
+        tr("hook ckpt done")
+        // pointer jumping TO CONVERGENCE, in batches of 3 lazy jumps (8×
+        // compression per materialization) with a census-sized probe per
+        // batch. A FIXED jump count is a trap: relabeling c → ptr^8(c) on
+        // a deeper chain is INJECTIVE away from the root, so it merges
+        // only the 8 components nearest the root and permutes the rest —
+        // and adversarial weight patterns (a monotone ring) really do
+        // yield one long chain: measured 151 components draining 8/round,
+        // 25 rounds where converged jumping needs 6 (9 batches total).
+        var compressed = false
+        var batches = 0
+        while (!compressed && batches < 22) {
+          var q = ptr
+          for (_ <- 1 to 3) {
+            val r = q.select(col("c").as("__ms_jc"), col("p").as("__ms_jp"))
+            q = q.join(r, col("p") === col("__ms_jc"), "left")
+              .select(col("c"), coalesce(col("__ms_jp"), col("p")).as("p"))
+          }
+          q = org.apache.spark.sql.graft.CheckpointFresh(q)
+          // converged iff every pointer target is a root (its own pointer)
+          val tgt = q.select(col("c").as("__ms_tc"), col("p").as("__ms_tp"))
+          compressed = q.join(tgt, col("p") === col("__ms_tc"))
+            .filter(col("__ms_tp") =!= col("p")).isEmpty
+          ptr = q
+          batches += 1
         }
+        require(compressed,
+          "boruvkaMsf: pointer compression did not converge in 22 batches")
+        tr(s"jump converged batches=$batches")
         comp = comp
           .join(ptr.select(col("c").as("comp"), col("p").as("__ms_new")),
             Seq("comp"), "left")
           .select(col("id"), coalesce(col("__ms_new"), col("comp")).as("comp"))
           .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
-        tr(s"comp ckpt done parts=${comp.rdd.getNumPartitions}")
+        tr("comp ckpt done")
       }
     }
     require(done, s"boruvkaMsf: no fixed point after $maxRounds rounds — " +

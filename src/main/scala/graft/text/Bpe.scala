@@ -89,7 +89,7 @@ object Bpe {
               val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
               buf += ((rank, l, r, c))
               val merged = ExprColumn(MergeAdjacentPair(ExprColumn.expr(col("syms")), l, r))
-              val next = words.select(merged.as("syms"), col("cnt")).localCheckpoint()
+              val next = words.select(merged.as("syms"), col("cnt")).transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
               words = next
               rank += 1
             case None => exhausted = true

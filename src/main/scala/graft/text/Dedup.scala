@@ -501,7 +501,7 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       maxIterations: Int = 20,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     // Materialize the pairs input once: it is consumed twice to build the
     // symmetric edge set, and upstream it is typically an expensive LSH
     // pipeline that must not run per consumer.
@@ -573,7 +573,7 @@ object Dedup {
       existing: DataFrame,
       newPairs: DataFrame,
       maxIterations: Int = 20,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
     val p = checkpoint(newPairs.select(col("id1"), col("id2")))
     val endpoints = p.select(col("id1").as("id"))
       .union(p.select(col("id2").as("id"))).distinct()

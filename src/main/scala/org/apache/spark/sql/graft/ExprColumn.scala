@@ -58,12 +58,41 @@ object PlanDataset {
   * per-round stats work stays constant forever. Use it for any checkpoint
   * INSIDE an iteration; one-shot checkpoints can keep the richer stats. */
 object CheckpointFresh {
+  import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  @annotation.tailrec
+  private def firstLeaf(p: Partitioning): Partitioning = p match {
+    case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+    case other => other
+  }
+
   def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
-    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // eager: materialize now, fail fast, truncate before reuse
-    spark.internalCreateDataFrame(rdd, ds.schema)
+    // eager on purpose: under AQE the FINAL output partitioning exists only
+    // after the job runs — stamping the pre-AQE partitioning onto the
+    // LogicalRDD could let a downstream join skip a shuffle the coalesced
+    // data no longer satisfies (wrong results, not just slow ones)
+    rdd.count()
+    // mirror LogicalRDD.fromDataset (keep partitioning + ordering so the
+    // next round's same-key join skips its shuffle) but CLAMP the rewritten
+    // stats at Long.MaxValue: small honest sizes still flow (early-round
+    // broadcasts keep working) while round-over-round products can never
+    // push the BigInt's bit length past one word's worth
+    val executed = qe.executedPlan
+    val (origStats, origConstraints) =
+      LogicalRDD.rewriteStatsAndConstraints(ds.logicalPlan, qe.optimizedPlan)
+    val cap = BigInt(Long.MaxValue)
+    val clamped = origStats.map(s => s.copy(
+      sizeInBytes = s.sizeInBytes.min(cap),
+      rowCount = s.rowCount.map(_.min(cap))))
+    val node = LogicalRDD(
+      ds.logicalPlan.output, rdd, firstLeaf(executed.outputPartitioning),
+      executed.outputOrdering, isStreaming = false)(spark, clamped, origConstraints)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, node)
   }
 }
