@@ -89,7 +89,17 @@ object ScaleProbe {
     "q331_table_digest" -> 1.3, // one map-side-combinable fold over orders
     "q332_join_mv_delta" -> 1.3, // three delta-left joins + digest folds, all linear
     "probe_bbox_overlap_tiled" -> 1.4, // tiled boxes at constant density: pairs ∝ rows
-    "probe_skew_report" -> 1.3 // row-scale census, distributed two-pass rank
+    "probe_skew_report" -> 1.3, // row-scale census, distributed two-pass rank
+    // round-13 operator probes. q346 reads events (synthesize copies it
+    // through unscaled → vacuous), so retention runs a probe-only driver
+    // over orders instead.
+    "q345_ranking_eval" -> 1.3, // 200 fixed query groups, one partial-agg pass
+    "q347_interval_islands" -> 1.3, // per-key windows, linear in rows
+    "q348_survival" -> 1.3, // fixed (grp, t) census; data pass linear
+    "q349_boruvka_msf" -> 1.5, // O(log n) rounds × linear edge joins
+    "q350_join_size" -> 1.3, // two key censuses + census-sized join
+    "q351_ecdf" -> 1.3, // fixed value-grid census; data pass linear
+    "probe_retention_orders" -> 1.3 // (user, period) census + size join
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
@@ -207,6 +217,18 @@ object ScaleProbe {
         col("l_quantity").cast("long").as("v"))
       graft.operators.Resample.bootstrapMeanCi(li, "id", "v", reps = 64,
         loRank = 2, hiRank = 63, groupCols = Seq("l_returnflag"))
+    },
+    // q346's shape over SCALING orders (events copies through unscaled):
+    // fixed user vocabulary, more activity per user — the (user, period)
+    // census saturates, the linear cost is the scan + distinct
+    "probe_retention_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_custkey").as("user_id"),
+        pmod(col("o_orderkey") * 48271L, lit(200L)).as("day"))
+      graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "day", 7)
+        .agg(count(lit(1)).as("cells"), sum(col("n_active")).as("total_active"),
+          sum(col("retention_ppm")).as("ppm_checksum"))
     })
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big
