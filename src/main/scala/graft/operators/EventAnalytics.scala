@@ -495,4 +495,51 @@ object EventAnalytics {
     cells.join(sizes, Seq("cohort"))
       .withColumn("retention_ppm", expr("(n_active * 1000000) div cohort_size"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences —
+    * the behavioral model behind next-action prediction, anomalous-flow
+    * detection, and clickstream simulation: count consecutive (state →
+    * next state) transitions per key's (orderCol, tieCol)-ordered stream,
+    * then row-normalize to exact truncating ppm. The census IS the model:
+    * |states|² rows regardless of event volume.
+    *
+    * Scale shape: one key-partitioned LEAD window (per-key, never global)
+    * + one census-sized groupBy + a census window for row totals. The
+    * tie column makes same-timestamp ordering deterministic (GroupState /
+    * window iteration order is not a contract — the q333 lesson).
+    * Returns (from_state, to_state, n_trans, row_total, p_ppm). */
+  def markovTransitions(
+      events: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val wRow = Window.partitionBy(col("from_state"))
+    events
+      .withColumn("__mk_next", lead(col(stateCol), 1).over(w))
+      .filter(col("__mk_next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__mk_next").as("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("row_total", sum(col("n_trans")).over(wRow))
+      .withColumn("p_ppm", expr("(n_trans * 1000000) div row_total"))
+  }
+
+  /** k-step composition of a ppm transition matrix: (T²)(a,c) =
+    * Σ_b T(a,b)·T(b,c) div 10⁶ — a DEFINED truncating composition
+    * (documented fixed point, exact integers, engine-replayable) over the
+    * states²-sized census: one equi-join on the middle state + one
+    * groupBy. Input needs (from_state, to_state, p_ppm). */
+  def composeTransitions(t1: DataFrame, t2: DataFrame): DataFrame = {
+    val a = t1.select(col("from_state"), col("to_state").as("__mk_mid"),
+      col("p_ppm").as("__mk_p1"))
+    val b = t2.select(col("from_state").as("__mk_mid"), col("to_state"),
+      col("p_ppm").as("__mk_p2"))
+    a.join(b, "__mk_mid")
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(sum(col("__mk_p1") * col("__mk_p2")).as("__mk_num"))
+      .withColumn("p2_ppm", expr("__mk_num div 1000000"))
+      .drop("__mk_num")
+  }
 }

@@ -36,7 +36,7 @@ object RankStats {
     * div den), exact in DECIMAL(38,0) so |num|·10⁶ can't overflow BIGINT
     * midway (the q293 pattern); materialized through fixed-name temp
     * columns so the integral `div` sees plain attributes. */
-  private[operators] def withPpm(
+  private[graft] def withPpm(
       df: DataFrame, num: Column, den: Column, out: String): DataFrame =
     df.withColumn("__rs_num", num.cast("long"))
       .withColumn("__rs_den", den.cast("long"))

@@ -94,4 +94,99 @@ object RankingEval {
         when(col("n_rel") > 0, expr("(dcg_upm * 1000000) div __re_idcg")))
       .drop("__re_first", "__re_idcg")
   }
+
+  /** Precision–recall curve from the SCORE CENSUS (no per-row sort): one
+    * row per distinct score per group, swept as a descending threshold —
+    * (groupCols*, score, n_at, pos_at, cum_n, cum_pos, prec_ppm,
+    * recall_ppm). Ties resolve the standard way: all rows at a score
+    * enter together (the threshold semantics), so the curve is
+    * deterministic under any partitioning and engine-replayable. The only
+    * window runs over the census, partitioned by group. */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "prCurve: empty groupCols would plan a single-task global window — " +
+        "inject a literal constant group column for one curve")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(scoreCol).as("score")): _*)
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos_at"))
+    val wDesc = Window.partitionBy(gs: _*).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum_n", sum(col("n_at")).over(wDesc))
+      .withColumn("cum_pos", sum(col("pos_at")).over(wDesc))
+      .withColumn("prec_ppm", expr("(cum_pos * 1000000) div cum_n"))
+      .transform(d => RankStats.withPpm(d, col("cum_pos"),
+        sum(col("pos_at")).over(Window.partitionBy(gs: _*)), "recall_ppm"))
+  }
+
+  /** Average precision per group — the area under [[prCurve]] in the
+    * threshold-sweep convention: AP = (Σ_s pos(s)·prec_ppm(s)) div n_pos,
+    * every term an exact integer over the census (prec_ppm is the
+    * truncating ppm at each threshold — a DEFINED exact variant of the
+    * usual float AP, deterministic on both engines). Pairs ROC-AUC
+    * (q324): AP is the metric that doesn't reward true negatives, the one
+    * retrieval and imbalanced-label evaluation actually use. */
+  def averagePrecision(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    prCurve(df, scoreCol, labelCol, groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("n_at")).as("n"),
+        sum(col("pos_at")).as("n_pos"),
+        sum(col("pos_at") * col("prec_ppm")).as("__re_apnum"))
+      .withColumn("ap_ppm",
+        when(col("n_pos") > 0, expr("__re_apnum div n_pos")))
+      .drop("__re_apnum")
+  }
+
+  /** Cumulative gains / lift table over score BUCKETS (the decile chart:
+    * "contacting the top k% of scores captures what share of positives,
+    * at what lift over random"): bucket = score div bucketWidth swept
+    * descending; gain_ppm = cumPos·10⁶ div totPos, lift in ppm via the
+    * exact cross-product (cumPos·totN)·10⁶ div (cumN·totPos) in
+    * DECIMAL(38,0). Census-sized: one groupBy + two windows over it. */
+  def cumulativeGains(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bucketWidth: Long,
+      groupCols: Seq[String]): DataFrame = {
+    require(bucketWidth >= 1, s"cumulativeGains: bucketWidth >= 1, got $bucketWidth")
+    require(groupCols.nonEmpty,
+      "cumulativeGains: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val census = df
+      .select((gs :+ expr(s"CAST($scoreCol AS BIGINT) div $bucketWidth").as("bucket") :+
+        col(labelCol).as("__re_l")): _*)
+      .groupBy((gs :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("__re_l"), 1L).otherwise(0L)).as("pos_at"))
+    val wDesc = Window.partitionBy(gs: _*).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gs: _*)
+    census
+      .withColumn("cum_n", sum(col("n_at")).over(wDesc))
+      .withColumn("cum_pos", sum(col("pos_at")).over(wDesc))
+      .withColumn("__re_tn", sum(col("n_at")).over(wTot))
+      .withColumn("__re_tp", sum(col("pos_at")).over(wTot))
+      .withColumn("gain_ppm",
+        when(col("__re_tp") > 0, expr("(cum_pos * 1000000) div __re_tp")))
+      .withColumn("lift_ppm",
+        when(col("__re_tp") > 0 && col("cum_n") > 0,
+          expr("(CAST(cum_pos AS DECIMAL(38,0)) * __re_tn * 1000000) div " +
+            "(CAST(cum_n AS DECIMAL(38,0)) * __re_tp)").cast("long")))
+      .drop("__re_tn", "__re_tp")
+  }
 }

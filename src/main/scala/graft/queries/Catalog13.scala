@@ -331,7 +331,300 @@ private[graft] object Catalog13 {
                    n::BIGINT AS n, ((cum_le * 1000000) // n)::BIGINT AS pct_le_ppm
             FROM w ORDER BY 1, 2"""))
 
+  /** Average precision per group ([[graft.operators.RankingEval.averagePrecision]]
+    * — threshold-sweep AP over the score CENSUS in exact truncating ppm:
+    * the imbalanced-label / retrieval metric pairing ROC-AUC q324. Planted
+    * +300 score shift on the 1/7-residue positives over orders. */
+  val q352_avg_precision = Q(
+    "q352_avg_precision",
+    (s, dir) => {
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        (pmod(col("o_orderkey") * 48271L, lit(1000L)) +
+          when(pmod(col("o_orderkey"), lit(7L)) === 0L, 300L).otherwise(0L)).as("score"),
+        (pmod(col("o_orderkey"), lit(7L)) === 0L).as("lbl"))
+      graft.operators.RankingEval.averagePrecision(d, "score", "lbl", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderpriority AS g,
+                     (o_orderkey * 48271) % 1000
+                       + CASE WHEN o_orderkey % 7 = 0 THEN 300 ELSE 0 END AS score,
+                     (o_orderkey % 7 = 0) AS lbl
+              FROM orders),
+            cen AS (
+              SELECT g, score, COUNT(*) AS n_at,
+                     SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS pos_at
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT g, n_at, pos_at,
+                     SUM(n_at) OVER (PARTITION BY g ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                     SUM(pos_at) OVER (PARTITION BY g ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+              FROM cen)
+            SELECT g, SUM(n_at)::BIGINT AS n, SUM(pos_at)::BIGINT AS n_pos,
+                   (SUM(pos_at * ((cum_pos * 1000000) // cum_n))
+                      // SUM(pos_at))::BIGINT AS ap_ppm
+            FROM w GROUP BY 1 ORDER BY 1"""))
+
+  /** Reliability bins + exact ECE ([[graft.ml.Calibrate.reliabilityBins]]
+    * — per-bucket accuracy vs claimed confidence, and the integer ECE
+    * identity Σ|pos_b·10⁶ − Σscore_b| div n where the n_b denominators
+    * cancel so the scalar has NO intermediate rounding). The score is a
+    * hash in ppm and the label an INDEPENDENT hash cut at that score —
+    * calibrated by construction, so deviations measure finite-sample
+    * noise and the bins read sane. */
+  val q353_calibration_ece = Q(
+    "q353_calibration_ece",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        pmod(col("o_orderkey") * 48271L, lit(1000000L)).as("score_ppm"),
+        (pmod(col("o_orderkey") * 16807L, lit(1000000L)) <
+          pmod(col("o_orderkey") * 48271L, lit(1000000L))).as("lbl"))
+      val bins = graft.ml.Calibrate.reliabilityBins(d, "score_ppm", "lbl",
+        bucketWidthPpm = 100000L, groupCols = Seq("g"))
+      val wg = Window.partitionBy(col("g"))
+      graft.operators.RankStats.withPpm(
+          bins.withColumn("__q_dev", sum(col("abs_dev")).over(wg))
+            .withColumn("__q_n", sum(col("n_b")).over(wg) * 1000000L),
+          col("__q_dev"), col("__q_n"), "ece_ppm")
+        .drop("__q_dev", "__q_n")
+        .orderBy("g", "bucket")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderpriority AS g,
+                     (o_orderkey * 48271) % 1000000 AS s,
+                     ((o_orderkey * 16807) % 1000000 < (o_orderkey * 48271) % 1000000) AS lbl
+              FROM orders),
+            b AS (
+              SELECT g, s // 100000 AS bucket, COUNT(*) AS n_b,
+                     SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS pos_b,
+                     SUM(s) AS sum_score
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT g, bucket, n_b, pos_b, sum_score,
+                     (pos_b * 1000000) // n_b AS acc_ppm,
+                     sum_score // n_b AS conf_ppm,
+                     ABS(pos_b * 1000000 - sum_score) AS abs_dev,
+                     SUM(ABS(pos_b * 1000000 - sum_score)) OVER (PARTITION BY g) AS gdev,
+                     SUM(n_b) OVER (PARTITION BY g) AS gn
+              FROM b)
+            SELECT g, bucket::BIGINT AS bucket, n_b::BIGINT AS n_b,
+                   pos_b::BIGINT AS pos_b, sum_score::BIGINT AS sum_score,
+                   acc_ppm::BIGINT AS acc_ppm, conf_ppm::BIGINT AS conf_ppm,
+                   abs_dev::BIGINT AS abs_dev,
+                   ((gdev * 1000000) // (gn * 1000000))::BIGINT AS ece_ppm
+            FROM w ORDER BY 1, 2"""))
+
+  /** Wald SPRT over batch censuses ([[graft.operators.Sequential.sprt]]
+    * — anytime-valid sequential decision with the log-likelihood ratio as
+    * an exact BIGINT sum of two micro-log₂ driver constants (the oracle
+    * carries the SAME inlined literals — the replay contract is the
+    * constants, not libm; the 1/16 fixed point was measurably too coarse
+    * here: it flipped the H₁ drift sign and 1-URGENT wrongly accepted).
+    * The 1-URGENT group carries a planted elevated success rate (extra
+    * 1/11 residue) so the catalog exercises reject, while baseline groups
+    * drift toward accept. p0 = 76923 ppm (1/13), p1 = 150000 ppm, Wald
+    * boundaries ±log₂(19)·10⁶ ≈ ±4.25e6 at α = β = 0.05. */
+  val q354_sprt = Q(
+    "q354_sprt",
+    (s, dir) => {
+      val cen = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        pmod(col("o_orderkey"), lit(50L)).as("t"),
+        (pmod(col("o_orderkey"), lit(13L)) === 0L ||
+          (col("o_orderpriority") === "1-URGENT" &&
+            pmod(col("o_orderkey"), lit(11L)) === 0L)).as("succ"))
+        .groupBy("g", "t")
+        .agg(sum(when(col("succ"), 1L).otherwise(0L)).as("s"),
+          count(lit(1)).cast("long").as("n"))
+      graft.operators.Sequential.sprt(cen, "t", "s", "n",
+          p0Ppm = 76923L, p1Ppm = 150000L,
+          upperMicro = 4247927L, lowerMicro = -4247927L,
+          groupCols = Seq("g"))
+        .orderBy("g")
+    },
+    Some {
+      val (lsW, lfW) = graft.operators.Sequential.llrWeightsMicroLog2(76923L, 150000L)
+      val ls = s"($lsW)"
+      val lf = s"($lfW)"
+      s"""WITH d AS (
+              SELECT o_orderpriority AS g, o_orderkey % 50 AS t,
+                     (o_orderkey % 13 = 0 OR (o_orderpriority = '1-URGENT'
+                        AND o_orderkey % 11 = 0)) AS succ
+              FROM orders),
+            cen AS (
+              SELECT g, t, SUM(CASE WHEN succ THEN 1 ELSE 0 END) AS s,
+                     COUNT(*) AS n
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT g, t, s, n,
+                     CAST(SUM(s * $ls + (n - s) * $lf) OVER (PARTITION BY g ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr
+              FROM cen),
+            x AS (
+              SELECT g, t, s, n, llr,
+                     CASE WHEN llr >= 4247927 THEN 'reject_h0'
+                          WHEN llr <= -4247927 THEN 'accept_h0' END AS cr
+              FROM w),
+            fst AS (
+              SELECT g, MIN(t) AS decided_t FROM x WHERE cr IS NOT NULL GROUP BY 1)
+            SELECT x.g, COUNT(*)::BIGINT AS n_steps, SUM(n)::BIGINT AS n_trials,
+                   SUM(s)::BIGINT AS n_successes,
+                   MAX(t)::BIGINT AS last_t,
+                   (MAX_BY(llr, t))::BIGINT AS final_llr,
+                   COALESCE(MAX(CASE WHEN t = fst.decided_t THEN cr END),
+                     'continue') AS decision,
+                   (MAX(fst.decided_t))::BIGINT AS decided_t,
+                   (MAX(CASE WHEN t = fst.decided_t THEN llr END))::BIGINT AS llr_at_decision
+            FROM x LEFT JOIN fst ON x.g = fst.g
+            GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Markov transition matrix + 2-step composition
+    * ([[graft.operators.EventAnalytics.markovTransitions]] /
+    * [[graft.operators.EventAnalytics.composeTransitions]] — per-user
+    * LEAD-window transition census row-normalized to exact ppm, then the
+    * defined truncating matrix square over the 25-row census). Ordering
+    * tie-broken by event_id (window iteration order is not a contract). */
+  val q355_markov = Q(
+    "q355_markov",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val t1 = graft.operators.EventAnalytics
+        .markovTransitions(ev, "user_id", "ts", "event_id", "event_type")
+      t1.join(graft.operators.EventAnalytics.composeTransitions(t1, t1),
+          Seq("from_state", "to_state"), "left")
+        .orderBy("from_state", "to_state")
+    },
+    Some("""WITH seq AS (
+              SELECT event_type AS f,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nx
+              FROM events),
+            cen AS (
+              SELECT f AS from_state, nx AS to_state, COUNT(*) AS n_trans
+              FROM seq WHERE nx IS NOT NULL GROUP BY 1, 2),
+            t1 AS (
+              SELECT from_state, to_state, n_trans,
+                     SUM(n_trans) OVER (PARTITION BY from_state) AS row_total,
+                     (n_trans * 1000000) //
+                       SUM(n_trans) OVER (PARTITION BY from_state) AS p_ppm
+              FROM cen),
+            t2 AS (
+              SELECT a.from_state, b.to_state,
+                     SUM(a.p_ppm * b.p_ppm) // 1000000 AS p2_ppm
+              FROM t1 a JOIN t1 b ON a.to_state = b.from_state
+              GROUP BY 1, 2)
+            SELECT t1.from_state, t1.to_state, t1.n_trans::BIGINT AS n_trans,
+                   t1.row_total::BIGINT AS row_total, t1.p_ppm::BIGINT AS p_ppm,
+                   t2.p2_ppm::BIGINT AS p2_ppm
+            FROM t1 LEFT JOIN t2 USING (from_state, to_state)
+            ORDER BY 1, 2"""))
+
+  /** Split-conformal prediction interval + coverage
+    * ([[graft.ml.Calibrate.splitConformal]] — the radius is a RANK PICK
+    * of the ⌈(n+1)(1−α)⌉-th calibration residual from the residual census
+    * (quantiles that must hash-match are picks, never interpolations);
+    * test-half coverage then verifies the ≥ 90% guarantee empirically).
+    * Residuals: order cents against a crude per-residue linear proxy —
+    * the point is the machinery, the guarantee holds for ANY model. */
+  val q356_conformal = Q(
+    "q356_conformal",
+    (s, dir) => {
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        abs(floor(col("o_totalprice") * 100).cast("long") -
+          (lit(15000000L) + pmod(col("o_orderkey"), lit(7L)) * 100000L)).as("resid"),
+        (pmod(col("o_orderkey"), lit(2L)) === 0L).as("is_cal"))
+      graft.ml.Calibrate.splitConformal(d, "resid", "is_cal",
+          alphaPpm = 100000L, groupCols = Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderpriority AS g,
+                     ABS(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                       - (15000000 + (o_orderkey % 7) * 100000)) AS resid,
+                     (o_orderkey % 2 = 0) AS is_cal
+              FROM orders),
+            sz AS (
+              SELECT g, COUNT(*) AS n_cal,
+                     ((COUNT(*) + 1) * 900000 + 999999) // 1000000 AS k_rank
+              FROM d WHERE is_cal GROUP BY 1),
+            cen AS (
+              SELECT g, resid, COUNT(*) AS c FROM d WHERE is_cal GROUP BY 1, 2),
+            cum AS (
+              SELECT g, resid,
+                     SUM(c) OVER (PARTITION BY g ORDER BY resid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+              FROM cen),
+            qh AS (
+              SELECT cum.g, MIN(resid) AS qhat
+              FROM cum JOIN sz ON cum.g = sz.g AND cum.cl >= sz.k_rank
+              GROUP BY 1),
+            tst AS (
+              SELECT g, COUNT(*) AS n_test,
+                     SUM(CASE WHEN resid <= (SELECT qhat FROM qh WHERE qh.g = d.g)
+                         THEN 1 ELSE 0 END) AS cov
+              FROM d WHERE NOT is_cal GROUP BY 1)
+            SELECT sz.g, n_cal::BIGINT AS n_cal, n_test::BIGINT AS n_test,
+                   k_rank::BIGINT AS k_rank, qhat::BIGINT AS qhat,
+                   ((cov * 1000000) // n_test)::BIGINT AS coverage_ppm
+            FROM sz JOIN qh ON sz.g = qh.g JOIN tst ON sz.g = tst.g
+            ORDER BY 1"""))
+
+  /** Cumulative gains / lift table
+    * ([[graft.operators.RankingEval.cumulativeGains]] — the decile chart:
+    * per descending score bucket, the exact ppm share of positives
+    * captured and the lift over random via a DECIMAL(38,0) cross-product;
+    * census-sized). Planted +200 score shift on 1/5-residue positives
+    * over lineitem, 100-wide buckets per returnflag. */
+  val q357_gains = Q(
+    "q357_gains",
+    (s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        (pmod(col("l_orderkey") * 48271L, lit(1000L)) +
+          when(pmod(col("l_orderkey"), lit(5L)) === 0L, 200L).otherwise(0L)).as("score"),
+        (pmod(col("l_orderkey"), lit(5L)) === 0L).as("lbl"))
+      graft.operators.RankingEval.cumulativeGains(d, "score", "lbl",
+          bucketWidth = 100L, groupCols = Seq("g"))
+        .orderBy("g", "bucket")
+    },
+    Some("""WITH d AS (
+              SELECT l_returnflag AS g,
+                     ((l_orderkey * 48271) % 1000
+                       + CASE WHEN l_orderkey % 5 = 0 THEN 200 ELSE 0 END) // 100 AS bucket,
+                     (l_orderkey % 5 = 0) AS lbl
+              FROM lineitem),
+            cen AS (
+              SELECT g, bucket, COUNT(*) AS n_at,
+                     SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS pos_at
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT g, bucket, n_at, pos_at,
+                     SUM(n_at) OVER (PARTITION BY g ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                     SUM(pos_at) OVER (PARTITION BY g ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+                     SUM(n_at) OVER (PARTITION BY g) AS tn,
+                     SUM(pos_at) OVER (PARTITION BY g) AS tp
+              FROM cen)
+            SELECT g, bucket::BIGINT AS bucket, n_at::BIGINT AS n_at,
+                   pos_at::BIGINT AS pos_at, cum_n::BIGINT AS cum_n,
+                   cum_pos::BIGINT AS cum_pos,
+                   CASE WHEN tp > 0 THEN ((cum_pos * 1000000) // tp)::BIGINT END AS gain_ppm,
+                   CASE WHEN tp > 0 AND cum_n > 0
+                        THEN ((cum_pos::HUGEINT * tn * 1000000)
+                              // (cum_n::HUGEINT * tp))::BIGINT END AS lift_ppm
+            FROM w ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q345_ranking_eval, q346_retention, q347_interval_islands,
-      q348_survival, q349_boruvka_msf, q350_join_size, q351_ecdf)
+      q348_survival, q349_boruvka_msf, q350_join_size, q351_ecdf,
+      q352_avg_precision, q353_calibration_ece, q354_sprt, q355_markov,
+      q356_conformal, q357_gains)
 }

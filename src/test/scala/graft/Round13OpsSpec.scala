@@ -184,6 +184,124 @@ class Round13OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RankStats.ecdf(df, "v", Seq.empty) }
   }
 
+  // ---------------------------------------------------------- pr curve / ap
+
+  test("prCurve + averagePrecision: hand case with score ties") {
+    // desc sweep: s=3 (1,1P) prec 1e6; s=2 (+2,1P) cum 3/2 prec 666666;
+    // s=1 (+1,0P) cum 4/2 prec 500000; AP = (1e6 + 666666) div 2
+    val df = viaParquet(Seq(
+      ("g", 3L, true), ("g", 2L, false), ("g", 2L, true), ("g", 1L, false))
+      .toDF("g", "score", "lbl"))
+    val curve = graft.operators.RankingEval.prCurve(df, "score", "lbl", Seq("g"))
+      .orderBy(col("score").desc).collect()
+    assert(curve.map(r => (r.getAs[Long]("score"), r.getAs[Long]("cum_n"),
+      r.getAs[Long]("cum_pos"), r.getAs[Long]("prec_ppm"),
+      r.getAs[Long]("recall_ppm"))).toSeq ==
+      Seq((3L, 1L, 1L, 1000000L, 500000L), (2L, 3L, 2L, 666666L, 1000000L),
+        (1L, 4L, 2L, 500000L, 1000000L)))
+    val ap = graft.operators.RankingEval.averagePrecision(df, "score", "lbl", Seq("g"))
+      .collect()(0)
+    assert(ap.getAs[Long]("ap_ppm") == (1000000L + 666666L) / 2L)
+  }
+
+  test("cumulativeGains: lift of the top bucket, exact cross-product") {
+    // buckets (w=10): b2 = {20P,21P}, b1 = {10P,11F}, b0 = {0F,1F}
+    val df = viaParquet(Seq(20L -> true, 21L -> true, 10L -> true,
+      11L -> false, 0L -> false, 1L -> false)
+      .map { case (s, l) => ("g", s, l) }.toDF("g", "score", "lbl"))
+    val got = graft.operators.RankingEval
+      .cumulativeGains(df, "score", "lbl", 10L, Seq("g"))
+      .orderBy(col("bucket").desc).collect()
+    assert(got.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cum_n"),
+      r.getAs[Long]("cum_pos"), r.getAs[Long]("gain_ppm"),
+      r.getAs[Long]("lift_ppm"))).toSeq == Seq(
+      (2L, 2L, 2L, 666666L, 2000000L), // top third captures 2/3 pos, 2x lift
+      (1L, 4L, 3L, 1000000L, 1500000L),
+      (0L, 6L, 3L, 1000000L, 1000000L)))
+  }
+
+  // ----------------------------------------------------------- calibration
+
+  test("reliabilityBins: exact ECE identity, calibrated bucket scores 0") {
+    // bucket 0 (w=5e5): scores 200000/400000, 1 pos of 2 -> dev |1e6-6e5|=4e5
+    // bucket 1: score 500000 twice, 1 pos -> dev |1e6-1e6| = 0
+    val df = viaParquet(Seq(
+      ("g", 200000L, false), ("g", 400000L, true),
+      ("g", 500000L, true), ("g", 500000L, false)).toDF("g", "s", "l"))
+    val bins = graft.ml.Calibrate.reliabilityBins(df, "s", "l", 500000L, Seq("g"))
+      .orderBy("bucket").collect()
+    assert(bins.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("pos_b"), r.getAs[Long]("abs_dev"))).toSeq ==
+      Seq((0L, 2L, 1L, 400000L), (1L, 2L, 1L, 0L)))
+    // ECE with cancelled denominators: 400000 div 4 = 100000
+    assert(bins.map(_.getAs[Long]("abs_dev")).sum / 4 == 100000L)
+  }
+
+  test("splitConformal: rank pick, coverage, tiny-calibration NULL refusal") {
+    val cal = (1L to 10L).map(r => ("g", r, true))
+    val tst = Seq(("g", 5L, false), ("g", 11L, false))
+    val small = Seq(("h", 1L, true), ("h", 2L, true), ("h", 3L, true),
+      ("h", 1L, false))
+    val df = viaParquet((cal ++ tst ++ small).toDF("g", "resid", "is_cal"))
+    val got = graft.ml.Calibrate.splitConformal(df, "resid", "is_cal",
+      alphaPpm = 100000L, groupCols = Seq("g")).orderBy("g").collect()
+    // g: k = ceil(11 * .9) = 10 -> qhat = 10; coverage 1/2
+    assert((got(0).getAs[Long]("n_cal"), got(0).getAs[Long]("k_rank"),
+      got(0).getAs[Long]("qhat"), got(0).getAs[Long]("coverage_ppm")) ==
+      ((10L, 10L, 10L, 500000L)))
+    // h: k = ceil(4 * .9) = 4 > n_cal = 3 -> no valid radius
+    assert(got(1).isNullAt(got(1).fieldIndex("qhat")))
+  }
+
+  // ------------------------------------------------------------------ sprt
+
+  test("sprt: crossing step, decision at FIRST boundary hit, refusals") {
+    val (ls, lf) = graft.operators.Sequential.llrWeightsMicroLog2(100000L, 500000L)
+    assert(ls > 0 && lf < 0)
+    // batches of 10 trials: 9 successes each -> strong H1 drift
+    val perBatch = 9L * ls + 1L * lf
+    val cross = (4200000L + perBatch - 1) / perBatch // first t with cum >= 4.2e6
+    val df = viaParquet((1L to 10L).map(t => ("g", t, 9L, 10L))
+      .toDF("g", "t", "s", "n"))
+    val r = graft.operators.Sequential.sprt(df, "t", "s", "n",
+      100000L, 500000L, 4200000L, -4200000L, Seq("g")).collect()(0)
+    assert(r.getAs[String]("decision") == "reject_h0")
+    assert(r.getAs[Long]("decided_t") == cross)
+    assert(r.getAs[Long]("llr_at_decision") == cross * perBatch)
+    assert(r.getAs[Long]("final_llr") == 10L * perBatch)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sequential.sprt(df, "t", "s", "n",
+        100000L, 500000L, -1L, -2L, Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sequential.sprt(df, "t", "s", "n",
+        100000L, 500000L, 1L, -1L, Seq.empty)
+    }
+  }
+
+  // ---------------------------------------------------------------- markov
+
+  test("markovTransitions + composeTransitions: hand chain, tie determinism") {
+    val df = viaParquet(Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 3L, 30L, "A"), (1L, 4L, 40L, "B"),
+      (2L, 5L, 10L, "B"), (2L, 6L, 10L, "B")) // tie on ts -> event_id orders
+      .toDF("user_id", "event_id", "ts", "state"))
+    val t1 = graft.operators.EventAnalytics
+      .markovTransitions(df, "user_id", "ts", "event_id", "state")
+    val got = t1.orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_trans"),
+        r.getAs[Long]("p_ppm")))
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 1000000L), ("B", "A", 1L, 500000L), ("B", "B", 1L, 500000L)))
+    // T2: A->B via B: p(A,B)*p(B,B) div 1e6 = 500000; A->A via B: 500000
+    val t2 = graft.operators.EventAnalytics.composeTransitions(t1, t1)
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("p2_ppm")))
+    assert(t2.toSeq == Seq(
+      ("A", "A", 500000L), ("A", "B", 500000L),
+      ("B", "A", 250000L), ("B", "B", 750000L)))
+  }
+
   // ------------------------------------------------------- CheckpointFresh
 
   test("CheckpointFresh: content/schema preserved, stats do NOT compound across rounds") {
