@@ -1080,4 +1080,97 @@ object Graph {
     forest.groupBy(col("a"), col("b"), col("w"))
       .agg(min(col("round")).as("round"))
   }
+
+  /** Seed-sampled betweenness centrality — Brandes (JMS 2001) restricted
+    * to a seed set and a hop horizon, the standard approximation at scale
+    * (exact betweenness is all-pairs — quadratic in nodes — and the
+    * sampled estimator is unbiased up to the horizon cut, which is BY
+    * CONTRACT like [[multiSourceBfs]]: contributions through paths longer
+    * than the horizon are absent, not approximated).
+    *
+    * Phase 1 (forward): level-synchronous BFS keyed (seed, node) carrying
+    * σ = the exact BIGINT count of shortest paths from the seed (sums of
+    * predecessor σ — ANSI turns genuine overflow into a loud error).
+    * Phase 2 (backward): dependencies in a DEFINED truncating micro
+    * variant of Brandes' accumulation,
+    *   δ(v) = Σ_{w ∈ succ(v)} (σ_v · (10⁶ + δ(w))) div σ_w
+    * — per-edge truncation, then an order-independent exact-integer sum,
+    * so the result is deterministic under any partitioning and
+    * engine-replayable (true rational δ would need unbounded fractions).
+    * bc_upm(v) = Σ_seeds δ(seed, v) over non-seed rows.
+    *
+    * Scale shape: per level one frontier×edges join + one (seed, node)
+    * aggregation forward, one successor join + aggregation backward —
+    * 2·horizon bounded rounds, frontiers never exceed touched nodes ×
+    * seeds, every level checkpointed via CheckpointFresh. Seeds ride a
+    * broadcast-sized local list by the same contract as multiSourceBfs.
+    * Returns (node, bc_upm, n_seeds) for every non-seed node reached by
+    * at least one seed (bc 0 rows included — they anchor the census). */
+  def betweennessApprox(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      horizon: Int): DataFrame = {
+    require(seeds.nonEmpty, "betweennessApprox: at least one seed")
+    require(horizon >= 1 && horizon <= 32,
+      s"betweennessApprox: horizon $horizon out of [1, 32]")
+    val session = edges.sparkSession
+    import session.implicits._
+    val cf = org.apache.spark.sql.graft.CheckpointFresh
+    val undirected = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = undirected.select(col("u").as("a"), col("v").as("b"))
+      .union(undirected.select(col("v").as("a"), col("u").as("b")))
+      .transform(cf.apply) // joined every round, both phases
+    val lvl0 = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .transform(cf.apply)
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var settled = lvl0.select(col("seed"), col("node"))
+    var frontier = lvl0
+    var d = 0
+    while (d < horizon && !frontier.isEmpty) {
+      val next = frontier
+        .join(sym, frontier("node") === sym("a"))
+        .select(col("seed"), col("b").as("node"), col("sigma"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .transform(cf.apply)
+      if (!next.isEmpty) {
+        levels += next
+        settled = settled.unionByName(next.select(col("seed"), col("node")))
+          .transform(cf.apply)
+      }
+      frontier = next
+      d += 1
+    }
+    // backward accumulation, deepest level first (δ there = 0)
+    var delta = levels.last.withColumn("delta", lit(0L))
+    var acc = delta
+    for (k <- levels.length - 2 to 0 by -1) {
+      val cur = levels(k)
+      val dw = delta.select(col("seed").as("__bw_s"), col("node").as("__bw_w"),
+        col("sigma").as("__bw_sw"), col("delta").as("__bw_dw"))
+      val terms = cur
+        .join(sym, cur("node") === sym("a"))
+        .join(dw, col("b") === col("__bw_w") && cur("seed") === col("__bw_s"))
+        .select(col("seed"), col("node"),
+          expr("CAST(CAST(sigma AS DECIMAL(38,0)) * (1000000 + __bw_dw) div __bw_sw AS BIGINT)")
+            .as("__bw_term"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("__bw_term")).as("__bw_d"))
+      delta = cur
+        .join(terms, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("__bw_d"), lit(0L)).as("delta"))
+        .transform(cf.apply)
+      acc = acc.unionByName(delta)
+    }
+    acc
+      .filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_upm"), count(lit(1)).as("n_seeds"))
+  }
 }

@@ -622,9 +622,135 @@ private[graft] object Catalog13 {
                               // (cum_n::HUGEINT * tp))::BIGINT END AS lift_ppm
             FROM w ORDER BY 1, 2"""))
 
+  /** Seed-sampled betweenness centrality
+    * ([[graft.operators.Graph.betweennessApprox]] — Brandes restricted to
+    * 2 seeds and horizon 6 over the co-purchase graph: forward BFS with
+    * exact BIGINT path counts, backward dependency accumulation in the
+    * defined truncating micro variant δ(v) = Σ σ_v·(10⁶+δ_w) div σ_w;
+    * the oracle replays BOTH phases as a generated materialized
+    * level-chain — the LPA-chain convention). Top 20 by (bc, node). */
+  val q358_betweenness = Q(
+    "q358_betweenness",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = os.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = os.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+        .localCheckpoint(true)
+      val seeds = edges.select(col("src").as("n")).union(edges.select(col("dst").as("n")))
+        .distinct().orderBy("n").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.Graph.betweennessApprox(edges, seeds, horizon = 6)
+        .orderBy(col("bc_upm").desc, col("node")).limit(20)
+    },
+    Some {
+      val h = 6
+      val fwd = (0 until h).map { k =>
+        s"""lev${k + 1} AS MATERIALIZED (
+              SELECT l.seed, s.b AS node, CAST(SUM(l.sigma) AS BIGINT) AS sigma
+              FROM lev$k l JOIN sym s ON s.a = l.node
+              WHERE NOT EXISTS (SELECT 1 FROM all$k x
+                                WHERE x.seed = l.seed AND x.node = s.b)
+              GROUP BY 1, 2),
+            all${k + 1} AS MATERIALIZED (
+              SELECT * FROM all$k UNION ALL SELECT seed, node FROM lev${k + 1})"""
+      }.mkString(",\n")
+      val bwd = (h - 1 to 0 by -1).map { k =>
+        s"""bd$k AS MATERIALIZED (
+              SELECT seed, node, sigma, COALESCE(CAST(SUM(term) AS BIGINT), 0) AS delta
+              FROM (
+                SELECT l.seed, l.node, l.sigma,
+                       (l.sigma::HUGEINT * (1000000 + w.delta)) // w.sigma AS term
+                FROM lev$k l
+                LEFT JOIN sym s ON s.a = l.node
+                LEFT JOIN bd${k + 1} w ON w.seed = l.seed AND w.node = s.b
+              ) t GROUP BY 1, 2, 3)"""
+      }.mkString(",\n")
+      s"""WITH os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+                   FROM os a JOIN os b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+            e AS (SELECT pa::BIGINT AS u, pb::BIGINT AS v FROM e0 WHERE w >= 2),
+            sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+            seeds AS (SELECT DISTINCT a AS seed FROM sym ORDER BY 1 LIMIT 2),
+            lev0 AS MATERIALIZED (SELECT seed, seed AS node, 1::BIGINT AS sigma FROM seeds),
+            all0 AS MATERIALIZED (SELECT seed, node FROM lev0),
+            $fwd,
+            bd$h AS MATERIALIZED (SELECT seed, node, sigma, 0::BIGINT AS delta FROM lev$h),
+            $bwd,
+            allbd AS (${(0 to h).map(k => s"SELECT * FROM bd$k").mkString(" UNION ALL ")})
+            SELECT node::BIGINT AS node, SUM(delta)::BIGINT AS bc_upm,
+                   COUNT(*)::BIGINT AS n_seeds
+            FROM allbd WHERE node <> seed
+            GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20"""
+    })
+
+  /** Diameter lower bound by double sweep (the classic two-BFS
+    * estimator: sweep 1 from the minimum node finds a peripheral node —
+    * max distance, min-id tie-break — sweep 2 from there measures the
+    * bound; pure COMPOSITION over [[graft.operators.Graph.multiSourceBfs]],
+    * zero new operator code, the TextRank convention). */
+  val q359_double_sweep = Q(
+    "q359_double_sweep",
+    (s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = os.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = os.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+        .localCheckpoint(true)
+      val start = edges.select(col("src").as("n")).union(edges.select(col("dst").as("n")))
+        .distinct().orderBy("n").limit(1).collect()(0).getLong(0)
+      val sweep1 = graft.operators.Graph.multiSourceBfs(edges, Seq(start), horizon = 20)
+      val far = sweep1.orderBy(col("dist").desc, col("node")).limit(1)
+        .collect()(0).getAs[Long]("node")
+      val sweep2 = graft.operators.Graph.multiSourceBfs(edges, Seq(far), horizon = 20)
+      sweep2.agg(
+        min(col("seed")).cast("long").as("peripheral"),
+        lit(start).cast("long").as("start"),
+        max(col("dist")).cast("long").as("diameter_lb"),
+        count(lit(1)).cast("long").as("n_reached"))
+    },
+    Some("""WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+                   FROM os a JOIN os b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+            e AS (SELECT pa::BIGINT AS u, pb::BIGINT AS v FROM e0 WHERE w >= 2),
+            sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+            s1 AS (SELECT MIN(a) AS seed FROM sym),
+            bfs1(node, d) AS (
+              SELECT seed, 0 FROM s1
+              UNION
+              SELECT s.b, b.d + 1 FROM bfs1 b JOIN sym s ON s.a = b.node
+              WHERE b.d < 20),
+            md1 AS (SELECT node, MIN(d) AS dist FROM bfs1 GROUP BY 1),
+            far AS (SELECT node FROM md1 ORDER BY dist DESC, node LIMIT 1),
+            bfs2(node, d) AS (
+              SELECT node, 0 FROM far
+              UNION
+              SELECT s.b, b.d + 1 FROM bfs2 b JOIN sym s ON s.a = b.node
+              WHERE b.d < 20),
+            md2 AS (SELECT node, MIN(d) AS dist FROM bfs2 GROUP BY 1)
+            SELECT (SELECT node FROM far)::BIGINT AS peripheral,
+                   (SELECT seed FROM s1)::BIGINT AS start,
+                   MAX(dist)::BIGINT AS diameter_lb,
+                   COUNT(*)::BIGINT AS n_reached
+            FROM md2"""))
+
   val all: Seq[Q] =
     Seq(q345_ranking_eval, q346_retention, q347_interval_islands,
       q348_survival, q349_boruvka_msf, q350_join_size, q351_ecdf,
       q352_avg_precision, q353_calibration_ece, q354_sprt, q355_markov,
-      q356_conformal, q357_gains)
+      q356_conformal, q357_gains, q358_betweenness, q359_double_sweep)
 }

@@ -99,7 +99,9 @@ object ScaleProbe {
     "q349_boruvka_msf" -> 1.5, // O(log n) rounds × linear edge joins
     "q350_join_size" -> 1.3, // two key censuses + census-sized join
     "q351_ecdf" -> 1.3, // fixed value-grid census; data pass linear
-    "probe_retention_orders" -> 1.3 // (user, period) census + size join
+    "probe_retention_orders" -> 1.3, // (user, period) census + size join
+    "q358_betweenness" -> 1.4, // 2·horizon bounded rounds, linear frontier joins
+    "q359_double_sweep" -> 1.4 // two horizon-bounded BFS sweeps
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately

@@ -154,6 +154,70 @@ class Round13OpsSpec extends SparkSpec {
     assert(got == want) // unique MSF under the tie-broken order
   }
 
+  // ------------------------------------------------------------ betweenness
+
+  /** Driver replay of the defined truncating Brandes variant. */
+  private def brandesMicro(
+      edges: Seq[(Long, Long)], seeds: Seq[Long], horizon: Int): Map[Long, (Long, Long)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).filter(e => e._1 != e._2)
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (s <- seeds) {
+      var levels = Vector(Map(s -> 1L)) // node -> sigma per level
+      var seen = Set(s)
+      var done = false
+      while (!done && levels.length <= horizon) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        for ((v, sv) <- levels.last; w <- adj.getOrElse(v, Set.empty) if !seen(w))
+          nxt(w) = nxt.getOrElse(w, 0L) + sv
+        if (nxt.isEmpty) done = true
+        else { levels :+= nxt.toMap; seen ++= nxt.keySet }
+      }
+      val deltas = new Array[Map[Long, Long]](levels.length)
+      deltas(levels.length - 1) = levels.last.keys.map(_ -> 0L).toMap
+      for (k <- levels.length - 2 to 0 by -1) {
+        val down = levels(k + 1)
+        val dNext = deltas(k + 1)
+        deltas(k) = levels(k).map { case (v, sv) =>
+          v -> adj.getOrElse(v, Set.empty).toSeq.sorted.collect {
+            case w if down.contains(w) => sv * (1000000L + dNext(w)) / down(w)
+          }.sum
+        }
+      }
+      for (k <- levels.indices; (v, _) <- levels(k) if v != s) {
+        val (b, n) = acc.getOrElse(v, (0L, 0L))
+        acc(v) = (b + deltas(k).getOrElse(v, 0L), n + 1)
+      }
+    }
+    acc.toMap
+  }
+
+  test("betweennessApprox: path and diamond hand cases") {
+    val path = viaParquet(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val gotP = Graph.betweennessApprox(path, Seq(1L, 3L), 4)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("bc_upm"),
+        r.getAs[Long]("n_seeds")))).toMap
+    assert(gotP == Map(1L -> ((0L, 1L)), 2L -> ((2000000L, 2L)), 3L -> ((0L, 1L))))
+    // diamond: two shortest paths to 4 split the dependency 500000/500000
+    val dia = viaParquet(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst"))
+    val gotD = Graph.betweennessApprox(dia, Seq(1L), 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bc_upm")).toMap
+    assert(gotD == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+  }
+
+  test("betweennessApprox: fuzz vs a driver Brandes with identical truncation") {
+    val rnd = new scala.util.Random(17)
+    val edges = ((0L until 30L).map(i => (i, (i + 1) % 30)) ++
+      (1 to 25).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 7L, 19L)
+    val got = Graph.betweennessApprox(
+        viaParquet(edges.toDF("src", "dst")), seeds, 10)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("bc_upm"),
+        r.getAs[Long]("n_seeds")))).toMap
+    assert(got == brandesMicro(edges, seeds, 10))
+  }
+
   // -------------------------------------------------------------- join size
 
   test("joinSizeEstimate: exact against the real join, decimal accumulation") {
