@@ -105,4 +105,42 @@ object Sequential {
         col("__sq_first.t").as("decided_t") :+
         col("__sq_first.l").as("llr_at_decision")): _*)
   }
+
+  /** Benjamini–Hochberg FDR control — the multiple-testing layer above
+    * every per-hypothesis test in the library (χ², rank tests, SPRT,
+    * bootstrap): given m hypotheses per group with p-values in ppm,
+    * reject the k* smallest where k* = max{k : p₍ₖ₎·m ≤ k·α} (step-up),
+    * guaranteeing E[false discoveries / discoveries] ≤ α for independent
+    * or PRDS statistics. The comparison is the exact integer
+    * cross-multiplication p·m·1 ≤ k·α (no division anywhere), ranks come
+    * from one per-group window over the HYPOTHESIS table (hypothesis
+    * count is census-scale by definition — thousands of metrics, never
+    * rows), and k* is a per-group max — one more census window. Ties on p
+    * break by `idCol` so the rank (and thus the cut) is total-order
+    * deterministic. Returns the input plus (rank, k_star, rejected). */
+  def bhFdr(
+      df: DataFrame,
+      pPpmCol: String,
+      idCol: String,
+      alphaPpm: Long,
+      groupCols: Seq[String]): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"bhFdr: alphaPpm in (0,1e6), got $alphaPpm")
+    require(groupCols.nonEmpty,
+      "bhFdr: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val wTot = Window.partitionBy(gs: _*)
+    df
+      .withColumn("__bh_rank", row_number().over(wTot.orderBy(col(pPpmCol), col(idCol))))
+      .withColumn("__bh_m", count(lit(1)).over(wTot))
+      .withColumn("__bh_ok",
+        when(col(pPpmCol).cast("long") * col("__bh_m") <=
+          col("__bh_rank").cast("long") * alphaPpm, col("__bh_rank").cast("long")))
+      .withColumn("k_star", coalesce(max(col("__bh_ok")).over(wTot), lit(0L)))
+      .withColumn("rejected", col("__bh_rank") <= col("k_star"))
+      .withColumnRenamed("__bh_rank", "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .drop("__bh_m", "__bh_ok")
+  }
 }

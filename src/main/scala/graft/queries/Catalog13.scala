@@ -748,9 +748,134 @@ private[graft] object Catalog13 {
                    COUNT(*)::BIGINT AS n_reached
             FROM md2"""))
 
+  /** Benjamini–Hochberg FDR control ([[graft.operators.Sequential.bhFdr]]
+    * — the step-up cut k* = max{k : p₍ₖ₎·m ≤ k·α} decided by exact
+    * integer cross-multiplication over the per-group hypothesis table;
+    * ties on p break by id so the cut is total-order deterministic).
+    * 40 hypotheses per priority group, each cell's p the MAX over its
+    * ~75 member rows (the max keeps null cells near 10⁶ — a min would
+    * drive every cell's p to ~1/cell-size and reject everything); the
+    * planted 1/8 slice divides by 500, landing under the rank-1 BH
+    * threshold α/m for every draw, so rejected = exactly the planted
+    * hypotheses; α = 10%. */
+  val q360_bh_fdr = Q(
+    "q360_bh_fdr",
+    (s, dir) => {
+      val hyp = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        pmod(col("o_orderkey"), lit(40L)).as("h"),
+        expr("CASE WHEN (o_orderkey % 40) % 8 = 0" +
+          " THEN pmod(o_orderkey * 48271, 1000000) div 500" +
+          " ELSE pmod(o_orderkey * 48271, 1000000) END").as("p0"))
+        .groupBy("g", "h").agg(max(col("p0")).cast("long").as("p_ppm"))
+      graft.operators.Sequential.bhFdr(hyp, "p_ppm", "h", alphaPpm = 100000L, Seq("g"))
+        .orderBy("g", "rank")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderpriority AS g, o_orderkey % 40 AS h,
+                     CASE WHEN (o_orderkey % 40) % 8 = 0
+                          THEN ((o_orderkey * 48271) % 1000000) // 500
+                          ELSE (o_orderkey * 48271) % 1000000 END AS p0
+              FROM orders),
+            hyp AS (SELECT g, h, MAX(p0) AS p_ppm FROM d GROUP BY 1, 2),
+            r AS (
+              SELECT g, h, p_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY p_ppm, h) AS rank,
+                     COUNT(*) OVER (PARTITION BY g) AS m
+              FROM hyp),
+            ks AS (
+              SELECT g, COALESCE(MAX(CASE WHEN p_ppm * m <= rank * 100000
+                                          THEN rank END), 0) AS k_star
+              FROM r GROUP BY 1)
+            SELECT r.g, r.h::BIGINT AS h, r.p_ppm::BIGINT AS p_ppm,
+                   r.rank::BIGINT AS rank, ks.k_star::BIGINT AS k_star,
+                   (r.rank <= ks.k_star) AS rejected
+            FROM r JOIN ks ON r.g = ks.g
+            ORDER BY 1, 4"""))
+
+  /** Streaming CUSUM monitor ([[graft.streaming.StreamOps.cusumMonitor]]
+    * — per-key online change-point detection with TWO-integer state via
+    * the prefix-min identity S = P − min prefix P; emits alarm raise /
+    * clear transitions only; q316 monotone-chunk drain, q333 harness).
+    * Event value cents per type, drift 5500, threshold 100000; oracle =
+    * the batch window replay of the same identity. */
+  val q361_cusum_stream = Q(
+    "q361_cusum_stream",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("day", expr("CAST(ts AS LONG) div 86400"))
+      val dayRow = ev.agg(min(col("day")), max(col("day"))).head()
+      val minDay = dayRow.getLong(0)
+      val maxChunk = ((dayRow.getLong(1) - minDay) / 10L).toInt
+      val inDir = java.nio.file.Files.createTempDirectory("graft-q361-in")
+      (0 to maxChunk).foreach { ch =>
+        val stage = java.nio.file.Files.createTempDirectory(s"graft-q361-c$ch").toString
+        ev.filter(expr(s"(day - $minDay) div 10") === ch)
+          .drop("day").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val target = inDir.resolve(f"chunk$ch%03d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + ch * 60000L))
+      }
+      val schema = s.read.parquet(inDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .select(col("event_type"), unix_micros(col("ts")).as("tms"),
+          col("event_id"), col("cents"))
+      val mon = graft.streaming.StreamOps.cusumMonitor(
+        stream, "event_type", "tms", "event_id", "cents",
+        drift = 5500L, threshold = 100000L)
+      val qname = s"graft_q361_${streamRuns.incrementAndGet()}"
+      val q = scopedStreamStart(s)(
+        mon.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy(col("event_type"), col("direction"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("s")).cast("long").as("min_s"),
+          max(col("s")).cast("long").as("max_s"),
+          sum(col("event_id")).cast("long").as("checksum"))
+        .orderBy("event_type", "direction")
+    },
+    Some("""WITH e AS (
+              SELECT event_type, ts, event_id,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS c
+              FROM events),
+            p AS (
+              SELECT event_type, ts, event_id,
+                     SUM(c - 5500) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+              FROM e),
+            sv AS (
+              SELECT event_type, ts, event_id,
+                     p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+              FROM p),
+            a AS (
+              SELECT event_type, event_id, s, s > 100000 AS al,
+                     LAG(s > 100000, 1, FALSE) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS pr
+              FROM sv),
+            tr AS (
+              SELECT event_type, event_id, s,
+                     CASE WHEN al THEN 'raise' ELSE 'clear' END AS direction
+              FROM a WHERE al <> pr)
+            SELECT event_type, direction, COUNT(*)::BIGINT AS n,
+                   MIN(s)::BIGINT AS min_s, MAX(s)::BIGINT AS max_s,
+                   SUM(event_id)::BIGINT AS checksum
+            FROM tr GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q345_ranking_eval, q346_retention, q347_interval_islands,
       q348_survival, q349_boruvka_msf, q350_join_size, q351_ecdf,
       q352_avg_precision, q353_calibration_ece, q354_sprt, q355_markov,
-      q356_conformal, q357_gains, q358_betweenness, q359_double_sweep)
+      q356_conformal, q357_gains, q358_betweenness, q359_double_sweep,
+      q360_bh_fdr, q361_cusum_stream)
 }

@@ -326,4 +326,50 @@ object StreamOps {
       }
       .toDF(keyCol, tsCol, tieCol, "direction")
   }
+
+  /** Streaming CUSUM monitor — per-key change-point detection ON the
+    * stream, the online counterpart of the retrospective q198 CUSUM: the
+    * classic recurrence S_t = max(0, S_{t−1} + x_t − k) is carried via
+    * the prefix-min identity S_t = P_t − min_{0≤j≤t} P_j (P = running sum
+    * of x − k, P₀ = 0), so per-key state is exactly TWO integers (P and
+    * its running min) plus the alarm flag — RocksDB-ready constant state,
+    * every value exact BIGINT. Emits only alarm TRANSITIONS (raise when
+    * S crosses above `threshold`, clear when it falls back), the
+    * flatMapGroupsWithState 0..n-outputs shape of [[flagTransitions]];
+    * within-batch rows sort by (ts, tie) — GroupState iterators are
+    * unordered — and across batches the q316 monotone-chunk drain orders
+    * event time. Returns (key, ts, tie, s, direction ∈ raise|clear). */
+  def cusumMonitor(
+      events: DataFrame,
+      keyCol: String, tsCol: String, tieCol: String, valueCol: String,
+      drift: Long, threshold: Long): DataFrame = {
+    require(threshold > 0, s"cusumMonitor: threshold must be > 0, got $threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        col(tieCol).cast("long"), col(valueCol).cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean), (String, Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[(Long, Long, Boolean)]) =>
+          var (p, m, alarmed) = state.getOption.getOrElse((0L, 0L, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, tie, x) =>
+            p += x - drift
+            if (p < m) m = p
+            val s = p - m
+            val al = s > threshold
+            if (al != alarmed) {
+              out += ((key, ts, tie, s, if (al) "raise" else "clear"))
+              alarmed = al
+            }
+          }
+          state.update((p, m, alarmed))
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, tieCol, "s", "direction")
+  }
 }

@@ -343,6 +343,30 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- bh-fdr
+
+  test("bhFdr: step-up rescue — a passing larger rank rejects failing smaller ones") {
+    // m=4, alpha=1e5: thresholds k*25000. p=[20000, 60000, 70000, 900000]:
+    // k1 pass, k2 FAIL, k3 pass -> k*=3 rejects ranks 1..3 incl. rank 2
+    val df = viaParquet(Seq(
+      ("g", 1L, 20000L), ("g", 2L, 60000L), ("g", 3L, 70000L), ("g", 4L, 900000L))
+      .toDF("g", "h", "p"))
+    val got = graft.operators.Sequential.bhFdr(df, "p", "h", 100000L, Seq("g"))
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("rank"),
+        r.getAs[Long]("k_star"), r.getAs[Boolean]("rejected")))
+    assert(got.toSeq == Seq((1L, 1L, 3L, true), (2L, 2L, 3L, true),
+      (3L, 3L, 3L, true), (4L, 4L, 3L, false)))
+    // all-large p -> k* = 0, nothing rejected
+    val none = graft.operators.Sequential.bhFdr(
+      viaParquet(Seq(("g", 1L, 999999L)).toDF("g", "h", "p")),
+      "p", "h", 100000L, Seq("g")).collect()(0)
+    assert(none.getAs[Long]("k_star") == 0L && !none.getAs[Boolean]("rejected"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sequential.bhFdr(df, "p", "h", 100000L, Seq.empty)
+    }
+  }
+
   // ---------------------------------------------------------------- markov
 
   test("markovTransitions + composeTransitions: hand chain, tie determinism") {

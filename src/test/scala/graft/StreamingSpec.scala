@@ -309,4 +309,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10L, "enter"), (1L, 30L, "exit"), (1L, 40L, "enter"),
       (2L, 40L, "enter")))
   }
+
+  test("cusumMonitor: raise/clear transitions with two-integer state across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val mon = StreamOps.cusumMonitor(
+      input.toDF().toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v",
+      drift = 10L, threshold = 25L)
+    val q = mon.writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    // batch 1 (out of order; sorted by ts): x−k = +10, +10 → S = 20, no alarm
+    input.addData(("a", 20L, 1L, 20L), ("a", 10L, 1L, 20L))
+    q.processAllAvailable()
+    assert(spark.table("cusum").count() == 0)
+    // batch 2: +10 pushes S to 30 > 25 (state carried) → raise at ts 30;
+    // a 0-value row (−10) drops S to 20 ≤ 25 → clear at ts 40; the next
+    // −10 (S = 10) emits nothing — transitions only
+    input.addData(("a", 30L, 1L, 20L), ("a", 40L, 1L, 0L), ("a", 50L, 1L, 0L))
+    q.processAllAvailable()
+    val got = spark.table("cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("s"), r.getString(4)))
+    q.stop()
+    assert(got.toSet == Set(("a", 30L, 30L, "raise"), ("a", 40L, 20L, "clear")))
+  }
 }
