@@ -1031,6 +1031,10 @@ object Graph {
         // exponential (measured: rounds went 8 s → 27 s → stuck)
         val p0 = selected.select(col("ca").as("c"), col("cb").as("p"))
         val mirror = p0.select(col("c").as("__ms_mc"), col("p").as("__ms_mp"))
+        // the hook materializes separately ON PURPOSE: fusing it into the
+        // first jump batch (16 lazy scans of selected, 15 chained joins in
+        // one job) measured ~20% SLOWER than the extra checkpoint — more
+        // shuffle stages inside one job beat one more small job
         var ptr = p0.join(mirror, col("p") === col("__ms_mc"), "left")
           .select(col("c"),
             when(col("__ms_mp") === col("c"), least(col("c"), col("p")))

@@ -252,13 +252,15 @@ object RankStats {
     * S = n(n+1) (= Σrank2, exact under tie-averaging),
     * num = n·Σ(r2x·r2y) − S², den_x = n·Σr2x² − S²,
     * den_y = n·Σr2y² − S², rho_b = num/√(den_x·den_y). The moment sums
-    * are exact BIGINTs (three more aggregates in the same fold); the
+    * are exact integers (three more aggregates in the same fold); the
     * final √ rides IEEE doubles spelled identically in the oracle
     * (correctly-rounded casts/SQRT — the τ_b precedent), NULL when an
-    * axis is constant (den = 0). num/den ride BIGINT, so n·Σ(r2·r2) ~ 4n⁴
-    * bounds n at ~5·10⁴ rows per group — beyond that ANSI mode fails
-    * LOUDLY and the moment arithmetic must be lifted to DECIMAL, never
-    * silently wrapped (quantize + census first at scale anyway). */
+    * axis is constant (den = 0). The ρ_b moment chain accumulates in
+    * DECIMAL(38,0): n·Σ(r2·r2) ~ 4n⁴ passes BIGINT at ~5·10⁴ rows per
+    * group — the 5× scale probe caught the BIGINT version overflowing
+    * loudly under ANSI; decimal holds to ~10⁹ rows per group (HUGEINT
+    * replays it). d2sum4 stays an exact BIGINT output (~4n³, loud ANSI
+    * failure past ~1.3·10⁶ rows per group — quantize + census first). */
   def spearman(
       df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty,
@@ -277,9 +279,12 @@ object RankStats {
         count(lit(1)).as("n"),
         sum((col("__rs_r2x") - col("__rs_r2y")) * (col("__rs_r2x") - col("__rs_r2y")))
           .as("d2sum4"),
-        sum(col("__rs_r2x") * col("__rs_r2y")).as("__rs_sxy"),
-        sum(col("__rs_r2x") * col("__rs_r2x")).as("__rs_sxx"),
-        sum(col("__rs_r2y") * col("__rs_r2y")).as("__rs_syy"))
+        // the ρ_b moment chain rides DECIMAL(38,0): n·Σ(r2·r2) ~ 4n⁴
+        // overflows BIGINT at ~5·10⁴ rows per group — the 5× scale probe
+        // caught exactly this (ARITHMETIC_OVERFLOW at a synthesized sf0.5)
+        sum(col("__rs_r2x").cast("decimal(38,0)") * col("__rs_r2y")).as("__rs_sxy"),
+        sum(col("__rs_r2x").cast("decimal(38,0)") * col("__rs_r2x")).as("__rs_sxx"),
+        sum(col("__rs_r2y").cast("decimal(38,0)") * col("__rs_r2y")).as("__rs_syy"))
       .filter(col("n") >= 2)
       .transform { d =>
         val den = lit(2L) * col("n") * (col("n") * col("n") - 1L)
@@ -287,7 +292,7 @@ object RankStats {
       }
       // Pearson on doubled ranks: Σrank2 = n(n+1) exactly, so the moment
       // identity needs no separate mean pass
-      .withColumn("__rs_ss", col("n") * (col("n") + 1L))
+      .withColumn("__rs_ss", (col("n") * (col("n") + 1L)).cast("decimal(38,0)"))
       .withColumn("__rs_pnum", col("n") * col("__rs_sxy") - col("__rs_ss") * col("__rs_ss"))
       .withColumn("__rs_dx", col("n") * col("__rs_sxx") - col("__rs_ss") * col("__rs_ss"))
       .withColumn("__rs_dy", col("n") * col("__rs_syy") - col("__rs_ss") * col("__rs_ss"))

@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDsl._
 
-/** Catalog chunk q345+ — round-13: ranking-metric eval, retention cohorts,
-  * interval islands, survival curves, Borůvka MSF, join-size advisory, and
-  * exact ECDF. Registration + docs in [[graft.Queries]]. */
+/** Catalog chunk q345+ — round-13: ranking-metric eval (metrics@k, AP/PR,
+  * gains), retention cohorts, interval islands, survival curves, Borůvka
+  * MSF, join-size advisory, exact ECDF, calibration (ECE bins, split
+  * conformal), sequential testing (SPRT, BH-FDR), Markov transitions,
+  * seed-sampled betweenness, double-sweep diameter, and the streaming
+  * CUSUM monitor. Registration + docs in [[graft.Queries]]. */
 private[graft] object Catalog13 {
 
   /** The DuckDB replay of [[graft.operators.Linkage.flog2fp]] — the

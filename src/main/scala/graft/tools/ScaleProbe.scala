@@ -363,21 +363,32 @@ object ScaleProbe {
     val only = args.lift(4).map(_.split(",").toSet)
     val results = probes.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, bound) =>
-      val tSmall = timeOne(name, smallDir)
-      val tBig = timeOne(name, bigDir)
-      // subtract nothing, declare honestly: overhead at the small size can
-      // only make the exponent SMALLER, so a violation is a true positive
-      val exponent = math.log(tBig / tSmall) / math.log(factor)
-      val pass = exponent <= bound
-      System.err.println(
-        f"[scale] $name%-24s small=${tSmall}%6.2fs big=${tBig}%6.2fs " +
-          f"exp=$exponent%5.2f bound=$bound%4.2f ${if (pass) "ok" else "FAIL"}")
-      (name, tSmall, tBig, exponent, bound, pass)
+      // a probe that THROWS (an overflow the big side exposes is itself a
+      // scale finding — q323's rho_b BIGINT moments did exactly that) must
+      // record a failed row, not kill the remaining probes and the artifact
+      try {
+        val tSmall = timeOne(name, smallDir)
+        val tBig = timeOne(name, bigDir)
+        // subtract nothing, declare honestly: overhead at the small size can
+        // only make the exponent SMALLER, so a violation is a true positive
+        val exponent = math.log(tBig / tSmall) / math.log(factor)
+        val pass = exponent <= bound
+        System.err.println(
+          f"[scale] $name%-24s small=${tSmall}%6.2fs big=${tBig}%6.2fs " +
+            f"exp=$exponent%5.2f bound=$bound%4.2f ${if (pass) "ok" else "FAIL"}")
+        (name, tSmall, tBig, exponent, bound, pass, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          val msg = (s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("")).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          System.err.println(f"[scale] $name%-24s ERROR $msg")
+          (name, 0.0, 0.0, 0.0, bound, false, Some(msg))
+      }
     }
     val allPass = results.forall(_._6)
-    val body = results.map { case (n, ts, tb, e, b, p) =>
+    val body = results.map { case (n, ts, tb, e, b, p, err) =>
       s""""$n":{"t_small":${fmt(ts)},"t_big":${fmt(tb)},"exponent":${fmt(e)},""" +
-        s""""bound":$b,"pass":$p}"""
+        s""""bound":$b,"pass":$p${err.map(m => s""","error":"$m"""").getOrElse("")}}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"small":"$smallDir","big":"$bigDir","factor":$factor,"runs":$runs,""" +
