@@ -262,11 +262,12 @@ object Sampling {
       return df.withColumn(multiplicityColumn, lit(0L)).limit(0)
     require(totalW <= Long.MaxValue / (2L * k),
       s"ppsSystematic: 2k·T = ${2L * k}·$totalW overflows 63-bit span arithmetic")
-    val w = Window.orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = df
-      .withColumn("__graft_w", col(weightCol).cast("long"))
-      .withColumn("__graft_cum", sum(col("__graft_w")).over(w))
+    // DISTRIBUTED global cumsum (GlobalOrder two-pass) — the unpartitioned
+    // Window.orderBy this replaced planned a SinglePartition exchange of
+    // the whole corpus into one task (the q344 skewReport shape)
+    val cum = graft.operators.GlobalOrder
+      .cumSum(df.withColumn("__graft_w", col(weightCol).cast("long")),
+        orderBy, col("__graft_w"), "__graft_cum")
     // integer-only span test: with a = 2k(cum−w), b = 2k·cum, a point
     // (2i+1)·T lands in the span iff a ≤ (2i+1)·T < b, i.e. the odd
     // integer 2i+1 lies in [c, d] with c = ⌈a/T⌉, d = ⌊(b−1)/T⌋.
@@ -390,11 +391,12 @@ object Sampling {
       budget: Long,
       orderBy: Seq[Column]): DataFrame = {
     require(budget >= 0, s"fillTokenBudget: negative budget $budget")
-    val w = Window.orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__graft_cum", sum(col(tokenCol).cast("long")).over(w))
-      .filter(col("__graft_cum") <= budget)
-      .withColumnRenamed("__graft_cum", "cum_tokens")
+    // distributed global cumsum (see ppsSystematic) — the candidate set is
+    // budget-sized by the documented prefilter contract, but a single-task
+    // window would make THAT contract the only thing standing at 100 TB
+    graft.operators.GlobalOrder
+      .cumSum(df, orderBy, col(tokenCol).cast("long"), "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
   }
 
   /** Per-key temporal holdout: within each key (user, device, series) the

@@ -390,6 +390,32 @@ class Round13OpsSpec extends SparkSpec {
       ("B", "A", 250000L), ("B", "B", 750000L)))
   }
 
+  // ------------------------------------------------------------ globalOrder
+
+  test("GlobalOrder.cumSum: exact global running sum, no SinglePartition window") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 500L).map(i => (i, 1L + rnd.nextInt(9)))
+    val df = viaParquet(rows.toDF("id", "w"))
+    val got = graft.operators.GlobalOrder
+      .cumSum(df, Seq(col("id")), col("w"), "cum", partitions = 8)
+    val collected = got.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum"))
+    val expect = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (id, w)) => (id, acc + w)
+    }.tail
+    assert(collected.toSeq == expect)
+    // the scale contract (the skewReport shape): the cumsum window runs
+    // over the range-partition id, never a SinglePartition exchange
+    val windows = graft.plans.PlanChecks.flatten(got)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the cumsum window in the plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"cumsum window must partition:\n$w")
+      assert(!w.child.treeString.contains("SinglePartition"),
+        s"cumsum planned SinglePartition below the window:\n${w.child.treeString}")
+    }
+  }
+
   // ------------------------------------------------------- CheckpointFresh
 
   test("CheckpointFresh: content/schema preserved, stats do NOT compound across rounds") {
