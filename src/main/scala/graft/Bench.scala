@@ -57,6 +57,23 @@ object Bench {
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=q115_edit_pairs,q29_dedup_minhash
     // times just those queries (the driver never sets it → full catalog)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Calibration anchor (r13 verdict item 1): the builder's and driver's
+    // closing benches differed uniformly 1.107× on byte-identical code with
+    // BOTH runs stamped contended=false — the /proc/stat detector catches
+    // concurrent load but not ambient machine-state drift (thermal, page
+    // cache). A fixed cheap query timed at bench START and END gives
+    // cross-run comparisons a normalization anchor: if two rounds' anchors
+    // differ ~uniformly, the gap is machine state, not code.
+    val calibrationQuery = "q01_agg"
+    def calibrate(): Double = SparkEntry.queries.get(calibrationQuery).map { fn =>
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }.getOrElse(-1.0)
+    val calStart = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -87,8 +104,15 @@ object Bench {
         // the min and report a fast failure as the steady-state time
         if (ok) Some((dt, cpuSec)) else None
       }
-      name -> (if (times.nonEmpty) times.minBy(_._1) else (0.0, 0.0))
+      // (minWall, pairedCpu, maxWall): min is the reported steady-state
+      // time; max exposes per-query spread across runs so a cross-round
+      // comparison can tell run noise from code movement (r13 verdict #1)
+      name -> (if (times.nonEmpty) {
+        val best = times.minBy(_._1)
+        (best._1, best._2, times.map(_._1).max)
+      } else (0.0, 0.0, 0.0))
     }.toMap
+    val calEnd = calibrate()
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail (round 6: a 3.4 KB line over 99 queries
     // front-truncated there → "parsed": null, an unreadable bench). The
@@ -100,7 +124,7 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would break the JSON.
     def fmt(v: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    val wall = results.map { case (k, (w, _)) => k -> w }
+    val wall = results.map { case (k, (w, _, _)) => k -> w }
     val total = if (wall.nonEmpty) wall.values.sum else 0.0
     // external load: fraction of the machine's cores busy with OTHER work
     // during our timed runs; > 0.25 means a quarter of the machine was
@@ -117,7 +141,10 @@ object Bench {
       s"""{"queries":$qs,$om"runs":$runs,"errors":$errs,"contended":$contended,"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"}"""
     }
     val cpuJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c, 3) }
+      .map { case (k, (_, c, _)) => "\"" + k + "\":" + fmt(c, 3) }
+      .mkString("{", ",", "}")
+    val qmaxJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, mx)) => "\"" + k + "\":" + fmt(mx, 3) }
       .mkString("{", ",", "}")
     // fixture content hash: the r10 verdict found three records moving
     // 4-5× on byte-identical code — the driver regenerates the testdata
@@ -144,7 +171,9 @@ object Bench {
       // splice per-query process-CPU + the contention diagnosis into the
       // detail record (the machine-readable contract — r9 verdict #1/#3)
       base.dropRight(1) +
-        s""","cpu":$cpuJson,"external_load":${fmt(externalLoad, 3)},"fixture_hash":"$fixtureHash"}"""
+        s""","cpu":$cpuJson,"qmax":$qmaxJson,""" +
+        s""""calibration":{"query":"$calibrationQuery","start":${fmt(calStart, 3)},"end":${fmt(calEnd, 3)}},""" +
+        s""""external_load":${fmt(externalLoad, 3)},"fixture_hash":"$fixtureHash"}"""
     }
     System.err.println(detail)
     // a SPARK_GRAFT_BENCH_ONLY dev run must NOT clobber the full-catalog

@@ -253,6 +253,10 @@ final class Api(
   private val registration = new Object
   private def bulkRegisterHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"error": "POST required"}""")
+        return
+      }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       try {
         val result = registration.synchronized {
@@ -262,8 +266,12 @@ final class Api(
           s"""{"registered": ${result.registered.map(quote).mkString("[", ",", "]")}, """ +
             s""""skipped": ${result.skipped.map(quote).mkString("[", ",", "]")}}""")
       } catch {
-        case e: Exception =>
+        // a bad manifest is the CLIENT's fault; registry I/O or Spark
+        // failures are ours — don't report server bugs as 400s
+        case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
+        case e: Exception =>
+          respond(ex, 500, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
       }
     }
   }

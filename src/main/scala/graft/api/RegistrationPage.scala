@@ -92,7 +92,12 @@ function log(msg, cls) {
 }
 async function showObjects(kind) {
   const r = await fetch("/registry/" + encodeURIComponent(kind));
-  const names = await r.json();
+  const body = await r.json();
+  if (!r.ok || !Array.isArray(body)) {
+    log("FAILED: " + (body && body.error ? body.error : "unexpected response"), "err");
+    return;
+  }
+  const names = body;
   $("objKind").textContent = kind;
   $("objects").style.display = "";
   $("objects").querySelector("tbody").innerHTML =

@@ -332,28 +332,32 @@ object EventAnalytics {
   def frequentSequences(
       ordered: DataFrame,
       minSupport: Long,
-      maxLen: Int,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      maxLen: Int): DataFrame = {
     require(minSupport >= 1, s"frequentSequences: minSupport must be >= 1, got $minSupport")
     require(maxLen >= 1, s"frequentSequences: maxLen must be >= 1, got $maxLen")
-    val ev = checkpoint(ordered.select(col("user"), col("item"), col("pos")))
+    // loop-carried checkpoints go through CheckpointFresh (stats clamp) and
+    // the level-emptiness probe rides the eager count — no isEmpty job
+    val cf = org.apache.spark.sql.graft.CheckpointFresh
+    val ev = cf(ordered.select(col("user"), col("item"), col("pos")))
     // level 1: earliest occurrence of each item per user
-    var occ = checkpoint(ev.groupBy(col("user"), col("item").as("seq"))
+    var (occ, occCount) = cf.withCount(ev.groupBy(col("user"), col("item").as("seq"))
       .agg(min(col("pos")).as("__mp")))
     var results = Seq.empty[DataFrame]
     var level = 1
-    while (level <= maxLen && !occ.isEmpty) {
-      val support = checkpoint(occ.groupBy(col("seq"))
+    while (level <= maxLen && occCount > 0L) {
+      val support = cf(occ.groupBy(col("seq"))
         .agg(count(lit(1)).cast("long").as("support"))
         .filter(col("support") >= minSupport))
       results = results :+ support.withColumn("length", lit(level.toLong))
       if (level < maxLen) {
         val frequent = occ.join(support.select(col("seq")), Seq("seq"), "left_semi")
-        occ = checkpoint(frequent
+        val stepped = cf.withCount(frequent
           .join(ev, Seq("user"))
           .filter(col("pos") > col("__mp"))
           .groupBy(col("user"), concat(col("seq"), lit(">"), col("item")).as("seq"))
           .agg(min(col("pos")).as("__mp")))
+        occ = stepped._1
+        occCount = stepped._2
       }
       level += 1
     }

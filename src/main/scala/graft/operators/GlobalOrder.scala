@@ -42,19 +42,35 @@ object GlobalOrder {
       .repartitionByRange(partitions, orderBy: _*)
       .withColumn("__go_pid", spark_partition_id())
       .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
-    val sums = part.groupBy(col("__go_pid")).agg(sum(col("__go_v")).as("__go_s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // NULL weights must replicate the single-task window-sum semantics this
+    // replaces exactly: SUM skips nulls but is NULL while ZERO non-null
+    // values have occurred so far — so the offset pass carries both the
+    // per-partition sum (NULL-as-0, also the NPE guard the r13 advice
+    // flagged) and the per-partition non-null COUNT, and a row is NULL iff
+    // its global running non-null count is still zero. A partition whose
+    // local prefix is all-NULL would otherwise emit NULL even though
+    // earlier partitions contributed (local NULL + offset = NULL).
+    val sums = part.groupBy(col("__go_pid"))
+      .agg(sum(col("__go_v")).as("__go_s"), count(col("__go_v")).as("__go_c"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     val offsets = sums.map(_._1)
-      .zip(sums.scanLeft(0L)((acc, s) => acc + s._2).dropRight(1))
-    val offDf = offsets.toSeq.toDF("__go_pid", "__go_off")
-    val wLocal = org.apache.spark.sql.expressions.Window
+      .zip(sums.scanLeft((0L, 0L)) { case ((accS, accC), (_, s, c)) =>
+        (accS + s, accC + c) }.dropRight(1))
+      .map { case (pid, (offS, offC)) => (pid, offS, offC) }
+    val offDf = offsets.toSeq.toDF("__go_pid", "__go_off", "__go_offc")
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__go_pid")).orderBy(orderBy: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     part
-      .withColumn("__go_local", sum(col("__go_v")).over(wLocal))
+      .withColumn("__go_local", sum(col("__go_v")).over(w))
+      .withColumn("__go_localc", count(col("__go_v")).over(w))
       .join(broadcast(offDf), Seq("__go_pid"))
-      .withColumn(out, col("__go_local") + col("__go_off"))
-      .drop("__go_pid", "__go_v", "__go_local", "__go_off")
+      .withColumn(out,
+        when(col("__go_localc") + col("__go_offc") === 0L, lit(null).cast("long"))
+          .otherwise(coalesce(col("__go_local"), lit(0L)) + col("__go_off")))
+      .drop("__go_pid", "__go_v", "__go_local", "__go_localc", "__go_off", "__go_offc")
   }
 }

@@ -271,20 +271,33 @@ object RankStats {
       .select((gs :+ col(xCol).as("__rs_x") :+ col("rank2").as("__rs_r2x")): _*)
     val ry = rank2Census(df, yCol, groupCols)
       .select((gs :+ col(yCol).as("__rs_y") :+ col("rank2").as("__rs_r2y")): _*)
-    df.select((gs :+ col(xCol).as("__rs_x") :+ col(yCol).as("__rs_y")): _*)
+    // JOINT (x, y) census first: every Σ-over-rows moment is a
+    // Σ-over-census weighted by the cell count, so the rank join-backs and
+    // the DECIMAL(38,0) moment arithmetic run CENSUS-scale, not row-scale
+    // (r13 added the ρ_b tie correction as three row-scale DECIMAL folds —
+    // the round's one real slowdown, 1.90 → 2.92 s at sf0.1; the census
+    // form keeps the row-scale pass a single codegen'd count aggregation)
+    val joint = df
+      .groupBy((gs :+ col(xCol).as("__rs_x") :+ col(yCol).as("__rs_y")): _*)
+      .agg(count(lit(1)).as("__rs_jc"))
+    joint
       .join(rx, groupCols :+ "__rs_x")
       .join(ry, groupCols :+ "__rs_y")
       .groupBy(gs: _*)
       .agg(
-        count(lit(1)).as("n"),
-        sum((col("__rs_r2x") - col("__rs_r2y")) * (col("__rs_r2x") - col("__rs_r2y")))
+        sum(col("__rs_jc")).as("n"),
+        sum(col("__rs_jc") *
+          (col("__rs_r2x") - col("__rs_r2y")) * (col("__rs_r2x") - col("__rs_r2y")))
           .as("d2sum4"),
         // the ρ_b moment chain rides DECIMAL(38,0): n·Σ(r2·r2) ~ 4n⁴
         // overflows BIGINT at ~5·10⁴ rows per group — the 5× scale probe
         // caught exactly this (ARITHMETIC_OVERFLOW at a synthesized sf0.5)
-        sum(col("__rs_r2x").cast("decimal(38,0)") * col("__rs_r2y")).as("__rs_sxy"),
-        sum(col("__rs_r2x").cast("decimal(38,0)") * col("__rs_r2x")).as("__rs_sxx"),
-        sum(col("__rs_r2y").cast("decimal(38,0)") * col("__rs_r2y")).as("__rs_syy"))
+        sum(col("__rs_jc").cast("decimal(38,0)") * col("__rs_r2x") * col("__rs_r2y"))
+          .as("__rs_sxy"),
+        sum(col("__rs_jc").cast("decimal(38,0)") * col("__rs_r2x") * col("__rs_r2x"))
+          .as("__rs_sxx"),
+        sum(col("__rs_jc").cast("decimal(38,0)") * col("__rs_r2y") * col("__rs_r2y"))
+          .as("__rs_syy"))
       .filter(col("n") >= 2)
       .transform { d =>
         val den = lit(2L) * col("n") * (col("n") * col("n") - 1L)

@@ -575,8 +575,9 @@ private[graft] object Catalog13 {
               FROM d WHERE NOT is_cal GROUP BY 1)
             SELECT sz.g, n_cal::BIGINT AS n_cal, n_test::BIGINT AS n_test,
                    k_rank::BIGINT AS k_rank, qhat::BIGINT AS qhat,
-                   ((cov * 1000000) // n_test)::BIGINT AS coverage_ppm
-            FROM sz JOIN qh ON sz.g = qh.g JOIN tst ON sz.g = tst.g
+                   CAST(CASE WHEN qhat IS NULL THEN NULL
+                        ELSE (cov * 1000000) // n_test END AS BIGINT) AS coverage_ppm
+            FROM sz LEFT JOIN qh ON sz.g = qh.g LEFT JOIN tst ON sz.g = tst.g
             ORDER BY 1"""))
 
   /** Cumulative gains / lift table

@@ -29,79 +29,93 @@ import org.apache.spark.sql.SparkSession
 object ScaleProbe {
 
   /** (query, declared max growth exponent). Bounds are contracts: raising
-    * one requires a design justification in COVERAGE.md. */
+    * one requires a design justification in COVERAGE.md.
+    *
+    * Round-14 tightening (r13 verdict item 3): the original bounds encoded
+    * DESIGNED complexity (1.3–1.6) but measured exponents sit at a median
+    * ~0.3 — a regression from 0.3 to 1.2 (a 4× shape change at factor 5)
+    * would still have "passed". Each bound is now
+    * max(max(r12, r13 measured) + 0.45, 0.7), rounded up to 0.05 and never
+    * ABOVE the old designed ceiling. The 0.45 margin covers the largest
+    * cross-round drift observed on byte-identical code (0.37,
+    * probe_edit_join_full r12→r13 — fixture regeneration + machine state),
+    * while any real shape regression (linear → quadratic ≈ +1.0) still
+    * fails. probe_dbscan_tiled keeps its designed 1.5: it genuinely curves
+    * (measured 0.91 → 1.09 across rounds; CC rounds grow ~log n). The
+    * old designed exponent stays in each comment — it remains the raise-to
+    * ceiling should a legitimate design change need slack back. */
   val probes: Seq[(String, Double)] = Seq(
-    "q29_dedup_minhash" -> 1.5, // banded LSH: candidates ∝ true pairs; CC rounds ~log n
-    "q69_dedup_clusters" -> 1.5, // same family, cluster materialization
-    "q82_dedup_keep_best" -> 1.5, // CC + per-component argmax
-    "q85_semantic_dedup" -> 1.5, // k-means‖ + per-cluster pairs
-    "q94_bpe_train" -> 1.3, // merge rounds fixed; each round one linear pass
-    "q115_edit_pairs" -> 1.6, // blocked pair expansion (explicit-N repartition)
-    "q119_pagerank" -> 1.4, // fixed rounds × linear edge joins
-    "q120_leakage_split" -> 1.5, // iterative CC: rounds grow ~log n
-    "q128_cosine_pairs" -> 1.6, // APSS: candidates ∝ output pairs (Bayardo bound)
-    "probe_triangles_disjoint" -> 1.6, // q129 at replicated density: wedges ∝ data (see driver)
-    "q155_containment" -> 1.6, // inverted-index pair generation
-    "q170_pref_cycles" -> 1.6, // oriented directed-cycle wedges: O(m^1.5)
-    "q180_label_prop" -> 1.4, // fixed rounds × linear frequency joins
-    "q185_basket_lift" -> 1.6, // within-basket pair expansion
-    "q208_pq_ann" -> 1.3, // bounded-sample training + map-side encode + top-k
-    "q209_coreset" -> 1.3, // O(N) per round vs newest pick only
-    "q213_winnowing" -> 1.3, // O(L) monotone-deque selection, map-side
-    "q215_hits" -> 1.4, // fixed rounds × linear edge joins
-    "q229_topic_segments" -> 1.3, // per-document linear tiling
-    "q244_matryoshka" -> 1.3, // fixed-COUNT query side: O(n·k) brute force
-    "q253_incremental_cc" -> 1.5, // delta-sized re-clustering + full-equivalence check
-    "q261_rank_sketch" -> 1.3, // one hash-partitioned sort + N/step sketch rows
+    "q29_dedup_minhash" -> 1.10, // design 1.5: banded LSH, CC rounds ~log n; measured .46/.61
+    "q69_dedup_clusters" -> 0.70, // design 1.5: same family + cluster materialization; measured .10/.01
+    "q82_dedup_keep_best" -> 0.70, // design 1.5: CC + per-component argmax; measured -.02/.07
+    "q85_semantic_dedup" -> 1.00, // design 1.5: k-means‖ + per-cluster pairs; measured .36/.52
+    "q94_bpe_train" -> 0.90, // design 1.3: fixed merge rounds × linear pass; measured .40/.41
+    "q115_edit_pairs" -> 1.25, // design 1.6: blocked pair expansion; measured .54/.77
+    "q119_pagerank" -> 0.70, // design 1.4: fixed rounds × linear edge joins; measured .17/.22
+    "q120_leakage_split" -> 0.70, // design 1.5: iterative CC ~log n rounds; measured -.04/-.03
+    "q128_cosine_pairs" -> 1.30, // design 1.6: APSS candidates ∝ output (Bayardo); measured .72/.84
+    "probe_triangles_disjoint" -> 0.75, // design 1.6: wedges ∝ data at replicated density; measured .29
+    "q155_containment" -> 0.95, // design 1.6: inverted-index pair generation; measured .31/.50
+    "q170_pref_cycles" -> 1.00, // design 1.6: oriented cycle wedges O(m^1.5); measured .39/.55
+    "q180_label_prop" -> 0.80, // design 1.4: fixed rounds × linear joins; measured .28/.33
+    "q185_basket_lift" -> 0.70, // design 1.6: within-basket pair expansion; measured .10/.16
+    "q208_pq_ann" -> 0.70, // design 1.3: bounded training + map-side encode; measured .06/.01
+    "q209_coreset" -> 0.70, // design 1.3: O(N) per round vs newest pick; measured .10/.07
+    "q213_winnowing" -> 1.00, // design 1.3: O(L) monotone deque, map-side; measured .49/.52
+    "q215_hits" -> 0.80, // design 1.4: fixed rounds × linear edge joins; measured .19/.31
+    "q229_topic_segments" -> 1.00, // design 1.3: per-document linear tiling; measured .48/.51
+    "q244_matryoshka" -> 0.70, // design 1.3: fixed-count query side O(n·k); measured .13/.17
+    "q253_incremental_cc" -> 0.85, // design 1.5: delta-sized re-clustering; measured .35/.34
+    "q261_rank_sketch" -> 0.90, // design 1.3: hash-partitioned sort + sketch rows; measured .20/.40
     // lakehouse lifecycle: every op is file-count-bounded metadata plus
     // linear passes over live data — a super-linear exponent here means a
     // log replay or file-attribution step went quadratic
-    "q272_restore" -> 1.3, // DV delete + CoW merge + metadata restore, all linear passes
-    "q281_mv_incremental" -> 1.3, // MV build linear; refresh ∝ delta
-    "q282_optimize_compact" -> 1.3, // one repartition write of the visible snapshot
-    "q284_scc" -> 1.3, // O(log d) shortcut rounds; per-round work linear in edges
-    "q286_frequent_sequences" -> 1.5, // levelwise, one row per (user, frequent prefix)
-    "q288_record_linkage" -> 1.3, // sorted-neighborhood candidates: window-linear
-    "q289_link_prediction" -> 1.6, // wedge expansion, middle-degree-capped Σdeg²
-    "q294_gram_matrix" -> 1.3, // rows × fixed d² map-side expansion
-    "q296_proximity_search" -> 1.3, // contains prefilter + per-doc lag window, top-k
-    "q298_clustering_depth" -> 1.4, // manifest build = one linear groupBy; sweep is file-count-sized (floored by tiny absolute times)
-    "q303_bfs_eccentricity" -> 1.4, // rounds ≈ diameter; per-round linear in touched edges
-    "q304_ktruss" -> 1.6, // per-round degree-oriented wedges O(m^1.5); clique census rounds fixed
-    "q309_fd_discovery" -> 1.3, // n·k² per-row explode, immediately partially aggregated
-    "probe_edit_join_full" -> 1.6, // ED-Join over the FULL name corpus (q310 minus its fixed slice): candidates ∝ verified pairs under the df-order prefix filter
+    "q272_restore" -> 0.70, // design 1.3: DV delete + CoW merge, linear passes; measured .02/.04
+    "q281_mv_incremental" -> 0.70, // design 1.3: MV build linear, refresh ∝ delta; measured .01/-.04
+    "q282_optimize_compact" -> 0.70, // design 1.3: one repartition write; measured .06/.04
+    "q284_scc" -> 0.70, // design 1.3: O(log d) shortcut rounds; measured -.00/-.00
+    "q286_frequent_sequences" -> 0.70, // design 1.5: levelwise Apriori; measured .04/.02
+    "q288_record_linkage" -> 0.85, // design 1.3: sorted-neighborhood, window-linear; measured .31/.37
+    "q289_link_prediction" -> 0.85, // design 1.6: degree-capped wedge expansion; measured .30/.36
+    "q294_gram_matrix" -> 1.10, // design 1.3: rows × fixed d² map-side; measured .41/.62
+    "q296_proximity_search" -> 0.70, // design 1.3: prefilter + per-doc window; measured -.01/.02
+    "q298_clustering_depth" -> 0.70, // design 1.4: linear manifest + file-count sweep; measured .03/.03
+    "q303_bfs_eccentricity" -> 1.10, // design 1.4: rounds ≈ diameter, linear per round; measured .28/.61
+    "q304_ktruss" -> 0.70, // design 1.6: degree-oriented wedges O(m^1.5); measured .13/.20
+    "q309_fd_discovery" -> 0.75, // design 1.3: n·k² explode, partially aggregated; measured .06/.26
+    "probe_edit_join_full" -> 1.45, // design 1.6: ED-Join full corpus, prefix-filtered; measured .58/.95
     // round-12 families. The catalog geo/bootstrap queries read customer/
     // supplier/events, which synthesize() copies through UNSCALED (fixed
     // dimension context) — a direct probe would measure factor-1 data and
     // pass vacuously, so these four run probe-only drivers over the
     // SCALING tables instead.
-    "q323_spearman" -> 1.3, // two value censuses + row-linear join-back
-    "q324_roc_auc" -> 1.3, // one score census + prefix window over it
-    "q325_normal_equations" -> 1.3, // one map-side-combinable Gram pass
-    "q327_kendall" -> 1.3, // census self-join is value-grid-bounded; data pass linear
-    "probe_spatial_join_orders" -> 1.4, // grid join, FIXED build side: pairs ∝ probe rows
-    "probe_dbscan_tiled" -> 1.5, // constant density (copies tile new area); CC rounds ~log
-    "probe_tile_pyramid_orders" -> 1.3, // one data shuffle + census-sized rollups
-    "probe_bootstrap_lineitem" -> 1.3, // B replicates ride one aggregation pass
-    "q339_isotonic" -> 1.3, // positions fixed (20 scores): census pass linear
-    "q340_kruskal_wallis" -> 1.3, // value census + join-back, both row-linear
+    "q323_spearman" -> 0.70, // design 1.3: censuses + join-back, row-linear; measured .04/.06
+    "q324_roc_auc" -> 0.70, // design 1.3: score census + prefix window; measured -.01/.03
+    "q325_normal_equations" -> 0.70, // design 1.3: one map-side Gram pass; measured -.11/.07
+    "q327_kendall" -> 0.70, // design 1.3: value-grid-bounded census self-join; measured .23/.15
+    "probe_spatial_join_orders" -> 1.10, // design 1.4: grid join, fixed build side; measured .38/.61
+    "probe_dbscan_tiled" -> 1.50, // design 1.5 KEPT: genuinely curves (CC rounds ~log); measured .91/1.09
+    "probe_tile_pyramid_orders" -> 0.70, // design 1.3: one shuffle + census rollups; measured .02/-.00
+    "probe_bootstrap_lineitem" -> 0.70, // design 1.3: B replicates, one agg pass; measured -.03/.00
+    "q339_isotonic" -> 0.70, // design 1.3: fixed positions, census linear; measured -.18/.03
+    "q340_kruskal_wallis" -> 0.70, // design 1.3: value census + join-back; measured -.29/.03
     // round-13 probes
-    "q331_table_digest" -> 1.3, // one map-side-combinable fold over orders
-    "q332_join_mv_delta" -> 1.3, // three delta-left joins + digest folds, all linear
-    "probe_bbox_overlap_tiled" -> 1.4, // tiled boxes at constant density: pairs ∝ rows
-    "probe_skew_report" -> 1.3, // row-scale census, distributed two-pass rank
+    "q331_table_digest" -> 0.70, // design 1.3: one map-side fold; measured .01
+    "q332_join_mv_delta" -> 0.70, // design 1.3: delta joins + digest folds; measured -.02
+    "probe_bbox_overlap_tiled" -> 1.25, // design 1.4: tiled constant density; measured .79
+    "probe_skew_report" -> 0.80, // design 1.3: distributed two-pass rank; measured .34
     // round-13 operator probes. q346 reads events (synthesize copies it
     // through unscaled → vacuous), so retention runs a probe-only driver
     // over orders instead.
-    "q345_ranking_eval" -> 1.3, // 200 fixed query groups, one partial-agg pass
-    "q347_interval_islands" -> 1.3, // per-key windows, linear in rows
-    "q348_survival" -> 1.3, // fixed (grp, t) census; data pass linear
-    "q349_boruvka_msf" -> 1.5, // O(log n) rounds × linear edge joins
-    "q350_join_size" -> 1.3, // two key censuses + census-sized join
-    "q351_ecdf" -> 1.3, // fixed value-grid census; data pass linear
-    "probe_retention_orders" -> 1.3, // (user, period) census + size join
-    "q358_betweenness" -> 1.4, // 2·horizon bounded rounds, linear frontier joins
-    "q359_double_sweep" -> 1.4 // two horizon-bounded BFS sweeps
+    "q345_ranking_eval" -> 0.70, // design 1.3: fixed query groups, one pass; measured .19
+    "q347_interval_islands" -> 0.70, // design 1.3: per-key windows, row-linear; measured .04
+    "q348_survival" -> 0.70, // design 1.3: fixed (grp, t) census; measured -.03
+    "q349_boruvka_msf" -> 0.90, // design 1.5: O(log n) rounds × linear joins; measured .45
+    "q350_join_size" -> 0.70, // design 1.3: key censuses + census join; measured .16
+    "q351_ecdf" -> 0.70, // design 1.3: fixed value-grid census; measured .02
+    "probe_retention_orders" -> 0.70, // design 1.3: (user, period) census; measured -.17
+    "q358_betweenness" -> 1.25, // design 1.4: 2·horizon rounds, linear frontiers; measured .79
+    "q359_double_sweep" -> 1.25 // design 1.4: two horizon-bounded sweeps; measured .75
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
