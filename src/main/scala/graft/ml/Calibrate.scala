@@ -54,6 +54,75 @@ object Calibrate {
       .withColumn("abs_dev", abs(col("pos_b") * 1000000L - col("sum_score")))
   }
 
+  /** Murphy decomposition of the Brier score — the WHY behind ECE's
+    * one-number (Murphy, J. Appl. Meteor. 1973): over score bins b,
+    *   Brier = Reliability − Resolution + Uncertainty,
+    * reliability Σ_b w_b(conf_b − acc_b)² (calibration badness),
+    * resolution Σ_b w_b(acc_b − ȳ)² (how much the bins actually separate),
+    * uncertainty ȳ(1−ȳ). All four reported as per-row means in ppm²·10⁰
+    * units — "upm2" = the squared-ppm scale (a perfect-calibration score
+    * 250000 vs outcome 0/1 contributes (250000)² or (750000)²):
+    *   brier_upm2 = Σ(score − y·10⁶)² div n                   (exact sum),
+    *   rel_upm2   = (Σ_b (sum_b − 10⁶·pos_b)² div n_b) div n  (per-bin div),
+    *   res_upm2   = (Σ_b (pos_b·n − pos·n_b)²·10¹² div (n_b·n²)) div n,
+    *   unc_upm2   = pos·(n − pos)·10¹² div n²,
+    * each per-bin quotient an exact integer function of its cell — the
+    * Nelson–Aalen truncation contract (identity holds to < 1 upm²·bins).
+    * DECIMAL(38,0) everywhere a square meets a count. Returns
+    * (groupCols*, n, n_pos, brier_upm2, rel_upm2, res_upm2, unc_upm2). */
+  def brierDecomposition(
+      df: DataFrame,
+      scorePpmCol: String,
+      labelCol: String,
+      bucketWidthPpm: Long,
+      groupCols: Seq[String]): DataFrame = {
+    require(bucketWidthPpm >= 1 && bucketWidthPpm <= 1000000L,
+      s"brierDecomposition: bucketWidthPpm in [1,1e6], got $bucketWidthPpm")
+    require(groupCols.nonEmpty,
+      "brierDecomposition: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val bins = df.select((gs :+
+        expr(s"CAST($scorePpmCol AS BIGINT) div $bucketWidthPpm").as("__ca_b") :+
+        col(scorePpmCol).cast("long").as("__ca_s") :+
+        col(labelCol).as("__ca_l")): _*)
+      .groupBy((gs :+ col("__ca_b")): _*)
+      .agg(
+        count(lit(1)).as("__ca_nb"),
+        sum(when(col("__ca_l"), 1L).otherwise(0L)).as("__ca_pb"),
+        sum(col("__ca_s")).as("__ca_sb"),
+        sum((col("__ca_s") - when(col("__ca_l"), 1000000L).otherwise(0L))
+          .cast("decimal(38,0)") *
+          (col("__ca_s") - when(col("__ca_l"), 1000000L).otherwise(0L)))
+          .as("__ca_bsq"))
+    val totals = bins.groupBy(gs: _*)
+      .agg(sum(col("__ca_nb")).as("n"), sum(col("__ca_pb")).as("n_pos"))
+    bins.join(totals, groupCols)
+      .withColumn("__ca_relt", Idiv(
+        (col("__ca_sb") - lit(1000000L) * col("__ca_pb")).cast("decimal(38,0)") *
+          (col("__ca_sb") - lit(1000000L) * col("__ca_pb")),
+        col("__ca_nb")))
+      .withColumn("__ca_rest", Idiv(
+        (col("__ca_pb").cast("decimal(38,0)") * col("n") -
+          col("n_pos").cast("decimal(38,0)") * col("__ca_nb")) *
+          (col("__ca_pb").cast("decimal(38,0)") * col("n") -
+            col("n_pos").cast("decimal(38,0)") * col("__ca_nb")) * 1000000000000L,
+        col("__ca_nb").cast("decimal(38,0)") * col("n") * col("n")))
+      .groupBy((gs :+ col("n") :+ col("n_pos")): _*)
+      .agg(
+        sum(col("__ca_bsq")).as("__ca_bsum"),
+        sum(col("__ca_relt").cast("decimal(38,0)")).as("__ca_rsum"),
+        sum(col("__ca_rest").cast("decimal(38,0)")).as("__ca_qsum"))
+      .withColumn("brier_upm2", Idiv(col("__ca_bsum"), col("n")).cast("long"))
+      .withColumn("rel_upm2", Idiv(col("__ca_rsum"), col("n")).cast("long"))
+      .withColumn("res_upm2", Idiv(col("__ca_qsum"), col("n")).cast("long"))
+      .withColumn("unc_upm2", Idiv(
+        col("n_pos").cast("decimal(38,0)") * (col("n") - col("n_pos")) *
+          1000000000000L,
+        col("n").cast("decimal(38,0)") * col("n")).cast("long"))
+      .drop("__ca_bsum", "__ca_rsum", "__ca_qsum")
+  }
+
   /** Split-conformal interval radius + empirical coverage — the
     * distribution-free "how wrong is this model, with a guarantee"
     * primitive (Vovk; Lei et al. JASA'18). Rows carry an integer

@@ -197,4 +197,66 @@ object Regress {
       .agg(max(col("__iso_mk")).as("fit_ppm")) // max over j <= k
       .drop("__iso_k")
   }
+
+  /** CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM'13) — the
+    * standard A/B readout adjustment: remove the part of the metric Y
+    * predicted by a PRE-experiment covariate X, so arm means are compared
+    * on Y − θ(X − X̄) with θ = cov(X,Y)/var(X) fit on the pooled data.
+    * Randomization makes the adjustment unbiased for any θ; the variance
+    * drop is cor². Exact-integer spelling: one pooled moment pass in
+    * DECIMAL(38,0) gives θ_ppm = (n·Σxy − Σx·Σy)·10⁶ div (n·Σxx − Σx²)
+    * sign-magnitude; per arm, means in micro units via truncating div,
+    * adjusted mean = mean_y_micro − θ_ppm·(mean_x_micro − x̄_micro) div 10⁶
+    * — a fixed-order integer chain both engines replay bit-for-bit.
+    * Returns one row per (groupCols*, arm): (n, mean_y_micro,
+    * mean_x_micro, theta_ppm, adj_mean_micro); θ_ppm NULL (adjusted =
+    * raw) when X is constant. */
+  def cuped(
+      df: DataFrame,
+      yCol: String, xCol: String, armCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "cuped: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val d = df.select((gs :+ col(armCol).as("arm") :+
+      col(yCol).cast("long").as("__cu_y") :+ col(xCol).cast("long").as("__cu_x")): _*)
+    val pooled = d.groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("__cu_n"),
+        sum(col("__cu_x")).as("__cu_sx"),
+        sum(col("__cu_y")).as("__cu_sy"),
+        sum(col("__cu_x").cast("decimal(38,0)") * col("__cu_x")).as("__cu_sxx"),
+        sum(col("__cu_x").cast("decimal(38,0)") * col("__cu_y")).as("__cu_sxy"))
+      .withColumn("__cu_varn",
+        col("__cu_n") * col("__cu_sxx") - col("__cu_sx").cast("decimal(38,0)") *
+          col("__cu_sx"))
+      .withColumn("__cu_covn",
+        col("__cu_n") * col("__cu_sxy") - col("__cu_sx").cast("decimal(38,0)") *
+          col("__cu_sy"))
+      .withColumn("theta_ppm",
+        when(col("__cu_varn") === 0, lit(null).cast("long"))
+          .otherwise((when(col("__cu_covn") < 0, -1L).otherwise(1L) *
+            Idiv(abs(col("__cu_covn")) * 1000000L, col("__cu_varn"))).cast("long")))
+      .withColumn("__cu_xbar", Idiv(col("__cu_sx") * 1000000L, col("__cu_n")))
+    val arms = d.groupBy((gs :+ col("arm")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__cu_y")).as("__cu_ay"),
+        sum(col("__cu_x")).as("__cu_ax"))
+      .withColumn("mean_y_micro", Idiv(col("__cu_ay") * 1000000L, col("n")))
+      .withColumn("mean_x_micro", Idiv(col("__cu_ax") * 1000000L, col("n")))
+    arms.join(
+        pooled.select((gs :+ col("theta_ppm") :+ col("__cu_xbar")): _*), groupCols)
+      .withColumn("adj_mean_micro",
+        when(col("theta_ppm").isNull, col("mean_y_micro")).otherwise(
+          col("mean_y_micro") - (when(
+            col("theta_ppm") * (col("mean_x_micro") - col("__cu_xbar")) < 0, -1L)
+            .otherwise(1L) *
+            Idiv(abs(col("theta_ppm").cast("decimal(38,0)") *
+              (col("mean_x_micro") - col("__cu_xbar"))), lit(1000000L))
+            .cast("long"))))
+      .select((gs :+ col("arm") :+ col("n") :+ col("mean_y_micro") :+
+        col("mean_x_micro") :+ col("theta_ppm") :+ col("adj_mean_micro")): _*)
+  }
 }

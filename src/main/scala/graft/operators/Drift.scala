@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two dataset snapshots — the
@@ -291,5 +292,127 @@ object Drift {
         when(!col("__dr_full"), lit(false))
           .otherwise(col("dev") * lit(kDen) > col("__dr_mad") * lit(kNum)))
       .drop("__dr_win", "__dr_devs", "__dr_full", "__dr_mad")
+  }
+  /** Two-window χ² homogeneity per slice, with a CONSERVATIVE integer
+    * p-value — the drift-detection front half of the monitoring stack
+    * (per-slice drift p-values feed [[Sequential.bhFdr]] across slices;
+    * q362 composes exactly that). Rows carry an integer bin and a boolean
+    * "current window" flag; per slice the 2×B contingency table yields the
+    * exact Pearson statistic
+    *   χ²·10⁶ = Σ_cells ((N·o − r·c)²·10⁶) div (N·r·c)
+    * (per-cell truncating division of exact DECIMAL(38,0) integers — the
+    * Nelson–Aalen truncation contract, order-independent because each term
+    * is a pure cell function). The p-value is the MARKOV BOUND
+    * p = min(1, 2·df/χ²) with df = bins−1 — conservative by construction
+    * (E[χ²] ≈ df under H0; the factor 2 absorbs the fixed-margin
+    * correction), exact-integer, and monotone in χ², which is all a
+    * BH-FDR layer needs: a genuinely drifted slice's χ² grows ∝ N while
+    * null slices sit at O(df), so planted signals cross any α. A slice
+    * with an empty window reports p = 10⁶ (no evidence, never a division
+    * error). Returns (sliceCols*, n_ref, n_cur, n_bins, chi2_upm, p_ppm).
+    * Scale: one row-linear census groupBy, then census-sized windows. */
+  def chi2Homogeneity(
+      df: DataFrame,
+      binCol: String,
+      curCol: String,
+      sliceCols: Seq[String]): DataFrame = {
+    require(sliceCols.nonEmpty,
+      "chi2Homogeneity: empty sliceCols — inject a literal constant slice column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = sliceCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(binCol).cast("long").as("__dr_bin")): _*)
+      .agg(
+        sum(when(col(curCol), 0L).otherwise(1L)).as("__dr_oref"),
+        sum(when(col(curCol), 1L).otherwise(0L)).as("__dr_ocur"))
+    val wTot = Window.partitionBy(gs: _*)
+    val cells = census
+      .withColumn("__dr_rref", sum(col("__dr_oref")).over(wTot))
+      .withColumn("__dr_rcur", sum(col("__dr_ocur")).over(wTot))
+      .withColumn("__dr_c", col("__dr_oref") + col("__dr_ocur"))
+      .withColumn("__dr_n", col("__dr_rref") + col("__dr_rcur"))
+      .withColumn("__dr_b", count(lit(1)).over(wTot))
+    def term(o: String, r: String) = when(col(r) === 0L, lit(0L)).otherwise(Idiv(
+      (col("__dr_n").cast("decimal(38,0)") * col(o) -
+        col(r).cast("decimal(38,0)") * col("__dr_c")) *
+        (col("__dr_n").cast("decimal(38,0)") * col(o) -
+          col(r).cast("decimal(38,0)") * col("__dr_c")) * 1000000L,
+      col("__dr_n").cast("decimal(38,0)") * col(r) * col("__dr_c")).cast("long"))
+    cells
+      .withColumn("__dr_t",
+        term("__dr_oref", "__dr_rref") + term("__dr_ocur", "__dr_rcur"))
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__dr_rref")).as("n_ref"),
+        max(col("__dr_rcur")).as("n_cur"),
+        max(col("__dr_b")).as("n_bins"),
+        sum(col("__dr_t").cast("decimal(38,0)")).as("__dr_chi"))
+      .withColumn("chi2_upm", col("__dr_chi").cast("long"))
+      .withColumn("p_ppm",
+        when(col("chi2_upm") <= 0L || col("n_ref") === 0L || col("n_cur") === 0L,
+          lit(1000000L))
+          .otherwise(least(lit(1000000L), Idiv(
+            lit(2L) * (col("n_bins") - 1L).cast("decimal(38,0)") * 1000000000000L,
+            col("__dr_chi")).cast("long"))))
+      .drop("__dr_chi")
+  }
+
+  /** Single change-point by binary segmentation (the first split of the
+    * classic CUSUM-of-means scan): per series, the position k maximizing
+    * the between-segment statistic
+    *   G_k·10⁶ = ((n·P_k − k·T)²·10⁶) div (n·k·(n−k))
+    * (P_k = prefix sum, T = total — G is n·k(n−k)/n²·(mean_L − mean_R)²,
+    * the variance explained by splitting at k). The pick is a MAX over the
+    * exact integer tuple (g_upm, −k) — ties to the earliest position, the
+    * Theil–Sen total-order discipline, so the argmax is engine-stable.
+    * Positions are a per-group WINDOW over the series census (one row per
+    * position — series are census-scale: daily/hourly aggregates, never
+    * raw rows; the Hampel q338 contract). Returns per group:
+    * (groupCols*, n, split_pos, g_upm, mean_left_micro, mean_right_micro).
+    * Groups with n < 2 are dropped (no interior split exists). */
+  def binarySegmentOne(
+      df: DataFrame,
+      posCol: String,
+      valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "binarySegmentOne: empty groupCols would plan a single-task global " +
+        "window — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val wRun = Window.partitionBy(gs: _*).orderBy(col("__dr_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gs: _*)
+    val scanned = df
+      .select((gs :+ col(posCol).cast("long").as("__dr_pos") :+
+        col(valueCol).cast("long").as("__dr_v")): _*)
+      .withColumn("__dr_k", count(lit(1)).over(wRun))
+      .withColumn("__dr_p", sum(col("__dr_v")).over(wRun))
+      .withColumn("__dr_n", count(lit(1)).over(wTot))
+      .withColumn("__dr_t", sum(col("__dr_v")).over(wTot))
+      .filter(col("__dr_n") >= 2L && col("__dr_k") < col("__dr_n"))
+      .withColumn("__dr_g", Idiv(
+        (col("__dr_n").cast("decimal(38,0)") * col("__dr_p") -
+          col("__dr_k").cast("decimal(38,0)") * col("__dr_t")) *
+          (col("__dr_n").cast("decimal(38,0)") * col("__dr_p") -
+            col("__dr_k").cast("decimal(38,0)") * col("__dr_t")) * 1000000L,
+        col("__dr_n").cast("decimal(38,0)") * col("__dr_k") *
+          (col("__dr_n") - col("__dr_k"))).cast("long"))
+    scanned
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__dr_n")).as("n"),
+        max(col("__dr_t")).as("__dr_tt"),
+        max(struct(col("__dr_g"), (-col("__dr_k")).as("negk"),
+          col("__dr_pos").as("pos"), col("__dr_p").as("pfx"))).as("__dr_m"))
+      .withColumn("split_pos", col("__dr_m.pos"))
+      .withColumn("g_upm", col("__dr_m.__dr_g"))
+      .withColumn("mean_left_micro",
+        Idiv(col("__dr_m.pfx") * 1000000L, -col("__dr_m.negk")))
+      .withColumn("mean_right_micro",
+        Idiv((col("__dr_tt") - col("__dr_m.pfx")) * 1000000L,
+          col("n") + col("__dr_m.negk")))
+      .select((gs :+ col("n") :+ col("split_pos") :+ col("g_upm") :+
+        col("mean_left_micro") :+ col("mean_right_micro")): _*)
   }
 }

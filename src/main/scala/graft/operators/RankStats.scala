@@ -364,4 +364,96 @@ object RankStats {
         expr("CAST((3 * __rs_tsum) div (n * (n + 1)) AS BIGINT)"))
       .drop("__rs_tsum")
   }
+
+  /** Wilcoxon signed-rank per group — the PAIRED cousin of Mann–Whitney
+    * (did the new model score the SAME items higher?): nonzero differences
+    * d = x − y are ranked by |d| (tie-averaged doubled ranks from the |d|
+    * census — the rank2 convention), W⁺ doubled = Σ_{d>0} rank2. Since
+    * Σ rank2 over all nonzero rows = n(n+1) exactly, the rank-biserial
+    * effect size r = (W⁺ − W⁻)/(W⁺ + W⁻) is exactly
+    * (2·w2_plus − n(n+1)) / (n(n+1)) in doubled units, emitted as
+    * sign-magnitude rb_ppm. Zero differences are DROPPED
+    * (the standard Wilcoxon convention). Returns
+    * (groupCols*, n, w2_plus, rb_ppm). */
+  def wilcoxonSignedRank(
+      df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "wilcoxonSignedRank: empty groupCols would plan a single-task global " +
+        "window — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val diffs = df
+      .withColumn("__rs_d", col(xCol).cast("long") - col(yCol).cast("long"))
+      .filter(col("__rs_d") =!= 0L)
+    val census = diffs
+      .groupBy((gs :+ abs(col("__rs_d")).as("__rs_ad")): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("__rs_d") > 0L, 1L).otherwise(0L)).as("__rs_pos"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__rs_ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("rank2",
+        lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("__rs_pos") * col("rank2")).as("w2_plus"))
+      .filter(col("n") >= 1)
+      .transform(d => withPpm(d,
+        lit(2L) * col("w2_plus") - col("n") * (col("n") + 1L),
+        col("n") * (col("n") + 1L), "rb_ppm"))
+  }
+
+  /** Cliff's delta per group — the ordinal effect size
+    * δ = P(a > b) − P(a < b) ∈ [−1, 1], the robust "how separated are the
+    * two samples" companion to Mann–Whitney (δ = 2·AUC − 1): from the
+    * doubled U, δ = (u2 − n_a·n_b)/(n_a·n_b) exactly. Same census shape as
+    * [[mannWhitney]] (which it composes). Returns
+    * (groupCols*, n_a, n_b, u2, delta_ppm). */
+  def cliffsDelta(
+      df: DataFrame, valueCol: String, sideCol: String,
+      sideA: String, sideB: String, groupCols: Seq[String]): DataFrame =
+    mannWhitney(df, valueCol, sideCol, sideA, sideB, groupCols)
+      .transform(d => withPpm(d, col("u2") - col("n_a") * col("n_b"),
+        col("n_a") * col("n_b"), "delta_ppm"))
+      .drop("u_ppm")
+
+  /** Gini concentration per group over a NON-NEGATIVE integer measure —
+    * the inequality one-number (token-budget concentration across sources,
+    * revenue concentration across keys; the general-measure cousin of the
+    * skew report's key-count Gini). Exact mean-difference identity on
+    * tie-averaged ranks: Σ_{i,j}|x_i − x_j| = 2·Σ_i (2·r̄_i − n − 1)·x_i
+    * with r̄ the average rank — so the numerator is one census fold,
+    * gini_num = Σ_cells cnt·(rank2 − n − 1)·v, and
+    * G = gini_num / (n·Σx) (the population convention, diagonal included),
+    * emitted as gini_ppm = gini_num·10⁶ div (n·Σx), NULL when Σx = 0.
+    * Returns (groupCols*, n, sum_v, gini_num, gini_ppm). */
+  def giniPpm(
+      df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "giniPpm: empty groupCols would plan a single-task global window — " +
+        "inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(valueCol).cast("long").as("__rs_v")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__rs_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gs: _*)
+    census
+      .withColumn("rank2",
+        lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
+      .withColumn("__rs_n", sum(col("cnt")).over(wTot))
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__rs_n")).as("n"),
+        sum(col("cnt") * col("__rs_v")).as("sum_v"),
+        sum(col("cnt").cast("decimal(38,0)") * (col("rank2") - col("__rs_n") - 1L) *
+          col("__rs_v")).as("__rs_gn"))
+      .withColumn("gini_num", col("__rs_gn").cast("long"))
+      .withColumn("gini_ppm",
+        when(col("sum_v") === 0L, lit(null).cast("long"))
+          .otherwise(org.apache.spark.sql.graft.Idiv(
+            col("__rs_gn") * 1000000L, col("n") * col("sum_v")).cast("long")))
+      .drop("__rs_gn")
+  }
 }

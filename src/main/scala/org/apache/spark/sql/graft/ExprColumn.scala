@@ -19,6 +19,18 @@ object ExprColumn {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Integral division as a first-class Column (SQL's `a div b`, truncating
+  * toward zero — the cross-engine-stable division both Spark `div` and
+  * DuckDB `//` implement). The Column API only exposes true division
+  * (`/`); graft's exact-integer statistics previously had to route every
+  * `div` through `expr("…")` strings over pre-materialized temp columns —
+  * this builds the same codegen'd `IntegralDivide` node directly. */
+object Idiv {
+  def apply(num: Column, den: Column): Column =
+    ExprColumn(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ExprColumn.expr(num), ExprColumn.expr(den)))
+}
+
 /** Bridge from a Catalyst `LogicalPlan` to a public `DataFrame` — the
   * classic engine's `Dataset.ofRows`, `private[sql]` for the same reason
   * as the expression bridge above. This is how graft's custom logical

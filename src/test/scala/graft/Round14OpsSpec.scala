@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GlobalOrder, Graph}
+import graft.operators.{Agreement, Drift, GlobalOrder, Graph, RankStats, Survival}
 
 /** Round-14 contracts: the fused convergence probes (iterative operators
   * read row counts off CheckpointFresh's eager materialization instead of
@@ -115,5 +115,199 @@ class Round14OpsSpec extends SparkSpec {
     val on = GlobalOrder.cumSum(allNull, Seq(col("id")), col("wv"), "cum", partitions = 4)
       .select("cum").collect()
     assert(on.length == 6 && on.forall(_.isNullAt(0)))
+  }
+
+  // ------------------------------------------------------------- agreement
+
+  test("cohenKappa: hand case kappa = 0.4; one-rater-only label survives the census join") {
+    val a = Seq("x", "x", "x", "x", "x", "x", "y", "y", "y", "y")
+    val b = Seq("x", "x", "x", "x", "y", "y", "y", "y", "y", "x")
+    val df = viaParquet(a.zip(b).map { case (x, y) => ("g", x, y) }.toDF("g", "ra", "rb"))
+    val r = Agreement.cohenKappa(df, "ra", "rb", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("agree") == 7L)
+    assert(r.getAs[Long]("pe_num") == 50L) // 6*5 + 4*5
+    assert(r.getAs[Long]("kappa_ppm") == 400000L) // (70-50)/(100-50)
+    // a label only rater A uses must not drop B's census rows (full outer)
+    val df2 = viaParquet(Seq(("g", "z", "x"), ("g", "x", "x")).toDF("g", "ra", "rb"))
+    val r2 = Agreement.cohenKappa(df2, "ra", "rb", Seq("g")).collect()(0)
+    assert(r2.getAs[Long]("pe_num") == 2L) // only (x: 1*2); z*0 contributes 0
+    // constant identical raters: kappa undefined, NULL not 1
+    val r3 = Agreement.cohenKappa(
+      viaParquet(Seq(("g", "x", "x"), ("g", "x", "x")).toDF("g", "ra", "rb")),
+      "ra", "rb", Seq("g")).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("kappa_ppm")))
+  }
+
+  test("fleissKappa: hand case kappa = 0.25; varying n refuses") {
+    val ratings = Seq( // item 1: a,a,a; item 2: a,b,b -> kappa = 1/4
+      ("g", 1L, "a"), ("g", 1L, "a"), ("g", 1L, "a"),
+      ("g", 2L, "a"), ("g", 2L, "b"), ("g", 2L, "b"))
+    val r = Agreement.fleissKappa(viaParquet(ratings.toDF("g", "item", "cat")),
+      "item", "cat", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("n_items") == 2L && r.getAs[Long]("n_raters") == 3L)
+    assert(r.getAs[Long]("po_pair_num") == 8L && r.getAs[Long]("pe_sq_num") == 20L)
+    assert(r.getAs[Long]("kappa_ppm") == 250000L)
+    assertThrows[IllegalArgumentException] {
+      Agreement.fleissKappa(
+        viaParquet((ratings :+ (("g", 2L, "b"))).toDF("g", "item", "cat")),
+        "item", "cat", Seq("g")).collect()
+    }
+  }
+
+  test("mcnemar: chi2 exact, 5% decision by the 96/25 rational") {
+    // b=6 c=2: chi2 = 16/8 = 2, not significant (25*16=400 < 96*8=768)
+    val rows1 = Seq.fill(6)(("g1", true, false)) ++ Seq.fill(2)(("g1", false, true)) ++
+      Seq.fill(5)(("g1", true, true))
+    // b=10 c=1: chi2 = 81/11, significant (25*81=2025 >= 96*11=1056)
+    val rows2 = Seq.fill(10)(("g2", true, false)) ++ Seq(("g2", false, true))
+    val out = Agreement.mcnemar(
+      viaParquet((rows1 ++ rows2).toDF("g", "ca", "cb")), "ca", "cb", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("chi2_upm"), r.getAs[Boolean]("significant"))).toMap
+    assert(out("g1") == (2000000L, false))
+    assert(out("g2") == (81000000L / 11L, true))
+    // no discordance: NULL chi2, not significant
+    val r0 = Agreement.mcnemar(
+      viaParquet(Seq(("g", true, true), ("g", false, false)).toDF("g", "ca", "cb")),
+      "ca", "cb", Seq("g")).collect()(0)
+    assert(r0.isNullAt(r0.fieldIndex("chi2_upm")) && !r0.getAs[Boolean]("significant"))
+  }
+
+  // ------------------------------------------------------------ rank stats
+
+  test("wilcoxonSignedRank: distinct ranks, tie class, zeros dropped") {
+    val df = viaParquet(Seq(
+      ("g1", 11L, 10L), ("g1", 12L, 10L), ("g1", 7L, 10L), ("g1", 14L, 10L),
+      ("g1", 15L, 10L), ("g1", 10L, 10L), // zero diff dropped
+      ("g2", 11L, 10L), ("g2", 11L, 10L), ("g2", 9L, 10L)).toDF("g", "x", "y"))
+    val out = RankStats.wilcoxonSignedRank(df, "x", "y", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("w2_plus"), r.getAs[Long]("rb_ppm"))).toMap
+    // g1: d = +1 +2 -3 +4 +5 -> W+ = 1+2+4+5 = 12 (w2 = 24), rb = 18/30
+    assert(out("g1") == (5L, 24L, 600000L))
+    // g2: |d| all 1 (tie class of 3, rank2 = 4), W2+ = 2*4 = 8, rb = (16-12)/12
+    assert(out("g2") == (3L, 8L, 333333L))
+  }
+
+  test("cliffsDelta: hand case -0.25") {
+    val df = viaParquet(Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "b", 1L),
+      ("g", "b", 3L)).toDF("g", "side", "v"))
+    val r = RankStats.cliffsDelta(df, "v", "side", "a", "b", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("u2") == 3L) // 2*(1 + 0.5)
+    assert(r.getAs[Long]("delta_ppm") == -250000L)
+  }
+
+  test("giniPpm: mean-difference identity on a tied multiset") {
+    val df = viaParquet(Seq(1L, 1L, 2L, 4L).map(("g", _)).toDF("g", "v"))
+    val r = RankStats.giniPpm(df, "v", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("sum_v") == 8L)
+    assert(r.getAs[Long]("gini_num") == 10L) // sum|xi-xj| = 20 = 2*num
+    assert(r.getAs[Long]("gini_ppm") == 312500L)
+    // constant values: G = 0; all-zero: NULL (0/0)
+    val z = RankStats.giniPpm(
+      viaParquet(Seq(0L, 0L).map(("g", _)).toDF("g", "v")), "v", Seq("g")).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("gini_ppm")))
+  }
+
+  // -------------------------------------------------------------- survival
+
+  test("nelsonAalenMicro: per-step hazards and cumulative sum") {
+    val df = viaParquet(Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, false),
+      ("g", 3L, true)).toDF("g", "t", "ev"))
+    val out = Survival.nelsonAalenMicro(df, "t", "ev", Seq("g"))
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("hazard_step_micro"), r.getAs[Long]("chaz_micro")))
+    assert(out.toSeq == Seq((1L, 4L, 250000L, 250000L),
+      (2L, 3L, 333333L, 583333L), (3L, 1L, 1000000L, 1583333L)))
+  }
+
+  test("logRank: hand O/E/V; separated arms move dev, identical arms don't") {
+    val df = viaParquet(Seq(
+      ("g", 1L, true, "a"), ("g", 2L, true, "a"),
+      ("g", 3L, true, "b"), ("g", 4L, true, "b")).toDF("g", "t", "ev", "side"))
+    val r = Survival.logRank(df, "t", "ev", "side", "a", "b", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("o1") == 2L)
+    assert(r.getAs[Long]("e1_micro") == 500000L + 333333L)
+    assert(r.getAs[Long]("v_upm") == 250000L + 222222L)
+    val dev = BigInt(2000000L - 833333L)
+    assert(r.getAs[Long]("chi2_upm") == (dev * dev / BigInt(472222L)).toLong)
+    // a third side value refuses loudly
+    assertThrows[IllegalArgumentException] {
+      Survival.logRank(viaParquet(Seq(("g", 1L, true, "c")).toDF("g", "t", "ev", "side")),
+        "t", "ev", "side", "a", "b", Seq("g")).collect()
+    }
+  }
+
+  // ------------------------------------------------------- drift/changepoint
+
+  test("chi2Homogeneity: null slice p=1e6, drifted slice exact chi2 and Markov p") {
+    val nullRows = (1 to 10).flatMap(_ =>
+      Seq(("s0", 0L, false), ("s0", 1L, false), ("s0", 0L, true), ("s0", 1L, true)))
+    val driftRows = (1 to 10).flatMap(_ => Seq(("s1", 0L, false), ("s1", 1L, false))) ++
+      (1 to 20).map(_ => ("s1", 0L, true))
+    val out = Drift.chi2Homogeneity(
+      viaParquet((nullRows ++ driftRows).toDF("slice", "bin", "cur")),
+      "bin", "cur", Seq("slice"))
+      .collect().map(r => r.getAs[String]("slice") ->
+        (r.getAs[Long]("chi2_upm"), r.getAs[Long]("p_ppm"))).toMap
+    assert(out("s0") == (0L, 1000000L))
+    // hand: chi2 = 13.333332 (terms 1666666*2 + 5000000*2), p = 2e12/13333332
+    assert(out("s1") == (13333332L, 150000L))
+  }
+
+  test("binarySegmentOne: level-shift split found with exact G and side means") {
+    val df = viaParquet(Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 5L), ("g", 5L, 5L)).toDF("g", "pos", "v"))
+    val r = Drift.binarySegmentOne(df, "pos", "v", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("split_pos") == 3L)
+    assert(r.getAs[Long]("g_upm") == 19200000L)
+    assert(r.getAs[Long]("mean_left_micro") == 1000000L)
+    assert(r.getAs[Long]("mean_right_micro") == 5000000L)
+  }
+
+  // ------------------------------------------------------------------ graph
+
+  test("localClusteringPpm: triangle + pendant hand case") {
+    val edges = viaParquet(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst"))
+    val out = Graph.localClusteringPpm(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+          if (r.isNullAt(r.fieldIndex("lcc_ppm"))) -1L else r.getAs[Long]("lcc_ppm")))
+      .toMap
+    assert(out(1L) == (2L, 1L, 1000000L))
+    assert(out(2L) == (2L, 1L, 1000000L))
+    assert(out(3L) == (3L, 1L, 333333L))
+    assert(out(4L) == (1L, 0L, -1L)) // deg 1: undefined, NULL
+  }
+
+  // --------------------------------------------------------------- cuped/bt
+
+  test("cuped: perfectly covariate-explained metric adjusts to arm effect") {
+    val df = viaParquet(Seq(("g", "a", 12L, 10L), ("g", "a", 22L, 20L),
+      ("g", "b", 13L, 10L), ("g", "b", 23L, 20L)).toDF("g", "arm", "y", "x"))
+    val out = graft.ml.Regress.cuped(df, "y", "x", "arm", Seq("g"))
+      .collect().map(r => r.getAs[String]("arm") ->
+        (r.getAs[Long]("theta_ppm"), r.getAs[Long]("adj_mean_micro"))).toMap
+    assert(out("a") == (1000000L, 17000000L))
+    assert(out("b") == (1000000L, 18000000L))
+    // constant covariate: theta NULL, adjusted = raw mean
+    val c = graft.ml.Regress.cuped(
+      viaParquet(Seq(("g", "a", 4L, 7L), ("g", "b", 6L, 7L)).toDF("g", "arm", "y", "x")),
+      "y", "x", "arm", Seq("g")).collect()
+      .map(r => r.getAs[String]("arm") -> r.getAs[Long]("adj_mean_micro")).toMap
+    assert(c("a") == 4000000L && c("b") == 6000000L)
+  }
+
+  test("bradleyTerryMM: two-item fixed point 3:1 -> strengths 3:1") {
+    val pairs = viaParquet((Seq.fill(3)((1L, 2L)) :+ ((2L, 1L))).toDF("w", "l"))
+    val out = graft.ml.Preference.bradleyTerryMM(pairs, "w", "l", rounds = 3)
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("wins"), r.getAs[Long]("score_micro"))).toMap
+    // s1+s2 stays 2e6 every round: s1 = 3e6/2 = 1.5e6, s2 = 0.5e6 exactly
+    assert(out(1L) == (3L, 1500000L))
+    assert(out(2L) == (1L, 500000L))
   }
 }
