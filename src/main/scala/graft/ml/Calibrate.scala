@@ -66,10 +66,15 @@ object Calibrate {
     *   rel_upm2   = (Σ_b (sum_b − 10⁶·pos_b)² div n_b) div n  (per-bin div),
     *   res_upm2   = (Σ_b (pos_b·n − pos·n_b)²·10¹² div (n_b·n²)) div n,
     *   unc_upm2   = pos·(n − pos)·10¹² div n²,
-    * each per-bin quotient an exact integer function of its cell — the
-    * Nelson–Aalen truncation contract (identity holds to < 1 upm²·bins).
-    * DECIMAL(38,0) everywhere a square meets a count. Returns
-    * (groupCols*, n, n_pos, brier_upm2, rel_upm2, res_upm2, unc_upm2). */
+    * each per-bin quotient an exact integer function of its cell (the
+    * Nelson–Aalen truncation contract). The identity Brier = Rel − Res +
+    * Unc is exact when predictions are CONSTANT within each bin; with
+    * real scores spread inside a bin the gap equals the within-bin score
+    * variance (≤ bucketWidth²/4 ≈ bucketWidth²/12 for uniform spread) —
+    * callers reading the decomposition should bin at the resolution they
+    * calibrated at. DECIMAL(38,0) everywhere a square meets a count.
+    * Returns (groupCols*, n, n_pos, brier_upm2, rel_upm2, res_upm2,
+    * unc_upm2). */
   def brierDecomposition(
       df: DataFrame,
       scorePpmCol: String,

@@ -250,8 +250,11 @@ object Regress {
         pooled.select((gs :+ col("theta_ppm") :+ col("__cu_xbar")): _*), groupCols)
       .withColumn("adj_mean_micro",
         when(col("theta_ppm").isNull, col("mean_y_micro")).otherwise(
+          // sign via XOR of the factors' signs (a long product could
+          // overflow under ANSI before the decimal branch ever runs)
           col("mean_y_micro") - (when(
-            col("theta_ppm") * (col("mean_x_micro") - col("__cu_xbar")) < 0, -1L)
+            (col("theta_ppm") < 0L) =!= (col("mean_x_micro") < col("__cu_xbar")) &&
+              col("theta_ppm") =!= 0L && col("mean_x_micro") =!= col("__cu_xbar"), -1L)
             .otherwise(1L) *
             Idiv(abs(col("theta_ppm").cast("decimal(38,0)") *
               (col("mean_x_micro") - col("__cu_xbar"))), lit(1000000L))

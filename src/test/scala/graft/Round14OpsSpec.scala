@@ -257,6 +257,29 @@ class Round14OpsSpec extends SparkSpec {
     assert(out("s1") == (13333332L, 150000L))
   }
 
+  test("monitoring composition: drift p-values -> BH across slices -> only the planted slice alarms") {
+    // 6 slices, one planted: the q362 contract (the pieces must COMPOSE).
+    // The Markov p-bound is conservative (p = 2*df/chi2, chi2 ~ N/2 for
+    // this drift shape), so the planted slice needs N large enough that
+    // p*m <= rank*alpha: 400 rows/window -> chi2 = 400, p = 10000 ppm,
+    // BH rank-1 cut at alpha/m = 16666 ppm
+    val rows = (0 until 6).flatMap { h =>
+      val planted = h == 2
+      (1 to 400).flatMap { i =>
+        val refBin = i % 3
+        val curBin = if (planted) 0L else (i % 3).toLong
+        Seq(("g", h.toLong, refBin.toLong, false), ("g", h.toLong, curBin, true))
+      }
+    }
+    val pv = Drift.chi2Homogeneity(
+      viaParquet(rows.toDF("g", "h", "bin", "cur")), "bin", "cur", Seq("g", "h"))
+    val out = graft.operators.Sequential.bhFdr(pv, "p_ppm", "h", 100000L, Seq("g"))
+      .collect().map(r => r.getAs[Long]("h") -> r.getAs[Boolean]("rejected")).toMap
+    assert(out(2L), "the planted drifted slice must alarm")
+    assert((0 until 6).filter(_ != 2).forall(h => !out(h.toLong)),
+      "no null slice may alarm")
+  }
+
   test("binarySegmentOne: level-shift split found with exact G and side means") {
     val df = viaParquet(Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
       ("g", 4L, 5L), ("g", 5L, 5L)).toDF("g", "pos", "v"))
