@@ -31,6 +31,7 @@ import graft.registry.Registry
   * graft.Cli query composite-create <registryRoot> <query.json> <id>
   * graft.Cli query composite-run <registryRoot> <id> <query.json> <outDir> [--csv]
   * graft.Cli query register-derived <registryRoot> <query.json> <id>
+  * graft.Cli serve <registryRoot> [port]
   * }}}
   *
   * The registration verbs delegate to the validated `Registry.*` APIs
@@ -124,6 +125,19 @@ object Cli {
       }
       if (rc == 0) println(s"wrote $path")
       rc
+
+    // HTTP API over a registry (ref: dsgrid/api — FastAPI app over the
+    // registry + query submitter). Blocks until the process is killed.
+    case "serve" :: registryRoot :: rest =>
+      val port = rest.headOption.map(_.toInt).getOrElse(8537)
+      val spark = GraftSession.get()
+      val reg = Registry(spark, registryRoot)
+      val api = new graft.api.Api(reg)
+      val bound = api.start(port)
+      println(s"graft api listening on http://127.0.0.1:$bound " +
+        s"(viewer at /viewer, registration at /register)")
+      while (true) Thread.sleep(60000)
+      0
 
     case "query" :: kind :: registryRoot :: queryFile :: outDir :: rest
         if kind == "project" || kind == "dataset" =>
