@@ -114,6 +114,91 @@ object Agreement {
         col("pe_sq_num") :+ col("kappa_ppm")): _*)
   }
 
+  /** Majority vote + per-annotator reliability — the label-noise triage
+    * step before any κ deep-dive: per item the majority label (ties to the
+    * SMALLEST label id — a total-order pick, the Theil–Sen discipline), and
+    * per annotator the share of their ratings that match it. The majority
+    * includes the rater being scored (the plain convention; leave-one-out
+    * changes per-rater majorities item-by-item and is a different, heavier
+    * operator). Labels must be integer-castable so the tie-break is
+    * engine-stable. Input rows are individual ratings (item, rater, label);
+    * items rated once still count (their single rating IS the majority).
+    * Returns (groupCols*, rater, n_rated, n_match, match_ppm). */
+  def majorityVote(
+      df: DataFrame, itemCol: String, raterCol: String, catCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "majorityVote: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val ratings = df.select((gs :+ col(itemCol).as("__ag_i") :+
+      col(raterCol).as("__ag_r") :+ col(catCol).cast("long").as("__ag_k")): _*)
+    val majority = ratings
+      .groupBy((gs :+ col("__ag_i") :+ col("__ag_k")): _*)
+      .agg(count(lit(1)).as("__ag_c"))
+      .groupBy((gs :+ col("__ag_i")): _*)
+      .agg(max(struct(col("__ag_c"), (-col("__ag_k")).as("negk"))).as("__ag_m"))
+      .select((gs :+ col("__ag_i") :+ (-col("__ag_m.negk")).as("__ag_maj")): _*)
+    ratings
+      .join(majority, groupCols :+ "__ag_i")
+      .groupBy((gs :+ col("__ag_r").as("rater")): _*)
+      .agg(
+        count(lit(1)).as("n_rated"),
+        sum(when(col("__ag_k") === col("__ag_maj"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("match_ppm",
+        Idiv(col("n_match") * 1000000L, col("n_rated")))
+  }
+
+  /** Krippendorff's α, nominal data — the agreement coefficient that
+    * TOLERATES varying rater counts per item (the case [[fleissKappa]]
+    * refuses): α = 1 − D_o/D_e with observed disagreement
+    * D_o ∝ Σ_items (Σ_c n_ic(n_i − n_ic)) / (n_i − 1) and expected
+    * D_e ∝ (Σ_c N_c(N − N_c)) / (N − 1) over the pooled margins of the
+    * PAIRABLE items (n_i ≥ 2; single-rating items carry no pair
+    * information and are dropped, the standard convention). The per-item
+    * and pooled quotients truncate in micro units (the Nelson–Aalen
+    * contract — exact rationals would need per-item LCMs), then
+    * α_ppm = (D_e − D_o)·10⁶ div D_e sign-magnitude, NULL when D_e = 0
+    * (every pooled rating one category). Returns
+    * (groupCols*, n_items, n_ratings, do_micro, de_micro, alpha_ppm). */
+  def krippendorffAlphaNominal(
+      df: DataFrame, itemCol: String, catCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "krippendorffAlphaNominal: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val perItemCat = df
+      .groupBy((gs :+ col(itemCol).as("__ag_i") :+ col(catCol).as("__ag_k")): _*)
+      .agg(count(lit(1)).as("__ag_nic"))
+    val perItem = perItemCat
+      .groupBy((gs :+ col("__ag_i")): _*)
+      .agg(sum(col("__ag_nic")).as("__ag_ni"))
+      .filter(col("__ag_ni") >= 2L)
+    val pairable = perItemCat.join(perItem, groupCols :+ "__ag_i")
+    val doTerm = pairable
+      .groupBy((gs :+ col("__ag_i") :+ col("__ag_ni")): _*)
+      .agg(sum(col("__ag_nic") * (col("__ag_ni") - col("__ag_nic"))).as("__ag_dis"))
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("__ag_ni")).as("n_ratings"),
+        sum(Idiv(col("__ag_dis") * 1000000L, col("__ag_ni") - 1L)).as("do_micro"))
+    val deTerm = pairable
+      .groupBy((gs :+ col("__ag_k")): _*)
+      .agg(sum(col("__ag_nic")).as("__ag_nc"))
+      .groupBy(gs: _*)
+      .agg(sum(col("__ag_nc")).as("__ag_n"),
+        sum(col("__ag_nc").cast("decimal(38,0)") * col("__ag_nc")).as("__ag_sq"))
+      .withColumn("de_micro",
+        when(col("__ag_n") <= 1L, lit(0L)).otherwise(Idiv(
+          (col("__ag_n").cast("decimal(38,0)") * col("__ag_n") - col("__ag_sq")) *
+            1000000L,
+          col("__ag_n") - 1L).cast("long")))
+      .select((gs :+ col("de_micro")): _*)
+    doTerm.join(deTerm, groupCols)
+      .withColumn("alpha_ppm", ppmOrNull(
+        (col("de_micro") - col("do_micro")).cast("decimal(38,0)"), col("de_micro")))
+  }
+
   /** McNemar's test per group — do two paired classifiers differ, judged
     * ONLY on the discordant pairs (McNemar, Psychometrika 1947)? One row
     * per item with each classifier's boolean correctness. With

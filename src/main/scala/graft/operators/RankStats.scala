@@ -417,6 +417,54 @@ object RankStats {
         col("n_a") * col("n_b"), "delta_ppm"))
       .drop("u_ppm")
 
+  /** Winsorized mean per group — the outlier-robust location estimate a
+    * metrics pipeline reports next to the raw mean (a single corrupt
+    * sensor reading moves the mean arbitrarily; winsorizing clamps the
+    * k = ⌊n·p⌋ most extreme values EACH side to the cut values instead of
+    * dropping them). The cuts are RANK PICKS from the value census (the
+    * q261/q337 hash-match discipline — never an interpolation): lo = the
+    * (k+1)-th smallest value, hi = the (n−k)-th; the winsorized sum is a
+    * pure census fold Σ cnt·clamp(v, lo, hi) and the mean truncates in
+    * micro units. Returns (groupCols*, n, k_each_side, lo, hi,
+    * wmean_micro); k = 0 (tiny groups or p = 0) degrades to the exact
+    * plain mean. */
+  def winsorizedMeanMicro(
+      df: DataFrame, valueCol: String, pPpm: Long, groupCols: Seq[String]): DataFrame = {
+    require(pPpm >= 0 && pPpm < 500000L,
+      s"winsorizedMeanMicro: pPpm in [0, 5e5) (each side), got $pPpm")
+    require(groupCols.nonEmpty,
+      "winsorizedMeanMicro: empty groupCols would plan a single-task global " +
+        "window — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val census = df
+      .groupBy((gs :+ col(valueCol).cast("long").as("__rs_v")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wLe = Window.partitionBy(gs: _*).orderBy(col("__rs_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gs: _*)
+    val swept = census
+      .withColumn("__rs_cum", sum(col("cnt")).over(wLe))
+      .withColumn("__rs_n", sum(col("cnt")).over(wTot))
+      .withColumn("__rs_k", Idiv(col("__rs_n") * pPpm, lit(1000000L)))
+    val lo = swept.filter(col("__rs_cum") >= col("__rs_k") + 1L)
+      .groupBy(gs: _*).agg(min(col("__rs_v")).as("lo"))
+    val hi = swept.filter(col("__rs_cum") >= col("__rs_n") - col("__rs_k"))
+      .groupBy(gs: _*).agg(min(col("__rs_v")).as("hi"))
+    swept
+      .join(lo, groupCols).join(hi, groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__rs_n")).as("n"),
+        max(col("__rs_k")).as("k_each_side"),
+        max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(col("cnt") * greatest(least(col("__rs_v"), col("hi")), col("lo")))
+          .as("__rs_ws"))
+      .withColumn("wmean_micro", Idiv(col("__rs_ws") * 1000000L, col("n")))
+      .drop("__rs_ws")
+  }
+
   /** Gini concentration per group over a NON-NEGATIVE integer measure —
     * the inequality one-number (token-budget concentration across sources,
     * revenue concentration across keys; the general-measure cousin of the

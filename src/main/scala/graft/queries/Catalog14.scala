@@ -723,9 +723,221 @@ private[graft] object Catalog14 {
                      END AS BIGINT) AS gini_ppm
             FROM ag ORDER BY 1"""))
 
+  /** Paired text eval ([[graft.text.EvalText.ngramOverlapEval]] — ROUGE-2
+    * recall / BLEU-2 clipped precision / brevity over candidate =
+    * 200-char prefix vs reference = 300-char prefix of each document, per
+    * language; the clip is a per-document (id, gram) census join, exact
+    * ppm, no libm). */
+  val q376_text_eval = Q(
+    "q376_text_eval",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("lang"), col("doc_id"),
+        substring(col("text"), 1, 200).as("cand"),
+        substring(col("text"), 1, 300).as("ref"))
+      graft.text.EvalText.ngramOverlapEval(d, "doc_id", "cand", "ref", 2, Seq("lang"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+              SELECT lang, doc_id,
+                     substr(text, 1, 200) AS cand, substr(text, 1, 300) AS ref
+              FROM documents),
+            ct AS (SELECT lang, doc_id, string_split(cand, ' ') AS t FROM d),
+            rt AS (SELECT lang, doc_id, string_split(ref, ' ') AS t FROM d),
+            cg AS (
+              SELECT lang, doc_id, g, COUNT(*) AS cc FROM (
+                SELECT lang, doc_id,
+                       unnest([t[j] || ' ' || t[j + 1] FOR j IN range(1, len(t))]) AS g
+                FROM ct) GROUP BY 1, 2, 3),
+            rg AS (
+              SELECT lang, doc_id, g, COUNT(*) AS rc FROM (
+                SELECT lang, doc_id,
+                       unnest([t[j] || ' ' || t[j + 1] FOR j IN range(1, len(t))]) AS g
+                FROM rt) GROUP BY 1, 2, 3),
+            clip AS (
+              SELECT COALESCE(cg.lang, rg.lang) AS lang,
+                     SUM(COALESCE(cc, 0)) AS cand_grams,
+                     SUM(COALESCE(rc, 0)) AS ref_grams,
+                     SUM(LEAST(COALESCE(cc, 0), COALESCE(rc, 0))) AS matched
+              FROM cg FULL OUTER JOIN rg
+                ON cg.lang = rg.lang AND cg.doc_id = rg.doc_id AND cg.g = rg.g
+              GROUP BY 1),
+            lens AS (
+              SELECT lang, COUNT(*) AS n_docs,
+                     SUM(len(string_split(cand, ' '))) AS ctok,
+                     SUM(len(string_split(ref, ' '))) AS rtok
+              FROM d GROUP BY 1)
+            SELECT lens.lang, n_docs::BIGINT AS n_docs,
+                   cand_grams::BIGINT AS cand_grams, ref_grams::BIGINT AS ref_grams,
+                   matched::BIGINT AS matched_grams,
+                   CAST((matched * 1000000) // NULLIF(ref_grams, 0) AS BIGINT)
+                     AS rouge_recall_ppm,
+                   CAST((matched * 1000000) // NULLIF(cand_grams, 0) AS BIGINT)
+                     AS bleu_precision_ppm,
+                   CAST((ctok * 1000000) // NULLIF(rtok, 0) AS BIGINT) AS brevity_ppm
+            FROM lens JOIN clip ON lens.lang = clip.lang
+            ORDER BY 1"""))
+
+  /** Majority vote + per-annotator reliability ([[graft.operators
+    * .Agreement.majorityVote]] — the q364 three-rater fixture scored
+    * against its own per-item majority: rater 0 echoes the majority almost
+    * everywhere, raters 1-2 drift on their residues; ties pick the
+    * smallest label, the total-order discipline). */
+  val q377_majority_vote = Q(
+    "q377_majority_vote",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("lang"), col("doc_id"), pmod(col("doc_id"), lit(3L)).as("__t"))
+        .select(col("lang"), col("doc_id"), posexplode(array(
+          (0 until 3).map(r =>
+            when(pmod(col("doc_id") * (r + 1), lit(5L)) === 0L,
+              pmod(col("__t") + r, lit(3L))).otherwise(col("__t"))): _*)))
+        .select(col("lang"), col("doc_id"),
+          col("pos").cast("long").as("rater"), col("col").as("lbl"))
+      graft.operators.Agreement.majorityVote(d, "doc_id", "rater", "lbl", Seq("lang"))
+        .orderBy("lang", "rater")
+    },
+    Some("""WITH ratings AS (
+              SELECT lang, doc_id, 0 AS rater,
+                     CASE WHEN (doc_id * 1) % 5 = 0 THEN (doc_id % 3 + 0) % 3
+                          ELSE doc_id % 3 END AS lbl FROM documents
+              UNION ALL
+              SELECT lang, doc_id, 1,
+                     CASE WHEN (doc_id * 2) % 5 = 0 THEN (doc_id % 3 + 1) % 3
+                          ELSE doc_id % 3 END FROM documents
+              UNION ALL
+              SELECT lang, doc_id, 2,
+                     CASE WHEN (doc_id * 3) % 5 = 0 THEN (doc_id % 3 + 2) % 3
+                          ELSE doc_id % 3 END FROM documents),
+            cnts AS (
+              SELECT lang, doc_id, lbl, COUNT(*) AS c
+              FROM ratings GROUP BY 1, 2, 3),
+            maj AS (
+              SELECT lang, doc_id, lbl AS mlbl
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, doc_id
+                      ORDER BY c DESC, lbl) AS rn FROM cnts)
+              WHERE rn = 1)
+            SELECT r.lang, r.rater::BIGINT AS rater, COUNT(*)::BIGINT AS n_rated,
+                   SUM(CASE WHEN r.lbl = maj.mlbl THEN 1 ELSE 0 END)::BIGINT
+                     AS n_match,
+                   CAST((SUM(CASE WHEN r.lbl = maj.mlbl THEN 1 ELSE 0 END) * 1000000)
+                     // COUNT(*) AS BIGINT) AS match_ppm
+            FROM ratings r JOIN maj ON r.lang = maj.lang AND r.doc_id = maj.doc_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2"""))
+
+  /** Krippendorff's α, nominal ([[graft.operators.Agreement
+    * .krippendorffAlphaNominal]] — the agreement coefficient for VARYING
+    * rater counts: even docs get 2 ratings, odd docs 3 (exactly the shape
+    * Fleiss refuses); per-item micro disagreement quotients, pooled
+    * margins, per language). */
+  val q378_krippendorff = Q(
+    "q378_krippendorff",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("lang"), col("doc_id"), pmod(col("doc_id"), lit(3L)).as("__t"))
+        .select(col("lang"), col("doc_id"), explode(slice(array(
+          (0 until 3).map(r =>
+            when(pmod(col("doc_id") * (r + 1), lit(5L)) === 0L,
+              pmod(col("__t") + r, lit(3L))).otherwise(col("__t"))): _*),
+          lit(1), lit(2L) + pmod(col("doc_id"), lit(2L)))).as("cat"))
+      graft.operators.Agreement.krippendorffAlphaNominal(d, "doc_id", "cat", Seq("lang"))
+        .orderBy("lang")
+    },
+    Some("""WITH ratings AS (
+              SELECT lang, doc_id,
+                     CASE WHEN (doc_id * 1) % 5 = 0 THEN (doc_id % 3 + 0) % 3
+                          ELSE doc_id % 3 END AS cat FROM documents
+              UNION ALL
+              SELECT lang, doc_id,
+                     CASE WHEN (doc_id * 2) % 5 = 0 THEN (doc_id % 3 + 1) % 3
+                          ELSE doc_id % 3 END FROM documents
+              UNION ALL
+              SELECT lang, doc_id,
+                     CASE WHEN (doc_id * 3) % 5 = 0 THEN (doc_id % 3 + 2) % 3
+                          ELSE doc_id % 3 END FROM documents
+              WHERE doc_id % 2 = 1),
+            pic AS (
+              SELECT lang, doc_id, cat, COUNT(*) AS nic
+              FROM ratings GROUP BY 1, 2, 3),
+            pi AS (
+              SELECT lang, doc_id, SUM(nic) AS ni FROM pic GROUP BY 1, 2),
+            dot AS (
+              SELECT pic.lang, pic.doc_id, pi.ni,
+                     SUM(nic * (ni - nic)) AS dis
+              FROM pic JOIN pi ON pic.lang = pi.lang AND pic.doc_id = pi.doc_id
+              WHERE ni >= 2 GROUP BY 1, 2, 3),
+            dsum AS (
+              SELECT lang, COUNT(*) AS n_items, SUM(ni) AS n_ratings,
+                     SUM((dis * 1000000) // (ni - 1)) AS do_micro
+              FROM dot GROUP BY 1),
+            marg AS (
+              SELECT pic.lang, pic.cat, SUM(nic) AS nc
+              FROM pic JOIN pi ON pic.lang = pi.lang AND pic.doc_id = pi.doc_id
+              WHERE pi.ni >= 2 GROUP BY 1, 2),
+            de AS (
+              SELECT lang, SUM(nc) AS n, SUM(CAST(nc AS HUGEINT) * nc) AS sq
+              FROM marg GROUP BY 1),
+            desum AS (
+              SELECT lang,
+                     CAST(CASE WHEN n <= 1 THEN 0 ELSE
+                       ((CAST(n AS HUGEINT) * n - sq) * 1000000) // (n - 1)
+                       END AS BIGINT) AS de_micro
+              FROM de)
+            SELECT dsum.lang, n_items::BIGINT AS n_items,
+                   n_ratings::BIGINT AS n_ratings, do_micro::BIGINT AS do_micro,
+                   de_micro::BIGINT AS de_micro,
+                   CAST(CASE WHEN de_micro = 0 THEN NULL ELSE
+                     (CASE WHEN de_micro - do_micro < 0 THEN -1 ELSE 1 END) *
+                     ((ABS(CAST(de_micro AS HUGEINT) - do_micro) * 1000000)
+                       // de_micro) END AS BIGINT) AS alpha_ppm
+            FROM dsum JOIN desum ON dsum.lang = desum.lang
+            ORDER BY 1"""))
+
+  /** Winsorized mean ([[graft.operators.RankStats.winsorizedMeanMicro]] —
+    * robust revenue-per-line location at 5% each side over extended-price
+    * cents per returnflag: rank-pick cuts from the value census, census
+    * clamp fold, micro truncation). */
+  val q379_winsorized = Q(
+    "q379_winsorized",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.RankStats.winsorizedMeanMicro(li, "cents", 50000L, Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem),
+            cen AS (SELECT g, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+            sw AS (
+              SELECT g, v, cnt,
+                     SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER (PARTITION BY g) AS n
+              FROM cen),
+            kk AS (SELECT g, MAX(n) AS n, (MAX(n) * 50000) // 1000000 AS k FROM sw GROUP BY 1),
+            lo AS (
+              SELECT sw.g, MIN(v) AS lo FROM sw JOIN kk ON sw.g = kk.g
+              WHERE cum >= k + 1 GROUP BY 1),
+            hi AS (
+              SELECT sw.g, MIN(v) AS hi FROM sw JOIN kk ON sw.g = kk.g
+              WHERE cum >= kk.n - k GROUP BY 1)
+            SELECT sw.g, kk.n::BIGINT AS n, kk.k::BIGINT AS k_each_side,
+                   lo.lo::BIGINT AS lo, hi.hi::BIGINT AS hi,
+                   CAST((SUM(cnt * GREATEST(LEAST(v, hi.hi), lo.lo)) * 1000000) // kk.n
+                     AS BIGINT) AS wmean_micro
+            FROM sw JOIN kk ON sw.g = kk.g
+            JOIN lo ON sw.g = lo.g JOIN hi ON sw.g = hi.g
+            GROUP BY sw.g, kk.n, kk.k, lo.lo, hi.hi
+            ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q362_drift_fdr_monitor, q363_cohen_kappa, q364_fleiss_kappa, q365_mcnemar,
     q366_wilcoxon, q367_cliffs_delta, q368_brier, q369_log_rank,
     q370_nelson_aalen, q371_cuped, q372_changepoint, q373_clustering_coeff,
-    q374_bradley_terry, q375_gini)
+    q374_bradley_terry, q375_gini, q376_text_eval, q377_majority_vote,
+    q378_krippendorff, q379_winsorized)
 }

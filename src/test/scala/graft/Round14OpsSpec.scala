@@ -324,6 +324,76 @@ class Round14OpsSpec extends SparkSpec {
     assert(c("a") == 4000000L && c("b") == 6000000L)
   }
 
+  test("ngramOverlapEval: hand bigram clip, brevity, short-text empty grams") {
+    // cand "a b a b" vs ref "a b c a b": cand bigrams {ab:2, ba:1},
+    // ref {ab:2, bc:1, ca:1} -> matched = 2 (ab clipped at 2, ba at 0)
+    val df = viaParquet(Seq(("g", 1L, "a b a b", "a b c a b")).toDF("g", "id", "c", "r"))
+    val o = graft.text.EvalText.ngramOverlapEval(df, "id", "c", "r", 2, Seq("g")).collect()(0)
+    assert(o.getAs[Long]("cand_grams") == 3L && o.getAs[Long]("ref_grams") == 4L)
+    assert(o.getAs[Long]("matched_grams") == 2L)
+    assert(o.getAs[Long]("rouge_recall_ppm") == 500000L)
+    assert(o.getAs[Long]("bleu_precision_ppm") == 666666L)
+    assert(o.getAs[Long]("brevity_ppm") == 800000L) // 4 tokens / 5 tokens
+    // a one-token candidate has NO bigrams: precision NULL, not an error
+    val s = graft.text.EvalText.ngramOverlapEval(
+      viaParquet(Seq(("g", 1L, "a", "a b")).toDF("g", "id", "c", "r")),
+      "id", "c", "r", 2, Seq("g")).collect()(0)
+    assert(s.getAs[Long]("cand_grams") == 0L &&
+      s.isNullAt(s.fieldIndex("bleu_precision_ppm")))
+  }
+
+  test("majorityVote: ties to smallest label; per-rater match shares") {
+    val ratings = Seq( // item 1: labels 2,2,5 -> maj 2; item 2: 1,3 tie -> maj 1
+      ("g", 1L, "r1", 2L), ("g", 1L, "r2", 2L), ("g", 1L, "r3", 5L),
+      ("g", 2L, "r1", 1L), ("g", 2L, "r3", 3L))
+    val out = Agreement.majorityVote(
+      viaParquet(ratings.toDF("g", "item", "rater", "lbl")),
+      "item", "rater", "lbl", Seq("g"))
+      .collect().map(r => r.getAs[String]("rater") ->
+        (r.getAs[Long]("n_rated"), r.getAs[Long]("n_match"), r.getAs[Long]("match_ppm")))
+      .toMap
+    assert(out("r1") == (2L, 2L, 1000000L))
+    assert(out("r2") == (1L, 1L, 1000000L))
+    assert(out("r3") == (2L, 0L, 0L))
+  }
+
+  test("krippendorffAlphaNominal: hand case with VARYING rater counts") {
+    // item A: x,x (n=2); item B: x,y,y (n=3); item C single-rated -> dropped
+    val ratings = Seq(("g", "A", "x"), ("g", "A", "x"),
+      ("g", "B", "x"), ("g", "B", "y"), ("g", "B", "y"), ("g", "C", "x"))
+    val r = Agreement.krippendorffAlphaNominal(
+      viaParquet(ratings.toDF("g", "item", "cat")), "item", "cat", Seq("g"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") == 2L && r.getAs[Long]("n_ratings") == 5L)
+    // Do: A: 0; B: (1*2 + 2*1)/2 = 2 -> 2e6 micro. De: N=5, Nx=3, Ny=2:
+    // (3*2 + 2*3)/4 = 3 -> 3e6 micro. alpha = 1 - 2/3 = 1/3
+    assert(r.getAs[Long]("do_micro") == 2000000L)
+    assert(r.getAs[Long]("de_micro") == 3000000L)
+    assert(r.getAs[Long]("alpha_ppm") == 333333L)
+    // perfect agreement across varying n: alpha = 1
+    val p = Agreement.krippendorffAlphaNominal(
+      viaParquet(Seq(("g", "A", "x"), ("g", "A", "x"), ("g", "B", "y"),
+        ("g", "B", "y"), ("g", "B", "y")).toDF("g", "item", "cat")),
+      "item", "cat", Seq("g")).collect()(0)
+    assert(p.getAs[Long]("alpha_ppm") == 1000000L)
+  }
+
+  test("winsorizedMeanMicro: rank-pick cuts clamp the planted outlier") {
+    // 10 values: 1..9 and 1000; p = 10% -> k = 1: lo = 2nd smallest = 2,
+    // hi = 9th = 9; winsorized sum = 2 + 2..9 + 9 = clamp both tails
+    val df = viaParquet((1L to 9L).map(("g", _)).toDF("g", "v")
+      .unionByName(Seq(("g", 1000L)).toDF("g", "v")))
+    val r = RankStats.winsorizedMeanMicro(df, "v", 100000L, Seq("g")).collect()(0)
+    assert(r.getAs[Long]("k_each_side") == 1L)
+    assert(r.getAs[Long]("lo") == 2L && r.getAs[Long]("hi") == 9L)
+    // sum = 2 + (2+3+...+9) + 9 = 2 + 44 + 9 = 55 -> mean 5.5e6
+    assert(r.getAs[Long]("wmean_micro") == 5500000L)
+    // p = 0 degrades to the exact plain mean
+    val m = RankStats.winsorizedMeanMicro(df, "v", 0L, Seq("g")).collect()(0)
+    assert(m.getAs[Long]("k_each_side") == 0L)
+    assert(m.getAs[Long]("wmean_micro") == ((45L + 1000L) * 1000000L) / 10L)
+  }
+
   test("bradleyTerryMM: two-item fixed point 3:1 -> strengths 3:1") {
     val pairs = viaParquet((Seq.fill(3)((1L, 2L)) :+ ((2L, 1L))).toDF("w", "l"))
     val out = graft.ml.Preference.bradleyTerryMM(pairs, "w", "l", rounds = 3)
