@@ -100,6 +100,12 @@ object Bench {
           wallAccum += dt
         }
         spark.catalog.clearCache() // queries that cache intermediates don't skew later ones
+        // localCheckpoint RDDs aren't covered by clearCache — over ~380
+        // queries they accrue block-manager memory and degrade the late,
+        // shuffle-heavy queries (the ScaleProbe lesson; r14 measured the
+        // back two thirds of the run ~12% slower than the front before
+        // this, with the scan-shaped calibration anchor flat)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         // a failed run contributes NO timing: its time-to-throw would win
         // the min and report a fast failure as the steady-state time
         if (ok) Some((dt, cpuSec)) else None

@@ -118,14 +118,14 @@ object ScaleProbe {
     "q359_double_sweep" -> 1.25, // design 1.4: two horizon-bounded sweeps; measured .75
     // round-14 probes (bounds = measured + 0.45 like the rest; measured
     // values from the r14 full probe run recorded per line)
-    "q362_drift_fdr_monitor" -> 1.30, // design 1.3: row-linear bin census + census-sized chi2/BH
-    "q372_changepoint" -> 1.30, // design 1.3: row-linear day census + census windows
-    "q374_bradley_terry" -> 1.30, // design 1.3: row-linear judgment scan; 12-item census rounds
-    "q375_gini" -> 1.30, // design 1.3: value census + census window
-    "q376_text_eval" -> 1.30, // design 1.3: per-row gram map + (id, gram) census join
-    "q377_majority_vote" -> 1.30, // design 1.3: rating census + majority pick join-back
-    "q379_winsorized" -> 1.30, // design 1.3: value census + windows + clamp fold
-    "probe_lcc_disjoint" -> 1.60 // design 1.6: q373 at replicated density (disjoint supplier universes per copy — the q129/probe_triangles lesson: the catalog graph's shared vocabulary densifies quadratically under synthesis)
+    "q362_drift_fdr_monitor" -> 0.70, // design 1.3: row-linear bin census + census-sized chi2/BH; measured .05
+    "q372_changepoint" -> 0.70, // design 1.3: row-linear day census + census windows; measured -.00
+    "q374_bradley_terry" -> 0.70, // design 1.3: row-linear judgment scan; 12-item census rounds; measured .02
+    "q375_gini" -> 0.70, // design 1.3: value census + census window; measured .03
+    "q376_text_eval" -> 0.70, // design 1.3: per-row gram map + (id, gram) census join; measured -.03
+    "q377_majority_vote" -> 0.70, // design 1.3: rating census + majority pick join-back; measured .18
+    "q379_winsorized" -> 0.70, // design 1.3: value census + windows + clamp fold; measured .02
+    "probe_lcc_disjoint" -> 0.70 // design 1.6 (measured .12): q373 at replicated density (disjoint supplier universes per copy — the q129/probe_triangles lesson: the catalog graph's shared vocabulary densifies quadratically under synthesis)
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
