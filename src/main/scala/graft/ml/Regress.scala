@@ -198,6 +198,66 @@ object Regress {
       .drop("__iso_k")
   }
 
+  /** Post-stratified average treatment effect — the confounding-aware A/B
+    * readout when arm assignment correlates with a known stratum (rollout
+    * by region, traffic mix shift mid-experiment): the naive arm-mean
+    * difference mixes the treatment effect with the strata's baseline
+    * differences; post-stratification takes the WITHIN-stratum arm
+    * difference and averages it weighted by stratum size,
+    *   ATE = Σ_s N_s·(ȳ_B,s − ȳ_A,s) / Σ_s N_s.
+    * Exact chain: per-stratum means truncate in micro, the weighted fold
+    * rides DECIMAL(38,0), the final division is sign-magnitude. Strata
+    * missing an arm are DROPPED (no within-stratum contrast exists) and
+    * excluded from the weights — n_strata_used/n_used report the cut.
+    * The unadjusted difference over the SAME kept strata is returned
+    * beside it; the gap between the two is the measured confounding.
+    * Returns (groupCols*, n_strata_used, n_used, naive_diff_micro,
+    * ate_micro). */
+  def postStratifiedAte(
+      df: DataFrame,
+      yCol: String, armCol: String, armA: String, armB: String,
+      stratumCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "postStratifiedAte: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val cells = df
+      .filter(col(armCol).isin(armA, armB))
+      .groupBy((gs :+ col(stratumCol).as("__ps_s")): _*)
+      .agg(
+        sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("__ps_na"),
+        sum(when(col(armCol) === armA, col(yCol).cast("long")).otherwise(0L))
+          .as("__ps_ya"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("__ps_nb"),
+        sum(when(col(armCol) === armB, col(yCol).cast("long")).otherwise(0L))
+          .as("__ps_yb"))
+      .filter(col("__ps_na") > 0L && col("__ps_nb") > 0L)
+      .withColumn("__ps_dy",
+        Idiv(col("__ps_yb") * 1000000L, col("__ps_nb")) -
+          Idiv(col("__ps_ya") * 1000000L, col("__ps_na")))
+      .withColumn("__ps_w", col("__ps_na") + col("__ps_nb"))
+    def signMag(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null).cast("long")).otherwise(
+        (when(num < 0, -1L).otherwise(1L) * Idiv(abs(num), den)).cast("long"))
+    cells
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n_strata_used"),
+        sum(col("__ps_w")).as("n_used"),
+        sum(col("__ps_na")).as("__ps_tna"),
+        sum(col("__ps_ya")).as("__ps_tya"),
+        sum(col("__ps_nb")).as("__ps_tnb"),
+        sum(col("__ps_yb")).as("__ps_tyb"),
+        sum(col("__ps_w").cast("decimal(38,0)") * col("__ps_dy")).as("__ps_wd"))
+      .withColumn("naive_diff_micro",
+        Idiv(col("__ps_tyb") * 1000000L, col("__ps_tnb")) -
+          Idiv(col("__ps_tya") * 1000000L, col("__ps_tna")))
+      .withColumn("ate_micro",
+        signMag(col("__ps_wd"), col("n_used").cast("decimal(38,0)")))
+      .drop("__ps_tna", "__ps_tya", "__ps_tnb", "__ps_tyb", "__ps_wd")
+  }
+
   /** CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM'13) — the
     * standard A/B readout adjustment: remove the part of the metric Y
     * predicted by a PRE-experiment covariate X, so arm means are compared

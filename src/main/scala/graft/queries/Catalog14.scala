@@ -934,10 +934,178 @@ private[graft] object Catalog14 {
             GROUP BY sw.g, kk.n, kk.k, lo.lo, hi.hi
             ORDER BY 1"""))
 
+  /** ANN-graph hubness audit — embedding-quality COMPOSITION, zero new
+    * operator code (the TextRank convention): IVF top-10 retrieval over
+    * the whole corpus (centroid count ∝ corpus, the q85 k-derivation, so
+    * the scan stays linear), then the retrieval graph's IN-DEGREE census
+    * summarized by [[graft.operators.RankStats.giniPpm]] + anti-hub count
+    * (points NO query retrieves — invisible to any kNN-based dedup or
+    * retrieval) + the hottest point's in-degree. High Gini / many
+    * anti-hubs is the classic curse-of-dimensionality hubness signature
+    * (Radovanović et al. JMLR'10). Oracle replays assignment (the
+    * NearestCentroidIndex dot/|c| similarity, ties to the LARGER centroid
+    * id), 2-cell probing (cosine, ties to the smaller centroid id),
+    * ranking, and the census fold. */
+  val q380_hubness = Q(
+    "q380_hubness",
+    (s, dir) => {
+      import graft.ml.Similarity
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // centroids ∝ corpus (footer count, the q85 contract): fixed cells
+      // would make each cell grow with the data and the probed scan
+      // quadratic; k stays 8 at the driver SFs so results don't churn
+      val kc = math.max(8L, emb.count() / 125L)
+      val cents = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val cells = Similarity.assignToCentroids(emb, cents)
+      val knn = Similarity.ivfTopK(emb, cells, cents, k = 10, probes = 2)
+      val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("indeg"))
+      val full = emb.select(col("vec_id")).join(indeg, Seq("vec_id"), "left")
+        .select(lit("all").as("g"), col("vec_id"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"))
+      val gini = graft.operators.RankStats.giniPpm(full, "indeg", Seq("g"))
+      val extras = full.groupBy("g").agg(
+        sum(when(col("indeg") === 0L, 1L).otherwise(0L)).as("n_antihub"),
+        max(col("indeg")).as("max_indeg"))
+      gini.join(extras, "g")
+        .select(col("g"), col("n"), col("sum_v"), col("gini_num"),
+          col("gini_ppm"), col("n_antihub"), col("max_indeg"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            kc AS (SELECT GREATEST(8, COUNT(*) // 125) AS kc FROM e),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                      WHERE vec_id < (SELECT kc FROM kc)),
+            -- cell assignment: dot/|c| similarity, ties to the LARGER cid
+            -- (the NearestCentroidIndex contract)
+            asg AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, c.cv)
+                           / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                         c.cid DESC) AS rn
+                FROM e CROSS JOIN cents c)
+              WHERE rn = 1),
+            -- probe selection: full cosine, ties to the SMALLER cid
+            probes AS (
+              SELECT vec_id AS qid, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, c.cv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                         c.cid ASC) AS rn
+                FROM e CROSS JOIN cents c)
+              WHERE rn <= 2),
+            cand AS (
+              SELECT p.qid, a.vec_id AS nid,
+                     list_dot_product(eq.v, en.v)
+                       / (sqrt(list_dot_product(eq.v, eq.v))
+                          * sqrt(list_dot_product(en.v, en.v))) AS cos
+              FROM probes p
+              JOIN asg a ON p.cid = a.cid
+              JOIN e eq ON p.qid = eq.vec_id
+              JOIN e en ON a.vec_id = en.vec_id
+              WHERE p.qid <> a.vec_id),
+            knn AS (
+              SELECT qid, nid FROM (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, nid ASC) AS rn
+                FROM cand)
+              WHERE rn <= 10),
+            indeg AS (
+              SELECT e.vec_id, COALESCE(d.c, 0) AS indeg
+              FROM e LEFT JOIN (SELECT nid, COUNT(*) AS c FROM knn GROUP BY 1) d
+                ON e.vec_id = d.nid),
+            cen AS (SELECT indeg AS iv, COUNT(*) AS cnt FROM indeg GROUP BY 1),
+            rk AS (
+              SELECT iv, cnt,
+                     2 * COALESCE(SUM(cnt) OVER (ORDER BY iv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS rank2,
+                     SUM(cnt) OVER () AS n
+              FROM cen),
+            ag AS (
+              SELECT MAX(n) AS n, SUM(cnt * iv) AS sum_v,
+                     SUM(CAST(cnt AS HUGEINT) * (rank2 - n - 1) * iv) AS gn
+              FROM rk)
+            SELECT 'all' AS g, n::BIGINT AS n, sum_v::BIGINT AS sum_v,
+                   gn::BIGINT AS gini_num,
+                   CAST(CASE WHEN sum_v = 0 THEN NULL ELSE
+                     (gn * 1000000) // (CAST(n AS HUGEINT) * sum_v)
+                     END AS BIGINT) AS gini_ppm,
+                   (SELECT COUNT(*) FROM indeg WHERE indeg = 0)::BIGINT AS n_antihub,
+                   (SELECT MAX(indeg) FROM indeg)::BIGINT AS max_indeg
+            FROM ag"""))
+
+  /** Post-stratified ATE ([[graft.ml.Regress.postStratifiedAte]] — arm
+    * assignment PLANTED to correlate with the stratum (arm-b share rises
+    * 3/10 → 7/10 across strata) while the metric baseline also rises with
+    * the stratum, so the naive arm difference is badly biased upward; the
+    * within-stratum weighted contrast recovers the planted +15 effect.
+    * Per order-status group). */
+  val q381_post_strat_ate = Q(
+    "q381_post_strat_ate",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderstatus").as("g"),
+        pmod(col("o_orderkey"), lit(5L)).as("s"),
+        col("o_orderkey"), col("o_custkey"))
+        .withColumn("arm",
+          when(pmod(col("o_custkey") * 31L + col("s") * 7L, lit(10L)) <
+            lit(3L) + col("s"), "b").otherwise("a"))
+        .withColumn("y",
+          col("s") * 100L + when(col("arm") === "b", 15L).otherwise(0L) +
+            pmod(col("o_orderkey") * 7L, lit(10L)))
+      graft.ml.Regress.postStratifiedAte(o, "y", "arm", "a", "b", "s", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderstatus AS g, o_orderkey % 5 AS s,
+                     CASE WHEN (o_custkey * 31 + (o_orderkey % 5) * 7) % 10
+                               < 3 + o_orderkey % 5
+                          THEN 'b' ELSE 'a' END AS arm,
+                     o_orderkey
+              FROM orders),
+            d2 AS (
+              SELECT g, s, arm,
+                     s * 100 + CASE WHEN arm = 'b' THEN 15 ELSE 0 END +
+                       (o_orderkey * 7) % 10 AS y
+              FROM d),
+            cells AS (
+              SELECT g, s,
+                     SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS ya,
+                     SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                     SUM(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS yb
+              FROM d2 GROUP BY 1, 2),
+            kept AS (
+              SELECT g, na, ya, nb, yb, na + nb AS w,
+                     (yb * 1000000) // nb - (ya * 1000000) // na AS dy
+              FROM cells WHERE na > 0 AND nb > 0),
+            ag AS (
+              SELECT g, COUNT(*) AS n_strata_used, SUM(w) AS n_used,
+                     SUM(na) AS tna, SUM(ya) AS tya,
+                     SUM(nb) AS tnb, SUM(yb) AS tyb,
+                     SUM(CAST(w AS HUGEINT) * dy) AS wd
+              FROM kept GROUP BY 1)
+            SELECT g, n_strata_used::BIGINT AS n_strata_used,
+                   n_used::BIGINT AS n_used,
+                   CAST((tyb * 1000000) // tnb - (tya * 1000000) // tna AS BIGINT)
+                     AS naive_diff_micro,
+                   CAST(CASE WHEN n_used = 0 THEN NULL ELSE
+                     (CASE WHEN wd < 0 THEN -1 ELSE 1 END) *
+                     (ABS(wd) // n_used) END AS BIGINT) AS ate_micro
+            FROM ag ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q362_drift_fdr_monitor, q363_cohen_kappa, q364_fleiss_kappa, q365_mcnemar,
     q366_wilcoxon, q367_cliffs_delta, q368_brier, q369_log_rank,
     q370_nelson_aalen, q371_cuped, q372_changepoint, q373_clustering_coeff,
     q374_bradley_terry, q375_gini, q376_text_eval, q377_majority_vote,
-    q378_krippendorff, q379_winsorized)
+    q378_krippendorff, q379_winsorized, q380_hubness, q381_post_strat_ate)
 }

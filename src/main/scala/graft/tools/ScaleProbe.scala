@@ -125,6 +125,7 @@ object ScaleProbe {
     "q376_text_eval" -> 0.70, // design 1.3: per-row gram map + (id, gram) census join; measured -.03
     "q377_majority_vote" -> 0.70, // design 1.3: rating census + majority pick join-back; measured .18
     "q379_winsorized" -> 0.70, // design 1.3: value census + windows + clamp fold; measured .02
+    "q380_hubness" -> 0.70, // design 1.3: IVF scan with centroids ∝ corpus (cells bounded) + census fold; measured .13
     "probe_lcc_disjoint" -> 0.70 // design 1.6 (measured .12): q373 at replicated density (disjoint supplier universes per copy — the q129/probe_triangles lesson: the catalog graph's shared vocabulary densifies quadratically under synthesis)
   )
 

@@ -394,6 +394,21 @@ class Round14OpsSpec extends SparkSpec {
     assert(m.getAs[Long]("wmean_micro") == ((45L + 1000L) * 1000000L) / 10L)
   }
 
+  test("postStratifiedAte: weighted within-stratum contrast; arm-less strata dropped") {
+    val rows = Seq(
+      ("g", 1L, "a", 10L), ("g", 1L, "a", 20L), ("g", 1L, "b", 30L), // dy = 15
+      ("g", 2L, "a", 100L), ("g", 2L, "b", 130L), ("g", 2L, "b", 150L), // dy = 40
+      ("g", 3L, "a", 999L)) // no b arm: dropped
+    val r = graft.ml.Regress.postStratifiedAte(
+      viaParquet(rows.toDF("g", "s", "arm", "y")), "y", "arm", "a", "b", "s", Seq("g"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_strata_used") == 2L && r.getAs[Long]("n_used") == 6L)
+    // ate = (3*15e6 + 3*40e6) / 6 = 27.5e6
+    assert(r.getAs[Long]("ate_micro") == 27500000L)
+    // naive over the KEPT strata: b mean (30+130+150)/3 - a mean (10+20+100)/3
+    assert(r.getAs[Long]("naive_diff_micro") == 103333333L - 43333333L)
+  }
+
   test("bradleyTerryMM: two-item fixed point 3:1 -> strengths 3:1") {
     val pairs = viaParquet((Seq.fill(3)((1L, 2L)) :+ ((2L, 1L))).toDF("w", "l"))
     val out = graft.ml.Preference.bradleyTerryMM(pairs, "w", "l", rounds = 3)
