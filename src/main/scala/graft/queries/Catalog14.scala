@@ -1102,10 +1102,72 @@ private[graft] object Catalog14 {
                      (ABS(wd) // n_used) END AS BIGINT) AS ate_micro
             FROM ag ORDER BY 1"""))
 
+  /** Quantile treatment effects — the DISTRIBUTIONAL A/B readout beside
+    * the mean contrasts (ATE q381, CUPED q371): a treatment that helps the
+    * tail but not the median is invisible to a mean diff. Pure COMPOSITION
+    * over [[graft.operators.RankStats.ecdf]] (zero new operator code): per
+    * arm the exact ECDF census, per probability p the RANK-PICK quantile
+    * (smallest value with pct_le_ppm ≥ p — the q261/q337 hash-match
+    * discipline, never interpolation), QTE(p) = q_B(p) − q_A(p). The
+    * planted effect ADDS +40 only above the b-arm's 70th percentile
+    * residue, so qte is ~0 at p≤0.5 and ~+40 at p=0.9 — the exact shape a
+    * mean test blurs. */
+  val q382_qte = Q(
+    "q382_qte",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        when(pmod(col("o_custkey"), lit(2L)) === 0L, "a").otherwise("b").as("arm"),
+        pmod(col("o_orderkey") * 48271L, lit(1000L)).as("base"))
+        .withColumn("y", col("base") +
+          when(col("arm") === "b" && col("base") >= 700L, 40L).otherwise(0L))
+      val cdf = graft.operators.RankStats.ecdf(o, "y", Seq("g", "arm"))
+      val probs = Seq(250000L, 500000L, 750000L, 900000L).toDF("p")
+      def pick(arm: String, out: String) = cdf.filter(col("arm") === arm)
+        .crossJoin(probs)
+        .filter(col("pct_le_ppm") >= col("p"))
+        .groupBy(col("g"), col("p"))
+        .agg(min(col("y")).as(out))
+      pick("a", "qa").join(pick("b", "qb"), Seq("g", "p"))
+        .withColumn("qte", col("qb") - col("qa"))
+        .orderBy("g", "p")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderpriority AS g,
+                     CASE WHEN o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                     (o_orderkey * 48271) % 1000 AS base
+              FROM orders),
+            d2 AS (
+              SELECT g, arm,
+                     base + CASE WHEN arm = 'b' AND base >= 700 THEN 40 ELSE 0 END AS y
+              FROM d),
+            cen AS (
+              SELECT g, arm, y, COUNT(*) AS cnt FROM d2 GROUP BY 1, 2, 3),
+            cdf AS (
+              SELECT g, arm, y,
+                     SUM(cnt) OVER (PARTITION BY g, arm ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER (PARTITION BY g, arm) AS n
+              FROM cen),
+            pct AS (SELECT g, arm, y, (cum * 1000000) // n AS pct FROM cdf),
+            probs AS (SELECT unnest([250000, 500000, 750000, 900000]) AS p),
+            qa AS (
+              SELECT g, p, MIN(y) AS qa FROM pct CROSS JOIN probs
+              WHERE arm = 'a' AND pct >= p GROUP BY 1, 2),
+            qb AS (
+              SELECT g, p, MIN(y) AS qb FROM pct CROSS JOIN probs
+              WHERE arm = 'b' AND pct >= p GROUP BY 1, 2)
+            SELECT qa.g, qa.p::BIGINT AS p, qa::BIGINT AS qa, qb::BIGINT AS qb,
+                   (qb - qa)::BIGINT AS qte
+            FROM qa JOIN qb ON qa.g = qb.g AND qa.p = qb.p
+            ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q362_drift_fdr_monitor, q363_cohen_kappa, q364_fleiss_kappa, q365_mcnemar,
     q366_wilcoxon, q367_cliffs_delta, q368_brier, q369_log_rank,
     q370_nelson_aalen, q371_cuped, q372_changepoint, q373_clustering_coeff,
     q374_bradley_terry, q375_gini, q376_text_eval, q377_majority_vote,
-    q378_krippendorff, q379_winsorized, q380_hubness, q381_post_strat_ate)
+    q378_krippendorff, q379_winsorized, q380_hubness, q381_post_strat_ate,
+    q382_qte)
 }
