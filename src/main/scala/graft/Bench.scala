@@ -65,15 +65,25 @@ object Bench {
     // cross-run comparisons a normalization anchor: if two rounds' anchors
     // differ ~uniformly, the gap is machine state, not code.
     val calibrationQuery = "q01_agg"
-    def calibrate(): Double = SparkEntry.queries.get(calibrationQuery).map { fn =>
-      (1 to 3).map { _ =>
+    // A failed calibration run contributes NO timing (same rule as the main
+    // loop): time-to-throw would otherwise masquerade as a fast anchor.
+    // -1.0 = sentinel when every attempt failed or the query is missing.
+    def calibrate(attempts: Int): Double = SparkEntry.queries.get(calibrationQuery).map { fn =>
+      val ok = (1 to attempts).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val good =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        if (good) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      if (ok.nonEmpty) ok.min else -1.0
     }.getOrElse(-1.0)
-    val calStart = calibrate()
+    // Warm-up before the start anchor: r14 measured the anchor drifting
+    // 1.6× WITHIN one run (JIT/page-cache warm-up landing on the anchor
+    // itself), which bounded its cross-round resolution. Three untimed
+    // passes first, then min-of-5, puts both anchors on the steady state.
+    calibrate(3)
+    val calStart = calibrate(5)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -118,7 +128,7 @@ object Bench {
         (best._1, best._2, times.map(_._1).max)
       } else (0.0, 0.0, 0.0))
     }.toMap
-    val calEnd = calibrate()
+    val calEnd = calibrate(5)
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail (round 6: a 3.4 KB line over 99 queries
     // front-truncated there → "parsed": null, an unreadable bench). The

@@ -129,7 +129,17 @@ object Cli {
     // HTTP API over a registry (ref: dsgrid/api — FastAPI app over the
     // registry + query submitter). Blocks until the process is killed.
     case "serve" :: registryRoot :: rest =>
-      val port = rest.headOption.map(_.toInt).getOrElse(8537)
+      val port = rest.headOption match {
+        case None => 8537
+        case Some(p) =>
+          p.toIntOption match {
+            case Some(n) if n >= 0 && n <= 65535 => n
+            case _ =>
+              System.err.println(s"serve: port must be an integer in [0, 65535], got '$p'")
+              System.err.println("usage: graft.Cli serve <registryRoot> [port]")
+              return 1
+          }
+      }
       val spark = GraftSession.get()
       val reg = Registry(spark, registryRoot)
       val api = new graft.api.Api(reg)

@@ -243,13 +243,17 @@ object Similarity {
       val ids = array(sorted.map { case (cid, _, _) => lit(cid) }.toIndexedSeq: _*)
       df.withColumn(centroidIdCol, element_at(ids, idx + 1))
     } else {
+      // Division (not reciprocal-multiply): dot/|c| matches the unrolled
+      // NearestCentroidIndex path bit-for-bit, so a near-tie assignment
+      // cannot flip between the two branches (reciprocal-multiply can be
+      // off by 1 ulp from the division IEEE mandates).
       val bc = broadcast(centroids.select(
         col(centroidIdCol).as("__graft_cid"),
         col(centroidVecCol).as("__graft_cv"),
-        (lit(1.0) / sqrt(dot(col(centroidVecCol), col(centroidVecCol)))).as("__graft_cinv")))
+        sqrt(dot(col(centroidVecCol), col(centroidVecCol))).as("__graft_cnorm")))
       val others = df.columns.filterNot(_ == idCol).toSeq
       val scored = df.crossJoin(bc)
-        .withColumn("__graft_sim", dot(col(vecCol), col("__graft_cv")) * col("__graft_cinv"))
+        .withColumn("__graft_sim", dot(col(vecCol), col("__graft_cv")) / col("__graft_cnorm"))
       scored
         .groupBy(col(idCol))
         .agg(max_by(
@@ -481,9 +485,20 @@ object Similarity {
       .withColumn("__graft_rn", row_number().over(wq))
       .filter(col("__graft_rn") <= probes)
       .select(col("query_id"), col("__graft_qv"), col("centroid_id"))
-    // scan only probed cells: equi-join on centroid_id
+    // scan only probed cells: equi-join on centroid_id. Broadcasting the
+    // probed query side is only safe when the query set is small relative
+    // to the corpus — `probed` carries a full embedding per (query, probe)
+    // row, so an all-corpus query set (q380's shape) would ship a
+    // corpus-sized broadcast to every executor. Gate the hint on a cheap
+    // planner statistic: respect it only when the query side's estimated
+    // size is a sliver of the corpus side's; otherwise let the planner
+    // pick a shuffle join (AQE still broadcasts at runtime if it turns out
+    // tiny).
     val c = corpusWithCells.select(col(idCol).as("neighbor_id"), col(vecCol).as("__graft_cv"), col("centroid_id"))
-    val scored = broadcast(probed)
+    val qBytes = probed.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cBytes = c.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probedSide = if (qBytes * 8 <= cBytes) broadcast(probed) else probed
+    val scored = probedSide
       .join(c, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__graft_qv"), col("__graft_cv")))

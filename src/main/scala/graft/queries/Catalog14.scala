@@ -768,14 +768,17 @@ private[graft] object Catalog14 {
                      SUM(len(string_split(ref, ' '))) AS rtok
               FROM d GROUP BY 1)
             SELECT lens.lang, n_docs::BIGINT AS n_docs,
-                   cand_grams::BIGINT AS cand_grams, ref_grams::BIGINT AS ref_grams,
-                   matched::BIGINT AS matched_grams,
-                   CAST((matched * 1000000) // NULLIF(ref_grams, 0) AS BIGINT)
+                   COALESCE(cand_grams, 0)::BIGINT AS cand_grams,
+                   COALESCE(ref_grams, 0)::BIGINT AS ref_grams,
+                   COALESCE(matched, 0)::BIGINT AS matched_grams,
+                   CAST((COALESCE(matched, 0) * 1000000)
+                     // NULLIF(COALESCE(ref_grams, 0), 0) AS BIGINT)
                      AS rouge_recall_ppm,
-                   CAST((matched * 1000000) // NULLIF(cand_grams, 0) AS BIGINT)
+                   CAST((COALESCE(matched, 0) * 1000000)
+                     // NULLIF(COALESCE(cand_grams, 0), 0) AS BIGINT)
                      AS bleu_precision_ppm,
                    CAST((ctok * 1000000) // NULLIF(rtok, 0) AS BIGINT) AS brevity_ppm
-            FROM lens JOIN clip ON lens.lang = clip.lang
+            FROM lens LEFT JOIN clip ON lens.lang = clip.lang
             ORDER BY 1"""))
 
   /** Majority vote + per-annotator reliability ([[graft.operators

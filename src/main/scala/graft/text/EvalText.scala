@@ -72,7 +72,14 @@ object EvalText {
         sum(size(split(col(refCol), " ")).cast("long")).as("__ev_rt"))
     def ratio(num: Column, den: Column) =
       when(den === 0L, lit(null).cast("long")).otherwise(Idiv(num * 1000000L, den))
-    lens.join(clipped, groupCols)
+    // Left join: a group whose documents all fall below n tokens produces
+    // zero gram rows on BOTH sides and would vanish from an inner join;
+    // the contract is one row per group, with gram counts 0 and the ratio
+    // columns NULL (zero denominators).
+    lens.join(clipped, groupCols, "left")
+      .withColumn("cand_grams", coalesce(col("cand_grams"), lit(0L)))
+      .withColumn("ref_grams", coalesce(col("ref_grams"), lit(0L)))
+      .withColumn("matched_grams", coalesce(col("matched_grams"), lit(0L)))
       .withColumn("rouge_recall_ppm", ratio(col("matched_grams"), col("ref_grams")))
       .withColumn("bleu_precision_ppm", ratio(col("matched_grams"), col("cand_grams")))
       .withColumn("brevity_ppm", ratio(col("__ev_ct"), col("__ev_rt")))
