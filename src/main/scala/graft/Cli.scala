@@ -31,6 +31,7 @@ import graft.registry.Registry
   * graft.Cli query composite-create <registryRoot> <query.json> <id>
   * graft.Cli query composite-run <registryRoot> <id> <query.json> <outDir> [--csv]
   * graft.Cli query register-derived <registryRoot> <query.json> <id>
+  * graft.Cli curate <dataDir> <plan.json> <outDir> [--csv] [--cache <dir>] [--resume]
   * graft.Cli serve <registryRoot> [port]
   * }}}
   *
@@ -124,6 +125,28 @@ object Cli {
         java.nio.file.Files.writeString(p, node.toPrettyString + "\n")
       }
       if (rc == 0) println(s"wrote $path")
+      rc
+
+    // Curation pipeline from a JSON plan document (the declarative surface
+    // over the LLM-data operators — mirrors `query project run` exactly:
+    // parse, submit with optional cache/resume, write result + sidecar)
+    case "curate" :: dataDir :: planFile :: outDir :: rest =>
+      val spark = GraftSession.get()
+      val planText = readFile(planFile)
+      val rc = validated {
+        val plan = graft.query.CurationJson.parse(planText)
+        val sub = new graft.query.CurationSubmitter(
+          spark, dataDir, flagValue(rest, "--cache"), resume = rest.contains("--resume"))
+        val result = sub.submit(plan)
+        if (rest.contains("--csv"))
+          graft.sources.Writers.csv(result, s"$outDir/${plan.name}.csv", singleFile = true)
+        else
+          graft.sources.Writers.parquetAutoPartition(spark, result, s"$outDir/${plan.name}.parquet")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/plan.json"), planText)
+        println(s"wrote $outDir/${plan.name}")
+      }
       rc
 
     // HTTP API over a registry (ref: dsgrid/api — FastAPI app over the

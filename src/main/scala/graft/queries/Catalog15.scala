@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDsl._
+import graft.text.TextFunctions
+
+/** Catalog chunk q383+ — round-15: the declarative curation-pipeline
+  * surface (JSON plan documents → [[graft.query.CurationSubmitter]]) and
+  * SQL-surface registration of the remaining scoring expressions.
+  * Registration + docs in [[graft.Queries]]. */
+private[graft] object Catalog15 {
+
+  /** The q60 flagship curation composition — quality features → language
+    * filter → exact dedup → deterministic split → per-split corpus stats —
+    * but driven END-TO-END from a declarative JSON document through
+    * [[graft.query.CurationJson]] + [[graft.query.CurationSubmitter]] (the
+    * same rerunnable-document discipline project queries have; ref:
+    * dsgrid/query/dataset_mapping_plan.py:17-143 for the per-stage
+    * persist/checkpoint model this mirrors). The Scala side never touches
+    * a DataFrame operator directly: parse(document) → submit(plan).
+    *
+    * The split stage is the engine's production semantic
+    * (xxhash64-derived uniform, content-keyed and partition-independent);
+    * the oracle replays the full XXH64 chain in SQL via
+    * [[graft.tools.OracleSql.xxhash64Stages]]. Split weights are dyadic
+    * (0.75/0.125/0.125) so the cumulative thresholds are exact doubles on
+    * both engines. Stats per split are exact integers (count, sum,
+    * integral mean via div) — no row-order double aggregation. */
+  val q383_curation_plan = Q(
+    "q383_curation_plan",
+    (s, dir) => {
+      val document = """{
+        "name": "curate_documents",
+        "input": "documents",
+        "stages": [
+          {"stage_type": "text_features",
+           "features": ["language", "stopword_ratio", "token_count"]},
+          {"stage_type": "filter",
+           "filters": [{"filter_type": "raw", "expression": "lang = 'en' AND swr >= 0.05"}]},
+          {"stage_type": "exact_dedup", "persist": true},
+          {"stage_type": "split",
+           "splits": [{"name": "train", "weight": 0.75},
+                      {"name": "val", "weight": 0.125},
+                      {"name": "test", "weight": 0.125}]},
+          {"stage_type": "aggregate", "group_by": ["split"],
+           "aggregations": [
+             {"fn": "count", "column": "doc_id", "alias": "n_docs"},
+             {"fn": "sum", "column": "n_tokens", "alias": "total_tokens"},
+             {"fn": "mean_int", "column": "n_tokens", "alias": "mean_tokens"}]},
+          {"stage_type": "sort", "by": ["split"]}
+        ]
+      }"""
+      val plan = graft.query.CurationJson.parse(document)
+      new graft.query.CurationSubmitter(s, dir).submit(plan)
+    },
+    Some {
+      val stop = TextFunctions.englishStopwords.map(w => s"'$w'").mkString(", ")
+      val profiles = TextFunctions.languageProfiles.toSeq.sortBy(_._1)
+      val scoreDefs = profiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_intersect(dtoks, [$list])) AS s_$lang"
+      }.mkString(", ")
+      val fold = profiles.foldLeft(("'und'", "0")) { case ((bl, bs), (lang, _)) =>
+        (s"(CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END)",
+          s"(CASE WHEN s_$lang > $bs THEN s_$lang ELSE $bs END)")
+      }._1
+      // Sampling.uniformHash replay: u = pmod(xxhash64(id || '|'), 1e9)/1e9
+      val hashed = graft.tools.OracleSql.xxhash64Stages(
+        "SELECT doc_id, n_tokens, doc_id::VARCHAR || '|' AS src FROM deduped",
+        "src", "h", pfx = "__s")
+      s"""WITH toks AS (
+            SELECT doc_id, text,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS toks
+            FROM documents),
+          feat AS (
+            SELECT doc_id, text, len(toks) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, t -> list_contains([$stop], t))) AS DOUBLE) / len(toks)
+              END AS swr,
+              list_distinct(toks) AS dtoks
+            FROM toks),
+          scored AS (SELECT *, $scoreDefs FROM feat),
+          langed AS (SELECT doc_id, text, n_tokens, swr, $fold AS lang FROM scored),
+          filtered AS (SELECT * FROM langed WHERE lang = 'en' AND swr >= 0.05),
+          deduped AS (
+            SELECT doc_id, n_tokens FROM (
+              SELECT doc_id, n_tokens, MIN(doc_id) OVER (PARTITION BY
+                ${graft.tools.OracleSql.normalizeSql("text")}) AS keep
+              FROM filtered) WHERE doc_id = keep),
+          hashed AS ($hashed),
+          labeled AS (
+            SELECT n_tokens,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT n_tokens,
+                         (((h % 1000000000) + 1000000000) % 1000000000) / 1000000000.0 AS u
+                  FROM hashed))
+          SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS mean_tokens
+          FROM labeled GROUP BY 1 ORDER BY 1"""
+    })
+
+  val all: Seq[Q] = Seq(q383_curation_plan)
+}

@@ -1,0 +1,168 @@
+package graft.query
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import scala.jdk.CollectionConverters._
+
+import CurationModels._
+
+/** JSON codec for curation plans — same dialect discipline as [[Json]]
+  * (JSON5 comments/trailing commas accepted on parse; render emits plain
+  * JSON the parser round-trips), with `stage_type` as the stage
+  * discriminator, mirroring the reference's discriminated unions
+  * (ref: dsgrid/query/models.py:35-45). Filter documents reuse [[Json]]'s
+  * `filter_type` union verbatim, so one filter dialect serves both the
+  * project-query and curation surfaces. */
+object CurationJson {
+
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_COMMENTS)
+    m.enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_TRAILING_COMMA.mappedFeature())
+    m
+  }
+
+  def parse(json: String): CurationPlan = {
+    val n = mapper.readTree(json)
+    CurationPlan(
+      name = str(n, "name"),
+      input = str(n, "input"),
+      stages = arr(n, "stages").map(stage))
+  }
+
+  private def stage(n: JsonNode): CurationStage = str(n, "stage_type") match {
+    case "text_features" =>
+      TextFeaturesStage(
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        features = arr(n, "features").map(_.asText()),
+        persist = bool(n, "persist"))
+    case "filter" =>
+      CurationFilterStage(
+        filters = arr(n, "filters").map(Json.filter),
+        persist = bool(n, "persist"))
+    case "exact_dedup" =>
+      ExactDedupStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        persist = bool(n, "persist"))
+    case "minhash_dedup" =>
+      MinHashDedupStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        bands = optInt(n, "bands").getOrElse(16),
+        rowsPerBand = optInt(n, "rows_per_band").getOrElse(4),
+        shingleSize = optInt(n, "shingle_size").getOrElse(3),
+        threshold = optDouble(n, "threshold").getOrElse(0.8),
+        persist = bool(n, "persist"))
+    case "split" =>
+      SplitStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        splits = arr(n, "splits").map(s => str(s, "name") -> dbl(s, "weight")),
+        splitColumn = optStr(n, "split_column").getOrElse("split"),
+        seed = optStr(n, "seed").getOrElse(""),
+        persist = bool(n, "persist"))
+    case "sample" =>
+      SampleStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        fraction = dbl(n, "fraction"),
+        seed = optStr(n, "seed").getOrElse(""),
+        persist = bool(n, "persist"))
+    case "select" =>
+      SelectStage(
+        columns = arr(n, "columns").map(_.asText()),
+        persist = bool(n, "persist"))
+    case "aggregate" =>
+      AggregateStage(
+        groupBy = arr(n, "group_by").map(_.asText()),
+        aggregations = arr(n, "aggregations").map(a =>
+          CurationAgg(str(a, "fn"), str(a, "column"), str(a, "alias"))),
+        persist = bool(n, "persist"))
+    case "sort" =>
+      SortStage(by = arr(n, "by").map(_.asText()), persist = bool(n, "persist"))
+    case other => throw new IllegalArgumentException(s"unknown stage_type: $other")
+  }
+
+  // ------------------------------------------------------------------
+  // writer — `plan.json` sidecars are re-runnable documents
+  // ------------------------------------------------------------------
+
+  def render(plan: CurationPlan): String = {
+    val n = mapper.createObjectNode()
+    n.put("name", plan.name)
+    n.put("input", plan.input)
+    val ss = n.putArray("stages")
+    plan.stages.foreach(s => ss.add(stageNode(s)))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def stageNode(s: CurationStage): ObjectNode = {
+    val n = mapper.createObjectNode()
+    s match {
+      case TextFeaturesStage(tc, fs, _) =>
+        n.put("stage_type", "text_features"); n.put("text_column", tc)
+        val fa = n.putArray("features"); fs.foreach(fa.add)
+      case CurationFilterStage(fs, _) =>
+        n.put("stage_type", "filter")
+        val fa = n.putArray("filters"); fs.foreach(f => fa.add(Json.filterNode(f)))
+      case ExactDedupStage(ic, tc, _) =>
+        n.put("stage_type", "exact_dedup"); n.put("id_column", ic); n.put("text_column", tc)
+      case MinHashDedupStage(ic, tc, b, r, sh, th, _) =>
+        n.put("stage_type", "minhash_dedup"); n.put("id_column", ic); n.put("text_column", tc)
+        n.put("bands", b); n.put("rows_per_band", r); n.put("shingle_size", sh)
+        n.put("threshold", th)
+      case SplitStage(ic, splits, sc, seed, _) =>
+        n.put("stage_type", "split"); n.put("id_column", ic)
+        val sa = n.putArray("splits")
+        splits.foreach { case (name, w) =>
+          val o = sa.addObject(); o.put("name", name); o.put("weight", w)
+        }
+        n.put("split_column", sc); n.put("seed", seed)
+      case SampleStage(ic, fr, seed, _) =>
+        n.put("stage_type", "sample"); n.put("id_column", ic)
+        n.put("fraction", fr); n.put("seed", seed)
+      case SelectStage(cols, _) =>
+        n.put("stage_type", "select")
+        val ca = n.putArray("columns"); cols.foreach(ca.add)
+      case AggregateStage(gb, aggs, _) =>
+        n.put("stage_type", "aggregate")
+        val ga = n.putArray("group_by"); gb.foreach(ga.add)
+        val aa = n.putArray("aggregations")
+        aggs.foreach { a =>
+          val o = aa.addObject(); o.put("fn", a.fn); o.put("column", a.column)
+          o.put("alias", a.alias)
+        }
+      case SortStage(by, _) =>
+        n.put("stage_type", "sort")
+        val ba = n.putArray("by"); by.foreach(ba.add)
+    }
+    if (s.persist) n.put("persist", true)
+    n
+  }
+
+  private def bool(n: JsonNode, field: String): Boolean =
+    Option(n.get(field)).exists(_.asBoolean(false))
+
+  private def dbl(n: JsonNode, field: String): Double = {
+    val v = n.get(field)
+    require(v != null && v.isNumber, s"missing required numeric field: $field")
+    v.asDouble()
+  }
+
+  private def optInt(n: JsonNode, field: String): Option[Int] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asInt())
+
+  private def optDouble(n: JsonNode, field: String): Option[Double] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asDouble())
+
+  private def str(n: JsonNode, field: String): String = {
+    val v = n.get(field)
+    require(v != null && !v.isNull, s"missing required field: $field")
+    v.asText()
+  }
+
+  private def optStr(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.elements().asScala.toSeq).getOrElse(Nil)
+}

@@ -1,0 +1,135 @@
+package graft.query
+
+import graft.operators.DimensionFilter
+
+/** Declarative curation-pipeline models: the LLM-data operators (quality
+  * features → filters → dedup → split → stats) as a rerunnable JSON
+  * document, the same discipline the dsgrid-parity side already has for
+  * project/dataset queries (`Models`/`Json`/`Submitter`).
+  *
+  * The shape mirrors the reference's dataset mapping plan (ref:
+  * dsgrid/query/dataset_mapping_plan.py:17-143 — an ordered list of named
+  * operations, each with a `persist` flag, plus a plan hash that guards
+  * checkpoint reuse): a `CurationPlan` is an ordered list of stages over one
+  * input table, each stage a discriminated-union case the
+  * [[CurationSubmitter]] interprets against the existing operator registry
+  * (`text.TextFunctions` / `text.Dedup` / `text.Sampling` /
+  * `operators.Aggregation`). Everything is data — no DataFrames, no
+  * lambdas — so a plan round-trips through JSON ([[CurationJson]]) and
+  * content-hashes for the two-level cache exactly like `ProjectQuery`.
+  */
+object CurationModels {
+
+  /** A curation pipeline: stages applied in order to the input table (a
+    * parquet table name under the submitter's data directory). */
+  final case class CurationPlan(
+      name: String,
+      input: String,
+      stages: Seq[CurationStage])
+
+  /** One pipeline stage. `persist` marks a plan-cut: with a cache
+    * directory configured, the frame is written to scratch parquet after
+    * this stage and later runs of the SAME plan prefix over UNCHANGED
+    * input resume from it (ref MapOperation.persist +
+    * MapOperationCheckpoint.mapping_plan_hash,
+    * dataset_mapping_plan.py:34-62). */
+  sealed trait CurationStage { def persist: Boolean }
+
+  /** Per-document text features, all derived from one materialized token
+    * pass (the HOF-lambda CSE rule): feature names from
+    * [[CurationModels.FeatureColumns]] — each adds its fixed output column.
+    * Existing columns of the same name are REPLACED (a corpus with a
+    * source-provided `lang` column gets the engine's language id). */
+  final case class TextFeaturesStage(
+      textColumn: String = "text",
+      features: Seq[String],
+      persist: Boolean = false) extends CurationStage
+
+  /** Row filter over the data-free `DimensionFilter` forms (expression /
+    * raw / column_operator / between) — the same ADT project queries use,
+    * so the JSON dialect is shared. Filters apply in order (AND). */
+  final case class CurationFilterStage(
+      filters: Seq[DimensionFilter],
+      persist: Boolean = false) extends CurationStage
+
+  /** Exact dedup: keep the min-id document per normalized-content
+    * fingerprint ([[graft.text.Dedup.dropExactDuplicates]]). */
+  final case class ExactDedupStage(
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      persist: Boolean = false) extends CurationStage
+
+  /** MinHash+LSH near-dedup: drop every document that verified-matches a
+    * smaller-id document at or above `threshold`
+    * ([[graft.text.Dedup.minhashNearDuplicates]] +
+    * [[graft.text.Dedup.dropNearDuplicates]]). */
+  final case class MinHashDedupStage(
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      persist: Boolean = false) extends CurationStage
+
+  /** Deterministic hash split ([[graft.text.Sampling.splitByHash]]):
+    * content-keyed, reproducible across runs/partitionings; weights sum to
+    * ≤ 1, the remainder gets a NULL split (held out entirely). */
+  final case class SplitStage(
+      idColumn: String = "doc_id",
+      splits: Seq[(String, Double)],
+      splitColumn: String = "split",
+      seed: String = "",
+      persist: Boolean = false) extends CurationStage
+
+  /** Deterministic Bernoulli sample ([[graft.text.Sampling.hashSample]]). */
+  final case class SampleStage(
+      idColumn: String = "doc_id",
+      fraction: Double,
+      seed: String = "",
+      persist: Boolean = false) extends CurationStage
+
+  /** Column projection. */
+  final case class SelectStage(
+      columns: Seq[String],
+      persist: Boolean = false) extends CurationStage
+
+  /** groupBy + named aggregations over the whitelisted registry
+    * ([[graft.operators.Aggregation.builtins]]), plus `mean_int` — the
+    * hash-stable integral mean (sum div count), for pipelines whose stats
+    * must match across engines bit-for-bit. `count` counts rows (its
+    * `column` is ignored); `count`/`sum`/`mean_int` outputs are BIGINT. */
+  final case class AggregateStage(
+      groupBy: Seq[String],
+      aggregations: Seq[CurationAgg],
+      persist: Boolean = false) extends CurationStage
+
+  final case class CurationAgg(fn: String, column: String, alias: String)
+
+  /** Ascending sort — presentation, runs last in most plans. */
+  final case class SortStage(
+      by: Seq[String],
+      persist: Boolean = false) extends CurationStage
+
+  /** feature name → the output column it adds. */
+  val FeatureColumns: Map[String, String] = Map(
+    "language" -> "lang",
+    "stopword_ratio" -> "swr",
+    "token_count" -> "n_tokens",
+    "quality_score" -> "quality")
+
+  /** Canonical serialization for content-hash caching: the ADT is pure
+    * data (no DataFrames anywhere, unlike project-query filters), so
+    * case-class toString is stable and deterministic. */
+  def canonical(plan: CurationPlan): String = plan.toString
+
+  /** Canonical form of the plan PREFIX ending at stage `i` — the key a
+    * stage-`i` persist point is stored under, so a resumed step can only
+    * be reused by a plan whose input and stages-so-far are identical (ref
+    * MapOperationCheckpoint.mapping_plan_hash guards the same way,
+    * dataset_mapping_plan.py:46-62; note the prefix hash is STRICTER than
+    * the reference's whole-plan hash — a suffix-only edit keeps graft's
+    * prefix checkpoints valid where the reference recomputes). */
+  def canonicalPrefix(plan: CurationPlan, i: Int): String =
+    plan.copy(name = "", stages = plan.stages.take(i + 1)).toString
+}

@@ -1,0 +1,224 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Aggregation, DimensionFilter}
+import graft.text.{Dedup, Sampling, TextFunctions}
+import CurationModels._
+
+/** Curation-plan execution: the interpreter that chains the LLM-data
+  * operators a [[CurationModels.CurationPlan]] names, with the same
+  * lifecycle the project-query [[Submitter]] gives dsgrid-parity queries —
+  * fail-fast validation, per-stage persist/resume (ref:
+  * dsgrid/query/dataset_mapping_plan.py:34-62 MapOperation.persist +
+  * MapOperationCheckpoint), a content-hash result cache keyed by
+  * (input content token + canonical plan), and `plan.json`/`metadata.json`
+  * sidecars beside every cached result (ref: query_submitter.py:614-653).
+  *
+  * Scale shapes are the stages' own: every stage is one of the
+  * already-audited operators (map-side features, hash-groupBy exact dedup,
+  * banded LSH near-dedup, content-keyed splits), so the plan's cost is the
+  * sum of its stages — no driver-side row loops, no extra shuffles beyond
+  * what each operator declares. Persist points are exactly the plan-cut
+  * lever the reference exposes: a 100 TB pipeline persists after its
+  * selective stages (dedup) so a retry resumes instead of re-tokenizing
+  * the world. */
+final class CurationSubmitter(
+    val spark: SparkSession,
+    /** directory holding `<table>.parquet` inputs */
+    dataDir: String,
+    cacheDir: Option[String] = None,
+    /** reuse persisted stage outputs already on disk (valid only while
+      * the input and the plan prefix are unchanged — both are folded into
+      * the step key, so a stale checkpoint is simply never found). */
+    resume: Boolean = false) {
+
+  /** Content token of one input table: hash over the (path, length,
+    * mtime) file listing — any rewrite of the input invalidates every
+    * cache and checkpoint key derived from it (the same discipline as
+    * `Registry.contentToken`; metadata-only, no data read). */
+  def inputToken(table: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(s"$dataDir/$table.parquet")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) "missing"
+    else if (fs.getFileStatus(hp).isFile) {
+      val st = fs.getFileStatus(hp)
+      Models.contentHash(s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+    } else {
+      val it = fs.listFiles(hp, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+      Models.contentHash(entries.sorted.mkString("\n"))
+    }
+  }
+
+  private def load(table: String): DataFrame =
+    spark.read.parquet(s"$dataDir/$table.parquet")
+
+  // ------------------------------------------------------------------
+  // validation — fail fast, before any Spark job (the Submitter rule:
+  // without this, a bad plan surfaces as an opaque analysis exception
+  // hours into a 100 TB run)
+  // ------------------------------------------------------------------
+
+  /** Walk the plan against the input's actual schema, tracking the column
+    * set each stage produces; plan analysis only, no action. Raw-filter
+    * text is not checked (it is arbitrary SQL), everything else is. */
+  def validate(plan: CurationPlan): Unit = {
+    require(plan.stages.nonEmpty, s"plan '${plan.name}': no stages")
+    require(FileCache.exists(spark, s"$dataDir/${plan.input}.parquet"),
+      s"plan '${plan.name}': input table '${plan.input}' not found under $dataDir")
+    var cols = load(plan.input).columns.toSet
+    def need(c: String, what: String): Unit =
+      require(cols.contains(c),
+        s"plan '${plan.name}': $what column '$c' does not exist at this stage " +
+          s"(available: ${cols.toSeq.sorted.mkString(", ")})")
+    for (st <- plan.stages) st match {
+      case TextFeaturesStage(tc, features, _) =>
+        need(tc, "text")
+        for (f <- features)
+          require(FeatureColumns.contains(f),
+            s"plan '${plan.name}': unknown feature '$f' " +
+              s"(known: ${FeatureColumns.keys.toSeq.sorted.mkString(", ")})")
+        cols ++= features.map(FeatureColumns)
+      case CurationFilterStage(filters, _) =>
+        for (f <- filters; c <- DimensionFilter.targetColumn(f)) need(c, "filter")
+      case ExactDedupStage(ic, tc, _) => need(ic, "id"); need(tc, "text")
+      case MinHashDedupStage(ic, tc, bands, rows, sh, th, _) =>
+        need(ic, "id"); need(tc, "text")
+        require(bands > 0 && rows > 0 && sh > 0,
+          s"plan '${plan.name}': minhash_dedup bands/rows_per_band/shingle_size must be positive")
+        require(th > 0 && th <= 1, s"plan '${plan.name}': minhash_dedup threshold in (0,1]: $th")
+      case SplitStage(ic, splits, sc, _, _) =>
+        need(ic, "id")
+        require(splits.nonEmpty, s"plan '${plan.name}': split stage has no splits")
+        require(splits.forall(_._2 > 0), s"plan '${plan.name}': split weights must be positive")
+        require(splits.map(_._2).sum <= 1.0 + 1e-9,
+          s"plan '${plan.name}': split weights sum to ${splits.map(_._2).sum} > 1")
+        cols += sc
+      case SampleStage(ic, fr, _, _) =>
+        need(ic, "id")
+        require(fr >= 0 && fr <= 1, s"plan '${plan.name}': sample fraction in [0,1]: $fr")
+      case SelectStage(selected, _) =>
+        selected.foreach(need(_, "selected"))
+        cols = selected.toSet
+      case AggregateStage(gb, aggs, _) =>
+        require(aggs.nonEmpty, s"plan '${plan.name}': aggregate stage has no aggregations")
+        gb.foreach(need(_, "group-by"))
+        for (a <- aggs) {
+          if (a.fn != "count") need(a.column, s"aggregation '${a.alias}' input")
+          require(a.fn == "mean_int" || Aggregation.builtins.contains(a.fn),
+            s"plan '${plan.name}': aggregation fn not allowed: ${a.fn}")
+        }
+        cols = gb.toSet ++ aggs.map(_.alias)
+      case SortStage(by, _) => by.foreach(need(_, "sort"))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // interpreter
+  // ------------------------------------------------------------------
+
+  private def aggColumn(a: CurationAgg): Column = a.fn match {
+    case "count" => count(lit(1)).as(a.alias)
+    // integral mean via sum div count: exact, replayable bit-for-bit by
+    // any engine's integer division (the oracle-discipline spelling)
+    case "mean_int" =>
+      org.apache.spark.sql.graft.Idiv(
+        sum(col(a.column).cast("long")), count(lit(1))).as(a.alias)
+    case "sum" => sum(col(a.column).cast("long")).as(a.alias)
+    case fn => Aggregation.resolve(fn)(col(a.column)).as(a.alias)
+  }
+
+  /** One stage applied to one frame — every case delegates to the
+    * operator registry; this class adds no operator semantics of its own. */
+  def applyStage(df: DataFrame, st: CurationStage): DataFrame = st match {
+    case TextFeaturesStage(tc, features, _) =>
+      // one materialized token pass feeds every feature (the HOF-lambda
+      // CSE rule — never recompute tokenization per feature)
+      val toks = df.withColumn("__cur_toks", TextFunctions.tokens(lower(col(tc))))
+      val out = features.foldLeft(toks) { (d, f) =>
+        f match {
+          case "language" =>
+            d.withColumn("lang",
+              TextFunctions.languageIdFromTokens(array_distinct(col("__cur_toks"))))
+          case "stopword_ratio" =>
+            d.withColumn("swr", TextFunctions.stopwordRatioFromTokens(col("__cur_toks")))
+          case "token_count" => d.withColumn("n_tokens", size(col("__cur_toks")))
+          case "quality_score" => d.withColumn("quality", TextFunctions.qualityScore(col(tc)))
+          case other => throw new IllegalArgumentException(s"unknown feature: $other")
+        }
+      }
+      out.drop("__cur_toks")
+    case CurationFilterStage(filters, _) => DimensionFilter.applyAll(df, filters)
+    case ExactDedupStage(ic, tc, _) => Dedup.dropExactDuplicates(df, ic, tc)
+    case MinHashDedupStage(ic, tc, bands, rows, sh, th, _) =>
+      val pairs = Dedup.minhashNearDuplicates(df, ic, tc, bands, rows, sh, th)
+      Dedup.dropNearDuplicates(df, pairs, ic)
+    case SplitStage(ic, splits, sc, seed, _) =>
+      Sampling.splitByHash(df, ic, splits, sc, seed)
+    case SampleStage(ic, fr, seed, _) => Sampling.hashSample(df, ic, fr, seed)
+    case SelectStage(columns, _) => df.select(columns.map(col): _*)
+    case AggregateStage(gb, aggs, _) =>
+      val exprs = aggs.map(aggColumn)
+      df.groupBy(gb.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    case SortStage(by, _) => df.sort(by.map(col): _*)
+  }
+
+  /** Run the plan. With a `cacheDir`: stage persist points checkpoint to
+    * `curation_steps/` keyed by (input token + plan prefix) — reruns of
+    * the same prefix over unchanged input resume from the checkpoint when
+    * `resume` is set; the final result publishes atomically under
+    * `cached_tables/<key>` with `plan.json` + `metadata.json` sidecars,
+    * and an identical resubmission is a pure cache read. */
+  def submit(plan: CurationPlan): DataFrame = {
+    validate(plan)
+    lazy val token = inputToken(plan.input)
+    def build(): DataFrame =
+      plan.stages.zipWithIndex.foldLeft(load(plan.input)) { case (df, (st, i)) =>
+        val out = applyStage(df, st)
+        if (st.persist && cacheDir.isDefined) {
+          val stepKey = Models.contentHash(token + CurationModels.canonicalPrefix(plan, i))
+          graft.sources.Writers.persistIntermediate(
+            spark, out, s"${cacheDir.get}/curation_steps", s"step_$stepKey",
+            reuseExisting = resume)
+        } else out
+      }
+    cacheDir match {
+      case None => build()
+      case Some(dir) =>
+        val key = Models.contentHash(token + CurationModels.canonical(plan))
+        val df = FileCache.cached(spark, s"$dir/cached_tables", key)(build())
+        writeSidecars(s"$dir/cached_tables/$key", plan, token, df)
+        df
+    }
+  }
+
+  /** The published cache directory a plan resolves to (for tests and for
+    * CLI status output). */
+  def cacheEntryDir(plan: CurationPlan): Option[String] =
+    cacheDir.map(dir =>
+      s"$dir/cached_tables/${Models.contentHash(inputToken(plan.input) + CurationModels.canonical(plan))}")
+
+  private def writeSidecars(
+      keyDir: String, plan: CurationPlan, token: String, df: DataFrame): Unit =
+    if (!FileCache.exists(spark, s"$keyDir/plan.json")) {
+      graft.sources.HadoopText.write(spark, s"$keyDir/plan.json", CurationJson.render(plan))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.createObjectNode()
+      n.put("name", plan.name)
+      n.put("input", plan.input)
+      // provenance: which input state produced this result (the cache key
+      // is a one-way hash — without this the entry is unattributable
+      // after the input changes)
+      n.put("input_token", token)
+      val cols = n.putArray("columns")
+      df.columns.foreach(cols.add)
+      graft.sources.HadoopText.write(spark, s"$keyDir/metadata.json",
+        m.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+    }
+}

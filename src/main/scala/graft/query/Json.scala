@@ -121,7 +121,7 @@ object Json {
   }
 
   /** Discriminated on `filter_type`, mirroring the reference's union. */
-  private def filter(n: JsonNode): DimensionFilter = str(n, "filter_type") match {
+  private[query] def filter(n: JsonNode): DimensionFilter = str(n, "filter_type") match {
     case "expression" =>
       DimensionFilter.ExpressionFilter(str(n, "column"), str(n, "operator"), value(n.get("value")))
     case "raw" =>
@@ -293,7 +293,7 @@ object Json {
     }
   }
 
-  private def filterNode(f: DimensionFilter): com.fasterxml.jackson.databind.node.ObjectNode = {
+  private[query] def filterNode(f: DimensionFilter): com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = mapper.createObjectNode()
     f match {
       case DimensionFilter.ExpressionFilter(c, op, v) =>

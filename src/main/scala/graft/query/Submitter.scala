@@ -470,33 +470,11 @@ final class Submitter(
   // cache plumbing
   // ------------------------------------------------------------------
 
+  // atomic-rename publish + lost-race cleanup live in FileCache (shared
+  // with the curation submitter)
   private def cached(key: String)(build: => DataFrame): DataFrame = cacheDir match {
     case None => build
-    case Some(dir) =>
-      val keyDir = s"$dir/cached_tables/$key"
-      val path = s"$keyDir/table.parquet"
-      if (registry.hadoopExists(path)) // Hadoop FS API: works on HDFS/S3 too
-        spark.read.parquet(path)
-      else {
-        // write to a temp dir, publish with one atomic rename; losing the
-        // rename race to a concurrent submitter is fine — read theirs.
-        // Careful: Hadoop rename into an EXISTING directory nests the
-        // source inside it and returns true, so a lost race must also be
-        // detected by looking for our tmp dir under the published entry
-        // (otherwise every race leaks a full duplicate table in scratch).
-        val tmpName = s".tmp_${key}_${java.util.UUID.randomUUID().toString.take(8)}"
-        val tmp = s"$dir/cached_tables/$tmpName"
-        build.write.mode("overwrite").parquet(s"$tmp/table.parquet")
-        val conf = spark.sparkContext.hadoopConfiguration
-        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-        val finalPath = new org.apache.hadoop.fs.Path(keyDir)
-        val fs = finalPath.getFileSystem(conf)
-        fs.mkdirs(finalPath.getParent)
-        if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, true)
-        val nested = new org.apache.hadoop.fs.Path(finalPath, tmpName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-        spark.read.parquet(path)
-      }
+    case Some(dir) => FileCache.cached(spark, s"$dir/cached_tables", key)(build)
   }
 
   /** query.json (a rendered query document, re-runnable for every

@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DimensionFilter
+import graft.query.{CurationJson, CurationSubmitter}
+import graft.query.CurationModels._
+import graft.text.{Dedup, Sampling, TextFunctions}
+
+/** The declarative curation-pipeline surface: JSON round-trip, submitter
+  * semantics vs the directly-composed operators, two-level caching with
+  * sidecars, per-stage persist/resume, input-token invalidation, and the
+  * `curate` CLI verb. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A corpus with: english docs (stopword-bearing), an exact duplicate
+    * pair (same normalized content, different ids), a short doc, and a
+    * non-english doc. */
+  private def writeCorpus(): String = {
+    val dir = Files.createTempDirectory("graft-curation-data").toString
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog were in the yard", "web"),
+      (2L, "The quick brown fox, and the lazy dog; were in the yard!", "web"), // dup of 1
+      (3L, "a list of numbers follows and then some more of the words go here", "web"),
+      (4L, "el rapido zorro marron y el perro perezoso en la casa de la ciudad", "web"),
+      (5L, "short text", "books"),
+      (6L, "it was the best of times and it was the worst of times for all of us", "books"),
+      (7L, "it was the best of times and it was the worst of times for all of us", "books"), // dup of 6
+      (8L, "we hold these truths to be self evident that all men are created equal and so on", "books"))
+      .toDF("doc_id", "text", "source")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    dir
+  }
+
+  private val fullPlan = CurationPlan(
+    "spec_pipeline", "docs",
+    Seq(
+      TextFeaturesStage("text", Seq("language", "stopword_ratio", "token_count", "quality_score")),
+      CurationFilterStage(Seq(
+        DimensionFilter.RawFilter("lang = 'en'"),
+        DimensionFilter.ExpressionFilter("swr", ">=", 0.05))),
+      ExactDedupStage("doc_id", "text", persist = true),
+      MinHashDedupStage("doc_id", "text", bands = 8, rowsPerBand = 2, shingleSize = 2,
+        threshold = 0.9),
+      SplitStage("doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)),
+      SampleStage("doc_id", fraction = 1.0, seed = "s"),
+      SelectStage(Seq("doc_id", "split", "n_tokens")),
+      AggregateStage(Seq("split"), Seq(
+        CurationAgg("count", "doc_id", "n_docs"),
+        CurationAgg("sum", "n_tokens", "total_tokens"),
+        CurationAgg("mean_int", "n_tokens", "mean_tokens"))),
+      SortStage(Seq("split"))))
+
+  test("CurationJson round-trips every stage type") {
+    val back = CurationJson.parse(CurationJson.render(fullPlan))
+    assert(back == fullPlan)
+    // JSON5 conveniences parse too (comments, trailing commas)
+    val doc = """{
+      // a curation plan
+      "name": "p", "input": "docs",
+      "stages": [ {"stage_type": "exact_dedup", "persist": true}, ]
+    }"""
+    assert(CurationJson.parse(doc) ==
+      CurationPlan("p", "docs", Seq(ExactDedupStage(persist = true))))
+    // unknown stage_type fails loudly
+    val bad = intercept[IllegalArgumentException] {
+      CurationJson.parse("""{"name":"p","input":"d","stages":[{"stage_type":"nope"}]}""")
+    }
+    assert(bad.getMessage.contains("unknown stage_type"))
+  }
+
+  test("submit matches the directly-composed operator chain") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    val plan = CurationPlan(
+      "direct", "docs",
+      Seq(
+        TextFeaturesStage("text", Seq("language", "stopword_ratio", "token_count")),
+        CurationFilterStage(Seq(DimensionFilter.RawFilter("lang = 'en' AND swr >= 0.05"))),
+        ExactDedupStage(),
+        SplitStage("doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))))
+    val got = sub.submit(plan)
+
+    // the same composition, spelled directly against the operators
+    val base = spark.read.parquet(s"$dir/docs.parquet")
+      .withColumn("__toks", TextFunctions.tokens(lower(col("text"))))
+      .withColumn("lang", TextFunctions.languageIdFromTokens(array_distinct(col("__toks"))))
+      .withColumn("swr", TextFunctions.stopwordRatioFromTokens(col("__toks")))
+      .withColumn("n_tokens", size(col("__toks")))
+      .drop("__toks")
+      .filter("lang = 'en' AND swr >= 0.05")
+    val deduped = Dedup.dropExactDuplicates(base, "doc_id", "text")
+    val expected = Sampling.splitByHash(deduped, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(sortedRows(got) == sortedRows(expected))
+    // the dedup actually dropped the larger-id exact duplicates
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L) && !ids.contains(7L))
+    assert(ids.contains(1L) && ids.contains(6L))
+    // non-english and stopword-poor docs are gone
+    assert(!ids.contains(4L))
+  }
+
+  test("result cache: sidecars written, rerun is a pure cache read, input change invalidates") {
+    val dir = writeCorpus()
+    val cache = Files.createTempDirectory("graft-curation-cache").toString
+    val sub = new CurationSubmitter(spark, dir, Some(cache))
+    val plan = fullPlan
+    val first = sub.submit(plan)
+    val firstRows = sortedRows(first)
+    val entry = sub.cacheEntryDir(plan).get
+    assert(Files.exists(java.nio.file.Paths.get(s"$entry/table.parquet")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$entry/plan.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$entry/metadata.json")))
+    // the plan.json sidecar is a re-runnable document equal to the plan
+    assert(CurationJson.parse(Files.readString(java.nio.file.Paths.get(s"$entry/plan.json")))
+      == plan)
+    // no tmp-dir leftovers from the atomic publish
+    val leftovers = new java.io.File(s"$cache/cached_tables").listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp"))
+    assert(leftovers.isEmpty)
+    // rerun: same rows, and the frame reads FROM THE CACHE (all input
+    // files of the returned plan live under the cache entry)
+    val again = sub.submit(plan)
+    assert(sortedRows(again) == firstRows)
+    assert(again.inputFiles.nonEmpty && again.inputFiles.forall(_.contains("cached_tables")))
+    // rewriting the input with different content yields a different key
+    val keyBefore = entry
+    Seq((1L, "totally new corpus", "web")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val sub2 = new CurationSubmitter(spark, dir, Some(cache))
+    assert(sub2.cacheEntryDir(plan).get != keyBefore)
+  }
+
+  test("per-stage persist/resume: checkpoint reused on rerun, keyed by plan prefix") {
+    val dir = writeCorpus()
+    val cache = Files.createTempDirectory("graft-curation-steps").toString
+    val plan = CurationPlan(
+      "resumable", "docs",
+      Seq(
+        TextFeaturesStage("text", Seq("language", "token_count")),
+        ExactDedupStage(persist = true),
+        SortStage(Seq("doc_id"))))
+    val sub = new CurationSubmitter(spark, dir, Some(cache), resume = true)
+    val r1 = sortedRows(sub.submit(plan))
+    val steps = new java.io.File(s"$cache/curation_steps").listFiles().map(_.getName)
+    assert(steps.length == 1 && steps.head.startsWith("step_"))
+    val stepDir = s"$cache/curation_steps/${steps.head}"
+    val mtime = new java.io.File(stepDir, "_SUCCESS").lastModified()
+    // drop the published result (simulating an interrupted downstream) and
+    // resubmit: the checkpoint is REUSED (marker untouched), result equal
+    val entry = sub.cacheEntryDir(plan).get
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(entry))
+    val r2 = sortedRows(sub.submit(plan))
+    assert(r2 == r1)
+    assert(new java.io.File(stepDir, "_SUCCESS").lastModified() == mtime)
+    // a DIFFERENT prefix (changed upstream stage) gets its own step key —
+    // the stale checkpoint is never found, exactly like the reference's
+    // mapping_plan_hash guard (dataset_mapping_plan.py:46-62)
+    val plan2 = plan.copy(stages = plan.stages.updated(
+      0, TextFeaturesStage("text", Seq("language", "stopword_ratio", "token_count"))))
+    sub.submit(plan2)
+    assert(new java.io.File(s"$cache/curation_steps").listFiles().length == 2)
+  }
+
+  test("fail-fast validation rejects bad plans before any job") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    def bad(plan: CurationPlan, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](sub.submit(plan))
+      assert(e.getMessage.contains(fragment), s"message: ${e.getMessage}")
+    }
+    bad(CurationPlan("p", "nope", Seq(SortStage(Seq("doc_id")))), "not found")
+    bad(CurationPlan("p", "docs", Seq(TextFeaturesStage("text", Seq("vibes")))),
+      "unknown feature")
+    bad(CurationPlan("p", "docs", Seq(SortStage(Seq("no_such")))), "does not exist")
+    // features exist only AFTER their stage: filter on swr without it fails
+    bad(CurationPlan("p", "docs",
+      Seq(CurationFilterStage(Seq(DimensionFilter.ExpressionFilter("swr", ">=", 0.05))))),
+      "does not exist")
+    bad(CurationPlan("p", "docs", Seq(
+      AggregateStage(Seq("source"), Seq(CurationAgg("median_of_medians", "doc_id", "x"))))),
+      "not allowed")
+    bad(CurationPlan("p", "docs", Seq(
+      SplitStage("doc_id", Seq("a" -> 0.9, "b" -> 0.9)))), "sum")
+    bad(CurationPlan("p", "docs", Nil), "no stages")
+  }
+
+  test("curate CLI verb: plan document to parquet + sidecar; bad plan exits 1") {
+    val dir = writeCorpus()
+    val planFile = Files.createTempFile("graft-curate", ".json")
+    Files.writeString(planFile, CurationJson.render(CurationPlan(
+      "cli_curate", "docs",
+      Seq(
+        TextFeaturesStage("text", Seq("language", "token_count")),
+        CurationFilterStage(Seq(DimensionFilter.RawFilter("lang = 'en'"))),
+        AggregateStage(Seq("source"), Seq(
+          CurationAgg("count", "doc_id", "n_docs"),
+          CurationAgg("sum", "n_tokens", "total_tokens"))),
+        SortStage(Seq("source"))))))
+    val outDir = Files.createTempDirectory("graft-curate-out").toString
+    val cache = Files.createTempDirectory("graft-curate-cache").toString
+    assert(Cli.run(Array("curate", dir, planFile.toString, outDir, "--cache", cache)) == 0)
+    val back = spark.read.parquet(s"$outDir/cli_curate.parquet")
+    assert(back.columns.toSet == Set("source", "n_docs", "total_tokens"))
+    assert(back.count() == 2) // web + books both have english docs
+    assert(Files.exists(java.nio.file.Paths.get(s"$outDir/plan.json")))
+    // the cache also holds the entry (CLI wired the cacheDir through)
+    assert(new java.io.File(s"$cache/cached_tables").listFiles().nonEmpty)
+    // a plan referencing a missing column exits 1 with a clean message
+    val badFile = Files.createTempFile("graft-curate-bad", ".json")
+    Files.writeString(badFile,
+      """{"name":"b","input":"docs","stages":[{"stage_type":"sort","by":["ghost"]}]}""")
+    assert(Cli.run(Array("curate", dir, badFile.toString, outDir)) == 1)
+  }
+}
