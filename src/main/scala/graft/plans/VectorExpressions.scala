@@ -173,6 +173,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         UnicodeNormalize(exprs.head, form)
       }))
+    // the model-scoring trio, SQL-registered so the spark.sql route (q188)
+    // reaches the model-based quality gate / LSH bucketing / centroid
+    // assignment without the Column API; matrix arguments are foldable
+    // array<array<double>> literals evaluated at resolution time — they
+    // become codegen REFERENCE objects exactly like the Column route, so
+    // plan size stays O(1) regardless of the matrix
+    ext.injectFunction((
+      FunctionIdentifier("hashed_linear_score"),
+      new ExpressionInfo(classOf[HashedLinearScore].getName, "hashed_linear_score"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "hashed_linear_score takes (array<string> tokens, int buckets)")
+        HashedLinearScore(exprs.head, GraftExtensions.intLiteral(exprs(1), "hashed_linear_score: buckets"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid_idx"),
+      new ExpressionInfo(classOf[NearestCentroidIndex].getName, "nearest_centroid_idx"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "nearest_centroid_idx takes (array<float|double> vector, array<array<double>> centroids)")
+        NearestCentroidIndex(exprs.head,
+          GraftExtensions.foldableDoubleMatrix(exprs(1), "nearest_centroid_idx: centroids"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "hyperplane_buckets takes (array<float|double> vector, array<array<double>> planes, int planesPerBand)")
+        HyperplaneBuckets(exprs.head,
+          GraftExtensions.foldableDoubleMatrix(exprs(1), "hyperplane_buckets: planes"),
+          GraftExtensions.intLiteral(exprs(2), "hyperplane_buckets: planes_per_band"))
+      }))
     // plan LINTER (injectCheckRule): conf-gated guardrails that VETO
     // analysis-clean but cluster-hostile plans before execution —
     // spark.graft.lint.noCartesian rejects unconditioned cross joins
@@ -210,6 +242,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_txn_table"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_txn_table"),
       (exprs: Seq[Expression]) => TxnTableTvf.plan(exprs)))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types._
+
+  private[plans] def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** A foldable `array<array<numeric>>` argument evaluated at function
+    * resolution into the Seq[Seq[Double]] the centroid/plane expressions
+    * take as a codegen reference object. Literal-built matrices
+    * (`array(array(1.0d, ...), ...)`) are resolved and foldable by the
+    * time function resolution runs; anything data-dependent is rejected —
+    * a per-row matrix would defeat the constant-source codegen contract. */
+  private[plans] def foldableDoubleMatrix(e: Expression, what: String): Seq[Seq[Double]] = {
+    val inner = e.dataType match {
+      case ArrayType(ArrayType(t @ (DoubleType | FloatType | IntegerType | LongType), _), _) => t
+      case t => throw new IllegalArgumentException(s"$what must be array<array<double>>, got ${t.sql}")
+    }
+    require(e.resolved && e.foldable, s"$what must be a literal (foldable) matrix, got $e")
+    val outer = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(outer != null, s"$what must not be NULL")
+    (0 until outer.numElements()).map { i =>
+      val row = outer.getArray(i)
+      require(row != null, s"$what: row $i is NULL")
+      (0 until row.numElements()).map { j =>
+        inner match {
+          case DoubleType => row.getDouble(j)
+          case FloatType => row.getFloat(j).toDouble
+          case IntegerType => row.getInt(j).toDouble
+          case LongType => row.getLong(j).toDouble
+          case _ => throw new IllegalStateException("unreachable")
+        }
+      }
+    }
   }
 }
 

@@ -103,5 +103,53 @@ private[graft] object Catalog15 {
           FROM labeled GROUP BY 1 ORDER BY 1"""
     })
 
-  val all: Seq[Q] = Seq(q383_curation_plan)
+  /** Model-based quality gate driven from SQL TEXT (the q188 route): the
+    * r14 verdict noted `hashed_linear_score` was Column-API-only, so a
+    * spark.sql user could not reach the model gate — it (plus
+    * `nearest_centroid_idx` / `hyperplane_buckets`) is now SQL-registered
+    * via GraftExtensions. The gate is spelled as CONDITIONAL AGGREGATION
+    * over one scored projection, not filter-then-aggregate: inside one
+    * aggregate operator codegen subexpression-elimination computes the
+    * score once per row, while a WHERE on the projected score would be
+    * pushed below the projection and evaluate the scorer twice (the q78
+    * lesson, applied to the SQL surface). Scores are exact BIGINTs (the
+    * integer-ramp weight table), so sums hash-match. */
+  val q384_sql_model_gate = Q(
+    "q384_sql_model_gate",
+    (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_q384_docs")
+      s.sql("""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN score >= 0 THEN score END) AS BIGINT) AS kept_score
+        FROM (
+          SELECT lang,
+                 hashed_linear_score(
+                   filter(split(trim(lower(text)), '\\s+'), t -> length(t) > 0), 64) AS score
+          FROM graft_q384_docs)
+        GROUP BY lang ORDER BY lang""")
+    },
+    Some {
+      val hashed = graft.tools.OracleSql.xxhash64Stages(
+        "SELECT doc_id, tok AS src FROM toks", "src", "h", pfx = "__m")
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                      x -> len(x) > 0)) AS tok
+            FROM documents),
+          hashed AS ($hashed),
+          scores AS (
+            SELECT doc_id, SUM((((h % 64) + 64) % 64) % 7 - 3) AS score
+            FROM hashed GROUP BY 1),
+          perdoc AS (
+            SELECT d.lang, s.score
+            FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id)
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN score >= 0 THEN score END) AS BIGINT) AS kept_score
+          FROM perdoc GROUP BY 1 ORDER BY 1"""
+    })
+
+  val all: Seq[Q] = Seq(q383_curation_plan, q384_sql_model_gate)
 }

@@ -69,4 +69,45 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT * FROM graft_time_spine(TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-02 00:00:00', 0)").count())
   }
 
+  test("SQL-registered scoring trio matches the expression route; non-literal matrices refused") {
+    import org.apache.spark.sql.graft.ExprColumn
+    val df = Seq(
+      (1L, Seq("the", "fox", "the"), Seq(1.0, 2.0)),
+      (2L, Seq("lazy", "dog"), Seq(-3.0, 0.5)))
+      .toDF("id", "toks", "vec")
+    df.createOrReplaceTempView("graft_trio")
+    // hashed_linear_score: SQL == expression route
+    val viaSql = spark.sql(
+      "SELECT id, hashed_linear_score(toks, 64) AS s FROM graft_trio ORDER BY id")
+      .select("s").as[Long].collect().toSeq
+    val viaExpr = df.orderBy("id")
+      .select(ExprColumn(graft.plans.HashedLinearScore(ExprColumn.expr(col("toks")), 64)))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaExpr)
+    // nearest_centroid_idx with a literal matrix == expression route
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val idxSql = spark.sql(
+      """SELECT id, nearest_centroid_idx(vec,
+           array(array(1.0d, 0.0d), array(0.0d, 1.0d), array(-1.0d, 0.0d))) AS i
+         FROM graft_trio ORDER BY id""").select("i").as[Int].collect().toSeq
+    val idxExpr = df.orderBy("id")
+      .select(ExprColumn(graft.plans.NearestCentroidIndex(ExprColumn.expr(col("vec")), cents)))
+      .as[Int].collect().toSeq
+    assert(idxSql == idxExpr && idxSql == Seq(1, 2))
+    // hyperplane_buckets with a literal plane matrix == expression route
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val bSql = spark.sql(
+      """SELECT id, hyperplane_buckets(vec, array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 2) AS b
+         FROM graft_trio ORDER BY id""").select("b").as[Seq[Long]].collect().toSeq
+    val bExpr = df.orderBy("id")
+      .select(ExprColumn(graft.plans.HyperplaneBuckets(ExprColumn.expr(col("vec")), planes, 2)))
+      .as[Seq[Long]].collect().toSeq
+    assert(bSql == bExpr)
+    // a data-dependent (non-foldable) matrix is rejected loudly: per-row
+    // matrices would defeat the constant-codegen reference-object contract
+    val e = intercept[Exception](spark.sql(
+      "SELECT nearest_centroid_idx(vec, array(array(vec[0]))) FROM graft_trio").collect())
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"),
+      e.getMessage)
+  }
 }
