@@ -151,5 +151,86 @@ private[graft] object Catalog15 {
           FROM perdoc GROUP BY 1 ORDER BY 1"""
     })
 
-  val all: Seq[Q] = Seq(q383_curation_plan, q384_sql_model_gate)
+  /** Shared corpus registry for the artifact-lifecycle queries: the
+    * documents table registered once per (JVM, sf) as `docs_corpus`
+    * (validate = false — a text corpus, not a value fact table). */
+  private def artifactRegistry(s: org.apache.spark.sql.SparkSession, dir: String) =
+    registryMemo.getOrElseUpdate(memoKey(s, dir, "artifacts"), {
+      val root = java.nio.file.Files.createTempDirectory("graft-registry-artifacts").toString
+      val reg = graft.registry.Registry(s, root)
+      graft.registry.Registry.registerDataset(reg, "docs_corpus",
+        t(s, dir, "documents").select(col("doc_id"), col("text")), validate = false)
+      reg
+    })
+
+  /** Incremental ingest dedup with REGISTRY-RESOLVED corpus artifacts
+    * ([[graft.registry.DerivedArtifacts.incrementalMinhashNearDuplicates]]):
+    * the corpus's minhash shingles + LSH buckets are registered derived
+    * datasets with content-hash provenance — built on first touch, pure
+    * parquet reads on every later ingest, invalidated when the corpus
+    * dataset changes (spec-pinned in DerivedArtifactsSpec). The batch
+    * (last-word-dropped copies of every 7th document, the q29 fixture
+    * family) pays only its own map-side pass; candidates join cross-side
+    * only, so ingest cost scales with the batch, not the corpus. Oracle:
+    * exact-Jaccard inverted-index join between batch and corpus shingle
+    * sets (the q29 replay). */
+  val q385_registry_incremental_dedup = Q(
+    "q385_registry_incremental_dedup",
+    (s, dir) => {
+      val reg = artifactRegistry(s, dir)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(
+            slice(split(trim(col("text")), "\\s+"), lit(1),
+              size(split(trim(col("text")), "\\s+")) - 1), " ").as("text"))
+      graft.registry.DerivedArtifacts
+        .incrementalMinhashNearDuplicates(reg, "docs_corpus", batch)
+        .select(
+          col("new_id").cast("long").as("new_id"),
+          col("existing_id").cast("long").as("existing_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("new_id", "existing_id")
+    },
+    Some("""WITH batch AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(toks[1:len(toks)-1], ' ') AS text
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)
+              WHERE doc_id % 7 = 0),
+            sh_c AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM documents)),
+            sh_b AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM batch)),
+            size_c AS (SELECT doc_id, len(shingles) AS sz FROM sh_c),
+            size_b AS (SELECT doc_id, len(shingles) AS sz FROM sh_b),
+            ex_c AS (SELECT doc_id, unnest(shingles) AS s FROM sh_c),
+            ex_b AS (SELECT doc_id, unnest(shingles) AS s FROM sh_b),
+            inter AS (
+              SELECT b.doc_id AS new_id, c.doc_id AS existing_id, COUNT(*) AS ic
+              FROM ex_b b JOIN ex_c c ON b.s = c.s
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT new_id, existing_id,
+                     CAST(ic AS DOUBLE) / (sb.sz + sc.sz - ic) AS jaccard
+              FROM inter
+              JOIN size_b sb ON sb.doc_id = new_id
+              JOIN size_c sc ON sc.doc_id = existing_id)
+            SELECT CAST(new_id AS BIGINT) AS new_id,
+                   CAST(existing_id AS BIGINT) AS existing_id,
+                   ROUND(jaccard, 4) AS jaccard
+            FROM pairs WHERE jaccard >= 0.8 ORDER BY new_id, existing_id"""))
+
+  val all: Seq[Q] = Seq(q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup)
 }

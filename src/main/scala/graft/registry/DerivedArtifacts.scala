@@ -1,0 +1,128 @@
+package graft.registry
+
+import org.apache.spark.sql.DataFrame
+
+import graft.text.Dedup
+
+/** Registry lifecycle for ENGINE-DERIVED datasets — the vector artifacts
+  * an incremental ingest pipeline reuses every batch (minhash shingle
+  * sets, LSH buckets), promoted from ad-hoc scratch parquet (the q88/q157
+  * pattern) to registered datasets with content-hash invalidation.
+  *
+  * An artifact is a normal registered dataset plus a `provenance.json`
+  * sidecar recording (source dataset, source content token, params token).
+  * `resolve` returns the registered artifact when the provenance matches
+  * the source's CURRENT token and rebuilds + re-registers otherwise — so
+  * a corpus rewrite invalidates its artifacts exactly like the query
+  * cache's registry token invalidates cached results (ref: the reference
+  * hashes project version + dataset configs into its cache keys,
+  * dsgrid/query/query_submitter.py:133-171; this applies the same
+  * discipline to derived datasets, which the reference rebuilds ad hoc).
+  *
+  * Scale shape: resolution is metadata-only (one FS listing + one JSON
+  * read); a hit costs zero Spark jobs and the artifact scan prunes like
+  * any parquet dataset. A build is the operator's own one-pass map-side
+  * cost, paid once per corpus state instead of once per ingest batch. */
+object DerivedArtifacts {
+
+  /** Content token of ONE registered dataset's on-disk files —
+    * (path, length, mtime) listing, hashed; any rewrite of the dataset
+    * changes it (the per-dataset analogue of `Registry.contentToken`). */
+  def datasetToken(reg: Registry, datasetId: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(s"${reg.root}/datasets/$datasetId")
+    val fs = hp.getFileSystem(reg.spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"datasetToken: no such dataset '$datasetId'")
+    val it = fs.listFiles(hp, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    }
+    graft.query.Models.contentHash(entries.sorted.mkString("\n"))
+  }
+
+  /** (source_token, params_token) recorded when the artifact was built. */
+  def provenance(reg: Registry, artifactId: String): Option[(String, String)] = {
+    val p = s"${reg.root}/datasets/$artifactId/provenance.json"
+    if (!reg.hadoopExists(p)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.sources.HadoopText.read(reg.spark, p))
+      Some((n.get("source_token").asText(), n.get("params_token").asText()))
+    }
+  }
+
+  /** Resolve-or-build: return the registered artifact when its provenance
+    * matches the source dataset's current content token (and the build
+    * params), else run `build`, register the result (validate = false —
+    * artifacts are engine-derived, not user fact tables), stamp
+    * provenance, and return it. The returned frame always reads the
+    * REGISTERED parquet, never the in-flight build plan. */
+  def resolve(reg: Registry, artifactId: String, sourceId: String, paramsToken: String)(
+      build: => DataFrame): DataFrame = {
+    val token = datasetToken(reg, sourceId)
+    if (!provenance(reg, artifactId).contains((token, paramsToken))) {
+      Registry.registerDataset(reg, artifactId, build, validate = false)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.createObjectNode()
+      n.put("source_dataset", sourceId)
+      n.put("source_token", token)
+      n.put("params_token", paramsToken)
+      graft.sources.HadoopText.write(reg.spark,
+        s"${reg.root}/datasets/$artifactId/provenance.json",
+        m.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+    }
+    reg.loadData(artifactId)
+  }
+
+  /** The minhash artifact pair of a registered corpus — hashed shingle
+    * sets and LSH band buckets, both registered as
+    * `<corpusId>__minhash_shingles` / `<corpusId>__lsh_buckets`. Buckets
+    * build FROM the registered shingle artifact, so the pair is always
+    * derived from one corpus state. */
+  def minhashArtifacts(
+      reg: Registry,
+      corpusId: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): (DataFrame, DataFrame) = {
+    val params = s"minhash|$idCol|$textCol|$bands|$rowsPerBand|$shingleSize"
+    val shingles = resolve(reg, s"${corpusId}__minhash_shingles", corpusId, params)(
+      Dedup.hashedShingleSets(reg.dataset(corpusId), idCol, textCol, shingleSize))
+    val buckets = resolve(reg, s"${corpusId}__lsh_buckets", corpusId, params)(
+      Dedup.lshBucketsFromSignatures(
+        Dedup.minhashSignaturesFromShingles(shingles, idCol, bands * rowsPerBand),
+        idCol, bands, rowsPerBand))
+    (shingles, buckets)
+  }
+
+  /** Incremental ingest dedup with registry-cached corpus artifacts: the
+    * batch pays only its own map-side shingle/bucket pass (ingest cost ∝
+    * batch, the [[Dedup.minhashNearDuplicatesIncremental]] contract); the
+    * corpus side resolves through the registry and rebuilds only when the
+    * corpus actually changed. Returns (new_id, existing_id, jaccard). */
+  def incrementalMinhashNearDuplicates(
+      reg: Registry,
+      corpusId: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val (corpusShingles, corpusBuckets) = minhashArtifacts(
+      reg, corpusId, idCol, textCol, bands, rowsPerBand, shingleSize)
+    // the batch's shingles feed both the signature pipeline and the
+    // verify join — cache the one map-side pass (the minhashNearDuplicates
+    // convention)
+    val batchShingles = Dedup.hashedShingleSets(batch, idCol, textCol, shingleSize).cache()
+    val batchBuckets = Dedup.lshBucketsFromSignatures(
+      Dedup.minhashSignaturesFromShingles(batchShingles, idCol, bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
+    Dedup.minhashNearDuplicatesIncremental(
+      batchShingles, batchBuckets, corpusShingles, corpusBuckets, idCol, threshold)
+  }
+}
