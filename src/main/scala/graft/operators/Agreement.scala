@@ -233,4 +233,102 @@ object Agreement {
           (col("n_only_a") + col("n_only_b")) > 0L, lit(false)))
       .drop("__ag_d")
   }
+
+  /** Quadratically weighted Cohen's κ per group — the ORDINAL-label
+    * agreement statistic (Cohen, Psych. Bull. 1968): a 1-vs-2 rating
+    * disagreement is mild, 1-vs-5 severe, weighted w_ab = (a−b)². Labels
+    * must be integer-castable. Exact integer spelling over the label
+    * censuses:
+    *   κ_w = (Σw·r_a·c_b − N·Σw·O_ab) / (Σw·r_a·c_b)
+    * (the 1 − observed/expected form with the N denominators cleared) —
+    * the expected term is a label-grid-sized cross join of the two
+    * marginal censuses, never a row join. Returns
+    * (groupCols*, n, wo_num = Σw·O, we_num = Σw·r·c, kappa_ppm);
+    * kappa_ppm NULL when we_num = 0 (both raters constant on the same
+    * label — agreement undefined, the cohenKappa convention). */
+  def weightedKappaQuadratic(
+      df: DataFrame, aCol: String, bCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "weightedKappaQuadratic: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val base = df.groupBy(gs: _*).agg(
+      count(lit(1)).as("n"),
+      sum((a - b) * (a - b)).as("wo_num"))
+    val ra = df.groupBy((gs :+ a.as("__ag_a")): _*).agg(count(lit(1)).as("__ag_r"))
+    val rb = df.groupBy((gs :+ b.as("__ag_b")): _*).agg(count(lit(1)).as("__ag_c"))
+    val we = ra.join(rb, groupCols) // label-grid² rows per group, census-sized
+      .groupBy(gs: _*)
+      .agg(sum((col("__ag_a") - col("__ag_b")) * (col("__ag_a") - col("__ag_b")) *
+        col("__ag_r").cast("decimal(38,0)") * col("__ag_c")).as("__ag_we"))
+    base.join(we, groupCols)
+      .withColumn("kappa_ppm", ppmOrNull(
+        col("__ag_we") - col("n").cast("decimal(38,0)") * col("wo_num"),
+        col("__ag_we")))
+      .withColumn("we_num", col("__ag_we").cast("long"))
+      .select((gs :+ col("n") :+ col("wo_num") :+ col("we_num") :+ col("kappa_ppm")): _*)
+  }
+
+  /** Cochran's Q per group — do k paired binary classifiers share one
+    * success rate? (Cochran, Biometrika 1950; the k-way extension of
+    * McNemar.) Input rows are individual outcomes (item, classifier,
+    * success); every item must carry all k classifiers exactly once
+    * (complete block design — validated with a loud refusal, the
+    * fleissKappa convention). With column totals C_j, row totals L_i,
+    * N = ΣC:
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣL_i²)
+    * — exact integers throughout; q_upm = Q·10⁶ by truncating division,
+    * NULL when the denominator is 0 (every item unanimous — no
+    * discordance, no test). p_ppm is the Markov bound min(1, 2·df/Q),
+    * df = k−1 (the chi2Homogeneity convention: conservative, exact,
+    * monotone — all a BH layer needs). Returns
+    * (groupCols*, n_items, k, n_success, q_upm, p_ppm). */
+  def cochranQ(
+      df: DataFrame, itemCol: String, raterCol: String, successCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "cochranQ: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val s = col(successCol).cast("long")
+    val rows = df.groupBy((gs :+ col(itemCol).as("__ag_i")): _*)
+      .agg(count(lit(1)).as("__ag_cnt"),
+        countDistinct(col(raterCol)).as("__ag_kd"),
+        sum(s).as("__ag_li"))
+    val k = df.groupBy(gs: _*).agg(countDistinct(col(raterCol)).as("k"))
+    val sizes = rows.join(k, groupCols)
+    val bad = sizes.filter(col("__ag_cnt") =!= col("k") ||
+      col("__ag_kd") =!= col("k")).limit(1).collect()
+    require(bad.isEmpty,
+      "cochranQ: every item needs exactly one outcome from EACH classifier " +
+        "(complete block design) — found an item whose rating count or distinct-" +
+        "classifier count differs from the group's k")
+    val rowAgg = sizes.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_items"),
+        max(col("k")).as("k"),
+        sum(col("__ag_li")).as("n_success"),
+        sum(col("__ag_li") * col("__ag_li")).as("__ag_l2"))
+    val colAgg = df.groupBy((gs :+ col(raterCol)): _*)
+      .agg(sum(s).as("__ag_cj"))
+      .groupBy(gs: _*)
+      .agg(sum(col("__ag_cj").cast("decimal(38,0)") * col("__ag_cj")).as("__ag_c2"))
+    rowAgg.join(colAgg, groupCols)
+      .withColumn("__ag_num",
+        (col("k") - 1L).cast("decimal(38,0)") *
+          (col("k") * col("__ag_c2") -
+            col("n_success").cast("decimal(38,0)") * col("n_success")))
+      .withColumn("__ag_den",
+        col("k").cast("decimal(38,0)") * col("n_success") - col("__ag_l2"))
+      .withColumn("q_upm",
+        when(col("__ag_den") === 0, lit(null).cast("long"))
+          .otherwise(Idiv(col("__ag_num") * 1000000L, col("__ag_den")).cast("long")))
+      .withColumn("p_ppm",
+        when(col("q_upm").isNull || col("q_upm") <= 0L, lit(1000000L))
+          .otherwise(least(lit(1000000L), Idiv(
+            lit(2L) * (col("k") - 1L).cast("decimal(38,0)") * 1000000000000L,
+            col("q_upm")).cast("long"))))
+      .select((gs :+ col("n_items") :+ col("k") :+ col("n_success") :+
+        col("q_upm") :+ col("p_ppm")): _*)
+  }
 }

@@ -415,4 +415,60 @@ object Drift {
       .select((gs :+ col("n") :+ col("split_pos") :+ col("g_upm") :+
         col("mean_left_micro") :+ col("mean_right_micro")): _*)
   }
+
+  /** Mann–Kendall trend test per series (Mann 1945 / Kendall 1975 — THE
+    * nonparametric monotone-trend monitor for metric time series: no
+    * distribution assumed, ties handled exactly). Input: ONE value per
+    * (group, time) — duplicate times refuse loudly (aggregate to the
+    * period grid first; series are census-scale by the Hampel contract).
+    *   S = Σ_{t_i < t_j} sgn(x_j − x_i)                (exact integer)
+    *   18·Var(S) = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)  (exact integer)
+    * and the 5 % two-sided normal decision rides the exact rational
+    * 11250·(|S|−1)² ≥ 2401·var18 (z ≥ 1.96 = 49/25 with the standard
+    * continuity correction — cross-multiplied, no sqrt, no libm).
+    * `trend` = sign(S) when significant, else 0. The pair sum is a
+    * series-census self-join (n² census pairs, the kendallPairs shape),
+    * checkpointed + explicitly repartitioned before the expansion.
+    * Returns (groupCols*, n, s, var18, trend). */
+  def mannKendall(
+      df: DataFrame, timeCol: String, valueCol: String, groupCols: Seq[String],
+      censusPartitions: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mannKendall: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val series = df.select((gs :+ col(timeCol).as("__dr_t") :+
+      col(valueCol).cast("long").as("__dr_v")): _*)
+      .repartition(censusPartitions)
+      .localCheckpoint(true) // self-joined + tie-censused below
+    val dup = series.groupBy((gs :+ col("__dr_t")): _*).agg(count(lit(1)).as("__dr_c"))
+      .filter(col("__dr_c") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      "mannKendall: duplicate time points in a series — aggregate to the " +
+        "period grid first (one value per (group, time))")
+    val a = series.select((gs :+ col("__dr_t").as("__dr_ta") :+
+      col("__dr_v").as("__dr_va")): _*)
+    val b = series.select((gs :+ col("__dr_t").as("__dr_tb") :+
+      col("__dr_v").as("__dr_vb")): _*)
+    val sAgg = a.join(b, groupCols)
+      .filter(col("__dr_tb") > col("__dr_ta"))
+      .groupBy(gs: _*)
+      .agg(sum(signum(col("__dr_vb") - col("__dr_va")).cast("long")).as("s"))
+    val ties = series.groupBy((gs :+ col("__dr_v")): _*).agg(count(lit(1)).as("__dr_tc"))
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("__dr_tc")).as("n"),
+        sum(col("__dr_tc") * (col("__dr_tc") - 1L) * (lit(2L) * col("__dr_tc") + 5L))
+          .as("__dr_tsum"))
+    ties.join(sAgg, groupCols)
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("__dr_tsum"))
+      .withColumn("__dr_sa", abs(col("s")) - 1L)
+      .withColumn("trend",
+        when(col("s") === 0L || col("n") < 2L, 0L)
+          .otherwise(when(
+            lit(11250L) * col("__dr_sa").cast("decimal(38,0)") * col("__dr_sa") >=
+              lit(2401L) * col("var18"),
+            signum(col("s")).cast("long")).otherwise(0L)))
+      .select((gs :+ col("n") :+ col("s") :+ col("var18") :+ col("trend")): _*)
+  }
 }

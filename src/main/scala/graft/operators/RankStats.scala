@@ -504,4 +504,76 @@ object RankStats {
             col("__rs_gn") * 1000000L, col("n") * col("sum_v")).cast("long")))
       .drop("__rs_gn")
   }
+
+  /** Friedman test per group — do k systems rank the same across n blocks?
+    * (Friedman, JASA 1937; the repeated-measures cousin of Kruskal–Wallis
+    * and THE multi-system eval test: one score per (query, system), blocks
+    * = queries.) Every block must carry all k treatments exactly once
+    * (complete block design — loud refusal otherwise). Within-block
+    * tie-averaged ranks ride the doubled-rank convention (ρ = 2r exact
+    * integers); with R2_j = Σ_blocks ρ_ij, A4 = Σ ρ², C4 = n·k·(k+1)², the
+    * tie-corrected statistic (Conover 1999 eq. 5.3.8, cleared of the
+    * /4 factors which cancel exactly under doubling) is
+    *   T = (k−1)·Σ_j (R2_j − n(k+1))² / (A4 − C4)
+    * — exact integers; chi2_upm = T·10⁶ truncating, NULL when A4 = C4
+    * (every block fully tied — no information). p_ppm = Markov bound
+    * min(1, 2·df/T), df = k−1 (the chi2Homogeneity convention). The rank
+    * window partitions by (group, block) — blocks are k-sized, so the
+    * partitioning is row-linear and skew-free by construction. Returns
+    * (groupCols*, n_blocks, k, chi2_upm, p_ppm). */
+  def friedmanTest(
+      df: DataFrame, blockCol: String, treatmentCol: String, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "friedmanTest: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val k = df.groupBy(gs: _*).agg(countDistinct(col(treatmentCol)).as("k"))
+    val perBlock = df.groupBy((gs :+ col(blockCol)): _*)
+      .agg(count(lit(1)).as("__rs_cnt"),
+        countDistinct(col(treatmentCol)).as("__rs_kd"))
+      .join(k, groupCols)
+    val bad = perBlock.filter(col("__rs_cnt") =!= col("k") ||
+      col("__rs_kd") =!= col("k")).limit(1).collect()
+    require(bad.isEmpty,
+      "friedmanTest: every block needs exactly one observation per treatment " +
+        "(complete block design) — found a block whose observation count or " +
+        "distinct-treatment count differs from the group's k")
+    // doubled tie-averaged rank within (group, block): 2·cumBelow + cnt + 1
+    // over the block-local value census
+    val blockCensus = df.groupBy((gs :+ col(blockCol) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__rs_c"))
+    val w = Window.partitionBy((gs :+ col(blockCol)): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = blockCensus.withColumn("__rs_r2",
+      lit(2L) * coalesce(sum(col("__rs_c")).over(w), lit(0L)) + col("__rs_c") + 1L)
+    val obs = df.select((gs :+ col(blockCol) :+ col(treatmentCol) :+ col(valueCol)): _*)
+      .join(ranked, groupCols :+ blockCol :+ valueCol)
+    val perTreatment = obs.groupBy((gs :+ col(treatmentCol)): _*)
+      .agg(sum(col("__rs_r2")).as("__rs_R2"), count(lit(1)).as("__rs_n"),
+        sum(col("__rs_r2") * col("__rs_r2")).as("__rs_a4j"))
+    perTreatment
+      .join(k, groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__rs_n")).as("n_blocks"),
+        max(col("k")).as("k"),
+        sum((col("__rs_R2") - col("__rs_n") * (col("k") + 1L)).cast("decimal(38,0)") *
+          (col("__rs_R2") - col("__rs_n") * (col("k") + 1L))).as("__rs_num0"),
+        sum(col("__rs_a4j").cast("decimal(38,0)")).as("__rs_a4"))
+      .withColumn("__rs_c4",
+        col("n_blocks").cast("decimal(38,0)") * col("k") *
+          (col("k") + 1L) * (col("k") + 1L))
+      .withColumn("chi2_upm",
+        when(col("__rs_a4") === col("__rs_c4"), lit(null).cast("long"))
+          .otherwise(Idiv(
+            (col("k") - 1L).cast("decimal(38,0)") * col("__rs_num0") * 1000000L,
+            col("__rs_a4") - col("__rs_c4")).cast("long")))
+      .withColumn("p_ppm",
+        when(col("chi2_upm").isNull || col("chi2_upm") <= 0L, lit(1000000L))
+          .otherwise(least(lit(1000000L), Idiv(
+            lit(2L) * (col("k") - 1L).cast("decimal(38,0)") * 1000000000000L,
+            col("chi2_upm")).cast("long"))))
+      .select((gs :+ col("n_blocks") :+ col("k") :+ col("chi2_upm") :+ col("p_ppm")): _*)
+  }
 }

@@ -232,5 +232,196 @@ private[graft] object Catalog15 {
                    ROUND(jaccard, 4) AS jaccard
             FROM pairs WHERE jaccard >= 0.8 ORDER BY new_id, existing_id"""))
 
-  val all: Seq[Q] = Seq(q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup)
+  /** Friedman test ([[graft.operators.RankStats.friedmanTest]] — the
+    * multi-system eval: k = 4 systems scored on 400 blocks per priority,
+    * doubled tie-averaged within-block ranks, tie-corrected statistic in
+    * exact integers, Markov-bound p. Planted: '1-URGENT' adds a +200·s
+    * system lift (simulated: p ≈ 10 836 ppm rejects; the multiplicative
+    * (b+7)(s+3) mixing keeps nulls at the p = 10⁶ clamp — an additive
+    * constant-offset score had a systematic mod-wrap rank bias, caught by
+    * the pre-flight simulation, the q374 lesson). */
+  val q386_friedman = Q(
+    "q386_friedman",
+    (s, dir) => {
+      val blocks = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), pmod(col("o_orderkey"), lit(400L)).as("b"))
+        .distinct()
+      val obs = blocks
+        .select(col("g"), col("b"), explode(sequence(lit(0L), lit(3L))).as("sy"))
+        .withColumn("v",
+          pmod((col("b") + 7L) * (col("sy") + 3L) * 48271L, lit(1000L)) +
+            when(col("g") === "1-URGENT", col("sy") * 200L).otherwise(0L))
+      graft.operators.RankStats.friedmanTest(obs, "b", "sy", "v", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH blocks AS (
+              SELECT DISTINCT o_orderpriority AS g, o_orderkey % 400 AS b FROM orders),
+            obs AS (
+              SELECT g, b, sy,
+                     ((b + 7) * (sy + 3) * 48271) % 1000 +
+                       CASE WHEN g = '1-URGENT' THEN sy * 200 ELSE 0 END AS v
+              FROM blocks, UNNEST([0, 1, 2, 3]) AS t(sy)),
+            ranked AS (
+              SELECT g, b, sy,
+                     2 * (RANK() OVER (PARTITION BY g, b ORDER BY v) - 1) +
+                       COUNT(*) OVER (PARTITION BY g, b, v) + 1 AS r2
+              FROM obs),
+            pert AS (
+              SELECT g, sy, SUM(r2) AS R2, COUNT(*) AS n, SUM(r2 * r2) AS a4j
+              FROM ranked GROUP BY 1, 2),
+            agg AS (
+              SELECT g, MAX(n) AS n_blocks, 4 AS k,
+                     SUM(CAST(R2 - n * 5 AS HUGEINT) * (R2 - n * 5)) AS num0,
+                     SUM(CAST(a4j AS HUGEINT)) AS a4
+              FROM pert GROUP BY 1),
+            st AS (
+              SELECT g, n_blocks, k,
+                     CASE WHEN a4 = CAST(n_blocks AS HUGEINT) * 4 * 25 THEN NULL
+                          ELSE CAST((3 * num0 * 1000000) //
+                            (a4 - CAST(n_blocks AS HUGEINT) * 4 * 25) AS BIGINT)
+                     END AS chi2_upm
+              FROM agg)
+            SELECT g, CAST(n_blocks AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+                   chi2_upm,
+                   CASE WHEN chi2_upm IS NULL OR chi2_upm <= 0 THEN 1000000
+                        ELSE LEAST(1000000,
+                          CAST((2 * 3 * 1000000000000::HUGEINT) // chi2_upm AS BIGINT))
+                   END AS p_ppm
+            FROM st ORDER BY g"""))
+
+  /** Cochran's Q ([[graft.operators.Agreement.cochranQ]] — k = 3 paired
+    * binary classifiers over 477 items per priority (477 breaks the
+    * mod-10 cycle so null column totals differ slightly instead of
+    * vanishing identically); planted: '1-URGENT' classifier 2 succeeds at
+    * 90 % vs the 60 % base (simulated: p ≈ 36 588 ppm rejects, nulls
+    * clamp at 10⁶). */
+  val q387_cochran_q = Q(
+    "q387_cochran_q",
+    (s, dir) => {
+      val items = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), pmod(col("o_orderkey"), lit(477L)).as("i"))
+        .distinct()
+      val obs = items
+        .select(col("g"), col("i"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .withColumn("sc",
+          (pmod(col("i") * 31L + col("j") * 17L + 7L, lit(10L)) <
+            when(col("g") === "1-URGENT" && col("j") === 2L, 9L).otherwise(6L))
+            .cast("long"))
+      graft.operators.Agreement.cochranQ(obs, "i", "j", "sc", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT o_orderpriority AS g, o_orderkey % 477 AS i FROM orders),
+            obs AS (
+              SELECT g, i, j,
+                     CASE WHEN (i * 31 + j * 17 + 7) % 10 <
+                       CASE WHEN g = '1-URGENT' AND j = 2 THEN 9 ELSE 6 END
+                       THEN 1 ELSE 0 END AS sc
+              FROM items, UNNEST([0, 1, 2]) AS t(j)),
+            rowt AS (SELECT g, i, SUM(sc) AS li FROM obs GROUP BY 1, 2),
+            colt AS (SELECT g, j, SUM(sc) AS cj FROM obs GROUP BY 1, 2),
+            ra AS (
+              SELECT g, COUNT(*) AS n_items, SUM(li) AS n_success,
+                     SUM(CAST(li AS HUGEINT) * li) AS l2
+              FROM rowt GROUP BY 1),
+            ca AS (SELECT g, SUM(CAST(cj AS HUGEINT) * cj) AS c2 FROM colt GROUP BY 1),
+            st AS (
+              SELECT ra.g, n_items, 3 AS k, n_success,
+                     CASE WHEN 3 * CAST(n_success AS HUGEINT) - l2 = 0 THEN NULL
+                          ELSE CAST((2 * (3 * c2 - CAST(n_success AS HUGEINT) * n_success)
+                            * 1000000) // (3 * CAST(n_success AS HUGEINT) - l2) AS BIGINT)
+                     END AS q_upm
+              FROM ra JOIN ca ON ra.g = ca.g)
+            SELECT g, CAST(n_items AS BIGINT) AS n_items, CAST(k AS BIGINT) AS k,
+                   CAST(n_success AS BIGINT) AS n_success, q_upm,
+                   CASE WHEN q_upm IS NULL OR q_upm <= 0 THEN 1000000
+                        ELSE LEAST(1000000,
+                          CAST((2 * 2 * 1000000000000::HUGEINT) // q_upm AS BIGINT))
+                   END AS p_ppm
+            FROM st ORDER BY g"""))
+
+  /** Quadratically weighted Cohen's κ ([[graft.operators.Agreement
+    * .weightedKappaQuadratic]] — ordinal 0–4 labels per language; rater b
+    * echoes rater a except on the 1/7 residue, where it slips 1–3 grades;
+    * the expected-disagreement term is a label-grid cross join of the two
+    * marginal censuses, exact HUGEINT end to end). */
+  val q388_weighted_kappa = Q(
+    "q388_weighted_kappa",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("lang"),
+        pmod(col("doc_id"), lit(5L)).as("a"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          pmod(pmod(col("doc_id"), lit(5L)) + 1L + pmod(col("doc_id"), lit(3L)), lit(5L)))
+          .otherwise(pmod(col("doc_id"), lit(5L))).as("b"))
+      graft.operators.Agreement.weightedKappaQuadratic(d, "a", "b", Seq("lang"))
+        .orderBy("lang")
+    },
+    Some("""WITH r AS (
+              SELECT lang,
+                     doc_id % 5 AS a,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN (doc_id % 5 + 1 + doc_id % 3) % 5
+                          ELSE doc_id % 5 END AS b
+              FROM documents),
+            base AS (
+              SELECT lang, COUNT(*) AS n, SUM((a - b) * (a - b)) AS wo_num
+              FROM r GROUP BY 1),
+            ra AS (SELECT lang, a, COUNT(*) AS rc FROM r GROUP BY 1, 2),
+            rb AS (SELECT lang, b, COUNT(*) AS cc FROM r GROUP BY 1, 2),
+            we AS (
+              SELECT ra.lang,
+                     SUM((a - b) * (a - b) * CAST(rc AS HUGEINT) * cc) AS we_num
+              FROM ra JOIN rb ON ra.lang = rb.lang GROUP BY 1)
+            SELECT base.lang, CAST(n AS BIGINT) AS n, CAST(wo_num AS BIGINT) AS wo_num,
+                   CAST(we_num AS BIGINT) AS we_num,
+                   CASE WHEN we_num = 0 THEN NULL ELSE
+                     CAST(CASE WHEN we_num - CAST(n AS HUGEINT) * wo_num < 0
+                               THEN -1 ELSE 1 END *
+                       (abs(we_num - CAST(n AS HUGEINT) * wo_num) * 1000000 // we_num)
+                       AS BIGINT)
+                   END AS kappa_ppm
+            FROM base JOIN we ON base.lang = we.lang ORDER BY 1"""))
+
+  /** Mann–Kendall trend monitor ([[graft.operators.Drift.mannKendall]] —
+    * the nonparametric monotone-trend test over the daily order-count
+    * series per priority; planted: '1-URGENT' gains +3·day (simulated:
+    * S ≈ +1121, trend = +1; null series sit under the 1.96 rational). */
+  val q389_mann_kendall = Q(
+    "q389_mann_kendall",
+    (s, dir) => {
+      val series = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"), pmod(col("o_orderkey"), lit(50L)).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("v",
+          col("c") + when(col("g") === "1-URGENT", col("d") * 3L).otherwise(0L))
+      graft.operators.Drift.mannKendall(series, "d", "v", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH series AS (
+              SELECT g, d, COUNT(*) + CASE WHEN g = '1-URGENT' THEN d * 3 ELSE 0 END AS v
+              FROM (SELECT o_orderpriority AS g, o_orderkey % 50 AS d FROM orders)
+              GROUP BY g, d),
+            sgn AS (
+              SELECT a.g,
+                     SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+              FROM series a JOIN series b ON a.g = b.g AND b.d > a.d
+              GROUP BY 1),
+            ties AS (
+              SELECT g, SUM(tc) AS n,
+                     SUM(tc * (tc - 1) * (2 * tc + 5)) AS tsum
+              FROM (SELECT g, v, COUNT(*) AS tc FROM series GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT ties.g, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+                   CAST(n * (n - 1) * (2 * n + 5) - tsum AS BIGINT) AS var18,
+                   CAST(CASE WHEN s = 0 OR n < 2 THEN 0
+                        WHEN 11250 * CAST(abs(s) - 1 AS HUGEINT) * (abs(s) - 1) >=
+                             2401 * (n * (n - 1) * (2 * n + 5) - tsum)
+                        THEN CASE WHEN s > 0 THEN 1 ELSE -1 END
+                        ELSE 0 END AS BIGINT) AS trend
+            FROM ties JOIN sgn ON ties.g = sgn.g ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(
+    q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup,
+    q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall)
 }

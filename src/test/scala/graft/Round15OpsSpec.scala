@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agreement, Drift, RankStats}
+
+/** Round-15 operators: quadratically weighted Cohen's κ, Cochran's Q,
+  * Friedman test, Mann–Kendall trend — hand-computed fixtures pinned to
+  * the textbook formulas, plus the complete-design / duplicate-time
+  * refusals. */
+class Round15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedKappaQuadratic: hand case, constant-rater NULL, sign") {
+    val df = Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 2L))
+      .toDF("a", "b").withColumn("g", lit("x"))
+    val r = Agreement.weightedKappaQuadratic(df, "a", "b", Seq("g")).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("wo_num") == 4L) // only (0,2) disagrees, w = 4
+    assert(r.getAs[Long]("we_num") == 26L)
+    // kappa = (26 - 4*4)/26 = 10/26 -> 384615 ppm truncating
+    assert(r.getAs[Long]("kappa_ppm") == 384615L)
+    // both raters constant on the SAME label: we = 0 -> NULL (undefined)
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b").withColumn("g", lit("x"))
+    assert(Agreement.weightedKappaQuadratic(const, "a", "b", Seq("g"))
+      .collect().head.isNullAt(4))
+    // systematic max-distance disagreement drives kappa negative
+    val anti = Seq((0L, 4L), (4L, 0L), (0L, 4L), (4L, 0L))
+      .toDF("a", "b").withColumn("g", lit("x"))
+    assert(Agreement.weightedKappaQuadratic(anti, "a", "b", Seq("g"))
+      .collect().head.getAs[Long]("kappa_ppm") < 0L)
+  }
+
+  test("cochranQ: textbook hand case, unanimity NULL, incomplete-design refusal") {
+    // items x classifiers: C = [3,3,1], L = [2,3,1,1]
+    val rows = Seq(
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 0L),
+      (2L, 0L, 1L), (2L, 1L, 1L), (2L, 2L, 1L),
+      (3L, 0L, 0L), (3L, 1L, 1L), (3L, 2L, 0L),
+      (4L, 0L, 1L), (4L, 1L, 0L), (4L, 2L, 0L))
+      .toDF("i", "j", "sc").withColumn("g", lit("x"))
+    val r = Agreement.cochranQ(rows, "i", "j", "sc", Seq("g")).collect().head
+    assert(r.getAs[Long]("n_items") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_success") == 7L)
+    // Q = (k-1)(k*sumC2 - N^2)/(kN - sumL2) = 2*(57-49)/(21-15) = 16/6
+    assert(r.getAs[Long]("q_upm") == 2666666L)
+    assert(r.getAs[Long]("p_ppm") == 1000000L) // Markov 4/2.67 clamps
+    // all items unanimous successes: den = kN - sumL2 = 0 -> NULL
+    val unanimous = Seq((1L, 0L, 1L), (1L, 1L, 1L), (2L, 0L, 1L), (2L, 1L, 1L))
+      .toDF("i", "j", "sc").withColumn("g", lit("x"))
+    assert(Agreement.cochranQ(unanimous, "i", "j", "sc", Seq("g"))
+      .collect().head.isNullAt(4))
+    // an item missing one classifier refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Agreement.cochranQ(rows.filter(!(col("i") === 4L && col("j") === 2L)),
+        "i", "j", "sc", Seq("g")).collect())
+    assert(e.getMessage.contains("complete block design"))
+  }
+
+  test("friedmanTest: textbook no-tie case, tie correction, refusal") {
+    // 4 blocks x 3 treatments, C always ranked top except block 4 swaps A/B:
+    // classic Friedman chi2 = 6.5
+    val obs = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 2L), (2L, "B", 3L), (2L, "C", 4L),
+      (3L, "A", 1L), (3L, "B", 3L), (3L, "C", 5L),
+      (4L, "A", 2L), (4L, "B", 1L), (4L, "C", 6L))
+      .toDF("b", "tr", "v").withColumn("g", lit("x"))
+    val r = RankStats.friedmanTest(obs, "b", "tr", "v", Seq("g")).collect().head
+    assert(r.getAs[Long]("n_blocks") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("chi2_upm") == 6500000L)
+    // Markov p = min(1, 2*2/6.5) = 615384 ppm
+    assert(r.getAs[Long]("p_ppm") == 615384L)
+    // every block fully tied: A4 = C4 -> NULL statistic, p = 1e6
+    val tied = Seq(
+      (1L, "A", 7L), (1L, "B", 7L), (1L, "C", 7L),
+      (2L, "A", 9L), (2L, "B", 9L), (2L, "C", 9L))
+      .toDF("b", "tr", "v").withColumn("g", lit("x"))
+    val rt = RankStats.friedmanTest(tied, "b", "tr", "v", Seq("g")).collect().head
+    assert(rt.isNullAt(3) && rt.getAs[Long]("p_ppm") == 1000000L)
+    // partial ties still exact: block (A=1, B=1, C=2) gives rank2 (3,3,5)
+    val partial = Seq(
+      (1L, "A", 1L), (1L, "B", 1L), (1L, "C", 2L),
+      (2L, "A", 1L), (2L, "B", 2L), (2L, "C", 3L))
+      .toDF("b", "tr", "v").withColumn("g", lit("x"))
+    val rp = RankStats.friedmanTest(partial, "b", "tr", "v", Seq("g")).collect().head
+    // rank2 in block 1: (3, 3, 6); block 2: (2, 4, 6). R2: A=5, B=7, C=12;
+    // n(k+1)=8 -> devs (-3,-1,4), num0=26; A4 = 9+9+36+4+16+36 = 110;
+    // C4 = 2*3*16 = 96; T = 2*26/14 = 3.714285 (checked against Conover's
+    // single-rank form: 2*6.5/3.5)
+    assert(rp.getAs[Long]("chi2_upm") == 3714285L)
+    val e = intercept[IllegalArgumentException](
+      RankStats.friedmanTest(obs.filter(!(col("b") === 4L && col("tr") === "C")),
+        "b", "tr", "v", Seq("g")).collect())
+    assert(e.getMessage.contains("complete block design"))
+  }
+
+  test("mannKendall: monotone trends, constant series, duplicate-time refusal") {
+    def series(vs: Seq[Long]) = vs.zipWithIndex
+      .map { case (v, t) => (t.toLong, v) }.toDF("t", "v").withColumn("g", lit("x"))
+    val up = Drift.mannKendall(series(Seq(1L, 3L, 5L, 7L, 9L)), "t", "v", Seq("g"))
+      .collect().head
+    assert(up.getAs[Long]("s") == 10L && up.getAs[Long]("var18") == 300L)
+    assert(up.getAs[Long]("trend") == 1L) // 11250*81 >= 2401*300
+    val down = Drift.mannKendall(series(Seq(9L, 7L, 5L, 3L, 1L)), "t", "v", Seq("g"))
+      .collect().head
+    assert(down.getAs[Long]("s") == -10L && down.getAs[Long]("trend") == -1L)
+    val flat = Drift.mannKendall(series(Seq(4L, 4L, 4L, 4L, 4L)), "t", "v", Seq("g"))
+      .collect().head
+    assert(flat.getAs[Long]("s") == 0L && flat.getAs[Long]("var18") == 0L &&
+      flat.getAs[Long]("trend") == 0L)
+    // a weak wiggle is NOT a trend (S small vs var)
+    val wiggle = Drift.mannKendall(series(Seq(5L, 7L, 4L, 6L, 5L, 8L, 3L)), "t", "v", Seq("g"))
+      .collect().head
+    assert(wiggle.getAs[Long]("trend") == 0L)
+    val dup = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("t", "v").withColumn("g", lit("x"))
+    val e = intercept[IllegalArgumentException](
+      Drift.mannKendall(dup, "t", "v", Seq("g")).collect())
+    assert(e.getMessage.contains("duplicate time"))
+  }
+}
