@@ -421,7 +421,109 @@ private[graft] object Catalog15 {
                         ELSE 0 END AS BIGINT) AS trend
             FROM ties JOIN sgn ON ties.g = sgn.g ORDER BY 1"""))
 
+  /** Heavyweight-quality curation plan: the Gopher rule gate and the
+    * repetition signals as DECLARATIVE stages (gopher_flags → keep filter
+    * → repetition → top-bigram filter → per-language stats), the q84/q83
+    * operators reached from a JSON document. Thresholds picked against
+    * the real documents distribution (word_count median 56 → min_words 40
+    * splits ~40/60; top bigram char frac p75 ≈ 0.10 → the 0.1 gate drops
+    * the repetitive quartile). All emitted stats are exact integers; the
+    * intermediate double metrics are single int/int divisions — bit-equal
+    * across engines (the q84 contract) — and never aggregated. */
+  val q390_curation_quality_gate = Q(
+    "q390_curation_quality_gate",
+    (s, dir) => {
+      val document = """{
+        "name": "curate_quality_gate",
+        "input": "documents",
+        "stages": [
+          {"stage_type": "gopher_flags", "min_words": 40, "max_words": 100000,
+           "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+           "max_symbol_word_ratio": 0.1, "max_bullet_line_frac": 0.9,
+           "max_ellipsis_line_frac": 0.3, "min_alpha_word_frac": 0.8,
+           "min_stopword_hits": 1},
+          {"stage_type": "filter",
+           "filters": [{"filter_type": "expression", "column": "keep",
+                        "operator": "==", "value": 1}]},
+          {"stage_type": "repetition", "ngram": 2},
+          {"stage_type": "filter",
+           "filters": [{"filter_type": "raw", "expression": "top_ngram_char_frac <= 0.1"}]},
+          {"stage_type": "aggregate", "group_by": ["lang"],
+           "aggregations": [
+             {"fn": "count", "column": "doc_id", "alias": "n_docs"},
+             {"fn": "sum", "column": "word_count", "alias": "total_words"},
+             {"fn": "mean_int", "column": "word_count", "alias": "mean_words"}]},
+          {"stage_type": "sort", "by": ["lang"]}
+        ]
+      }"""
+      val plan = graft.query.CurationJson.parse(document)
+      new graft.query.CurationSubmitter(s, dir).submit(plan)
+    },
+    Some("""WITH arrays AS (
+              SELECT doc_id, lang, text,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS toks,
+                list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lns
+              FROM documents),
+            counts AS (
+              SELECT doc_id, lang, text,
+                len(toks)::BIGINT AS wc,
+                len(lns)::BIGINT AS nl,
+                length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS sum_len,
+                (length(text) - length(regexp_replace(text, '#', '', 'g')))::BIGINT AS hash_cnt,
+                len(regexp_extract_all(text, '\.\.\.'))::BIGINT AS ell_cnt,
+                len(list_filter(lns, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                                          OR starts_with(l, '•')))::BIGINT AS bullet_lines,
+                len(list_filter(lns, l -> ends_with(l, '...')))::BIGINT AS ell_lines,
+                len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS alpha_words,
+                len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(toks, t -> lower(t)), s)))::BIGINT AS stop_hits
+              FROM arrays),
+            kept AS (
+              SELECT doc_id, lang, text, wc AS word_count FROM counts
+              WHERE wc >= 40 AND wc <= 100000
+                AND (CASE WHEN wc = 0 THEN 0.0 ELSE sum_len::DOUBLE / wc END) >= 3.0
+                AND (CASE WHEN wc = 0 THEN 0.0 ELSE sum_len::DOUBLE / wc END) <= 10.0
+                AND (CASE WHEN wc = 0 THEN 0.0 ELSE (hash_cnt + ell_cnt)::DOUBLE / wc END) <= 0.1
+                AND (CASE WHEN nl = 0 THEN 0.0 ELSE bullet_lines::DOUBLE / nl END) <= 0.9
+                AND (CASE WHEN nl = 0 THEN 0.0 ELSE ell_lines::DOUBLE / nl END) <= 0.3
+                AND (CASE WHEN wc = 0 THEN 0.0 ELSE alpha_words::DOUBLE / wc END) >= 0.8
+                AND stop_hits >= 1),
+            normed AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+              FROM kept),
+            toked AS (
+              SELECT doc_id, len(norm)::BIGINT AS nlen,
+                list_filter(string_split(norm, ' '), t -> len(t) > 0) AS ntoks
+              FROM normed),
+            grams AS (
+              SELECT doc_id, nlen, unnest(
+                CASE WHEN len(ntoks) <= 2 THEN [array_to_string(ntoks, ' ')]
+                     ELSE list_transform(range(len(ntoks) - 1), i -> ntoks[i + 1] || ' ' || ntoks[i + 2]) END
+              ) AS gram
+              FROM toked WHERE len(ntoks) > 0),
+            gram_counts AS (
+              SELECT doc_id, gram, nlen, COUNT(*) AS cnt
+              FROM grams GROUP BY doc_id, gram, nlen),
+            top_gram AS (
+              SELECT doc_id,
+                CAST(cnt * len(gram) AS DOUBLE) / GREATEST(nlen, 1) AS f
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+                FROM gram_counts)
+              WHERE rn = 1),
+            surviving AS (
+              SELECT k.lang, k.word_count
+              FROM kept k LEFT JOIN top_gram t ON t.doc_id = k.doc_id
+              WHERE COALESCE(t.f, 0.0) <= 0.1)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(word_count) AS BIGINT) AS total_words,
+                   CAST(SUM(word_count) // COUNT(*) AS BIGINT) AS mean_words
+            FROM surviving GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup,
-    q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall)
+    q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall,
+    q390_curation_quality_gate)
 }

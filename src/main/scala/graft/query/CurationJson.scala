@@ -36,6 +36,26 @@ object CurationJson {
         textColumn = optStr(n, "text_column").getOrElse("text"),
         features = arr(n, "features").map(_.asText()),
         persist = bool(n, "persist"))
+    case "gopher_flags" =>
+      GopherFlagsStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        minWords = optLong(n, "min_words").getOrElse(50L),
+        maxWords = optLong(n, "max_words").getOrElse(100000L),
+        minMeanWordLen = optDouble(n, "min_mean_word_len").getOrElse(3.0),
+        maxMeanWordLen = optDouble(n, "max_mean_word_len").getOrElse(10.0),
+        maxSymbolWordRatio = optDouble(n, "max_symbol_word_ratio").getOrElse(0.1),
+        maxBulletLineFrac = optDouble(n, "max_bullet_line_frac").getOrElse(0.9),
+        maxEllipsisLineFrac = optDouble(n, "max_ellipsis_line_frac").getOrElse(0.3),
+        minAlphaWordFrac = optDouble(n, "min_alpha_word_frac").getOrElse(0.8),
+        minStopwordHits = optLong(n, "min_stopword_hits").getOrElse(2L),
+        persist = bool(n, "persist"))
+    case "repetition" =>
+      RepetitionStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        ngram = optInt(n, "ngram").getOrElse(2),
+        persist = bool(n, "persist"))
     case "filter" =>
       CurationFilterStage(
         filters = arr(n, "filters").map(Json.filter),
@@ -101,6 +121,16 @@ object CurationJson {
       case TextFeaturesStage(tc, fs, _) =>
         n.put("stage_type", "text_features"); n.put("text_column", tc)
         val fa = n.putArray("features"); fs.foreach(fa.add)
+      case GopherFlagsStage(ic, tc, mw, xw, ml, xl, sr, bf, ef, af, sh, _) =>
+        n.put("stage_type", "gopher_flags"); n.put("id_column", ic); n.put("text_column", tc)
+        n.put("min_words", mw); n.put("max_words", xw)
+        n.put("min_mean_word_len", ml); n.put("max_mean_word_len", xl)
+        n.put("max_symbol_word_ratio", sr); n.put("max_bullet_line_frac", bf)
+        n.put("max_ellipsis_line_frac", ef); n.put("min_alpha_word_frac", af)
+        n.put("min_stopword_hits", sh)
+      case RepetitionStage(ic, tc, ng, _) =>
+        n.put("stage_type", "repetition"); n.put("id_column", ic); n.put("text_column", tc)
+        n.put("ngram", ng)
       case CurationFilterStage(fs, _) =>
         n.put("stage_type", "filter")
         val fa = n.putArray("filters"); fs.foreach(f => fa.add(Json.filterNode(f)))
@@ -150,6 +180,9 @@ object CurationJson {
 
   private def optInt(n: JsonNode, field: String): Option[Int] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asInt())
+
+  private def optLong(n: JsonNode, field: String): Option[Long] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asLong())
 
   private def optDouble(n: JsonNode, field: String): Option[Double] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asDouble())

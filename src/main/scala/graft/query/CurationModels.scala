@@ -45,6 +45,36 @@ object CurationModels {
       features: Seq[String],
       persist: Boolean = false) extends CurationStage
 
+  /** Gopher rule-based quality metrics + keep flag
+    * ([[graft.text.TextFunctions.gopherQualityFlags]], Rae et al. 2021
+    * table A1) joined back onto the frame by id: adds word_count,
+    * mean_word_len, symbol_word_ratio, bullet_line_frac,
+    * ellipsis_line_frac, alpha_word_frac, stopword_hits, keep. Compose
+    * with a filter stage on `keep` (and drop the metric columns with a
+    * select) to materialize the gated corpus. */
+  final case class GopherFlagsStage(
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2L,
+      persist: Boolean = false) extends CurationStage
+
+  /** Gopher repetition signals ([[graft.text.TextFunctions
+    * .repetitionStats]]) joined back by id: adds dup_line_frac,
+    * dup_line_char_frac, top_ngram_char_frac. */
+  final case class RepetitionStage(
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      ngram: Int = 2,
+      persist: Boolean = false) extends CurationStage
+
   /** Row filter over the data-free `DimensionFilter` forms (expression /
     * raw / column_operator / between) — the same ADT project queries use,
     * so the JSON dialect is shared. Filters apply in order (AND). */

@@ -85,6 +85,16 @@ final class CurationSubmitter(
             s"plan '${plan.name}': unknown feature '$f' " +
               s"(known: ${FeatureColumns.keys.toSeq.sorted.mkString(", ")})")
         cols ++= features.map(FeatureColumns)
+      case st: GopherFlagsStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        cols ++= Seq("word_count", "mean_word_len", "symbol_word_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "stopword_hits", "keep")
+      case st: RepetitionStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        require(st.ngram >= 1 && st.ngram <= 8,
+          s"plan '${plan.name}': repetition ngram in [1,8]: ${st.ngram}")
+        cols ++= Seq("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac")
       case CurationFilterStage(filters, _) =>
         for (f <- filters; c <- DimensionFilter.targetColumn(f)) need(c, "filter")
       case ExactDedupStage(ic, tc, _) => need(ic, "id"); need(tc, "text")
@@ -154,6 +164,21 @@ final class CurationSubmitter(
         }
       }
       out.drop("__cur_toks")
+    case st: GopherFlagsStage =>
+      val flags = TextFunctions.gopherQualityFlags(
+        df, st.idColumn, st.textColumn,
+        minWords = st.minWords, maxWords = st.maxWords,
+        minMeanWordLen = st.minMeanWordLen, maxMeanWordLen = st.maxMeanWordLen,
+        maxSymbolWordRatio = st.maxSymbolWordRatio,
+        maxBulletLineFrac = st.maxBulletLineFrac,
+        maxEllipsisLineFrac = st.maxEllipsisLineFrac,
+        minAlphaWordFrac = st.minAlphaWordFrac,
+        minStopwordHits = st.minStopwordHits)
+      df.join(flags, Seq(st.idColumn))
+    case st: RepetitionStage =>
+      df.join(
+        TextFunctions.repetitionStats(df, st.idColumn, st.textColumn, ngram = st.ngram),
+        Seq(st.idColumn))
     case CurationFilterStage(filters, _) => DimensionFilter.applyAll(df, filters)
     case ExactDedupStage(ic, tc, _) => Dedup.dropExactDuplicates(df, ic, tc)
     case MinHashDedupStage(ic, tc, bands, rows, sh, th, _) =>

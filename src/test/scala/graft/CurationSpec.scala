@@ -39,6 +39,9 @@ class CurationSpec extends SparkSpec {
     "spec_pipeline", "docs",
     Seq(
       TextFeaturesStage("text", Seq("language", "stopword_ratio", "token_count", "quality_score")),
+      GopherFlagsStage(minWords = 5L, minMeanWordLen = 2.0, minStopwordHits = 1L),
+      RepetitionStage(ngram = 3),
+      SelectStage(Seq("doc_id", "text", "source", "lang", "swr", "n_tokens")),
       CurationFilterStage(Seq(
         DimensionFilter.RawFilter("lang = 'en'"),
         DimensionFilter.ExpressionFilter("swr", ">=", 0.05))),
