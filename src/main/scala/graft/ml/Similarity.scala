@@ -619,4 +619,92 @@ object Similarity {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Graph-based kNN construction by NN-Descent (Dong, Moses & Li,
+    * WWW'11 "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures") — the DEFINED deterministic variant:
+    *
+    *   - init: the id ring — node i's first guesses are (i+1..i+k) mod n
+    *     (the paper samples randomly; a fixed ring is reproducible and
+    *     deliberately BAD, so the recall gain per round is visible);
+    *   - round: local join — every ordered pair of nodes adjacent to a
+    *     common node through the UNDIRECTED current graph (B ∪ R in the
+    *     paper's terms) becomes a candidate edge, unioned with the
+    *     current edges;
+    *   - select: per node the top-k candidates under the (cosine DESC,
+    *     id ASC) total order — doubles ORDER here, they are never
+    *     aggregated (the oracle-discipline rule).
+    *
+    * Scale shape: rounds are FIXED (the paper's early-termination is
+    * data-dependent — a defined round count keeps the operator and any
+    * replay engine in lockstep); each round is two census-sized unions,
+    * one explicit-N repartitioned co-neighbor self-join (k² candidates
+    * per node, never corpus²), two vector joins, and one per-node
+    * window. The loop-carried edge frame goes through the
+    * stats-clamping [[org.apache.spark.sql.graft.CheckpointFresh]] (the
+    * Borůvka lesson: localCheckpoint compounds join statistics across
+    * rounds). Returns (idCol, rank, neighbor_id, cosine). */
+  def nnDescentKnn(
+      corpus: DataFrame,
+      k: Int,
+      rounds: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"nnDescentKnn: k must be >= 1, got $k")
+    require(rounds >= 0, s"nnDescentKnn: rounds must be >= 0, got $rounds")
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("__sim_id"), col(vecCol).as("__sim_v"))
+      .cache()
+    try {
+      val n = vecs.count() // metadata-scale driver scalar (the ring modulus)
+      require(n > k, s"nnDescentKnn: need more than k=$k rows, got $n")
+      def xs = vecs.select(col("__sim_id").as("__sim_x"), col("__sim_v").as("__sim_vx"))
+      def ys = vecs.select(col("__sim_id").as("__sim_y"), col("__sim_v").as("__sim_vy"))
+      def topK(cand: DataFrame): DataFrame = {
+        val scored = cand
+          .join(xs, Seq("__sim_x"))
+          .join(ys, Seq("__sim_y"))
+          .withColumn("__sim_cos", cosine(col("__sim_vx"), col("__sim_vy")))
+        val w = Window.partitionBy(col("__sim_x"))
+          .orderBy(desc("__sim_cos"), asc("__sim_y"))
+        scored
+          .withColumn("__sim_rn", row_number().over(w))
+          .filter(col("__sim_rn") <= k)
+      }
+      var edges = vecs
+        .select(col("__sim_id").as("__sim_x"),
+          explode(sequence(lit(1L), lit(k.toLong))).as("__sim_m"))
+        .select(col("__sim_x"), pmod(col("__sim_x") + col("__sim_m"), lit(n)).as("__sim_y"))
+      for (_ <- 0 until rounds) {
+        // CheckpointFresh: consumed three times below (forward, reverse,
+        // union with candidates) AND loop-carried — cuts both the plan
+        // growth and the compounding-stats hazard
+        val cur = org.apache.spark.sql.graft.CheckpointFresh(edges)
+        val undirected = cur
+          .select(col("__sim_x").as("__sim_c"), col("__sim_y").as("__sim_v2"))
+          .unionByName(cur.select(col("__sim_y").as("__sim_c"), col("__sim_x").as("__sim_v2")))
+          .distinct()
+          // the co-neighbor self-join EXPANDS ~ (2k)² per node — explicit-N
+          // repartition sized to the OUTPUT, exempt from AQE's input-bytes
+          // coalescing (the q115 rule); also co-partitions both join sides
+          .repartition(par, col("__sim_c"))
+          .localCheckpoint(true) // self-joined immediately below
+        val cands = undirected
+          .join(undirected.withColumnRenamed("__sim_v2", "__sim_w"), Seq("__sim_c"))
+          .filter(col("__sim_v2") =!= col("__sim_w"))
+          .select(col("__sim_v2").as("__sim_x"), col("__sim_w").as("__sim_y"))
+        edges = topK(cur.unionByName(cands).distinct())
+          .select(col("__sim_x"), col("__sim_y"))
+      }
+      topK(edges).select(
+        col("__sim_x").as(idCol),
+        col("__sim_rn").cast("long").as("rank"),
+        col("__sim_y").as("neighbor_id"),
+        col("__sim_cos").as("cosine"))
+        // cut lineage so the result survives the unpersist below
+        .localCheckpoint(true)
+    } finally vecs.unpersist()
+  }
 }

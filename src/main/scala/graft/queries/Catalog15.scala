@@ -522,8 +522,63 @@ private[graft] object Catalog15 {
                    CAST(SUM(word_count) // COUNT(*) AS BIGINT) AS mean_words
             FROM surviving GROUP BY 1 ORDER BY 1"""))
 
+  /** NN-Descent kNN-graph construction ([[graft.ml.Similarity
+    * .nnDescentKnn]] — the graph-based member of the ANN family beside
+    * brute/IVF/PQ/LSH): deterministic ring init, two local-join rounds,
+    * winners under the (cosine DESC, id ASC) total order. The oracle
+    * replays every round as a generated AS-MATERIALIZED CTE chain (the
+    * LPA-chain convention); cosines are ROUNDed on output only — doubles
+    * order the selection, they are never aggregated (the q27 contract). */
+  val q391_nn_descent = Q(
+    "q391_nn_descent",
+    (s, dir) => {
+      graft.ml.Similarity
+        .nnDescentKnn(t(s, dir, "embeddings"), k = 5, rounds = 2)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id", "rank")
+    },
+    Some {
+      val k = 5
+      def cos(vx: String, vy: String) =
+        s"list_dot_product($vx.vec, $vy.vec) / " +
+          s"(sqrt(list_dot_product($vx.vec, $vx.vec)) * sqrt(list_dot_product($vy.vec, $vy.vec)))"
+      def roundSql(i: Int, prev: String): String =
+        s"""u$i AS MATERIALIZED (
+              SELECT x AS c, y AS w FROM $prev UNION SELECT y, x FROM $prev),
+            c$i AS MATERIALIZED (
+              SELECT DISTINCT a.w AS x, b.w AS y
+              FROM u$i a JOIN u$i b ON a.c = b.c AND a.w <> b.w),
+            a$i AS MATERIALIZED (SELECT x, y FROM $prev UNION SELECT x, y FROM c$i),
+            s$i AS MATERIALIZED (
+              SELECT a$i.x, a$i.y, ${cos("vx", "vy")} AS cs
+              FROM a$i JOIN v vx ON vx.vec_id = a$i.x JOIN v vy ON vy.vec_id = a$i.y),
+            e$i AS MATERIALIZED (
+              SELECT x, y FROM (
+                SELECT x, y, ROW_NUMBER() OVER (PARTITION BY x ORDER BY cs DESC, y) AS rn
+                FROM s$i) WHERE rn <= $k)"""
+      s"""WITH v AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
+            FROM embeddings),
+          e0 AS MATERIALIZED (
+            SELECT vec_id AS x, (vec_id + m) % (SELECT COUNT(*) FROM v) AS y
+            FROM v, UNNEST([1, 2, 3, 4, 5]) AS t(m)),
+          ${roundSql(1, "e0")},
+          ${roundSql(2, "e1")},
+          fin AS (
+            SELECT e2.x, e2.y, ${cos("vx", "vy")} AS cs
+            FROM e2 JOIN v vx ON vx.vec_id = e2.x JOIN v vy ON vy.vec_id = e2.y)
+          SELECT x AS vec_id, CAST(rn AS BIGINT) AS rank, y AS neighbor_id,
+                 ROUND(cs, 4) AS cosine
+          FROM (SELECT x, y, cs,
+                       ROW_NUMBER() OVER (PARTITION BY x ORDER BY cs DESC, y) AS rn
+                FROM fin) WHERE rn <= $k
+          ORDER BY vec_id, rank"""
+    })
+
   val all: Seq[Q] = Seq(
     q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup,
     q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall,
-    q390_curation_quality_gate)
+    q390_curation_quality_gate, q391_nn_descent)
 }

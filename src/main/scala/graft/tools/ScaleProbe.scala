@@ -145,7 +145,8 @@ object ScaleProbe {
     "q384_sql_model_gate" -> 1.30, // provisional (design 1.3): one map-side token-scoring pass + group agg
     "q385_registry_incremental_dedup" -> 1.30, // provisional (design 1.5): artifact build linear map-side, cross-side bucket join; rotated copies keep output ∝ n
     "q386_friedman" -> 1.30, // provisional (design 1.3): row-linear distinct + fixed 400-block design
-    "q389_mann_kendall" -> 1.30 // provisional (design 1.3): row-linear census to a fixed 50-day grid + grid² pairs
+    "q389_mann_kendall" -> 1.30, // provisional (design 1.3): row-linear census to a fixed 50-day grid + grid² pairs
+    "q391_nn_descent" -> 1.30 // provisional (design 1.3): fixed rounds × (k² per-node candidates + vector joins)
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately

@@ -118,4 +118,37 @@ class Round15OpsSpec extends SparkSpec {
       Drift.mannKendall(dup, "t", "v", Seq("g")).collect())
     assert(e.getMessage.contains("duplicate time"))
   }
+
+  test("nnDescentKnn: recall vs brute force improves over rounds; refusal on tiny corpus") {
+    import graft.ml.Similarity
+    // 60 vectors in 4 well-separated clusters, ids interleaved so the ring
+    // init is deliberately bad (ring neighbors usually sit in other clusters)
+    val vecs = (0 until 60).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 10.0f
+      base(c * 2 + 1) = 3.0f + (i / 4) * 0.1f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val k = 3
+    def resultSet(rounds: Int): Map[Long, Set[Long]] = Similarity
+      .nnDescentKnn(vecs, k, rounds)
+      .select("vec_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+    val truth = Similarity.bruteForceTopK(vecs, vecs, k)
+    def truthSet = truth.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+    val t = truthSet
+    def recall(got: Map[Long, Set[Long]]): Double =
+      got.map { case (x, ys) => (ys & t(x)).size.toDouble / k }.sum / t.size
+    val r0 = recall(resultSet(0))
+    val r2 = recall(resultSet(2))
+    assert(r0 < 0.5, s"ring init should be bad, got $r0") // interleaved clusters
+    assert(r2 > r0, s"rounds must improve recall: $r0 -> $r2")
+    assert(r2 >= 0.9, s"two local-join rounds should converge on clustered data, got $r2")
+    // k >= n refuses loudly (the ring init needs more nodes than neighbors)
+    val tiny = (0 until 3).map(i => (i.toLong, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.nnDescentKnn(tiny, 3, 1))
+    assert(e.getMessage.contains("more than k"))
+  }
 }
