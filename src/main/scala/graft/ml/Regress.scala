@@ -322,4 +322,88 @@ object Regress {
       .select((gs :+ col("arm") :+ col("n") :+ col("mean_y_micro") :+
         col("mean_x_micro") :+ col("theta_ppm") :+ col("adj_mean_micro")): _*)
   }
+
+  /** Hash-derandomized permutation test per group — the assumption-free
+    * A/B significance check beside CUPED/post-stratification: is the
+    * observed arm mean difference larger than what `reps` random
+    * relabelings produce? Randomness is DERANDOMIZED (the library's
+    * content-keyed sampling discipline): rep i relabels row `key` to arm
+    * A iff h² mod M < M/2 where h = ((key mod M)·2654435761 +
+    * i·48271 + 1) mod M, M = 2³¹−1 — reproducible across runs,
+    * partitionings, and engines, so the oracle replays every rep exactly.
+    * The SQUARE is load-bearing: without it two reps' h differ by the
+    * CONSTANT i·48271, so every "relabeling" is an interval shift of one
+    * base draw and all reps pick near-identical subsets (measured: two
+    * null groups pinned at the 1/65 floor on real data); squaring turns
+    * the constant offset into the row-dependent 2·h·d + d²,
+    * decorrelating reps — nulls then spread over 0.1–0.8 the way a
+    * permutation distribution should (checked against live data before
+    * shipping, the q374 discipline). ANSI-safe: h < 2³¹ so h² < 2⁶². The mean-difference
+    * comparison is a pure integer cross-multiplication
+    *   |SA_i·nB_i − SB_i·nA_i| · (nA·nB)  ≥  |SA·nB − SB·nA| · (nA_i·nB_i)
+    * in DECIMAL(38,0) — no division anywhere; a rep that lands every row
+    * on one side counts as extreme (conservative, vanishing for n ≫ 1).
+    * p_ppm = (1 + #extreme)·10⁶ div (reps + 1), the add-one convention —
+    * the floor is 10⁶/(reps+1), so pick reps for the α you need.
+    *
+    * Scale shape: one row-linear explode to reps copies with map-side
+    * partial aggregation into a (group, rep) census — no shuffles beyond
+    * one census groupBy, reps a small constant. Rows whose arm is
+    * neither `armA` nor `armB` are ignored. */
+  def permutationTestHashed(
+      df: DataFrame,
+      idCol: String, yCol: String,
+      armCol: String, armA: String, armB: String,
+      groupCols: Seq[String],
+      reps: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty,
+      "permutationTestHashed: empty groupCols — inject a literal constant group column")
+    require(reps >= 1, s"permutationTestHashed: reps must be >= 1, got $reps")
+    import org.apache.spark.sql.graft.Idiv
+    val M = 2147483647L
+    val gs = groupCols.map(col)
+    val d = df
+      .filter(col(armCol).isin(armA, armB))
+      .select((gs :+ pmod(col(idCol).cast("long"), lit(M)).as("__pt_k") :+
+        (col(armCol) === armA).as("__pt_a") :+ col(yCol).cast("long").as("__pt_v")): _*)
+    val obs = d.groupBy(gs: _*).agg(
+      sum(when(col("__pt_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__pt_a"), col("__pt_v")).otherwise(0L)).as("__pt_sa"),
+      sum(when(!col("__pt_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__pt_a"), col("__pt_v")).otherwise(0L)).as("__pt_sb"))
+    val perRep = d
+      .select((gs :+ col("__pt_k") :+ col("__pt_v") :+
+        explode(sequence(lit(0L), lit(reps.toLong - 1L))).as("__pt_i")): _*)
+      .withColumn("__pt_h",
+        pmod(col("__pt_k") * 2654435761L + col("__pt_i") * 48271L + 1L, lit(M)))
+      .withColumn("__pt_pick", pmod(col("__pt_h") * col("__pt_h"), lit(M)) < lit(M / 2))
+      .groupBy((gs :+ col("__pt_i")): _*)
+      .agg(
+        sum(when(col("__pt_pick"), 1L).otherwise(0L)).as("__pt_nai"),
+        sum(when(col("__pt_pick"), col("__pt_v")).otherwise(0L)).as("__pt_sai"),
+        count(lit(1)).as("__pt_ni"),
+        sum(col("__pt_v")).as("__pt_si"))
+    perRep.join(obs, groupCols)
+      .withColumn("__pt_nbi", col("__pt_ni") - col("__pt_nai"))
+      .withColumn("__pt_sbi", col("__pt_si") - col("__pt_sai"))
+      .withColumn("__pt_extreme",
+        when(col("__pt_nai") === 0L || col("__pt_nbi") === 0L, 1L).otherwise(
+          when(
+            abs(col("__pt_sai").cast("decimal(38,0)") * col("__pt_nbi") -
+              col("__pt_sbi").cast("decimal(38,0)") * col("__pt_nai")) *
+              (col("n_a").cast("decimal(38,0)") * col("n_b")) >=
+              abs(col("__pt_sa").cast("decimal(38,0)") * col("n_b") -
+                col("__pt_sb").cast("decimal(38,0)") * col("n_a")) *
+                (col("__pt_nai").cast("decimal(38,0)") * col("__pt_nbi")),
+            1L).otherwise(0L)))
+      .groupBy(gs: _*)
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("__pt_sa").cast("decimal(38,0)") * col("n_b") -
+          col("__pt_sb").cast("decimal(38,0)") * col("n_a")).cast("long")).as("t_num"),
+        sum(col("__pt_extreme")).as("n_extreme"))
+      .withColumn("p_ppm",
+        Idiv((lit(1L) + col("n_extreme")).cast("decimal(38,0)") * 1000000L,
+          lit(reps.toLong + 1L)).cast("long"))
+  }
 }

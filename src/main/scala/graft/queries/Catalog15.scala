@@ -577,8 +577,108 @@ private[graft] object Catalog15 {
           ORDER BY vec_id, rank"""
     })
 
+  /** Hash-derandomized permutation test ([[graft.ml.Regress
+    * .permutationTestHashed]] — the assumption-free A/B significance
+    * check: 64 deterministic relabelings, mean-difference comparison by
+    * exact integer cross-multiplication, add-one p. Planted: arm b gains
+    * +60 on '1-URGENT' — p hits the 1/65 floor = 15 384 ppm while the
+    * null priorities spread over ~0.1–0.8 (measured on live data; the
+    * spread itself was the fix signal — see the operator scaladoc on why
+    * the pick hash must be SQUARED). */
+  val q392_permutation_test = Q(
+    "q392_permutation_test",
+    (s, dir) => {
+      val d = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(2L)) === 1L, "b").otherwise("a").as("arm"),
+        (pmod(col("o_orderkey") * 48271L, lit(1000L)) +
+          when(col("o_orderpriority") === "1-URGENT" &&
+            pmod(col("o_orderkey"), lit(2L)) === 1L, 60L).otherwise(0L)).as("v"))
+      graft.ml.Regress
+        .permutationTestHashed(d, "k", "v", "arm", "a", "b", Seq("g"), reps = 64)
+        .orderBy("g")
+    },
+    Some("""WITH d AS (
+              SELECT o_orderpriority AS g, o_orderkey AS k,
+                     (o_orderkey % 2 = 1) AS isb,
+                     (o_orderkey * 48271) % 1000 +
+                       CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1
+                            THEN 60 ELSE 0 END AS v
+              FROM orders),
+            obs AS (
+              SELECT g,
+                     SUM(CASE WHEN NOT isb THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN NOT isb THEN v ELSE 0 END) AS sa,
+                     SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS nb,
+                     SUM(CASE WHEN isb THEN v ELSE 0 END) AS sb
+              FROM d GROUP BY 1),
+            reps AS (
+              SELECT g, i,
+                     SUM(CASE WHEN pick THEN 1 ELSE 0 END) AS nai,
+                     SUM(CASE WHEN pick THEN v ELSE 0 END) AS sai,
+                     COUNT(*) AS ni, SUM(v) AS si
+              FROM (SELECT g, v, i,
+                           (h * h) % 2147483647 < 1073741823 AS pick
+                    FROM (SELECT g, v, i,
+                                 ((k % 2147483647) * 2654435761 + i * 48271 + 1)
+                                   % 2147483647 AS h
+                          FROM d, UNNEST(range(64)) AS t(i)))
+              GROUP BY 1, 2),
+            ext AS (
+              SELECT r.g,
+                     CASE WHEN nai = 0 OR ni - nai = 0 THEN 1
+                          WHEN abs(CAST(sai AS HUGEINT) * (ni - nai) -
+                                   CAST(si - sai AS HUGEINT) * nai) *
+                               (CAST(na AS HUGEINT) * nb) >=
+                               abs(CAST(sa AS HUGEINT) * nb -
+                                   CAST(sb AS HUGEINT) * na) *
+                               (CAST(nai AS HUGEINT) * (ni - nai))
+                          THEN 1 ELSE 0 END AS ex
+              FROM reps r JOIN obs o ON r.g = o.g)
+            SELECT obs.g, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+                     AS BIGINT) AS t_num,
+                   x.n_extreme,
+                   CAST(((1 + x.n_extreme) * 1000000) // 65 AS BIGINT) AS p_ppm
+            FROM obs JOIN (SELECT g, SUM(ex)::BIGINT AS n_extreme FROM ext GROUP BY 1) x
+              ON obs.g = x.g
+            ORDER BY 1"""))
+
+  /** Vocabulary richness ([[graft.text.TextFunctions.vocabularyRichness]]
+    * — bias-corrected Chao1 lower bound + Good–Turing unseen mass over
+    * the per-language token census; the "is more crawl worth it" report,
+    * exact ppm rationals of the frequency-of-frequencies). */
+  val q393_vocab_richness = Q(
+    "q393_vocab_richness",
+    (s, dir) => {
+      graft.text.TextFunctions
+        .vocabularyRichness(t(s, dir, "documents"), "text", Seq("lang"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+              SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                        x -> len(x) > 0)) AS tok
+              FROM documents),
+            cen AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+            agg AS (
+              SELECT lang, SUM(c) AS n_tokens, COUNT(*) AS vocab,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                     SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+              FROM cen GROUP BY 1)
+            SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(vocab AS BIGINT) AS vocab,
+                   CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+                   CAST(vocab * 1000000 +
+                     (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+                     AS BIGINT) AS chao1_ppm,
+                   CAST((f1 * 1000000) // n_tokens AS BIGINT) AS unseen_mass_ppm
+            FROM agg ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup,
     q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall,
-    q390_curation_quality_gate, q391_nn_descent)
+    q390_curation_quality_gate, q391_nn_descent, q392_permutation_test,
+    q393_vocab_richness)
 }

@@ -820,4 +820,47 @@ object TextFunctions {
         min(struct(col("__graft_sim"), col("__graft_g"))).getField("__graft_g").as("deepest_gap"),
         min(col("__graft_sim")).as("min_sim"))
   }
+
+  /** Vocabulary-richness report per group — how much of the vocabulary has
+    * the corpus NOT seen yet, the coverage question a corpus-collection
+    * loop asks before paying for more crawl:
+    *   - Chao1 richness estimate (Chao 1984, bias-corrected form):
+    *     vocab + f1(f1−1)/(2(f2+1)) — a LOWER bound on the true distinct
+    *     token count, defined even when no token occurs exactly twice;
+    *   - Good–Turing unseen mass (Good 1953): P0 = f1/N, the probability
+    *     the NEXT token is novel.
+    * Both are exact rationals of the frequency-of-frequencies census
+    * (f1 = hapax count, f2 = dis legomena), emitted as truncating ppm.
+    * Tokens = lowered whitespace tokens (the q77 convention). Scale: one
+    * explode → token census groupBy (map-side partial agg) → one
+    * census-sized fold; no windows, no joins.
+    * Returns (groupCols*, n_tokens, vocab, f1, f2, chao1_ppm,
+    * unseen_mass_ppm); a group with no tokens at all has no census rows
+    * and therefore no output row (there is no vocabulary to report on). */
+  def vocabularyRichness(
+      df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "vocabularyRichness: empty groupCols — inject a literal constant group column")
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    val census = df
+      .withColumn("__graft_toks", tokens(lower(col(textCol))))
+      .select((gs :+ explode(array_compact(col("__graft_toks"))).as("__graft_tok")): _*)
+      .groupBy((gs :+ col("__graft_tok")): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    census
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("__graft_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__graft_c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__graft_c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_ppm",
+        col("vocab") * 1000000L +
+          Idiv(col("f1").cast("decimal(38,0)") * (col("f1") - 1L) * 1000000L,
+            lit(2L) * (col("f2") + 1L)).cast("long"))
+      .withColumn("unseen_mass_ppm",
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(Idiv(col("f1") * 1000000L, col("n_tokens")).cast("long")))
+  }
 }

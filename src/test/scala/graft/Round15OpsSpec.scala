@@ -119,6 +119,50 @@ class Round15OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate time"))
   }
 
+  test("permutationTestHashed: planted effect floors, zero-diff fixture accepts, reps floor") {
+    import graft.ml.Regress
+    // planted: arm b shifted +500 on values ~ k%7 — overwhelming effect
+    val planted = (1L to 400L).map(k =>
+      (k, if (k % 2 == 1) "b" else "a", k % 7 + (if (k % 2 == 1) 500L else 0L)))
+      .toDF("k", "arm", "v").withColumn("g", lit("x"))
+    val rp = Regress.permutationTestHashed(planted, "k", "v", "arm", "a", "b", Seq("g"),
+      reps = 32).collect().head
+    assert(rp.getAs[Long]("p_ppm") == 1000000L / 33L) // the add-one floor
+    assert(rp.getAs[Long]("n_a") == 200L && rp.getAs[Long]("n_b") == 200L)
+    // a PERFECTLY balanced fixture (same multiset per arm, T_obs = 0):
+    // every relabeling is at least as extreme -> p = 1e6
+    // value keyed by the PAIR index so both arms hold identical multisets
+    val zero = (1L to 400L).map(k => (k, if (k % 2 == 1) "b" else "a", ((k + 1) / 2) % 7))
+      .toDF("k", "arm", "v").withColumn("g", lit("x"))
+    val rz = Regress.permutationTestHashed(zero, "k", "v", "arm", "a", "b", Seq("g"),
+      reps = 32).collect().head
+    assert(rz.getAs[Long]("t_num") == 0L && rz.getAs[Long]("p_ppm") == 1000000L)
+    // rows with other arm values are ignored
+    val extra = planted.unionByName(
+      Seq((9999L, "c", 12345L)).toDF("k", "arm", "v").withColumn("g", lit("x")))
+    assert(Regress.permutationTestHashed(extra, "k", "v", "arm", "a", "b", Seq("g"), reps = 8)
+      .collect().head.getAs[Long]("n_a") == 200L)
+  }
+
+  test("vocabularyRichness: hand census, chao1 and unseen mass exact") {
+    import graft.text.TextFunctions
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+      .withColumn("g", lit("x"))
+    val r = TextFunctions.vocabularyRichness(df, "text", Seq("g")).collect().head
+    // census: a:2, b:1, c:1 -> N=4, D=3, f1=2, f2=1
+    assert(r.getAs[Long]("n_tokens") == 4L && r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    // chao1 = 3e6 + (2*1*1e6) div (2*(1+1)) = 3_500_000
+    assert(r.getAs[Long]("chao1_ppm") == 3500000L)
+    // unseen = 2e6 div 4 = 500_000
+    assert(r.getAs[Long]("unseen_mass_ppm") == 500000L)
+    // no dis legomena: bias-corrected denominator stays defined (f2 = 0)
+    val r2 = TextFunctions.vocabularyRichness(
+      Seq((1L, "x y z")).toDF("doc_id", "text").withColumn("g", lit("x")),
+      "text", Seq("g")).collect().head
+    assert(r2.getAs[Long]("chao1_ppm") == 3000000L + (3L * 2L * 1000000L) / 2L)
+  }
+
   test("nnDescentKnn: recall vs brute force improves over rounds; refusal on tiny corpus") {
     import graft.ml.Similarity
     // 60 vectors in 4 well-separated clusters, ids interleaved so the ring
