@@ -25,6 +25,12 @@ import graft.registry.Registry
   *                                          (the reference submits queries
   *                                          asynchronously via spark-submit,
   *                                          app.py:104-422; here a JVM thread)
+  *   POST /curate                         → run a curation-plan document
+  *                                          ({"data_dir": …, "plan": {…},
+  *                                          "cache_dir"?: …}) through
+  *                                          [[graft.query.CurationSubmitter]],
+  *                                          respond rows as JSON — the HTTP
+  *                                          twin of `graft.Cli curate`
   *   POST /registry/bulk                  → run a bulk-register manifest
   *                                          ([[graft.registry.BulkRegister]]),
   *                                          respond {"registered": …,
@@ -91,6 +97,7 @@ final class Api(
     server.createContext("/query/project", queryHandler())
     server.createContext("/jobs/", jobStatusHandler())
     server.createContext("/viewer", viewerHandler())
+    server.createContext("/curate", curateHandler())
     server.createContext("/registry/bulk", bulkRegisterHandler())
     server.createContext("/register", staticPageHandler(RegistrationPage.html))
     server.setExecutor(null)
@@ -235,6 +242,36 @@ final class Api(
       val os = ex.getResponseBody
       os.write(bytes)
       os.close()
+    }
+  }
+
+  /** POST /curate — run a curation-plan document over a data directory:
+    * body {"data_dir": …, "plan": {…}, "cache_dir"?: …}. Validation
+    * failures (bad plan, missing input/columns) are the client's 400;
+    * execution failures are our 500 (the bulk-register convention). */
+  private def curateHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"error": "POST required"}""")
+        return
+      }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val dataDir = Option(root.get("data_dir")).filterNot(_.isNull).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException("missing required field: data_dir"))
+        val planNode = Option(root.get("plan")).filterNot(_.isNull)
+          .getOrElse(throw new IllegalArgumentException("missing required field: plan"))
+        val cacheDir = Option(root.get("cache_dir")).filterNot(_.isNull).map(_.asText())
+        val plan = graft.query.CurationJson.parse(planNode.toString)
+        val sub = new graft.query.CurationSubmitter(registry.spark, dataDir, cacheDir)
+        respond(ex, 200, toJsonRows(sub.submit(plan)))
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
+        case e: Exception =>
+          respond(ex, 500, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
+      }
     }
   }
 

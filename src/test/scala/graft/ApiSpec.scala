@@ -216,4 +216,50 @@ class ApiSpec extends SparkSpec {
       assert(page.body().contains("const esc"))
     } finally api.stop()
   }
+
+  test("POST /curate runs a curation plan over a data directory") {
+    val dataDir = Files.createTempDirectory("graft-api-curate").toString
+    Seq(
+      (1L, "the quick brown fox and the lazy dog", "web"),
+      (2L, "the quick brown fox and the lazy dog", "web"), // exact dup
+      (3L, "el zorro marron y el perro", "web"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/docs.parquet")
+    val api = new Api(buildRegistry())
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/curate"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val doc = s"""{
+        "data_dir": ${"\"" + dataDir + "\""},
+        "plan": {
+          "name": "api_curate", "input": "docs",
+          "stages": [
+            {"stage_type": "exact_dedup"},
+            {"stage_type": "aggregate", "group_by": ["source"],
+             "aggregations": [{"fn": "count", "column": "doc_id", "alias": "n_docs"}]}
+          ]
+        }
+      }"""
+      val resp = post(doc)
+      assert(resp.statusCode() == 200, resp.body())
+      assert(resp.body() == """[{"source":"web","n_docs":2}]""")
+      // a bad plan is the client's 400, with the validation message
+      val bad = post(s"""{"data_dir": ${"\"" + dataDir + "\""},
+        "plan": {"name": "b", "input": "docs",
+                 "stages": [{"stage_type": "sort", "by": ["ghost"]}]}}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("does not exist"))
+      // missing envelope fields are 400 too
+      assert(post("""{"plan": {"name": "x", "input": "docs", "stages": []}}""")
+        .statusCode() == 400)
+      // GET is rejected like the other mutation endpoint
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/curate")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+    } finally api.stop()
+  }
 }
