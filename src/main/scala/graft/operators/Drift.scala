@@ -471,4 +471,57 @@ object Drift {
             signum(col("s")).cast("long")).otherwise(0L)))
       .select((gs :+ col("n") :+ col("s") :+ col("var18") :+ col("trend")): _*)
   }
+
+  /** Wald–Wolfowitz runs test per series (Wald & Wolfowitz 1940) — is a
+    * binary sequence RANDOMLY ordered, or does it cluster/alternate? The
+    * residual-sign monitor beside [[mannKendall]]: a drifting metric
+    * clusters its above-median days into few long runs. Input: one
+    * boolean per (group, time), duplicate times refuse (the mannKendall
+    * contract). With n₁ trues, n₀ falses, n = n₁+n₀ and R runs (maximal
+    * same-value stretches in time order):
+    *   E[R] = 1 + 2n₁n₀/n,   Var[R] = 2n₁n₀(2n₁n₀−n) / (n²(n−1))
+    * and with d = R·n − (n + 2n₁n₀) = n·(R − E[R]) the 5 % two-sided
+    * normal decision rides the exact rational cross-multiplication
+    *   625 · d² · (n−1)  ≥  2401 · 2n₁n₀ · (2n₁n₀ − n)
+    * (z² = d²(n−1)/(2n₁n₀(2n₁n₀−n)), 1.96 = 49/25) — no sqrt, no libm. `verdict` = −1 (too few runs: clustering/drift), +1
+    * (too many: alternation), 0 (consistent with randomness). One-sided
+    * sequences (n₁ = 0 or n₀ = 0) report verdict 0 with runs = 1 — there
+    * is nothing to order. The run count is one census-sized LAG window.
+    * Returns (groupCols*, n, n_true, runs, verdict). */
+  def runsTest(
+      df: DataFrame, timeCol: String, boolCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "runsTest: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val series = df.select((gs :+ col(timeCol).as("__dr_t") :+
+      col(boolCol).cast("boolean").as("__dr_b")): _*)
+    val dup = series.groupBy((gs :+ col("__dr_t")): _*).agg(count(lit(1)).as("__dr_c"))
+      .filter(col("__dr_c") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      "runsTest: duplicate time points in a series — aggregate to the " +
+        "period grid first (one value per (group, time))")
+    val w = Window.partitionBy(gs: _*).orderBy(col("__dr_t"))
+    series
+      .withColumn("__dr_new",
+        when(lag(col("__dr_b"), 1).over(w).isNull ||
+          lag(col("__dr_b"), 1).over(w) =!= col("__dr_b"), 1L).otherwise(0L))
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__dr_b"), 1L).otherwise(0L)).as("n_true"),
+        sum(col("__dr_new")).as("runs"))
+      .withColumn("__dr_n0", col("n") - col("n_true"))
+      .withColumn("__dr_p", lit(2L) * col("n_true") * col("__dr_n0"))
+      .withColumn("__dr_d", col("runs") * col("n") - col("n") - col("__dr_p"))
+      .withColumn("verdict",
+        when(col("n_true") === 0L || col("__dr_n0") === 0L || col("n") < 2L, 0L)
+          .otherwise(when(
+            lit(625L) * col("__dr_d").cast("decimal(38,0)") * col("__dr_d") *
+              (col("n") - 1L) >=
+              lit(2401L) * col("__dr_p").cast("decimal(38,0)") *
+                (col("__dr_p") - col("n")),
+            signum(col("__dr_d")).cast("long")).otherwise(0L)))
+      .select((gs :+ col("n") :+ col("n_true") :+ col("runs") :+ col("verdict")): _*)
+  }
 }

@@ -676,9 +676,57 @@ private[graft] object Catalog15 {
                    CAST((f1 * 1000000) // n_tokens AS BIGINT) AS unseen_mass_ppm
             FROM agg ORDER BY 1"""))
 
+  /** Wald–Wolfowitz runs test ([[graft.operators.Drift.runsTest]] — the
+    * residual-sign randomness monitor over the 50-day grid per priority;
+    * planted: '1-URGENT' is TRUE for the first half only (2 runs →
+    * verdict −1 clustering); nulls carry the squared-hash sign (the q392
+    * scheme — a plain modular sign ALTERNATED regularly enough to read
+    * verdict +1, caught by eyeballing the output) and stay at 0). */
+  val q394_runs_test = Q(
+    "q394_runs_test",
+    (s, dir) => {
+      val series = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), pmod(col("o_orderkey"), lit(50L)).as("d"))
+        .distinct()
+        .withColumn("__h", pmod(col("d") * 2654435761L + 1L, lit(2147483647L)))
+        .withColumn("b",
+          when(col("g") === "1-URGENT", col("d") < 25L)
+            .otherwise(pmod(col("__h") * col("__h"), lit(2147483647L)) < 1073741823L))
+        .drop("__h")
+      graft.operators.Drift.runsTest(series, "d", "b", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH series AS (
+              SELECT g, d,
+                     CASE WHEN g = '1-URGENT' THEN d < 25
+                          ELSE (h * h) % 2147483647 < 1073741823 END AS b
+              FROM (SELECT g, d, (d * 2654435761 + 1) % 2147483647 AS h
+                    FROM (SELECT DISTINCT o_orderpriority AS g, o_orderkey % 50 AS d
+                          FROM orders))),
+            runs AS (
+              SELECT g, COUNT(*) AS n,
+                     SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_true,
+                     SUM(CASE WHEN pb IS NULL OR pb <> b THEN 1 ELSE 0 END) AS runs
+              FROM (SELECT g, b, LAG(b) OVER (PARTITION BY g ORDER BY d) AS pb
+                    FROM series)
+              GROUP BY 1),
+            st AS (
+              SELECT g, n, n_true, runs,
+                     2 * n_true * (n - n_true) AS p,
+                     runs * n - n - 2 * n_true * (n - n_true) AS dd
+              FROM runs)
+            SELECT g, CAST(n AS BIGINT) AS n, CAST(n_true AS BIGINT) AS n_true,
+                   CAST(runs AS BIGINT) AS runs,
+                   CAST(CASE WHEN n_true = 0 OR n = n_true OR n < 2 THEN 0
+                        WHEN 625 * CAST(dd AS HUGEINT) * dd * (n - 1) >=
+                             2401 * CAST(p AS HUGEINT) * (p - n)
+                        THEN CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 ELSE 0 END
+                        ELSE 0 END AS BIGINT) AS verdict
+            FROM st ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup,
     q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall,
     q390_curation_quality_gate, q391_nn_descent, q392_permutation_test,
-    q393_vocab_richness)
+    q393_vocab_richness, q394_runs_test)
 }

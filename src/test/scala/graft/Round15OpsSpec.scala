@@ -119,6 +119,27 @@ class Round15OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate time"))
   }
 
+  test("runsTest: clustering -1, alternation +1, small-n and one-sided 0, refusal") {
+    def series(bs: Seq[Boolean]) = bs.zipWithIndex
+      .map { case (b, t) => (t.toLong, b) }.toDF("t", "b").withColumn("g", lit("x"))
+    def verdictOf(bs: Seq[Boolean]): (Long, Long) = {
+      val r = Drift.runsTest(series(bs), "t", "b", Seq("g")).collect().head
+      (r.getAs[Long]("runs"), r.getAs[Long]("verdict"))
+    }
+    // 10 trues then 10 falses: R = 2, d = -180, strongly clustered
+    assert(verdictOf(Seq.fill(10)(true) ++ Seq.fill(10)(false)) == (2L, -1L))
+    // perfect alternation over 20: R = 20, d = +180
+    assert(verdictOf((0 until 20).map(_ % 2 == 0)) == (20L, 1L))
+    // short mixed sequence: not enough evidence either way
+    assert(verdictOf(Seq(true, true, false, true, false, false))._2 == 0L)
+    // one-sided sequence: runs = 1, verdict 0 (nothing to order)
+    assert(verdictOf(Seq.fill(6)(true)) == (1L, 0L))
+    val dup = Seq((1L, true), (1L, false)).toDF("t", "b").withColumn("g", lit("x"))
+    val e = intercept[IllegalArgumentException](
+      Drift.runsTest(dup, "t", "b", Seq("g")).collect())
+    assert(e.getMessage.contains("duplicate time"))
+  }
+
   test("permutationTestHashed: planted effect floors, zero-diff fixture accepts, reps floor") {
     import graft.ml.Regress
     // planted: arm b shifted +500 on values ~ k%7 — overwhelming effect
