@@ -165,8 +165,10 @@ final class CurationSubmitter(
       }
       out.drop("__cur_toks")
     case st: GopherFlagsStage =>
-      val flags = TextFunctions.gopherQualityFlags(
-        df, st.idColumn, st.textColumn,
+      // the zero-join column form: every metric is a per-row expression,
+      // so the gate runs in the scan stage — never a self-join back by id
+      TextFunctions.gopherQualityColumns(
+        df, st.textColumn,
         minWords = st.minWords, maxWords = st.maxWords,
         minMeanWordLen = st.minMeanWordLen, maxMeanWordLen = st.maxMeanWordLen,
         maxSymbolWordRatio = st.maxSymbolWordRatio,
@@ -174,7 +176,6 @@ final class CurationSubmitter(
         maxEllipsisLineFrac = st.maxEllipsisLineFrac,
         minAlphaWordFrac = st.minAlphaWordFrac,
         minStopwordHits = st.minStopwordHits)
-      df.join(flags, Seq(st.idColumn))
     case st: RepetitionStage =>
       df.join(
         TextFunctions.repetitionStats(df, st.idColumn, st.textColumn, ngram = st.ngram),

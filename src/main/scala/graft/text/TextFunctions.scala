@@ -238,18 +238,47 @@ object TextFunctions {
       minAlphaWordFrac: Double = 0.8,
       minStopwordHits: Long = 2L,
       requiredStopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame =
+    gopherQualityColumns(df.select(col(idCol), col(textCol)), textCol, lineSep,
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolWordRatio,
+      maxBulletLineFrac, maxEllipsisLineFrac, minAlphaWordFrac, minStopwordHits,
+      requiredStopwords)
+      .select(col(idCol), col("word_count"), col("mean_word_len"),
+        col("symbol_word_ratio"), col("bullet_line_frac"), col("ellipsis_line_frac"),
+        col("alpha_word_frac"), col("stopword_hits"), col("keep"))
+
+  /** The same Gopher metrics APPENDED to the full frame — the zero-join
+    * form a curation stage wants: every metric is a pure per-row column
+    * expression, so gating a 100 TB scan must not pay a self-join back by
+    * id (two scans + a shuffle) for what one projection computes in the
+    * scan stage. `gopherQualityFlags` keeps its (id, metrics) report
+    * shape and delegates here; existing columns named like the metrics
+    * are replaced. */
+  def gopherQualityColumns(
+      df: DataFrame,
+      textCol: String,
+      lineSep: String = "\n",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2L,
+      requiredStopwords: Seq[String] =
         Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame = {
     val txt = col(textCol)
-    val base = df.select(
-      col(idCol),
-      txt.as("__graft_text"),
-      tokens(txt).as("__graft_toks"),
+    val base = df
+      .withColumn("__graft_text", txt)
+      .withColumn("__graft_toks", tokens(txt))
       // lowered tokens as their OWN materialized column (referenced once
       // per required stopword below — never a computed subtree inside a
       // HOF lambda, which Catalyst re-evaluates per element)
-      tokens(lower(txt)).as("__graft_toks_lower"),
-      filter(split(txt, java.util.regex.Pattern.quote(lineSep)), l => length(l) > 0)
-        .as("__graft_lines"))
+      .withColumn("__graft_toks_lower", tokens(lower(txt)))
+      .withColumn("__graft_lines",
+        filter(split(txt, java.util.regex.Pattern.quote(lineSep)), l => length(l) > 0))
     val t = col("__graft_text")
     val toks = col("__graft_toks")
     val lines = col("__graft_lines")
@@ -274,22 +303,23 @@ object TextFunctions {
     val stopHits = requiredStopwords
       .map(s => array_contains(col("__graft_toks_lower"), s).cast("long"))
       .reduce(_ + _)
-    base.select(
-      col(idCol),
-      wc.as("word_count"),
-      meanWordLen.as("mean_word_len"),
-      symbolRatio.as("symbol_word_ratio"),
-      bulletFrac.as("bullet_line_frac"),
-      ellipsisFrac.as("ellipsis_line_frac"),
-      alphaFrac.as("alpha_word_frac"),
-      stopHits.as("stopword_hits"),
-      (wc >= minWords && wc <= maxWords &&
-        meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
-        symbolRatio <= maxSymbolWordRatio &&
-        bulletFrac <= maxBulletLineFrac &&
-        ellipsisFrac <= maxEllipsisLineFrac &&
-        alphaFrac >= minAlphaWordFrac &&
-        stopHits >= minStopwordHits).cast("long").as("keep"))
+    base
+      .withColumn("word_count", wc)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_word_ratio", symbolRatio)
+      .withColumn("bullet_line_frac", bulletFrac)
+      .withColumn("ellipsis_line_frac", ellipsisFrac)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("stopword_hits", stopHits)
+      .withColumn("keep",
+        (wc >= minWords && wc <= maxWords &&
+          meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+          symbolRatio <= maxSymbolWordRatio &&
+          bulletFrac <= maxBulletLineFrac &&
+          ellipsisFrac <= maxEllipsisLineFrac &&
+          alphaFrac >= minAlphaWordFrac &&
+          stopHits >= minStopwordHits).cast("long"))
+      .drop("__graft_text", "__graft_toks", "__graft_toks_lower", "__graft_lines")
   }
 
   /** Document fingerprint: 64-bit content hash of normalized text (xxhash64,
