@@ -74,6 +74,14 @@ object CurationJson {
         shingleSize = optInt(n, "shingle_size").getOrElse(3),
         threshold = optDouble(n, "threshold").getOrElse(0.8),
         persist = bool(n, "persist"))
+    case "decontaminate" =>
+      DecontaminateStage(
+        benchmarkInput = str(n, "benchmark_input"),
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        ngram = optInt(n, "ngram").getOrElse(8),
+        minHits = optLong(n, "min_hits").getOrElse(1L),
+        persist = bool(n, "persist"))
     case "split" =>
       SplitStage(
         idColumn = optStr(n, "id_column").getOrElse("doc_id"),
@@ -140,6 +148,10 @@ object CurationJson {
         n.put("stage_type", "minhash_dedup"); n.put("id_column", ic); n.put("text_column", tc)
         n.put("bands", b); n.put("rows_per_band", r); n.put("shingle_size", sh)
         n.put("threshold", th)
+      case DecontaminateStage(bi, ic, tc, ng, mh, _) =>
+        n.put("stage_type", "decontaminate"); n.put("benchmark_input", bi)
+        n.put("id_column", ic); n.put("text_column", tc)
+        n.put("ngram", ng); n.put("min_hits", mh)
       case SplitStage(ic, splits, sc, seed, _) =>
         n.put("stage_type", "split"); n.put("id_column", ic)
         val sa = n.putArray("splits")

@@ -46,8 +46,9 @@ object CurationModels {
       persist: Boolean = false) extends CurationStage
 
   /** Gopher rule-based quality metrics + keep flag
-    * ([[graft.text.TextFunctions.gopherQualityFlags]], Rae et al. 2021
-    * table A1) joined back onto the frame by id: adds word_count,
+    * ([[graft.text.TextFunctions.gopherQualityColumns]], Rae et al. 2021
+    * table A1) appended INLINE — pure per-row expressions, zero joins,
+    * the gate runs in the scan stage: adds word_count,
     * mean_word_len, symbol_word_ratio, bullet_line_frac,
     * ellipsis_line_frac, alpha_word_frac, stopword_hits, keep. Compose
     * with a filter stage on `keep` (and drop the metric columns with a
@@ -100,6 +101,21 @@ object CurationModels {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
+      persist: Boolean = false) extends CurationStage
+
+  /** Benchmark decontamination ([[graft.text.Dedup.ngramOverlap]] — the
+    * eval-leakage gate every training corpus needs): drop every document
+    * sharing ≥ `minHits` word n-grams with the benchmark table
+    * (`benchmarkInput`, a second parquet table under the submitter's data
+    * directory — the one stage that reads beside the pipeline's input;
+    * it must carry the same id and text column names, validated).
+    * Benchmark n-grams broadcast as a distinct 64-bit hash set. */
+  final case class DecontaminateStage(
+      benchmarkInput: String,
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      ngram: Int = 8,
+      minHits: Long = 1L,
       persist: Boolean = false) extends CurationStage
 
   /** Deterministic hash split ([[graft.text.Sampling.splitByHash]]):

@@ -103,6 +103,17 @@ final class CurationSubmitter(
         require(bands > 0 && rows > 0 && sh > 0,
           s"plan '${plan.name}': minhash_dedup bands/rows_per_band/shingle_size must be positive")
         require(th > 0 && th <= 1, s"plan '${plan.name}': minhash_dedup threshold in (0,1]: $th")
+      case st: DecontaminateStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        require(st.ngram >= 1, s"plan '${plan.name}': decontaminate ngram must be >= 1")
+        require(st.minHits >= 1, s"plan '${plan.name}': decontaminate min_hits must be >= 1")
+        require(FileCache.exists(spark, s"$dataDir/${st.benchmarkInput}.parquet"),
+          s"plan '${plan.name}': benchmark table '${st.benchmarkInput}' not found under $dataDir")
+        val benchCols = load(st.benchmarkInput).columns.toSet
+        for (c <- Seq(st.idColumn, st.textColumn))
+          require(benchCols.contains(c),
+            s"plan '${plan.name}': benchmark table '${st.benchmarkInput}' lacks column '$c' " +
+              s"(has: ${benchCols.toSeq.sorted.mkString(", ")})")
       case SplitStage(ic, splits, sc, _, _) =>
         need(ic, "id")
         require(splits.nonEmpty, s"plan '${plan.name}': split stage has no splits")
@@ -185,6 +196,10 @@ final class CurationSubmitter(
     case MinHashDedupStage(ic, tc, bands, rows, sh, th, _) =>
       val pairs = Dedup.minhashNearDuplicates(df, ic, tc, bands, rows, sh, th)
       Dedup.dropNearDuplicates(df, pairs, ic)
+    case st: DecontaminateStage =>
+      val contaminated = Dedup.ngramOverlap(
+        df, load(st.benchmarkInput), st.idColumn, st.textColumn, st.ngram, st.minHits)
+      df.join(contaminated.select(col(st.idColumn)), Seq(st.idColumn), "left_anti")
     case SplitStage(ic, splits, sc, seed, _) =>
       Sampling.splitByHash(df, ic, splits, sc, seed)
     case SampleStage(ic, fr, seed, _) => Sampling.hashSample(df, ic, fr, seed)

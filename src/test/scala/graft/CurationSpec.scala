@@ -32,6 +32,10 @@ class CurationSpec extends SparkSpec {
       (8L, "we hold these truths to be self evident that all men are created equal and so on", "books"))
       .toDF("doc_id", "text", "source")
     docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    // a benchmark table sharing doc 8's text (the decontamination target)
+    Seq((100L, "we hold these truths to be self evident that all men are created equal and so on"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bench.parquet")
     dir
   }
 
@@ -46,6 +50,7 @@ class CurationSpec extends SparkSpec {
         DimensionFilter.RawFilter("lang = 'en'"),
         DimensionFilter.ExpressionFilter("swr", ">=", 0.05))),
       ExactDedupStage("doc_id", "text", persist = true),
+      DecontaminateStage("bench", ngram = 5),
       MinHashDedupStage("doc_id", "text", bands = 8, rowsPerBand = 2, shingleSize = 2,
         threshold = 0.9),
       SplitStage("doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)),
@@ -105,6 +110,21 @@ class CurationSpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(6L))
     // non-english and stopword-poor docs are gone
     assert(!ids.contains(4L))
+  }
+
+  test("decontaminate stage drops exactly the benchmark-overlapping documents") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    val plan = CurationPlan("decon", "docs", Seq(
+      DecontaminateStage("bench", ngram = 5),
+      SortStage(Seq("doc_id"))))
+    val ids = sub.submit(plan).select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(8L)) // shares every 5-gram with the benchmark
+    assert(ids.contains(1L) && ids.contains(6L)) // unrelated docs survive
+    // missing benchmark table fails validation, not mid-job
+    val bad = intercept[IllegalArgumentException](sub.submit(
+      CurationPlan("b", "docs", Seq(DecontaminateStage("ghost_bench")))))
+    assert(bad.getMessage.contains("benchmark table"))
   }
 
   test("result cache: sidecars written, rerun is a pure cache read, input change invalidates") {
