@@ -576,4 +576,93 @@ object RankStats {
             col("chi2_upm")).cast("long"))))
       .select((gs :+ col("n_blocks") :+ col("k") :+ col("chi2_upm") :+ col("p_ppm")): _*)
   }
+
+  /** Kendall's coefficient of concordance W per group — how strongly do m
+    * judges agree on a ranking of k items? (Kendall & Babington Smith
+    * 1939.) The tie-corrected W is EXACTLY the Friedman statistic
+    * normalized by its maximum, W = T/(m·(k−1)) (Conover 1999 §5.3 —
+    * identical ranks give T = m(k−1), so W = 1): this is a pure derived
+    * output over [[friedmanTest]] with judges as blocks and items as
+    * treatments, inheriting the complete-design refusal and the doubled-
+    * rank tie handling. w_ppm = chi2_upm div (m·(k−1)), NULL when every
+    * judge ranks everything tied (no information — the friedman NULL).
+    * Returns (groupCols*, n_judges, k, w_ppm, chi2_upm, p_ppm). */
+  def kendallW(
+      df: DataFrame, judgeCol: String, itemCol: String, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.Idiv
+    val gs = groupCols.map(col)
+    friedmanTest(df, judgeCol, itemCol, valueCol, groupCols)
+      .withColumn("w_ppm",
+        when(col("chi2_upm").isNull, lit(null).cast("long"))
+          .otherwise(Idiv(col("chi2_upm"),
+            col("n_blocks") * (col("k") - 1L)).cast("long")))
+      .select((gs :+ col("n_blocks").as("n_judges") :+ col("k") :+
+        col("w_ppm") :+ col("chi2_upm") :+ col("p_ppm")): _*)
+  }
+
+  /** Page's trend test for ORDERED alternatives per group (Page, JASA
+    * 1963) — the directional Friedman: systems are hypothesized a-priori
+    * to improve with `orderCol` (0-based), and L = Σ_j (j+1)·R_j rewards
+    * agreement with that order. Spelled over doubled ranks
+    * (L2 = Σ (j+1)·R2_j = 2L exactly) with the no-tie null moments
+    *   E[L] = n·k(k+1)²/4,  Var[L] = n·k²(k+1)²(k−1)/144,
+    * so the 5 % two-sided normal decision is the exact rational
+    *   625·36·(L2 − 2E)² ≥ 2401·n·k²(k+1)²(k−1)
+    * (z = (L−E)/√Var, 1.96 = 49/25, (L2−2E)² = 4(L−E)²). The classical
+    * moments assume NO ties within a block, so tied blocks REFUSE loudly
+    * (rank the fixture on a tie-free grid — the caller owns the grid,
+    * the q339 quantize-first discipline). `trend` = +1 (improves with
+    * the order), −1 (degrades), 0. Complete block design required.
+    * Returns (groupCols*, n_blocks, k, l2, trend). */
+  def pageTrendTest(
+      df: DataFrame, blockCol: String, orderCol: String, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "pageTrendTest: empty groupCols — inject a literal constant group column")
+    val gs = groupCols.map(col)
+    val k = df.groupBy(gs: _*).agg(countDistinct(col(orderCol)).as("k"))
+    val perBlock = df.groupBy((gs :+ col(blockCol)): _*)
+      .agg(count(lit(1)).as("__rs_cnt"),
+        countDistinct(col(orderCol)).as("__rs_kd"),
+        countDistinct(col(valueCol)).as("__rs_vd"))
+      .join(k, groupCols)
+    val bad = perBlock.filter(col("__rs_cnt") =!= col("k") ||
+      col("__rs_kd") =!= col("k")).limit(1).collect()
+    require(bad.isEmpty,
+      "pageTrendTest: every block needs exactly one observation per order " +
+        "position (complete block design)")
+    val tied = perBlock.filter(col("__rs_vd") =!= col("__rs_cnt")).limit(1).collect()
+    require(tied.isEmpty,
+      "pageTrendTest: tied values within a block — Page's null moments assume " +
+        "tie-free blocks; break ties on an explicit grid first")
+    // tie-free doubled rank within (group, block): 2·(#lt) + 2 — one
+    // census window over k-sized blocks
+    val w = Window.partitionBy((gs :+ col(blockCol)): _*).orderBy(col(valueCol))
+    val ranked = df
+      .select((gs :+ col(blockCol) :+ col(orderCol).cast("long").as("__rs_j") :+
+        col(valueCol)): _*)
+      .withColumn("__rs_r2", lit(2L) * row_number().over(w))
+    ranked
+      .groupBy(gs: _*)
+      .agg(
+        countDistinct(col(blockCol)).as("n_blocks"),
+        (countDistinct(col("__rs_j"))).as("k"),
+        sum((col("__rs_j") + 1L) * col("__rs_r2")).as("l2"))
+      // d = 2·L2 − n·k(k+1)² = 4·(L − E[L]) — doubled twice so everything
+      // stays integer (no /2 anywhere); the z²-threshold picks up the 16
+      .withColumn("__rs_d",
+        lit(2L) * col("l2").cast("decimal(38,0)") -
+          col("n_blocks").cast("decimal(38,0)") * col("k") *
+            (col("k") + 1L) * (col("k") + 1L))
+      .withColumn("trend",
+        when(
+          lit(22500L) * col("__rs_d") * col("__rs_d") >=
+            lit(38416L) * col("n_blocks").cast("decimal(38,0)") * col("k") * col("k") *
+              (col("k") + 1L) * (col("k") + 1L) * (col("k") - 1L),
+          when(col("__rs_d") > 0, 1L).when(col("__rs_d") < 0, -1L).otherwise(0L))
+          .otherwise(0L))
+      .withColumn("l2", col("l2").cast("long"))
+      .select((gs :+ col("n_blocks") :+ col("k") :+ col("l2") :+ col("trend")): _*)
+  }
 }

@@ -724,9 +724,113 @@ private[graft] object Catalog15 {
                         ELSE 0 END AS BIGINT) AS verdict
             FROM st ORDER BY 1"""))
 
+  /** Kendall's W ([[graft.operators.RankStats.kendallW]] — judge
+    * concordance as the normalized Friedman statistic, W = T/(m(k−1)):
+    * 6 judges × 10 items per priority; '1-URGENT' judges see a dominant
+    * item-quality signal (W = exactly 10⁶ — identical rankings), the
+    * null priorities rank pure judge-specific noise (W ≈ 0.09). */
+  val q395_kendall_w = Q(
+    "q395_kendall_w",
+    (s, dir) => {
+      val groups = t(s, dir, "orders").select(col("o_orderpriority").as("g")).distinct()
+      val obs = groups
+        .select(col("g"), explode(sequence(lit(0L), lit(5L))).as("j"))
+        .select(col("g"), col("j"), explode(sequence(lit(0L), lit(9L))).as("i"))
+        .withColumn("v",
+          when(col("g") === "1-URGENT",
+            col("i") * 100L + pmod(col("j") * 7L + col("i") * 3L, lit(10L)))
+            .otherwise(pmod(col("i") * 13L + col("j") * 29L + 5L, lit(97L))))
+      graft.operators.RankStats.kendallW(obs, "j", "i", "v", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH groups AS (SELECT DISTINCT o_orderpriority AS g FROM orders),
+            obs AS (
+              SELECT g, j, i,
+                     CASE WHEN g = '1-URGENT'
+                          THEN i * 100 + (j * 7 + i * 3) % 10
+                          ELSE (i * 13 + j * 29 + 5) % 97 END AS v
+              FROM groups, UNNEST(range(6)) AS tj(j), UNNEST(range(10)) AS ti(i)),
+            ranked AS (
+              SELECT g, j, i,
+                     2 * (RANK() OVER (PARTITION BY g, j ORDER BY v) - 1) +
+                       COUNT(*) OVER (PARTITION BY g, j, v) + 1 AS r2
+              FROM obs),
+            peri AS (
+              SELECT g, i, SUM(r2) AS R2, COUNT(*) AS m, SUM(r2 * r2) AS a4j
+              FROM ranked GROUP BY 1, 2),
+            agg AS (
+              SELECT g, MAX(m) AS m, 10 AS k,
+                     SUM(CAST(R2 - m * 11 AS HUGEINT) * (R2 - m * 11)) AS num0,
+                     SUM(CAST(a4j AS HUGEINT)) AS a4
+              FROM peri GROUP BY 1),
+            st AS (
+              SELECT g, m, k,
+                     CASE WHEN a4 = CAST(m AS HUGEINT) * 10 * 121 THEN NULL
+                          ELSE CAST((9 * num0 * 1000000) //
+                            (a4 - CAST(m AS HUGEINT) * 10 * 121) AS BIGINT)
+                     END AS chi2_upm
+              FROM agg)
+            SELECT g, CAST(m AS BIGINT) AS n_judges, CAST(k AS BIGINT) AS k,
+                   CASE WHEN chi2_upm IS NULL THEN NULL
+                        ELSE CAST(chi2_upm // (m * 9) AS BIGINT) END AS w_ppm,
+                   chi2_upm,
+                   CASE WHEN chi2_upm IS NULL OR chi2_upm <= 0 THEN 1000000
+                        ELSE LEAST(1000000,
+                          CAST((2 * 9 * 1000000000000::HUGEINT) // chi2_upm AS BIGINT))
+                   END AS p_ppm
+            FROM st ORDER BY g"""))
+
+  /** Page's trend test ([[graft.operators.RankStats.pageTrendTest]] — the
+    * DIRECTIONAL Friedman over the q386 block design on a tie-free value
+    * grid (v = noise·4 + s makes within-block values provably distinct);
+    * '1-URGENT' improves with system order (+800·s lift, trend +1),
+    * '5-LOW' degrades (−800·s, trend −1), the rest sit at 0. */
+  val q396_page_trend = Q(
+    "q396_page_trend",
+    (s, dir) => {
+      val blocks = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), pmod(col("o_orderkey"), lit(400L)).as("b"))
+        .distinct()
+      val obs = blocks
+        .select(col("g"), col("b"), explode(sequence(lit(0L), lit(3L))).as("sy"))
+        .withColumn("v",
+          pmod((col("b") + 7L) * (col("sy") + 3L) * 48271L, lit(1000L)) * 4L + col("sy") +
+            when(col("g") === "1-URGENT", col("sy") * 800L)
+              .when(col("g") === "5-LOW", -col("sy") * 800L).otherwise(0L))
+      graft.operators.RankStats.pageTrendTest(obs, "b", "sy", "v", Seq("g"))
+        .orderBy("g")
+    },
+    Some("""WITH blocks AS (
+              SELECT DISTINCT o_orderpriority AS g, o_orderkey % 400 AS b FROM orders),
+            obs AS (
+              SELECT g, b, sy,
+                     ((b + 7) * (sy + 3) * 48271) % 1000 * 4 + sy +
+                       CASE WHEN g = '1-URGENT' THEN sy * 800
+                            WHEN g = '5-LOW' THEN -sy * 800 ELSE 0 END AS v
+              FROM blocks, UNNEST([0, 1, 2, 3]) AS t(sy)),
+            ranked AS (
+              SELECT g, b, sy,
+                     2 * ROW_NUMBER() OVER (PARTITION BY g, b ORDER BY v) AS r2
+              FROM obs),
+            agg AS (
+              SELECT g, COUNT(DISTINCT b) AS n_blocks, 4 AS k,
+                     SUM((sy + 1) * r2) AS l2
+              FROM ranked GROUP BY 1),
+            st AS (
+              SELECT g, n_blocks, k, l2,
+                     2 * CAST(l2 AS HUGEINT) - CAST(n_blocks AS HUGEINT) * 4 * 25 AS d
+              FROM agg)
+            SELECT g, CAST(n_blocks AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+                   CAST(l2 AS BIGINT) AS l2,
+                   CAST(CASE WHEN 22500 * d * d >=
+                          38416 * CAST(n_blocks AS HUGEINT) * 16 * 25 * 3
+                        THEN CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END
+                        ELSE 0 END AS BIGINT) AS trend
+            FROM st ORDER BY g"""))
+
   val all: Seq[Q] = Seq(
     q383_curation_plan, q384_sql_model_gate, q385_registry_incremental_dedup,
     q386_friedman, q387_cochran_q, q388_weighted_kappa, q389_mann_kendall,
     q390_curation_quality_gate, q391_nn_descent, q392_permutation_test,
-    q393_vocab_richness, q394_runs_test)
+    q393_vocab_richness, q394_runs_test, q395_kendall_w, q396_page_trend)
 }

@@ -119,6 +119,48 @@ class Round15OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate time"))
   }
 
+  test("kendallW: perfect concordance 1e6, reversal drops it, all-tied NULL") {
+    // 3 judges, 4 items, identical rankings -> W = exactly 1
+    def obs(rows: Seq[(Long, Long, Long)]) = rows.toDF("j", "i", "v").withColumn("g", lit("x"))
+    val perfect = obs(for (j <- 0L to 2L; i <- 0L to 3L) yield (j, i, i * 10))
+    val rp = RankStats.kendallW(perfect, "j", "i", "v", Seq("g")).collect().head
+    assert(rp.getAs[Long]("n_judges") == 3L && rp.getAs[Long]("k") == 4L)
+    assert(rp.getAs[Long]("w_ppm") == 1000000L)
+    // one judge fully reversed: concordance drops strictly below 1
+    val mixed = obs((for (j <- 0L to 1L; i <- 0L to 3L) yield (j, i, i * 10)) ++
+      (for (i <- 0L to 3L) yield (2L, i, 30L - i * 10)))
+    val rm = RankStats.kendallW(mixed, "j", "i", "v", Seq("g")).collect().head
+    assert(rm.getAs[Long]("w_ppm") < 500000L && rm.getAs[Long]("w_ppm") > 0L)
+    // every judge rates everything the same: no information -> NULL
+    val tied = obs(for (j <- 0L to 1L; i <- 0L to 3L) yield (j, i, 7L))
+    assert(RankStats.kendallW(tied, "j", "i", "v", Seq("g")).collect().head.isNullAt(3))
+  }
+
+  test("pageTrendTest: directional trends, tie and incomplete refusals") {
+    def obs(rows: Seq[(Long, Long, Long)]) = rows.toDF("b", "sy", "v").withColumn("g", lit("x"))
+    // 6 blocks in perfect hypothesized order: L2 = 6 * 2*(1+4+9+16) = 360,
+    // d = 2*360 - 6*100 = 120; 22500*120^2 >= 38416*6*1200 holds -> +1
+    val up = obs(for (b <- 0L to 5L; s <- 0L to 3L) yield (b, s, s + 1))
+    val ru = RankStats.pageTrendTest(up, "b", "sy", "v", Seq("g")).collect().head
+    assert(ru.getAs[Long]("l2") == 360L && ru.getAs[Long]("trend") == 1L)
+    val down = obs(for (b <- 0L to 5L; s <- 0L to 3L) yield (b, s, 4L - s))
+    assert(RankStats.pageTrendTest(down, "b", "sy", "v", Seq("g"))
+      .collect().head.getAs[Long]("trend") == -1L)
+    // a single perfectly-ordered block is not enough evidence
+    val one = obs(for (s <- 0L to 3L) yield (0L, s, s + 1))
+    assert(RankStats.pageTrendTest(one, "b", "sy", "v", Seq("g"))
+      .collect().head.getAs[Long]("trend") == 0L)
+    // tied values within a block refuse (the null moments assume tie-free)
+    val tied = obs(Seq((0L, 0L, 5L), (0L, 1L, 5L), (0L, 2L, 6L), (0L, 3L, 7L)))
+    val e = intercept[IllegalArgumentException](
+      RankStats.pageTrendTest(tied, "b", "sy", "v", Seq("g")).collect())
+    assert(e.getMessage.contains("tied values"))
+    val e2 = intercept[IllegalArgumentException](
+      RankStats.pageTrendTest(up.filter(!(col("b") === 5L && col("sy") === 3L)),
+        "b", "sy", "v", Seq("g")).collect())
+    assert(e2.getMessage.contains("complete block design"))
+  }
+
   test("runsTest: clustering -1, alternation +1, small-n and one-sided 0, refusal") {
     def series(bs: Seq[Boolean]) = bs.zipWithIndex
       .map { case (b, t) => (t.toLong, b) }.toDF("t", "b").withColumn("g", lit("x"))
