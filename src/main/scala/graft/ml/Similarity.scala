@@ -624,9 +624,14 @@ object Similarity {
     * WWW'11 "Efficient K-Nearest Neighbor Graph Construction for Generic
     * Similarity Measures") — the DEFINED deterministic variant:
     *
-    *   - init: the id ring — node i's first guesses are (i+1..i+k) mod n
-    *     (the paper samples randomly; a fixed ring is reproducible and
-    *     deliberately BAD, so the recall gain per round is visible);
+    *   - init: the RANK ring — order nodes by id, node of rank r first
+    *     guesses the nodes of rank (r+1..r+k) mod n (the paper samples
+    *     randomly; a fixed ring is reproducible and deliberately BAD, so
+    *     the recall gain per round is visible). Ranks, not raw ids: a
+    *     gapped/offset id space would otherwise seed edges at nonexistent
+    *     ids that the scoring joins silently drop (r15 ADVICE). For dense
+    *     0..n−1 ids rank == id, so the classic ring is unchanged. Ids
+    *     must be UNIQUE (castable to long) — the rank order is total;
     *   - round: local join — every ordered pair of nodes adjacent to a
     *     common node through the UNDIRECTED current graph (B ∪ R in the
     *     paper's terms) becomes a candidate edge, unioned with the
@@ -673,10 +678,22 @@ object Similarity {
           .withColumn("__sim_rn", row_number().over(w))
           .filter(col("__sim_rn") <= k)
       }
-      var edges = vecs
-        .select(col("__sim_id").as("__sim_x"),
+      // 0-based global rank over the id order — two-pass range-partitioned
+      // cumsum, never a single-task unpartitioned window (GlobalOrder's
+      // contract); (rank, id) is metadata-per-row, cached only through init
+      val ranked = graft.operators.GlobalOrder
+        .cumSum(vecs.select(col("__sim_id")), Seq(col("__sim_id")), lit(1L),
+          "__sim_rk1", par)
+        .select(col("__sim_id"), (col("__sim_rk1") - 1L).as("__sim_rk"))
+        .localCheckpoint(true) // consumed twice below (ring ends + rank→id)
+      var edges = ranked
+        .select(col("__sim_id").as("__sim_x"), col("__sim_rk"),
           explode(sequence(lit(1L), lit(k.toLong))).as("__sim_m"))
-        .select(col("__sim_x"), pmod(col("__sim_x") + col("__sim_m"), lit(n)).as("__sim_y"))
+        .select(col("__sim_x"),
+          pmod(col("__sim_rk") + col("__sim_m"), lit(n)).as("__sim_nrk"))
+        .join(ranked.select(col("__sim_rk").as("__sim_nrk"),
+          col("__sim_id").as("__sim_y")), Seq("__sim_nrk"))
+        .select(col("__sim_x"), col("__sim_y"))
       for (_ <- 0 until rounds) {
         // CheckpointFresh: consumed three times below (forward, reverse,
         // union with candidates) AND loop-carried — cuts both the plan

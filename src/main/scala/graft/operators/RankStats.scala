@@ -650,7 +650,9 @@ object RankStats {
         (countDistinct(col("__rs_j"))).as("k"),
         sum((col("__rs_j") + 1L) * col("__rs_r2")).as("l2"))
       // d = 2·L2 − n·k(k+1)² = 4·(L − E[L]) — doubled twice so everything
-      // stays integer (no /2 anywhere); the z²-threshold picks up the 16
+      // stays integer (no /2 anywhere). z² ≥ (49/25)² with d² = 16(L−E)²
+      // is 625·144·d² ≥ 16·2401·Var-numerator, i.e. 22500·d² ≥ 9604·X
+      // (r15 ADVICE: 38416 here fired only at |z| ≥ 3.92 — 4× too strict)
       .withColumn("__rs_d",
         lit(2L) * col("l2").cast("decimal(38,0)") -
           col("n_blocks").cast("decimal(38,0)") * col("k") *
@@ -658,7 +660,7 @@ object RankStats {
       .withColumn("trend",
         when(
           lit(22500L) * col("__rs_d") * col("__rs_d") >=
-            lit(38416L) * col("n_blocks").cast("decimal(38,0)") * col("k") * col("k") *
+            lit(9604L) * col("n_blocks").cast("decimal(38,0)") * col("k") * col("k") *
               (col("k") + 1L) * (col("k") + 1L) * (col("k") - 1L),
           when(col("__rs_d") > 0, 1L).when(col("__rs_d") < 0, -1L).otherwise(0L))
           .otherwise(0L))

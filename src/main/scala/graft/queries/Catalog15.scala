@@ -35,7 +35,8 @@ private[graft] object Catalog15 {
         "input": "documents",
         "stages": [
           {"stage_type": "text_features",
-           "features": ["language", "stopword_ratio", "token_count"]},
+           "features": ["language", "stopword_ratio", "token_count"],
+           "overwrite": true},
           {"stage_type": "filter",
            "filters": [{"filter_type": "raw", "expression": "lang = 'en' AND swr >= 0.05"}]},
           {"stage_type": "exact_dedup", "persist": true},
@@ -179,9 +180,16 @@ private[graft] object Catalog15 {
     (s, dir) => {
       val reg = artifactRegistry(s, dir)
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // batch-id namespace: the next power-of-ten-multiple above max
+      // doc_id (metadata-scale scalar), never a fixed 1e6 — a synthesized
+      // 5×+ corpus would collide batch ids with corpus ids (r15 ADVICE);
+      // at the driver SFs max < 1e6 so the offset stays 1 000 000 and the
+      // hash is unchanged
+      val off = d.agg(max(col("doc_id"))).head().getLong(0) / 1000000L * 1000000L +
+        1000000L
       val batch = d.filter(pmod(col("doc_id"), lit(7L)) === 0L)
         .select(
-          (col("doc_id") + 1000000L).as("doc_id"),
+          (col("doc_id") + off).as("doc_id"),
           array_join(
             slice(split(trim(col("text")), "\\s+"), lit(1),
               size(split(trim(col("text")), "\\s+")) - 1), " ").as("text"))
@@ -193,8 +201,10 @@ private[graft] object Catalog15 {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("new_id", "existing_id")
     },
-    Some("""WITH batch AS (
-              SELECT doc_id + 1000000 AS doc_id,
+    Some("""WITH off AS (
+              SELECT (max(doc_id) // 1000000 + 1) * 1000000 AS o FROM documents),
+            batch AS (
+              SELECT doc_id + (SELECT o FROM off) AS doc_id,
                      array_to_string(toks[1:len(toks)-1], ' ') AS text
               FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                     FROM documents)
@@ -823,7 +833,7 @@ private[graft] object Catalog15 {
             SELECT g, CAST(n_blocks AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
                    CAST(l2 AS BIGINT) AS l2,
                    CAST(CASE WHEN 22500 * d * d >=
-                          38416 * CAST(n_blocks AS HUGEINT) * 16 * 25 * 3
+                          9604 * CAST(n_blocks AS HUGEINT) * 16 * 25 * 3
                         THEN CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END
                         ELSE 0 END AS BIGINT) AS trend
             FROM st ORDER BY g"""))

@@ -139,7 +139,7 @@ class Round15OpsSpec extends SparkSpec {
   test("pageTrendTest: directional trends, tie and incomplete refusals") {
     def obs(rows: Seq[(Long, Long, Long)]) = rows.toDF("b", "sy", "v").withColumn("g", lit("x"))
     // 6 blocks in perfect hypothesized order: L2 = 6 * 2*(1+4+9+16) = 360,
-    // d = 2*360 - 6*100 = 120; 22500*120^2 >= 38416*6*1200 holds -> +1
+    // d = 2*360 - 6*100 = 120; 22500*120^2 >= 9604*6*1200 holds -> +1
     val up = obs(for (b <- 0L to 5L; s <- 0L to 3L) yield (b, s, s + 1))
     val ru = RankStats.pageTrendTest(up, "b", "sy", "v", Seq("g")).collect().head
     assert(ru.getAs[Long]("l2") == 360L && ru.getAs[Long]("trend") == 1L)
@@ -159,6 +159,26 @@ class Round15OpsSpec extends SparkSpec {
       RankStats.pageTrendTest(up.filter(!(col("b") === 5L && col("sy") === 3L)),
         "b", "sy", "v", Seq("g")).collect())
     assert(e2.getMessage.contains("complete block design"))
+  }
+
+  test("pageTrendTest: 1.96 boundary pinned (n=6, k=4 — r15 ADVICE fix)") {
+    // n=6, k=4: E[L]=150, sd=sqrt(50); the 5% two-sided cut in exact
+    // rationals is 22500*d^2 >= 9604*7200 with d = 4(L-E). Per-block L_b
+    // is set by choosing which value sits at each order position.
+    def obs(rows: Seq[(Long, Long, Long)]) = rows.toDF("b", "sy", "v").withColumn("g", lit("x"))
+    val identity = (b: Long) => (0L to 3L).map(s => (b, s, s + 1))       // L_b = 30
+    val lb24 = Seq((4L, 0L, 4L), (4L, 1L, 1L), (4L, 2L, 2L), (4L, 3L, 3L)) // L_b = 24
+    val lb23 = Seq((4L, 0L, 3L), (4L, 1L, 2L), (4L, 2L, 4L), (4L, 3L, 1L)) // L_b = 23
+    val lb20 = (0L to 3L).map(s => (5L, s, 4L - s))                      // L_b = 20
+    // L = 4*30 + 24 + 20 = 164 -> z = 14/sqrt(50) = 1.9799 > 1.96: fires
+    // (the pre-fix 38416 constant reported 0 here — the ADVICE repro)
+    val just = obs((0L to 3L).flatMap(identity) ++ lb24 ++ lb20)
+    val rj = RankStats.pageTrendTest(just, "b", "sy", "v", Seq("g")).collect().head
+    assert(rj.getAs[Long]("l2") == 328L && rj.getAs[Long]("trend") == 1L)
+    // L = 163 -> z = 13/sqrt(50) = 1.8385 < 1.96: stays 0
+    val under = obs((0L to 3L).flatMap(identity) ++ lb23 ++ lb20)
+    val ru2 = RankStats.pageTrendTest(under, "b", "sy", "v", Seq("g")).collect().head
+    assert(ru2.getAs[Long]("l2") == 326L && ru2.getAs[Long]("trend") == 0L)
   }
 
   test("runsTest: clustering -1, alternation +1, small-n and one-sided 0, refusal") {
@@ -257,5 +277,18 @@ class Round15OpsSpec extends SparkSpec {
     val tiny = (0 until 3).map(i => (i.toLong, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](Similarity.nnDescentKnn(tiny, 3, 1))
     assert(e.getMessage.contains("more than k"))
+    // gapped/offset id space: the rank ring must keep every node in play
+    // (r15 ADVICE — a raw-id ring seeded edges at nonexistent ids and the
+    // scoring joins silently dropped whole nodes)
+    val gapped = vecs.select((col("vec_id") * 1000L + 7L).as("vec_id"), col("embedding"))
+    val g = Similarity.nnDescentKnn(gapped, k, 2)
+      .select("vec_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+    assert(g.size == 60, s"every gapped-id node must appear, got ${g.size}")
+    assert(g.forall(_._2.size == k))
+    // rank order == id order, so the gapped result is the dense result relabeled
+    val dense = resultSet(2)
+    assert(g == dense.map { case (x, ys) =>
+      (x * 1000L + 7L) -> ys.map(_ * 1000L + 7L) })
   }
 }
