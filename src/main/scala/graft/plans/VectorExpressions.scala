@@ -205,6 +205,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.foldableDoubleMatrix(exprs(1), "hyperplane_buckets: planes"),
           GraftExtensions.intLiteral(exprs(2), "hyperplane_buckets: planes_per_band"))
       }))
+    // the Gopher quality-metric bundle for pure-SQL curation pipelines
+    // (r15 VERDICT item 7): one struct of the per-row metrics, field
+    // spellings value-equal to TextFunctions.gopherQualityColumns
+    // (Round16OpsSpec pins it); thresholds are the SQL caller's
+    ext.injectFunction((
+      FunctionIdentifier("gopher_metrics"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "gopher_metrics"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "gopher_metrics takes (string text)")
+        // a parsed TEMPLATE with the argument substituted at the
+        // placeholder attribute: a function registry needs a Catalyst
+        // tree (Column nodes only resolve inside a Dataset), and the
+        // analyzer's fixpoint resolves the template's inner functions
+        // on later passes exactly like any macro-expanded expression
+        val template = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(graft.text.TextFunctions.gopherMetricsSql("__gopher_arg"))
+        template.transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name == "__gopher_arg" => exprs.head
+        }
+      }))
     // plan LINTER (injectCheckRule): conf-gated guardrails that VETO
     // analysis-clean but cluster-hostile plans before execution —
     // spark.graft.lint.noCartesian rejects unconditioned cross joins

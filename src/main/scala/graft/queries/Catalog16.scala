@@ -1,0 +1,549 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDsl._
+import graft.text.TextFunctions
+
+/** Catalog chunk q397+ — round-16: the curation-stage ADT extension
+  * (semantic_dedup / line_dedup / span_dedup / pii_redact / domain_cap /
+  * quota_sample / token_pack as JSON stages, each driven end-to-end through
+  * [[graft.query.CurationSubmitter]]), registry artifacts for the ANN
+  * family (IVF centroids + PQ codebooks), and SQL-text LSH signatures.
+  * Registration + docs in [[graft.Queries]]. */
+private[graft] object Catalog16 {
+
+  /** Shared constructed-fixture dataDir for the curation-plan queries:
+    * the synthetic corpus has no exact duplicate texts, no newlines, and
+    * no near-duplicate embeddings (measured — max in-cell cosine 0.51 at
+    * sf0.01), so the dedup stages would be VACUOUS on the raw tables (the
+    * r13 planted-signal rule: a gate that never fires demonstrates
+    * nothing). One memoized write per (JVM, sf) builds:
+    *   - `docs_lines` — the q81 fixture family: every document cut into
+    *     three 8-token lines, plus a +1e6-id copy sharing its first two
+    *     lines (line_dedup must keep shared lines only at min (id, pos));
+    *   - `emb_dup` — embeddings ∪ ×2-scaled +1e6-id copies (cosine
+    *     exactly 1, centroid similarity exactly equal — power-of-2 float
+    *     scaling is IEEE-exact — so semantic_dedup resolves every pair by
+    *     the id tie-break, the q85 fixture).
+    * Both constructions are replayed arithmetically by the oracles. */
+  private val fixtureMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+  private def curationFixtures(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    fixtureMemo.getOrElseUpdate((dir, "cur16", s.sparkContext.applicationId), {
+      val root = java.nio.file.Files.createTempDirectory("graft-curation16").toString
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source").as("src"),
+          split(trim(col("text")), "\\s+").as("toks"))
+      def ln(from: Int, len: Int) = array_join(slice(col("toks"), from, len), " ")
+      val orig = d.select(col("doc_id"), col("src"),
+        concat_ws("\n", ln(1, 8), ln(9, 8), ln(17, 8)).as("text"))
+      val copy = d.select((col("doc_id") + 1000000L).as("doc_id"), col("src"),
+        concat_ws("\n", ln(1, 8), ln(9, 8), ln(17, 7)).as("text"))
+      orig.unionByName(copy).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/docs_lines.parquet")
+      val emb = t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      emb.unionByName(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * 2.0).as("embedding")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/emb_dup.parquet")
+      root
+    })
+
+  /** Quality gate → PII redaction → token features → per-domain cap →
+    * per-source stats, end-to-end from one JSON document (VERDICT r15
+    * item 1: the curation ADT now reaches the operator families the Scala
+    * API already had). The cap stage runs AFTER the quality filter, so
+    * ranks are over survivors; its hash order is the engine's production
+    * `Sampling.uniformHash` and the oracle replays the full XXH64 chain
+    * ([[graft.tools.OracleSql.xxhash64Stages]]). Gopher thresholds match
+    * q390's (one replay spelling, maintained once). All outputs are exact
+    * integers. */
+  val q397_curation_gate_cap = Q(
+    "q397_curation_gate_cap",
+    (s, dir) => {
+      val document = """{
+        "name": "curate_gate_cap",
+        "input": "documents",
+        "stages": [
+          {"stage_type": "gopher_flags", "min_words": 40, "min_stopword_hits": 1},
+          {"stage_type": "filter",
+           "filters": [{"filter_type": "expression", "column": "keep",
+                        "operator": "==", "value": 1}]},
+          {"stage_type": "pii_redact"},
+          {"stage_type": "text_features", "features": ["token_count"]},
+          {"stage_type": "domain_cap", "group_by": ["source"], "cap": 15,
+           "seed": "cap16"},
+          {"stage_type": "aggregate", "group_by": ["source"],
+           "aggregations": [
+             {"fn": "count", "column": "doc_id", "alias": "n_docs"},
+             {"fn": "sum", "column": "n_tokens", "alias": "total_tokens"},
+             {"fn": "mean_int", "column": "n_tokens", "alias": "mean_tokens"}]},
+          {"stage_type": "sort", "by": ["source"]}
+        ]
+      }"""
+      val plan = graft.query.CurationJson.parse(document)
+      new graft.query.CurationSubmitter(s, dir).submit(plan)
+    },
+    Some {
+      val emailP = TextFunctions.piiPatterns(0)._1
+      val phoneP = TextFunctions.piiPatterns(1)._1
+      val hashed = graft.tools.OracleSql.xxhash64Stages(
+        "SELECT doc_id, source, n_tokens, doc_id::VARCHAR || '|cap16' AS src FROM toked",
+        "src", "h", pfx = "__c")
+      s"""WITH arrays AS (
+            SELECT doc_id, source, text,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS toks,
+              list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lns
+            FROM documents),
+          counts AS (
+            SELECT doc_id, source, text,
+              len(toks)::BIGINT AS wc,
+              len(lns)::BIGINT AS nl,
+              length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS sum_len,
+              (length(text) - length(regexp_replace(text, '#', '', 'g')))::BIGINT AS hash_cnt,
+              len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS ell_cnt,
+              len(list_filter(lns, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                                        OR starts_with(l, '•')))::BIGINT AS bullet_lines,
+              len(list_filter(lns, l -> ends_with(l, '...')))::BIGINT AS ell_lines,
+              len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS alpha_words,
+              len(list_filter(['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(list_transform(toks, t -> lower(t)), s)))::BIGINT AS stop_hits
+            FROM arrays),
+          kept AS (
+            SELECT doc_id, source, text FROM counts
+            WHERE wc >= 40 AND wc <= 100000
+              AND (CASE WHEN wc = 0 THEN 0.0 ELSE sum_len::DOUBLE / wc END) >= 3.0
+              AND (CASE WHEN wc = 0 THEN 0.0 ELSE sum_len::DOUBLE / wc END) <= 10.0
+              AND (CASE WHEN wc = 0 THEN 0.0 ELSE (hash_cnt + ell_cnt)::DOUBLE / wc END) <= 0.1
+              AND (CASE WHEN nl = 0 THEN 0.0 ELSE bullet_lines::DOUBLE / nl END) <= 0.9
+              AND (CASE WHEN nl = 0 THEN 0.0 ELSE ell_lines::DOUBLE / nl END) <= 0.3
+              AND (CASE WHEN wc = 0 THEN 0.0 ELSE alpha_words::DOUBLE / wc END) >= 0.8
+              AND stop_hits >= 1),
+          red AS (
+            SELECT doc_id, source,
+              regexp_replace(regexp_replace(text, '$emailP', '<EMAIL>', 'g'),
+                             '$phoneP', '<PHONE>', 'g') AS rtext
+            FROM kept),
+          toked AS (
+            SELECT doc_id, source,
+              len(list_filter(regexp_split_to_array(trim(rtext), '\\s+'),
+                              t -> len(t) > 0))::BIGINT AS n_tokens
+            FROM red),
+          hashed AS ($hashed),
+          ranked AS (
+            SELECT source, n_tokens,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                (((h % 1000000000) + 1000000000) % 1000000000) / 1000000000.0,
+                doc_id) AS rn
+            FROM hashed)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS mean_tokens
+          FROM ranked WHERE rn <= 15 GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Line dedup → exact-substring span dedup → GPT-style sequence packing,
+    * one JSON plan over the constructed multi-line corpus (the q81 fixture
+    * family — copies share their first two lines, so line_dedup strips
+    * them to their distinct tail; then 8-token windows still duplicated
+    * corpus-wide are cut; then per-source token streams pack into 64-token
+    * training sequences). The oracle replays the construction and all
+    * three stages arithmetically — pack needs only per-doc KEPT-token
+    * counts, so the span replay never rebuilds strings. */
+  val q398_curation_dedup_pack = Q(
+    "q398_curation_dedup_pack",
+    (s, dir) => {
+      val fixDir = curationFixtures(s, dir)
+      val document = """{
+        "name": "curate_dedup_pack",
+        "input": "docs_lines",
+        "stages": [
+          {"stage_type": "line_dedup"},
+          {"stage_type": "span_dedup", "ngram": 8},
+          {"stage_type": "token_pack", "group_by": ["src"], "seq_len": 64},
+          {"stage_type": "sort", "by": ["src", "seq"]}
+        ]
+      }"""
+      val plan = graft.query.CurationJson.parse(document)
+      new graft.query.CurationSubmitter(s, fixDir).submit(plan)
+    },
+    Some("""WITH srcd AS (
+              SELECT doc_id, source AS src,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+            corpus AS (
+              SELECT doc_id, src,
+                     coalesce(array_to_string(toks[1:8], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[9:16], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[17:24], ' '), '') AS text
+              FROM srcd
+              UNION ALL
+              SELECT doc_id + 1000000, src,
+                     coalesce(array_to_string(toks[1:8], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[9:16], ' '), '') || chr(10)
+                       || coalesce(array_to_string(toks[17:23], ' '), '') AS text
+              FROM srcd),
+            ex AS (
+              SELECT doc_id, src, i - 1 AS pos, parts[i] AS line
+              FROM (SELECT doc_id, src, string_split(text, chr(10)) AS parts FROM corpus),
+                   UNNEST(range(1, len(parts) + 1)) AS r(i)),
+            keptlines AS (
+              SELECT doc_id, src, pos, line FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                FROM ex) WHERE rn = 1),
+            rebuilt AS (
+              SELECT doc_id, any_value(src) AS src,
+                     string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM keptlines GROUP BY doc_id),
+            -- span dedup over the line-dedup survivors: flag 8-token
+            -- windows appearing more than once corpus-wide, count each
+            -- doc's tokens covered by a flagged window; kept tokens =
+            -- total - covered (pack needs counts only)
+            toked AS (
+              SELECT doc_id, src,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS tk
+              FROM rebuilt),
+            wins AS (
+              SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram
+              FROM toked, unnest(range(GREATEST(len(tk) - 7, 0))) AS u(i)),
+            dups AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) > 1),
+            covered AS (
+              SELECT DISTINCT w.doc_id, w.pos + u.o AS cpos
+              FROM wins w JOIN dups d ON w.gram = d.gram,
+                   unnest(range(8)) AS u(o)),
+            cleaned AS (
+              SELECT t.doc_id, t.src,
+                     (len(t.tk) - COALESCE(c.nc, 0))::BIGINT AS tok
+              FROM toked t LEFT JOIN (
+                SELECT doc_id, COUNT(*) AS nc FROM covered GROUP BY 1) c
+                ON c.doc_id = t.doc_id),
+            cum AS (
+              SELECT src, tok,
+                     SUM(tok) OVER (PARTITION BY src ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS c
+              FROM cleaned),
+            spans AS (
+              SELECT src, tok, c - tok AS s,
+                     CAST((c - tok) // 64 AS BIGINT) AS first_seq,
+                     CAST(CASE WHEN tok > 0 THEN (c - 1) // 64
+                               ELSE (c - tok) // 64 END AS BIGINT) AS last_seq
+              FROM cum),
+            fanout AS (
+              SELECT src, tok, s, u.seq AS seq
+              FROM spans, UNNEST(range(first_seq, last_seq + 1)) AS u(seq))
+            SELECT src, CAST(seq AS BIGINT) AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEAST(s + tok, (seq + 1) * 64) - GREATEST(s, seq * 64)) AS BIGINT) AS n_tokens
+            FROM fanout GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SemDeDup stage → quota-balanced sample → per-label stats from one
+    * JSON document over the duplicated-embeddings fixture: every ×2 copy
+    * is cosine-1 collinear with its original and centroid-similarity-TIED
+    * (power-of-2 scaling is IEEE-exact), so the id tie-break drops exactly
+    * the copies; the quota stage then picks 20 per label among survivors
+    * by the engine's hash order. sum(vec_id) pins WHICH ids were picked,
+    * not just how many. k ∝ corpus (rows_per_centroid = 250 — the q85
+    * scale contract). */
+  val q399_curation_semantic_quota = Q(
+    "q399_curation_semantic_quota",
+    (s, dir) => {
+      val fixDir = curationFixtures(s, dir)
+      val document = """{
+        "name": "curate_sem_quota",
+        "input": "emb_dup",
+        "stages": [
+          {"stage_type": "semantic_dedup", "embedding_input": "emb_dup",
+           "id_column": "vec_id", "threshold": 0.99, "rows_per_centroid": 250},
+          {"stage_type": "quota_sample", "cell_columns": ["label"],
+           "n": 200, "id_column": "vec_id", "seed": "q16"},
+          {"stage_type": "aggregate", "group_by": ["label"],
+           "aggregations": [
+             {"fn": "count", "column": "vec_id", "alias": "n_vecs"},
+             {"fn": "sum", "column": "vec_id", "alias": "id_sum"}]},
+          {"stage_type": "sort", "by": ["label"]}
+        ]
+      }"""
+      val plan = graft.query.CurationJson.parse(document)
+      new graft.query.CurationSubmitter(s, fixDir).submit(plan)
+        .select(col("label").cast("long").as("label"), col("n_vecs"), col("id_sum"))
+    },
+    Some {
+      val hashed = graft.tools.OracleSql.xxhash64Stages(
+        "SELECT vec_id, label, vec_id::VARCHAR || '|q16' AS src FROM kept",
+        "src", "h", pfx = "__q")
+      s"""WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          corpus AS (
+            SELECT vec_id, label, v FROM e
+            UNION ALL
+            SELECT vec_id + 1000000, label, list_transform(v, x -> x * 2.0) FROM e),
+          cents AS (
+            SELECT vec_id AS cid, v AS cv FROM corpus
+            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
+              GREATEST(4, (SELECT COUNT(*) FROM corpus) // 250)),
+          assigned AS (
+            SELECT c.vec_id, c.label, c.v, cid, cv,
+              ROW_NUMBER() OVER (
+                PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                         cid DESC) AS rn
+            FROM corpus c CROSS JOIN cents),
+          withsim AS (
+            SELECT vec_id, label, v, cid AS cluster,
+              list_dot_product(v, cv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS centroid_sim
+            FROM assigned WHERE rn = 1),
+          dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM withsim a JOIN withsim b
+              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+             AND list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.99
+             AND (b.centroid_sim < a.centroid_sim OR
+                  (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))),
+          kept AS (
+            SELECT w.vec_id, w.label
+            FROM withsim w LEFT JOIN dropped d ON d.vec_id = w.vec_id
+            WHERE d.vec_id IS NULL),
+          cells AS (
+            SELECT label, COUNT(*) AS pool,
+                   ROW_NUMBER() OVER (ORDER BY label) AS ci,
+                   (SELECT COUNT(DISTINCT label) FROM kept) AS c
+            FROM kept GROUP BY label),
+          quotas AS (
+            SELECT label, 200 // c + (CASE WHEN ci <= 200 % c THEN 1 ELSE 0 END) AS q
+            FROM cells),
+          hashed AS ($hashed),
+          ranked AS (
+            SELECT k.vec_id, k.label,
+              ROW_NUMBER() OVER (PARTITION BY k.label ORDER BY
+                (((k.h % 1000000000) + 1000000000) % 1000000000) / 1000000000.0,
+                k.vec_id) AS rn
+            FROM hashed k)
+          SELECT CAST(r.label AS BIGINT) AS label,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(r.vec_id) AS BIGINT) AS id_sum
+          FROM ranked r JOIN quotas q ON q.label = r.label
+          WHERE r.rn <= q.q GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Shared vector-corpus registry for the ANN-artifact queries: the
+    * embeddings table (double-cast) registered once per (JVM, sf) as
+    * `vec_corpus`. */
+  private def vecRegistry(s: org.apache.spark.sql.SparkSession, dir: String) =
+    registryMemo.getOrElseUpdate(memoKey(s, dir, "vectors"), {
+      val root = java.nio.file.Files.createTempDirectory("graft-registry-vectors").toString
+      val reg = graft.registry.Registry(s, root)
+      graft.registry.Registry.registerDataset(reg, "vec_corpus",
+        t(s, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")),
+        validate = false)
+      reg
+    })
+
+  /** IVF search through REGISTRY-RESOLVED centroids ([[graft.registry
+    * .DerivedArtifacts.ivfCentroidsArtifact]] — r15 VERDICT item 2:
+    * centroids were rebuilt per query; now they are a provenance-stamped
+    * registered dataset, built on first touch, a pure parquet read on
+    * every later search, invalidated when the corpus or the (k,
+    * iterations, init) params change — rebuild-on-change is spec-pinned in
+    * DerivedArtifactsSpec). probes = cells makes IVF EXACT (the q57
+    * trick), so the oracle is the brute-force replay and the artifact
+    * path's values are init-invariant. */
+  val q400_registry_ivf_ann = Q(
+    "q400_registry_ivf_ann",
+    (s, dir) => {
+      import graft.ml.Similarity
+      val reg = vecRegistry(s, dir)
+      val k = 8
+      val centroids = graft.registry.DerivedArtifacts
+        .ivfCentroidsArtifact(reg, "vec_corpus", numCentroids = k, iterations = 2,
+          parallelInit = false)
+      val emb = reg.dataset("vec_corpus")
+      val cells = Similarity.assignToCentroids(emb, centroids)
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity
+        .ivfTopK(queries, cells, centroids, k = 5, probes = k)
+        .select(
+          col("query_id").cast("long").as("query_id"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM e q CROSS JOIN e c
+              WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+              CAST(neighbor_id AS BIGINT) AS neighbor_id, ROUND(cos, 4) AS cosine
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** PQ/ADC search through the REGISTRY-RESOLVED codebook artifact
+    * ([[graft.registry.DerivedArtifacts.pqCodebooksArtifact]]): training
+    * runs once per corpus state, every search reads the registered
+    * codebook parquet (KB-sized, metadata collect). Same geometry as
+    * q208 but a DIFFERENT query set (vec_id 5..9), and the oracle is the
+    * SHARED full-PQ replay builder ([[Catalog8.pqAdcOracleSql]]) — the
+    * artifact path must produce exactly the values direct training does,
+    * because resolution only caches. */
+  val q401_registry_pq_adc = Q(
+    "q401_registry_pq_adc",
+    (s, dir) => {
+      import graft.ml.Pq
+      import graft.operators.TopK
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val M = 8; val K = 4; val SD = 8; val SCALE = 64
+      val reg = vecRegistry(s, dir)
+      val cb = graft.registry.DerivedArtifacts
+        .pqCodebooksArtifact(reg, "vec_corpus", M, K, SD, iters = 2, scale = SCALE)
+      val emb = t(s, dir, "embeddings")
+        .select(
+          col("vec_id").cast("long").as("vec_id"),
+          Pq.quantized(col("embedding"), SCALE).as("qv"))
+        .cache()
+      try {
+        val encoded = Pq.encode(emb, "qv", cb)
+        val queries = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10).collect()
+        val qdf = queries.toSeq
+          .map(r => (r.getLong(0), Pq.adcTable(r.getSeq[Long](1), cb)))
+          .toDF("query_id", "tab")
+        val scored = encoded
+          .crossJoin(broadcast(qdf))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("adc_dist", Pq.adcDistance(cb))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+        val top = TopK.perGroup(
+          scored, Seq("query_id"), Seq(("adc_dist", true), ("neighbor_id", true)), 5)
+        val ranked = top.withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))))
+        val qq = queries.toSeq.map(r => (r.getLong(0), r.getSeq[Long](1))).toDF("query_id", "qq")
+        ranked
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qn")), "neighbor_id")
+          .join(broadcast(qq), "query_id")
+          .withColumn("exact_d2",
+            expr("aggregate(zip_with(qn, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+          .select(
+            col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+            col("adc_dist").cast("long").as("adc_dist"),
+            col("exact_d2").cast("long").as("exact_d2"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally emb.unpersist()
+    },
+    Some(Catalog8.pqAdcOracleSql(qFilter = "vec_id >= 5 AND vec_id < 10")))
+
+  /** The MinHash-LSH dedup pipeline from PURE SQL TEXT (r15 VERDICT item
+    * 7): `xxhash64_array` → `minhash_sig` → banded `hash()` buckets →
+    * bucket self-join candidates → exact-Jaccard verify, every stage a
+    * SQL expression over the q29 fixture family (every 7th document gets
+    * a last-word-dropped +1e6-id copy). Spellings mirror
+    * `Dedup.hashedShingleSets`/`minhashSignaturesFromShingles`/
+    * `lshBucketsFromSignatures` exactly (Round16OpsSpec pins the SQL
+    * route == the Column route); candidate generation is deterministic
+    * (fixed hash family), so the exact-Jaccard oracle matches iff LSH
+    * recalls every ≥0.8 pair — which this fixture's hash-verified runs
+    * pin. The verify join is the inverted-index spelling, never
+    * all-pairs. */
+  val q402_sql_lsh_dedup = Q(
+    "q402_sql_lsh_dedup",
+    (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_q402_docs")
+      s.sql("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM graft_q402_docs
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_join(slice(split(trim(text), '\\s+'), 1,
+                   size(split(trim(text), '\\s+')) - 1), ' ') AS text
+          FROM graft_q402_docs WHERE doc_id % 7 = 0),
+        toked AS (
+          SELECT doc_id,
+                 filter(split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' '), '\\s+', ' ')), '\\s+'),
+                   t -> length(t) > 0) AS toks
+          FROM corpus),
+        sh AS (
+          SELECT doc_id, array_distinct(xxhash64_array(
+            CASE WHEN size(toks) <= 3 THEN array(array_join(toks, ' '))
+                 ELSE transform(sequence(0, size(toks) - 3),
+                        i -> concat_ws(' ', element_at(toks, i + 1),
+                               element_at(toks, i + 2), element_at(toks, i + 3)))
+            END)) AS sh
+          FROM toked),
+        sig AS (
+          SELECT doc_id, sh, minhash_sig(sh, 64) AS sig
+          FROM sh WHERE size(sh) > 0),
+        buckets AS (
+          SELECT doc_id, b.band,
+                 CAST(hash(element_at(sig, b.band * 4 + 1), element_at(sig, b.band * 4 + 2),
+                           element_at(sig, b.band * 4 + 3), element_at(sig, b.band * 4 + 4))
+                      AS BIGINT) AS bucket
+          FROM sig LATERAL VIEW explode(sequence(0, 15)) b AS band),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        ex AS (SELECT doc_id, explode(sh) AS g FROM sh),
+        inter AS (
+          SELECT c.id1, c.id2, COUNT(*) AS ic
+          FROM cands c
+          JOIN ex e1 ON e1.doc_id = c.id1
+          JOIN ex e2 ON e2.doc_id = c.id2 AND e2.g = e1.g
+          GROUP BY c.id1, c.id2),
+        sizes AS (SELECT doc_id, size(sh) AS sz FROM sh)
+        SELECT i.id1, i.id2,
+               ROUND(CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic), 4) AS jaccard
+        FROM inter i
+        JOIN sizes s1 ON s1.doc_id = i.id1
+        JOIN sizes s2 ON s2.doc_id = i.id2
+        WHERE CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic) >= 0.8
+        ORDER BY id1, id2""")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(toks[1:len(toks)-1], ' ') AS text
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)
+              WHERE doc_id % 7 = 0),
+            sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+              FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '\s+'), x -> len(x) > 0) AS toks
+                FROM corpus)),
+            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ic
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id1, i.id2,
+                   ROUND(CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic), 4) AS jaccard
+            FROM inter i
+            JOIN sizes s1 ON s1.doc_id = i.id1
+            JOIN sizes s2 ON s2.doc_id = i.id2
+            WHERE CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic) >= 0.8
+            ORDER BY id1, id2"""))
+
+  val all: Seq[Q] = Seq(
+    q397_curation_gate_cap, q398_curation_dedup_pack, q399_curation_semantic_quota,
+    q400_registry_ivf_ann, q401_registry_pq_adc, q402_sql_lsh_dedup)
+}

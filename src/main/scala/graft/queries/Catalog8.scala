@@ -252,7 +252,14 @@ private[graft] object Catalog8 {
       emb.unpersist()
       materialized
     },
-    Some {
+    Some(pqAdcOracleSql(qFilter = "vec_id < 5")))
+
+  /** The full PQ replay (quantize → seed → Lloyd rounds → encode → ADC →
+    * rank → exact distance) as a parameterized oracle builder — shared by
+    * q208 and the registry-codebook-artifact query (q401), whose values
+    * must be identical because artifact resolution only CACHES the
+    * training result. `qFilter` selects the query vectors. */
+  private[graft] def pqAdcOracleSql(qFilter: String): String = {
       val M = 8; val K = 4; val SD = 8; val ITERS = 2; val SCALE = 64
       def dist(sv: String, cw: String): String =
         (1 to SD).map(d => s"(($sv[$d] - $cw[$d]) * ($sv[$d] - $cw[$d]))").mkString(" + ")
@@ -300,7 +307,7 @@ private[graft] object Catalog8 {
                        ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                                           ORDER BY ${dist("s.sv", "cb.cw")}, cb.c) AS rn
                 FROM subv s JOIN cb$ITERS cb ON cb.m = s.m) WHERE rn = 1),
-            qsub AS (SELECT vec_id AS query_id, m, sv FROM subv WHERE vec_id < 5),
+            qsub AS (SELECT vec_id AS query_id, m, sv FROM subv WHERE $qFilter),
             tt AS MATERIALIZED (
               SELECT t.query_id, t.m, cb.c, ${dist("t.sv", "cb.cw")} AS d
               FROM qsub t JOIN cb$ITERS cb ON cb.m = t.m),
@@ -320,7 +327,7 @@ private[graft] object Catalog8 {
           JOIN q b ON b.vec_id = s.neighbor_id
           ORDER BY query_id, rank"""
       sb.toString
-    })
+  }
 
   /** Greedy k-center coreset (Gonzalez '85 farthest-point traversal) over
     * integer-quantized embeddings — the maximally-diverse-subset primitive

@@ -35,6 +35,7 @@ object CurationJson {
       TextFeaturesStage(
         textColumn = optStr(n, "text_column").getOrElse("text"),
         features = arr(n, "features").map(_.asText()),
+        overwrite = bool(n, "overwrite"),
         persist = bool(n, "persist"))
     case "gopher_flags" =>
       GopherFlagsStage(
@@ -49,12 +50,14 @@ object CurationJson {
         maxEllipsisLineFrac = optDouble(n, "max_ellipsis_line_frac").getOrElse(0.3),
         minAlphaWordFrac = optDouble(n, "min_alpha_word_frac").getOrElse(0.8),
         minStopwordHits = optLong(n, "min_stopword_hits").getOrElse(2L),
+        overwrite = bool(n, "overwrite"),
         persist = bool(n, "persist"))
     case "repetition" =>
       RepetitionStage(
         idColumn = optStr(n, "id_column").getOrElse("doc_id"),
         textColumn = optStr(n, "text_column").getOrElse("text"),
         ngram = optInt(n, "ngram").getOrElse(2),
+        overwrite = bool(n, "overwrite"),
         persist = bool(n, "persist"))
     case "filter" =>
       CurationFilterStage(
@@ -88,6 +91,7 @@ object CurationJson {
         splits = arr(n, "splits").map(s => str(s, "name") -> dbl(s, "weight")),
         splitColumn = optStr(n, "split_column").getOrElse("split"),
         seed = optStr(n, "seed").getOrElse(""),
+        overwrite = bool(n, "overwrite"),
         persist = bool(n, "persist"))
     case "sample" =>
       SampleStage(
@@ -107,6 +111,53 @@ object CurationJson {
         persist = bool(n, "persist"))
     case "sort" =>
       SortStage(by = arr(n, "by").map(_.asText()), persist = bool(n, "persist"))
+    case "semantic_dedup" =>
+      SemanticDedupStage(
+        embeddingInput = str(n, "embedding_input"),
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        embeddingIdColumn = optStr(n, "embedding_id_column").getOrElse("vec_id"),
+        embeddingColumn = optStr(n, "embedding_column").getOrElse("embedding"),
+        threshold = optDouble(n, "threshold").getOrElse(0.99),
+        rowsPerCentroid = optLong(n, "rows_per_centroid").getOrElse(1000L),
+        persist = bool(n, "persist"))
+    case "line_dedup" =>
+      LineDedupStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        separator = optStr(n, "separator").getOrElse("\n"),
+        persist = bool(n, "persist"))
+    case "span_dedup" =>
+      SpanDedupStage(
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        ngram = optInt(n, "ngram").getOrElse(8),
+        overwrite = bool(n, "overwrite"),
+        persist = bool(n, "persist"))
+    case "pii_redact" =>
+      PiiRedactStage(
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        persist = bool(n, "persist"))
+    case "domain_cap" =>
+      DomainCapStage(
+        groupBy = arr(n, "group_by").map(_.asText()),
+        cap = int(n, "cap"),
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        seed = optStr(n, "seed").getOrElse(""),
+        persist = bool(n, "persist"))
+    case "quota_sample" =>
+      QuotaSampleStage(
+        cellColumns = arr(n, "cell_columns").map(_.asText()),
+        n = lng(n, "n"),
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        seed = optStr(n, "seed").getOrElse(""),
+        persist = bool(n, "persist"))
+    case "token_pack" =>
+      TokenPackStage(
+        groupBy = arr(n, "group_by").map(_.asText()),
+        idColumn = optStr(n, "id_column").getOrElse("doc_id"),
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        seqLen = optLong(n, "seq_len").getOrElse(256L),
+        persist = bool(n, "persist"))
     case other => throw new IllegalArgumentException(s"unknown stage_type: $other")
   }
 
@@ -126,17 +177,17 @@ object CurationJson {
   private def stageNode(s: CurationStage): ObjectNode = {
     val n = mapper.createObjectNode()
     s match {
-      case TextFeaturesStage(tc, fs, _) =>
+      case TextFeaturesStage(tc, fs, _, _) =>
         n.put("stage_type", "text_features"); n.put("text_column", tc)
         val fa = n.putArray("features"); fs.foreach(fa.add)
-      case GopherFlagsStage(ic, tc, mw, xw, ml, xl, sr, bf, ef, af, sh, _) =>
+      case GopherFlagsStage(ic, tc, mw, xw, ml, xl, sr, bf, ef, af, sh, _, _) =>
         n.put("stage_type", "gopher_flags"); n.put("id_column", ic); n.put("text_column", tc)
         n.put("min_words", mw); n.put("max_words", xw)
         n.put("min_mean_word_len", ml); n.put("max_mean_word_len", xl)
         n.put("max_symbol_word_ratio", sr); n.put("max_bullet_line_frac", bf)
         n.put("max_ellipsis_line_frac", ef); n.put("min_alpha_word_frac", af)
         n.put("min_stopword_hits", sh)
-      case RepetitionStage(ic, tc, ng, _) =>
+      case RepetitionStage(ic, tc, ng, _, _) =>
         n.put("stage_type", "repetition"); n.put("id_column", ic); n.put("text_column", tc)
         n.put("ngram", ng)
       case CurationFilterStage(fs, _) =>
@@ -152,7 +203,7 @@ object CurationJson {
         n.put("stage_type", "decontaminate"); n.put("benchmark_input", bi)
         n.put("id_column", ic); n.put("text_column", tc)
         n.put("ngram", ng); n.put("min_hits", mh)
-      case SplitStage(ic, splits, sc, seed, _) =>
+      case SplitStage(ic, splits, sc, seed, _, _) =>
         n.put("stage_type", "split"); n.put("id_column", ic)
         val sa = n.putArray("splits")
         splits.foreach { case (name, w) =>
@@ -176,6 +227,35 @@ object CurationJson {
       case SortStage(by, _) =>
         n.put("stage_type", "sort")
         val ba = n.putArray("by"); by.foreach(ba.add)
+      case SemanticDedupStage(ei, ic, eic, ec, th, rpc, _) =>
+        n.put("stage_type", "semantic_dedup"); n.put("embedding_input", ei)
+        n.put("id_column", ic); n.put("embedding_id_column", eic)
+        n.put("embedding_column", ec); n.put("threshold", th)
+        n.put("rows_per_centroid", rpc)
+      case LineDedupStage(ic, tc, sep, _) =>
+        n.put("stage_type", "line_dedup"); n.put("id_column", ic)
+        n.put("text_column", tc); n.put("separator", sep)
+      case SpanDedupStage(ic, tc, ng, _, _) =>
+        n.put("stage_type", "span_dedup"); n.put("id_column", ic)
+        n.put("text_column", tc); n.put("ngram", ng)
+      case PiiRedactStage(tc, _) =>
+        n.put("stage_type", "pii_redact"); n.put("text_column", tc)
+      case DomainCapStage(gb, cap, ic, seed, _) =>
+        n.put("stage_type", "domain_cap")
+        val ga = n.putArray("group_by"); gb.foreach(ga.add)
+        n.put("cap", cap); n.put("id_column", ic); n.put("seed", seed)
+      case QuotaSampleStage(cc, qn, ic, seed, _) =>
+        n.put("stage_type", "quota_sample")
+        val ca = n.putArray("cell_columns"); cc.foreach(ca.add)
+        n.put("n", qn); n.put("id_column", ic); n.put("seed", seed)
+      case TokenPackStage(gb, ic, tc, sl, _) =>
+        n.put("stage_type", "token_pack")
+        val ga = n.putArray("group_by"); gb.foreach(ga.add)
+        n.put("id_column", ic); n.put("text_column", tc); n.put("seq_len", sl)
+    }
+    s match {
+      case a: AddsColumns if a.overwrite => n.put("overwrite", true)
+      case _ => ()
     }
     if (s.persist) n.put("persist", true)
     n
@@ -188,6 +268,18 @@ object CurationJson {
     val v = n.get(field)
     require(v != null && v.isNumber, s"missing required numeric field: $field")
     v.asDouble()
+  }
+
+  private def int(n: JsonNode, field: String): Int = {
+    val v = n.get(field)
+    require(v != null && v.isNumber, s"missing required numeric field: $field")
+    v.asInt()
+  }
+
+  private def lng(n: JsonNode, field: String): Long = {
+    val v = n.get(field)
+    require(v != null && v.isNumber, s"missing required numeric field: $field")
+    v.asLong()
   }
 
   private def optInt(n: JsonNode, field: String): Option[Int] =

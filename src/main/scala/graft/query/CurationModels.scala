@@ -35,15 +35,25 @@ object CurationModels {
     * dataset_mapping_plan.py:34-62). */
   sealed trait CurationStage { def persist: Boolean }
 
+  /** Stages that APPEND fixed-name columns implement this: the schema walk
+    * refuses the stage when an output column already exists unless the
+    * stage declares `overwrite` (column identifiers are case-insensitive
+    * in both engines, so a silent replace is a real hazard — the r10
+    * cumg/cumG lesson, guarded at validation time per the r15 advisory). */
+  sealed trait AddsColumns { def overwrite: Boolean }
+
   /** Per-document text features, all derived from one materialized token
     * pass (the HOF-lambda CSE rule): feature names from
     * [[CurationModels.FeatureColumns]] — each adds its fixed output column.
-    * Existing columns of the same name are REPLACED (a corpus with a
-    * source-provided `lang` column gets the engine's language id). */
+    * A feature whose output column already exists REPLACES it (a corpus
+    * with a source-provided `lang` column gets the engine's language id) —
+    * but only when the stage declares `overwrite`; the schema walk refuses
+    * the silent collision otherwise. */
   final case class TextFeaturesStage(
       textColumn: String = "text",
       features: Seq[String],
-      persist: Boolean = false) extends CurationStage
+      overwrite: Boolean = false,
+      persist: Boolean = false) extends CurationStage with AddsColumns
 
   /** Gopher rule-based quality metrics + keep flag
     * ([[graft.text.TextFunctions.gopherQualityColumns]], Rae et al. 2021
@@ -65,7 +75,8 @@ object CurationModels {
       maxEllipsisLineFrac: Double = 0.3,
       minAlphaWordFrac: Double = 0.8,
       minStopwordHits: Long = 2L,
-      persist: Boolean = false) extends CurationStage
+      overwrite: Boolean = false,
+      persist: Boolean = false) extends CurationStage with AddsColumns
 
   /** Gopher repetition signals ([[graft.text.TextFunctions
     * .repetitionStats]]) joined back by id: adds dup_line_frac,
@@ -74,7 +85,8 @@ object CurationModels {
       idColumn: String = "doc_id",
       textColumn: String = "text",
       ngram: Int = 2,
-      persist: Boolean = false) extends CurationStage
+      overwrite: Boolean = false,
+      persist: Boolean = false) extends CurationStage with AddsColumns
 
   /** Row filter over the data-free `DimensionFilter` forms (expression /
     * raw / column_operator / between) — the same ADT project queries use,
@@ -126,7 +138,8 @@ object CurationModels {
       splits: Seq[(String, Double)],
       splitColumn: String = "split",
       seed: String = "",
-      persist: Boolean = false) extends CurationStage
+      overwrite: Boolean = false,
+      persist: Boolean = false) extends CurationStage with AddsColumns
 
   /** Deterministic Bernoulli sample ([[graft.text.Sampling.hashSample]]). */
   final case class SampleStage(
@@ -155,6 +168,89 @@ object CurationModels {
   /** Ascending sort — presentation, runs last in most plans. */
   final case class SortStage(
       by: Seq[String],
+      persist: Boolean = false) extends CurationStage
+
+  /** SemDeDup semantic near-dedup ([[graft.ml.Similarity
+    * .semanticDeduplicate]]): embeddings live in a SECOND table
+    * (`embeddingInput`, keyed by `embeddingIdColumn` matched to the
+    * pipeline's `idColumn`); rows with no embedding are KEPT (they cannot
+    * be semantic duplicates of anything). Centroids are the k lowest-id
+    * embedded rows with k = max(4, n div rowsPerCentroid) — k ∝ corpus,
+    * the SemDeDup scale contract (the r10 q85 lesson: a fixed k makes
+    * every cell grow with the data and the per-cell self-join quadratic). */
+  final case class SemanticDedupStage(
+      embeddingInput: String,
+      idColumn: String = "doc_id",
+      embeddingIdColumn: String = "vec_id",
+      embeddingColumn: String = "embedding",
+      threshold: Double = 0.99,
+      rowsPerCentroid: Long = 1000L,
+      persist: Boolean = false) extends CurationStage
+
+  /** Cross-corpus line dedup ([[graft.text.Dedup.dropRepeatedLines]],
+    * C4-style): every distinct line survives only at its first (min id,
+    * position) occurrence; documents reassemble in original line order and
+    * docs whose every line was seen earlier drop entirely. Non-text
+    * columns are re-attached by id join. */
+  final case class LineDedupStage(
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      separator: String = "\n",
+      persist: Boolean = false) extends CurationStage
+
+  /** Exact-substring duplicate-span removal ([[graft.text.Dedup
+    * .removeDuplicateSpans]]): n-token windows appearing more than once
+    * corpus-wide are cut from every document; rewrites `textColumn`
+    * in place and appends `n_dup_windows`. */
+  final case class SpanDedupStage(
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      ngram: Int = 8,
+      overwrite: Boolean = false,
+      persist: Boolean = false) extends CurationStage with AddsColumns
+
+  /** PII redaction ([[graft.text.TextFunctions.redact]]): the shared
+    * email/phone/ssn pattern set applied in place to `textColumn` —
+    * pure per-row regexp_replace chain, zero joins, runs in the scan
+    * stage (the gopher zero-join discipline). */
+  final case class PiiRedactStage(
+      textColumn: String = "text",
+      persist: Boolean = false) extends CurationStage
+
+  /** Per-domain document cap ([[graft.text.Sampling.capPerGroup]] — the
+    * CommonCrawl domain-quota step): keep at most `cap` rows per
+    * `groupBy` cell, chosen by deterministic content-keyed hash order
+    * (stable across corpus refreshes, unlike arrival order). */
+  final case class DomainCapStage(
+      groupBy: Seq[String],
+      cap: Int,
+      idColumn: String = "doc_id",
+      seed: String = "",
+      persist: Boolean = false) extends CurationStage
+
+  /** Quota-balanced sample ([[graft.text.Sampling.quotaBalancedSample]]):
+    * n rows total, spread as evenly as the cells allow (base quota
+    * n div cells + remainder to the first cells in cell order),
+    * content-keyed hash pick within each cell. */
+  final case class QuotaSampleStage(
+      cellColumns: Seq[String],
+      n: Long,
+      idColumn: String = "doc_id",
+      seed: String = "",
+      persist: Boolean = false) extends CurationStage
+
+  /** GPT-style sequence packing manifest ([[graft.text.Sharding
+    * .packTrainingSequences]] + [[graft.text.Sharding.sequenceManifest]]):
+    * per `groupBy` group, documents are laid end to end in id order, the
+    * token stream is cut into `seqLen`-token training sequences, and the
+    * stage emits the per-sequence manifest (groupBy*, seq, n_docs,
+    * n_tokens) — an AGGREGATING stage, like `aggregate`. Token counts are
+    * whitespace-token counts of `textColumn`. */
+  final case class TokenPackStage(
+      groupBy: Seq[String],
+      idColumn: String = "doc_id",
+      textColumn: String = "text",
+      seqLen: Long = 256L,
       persist: Boolean = false) extends CurationStage
 
   /** feature name → the output column it adds. */

@@ -77,24 +77,41 @@ final class CurationSubmitter(
       require(cols.contains(c),
         s"plan '${plan.name}': $what column '$c' does not exist at this stage " +
           s"(available: ${cols.toSeq.sorted.mkString(", ")})")
+    // the name-collision guard (r15 advisory): a stage that APPENDS
+    // fixed-name columns refuses when one already exists unless the stage
+    // declares overwrite — column identifiers are case-INSENSITIVE in both
+    // engines (the r10 cumg/cumG bug class), so the check folds case
+    def adds(st: CurationStage, added: Seq[String]): Unit = {
+      val existing = cols.map(_.toLowerCase)
+      val clash = added.filter(c => existing.contains(c.toLowerCase))
+      st match {
+        case a: AddsColumns if !a.overwrite =>
+          require(clash.isEmpty,
+            s"plan '${plan.name}': stage output column(s) ${clash.mkString(", ")} " +
+              "already exist — rename them upstream or set \"overwrite\": true " +
+              "on the stage to replace them")
+        case _ => ()
+      }
+      cols ++= added
+    }
     for (st <- plan.stages) st match {
-      case TextFeaturesStage(tc, features, _) =>
+      case s @ TextFeaturesStage(tc, features, _, _) =>
         need(tc, "text")
         for (f <- features)
           require(FeatureColumns.contains(f),
             s"plan '${plan.name}': unknown feature '$f' " +
               s"(known: ${FeatureColumns.keys.toSeq.sorted.mkString(", ")})")
-        cols ++= features.map(FeatureColumns)
+        adds(s, features.map(FeatureColumns))
       case st: GopherFlagsStage =>
         need(st.idColumn, "id"); need(st.textColumn, "text")
-        cols ++= Seq("word_count", "mean_word_len", "symbol_word_ratio",
+        adds(st, Seq("word_count", "mean_word_len", "symbol_word_ratio",
           "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
-          "stopword_hits", "keep")
+          "stopword_hits", "keep"))
       case st: RepetitionStage =>
         need(st.idColumn, "id"); need(st.textColumn, "text")
         require(st.ngram >= 1 && st.ngram <= 8,
           s"plan '${plan.name}': repetition ngram in [1,8]: ${st.ngram}")
-        cols ++= Seq("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac")
+        adds(st, Seq("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac"))
       case CurationFilterStage(filters, _) =>
         for (f <- filters; c <- DimensionFilter.targetColumn(f)) need(c, "filter")
       case ExactDedupStage(ic, tc, _) => need(ic, "id"); need(tc, "text")
@@ -114,13 +131,13 @@ final class CurationSubmitter(
           require(benchCols.contains(c),
             s"plan '${plan.name}': benchmark table '${st.benchmarkInput}' lacks column '$c' " +
               s"(has: ${benchCols.toSeq.sorted.mkString(", ")})")
-      case SplitStage(ic, splits, sc, _, _) =>
+      case s @ SplitStage(ic, splits, sc, _, _, _) =>
         need(ic, "id")
         require(splits.nonEmpty, s"plan '${plan.name}': split stage has no splits")
         require(splits.forall(_._2 > 0), s"plan '${plan.name}': split weights must be positive")
         require(splits.map(_._2).sum <= 1.0 + 1e-9,
           s"plan '${plan.name}': split weights sum to ${splits.map(_._2).sum} > 1")
-        cols += sc
+        adds(s, Seq(sc))
       case SampleStage(ic, fr, _, _) =>
         need(ic, "id")
         require(fr >= 0 && fr <= 1, s"plan '${plan.name}': sample fraction in [0,1]: $fr")
@@ -137,6 +154,45 @@ final class CurationSubmitter(
         }
         cols = gb.toSet ++ aggs.map(_.alias)
       case SortStage(by, _) => by.foreach(need(_, "sort"))
+      case st: SemanticDedupStage =>
+        need(st.idColumn, "id")
+        require(st.threshold > 0 && st.threshold <= 1,
+          s"plan '${plan.name}': semantic_dedup threshold in (0,1]: ${st.threshold}")
+        require(st.rowsPerCentroid >= 1,
+          s"plan '${plan.name}': semantic_dedup rows_per_centroid must be >= 1")
+        require(FileCache.exists(spark, s"$dataDir/${st.embeddingInput}.parquet"),
+          s"plan '${plan.name}': embedding table '${st.embeddingInput}' not found under $dataDir")
+        val embCols = load(st.embeddingInput).columns.toSet
+        for (c <- Seq(st.embeddingIdColumn, st.embeddingColumn))
+          require(embCols.contains(c),
+            s"plan '${plan.name}': embedding table '${st.embeddingInput}' lacks column '$c' " +
+              s"(has: ${embCols.toSeq.sorted.mkString(", ")})")
+      case st: LineDedupStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        require(st.separator.nonEmpty, s"plan '${plan.name}': line_dedup separator is empty")
+      case st: SpanDedupStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        require(st.ngram >= 1, s"plan '${plan.name}': span_dedup ngram must be >= 1")
+        adds(st, Seq("n_dup_windows"))
+      case st: PiiRedactStage => need(st.textColumn, "text")
+      case st: DomainCapStage =>
+        need(st.idColumn, "id")
+        require(st.groupBy.nonEmpty, s"plan '${plan.name}': domain_cap needs group columns")
+        st.groupBy.foreach(need(_, "group-by"))
+        require(st.cap >= 1, s"plan '${plan.name}': domain_cap cap must be >= 1")
+      case st: QuotaSampleStage =>
+        need(st.idColumn, "id")
+        require(st.cellColumns.nonEmpty, s"plan '${plan.name}': quota_sample needs cell columns")
+        st.cellColumns.foreach(need(_, "cell"))
+        require(st.n >= 1, s"plan '${plan.name}': quota_sample n must be >= 1")
+      case st: TokenPackStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        require(st.groupBy.nonEmpty,
+          s"plan '${plan.name}': token_pack needs group columns — a global " +
+            "single-partition sort does not scale (packTrainingSequences contract)")
+        st.groupBy.foreach(need(_, "group-by"))
+        require(st.seqLen >= 1, s"plan '${plan.name}': token_pack seq_len must be >= 1")
+        cols = st.groupBy.toSet ++ Seq("seq", "n_docs", "n_tokens")
     }
   }
 
@@ -158,7 +214,7 @@ final class CurationSubmitter(
   /** One stage applied to one frame — every case delegates to the
     * operator registry; this class adds no operator semantics of its own. */
   def applyStage(df: DataFrame, st: CurationStage): DataFrame = st match {
-    case TextFeaturesStage(tc, features, _) =>
+    case TextFeaturesStage(tc, features, _, _) =>
       // one materialized token pass feeds every feature (the HOF-lambda
       // CSE rule — never recompute tokenization per feature)
       val toks = df.withColumn("__cur_toks", TextFunctions.tokens(lower(col(tc))))
@@ -200,7 +256,7 @@ final class CurationSubmitter(
       val contaminated = Dedup.ngramOverlap(
         df, load(st.benchmarkInput), st.idColumn, st.textColumn, st.ngram, st.minHits)
       df.join(contaminated.select(col(st.idColumn)), Seq(st.idColumn), "left_anti")
-    case SplitStage(ic, splits, sc, seed, _) =>
+    case SplitStage(ic, splits, sc, seed, _, _) =>
       Sampling.splitByHash(df, ic, splits, sc, seed)
     case SampleStage(ic, fr, seed, _) => Sampling.hashSample(df, ic, fr, seed)
     case SelectStage(columns, _) => df.select(columns.map(col): _*)
@@ -208,6 +264,55 @@ final class CurationSubmitter(
       val exprs = aggs.map(aggColumn)
       df.groupBy(gb.map(col): _*).agg(exprs.head, exprs.tail: _*)
     case SortStage(by, _) => df.sort(by.map(col): _*)
+    case st: SemanticDedupStage =>
+      // embeddings for the pipeline's CURRENT survivors only (an id
+      // equi-join, the semi shape); rows with no embedding never enter the
+      // corpus and are kept. k ∝ corpus with the k lowest-id embedded rows
+      // as deterministic centroids (the q85 pattern — centroid choice only
+      // affects cell SHAPES, the drop rule is threshold-exact).
+      val emb = load(st.embeddingInput).select(
+        col(st.embeddingIdColumn).as(st.idColumn),
+        transform(col(st.embeddingColumn), x => x.cast("double")).as("__cur_emb"))
+      val corpus = df.select(col(st.idColumn)).join(emb, Seq(st.idColumn))
+        .transform(org.apache.spark.sql.graft.CheckpointFresh.apply) // scanned 3×: count, centroids, dedup
+      val n = corpus.count()
+      if (n == 0) df
+      else {
+        val k = math.max(4L, n / st.rowsPerCentroid).min(n)
+        val cents = corpus.orderBy(col(st.idColumn)).limit(k.toInt)
+          .select(col(st.idColumn).as("centroid_id"), col("__cur_emb").as("centroid"))
+        val dropIds = graft.ml.Similarity
+          .semanticDeduplicate(corpus, cents, st.threshold, st.idColumn, "__cur_emb")
+          .filter(col("keep") === 0L)
+          .select(col(st.idColumn))
+        df.join(dropIds, Seq(st.idColumn), "left_anti")
+      }
+    case st: LineDedupStage =>
+      // dropRepeatedLines keeps only (id, text); re-attach the other
+      // columns by id — inner join, so fully-deduplicated docs drop
+      val ded = Dedup.dropRepeatedLines(df, st.idColumn, st.textColumn, st.separator)
+      df.drop(st.textColumn).join(ded, Seq(st.idColumn))
+    case st: SpanDedupStage =>
+      val spans = Dedup.removeDuplicateSpans(df, st.idColumn, st.textColumn, st.ngram)
+      df.drop(st.textColumn)
+        .join(spans.withColumnRenamed("cleaned_text", st.textColumn), Seq(st.idColumn))
+    case st: PiiRedactStage =>
+      df.withColumn(st.textColumn, TextFunctions.redact(col(st.textColumn)))
+    case st: DomainCapStage =>
+      Sampling.capPerGroup(df, st.groupBy, st.cap,
+        orderBy = Seq(Sampling.uniformHash(col(st.idColumn), st.seed), col(st.idColumn)))
+    case st: QuotaSampleStage =>
+      Sampling.quotaBalancedSample(df, st.cellColumns, st.idColumn, st.n, st.seed,
+        (c, s) => Sampling.uniformHash(c, s))
+    case st: TokenPackStage =>
+      val toked = df.withColumn("__cur_ntok",
+        TextFunctions.tokenCount(col(st.textColumn)).cast("long"))
+      val packed = graft.text.Sharding.packTrainingSequences(
+        toked, st.idColumn, "__cur_ntok", st.seqLen, st.groupBy)
+      graft.text.Sharding.sequenceManifest(packed, "__cur_ntok", st.seqLen, st.groupBy)
+        .select((st.groupBy.map(col) :+ col("seq").cast("long").as("seq") :+
+          col("n_docs").cast("long").as("n_docs") :+
+          col("n_tokens").cast("long").as("n_tokens")): _*)
   }
 
   /** Run the plan. With a `cacheDir`: stage persist points checkpoint to

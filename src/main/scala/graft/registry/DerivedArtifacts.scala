@@ -1,6 +1,7 @@
 package graft.registry
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.text.Dedup
 
@@ -124,5 +125,72 @@ object DerivedArtifacts {
       idCol, bands, rowsPerBand)
     Dedup.minhashNearDuplicatesIncremental(
       batchShingles, batchBuckets, corpusShingles, corpusBuckets, idCol, threshold)
+  }
+
+  // ------------------------------------------------------ ANN artifacts
+  // (r15 VERDICT item 2: IVF centroids and PQ codebooks were rebuilt per
+  // query; promoted here to provenance-stamped registered datasets so an
+  // incremental search pipeline builds once, reuses every query, and
+  // rebuilds exactly when the corpus — or the build params — change.)
+
+  /** IVF centroid artifact of a registered vector corpus, registered as
+    * `<corpusId>__ivf_centroids` with (k, iterations, init mode) folded
+    * into the params token. Resolution is metadata-only on a hit; a build
+    * is one k-means run over the registered corpus. */
+  def ivfCentroidsArtifact(
+      reg: Registry,
+      corpusId: String,
+      numCentroids: Int,
+      iterations: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      parallelInit: Boolean = true): DataFrame = {
+    val params = s"ivf|$idCol|$vecCol|$numCentroids|$iterations|$parallelInit"
+    resolve(reg, s"${corpusId}__ivf_centroids", corpusId, params)(
+      graft.ml.Similarity.kmeansCentroids(
+        reg.dataset(corpusId), numCentroids, iterations, idCol, vecCol, parallelInit))
+  }
+
+  /** Serialize PQ codebooks as a DataFrame — one row per (subspace m,
+    * codeword c): the parquet layout the registry stores. */
+  def codebooksToDf(
+      spark: org.apache.spark.sql.SparkSession, cb: graft.ml.Pq.Codebooks): DataFrame = {
+    import spark.implicits._
+    (for (mi <- 0 until cb.m; c <- 0 until cb.k)
+      yield (mi, c, cb.books(mi)(c))).toDF("m", "c", "codeword")
+  }
+
+  /** Reconstruct [[graft.ml.Pq.Codebooks]] from the parquet layout — a
+    * metadata-scale collect (codebooks are KB-sized by construction). */
+  def codebooksFromDf(df: DataFrame, m: Int, k: Int, subDim: Int): graft.ml.Pq.Codebooks = {
+    val rows = df.select(col("m"), col("c"), col("codeword")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toVector)).toMap
+    require(rows.size == m * k,
+      s"codebooksFromDf: expected ${m * k} codewords, got ${rows.size}")
+    graft.ml.Pq.Codebooks(m, k, subDim, Vector.tabulate(m, k)((mi, c) => rows((mi, c))))
+  }
+
+  /** PQ codebook artifact of a registered vector corpus, registered as
+    * `<corpusId>__pq_codebooks` with the full quantization/training
+    * geometry in the params token. Returns the codebooks reconstructed
+    * from the REGISTERED parquet (never the in-flight training result),
+    * so every consumer reads one corpus state. */
+  def pqCodebooksArtifact(
+      reg: Registry,
+      corpusId: String,
+      m: Int,
+      k: Int,
+      subDim: Int,
+      iters: Int,
+      scale: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): graft.ml.Pq.Codebooks = {
+    val params = s"pq|$idCol|$vecCol|$m|$k|$subDim|$iters|$scale"
+    val df = resolve(reg, s"${corpusId}__pq_codebooks", corpusId, params) {
+      val corpus = reg.dataset(corpusId).select(
+        col(idCol), graft.ml.Pq.quantized(col(vecCol), scale).as("__pq_qv"))
+      codebooksToDf(reg.spark, graft.ml.Pq.train(corpus, idCol, "__pq_qv", m, k, subDim, iters))
+    }
+    codebooksFromDf(df, m, k, subDim)
   }
 }

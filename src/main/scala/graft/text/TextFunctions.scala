@@ -322,6 +322,45 @@ object TextFunctions {
       .drop("__graft_text", "__graft_toks", "__graft_toks_lower", "__graft_lines")
   }
 
+  /** The Gopher metric bundle as ONE struct-valued SQL expression
+    * template — the SQL surface of [[gopherQualityColumns]], registered
+    * as `gopher_metrics` by [[graft.plans.GraftExtensions]] so a pure-SQL
+    * user reaches the same per-row quality metrics
+    * (`gopher_metrics(text).word_count`, …); raw metrics only,
+    * thresholds are the SQL caller's. `argName` is the placeholder the
+    * function builder substitutes with the call's argument expression
+    * (a parsed template, because a function registry needs a Catalyst
+    * tree — the Column API's node graph only resolves inside a Dataset).
+    * Field spellings are pinned value-equal to the column form by
+    * Round16OpsSpec; stopword hits fold into one array_intersect (count
+    * of DISTINCT required stopwords present — same value as the column
+    * form's per-stopword membership sum). */
+  def gopherMetricsSql(argName: String): String = {
+    val t = argName
+    val toks = s"filter(split(trim($t), '\\\\s+'), tok -> length(tok) > 0)"
+    val lines = s"filter(split($t, '\\n'), l -> length(l) > 0)"
+    val wc = s"CAST(size($toks) AS BIGINT)"
+    val nLines = s"CAST(size($lines) AS BIGINT)"
+    val sumLen = s"CAST(length(regexp_replace($t, '\\\\s+', '')) AS BIGINT)"
+    val hashCount = s"CAST(length($t) - length(regexp_replace($t, '#', '')) AS BIGINT)"
+    val ellCount = s"CAST(size(regexp_extract_all($t, '\\\\.\\\\.\\\\.', 0)) AS BIGINT)"
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"'$w'").mkString(", ")
+    s"""named_struct(
+       'word_count', $wc,
+       'mean_word_len', CASE WHEN $wc = 0 THEN 0.0D ELSE CAST($sumLen AS DOUBLE) / $wc END,
+       'symbol_word_ratio', CASE WHEN $wc = 0 THEN 0.0D
+          ELSE CAST($hashCount + $ellCount AS DOUBLE) / $wc END,
+       'bullet_line_frac', CASE WHEN $nLines = 0 THEN 0.0D
+          ELSE CAST(size(filter($lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS DOUBLE) / $nLines END,
+       'ellipsis_line_frac', CASE WHEN $nLines = 0 THEN 0.0D
+          ELSE CAST(size(filter($lines, l -> l LIKE '%...')) AS DOUBLE) / $nLines END,
+       'alpha_word_frac', CASE WHEN $wc = 0 THEN 0.0D
+          ELSE CAST(size(filter($toks, tok -> tok RLIKE '[A-Za-z]')) AS DOUBLE) / $wc END,
+       'stopword_hits', CAST(size(array_intersect(array($stopwords),
+          filter(split(trim(lower($t)), '\\\\s+'), tok -> length(tok) > 0))) AS BIGINT))"""
+  }
+
   /** Document fingerprint: 64-bit content hash of normalized text (xxhash64,
     * codegen'd) — the exact-dedup key. */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))

@@ -36,6 +36,15 @@ class CurationSpec extends SparkSpec {
     Seq((100L, "we hold these truths to be self evident that all men are created equal and so on"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bench.parquet")
+    // embeddings for the semantic_dedup stage: docs 1 and 2 collinear
+    // (cosine exactly 1 — ×2 scaling is IEEE-exact), doc 3 orthogonal;
+    // docs 4+ have no embedding at all (must be kept)
+    Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/emb.parquet")
     dir
   }
 
@@ -62,9 +71,41 @@ class CurationSpec extends SparkSpec {
         CurationAgg("mean_int", "n_tokens", "mean_tokens"))),
       SortStage(Seq("split"))))
 
+  /** The round-15/16 stage families, exercised for round-trip + semantics. */
+  private val extendedPlan = CurationPlan(
+    "spec_extended", "docs",
+    Seq(
+      SemanticDedupStage("emb", "doc_id", "vec_id", "embedding",
+        threshold = 0.99, rowsPerCentroid = 500L),
+      LineDedupStage("doc_id", "text", separator = "\n"),
+      SpanDedupStage("doc_id", "text", ngram = 6, overwrite = true),
+      PiiRedactStage("text"),
+      DomainCapStage(Seq("source"), cap = 3, seed = "cap"),
+      QuotaSampleStage(Seq("source"), n = 4L, seed = "q"),
+      TokenPackStage(Seq("source"), seqLen = 16L)))
+
   test("CurationJson round-trips every stage type") {
     val back = CurationJson.parse(CurationJson.render(fullPlan))
     assert(back == fullPlan)
+    // the extended (round-16) stage families round-trip too, incl. the
+    // overwrite flag and every non-default parameter
+    assert(CurationJson.parse(CurationJson.render(extendedPlan)) == extendedPlan)
+    // defaults materialize on parse (a minimal document per new stage)
+    val mini = CurationJson.parse("""{
+      "name": "m", "input": "docs",
+      "stages": [
+        {"stage_type": "semantic_dedup", "embedding_input": "emb"},
+        {"stage_type": "line_dedup"},
+        {"stage_type": "span_dedup"},
+        {"stage_type": "pii_redact"},
+        {"stage_type": "domain_cap", "group_by": ["source"], "cap": 7},
+        {"stage_type": "quota_sample", "cell_columns": ["source"], "n": 9},
+        {"stage_type": "token_pack", "group_by": ["source"]}
+      ]}""")
+    assert(mini.stages == Seq(
+      SemanticDedupStage("emb"), LineDedupStage(), SpanDedupStage(),
+      PiiRedactStage(), DomainCapStage(Seq("source"), 7),
+      QuotaSampleStage(Seq("source"), 9L), TokenPackStage(Seq("source"))))
     // JSON5 conveniences parse too (comments, trailing commas)
     val doc = """{
       // a curation plan
@@ -110,6 +151,91 @@ class CurationSpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(6L))
     // non-english and stopword-poor docs are gone
     assert(!ids.contains(4L))
+  }
+
+  test("extended stages match the directly-composed operators") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    // semantic_dedup: docs 1/2 are collinear (cos = 1 > 0.99) -> the
+    // min-(centroid_sim, id) member of the pair survives; doc 3 is
+    // orthogonal to both; docs 4-8 have no embedding and must be KEPT
+    val sd = sub.submit(CurationPlan("sd", "docs", Seq(
+      SemanticDedupStage("emb", "doc_id", "vec_id", "embedding", 0.99, 500L))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sd.intersect(Set(1L, 2L)).size == 1, s"exactly one of the pair: $sd")
+    assert(Set(3L, 4L, 5L, 6L, 7L, 8L).subsetOf(sd))
+    // line_dedup delegates to dropRepeatedLines with columns re-attached
+    val ld = sub.submit(CurationPlan("ld", "docs", Seq(LineDedupStage())))
+    val ldExpected = docs.drop("text")
+      .join(Dedup.dropRepeatedLines(docs, "doc_id", "text"), Seq("doc_id"))
+    assert(sortedRows(ld) == sortedRows(ldExpected))
+    assert(ld.columns.toSet == Set("doc_id", "text", "source"))
+    // span_dedup rewrites text in place and appends n_dup_windows
+    val sp = sub.submit(CurationPlan("sp", "docs", Seq(
+      SpanDedupStage(ngram = 6, overwrite = true))))
+    val spExpected = docs.drop("text").join(
+      Dedup.removeDuplicateSpans(docs, "doc_id", "text", 6)
+        .withColumnRenamed("cleaned_text", "text"), Seq("doc_id"))
+    assert(sortedRows(sp) == sortedRows(spExpected))
+    // the 14-token docs 6/7 share every 6-token window: both lose all text
+    assert(sp.filter(col("doc_id").isin(6L, 7L))
+      .select("text").as[String].collect().forall(_.isEmpty))
+    // pii_redact: emails/phones scrubbed in place (inject one first)
+    val pr = sub.submit(CurationPlan("pr", "docs", Seq(PiiRedactStage())))
+    assert(sortedRows(pr) == sortedRows(
+      docs.withColumn("text", TextFunctions.redact(col("text")))))
+    // domain_cap: at most `cap` rows per source, hash-order stable
+    val dc = sub.submit(CurationPlan("dc", "docs", Seq(
+      DomainCapStage(Seq("source"), cap = 2, seed = "cap"))))
+    val dcExpected = Sampling.capPerGroup(docs, Seq("source"), 2,
+      Seq(Sampling.uniformHash(col("doc_id"), "cap"), col("doc_id")))
+    assert(sortedRows(dc) == sortedRows(dcExpected))
+    assert(dc.groupBy("source").count().select("count").as[Long].collect().forall(_ <= 2))
+    // quota_sample: n = 4 over 2 cells -> 2 each
+    val qs = sub.submit(CurationPlan("qs", "docs", Seq(
+      QuotaSampleStage(Seq("source"), n = 4L, seed = "q"))))
+    assert(qs.count() == 4L &&
+      qs.groupBy("source").count().select("count").as[Long].collect().forall(_ == 2))
+    // token_pack: the per-sequence manifest, seqLen slots all filled
+    // except each group's last sequence
+    val tp = sub.submit(CurationPlan("tp", "docs", Seq(
+      TokenPackStage(Seq("source"), seqLen = 16L), SortStage(Seq("source", "seq")))))
+    assert(tp.columns.toSeq == Seq("source", "seq", "n_docs", "n_tokens"))
+    val toked = docs.withColumn("__t", TextFunctions.tokenCount(col("text")).cast("long"))
+    val totals = toked.groupBy("source").agg(sum("__t").as("tot"))
+      .as[(String, Long)].collect().toMap
+    val manifest = tp.as[(String, Long, Long, Long)].collect()
+    for ((src, tot) <- totals)
+      assert(manifest.filter(_._1 == src).map(_._4).sum == tot,
+        s"every token lands in exactly one sequence for $src")
+    for ((src, seq, _, ntok) <- manifest)
+      assert(ntok == 16L || seq == manifest.filter(_._1 == src).map(_._2).max,
+        s"only the last sequence of $src may be partial")
+  }
+
+  test("name-collision guard: appended columns refuse without overwrite") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    // gopher_flags twice: the second stage's outputs all exist already
+    val e = intercept[IllegalArgumentException](sub.submit(CurationPlan(
+      "g2", "docs", Seq(GopherFlagsStage(), GopherFlagsStage()))))
+    assert(e.getMessage.contains("already exist") && e.getMessage.contains("overwrite"))
+    // declaring overwrite lifts the refusal
+    assert(sub.submit(CurationPlan("g2o", "docs",
+      Seq(GopherFlagsStage(), GopherFlagsStage(overwrite = true)))).count() > 0)
+    // the check folds case (column identifiers are case-insensitive in
+    // both engines -- the r10 cumg/cumG lesson)
+    val e2 = intercept[IllegalArgumentException](sub.submit(CurationPlan(
+      "split2", "docs", Seq(
+        SplitStage("doc_id", Seq("a" -> 0.5), splitColumn = "SOURCE")))))
+    assert(e2.getMessage.contains("already exist"))
+    // text_features over a corpus that already has the feature column
+    val e3 = intercept[IllegalArgumentException](sub.submit(CurationPlan(
+      "tf2", "docs", Seq(
+        TextFeaturesStage("text", Seq("language")),
+        TextFeaturesStage("text", Seq("language"))))))
+    assert(e3.getMessage.contains("lang"))
   }
 
   test("decontaminate stage drops exactly the benchmark-overlapping documents") {

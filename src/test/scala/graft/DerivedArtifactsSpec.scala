@@ -77,4 +77,70 @@ class DerivedArtifactsSpec extends SparkSpec {
       reg, "corpus", batch, bands = 8, rowsPerBand = 2, threshold = 0.5).count()
     assert(DerivedArtifacts.provenance(reg, "corpus__minhash_shingles") == prov)
   }
+
+  private def vecRegistry(): Registry = {
+    val root = Files.createTempDirectory("graft-artifacts-vec").toString
+    val reg = Registry(spark, root)
+    // 12 vectors in 3 well-separated axis clusters
+    Registry.registerDataset(reg, "vecs", (0 until 12).map { i =>
+      val v = Array.fill(6)(0.0)
+      v((i % 3) * 2) = 10.0 + i
+      v((i % 3) * 2 + 1) = 1.0
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding"), validate = false)
+    reg
+  }
+
+  test("IVF centroid artifact: build-once / reuse / rebuild on corpus change (r15 item 2)") {
+    val reg = vecRegistry()
+    val c1 = DerivedArtifacts.ivfCentroidsArtifact(reg, "vecs", numCentroids = 3,
+      iterations = 2, parallelInit = false)
+    assert(c1.columns.toSet == Set("centroid_id", "centroid") && c1.count() == 3)
+    assert(reg.listDatasets().contains("vecs__ivf_centroids"))
+    val prov = DerivedArtifacts.provenance(reg, "vecs__ivf_centroids")
+    // hit: same corpus + params — provenance untouched, same values
+    val c2 = DerivedArtifacts.ivfCentroidsArtifact(reg, "vecs", numCentroids = 3,
+      iterations = 2, parallelInit = false)
+    assert(DerivedArtifacts.provenance(reg, "vecs__ivf_centroids") == prov)
+    assert(sortedRows(c2) == sortedRows(c1))
+    // param change (k) rebuilds
+    val c3 = DerivedArtifacts.ivfCentroidsArtifact(reg, "vecs", numCentroids = 2,
+      iterations = 2, parallelInit = false)
+    assert(c3.count() == 2)
+    assert(DerivedArtifacts.provenance(reg, "vecs__ivf_centroids") != prov)
+    // corpus rewrite rebuilds (the invalidation contract)
+    val prov2 = DerivedArtifacts.provenance(reg, "vecs__ivf_centroids")
+    Registry.registerDataset(reg, "vecs",
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0)))
+        .toDF("vec_id", "embedding"), validate = false)
+    DerivedArtifacts.ivfCentroidsArtifact(reg, "vecs", numCentroids = 2,
+      iterations = 1, parallelInit = false)
+    assert(DerivedArtifacts.provenance(reg, "vecs__ivf_centroids") != prov2)
+  }
+
+  test("PQ codebook artifact: parquet round-trip exact; resolve caches training") {
+    val reg = vecRegistry()
+    val m = 3; val k = 2; val sd = 2
+    // direct training on the same corpus = the artifact's expected value
+    val corpus = reg.dataset("vecs").select(col("vec_id"),
+      graft.ml.Pq.quantized(col("embedding"), 16).as("qv"))
+    val direct = graft.ml.Pq.train(corpus, "vec_id", "qv", m, k, sd, iters = 2)
+    val cb1 = DerivedArtifacts.pqCodebooksArtifact(reg, "vecs", m, k, sd,
+      iters = 2, scale = 16)
+    assert(cb1 == direct, "artifact codebooks must equal direct training bit-for-bit")
+    assert(reg.listDatasets().contains("vecs__pq_codebooks"))
+    // resolve hit: provenance unchanged, identical codebooks
+    val prov = DerivedArtifacts.provenance(reg, "vecs__pq_codebooks")
+    val cb2 = DerivedArtifacts.pqCodebooksArtifact(reg, "vecs", m, k, sd,
+      iters = 2, scale = 16)
+    assert(cb2 == cb1 && DerivedArtifacts.provenance(reg, "vecs__pq_codebooks") == prov)
+    // geometry change is a new params token -> rebuild
+    DerivedArtifacts.pqCodebooksArtifact(reg, "vecs", m, k, sd, iters = 1, scale = 16)
+    assert(DerivedArtifacts.provenance(reg, "vecs__pq_codebooks") != prov)
+    // a malformed artifact (wrong row count) refuses loudly on reconstruct
+    val e = intercept[IllegalArgumentException](
+      DerivedArtifacts.codebooksFromDf(
+        DerivedArtifacts.codebooksToDf(spark, cb1).limit(3), m, k, sd))
+    assert(e.getMessage.contains("expected"))
+  }
 }
