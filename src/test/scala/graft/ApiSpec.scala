@@ -70,6 +70,98 @@ class ApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("detail and enum GET routes (r15 items: datasets/<id>, projects/<id>, types, formats)") {
+    val api = new Api(buildRegistry())
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // enum routes mirror the reference's _list_enums payloads
+      assert(get("/dimensions/types") == (200,
+        """{"types": ["geography","metric","model_year","scenario","sector","subsector","time","weather_year"]}"""))
+      assert(get("/reports/types") == (200, """{"types": ["peak_load"]}"""))
+      assert(get("/value_formats") == (200, """{"formats": ["pivoted","stacked"]}"""))
+      // dataset detail: metadata-only payload; 404 for unknown ids
+      val (dc, dbody) = get("/registry/datasets/ds")
+      assert(dc == 200)
+      assert(dbody.contains(""""dataset_id": "ds""""))
+      assert(dbody.contains(""""value_format": "stacked""""))
+      assert(dbody.contains(""""has_lookup": false"""))
+      assert(dbody.contains(""""geography"""") && dbody.contains(""""value""""))
+      assert(get("/registry/datasets/nope")._1 == 404)
+      // the bare list route still serves the list
+      assert(get("/registry/datasets") == (200, """["ds"]"""))
+      // project detail + 404 for a wrong project id
+      val projId = get("/projects")._2.split("\"")(5)
+      val (pc, pbody) = get(s"/projects/$projId")
+      assert(pc == 200 && pbody.contains(""""datasets": ["ds"]""") &&
+        pbody.contains(""""dimensions": ["geography"]"""))
+      assert(get("/projects/not_the_project")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("async ?file=true spools parquet; /jobs/<id>/file streams it (r15 item: file download)") {
+    val api = new Api(buildRegistry())
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val queryDoc = """{
+        "name": "api_qf",
+        "datasets": {"datasets": [{"dataset_id": "ds"}]},
+        "result": {"aggregations": [{"group_by": ["geography"]}], "sort_by": ["geography"]}
+      }"""
+      val submitted = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query/project/async?file=true"))
+          .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(submitted.statusCode() == 202)
+      val jobId = submitted.body().split("\"")(3)
+      def status() = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/jobs/$jobId")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      var polls = 0
+      while (status().body().contains("running") && polls < 100) { Thread.sleep(200); polls += 1 }
+      // status points at the file route; inline rows are NOT in the payload
+      val st = status()
+      assert(st.statusCode() == 200 && st.body().contains(s"/jobs/$jobId/file"))
+      assert(!st.body().contains("geography"))
+      // the download is a real parquet file: fetch, write, read back
+      val dl = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/jobs/$jobId/file")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(dl.statusCode() == 200)
+      val tmp = Files.createTempFile("graft-api-dl", ".parquet")
+      Files.write(tmp, dl.body())
+      val back = spark.read.parquet(tmp.toString)
+      assert(back.orderBy("geography").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("c1", 4.0), ("c2", 2.0)))
+      // an INLINE job refuses the file route with 422 (the reference's
+      // completed-tasks-only contract class)
+      val inline = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/project/async"))
+          .POST(HttpRequest.BodyPublishers.ofString(queryDoc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val inlineId = inline.body().split("\"")(3)
+      var p2 = 0
+      def st2() = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/jobs/$inlineId")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      while (st2().body().contains("running") && p2 < 100) { Thread.sleep(200); p2 += 1 }
+      val refuse = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/jobs/$inlineId/file")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(refuse.statusCode() == 422)
+    } finally api.stop()
+  }
+
   test("project-viewer read endpoints serve the exact envelopes the Dash app parses") {
     // the three calls in the reference viewer (apps/project_viewer/app.py:193-204):
     //   projects → ListProjectsResponse {"projects":[{"project_id":…}]}

@@ -350,6 +350,8 @@ class CurationSpec extends SparkSpec {
       Seq(
         TextFeaturesStage("text", Seq("language", "token_count")),
         CurationFilterStage(Seq(DimensionFilter.RawFilter("lang = 'en'"))),
+        PiiRedactStage(),
+        DomainCapStage(Seq("source"), cap = 3, seed = "cli"),
         AggregateStage(Seq("source"), Seq(
           CurationAgg("count", "doc_id", "n_docs"),
           CurationAgg("sum", "n_tokens", "total_tokens"))),
