@@ -31,7 +31,7 @@ import graft.registry.Registry
   * graft.Cli query composite-create <registryRoot> <query.json> <id>
   * graft.Cli query composite-run <registryRoot> <id> <query.json> <outDir> [--csv]
   * graft.Cli query register-derived <registryRoot> <query.json> <id>
-  * graft.Cli curate <dataDir> <plan.json> <outDir> [--csv] [--cache <dir>] [--resume]
+  * graft.Cli curate <dataDir> <plan.json> <outDir> [--csv] [--cache <dir>] [--resume] [--dry-run] [--register <registryRoot>]
   * graft.Cli serve <registryRoot> [port]
   * }}}
   *
@@ -137,15 +137,32 @@ object Cli {
         val plan = graft.query.CurationJson.parse(planText)
         val sub = new graft.query.CurationSubmitter(
           spark, dataDir, flagValue(rest, "--cache"), resume = rest.contains("--resume"))
-        val result = sub.submit(plan)
-        if (rest.contains("--csv"))
-          graft.sources.Writers.csv(result, s"$outDir/${plan.name}.csv", singleFile = true)
-        else
-          graft.sources.Writers.parquetAutoPartition(spark, result, s"$outDir/${plan.name}.parquet")
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$outDir/plan.json"), planText)
-        println(s"wrote $outDir/${plan.name}")
+        if (rest.contains("--dry-run")) {
+          // schema walk only: print the per-stage output schema, run nothing
+          sub.explain(plan).zipWithIndex.foreach { case ((tpe, cols, persist), i) =>
+            val p = if (persist) " [persist]" else ""
+            println(s"stage $i $tpe$p -> ${cols.mkString(", ")}")
+          }
+          println(s"plan '${plan.name}' valid (${plan.stages.size} stages, dry run)")
+        } else if (rest.contains("--register")) {
+          // register the curated result as a dataset in a registry (plan
+          // document stamped as provenance); <outDir> is the dataset id
+          val root = flagValue(rest, "--register").getOrElse(
+            throw new IllegalArgumentException("curate --register needs a registry root"))
+          val reg = graft.registry.Registry(spark, root)
+          sub.submitAndRegister(reg, outDir, plan)
+          println(s"registered dataset '$outDir' in $root")
+        } else {
+          val result = sub.submit(plan)
+          if (rest.contains("--csv"))
+            graft.sources.Writers.csv(result, s"$outDir/${plan.name}.csv", singleFile = true)
+          else
+            graft.sources.Writers.parquetAutoPartition(spark, result, s"$outDir/${plan.name}.parquet")
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/plan.json"), planText)
+          println(s"wrote $outDir/${plan.name}")
+        }
       }
       rc
 

@@ -392,7 +392,18 @@ final class Api(
         val cacheDir = Option(root.get("cache_dir")).filterNot(_.isNull).map(_.asText())
         val plan = graft.query.CurationJson.parse(planNode.toString)
         val sub = new graft.query.CurationSubmitter(registry.spark, dataDir, cacheDir)
-        respond(ex, 200, toJsonRows(sub.submit(plan)))
+        // "validate_only": true → the dry-run schema walk (per-stage
+        // output columns), zero Spark jobs — the CLI --dry-run twin
+        if (Option(root.get("validate_only")).exists(_.asBoolean(false))) {
+          val stages = sub.explain(plan).zipWithIndex.map { case ((tpe, cols, persist), i) =>
+            s"""{"index": $i, "stage_type": ${quote(tpe)}, "persist": $persist, """ +
+              s""""columns": ${cols.map(quote).mkString("[", ",", "]")}}"""
+          }
+          respond(ex, 200,
+            s"""{"name": ${quote(plan.name)}, "valid": true, """ +
+              s""""stages": ${stages.mkString("[", ",", "]")}}""")
+        } else
+          respond(ex, 200, toJsonRows(sub.submit(plan)))
       } catch {
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error": ${quote(String.valueOf(e.getMessage))}}""")

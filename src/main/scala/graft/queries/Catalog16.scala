@@ -543,7 +543,190 @@ private[graft] object Catalog16 {
             WHERE CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic) >= 0.8
             ORDER BY id1, id2"""))
 
+  /** ANN recall-vs-probes curve (the eval every IVF deployment runs before
+    * picking its probe count — pure COMPOSITION over bruteForceTopK +
+    * ivfTopK + one hit join, zero new operator code, the TextRank
+    * convention): ground truth = exact top-10 for a deterministic 1-in-10
+    * query subset, recall@10 measured at probes ∈ {1, 2, 4} over the same
+    * corpus-proportional centroid set as q380 (kc = max(8, n/125) — the
+    * q85 k contract keeps the probed scan linear). Exact integers
+    * throughout: per-query hits are set intersections, mean recall is
+    * hits·10⁶ div (n_q·10), min recall a per-query census MIN. */
+  val q403_ann_recall_curve = Q(
+    "q403_ann_recall_curve",
+    (s, dir) => {
+      import graft.ml.Similarity
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val kc = math.max(8L, emb.count() / 125L)
+      val cents = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      // reused by all three probe settings: materialize once
+      val cells = Similarity.assignToCentroids(emb, cents).localCheckpoint(true)
+      val queries = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      val truth = Similarity.bruteForceTopK(queries, emb, 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val qn = queries.count()
+      val rows = Seq(1, 2, 4).map { p =>
+        val got = Similarity.ivfTopK(queries, cells, cents, k = 10, probes = p)
+          .select(col("query_id"), col("neighbor_id"))
+        val perQuery = queries.select(col("vec_id").as("query_id"))
+          .join(
+            got.join(truth, Seq("query_id", "neighbor_id"))
+              .groupBy("query_id").agg(count(lit(1)).as("h")),
+            Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("h"), lit(0L)).as("h"))
+        perQuery.agg(
+          lit(p.toLong).as("probes"),
+          lit(qn).as("n_queries"),
+          sum(col("h")).cast("long").as("total_hits"),
+          org.apache.spark.sql.graft.Idiv(
+            sum(col("h")) * 1000000L, lit(qn * 10L)).cast("long").as("mean_recall_ppm"),
+          min(org.apache.spark.sql.graft.Idiv(col("h") * 1000000L, lit(10L)))
+            .cast("long").as("min_recall_ppm"))
+      }
+      rows.reduce(_ unionByName _)
+        .select(col("probes"), col("n_queries"), col("total_hits"),
+          col("mean_recall_ppm"), col("min_recall_ppm"))
+        .orderBy("probes")
+    },
+    Some {
+      // the q380 IVF replay, parameterized over the probe settings: cell
+      // assignment = dot/|c| ties-to-larger-cid, probe selection = full
+      // cosine ties-to-smaller-cid (the NearestCentroidIndex / ivfTopK
+      // contracts), candidates ranked (cos DESC, nid ASC)
+      val perProbe = Seq(1, 2, 4).map { p =>
+        s"""probes_$p AS (
+              SELECT vec_id AS qid, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                         list_dot_product(q.v, c.cv)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                         c.cid ASC) AS rn
+                FROM qs q CROSS JOIN cents c)
+              WHERE rn <= $p),
+            knn_$p AS (
+              SELECT qid, nid FROM (
+                SELECT cand.qid, cand.nid,
+                       ROW_NUMBER() OVER (PARTITION BY cand.qid
+                         ORDER BY cand.cos DESC, cand.nid ASC) AS rn
+                FROM (
+                  SELECT pr.qid, a.vec_id AS nid,
+                         list_dot_product(eq.v, en.v)
+                           / (sqrt(list_dot_product(eq.v, eq.v))
+                              * sqrt(list_dot_product(en.v, en.v))) AS cos
+                  FROM probes_$p pr
+                  JOIN asg a ON pr.cid = a.cid
+                  JOIN e eq ON pr.qid = eq.vec_id
+                  JOIN e en ON a.vec_id = en.vec_id
+                  WHERE pr.qid <> a.vec_id) cand)
+              WHERE rn <= 10),
+            hits_$p AS (
+              SELECT q.vec_id AS qid, COALESCE(h.c, 0) AS h
+              FROM qs q LEFT JOIN (
+                SELECT k.qid, COUNT(*) AS c
+                FROM knn_$p k JOIN truth t ON t.qid = k.qid AND t.nid = k.nid
+                GROUP BY 1) h ON h.qid = q.vec_id)"""
+      }.mkString(",\n")
+      val rows = Seq(1, 2, 4).map { p =>
+        s"""SELECT $p::BIGINT AS probes,
+                   (SELECT COUNT(*) FROM qs)::BIGINT AS n_queries,
+                   CAST(SUM(h) AS BIGINT) AS total_hits,
+                   CAST(SUM(h) * 1000000 // ((SELECT COUNT(*) FROM qs) * 10) AS BIGINT) AS mean_recall_ppm,
+                   CAST(MIN(h * 1000000 // 10) AS BIGINT) AS min_recall_ppm
+            FROM hits_$p"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          kc AS (SELECT GREATEST(8, COUNT(*) // 125) AS kc FROM e),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                    WHERE vec_id < (SELECT kc FROM kc)),
+          asg AS (
+            SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.v, c.cv)
+                         / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                       c.cid DESC) AS rn
+              FROM e CROSS JOIN cents c)
+            WHERE rn = 1),
+          qs AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+          truth AS (
+            SELECT qid, nid FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))) DESC,
+                       c.vec_id ASC) AS rn
+              FROM qs q JOIN e c ON q.vec_id <> c.vec_id)
+            WHERE rn <= 10),
+          $perProbe
+          SELECT * FROM ($rows) ORDER BY probes"""
+    })
+
+  /** Corpus data card per source ([[graft.text.DataCard.dataCard]] — the
+    * datasheet summary a training-data release ships): exact counts,
+    * integral means, lower-median rank pick, language-census top pick,
+    * fingerprint dup rate. Every 5th document gets a verbatim +1e6-id copy
+    * so exact_dup_ppm is non-vacuous (the corpus itself has zero exact
+    * duplicates — measured, the r16 fixture lesson); the oracle counts
+    * DISTINCT NORMALIZED TEXT where the engine counts distinct 64-bit
+    * fingerprints (identical absent a 2⁻⁶⁴ collision, the q87 convention —
+    * fixed-width keys shuffle instead of full texts at 100 TB). */
+  val q404_data_card = Q(
+    "q404_data_card",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val corpus = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"), col("source")))
+      graft.text.DataCard.dataCard(corpus, "text", "lang", Seq("source"))
+        .orderBy("source")
+    },
+    Some(s"""WITH corpus AS (
+              SELECT doc_id, text, lang, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source FROM documents
+              WHERE doc_id % 5 = 0),
+            m AS (
+              SELECT source, lang,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)) AS tok,
+                ${graft.tools.OracleSql.normalizeSql("text")} AS norm
+              FROM corpus),
+            main AS (
+              SELECT source, COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
+                     SUM(tok) // COUNT(*) AS mean_tokens,
+                     COUNT(DISTINCT norm) AS dn, COUNT(DISTINCT lang) AS n_langs
+              FROM m GROUP BY 1),
+            cen AS (SELECT source, tok, COUNT(*) AS c FROM m GROUP BY 1, 2),
+            p50 AS (
+              SELECT source, MIN(tok) AS p50_tokens FROM (
+                SELECT source, tok,
+                       SUM(c) OVER (PARTITION BY source ORDER BY tok
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER (PARTITION BY source) AS n
+                FROM cen) WHERE cum * 2 >= n + 1 GROUP BY 1),
+            lc AS (SELECT source, lang, COUNT(*) AS c FROM m GROUP BY 1, 2),
+            top AS (
+              SELECT source, lang AS top_lang, c FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY c DESC, lang ASC) AS rn FROM lc)
+              WHERE rn = 1)
+            SELECT mm.source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_tokens AS BIGINT) AS total_tokens,
+                   CAST(mean_tokens AS BIGINT) AS mean_tokens,
+                   CAST(p50_tokens AS BIGINT) AS p50_tokens,
+                   CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+                   CAST(t.c * 1000000 // n_docs AS BIGINT) AS top_lang_ppm,
+                   CAST((n_docs - dn) * 1000000 // n_docs AS BIGINT) AS exact_dup_ppm
+            FROM main mm JOIN p50 USING (source) JOIN top t USING (source)
+            ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     q397_curation_gate_cap, q398_curation_dedup_pack, q399_curation_semantic_quota,
-    q400_registry_ivf_ann, q401_registry_pq_adc, q402_sql_lsh_dedup)
+    q400_registry_ivf_ann, q401_registry_pq_adc, q402_sql_lsh_dedup,
+    q403_ann_recall_curve, q404_data_card)
 }

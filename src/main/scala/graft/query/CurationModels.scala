@@ -253,6 +253,30 @@ object CurationModels {
       seqLen: Long = 256L,
       persist: Boolean = false) extends CurationStage
 
+  /** The JSON discriminator of a stage — one spelling, shared by the
+    * codec ([[CurationJson]]) and the dry-run explain surface. */
+  def stageType(st: CurationStage): String = st match {
+    case _: TextFeaturesStage => "text_features"
+    case _: GopherFlagsStage => "gopher_flags"
+    case _: RepetitionStage => "repetition"
+    case _: CurationFilterStage => "filter"
+    case _: ExactDedupStage => "exact_dedup"
+    case _: MinHashDedupStage => "minhash_dedup"
+    case _: DecontaminateStage => "decontaminate"
+    case _: SplitStage => "split"
+    case _: SampleStage => "sample"
+    case _: SelectStage => "select"
+    case _: AggregateStage => "aggregate"
+    case _: SortStage => "sort"
+    case _: SemanticDedupStage => "semantic_dedup"
+    case _: LineDedupStage => "line_dedup"
+    case _: SpanDedupStage => "span_dedup"
+    case _: PiiRedactStage => "pii_redact"
+    case _: DomainCapStage => "domain_cap"
+    case _: QuotaSampleStage => "quota_sample"
+    case _: TokenPackStage => "token_pack"
+  }
+
   /** feature name → the output column it adds. */
   val FeatureColumns: Map[String, String] = Map(
     "language" -> "lang",

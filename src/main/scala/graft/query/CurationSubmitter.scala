@@ -68,7 +68,13 @@ final class CurationSubmitter(
   /** Walk the plan against the input's actual schema, tracking the column
     * set each stage produces; plan analysis only, no action. Raw-filter
     * text is not checked (it is arbitrary SQL), everything else is. */
-  def validate(plan: CurationPlan): Unit = {
+  def validate(plan: CurationPlan): Unit = { explain(plan); () }
+
+  /** Dry-run: validate the plan and return, per stage, (stage_type,
+    * columns available AFTER the stage, persist flag) — the schema walk's
+    * record, zero Spark jobs beyond the input schema footer reads. The
+    * CLI's `--dry-run` and the API's `"validate_only"` surface this. */
+  def explain(plan: CurationPlan): Seq[(String, Seq[String], Boolean)] = {
     require(plan.stages.nonEmpty, s"plan '${plan.name}': no stages")
     require(FileCache.exists(spark, s"$dataDir/${plan.input}.parquet"),
       s"plan '${plan.name}': input table '${plan.input}' not found under $dataDir")
@@ -94,7 +100,8 @@ final class CurationSubmitter(
       }
       cols ++= added
     }
-    for (st <- plan.stages) st match {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], Boolean)]
+    for (st <- plan.stages) { st match {
       case s @ TextFeaturesStage(tc, features, _, _) =>
         need(tc, "text")
         for (f <- features)
@@ -194,6 +201,9 @@ final class CurationSubmitter(
         require(st.seqLen >= 1, s"plan '${plan.name}': token_pack seq_len must be >= 1")
         cols = st.groupBy.toSet ++ Seq("seq", "n_docs", "n_tokens")
     }
+      out += ((CurationModels.stageType(st), cols.toSeq.sorted, st.persist))
+    }
+    out.toSeq
   }
 
   // ------------------------------------------------------------------
@@ -342,6 +352,28 @@ final class CurationSubmitter(
         writeSidecars(s"$dir/cached_tables/$key", plan, token, df)
         df
     }
+  }
+
+  /** Run the plan and REGISTER the result as a dataset (validate = false —
+    * curated corpora are engine-derived, not user fact tables), with the
+    * plan document + input token stamped as a `curation.json` provenance
+    * sidecar — the curation twin of the project-query `register-derived`
+    * verb, so a curated corpus enters the same registry lifecycle
+    * (listing, content tokens, derived artifacts) as any other dataset. */
+  def submitAndRegister(
+      reg: graft.registry.Registry, datasetId: String, plan: CurationPlan): DataFrame = {
+    val result = submit(plan)
+    graft.registry.Registry.registerDataset(reg, datasetId, result, validate = false)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("dataset_id", datasetId)
+    n.put("input_token", inputToken(plan.input))
+    n.set[com.fasterxml.jackson.databind.JsonNode]("plan",
+      m.readTree(CurationJson.render(plan)))
+    graft.sources.HadoopText.write(spark,
+      s"${reg.root}/datasets/$datasetId/curation.json",
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(n))
+    reg.loadData(datasetId)
   }
 
   /** The published cache directory a plan resolves to (for tests and for

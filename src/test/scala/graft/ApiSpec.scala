@@ -309,6 +309,40 @@ class ApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("POST /curate validate_only returns the dry-run schema walk") {
+    val api = new Api(buildRegistry())
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val dataDir = Files.createTempDirectory("graft-api-curate-dry").toString
+      Seq((1L, "the quick brown fox and the lazy dog", "web"))
+        .toDF("doc_id", "text", "source")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/docs.parquet")
+      val body = s"""{
+        "data_dir": "$dataDir", "validate_only": true,
+        "plan": {"name": "dry", "input": "docs", "stages": [
+          {"stage_type": "text_features", "features": ["token_count"]},
+          {"stage_type": "sort", "by": ["doc_id"]}]}}"""
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/curate"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains(""""valid": true"""))
+      assert(resp.body().contains(""""stage_type": "text_features""""))
+      assert(resp.body().contains(""""n_tokens""""))
+      // an invalid plan is still the client's 400 through the same route
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/curate"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"data_dir": "$dataDir", "validate_only": true,
+                 "plan": {"name": "b", "input": "docs",
+                          "stages": [{"stage_type": "sort", "by": ["ghost"]}]}}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+    } finally api.stop()
+  }
+
   test("POST /curate runs a curation plan over a data directory") {
     val dataDir = Files.createTempDirectory("graft-api-curate").toString
     Seq(

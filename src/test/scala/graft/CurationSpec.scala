@@ -342,6 +342,71 @@ class CurationSpec extends SparkSpec {
     bad(CurationPlan("p", "docs", Nil), "no stages")
   }
 
+  test("submitAndRegister: curated result enters the registry with plan provenance") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    val plan = CurationPlan("curated_en", "docs", Seq(
+      TextFeaturesStage("text", Seq("language", "token_count")),
+      CurationFilterStage(Seq(DimensionFilter.RawFilter("lang = 'en'"))),
+      ExactDedupStage()))
+    val root = Files.createTempDirectory("graft-curate-reg").toString
+    val reg = graft.registry.Registry(spark, root)
+    val back = sub.submitAndRegister(reg, "corpus_en_v1", plan)
+    assert(reg.listDatasets().contains("corpus_en_v1"))
+    // the returned frame reads the REGISTERED parquet, values = submit(plan)
+    assert(back.inputFiles.forall(_.contains(root)))
+    assert(sortedRows(back) == sortedRows(sub.submit(plan)))
+    // provenance sidecar: the plan document round-trips + the input token
+    val prov = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(java.nio.file.Paths.get(
+        s"$root/datasets/corpus_en_v1/curation.json")))
+    assert(prov.get("dataset_id").asText() == "corpus_en_v1")
+    assert(prov.get("input_token").asText() == sub.inputToken("docs"))
+    assert(CurationJson.parse(prov.get("plan").toString) == plan)
+    // the registered corpus immediately works with derived artifacts
+    // (the registry lifecycle the registration exists for)
+    val (sh, _) = graft.registry.DerivedArtifacts
+      .minhashArtifacts(reg, "corpus_en_v1", bands = 8, rowsPerBand = 2)
+    assert(sh.count() == back.count())
+    // CLI twin
+    val planFile = Files.createTempFile("graft-curate-reg", ".json")
+    Files.writeString(planFile, CurationJson.render(plan))
+    assert(Cli.run(Array(
+      "curate", dir, planFile.toString, "corpus_en_v2", "--register", root)) == 0)
+    assert(graft.registry.Registry(spark, root).listDatasets().contains("corpus_en_v2"))
+  }
+
+  test("explain dry-run: per-stage schemas, zero execution; CLI --dry-run writes nothing") {
+    val dir = writeCorpus()
+    val sub = new CurationSubmitter(spark, dir)
+    val plan = CurationPlan("dry", "docs", Seq(
+      TextFeaturesStage("text", Seq("language", "token_count")),
+      SelectStage(Seq("doc_id", "lang", "n_tokens")),
+      AggregateStage(Seq("lang"), Seq(CurationAgg("count", "doc_id", "n")), persist = true)))
+    val stages = sub.explain(plan)
+    assert(stages.map(_._1) == Seq("text_features", "select", "aggregate"))
+    assert(stages(0)._2 == Seq("doc_id", "lang", "n_tokens", "source", "text"))
+    assert(stages(1)._2 == Seq("doc_id", "lang", "n_tokens"))
+    assert(stages(2)._2 == Seq("lang", "n") && stages(2)._3)
+    // stageType discriminators are exactly the codec's spellings
+    for (st <- fullPlan.stages ++ extendedPlan.stages)
+      assert(CurationJson.render(CurationPlan("p", "docs", Seq(st)))
+        .contains("\"" + graft.query.CurationModels.stageType(st) + "\""))
+    // a bad plan still refuses through explain
+    assertThrows[IllegalArgumentException](
+      sub.explain(CurationPlan("bad", "docs", Seq(SortStage(Seq("ghost"))))))
+    // CLI --dry-run: prints the walk, writes NO output directory content
+    val planFile = Files.createTempFile("graft-dry", ".json")
+    Files.writeString(planFile, CurationJson.render(plan))
+    val outDir = Files.createTempDirectory("graft-dry-out").toString
+    assert(Cli.run(Array("curate", dir, planFile.toString, outDir, "--dry-run")) == 0)
+    assert(new java.io.File(outDir).listFiles().isEmpty)
+    val badFile = Files.createTempFile("graft-dry-bad", ".json")
+    Files.writeString(badFile,
+      """{"name":"b","input":"docs","stages":[{"stage_type":"sort","by":["ghost"]}]}""")
+    assert(Cli.run(Array("curate", dir, badFile.toString, outDir, "--dry-run")) == 1)
+  }
+
   test("curate CLI verb: plan document to parquet + sidecar; bad plan exits 1") {
     val dir = writeCorpus()
     val planFile = Files.createTempFile("graft-curate", ".json")

@@ -104,4 +104,25 @@ class Round16OpsSpec extends SparkSpec {
     // the fixture is non-vacuous: every copy pairs with its original
     assert(viaSql.count() == 3)
   }
+
+  test("dataCard: hand census — counts, integral mean, median pick, top lang, dup rate") {
+    val docs = Seq(
+      (1L, "alpha", "en", "a"),
+      (2L, "alpha beta", "en", "a"),
+      (3L, "Alpha beta!", "en", "a"), // normalizes equal to doc 2 -> exact dup
+      (4L, "a b c d", "fr", "a"),
+      (5L, "a b c d e", "fr", "a"),
+      (6L, "x y z", "de", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = graft.text.DataCard.dataCard(docs, "text", "lang", Seq("source"))
+      .orderBy("source").collect()
+    val a = card(0)
+    assert(a.getString(0) == "a")
+    assert(a.getLong(1) == 5L && a.getLong(2) == 14L && a.getLong(3) == 2L) // n, total, mean
+    assert(a.getLong(4) == 2L) // p50 of {1,2,2,4,5}: lower-median rank pick
+    assert(a.getLong(5) == 2L && a.getString(6) == "en" && a.getLong(7) == 600000L)
+    assert(a.getLong(8) == 200000L) // 1 of 5 is a normalized duplicate
+    val b = card(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1L && b.getLong(8) == 0L)
+  }
 }
