@@ -457,62 +457,89 @@ private[graft] object Catalog16 {
     * route == the Column route); candidate generation is deterministic
     * (fixed hash family), so the exact-Jaccard oracle matches iff LSH
     * recalls every ≥0.8 pair — which this fixture's hash-verified runs
-    * pin. The verify join is the inverted-index spelling, never
-    * all-pairs. */
+    * pin. Verification is per-pair array_intersect over the candidates
+    * (the Column route's spelling); the inverted-index gram join is the
+    * ORACLE-side trick only — see the in-query comment. */
   val q402_sql_lsh_dedup = Q(
     "q402_sql_lsh_dedup",
     (s, dir) => {
       t(s, dir, "documents").createOrReplaceTempView("graft_q402_docs")
-      s.sql("""
+      // Stage MATERIALIZATION is load-bearing for a SQL-texted LSH
+      // pipeline, because Spark INLINES every CTE reference into its
+      // consumers:
+      //   - `toks` inlined into the shingle transform LAMBDA re-runs the
+      //     whole regex tokenizer per element (the HOF-lambda recompute
+      //     trap, SQL-CTE form — measured ~100 s at sf0.1);
+      //   - `sig` inlined into the 64 element_at band references
+      //     recomputes the 64-hash MinHash once per reference (~45 s);
+      //   - `sh`/`buckets` inlined into self-join sides double everything
+      //     upstream.
+      // And CACHE TABLE is NOT enough: on the bucket SELF-join, only one
+      // side matched the cached plan — the other re-derived from the file
+      // scan with the `size(sh) > 0` filter pushdown INLINING the whole
+      // shingle pipeline into scan-level DataFilters (measured 54 s for a
+      // Σd² = 121k join). localCheckpoint'd temp views are plan-identity-
+      // proof: every reference reads the materialized RDD. ~2 s total.
+      def mat(name: String, sel: String): Unit =
+        s.sql(sel).localCheckpoint(eager = true).createOrReplaceTempView(name)
+      mat("graft_q402_toks", """
         WITH corpus AS (
           SELECT doc_id, text FROM graft_q402_docs
           UNION ALL
           SELECT doc_id + 1000000 AS doc_id,
                  array_join(slice(split(trim(text), '\\s+'), 1,
                    size(split(trim(text), '\\s+')) - 1), ' ') AS text
-          FROM graft_q402_docs WHERE doc_id % 7 = 0),
-        toked AS (
-          SELECT doc_id,
-                 filter(split(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9\\s]', ' '), '\\s+', ' ')), '\\s+'),
-                   t -> length(t) > 0) AS toks
-          FROM corpus),
-        sh AS (
-          SELECT doc_id, array_distinct(xxhash64_array(
-            CASE WHEN size(toks) <= 3 THEN array(array_join(toks, ' '))
-                 ELSE transform(sequence(0, size(toks) - 3),
-                        i -> concat_ws(' ', element_at(toks, i + 1),
-                               element_at(toks, i + 2), element_at(toks, i + 3)))
-            END)) AS sh
-          FROM toked),
-        sig AS (
-          SELECT doc_id, sh, minhash_sig(sh, 64) AS sig
-          FROM sh WHERE size(sh) > 0),
-        buckets AS (
-          SELECT doc_id, b.band,
-                 CAST(hash(element_at(sig, b.band * 4 + 1), element_at(sig, b.band * 4 + 2),
-                           element_at(sig, b.band * 4 + 3), element_at(sig, b.band * 4 + 4))
-                      AS BIGINT) AS bucket
-          FROM sig LATERAL VIEW explode(sequence(0, 15)) b AS band),
-        cands AS (
+          FROM graft_q402_docs WHERE doc_id % 7 = 0)
+        SELECT doc_id,
+               filter(split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' '), '\\s+', ' ')), '\\s+'),
+                 t -> length(t) > 0) AS toks
+        FROM corpus""")
+      mat("graft_q402_sh", """
+        SELECT doc_id, array_distinct(xxhash64_array(
+          CASE WHEN size(toks) <= 3 THEN array(array_join(toks, ' '))
+               ELSE transform(sequence(0, size(toks) - 3),
+                      i -> concat_ws(' ', element_at(toks, i + 1),
+                             element_at(toks, i + 2), element_at(toks, i + 3)))
+          END)) AS sh
+        FROM graft_q402_toks""")
+      mat("graft_q402_sig", """
+        SELECT doc_id, minhash_sig(sh, 64) AS sig
+        FROM graft_q402_sh WHERE size(sh) > 0""")
+      mat("graft_q402_buckets", """
+        SELECT doc_id, b.band,
+               CAST(hash(element_at(sig, b.band * 4 + 1), element_at(sig, b.band * 4 + 2),
+                         element_at(sig, b.band * 4 + 3), element_at(sig, b.band * 4 + 4))
+                    AS BIGINT) AS bucket
+        FROM graft_q402_sig LATERAL VIEW explode(sequence(0, 15)) b AS band""")
+      // verify = per-pair array_intersect over the CANDIDATE pairs — the
+      // Column route's verifyJaccardOnShingles spelling. The exploded
+      // inverted-index join belongs on the ORACLE side only: spelled in
+      // Spark SQL, Catalyst may reorder the gram equi-join BEFORE the
+      // candidate restriction and materialize the Σdf² all-pairs blowup
+      // (measured: the first spelling ran 300+ s at sf0.1; this one ~2 s)
+      val out = s.sql("""
+        WITH cands AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM buckets a JOIN buckets b
+          FROM graft_q402_buckets a JOIN graft_q402_buckets b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        ex AS (SELECT doc_id, explode(sh) AS g FROM sh),
-        inter AS (
-          SELECT c.id1, c.id2, COUNT(*) AS ic
+        j AS (
+          SELECT c.id1, c.id2,
+                 size(array_intersect(s1.sh, s2.sh)) AS ic,
+                 size(s1.sh) AS sz1, size(s2.sh) AS sz2
           FROM cands c
-          JOIN ex e1 ON e1.doc_id = c.id1
-          JOIN ex e2 ON e2.doc_id = c.id2 AND e2.g = e1.g
-          GROUP BY c.id1, c.id2),
-        sizes AS (SELECT doc_id, size(sh) AS sz FROM sh)
-        SELECT i.id1, i.id2,
-               ROUND(CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic), 4) AS jaccard
-        FROM inter i
-        JOIN sizes s1 ON s1.doc_id = i.id1
-        JOIN sizes s2 ON s2.doc_id = i.id2
-        WHERE CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic) >= 0.8
+          JOIN graft_q402_sh s1 ON s1.doc_id = c.id1
+          JOIN graft_q402_sh s2 ON s2.doc_id = c.id2)
+        SELECT id1, id2,
+               ROUND(CAST(ic AS DOUBLE) / (sz1 + sz2 - ic), 4) AS jaccard
+        FROM j
+        WHERE CAST(ic AS DOUBLE) / (sz1 + sz2 - ic) >= 0.8
         ORDER BY id1, id2""")
+        // cut lineage so the result survives the stage-RDD unpersist below
+        .localCheckpoint(true)
+      for (v <- Seq("graft_q402_buckets", "graft_q402_sig", "graft_q402_sh", "graft_q402_toks"))
+        s.sql(s"DROP VIEW IF EXISTS $v")
+      out
     },
     Some("""WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -546,8 +573,11 @@ private[graft] object Catalog16 {
   /** ANN recall-vs-probes curve (the eval every IVF deployment runs before
     * picking its probe count — pure COMPOSITION over bruteForceTopK +
     * ivfTopK + one hit join, zero new operator code, the TextRank
-    * convention): ground truth = exact top-10 for a deterministic 1-in-10
-    * query subset, recall@10 measured at probes ∈ {1, 2, 4} over the same
+    * convention): ground truth = exact top-10 for a BOUNDED deterministic
+    * query panel (the 50 lowest ids ≡ 0 mod 10 — an eval set is a fixed
+    * panel, never a corpus fraction: a fractional subset would make the
+    * brute-force truth pass quadratic at scale), measured at probes ∈
+    * {1, 2, 4} over the same
     * corpus-proportional centroid set as q380 (kc = max(8, n/125) — the
     * q85 k contract keeps the probed scan linear). Exact integers
     * throughout: per-query hits are set intersections, mean recall is
@@ -564,6 +594,7 @@ private[graft] object Catalog16 {
       // reused by all three probe settings: materialize once
       val cells = Similarity.assignToCentroids(emb, cents).localCheckpoint(true)
       val queries = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+        .orderBy(col("vec_id")).limit(50)
       val truth = Similarity.bruteForceTopK(queries, emb, 10)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true)
@@ -652,7 +683,8 @@ private[graft] object Catalog16 {
                        c.cid DESC) AS rn
               FROM e CROSS JOIN cents c)
             WHERE rn = 1),
-          qs AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+          qs AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0
+                 ORDER BY vec_id LIMIT 50),
           truth AS (
             SELECT qid, nid FROM (
               SELECT q.vec_id AS qid, c.vec_id AS nid,

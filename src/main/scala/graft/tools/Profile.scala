@@ -15,10 +15,85 @@ object Profile {
     r
   }
 
+  /** q402's SQL-text LSH pipeline, one timed CACHE stage at a time. */
+  private def q402(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("graft_q402_docs")
+    def mat(name: String, sel: String): Unit =
+      spark.sql(sel).localCheckpoint(eager = true).createOrReplaceTempView(name)
+    time("toks mat")(mat("graft_q402_toks", """
+      WITH corpus AS (
+        SELECT doc_id, text FROM graft_q402_docs
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_join(slice(split(trim(text), '\\s+'), 1,
+                 size(split(trim(text), '\\s+')) - 1), ' ') AS text
+        FROM graft_q402_docs WHERE doc_id % 7 = 0)
+      SELECT doc_id,
+             filter(split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', ' '), '\\s+', ' ')), '\\s+'),
+               t -> length(t) > 0) AS toks
+      FROM corpus"""))
+    time("sh mat")(mat("graft_q402_sh", """
+      SELECT doc_id, array_distinct(xxhash64_array(
+        CASE WHEN size(toks) <= 3 THEN array(array_join(toks, ' '))
+             ELSE transform(sequence(0, size(toks) - 3),
+                    i -> concat_ws(' ', element_at(toks, i + 1),
+                           element_at(toks, i + 2), element_at(toks, i + 3)))
+        END)) AS sh
+      FROM graft_q402_toks"""))
+    time("sig mat")(mat("graft_q402_sig", """
+      SELECT doc_id, minhash_sig(sh, 64) AS sig
+      FROM graft_q402_sh WHERE size(sh) > 0"""))
+    time("buckets mat")(mat("graft_q402_buckets", """
+      SELECT doc_id, b.band,
+             CAST(hash(element_at(sig, b.band * 4 + 1), element_at(sig, b.band * 4 + 2),
+                       element_at(sig, b.band * 4 + 3), element_at(sig, b.band * 4 + 4))
+                  AS BIGINT) AS bucket
+      FROM graft_q402_sig LATERAL VIEW explode(sequence(0, 15)) b AS band"""))
+    time("bucket skew")(spark.sql("""
+      SELECT c, COUNT(*) AS n FROM (
+        SELECT band, bucket, COUNT(*) AS c FROM graft_q402_buckets GROUP BY 1, 2)
+      GROUP BY 1 ORDER BY c DESC LIMIT 8""").show())
+    time("sum d^2")(spark.sql("""
+      SELECT SUM(c * c) FROM (
+        SELECT band, bucket, COUNT(*) AS c FROM graft_q402_buckets GROUP BY 1, 2)""").show())
+    val cands = time("cands")(spark.sql("""
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM graft_q402_buckets a JOIN graft_q402_buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""))
+    println(cands.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("InMemory"))
+      .mkString("\n"))
+    time("cands count")(println("  cands = " + cands.count()))
+    cands.createOrReplaceTempView("graft_q402_cands")
+    time("verify")(spark.sql("""
+      WITH j AS (
+        SELECT c.id1, c.id2,
+               size(array_intersect(s1.sh, s2.sh)) AS ic,
+               size(s1.sh) AS sz1, size(s2.sh) AS sz2
+        FROM graft_q402_cands c
+        JOIN graft_q402_sh s1 ON s1.doc_id = c.id1
+        JOIN graft_q402_sh s2 ON s2.doc_id = c.id2)
+      SELECT id1, id2,
+             ROUND(CAST(ic AS DOUBLE) / (sz1 + sz2 - ic), 4) AS jaccard
+      FROM j WHERE CAST(ic AS DOUBLE) / (sz1 + sz2 - ic) >= 0.8
+      ORDER BY id1, id2""").write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.contains("--q69")) { q69(args.head); return }
     if (args.contains("--q90")) { q90(args.head); return }
     if (args.contains("--apss")) { apss(args.head); return }
+    if (args.contains("--q402")) { q402(args.head); return }
     args.sliding(2).collectFirst { case Array("--query", name) => name } match {
       case Some(name) => timeQuery(args.head, name); return
       case None =>

@@ -86,20 +86,17 @@ class Round16OpsSpec extends SparkSpec {
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      ex AS (SELECT doc_id, explode(sh) AS g FROM sh),
-      inter AS (
-        SELECT c.id1, c.id2, COUNT(*) AS ic
+      j AS (
+        SELECT c.id1, c.id2,
+               size(array_intersect(s1.sh, s2.sh)) AS ic,
+               size(s1.sh) AS sz1, size(s2.sh) AS sz2
         FROM cands c
-        JOIN ex e1 ON e1.doc_id = c.id1
-        JOIN ex e2 ON e2.doc_id = c.id2 AND e2.g = e1.g
-        GROUP BY c.id1, c.id2),
-      sizes AS (SELECT doc_id, size(sh) AS sz FROM sh)
-      SELECT i.id1, i.id2,
-             ROUND(CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic), 4) AS jaccard
-      FROM inter i
-      JOIN sizes s1 ON s1.doc_id = i.id1
-      JOIN sizes s2 ON s2.doc_id = i.id2
-      WHERE CAST(i.ic AS DOUBLE) / (s1.sz + s2.sz - i.ic) >= 0.8""")
+        JOIN sh s1 ON s1.doc_id = c.id1
+        JOIN sh s2 ON s2.doc_id = c.id2)
+      SELECT id1, id2,
+             ROUND(CAST(ic AS DOUBLE) / (sz1 + sz2 - ic), 4) AS jaccard
+      FROM j
+      WHERE CAST(ic AS DOUBLE) / (sz1 + sz2 - ic) >= 0.8""")
     assert(sortedRows(viaSql) == sortedRows(expected))
     // the fixture is non-vacuous: every copy pairs with its original
     assert(viaSql.count() == 3)
