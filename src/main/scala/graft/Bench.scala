@@ -139,7 +139,14 @@ object Bench {
         System.err.println(f"[bench] $name spread ${times.map(_._1).max / minBefore}%.2fx " +
           s"after ${times.size} runs - retrying")
         runOnce() match {
-          case Some(t) => times += t; confirmed = t._1 <= minBefore * 1.1
+          case Some(t) =>
+            times += t
+            // confirmed only when the fresh run and the prior min agree
+            // within 10% BOTH ways: a retry that lands a brand-new min
+            // (>10% below minBefore) is itself an unreproduced one-off
+            // downward spike and must NOT be published until a further
+            // run reproduces it (r16 ADVICE item 2)
+            confirmed = math.max(t._1, minBefore) <= math.min(t._1, minBefore) * 1.1
           case None => confirmed = true // failure already recorded; stop retrying
         }
       }
@@ -153,6 +160,137 @@ object Bench {
       } else (0.0, 0.0, 0.0, 0.0))
     }.toMap
     val calEnd = calibrate(5)
+    // fixture content hash: the r10 verdict found three records moving
+    // 4-5× on byte-identical code — the driver regenerates the testdata
+    // between rounds, so cross-round per-query comparisons are only valid
+    // on matching fixtures. SHA-256 over (name, bytes) of every file in
+    // the SF dir, sorted by name; ~17 MB at sf0.1, negligible.
+    val fixtureHash: String =
+      try {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val dir = java.nio.file.Paths.get(sfDir)
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(dir)
+        val names =
+          try stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+          finally stream.close() // a leaked stream holds a directory fd per run
+        names.foreach { p =>
+          md.update(p.getFileName.toString.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(p))
+        }
+        md.digest().map("%02x".format(_)).mkString.take(16)
+      } catch { case e: Exception => s"unavailable:${e.getClass.getSimpleName}" }
+    // ------------------------------------------------------------------
+    // Reference-min self-adjudication (r16 verdict item 1): the spread
+    // retry defense is structurally blind to a CONSISTENTLY slow pair of
+    // runs (cache eviction / suite-order state inside this one JVM —
+    // BENCH_r16 logged q29 at 15.1 s with spread 1.02 vs 2.45 s real).
+    // The repo keeps a fixture-hash-keyed reference min per query
+    // (bench_reference.json, updated by full-catalog runs); any query
+    // whose min lands > 2× its same-fixture reference is re-run in an
+    // ISOLATED fresh JVM at bench end, and the published min is the
+    // better of the two, marked in the detail record's "readjudicated"
+    // map. A child run (SPARK_GRAFT_BENCH_CHILD) never recurses and
+    // never updates the reference.
+    // ------------------------------------------------------------------
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_FILE", "bench_reference.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def readRef(): Map[String, (String, Double)] =
+      try {
+        val p = java.nio.file.Paths.get(refFile)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val n = mapper.readTree(java.nio.file.Files.readString(p))
+          n.properties().asScala.iterator.map { e =>
+            e.getKey -> (e.getValue.get("hash").asText(), e.getValue.get("min").asDouble())
+          }.toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    // fresh-JVM isolation run over the suspect queries; returns their
+    // steady-state mins from the child's detail record
+    def isolatedTimes(names: Seq[String]): Map[String, Double] =
+      try {
+        val tmp = java.nio.file.Files.createTempFile("graft-bench-readj", ".json")
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        import scala.jdk.CollectionConverters._
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.filter(a =>
+            a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+              a.startsWith("--enable-native-access") || a.startsWith("-Xmx") ||
+              a.startsWith("-Xss") || a.startsWith("-Djdk."))
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+        pb.environment().put("SPARK_GRAFT_BENCH_DETAIL_FILE", tmp.toString)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        // the child's compact stdout line must never reach OUR stdout
+        // (the driver parses our tail); its [bench] diagnostics join our
+        // stderr like any other progress output
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val done = proc.waitFor(120L * names.size + 300L, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { proc.destroyForcibly(); Map.empty }
+        else {
+          import scala.jdk.CollectionConverters._
+          val n = mapper.readTree(java.nio.file.Files.readString(tmp)).get("queries")
+          if (n == null) Map.empty
+          else n.properties().asScala.iterator.map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] readjudication child failed: ${e.getMessage}")
+          Map.empty
+      }
+    val ref = if (isChild) Map.empty[String, (String, Double)] else readRef()
+    val suspects = results.toSeq.collect {
+      // floor 0.5 s: below it a 2× swing is scheduler noise, not state
+      case (name, (w, _, _, _)) if w > 0.5 && ref.get(name).exists { case (h, m) =>
+        h == fixtureHash && m > 0 && w > m * 2 } => (name, w / ref(name)._2)
+    }.sortBy(-_._2).take(8).map(_._1)
+    val readjudicated: Map[String, Double] =
+      if (suspects.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] ${suspects.size} queries > 2x their same-fixture " +
+          s"reference min - readjudicating in an isolated JVM: ${suspects.mkString(",")}")
+        isolatedTimes(suspects)
+      }
+    // published wall time = min(in-suite, isolated): the isolated number
+    // is the trusted one when suite-order state inflated the in-suite run
+    val published = results.map { case (k, v @ (w, c, mx, sp)) =>
+      readjudicated.get(k) match {
+        case Some(iso) if iso > 0 && iso < w => k -> (iso, c, mx, sp)
+        case _ => k -> v
+      }
+    }
+    // reference update: FULL uncontended runs only (a filtered dev run or
+    // a readjudication child must never write the cross-round contract),
+    // keyed by fixture hash — a regenerated fixture resets the entry
+    if (!isChild && only.isEmpty && !fixtureHash.startsWith("unavailable")) {
+      try {
+        val keep = readRef().filter { case (k, _) => published.contains(k) }
+        val updated = published.toSeq.filter(_._2._1 > 0).map { case (k, (w, _, _, _)) =>
+          keep.get(k) match {
+            case Some((h, m)) if h == fixtureHash => k -> (fixtureHash, math.min(m, w))
+            case _ => k -> (fixtureHash, w)
+          }
+        }.toMap
+        val root = mapper.createObjectNode()
+        updated.toSeq.sortBy(_._1).foreach { case (k, (h, m)) =>
+          val o = root.putObject(k); o.put("hash", h); o.put("min", math.rint(m * 1000) / 1000)
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(refFile),
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
+      } catch {
+        case e: Exception => System.err.println(s"[bench] reference write failed: ${e.getMessage}")
+      }
+    }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail (round 6: a 3.4 KB line over 99 queries
     // front-truncated there → "parsed": null, an unreadable bench). The
@@ -164,7 +302,7 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would break the JSON.
     def fmt(v: Double, p: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
-    val wall = results.map { case (k, (w, _, _, _)) => k -> w }
+    val wall = published.map { case (k, (w, _, _, _)) => k -> w }
     val total = if (wall.nonEmpty) wall.values.sum else 0.0
     // external load: fraction of the machine's cores busy with OTHER work
     // during our timed runs; > 0.25 means a quarter of the machine was
@@ -189,40 +327,27 @@ object Bench {
     val qspreadJson = results.toSeq.sortBy(_._1)
       .map { case (k, (_, _, _, sp)) => "\"" + k + "\":" + fmt(sp, 2) }
       .mkString("{", ",", "}")
-    // fixture content hash: the r10 verdict found three records moving
-    // 4-5× on byte-identical code — the driver regenerates the testdata
-    // between rounds, so cross-round per-query comparisons are only valid
-    // on matching fixtures. SHA-256 over (name, bytes) of every file in
-    // the SF dir, sorted by name; ~17 MB at sf0.1, negligible.
-    val fixtureHash: String =
-      try {
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        val dir = java.nio.file.Paths.get(sfDir)
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.list(dir)
-        val names =
-          try stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
-          finally stream.close() // a leaked stream holds a directory fd per run
-        names.foreach { p =>
-          md.update(p.getFileName.toString.getBytes("UTF-8"))
-          md.update(java.nio.file.Files.readAllBytes(p))
-        }
-        md.digest().map("%02x".format(_)).mkString.take(16)
-      } catch { case e: Exception => s"unavailable:${e.getClass.getSimpleName}" }
+    val readjJson = readjudicated.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
     val detail = {
       val base = jsonLine(wall.toSeq, 3, 0)
       // splice per-query process-CPU + the contention diagnosis into the
-      // detail record (the machine-readable contract — r9 verdict #1/#3)
+      // detail record (the machine-readable contract — r9 verdict #1/#3);
+      // "readjudicated" maps query → its isolated fresh-JVM time for every
+      // query the reference-min defense re-ran (published value = the min)
       base.dropRight(1) +
-        s""","cpu":$cpuJson,"qmax":$qmaxJson,"qspread":$qspreadJson,""" +
+        s""","cpu":$cpuJson,"qmax":$qmaxJson,"qspread":$qspreadJson,"readjudicated":$readjJson,""" +
         s""""calibration":{"query":"$calibrationQuery","start":${fmt(calStart, 3)},"end":${fmt(calEnd, 3)}},""" +
         s""""external_load":${fmt(externalLoad, 3)},"fixture_hash":"$fixtureHash"}"""
     }
     System.err.println(detail)
     // a SPARK_GRAFT_BENCH_ONLY dev run must NOT clobber the full-catalog
     // detail file (it silently replaced 160 queries with 3 once) — partial
-    // runs land in a sidecar instead
-    val detailFile = if (only.isDefined) "bench_detail_partial.json" else "bench_detail.json"
+    // runs land in a sidecar instead; a readjudication child writes to the
+    // temp path its parent passed
+    val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_FILE",
+      if (only.isDefined) "bench_detail_partial.json" else "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), detail + "\n")
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val short = wall.toSeq.map { case (k, v) => (k.takeWhile(_ != '_'), v) }

@@ -344,16 +344,28 @@ final class Api(
     * FileResponse contract (app.py:352-359). */
   private def respondFile(ex: HttpExchange, path: String): Unit = {
     val f = new java.io.File(path)
-    if (!f.exists()) {
-      respond(ex, 410, """{"error": "result file was evicted"}""")
-      return
-    }
-    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-    ex.getResponseHeaders.set("Content-Disposition",
-      s"""attachment; filename="${f.getName}"""")
-    ex.sendResponseHeaders(200, f.length())
-    val os = ex.getResponseBody
-    try java.nio.file.Files.copy(f.toPath, os) finally os.close()
+    // Open the descriptor BEFORE any header write: TTL eviction runs on
+    // every async submit and may deleteRecursively this spool directory
+    // mid-request — an open fd survives the unlink (POSIX), while a
+    // path-based Files.copy would throw AFTER headers were sent,
+    // truncating the download (r16 ADVICE item 3). Length comes from the
+    // open channel for the same reason: File.length() is 0 post-unlink.
+    val fis =
+      try new java.io.FileInputStream(f)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          respond(ex, 410, """{"error": "result file was evicted"}""")
+          return
+      }
+    try {
+      val len = fis.getChannel.size()
+      ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+      ex.getResponseHeaders.set("Content-Disposition",
+        s"""attachment; filename="${f.getName}"""")
+      ex.sendResponseHeaders(200, len)
+      val os = ex.getResponseBody
+      try fis.transferTo(os) finally os.close()
+    } finally fis.close()
   }
 
   /** GET /viewer — the static single-page project viewer ([[ViewerPage]]),

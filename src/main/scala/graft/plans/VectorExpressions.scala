@@ -214,6 +214,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVectorDot].getName, "gopher_metrics"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "gopher_metrics takes (string text)")
+        // the argument is substituted at EVERY placeholder (~18 metric
+        // subexpressions) and therefore evaluated once per occurrence: a
+        // non-deterministic argument would give each metric field an
+        // independent draw (an internally inconsistent struct), so refuse
+        // it loudly (r16 ADVICE item 4). The scan catches resolved
+        // non-deterministic nodes and the parser-level spellings of the
+        // common generators (unresolved functions report deterministic
+        // because the default only consults children). Expensive
+        // arguments should be materialized to a column first — the
+        // per-occurrence evaluation is the documented contract.
+        val nondet = exprs.head.exists {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            Set("rand", "randn", "random", "uuid", "shuffle",
+              "monotonically_increasing_id").contains(
+              f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+          case e => e.resolved && !e.deterministic
+        }
+        require(!nondet,
+          "gopher_metrics: argument must be deterministic — it is expanded " +
+            "into every metric field and evaluated once per occurrence")
         // a parsed TEMPLATE with the argument substituted at the
         // placeholder attribute: a function registry needs a Catalyst
         // tree (Column nodes only resolve inside a Dataset), and the

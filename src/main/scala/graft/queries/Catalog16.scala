@@ -537,7 +537,8 @@ private[graft] object Catalog16 {
         ORDER BY id1, id2""")
         // cut lineage so the result survives the stage-RDD unpersist below
         .localCheckpoint(true)
-      for (v <- Seq("graft_q402_buckets", "graft_q402_sig", "graft_q402_sh", "graft_q402_toks"))
+      for (v <- Seq("graft_q402_buckets", "graft_q402_sig", "graft_q402_sh",
+        "graft_q402_toks", "graft_q402_docs"))
         s.sql(s"DROP VIEW IF EXISTS $v")
       out
     },
