@@ -37,5 +37,5 @@ object Queries {
     QueryDsl.prewarmRegistries(s, dir)
 
   val all: Seq[Q] =
-    Catalog1.all ++ Catalog2.all ++ Catalog3.all ++ Catalog4.all ++ Catalog5.all ++ Catalog6.all ++ Catalog7.all ++ Catalog8.all ++ Catalog9.all ++ Catalog9b.all ++ Catalog10.all ++ Catalog11.all ++ Catalog12.all ++ Catalog13.all ++ Catalog14.all ++ Catalog15.all ++ Catalog16.all
+    Catalog1.all ++ Catalog2.all ++ Catalog3.all ++ Catalog4.all ++ Catalog5.all ++ Catalog6.all ++ Catalog7.all ++ Catalog8.all ++ Catalog9.all ++ Catalog9b.all ++ Catalog10.all ++ Catalog11.all ++ Catalog12.all ++ Catalog13.all ++ Catalog14.all ++ Catalog15.all ++ Catalog16.all ++ Catalog17.all
 }

@@ -163,7 +163,12 @@ final class Api(
     * payload (ref app.py:229-233 — the reference returns the dataset
     * config model; graft's dataset metadata is its schema + storage
     * format, so the detail is exactly that, metadata-only — one parquet
-    * footer read, no data scan). */
+    * footer read, no data scan);
+    * /registry/datasets/<id>/card?group_by=…&text_column=…&lang_column=…
+    * → the corpus data card ([[graft.text.DataCard]]) of a registered
+    * corpus — the quantitative datasheet rows per group cell (r16 verdict
+    * item 6). This one RUNS a census-shaped aggregation (never row-scale
+    * output); missing columns are the client's 400. */
   private def datasetsHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit =
       try {
@@ -171,6 +176,30 @@ final class Api(
           .stripPrefix("/").stripSuffix("/")
         if (rest.isEmpty)
           respond(ex, 200, registry.listDatasets().map(quote).mkString("[", ",", "]"))
+        else if (rest.endsWith("/card")) {
+          val id = rest.stripSuffix("/card")
+          if (!registry.listDatasets().contains(id))
+            respond(ex, 404, s"""{"error": ${quote(s"unknown dataset: $id")}}""")
+          else {
+            val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+              .filter(_.contains("=")).map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+              }.toMap
+            val textCol = params.getOrElse("text_column", "text")
+            val langCol = params.getOrElse("lang_column", "lang")
+            val groupBy = params.getOrElse("group_by", "source").split(",").toSeq
+            val df = registry.loadData(id)
+            val missing = (groupBy :+ textCol :+ langCol).filterNot(df.columns.contains)
+            if (missing.nonEmpty)
+              respond(ex, 400, s"""{"error": ${quote(
+                s"dataset '$id' lacks column(s): ${missing.mkString(", ")}")}}""")
+            else respond(ex, 200,
+              s"""{"card": ${toJsonRows(
+                graft.text.DataCard.dataCard(df, textCol, langCol, groupBy)
+                  .orderBy(groupBy.head, groupBy.tail: _*))}}""")
+          }
+        }
         else if (!registry.listDatasets().contains(rest))
           respond(ex, 404, s"""{"error": ${quote(s"unknown dataset: $rest")}}""")
         else {

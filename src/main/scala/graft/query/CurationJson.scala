@@ -76,6 +76,7 @@ object CurationJson {
         rowsPerBand = optInt(n, "rows_per_band").getOrElse(4),
         shingleSize = optInt(n, "shingle_size").getOrElse(3),
         threshold = optDouble(n, "threshold").getOrElse(0.8),
+        artifacts = bool(n, "artifacts"),
         persist = bool(n, "persist"))
     case "decontaminate" =>
       DecontaminateStage(
@@ -158,6 +159,12 @@ object CurationJson {
         textColumn = optStr(n, "text_column").getOrElse("text"),
         seqLen = optLong(n, "seq_len").getOrElse(256L),
         persist = bool(n, "persist"))
+    case "data_card" =>
+      DataCardStage(
+        textColumn = optStr(n, "text_column").getOrElse("text"),
+        langColumn = optStr(n, "lang_column").getOrElse("lang"),
+        groupBy = arr(n, "group_by").map(_.asText()),
+        persist = bool(n, "persist"))
     case other => throw new IllegalArgumentException(s"unknown stage_type: $other")
   }
 
@@ -195,10 +202,11 @@ object CurationJson {
         val fa = n.putArray("filters"); fs.foreach(f => fa.add(Json.filterNode(f)))
       case ExactDedupStage(ic, tc, _) =>
         n.put("stage_type", "exact_dedup"); n.put("id_column", ic); n.put("text_column", tc)
-      case MinHashDedupStage(ic, tc, b, r, sh, th, _) =>
+      case MinHashDedupStage(ic, tc, b, r, sh, th, arts, _) =>
         n.put("stage_type", "minhash_dedup"); n.put("id_column", ic); n.put("text_column", tc)
         n.put("bands", b); n.put("rows_per_band", r); n.put("shingle_size", sh)
         n.put("threshold", th)
+        if (arts) n.put("artifacts", true)
       case DecontaminateStage(bi, ic, tc, ng, mh, _) =>
         n.put("stage_type", "decontaminate"); n.put("benchmark_input", bi)
         n.put("id_column", ic); n.put("text_column", tc)
@@ -252,6 +260,10 @@ object CurationJson {
         n.put("stage_type", "token_pack")
         val ga = n.putArray("group_by"); gb.foreach(ga.add)
         n.put("id_column", ic); n.put("text_column", tc); n.put("seq_len", sl)
+      case DataCardStage(tc, lc, gb, _) =>
+        n.put("stage_type", "data_card")
+        n.put("text_column", tc); n.put("lang_column", lc)
+        val ga = n.putArray("group_by"); gb.foreach(ga.add)
     }
     s match {
       case a: AddsColumns if a.overwrite => n.put("overwrite", true)

@@ -105,7 +105,16 @@ object CurationModels {
   /** MinHash+LSH near-dedup: drop every document that verified-matches a
     * smaller-id document at or above `threshold`
     * ([[graft.text.Dedup.minhashNearDuplicates]] +
-    * [[graft.text.Dedup.dropNearDuplicates]]). */
+    * [[graft.text.Dedup.dropNearDuplicates]]).
+    *
+    * With `artifacts` (needs a registry-configured submitter — r16 verdict
+    * item 5), the expensive map-side products — hashed shingle sets and
+    * LSH band buckets — resolve through [[graft.registry.DerivedArtifacts]]
+    * keyed by (input content token + canonical plan prefix + stage
+    * params): a re-run of the same plan over unchanged input pays
+    * metadata + the candidate join only, never the shingle pass; any
+    * input or upstream-stage change rebuilds. Values are identical either
+    * way (the artifact is a cache, not a semantic knob). */
   final case class MinHashDedupStage(
       idColumn: String = "doc_id",
       textColumn: String = "text",
@@ -113,6 +122,7 @@ object CurationModels {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
+      artifacts: Boolean = false,
       persist: Boolean = false) extends CurationStage
 
   /** Benchmark decontamination ([[graft.text.Dedup.ngramOverlap]] — the
@@ -253,6 +263,17 @@ object CurationModels {
       seqLen: Long = 256L,
       persist: Boolean = false) extends CurationStage
 
+  /** Corpus data card ([[graft.text.DataCard.dataCard]] — r16 verdict
+    * item 6): the per-`groupBy`-cell datasheet summary (exact counts,
+    * integral means, census rank-pick median, top-language census pick,
+    * fingerprint dup rate) as the natural TERMINAL stage of a curation
+    * plan — an AGGREGATING stage, like `aggregate`/`token_pack`. */
+  final case class DataCardStage(
+      textColumn: String = "text",
+      langColumn: String = "lang",
+      groupBy: Seq[String],
+      persist: Boolean = false) extends CurationStage
+
   /** The JSON discriminator of a stage — one spelling, shared by the
     * codec ([[CurationJson]]) and the dry-run explain surface. */
   def stageType(st: CurationStage): String = st match {
@@ -275,7 +296,15 @@ object CurationModels {
     case _: DomainCapStage => "domain_cap"
     case _: QuotaSampleStage => "quota_sample"
     case _: TokenPackStage => "token_pack"
+    case _: DataCardStage => "data_card"
   }
+
+  /** Output columns [[DataCardStage]] appends after its group keys — the
+    * [[graft.text.DataCard.dataCard]] schema, shared by the schema walk
+    * and the API card route. */
+  val DataCardColumns: Seq[String] = Seq(
+    "n_docs", "total_tokens", "mean_tokens", "p50_tokens",
+    "n_langs", "top_lang", "top_lang_ppm", "exact_dup_ppm")
 
   /** feature name → the output column it adds. */
   val FeatureColumns: Map[String, String] = Map(

@@ -32,7 +32,13 @@ final class CurationSubmitter(
     /** reuse persisted stage outputs already on disk (valid only while
       * the input and the plan prefix are unchanged — both are folded into
       * the step key, so a stale checkpoint is simply never found). */
-    resume: Boolean = false) {
+    resume: Boolean = false,
+    /** registry backing `"artifacts": true` dedup stages ([[graft.registry
+      * .DerivedArtifacts]]): shingle/bucket frames persist as
+      * provenance-stamped registered datasets keyed by (input token +
+      * plan prefix + stage params), so a re-run plan pays metadata only
+      * for its signature pass (r16 verdict item 5). */
+    registry: Option[graft.registry.Registry] = None) {
 
   /** Content token of one input table: hash over the (path, length,
     * mtime) file listing — any rewrite of the input invalidates every
@@ -122,11 +128,15 @@ final class CurationSubmitter(
       case CurationFilterStage(filters, _) =>
         for (f <- filters; c <- DimensionFilter.targetColumn(f)) need(c, "filter")
       case ExactDedupStage(ic, tc, _) => need(ic, "id"); need(tc, "text")
-      case MinHashDedupStage(ic, tc, bands, rows, sh, th, _) =>
-        need(ic, "id"); need(tc, "text")
-        require(bands > 0 && rows > 0 && sh > 0,
+      case st: MinHashDedupStage =>
+        need(st.idColumn, "id"); need(st.textColumn, "text")
+        require(st.bands > 0 && st.rowsPerBand > 0 && st.shingleSize > 0,
           s"plan '${plan.name}': minhash_dedup bands/rows_per_band/shingle_size must be positive")
-        require(th > 0 && th <= 1, s"plan '${plan.name}': minhash_dedup threshold in (0,1]: $th")
+        require(st.threshold > 0 && st.threshold <= 1,
+          s"plan '${plan.name}': minhash_dedup threshold in (0,1]: ${st.threshold}")
+        require(!st.artifacts || registry.isDefined,
+          s"plan '${plan.name}': minhash_dedup \"artifacts\": true needs a " +
+            "registry-configured submitter")
       case st: DecontaminateStage =>
         need(st.idColumn, "id"); need(st.textColumn, "text")
         require(st.ngram >= 1, s"plan '${plan.name}': decontaminate ngram must be >= 1")
@@ -200,6 +210,11 @@ final class CurationSubmitter(
         st.groupBy.foreach(need(_, "group-by"))
         require(st.seqLen >= 1, s"plan '${plan.name}': token_pack seq_len must be >= 1")
         cols = st.groupBy.toSet ++ Seq("seq", "n_docs", "n_tokens")
+      case st: DataCardStage =>
+        need(st.textColumn, "text"); need(st.langColumn, "language")
+        require(st.groupBy.nonEmpty, s"plan '${plan.name}': data_card needs group columns")
+        st.groupBy.foreach(need(_, "group-by"))
+        cols = st.groupBy.toSet ++ CurationModels.DataCardColumns
     }
       out += ((CurationModels.stageType(st), cols.toSeq.sorted, st.persist))
     }
@@ -222,8 +237,16 @@ final class CurationSubmitter(
   }
 
   /** One stage applied to one frame — every case delegates to the
-    * operator registry; this class adds no operator semantics of its own. */
-  def applyStage(df: DataFrame, st: CurationStage): DataFrame = st match {
+    * operator registry; this class adds no operator semantics of its own.
+    * `artifactKey` is the (artifact id prefix, source token) pair an
+    * `"artifacts": true` dedup stage resolves under — [[submit]] derives
+    * it from (plan name, input token + canonical plan prefix); the bare
+    * two-arg form (specs, ad-hoc callers) never touches the registry. */
+  def applyStage(df: DataFrame, st: CurationStage): DataFrame =
+    applyStage(df, st, None)
+
+  private def applyStage(
+      df: DataFrame, st: CurationStage, artifactKey: Option[(String, String)]): DataFrame = st match {
     case TextFeaturesStage(tc, features, _, _) =>
       // one materialized token pass feeds every feature (the HOF-lambda
       // CSE rule — never recompute tokenization per feature)
@@ -259,8 +282,40 @@ final class CurationSubmitter(
         Seq(st.idColumn))
     case CurationFilterStage(filters, _) => DimensionFilter.applyAll(df, filters)
     case ExactDedupStage(ic, tc, _) => Dedup.dropExactDuplicates(df, ic, tc)
-    case MinHashDedupStage(ic, tc, bands, rows, sh, th, _) =>
-      val pairs = Dedup.minhashNearDuplicates(df, ic, tc, bands, rows, sh, th)
+    case st: MinHashDedupStage =>
+      val ic = st.idColumn
+      val pairs = (registry, artifactKey) match {
+        case (Some(reg), Some((prefix, sourceToken))) if st.artifacts =>
+          // registry-resolved shingles + buckets (r16 verdict item 5):
+          // the two map-side products persist as provenance-stamped
+          // datasets; an unchanged (input, plan prefix, params) re-run
+          // reads parquet instead of re-shingling the corpus. Buckets
+          // build FROM the registered shingle artifact, so the pair is
+          // always derived from one corpus state (the minhashArtifacts
+          // convention). The candidate self-join + exact-Jaccard verify
+          // run per-invocation — they are output-sized, not corpus-pass-
+          // sized, and the threshold stays a verify-time knob.
+          import graft.registry.DerivedArtifacts
+          val params =
+            s"minhash|$ic|${st.textColumn}|${st.bands}|${st.rowsPerBand}|${st.shingleSize}"
+          val src = s"curation:$prefix"
+          val shingles = DerivedArtifacts.resolveWithToken(
+            reg, s"${prefix}__minhash_shingles", src, sourceToken, params)(
+            Dedup.hashedShingleSets(df, ic, st.textColumn, st.shingleSize))
+          val buckets = DerivedArtifacts.resolveWithToken(
+            reg, s"${prefix}__lsh_buckets", src, sourceToken, params)(
+            Dedup.lshBucketsFromSignatures(
+              Dedup.minhashSignaturesFromShingles(
+                shingles, ic, st.bands * st.rowsPerBand),
+              ic, st.bands, st.rowsPerBand))
+          Dedup.verifyJaccardOnShingles(
+            shingles, Dedup.candidatePairs(buckets, ic), ic, st.threshold)
+        case _ =>
+          require(!st.artifacts,
+            "minhash_dedup \"artifacts\": true needs a registry-configured submitter")
+          Dedup.minhashNearDuplicates(df, ic, st.textColumn,
+            st.bands, st.rowsPerBand, st.shingleSize, st.threshold)
+      }
       Dedup.dropNearDuplicates(df, pairs, ic)
     case st: DecontaminateStage =>
       val contaminated = Dedup.ngramOverlap(
@@ -323,6 +378,8 @@ final class CurationSubmitter(
         .select((st.groupBy.map(col) :+ col("seq").cast("long").as("seq") :+
           col("n_docs").cast("long").as("n_docs") :+
           col("n_tokens").cast("long").as("n_tokens")): _*)
+    case st: DataCardStage =>
+      graft.text.DataCard.dataCard(df, st.textColumn, st.langColumn, st.groupBy)
   }
 
   /** Run the plan. With a `cacheDir`: stage persist points checkpoint to
@@ -336,7 +393,16 @@ final class CurationSubmitter(
     lazy val token = inputToken(plan.input)
     def build(): DataFrame =
       plan.stages.zipWithIndex.foldLeft(load(plan.input)) { case (df, (st, i)) =>
-        val out = applyStage(df, st)
+        // artifact key for this stage: the frame a stage sees is fully
+        // determined by (input content, stages BEFORE it) — prefix i-1 —
+        // while the stage's own params ride the artifact params token
+        // stage index in the id keeps two dedup stages in one plan from
+        // sharing (and perpetually invalidating) one artifact pair
+        val artifactKey = registry.map { _ =>
+          (s"curation__${plan.name}__s$i",
+            Models.contentHash(token + CurationModels.canonicalPrefix(plan, i - 1)))
+        }
+        val out = applyStage(df, st, artifactKey)
         if (st.persist && cacheDir.isDefined) {
           val stepKey = Models.contentHash(token + CurationModels.canonicalPrefix(plan, i))
           graft.sources.Writers.persistIntermediate(

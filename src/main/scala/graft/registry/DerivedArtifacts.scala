@@ -60,14 +60,27 @@ object DerivedArtifacts {
     * provenance, and return it. The returned frame always reads the
     * REGISTERED parquet, never the in-flight build plan. */
   def resolve(reg: Registry, artifactId: String, sourceId: String, paramsToken: String)(
-      build: => DataFrame): DataFrame = {
-    val token = datasetToken(reg, sourceId)
-    if (!provenance(reg, artifactId).contains((token, paramsToken))) {
+      build: => DataFrame): DataFrame =
+    resolveWithToken(reg, artifactId, sourceId, datasetToken(reg, sourceId), paramsToken)(build)
+
+  /** Token-form resolve for sources that are not registered datasets — a
+    * curation plan's mid-pipeline frame, an external parquet directory —
+    * where the CALLER derives the invalidation token (e.g. input content
+    * token + canonical plan prefix, the [[graft.query.CurationSubmitter]]
+    * bridge). Same contract as [[resolve]]: metadata-only on a hit, build +
+    * register + provenance stamp on a miss. */
+  def resolveWithToken(
+      reg: Registry,
+      artifactId: String,
+      sourceDesc: String,
+      sourceToken: String,
+      paramsToken: String)(build: => DataFrame): DataFrame = {
+    if (!provenance(reg, artifactId).contains((sourceToken, paramsToken))) {
       Registry.registerDataset(reg, artifactId, build, validate = false)
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val n = m.createObjectNode()
-      n.put("source_dataset", sourceId)
-      n.put("source_token", token)
+      n.put("source_dataset", sourceDesc)
+      n.put("source_token", sourceToken)
       n.put("params_token", paramsToken)
       graft.sources.HadoopText.write(reg.spark,
         s"${reg.root}/datasets/$artifactId/provenance.json",

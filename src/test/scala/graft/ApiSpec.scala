@@ -388,4 +388,35 @@ class ApiSpec extends SparkSpec {
       assert(get.statusCode() == 405)
     } finally api.stop()
   }
+
+  test("GET /registry/datasets/<id>/card serves the corpus data card (r16 item 6)") {
+    val reg = Registry(spark, Files.createTempDirectory("graft-api-card").toString)
+    Registry.registerDataset(reg, "corpus",
+      Seq(
+        (1L, "s1", "alpha beta gamma", "en"),
+        (2L, "s1", "alpha beta gamma", "en"), // verbatim dup
+        (3L, "s1", "delta epsilon", "de"),
+        (4L, "s2", "zeta", "en"))
+        .toDF("doc_id", "source", "text", "lang"),
+      validate = false)
+    val api = new Api(reg)
+    val port = api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val card = get("/registry/datasets/corpus/card?group_by=source")
+      assert(card.statusCode() == 200, card.body())
+      assert(card.body().startsWith("""{"card": ["""))
+      // the s1 cell: 3 docs, one verbatim dup → 333333 ppm, top lang en
+      assert(card.body().contains(""""source":"s1""""))
+      assert(card.body().contains(""""exact_dup_ppm":333333"""))
+      assert(card.body().contains(""""top_lang":"en""""))
+      // unknown dataset → 404; missing column → client's 400
+      assert(get("/registry/datasets/ghost/card").statusCode() == 404)
+      val bad = get("/registry/datasets/corpus/card?group_by=nope")
+      assert(bad.statusCode() == 400 && bad.body().contains("nope"))
+    } finally api.stop()
+  }
 }
