@@ -643,9 +643,12 @@ object Graph {
       var converged = false
       var r = 0
       while (!converged && r < maxFixpointRounds) {
-        val next = checkpoint(fwdRound(
-          colors.select(col("id"), col("color"), col("__changed"))))
-        converged = next.filter(col("__changed")).isEmpty
+        // the changed-row count rides the checkpoint's materialization pass
+        // (withFlagCount) — the per-round filter(__changed).isEmpty probe
+        // job is gone (r16 verdict item 2's fusion)
+        val (next, _, changed) = cf.withFlagCount(fwdRound(
+          colors.select(col("id"), col("color"), col("__changed"))), "__changed")
+        converged = changed == 0L
         colors = next
         r += 1
       }
@@ -1039,13 +1042,23 @@ object Graph {
   def boruvkaMsf(
       edges: DataFrame,
       srcCol: String, dstCol: String, weightCol: String,
-      maxRounds: Int = 48): DataFrame = {
+      maxRounds: Int = 48,
+      /** Carry only cross-component edges between rounds (an intra edge
+        * never becomes cross again) — the textbook Borůvka shrink. At
+        * CLUSTER scale this is the lever: late rounds scan the few
+        * surviving cross edges instead of re-scanning the full symmetric
+        * edge set every round. At local test scale it LOSES: the extra
+        * per-round checkpoint job costs more than the saved scan
+        * (measured r17 at sf0.1: 13.3 s → 17.5 s with pruning — the r13
+        * more-small-jobs lesson), so the default is off; a 100 TB caller
+        * whose edge scan dominates turns it on. */
+      pruneEdges: Boolean = false): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64,
       s"boruvkaMsf: maxRounds in [1,64], got $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
     // symmetrize once; (a, b) normalized for the emit-once forest rows
-    val sym = edges
+    var sym = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
       .filter(col("u") =!= col("v"))
@@ -1139,6 +1152,14 @@ object Graph {
           .select(col("id"), coalesce(col("__ms_new"), col("comp")).as("comp"))
           .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
         tr("comp ckpt done")
+        // see the pruneEdges param doc: cross survivors only (labeled with
+        // PRE-merge components — newly-intra edges drop next round; the
+        // shrink is monotone either way)
+        if (pruneEdges) {
+          sym = org.apache.spark.sql.graft.CheckpointFresh(
+            cross.select(col("u"), col("v"), col("w")))
+          tr("edge prune ckpt done")
+        }
       }
     }
     require(done, s"boruvkaMsf: no fixed point after $maxRounds rounds — " +

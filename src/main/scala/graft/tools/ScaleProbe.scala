@@ -163,7 +163,23 @@ object ScaleProbe {
     "q385_registry_incremental_dedup" -> 0.75, // pinned r15 (was provisional 1.30) (design 1.5): artifact build linear map-side, cross-side bucket join; rotated copies keep output ∝ n; measured 0.32
     "q386_friedman" -> 0.7, // pinned r15 (was provisional 1.30) (design 1.3): row-linear distinct + fixed 400-block design; measured 0.00
     "q389_mann_kendall" -> 0.7, // pinned r15 (was provisional 1.30) (design 1.3): row-linear census to a fixed 50-day grid + grid² pairs; measured -0.10
-    "q391_nn_descent" -> 0.85 // pinned r15 (was provisional 1.30) (design 1.3): fixed rounds × (k² per-node candidates + vector joins); measured 0.39
+    "q391_nn_descent" -> 0.85, // pinned r15 (was provisional 1.30) (design 1.3): fixed rounds × (k² per-node candidates + vector joins); measured 0.39
+    // round-17 probes (r16 ADVICE item 1: the r16 queries shipped without
+    // probe entries) — provisional loose bounds, to be pinned at
+    // measured+0.45 after this round's full 5× run. Fixture-building
+    // queries (q398/q399/q402/q405/q406 construct memoized temp-dir
+    // fixtures from the probed dir's documents/embeddings) pay the build
+    // in run 1; min-of-2 times the warm steady state.
+    "q397_curation_gate_cap" -> 1.30, // provisional (measured r17: -0.18) // (design 1.3): per-row gopher gate + hash-rank cap + census agg, row-linear
+    "q398_curation_dedup_pack" -> 1.30, // provisional (measured r17: 0.17) // (design 1.5): line/span dedup = corpus-wide window censuses + id joins; pack is per-group linear
+    "q399_curation_semantic_quota" -> 1.30, // provisional (measured r17: 0.16) // (design 1.5): SemDeDup with k ∝ corpus (cells bounded, the q85 contract) + quota pick
+    "q400_registry_ivf_ann" -> 1.30, // provisional (measured r17: 0.10) // (design 1.3): centroid build linear (fixed k, fixed iters), probes=cells search = bounded-panel brute force
+    "q401_registry_pq_adc" -> 1.30, // provisional (measured r17: -0.07) // (design 1.3): PQ train fixed geometry, encode map-side, 5-query ADC scan linear
+    "q402_sql_lsh_dedup" -> 1.30, // provisional (measured r17: 0.46) // (design 1.5): the q29 family as SQL text — banded bucket self-join + inverted-index verify, stage-materialized
+    "q403_ann_recall_curve" -> 1.30, // provisional (measured r17: -0.01) // (design 1.3): bounded deterministic query panel × corpus scan per probe level
+    "q404_data_card" -> 1.30, // provisional (measured r17: 0.28) // (design 1.3): map-side projection + census aggregates, no raw-row windows
+    "q405_curation_artifact_dedup" -> 1.30, // provisional (measured r17: 0.42) // (design 1.5): artifact build linear map-side; candidate join output-sized (q29 family)
+    "q406_curation_data_card" -> 1.30 // provisional (measured r17: 0.35) // (design 1.3): raw filter + data card censuses
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
@@ -349,7 +365,9 @@ object ScaleProbe {
     * 10⁸ per copy — small enough that modular hash arithmetic stays in
     * range) and per-copy CONTENT perturbation, so structure replicates
     * instead of densifying:
-    *   - documents.text: per-copy letter rotation (translate) — without it
+    *   - documents.text: per-copy letter permutation (translate; keyed
+    *     Fisher–Yates, distinct for any copy count — see the r17 note at
+    *     `rotated`) — without it
     *     every doc has k exact clones and dedup candidate sets grow k² in
     *     cross-copy pairs, measuring the synthesis, not the operator;
     *   - embeddings.embedding: per-copy deterministic sign pattern per
@@ -365,7 +383,27 @@ object ScaleProbe {
     require(k >= 2, s"synthesize: k must be >= 2, got $k")
     val off = 100000000L
     val letters = "etaoinsrhl"
-    def rotated(i: Int) = letters.drop(i % letters.length) + letters.take(i % letters.length)
+    // Per-copy letter PERMUTATION, not rotation (r17 fix): rotations cycle
+    // at letters.length = 10, so the r16 20× deep run gave copies i and
+    // i+10 an IDENTICAL vocabulary mapping — every document had an exact
+    // cross-copy clone, inflating q-gram df ×(k/10) and identical-text
+    // pair output quadratically WITHIN rotation classes. That is the
+    // "measuring the synthesis, not the operator" trap this function's own
+    // scaladoc warns about, and it contaminated probe_edit_join_full's 20×
+    // reading (1.27). A deterministic Fisher–Yates keyed by the copy index
+    // yields distinct mappings for any realistic k (10! arrangements);
+    // copy 0 stays identity, and lengths/gram structure are preserved
+    // exactly as with rotation.
+    def rotated(i: Int): String = {
+      val arr = letters.toCharArray
+      var seed = (i.toLong * 2654435761L) % 1000000007L + 1L
+      for (j <- arr.length - 1 to 1 by -1) {
+        seed = (seed * 48271L) % 2147483647L
+        val m = (seed % (j + 1)).toInt
+        val t = arr(j); arr(j) = arr(m); arr(m) = t
+      }
+      new String(arr)
+    }
     def copies(name: String)(perturb: (DataFrame, Int) => DataFrame): Unit = {
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       (0 until k).map(i => perturb(src, i)).reduce(_.unionByName(_))
@@ -395,7 +433,7 @@ object ScaleProbe {
     // "more data = more brands" shape. q253's p_partkey arithmetic (%10,
     // %100 patterns) survives the 1e8 offset, so its components replicate
     // disjointly.
-    // p_name rotates per copy like documents.text: the full-corpus ED-Join
+    // p_name is letter-permuted per copy like documents.text: the full-corpus ED-Join
     // probe would otherwise see k exact clones of every name (identical-
     // name pair output grows k² in cross-copy pairs — the synthesis, not
     // the operator); rotation preserves lengths and gram structure.

@@ -90,6 +90,27 @@ object CheckpointFresh {
     * every iterative operator (the r13 verdict's top efficiency item). */
   def withCount(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Long) = {
+    val (out, n, _) = materialize(df, None)
+    (out, n)
+  }
+
+  /** [[withCount]], plus the count of rows whose `flagCol` (a boolean
+    * column, nulls counted false) is true — BOTH ridden on the eager
+    * materialization pass. An iterative operator's "did anything change
+    * this round?" probe was a separate `filter(flag).isEmpty` job per
+    * round on a frame whose checkpoint had just visited every row (the
+    * r16 verdict item 2 fusion direction, completing what [[withCount]]
+    * did for emptiness probes). */
+  def withFlagCount(df: org.apache.spark.sql.DataFrame, flagCol: String)
+      : (org.apache.spark.sql.DataFrame, Long, Long) = {
+    val idx = df.schema.fieldIndex(flagCol)
+    require(df.schema(idx).dataType == org.apache.spark.sql.types.BooleanType,
+      s"withFlagCount: '$flagCol' must be boolean, is ${df.schema(idx).dataType}")
+    materialize(df, Some(idx))
+  }
+
+  private def materialize(df: org.apache.spark.sql.DataFrame, flagIdx: Option[Int])
+      : (org.apache.spark.sql.DataFrame, Long, Long) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -99,7 +120,17 @@ object CheckpointFresh {
     // after the job runs — stamping the pre-AQE partitioning onto the
     // LogicalRDD could let a downstream join skip a shuffle the coalesced
     // data no longer satisfies (wrong results, not just slow ones)
-    val n = rdd.count()
+    val (n, flagged) = flagIdx match {
+      case None => (rdd.count(), 0L)
+      case Some(i) =>
+        // one pass counts rows AND true flags (any action materializes the
+        // local checkpoint, so this replaces count() at identical cost)
+        rdd.mapPartitions { it =>
+          var c = 0L; var h = 0L
+          it.foreach { r => c += 1; if (!r.isNullAt(i) && r.getBoolean(i)) h += 1 }
+          Iterator.single((c, h))
+        }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    }
     // mirror LogicalRDD.fromDataset (keep partitioning + ordering so the
     // next round's same-key join skips its shuffle) but CLAMP the rewritten
     // stats at Long.MaxValue: small honest sizes still flow (early-round
@@ -115,6 +146,6 @@ object CheckpointFresh {
     val node = LogicalRDD(
       ds.logicalPlan.output, rdd, firstLeaf(executed.outputPartitioning),
       executed.outputOrdering, isStreaming = false)(spark, clamped, origConstraints)
-    (org.apache.spark.sql.classic.Dataset.ofRows(spark, node), n)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, node), n, flagged)
   }
 }
