@@ -196,18 +196,29 @@ object Bench {
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_FILE", "bench_reference.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def readRef(): Map[String, (String, Double)] =
+    // schema: {"fixtures": {"<hash>": {"updated_ms": N, "queries": {q: min}}}}
+    // — PER-FIXTURE blocks, because full-catalog runs happen at different
+    // SFs (the driver at sf0.1, Doctor at sf0.01) whose fixture hashes
+    // differ: a single-hash schema would flip-flop between them, losing
+    // the cross-round mins each time. Only the newest 4 blocks are kept.
+    def readRefAll(): Map[String, (Long, Map[String, Double])] =
       try {
         val p = java.nio.file.Paths.get(refFile)
         if (!java.nio.file.Files.exists(p)) Map.empty
         else {
           import scala.jdk.CollectionConverters._
           val n = mapper.readTree(java.nio.file.Files.readString(p))
-          n.properties().asScala.iterator.map { e =>
-            e.getKey -> (e.getValue.get("hash").asText(), e.getValue.get("min").asDouble())
+          val fx = n.get("fixtures")
+          if (fx == null) Map.empty
+          else fx.properties().asScala.iterator.map { e =>
+            val qs = Option(e.getValue.get("queries")).map(_.properties().asScala.iterator
+              .map(q => q.getKey -> q.getValue.asDouble()).toMap).getOrElse(Map.empty[String, Double])
+            e.getKey -> (Option(e.getValue.get("updated_ms")).map(_.asLong()).getOrElse(0L), qs)
           }.toMap
         }
       } catch { case _: Exception => Map.empty }
+    def readRef(): Map[String, Double] =
+      readRefAll().get(fixtureHash).map(_._2).getOrElse(Map.empty)
     // fresh-JVM isolation run over the suspect queries; returns their
     // steady-state mins from the child's detail record
     def isolatedTimes(names: Seq[String]): Map[String, Double] =
@@ -248,11 +259,11 @@ object Bench {
           System.err.println(s"[bench] readjudication child failed: ${e.getMessage}")
           Map.empty
       }
-    val ref = if (isChild) Map.empty[String, (String, Double)] else readRef()
+    val ref = if (isChild) Map.empty[String, Double] else readRef()
     val suspects = results.toSeq.collect {
       // floor 0.5 s: below it a 2× swing is scheduler noise, not state
-      case (name, (w, _, _, _)) if w > 0.5 && ref.get(name).exists { case (h, m) =>
-        h == fixtureHash && m > 0 && w > m * 2 } => (name, w / ref(name)._2)
+      case (name, (w, _, _, _)) if w > 0.5 && ref.get(name).exists(m =>
+        m > 0 && w > m * 2) => (name, w / ref(name))
     }.sortBy(-_._2).take(8).map(_._1)
     val readjudicated: Map[String, Double] =
       if (suspects.isEmpty) Map.empty
@@ -274,16 +285,22 @@ object Bench {
     // keyed by fixture hash — a regenerated fixture resets the entry
     if (!isChild && only.isEmpty && !fixtureHash.startsWith("unavailable")) {
       try {
-        val keep = readRef().filter { case (k, _) => published.contains(k) }
+        val all = readRefAll()
+        val cur = all.get(fixtureHash).map(_._2).getOrElse(Map.empty[String, Double])
+          .filter { case (k, _) => published.contains(k) } // drop renamed/removed queries
         val updated = published.toSeq.filter(_._2._1 > 0).map { case (k, (w, _, _, _)) =>
-          keep.get(k) match {
-            case Some((h, m)) if h == fixtureHash => k -> (fixtureHash, math.min(m, w))
-            case _ => k -> (fixtureHash, w)
-          }
+          k -> cur.get(k).fold(w)(math.min(_, w))
         }.toMap
+        val kept = (all - fixtureHash).toSeq.sortBy(-_._2._1).take(3) :+
+          (fixtureHash -> (System.currentTimeMillis(), updated))
         val root = mapper.createObjectNode()
-        updated.toSeq.sortBy(_._1).foreach { case (k, (h, m)) =>
-          val o = root.putObject(k); o.put("hash", h); o.put("min", math.rint(m * 1000) / 1000)
+        val fx = root.putObject("fixtures")
+        kept.sortBy(-_._2._1).foreach { case (h, (ts, qs)) =>
+          val b = fx.putObject(h)
+          b.put("updated_ms", ts)
+          val qn = b.putObject("queries")
+          qs.toSeq.sortBy(_._1).foreach { case (k, m) =>
+            qn.put(k, math.rint(m * 1000) / 1000) }
         }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(refFile),
           mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")

@@ -168,7 +168,10 @@ final class Api(
     * → the corpus data card ([[graft.text.DataCard]]) of a registered
     * corpus — the quantitative datasheet rows per group cell (r16 verdict
     * item 6). This one RUNS a census-shaped aggregation (never row-scale
-    * output); missing columns are the client's 400. */
+    * output); missing columns are the client's 400.
+    * /registry/datasets/<id>/provenance → the derived-artifact lineage
+    * sidecar ([[graft.registry.DerivedArtifacts]]); 404 for plain fact
+    * tables. */
   private def datasetsHandler(): HttpHandler = new HttpHandler {
     def handle(ex: HttpExchange): Unit =
       try {
@@ -176,6 +179,20 @@ final class Api(
           .stripPrefix("/").stripSuffix("/")
         if (rest.isEmpty)
           respond(ex, 200, registry.listDatasets().map(quote).mkString("[", ",", "]"))
+        else if (rest.endsWith("/provenance")) {
+          // derived-artifact lineage (DerivedArtifacts sidecar): which
+          // source state + params produced this dataset — metadata-only;
+          // a dataset without a sidecar (a user fact table) is the 404
+          val id = rest.stripSuffix("/provenance")
+          if (!registry.listDatasets().contains(id))
+            respond(ex, 404, s"""{"error": ${quote(s"unknown dataset: $id")}}""")
+          else {
+            val p = s"${registry.root}/datasets/$id/provenance.json"
+            if (!registry.hadoopExists(p))
+              respond(ex, 404, s"""{"error": ${quote(s"dataset '$id' has no provenance sidecar")}}""")
+            else respond(ex, 200, graft.sources.HadoopText.read(registry.spark, p))
+          }
+        }
         else if (rest.endsWith("/card")) {
           val id = rest.stripSuffix("/card")
           if (!registry.listDatasets().contains(id))

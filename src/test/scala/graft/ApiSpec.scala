@@ -417,6 +417,19 @@ class ApiSpec extends SparkSpec {
       assert(get("/registry/datasets/ghost/card").statusCode() == 404)
       val bad = get("/registry/datasets/corpus/card?group_by=nope")
       assert(bad.statusCode() == 400 && bad.body().contains("nope"))
+
+      // provenance route: a user fact table has no sidecar (404); a
+      // derived artifact serves its (source, tokens) lineage
+      assert(get("/registry/datasets/corpus/provenance").statusCode() == 404)
+      graft.registry.DerivedArtifacts.resolveWithToken(
+        reg, "corpus__derived", "spec:corpus", "tok0", "params0")(
+        Seq((1L, 2L)).toDF("a", "b"))
+      val prov = get("/registry/datasets/corpus__derived/provenance")
+      assert(prov.statusCode() == 200, prov.body())
+      assert(prov.body().contains("\"source_token\" : \"tok0\"") ||
+        prov.body().contains("\"source_token\": \"tok0\"") ||
+        prov.body().contains("\"source_token\":\"tok0\""))
+      assert(get("/registry/datasets/nope/provenance").statusCode() == 404)
     } finally api.stop()
   }
 }

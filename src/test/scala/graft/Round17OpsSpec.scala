@@ -174,6 +174,22 @@ class Round17OpsSpec extends SparkSpec {
     assert(s1.getAs[String]("top_lang") == "en")
   }
 
+  test("CheckpointFresh.withFlagCount: ONE job carries row count and flag count") {
+    val df = viaParquet(Seq((1L, true), (2L, false), (3L, true), (4L, false), (5L, false))
+      .toDF("id", "f"))
+    var res: (org.apache.spark.sql.DataFrame, Long, Long) = null
+    val jobs = countJobs {
+      res = org.apache.spark.sql.graft.CheckpointFresh.withFlagCount(df, "f")
+    }
+    assert(jobs == 1L, s"materialization + both counts must be one job, saw $jobs")
+    assert(res._2 == 5L && res._3 == 2L)
+    assert(res._1.count() == 5L) // the returned frame reads the checkpointed blocks
+    // non-boolean flag refused loudly
+    val e = intercept[IllegalArgumentException](
+      org.apache.spark.sql.graft.CheckpointFresh.withFlagCount(df, "id"))
+    assert(e.getMessage.contains("boolean"))
+  }
+
   test("minhash artifacts JSON round-trip keeps the artifacts flag") {
     val plan = CurationJson.parse(planDoc)
     val st = plan.stages.head.asInstanceOf[CurationModels.MinHashDedupStage]
