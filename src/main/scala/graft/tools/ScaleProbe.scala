@@ -184,16 +184,16 @@ object ScaleProbe {
     // queries (q398/q399/q402/q405/q406 construct memoized temp-dir
     // fixtures from the probed dir's documents/embeddings) pay the build
     // in run 1; min-of-2 times the warm steady state.
-    "q397_curation_gate_cap" -> 1.30, // provisional (measured r17: -0.18) // (design 1.3): per-row gopher gate + hash-rank cap + census agg, row-linear
-    "q398_curation_dedup_pack" -> 1.30, // provisional (measured r17: 0.17) // (design 1.5): line/span dedup = corpus-wide window censuses + id joins; pack is per-group linear
-    "q399_curation_semantic_quota" -> 1.30, // provisional (measured r17: 0.16) // (design 1.5): SemDeDup with k ∝ corpus (cells bounded, the q85 contract) + quota pick
-    "q400_registry_ivf_ann" -> 1.30, // provisional (measured r17: 0.10) // (design 1.3): centroid build linear (fixed k, fixed iters), probes=cells search = bounded-panel brute force
-    "q401_registry_pq_adc" -> 1.30, // provisional (measured r17: -0.07) // (design 1.3): PQ train fixed geometry, encode map-side, 5-query ADC scan linear
-    "q402_sql_lsh_dedup" -> 1.30, // provisional (measured r17: 0.46) // (design 1.5): the q29 family as SQL text — banded bucket self-join + inverted-index verify, stage-materialized
-    "q403_ann_recall_curve" -> 1.30, // provisional (measured r17: -0.01) // (design 1.3): bounded deterministic query panel × corpus scan per probe level
-    "q404_data_card" -> 1.30, // provisional (measured r17: 0.28) // (design 1.3): map-side projection + census aggregates, no raw-row windows
-    "q405_curation_artifact_dedup" -> 1.30, // provisional (measured r17: 0.42) // (design 1.5): artifact build linear map-side; candidate join output-sized (q29 family)
-    "q406_curation_data_card" -> 1.30 // provisional (measured r17: 0.35) // (design 1.3): raw filter + data card censuses
+    "q397_curation_gate_cap" -> 1.30, // provisional (measured r17 full-gate: 0.01; partial: -0.18) // (design 1.3): per-row gopher gate + hash-rank cap + census agg, row-linear
+    "q398_curation_dedup_pack" -> 1.30, // provisional (measured r17 full-gate: 0.33; partial: 0.17) // (design 1.5): line/span dedup = corpus-wide window censuses + id joins; pack is per-group linear
+    "q399_curation_semantic_quota" -> 1.30, // provisional (measured r17 full-gate: 0.24; partial: 0.16) // (design 1.5): SemDeDup with k ∝ corpus (cells bounded, the q85 contract) + quota pick
+    "q400_registry_ivf_ann" -> 1.30, // provisional (measured r17 full-gate: 0.11; partial: 0.10) // (design 1.3): centroid build linear (fixed k, fixed iters), probes=cells search = bounded-panel brute force
+    "q401_registry_pq_adc" -> 1.30, // provisional (measured r17 full-gate: 0.40; partial: -0.07) // (design 1.3): PQ train fixed geometry, encode map-side, 5-query ADC scan linear
+    "q402_sql_lsh_dedup" -> 1.30, // provisional (measured r17 full-gate: 0.43; partial: 0.46) // (design 1.5): the q29 family as SQL text — banded bucket self-join + inverted-index verify, stage-materialized
+    "q403_ann_recall_curve" -> 1.30, // provisional (measured r17 full-gate: 0.06; partial: -0.01) // (design 1.3): bounded deterministic query panel × corpus scan per probe level
+    "q404_data_card" -> 1.30, // provisional (measured r17 full-gate: 0.43; partial: 0.28) // (design 1.3): map-side projection + census aggregates, no raw-row windows
+    "q405_curation_artifact_dedup" -> 1.30, // provisional (measured r17 full-gate: 0.47; partial: 0.42) // (design 1.5): artifact build linear map-side; candidate join output-sized (q29 family)
+    "q406_curation_data_card" -> 1.30 // provisional (measured r17 full-gate: 0.46; partial: 0.35) // (design 1.3): raw filter + data card censuses
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
