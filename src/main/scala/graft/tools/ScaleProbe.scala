@@ -63,7 +63,9 @@ object ScaleProbe {
     *   probe_dbscan_tiled: 0.92 @5× → 1.11 @20× — the linear×log
     *     hypothesis confirmed (CC rounds ~log n adds ~0.1 to the measured
     *     exponent per 4× of factor); designed 1.5 bound re-justified,
-    *     kept;
+    *     kept. r17 extended the curve to 40× (one-shot,
+    *     SCALE_deep17_dbscan40.json): **1.066** — flat across 5×/20×/40×
+    *     (1.00/1.11/1.07), linear×log settled;
     *   probe_edit_join_full: 0.92 @5× → 1.27 @20× — r17 ADJUDICATED as
     *     TWO stacked SYNTHESIS/FIXTURE artifacts (verdict item 4), not an
     *     operator curve: (a) the per-copy letter ROTATION cycled at 10
