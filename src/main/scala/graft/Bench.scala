@@ -27,6 +27,12 @@ object Bench {
     // parquet) — build the shared registries before the timed loop
     try Queries.prewarmRegistries(spark, sfDir)
     catch { case _: Throwable => () }
+    // untimed streaming warm-up (r17 verdict item 5): per-JVM streaming
+    // machinery otherwise lands on the first timed streaming query, which
+    // made isolated fresh-JVM re-runs of q295/q316 read ~2x their in-suite
+    // numbers on identical code — see StreamOps.warmup's scaladoc
+    try graft.streaming.StreamOps.warmup(spark)
+    catch { case _: Throwable => () }
     // noop sink forces full evaluation of every operator (a bare count()
     // lets Catalyst prune projection-only work and under-measures).
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -260,11 +266,18 @@ object Bench {
           Map.empty
       }
     val ref = if (isChild) Map.empty[String, Double] else readRef()
-    val suspects = results.toSeq.collect {
+    val suspectsAll = results.toSeq.collect {
       // floor 0.5 s: below it a 2× swing is scheduler noise, not state
       case (name, (w, _, _, _)) if w > 0.5 && ref.get(name).exists(m =>
         m > 0 && w > m * 2) => (name, w / ref(name))
-    }.sortBy(-_._2).take(8).map(_._1)
+    }.sortBy(-_._2)
+    // the isolated re-runs are capped at the 8 worst ratios, but never
+    // SILENTLY (the repo's no-silent-caps rule): a mass-slow run must read
+    // as what it is, with the omitted suspects named (r17 ADVICE 2)
+    val suspects = suspectsAll.take(8).map(_._1)
+    if (suspectsAll.size > suspects.size)
+      System.err.println(s"[bench] readjudication cap: ${suspectsAll.size - suspects.size} " +
+        s"further suspects not re-run: ${suspectsAll.drop(8).map(_._1).mkString(",")}")
     val readjudicated: Map[String, Double] =
       if (suspects.isEmpty) Map.empty
       else {
@@ -288,9 +301,14 @@ object Bench {
         val all = readRefAll()
         val cur = all.get(fixtureHash).map(_._2).getOrElse(Map.empty[String, Double])
           .filter { case (k, _) => published.contains(k) } // drop renamed/removed queries
-        val updated = published.toSeq.filter(_._2._1 > 0).map { case (k, (w, _, _, _)) =>
+        // seeded with the existing reference entries: a query that ERRORED
+        // this run (wall = 0, e.g. the documented transient compile-race
+        // NoClassDefFoundError class) keeps its cross-round min instead of
+        // being silently erased — losing it would blind the >2x
+        // readjudication defense for that query next round (r17 ADVICE 1)
+        val updated = cur ++ published.toSeq.filter(_._2._1 > 0).map { case (k, (w, _, _, _)) =>
           k -> cur.get(k).fold(w)(math.min(_, w))
-        }.toMap
+        }
         val kept = (all - fixtureHash).toSeq.sortBy(-_._2._1).take(3) :+
           (fixtureHash -> (System.currentTimeMillis(), updated))
         val root = mapper.createObjectNode()
@@ -344,7 +362,11 @@ object Bench {
     val qspreadJson = results.toSeq.sortBy(_._1)
       .map { case (k, (_, _, _, sp)) => "\"" + k + "\":" + fmt(sp, 2) }
       .mkString("{", ",", "}")
-    val readjJson = readjudicated.toSeq.sortBy(_._1)
+    // a 0.0 entry means the isolated child FAILED for that query — the
+    // publish logic already ignores it, so it must not surface in the
+    // detail record where the documented "published = min(in-suite,
+    // isolated)" reading would make it a contradictory 0.0 (r17 ADVICE 3)
+    val readjJson = readjudicated.filter(_._2 > 0).toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val detail = {

@@ -965,14 +965,22 @@ private[graft] object Catalog14 {
       val knn = Similarity.ivfTopK(emb, cells, cents, k = 10, probes = 2)
       val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
         .agg(count(lit(1)).as("indeg"))
+      // materialized ONCE: `full` feeds BOTH the gini census and the
+      // antihub aggregate — without this each branch re-runs the whole
+      // IVF retrieval pipeline (the plan showed two complete ivfTopK
+      // subtrees; r18 plan-lint finding)
       val full = emb.select(col("vec_id")).join(indeg, Seq("vec_id"), "left")
         .select(lit("all").as("g"), col("vec_id"),
           coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .localCheckpoint(true)
       val gini = graft.operators.RankStats.giniPpm(full, "indeg", Seq("g"))
       val extras = full.groupBy("g").agg(
         sum(when(col("indeg") === 0L, 1L).otherwise(0L)).as("n_antihub"),
         max(col("indeg")).as("max_indeg"))
-      gini.join(extras, "g")
+      // both sides are one row (g is a constant group), and Catalyst
+      // constant-folds the g = g condition away — broadcast the build side
+      // so the degenerate join plans as the bounded BNLJ, not a cartesian
+      gini.join(broadcast(extras), "g")
         .select(col("g"), col("n"), col("sum_v"), col("gini_num"),
           col("gini_ppm"), col("n_antihub"), col("max_indeg"))
     },

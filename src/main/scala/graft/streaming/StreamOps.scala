@@ -372,4 +372,40 @@ object StreamOps {
       }
       .toDF(keyCol, tsCol, tieCol, "s", "direction")
   }
+
+  /** Untimed per-JVM streaming warm-up for benchmark harnesses. The first
+    * streaming query a JVM runs pays ~2-3 s of machinery that later ones
+    * don't: state-store provider init, commit/offset-log paths, streaming
+    * codegen, trigger scaffolding. In a full-suite bench that cost is
+    * amortized across all streaming queries, but an ISOLATED fresh-JVM
+    * re-run of one streaming query eats it whole — the r17 q295/q316
+    * adjudication measured isolated 6.75/5.29 s vs in-suite 3.73/3.69 s on
+    * identical code, making cross-context comparisons family-dependent.
+    * Running one throwaway stream-stream outer join (the heaviest state
+    * shape) before any timed streaming query puts both contexts on the
+    * same steady state, exactly as the q01 calibration anchor does for
+    * batch scans. Bounded: 64 rows, 8 shuffle partitions, AvailableNow. */
+  def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-warmup")
+    val inDir = tmp.resolve("in").toString
+    spark.range(64)
+      .selectExpr("id", "id % 8 AS k", "timestamp_seconds(1000000000 + id * 60) AS ts")
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val left = stream.filter(col("id") % 2 === 0).drop("id")
+    val right = stream.filter(col("id") % 3 === 0).drop("id")
+    val joined = intervalJoin(left, right, Seq("k"), "ts",
+      within = "5 minutes", watermark = "1 minute", joinType = "left_outer")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream.format("memory").queryName("graft_stream_warmup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    spark.catalog.dropTempView("graft_stream_warmup")
+  }
 }

@@ -1,13 +1,13 @@
 package graft.tools
 
 /** One-shot gate chain: compile → Verify+oracle → sbt test → ScaleProbe →
-  * Bench, each as a subprocess, with one JSON verdict at the end
-  * (DOCTOR.json + a final stdout line). The round-close ritual is
+  * PlanLintSweep → Bench, each as a subprocess, with one JSON verdict at
+  * the end (DOCTOR.json + a final stdout line). The round-close ritual is
   * otherwise four hand-run commands spread across the verify skill — one
   * entry point makes driver rounds and future judges cheaper.
   *
   * Usage: `graft.tools.Doctor [--skip step,…] [--sf-dir dir] [--out file]`
-  * where steps ∈ {compile, verify, test, scale, bench}. Runs from the repo
+  * where steps ∈ {compile, verify, test, scale, planlint, bench}. Runs from the repo
   * root. Each step is best-effort isolated: a failed step records its exit
   * code and the chain continues (the verdict names every failure), except
   * compile — nothing downstream is meaningful against stale classes, so a
@@ -95,6 +95,14 @@ object Doctor {
             Seq("/root/testdata/sf0.001", sfDir, s"$work/scale.json")),
           Map("SPARK_GRAFT_CPUS" -> "8"), s"$work/scale.log")
         (rc == 0, s"rc=$rc out=$work/scale.json")
+      }
+      record("planlint") {
+        // writes the repo-root artifact (PLANLINT.json is part of the
+        // round-close contract, like bench_detail.json from the bench step)
+        val rc = run(
+          javaCmd("graft.tools.PlanLintSweep", Seq(sfDir, "PLANLINT.json")),
+          Map("SPARK_GRAFT_CPUS" -> "8"), s"$work/planlint.log")
+        (rc == 0, s"rc=$rc out=PLANLINT.json")
       }
       record("bench") {
         val rc = run(

