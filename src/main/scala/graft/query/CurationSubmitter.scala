@@ -277,6 +277,14 @@ final class CurationSubmitter(
         minAlphaWordFrac = st.minAlphaWordFrac,
         minStopwordHits = st.minStopwordHits)
     case st: RepetitionStage =>
+      // deliberately NOT checkpointed (r18 adjudication of the r17 q390
+      // watch item): the stage's input is read four times (this join's
+      // left side + the ids/lines/grams frames inside repetitionStats),
+      // but column pruning keeps the re-read branches cheap — each
+      // recomputes only the upstream filter predicate, not every metric
+      // column — and a measured CheckpointFresh here made q390 SLOWER
+      // (3.1-3.4 s → 3.6-4.1 s isolated at sf0.1: materializing the full
+      // text corpus costs more than the pruned re-scans)
       df.join(
         TextFunctions.repetitionStats(df, st.idColumn, st.textColumn, ngram = st.ngram),
         Seq(st.idColumn))

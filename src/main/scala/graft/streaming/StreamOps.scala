@@ -387,16 +387,30 @@ object StreamOps {
     * batch scans. Bounded: 64 rows, 8 shuffle partitions, AvailableNow. */
   def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-warmup")
-    val inDir = tmp.resolve("in").toString
-    spark.range(64)
-      .selectExpr("id", "id % 8 AS k", "timestamp_seconds(1000000000 + id * 60) AS ts")
-      .coalesce(1).write.mode("overwrite").parquet(inDir)
-    val schema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val inDir = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    // three single-row-group files + maxFilesPerTrigger=1: the catalog's
+    // streaming queries are MULTI-BATCH file streams, and per-batch
+    // machinery (offset/commit log append, state-store snapshot roll) has
+    // its own first-time costs beyond the first batch's
+    (0 to 2).foreach { c =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-swarm-c$c").toString
+      spark.range(c * 24, (c + 1) * 24)
+        .selectExpr("id", "id % 8 AS k", "timestamp_seconds(1000000000 + id * 60) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, inDir.resolve(f"chunk$c%03d.parquet"))
+    }
+    val schema = spark.read.parquet(inDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
     val left = stream.filter(col("id") % 2 === 0).drop("id")
     val right = stream.filter(col("id") % 3 === 0).drop("id")
+    // full_outer carries both sides' keyed state stores plus the null-side
+    // emission paths — a superset of the inner/left_outer machinery
     val joined = intervalJoin(left, right, Seq("k"), "ts",
-      within = "5 minutes", watermark = "1 minute", joinType = "left_outer")
+      within = "5 minutes", watermark = "1 minute", joinType = "full_outer")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =

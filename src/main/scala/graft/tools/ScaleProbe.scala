@@ -106,7 +106,7 @@ object ScaleProbe {
     // 0.09) is REPLACED r18 by probe_labelprop_disjoint below: the catalog
     // graph keys on the shared ~4000-supplier vocabulary, which
     // synthesize() densifies instead of growing — the q129/q373 precedent
-    "probe_labelprop_disjoint" -> 1.30, // provisional r18 (design 1.4: fixed rounds × linear joins at replicated density) — pin at measured+0.45 after a full 5× run
+    "probe_labelprop_disjoint" -> 0.75, // pinned r18 (was provisional 1.30) (design 1.4: fixed rounds × linear joins at replicated density); measured r18 5× 0.27, 20× deep 0.22
     "q185_basket_lift" -> 0.7, // design 1.6: within-basket pair expansion; measured .10/.16 (r14 0.16)
     "q208_pq_ann" -> 0.7, // design 1.3: bounded training + map-side encode; measured .06/.01 (r14 0.17)
     "q209_coreset" -> 0.7, // design 1.3: O(N) per round vs newest pick; measured .10/.07 (r14 0.10)
@@ -127,7 +127,7 @@ object ScaleProbe {
     // k < 4·(n/4) over p_partkey, and synthesize()'s 1e8 copy offsets fall
     // entirely OUTSIDE that dense prefix — the direct probe ran the same
     // graph at both sizes (the ≈ -0.00 readings were vacuous, not fast)
-    "probe_scc_scaled" -> 1.30, // provisional r18 (design 1.3: O(log d) shortcut rounds × linear edges) — pin at measured+0.45 after a full 5× run
+    "probe_scc_scaled" -> 0.85, // pinned r18 (was provisional 1.30) (design 1.3: O(log d) shortcut rounds × linear edges); measured r18 5× 0.26, 20× deep 0.37
     "q286_frequent_sequences" -> 0.7, // design 1.5: levelwise Apriori; measured .04/.02 (r14 -0.09)
     "q288_record_linkage" -> 0.8, // design 1.3: sorted-neighborhood, window-linear; measured .31/.37 (r14 0.30)
     "q289_link_prediction" -> 0.8, // design 1.6: degree-capped wedge expansion; measured .30/.36 (r14 0.26)
