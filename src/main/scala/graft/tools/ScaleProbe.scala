@@ -205,7 +205,13 @@ object ScaleProbe {
     "q403_ann_recall_curve" -> 0.7, // pinned r18 (was provisional 1.30) (design 1.3): bounded deterministic query panel × corpus scan per probe level; measured r17 full-gate 0.06, partial -0.01
     "q404_data_card" -> 0.9, // pinned r18 (was provisional 1.30) (design 1.3): map-side projection + census aggregates, no raw-row windows; measured r17 full-gate 0.43, partial 0.28
     "q405_curation_artifact_dedup" -> 0.95, // pinned r18 (was provisional 1.30) (design 1.5): artifact build linear map-side; candidate join output-sized (q29 family); measured r17 full-gate 0.47, partial 0.42
-    "q406_curation_data_card" -> 0.95 // pinned r18 (was provisional 1.30) (design 1.3): raw filter + data card censuses; measured r17 full-gate 0.46, partial 0.35
+    "q406_curation_data_card" -> 0.95, // pinned r18 (was provisional 1.30) (design 1.3): raw filter + data card censuses; measured r17 full-gate 0.46, partial 0.35
+    // round-18 event-analytics probes (the sessionize/funnel/markov family
+    // reads the UNSCALED events table, so it had zero probes — these replay
+    // the shapes over scaling orders; see the probeOnly drivers)
+    "probe_sessions_orders" -> 0.7, // pinned r18 (was provisional 1.30) (design 1.3: per-user window sort + lag, n log n within fixed keys); measured r18 full-gate 0.12
+    "probe_funnel_orders" -> 0.7, // pinned r18 (was provisional 1.30) (design 1.3: user-keyed min censuses + window-bounded joins); measured r18 full-gate 0.23
+    "probe_markov_orders" -> 0.7 // pinned r18 (was provisional 1.30) (design 1.3: per-user lead + bounded (from,to) census); measured r18 full-gate 0.10
   )
 
   /** Probe-only drivers for operators whose CATALOG query deliberately
@@ -451,6 +457,69 @@ object ScaleProbe {
       graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "day", 7)
         .agg(count(lit(1)).as("cells"), sum(col("n_active")).as("total_active"),
           sum(col("retention_ppm")).as("ppm_checksum"))
+    },
+    // round-18 event-analytics probes: the sessionize/funnel/markov family
+    // reads events.parquet, which synthesize() copies through UNSCALED, so
+    // the family had ZERO scale probes. Each driver replays the catalog
+    // shape over SCALING orders-as-events: fixed user vocabulary
+    // (o_custkey), activity per user ∝ factor — the realistic growth
+    // shape, and exactly what stresses the per-user window sorts.
+    // q58's gap sessionization: per-user timestamp sort + lag + running
+    // session count; events per user grow ∝ factor over a FIXED 30-day
+    // span, so sessions merge as density rises (cost is the sort, not the
+    // output)
+    "probe_sessions_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_custkey").as("user_id"),
+        timestamp_seconds(lit(1000000000L) +
+          pmod(col("o_orderkey") * 48271L, lit(2592000L))).as("ts"))
+      graft.time.Sessionize.sessionStats(ev, "ts", gapSeconds = 600L, Seq("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("duration_sec")).cast("long").as("dur_checksum"))
+    },
+    // q246's three-stage windowed funnel (first view → first click ≤ 1 h →
+    // first purchase ≤ 24 h): user-keyed min-aggregations + window-bounded
+    // joins, all row-linear censuses over the fixed user vocabulary
+    "probe_funnel_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val ev = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_custkey").as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(col("o_orderkey"), lit(3L)) + 1).cast("int")).as("event_type"),
+        (lit(1000000000000000L) +
+          pmod(col("o_orderkey") * 16807L, lit(86400000000L))).as("tu"),
+        col("o_orderkey").as("eid"))
+      def firstOf(df: DataFrame, name: String) =
+        df.groupBy(col("user_id")).agg(min(struct(col("tu"), col("eid"))).as(name))
+      val v = firstOf(ev.filter(col("event_type") === "view"), "v")
+        .select(col("user_id"), col("v.tu").as("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("tu") > col("vt") && col("tu") <= col("vt") + 3600000000L)
+      val cf = firstOf(c, "c").select(col("user_id"), col("c.tu").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(cf, Seq("user_id"))
+        .filter(col("tu") > col("ct") && col("tu") <= col("ct") + 86400000000L)
+      v.agg(count(lit(1)).cast("long").as("n_view")).crossJoin(
+        cf.agg(count(lit(1)).cast("long").as("n_click_1h")))
+        .crossJoin(firstOf(p, "p").agg(count(lit(1)).cast("long").as("n_purchase_24h")))
+    },
+    // markov transition census: per-user lead over an ordered event stream
+    // → (from, to) census + per-row-total window; states bounded (5
+    // priorities), transitions ∝ rows
+    "probe_markov_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_custkey").as("user_id"),
+        pmod(col("o_orderkey") * 48271L, lit(1000000L)).as("ord"),
+        col("o_orderkey").as("tie"),
+        col("o_orderpriority").as("state"))
+      graft.operators.EventAnalytics.markovTransitions(ev, "user_id", "ord", "tie", "state")
+        .agg(count(lit(1)).as("n_cells"), sum(col("n_trans")).as("n_trans"),
+          sum(col("p_ppm")).as("ppm_checksum"))
     })
 
   /** Synthesize a k× scale-up of a testdata directory for the probe's big
