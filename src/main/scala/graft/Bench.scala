@@ -293,10 +293,21 @@ object Bench {
         case _ => k -> v
       }
     }
+    // external load: fraction of the machine's cores busy with OTHER work
+    // during our timed runs (accumulated inside runOnce, so it is final
+    // here); > 0.25 means a quarter of the machine was fighting us
+    val externalLoad = if (wallAccum > 0) externAccum / (wallAccum * nCores) else -1.0
+    val contended = externalLoad > 0.25
     // reference update: FULL uncontended runs only (a filtered dev run or
-    // a readjudication child must never write the cross-round contract),
-    // keyed by fixture hash — a regenerated fixture resets the entry
-    if (!isChild && only.isEmpty && !fixtureHash.startsWith("unavailable")) {
+    // a readjudication child must never write the cross-round contract,
+    // and a contended run must not seed a new query's first reference min
+    // from contention-inflated numbers — r18 review finding: the doc
+    // claimed uncontended-only but the code never checked), keyed by
+    // fixture hash — a regenerated fixture resets the entry
+    if (contended && !isChild && only.isEmpty)
+      System.err.println(f"[bench] contended run (external_load=$externalLoad%.3f) - " +
+        "bench_reference.json not updated")
+    if (!isChild && only.isEmpty && !fixtureHash.startsWith("unavailable") && !contended) {
       try {
         val all = readRefAll()
         val cur = all.get(fixtureHash).map(_._2).getOrElse(Map.empty[String, Double])
@@ -339,12 +350,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     val wall = published.map { case (k, (w, _, _, _)) => k -> w }
     val total = if (wall.nonEmpty) wall.values.sum else 0.0
-    // external load: fraction of the machine's cores busy with OTHER work
-    // during our timed runs; > 0.25 means a quarter of the machine was
-    // fighting us — flag the whole artifact as contended so a slow record
-    // self-diagnoses instead of reading as a regression
-    val externalLoad = if (wallAccum > 0) externAccum / (wallAccum * nCores) else -1.0
-    val contended = externalLoad > 0.25
+    // contended (computed above, before the reference write): flags the
+    // whole artifact so a slow record self-diagnoses instead of reading
+    // as a regression
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonLine(entries: Seq[(String, Double)], p: Int, omitted: Int): String = {
       val qs = entries.sortBy(_._1)

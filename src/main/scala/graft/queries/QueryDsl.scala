@@ -280,21 +280,11 @@ private[graft] object QueryDsl {
 
   private[graft] val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Scope `spark.sql.shuffle.partitions` down to 8 around a streaming
-    * query's start: state-store partitioning is FIXED at the first batch
-    * from this conf, and per-batch store open/commit (plus tiny-batch
-    * shuffle task launch) scales with it — for the catalog's bounded
-    * corpora that machinery dominates the streaming queries' cost (the
-    * q154 stream-stream join measured 14.3 s → 3.4 s). Restored
-    * immediately after `.start()`: only the streaming plan captures the
-    * value, so batch queries on the session are unaffected. On a real
-    * cluster the same knob is sized to state volume instead. */
-  private[graft] def scopedStreamStart[A](s: SparkSession)(start: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try start
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  /** Catalog-side alias for [[graft.streaming.StreamOps.scopedStreamStart]]
+    * (the scoping logic lives with the streaming operators since r18 so
+    * the library surface and the bench warm-up share one copy). */
+  private[graft] def scopedStreamStart[A](s: SparkSession)(start: => A): A =
+    graft.streaming.StreamOps.scopedStreamStart(s)(start)
 
   private[graft] val q221Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -88,10 +88,14 @@ object PlanLintSweep {
         val row =
           try {
             val df = fn(spark, sfDir)
-            val nodes = graft.plans.PlanChecks.flatten(df)
+            // distinct BEFORE counting anything: PlanChecks.flatten
+            // re-walks a ReusedExchangeExec's child, so the same physical
+            // join/scan objects would otherwise be counted twice (the
+            // reused subtree's work happens once) — r18 review finding
+            val nodes = graft.plans.PlanChecks.flatten(df).distinct
             val cart = nodes.count(_.isInstanceOf[CartesianProductExec])
             val bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
-            val shuffles = nodes.distinct.count {
+            val shuffles = nodes.count {
               case _: ShuffleExchangeLike => true; case _ => false
             }
             val scans = nodes.collect { case s: FileSourceScanExec =>
