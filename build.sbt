@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// `sbt compile` alone does not run copyResources, but Verify/Bench/Doctor
+// read target/scala-2.13/classes DIRECTLY (not a packaged jar) — on a fresh
+// target the DataSourceRegister service file is then missing and every
+// graft-fixedwidth query dies with DATA_SOURCE_NOT_FOUND (r18 opt round 1
+// found this live). Chain copyResources onto compile so any build recipe
+// leaves a complete classes dir.
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value
