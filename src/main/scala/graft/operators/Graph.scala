@@ -60,12 +60,25 @@ object Graph {
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__graft_outdeg"))
     val edgesWithDeg = checkpoint(e.join(outdeg, "src"))
-    var ranks = checkpoint(nodes.withColumn("rank", lit(scale / n)))
+    // the uniform starting vector is never materialized: iteration 1
+    // inlines its constant (below), so the first checkpointed ranks frame
+    // is iteration 1's OUTPUT
+    var ranks: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val sums = edgesWithDeg
-        .join(ranks, edgesWithDeg("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("rank div __graft_outdeg").as("__graft_c"))
+      // iteration 1's rank vector is the constant scale/n on EVERY node
+      // (and every edge src is a node), so the edge×ranks join only
+      // decorates each edge with that driver-known constant — inline it
+      // and skip the join (r18 opt: guide §2.4; exact integer identity)
+      val contrib =
+        if (it == 0)
+          edgesWithDeg.select(col("dst").as("node"),
+            expr(s"${scale / n}L div __graft_outdeg").as("__graft_c"))
+        else
+          edgesWithDeg
+            .join(ranks, edgesWithDeg("src") === ranks("node"))
+            .select(col("dst").as("node"), expr("rank div __graft_outdeg").as("__graft_c"))
+      val sums = contrib
         .groupBy(col("node"))
         .agg(sum(col("__graft_c")).as("__graft_s"))
       ranks = checkpoint(
@@ -176,10 +189,19 @@ object Graph {
     // <= 2 rounds and truncate per round only beyond that
     val deep = rounds > 2
     for (r <- 1 to rounds) {
-      hub = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src").as("hnode"))
-        .agg(sum(col("score")).as("hscore"))
-        .select(col("hnode").as("node"), col("hscore").as("score"))
+      // round 1's auth is all-ones over EVERY distinct dst, so the join
+      // keeps every edge with score 1 — hub(src) degenerates to the plain
+      // out-degree count, no edge×auth join (r18 opt: guide §2.4; exact)
+      hub =
+        if (r == 1)
+          e.groupBy(col("src").as("hnode"))
+            .agg(count(lit(1)).cast("long").as("hscore"))
+            .select(col("hnode").as("node"), col("hscore").as("score"))
+        else
+          e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src").as("hnode"))
+            .agg(sum(col("score")).as("hscore"))
+            .select(col("hnode").as("node"), col("hscore").as("score"))
       if (deep) hub = checkpoint(hub)
       auth = e.join(hub.select(col("node").as("hnode"), col("score").as("hscore")),
           e("src") === col("hnode"))
@@ -341,17 +363,26 @@ object Graph {
       .filter(col("src") =!= col("dst"))
     val e = checkpoint(
       und.union(und.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    val nodes = e.select(col("src").as("node")).distinct()
-    var labels = checkpoint(nodes.withColumn("lbl", col("node")))
+    var labels: DataFrame = null
     var i = 0
     while (i < iterations) {
-      val freq = e
-        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy(col("src"), col("lbl"))
-        .agg(count(lit(1)).as("__graft_c"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("__graft_c"), (-col("lbl")).as("neg"))).as("__graft_m"))
-        .select(col("src").as("node"), (-col("__graft_m.neg")).as("lbl"))
+      // round 1 is the identity round: lbl(dst) = dst over the DISTINCT
+      // edge set, so every (src, lbl) count is exactly 1 and the
+      // (count, -lbl) argmax degenerates to min(dst) — one aggregation
+      // over e, no edge×labels join and no two-level frequency count
+      // (r18 opt: guide §2.4; exact, every node has >= 1 neighbor in the
+      // symmetrized e so the row set matches)
+      val freq =
+        if (i == 0)
+          e.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+            .select(col("src").as("node"), col("lbl"))
+        else
+          e.join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+            .groupBy(col("src"), col("lbl"))
+            .agg(count(lit(1)).as("__graft_c"))
+            .groupBy(col("src"))
+            .agg(max(struct(col("__graft_c"), (-col("lbl")).as("neg"))).as("__graft_m"))
+            .select(col("src").as("node"), (-col("__graft_m.neg")).as("lbl"))
       labels = checkpoint(freq)
       i += 1
     }
@@ -622,10 +653,17 @@ object Graph {
       // keeps a 100 TB chain from costing diameter-many shuffles. The
       // `__changed` bit rides the checkpointed frame: the convergence
       // probe is a cached scan, no extra join.
-      def fwdRound(cur: DataFrame): DataFrame = {
-        val cand = liveEdges
-          .join(cur.select(col("id").as("src"), col("color").as("__c")), Seq("src"))
-          .groupBy(col("dst").as("id")).agg(min(col("__c")).as("__cand"))
+      def fwdRound(cur: DataFrame, identity: Boolean = false): DataFrame = {
+        // the FIRST fixpoint round of every outer round starts from the
+        // identity coloring (color(v) = v), and every liveEdges src is a
+        // live id — the edge×colors join is a no-op there, so candidates
+        // come straight off the edge list (r18 opt: guide §2.4; exact)
+        val cand =
+          if (identity)
+            liveEdges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__cand"))
+          else liveEdges
+            .join(cur.select(col("id").as("src"), col("color").as("__c")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(min(col("__c")).as("__cand"))
         val stepped = cur.join(cand, Seq("id"), "left")
           .select(col("id"),
             least(col("color"), coalesce(col("__cand"), col("color"))).as("color"),
@@ -647,7 +685,8 @@ object Graph {
         // (withFlagCount) — the per-round filter(__changed).isEmpty probe
         // job is gone (r16 verdict item 2's fusion)
         val (next, _, changed) = cf.withFlagCount(fwdRound(
-          colors.select(col("id"), col("color"), col("__changed"))), "__changed")
+          colors.select(col("id"), col("color"), col("__changed")),
+          identity = r == 0), "__changed")
         converged = changed == 0L
         colors = next
         r += 1
@@ -1079,10 +1118,20 @@ object Graph {
     while (!done && round < maxRounds) {
       round += 1
       tr(s"round $round start")
-      val cu = comp.select(col("id").as("u"), col("comp").as("__ms_cu"))
-      val cv = comp.select(col("id").as("v"), col("comp").as("__ms_cv"))
-      val cross = sym.join(cu, "u").join(cv, "v")
-        .filter(col("__ms_cu") =!= col("__ms_cv"))
+      // round 1 is the identity round: comp(id) = id, so labeling sym with
+      // component ids is a no-op (cu = u, cv = v) and the cross filter is
+      // sym's existing u != v guarantee — skip BOTH edge-sized joins on the
+      // round that sees the full graph (r18 opt: guide §2.4, remove
+      // shuffles outright; the elision is exact, not approximate)
+      val cross =
+        if (round == 1)
+          sym.withColumn("__ms_cu", col("u")).withColumn("__ms_cv", col("v"))
+        else {
+          val cu = comp.select(col("id").as("u"), col("comp").as("__ms_cu"))
+          val cv = comp.select(col("id").as("v"), col("comp").as("__ms_cv"))
+          sym.join(cu, "u").join(cv, "v")
+            .filter(col("__ms_cu") =!= col("__ms_cv"))
+        }
       // min outgoing edge per component under the (w, a, b) total order;
       // the emptiness probe rides the checkpoint's eager count — one job
       // per round saved (r13 verdict item 2)

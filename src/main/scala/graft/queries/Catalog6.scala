@@ -1023,6 +1023,14 @@ private[graft] object Catalog6 {
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_partkey") % 300).cast("long").as("item"))
+      // NOTE (r18 opt): a lead()-window rewrite of this self-join is NOT
+      // equivalent here — (l_orderkey, l_linenumber) is not unique in the
+      // synthetic lineitem (11,785 dup pairs at sf0.01), and the join's
+      // semantics are the full cross product of linenumber n x n+1 rows
+      // (measured: the window spelling fails the oracle hash). Kept the
+      // join; the win that IS safe: the edge set feeds TWO consumers (the
+      // census and the cycle pipeline) and before r18 both re-derived it
+      // from lineitem — checkpoint the distinct set once (guide §2.4).
       val a = li.select(
         col("l_orderkey").as("o2"), col("l_linenumber").as("nxt"),
         col("item").as("w_item"))
@@ -1030,7 +1038,8 @@ private[graft] object Catalog6 {
         .join(a, col("l_orderkey") === col("o2") && col("nxt") === col("l_linenumber") + 1)
         .filter(col("item") =!= col("w_item"))
         .select(col("item").as("src"), col("w_item").as("dst"))
-      edges.distinct()
+        .distinct().localCheckpoint(true)
+      edges
         .agg(count(lit(1)).cast("long").as("n_edges"))
         .crossJoin(graft.operators.Graph.directedTriangleCycles(edges))
     },

@@ -54,4 +54,52 @@ class Round18OpsSpec extends SparkSpec {
     // values are identical either way
     assert(bare.collect().toSeq == hinted.collect().toSeq)
   }
+
+  // ---- r18 optimization round: identity-first-round elisions ----
+  // Round 1 of every iterative kernel starts from an identity/constant
+  // vector, and the r18 optimization skips the then-no-op edge x state
+  // joins (guide §2.4). A single-round call runs ONLY the elided path, so
+  // these pins are the focused coverage for the rewrite; the multi-round
+  // hand cases elsewhere cover elided + general rounds composing.
+
+  test("labelPropagation iterations=1 == min neighbor (elided first round)") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (2L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(e, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // symmetrized neighbor sets: 1->{2,3}, 2->{1,3}, 3->{1,2}, 4->{5}, 5->{4}
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L))
+  }
+
+  test("hits rounds=1: hub = out-degree, auth = in-sum of hub (elided first round)") {
+    import graft.operators.Graph
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.hits(e, rounds = 1)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // hub: 1 -> 2 edges, 2 -> 1; auth: 3 <- hub(1)+hub(2)=3, 4 <- hub(1)=2
+    assert(got == Set((1L, 2L, -1L), (2L, 1L, -1L), (3L, -1L, 3L), (4L, -1L, 2L)))
+  }
+
+  test("pageRankFixedPoint iterations=1 matches the hand fixed-point step") {
+    import graft.operators.Graph
+    // 1->2, 1->3, 2->3: n=3, scale/n = 333333333, base = 15*1e9/(100*3)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRankFixedPoint(e, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = (1000000000L * 15L) / (100L * 3L)
+    val r2 = base + (85L * (333333333L / 2L)) / 100L
+    val r3 = base + (85L * (333333333L / 2L + 333333333L / 1L)) / 100L
+    assert(got == Map(1L -> base, 2L -> r2, 3L -> r3))
+  }
+
+  test("boruvkaMsf single-round graph (identity round elided) emits the edge") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L, 7L)).toDF("u", "v", "w")
+    val got = Graph.boruvkaMsf(e, "u", "v", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 2L, 7L, 1)))
+  }
 }
