@@ -1182,14 +1182,24 @@ object Graph {
           for (_ <- 1 to 3) {
             val r = q.select(col("c").as("__ms_jc"), col("p").as("__ms_jp"))
             q = q.join(r, col("p") === col("__ms_jc"), "left")
-              .select(col("c"), coalesce(col("__ms_jp"), col("p")).as("p"))
+              .select(col("c"), col("p").as("__ms_prev"),
+                coalesce(col("__ms_jp"), col("p")).as("p"))
           }
-          q = org.apache.spark.sql.graft.CheckpointFresh(q)
-          // converged iff every pointer target is a root (its own pointer)
-          val tgt = q.select(col("c").as("__ms_tc"), col("p").as("__ms_tp"))
-          compressed = q.join(tgt, col("p") === col("__ms_tc"))
-            .filter(col("__ms_tp") =!= col("p")).isEmpty
-          ptr = q
+          // converged iff the LAST jump changed nothing: q_k == q_{k-1}
+          // pointwise means q_{k-1}(q_{k-1}(c)) = q_{k-1}(c) for every c,
+          // i.e. every pointer target is already a root — the same
+          // fixpoint test as the old q⋈q probe, but the flag rides the
+          // checkpoint's materialization pass instead of costing a
+          // separate join + isEmpty job per batch (r18 opt; the r16
+          // withFlagCount fusion, now on the jump loop). The trade: a
+          // chain that converges ON the batch's last jump needs one more
+          // (no-op) batch to observe it — one extra small checkpoint vs
+          // one probe job saved in EVERY batch.
+          val (q2, _, moved) = org.apache.spark.sql.graft.CheckpointFresh.withFlagCount(
+            q.select(col("c"), col("p"),
+              (col("p") =!= col("__ms_prev")).as("__ms_moved")), "__ms_moved")
+          compressed = moved == 0L
+          ptr = q2.select(col("c"), col("p"))
           batches += 1
         }
         require(compressed,

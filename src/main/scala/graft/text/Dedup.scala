@@ -501,25 +501,39 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       maxIterations: Int = 20,
-      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
+      checkpoint: DataFrame => DataFrame = null): DataFrame = {
+    // null checkpoint = the default CheckpointFresh strategy, where the
+    // convergence count can RIDE the checkpoint's materialization pass
+    // (withFlagCount) instead of costing a filter+isEmpty job per
+    // iteration (r18 opt; the r16 fusion pattern). A caller-supplied
+    // durable checkpointer keeps the explicit probe — its materialization
+    // is opaque to us.
+    val fused = checkpoint == null
+    val ckpt: DataFrame => DataFrame =
+      if (fused) org.apache.spark.sql.graft.CheckpointFresh.apply else checkpoint
     // Materialize the pairs input once: it is consumed twice to build the
     // symmetric edge set, and upstream it is typically an expensive LSH
     // pipeline that must not run per consumer.
-    val p = checkpoint(pairs.select(col("id1"), col("id2")))
-    val edges = checkpoint(
+    val p = ckpt(pairs.select(col("id1"), col("id2")))
+    val edges = ckpt(
       p.select(col("id1").as("a"), col("id2").as("b"))
         .union(p.select(col("id2").as("a"), col("id1").as("b")))
         .distinct())
-    var labels = checkpoint(
+    var labels = ckpt(
       edges.select(col("a").as("id")).distinct()
         .withColumn("root", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(col("a"))
-        .agg(min(col("root")).as("__graft_nroot"))
+      // iteration 1 is the identity round: root(b) = b, so the edge×labels
+      // join degenerates to min(b) per a (r18 opt: guide §2.4; exact)
+      val neighborMin =
+        if (it == 0)
+          edges.groupBy(col("a")).agg(min(col("b")).as("__graft_nroot"))
+        else edges
+          .join(labels, edges("b") === labels("id"))
+          .groupBy(col("a"))
+          .agg(min(col("root")).as("__graft_nroot"))
       // neighbor-min step, carrying the previous root for the convergence
       // check (no extra join)
       val stepped = labels
@@ -533,15 +547,23 @@ object Dedup {
       // per iteration, so chains converge in O(log diameter) rounds, not
       // O(diameter) (every root IS a node id, so the self-join hits)
       val ptr = stepped.select(col("id").as("__graft_rid"), col("root").as("__graft_rroot"))
-      val updated = checkpoint(
-        stepped
-          .join(ptr, col("root") === col("__graft_rid"), "left")
-          .select(
-            col("id"),
-            least(col("root"), coalesce(col("__graft_rroot"), col("root"))).as("root"),
-            col("__graft_prev")))
-      converged = updated.filter(col("root") =!= col("__graft_prev")).isEmpty
-      labels = updated.select(col("id"), col("root"))
+      val jumped = stepped
+        .join(ptr, col("root") === col("__graft_rid"), "left")
+        .select(
+          col("id"),
+          least(col("root"), coalesce(col("__graft_rroot"), col("root"))).as("root"),
+          col("__graft_prev"))
+      if (fused) {
+        val (updated, _, changed) = org.apache.spark.sql.graft.CheckpointFresh.withFlagCount(
+          jumped.select(col("id"), col("root"),
+            (col("root") =!= col("__graft_prev")).as("__graft_chg")), "__graft_chg")
+        converged = changed == 0L
+        labels = updated.select(col("id"), col("root"))
+      } else {
+        val updated = ckpt(jumped)
+        converged = updated.filter(col("root") =!= col("__graft_prev")).isEmpty
+        labels = updated.select(col("id"), col("root"))
+      }
       it += 1
     }
     if (!converged)
@@ -573,7 +595,12 @@ object Dedup {
       existing: DataFrame,
       newPairs: DataFrame,
       maxIterations: Int = 20,
-      checkpoint: DataFrame => DataFrame = org.apache.spark.sql.graft.CheckpointFresh.apply): DataFrame = {
+      // null = CheckpointFresh, and the inner duplicateClusters fuses its
+      // convergence count into the checkpoint (see duplicateClusters)
+      checkpointOrNull: DataFrame => DataFrame = null): DataFrame = {
+    val checkpoint: DataFrame => DataFrame =
+      if (checkpointOrNull == null) org.apache.spark.sql.graft.CheckpointFresh.apply
+      else checkpointOrNull
     val p = checkpoint(newPairs.select(col("id1"), col("id2")))
     val endpoints = p.select(col("id1").as("id"))
       .union(p.select(col("id2").as("id"))).distinct()
@@ -586,7 +613,7 @@ object Dedup {
     // inside the local graph; self-loops of the roots are harmless
     val localPairs = p.unionByName(
       members.select(col("id").as("id1"), col("root").as("id2")))
-    val reclustered = duplicateClusters(localPairs, maxIterations, checkpoint)
+    val reclustered = duplicateClusters(localPairs, maxIterations, checkpointOrNull)
     val untouched = ex.join(touchedRoots, Seq("root"), "left_anti")
       .select(col("id"), col("root"))
     untouched.unionByName(reclustered.select(col("id"), col("root")))
