@@ -439,8 +439,11 @@ object Graph {
           greatest(col("src"), col("dst")).as("t_w"),
           when(col("src") < col("dst"), col("f")).otherwise(col("r")).as("f3"),
           when(col("src") < col("dst"), col("r")).otherwise(col("f")).as("b3"))
+        // the closing side is edge-sized while wedges is the O(m^1.5)
+        // expansion — build the hash on the small side instead of sorting
+        // millions of wedge rows for a sort-merge (r18 opt, guide §3.1)
         wedges
-          .join(closing, Seq("t_v", "t_w"))
+          .join(closing.hint("shuffle_hash"), Seq("t_v", "t_w"))
           .agg(coalesce(sum(
             (col("f1") && col("f3") && col("b2")).cast("long") +
               (col("f2") && col("b3") && col("b1")).cast("long")), lit(0L))
@@ -481,7 +484,13 @@ object Graph {
         // bits follow the flip: f must mean "directed src→dst exists"
         when(aLower, col("f")).otherwise(col("r")).as("f"),
         when(aLower, col("r")).otherwise(col("f")).as("r"))
-      .localCheckpoint(true) // consumed 3× (two wedge sides + the probe)
+      // CheckpointFresh, not plain localCheckpoint: under AQE the plain
+      // form stamps NO partitioning on the LogicalRDD (the final
+      // partitioning exists only post-execution), so the wedge join
+      // re-exchanged BOTH sides; CheckpointFresh keeps the executed
+      // HashPartitioning(src) and the wedge join goes exchange-free
+      // (r18 opt, guide §2.4)
+      .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
     (oriented, par)
   }
 
@@ -531,7 +540,10 @@ object Graph {
         when(struct(col("deg_u"), col("u")) < struct(col("deg_v"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
       .repartition(par, col("src"))
-      .localCheckpoint(true) // consumed 3× (two wedge sides + the probe)
+      // CheckpointFresh keeps HashPartitioning(src) through the RDD (plain
+      // localCheckpoint loses it under AQE), so the wedge self-join needs
+      // no input exchange (r18 opt, guide §2.4)
+      .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
     val wedges = oriented.select(col("src").as("w_u"), col("dst").as("w_v"))
       .join(oriented.select(col("src").as("w_u"), col("dst").as("w_w")), Seq("w_u"))
       .filter(col("w_v") < col("w_w"))
@@ -542,8 +554,10 @@ object Graph {
     val closing = oriented.select(
       least(col("src"), col("dst")).as("w_v"),
       greatest(col("src"), col("dst")).as("w_w"))
+    // hash-build on the edge-sized closing side; never sort the wedge
+    // expansion (r18 opt, guide §3.1)
     wedges
-      .join(closing, Seq("w_v", "w_w"), "left_semi")
+      .join(closing.hint("shuffle_hash"), Seq("w_v", "w_w"), "left_semi")
       .agg(count(lit(1)).cast("long").as("triangles"))
   }
 
@@ -579,7 +593,8 @@ object Graph {
         when(struct(col("deg_u"), col("u")) < struct(col("deg_v"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
       .repartition(par, col("src")) // wedge join EXPANDS: explicit N (q115 rule)
-      .localCheckpoint(true) // consumed 3x (two wedge sides + the probe)
+      // partition-preserving checkpoint — see triangleCount (r18 opt)
+      .transform(org.apache.spark.sql.graft.CheckpointFresh.apply)
     val wedges = oriented.select(col("src").as("w_u"), col("dst").as("w_v"))
       .join(oriented.select(col("src").as("w_u"), col("dst").as("w_w")), Seq("w_u"))
       .filter(col("w_v") < col("w_w"))
@@ -589,7 +604,7 @@ object Graph {
       least(col("src"), col("dst")).as("w_v"),
       greatest(col("src"), col("dst")).as("w_w"))
     val perNode = wedges
-      .join(closing, Seq("w_v", "w_w"))
+      .join(closing.hint("shuffle_hash"), Seq("w_v", "w_w"))
       .select(explode(array(col("w_u"), col("w_v"), col("w_w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     degrees
@@ -798,8 +813,11 @@ object Graph {
         .join(oriented.select(col("src").as("a"), col("dst").as("c")), Seq("a"))
         .filter(col("b") < col("c"))
       val triangles = wedges.join(
+        // hash-build on the edge-sized closing side; never sort the wedge
+        // expansion (r18 opt, guide §3.1)
         oriented.select(
-          least(col("src"), col("dst")).as("b"), greatest(col("src"), col("dst")).as("c")),
+          least(col("src"), col("dst")).as("b"), greatest(col("src"), col("dst")).as("c"))
+          .hint("shuffle_hash"),
         Seq("b", "c"))
       val support = triangles
         .select(explode(array(

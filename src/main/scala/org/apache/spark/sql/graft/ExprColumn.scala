@@ -135,8 +135,42 @@ object CheckpointFresh {
     // next round's same-key join skips its shuffle) but CLAMP the rewritten
     // stats at Long.MaxValue: small honest sizes still flow (early-round
     // broadcasts keep working) while round-over-round products can never
-    // push the BigInt's bit length past one word's worth
-    val executed = qe.executedPlan
+    // push the BigInt's bit length past one word's worth.
+    // UNWRAP AQE first (r18 opt): AdaptiveSparkPlanExec is a LeafExecNode
+    // whose outputPartitioning is UnknownPartitioning(0) — reading it
+    // directly stamped NO partitioning on every checkpoint under AQE (on
+    // by default), so every "same-key join after the checkpoint" paid a
+    // re-shuffle anyway. The count above has already run the job, so the
+    // adaptive plan is FINAL here and its partitioning is the RDD's true
+    // layout (stamping a pre-execution partitioning would be the
+    // wrong-results hazard the comment above describes; post-execution it
+    // is exact).
+    val executed = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case other => other
+    }
+    // Parallelism floor (r18 opt, measured): stamping an AQE-COALESCED
+    // partitioning with very few partitions makes every downstream
+    // same-key join exchange-free but SERIAL — q119's per-iteration join
+    // ran on the 1–2 coalesced partitions of a tiny frame (+64 % wall).
+    // Keep the stamp only when it preserves useful parallelism (explicit-N
+    // repartitions and healthy shuffles qualify); otherwise stamp Unknown
+    // so downstream re-shuffles to full width, exactly the pre-r18
+    // behavior. The floor derives from the cluster (defaultParallelism),
+    // not a local constant, so at 100 TB — where coalesced partitions are
+    // advisory-sized and plentiful — the stamp survives and the joins stay
+    // exchange-free.
+    val stampFloor = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    val stamped = firstLeaf(executed.outputPartitioning) match {
+      case p if p.numPartitions >= stampFloor => p
+      case _ =>
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0)
+    }
+    val stampedOrdering =
+      if (stamped.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning]) Nil
+      else executed.outputOrdering
     val (origStats, origConstraints) =
       LogicalRDD.rewriteStatsAndConstraints(ds.logicalPlan, qe.optimizedPlan)
     val cap = BigInt(Long.MaxValue)
@@ -144,8 +178,8 @@ object CheckpointFresh {
       sizeInBytes = s.sizeInBytes.min(cap),
       rowCount = s.rowCount.map(_.min(cap))))
     val node = LogicalRDD(
-      ds.logicalPlan.output, rdd, firstLeaf(executed.outputPartitioning),
-      executed.outputOrdering, isStreaming = false)(spark, clamped, origConstraints)
+      ds.logicalPlan.output, rdd, stamped,
+      stampedOrdering, isStreaming = false)(spark, clamped, origConstraints)
     (org.apache.spark.sql.classic.Dataset.ofRows(spark, node), n, flagged)
   }
 }
