@@ -492,6 +492,212 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Shared kernel for fused word-n-gram hashing (called from generated code
+  * — a static method keeps every plan's generated source one line, so
+  * Janino compiles one trivial shape while the loop itself runs as
+  * JIT-compiled Scala, exactly like Spark's own `XXH64` helpers).
+  *
+  * Hash contract (spec-pinned): element j is BIT-IDENTICAL to
+  * `xxhash64(concat_ws(' ', toks[j..j+n-1]))` (seed 42), and the whole-array
+  * gram of a short document to `xxhash64(array_join(toks, ' '))` — because
+  * consecutive tokens joined by a single space are a CONTIGUOUS byte slice
+  * of the once-joined document buffer, each window hashes a slice of one
+  * shared byte array: one buffer copy per document, zero per-gram string
+  * materialization, no interpreted HOF lambda (the `transform` +
+  * n×`element_at` + `concat_ws` spelling allocates every gram string just
+  * to hash it, per element, interpreted). Null tokens are skipped exactly
+  * like `concat_ws`/`array_join` skip them (slow path — tokenized arrays
+  * never carry nulls). */
+object GramKernels {
+
+  private val Seed = 42L
+  private val ByteArrayOffset = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** xxhash64 of every word n-gram (one per window position, duplicates
+    * kept, document order); empty token array yields the single hash of the
+    * empty string — `wordShinglesFromTokens`'s `cnt <= n` branch. */
+  def gramHashes(arr: ArrayData, n: Int): Array[Long] = {
+    val len = arr.numElements()
+    var i = 0
+    while (i < len) {
+      if (arr.isNullAt(i)) return gramHashesWithNulls(arr, n)
+      i += 1
+    }
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var total = 0
+    i = 0
+    while (i < len) {
+      toks(i) = arr.getUTF8String(i)
+      total += toks(i).numBytes
+      i += 1
+    }
+    if (len > 1) total += len - 1
+    val buf = new Array[Byte](total)
+    val starts = new Array[Int](len)
+    val ends = new Array[Int](len)
+    var off = 0
+    i = 0
+    while (i < len) {
+      if (i > 0) { buf(off) = ' '.toByte; off += 1 }
+      starts(i) = off
+      toks(i).writeToMemory(buf, ByteArrayOffset + off)
+      off += toks(i).numBytes
+      ends(i) = off
+      i += 1
+    }
+    if (len <= n) {
+      Array(XXH64.hashUnsafeBytes(buf, ByteArrayOffset, total, Seed))
+    } else {
+      val m = len - n + 1
+      val out = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        val o = starts(j)
+        out(j) = XXH64.hashUnsafeBytes(buf, ByteArrayOffset + o, ends(j + n - 1) - o, Seed)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Slow path replicating `concat_ws`/`array_join` null-skipping byte for
+    * byte (a null token contributes neither bytes nor a separator). */
+  private def gramHashesWithNulls(arr: ArrayData, n: Int): Array[Long] = {
+    val len = arr.numElements()
+    def hashWindow(from: Int, until: Int): Long = {
+      var total = 0
+      var cnt = 0
+      var i = from
+      while (i < until) {
+        if (!arr.isNullAt(i)) { total += arr.getUTF8String(i).numBytes; cnt += 1 }
+        i += 1
+      }
+      if (cnt > 1) total += cnt - 1
+      val buf = new Array[Byte](total)
+      var off = 0
+      i = from
+      while (i < until) {
+        if (!arr.isNullAt(i)) {
+          if (off > 0) { buf(off) = ' '.toByte; off += 1 }
+          val t = arr.getUTF8String(i)
+          t.writeToMemory(buf, ByteArrayOffset + off)
+          off += t.numBytes
+        }
+        i += 1
+      }
+      XXH64.hashUnsafeBytes(buf, ByteArrayOffset, total, Seed)
+    }
+    if (len <= n) Array(hashWindow(0, len))
+    else Array.tabulate(len - n + 1)(j => hashWindow(j, j + n))
+  }
+
+  /** Sorted run-length-encoded term-frequency vector over [[gramHashes]]:
+    * `array<struct<gram,tf>>`, grams ascending, tf = window-position count —
+    * exactly the rows `explode(grams) → groupBy(id, xxhash64(gram)) →
+    * count` produces per document, computed in the scan stage. */
+  def gramTfPairs(arr: ArrayData, n: Int): ArrayData = {
+    val hs = gramHashes(arr, n)
+    java.util.Arrays.sort(hs)
+    val m = hs.length
+    var runs = 1
+    var i = 1
+    while (i < m) { if (hs(i) != hs(i - 1)) runs += 1; i += 1 }
+    val rows = new Array[Any](runs)
+    var r = 0
+    var start = 0
+    i = 1
+    while (i <= m) {
+      if (i == m || hs(i) != hs(start)) {
+        rows(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](hs(start), (i - start).toLong))
+        r += 1
+        start = i
+      }
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Fused word-n-gram hashes: tokens → `array<long>` of `xxhash64` values,
+  * one per window position in document order — element-wise BIT-IDENTICAL
+  * to `XxHash64Array(wordShinglesFromTokens(toks, n))` (spec-pinned) while
+  * skipping the interpreted `transform` lambda and every intermediate
+  * shingle STRING (one joined byte buffer per document, each window hashed
+  * as a slice — [[GramKernels]]). This is the minhash/LSH family's shingle
+  * producer ([[graft.text.Dedup.hashedShingleSets]]): at 100 TB the corpus
+  * scan emits fixed-width keys without ever materializing shingle text. */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"gram_hashes: gram size $n must be >= 1")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"gram_hashes requires array<string>, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(GramKernels.gramHashes(input.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.plans.GramKernels.gramHashes($arr, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused word-n-gram TF vector: tokens → per-document
+  * `array<struct<gram: long, tf: long>>` (grams ascending), where `gram` is
+  * `xxhash64` of the space-joined window and `tf` its in-document count —
+  * one scan-stage kernel call per row ([[GramKernels]]) replacing the
+  * shingle-string `transform` lambda (interpreted, one string allocation
+  * per gram), the post-explode `xxhash64`, AND the `groupBy(id, gram)`
+  * count's exchange: the TF vector is a pure per-row function of the token
+  * array, so it belongs in the map stage (the [[MinHashSignature]]
+  * rationale; at 100 TB this removes the corpus-wide (id, gram) shuffle
+  * from the APSS pipeline — candidates aside, only gram-keyed POSTINGS
+  * ever shuffle).
+  *
+  * Value contract (spec-pinned): exploding the result is row-identical to
+  * `explode(wordShinglesFromTokens(toks, n)) → groupBy(id, xxhash64(gram))
+  * → count` — including the short-document whole-text gram, the empty
+  * tokenization's single empty-string gram, and `concat_ws` null-skipping.
+  * NULL token array → NULL (explode drops the row, like exploding the NULL
+  * shingle array). */
+case class GramTfVector(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"gram_tf_vector: gram size $n must be >= 1")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"gram_tf_vector requires array<string>, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "gram_tf_vector"
+
+  override def nullSafeEval(input: Any): Any =
+    GramKernels.gramTfPairs(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.GramKernels.gramTfPairs($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Greedy single-pass adjacent-pair merge — the BPE "apply one merge rule"
   * step: scan the symbol array left to right, replacing each non-overlapping
   * occurrence of (left, right) with the concatenation, exactly as in

@@ -73,31 +73,52 @@ object ApssJoin {
   /** Integer TF vectors over word `n`-grams as (id, gram hash, tf, df)
     * rows, df-capped; `df` (the gram's global document frequency) is kept
     * for the prefix-filter ordering. Tokenization = trim/lower/whitespace-
-    * split (the q77 convention). */
+    * split (the q77 convention).
+    *
+    * r18 optimization (guide §2.3/§2.4 + the house per-row-signature rule):
+    * the TF vector is a PURE per-document function, so it is computed by
+    * the fused [[graft.plans.GramTfVector]] scan-stage kernel (one byte
+    * buffer per document, each gram hashed as a slice — value-identical to
+    * the explode → `xxhash64(concat_ws …)` → `groupBy(id, gram)` spelling,
+    * spec-pinned) and the (id, gram) count exchange disappears. The ONE
+    * remaining corpus-wide exchange is an explicit-N repartition on `gram`
+    * (the join/expansion key — explicit N because the index join EXPANDS
+    * rows, the q115 lesson); the df census aggregates IN PLACE on that
+    * layout and joins back gram-co-partitioned as a shuffled-hash build of
+    * the census side (never sort the posting list, guide §3.1). Before:
+    * three corpus-wide exchanges ((id,gram) agg, gram join, repartition);
+    * after: one. */
   private[graft] def gramVectors(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       dfCap: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
     // materialize tokens first (HOF-lambda CSE house rule)
     val toked = df
       .withColumn("__graft_toks", TextFunctions.tokens(lower(col(textCol))))
-      .select(col(idCol), TextFunctions.wordShinglesFromTokens(col("__graft_toks"), n).as("__graft_grams"))
-    // array_compact is semantically a no-op (grams are never null) but
-    // keeps InferFiltersFromGenerate from inferring a size()>0 filter
+    val pairs = toked.select(
+      col(idCol),
+      ExprColumn(graft.plans.GramTfVector(ExprColumn.expr(col("__graft_toks")), n))
+        .as("__graft_pairs"))
+    // array_compact is semantically a no-op (pair structs are never null)
+    // but keeps InferFiltersFromGenerate from inferring a size()>0 filter
     // below the Generate whose pushdown would inline and re-evaluate the
-    // whole tokenize+shingle subtree (the q78 trap — measured 11.2 s vs
+    // whole tokenize+hash subtree (the q78 trap — measured 11.2 s vs
     // 0.5 s for this explode alone at sf0.1)
-    val tf = toked
-      .select(col(idCol), explode(array_compact(col("__graft_grams"))).as("__graft_gram"))
-      .groupBy(col(idCol), xxhash64(col("__graft_gram")).as("gram"))
-      .agg(count(lit(1)).as("tf"))
-    val dfCounts = tf
+    val tf = pairs
+      .select(col(idCol), explode(array_compact(col("__graft_pairs"))).as("__graft_p"))
+      .select(col(idCol), col("__graft_p.gram").as("gram"), col("__graft_p.tf").as("tf"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tfP = tf.repartition(par, col("gram"))
+    val dfCounts = tfP
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-    tf.join(dfCounts, Seq("gram"))
+    // both sides share tfP's exchange (ReuseExchange) and are already
+    // distributed by gram — the join plans with zero additional exchanges
+    tfP.join(dfCounts.hint("shuffle_hash"), Seq("gram"))
   }
 
   /** The indexed (prefix) subset of `vecs`: per document, grams ordered by
@@ -135,13 +156,11 @@ object ApssJoin {
       s"cosinePairs: threshold $minCosNum/$minCosDen not in (0, 1]")
     require(n >= 1, s"cosinePairs: gram size must be >= 1, got $n")
     // vectors feed four consumers (index, probe, dot verify, norms) —
-    // compute once. The index join EXPANDS rows, so partitioning must
-    // match the output, not the input: explicit-N repartition on the join
-    // key (exempt from AQE's input-bytes coalescing — the q115 lesson),
-    // which also co-partitions both join sides.
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    // compute once. gramVectors already lays the frame out by the join/
+    // expansion key (explicit-N repartition on `gram`, exempt from AQE's
+    // input-bytes coalescing — the q115 lesson), so the cache holds the
+    // co-partitioned layout directly.
     val vecs = gramVectors(df, idCol, textCol, n, dfCap)
-      .repartition(par, col("gram"))
       .cache()
     try {
       val norms = vecs

@@ -97,8 +97,11 @@ object Dedup {
     * (P[any collision] ≈ n²/2⁶⁵ — negligible at any real corpus size). */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     import org.apache.spark.sql.graft.ExprColumn
-    val hashed = ExprColumn(graft.plans.XxHash64Array(
-      ExprColumn.expr(wordShinglesFromTokens(col("__graft_toks"), shingleSize))))
+    // r18: one fused kernel call (plans.GramHashes) — bit-identical to
+    // XxHash64Array(wordShinglesFromTokens(...)) but with zero intermediate
+    // shingle strings and no interpreted transform lambda (spec-pinned)
+    val hashed = ExprColumn(graft.plans.GramHashes(
+      ExprColumn.expr(col("__graft_toks")), shingleSize))
     df.withColumn("__graft_toks", tokens(normalize(col(textCol)))) // materialized: HOF-lambda CSE
       .select(col(idCol), array_distinct(hashed).as("sh"))
   }

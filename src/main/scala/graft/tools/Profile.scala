@@ -9,9 +9,17 @@ import graft.text.Dedup
   * Mirrors q29's actual shared-shingle pipeline stage by stage. */
 object Profile {
   def time[T](label: String)(f: => T): T = {
+    // process-CPU delta beside wall time: on a machine with external load
+    // (the r18 ±30% swings) CPU seconds are the stable signal — an
+    // optimization that removes work shrinks CPU even when wall is noise
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val c0 = os.getProcessCpuTime
     val t0 = System.nanoTime()
     val r = f
-    println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu = (os.getProcessCpuTime - c0) / 1e9
+    println(f"[profile] $label: $wall%.2f s (cpu $cpu%.1f s)")
     r
   }
 
@@ -93,6 +101,7 @@ object Profile {
     if (args.contains("--q69")) { q69(args.head); return }
     if (args.contains("--q90")) { q90(args.head); return }
     if (args.contains("--apss")) { apss(args.head); return }
+    if (args.contains("--gramonly")) { gramOnly(args.head); return }
     if (args.contains("--q402")) { q402(args.head); return }
     if (args.contains("--boruvka")) { boruvka(args.head); return }
     args.sliding(2).collectFirst { case Array("--query", name) => name } match {
@@ -157,8 +166,16 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val q = graft.Queries.all.find(_.name == name)
       .getOrElse(sys.error(s"no such query: $name"))
-    for (i <- 1 to runs)
+    for (i <- 1 to runs) {
       time(s"$name run $i")(q.run(spark, dir).write.format("noop").mode("overwrite").save())
+      // the r14 bench lesson, applied to this harness: localCheckpoint RDDs
+      // skip clearCache and accrue block-manager memory across runs —
+      // under pressure the NEXT run's cache evicts mid-query and every
+      // consumer recomputes its whole upstream (measured here as sporadic
+      // >10x CPU explosions on later runs); Bench unpersists between
+      // queries, so the per-run steady state must too
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     spark.stop()
   }
 
@@ -228,6 +245,29 @@ object Profile {
     spark.stop()
   }
 
+  /** gramVectors-only timing (the stage the r18 fused kernel rewrote) —
+    * 3 warm noop runs. GRAFT_AB_EXTRA_REPART=1 appends the gram
+    * repartition the PRE-r18 cosinePairs added outside gramVectors, so an
+    * old-classes run times the same total work as a new-classes run. */
+  def gramOnly(dir: String): Unit = {
+    import graft.text.ApssJoin
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val extraRepart = sys.env.get("GRAFT_AB_EXTRA_REPART").contains("1")
+    for (i <- 1 to 3)
+      time(s"gramVectors run $i") {
+        val v = ApssJoin.gramVectors(docs, "doc_id", "text", 3, 1000L)
+        val out = if (extraRepart) v.repartition(32, col("gram")) else v
+        out.write.format("noop").mode("overwrite").save()
+      }
+    spark.stop()
+  }
+
   /** Stage timing for the q128 APSS pipeline (prefix-filter diagnostics). */
   def apss(dir: String): Unit = {
     import graft.text.ApssJoin
@@ -239,8 +279,8 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val vecs = time("gramVectors") {
-      val v = ApssJoin.gramVectors(docs, "doc_id", "text", 3, 1000L)
-        .repartition(32, col("gram")).cache()
+      // gramVectors repartitions by gram internally (r18)
+      val v = ApssJoin.gramVectors(docs, "doc_id", "text", 3, 1000L).cache()
       println("  vec rows=" + v.count()); v
     }
     val idx = time("prefixIndex") {

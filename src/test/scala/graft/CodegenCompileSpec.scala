@@ -83,9 +83,43 @@ class CodegenCompileSpec extends AnyFunSuite {
     compileAndCompare(WinnowSelect(lArr, 3), winHashes)
     compileAndCompare(WinnowSelect(lArr, 8), winHashes) // short-array rule: w > m
     compileAndCompare(WinnowSelect(lArr, 1), winHashes) // w=1: every position selected
+    compileAndCompare(GramHashes(sArr, 3), toks)
+    compileAndCompare(GramHashes(sArr, 9), toks)  // cnt <= n whole-text gram
+    compileAndCompare(GramHashes(sArr, 1), toks)
     // NULL inputs through the compiled path
+    compileAndCompare(GramHashes(sArr, 3), InternalRow(null))
     compileAndCompare(WindowHash64(sArr, 3), InternalRow(null))
     compileAndCompare(UnicodeNormalize(str, "NFC"), InternalRow(null))
     compileAndCompare(LmSurprisal(str, Array(1L), Array(1L), 2L, 3), InternalRow(null))
+  }
+
+  test("gram_tf_vector compiles no-fallback and agrees with interpreted eval") {
+    // struct-array output needs its own comparator: the compiled path yields
+    // UnsafeRows, the interpreted path GenericInternalRows, and InternalRow
+    // defines no structural equality across implementations
+    val sArr = BoundReference(0, ArrayType(StringType), nullable = true)
+    def pairs(v: Any): Seq[(Long, Long)] = {
+      val arr = v.asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    for ((input, n) <- Seq(
+        (InternalRow(strArr("the", "cat", "sat", "on", "the", "mat", "the", "cat", "sat")), 3),
+        (InternalRow(strArr("naïve", "κόσμος", "a")), 2), // multibyte slices
+        (InternalRow(strArr("one", "two")), 3),           // cnt <= n whole-text gram
+        (InternalRow(strArr()), 3),                       // empty tokenization
+        (InternalRow(new GenericArrayData(
+          Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("b")))), 2))) {
+      val expr = GramTfVector(sArr, n)
+      val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on Janino failure
+      assert(pairs(proj(input).get(0, expr.dataType)) == pairs(expr.eval(input)),
+        s"gram_tf_vector codegen/interpreted mismatch at n=$n")
+    }
+    // NULL array through the compiled path
+    val exprNull = GramTfVector(sArr, 3)
+    val projNull = GenerateUnsafeProjection.generate(Seq(exprNull))
+    assert(projNull(InternalRow(null)).isNullAt(0) && exprNull.eval(InternalRow(null)) == null)
   }
 }

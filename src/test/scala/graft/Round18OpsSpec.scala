@@ -102,4 +102,109 @@ class Round18OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(got.toSeq == Seq((1L, 2L, 7L, 1)))
   }
+
+  // ---- r18 optimization round: fused gram-TF kernel (q128 APSS) ----
+
+  test("gram_tf_vector == explode+xxhash64(concat_ws)+groupBy, fuzz incl. nulls/multibyte") {
+    import org.apache.spark.sql.graft.ExprColumn
+    val rnd = new scala.util.Random(180128)
+    // vocabulary stresses the byte-slice hash: multibyte UTF-8, empty-ish
+    // strings, embedded-separator-free words of varied length
+    val vocab = Vector("a", "bb", "ccc", "naïve", "κόσμος", "x1", "ZZ", "über", "日本語", "w")
+    val docs: Seq[(Long, Seq[String])] = (0L until 60L).map { id =>
+      val len = rnd.nextInt(9) // 0..8 tokens, many below/at/above n
+      val toks = Seq.fill(len) {
+        // ~8% null tokens exercise the concat_ws skip-null slow path
+        if (rnd.nextInt(12) == 0) null else vocab(rnd.nextInt(vocab.size))
+      }
+      (id, toks)
+    } :+ (999L, null) // NULL token array: both spellings drop the document
+    val df = docs.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val old = df
+        .select(col("id"),
+          explode(graft.text.TextFunctions.wordShinglesFromTokens(col("toks"), n)).as("g"))
+        .groupBy(col("id"), xxhash64(col("g")).as("gram"))
+        .agg(count(lit(1)).as("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fused = df
+        .select(col("id"),
+          explode(ExprColumn(graft.plans.GramTfVector(ExprColumn.expr(col("toks")), n))).as("p"))
+        .select(col("id"), col("p.gram").as("gram"), col("p.tf").as("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fused == old, s"gram_tf_vector diverged from the relational spelling at n=$n")
+    }
+  }
+
+  test("gram_hashes == xxhash64_array(wordShinglesFromTokens), fuzz incl. nulls/multibyte") {
+    import org.apache.spark.sql.graft.ExprColumn
+    val rnd = new scala.util.Random(180129)
+    val vocab = Vector("a", "bb", "ccc", "naïve", "κόσμος", "x1", "ZZ", "über", "日本語", "w")
+    val docs: Seq[(Long, Seq[String])] = (0L until 60L).map { id =>
+      val len = rnd.nextInt(9)
+      val toks = Seq.fill(len) {
+        if (rnd.nextInt(12) == 0) null else vocab(rnd.nextInt(vocab.size))
+      }
+      (id, toks)
+    } :+ (999L, null)
+    val df = docs.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val old = df.select(col("id"),
+        ExprColumn(graft.plans.XxHash64Array(ExprColumn.expr(
+          graft.text.TextFunctions.wordShinglesFromTokens(col("toks"), n)))).as("hs"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getSeq[Long](1))).toSeq
+      val fused = df.select(col("id"),
+        ExprColumn(graft.plans.GramHashes(ExprColumn.expr(col("toks")), n)).as("hs"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getSeq[Long](1))).toSeq
+      assert(fused == old, s"gram_hashes diverged from the xxhash64_array spelling at n=$n")
+    }
+  }
+
+  test("gram_tf_vector short/empty documents match the whole-text gram rule") {
+    import org.apache.spark.sql.graft.ExprColumn
+    // cnt <= n collapses to ONE gram = array_join(toks, ' '); cnt == 0
+    // yields the single empty-string gram (wordShinglesFromTokens's
+    // cnt<=n branch over an empty array)
+    val df = Seq(
+      (1L, Seq("solo")),
+      (2L, Seq("two", "words")),
+      (3L, Seq.empty[String])).toDF("id", "toks")
+    val got = df
+      .select(col("id"),
+        explode(ExprColumn(graft.plans.GramTfVector(ExprColumn.expr(col("toks")), 3))).as("p"))
+      .select(col("id"), col("p.gram"), col("p.tf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = df
+      .select(col("id"), xxhash64(array_join(col("toks"), " ")).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1L)).toSet
+    assert(got == expect)
+  }
+
+  test("gramVectors: every exchange is gram-keyed and the census join is shuffled-hash") {
+    // the r18 APSS restructure's plan contract: the fused kernel removed the
+    // (id, gram) count aggregation, so the ONLY shuffle key left anywhere in
+    // the gramVectors plan is `gram` (the explicit-N repartition both join
+    // sides share), and the df-census joins back as a shuffled-hash build —
+    // the posting list is never sorted
+    val docs = (0L until 40L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} tail$i"))
+      .toDF("id", "text")
+    val vecs = graft.text.ApssJoin.gramVectors(docs, "id", "text", 3, 1000L)
+    val nodes = PlanChecks.flatten(vecs)
+    val shuffleKeys = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.map(_.references.map(_.name).mkString(","))
+          case p => Seq(s"non-hash:$p")
+        }
+    }.flatten.distinct
+    assert(shuffleKeys == Seq("gram"),
+      s"expected every shuffle keyed on gram only, got $shuffleKeys")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "expected the df-census join to plan as ShuffledHashJoin")
+  }
 }

@@ -809,7 +809,8 @@ class DedupSpec extends SparkSpec {
       spark.read.parquet(s"$dir/corpus"), spark.read.parquet(s"$dir/bench"),
       "doc_id", "text", n = 3)
     // exactly 2: <= would pass vacuously at 0 if the rendering changed
-    assert(graft.plans.PlanChecks.exprOccurrences(fileDf, "xxhash64_array") == 2)
+    // (r18: hashedShingleSets' hashing expression is now gram_hashes)
+    assert(graft.plans.PlanChecks.exprOccurrences(fileDf, "gram_hashes") == 2)
   }
 
   test("map-side simhash64 expression is bit-identical to the aggregate spelling") {
