@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the tail of `sbt "runMain graft.Bench"`
+// stdout for the final JSON line. With the default LoggedOutput strategy
+// sbt re-logs every forked-process line under an "[info] " prefix, so the
+// line never starts with '{' — every round since r01 recorded
+// "parsed": null. StdoutOutput passes the forked JVM's streams through
+// verbatim (Bench prints the JSON line as its very last stdout write).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -359,7 +359,11 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""""omitted":$omitted,""" else ""
-      s"""{"queries":$qs,$om"runs":$runs,"errors":$errs,"contended":$contended,"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"}"""
+      // field order matters to the driver: the documented contract line is
+      // {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+      // — lead with metric/value/unit so a prefix-anchored parser (e.g. a
+      // search for '{"metric"') finds the line; extra keys follow "queries".
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,$om"runs":$runs,"errors":$errs,"contended":$contended,"sf":"$sfDir"}"""
     }
     val cpuJson = results.toSeq.sortBy(_._1)
       .map { case (k, (_, c, _, _)) => "\"" + k + "\":" + fmt(c, 3) }
@@ -410,7 +414,11 @@ object Bench {
     // robust contract is a final line so short it fits whole beside all of
     // that. Full per-query detail stays authoritative in
     // bench_detail.json; the stdout line keeps the slow head only.
-    val budget = 1000
+    // r19: the sbt "[info] " prefix is gone (run/outputStrategy :=
+    // StdoutOutput) and the only writer after this line is sbt's ~75-char
+    // "[success] Total time" trailer, so 1500 + trailer fits the 2000-char
+    // window whole with ~400 chars of slack for shutdown stragglers.
+    val budget = 1500
     while (line.length > budget && kept.nonEmpty) {
       kept = kept.dropRight(1)
       line = jsonLine(kept, 2, short.size - kept.size)

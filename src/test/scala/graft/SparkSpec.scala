@@ -25,7 +25,20 @@ object TestSession {
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = TestSession.spark
+  // sbt runs suites in PARALLEL threads inside the forked test JVM, and the
+  // active-session thread-local is only inherited at thread creation: a pool
+  // thread spawned before the first getOrCreate sees getActiveSession=None,
+  // and Spark 4's SparkPlan.session is getActiveSession.orNull — a parquet
+  // write command then NPEs ("sparkSession is null" in
+  // InsertIntoHadoopFsRelationCommand.run; VERIFY_r18 caught it once in
+  // TopKSpec). Pin both session slots on whichever thread first touches
+  // `spark` in each suite instance (tests of one suite run on that thread).
+  lazy val spark: SparkSession = {
+    val s = TestSession.spark
+    SparkSession.setDefaultSession(s)
+    SparkSession.setActiveSession(s)
+    s
+  }
   import spark.implicits._
 
   def rows(df: DataFrame): Seq[Seq[Any]] =
