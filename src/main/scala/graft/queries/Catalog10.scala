@@ -37,7 +37,8 @@ private[graft] object Catalog10 {
     residueMemo.getOrElseUpdate((dir, s.sparkContext.applicationId), {
       val root = java.nio.file.Files.createTempDirectory("graft-residue").toString
       val base = residueBase(s, dir)
-      (0 until 3).map(m =>
+      // disjoint-path fixture writes run overlapped (guide §2.6)
+      QueryDsl.parActions(0 until 3)(m =>
         writeOne(root, base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
     })
 
@@ -70,7 +71,8 @@ private[graft] object Catalog10 {
         .select(col("key"), (col("key") * 1000).as("value"))
       TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
       TxnLog.restore(s, logDir, 0)
-      (0L to 3L).map { v =>
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(0L to 3L) { v =>
         val agg = TxnLog.readAsOfWithDeletes(s, logDir, v)
           .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
           .head()
@@ -117,17 +119,20 @@ private[graft] object Catalog10 {
       import graft.sources.TxnLog
       val root = java.nio.file.Files.createTempDirectory("graft-q273").toString
       val (logDir, fs, base) = residueTable(s, dir, root)
-      val m0a = writeOne(root, base.filter(col("key") % 3 === 0)
-        .select(col("key"), (col("key") * 10).as("value")), "m0a")
-      val m1b = writeOne(root, base.filter(col("key") % 3 === 1)
-        .select(col("key"), (col("key") * 100).as("value")), "m1b")
+      // disjoint-path fixture writes run overlapped (guide §2.6)
+      val Seq(m0a, m1b) = QueryDsl.parActions(Seq(
+        ("m0a", 0, 10L), ("m1b", 1, 100L))) { case (name, res, mult) =>
+        writeOne(root, base.filter(col("key") % 3 === res)
+          .select(col("key"), (col("key") * mult).as("value")), name)
+      }
       val (vA, _) = TxnLog.commitOptimistic(s, logDir, 0, Seq(m0a), Seq(fs(0)))
       val (vB, _) = TxnLog.commitOptimistic(s, logDir, 0, Seq(m1b), Seq(fs(1)))
       val cConflict =
         try { TxnLog.commitOptimistic(s, logDir, 0, Nil, Seq(fs(0))); false }
         catch { case _: java.util.ConcurrentModificationException => true }
       val head = TxnLog.latestVersion(logDir).get
-      Seq(("a", vA, false), ("b", vB, false), ("c", head, cConflict)).map {
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(Seq(("a", vA, false), ("b", vB, false), ("c", head, cConflict))) {
         case (w, v, conflict) =>
           val agg = TxnLog.readAsOf(s, logDir, v)
             .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
@@ -180,8 +185,9 @@ private[graft] object Catalog10 {
         .select((col("key") + 10000000L).as("key"), (col("key") * 3).as("value")), "srcadd")
       TxnLog.commit(logDir, 2, adds = Seq(appended), removes = Nil)
       val srcAtClone = TxnLog.liveFiles(logDir, 1)
-      Seq(("clone", cloneLog, 0L), ("clone", cloneLog, 1L),
-        ("src", logDir, 1L), ("src", logDir, 2L)).map { case (tbl, log, v) =>
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(Seq(("clone", cloneLog, 0L), ("clone", cloneLog, 1L),
+        ("src", logDir, 1L), ("src", logDir, 2L))) { case (tbl, log, v) =>
         val agg = TxnLog.readAsOfWithDeletes(s, log, v)
           .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
           .head()
@@ -235,13 +241,15 @@ private[graft] object Catalog10 {
         pmod(col("p_partkey").cast("long"), lit(4)).as("cat"),
         (col("p_partkey") * 2).cast("long").as("value"))
       val half = base.agg(max("key")).head.getLong(0) / 2
-      val old = Seq(
-        writeOne(root, base.filter(col("key") <= half), "old0"),
-        writeOne(root, base.filter(col("key") > half), "old1"))
+      // disjoint-path fixture writes run overlapped (guide §2.6)
+      val old = QueryDsl.parActions(Seq(
+        ("old0", col("key") <= half), ("old1", col("key") > half))) {
+        case (name, pred) => writeOne(root, base.filter(pred), name)
+      }
       TxnLog.commit(logDir, 0, adds = old, removes = Nil)
       val fresh = base.filter(col("key") % 25 === 0).select(
         (col("key") + 10000000L).as("key"), col("cat"), (col("key") * 3).as("value"))
-      val parts = (0 until 4).map { c =>
+      val parts = QueryDsl.parActions(0 until 4) { c =>
         writeOne(root, fresh.filter(col("cat") === c), s"cat$c") -> s"cat=$c"
       }
       TxnLog.commit(logDir, 1, adds = parts.map(_._1), removes = Nil,
@@ -284,7 +292,8 @@ private[graft] object Catalog10 {
         .select((col("key") + 10000000L).as("key"), (col("key") * 6).as("val"))
       TxnLog.commit(logDir, 2, adds = Seq(writeOne(root, appended, "v2")), removes = Nil)
       TxnLog.renameColumn(s, logDir, "amount", "amt")
-      (0L to 3L).map { v =>
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(0L to 3L) { v =>
         val snap = TxnLog.readAsOfMapped(s, logDir, v)
         val valueCol = snap.columns.filter(_ != "key").head
         val agg = snap.agg(count(lit(1)).cast("long"), sum(col(valueCol)).cast("long")).head()
@@ -610,7 +619,8 @@ private[graft] object Catalog10 {
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv2", col("key") % 11 === 0)
       TxnLog.compact(s, logDir, s"$root/opt", targetFiles = 4,
         bucket = Some(pmod(col("key"), lit(4))))
-      (0L to 3L).map { v =>
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(0L to 3L) { v =>
         val agg = TxnLog.readAsOfWithDeletes(s, logDir, v)
           .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
           .head()

@@ -702,15 +702,19 @@ private[graft] object Catalog9 {
         df.coalesce(1).write.mode("overwrite").parquet(d)
         new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
       }
-      val f0a = writeOne(ev.filter(col("event_id") % 2 === 0), "even")
-      val f0b = writeOne(ev.filter(col("event_id") % 2 === 1), "odd")
+      // disjoint-path fixture writes run overlapped (guide §2.6)
+      val Seq(f0a, f0b) = QueryDsl.parActions(Seq(
+        ("even", col("event_id") % 2 === 0), ("odd", col("event_id") % 2 === 1))) {
+        case (name, pred) => writeOne(ev.filter(pred), name)
+      }
       TxnLog.commit(logDir, 0, adds = Seq(f0a, f0b), removes = Nil)
       val f1 = writeOne(TxnLog.readAsOf(s, logDir, 0), "compacted")
       TxnLog.commit(logDir, 1, adds = Seq(f1), removes = Seq(f0a, f0b))
       val f2 = writeOne(ev.filter(col("event_id") % 97 === 0)
         .select((col("event_id") + 10000000L).as("event_id"), col("user_id")), "late")
       TxnLog.commit(logDir, 2, adds = Seq(f2), removes = Nil)
-      (0L to 2L).map { v =>
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(0L to 2L) { v =>
         val snap = TxnLog.readAsOf(s, logDir, v)
         (v, TxnLog.liveFiles(logDir, v).size.toLong, snap.count())
       }.toDF("version", "n_files", "n_rows")

@@ -812,7 +812,9 @@ private[graft] object Catalog9b {
         df.coalesce(1).write.mode("overwrite").parquet(d)
         new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
       }
-      val fs = (0 until 3).map(m =>
+      // disjoint-path fixture writes + post-final-log version reads run
+      // overlapped (QueryDsl.parActions, guide §2.6)
+      val fs = QueryDsl.parActions(0 until 3)(m =>
         writeOne(base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
       TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
       // updates: keys % 300 == 0 (all in the mod-3==0 file) replace their
@@ -824,7 +826,7 @@ private[graft] object Catalog9b {
             ((col("key") + 10000000L) * 1000).as("value")))
       TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
       val v0Files = TxnLog.liveFiles(logDir, 0)
-      (0L to 1L).map { v =>
+      QueryDsl.parActions(0L to 1L) { v =>
         val live = TxnLog.liveFiles(logDir, v)
         val agg = TxnLog.readAsOf(s, logDir, v)
           .agg(count(lit(1)).cast("long"), sum(col("value")).cast("long")).head()
@@ -874,12 +876,14 @@ private[graft] object Catalog9b {
         df.coalesce(1).write.mode("overwrite").parquet(d)
         new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
       }
-      val fs = (0 until 3).map(m =>
+      // disjoint-path fixture writes + post-final-log version reads run
+      // overlapped (QueryDsl.parActions, guide §2.6)
+      val fs = QueryDsl.parActions(0 until 3)(m =>
         writeOne(base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
       TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv1", col("key") % 7 === 0)
       TxnLog.deleteMergeOnRead(s, logDir, s"$root/dv2", col("key") % 11 === 0)
-      (0L to 2L).map { v =>
+      QueryDsl.parActions(0L to 2L) { v =>
         val agg = TxnLog.readAsOfWithDeletes(s, logDir, v)
           .agg(count(lit(1)).cast("long"), coalesce(sum(col("value")), lit(0L)).cast("long"))
           .head()
@@ -932,8 +936,11 @@ private[graft] object Catalog9b {
         df.coalesce(1).write.mode("overwrite").parquet(d)
         new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
       }
-      val f0a = writeOne(ev.filter(col("event_id") % 2 === 0), "even")
-      val f0b = writeOne(ev.filter(col("event_id") % 2 === 1), "odd")
+      // disjoint-path fixture writes run overlapped (guide §2.6)
+      val Seq(f0a, f0b) = QueryDsl.parActions(Seq(
+        ("even", col("event_id") % 2 === 0), ("odd", col("event_id") % 2 === 1))) {
+        case (name, pred) => writeOne(ev.filter(pred), name)
+      }
       TxnLog.commit(logDir, 0, adds = Seq(f0a, f0b), removes = Nil)
       val f1 = writeOne(TxnLog.readAsOf(s, logDir, 0), "compacted")
       TxnLog.commit(logDir, 1, adds = Seq(f1), removes = Seq(f0a, f0b))
@@ -983,7 +990,8 @@ private[graft] object Catalog9b {
         df.coalesce(1).write.mode("overwrite").parquet(d)
         new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
       }
-      val fs = (0 until 3).map(m =>
+      // disjoint-path fixture writes run overlapped (guide §2.6)
+      val fs = QueryDsl.parActions(0 until 3)(m =>
         writeOne(base.filter(pmod(col("key"), lit(3)) === m), s"m$m"))
       TxnLog.commit(logDir, 0, adds = fs, removes = Nil)
       // v1: CoW merge — value 1000k+1 (odd) can never equal an original 2k
@@ -1265,10 +1273,13 @@ private[graft] object Catalog9b {
             col("mny") <= 280 && col("mxy") >= 200)
           .count()
       }
-      val before = boxOpens(0)
-      val after = boxOpens(v1)
-      val rect = TxnLog.readAsOf(s, logDir, v1)
-        .filter(col("x").between(90, 180) && col("y").between(200, 280)).count()
+      // three independent post-optimize reads run overlapped (guide §2.6)
+      val Seq(before, after, rect) = QueryDsl.parActions(Seq(0, 1, 2)) {
+        case 0 => boxOpens(0)
+        case 1 => boxOpens(v1)
+        case _ => TxnLog.readAsOf(s, logDir, v1)
+          .filter(col("x").between(90, 180) && col("y").between(200, 280)).count()
+      }
       Seq((TxnLog.liveFiles(logDir, v1).size.toLong, before, after, rect, after < before))
         .toDF("n_files", "opens_before", "opens_after", "n_rows_rect", "pruned")
     },
@@ -1334,7 +1345,8 @@ private[graft] object Catalog9b {
       val updates = base.filter(col("key") % 400 === 0)
         .select(col("key"), (col("key") * 5).as("value"), (col("key") * 7).as("w"))
       TxnLog.mergeCopyOnWrite(s, logDir, s"$root/merged", updates, "key")
-      (0L to 2L).map { v =>
+      // post-final-log version reads run overlapped (guide §2.6)
+      QueryDsl.parActions(0L to 2L) { v =>
         val snap = TxnLog.readAsOf(s, logDir, v)
         val withW = if (snap.columns.contains("w")) snap
           else snap.withColumn("w", lit(null).cast("long"))
